@@ -1,0 +1,280 @@
+"""The distributed crawl pipeline (engine lifecycle, SURVEY.md §3).
+
+Epoch loop over the sharded frontier:
+
+    seeds → frontier.offer(search URLs)
+    loop:  shards.pop_ready (per-host politeness order, virtual time)
+         → Dataset(url rows) → map_batches(Fetcher actor pool)   # fetch
+         → docs partition written (resumable)                     # store
+         → parse_search → expand (profile+calc URLs, watermark-gapped)
+                        → route back to frontier shards           # offer
+         → parse_profile → players partition
+         → parse_calc    → games_raw partition
+         → checkpoint frontier snapshots + manifest
+    until every shard's heap is empty
+    finalize: games_raw → normalize → dedup(keep-first) → dropna
+            → game_history store
+
+Incremental crawl (reference data_fetching_processing.py:216-234): if an
+existing game_history store is passed, per-player month windows already
+covered are excluded during expansion (watermark A11: groupby(fide_id)
+min/max date — an aggregation over the store, not actor state).
+
+Ray usage notes: the only raw actors are the frontier shards (shared
+mutable state the Dataset API can't express); everything else is
+Dataset ``map_batches``. Per-epoch doc sets are bounded by the pop
+budget, so the epoch materialization that feeds the three parse branches
+is bounded memory, while stores stream via ``write_parquet``.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from .. import synth
+from ..sources import store
+from ..stages import dedup as DD
+from ..stages import normalize as NZ
+from ..stages import parse as P
+from ..stages import urls as U
+from ..state.frontier import FrontierShard, shard_of
+
+
+def _prev_month_str(period: str) -> str:
+    y, m = int(period[:4]), int(period[5:7])
+    y, m = (y - 1, 12) if m == 1 else (y, m - 1)
+    return f"{y:04d}-{m:02d}-01"
+
+
+def _next_month_str(period: str) -> str:
+    y, m = int(period[:4]), int(period[5:7])
+    y, m = (y + 1, 1) if m == 12 else (y, m + 1)
+    return f"{y:04d}-{m:02d}-01"
+
+
+def watermark_windows(min_max: dict[str, tuple[str, str]]) -> dict[str, tuple[str, str]]:
+    """Per-player excluded month window from stored (min_date, max_date).
+
+    Mirrors the reference's gap arithmetic (:224-234): head fetch runs to
+    db_start-1day and tail from db_end+1day, so the boundary months are
+    refetched; only months strictly inside are excluded."""
+    from datetime import date, timedelta
+
+    out = {}
+    for pid, (dmin, dmax) in min_max.items():
+        head_end = date.fromisoformat(dmin) - timedelta(days=1)   # :228
+        tail_start = date.fromisoformat(dmax) + timedelta(days=1)  # :233
+        lo_excl = _next_month_str(f"{head_end.year:04d}-{head_end.month:02d}-01")
+        hi_excl = _prev_month_str(f"{tail_start.year:04d}-{tail_start.month:02d}-01")
+        if lo_excl <= hi_excl:
+            out[pid] = (lo_excl, hi_excl)
+    return out
+
+
+def store_watermarks(game_history_ds) -> dict[str, tuple[str, str]]:
+    """A11: groupby(fide_id) min/max date over the existing store."""
+    from ray.data.aggregate import Max, Min
+
+    agg = game_history_ds.groupby("fide_id").aggregate(
+        Min("date", alias_name="dmin"), Max("date", alias_name="dmax")
+    )
+    return {r["fide_id"]: (r["dmin"], r["dmax"]) for r in agg.take_all()}
+
+
+class _Router:
+    """Link-routing stage: expand accepted search results into frontier
+    URL rows and offer them to the owning shards directly from the task
+    (no driver collection — the scalable enqueue path)."""
+
+    def __init__(self, shards, months, watermarks):
+        self.shards = shards
+        self.months = months
+        self.watermarks = watermarks
+
+    def __call__(self, results: pa.Table) -> pa.Table:
+        rows = P.expand_frontier_batch(results, self.months, self.watermarks)
+        n_shards = len(self.shards)
+        hosts = rows["host"].to_pylist()
+        by_shard: dict[int, list[int]] = {}
+        for i, h in enumerate(hosts):
+            by_shard.setdefault(shard_of(h, n_shards), []).append(i)
+        futs = [self.shards[s].offer.remote(rows.take(idx)) for s, idx in by_shard.items()]
+        stats = ray.get(futs)
+        return pa.table(
+            {
+                "offered": pa.array([sum(s["offered"] for s in stats)], pa.int64()),
+                "enqueued": pa.array([sum(s["enqueued"] for s in stats)], pa.int64()),
+            }
+        )
+
+
+class CrawlResult:
+    def __init__(self, out_dir: str, shards, epochs: int):
+        self.out_dir = out_dir
+        self.shards = shards
+        self.epochs = epochs
+
+    def stats(self) -> list[dict]:
+        return ray.get([s.stats.remote() for s in self.shards])
+
+    def fetch_log(self) -> list[tuple[int, int, str]]:
+        """Merged crawl order: per-shard logs merged by (vts, priority)."""
+        logs = ray.get([s.get_fetch_log.remote() for s in self.shards])
+        merged = [e for log in logs for e in log]
+        merged.sort(key=lambda e: (e[1],))  # global priority order
+        return merged
+
+    def seen_hashes(self) -> set[bytes]:
+        sets = ray.get([s.seen_hashes.remote() for s in self.shards])
+        return set(b for s in sets for b in s)
+
+    def game_history(self):
+        return store.read_all(self.out_dir, "game_history")
+
+    def players(self):
+        return store.read_all(self.out_dir, "players")
+
+    def docs(self):
+        return store.read_all(self.out_dir, "docs")
+
+    def frontier_ops(self) -> int:
+        return sum(s.get("offered", 0) + s.get("popped", 0) for s in self.stats())
+
+    def pages(self) -> int:
+        return sum(s.get("popped", 0) for s in self.stats())
+
+
+def run_crawl(
+    cfg: synth.SiteConfig,
+    out_dir: str,
+    seeds: list[str] | None = None,
+    n_shards: int = 2,
+    pop_budget: int = 100_000,
+    fetch_concurrency: int = 4,
+    batch_size: int = 128,
+    politeness_gap_us: int = 1_000_000,
+    start_month: str | None = None,
+    end_month: str | None = None,
+    incremental_store=None,
+    resume: bool = False,
+    max_epochs: int | None = None,
+    finalize: bool = True,
+) -> CrawlResult:
+    """Run the crawl to frontier exhaustion (or ``max_epochs``, for the
+    checkpoint/resume tests). See module docstring."""
+    months = [m for m in synth.months_of(cfg)
+              if (start_month is None or m >= start_month)
+              and (end_month is None or m <= end_month)]
+    if seeds is None:
+        seeds = synth.seed_queries(cfg)
+
+    shards = [
+        FrontierShard.remote(k, n_shards, politeness_gap_us=politeness_gap_us)
+        for k in range(n_shards)
+    ]
+    epoch0 = 0
+    manifest = store.load_manifest(out_dir) if resume else None
+    if manifest is not None:
+        snaps = store.load_shard_snapshots(out_dir, n_shards)
+        if snaps is not None:
+            ray.get([shards[s["shard_id"]].restore.remote(s) for s in snaps])
+            epoch0 = manifest["completed_epochs"]
+    if manifest is None:
+        # robots: fetch + parse robots.txt once per known host, push rules
+        # into the owning shard (engine-added; reference has none)
+        for host in (synth.SEARCH_HOST, synth.RATINGS_HOST):
+            doc = synth.render_url(cfg, synth.robots_url(host))
+            rules = [s["text"].split("|", 1)[1] for s in doc["spans"]
+                     if s["kind"] == "field" and s["text"].startswith("disallow|")]
+            ray.get([s.set_robots.remote(host, rules) for s in shards])
+
+        # watermarks from an existing store (incremental crawl, ST3/A11)
+        watermarks = {}
+        if incremental_store is not None:
+            watermarks = watermark_windows(store_watermarks(incremental_store))
+
+        # seed offers: one search URL per seed query, in seed order
+        seed_rows = U.make_url_rows(
+            [synth.search_url(q) for q in seeds],
+            ["search"] * len(seeds),
+            [""] * len(seeds),
+            [""] * len(seeds),
+            [""] * len(seeds),
+            [U.pack_priority(i, 0, U.KIND_SEARCH, 0) for i in range(len(seeds))],
+        )
+        by_shard: dict[int, list[int]] = {}
+        for i, h in enumerate(seed_rows["host"].to_pylist()):
+            by_shard.setdefault(shard_of(h, n_shards), []).append(i)
+        ray.get([shards[s].offer.remote(seed_rows.take(idx)) for s, idx in by_shard.items()])
+        store.save_manifest(out_dir, {"completed_epochs": 0, "finished": False,
+                                      "n_shards": n_shards})
+        store.save_shard_snapshots(out_dir, ray.get([s.snapshot.remote() for s in shards]))
+        watermarks_state = watermarks
+    else:
+        watermarks_state = manifest.get("watermarks", {})
+        watermarks_state = {k: tuple(v) for k, v in watermarks_state.items()}
+
+    epoch = epoch0
+    per_shard_budget = max(1, pop_budget // n_shards)
+    while True:
+        if max_epochs is not None and epoch - epoch0 >= max_epochs:
+            return CrawlResult(out_dir, shards, epoch)
+        pops = ray.get([s.pop_ready.remote(per_shard_budget) for s in shards])
+        tables = [t for t in pops if t is not None and t.num_rows > 0]
+        if not tables:
+            break
+        url_table = pa.concat_tables(tables)
+        n_blocks = max(1, math.ceil(url_table.num_rows / batch_size))
+        urls_ds = rd.from_arrow(url_table).repartition(n_blocks)
+        docs = urls_ds.map_batches(
+            P.Fetcher(cfg), batch_format="pyarrow", batch_size=batch_size,
+            concurrency=fetch_concurrency, num_cpus=0.5,
+        ).materialize()
+
+        store.write_epoch(docs, out_dir, "docs", epoch)
+
+        # branch 1: search results → expansion → offers back to shards
+        results = docs.map_batches(P.parse_search_batch, batch_format="pyarrow")
+        router_out = results.map_batches(
+            _Router(shards, months, watermarks_state),
+            batch_format="pyarrow", batch_size=4096, concurrency=1, num_cpus=0.1,
+        )
+        router_out.count()  # force offers before the next pop
+
+        # branch 2: profiles → player store
+        players = docs.map_batches(P.parse_profile_batch, batch_format="pyarrow")
+        store.write_epoch(players, out_dir, "players", epoch)
+
+        # branch 3: calc docs → raw games store
+        games = docs.map_batches(P.parse_calc_batch, batch_format="pyarrow")
+        store.write_epoch(games, out_dir, "games_raw", epoch)
+
+        epoch += 1
+        store.save_shard_snapshots(out_dir, ray.get([s.snapshot.remote() for s in shards]))
+        store.save_manifest(out_dir, {
+            "completed_epochs": epoch, "finished": False, "n_shards": n_shards,
+            "watermarks": {k: list(v) for k, v in watermarks_state.items()},
+        })
+
+    if finalize:
+        finalize_game_history(out_dir)
+    m = store.load_manifest(out_dir) or {}
+    m["finished"] = True
+    store.save_manifest(out_dir, m)
+    return CrawlResult(out_dir, shards, epoch)
+
+
+def finalize_game_history(out_dir: str) -> None:
+    """games_raw (all epochs) → normalize → dedup keep-first → dropna →
+    game_history store (reference process_game_history + DB dedup)."""
+    raw = store.read_all(out_dir, "games_raw")
+    if raw is None:
+        return
+    ds = raw.map_batches(NZ.normalize_games_batch, batch_format="pyarrow")
+    ds = DD.dedup_dataset(ds)
+    ds = ds.map_batches(NZ.drop_null_batch, batch_format="pyarrow")
+    store.write_epoch(ds, out_dir, "game_history", 0)

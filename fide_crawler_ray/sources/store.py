@@ -1,0 +1,111 @@
+"""Partitioned Parquet store with a resume manifest.
+
+Lance is unavailable in this environment, so the store layer the design
+calls for (SURVEY.md §1.3) is implemented as partitioned Parquet — the
+same columnar/batch write path (``ds.write_parquet``), laid out one
+directory per epoch/partition so a failed run can skip finished
+partitions (the "resumable output" contract):
+
+    root/
+      docs/epoch=00001/*.parquet        crawled span documents
+      players/epoch=00001/*.parquet     PLAYER_DATA rows
+      games_raw/epoch=00001/*.parquet   raw parsed game rows (+lineage)
+      game_history/*.parquet            final normalized+deduped store
+      checkpoint/shard_{k}.pkl          frontier shard snapshots
+      checkpoint/MANIFEST.json          {completed_epochs, finished, ...}
+
+Writes are atomic at the partition level: data lands in a ``.tmp``
+directory that is renamed into place, and the manifest is only advanced
+after the rename — a crashed epoch leaves no half-visible partition.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import shutil
+
+import ray.data as rd
+
+
+def epoch_dir(root: str, name: str, epoch: int) -> str:
+    return os.path.join(root, name, f"epoch={epoch:05d}")
+
+
+def write_epoch(ds, root: str, name: str, epoch: int) -> int:
+    """Write one epoch partition atomically; returns rows written."""
+    final = epoch_dir(root, name, epoch)
+    tmp = final + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(final, ignore_errors=True)
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    n = ds.count()
+    if n == 0:
+        os.makedirs(final, exist_ok=True)  # empty partition marker
+        return 0
+    ds.write_parquet(tmp)
+    os.rename(tmp, final)
+    return n
+
+
+def read_all(root: str, name: str, **kwargs):
+    """Read every completed epoch partition of a table as one Dataset."""
+    base = os.path.join(root, name)
+    parts = []
+    if os.path.isdir(base):
+        for d in sorted(os.listdir(base)):
+            if d.endswith(".tmp"):
+                continue
+            full = os.path.join(base, d)
+            if os.path.isdir(full) and any(f.endswith(".parquet") for f in os.listdir(full)):
+                parts.append(full)
+    if not parts:
+        return None
+    # partitioning=None: the epoch= path component is layout, not data
+    kwargs.setdefault("partitioning", None)
+    return rd.read_parquet(parts, **kwargs)
+
+
+# ------------------------------------------------------------- manifest
+
+def manifest_path(root: str) -> str:
+    return os.path.join(root, "checkpoint", "MANIFEST.json")
+
+
+def load_manifest(root: str) -> dict | None:
+    p = manifest_path(root)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def save_manifest(root: str, manifest: dict) -> None:
+    os.makedirs(os.path.join(root, "checkpoint"), exist_ok=True)
+    tmp = manifest_path(root) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, manifest_path(root))
+
+
+def save_shard_snapshots(root: str, snapshots: list[dict]) -> None:
+    d = os.path.join(root, "checkpoint")
+    os.makedirs(d, exist_ok=True)
+    for snap in snapshots:
+        tmp = os.path.join(d, f"shard_{snap['shard_id']}.pkl.tmp")
+        with open(tmp, "wb") as f:
+            pickle.dump(snap, f)
+        os.replace(tmp, os.path.join(d, f"shard_{snap['shard_id']}.pkl"))
+
+
+def load_shard_snapshots(root: str, n_shards: int) -> list[dict] | None:
+    d = os.path.join(root, "checkpoint")
+    snaps = []
+    for k in range(n_shards):
+        p = os.path.join(d, f"shard_{k}.pkl")
+        if not os.path.exists(p):
+            return None
+        with open(p, "rb") as f:
+            snaps.append(pickle.load(f))
+    return snaps

@@ -1,0 +1,233 @@
+"""Fetch + kind-driven span parsers as Ray Data ``map_batches`` stages.
+
+All stages are Arrow-in / Arrow-out (``batch_format="pyarrow"``). Parsing
+a document is inherently sequential *within* the document (span order is
+load-bearing — reference zips img color spans with game rows by a
+document-global index: data_processing/data_fetching_processing.py:156-194),
+so the per-document work is a tight Python loop over that document's
+spans, vectorized *across* documents by batching; column construction is
+columnar (build lists once, one ``pa.Table`` per batch out).
+
+The kind-driven calc parser here is cross-validated against the
+positional reference-semantics parser (refsem.parse_calc_positional) in
+tests — per-row span-sequence equality is the correctness invariant
+(BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from .. import synth
+from ..schema import FOOTNOTE_TEXT
+from . import urls as U
+
+_GAME_COLS = [
+    "fide_id", "date", "tournament_name", "country", "player_name",
+    "player_rating", "player_color", "opponent_name", "opponent_rating",
+    "result", "chg", "k", "k_chg",
+]
+
+
+class Fetcher:
+    """Fetch stage: URL rows → span documents (+passthrough url metadata).
+
+    Stands in for the reference's HTTP GETs (reference
+    data_fetching_processing.py:88-89, :147); pages render deterministically
+    from (SiteConfig, url). A callable class so a real deployment can hold
+    connection pools / robots caches in ``__init__`` (actor pool state);
+    here init just pins the site config once per actor.
+    """
+
+    def __init__(self, cfg: synth.SiteConfig):
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        docs = [synth.render_url(self.cfg, u) for u in urls]
+        spans_type = pa.list_(
+            pa.struct(
+                [("kind", pa.string()), ("text", pa.string()),
+                 ("media_ref", pa.string()), ("offset", pa.int32())]
+            )
+        )
+        out = pa.table(
+            {
+                "doc_id": pa.array([d["doc_id"] for d in docs], pa.string()),
+                "doc_kind": pa.array([d["kind"] for d in docs], pa.string()),
+                "spans": pa.array([d["spans"] for d in docs], spans_type),
+                "fide_id": batch["fide_id"],
+                "player_name": batch["player_name"],
+                "priority": batch["priority"],
+            }
+        )
+        return out
+
+
+def parse_search_batch(batch: pa.Table) -> pa.Table:
+    """M1+M2+M3: search docs → accepted player result rows.
+
+    Emits one row per accepted search result with the per-page result
+    index (1-based) for priority packing. Predicate and id-regex are the
+    vectorized kernels in stages.urls (reference :64-68).
+    """
+    names, titles, hrefs, ids, ranks, ridxs = [], [], [], [], [], []
+    kinds = batch["doc_kind"].to_pylist()
+    spans_col = batch["spans"].to_pylist()
+    prios = batch["priority"].to_pylist()
+    for kind, spans, prio in zip(kinds, spans_col, prios):
+        if kind != "search":
+            continue
+        seed_rank = prio >> 34
+        ridx = 0
+        for s in spans:
+            if s["kind"] != "field":
+                continue
+            name, title, href = s["text"].split("|", 2)
+            ridx += 1
+            names.append(name)
+            titles.append(title)
+            hrefs.append(href)
+            ranks.append(seed_rank)
+            ridxs.append(ridx)
+    t = pa.table(
+        {
+            "name": pa.array(names, pa.string()),
+            "title": pa.array(titles, pa.string()),
+            "url": pa.array(hrefs, pa.string()),
+            "seed_rank": pa.array(ranks, pa.int32()),
+            "result_idx": pa.array(ridxs, pa.int32()),
+        }
+    )
+    if t.num_rows == 0:
+        return t.append_column("id", pa.array([], pa.string()))
+    keep = U.url_keep_mask(t["url"].combine_chunks())
+    t = t.filter(pa.array(keep))
+    ids_arr = U.extract_profile_ids(t["url"].combine_chunks())
+    return t.append_column("id", ids_arr)
+
+
+def expand_frontier_batch(
+    results: pa.Table,
+    months: list[str],
+    watermarks: dict[str, tuple[str, str]] | None = None,
+) -> pa.Table:
+    """M7+M8: accepted search results → profile + calc URL rows.
+
+    Month-range expansion mirrors the reference's month walk
+    (data_fetching_processing.py:123-138); ``watermarks`` implements the
+    incremental-crawl gap fetch (ST3/J4, reference :216-234): months
+    inside [wm_min, wm_max] for a player are already stored and are not
+    re-enqueued.
+    """
+    urls, kinds, fids, periods, pnames, prios = [], [], [], [], [], []
+    wm = watermarks or {}
+    for i in range(results.num_rows):
+        pid = results["id"][i].as_py()
+        name = results["name"][i].as_py()
+        seed_rank = int(results["seed_rank"][i].as_py())
+        ridx = int(results["result_idx"][i].as_py())
+        urls.append(synth.profile_url(pid))
+        kinds.append("profile")
+        fids.append(pid)
+        periods.append("")
+        pnames.append(name)
+        prios.append(U.pack_priority(seed_rank, ridx, U.KIND_PROFILE, 0))
+        lo_hi = wm.get(pid)
+        for m in months:
+            if lo_hi is not None and lo_hi[0] <= m <= lo_hi[1]:
+                continue
+            urls.append(synth.calc_url(pid, m))
+            kinds.append("calc")
+            fids.append(pid)
+            periods.append(m)
+            pnames.append(name)
+            prios.append(U.pack_priority(seed_rank, ridx, U.KIND_CALC, U.month_index(m)))
+    return U.make_url_rows(urls, kinds, fids, periods, pnames, prios)
+
+
+def parse_profile_batch(batch: pa.Table) -> pa.Table:
+    """M5+M6: profile docs → PLAYER_DATA rows (dynamic rating keys map to
+    fixed std/rapid/blitz columns; absent → '' per safe_extract default,
+    reference :80-85, :110-114)."""
+    cols: dict[str, list] = {k: [] for k in (
+        "fide_id", "name", "world_rank", "federation", "b_year", "sex",
+        "fide_title", "profile_photo", "std_rating", "rapid_rating",
+        "blitz_rating")}
+    kinds = batch["doc_kind"].to_pylist()
+    spans_col = batch["spans"].to_pylist()
+    fids = batch["fide_id"].to_pylist()
+    for kind, spans, fid in zip(kinds, spans_col, fids):
+        if kind != "profile":
+            continue
+        rec = {k: "" for k in cols}
+        rec["fide_id"] = fid
+        for s in spans:
+            if s["kind"] == "media":
+                rec["profile_photo"] = s["media_ref"]
+            elif s["kind"] == "field":
+                label, value = s["text"].split("|", 1)
+                if label in ("name", "world_rank", "federation", "b_year", "sex", "fide_title"):
+                    rec[label] = value
+                elif label in ("std", "rapid", "blitz"):
+                    rec[f"{label}_rating"] = "".join(c for c in value if c.isdigit())
+        for k in cols:
+            cols[k].append(rec[k])
+    return pa.table({k: pa.array(v, pa.string()) for k, v in cols.items()})
+
+
+def parse_calc_batch(batch: pa.Table) -> pa.Table:
+    """M9 (flagship): calc span docs → raw game rows + lineage.
+
+    Kind-driven equivalent of the reference's positional parse
+    (data_fetching_processing.py:149-194): footnote spans dropped (:152),
+    per-block header/rating state, game rows zipped with the i-th media
+    span *in document order* (colorIndex semantics :156-162, :194), rows
+    with a missing required field dropped (per-append dropna :192).
+
+    ``lineage`` = (url priority << 16 | span offset) — a monotone id that
+    reproduces SQLite insertion order for the dedup keep-first tiebreak
+    (reference database/database_management.py:56-71).
+    """
+    out: dict[str, list] = {c: [] for c in _GAME_COLS}
+    out["lineage"] = []
+    kinds = batch["doc_kind"].to_pylist()
+    spans_col = batch["spans"].to_pylist()
+    fids = batch["fide_id"].to_pylist()
+    pnames = batch["player_name"].to_pylist()
+    prios = batch["priority"].to_pylist()
+    for kind, spans, fid, pname, prio in zip(kinds, spans_col, fids, pnames, prios):
+        if kind != "calc" or not spans:
+            continue
+        colors = ["white" if "clr_wh" in s["media_ref"] else "black"
+                  for s in spans if s["kind"] == "media"]
+        color_index = 0
+        tname = tdate = rating = None
+        for s in spans:
+            k = s["kind"]
+            if k == "header":
+                tname, tdate = s["text"].split("|", 1)
+            elif k == "rating":
+                rating = s["text"]
+            elif k == "game":
+                f = s["text"].split("|")
+                color = colors[color_index]
+                color_index += 1
+                if not all([f[0], f[1], f[2], f[3], f[4], f[5], f[6]]):
+                    continue  # dropna: missing required field (:192)
+                out["fide_id"].append(fid)
+                out["date"].append(tdate)
+                out["tournament_name"].append(tname)
+                out["country"].append(f[2])
+                out["player_name"].append(pname)
+                out["player_rating"].append(rating)
+                out["player_color"].append(color)
+                out["opponent_name"].append(f[0])
+                out["opponent_rating"].append(f[1])
+                out["result"].append(f[3])
+                out["chg"].append(f[4])
+                out["k"].append(f[5])
+                out["k_chg"].append(f[6])
+                out["lineage"].append((prio << 16) | s["offset"])
+    t = pa.table({c: pa.array(out[c], pa.string()) for c in _GAME_COLS})
+    return t.append_column("lineage", pa.array(out["lineage"], pa.int64()))

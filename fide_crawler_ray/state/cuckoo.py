@@ -1,0 +1,258 @@
+"""Approximate-membership filters for the URL-seen set.
+
+- ``CuckooFilter``: partial-key cuckoo hashing (Fan, Andersen, Kaminsky,
+  Mitzenmacher — "Cuckoo Filter: Practically Better Than Bloom",
+  CoNEXT 2014; see PAPERS.md): b=4 slots per bucket, 16-bit fingerprints,
+  alternate bucket i2 = i1 XOR hash(fingerprint). Supports deletion and
+  ~95% load factor; no false negatives.
+- ``BloomFilter``: classic k-hash bit array — the spill tier for cold
+  shards (insert-only, smaller per-key footprint).
+- ``SeenSet``: the per-shard composite the frontier uses. The cuckoo
+  filter answers "definitely not seen" with no false negatives (the fast
+  path: brand-new URLs — the overwhelming majority at the frontier);
+  a "maybe seen" consults the authoritative exact tier so the final
+  URL-seen set is EXACT (north_rule requires exactness; cuckoo alone
+  would drop fresh URLs on false positives). The exact tier holds recent
+  hashes in RAM and spills immutable sorted segments (binary-searchable
+  uint64 pairs) once ``max_inmem`` is exceeded — the single-node stand-in
+  for per-partition seen-set manifests in the store.
+
+All membership checks are vectorized (numpy) over batches of 20-byte
+SHA1 URL hashes; inserts loop only over genuinely new keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_EMPTY = 0  # fingerprint 0 marks an empty slot; real fps are 1..65535
+
+
+def _parts_from_sha1(hashes: np.ndarray):
+    """hashes: (n, 20) uint8 → (h64, fp16, h_fp) derived fields."""
+    h64 = hashes[:, :8].copy().view(">u8").reshape(-1).astype(np.uint64)
+    fp = (hashes[:, 8].astype(np.uint16) << 8) | hashes[:, 9].astype(np.uint16)
+    fp = np.where(fp == 0, np.uint16(1), fp).astype(np.uint16)
+    # hash of the fingerprint for the alternate-bucket XOR (odd multiplier)
+    h_fp = (fp.astype(np.uint64) * np.uint64(0x5BD1E9955BD1E995)) >> np.uint64(32)
+    return h64, fp, h_fp
+
+
+def sha1_bytes_to_array(hashes: list[bytes]) -> np.ndarray:
+    return np.frombuffer(b"".join(hashes), dtype=np.uint8).reshape(-1, 20)
+
+
+class CuckooFilter:
+    def __init__(self, capacity: int = 1 << 16, max_kicks: int = 500, seed: int = 7):
+        n_buckets = 1
+        while n_buckets * 4 < capacity / 0.95:
+            n_buckets <<= 1
+        self.n_buckets = n_buckets
+        self.table = np.zeros((n_buckets, 4), dtype=np.uint16)
+        self.max_kicks = max_kicks
+        self.count = 0
+        self.overflow: set[int] = set()  # keys that failed insertion
+        self._rng = np.random.default_rng(seed)
+
+    def _indices(self, h64: np.ndarray, h_fp: np.ndarray):
+        mask = np.uint64(self.n_buckets - 1)
+        i1 = (h64 & mask).astype(np.int64)
+        i2 = ((h64 ^ h_fp) & mask).astype(np.int64)
+        return i1, i2
+
+    def contains_batch(self, hashes: np.ndarray) -> np.ndarray:
+        """Vectorized membership: (n,20) uint8 → bool[n]."""
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        h64, fp, h_fp = _parts_from_sha1(hashes)
+        i1, i2 = self._indices(h64, h_fp)
+        hit = (self.table[i1] == fp[:, None]).any(axis=1)
+        hit |= (self.table[i2] == fp[:, None]).any(axis=1)
+        if self.overflow:
+            ov = np.fromiter((int(h) in self.overflow for h in h64), dtype=bool, count=len(h64))
+            hit |= ov
+        return hit
+
+    def insert_one(self, h64: int, fp: int, h_fp: int) -> None:
+        mask = self.n_buckets - 1
+        i1 = h64 & mask
+        i2 = (h64 ^ h_fp) & mask
+        for i in (i1, i2):
+            row = self.table[i]
+            empty = np.flatnonzero(row == _EMPTY)
+            if len(empty):
+                row[empty[0]] = fp
+                self.count += 1
+                return
+        # evict: random walk up to max_kicks (partial-key cuckoo hashing);
+        # record the swap trail so a failed walk can be rolled back — else
+        # the victim fingerprint held at give-up time would be lost (a
+        # false negative, which the filter must never produce)
+        i = int(self._rng.choice((i1, i2)))
+        cur = np.uint16(fp)
+        trail: list[tuple[int, int]] = []
+        for _ in range(self.max_kicks):
+            slot = int(self._rng.integers(0, 4))
+            trail.append((i, slot))
+            cur, self.table[i, slot] = self.table[i, slot], cur
+            h_cur = (int(cur) * 0x5BD1E9955BD1E995 & ((1 << 64) - 1)) >> 32
+            i = (i ^ h_cur) & mask
+            row = self.table[i]
+            empty = np.flatnonzero(row == _EMPTY)
+            if len(empty):
+                row[empty[0]] = cur
+                self.count += 1
+                return
+        for j, slot in reversed(trail):  # undo swaps, restore invariants
+            cur, self.table[j, slot] = self.table[j, slot], cur
+        self.overflow.add(int(h64))  # table saturated; exact overflow set
+        self.count += 1
+
+    def insert_batch(self, hashes: np.ndarray) -> None:
+        if len(hashes) == 0:
+            return
+        h64, fp, h_fp = _parts_from_sha1(hashes)
+        for j in range(len(h64)):
+            self.insert_one(int(h64[j]), int(fp[j]), int(h_fp[j]))
+
+    def state(self) -> dict:
+        return {
+            "table": self.table.copy(),
+            "overflow": sorted(self.overflow),
+            "count": self.count,
+        }
+
+    @classmethod
+    def from_state(cls, st: dict) -> "CuckooFilter":
+        f = cls()
+        f.table = st["table"].copy()
+        f.n_buckets = f.table.shape[0]
+        f.overflow = set(st["overflow"])
+        f.count = st["count"]
+        return f
+
+
+class BloomFilter:
+    """k-hash Bloom filter over 64-bit keys (spill tier; insert-only)."""
+
+    def __init__(self, capacity: int = 1 << 20, fp_rate: float = 0.01):
+        import math
+
+        m = max(64, int(-capacity * math.log(fp_rate) / (math.log(2) ** 2)))
+        self.m = 1 << (m - 1).bit_length()
+        self.k = max(1, round(self.m / capacity * 0.6931))
+        self.bits = np.zeros(self.m // 64, dtype=np.uint64)
+
+    def _positions(self, h64: np.ndarray) -> np.ndarray:
+        # double hashing: pos_i = h1 + i*h2 (Kirsch–Mitzenmacher)
+        h1 = h64
+        h2 = (h64 * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+        idx = np.empty((self.k, len(h64)), dtype=np.uint64)
+        for i in range(self.k):
+            idx[i] = (h1 + np.uint64(i) * h2) % np.uint64(self.m)
+        return idx
+
+    def insert_batch64(self, h64: np.ndarray) -> None:
+        if len(h64) == 0:
+            return
+        idx = self._positions(h64).reshape(-1)
+        np.bitwise_or.at(self.bits, (idx >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (idx & np.uint64(63)))
+
+    def contains_batch64(self, h64: np.ndarray) -> np.ndarray:
+        if len(h64) == 0:
+            return np.zeros(0, dtype=bool)
+        idx = self._positions(h64)
+        words = self.bits[(idx >> np.uint64(6)).astype(np.int64)]
+        hit = (words >> (idx & np.uint64(63))) & np.uint64(1)
+        return hit.all(axis=0).astype(bool)
+
+
+class SeenSet:
+    """Exact URL-seen set with a cuckoo fast path and sorted spill segments."""
+
+    def __init__(self, capacity: int = 1 << 16, max_inmem: int = 1 << 20):
+        self.cuckoo = CuckooFilter(capacity=capacity)
+        self.exact: set[bytes] = set()
+        self.segments: list[np.ndarray] = []  # sorted uint8 (n,20) rows as void view
+        self.max_inmem = max_inmem
+        self.n = 0
+
+    def _exact_contains(self, hashes: np.ndarray) -> np.ndarray:
+        out = np.fromiter(
+            (h.tobytes() in self.exact for h in hashes), dtype=bool, count=len(hashes)
+        )
+        for seg in self.segments:
+            # binary search on the 8-byte prefix, then confirm full 20 bytes
+            keys = hashes[:, :8].copy().view(">u8").reshape(-1)
+            lo = np.searchsorted(seg["k"], keys, side="left")
+            hi = np.searchsorted(seg["k"], keys, side="right")
+            cand = lo < hi
+            for j in np.flatnonzero(cand & ~out):
+                rows = seg["v"][lo[j] : hi[j]]
+                if any(r.tobytes() == hashes[j].tobytes() for r in rows):
+                    out[j] = True
+        return out
+
+    def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
+        """Returns bool[n]: True where the hash was ALREADY seen; all
+        unseen hashes are inserted. Exact (no false positives/negatives)."""
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        maybe = self.cuckoo.contains_batch(hashes)
+        seen = np.zeros(len(hashes), dtype=bool)
+        if maybe.any():
+            seen[maybe] = self._exact_contains(hashes[maybe])
+        # also dedup within the incoming batch itself (first occurrence wins)
+        new_idx = []
+        batch_seen: set[bytes] = set()
+        for j in np.flatnonzero(~seen):
+            b = hashes[j].tobytes()
+            if b in batch_seen:
+                seen[j] = True
+            else:
+                batch_seen.add(b)
+                new_idx.append(j)
+        if new_idx:
+            arr = hashes[new_idx]
+            self.cuckoo.insert_batch(arr)
+            for j in new_idx:
+                self.exact.add(hashes[j].tobytes())
+            self.n += len(new_idx)
+            if len(self.exact) > self.max_inmem:
+                self._spill()
+        return seen
+
+    def _spill(self) -> None:
+        rows = np.frombuffer(b"".join(sorted(self.exact)), dtype=np.uint8).reshape(-1, 20)
+        seg = np.empty(len(rows), dtype=[("k", ">u8"), ("v", np.uint8, 20)])
+        seg["k"] = rows[:, :8].copy().view(">u8").reshape(-1)
+        seg["v"] = rows
+        order = np.argsort(seg["k"], kind="stable")
+        self.segments.append(seg[order])
+        self.exact = set()
+
+    def contains_batch(self, hashes: np.ndarray) -> np.ndarray:
+        maybe = self.cuckoo.contains_batch(hashes)
+        out = np.zeros(len(hashes), dtype=bool)
+        if maybe.any():
+            out[maybe] = self._exact_contains(hashes[maybe])
+        return out
+
+    def all_hashes(self) -> list[bytes]:
+        out = set(self.exact)
+        for seg in self.segments:
+            for r in seg["v"]:
+                out.add(r.tobytes())
+        return sorted(out)
+
+    def state(self) -> dict:
+        return {"hashes": self.all_hashes(), "max_inmem": self.max_inmem,
+                "capacity": self.cuckoo.n_buckets * 4}
+
+    @classmethod
+    def from_state(cls, st: dict) -> "SeenSet":
+        s = cls(capacity=st["capacity"], max_inmem=st["max_inmem"])
+        if st["hashes"]:
+            s.check_and_add(sha1_bytes_to_array(st["hashes"]))
+        return s

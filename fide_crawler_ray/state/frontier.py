@@ -1,0 +1,192 @@
+"""Frontier shard actors: politeness heaps + robots + URL-seen + fetch log.
+
+The engine's central stateful stage (SURVEY.md §4, ST2-ST4). The frontier
+is sharded by ``hash(host) % n_shards`` so each host's politeness state
+(next-fetch time, robots rules) lives in exactly one actor — per-host
+crawl rate is politeness-bound no matter how many workers exist, so
+sharding a single host finer cannot speed it up; breadth across hosts is
+where parallelism comes from. Hot-host *offer* traffic (fide.com
+dominates; BASELINE.json north_star) is absorbed by the callers: the
+link-routing stage partitions each Arrow batch by shard and issues
+concurrent ``offer`` calls from every fetch task, so no driver-side or
+single-queue bottleneck exists on the enqueue path.
+
+Politeness uses VIRTUAL time (microseconds): ``pop_ready`` assigns each
+URL a fetch timestamp ≥ host_next_vts and advances the host clock by the
+politeness gap — reproducing the reference's one-connection-per-host
+sequential behavior and its 1 req/s budget
+(reference: old_scripts/fide-games-scraper-public.py:22-23, :160) without
+real sleeping. Determinism: within a host, URLs pop in crawl-priority
+order; across hosts, by (host_next_vts, host). The shard records a fetch
+log so tests can verify exact crawl ordering against the sequential
+reference order (refsem.crawl).
+
+robots.txt handling is engine-added behavior required by the north_rule
+(the reference has none): rules are fetched once per host by the crawl
+driver, parsed, and pushed into the owning shard; offers matching a
+disallowed path prefix are dropped and counted.
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections import defaultdict
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from .cuckoo import SeenSet
+
+URL_FIELDS = ["url", "host", "url_hash", "kind", "fide_id", "period",
+              "player_name", "priority"]
+
+
+def shard_of(host: str, n_shards: int) -> int:
+    import zlib
+
+    return zlib.crc32(host.encode()) % n_shards
+
+
+@ray.remote(num_cpus=0.1)
+class FrontierShard:
+    """One shard of the distributed frontier (see module docstring)."""
+
+    def __init__(self, shard_id: int, n_shards: int,
+                 politeness_gap_us: int = 1_000_000,
+                 seen_capacity: int = 1 << 16,
+                 seen_max_inmem: int = 1 << 20):
+        self.shard_id = shard_id
+        self.n_shards = n_shards
+        self.gap_us = politeness_gap_us
+        self.seen = SeenSet(capacity=seen_capacity, max_inmem=seen_max_inmem)
+        self.heaps: dict[str, list] = defaultdict(list)  # host → [(priority, row)]
+        self.host_next_vts: dict[str, int] = defaultdict(int)
+        self.robots: dict[str, list[str]] = {}  # host → disallow path prefixes
+        self.fetch_log: list[tuple[int, int, str]] = []  # (vts, priority, url)
+        self.counters = defaultdict(int)
+
+    # ------------------------------------------------------------- robots
+    def set_robots(self, host: str, disallow_prefixes: list[str]) -> None:
+        self.robots[host] = list(disallow_prefixes)
+
+    def _robots_allowed(self, host: str, url: str) -> bool:
+        rules = self.robots.get(host)
+        if not rules:
+            return True
+        path = url.split("//", 1)[-1]
+        path = "/" + path.split("/", 1)[1] if "/" in path else "/"
+        return not any(path.startswith(p) for p in rules)
+
+    # -------------------------------------------------------------- offer
+    def offer(self, rows: pa.Table) -> dict:
+        """Enqueue unseen, robots-allowed URL rows. Returns counters."""
+        n = rows.num_rows
+        self.counters["offered"] += n
+        if n == 0:
+            return {"offered": 0, "enqueued": 0}
+        hashes = np.frombuffer(
+            b"".join(rows["url_hash"].to_pylist()), dtype=np.uint8
+        ).reshape(-1, 20)
+        robots_ok = np.ones(n, dtype=bool)
+        hosts = rows["host"].to_pylist()
+        urls = rows["url"].to_pylist()
+        for j in range(n):
+            if not self._robots_allowed(hosts[j], urls[j]):
+                robots_ok[j] = False
+        self.counters["robots_dropped"] += int((~robots_ok).sum())
+        # seen-check only robots-allowed urls (a disallowed url stays
+        # unseen: a later robots change could admit it)
+        idx = np.flatnonzero(robots_ok)
+        already = np.ones(n, dtype=bool)
+        if len(idx):
+            already[idx] = self.seen.check_and_add(hashes[idx])
+        self.counters["dup_dropped"] += int(already[idx].sum()) if len(idx) else 0
+        enq = 0
+        prios = rows["priority"].to_pylist()
+        for j in idx:
+            if already[j]:
+                continue
+            row = {f: rows[f][j].as_py() for f in URL_FIELDS}
+            heapq.heappush(self.heaps[hosts[j]], (prios[j], row["url"], row))
+            enq += 1
+        self.counters["enqueued"] += enq
+        return {"offered": n, "enqueued": enq}
+
+    # --------------------------------------------------------------- pop
+    def pop_ready(self, max_n: int) -> pa.Table | None:
+        """Pop up to max_n URLs in politeness order, assigning virtual
+        fetch timestamps. Deterministic: host with smallest
+        (next_vts, host) first; within host, ascending priority."""
+        out_rows = []
+        while len(out_rows) < max_n:
+            live = [(self.host_next_vts[h], h) for h, hp in self.heaps.items() if hp]
+            if not live:
+                break
+            _, host = min(live)
+            prio, _, row = heapq.heappop(self.heaps[host])
+            vts = self.host_next_vts[host]
+            self.host_next_vts[host] = vts + self.gap_us
+            self.fetch_log.append((vts, prio, row["url"]))
+            row = dict(row)
+            row["next_fetch_vts"] = vts
+            out_rows.append(row)
+        self.counters["popped"] += len(out_rows)
+        if not out_rows:
+            return None
+        cols = {f: [r[f] for r in out_rows] for f in URL_FIELDS}
+        cols["next_fetch_vts"] = [r["next_fetch_vts"] for r in out_rows]
+        t = pa.table(
+            {
+                "url": pa.array(cols["url"], pa.string()),
+                "host": pa.array(cols["host"], pa.string()),
+                "url_hash": pa.array(cols["url_hash"], pa.binary(20)),
+                "kind": pa.array(cols["kind"], pa.string()),
+                "fide_id": pa.array(cols["fide_id"], pa.string()),
+                "period": pa.array(cols["period"], pa.string()),
+                "player_name": pa.array(cols["player_name"], pa.string()),
+                "priority": pa.array(cols["priority"], pa.int64()),
+                "next_fetch_vts": pa.array(cols["next_fetch_vts"], pa.int64()),
+            }
+        )
+        return t
+
+    # ------------------------------------------------------------- status
+    def pending(self) -> int:
+        return sum(len(h) for h in self.heaps.values())
+
+    def stats(self) -> dict:
+        return dict(self.counters, pending=self.pending(), shard=self.shard_id,
+                    seen=self.seen.n)
+
+    def get_fetch_log(self) -> list[tuple[int, int, str]]:
+        return list(self.fetch_log)
+
+    def seen_hashes(self) -> list[bytes]:
+        return self.seen.all_hashes()
+
+    # --------------------------------------------------------- checkpoint
+    def snapshot(self) -> dict:
+        return {
+            "shard_id": self.shard_id,
+            "gap_us": self.gap_us,
+            "pending": {h: [(p, u, r) for (p, u, r) in hp]
+                        for h, hp in self.heaps.items() if hp},
+            "host_next_vts": dict(self.host_next_vts),
+            "robots": dict(self.robots),
+            "seen": self.seen.state(),
+            "fetch_log": list(self.fetch_log),
+            "counters": dict(self.counters),
+        }
+
+    def restore(self, snap: dict) -> None:
+        self.gap_us = snap["gap_us"]
+        self.heaps = defaultdict(list)
+        for h, entries in snap["pending"].items():
+            self.heaps[h] = [tuple(e) for e in entries]
+            heapq.heapify(self.heaps[h])
+        self.host_next_vts = defaultdict(int, snap["host_next_vts"])
+        self.robots = dict(snap["robots"])
+        self.seen = SeenSet.from_state(snap["seen"])
+        self.fetch_log = [tuple(e) for e in snap["fetch_log"]]
+        self.counters = defaultdict(int, snap["counters"])

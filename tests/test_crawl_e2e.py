@@ -1,0 +1,152 @@
+"""End-to-end crawl vs the sequential reference golden (north_rule gates):
+
+- exact crawl ordering (priority-merged fetch log == refsem order; per-host
+  virtual timestamps monotone with the politeness gap)
+- exact final URL-seen set (sharded cuckoo+exact filters == refsem set)
+- game_history store parity after normalize+dedup
+- politeness budget respected per host
+- robots.txt exclusion (engine-added behavior)
+- checkpoint/resume equivalence
+- incremental watermark crawl (gap months only)
+"""
+
+import shutil
+
+import pandas as pd
+import pytest
+
+from fide_crawler_ray import refsem, synth
+from fide_crawler_ray.pipelines import crawl as C
+from fide_crawler_ray.stages import urls as U
+
+CFG = synth.SiteConfig(seed=42, n_players=6, n_queries=2, n_months=6)
+GAP = 1_000_000
+
+
+@pytest.fixture(scope="module")
+def crawl_and_golden(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("crawl"))
+    res = C.run_crawl(CFG, out, n_shards=2, fetch_concurrency=2,
+                      politeness_gap_us=GAP)
+    golden = refsem.crawl(CFG)
+    yield res, golden
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_crawl_ordering_exact(crawl_and_golden):
+    res, (ref_order, _, _, _) = crawl_and_golden
+    log = res.fetch_log()
+    got_urls = [u for (_, _, u) in log]
+    ref_canon = [U.canonicalize(u) for u in ref_order]
+    assert got_urls == ref_canon
+
+
+def test_per_host_politeness_and_priority_monotone(crawl_and_golden):
+    res, _ = crawl_and_golden
+    by_host: dict[str, list] = {}
+    for shard_log in [res.fetch_log()]:
+        for vts, prio, url in shard_log:
+            host = url.split("//", 1)[1].split("/", 1)[0]
+            by_host.setdefault(host, []).append((vts, prio))
+    assert len(by_host) >= 2
+    for host, entries in by_host.items():
+        entries.sort()
+        vts_list = [v for v, _ in entries]
+        prios = [p for _, p in entries]
+        assert all(b - a >= GAP for a, b in zip(vts_list, vts_list[1:]))
+        assert prios == sorted(prios)  # per-host fetch order == crawl priority
+
+
+def test_url_seen_set_exact(crawl_and_golden):
+    res, (ref_order, _, _, _) = crawl_and_golden
+    expect = {U.sha1_url(U.canonicalize(u)) for u in ref_order}
+    got = res.seen_hashes()
+    # engine's seen set additionally contains offered-but-not-fetched URLs?
+    # No: everything offered gets fetched at exhaustion → sets must be equal.
+    assert got == expect
+
+
+def test_players_match_reference(crawl_and_golden):
+    res, (_, ref_players, _, _) = crawl_and_golden
+    got = res.players().to_pandas().sort_values("fide_id").reset_index(drop=True)
+    exp = pd.DataFrame(ref_players).sort_values("fide_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[sorted(got.columns)], exp[sorted(exp.columns)])
+
+
+def test_game_history_matches_reference(crawl_and_golden):
+    res, (_, _, _, ref_norm) = crawl_and_golden
+    got = res.game_history().drop_columns(["lineage"]).to_pandas()
+    exp = pd.DataFrame(ref_norm)
+    sort_cols = ["fide_id", "date", "tournament_name", "opponent_name", "result", "chg"]
+    got = got.sort_values(sort_cols).reset_index(drop=True)[sorted(exp.columns)]
+    exp = exp.sort_values(sort_cols).reset_index(drop=True)[sorted(exp.columns)]
+    for c in ("result", "chg", "k_chg"):
+        got[c] = got[c].astype("float64").round(4)
+        exp[c] = exp[c].astype("float64").round(4)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_duplicate_seed_urls_dropped(tmp_path):
+    seeds = synth.seed_queries(CFG) + [synth.seed_queries(CFG)[0]]
+    out = str(tmp_path / "dupseed")
+    res = C.run_crawl(CFG, out, seeds=seeds, n_shards=2)
+    ref_order, _, _, _ = refsem.crawl(CFG, seeds=seeds)
+    assert [u for (_, _, u) in res.fetch_log()] == [U.canonicalize(u) for u in ref_order]
+    stats = res.stats()
+    assert sum(s.get("dup_dropped", 0) for s in stats) > 0
+
+
+def test_robots_exclusion(tmp_path):
+    cfg = synth.SiteConfig(
+        seed=42, n_players=6, n_queries=2, n_months=4,
+        robots_disallow=(("ratings.fide.com", "/profile/100001"),),
+    )
+    out = str(tmp_path / "robots")
+    res = C.run_crawl(cfg, out, n_shards=2)
+    fetched = {u for (_, _, u) in res.fetch_log()}
+    assert not any("/profile/100001" in u for u in fetched)
+    # calc pages for that player are unaffected (different path)
+    assert any("id_number=100001" in u for u in fetched)
+    assert sum(s.get("robots_dropped", 0) for s in res.stats()) > 0
+
+
+def test_checkpoint_resume_equivalence(tmp_path):
+    out_full = str(tmp_path / "full")
+    full = C.run_crawl(CFG, out_full, n_shards=2)
+    full_games = full.game_history().drop_columns(["lineage"]).to_pandas()
+
+    out_part = str(tmp_path / "part")
+    C.run_crawl(CFG, out_part, n_shards=2, max_epochs=1)  # killed after epoch 1
+    resumed = C.run_crawl(CFG, out_part, n_shards=2, resume=True)
+    res_games = resumed.game_history().drop_columns(["lineage"]).to_pandas()
+
+    sort_cols = ["fide_id", "date", "tournament_name", "opponent_name", "result", "chg"]
+    a = full_games.sort_values(sort_cols).reset_index(drop=True)
+    b = res_games.sort_values(sort_cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+    # resumed run must also have the exact seen set
+    assert resumed.seen_hashes() == full.seen_hashes()
+
+
+def test_incremental_watermark_crawl(tmp_path):
+    months = synth.months_of(CFG)
+    out1 = str(tmp_path / "w1")
+    first = C.run_crawl(CFG, out1, n_shards=2,
+                        start_month=months[1], end_month=months[3])
+    store1 = first.game_history()
+
+    out2 = str(tmp_path / "w2")
+    second = C.run_crawl(CFG, out2, n_shards=2, incremental_store=store1)
+    fetched2 = {u for (_, _, u) in second.fetch_log()}
+    # months strictly inside every player's stored window are not refetched
+    wm = C.watermark_windows(C.store_watermarks(store1))
+    assert wm, "watermarks should exist after the first crawl"
+    skipped = 0
+    for pid, (lo, hi) in wm.items():
+        for m in months:
+            if lo <= m <= hi:
+                assert synth.calc_url(pid, m) not in {
+                    u for u in fetched2 if f"id_number={pid}" in u
+                }
+                skipped += 1
+    assert skipped > 0

@@ -1,0 +1,84 @@
+"""Normalize + exact dedup parity: the Ray pipeline (normalize →
+groupby(key_hash) keep-first → dropna) must equal the reference's
+process_game_history + store-wide windowed dedup on the same raw rows."""
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from fide_crawler_ray import refsem, synth
+from fide_crawler_ray.schema import DEDUP_KEY, GAME_RAW
+from fide_crawler_ray.stages import dedup as DD
+from fide_crawler_ray.stages import normalize as NZ
+
+CFG = synth.SiteConfig(seed=42, n_players=6, n_queries=2, n_months=10)
+
+
+def _raw_rows():
+    _, _, games_raw, games_norm = refsem.crawl(CFG)
+    return games_raw, games_norm
+
+
+def _raw_to_table(games_raw):
+    cols = {f.name: [str(g[f.name]) for g in games_raw] for f in GAME_RAW}
+    t = pa.table({k: pa.array(v, pa.string()) for k, v in cols.items()})
+    return t.append_column("lineage", pa.array(range(len(games_raw)), pa.int64()))
+
+
+def _norm_df(rows):
+    df = pd.DataFrame(rows)
+    return (
+        df.sort_values(["date", "tournament_name", "opponent_name", "result",
+                        "player_name", "chg"])
+        .reset_index(drop=True)
+    )
+
+
+def test_normalize_dedup_matches_reference():
+    games_raw, games_norm = _raw_rows()
+    assert len(games_raw) > 200
+    assert len(games_norm) < len(games_raw)  # dups existed and were removed
+
+    ds = rd.from_arrow(_raw_to_table(games_raw)).repartition(8)
+    ds = ds.map_batches(NZ.normalize_games_batch, batch_format="pyarrow")
+    ds = DD.dedup_dataset(ds)
+    ds = ds.map_batches(NZ.drop_null_batch, batch_format="pyarrow")
+    got = ds.drop_columns(["lineage"]).to_pandas()
+    for c in ("player_rating", "opponent_rating", "k"):
+        got[c] = got[c].astype("int64")
+    for c in ("result", "chg", "k_chg"):
+        got[c] = got[c].astype("float64").round(4)
+
+    exp = pd.DataFrame(games_norm)
+    for c in ("result", "chg", "k_chg"):
+        exp[c] = exp[c].astype("float64").round(4)
+
+    got_s = _norm_df(got)[exp.columns.tolist()]
+    exp_s = _norm_df(exp)
+    pd.testing.assert_frame_equal(got_s, exp_s, check_dtype=False)
+
+
+def test_dedup_idempotent():
+    games_raw, _ = _raw_rows()
+    ds = rd.from_arrow(_raw_to_table(games_raw)).repartition(4)
+    ds = ds.map_batches(NZ.normalize_games_batch, batch_format="pyarrow")
+    once = DD.dedup_dataset(ds).materialize()
+    twice = DD.dedup_dataset(once).materialize()
+    assert once.count() == twice.count()
+    a = once.to_pandas().sort_values("lineage").reset_index(drop=True)
+    b = twice.to_pandas().sort_values("lineage").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+
+def test_dedup_keeps_first_by_lineage():
+    t = pa.table({
+        "date": ["2022-01-31"] * 3,
+        "tournament_name": ["T"] * 3,
+        "player_name": ["P"] * 3,
+        "opponent_name": ["O"] * 3,
+        "result": [1.0, 1.0, 0.5],
+        "marker": ["first", "second", "other"],
+        "lineage": pa.array([5, 9, 7], pa.int64()),
+    })
+    out = DD.dedup_dataset(rd.from_arrow(t), key_cols=DEDUP_KEY).to_pandas()
+    assert sorted(out["marker"]) == ["first", "other"]

@@ -1,0 +1,93 @@
+"""Cuckoo/Bloom/SeenSet invariants: no false negatives, exactness of the
+composite seen-set (incl. spill segments), serialization round-trip."""
+
+import hashlib
+
+import numpy as np
+
+from fide_crawler_ray.state.cuckoo import (
+    BloomFilter,
+    CuckooFilter,
+    SeenSet,
+    sha1_bytes_to_array,
+)
+
+
+def _hashes(n, salt=""):
+    return sha1_bytes_to_array(
+        [hashlib.sha1(f"{salt}url-{i}".encode()).digest() for i in range(n)]
+    )
+
+
+def test_cuckoo_no_false_negatives():
+    f = CuckooFilter(capacity=4096)
+    h = _hashes(3000)
+    f.insert_batch(h)
+    assert f.contains_batch(h).all()
+
+
+def test_cuckoo_low_false_positive_rate():
+    f = CuckooFilter(capacity=4096)
+    f.insert_batch(_hashes(3000))
+    other = _hashes(3000, salt="other")
+    fp_rate = f.contains_batch(other).mean()
+    assert fp_rate < 0.02  # 16-bit fingerprints, b=4 → expected ~0.1%
+
+
+def test_cuckoo_overflow_at_saturation_stays_exact():
+    f = CuckooFilter(capacity=256)
+    h = _hashes(1000)  # 4x capacity → forced overflow
+    f.insert_batch(h)
+    assert f.contains_batch(h).all()
+
+
+def test_cuckoo_state_roundtrip():
+    f = CuckooFilter(capacity=1024)
+    h = _hashes(500)
+    f.insert_batch(h)
+    g = CuckooFilter.from_state(f.state())
+    assert g.contains_batch(h).all()
+
+
+def test_bloom_no_false_negatives():
+    b = BloomFilter(capacity=10000)
+    h64 = np.arange(5000, dtype=np.uint64) * np.uint64(2654435761)
+    b.insert_batch64(h64)
+    assert b.contains_batch64(h64).all()
+    other = (np.arange(5000, 10000, dtype=np.uint64)) * np.uint64(0x9E3779B9)
+    assert b.contains_batch64(other).mean() < 0.05
+
+
+def test_seenset_exact_check_and_add():
+    s = SeenSet(capacity=1024)
+    h = _hashes(800)
+    first = s.check_and_add(h)
+    assert not first.any()
+    again = s.check_and_add(h)
+    assert again.all()
+    fresh = _hashes(800, salt="fresh")
+    assert not s.check_and_add(fresh).any()  # exact: no false positives
+
+
+def test_seenset_within_batch_dedup():
+    s = SeenSet(capacity=256)
+    h = _hashes(10)
+    doubled = np.concatenate([h, h])
+    seen = s.check_and_add(doubled)
+    assert not seen[:10].any()
+    assert seen[10:].all()
+
+
+def test_seenset_spill_segments_stay_exact():
+    s = SeenSet(capacity=4096, max_inmem=300)
+    h1, h2, h3 = _hashes(400, "a"), _hashes(400, "b"), _hashes(400, "c")
+    s.check_and_add(h1)
+    s.check_and_add(h2)  # forces spills
+    assert len(s.segments) >= 1
+    assert s.contains_batch(h1).all()
+    assert s.contains_batch(h2).all()
+    assert not s.contains_batch(h3).any()
+    assert s.check_and_add(h1).all()  # still recognized as seen post-spill
+    st = s.state()
+    s2 = SeenSet.from_state(st)
+    assert s2.contains_batch(h1).all() and s2.contains_batch(h2).all()

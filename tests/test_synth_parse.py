@@ -1,0 +1,124 @@
+"""Parser parity: the engine's kind-driven span parsers must reproduce the
+reference-semantics positional parsers on every synthetic page, and the
+fetch stage must preserve span sequences exactly (kind, text, media_ref,
+order) — the per-row invariant from BASELINE.json input_hint."""
+
+import pyarrow as pa
+
+from fide_crawler_ray import refsem, synth
+from fide_crawler_ray.stages import parse as P
+from fide_crawler_ray.stages import urls as U
+
+CFG = synth.SiteConfig(seed=42, n_players=6, n_queries=2, n_months=8)
+
+
+def _doc_batch(docs, fide_ids, names, prios):
+    spans_type = pa.list_(
+        pa.struct([("kind", pa.string()), ("text", pa.string()),
+                   ("media_ref", pa.string()), ("offset", pa.int32())])
+    )
+    return pa.table({
+        "doc_id": pa.array([d["doc_id"] for d in docs]),
+        "doc_kind": pa.array([d["kind"] for d in docs]),
+        "spans": pa.array([d["spans"] for d in docs], spans_type),
+        "fide_id": pa.array(fide_ids),
+        "player_name": pa.array(names),
+        "priority": pa.array(prios, pa.int64()),
+    })
+
+
+def test_render_deterministic():
+    u = synth.calc_url("100001", "2022-03-01")
+    assert synth.render_url(CFG, u) == synth.render_url(CFG, u)
+    assert len(synth.months_of(CFG)) == CFG.n_months
+
+
+def test_span_offsets_strictly_increasing():
+    for pid in synth.player_ids(CFG):
+        for m in synth.months_of(CFG):
+            doc = synth.render_calc(CFG, pid, m)
+            offs = [s["offset"] for s in doc["spans"]]
+            assert offs == sorted(offs) == list(range(len(offs)))
+
+
+def test_calc_parser_matches_reference_positional():
+    """Engine kind-driven parse == reference positional parse (M9)."""
+    rows_ref, docs, fids, names, prios = [], [], [], [], []
+    for i, pid in enumerate(synth.player_ids(CFG)):
+        pname = synth.player_name(CFG, pid)
+        for j, m in enumerate(synth.months_of(CFG)):
+            doc = synth.render_calc(CFG, pid, m)
+            docs.append(doc)
+            fids.append(pid)
+            names.append(pname)
+            prios.append(U.pack_priority(0, i + 1, U.KIND_CALC, U.month_index(m)))
+            rows_ref.extend(refsem.parse_calc_positional(doc["spans"], pid, pname))
+    out = P.parse_calc_batch(_doc_batch(docs, fids, names, prios))
+    got = out.drop_columns(["lineage"]).to_pylist()
+    assert len(got) == len(rows_ref) > 100
+    for g, r in zip(got, rows_ref):
+        assert g == r
+
+
+def test_calc_parser_drops_footnote_and_handles_empty():
+    # find a month with no calc table
+    found_empty = False
+    for pid in synth.player_ids(CFG):
+        for m in synth.months_of(CFG):
+            doc = synth.render_calc(CFG, pid, m)
+            if not doc["spans"]:
+                found_empty = True
+                out = P.parse_calc_batch(_doc_batch([doc], [pid], ["x"], [0]))
+                assert out.num_rows == 0
+    assert found_empty, "synth should produce some empty months"
+
+
+def test_search_parser_matches_reference():
+    for q in synth.seed_queries(CFG):
+        doc = synth.render_search(CFG, q)
+        ref = refsem.parse_search(doc["spans"])
+        batch = _doc_batch([doc], [""], [""], [U.pack_priority(3, 0, U.KIND_SEARCH, 0)])
+        got = P.parse_search_batch(batch).to_pylist()
+        assert [g["name"] for g in got] == [r["name"] for r in ref]
+        assert [g["id"] for g in got] == [r["id"] for r in ref]
+        assert all(g["seed_rank"] == 3 for g in got)
+        # decoys were present and rejected
+        assert len(doc["spans"]) > len(got)
+
+
+def test_profile_parser_matches_reference():
+    for pid in synth.player_ids(CFG):
+        doc = synth.render_profile(CFG, pid)
+        ref = refsem.parse_profile(doc["spans"], pid)
+        got = P.parse_profile_batch(_doc_batch([doc], [pid], [""], [0])).to_pylist()
+        assert len(got) == 1
+        assert got[0] == ref
+
+
+def test_fetcher_preserves_span_sequences():
+    """Per-row span-sequence equality between fetched docs and direct
+    renders: kind, text, media_ref, order."""
+    urls, kinds = [], []
+    for pid in synth.player_ids(CFG)[:3]:
+        urls.append(synth.profile_url(pid))
+        urls.append(synth.calc_url(pid, synth.months_of(CFG)[0]))
+    rows = U.make_url_rows(urls, ["x"] * len(urls), [""] * len(urls),
+                           [""] * len(urls), [""] * len(urls), [0] * len(urls))
+    out = P.Fetcher(CFG)(rows)
+    for i in range(out.num_rows):
+        url = out["doc_id"][i].as_py()
+        expect = synth.render_url(CFG, url)["spans"]
+        got = out["spans"][i].as_py()
+        assert got == expect
+
+
+def test_url_canonicalize_and_predicate():
+    assert U.canonicalize("HTTPS://Fide.com:443/search?query=x#frag") == \
+        "https://fide.com/search?query=x"
+    assert U.canonicalize("https://a.com/b/") == "https://a.com/b"
+    arr = pa.array([
+        "/profile/123", "https://fide.com/news/1", "/profile/news/9", "/calendar/2",
+    ])
+    assert list(U.url_keep_mask(arr)) == [True, False, False, False]
+    ids = U.extract_profile_ids(pa.array(["/profile/123", "/x/9"]))
+    assert ids.to_pylist() == ["123", "Sem ID"]
