@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in fide_crawler_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship pipeline — synthetic-site frontier crawl →
+  parsed/normalized/deduped game_history — plus a smoke aggregation over
+  /root/testdata/sf0.001 to prove the testdata path.
+- ``queries()``: one callable per implemented operator (SURVEY.md §2 +
+  the training-data ops); each takes sf_dir.
+- ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible
+  query (column names match exactly). Crawl/sketch/ANN-IVF/lang-ID
+  queries are non-SQL-expressible → rows-only checks.
 """
 
 from __future__ import annotations
@@ -20,25 +20,25 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: run the synthetic crawl + read sf0.001 to validate the
+    testdata read path; returns the crawled game_history Dataset."""
+    import ray.data as rd
+
+    from fide_crawler_ray.pipelines import queries as Q
+
+    # touch the testdata path (schema check) without materializing much
+    rd.read_parquet("/root/testdata/sf0.001/lineitem.parquet",
+                    columns=["l_orderkey"]).count()
+    return Q.q_crawl_game_history("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from fide_crawler_ray.pipelines import queries as Q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return Q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from fide_crawler_ray.pipelines import queries as Q
+
+    return Q.oracle_sql()

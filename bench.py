@@ -1,0 +1,125 @@
+"""Benchmark harness: headline crawl + operator suite over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "crawl": {"pages": P, "pages_per_sec": ..., "frontier_ops_per_sec": ...}}
+
+`python bench.py --scaling` runs the same bench in two fresh processes at
+num_cpus=8 and num_cpus=32 (the sandbox stand-in for N vs 4N node
+clusters) and reports both throughputs plus scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def run_bench() -> dict:
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from fide_crawler_ray import synth
+    from fide_crawler_ray.pipelines import crawl as CR
+    from fide_crawler_ray.pipelines import queries as Q
+
+    # warm the page cache with one untimed read
+    Q.T(sf_dir, "lineitem").count()
+
+    timings: dict[str, float] = {}
+
+    # ---- headline: synthetic crawl (pages/sec + frontier-ops/sec)
+    cfg = synth.SiteConfig(seed=42, n_players=48, n_queries=12, n_months=24)
+    out_dir = f"/tmp/fcray_bench_{num_cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    res = CR.run_crawl(
+        cfg, out_dir, n_shards=4,
+        fetch_concurrency=max(2, num_cpus // 4),
+        batch_size=64, pop_budget=1_000_000,
+    )
+    crawl_sec = time.perf_counter() - t0
+    pages = res.pages()
+    fops = res.frontier_ops()
+    timings["crawl"] = round(crawl_sec, 3)
+
+    # ---- operator suite over the sf dir
+    suite = [
+        "a5_grouped_multi_agg", "a10_rollup", "a1_first_last",
+        "d1_exact_dedup", "o2_topk", "j1_broadcast_join",
+        "text_token_stats", "text_quality", "dedup_exact_text",
+        "ann_bruteforce", "events_sessionize", "dedup_minhash",
+    ]
+    qs = Q.queries()
+    for name in suite:
+        t0 = time.perf_counter()
+        r = qs[name](sf_dir)
+        # force execution without driver materialization of big results
+        if hasattr(r, "count"):
+            r.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "crawl+operator suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "crawl": {
+            "pages": pages,
+            "pages_per_sec": round(pages / crawl_sec, 1),
+            "frontier_ops": fops,
+            "frontier_ops_per_sec": round(fops / crawl_sec, 1),
+        },
+    }
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> None:
+    import subprocess
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(json.dumps({
+        "sec_8": t_lo, "sec_32": t_hi,
+        "throughput_8": round(1.0 / t_lo, 6), "throughput_32": round(1.0 / t_hi, 6),
+        "pages_per_sec_8": r_lo["crawl"]["pages_per_sec"],
+        "pages_per_sec_32": r_hi["crawl"]["pages_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "queries_8": r_lo["queries"], "queries_32": r_hi["queries"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,171 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``BruteForceTopK``: the exact baseline — the query matrix is broadcast
+  once (``ray.put`` on the driver, ``ray.get`` once per actor in
+  ``__init__``), each batch does one numpy matmul against it and emits
+  its local top-k per query; a final small groupby keeps the global
+  top-k. Nothing corpus-sized ever leaves the workers.
+- ``ivf_assign`` / ``ivf_search``: the scale path — IVF-style bucketing:
+  centroids are a deterministic sample of the corpus; vectors are
+  assigned to their nearest centroid (one matmul per batch); a query
+  probes only the ``nprobe`` nearest buckets, turning top-k into a
+  filtered brute-force over a small fraction of the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _to_matrix(col) -> np.ndarray:
+    """Arrow list<float> column → (n, d) float32 matrix, zero-copy-ish."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BruteForceTopK:
+    """map_batches stage: per-batch local top-k cosine scores per query."""
+
+    def __init__(self, queries_ref, k: int):
+        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
+        self.q = _normalize(np.asarray(q, dtype=np.float32))  # (nq, d)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        # score in float64 so ranking ties out identically with the
+        # double-precision oracle; rounding happens only at final output
+        vecs = _normalize(_to_matrix(batch["embedding"])).astype(np.float64)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        sims = vecs @ self.q.T.astype(np.float64)  # (n, nq)
+        n, nq = sims.shape
+        k = min(self.k, n)
+        out_q, out_id, out_s = [], [], []
+        for j in range(nq):
+            col = sims[:, j]
+            idx = np.argpartition(-col, k - 1)[:k] if k < n else np.arange(n)
+            for i in idx:
+                out_q.append(j)
+                out_id.append(int(ids[i]))
+                out_s.append(float(col[i]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int32()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def topk_reduce(k: int):
+    """Final per-query merge of local top-ks (groupby map_groups body)."""
+
+    def _f(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        g["score"] = g["score"].round(4)  # round only after ranking
+        return g
+
+    return _f
+
+
+def brute_force_topk(embeddings_ds, queries: np.ndarray, k: int = 10):
+    """Exact cosine top-k: Dataset of (vec_id, embedding) → Dataset of
+    (query_id, vec_id, score, rank)."""
+    qref = ray.put(np.asarray(queries, dtype=np.float32))
+    partials = embeddings_ds.map_batches(
+        BruteForceTopK, fn_constructor_args=(qref, k),
+        batch_format="pyarrow", batch_size=4096, concurrency=4, num_cpus=0.5,
+    )
+    return partials.groupby("query_id").map_groups(topk_reduce(k), batch_format="pandas")
+
+
+# ----------------------------------------------------------------- IVF
+
+def sample_centroids(embeddings_ds, n_centroids: int, seed: int = 42) -> np.ndarray:
+    """Deterministic centroid sample: the n_centroids corpus vectors with
+    the smallest vec_id hash (stable across runs and cluster sizes)."""
+    import zlib
+
+    rows = embeddings_ds.map_batches(
+        lambda b: pa.table({
+            "vec_id": b["vec_id"],
+            "h": pa.array([zlib.crc32(f"{seed}:{v}".encode()) for v in b["vec_id"].to_pylist()],
+                          pa.int64()),
+            "embedding": b["embedding"],
+        }),
+        batch_format="pyarrow",
+    ).sort("h").limit(n_centroids).take_all()
+    return _normalize(np.stack([np.asarray(r["embedding"], dtype=np.float32) for r in rows]))
+
+
+class IvfAssign:
+    """Adds an ivf_bucket column: argmax cosine against the centroids."""
+
+    def __init__(self, centroids_ref):
+        c = ray.get(centroids_ref) if not isinstance(centroids_ref, np.ndarray) else centroids_ref
+        self.c = _normalize(np.asarray(c, dtype=np.float32))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize(_to_matrix(batch["embedding"]))
+        bucket = (vecs @ self.c.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("ivf_bucket", pa.array(bucket, pa.int32()))
+
+
+def ivf_search(embeddings_ds, centroids: np.ndarray, queries: np.ndarray,
+               k: int = 10, nprobe: int = 4):
+    """IVF top-k: probe the nprobe nearest buckets per query, then exact
+    cosine within the probed subset."""
+    cref = ray.put(np.asarray(centroids, dtype=np.float32))
+    assigned = embeddings_ds.map_batches(
+        IvfAssign, fn_constructor_args=(cref,),
+        batch_format="pyarrow", batch_size=4096, concurrency=4, num_cpus=0.5,
+    )
+    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    cn = _normalize(np.asarray(centroids, dtype=np.float32))
+    probe = np.argsort(-(qn @ cn.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    wanted = set(int(b) for b in probe.reshape(-1))
+    filtered = assigned.map_batches(
+        lambda b: b.filter(
+            pa.array(np.isin(b["ivf_bucket"].to_numpy(zero_copy_only=False), list(wanted)))
+        ),
+        batch_format="pyarrow",
+    )
+    # per-query bucket masks are enforced in the scoring stage: a vector
+    # only scores against the queries probing its bucket
+    qref = ray.put(qn)
+    pref = ray.put(probe)
+
+    class _ScopedTopK(BruteForceTopK):
+        def __init__(self):
+            super().__init__(qref, k)
+            self.probe = ray.get(pref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = super().__call__(batch.drop_columns(["ivf_bucket"]))
+            # keep (query, vec) pairs where vec's bucket ∈ query's probes
+            buckets = dict(zip(batch["vec_id"].to_pylist(),
+                               batch["ivf_bucket"].to_pylist()))
+            keep = [
+                buckets[v] in set(int(x) for x in self.probe[q])
+                for q, v in zip(out["query_id"].to_pylist(), out["vec_id"].to_pylist())
+            ]
+            return out.filter(pa.array(keep))
+
+    partials = filtered.map_batches(
+        _ScopedTopK, batch_format="pyarrow", batch_size=4096, concurrency=4, num_cpus=0.5,
+    )
+    return partials.groupby("query_id").map_groups(topk_reduce(k), batch_format="pandas")

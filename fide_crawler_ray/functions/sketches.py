@@ -1,0 +1,155 @@
+"""Mergeable sketches for near-duplicate detection: MinHash (+LSH
+banding), SimHash, and exact n-gram Jaccard verification.
+
+All deterministic (fixed seeds / keyed hashes) so results are stable
+across processes and cluster sizes. Hot paths are numpy-vectorized per
+document; documents are processed in Arrow batches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+
+_WORD = re.compile(r"\w+")
+_MERSENNE = (1 << 61) - 1
+
+
+def tokenize(text: str) -> list[str]:
+    return [w.lower() for w in _WORD.findall(text or "")]
+
+
+def shingles(text: str, k: int = 3) -> list[str]:
+    """Word k-shingles; a doc shorter than k words yields one shingle."""
+    toks = tokenize(text)
+    if len(toks) <= k:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+
+def _hash64(strings: list[str]) -> np.ndarray:
+    """Deterministic 64-bit hashes (blake2b, fixed key)."""
+    out = np.empty(len(strings), dtype=np.uint64)
+    for i, s in enumerate(strings):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
+        )
+    return out
+
+
+class MinHasher:
+    """n_perm universal-hash permutations h_i(x) = (a_i·x + b_i) mod p."""
+
+    def __init__(self, n_perm: int = 128, seed: int = 1234):
+        rng = np.random.default_rng(seed)
+        self.n_perm = n_perm
+        self.a = rng.integers(1, _MERSENNE, size=n_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=n_perm, dtype=np.uint64)
+
+    def signature(self, shingle_hashes: np.ndarray) -> np.ndarray:
+        """(m,) shingle hashes → (n_perm,) uint64 signature. Uses uint64
+        wraparound arithmetic (a·x + b mod 2^64) — a fast, fully
+        vectorized hash family with the same exchangeability properties
+        in practice as mod-p universal hashing."""
+        if len(shingle_hashes) == 0:
+            return np.full(self.n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        x = shingle_hashes.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            vals = self.a[:, None] * x[None, :] + self.b[:, None]
+        return vals.min(axis=1)
+
+    def signatures(self, texts: list[str], k: int = 3) -> np.ndarray:
+        return np.stack([self.signature(_hash64(shingles(t, k))) for t in texts])
+
+
+def band_keys(sig: np.ndarray, n_bands: int) -> list[bytes]:
+    """Split a signature into n_bands bands; each band hashes to a bucket
+    key. Candidate pairs share ≥1 (band_id, key)."""
+    r = len(sig) // n_bands
+    keys = []
+    for b in range(n_bands):
+        h = hashlib.blake2b(sig[b * r : (b + 1) * r].tobytes(), digest_size=8)
+        keys.append(bytes([b]) + h.digest())
+    return keys
+
+
+def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    """Exact word-k-shingle Jaccard (candidate verification)."""
+    sa, sb = set(shingles(text_a, k)), set(shingles(text_b, k))
+    if not sa and not sb:
+        return 1.0
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def ngram_jaccard(text_a: str, text_b: str, n: int = 5) -> float:
+    """Character n-gram Jaccard similarity."""
+    a = (text_a or "").lower()
+    b = (text_b or "").lower()
+    sa = {a[i : i + n] for i in range(max(1, len(a) - n + 1))}
+    sb = {b[i : i + n] for i in range(max(1, len(b) - n + 1))}
+    if not sa and not sb:
+        return 1.0
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word tokens weighted by term frequency."""
+    toks = tokenize(text)
+    if not toks:
+        return 0
+    uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
+    hs = _hash64(list(uniq))
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+    acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+    out = np.uint64(0)
+    for i in range(64):
+        if acc[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return int(out)
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((int(a) ^ int(b)) & ((1 << 64) - 1)).count("1")
+
+
+def simhash_band_keys(h: int, n_bands: int = 4) -> list[bytes]:
+    """Split the 64-bit simhash into n_bands equal bit-bands → bucket keys
+    (two docs within hamming distance < n_bands share ≥1 band exactly)."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    return [
+        bytes([b]) + ((int(h) >> (b * width)) & mask).to_bytes(8, "big")
+        for b in range(n_bands)
+    ]
+
+
+class UnionFind:
+    """Driver-side union-find for clustering the (sparse) verified
+    candidate-pair output. Scale note: pairs are the tiny tail of LSH —
+    corpus-size state never lands on the driver; only edges do."""
+
+    def __init__(self):
+        self.parent: dict = {}
+
+    def find(self, x):
+        p = self.parent.setdefault(x, x)
+        if p != x:
+            self.parent[x] = p = self.find(p)
+        return p
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            # deterministic: smaller id wins as root
+            if rb < ra:
+                ra, rb = rb, ra
+            self.parent[rb] = ra
+
+    def groups(self) -> dict:
+        return {x: self.find(x) for x in list(self.parent)}

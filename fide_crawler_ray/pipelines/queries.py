@@ -1,0 +1,749 @@
+"""Driver-facing queries over /root/testdata plus their DuckDB oracles.
+
+Every operator in SURVEY.md §2 that is SQL-expressible has BOTH a Ray
+Data implementation here and an equivalent ANSI-SQL string in ORACLES —
+column names match exactly (the driver hashes values after sorting
+columns by name). Non-SQL ops (crawl, sketches, language-ID, IVF) have
+queries only → rows-only checks.
+
+Float policy: aggregate outputs of double columns are rounded (4-6 dp)
+on BOTH sides so distributed summation order can't flip the value hash.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from .. import synth
+from ..functions import ann as ANN
+from ..functions import textstats as TS
+from ..stages import dedup as DD
+from . import analytics as AN
+from . import crawl as CR
+from . import dedup_text as DT
+
+_STOP_SQL = "('the','and','of','to','a','in','is','that','it','for')"
+
+
+def T(sf_dir: str, name: str, columns=None):
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+# ===================================================== TPC-H-ish analytics
+
+def q_a5_grouped_multi_agg(sf_dir):
+    """A5: grouped multi-aggregate (the reference's tournament summary
+    shape, ui/streamlit_ui.py:164-167) over lineitem."""
+    ds = T(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity",
+                                "l_extendedprice"])
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Mean("l_extendedprice", alias_name="avg_price"),
+        Count(alias_name="n"),
+    )
+    return out.map_batches(
+        lambda b: b.set_column(b.schema.get_field_index("avg_price"), "avg_price",
+                               pc.round(b["avg_price"], ndigits=4))
+                  .set_column(b.schema.get_field_index("sum_qty"), "sum_qty",
+                              pc.round(b["sum_qty"], ndigits=4)),
+        batch_format="pyarrow",
+    )
+
+
+def q_a1_first_last(sf_dir):
+    """A1: per-user first/last value by time + delta (the reference's
+    initial/final rating, ui/streamlit_ui.py:136-138)."""
+    ds = T(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def _fl(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        return pd.DataFrame([{
+            "user_id": g["user_id"].iloc[0],
+            "first_value": round(float(g["value"].iloc[0]), 6),
+            "last_value": round(float(g["value"].iloc[-1]), 6),
+            "value_delta": round(float(g["value"].iloc[-1] - g["value"].iloc[0]), 6),
+        }])
+
+    return ds.groupby("user_id").map_groups(_fl, batch_format="pandas")
+
+
+def q_a2_global_mean(sf_dir):
+    ds = T(sf_dir, "lineitem", ["l_extendedprice"])
+    v = ds.aggregate(Mean("l_extendedprice", alias_name="avg_price"))["avg_price"]
+    return pd.DataFrame([{"avg_price": round(v, 4)}])
+
+
+def _ts_str(col) -> pa.Array:
+    """Timestamp → 'YYYY-MM-DD HH:MM:SS' (pyarrow's %S emits fractional
+    seconds, so slice to 19 chars to match DuckDB strftime)."""
+    s = pc.strftime(col, format="%Y-%m-%d %H:%M:%S")
+    return pc.utf8_slice_codeunits(s, 0, 19)
+
+
+def q_a3_minmax_dates(sf_dir):
+    ds = T(sf_dir, "orders", ["o_orderdate"]).map_batches(
+        lambda b: pa.table({"d": _ts_str(b["o_orderdate"])}),
+        batch_format="pyarrow",
+    )
+    agg = ds.aggregate(Min("d", alias_name="min_date"), Max("d", alias_name="max_date"))
+    return pd.DataFrame([{"min_date": agg["min_date"], "max_date": agg["max_date"]}])
+
+
+def q_a4_count(sf_dir):
+    return pd.DataFrame([{"n_rows": T(sf_dir, "lineitem", ["l_orderkey"]).count()}])
+
+
+def q_a7_filtered_counts(sf_dir):
+    """A7: count matrix over two categorical axes (result × color shape,
+    ui/streamlit_ui.py:217-229) — one groupby, not 9 mask scans."""
+    ds = T(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+    return ds.groupby(["o_orderstatus", "o_orderpriority"]).aggregate(
+        Count(alias_name="n")
+    )
+
+
+def q_a8_conditional_means(sf_dir):
+    ds = T(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    out = ds.groupby(["o_orderstatus", "o_orderpriority"]).aggregate(
+        Mean("o_totalprice", alias_name="avg_price")
+    )
+    return out.map_batches(
+        lambda b: b.set_column(b.schema.get_field_index("avg_price"), "avg_price",
+                               pc.round(b["avg_price"], ndigits=4)),
+        batch_format="pyarrow",
+    )
+
+
+def q_a9_value_counts_pct(sf_dir):
+    """A9: value-counts normalized to fractions (en-US:516-519)."""
+    ds = T(sf_dir, "orders", ["o_orderstatus"])
+    df = ds.groupby("o_orderstatus").aggregate(Count(alias_name="n")).to_pandas()
+    df["pct"] = (df["n"] / df["n"].sum()).round(6)
+    return df
+
+
+def q_a10_rollup(sf_dir):
+    """A10: per-key rollup (tournament-rollup shape, batch scraper :86-95)."""
+    ds = T(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_extendedprice",
+                                "l_returnflag"])
+
+    def _ind(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "is_return", pc.cast(pc.equal(b["l_returnflag"], "R"), pa.int64())
+        )
+
+    out = ds.map_batches(_ind, batch_format="pyarrow").groupby("l_orderkey").aggregate(
+        Count(alias_name="n_items"),
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_price"),
+        Sum("is_return", alias_name="n_returns"),
+    )
+    return out.map_batches(
+        lambda b: b.set_column(b.schema.get_field_index("sum_qty"), "sum_qty",
+                               pc.round(b["sum_qty"], ndigits=4))
+                  .set_column(b.schema.get_field_index("sum_price"), "sum_price",
+                              pc.round(b["sum_price"], ndigits=4)),
+        batch_format="pyarrow",
+    )
+
+
+def q_a11_watermark(sf_dir):
+    """A11: per-key min/max timestamp (the crawl watermark aggregate,
+    reference data_fetching_processing.py:216-217)."""
+    ds = T(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        lambda b: pa.table({"user_id": b["user_id"], "d": _ts_str(b["ts"])}),
+        batch_format="pyarrow",
+    )
+    return ds.groupby("user_id").aggregate(
+        Min("d", alias_name="min_ts"), Max("d", alias_name="max_ts")
+    )
+
+
+# ======================================================= sorts / top-k
+
+def q_o2_topk(sf_dir):
+    """O2: global top-k (ui/streamlit_ui.py:184-187)."""
+    return (
+        T(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+def q_o3_row_number(sf_dir):
+    """O3: sort desc + display reindex 1.. (ui/streamlit_ui.py:299-301).
+    Top-100 slice so the rank column is well-defined and small."""
+    rows = (
+        T(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+        .sort(["o_orderdate", "o_orderkey"], descending=[True, True])
+        .limit(100)
+        .to_pandas()
+    )
+    rows["o_orderdate"] = rows["o_orderdate"].dt.strftime("%Y-%m-%d %H:%M:%S")
+    rows["rank"] = np.arange(1, len(rows) + 1, dtype=np.int64)
+    return rows
+
+
+def q_o4_unique_sorted(sf_dir):
+    """O4: unique + lexicographic sort (ui/streamlit_ui.py:325-327)."""
+    return (
+        T(sf_dir, "customer", ["c_mktsegment"])
+        .groupby("c_mktsegment").aggregate(Count(alias_name="n"))
+        .drop_columns(["n"]).sort("c_mktsegment")
+    )
+
+
+# ===================================================== scalar map stages
+
+def q_m10_clean_numeric(sf_dir):
+    """M10: strip non-digits + numeric coerce (reference :200-201)."""
+    ds = T(sf_dir, "customer", ["c_custkey", "c_name"])
+    return ds.map_batches(
+        lambda b: pa.table({
+            "c_custkey": b["c_custkey"],
+            "c_num": pc.cast(pc.replace_substring_regex(b["c_name"], r"\D", ""),
+                             pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def q_m3_regex_extract(sf_dir):
+    """M3: regex id extraction (reference :64-65)."""
+    ds = T(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    return ds.map_batches(
+        lambda b: pa.table({
+            "s_suppkey": b["s_suppkey"],
+            "sup_num": pc.struct_field(
+                pc.extract_regex(b["s_name"], r"(?P<id>\d+)"), "id"),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def q_m12_month_trunc(sf_dir):
+    """M12: month truncation + count (reference :212-213)."""
+    ds = T(sf_dir, "events", ["ts"]).map_batches(
+        lambda b: pa.table({"month": pc.strftime(b["ts"], format="%Y-%m")}),
+        batch_format="pyarrow",
+    )
+    return ds.groupby("month").aggregate(Count(alias_name="n"))
+
+
+def q_m13_isin_filter(sf_dir):
+    """M13: isin multi-select filter (ui/streamlit_ui.py:311-319)."""
+    ds = T(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    kept = ds.map_batches(
+        lambda b: b.filter(pc.is_in(b["l_returnflag"],
+                                    value_set=pa.array(["A", "R"]))),
+        batch_format="pyarrow",
+    )
+    return kept.groupby("l_returnflag").aggregate(
+        Count(alias_name="n"),
+        Sum("l_quantity", alias_name="sum_qty"),
+    ).map_batches(
+        lambda b: b.set_column(b.schema.get_field_index("sum_qty"), "sum_qty",
+                               pc.round(b["sum_qty"], ndigits=4)),
+        batch_format="pyarrow",
+    )
+
+
+def q_m14_substring_filter(sf_dir):
+    """M14: case-insensitive substring filter (ui/streamlit_ui.py:322-324)."""
+    ds = T(sf_dir, "part", ["p_partkey", "p_name"])
+    return ds.map_batches(
+        lambda b: b.filter(pc.match_substring(b["p_name"], "widget",
+                                              ignore_case=True)),
+        batch_format="pyarrow",
+    )
+
+
+# ============================================================= joins
+
+def q_j1_broadcast_join(sf_dir):
+    """J1: key join with a broadcast small side (player↔games shape)."""
+    cust = T(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_map = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    class _Join:
+        def __init__(self):
+            self.m = ray.get(seg_map)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            segs = [self.m.get(k) for k in b["o_custkey"].to_pylist()]
+            t = b.append_column("c_mktsegment", pa.array(segs, pa.string()))
+            return t.filter(pc.is_valid(t["c_mktsegment"]))  # inner-join semantics
+
+    ds = T(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        _Join, batch_format="pyarrow", concurrency=2,
+    )
+    out = ds.groupby("c_mktsegment").aggregate(
+        Sum("o_totalprice", alias_name="revenue"),
+        Count(alias_name="n_orders"),
+    )
+    return out.map_batches(
+        lambda b: b.set_column(b.schema.get_field_index("revenue"), "revenue",
+                               pc.round(b["revenue"], ndigits=4)),
+        batch_format="pyarrow",
+    )
+
+
+def q_j4_anti_join(sf_dir):
+    """J4: anti-join via broadcast key set (the frontier's seen-check):
+    orders with no lineitem rows."""
+    have = set(T(sf_dir, "lineitem", ["l_orderkey"]).unique("l_orderkey"))
+    ref = ray.put(have)
+
+    def _anti(b: pa.Table) -> pa.Table:
+        keys = ray.get(ref)  # one object-store read per batch
+        return b.filter(pa.array([k not in keys for k in b["o_orderkey"].to_pylist()]))
+
+    return T(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        _anti, batch_format="pyarrow"
+    )
+
+
+def q_semi_join(sf_dir):
+    """Semi-join via broadcast key set: parts that appear in lineitem."""
+    have = set(T(sf_dir, "lineitem", ["l_partkey"]).unique("l_partkey"))
+    ref = ray.put(have)
+
+    def _semi(b: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        return b.filter(pa.array([k in keys for k in b["p_partkey"].to_pylist()]))
+
+    return T(sf_dir, "part", ["p_partkey"]).map_batches(_semi, batch_format="pyarrow")
+
+
+# ============================================================ dedup
+
+def q_d1_exact_dedup(sf_dir):
+    """D1: windowed exact dedup keep-first (database_management.py:56-71)
+    on a deliberately non-unique key subset of lineitem."""
+    ds = T(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey",
+                                "l_suppkey"])
+    ds = ds.map_batches(
+        lambda b: b.append_column(
+            "lineage",
+            pc.add(pc.multiply(b["l_orderkey"], 100),
+                   pc.cast(b["l_linenumber"], pa.int64())),
+        ),
+        batch_format="pyarrow",
+    )
+    out = DD.dedup_dataset(ds, key_cols=("l_partkey", "l_suppkey"),
+                           order_col="lineage")
+    return out.drop_columns(["lineage"])
+
+
+def q_dedup_exact_text(sf_dir):
+    """Exact text dedup on documents via md5 fingerprint."""
+    return DT.exact_dedup(T(sf_dir, "documents", ["doc_id", "text"]))
+
+
+# ===================================================== text analysis
+
+def q_text_token_stats(sf_dir):
+    return T(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        TS.token_stats_batch, batch_format="pyarrow"
+    )
+
+
+def q_text_quality(sf_dir):
+    return T(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        TS.quality_batch, batch_format="pyarrow"
+    )
+
+
+def q_text_fingerprint(sf_dir):
+    out = T(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        TS.fingerprint_batch, batch_format="pyarrow"
+    )
+    return out.drop_columns(["roll_fp"])  # roll_fp has no SQL equivalent
+
+
+def q_text_langid(sf_dir):
+    """Language-ID heuristic (rows-only: no SQL equivalent)."""
+    return T(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        TS.LangId, batch_format="pyarrow", concurrency=2,
+    )
+
+
+def q_text_rolling_fp(sf_dir):
+    """Order-sensitive rolling-hash fingerprint (rows-only)."""
+    return T(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        TS.fingerprint_batch, batch_format="pyarrow"
+    ).drop_columns(["md5_fp"])
+
+
+# ================================================== near-dup / ANN
+
+def q_dedup_minhash(sf_dir):
+    survivors, _ = DT.minhash_lsh_dedup(
+        T(sf_dir, "documents", ["doc_id", "text"]), threshold=0.7
+    )
+    return survivors.select_columns(["doc_id"])
+
+
+def q_dedup_simhash(sf_dir):
+    survivors, _ = DT.simhash_dedup(
+        T(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3
+    )
+    return survivors.select_columns(["doc_id"])
+
+
+def q_dedup_embedding(sf_dir):
+    survivors, _ = DT.embedding_cosine_dedup(
+        T(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.98
+    )
+    return survivors.select_columns(["vec_id"])
+
+
+def _queries_matrix(sf_dir, n=5):
+    q = (
+        T(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .filter(expr=f"vec_id < {n}")
+        .to_pandas().sort_values("vec_id")
+    )
+    return np.stack([np.asarray(v, dtype=np.float32) for v in q["embedding"]])
+
+
+def q_ann_bruteforce(sf_dir):
+    """Exact cosine top-10 for the first 5 vectors as queries."""
+    emb = T(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ANN.brute_force_topk(emb, _queries_matrix(sf_dir), k=10)
+
+
+def q_ann_ivf(sf_dir):
+    """IVF-bucketed ANN (rows-only; recall vs brute force is tested)."""
+    emb = T(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = ANN.sample_centroids(emb, n_centroids=16)
+    return ANN.ivf_search(emb, cents, _queries_matrix(sf_dir), k=10, nprobe=4)
+
+
+# ========================================================= windows
+
+def q_events_tumbling(sf_dir):
+    """Tumbling 1-hour window per user: count + sum(value)."""
+    ds = T(sf_dir, "events", ["user_id", "ts", "value"]).map_batches(
+        lambda b: pa.table({
+            "user_id": b["user_id"],
+            "window_start": _ts_str(pc.floor_temporal(b["ts"], unit="hour")),
+            "value": b["value"],
+        }),
+        batch_format="pyarrow",
+    )
+    out = ds.groupby(["user_id", "window_start"]).aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="sum_value")
+    )
+    return out.map_batches(
+        lambda b: b.set_column(b.schema.get_field_index("sum_value"), "sum_value",
+                               pc.round(b["sum_value"], ndigits=6)),
+        batch_format="pyarrow",
+    )
+
+
+def q_events_sessionize(sf_dir):
+    """Session windows (30-min inactivity gap) per user → session count.
+    Partition-by-key + in-group ts sort, per the streaming-shaped-workload
+    pattern (no event-time engine semantics needed)."""
+    ds = T(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def _sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        gaps = g["ts"].diff() > pd.Timedelta(minutes=30)
+        return pd.DataFrame([{
+            "user_id": g["user_id"].iloc[0],
+            "n_sessions": int(1 + gaps.sum()),
+        }])
+
+    return ds.groupby("user_id").map_groups(_sessions, batch_format="pandas")
+
+
+# ==================================================== crawl (rows-only)
+
+@functools.lru_cache(maxsize=4)
+def _crawl_store(sf_key: str):
+    cfg = synth.SiteConfig(seed=42, n_players=6, n_queries=2, n_months=12)
+    out = tempfile.mkdtemp(prefix="fcray_q_", dir="/tmp")
+    CR.run_crawl(cfg, out, n_shards=2, fetch_concurrency=2)
+    return out
+
+
+def q_crawl_game_history(sf_dir):
+    """Flagship crawl: synthetic site → frontier crawl → parsed, normalized,
+    deduped game_history (rows-only: the site is not a SQL view)."""
+    out = _crawl_store("fixed")
+    from ..sources import store
+
+    return store.read_all(out, "game_history").drop_columns(["lineage"])
+
+
+def q_crawl_players(sf_dir):
+    out = _crawl_store("fixed")
+    from ..sources import store
+
+    return store.read_all(out, "players")
+
+
+def q_tournament_rollup(sf_dir):
+    """A10+M17 over the crawled store (performance rating has no SQL
+    equivalent — FIDE dp lookup table)."""
+    gh = q_crawl_game_history(sf_dir)
+    df = AN.tournament_rollup(gh)
+    for c in ("points", "rating_sum", "avg_opp_rating", "performance",
+              "points_per_game"):
+        df[c] = df[c].astype("float64").round(4)
+    return df
+
+
+def q_fuzzy_match(sf_dir):
+    """J3: fuzzy external join (Levenshtein argmax enrich) over crawled
+    tournament names vs deterministic candidate links (rows-only)."""
+    from ..functions.fuzzy import FuzzyJoiner
+
+    gh = q_crawl_game_history(sf_dir)
+    names = gh.unique("tournament_name")
+    cands = [f"https://view.livechesscloud.com/#{n.lower().replace(' ', '-')}"
+             for n in sorted(names)[:20]]
+    ds = rd.from_items([{"tournament_name": n} for n in sorted(names)])
+    return ds.map_batches(
+        FuzzyJoiner, fn_constructor_args=(cands,),
+        batch_format="pyarrow", batch_size=256, concurrency=2,
+    )
+
+
+# ============================================================ registry
+
+def queries() -> dict:
+    return {
+        "a5_grouped_multi_agg": q_a5_grouped_multi_agg,
+        "a1_first_last": q_a1_first_last,
+        "a2_global_mean": q_a2_global_mean,
+        "a3_minmax_dates": q_a3_minmax_dates,
+        "a4_count": q_a4_count,
+        "a7_filtered_counts": q_a7_filtered_counts,
+        "a8_conditional_means": q_a8_conditional_means,
+        "a9_value_counts_pct": q_a9_value_counts_pct,
+        "a10_rollup": q_a10_rollup,
+        "a11_watermark": q_a11_watermark,
+        "o2_topk": q_o2_topk,
+        "o3_row_number": q_o3_row_number,
+        "o4_unique_sorted": q_o4_unique_sorted,
+        "m10_clean_numeric": q_m10_clean_numeric,
+        "m3_regex_extract": q_m3_regex_extract,
+        "m12_month_trunc": q_m12_month_trunc,
+        "m13_isin_filter": q_m13_isin_filter,
+        "m14_substring_filter": q_m14_substring_filter,
+        "j1_broadcast_join": q_j1_broadcast_join,
+        "j4_anti_join": q_j4_anti_join,
+        "semi_join": q_semi_join,
+        "d1_exact_dedup": q_d1_exact_dedup,
+        "dedup_exact_text": q_dedup_exact_text,
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "text_fingerprint": q_text_fingerprint,
+        "text_langid": q_text_langid,
+        "text_rolling_fp": q_text_rolling_fp,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_ivf": q_ann_ivf,
+        "events_tumbling": q_events_tumbling,
+        "events_sessionize": q_events_sessionize,
+        "crawl_game_history": q_crawl_game_history,
+        "crawl_players": q_crawl_players,
+        "tournament_rollup": q_tournament_rollup,
+        "fuzzy_match": q_fuzzy_match,
+    }
+
+
+ORACLES: dict[str, str] = {
+    "a5_grouped_multi_agg": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "a1_first_last": """
+        SELECT DISTINCT user_id,
+               round(first_value(value) OVER w, 6) AS first_value,
+               round(last_value(value) OVER w, 6) AS last_value,
+               round(last_value(value) OVER w - first_value(value) OVER w, 6)
+                   AS value_delta
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    "a2_global_mean": "SELECT round(avg(l_extendedprice), 4) AS avg_price FROM lineitem",
+    "a3_minmax_dates": """
+        SELECT strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_date,
+               strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_date
+        FROM orders
+    """,
+    "a4_count": "SELECT count(*) AS n_rows FROM lineitem",
+    "a7_filtered_counts": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders GROUP BY 1, 2
+    """,
+    "a8_conditional_means": """
+        SELECT o_orderstatus, o_orderpriority,
+               round(avg(o_totalprice), 4) AS avg_price
+        FROM orders GROUP BY 1, 2
+    """,
+    "a9_value_counts_pct": """
+        SELECT o_orderstatus, count(*) AS n,
+               round(count(*)::DOUBLE / sum(count(*)) OVER (), 6) AS pct
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "a10_rollup": """
+        SELECT l_orderkey, count(*) AS n_items,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice), 4) AS sum_price,
+               sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returns
+        FROM lineitem GROUP BY l_orderkey
+    """,
+    "a11_watermark": """
+        SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+        FROM events GROUP BY user_id
+    """,
+    "o2_topk": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "o3_row_number": """
+        SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+               ROW_NUMBER() OVER (ORDER BY o_orderdate DESC, o_orderkey DESC) AS rank
+        FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 100
+    """,
+    "o4_unique_sorted": "SELECT DISTINCT c_mktsegment FROM customer ORDER BY 1",
+    "m10_clean_numeric": """
+        SELECT c_custkey,
+               CAST(regexp_replace(c_name, '[^0-9]', '', 'g') AS BIGINT) AS c_num
+        FROM customer
+    """,
+    "m3_regex_extract": """
+        SELECT s_suppkey, regexp_extract(s_name, '(\\d+)', 1) AS sup_num
+        FROM supplier
+    """,
+    "m12_month_trunc": """
+        SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month, count(*) AS n
+        FROM events GROUP BY 1
+    """,
+    "m13_isin_filter": """
+        SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+        FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1
+    """,
+    "m14_substring_filter": """
+        SELECT p_partkey, p_name FROM part WHERE lower(p_name) LIKE '%widget%'
+    """,
+    "j1_broadcast_join": """
+        SELECT c_mktsegment, round(sum(o_totalprice), 4) AS revenue,
+               count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "j4_anti_join": """
+        SELECT o_orderkey FROM orders
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+    """,
+    "semi_join": """
+        SELECT p_partkey FROM part
+        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+    """,
+    "d1_exact_dedup": """
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY l_partkey, l_suppkey
+                ORDER BY l_orderkey * 100 + l_linenumber) AS rn
+            FROM lineitem) WHERE rn = 1
+    """,
+    "dedup_exact_text": """
+        SELECT doc_id, md5_fp FROM (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS md5_fp,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       ORDER BY doc_id) AS rn
+            FROM documents) WHERE rn = 1
+    """,
+    "text_token_stats": """
+        SELECT doc_id,
+               CASE WHEN len(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_ws_tokens,
+               len(regexp_extract_all(text, '\\w+')) AS n_word_tokens,
+               CASE WHEN len(regexp_extract_all(text, '\\w+')) = 0 THEN 0.0
+                    ELSE round(len(regexp_replace(text, '[^a-zA-Z0-9_]', '', 'g'))::DOUBLE
+                               / len(regexp_extract_all(text, '\\w+')), 6) END
+                   AS avg_word_len
+        FROM documents
+    """,
+    "text_quality": """
+        WITH t AS (
+            SELECT doc_id, text,
+                   len(text) AS n_chars,
+                   len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) AS n_punct,
+                   len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+                   regexp_extract_all(lower(text), '\\w+') AS words
+            FROM documents)
+        SELECT doc_id, n_chars, len(words) AS n_words,
+               round(n_punct::DOUBLE / greatest(n_chars, 1), 6) AS punct_ratio,
+               round(n_digit::DOUBLE / greatest(n_chars, 1), 6) AS digit_ratio,
+               round(len(list_filter(words, x -> x IN {stop}))::DOUBLE
+                     / greatest(len(words), 1), 6) AS stopword_ratio,
+               round(0.4 * round(len(list_filter(words, x -> x IN {stop}))::DOUBLE
+                                 / greatest(len(words), 1), 6)
+                     + 0.3 * (1.0 - round(n_punct::DOUBLE / greatest(n_chars, 1), 6))
+                     + 0.3 * (1.0 - round(n_digit::DOUBLE / greatest(n_chars, 1), 6)),
+                     6) AS quality_score
+        FROM t
+    """.replace("{stop}", _STOP_SQL),
+    "text_fingerprint": """
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS md5_fp
+        FROM documents
+    """,
+    "events_tumbling": """
+        SELECT user_id,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               count(*) AS n, round(sum(value), 6) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "events_sessionize": """
+        SELECT user_id, (1 + sum(brk))::BIGINT AS n_sessions FROM (
+            SELECT user_id,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)
+                             > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+            FROM events) GROUP BY user_id
+    """,
+    "ann_bruteforce": """
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                   WHERE vec_id < 5),
+        s AS (SELECT q.qid AS query_id, e.vec_id,
+                     CAST(list_cosine_similarity(q.qe, e.embedding) AS DOUBLE) AS raw
+              FROM q, embeddings e),
+        r AS (SELECT query_id, vec_id, raw, ROW_NUMBER() OVER (
+                  PARTITION BY query_id ORDER BY raw DESC, vec_id) AS rank
+              FROM s)
+        SELECT CAST(query_id AS INT) AS query_id, vec_id,
+               round(raw, 4) AS score, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 10
+    """,
+}
+
+
+def oracle_sql() -> dict:
+    return dict(ORACLES)

@@ -1,0 +1,136 @@
+"""Multimodal (media) column stages: opaque binary payloads + typed
+metadata, processed by actor-pool ``map_batches`` stages.
+
+The reference's media surface is the base64 data-URI profile photo
+(multi-MB in its live DB) decoded for display
+(reference: ui/streamlit_ui.py:14-25 splits the data-URI, b64-decodes,
+PIL-opens). Here the engine-side plumbing is real — data-URI parsing,
+binary columns, small batch sizes for wide rows, actor-pool signatures —
+while the pixel decode itself is STUBBED: the image libraries (PIL etc.)
+are not available in this environment, so ``ImageDecodeStub`` derives
+deterministic fake (width, height, n_pixels) from the payload bytes. If
+PIL is importable the real decode path is used instead (import-gated in
+``__init__``, once per actor).
+
+Scale notes (SURVEY.md §7 hard part (e)): media payloads stay in a
+separate binary column; batches are kept small (``MEDIA_BATCH_SIZE``) so
+batch × concurrency of multi-MB rows fits worker heaps; span rows carry
+only the media *ref*.
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import hashlib
+
+import pyarrow as pa
+
+MEDIA_BATCH_SIZE = 64  # wide binary rows → small batches
+
+
+def parse_data_uri(ref: str) -> tuple[str, bytes | None]:
+    """'data:image/jpeg;base64,<payload>' → (mime, bytes|None). Non-data
+    or undecodable refs yield (kind-of-ref, None) — error → null, no drop."""
+    if not ref.startswith("data:"):
+        return ("ref", None)
+    head, _, payload = ref.partition(",")
+    mime = head[5:].split(";", 1)[0] or "application/octet-stream"
+    try:
+        return (mime, base64.b64decode(payload, validate=False))
+    except (binascii.Error, ValueError):
+        return (mime, None)
+
+
+def materialize_media_batch(batch: pa.Table, ref_col: str = "profile_photo") -> pa.Table:
+    """M16: media refs → (mime, payload binary, payload_len) columns."""
+    mimes, payloads, lens = [], [], []
+    for ref in batch[ref_col].to_pylist():
+        mime, data = parse_data_uri(ref or "")
+        mimes.append(mime)
+        payloads.append(data)
+        lens.append(len(data) if data is not None else None)
+    return (
+        batch.append_column("media_mime", pa.array(mimes, pa.string()))
+        .append_column("media_payload", pa.array(payloads, pa.binary()))
+        .append_column("media_len", pa.array(lens, pa.int64()))
+    )
+
+
+class ImageDecodeStub:
+    """Actor-pool decode stage. Real decode when PIL exists; otherwise a
+    deterministic stub (dims derived from payload hash) so the Ray-side
+    plumbing — schema, batch size, actor lifecycle — is exercised and
+    tested end-to-end."""
+
+    def __init__(self):
+        try:
+            from PIL import Image  # noqa: F401
+
+            self._pil = Image
+        except ImportError:
+            self._pil = None
+
+    def _decode(self, payload: bytes | None) -> tuple[int | None, int | None]:
+        if payload is None:
+            return (None, None)
+        if self._pil is not None:
+            import io
+
+            try:
+                with self._pil.open(io.BytesIO(payload)) as im:
+                    return im.size
+            except Exception:
+                return (None, None)
+        # STUB: deterministic fake dimensions from the payload digest
+        d = hashlib.sha1(payload).digest()
+        return (64 + d[0] % 192, 64 + d[1] % 192)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        dims = [self._decode(p) for p in batch["media_payload"].to_pylist()]
+        return (
+            batch.append_column("width", pa.array([d[0] for d in dims], pa.int32()))
+            .append_column("height", pa.array([d[1] for d in dims], pa.int32()))
+        )
+
+
+class MediaFeatureStub:
+    """Feature-extraction stage signature (embedding per media payload):
+    deterministic 8-dim hash-derived vector standing in for a model
+    forward pass; model load would live in ``__init__`` (once per actor)."""
+
+    DIM = 8
+
+    def __init__(self):
+        self.dim = self.DIM  # a real model handle would be loaded here
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for p in batch["media_payload"].to_pylist():
+            if p is None:
+                feats.append(None)
+                continue
+            d = hashlib.sha256(p).digest()
+            feats.append([round(b / 255.0, 6) for b in d[: self.dim]])
+        return batch.append_column(
+            "media_embedding", pa.array(feats, pa.list_(pa.float32()))
+        )
+
+
+def media_pipeline(players_ds, concurrency: int = 2):
+    """Compose: materialize → decode (actor pool) → features (actor pool).
+
+    num_cpus=0.5 per actor so the two pools can't reserve every core and
+    starve the upstream read stage (the pipeline would deadlock on a
+    small CPU budget otherwise)."""
+    ds = players_ds.map_batches(
+        materialize_media_batch, batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE
+    )
+    ds = ds.map_batches(
+        ImageDecodeStub, batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE, concurrency=concurrency, num_cpus=0.5,
+    )
+    return ds.map_batches(
+        MediaFeatureStub, batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE, concurrency=concurrency, num_cpus=0.5,
+    )

@@ -1,0 +1,114 @@
+"""Dedup pipelines (exact / minhash / simhash / embedding) and ANN search
+on crafted fixtures with known duplicates and neighbors."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from fide_crawler_ray.functions import ann as ANN
+from fide_crawler_ray.pipelines import dedup_text as DT
+
+BASE = "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill nearby"
+
+
+def _docs():
+    texts = {
+        0: BASE,
+        1: BASE,                                  # exact dup of 0
+        2: BASE.replace("lazy", "sleepy"),        # near dup of 0
+        3: "completely different text about databases queries and distributed engines running on clusters",
+        4: BASE.replace("dog", "wolf").replace("cat", "bird"),  # near dup
+        5: "another unrelated document discussing ray data pipelines and arrow batches at scale",
+    }
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+    }))
+
+
+def test_exact_dedup_keeps_min_doc_id():
+    out = DT.exact_dedup(_docs()).to_pandas()
+    ids = sorted(out["doc_id"])
+    assert 0 in ids and 1 not in ids
+    assert len(ids) == 5
+
+
+def test_minhash_lsh_finds_near_dups():
+    survivors, pairs = DT.minhash_lsh_dedup(_docs(), threshold=0.5)
+    pair_set = {(a, b) for a, b, _ in pairs}
+    assert (0, 1) in pair_set          # exact dup
+    assert (0, 2) in pair_set          # near dup
+    ids = sorted(survivors.to_pandas()["doc_id"])
+    assert 0 in ids and 1 not in ids and 2 not in ids
+    assert 3 in ids and 5 in ids
+
+
+def test_simhash_dedup_drops_exact_and_near():
+    survivors, pairs = DT.simhash_dedup(_docs(), max_hamming=10)
+    pair_set = {(a, b) for a, b, _ in pairs}
+    assert (0, 1) in pair_set
+    ids = sorted(survivors.to_pandas()["doc_id"])
+    assert 0 in ids and 1 not in ids
+    assert 3 in ids and 5 in ids
+
+
+def test_ngram_jaccard_pairs():
+    out = DT.ngram_jaccard_pairs(_docs(), [(0, 1), (0, 3)], threshold=0.3).to_pandas()
+    assert set(zip(out["a"], out["b"])) == {(0, 1)}
+    assert out["jaccard"].iloc[0] == 1.0
+
+
+def _embeddings(n=60, d=16):
+    rng = np.random.default_rng(3)
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    m[1] = m[0]                     # exact dup pair
+    m[2] = m[0] + 0.01 * rng.standard_normal(d).astype(np.float32)  # near
+    return rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in m],
+                              pa.list_(pa.float32())),
+    })), m
+
+
+def test_embedding_cosine_dedup():
+    ds, _ = _embeddings()
+    survivors, pairs = DT.embedding_cosine_dedup(ds, threshold=0.99, dim=16)
+    ids = set(survivors.to_pandas()["vec_id"])
+    assert 0 in ids and 1 not in ids
+    assert any((a, b) == (0, 1) for a, b, _ in pairs)
+
+
+def test_brute_force_topk_matches_numpy():
+    ds, m = _embeddings()
+    q = m[:3]
+    out = ANN.brute_force_topk(ds, q, k=5).to_pandas()
+    md = m.astype(np.float64)
+    md = md / np.linalg.norm(md, axis=1, keepdims=True)
+    qd = md[:3]
+    sims = md @ qd.T
+    for j in range(3):
+        expect = list(np.argsort(-sims[:, j], kind="stable")[:5])
+        got = out[out["query_id"] == j].sort_values("rank")["vec_id"].tolist()
+        assert got == expect
+    assert (out[out["rank"] == 1]["score"] == 1.0).all()
+
+
+def test_ivf_search_recall_vs_brute():
+    ds, m = _embeddings(n=120, d=16)
+    q = m[:4]
+    brute = ANN.brute_force_topk(ds, q, k=5).to_pandas()
+    cents = ANN.sample_centroids(ds, n_centroids=8)
+    ivf = ANN.ivf_search(ds, cents, q, k=5, nprobe=4).to_pandas()
+    # recall@5 ≥ 0.5 with half the buckets probed
+    hits = total = 0
+    for j in range(4):
+        b = set(brute[brute["query_id"] == j]["vec_id"])
+        i = set(ivf[ivf["query_id"] == j]["vec_id"])
+        hits += len(b & i)
+        total += len(b)
+    assert hits / total >= 0.5
+    # the query vector (or an exact dup of it — vec 1 == vec 0) ranks 1st
+    for j in range(4):
+        top = ivf[(ivf["query_id"] == j) & (ivf["rank"] == 1)]
+        assert top["score"].iloc[0] == 1.0
+    assert ivf[(ivf["query_id"] == 3) & (ivf["rank"] == 1)]["vec_id"].iloc[0] == 3
