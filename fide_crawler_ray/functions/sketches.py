@@ -30,13 +30,15 @@ def shingles(text: str, k: int = 3) -> list[str]:
 
 
 def _hash64(strings: list[str]) -> np.ndarray:
-    """Deterministic 64-bit hashes (blake2b, fixed key)."""
-    out = np.empty(len(strings), dtype=np.uint64)
-    for i, s in enumerate(strings):
-        out[i] = int.from_bytes(
-            hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
-        )
-    return out
+    """Deterministic 64-bit hashes, vectorized (pandas siphash with a
+    fixed key — C speed; a per-string hashlib loop was the minhash
+    stage's hot spot)."""
+    if not strings:
+        return np.empty(0, dtype=np.uint64)
+    import pandas as pd
+
+    arr = np.array(strings, dtype=object)
+    return pd.util.hash_array(arr, hash_key="fcray-shingles16").astype(np.uint64)
 
 
 class MinHasher:
@@ -61,7 +63,23 @@ class MinHasher:
         return vals.min(axis=1)
 
     def signatures(self, texts: list[str], k: int = 3) -> np.ndarray:
-        return np.stack([self.signature(_hash64(shingles(t, k))) for t in texts])
+        """Batch signatures: one (n_perm × total_shingles) multiply for
+        the whole batch + segment-min via ``minimum.reduceat`` — far
+        cheaper than a per-document matmul loop."""
+        hashes = [_hash64(shingles(t, k)) for t in texts]
+        sigs = np.full((len(texts), self.n_perm), np.iinfo(np.uint64).max,
+                       dtype=np.uint64)
+        nonempty = [i for i, h in enumerate(hashes) if len(h)]
+        if not nonempty:
+            return sigs
+        X = np.concatenate([hashes[i] for i in nonempty])
+        lens = np.array([len(hashes[i]) for i in nonempty])
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+        with np.errstate(over="ignore"):
+            V = self.a[:, None] * X[None, :] + self.b[:, None]  # (P, total)
+        mins = np.minimum.reduceat(V, starts, axis=1)  # (P, n_nonempty)
+        sigs[np.array(nonempty)] = mins.T
+        return sigs
 
 
 def band_keys(sig: np.ndarray, n_bands: int) -> list[bytes]:

@@ -85,24 +85,21 @@ def store_watermarks(game_history_ds) -> dict[str, tuple[str, str]]:
     return {r["fide_id"]: (r["dmin"], r["dmax"]) for r in agg.take_all()}
 
 
-class _Router:
+def make_router(shards, months, watermarks):
     """Link-routing stage: expand accepted search results into frontier
     URL rows and offer them to the owning shards directly from the task
-    (no driver collection — the scalable enqueue path)."""
+    (no driver collection — the scalable enqueue path). A plain task
+    function: actor handles serialize into task closures, and tasks avoid
+    per-epoch actor-pool spin-up."""
 
-    def __init__(self, shards, months, watermarks):
-        self.shards = shards
-        self.months = months
-        self.watermarks = watermarks
-
-    def __call__(self, results: pa.Table) -> pa.Table:
-        rows = P.expand_frontier_batch(results, self.months, self.watermarks)
-        n_shards = len(self.shards)
+    def _route(results: pa.Table) -> pa.Table:
+        rows = P.expand_frontier_batch(results, months, watermarks)
+        n_shards = len(shards)
         hosts = rows["host"].to_pylist()
         by_shard: dict[int, list[int]] = {}
         for i, h in enumerate(hosts):
             by_shard.setdefault(shard_of(h, n_shards), []).append(i)
-        futs = [self.shards[s].offer.remote(rows.take(idx)) for s, idx in by_shard.items()]
+        futs = [shards[s].offer.remote(rows.take(idx)) for s, idx in by_shard.items()]
         stats = ray.get(futs)
         return pa.table(
             {
@@ -110,6 +107,8 @@ class _Router:
                 "enqueued": pa.array([sum(s["enqueued"] for s in stats)], pa.int64()),
             }
         )
+
+    return _route
 
 
 class CrawlResult:
@@ -228,11 +227,11 @@ def run_crawl(
         if not tables:
             break
         url_table = pa.concat_tables(tables)
-        n_blocks = max(1, math.ceil(url_table.num_rows / batch_size))
+        n_blocks = max(1, min(4 * fetch_concurrency,
+                              math.ceil(url_table.num_rows / batch_size)))
         urls_ds = rd.from_arrow(url_table).repartition(n_blocks)
         docs = urls_ds.map_batches(
-            P.Fetcher(cfg), batch_format="pyarrow", batch_size=batch_size,
-            concurrency=fetch_concurrency, num_cpus=0.5,
+            P.make_fetch_fn(cfg), batch_format="pyarrow", batch_size=batch_size,
         ).materialize()
 
         store.write_epoch(docs, out_dir, "docs", epoch)
@@ -240,8 +239,8 @@ def run_crawl(
         # branch 1: search results → expansion → offers back to shards
         results = docs.map_batches(P.parse_search_batch, batch_format="pyarrow")
         router_out = results.map_batches(
-            _Router(shards, months, watermarks_state),
-            batch_format="pyarrow", batch_size=4096, concurrency=1, num_cpus=0.1,
+            make_router(shards, months, watermarks_state),
+            batch_format="pyarrow", batch_size=4096, num_cpus=0.1,
         )
         router_out.count()  # force offers before the next pop
 

@@ -34,15 +34,15 @@ from ..functions.textstats import fingerprint_batch
 
 def exact_dedup(docs_ds):
     """Exact text dedup: keep the smallest doc_id per normalized-text
-    fingerprint. Returns a Dataset of surviving (doc_id, md5_fp)."""
+    fingerprint. Returns a Dataset of surviving (doc_id, md5_fp).
+
+    Pure vectorized aggregate — the survivor is fully determined by
+    (md5_fp, min doc_id), so no per-group Python and no join is needed."""
+    from ray.data.aggregate import Min
+
     fps = docs_ds.map_batches(fingerprint_batch, batch_format="pyarrow")
-    return (
-        fps.groupby("md5_fp")
-        .map_groups(
-            lambda g: g.sort_values("doc_id").head(1)[["doc_id", "md5_fp"]],
-            batch_format="pandas",
-        )
-    )
+    agg = fps.groupby("md5_fp").aggregate(Min("doc_id", alias_name="doc_id"))
+    return agg.select_columns(["doc_id", "md5_fp"])
 
 
 # ------------------------------------------------------- minhash + LSH
@@ -54,9 +54,10 @@ class _MinHashBands:
         self.k = k_shingle
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        sigs = self.mh.signatures(batch["text"].to_pylist(), self.k)
         ids, keys = [], []
-        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            sig = self.mh.signature(SK._hash64(SK.shingles(text, self.k)))
+        for doc_id, sig in zip(doc_ids, sigs):
             for bk in SK.band_keys(sig, self.n_bands):
                 ids.append(doc_id)
                 keys.append(bk)
@@ -124,6 +125,30 @@ def _survivors(docs_ds, verified_pairs: list[tuple]):
     return docs_ds.map_batches(_filter, batch_format="pyarrow")
 
 
+def _dup_bucket_pairs(bands, key_col: str = "band_key"):
+    """Candidate pairs from band rows, touching Python only for buckets
+    that actually collide: a vectorized count aggregate finds buckets with
+    ≥2 docs (the sparse tail), and only those go through the pairwise
+    map_groups. A bare groupby().map_groups over every bucket costs one
+    Python call per bucket (~n_docs × n_bands groups)."""
+    from ..stages.fastagg import fast_groupby_agg
+
+    bands = bands.materialize()  # sketched once; counted AND paired below
+    counts = fast_groupby_agg(bands, [key_col], {"n": (None, "count")}).to_pandas()
+    dup_keys = set(counts[counts["n"] >= 2][key_col])
+    if not dup_keys:
+        return None
+    dref = ray.put(dup_keys)
+
+    def _only_dups(b: pa.Table) -> pa.Table:
+        keys = ray.get(dref)
+        return b.filter(pa.array([k in keys for k in b[key_col].to_pylist()]))
+
+    return bands.map_batches(_only_dups, batch_format="pyarrow").groupby(
+        key_col
+    ).map_groups(_bucket_pairs, batch_format="pandas")
+
+
 def minhash_lsh_dedup(docs_ds, threshold: float = 0.7, n_perm: int = 128,
                       n_bands: int = 16, k_shingle: int = 3):
     """MinHash+LSH near-dedup. Returns (survivors_ds, verified_pairs)."""
@@ -131,7 +156,9 @@ def minhash_lsh_dedup(docs_ds, threshold: float = 0.7, n_perm: int = 128,
         _MinHashBands, fn_constructor_args=(n_perm, n_bands, k_shingle),
         batch_format="pyarrow", batch_size=1024, concurrency=4, num_cpus=0.5,
     )
-    cand = bands.groupby("band_key").map_groups(_bucket_pairs, batch_format="pandas")
+    cand = _dup_bucket_pairs(bands)
+    if cand is None:
+        return docs_ds, []
     cand_pairs = sorted({(r["a"], r["b"]) for r in cand.take_all()})
     if not cand_pairs:
         return docs_ds, []
@@ -208,7 +235,22 @@ def simhash_dedup(docs_ds, max_hamming: int = 3, n_bands: int = 4):
                     d.append(hd)
         return pd.DataFrame({"a": a, "b": b, "hamming": d})
 
-    pairs = bands.groupby("band_key").map_groups(_pairs, batch_format="pandas")
+    from ..stages.fastagg import fast_groupby_agg
+
+    bands = bands.materialize()  # sketched once; counted AND paired below
+    counts = fast_groupby_agg(bands, ["band_key"], {"n": (None, "count")}).to_pandas()
+    dup_keys = set(counts[counts["n"] >= 2]["band_key"])
+    if not dup_keys:
+        return docs_ds, []
+    dref = ray.put(dup_keys)
+
+    def _only_dups(b: pa.Table) -> pa.Table:
+        keys = ray.get(dref)
+        return b.filter(pa.array([k in keys for k in b["band_key"].to_pylist()]))
+
+    pairs = bands.map_batches(_only_dups, batch_format="pyarrow").groupby(
+        "band_key"
+    ).map_groups(_pairs, batch_format="pandas")
     vp = sorted({(r["a"], r["b"], r["hamming"]) for r in pairs.take_all()})
     return _survivors(docs_ds, vp), vp
 

@@ -28,6 +28,7 @@ from .. import synth
 from ..functions import ann as ANN
 from ..functions import textstats as TS
 from ..stages import dedup as DD
+from ..stages.fastagg import fast_groupby_agg
 from . import analytics as AN
 from . import crawl as CR
 from . import dedup_text as DT
@@ -46,11 +47,11 @@ def q_a5_grouped_multi_agg(sf_dir):
     shape, ui/streamlit_ui.py:164-167) over lineitem."""
     ds = T(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity",
                                 "l_extendedprice"])
-    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Mean("l_extendedprice", alias_name="avg_price"),
-        Count(alias_name="n"),
-    )
+    out = fast_groupby_agg(ds, ["l_returnflag", "l_linestatus"], {
+        "sum_qty": ("l_quantity", "sum"),
+        "avg_price": ("l_extendedprice", "mean"),
+        "n": (None, "count"),
+    })
     return out.map_batches(
         lambda b: b.set_column(b.schema.get_field_index("avg_price"), "avg_price",
                                pc.round(b["avg_price"], ndigits=4))
@@ -107,16 +108,14 @@ def q_a7_filtered_counts(sf_dir):
     """A7: count matrix over two categorical axes (result × color shape,
     ui/streamlit_ui.py:217-229) — one groupby, not 9 mask scans."""
     ds = T(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
-    return ds.groupby(["o_orderstatus", "o_orderpriority"]).aggregate(
-        Count(alias_name="n")
-    )
+    return fast_groupby_agg(ds, ["o_orderstatus", "o_orderpriority"],
+                            {"n": (None, "count")})
 
 
 def q_a8_conditional_means(sf_dir):
     ds = T(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
-    out = ds.groupby(["o_orderstatus", "o_orderpriority"]).aggregate(
-        Mean("o_totalprice", alias_name="avg_price")
-    )
+    out = fast_groupby_agg(ds, ["o_orderstatus", "o_orderpriority"],
+                           {"avg_price": ("o_totalprice", "mean")})
     return out.map_batches(
         lambda b: b.set_column(b.schema.get_field_index("avg_price"), "avg_price",
                                pc.round(b["avg_price"], ndigits=4)),
@@ -127,7 +126,7 @@ def q_a8_conditional_means(sf_dir):
 def q_a9_value_counts_pct(sf_dir):
     """A9: value-counts normalized to fractions (en-US:516-519)."""
     ds = T(sf_dir, "orders", ["o_orderstatus"])
-    df = ds.groupby("o_orderstatus").aggregate(Count(alias_name="n")).to_pandas()
+    df = fast_groupby_agg(ds, ["o_orderstatus"], {"n": (None, "count")}).to_pandas()
     df["pct"] = (df["n"] / df["n"].sum()).round(6)
     return df
 
@@ -142,12 +141,13 @@ def q_a10_rollup(sf_dir):
             "is_return", pc.cast(pc.equal(b["l_returnflag"], "R"), pa.int64())
         )
 
-    out = ds.map_batches(_ind, batch_format="pyarrow").groupby("l_orderkey").aggregate(
-        Count(alias_name="n_items"),
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_price"),
-        Sum("is_return", alias_name="n_returns"),
-    )
+    out = fast_groupby_agg(
+        ds.map_batches(_ind, batch_format="pyarrow"), ["l_orderkey"], {
+            "n_items": (None, "count"),
+            "sum_qty": ("l_quantity", "sum"),
+            "sum_price": ("l_extendedprice", "sum"),
+            "n_returns": ("is_return", "sum"),
+        })
     return out.map_batches(
         lambda b: b.set_column(b.schema.get_field_index("sum_qty"), "sum_qty",
                                pc.round(b["sum_qty"], ndigits=4))
@@ -164,9 +164,9 @@ def q_a11_watermark(sf_dir):
         lambda b: pa.table({"user_id": b["user_id"], "d": _ts_str(b["ts"])}),
         batch_format="pyarrow",
     )
-    return ds.groupby("user_id").aggregate(
-        Min("d", alias_name="min_ts"), Max("d", alias_name="max_ts")
-    )
+    return fast_groupby_agg(ds, ["user_id"], {
+        "min_ts": ("d", "min"), "max_ts": ("d", "max"),
+    })
 
 
 # ======================================================= sorts / top-k
@@ -237,7 +237,7 @@ def q_m12_month_trunc(sf_dir):
         lambda b: pa.table({"month": pc.strftime(b["ts"], format="%Y-%m")}),
         batch_format="pyarrow",
     )
-    return ds.groupby("month").aggregate(Count(alias_name="n"))
+    return fast_groupby_agg(ds, ["month"], {"n": (None, "count")})
 
 
 def q_m13_isin_filter(sf_dir):
@@ -248,10 +248,9 @@ def q_m13_isin_filter(sf_dir):
                                     value_set=pa.array(["A", "R"]))),
         batch_format="pyarrow",
     )
-    return kept.groupby("l_returnflag").aggregate(
-        Count(alias_name="n"),
-        Sum("l_quantity", alias_name="sum_qty"),
-    ).map_batches(
+    return fast_groupby_agg(kept, ["l_returnflag"], {
+        "n": (None, "count"), "sum_qty": ("l_quantity", "sum"),
+    }).map_batches(
         lambda b: b.set_column(b.schema.get_field_index("sum_qty"), "sum_qty",
                                pc.round(b["sum_qty"], ndigits=4)),
         batch_format="pyarrow",
@@ -287,10 +286,9 @@ def q_j1_broadcast_join(sf_dir):
     ds = T(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
         _Join, batch_format="pyarrow", concurrency=2,
     )
-    out = ds.groupby("c_mktsegment").aggregate(
-        Sum("o_totalprice", alias_name="revenue"),
-        Count(alias_name="n_orders"),
-    )
+    out = fast_groupby_agg(ds, ["c_mktsegment"], {
+        "revenue": ("o_totalprice", "sum"), "n_orders": (None, "count"),
+    })
     return out.map_batches(
         lambda b: b.set_column(b.schema.get_field_index("revenue"), "revenue",
                                pc.round(b["revenue"], ndigits=4)),
@@ -442,9 +440,9 @@ def q_events_tumbling(sf_dir):
         }),
         batch_format="pyarrow",
     )
-    out = ds.groupby(["user_id", "window_start"]).aggregate(
-        Count(alias_name="n"), Sum("value", alias_name="sum_value")
-    )
+    out = fast_groupby_agg(ds, ["user_id", "window_start"], {
+        "n": (None, "count"), "sum_value": ("value", "sum"),
+    })
     return out.map_batches(
         lambda b: b.set_column(b.schema.get_field_index("sum_value"), "sum_value",
                                pc.round(b["sum_value"], ndigits=6)),

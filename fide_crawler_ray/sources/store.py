@@ -34,17 +34,27 @@ def epoch_dir(root: str, name: str, epoch: int) -> str:
 
 
 def write_epoch(ds, root: str, name: str, epoch: int) -> int:
-    """Write one epoch partition atomically; returns rows written."""
+    """Write one epoch partition atomically; returns rows written.
+
+    Single pipeline execution: write first, then count from the written
+    parquet footers (a pre-count would execute the pipeline twice)."""
+    import pyarrow.parquet as pq
+
     final = epoch_dir(root, name, epoch)
     tmp = final + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(final, ignore_errors=True)
     os.makedirs(os.path.dirname(final), exist_ok=True)
-    n = ds.count()
+    ds.write_parquet(tmp)
+    n = 0
+    # an empty dataset may write no directory at all
+    for f in (os.listdir(tmp) if os.path.isdir(tmp) else []):
+        if f.endswith(".parquet"):
+            n += pq.ParquetFile(os.path.join(tmp, f)).metadata.num_rows
     if n == 0:
+        shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(final, exist_ok=True)  # empty partition marker
         return 0
-    ds.write_parquet(tmp)
     os.rename(tmp, final)
     return n
 

@@ -43,25 +43,40 @@ class Fetcher:
         self.cfg = cfg
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch["url"].to_pylist()
-        docs = [synth.render_url(self.cfg, u) for u in urls]
-        spans_type = pa.list_(
-            pa.struct(
-                [("kind", pa.string()), ("text", pa.string()),
-                 ("media_ref", pa.string()), ("offset", pa.int32())]
-            )
+        return fetch_batch(self.cfg, batch)
+
+
+def make_fetch_fn(cfg: synth.SiteConfig):
+    """Task-pool variant of the fetch stage: for the synthetic site the
+    per-actor state is just the (tiny) config, so plain tasks avoid the
+    per-epoch actor-pool spin-up cost. A real HTTP deployment would use
+    the ``Fetcher`` class (connection pools live in ``__init__``)."""
+
+    def _fetch(batch: pa.Table) -> pa.Table:
+        return fetch_batch(cfg, batch)
+
+    return _fetch
+
+
+def fetch_batch(cfg: synth.SiteConfig, batch: pa.Table) -> pa.Table:
+    urls = batch["url"].to_pylist()
+    docs = [synth.render_url(cfg, u) for u in urls]
+    spans_type = pa.list_(
+        pa.struct(
+            [("kind", pa.string()), ("text", pa.string()),
+             ("media_ref", pa.string()), ("offset", pa.int32())]
         )
-        out = pa.table(
-            {
-                "doc_id": pa.array([d["doc_id"] for d in docs], pa.string()),
-                "doc_kind": pa.array([d["kind"] for d in docs], pa.string()),
-                "spans": pa.array([d["spans"] for d in docs], spans_type),
-                "fide_id": batch["fide_id"],
-                "player_name": batch["player_name"],
-                "priority": batch["priority"],
-            }
-        )
-        return out
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array([d["doc_id"] for d in docs], pa.string()),
+            "doc_kind": pa.array([d["kind"] for d in docs], pa.string()),
+            "spans": pa.array([d["spans"] for d in docs], spans_type),
+            "fide_id": batch["fide_id"],
+            "player_name": batch["player_name"],
+            "priority": batch["priority"],
+        }
+    )
 
 
 def parse_search_batch(batch: pa.Table) -> pa.Table:
