@@ -159,9 +159,11 @@ def run_crawl(
     start_month: str | None = None,
     end_month: str | None = None,
     incremental_store=None,
+    player_store=None,
     resume: bool = False,
     max_epochs: int | None = None,
     finalize: bool = True,
+    persist_docs: bool = True,
 ) -> CrawlResult:
     """Run the crawl to frontier exhaustion (or ``max_epochs``, for the
     checkpoint/resume tests). See module docstring."""
@@ -196,6 +198,26 @@ def run_crawl(
         if incremental_store is not None:
             watermarks = watermark_windows(store_watermarks(incremental_store))
 
+        # ST2 player-store cache: pre-seed the URL-seen filters with the
+        # profile URLs of players already stored, so they are never
+        # refetched (the legacy monolith's check-then-scrape semantic,
+        # reference old_scripts/fide-player-stats-en-US.py:211-231; the
+        # current app lost it and always refetches, :118-120 — the engine
+        # keeps the stronger cached behavior, SURVEY.md ST2)
+        if player_store is not None:
+            known = player_store.unique("fide_id")
+            if known:
+                rows = U.make_url_rows(
+                    [synth.profile_url(p) for p in known],
+                    ["profile"] * len(known), list(known), [""] * len(known),
+                    [""] * len(known), [0] * len(known),
+                )
+                by_shard0: dict[int, list[int]] = {}
+                for i, h in enumerate(rows["host"].to_pylist()):
+                    by_shard0.setdefault(shard_of(h, n_shards), []).append(i)
+                ray.get([shards[s].mark_seen.remote(rows.take(idx))
+                         for s, idx in by_shard0.items()])
+
         # seed offers: one search URL per seed query, in seed order
         seed_rows = U.make_url_rows(
             [synth.search_url(q) for q in seeds],
@@ -218,7 +240,13 @@ def run_crawl(
         watermarks_state = {k: tuple(v) for k, v in watermarks_state.items()}
 
     epoch = epoch0
-    per_shard_budget = max(1, pop_budget // n_shards)
+    # per-SHARD pop budget: a hot host concentrates in one shard (that is
+    # what makes its politeness state consistent), so dividing the budget
+    # by n_shards would starve the epoch to pop_budget/n_shards pages
+    # whenever one host dominates — exactly the fide.com skew case.
+    per_shard_budget = max(1, pop_budget)
+    base_manifest = store.load_manifest(out_dir) or {}
+    epochs_meta: dict[str, dict] = dict(base_manifest.get("epochs", {}))
     while True:
         if max_epochs is not None and epoch - epoch0 >= max_epochs:
             return CrawlResult(out_dir, shards, epoch)
@@ -234,7 +262,8 @@ def run_crawl(
             P.make_fetch_fn(cfg), batch_format="pyarrow", batch_size=batch_size,
         ).materialize()
 
-        store.write_epoch(docs, out_dir, "docs", epoch)
+        n_docs = (store.write_epoch(docs, out_dir, "docs", epoch)
+                  if persist_docs else docs.count())
 
         # branch 1: search results → expansion → offers back to shards
         results = docs.map_batches(P.parse_search_batch, batch_format="pyarrow")
@@ -246,23 +275,36 @@ def run_crawl(
 
         # branch 2: profiles → player store
         players = docs.map_batches(P.parse_profile_batch, batch_format="pyarrow")
-        store.write_epoch(players, out_dir, "players", epoch)
+        n_players = store.write_epoch(players, out_dir, "players", epoch)
 
         # branch 3: calc docs → raw games store
         games = docs.map_batches(P.parse_calc_batch, batch_format="pyarrow")
-        store.write_epoch(games, out_dir, "games_raw", epoch)
+        n_games = store.write_epoch(games, out_dir, "games_raw", epoch)
 
+        # per-partition lineage: what this epoch consumed and produced
+        epochs_meta[str(epoch)] = {
+            "urls_fetched": int(url_table.num_rows),
+            "priority_min": int(pa.compute.min(url_table["priority"]).as_py()),
+            "priority_max": int(pa.compute.max(url_table["priority"]).as_py()),
+            "docs_rows": n_docs, "players_rows": n_players,
+            "games_raw_rows": n_games,
+        }
         epoch += 1
         store.save_shard_snapshots(out_dir, ray.get([s.snapshot.remote() for s in shards]))
         store.save_manifest(out_dir, {
             "completed_epochs": epoch, "finished": False, "n_shards": n_shards,
             "watermarks": {k: list(v) for k, v in watermarks_state.items()},
+            "epochs": epochs_meta,
         })
 
     if finalize:
         finalize_game_history(out_dir)
     m = store.load_manifest(out_dir) or {}
     m["finished"] = True
+    m["metrics"] = {
+        "shards": ray.get([s.stats.remote() for s in shards]),
+        "epochs": epochs_meta,
+    }
     store.save_manifest(out_dir, m)
     return CrawlResult(out_dir, shards, epoch)
 

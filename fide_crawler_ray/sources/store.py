@@ -60,21 +60,29 @@ def write_epoch(ds, root: str, name: str, epoch: int) -> int:
 
 
 def read_all(root: str, name: str, **kwargs):
-    """Read every completed epoch partition of a table as one Dataset."""
+    """Read every completed epoch partition of a table as one Dataset.
+
+    Expands partitions to explicit file paths: ray.data.read_parquet only
+    directory-expands the FIRST of multiple paths, so passing several
+    epoch directories fails on the second one."""
     base = os.path.join(root, name)
-    parts = []
+    files = []
     if os.path.isdir(base):
         for d in sorted(os.listdir(base)):
             if d.endswith(".tmp"):
                 continue
             full = os.path.join(base, d)
-            if os.path.isdir(full) and any(f.endswith(".parquet") for f in os.listdir(full)):
-                parts.append(full)
-    if not parts:
+            if os.path.isdir(full):
+                files.extend(
+                    os.path.join(full, f)
+                    for f in sorted(os.listdir(full))
+                    if f.endswith(".parquet")
+                )
+    if not files:
         return None
     # partitioning=None: the epoch= path component is layout, not data
     kwargs.setdefault("partitioning", None)
-    return rd.read_parquet(parts, **kwargs)
+    return rd.read_parquet(files, **kwargs)
 
 
 # ------------------------------------------------------------- manifest

@@ -113,6 +113,21 @@ class FrontierShard:
         self.counters["enqueued"] += enq
         return {"offered": n, "enqueued": enq}
 
+    def mark_seen(self, rows: pa.Table) -> int:
+        """Insert URL hashes into the seen set WITHOUT enqueuing — the
+        store-cache pre-seed path (ST2): URLs whose content the store
+        already holds are never fetched again."""
+        n = rows.num_rows
+        if n == 0:
+            return 0
+        hashes = np.frombuffer(
+            b"".join(rows["url_hash"].to_pylist()), dtype=np.uint8
+        ).reshape(-1, 20)
+        already = self.seen.check_and_add(hashes)
+        added = int((~already).sum())
+        self.counters["cache_preseeded"] += added
+        return added
+
     # --------------------------------------------------------------- pop
     def pop_ready(self, max_n: int) -> pa.Table | None:
         """Pop up to max_n URLs in politeness order, assigning virtual

@@ -146,3 +146,22 @@ def test_union_find_deterministic_roots():
     g = uf.groups()
     assert g[5] == g[3] == g[9] == 3
     assert g[1] == g[2] == 1
+
+
+def test_localization_rename():
+    import pandas as pd
+    import ray.data as rd
+
+    from fide_crawler_ray.functions.localization import (
+        localize_columns,
+        localize_dataset,
+    )
+
+    df = pd.DataFrame({"tournament_name": ["T"], "result": [1.0], "other": [2]})
+    en = localize_columns(df, "en-US")
+    assert list(en.columns) == ["Tournament Name", "Result", "other"]
+    pt = localize_columns(df, "pt-BR")
+    assert list(pt.columns) == ["Nome do Torneio", "Resultado", "other"]
+    assert list(localize_columns(df, "xx").columns) == list(df.columns)
+    ds = localize_dataset(rd.from_pandas(df), "pt-BR")
+    assert "Nome do Torneio" in ds.schema().names
