@@ -22,3 +22,30 @@ caller (driver, bench.py, tests/conftest.py) owns the Ray session.
 """
 
 __version__ = "0.1.0"
+
+
+def _stub_fsspec_http() -> None:
+    """Make ``fsspec.implementations.http`` importable even without
+    aiohttp. Ray Data's path resolution imports it on EVERY read/write to
+    probe for HTTP filesystems; since the import fails here (no aiohttp),
+    Python never caches the module, and two driver threads importing it
+    concurrently race into a half-initialized module and a spurious
+    ``ImportError: cannot import name 'HTTPFileSystem'``. A cached stub
+    class (used only in isinstance checks, matching nothing) removes both
+    the race and the per-call import cost."""
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except Exception:
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # pragma: no cover - never instantiated
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
+
+
+_stub_fsspec_http()

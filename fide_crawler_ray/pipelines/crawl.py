@@ -164,6 +164,8 @@ def run_crawl(
     max_epochs: int | None = None,
     finalize: bool = True,
     persist_docs: bool = True,
+    persist_games: bool = True,
+    checkpoint_every: int = 1,
 ) -> CrawlResult:
     """Run the crawl to frontier exhaustion (or ``max_epochs``, for the
     checkpoint/resume tests). See module docstring."""
@@ -255,31 +257,81 @@ def run_crawl(
         if not tables:
             break
         url_table = pa.concat_tables(tables)
-        n_blocks = max(1, min(4 * fetch_concurrency,
-                              math.ceil(url_table.num_rows / batch_size)))
-        urls_ds = rd.from_arrow(url_table).repartition(n_blocks)
-        docs = urls_ds.map_batches(
-            P.make_fetch_fn(cfg), batch_format="pyarrow", batch_size=batch_size,
-        ).materialize()
 
-        n_docs = (store.write_epoch(docs, out_dir, "docs", epoch)
-                  if persist_docs else docs.count())
+        def _kind_ds(kind: str):
+            sub = url_table.filter(pa.compute.equal(url_table["kind"], kind))
+            if sub.num_rows == 0:
+                return None
+            nb = max(1, min(4 * fetch_concurrency,
+                            math.ceil(sub.num_rows / batch_size)))
+            return rd.from_arrow(sub).repartition(nb)
 
-        # branch 1: search results → expansion → offers back to shards
-        results = docs.map_batches(P.parse_search_batch, batch_format="pyarrow")
-        router_out = results.map_batches(
-            make_router(shards, months, watermarks_state),
-            batch_format="pyarrow", batch_size=4096, num_cpus=0.1,
-        )
-        router_out.count()  # force offers before the next pop
+        # URL kind is known BEFORE fetching, so each page type runs as its
+        # own fused fetch→parse pipeline — one streaming pass per kind, no
+        # all-docs materialization barrier. The docs store (when enabled)
+        # is the only consumer that needs raw span documents.
+        n_docs = 0
+        if persist_docs:
+            all_ds = rd.from_arrow(url_table).repartition(
+                max(1, min(4 * fetch_concurrency,
+                           math.ceil(url_table.num_rows / batch_size))))
+            docs = all_ds.map_batches(
+                P.make_fetch_fn(cfg), batch_format="pyarrow", batch_size=batch_size,
+            )
+            n_docs = store.write_epoch(docs, out_dir, "docs", epoch)
 
-        # branch 2: profiles → player store
-        players = docs.map_batches(P.parse_profile_batch, batch_format="pyarrow")
-        n_players = store.write_epoch(players, out_dir, "players", epoch)
+        fetch_fn = P.make_fetch_fn(cfg)
 
-        # branch 3: calc docs → raw games store
-        games = docs.map_batches(P.parse_calc_batch, batch_format="pyarrow")
-        n_games = store.write_epoch(games, out_dir, "games_raw", epoch)
+        # The three per-kind pipelines are independent — drive them from
+        # concurrent driver threads so their fixed per-execution overheads
+        # and compute phases overlap (serially they add ~2s × pipelines ×
+        # epochs of pure dead time). All joined before the next pop.
+        def _run_search() -> int:
+            search_ds = _kind_ds("search")
+            if search_ds is None:
+                return 0
+            # Small router batches: one search page expands to
+            # O(results × months) URL rows, so expansion parallelizes.
+            return search_ds.map_batches(
+                fetch_fn, batch_format="pyarrow", batch_size=batch_size,
+            ).map_batches(
+                P.parse_search_batch, batch_format="pyarrow",
+            ).map_batches(
+                make_router(shards, months, watermarks_state),
+                batch_format="pyarrow", batch_size=16, num_cpus=0.1,
+            ).count()  # forces offers to complete before the next pop
+
+        def _run_profiles() -> int:
+            profile_ds = _kind_ds("profile")
+            if profile_ds is None:
+                return 0
+            players = profile_ds.map_batches(
+                fetch_fn, batch_format="pyarrow", batch_size=batch_size,
+            ).map_batches(P.parse_profile_batch, batch_format="pyarrow")
+            return store.write_epoch(players, out_dir, "players", epoch)
+
+        def _run_calcs() -> int:
+            calc_ds = _kind_ds("calc")
+            if calc_ds is None:
+                return 0
+            games = calc_ds.map_batches(
+                fetch_fn, batch_format="pyarrow", batch_size=batch_size,
+            ).map_batches(P.parse_calc_batch, batch_format="pyarrow")
+            # persist_games=False: throughput benches measure the
+            # fetch+parse+frontier path without the shared single-node
+            # disk (a real cluster's store bandwidth scales with nodes)
+            return (store.write_epoch(games, out_dir, "games_raw", epoch)
+                    if persist_games else games.count())
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_search = pool.submit(_run_search)
+            f_profiles = pool.submit(_run_profiles)
+            f_games = pool.submit(_run_calcs)
+            f_search.result()
+            n_players = f_profiles.result()
+            n_games = f_games.result()
 
         # per-partition lineage: what this epoch consumed and produced
         epochs_meta[str(epoch)] = {
@@ -290,17 +342,21 @@ def run_crawl(
             "games_raw_rows": n_games,
         }
         epoch += 1
-        store.save_shard_snapshots(out_dir, ray.get([s.snapshot.remote() for s in shards]))
-        store.save_manifest(out_dir, {
-            "completed_epochs": epoch, "finished": False, "n_shards": n_shards,
-            "watermarks": {k: list(v) for k, v in watermarks_state.items()},
-            "epochs": epochs_meta,
-        })
+        if checkpoint_every and (epoch - epoch0) % checkpoint_every == 0:
+            store.save_shard_snapshots(
+                out_dir, ray.get([s.snapshot.remote() for s in shards]))
+            store.save_manifest(out_dir, {
+                "completed_epochs": epoch, "finished": False, "n_shards": n_shards,
+                "watermarks": {k: list(v) for k, v in watermarks_state.items()},
+                "epochs": epochs_meta,
+            })
 
     if finalize:
         finalize_game_history(out_dir)
     m = store.load_manifest(out_dir) or {}
     m["finished"] = True
+    m["completed_epochs"] = epoch
+    m["epochs"] = epochs_meta
     m["metrics"] = {
         "shards": ray.get([s.stats.remote() for s in shards]),
         "epochs": epochs_meta,
@@ -315,7 +371,10 @@ def finalize_game_history(out_dir: str) -> None:
     raw = store.read_all(out_dir, "games_raw")
     if raw is None:
         return
-    ds = raw.map_batches(NZ.normalize_games_batch, batch_format="pyarrow")
+    # materialize the normalized rows once: dedup makes two passes over
+    # its input (partial-min scan + probe scan) — without this the read +
+    # normalize would execute twice. Bounded: the crawl's own game store.
+    ds = raw.map_batches(NZ.normalize_games_batch, batch_format="pyarrow").materialize()
     ds = DD.dedup_dataset(ds)
     ds = ds.map_batches(NZ.drop_null_batch, batch_format="pyarrow")
     store.write_epoch(ds, out_dir, "game_history", 0)

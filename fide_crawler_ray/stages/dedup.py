@@ -41,17 +41,31 @@ _HKEY_2 = b"fcray-dedup-seed2"[:16].decode("latin1")
 _SIG_DT = np.dtype([("a", np.uint64), ("b", np.uint64)])
 
 
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
 def _key_sig(batch: pa.Table, key_cols) -> np.ndarray:
-    """(n,) structured array of two keyed uint64 hashes (128-bit sig)."""
-    parts = []
-    for c in key_cols:
-        col = batch[c].cast(pa.string()).to_pandas().fillna("\x00null")
-        parts.append(col)
-    joined = parts[0].str.cat(parts[1:], sep="\x1f") if len(parts) > 1 else parts[0]
-    arr = joined.to_numpy(dtype=object)
-    sig = np.empty(len(arr), dtype=_SIG_DT)
-    sig["a"] = pd.util.hash_array(arr, hash_key=_HKEY_1)
-    sig["b"] = pd.util.hash_array(arr, hash_key=_HKEY_2)
+    """(n,) structured array of two keyed uint64 hashes (128-bit sig).
+
+    Hashes each key column independently (vectorized) and mixes the
+    per-column hashes with rotate+multiply — avoids materializing a
+    concatenated key string per row, which dominated dedup time on wide
+    multi-column keys."""
+    n = batch.num_rows
+    a = np.zeros(n, dtype=np.uint64)
+    b = np.zeros(n, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, c in enumerate(key_cols):
+            col = batch[c].cast(pa.string()).to_pandas().fillna("\x00null")
+            arr = col.to_numpy(dtype=object)
+            h1 = pd.util.hash_array(arr, hash_key=_HKEY_1)
+            h2 = pd.util.hash_array(arr, hash_key=_HKEY_2)
+            rot = np.uint64((i * 13) % 64)
+            a = (a * _MIX) ^ ((h1 << rot) | (h1 >> (np.uint64(64) - rot)) if rot else h1)
+            b = (b * _MIX) ^ ((h2 << rot) | (h2 >> (np.uint64(64) - rot)) if rot else h2)
+    sig = np.empty(n, dtype=_SIG_DT)
+    sig["a"] = a
+    sig["b"] = b
     return sig
 
 
@@ -70,13 +84,24 @@ def _partial_min(batch: pa.Table, key_cols, order_col: str) -> pa.Table:
         "b": sig["b"].astype(np.int64),
         "o": batch[order_col].to_numpy(zero_copy_only=False),
     })
-    m = df.groupby(["a", "b"], sort=False)["o"].min().reset_index()
+    g = df.groupby(["a", "b"], sort=False)["o"]
+    m = g.agg(["min", "size"]).reset_index()
+    m.columns = ["a", "b", "o", "c"]
     return pa.Table.from_pandas(m, preserve_index=False)
 
 
-def _combine_min(batch: pa.Table) -> pa.Table:
+def _combine_dups_sorted(batch: pa.Table) -> pa.Table:
+    """Global combine, keeping ONLY keys with total count ≥ 2 — unique
+    keys (the overwhelming majority) need no broadcast state at all. The
+    surviving dup-key table is sorted by signature for binary search."""
     df = batch.to_pandas()
-    m = df.groupby(["a", "b"], sort=False)["o"].min().reset_index()
+    g = df.groupby(["a", "b"], sort=False).agg(o=("o", "min"), c=("c", "sum"))
+    m = g[g["c"] >= 2].reset_index()[["a", "b", "o"]]
+    keys = np.empty(len(m), dtype=_SIG_DT)
+    keys["a"] = m["a"].to_numpy().astype(np.uint64)
+    keys["b"] = m["b"].to_numpy().astype(np.uint64)
+    order = np.argsort(keys, kind="stable")
+    m = m.iloc[order]
     return pa.Table.from_pandas(m, preserve_index=False)
 
 
@@ -86,32 +111,66 @@ def keep_first_group(g: pd.DataFrame, key_cols=DEDUP_KEY, order_col: str = "line
     return g.drop_duplicates(subset=list(key_cols), keep="first")
 
 
+# per-worker cache of the deserialized sorted min-table (one build per
+# worker process, reused across that worker's probe tasks)
+_probe_cache: dict[str, tuple] = {}
+
+
+def _probe_arrays(refs) -> tuple:
+    """Merge the min-table blocks into one sorted array (a large combine
+    may exceed the block-size cap and arrive as several blocks, each
+    internally combined; duplicate keys across blocks take the min)."""
+    key = "|".join(r.hex() if hasattr(r, "hex") else str(id(r)) for r in refs)
+    hit = _probe_cache.get(key)
+    if hit is None:
+        tables = ray.get(list(refs))
+        n = sum(t.num_rows for t in tables)
+        keys = np.empty(n, dtype=_SIG_DT)
+        mins = np.empty(n, dtype=np.int64)
+        at = 0
+        for t in tables:
+            m = t.num_rows
+            keys["a"][at:at + m] = t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            keys["b"][at:at + m] = t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            mins[at:at + m] = t["o"].to_numpy(zero_copy_only=False)
+            at += m
+        order = np.argsort(keys, kind="stable")
+        keys, mins = keys[order], mins[order]
+        if n > 1:  # min-merge duplicate keys straddling block boundaries
+            starts = np.flatnonzero(
+                np.concatenate([[True], keys[1:] != keys[:-1]])
+            )
+            mins = np.minimum.reduceat(mins, starts)
+            keys = keys[starts]
+        hit = (keys, mins)
+        _probe_cache.clear()
+        _probe_cache[key] = hit
+    return hit
+
+
 def dedup_dataset(ds, key_cols=DEDUP_KEY, order_col: str = "lineage"):
     """D1 over a Dataset — see module docstring for the plan."""
     partial = ds.map_batches(
         lambda b: _partial_min(b, key_cols, order_col), batch_format="pyarrow"
     )
-    mins = (
+    mins_ds = (
         partial.repartition(1)
-        .map_batches(_combine_min, batch_format="pyarrow", batch_size=None)
-        .to_pandas()
+        .map_batches(_combine_dups_sorted, batch_format="pyarrow", batch_size=None)
+        .materialize()
     )
-    if len(mins) == 0:
-        return ds  # empty input: nothing to dedup
-    keys = np.empty(len(mins), dtype=_SIG_DT)
-    keys["a"] = mins["a"].to_numpy().astype(np.uint64)
-    keys["b"] = mins["b"].to_numpy().astype(np.uint64)
-    order = np.argsort(keys, kind="stable")
-    keys_sorted = keys[order]
-    mins_sorted = mins["o"].to_numpy()[order]
-    ref = ray.put((keys_sorted, mins_sorted))
+    if mins_ds.count() == 0:
+        return ds  # no key occurs twice: input is already deduped
+    refs = mins_ds.to_arrow_refs()
 
     def _probe(batch: pa.Table) -> pa.Table:
-        ks, ms = ray.get(ref)
+        ks, ms = _probe_arrays(refs)
         sig = _key_sig(batch, key_cols)
-        idx = np.searchsorted(ks, sig)
-        min_ord = ms[idx]  # every sig exists in ks: exact index hit
-        keep = batch[order_col].to_numpy(zero_copy_only=False) == min_ord
+        idx = np.clip(np.searchsorted(ks, sig), 0, len(ks) - 1)
+        is_dup_key = ks[idx] == sig
+        # unique keys always kept; dup keys keep only the min-lineage row
+        keep = ~is_dup_key | (
+            batch[order_col].to_numpy(zero_copy_only=False) == ms[idx]
+        )
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(_probe, batch_format="pyarrow")

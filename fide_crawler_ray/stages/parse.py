@@ -86,13 +86,13 @@ def parse_search_batch(batch: pa.Table) -> pa.Table:
     index (1-based) for priority packing. Predicate and id-regex are the
     vectorized kernels in stages.urls (reference :64-68).
     """
+    import pyarrow.compute as pc
+
+    batch = batch.filter(pc.equal(batch["doc_kind"], "search"))
     names, titles, hrefs, ids, ranks, ridxs = [], [], [], [], [], []
-    kinds = batch["doc_kind"].to_pylist()
     spans_col = batch["spans"].to_pylist()
     prios = batch["priority"].to_pylist()
-    for kind, spans, prio in zip(kinds, spans_col, prios):
-        if kind != "search":
-            continue
+    for spans, prio in zip(spans_col, prios):
         seed_rank = prio >> 34
         ridx = 0
         for s in spans:
@@ -169,12 +169,12 @@ def parse_profile_batch(batch: pa.Table) -> pa.Table:
         "fide_id", "name", "world_rank", "federation", "b_year", "sex",
         "fide_title", "profile_photo", "std_rating", "rapid_rating",
         "blitz_rating")}
-    kinds = batch["doc_kind"].to_pylist()
+    import pyarrow.compute as pc
+
+    batch = batch.filter(pc.equal(batch["doc_kind"], "profile"))
     spans_col = batch["spans"].to_pylist()
     fids = batch["fide_id"].to_pylist()
-    for kind, spans, fid in zip(kinds, spans_col, fids):
-        if kind != "profile":
-            continue
+    for spans, fid in zip(spans_col, fids):
         rec = {k: "" for k in cols}
         rec["fide_id"] = fid
         for s in spans:
@@ -206,13 +206,15 @@ def parse_calc_batch(batch: pa.Table) -> pa.Table:
     """
     out: dict[str, list] = {c: [] for c in _GAME_COLS}
     out["lineage"] = []
-    kinds = batch["doc_kind"].to_pylist()
+    import pyarrow.compute as pc
+
+    batch = batch.filter(pc.equal(batch["doc_kind"], "calc"))
     spans_col = batch["spans"].to_pylist()
     fids = batch["fide_id"].to_pylist()
     pnames = batch["player_name"].to_pylist()
     prios = batch["priority"].to_pylist()
-    for kind, spans, fid, pname, prio in zip(kinds, spans_col, fids, pnames, prios):
-        if kind != "calc" or not spans:
+    for spans, fid, pname, prio in zip(spans_col, fids, pnames, prios):
+        if not spans:
             continue
         colors = ["white" if "clr_wh" in s["media_ref"] else "black"
                   for s in spans if s["kind"] == "media"]

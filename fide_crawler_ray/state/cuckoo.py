@@ -194,11 +194,30 @@ class SeenSet:
                     out[j] = True
         return out
 
+    def _maybe_grow(self, incoming: int) -> None:
+        """Auto-grow the cuckoo filter BEFORE it saturates: past ~90% load
+        every insert degenerates into a full failed eviction walk
+        (max_kicks numpy ops per key — a 100x slowdown observed at 4x
+        overload). Rebuild at the next power-of-two capacity from the
+        exact tier, which holds every inserted hash."""
+        cap = self.cuckoo.n_buckets * 4
+        if self.cuckoo.count + incoming <= 0.85 * cap:
+            return
+        target = cap
+        while self.cuckoo.count + incoming > 0.5 * target:
+            target *= 2
+        fresh = CuckooFilter(capacity=target)
+        existing = self.all_hashes()
+        if existing:
+            fresh.insert_batch(sha1_bytes_to_array(existing))
+        self.cuckoo = fresh
+
     def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
         """Returns bool[n]: True where the hash was ALREADY seen; all
         unseen hashes are inserted. Exact (no false positives/negatives)."""
         if len(hashes) == 0:
             return np.zeros(0, dtype=bool)
+        self._maybe_grow(len(hashes))
         maybe = self.cuckoo.contains_batch(hashes)
         seen = np.zeros(len(hashes), dtype=bool)
         if maybe.any():

@@ -80,7 +80,12 @@ class FrontierShard:
 
     # -------------------------------------------------------------- offer
     def offer(self, rows: pa.Table) -> dict:
-        """Enqueue unseen, robots-allowed URL rows. Returns counters."""
+        """Enqueue unseen, robots-allowed URL rows. Returns counters.
+
+        Hot path for the dominant host (all of its offers serialize into
+        this one actor): columnar extraction (`to_pylist` per column,
+        C-level) instead of per-cell `.as_py()`, and heap entries are
+        (priority, url, row-tuple) — no per-row dict building."""
         n = rows.num_rows
         self.counters["offered"] += n
         if n == 0:
@@ -88,12 +93,15 @@ class FrontierShard:
         hashes = np.frombuffer(
             b"".join(rows["url_hash"].to_pylist()), dtype=np.uint8
         ).reshape(-1, 20)
+        cols = [rows[f].to_pylist() for f in URL_FIELDS]
+        hosts = cols[1]
+        urls = cols[0]
+        prios = cols[7]
         robots_ok = np.ones(n, dtype=bool)
-        hosts = rows["host"].to_pylist()
-        urls = rows["url"].to_pylist()
-        for j in range(n):
-            if not self._robots_allowed(hosts[j], urls[j]):
-                robots_ok[j] = False
+        if self.robots:  # only hosts with rules pay the per-row check
+            for j in range(n):
+                if not self._robots_allowed(hosts[j], urls[j]):
+                    robots_ok[j] = False
         self.counters["robots_dropped"] += int((~robots_ok).sum())
         # seen-check only robots-allowed urls (a disallowed url stays
         # unseen: a later robots change could admit it)
@@ -103,12 +111,9 @@ class FrontierShard:
             already[idx] = self.seen.check_and_add(hashes[idx])
         self.counters["dup_dropped"] += int(already[idx].sum()) if len(idx) else 0
         enq = 0
-        prios = rows["priority"].to_pylist()
-        for j in idx:
-            if already[j]:
-                continue
-            row = {f: rows[f][j].as_py() for f in URL_FIELDS}
-            heapq.heappush(self.heaps[hosts[j]], (prios[j], row["url"], row))
+        for j in np.flatnonzero(~already):
+            row = tuple(c[j] for c in cols)
+            heapq.heappush(self.heaps[hosts[j]], (prios[j], urls[j], row))
             enq += 1
         self.counters["enqueued"] += enq
         return {"offered": n, "enqueued": enq}
@@ -132,36 +137,47 @@ class FrontierShard:
     def pop_ready(self, max_n: int) -> pa.Table | None:
         """Pop up to max_n URLs in politeness order, assigning virtual
         fetch timestamps. Deterministic: host with smallest
-        (next_vts, host) first; within host, ascending priority."""
-        out_rows = []
+        (next_vts, host) first; within host, ascending priority.
+
+        The inner loop drains one host as long as it stays the earliest
+        host — for a dominant host that makes the loop a tight
+        heappop-per-URL with no host re-selection cost."""
+        out_rows: list[tuple] = []
+        out_vts: list[int] = []
         while len(out_rows) < max_n:
             live = [(self.host_next_vts[h], h) for h, hp in self.heaps.items() if hp]
             if not live:
                 break
-            _, host = min(live)
-            prio, _, row = heapq.heappop(self.heaps[host])
+            live.sort()
+            _, host = live[0]
+            nxt = live[1] if len(live) > 1 else None
+            heap = self.heaps[host]
             vts = self.host_next_vts[host]
-            self.host_next_vts[host] = vts + self.gap_us
-            self.fetch_log.append((vts, prio, row["url"]))
-            row = dict(row)
-            row["next_fetch_vts"] = vts
-            out_rows.append(row)
+            # drain while this host still wins the (vts, host) tiebreak
+            while heap and len(out_rows) < max_n and (
+                nxt is None or (vts, host) < nxt
+            ):
+                prio, url, row = heapq.heappop(heap)
+                self.fetch_log.append((vts, prio, url))
+                out_rows.append(row)
+                out_vts.append(vts)
+                vts += self.gap_us
+            self.host_next_vts[host] = vts
         self.counters["popped"] += len(out_rows)
         if not out_rows:
             return None
-        cols = {f: [r[f] for r in out_rows] for f in URL_FIELDS}
-        cols["next_fetch_vts"] = [r["next_fetch_vts"] for r in out_rows]
+        cols = list(zip(*out_rows))  # columnar transpose, C-level
         t = pa.table(
             {
-                "url": pa.array(cols["url"], pa.string()),
-                "host": pa.array(cols["host"], pa.string()),
-                "url_hash": pa.array(cols["url_hash"], pa.binary(20)),
-                "kind": pa.array(cols["kind"], pa.string()),
-                "fide_id": pa.array(cols["fide_id"], pa.string()),
-                "period": pa.array(cols["period"], pa.string()),
-                "player_name": pa.array(cols["player_name"], pa.string()),
-                "priority": pa.array(cols["priority"], pa.int64()),
-                "next_fetch_vts": pa.array(cols["next_fetch_vts"], pa.int64()),
+                "url": pa.array(cols[0], pa.string()),
+                "host": pa.array(cols[1], pa.string()),
+                "url_hash": pa.array(cols[2], pa.binary(20)),
+                "kind": pa.array(cols[3], pa.string()),
+                "fide_id": pa.array(cols[4], pa.string()),
+                "period": pa.array(cols[5], pa.string()),
+                "player_name": pa.array(cols[6], pa.string()),
+                "priority": pa.array(cols[7], pa.int64()),
+                "next_fetch_vts": pa.array(out_vts, pa.int64()),
             }
         )
         return t

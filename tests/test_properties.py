@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis): canonicalization idempotence,
+seen-set exactness under arbitrary insert sequences, dedup keep-first
+invariants, perf-rating table symmetry."""
+
+import hashlib
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fide_crawler_ray.functions.perf_rating import rating_performance
+from fide_crawler_ray.stages import urls as U
+from fide_crawler_ray.state.cuckoo import SeenSet, sha1_bytes_to_array
+
+url_st = st.builds(
+    lambda scheme, host, path, q, frag: f"{scheme}://{host}/{path}"
+    + (f"?{q}" if q else "") + (f"#{frag}" if frag else ""),
+    st.sampled_from(["http", "https", "HTTP", "HTTPS"]),
+    st.from_regex(r"[A-Za-z0-9.\-]{1,20}", fullmatch=True),
+    st.from_regex(r"[A-Za-z0-9/\-_.]{0,30}", fullmatch=True),
+    st.from_regex(r"([a-z]{1,5}=[a-z0-9]{0,5}&){0,3}[a-z]{1,5}=[a-z0-9]{0,5}", fullmatch=True) | st.just(""),
+    st.from_regex(r"[a-z0-9]{0,8}", fullmatch=True),
+)
+
+
+@given(url_st)
+@settings(max_examples=200, deadline=None)
+def test_canonicalize_idempotent(url):
+    c1 = U.canonicalize(url)
+    assert U.canonicalize(c1) == c1
+    assert "#" not in c1
+
+
+@given(st.lists(st.binary(min_size=4, max_size=12), min_size=1, max_size=300))
+@settings(max_examples=50, deadline=None)
+def test_seenset_exact_for_any_sequence(blobs):
+    """First occurrence of any key is never 'seen'; later ones always are."""
+    s = SeenSet(capacity=256, max_inmem=64)  # tiny: forces spills + overflow
+    seen_before: set[bytes] = set()
+    for i in range(0, len(blobs), 7):
+        chunk = blobs[i : i + 7]
+        hashes = sha1_bytes_to_array([hashlib.sha1(b).digest() for b in chunk])
+        out = s.check_and_add(hashes)
+        within: set[bytes] = set()
+        for j, b in enumerate(chunk):
+            h = hashlib.sha1(b).digest()
+            expect = h in seen_before or h in within
+            assert bool(out[j]) == expect, (j, b)
+            within.add(h)
+        seen_before |= {hashlib.sha1(b).digest() for b in chunk}
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 5), st.integers(0, 10**6)),
+        min_size=1, max_size=200,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_dedup_keeps_exactly_first_per_key(rows):
+    """dedup_dataset semantics vs a direct dict scan, on arbitrary
+    (key, lineage) multisets (batch-level, via the same sig+probe path)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from fide_crawler_ray.stages.dedup import _key_sig
+
+    # unique lineage per row (keep-first is defined by lineage order)
+    t = pa.table({
+        "k1": pa.array([str(r[0]) for r in rows]),
+        "k2": pa.array([str(r[1]) for r in rows]),
+        "lineage": pa.array(list(range(len(rows))), pa.int64()),
+    })
+    sig = _key_sig(t, ("k1", "k2"))
+    df = pd.DataFrame({"a": sig["a"], "b": sig["b"],
+                       "lineage": range(len(rows))})
+    got = df.sort_values("lineage").drop_duplicates(["a", "b"], keep="first")
+    expect_first = {}
+    for i, r in enumerate(rows):
+        expect_first.setdefault((r[0], r[1]), i)
+    assert sorted(got["lineage"]) == sorted(expect_first.values())
+
+
+@given(st.integers(8, 11), st.integers(0, 22))
+@settings(max_examples=100, deadline=None)
+def test_perf_rating_antisymmetry(n, p2):
+    """dp(n, p) == -dp(n, n-p) around the average (reference table is
+    symmetric: performanceCalculator.py)."""
+    if p2 > 2 * n:
+        return
+    p = p2 / 2
+    mirror = n - p
+    a = rating_performance(np.array([n]), np.array([p]), np.array([0.0]),
+                           np.zeros(1), np.zeros(1), np.zeros(1))[0]
+    b = rating_performance(np.array([n]), np.array([mirror]), np.array([0.0]),
+                           np.zeros(1), np.zeros(1), np.zeros(1))[0]
+    assert (np.isnan(a) and np.isnan(b)) or a == -b

@@ -91,3 +91,20 @@ def test_seenset_spill_segments_stay_exact():
     st = s.state()
     s2 = SeenSet.from_state(st)
     assert s2.contains_batch(h1).all() and s2.contains_batch(h2).all()
+
+
+def test_seenset_autogrows_past_capacity():
+    """Inserting far beyond the initial cuckoo capacity must stay fast
+    (auto-grow) and exact."""
+    import time
+
+    s = SeenSet(capacity=1 << 10)
+    h = _hashes(100_000, "grow")
+    t0 = time.perf_counter()
+    first = s.check_and_add(h)
+    dt = time.perf_counter() - t0
+    assert not first.any()
+    assert dt < 5.0, f"saturated-filter slowdown: {dt:.1f}s"
+    assert s.cuckoo.n_buckets * 4 >= 100_000
+    assert s.check_and_add(h).all()
+    assert not s.contains_batch(_hashes(1000, "other")).any()
