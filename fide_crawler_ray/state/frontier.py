@@ -48,9 +48,14 @@ def shard_of(host: str, n_shards: int) -> int:
     return zlib.crc32(host.encode()) % n_shards
 
 
-@ray.remote(num_cpus=0.1)
+@ray.remote(num_cpus=0)
 class FrontierShard:
-    """One shard of the distributed frontier (see module docstring)."""
+    """One shard of the distributed frontier (see module docstring).
+
+    num_cpus=0: shards are lightweight coordinators (heap ops + filter
+    probes, milliseconds per call); reserving fractional CPUs for them
+    starves the fetch/parse task pool on small clusters (8 shards × 0.1
+    CPU consumed 40% of a 2-CPU cluster)."""
 
     def __init__(self, shard_id: int, n_shards: int,
                  politeness_gap_us: int = 1_000_000,
