@@ -520,6 +520,75 @@ def q_fuzzy_match(sf_dir):
     )
 
 
+
+
+def q_set_union(sf_dir):
+    """Set op: union of two disjoint slices (ds.union) with dedup-free
+    append semantics (the reference's pd.concat append path)."""
+    lo = T(sf_dir, "part", ["p_partkey", "p_name"]).filter(expr="p_partkey < 100")
+    hi = T(sf_dir, "part", ["p_partkey", "p_name"]).filter(expr="p_partkey >= 100")
+    return lo.union(hi)
+
+
+def q_topk_per_group(sf_dir):
+    """Top-3 orders by price within each order priority (grouped top-k:
+    sort + head per group)."""
+    ds = T(sf_dir, "orders", ["o_orderpriority", "o_orderkey", "o_totalprice"])
+
+    def _top(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True]).head(3)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return ds.groupby("o_orderpriority").map_groups(_top, batch_format="pandas")
+
+
+def q_events_sliding(sf_dir):
+    """Sliding window (1h width, 30min slide): each event lands in two
+    windows — flat-mapped window assignment + partial-agg groupby."""
+    ds = T(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def _assign(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_pandas()
+        secs = ts.astype("datetime64[s]").astype("int64")  # epoch seconds
+        rows = {"user_id": [], "window_start": [], "value": []}
+        uid = b["user_id"].to_pylist()
+        val = b["value"].to_pylist()
+        for off in (0, 1800):
+            start = ((secs - off) // 3600) * 3600 + off
+            sts = pd.to_datetime(start, unit="s").dt.strftime("%Y-%m-%d %H:%M:%S")
+            rows["user_id"].extend(uid)
+            rows["window_start"].extend(sts.tolist())
+            rows["value"].extend(val)
+        return pa.table({
+            "user_id": pa.array(rows["user_id"], pa.int64()),
+            "window_start": pa.array(rows["window_start"], pa.string()),
+            "value": pa.array(rows["value"], pa.float64()),
+        })
+
+    out = fast_groupby_agg(
+        ds.map_batches(_assign, batch_format="pyarrow"),
+        ["user_id", "window_start"],
+        {"n": (None, "count"), "sum_value": ("value", "sum")},
+    )
+    return out.map_batches(
+        lambda b: b.set_column(b.schema.get_field_index("sum_value"), "sum_value",
+                               pc.round(b["sum_value"], ndigits=6)),
+        batch_format="pyarrow",
+    )
+
+
+def q_random_sample(sf_dir):
+    """Seeded sampling (rows-only: RNG streams differ across engines);
+    determinism is asserted by re-running with the same seed."""
+    a = T(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"]).random_sample(
+        0.01, seed=7
+    ).to_pandas()
+    return a
+
+
 # ============================================================ registry
 
 def queries() -> dict:
@@ -559,6 +628,10 @@ def queries() -> dict:
         "ann_ivf": q_ann_ivf,
         "events_tumbling": q_events_tumbling,
         "events_sessionize": q_events_sessionize,
+        "set_union": q_set_union,
+        "topk_per_group": q_topk_per_group,
+        "events_sliding": q_events_sliding,
+        "random_sample": q_random_sample,
         "crawl_game_history": q_crawl_game_history,
         "crawl_players": q_crawl_players,
         "tournament_rollup": q_tournament_rollup,
@@ -712,6 +785,31 @@ ORACLES: dict[str, str] = {
         SELECT doc_id,
                md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS md5_fp
         FROM documents
+    """,
+    "set_union": """
+        SELECT p_partkey, p_name FROM part WHERE p_partkey < 100
+        UNION ALL
+        SELECT p_partkey, p_name FROM part WHERE p_partkey >= 100
+    """,
+    "topk_per_group": """
+        SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rank
+            FROM orders) WHERE rank <= 3
+    """,
+    "events_sliding": """
+        WITH w AS (
+            SELECT user_id, value,
+                   to_timestamp((floor(epoch(ts))::BIGINT // 3600) * 3600) AS ws
+            FROM events
+            UNION ALL
+            SELECT user_id, value,
+                   to_timestamp(((floor(epoch(ts))::BIGINT - 1800) // 3600) * 3600 + 1800) AS ws
+            FROM events)
+        SELECT user_id, strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+               count(*) AS n, round(sum(value), 6) AS sum_value
+        FROM w GROUP BY 1, 2
     """,
     "events_tumbling": """
         SELECT user_id,
