@@ -175,6 +175,7 @@ class SeenSet:
         self.cuckoo = CuckooFilter(capacity=capacity)
         self.exact: set[bytes] = set()
         self.segments: list[np.ndarray] = []  # sorted uint8 (n,20) rows as void view
+        self.seg_blooms: list[BloomFilter] = []  # per-segment spill-tier blooms
         self.max_inmem = max_inmem
         self.n = 0
 
@@ -182,13 +183,18 @@ class SeenSet:
         out = np.fromiter(
             (h.tobytes() in self.exact for h in hashes), dtype=bool, count=len(hashes)
         )
-        for seg in self.segments:
-            # binary search on the 8-byte prefix, then confirm full 20 bytes
-            keys = hashes[:, :8].copy().view(">u8").reshape(-1)
+        if not self.segments:
+            return out
+        keys = hashes[:, :8].copy().view(">u8").reshape(-1)
+        for seg, bloom in zip(self.segments, self.seg_blooms):
+            # bloom first: a cold (spilled) segment is only binary-searched
+            # for the keys its bloom admits — the spill-tier fast path
+            maybe = bloom.contains_batch64(keys) & ~out
+            if not maybe.any():
+                continue
             lo = np.searchsorted(seg["k"], keys, side="left")
             hi = np.searchsorted(seg["k"], keys, side="right")
-            cand = lo < hi
-            for j in np.flatnonzero(cand & ~out):
+            for j in np.flatnonzero(maybe & (lo < hi)):
                 rows = seg["v"][lo[j] : hi[j]]
                 if any(r.tobytes() == hashes[j].tobytes() for r in rows):
                     out[j] = True
@@ -248,7 +254,11 @@ class SeenSet:
         seg["k"] = rows[:, :8].copy().view(">u8").reshape(-1)
         seg["v"] = rows
         order = np.argsort(seg["k"], kind="stable")
-        self.segments.append(seg[order])
+        seg = seg[order]
+        self.segments.append(seg)
+        bloom = BloomFilter(capacity=max(1024, len(rows)))
+        bloom.insert_batch64(seg["k"].astype(np.uint64))
+        self.seg_blooms.append(bloom)
         self.exact = set()
 
     def contains_batch(self, hashes: np.ndarray) -> np.ndarray:
