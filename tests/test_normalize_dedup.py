@@ -82,3 +82,16 @@ def test_dedup_keeps_first_by_lineage():
     })
     out = DD.dedup_dataset(rd.from_arrow(t), key_cols=DEDUP_KEY).to_pandas()
     assert sorted(out["marker"]) == ["first", "other"]
+
+
+def test_dedup_join_fallback_matches_primary():
+    """dedup_dataset_join (the at-scale all-to-all fallback) must produce
+    exactly the same survivors as the partial-min + probe plan."""
+    games_raw, _ = _raw_rows()
+    ds = rd.from_arrow(_raw_to_table(games_raw)).repartition(4)
+    ds = ds.map_batches(NZ.normalize_games_batch, batch_format="pyarrow")
+    a = DD.dedup_dataset(ds).to_pandas()
+    b = DD.dedup_dataset_join(ds).to_pandas()
+    a = a.sort_values("lineage").reset_index(drop=True)
+    b = b.sort_values("lineage").reset_index(drop=True)[a.columns.tolist()]
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
