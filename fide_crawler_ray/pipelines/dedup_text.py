@@ -152,9 +152,11 @@ def _dup_bucket_pairs(bands, key_col: str = "band_key"):
 def minhash_lsh_dedup(docs_ds, threshold: float = 0.7, n_perm: int = 128,
                       n_bands: int = 16, k_shingle: int = 3):
     """MinHash+LSH near-dedup. Returns (survivors_ds, verified_pairs)."""
+    # task-pool stage: MinHasher state (two rng-derived coefficient
+    # arrays) rebuilds in microseconds, so tasks beat actor-pool spin-up
+    stage = _MinHashBands(n_perm, n_bands, k_shingle)
     bands = docs_ds.map_batches(
-        _MinHashBands, fn_constructor_args=(n_perm, n_bands, k_shingle),
-        batch_format="pyarrow", batch_size=1024, concurrency=4, num_cpus=0.5,
+        stage, batch_format="pyarrow", batch_size=1024,
     )
     cand = _dup_bucket_pairs(bands)
     if cand is None:
@@ -216,8 +218,7 @@ def simhash_dedup(docs_ds, max_hamming: int = 3, n_bands: int = 4):
     """SimHash near-dedup: docs within hamming distance ≤ max_hamming of
     a smaller-id doc are dropped. Returns (survivors_ds, verified_pairs)."""
     bands = docs_ds.map_batches(
-        _SimHashBands, fn_constructor_args=(n_bands,),
-        batch_format="pyarrow", batch_size=1024, concurrency=4, num_cpus=0.5,
+        _SimHashBands(n_bands), batch_format="pyarrow", batch_size=1024,
     )
 
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
