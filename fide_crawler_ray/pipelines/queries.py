@@ -6,8 +6,16 @@ column names match exactly (the driver hashes values after sorting
 columns by name). Non-SQL ops (crawl, sketches, language-ID, IVF) have
 queries only → rows-only checks.
 
-Float policy: aggregate outputs of double columns are rounded (4-6 dp)
-on BOTH sides so distributed summation order can't flip the value hash.
+Float policy: aggregate outputs of double columns are canonicalized on
+BOTH sides with the fixed-point round ``round(x * 10^d) / 10^d`` (engine:
+``pc.round`` of the scaled value, then divide; oracle: the same formula
+in SQL). Both sides then divide the *same exact integer* by the same
+power of ten — IEEE division is correctly rounded and deterministic, so
+the doubles are bitwise identical. A plain ``round(x, d)`` is NOT safe:
+pyarrow's and DuckDB's d-digit rounding pick different 1-ULP neighbors
+of the decimal value (r1 verdict: a10_rollup, 7400/14743 rows off by
+1 ULP), because "the nearest double to 127071.8500" has no unique
+implementation. Scaling to an integer first removes the ambiguity.
 """
 
 from __future__ import annotations
@@ -40,6 +48,30 @@ def T(sf_dir: str, name: str, columns=None):
     return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
 
+def _canon(v: float, ndigits: int) -> float:
+    """Fixed-point canonical round for driver-side scalars (see module
+    docstring). Matches the SQL ``round(x * 10^d) / 10^d``."""
+    p = 10.0 ** ndigits
+    return round(v * p) / p
+
+
+def _canon_cols(tbl: pa.Table, cols: dict[str, int]) -> pa.Table:
+    """Replace each float column with its fixed-point canonical round."""
+    for name, nd in cols.items():
+        p = 10.0 ** nd
+        i = tbl.schema.get_field_index(name)
+        tbl = tbl.set_column(
+            i, name, pc.divide(pc.round(pc.multiply(tbl[name], p)), p)
+        )
+    return tbl
+
+
+def _canon_stage(cols: dict[str, int]):
+    """map_batches body applying _canon_cols (the last pipeline stage of
+    every query with rounded double outputs)."""
+    return lambda b: _canon_cols(b, cols)
+
+
 # ===================================================== TPC-H-ish analytics
 
 def q_a5_grouped_multi_agg(sf_dir):
@@ -53,11 +85,7 @@ def q_a5_grouped_multi_agg(sf_dir):
         "n": (None, "count"),
     })
     return out.map_batches(
-        lambda b: b.set_column(b.schema.get_field_index("avg_price"), "avg_price",
-                               pc.round(b["avg_price"], ndigits=4))
-                  .set_column(b.schema.get_field_index("sum_qty"), "sum_qty",
-                              pc.round(b["sum_qty"], ndigits=4)),
-        batch_format="pyarrow",
+        _canon_stage({"avg_price": 4, "sum_qty": 4}), batch_format="pyarrow"
     )
 
 
@@ -70,9 +98,9 @@ def q_a1_first_last(sf_dir):
         g = g.sort_values(["ts", "event_id"], kind="mergesort")
         return pd.DataFrame([{
             "user_id": g["user_id"].iloc[0],
-            "first_value": round(float(g["value"].iloc[0]), 6),
-            "last_value": round(float(g["value"].iloc[-1]), 6),
-            "value_delta": round(float(g["value"].iloc[-1] - g["value"].iloc[0]), 6),
+            "first_value": _canon(float(g["value"].iloc[0]), 6),
+            "last_value": _canon(float(g["value"].iloc[-1]), 6),
+            "value_delta": _canon(float(g["value"].iloc[-1] - g["value"].iloc[0]), 6),
         }])
 
     return ds.groupby("user_id").map_groups(_fl, batch_format="pandas")
@@ -81,7 +109,7 @@ def q_a1_first_last(sf_dir):
 def q_a2_global_mean(sf_dir):
     ds = T(sf_dir, "lineitem", ["l_extendedprice"])
     v = ds.aggregate(Mean("l_extendedprice", alias_name="avg_price"))["avg_price"]
-    return pd.DataFrame([{"avg_price": round(v, 4)}])
+    return pd.DataFrame([{"avg_price": _canon(v, 4)}])
 
 
 def _ts_str(col) -> pa.Array:
@@ -116,18 +144,14 @@ def q_a8_conditional_means(sf_dir):
     ds = T(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
     out = fast_groupby_agg(ds, ["o_orderstatus", "o_orderpriority"],
                            {"avg_price": ("o_totalprice", "mean")})
-    return out.map_batches(
-        lambda b: b.set_column(b.schema.get_field_index("avg_price"), "avg_price",
-                               pc.round(b["avg_price"], ndigits=4)),
-        batch_format="pyarrow",
-    )
+    return out.map_batches(_canon_stage({"avg_price": 4}), batch_format="pyarrow")
 
 
 def q_a9_value_counts_pct(sf_dir):
     """A9: value-counts normalized to fractions (en-US:516-519)."""
     ds = T(sf_dir, "orders", ["o_orderstatus"])
     df = fast_groupby_agg(ds, ["o_orderstatus"], {"n": (None, "count")}).to_pandas()
-    df["pct"] = (df["n"] / df["n"].sum()).round(6)
+    df["pct"] = (df["n"] / df["n"].sum()).map(lambda v: _canon(v, 6))
     return df
 
 
@@ -149,11 +173,7 @@ def q_a10_rollup(sf_dir):
             "n_returns": ("is_return", "sum"),
         })
     return out.map_batches(
-        lambda b: b.set_column(b.schema.get_field_index("sum_qty"), "sum_qty",
-                               pc.round(b["sum_qty"], ndigits=4))
-                  .set_column(b.schema.get_field_index("sum_price"), "sum_price",
-                              pc.round(b["sum_price"], ndigits=4)),
-        batch_format="pyarrow",
+        _canon_stage({"sum_qty": 4, "sum_price": 4}), batch_format="pyarrow"
     )
 
 
@@ -250,11 +270,7 @@ def q_m13_isin_filter(sf_dir):
     )
     return fast_groupby_agg(kept, ["l_returnflag"], {
         "n": (None, "count"), "sum_qty": ("l_quantity", "sum"),
-    }).map_batches(
-        lambda b: b.set_column(b.schema.get_field_index("sum_qty"), "sum_qty",
-                               pc.round(b["sum_qty"], ndigits=4)),
-        batch_format="pyarrow",
-    )
+    }).map_batches(_canon_stage({"sum_qty": 4}), batch_format="pyarrow")
 
 
 def q_m14_substring_filter(sf_dir):
@@ -270,18 +286,25 @@ def q_m14_substring_filter(sf_dir):
 # ============================================================= joins
 
 def q_j1_broadcast_join(sf_dir):
-    """J1: key join with a broadcast small side (player↔games shape)."""
-    cust = T(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_map = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    """J1: key join with a broadcast small side (player↔games shape).
+    The small side is shipped once (``ray.put``), held per actor as an
+    Arrow table, and probed with vectorized ``pc.index_in`` + take — no
+    per-row Python on the fact-table side."""
+    seg_map = ray.put(
+        T(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .sort("c_custkey").to_arrow_refs()
+    )
 
     class _Join:
         def __init__(self):
-            self.m = ray.get(seg_map)
+            small = pa.concat_tables(ray.get(ray.get(seg_map)))
+            self.keys = small["c_custkey"].combine_chunks()
+            self.vals = small["c_mktsegment"].combine_chunks()
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            segs = [self.m.get(k) for k in b["o_custkey"].to_pylist()]
-            t = b.append_column("c_mktsegment", pa.array(segs, pa.string()))
-            return t.filter(pc.is_valid(t["c_mktsegment"]))  # inner-join semantics
+            idx = pc.index_in(b["o_custkey"], value_set=self.keys)
+            t = b.append_column("c_mktsegment", self.vals.take(idx))
+            return t.filter(pc.is_valid(idx))  # inner-join semantics
 
     ds = T(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
         _Join, batch_format="pyarrow", concurrency=2,
@@ -289,38 +312,37 @@ def q_j1_broadcast_join(sf_dir):
     out = fast_groupby_agg(ds, ["c_mktsegment"], {
         "revenue": ("o_totalprice", "sum"), "n_orders": (None, "count"),
     })
-    return out.map_batches(
-        lambda b: b.set_column(b.schema.get_field_index("revenue"), "revenue",
-                               pc.round(b["revenue"], ndigits=4)),
-        batch_format="pyarrow",
-    )
+    return out.map_batches(_canon_stage({"revenue": 4}), batch_format="pyarrow")
 
 
 def q_j4_anti_join(sf_dir):
-    """J4: anti-join via broadcast key set (the frontier's seen-check):
-    orders with no lineitem rows."""
-    have = set(T(sf_dir, "lineitem", ["l_orderkey"]).unique("l_orderkey"))
-    ref = ray.put(have)
-
-    def _anti(b: pa.Table) -> pa.Table:
-        keys = ray.get(ref)  # one object-store read per batch
-        return b.filter(pa.array([k not in keys for k in b["o_orderkey"].to_pylist()]))
-
-    return T(sf_dir, "orders", ["o_orderkey"]).map_batches(
-        _anti, batch_format="pyarrow"
+    """J4: anti-join (the frontier's seen-check shape): orders with no
+    lineitem rows. Hash-partitioned ``Dataset.join(left_anti)`` — both
+    sides stream through the exchange; no key set ever materializes on
+    the driver (the r1 version collected the fact-table key set, which
+    cannot fit at 100×). The big probe side is pre-shrunk to distinct
+    keys map-side (fast_groupby_agg) so the exchange moves keys, not rows."""
+    keys = fast_groupby_agg(
+        T(sf_dir, "lineitem", ["l_orderkey"]), ["l_orderkey"],
+        {"__n": (None, "count")},
+    ).drop_columns(["__n"])
+    return T(sf_dir, "orders", ["o_orderkey"]).join(
+        keys, "left_anti", num_partitions=8,
+        on=("o_orderkey",), right_on=("l_orderkey",),
     )
 
 
 def q_semi_join(sf_dir):
-    """Semi-join via broadcast key set: parts that appear in lineitem."""
-    have = set(T(sf_dir, "lineitem", ["l_partkey"]).unique("l_partkey"))
-    ref = ray.put(have)
-
-    def _semi(b: pa.Table) -> pa.Table:
-        keys = ray.get(ref)
-        return b.filter(pa.array([k in keys for k in b["p_partkey"].to_pylist()]))
-
-    return T(sf_dir, "part", ["p_partkey"]).map_batches(_semi, batch_format="pyarrow")
+    """Semi-join, hash-partitioned ``Dataset.join(left_semi)``: parts that
+    appear in lineitem. Same no-driver-state plan as J4."""
+    keys = fast_groupby_agg(
+        T(sf_dir, "lineitem", ["l_partkey"]), ["l_partkey"],
+        {"__n": (None, "count")},
+    ).drop_columns(["__n"])
+    return T(sf_dir, "part", ["p_partkey"]).join(
+        keys, "left_semi", num_partitions=8,
+        on=("p_partkey",), right_on=("l_partkey",),
+    )
 
 
 # ============================================================ dedup
@@ -443,11 +465,7 @@ def q_events_tumbling(sf_dir):
     out = fast_groupby_agg(ds, ["user_id", "window_start"], {
         "n": (None, "count"), "sum_value": ("value", "sum"),
     })
-    return out.map_batches(
-        lambda b: b.set_column(b.schema.get_field_index("sum_value"), "sum_value",
-                               pc.round(b["sum_value"], ndigits=6)),
-        batch_format="pyarrow",
-    )
+    return out.map_batches(_canon_stage({"sum_value": 6}), batch_format="pyarrow")
 
 
 def q_events_sessionize(sf_dir):
@@ -573,11 +591,7 @@ def q_events_sliding(sf_dir):
         ["user_id", "window_start"],
         {"n": (None, "count"), "sum_value": ("value", "sum")},
     )
-    return out.map_batches(
-        lambda b: b.set_column(b.schema.get_field_index("sum_value"), "sum_value",
-                               pc.round(b["sum_value"], ndigits=6)),
-        batch_format="pyarrow",
-    )
+    return out.map_batches(_canon_stage({"sum_value": 6}), batch_format="pyarrow")
 
 
 def q_random_sample(sf_dir):
@@ -640,24 +654,29 @@ def queries() -> dict:
 
 
 ORACLES: dict[str, str] = {
+    # Float canonicalization: round(x * 10^d) / 10^d on both sides (see
+    # module docstring) — NOT round(x, d), whose 1-ULP choice differs
+    # between pyarrow and DuckDB.
     "a5_grouped_multi_agg": """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 4) AS sum_qty,
-               round(avg(l_extendedprice), 4) AS avg_price,
+               round(sum(l_quantity) * 10000.0) / 10000.0 AS sum_qty,
+               round(avg(l_extendedprice) * 10000.0) / 10000.0 AS avg_price,
                count(*) AS n
         FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
     "a1_first_last": """
         SELECT DISTINCT user_id,
-               round(first_value(value) OVER w, 6) AS first_value,
-               round(last_value(value) OVER w, 6) AS last_value,
-               round(last_value(value) OVER w - first_value(value) OVER w, 6)
-                   AS value_delta
+               round(first_value(value) OVER w * 1000000.0) / 1000000.0 AS first_value,
+               round(last_value(value) OVER w * 1000000.0) / 1000000.0 AS last_value,
+               round((last_value(value) OVER w - first_value(value) OVER w)
+                     * 1000000.0) / 1000000.0 AS value_delta
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
-    "a2_global_mean": "SELECT round(avg(l_extendedprice), 4) AS avg_price FROM lineitem",
+    "a2_global_mean":
+        "SELECT round(avg(l_extendedprice) * 10000.0) / 10000.0 AS avg_price"
+        " FROM lineitem",
     "a3_minmax_dates": """
         SELECT strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_date,
                strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_date
@@ -670,18 +689,19 @@ ORACLES: dict[str, str] = {
     """,
     "a8_conditional_means": """
         SELECT o_orderstatus, o_orderpriority,
-               round(avg(o_totalprice), 4) AS avg_price
+               round(avg(o_totalprice) * 10000.0) / 10000.0 AS avg_price
         FROM orders GROUP BY 1, 2
     """,
     "a9_value_counts_pct": """
         SELECT o_orderstatus, count(*) AS n,
-               round(count(*)::DOUBLE / sum(count(*)) OVER (), 6) AS pct
+               round(count(*)::DOUBLE / sum(count(*)) OVER () * 1000000.0)
+                   / 1000000.0 AS pct
         FROM orders GROUP BY o_orderstatus
     """,
     "a10_rollup": """
         SELECT l_orderkey, count(*) AS n_items,
-               round(sum(l_quantity), 4) AS sum_qty,
-               round(sum(l_extendedprice), 4) AS sum_price,
+               round(sum(l_quantity) * 10000.0) / 10000.0 AS sum_qty,
+               round(sum(l_extendedprice) * 10000.0) / 10000.0 AS sum_price,
                sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returns
         FROM lineitem GROUP BY l_orderkey
     """,
@@ -714,14 +734,16 @@ ORACLES: dict[str, str] = {
         FROM events GROUP BY 1
     """,
     "m13_isin_filter": """
-        SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+        SELECT l_returnflag, count(*) AS n,
+               round(sum(l_quantity) * 10000.0) / 10000.0 AS sum_qty
         FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1
     """,
     "m14_substring_filter": """
         SELECT p_partkey, p_name FROM part WHERE lower(p_name) LIKE '%widget%'
     """,
     "j1_broadcast_join": """
-        SELECT c_mktsegment, round(sum(o_totalprice), 4) AS revenue,
+        SELECT c_mktsegment,
+               round(sum(o_totalprice) * 10000.0) / 10000.0 AS revenue,
                count(*) AS n_orders
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
@@ -808,13 +830,15 @@ ORACLES: dict[str, str] = {
                    to_timestamp(((floor(epoch(ts))::BIGINT - 1800) // 3600) * 3600 + 1800) AS ws
             FROM events)
         SELECT user_id, strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
-               count(*) AS n, round(sum(value), 6) AS sum_value
+               count(*) AS n,
+               round(sum(value) * 1000000.0) / 1000000.0 AS sum_value
         FROM w GROUP BY 1, 2
     """,
     "events_tumbling": """
         SELECT user_id,
                strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-               count(*) AS n, round(sum(value), 6) AS sum_value
+               count(*) AS n,
+               round(sum(value) * 1000000.0) / 1000000.0 AS sum_value
         FROM events GROUP BY 1, 2
     """,
     "events_sessionize": """

@@ -37,7 +37,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
         elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].astype("float64").round(9)
+            # NO rounding here: the driver's gate hashes exact values, so
+            # the local gate must be bitwise-strict too (r1: a 1-ULP gap
+            # passed locally at atol=1e-9 but failed the driver hash).
+            df[c] = df[c].astype("float64")
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
@@ -94,7 +97,7 @@ def main():
         else:
             try:
                 pd.testing.assert_frame_equal(got, exp, check_dtype=False,
-                                              check_exact=False, rtol=0, atol=1e-9)
+                                              check_exact=True)
             except AssertionError as e:
                 print(f"FAIL  {name}: values differ: {str(e)[:300]}")
                 ok = False
