@@ -12,11 +12,28 @@ Five operators, all expressed as Dataset pipelines:
 - ``embedding_cosine_dedup``: random-hyperplane LSH buckets over the
   embedding column → within-bucket pairwise cosine → pairs → survivors.
 
-Scale notes: the corpus-sized stages (fingerprint, sketch, band
-explosion, bucket groupby) are fully distributed; only the *verified
-pair list* — the sparse tail of LSH — is collected for union-find
-clustering, and the per-pair text lookup broadcasts only the texts named
-by candidate pairs (``ray.put`` once, read per actor), never the corpus.
+Scale contract (everything is a Dataset stage; NOTHING corpus-, pair- or
+text-sized ever lands on the driver):
+
+- colliding-bucket selection is a hash-partitioned ``left_semi`` join of
+  band rows against the count≥2 bucket keys (no broadcast key set);
+- per-bucket pair generation is ``groupby(band_key).map_groups`` with a
+  ``bucket_cap``: oversized buckets (a degenerate band — e.g. an
+  all-identical shard of a duplicate-heavy corpus) emit star pairs
+  (bucket-min vs member, O(n)) instead of all-pairs O(n²) — components
+  still connect through the min, so survivor semantics are preserved;
+- candidate-pair texts come from two hash joins (pair→text on each end),
+  never a driver text lookup;
+- clustering is distributed min-label propagation over the verified-pair
+  edge Dataset (iterate: label(n) ← min over n ∪ neighbors, converged
+  when no label changes). Label propagation with min converges to the
+  component minimum — exactly the union-find-by-min-root semantics the
+  r1 driver implementation had, pinned by tests;
+- survivors are a ``left_anti`` join of docs against dropped labels.
+
+All dedup operators return ``(survivors_ds, pairs_ds)`` — both lazy
+Datasets (r1 returned a driver-side pair list; collecting pairs is now
+the caller's choice, and tests do so only at toy scale).
 """
 
 from __future__ import annotations
@@ -24,10 +41,17 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import ray
+import pyarrow.compute as pc
+import ray.data as rd
 
 from ..functions import sketches as SK
 from ..functions.textstats import fingerprint_batch
+from ..stages.fastagg import fast_groupby_agg
+
+# Default hash-join fan-out. On a real cluster this should scale with
+# node count; the joins here move only band rows / candidate pairs (the
+# sparse LSH tail), not the corpus.
+N_JOIN_PARTS = 8
 
 
 # ------------------------------------------------------------- exact
@@ -43,6 +67,231 @@ def exact_dedup(docs_ds):
     fps = docs_ds.map_batches(fingerprint_batch, batch_format="pyarrow")
     agg = fps.groupby("md5_fp").aggregate(Min("doc_id", alias_name="doc_id"))
     return agg.select_columns(["doc_id", "md5_fp"])
+
+
+# ----------------------------------------- shared distributed plumbing
+
+def _norm(ds, schema: pa.Schema):
+    """Normalize block schemas after a join: Ray's hash-shuffle join (and
+    aggregate) emit ZERO-COLUMN blocks for empty partitions, which crash
+    any downstream join/projection ("No match for FieldRef" in Acero).
+    Rewrites empty batches to schema'd empty tables and fixes column
+    order on the rest."""
+    names = schema.names
+
+    def _f(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or b.num_columns == 0:
+            return schema.empty_table()
+        return b.select(names)
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def _compact(ds, rows_per_block: int = 65536):
+    """Compact a Dataset into guaranteed-NONEMPTY blocks before feeding
+    it to another join. Ray 2.49's hash-shuffle join broadcasts schemas
+    to its aggregators only with the FIRST block of each side
+    (hash_shuffle.py:548, send_empty_blocks) — and an empty block
+    returns early without broadcasting (hash_shuffle.py:223), so a
+    dataset whose first block is empty leaves empty join partitions
+    schema-less and crashes Acero. Repartitioning to ≤ row-count blocks
+    removes every empty block."""
+    mat = ds.materialize()
+    n = mat.count()
+    if n == 0:
+        return mat
+    k = max(1, min(N_JOIN_PARTS, n // rows_per_block + 1))
+    return mat.repartition(k)
+
+
+def _colliding_rows(bands, key_col: str = "band_key"):
+    """Band rows whose bucket key collides (count ≥ 2) — the sparse tail
+    of LSH. Hash-partitioned semi-join; no driver or broadcast key set.
+    Returns None when no bucket collides."""
+    bands = bands.materialize()  # sketched once; counted AND joined below
+    dup_keys = (
+        fast_groupby_agg(bands, [key_col], {"n": (None, "count")})
+        .filter(expr="n >= 2")
+        .drop_columns(["n"])
+        .materialize()
+    )
+    if dup_keys.count() == 0:
+        return None
+    joined = bands.join(dup_keys, "left_semi", N_JOIN_PARTS, on=(key_col,))
+    return _norm(joined, bands.schema().base_schema)
+
+
+def _distinct_pairs(pairs_ds, cols=("a", "b")):
+    """Distinct (a, b) via the partial-agg groupby (a pair surfacing in
+    several bands verifies once)."""
+    keep = list(cols)
+    return fast_groupby_agg(
+        pairs_ds.select_columns(keep), keep, {"__n": (None, "count")}
+    ).drop_columns(["__n"])
+
+
+def _pair_texts(pairs_ds, docs_ds, id_col: str = "doc_id",
+                text_col: str = "text"):
+    """Attach __text_a/__text_b to candidate pairs with two hash joins
+    (pair → doc text on each end). The docs side streams through the
+    exchange; no text ever lands on the driver."""
+    it = _id_type(docs_ds, id_col)
+    docs = docs_ds.select_columns([id_col, text_col])
+    ta = docs.rename_columns({id_col: "a", text_col: "__text_a"})
+    tb = docs.rename_columns({id_col: "b", text_col: "__text_b"})
+    withA = _compact(_norm(
+        pairs_ds.join(ta, "inner", N_JOIN_PARTS, on=("a",)),
+        pa.schema([("a", it), ("b", it), ("__text_a", pa.string())]),
+    ))
+    return _norm(
+        withA.join(tb, "inner", N_JOIN_PARTS, on=("b",)),
+        pa.schema([("a", it), ("b", it), ("__text_a", pa.string()),
+                   ("__text_b", pa.string())]),
+    )
+
+
+class _VerifyJaccard:
+    """Verification stage over joined pair rows (a, b, __text_a,
+    __text_b): exact word-shingle (or char-n-gram) Jaccard, keep rows
+    ≥ threshold."""
+
+    def __init__(self, threshold: float, k_shingle: int, char_n: int | None):
+        self.t = threshold
+        self.k = k_shingle
+        self.char_n = char_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ta = batch["__text_a"].to_pylist()
+        tb = batch["__text_b"].to_pylist()
+        if self.char_n is None:
+            sims = [SK.jaccard(x or "", y or "", self.k) for x, y in zip(ta, tb)]
+        else:
+            sims = [SK.ngram_jaccard(x or "", y or "", self.char_n)
+                    for x, y in zip(ta, tb)]
+        t = batch.drop_columns(["__text_a", "__text_b"])
+        t = t.append_column("jaccard", pa.array(np.round(sims, 6), pa.float64()))
+        return t.filter(pc.greater_equal(t["jaccard"], self.t))
+
+
+def _min_label_components(pairs_ds, max_iters: int = 30):
+    """Distributed connected components: min-label propagation over the
+    (a, b) edge Dataset. Returns a Dataset (node, label) for every node
+    appearing in an edge, where label = min id of its component.
+
+    Per iteration: join labels onto symmetric edges, take the per-node
+    min of neighbor labels (self-loops carry the node's own label), stop
+    when no label changed. Converges in ≤ component-diameter iterations
+    (near-dup clusters are star-shaped around their min — single digits
+    in practice). The min-label step uses ``fast_groupby_agg`` (partial
+    combine), which also avoids the native aggregate's zero-column empty
+    blocks that the next iteration's join would choke on."""
+
+    def _sym(b: pa.Table) -> pa.Table:
+        a, bb = b["a"].combine_chunks(), b["b"].combine_chunks()
+        return pa.table({
+            "src": pa.concat_arrays([a, bb, a, bb]),
+            "dst": pa.concat_arrays([bb, a, a, bb]),  # + self-loops
+        })
+
+    edges = pairs_ds.select_columns(["a", "b"]).map_batches(
+        _sym, batch_format="pyarrow"
+    )
+    edges = fast_groupby_agg(edges, ["src", "dst"], {"__n": (None, "count")}) \
+        .drop_columns(["__n"]).materialize()
+
+    labels = edges.map_batches(
+        lambda b: pa.table({
+            "node": b["src"].filter(pc.equal(b["src"], b["dst"])),
+            "label": b["dst"].filter(pc.equal(b["src"], b["dst"])),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+
+    it = labels.schema().base_schema.field("node").type
+    for _ in range(max_iters):
+        j = _norm(
+            edges.join(labels, "inner", N_JOIN_PARTS,
+                       on=("dst",), right_on=("node",)),
+            pa.schema([("src", it), ("label", it)]),
+        )
+        new_labels = (
+            fast_groupby_agg(j, ["src"], {"label": ("label", "min")})
+            .rename_columns({"src": "node"})
+            .materialize()
+        )
+        diff = _norm(
+            new_labels.join(labels, "inner", N_JOIN_PARTS, on=("node",),
+                            right_suffix="_old"),
+            pa.schema([("node", it), ("label", it), ("label_old", it)]),
+        ).map_batches(
+            lambda b: b.filter(pc.not_equal(b["label"], b["label_old"])),
+            batch_format="pyarrow",
+        )
+        changed = diff.count()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def _dropped_nodes(pairs_ds):
+    """Dataset of every node whose component label is a smaller id."""
+    labels = _min_label_components(pairs_ds)
+    return labels.map_batches(
+        lambda b: pa.table(
+            {"node": b["node"].filter(pc.not_equal(b["node"], b["label"]))}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _drop_non_roots(docs_ds, pairs_ds, id_col: str):
+    """Survivors = docs minus every dropped node, as a ``left_anti`` join
+    — both sides stream through the exchange, nothing on the driver."""
+    return _norm(
+        docs_ds.join(_dropped_nodes(pairs_ds), "left_anti", N_JOIN_PARTS,
+                     on=(id_col,), right_on=("node",)),
+        docs_ds.schema().base_schema,
+    )
+
+
+def _drop_non_roots_by_filter(ds, pairs_ds, id_col: str):
+    """Survivor filter for tables whose payload the Arrow join cannot
+    carry (list<float> embedding columns are unsupported as join non-key
+    fields): the dropped-id blocks are shipped by OBJECT REF and
+    concatenated inside each map actor (never on the driver), then the
+    filter is a vectorized ``pc.is_in``. Per-worker memory is the
+    dropped-id array (8 B/id) — fine for the sparse LSH tail; a
+    dup-majority corpus would need an id-only join + a bucketed
+    re-attach of the payload instead."""
+    import ray
+
+    dropped = _dropped_nodes(pairs_ds).materialize()
+    rref = ray.put(dropped.to_arrow_refs())
+
+    class _Drop:
+        def __init__(self):
+            t = pa.concat_tables(ray.get(ray.get(rref)))
+            self.vs = t["node"].combine_chunks()
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            mask = pc.is_in(b[id_col], value_set=self.vs)
+            return b.filter(pc.invert(mask))
+
+    return ds.map_batches(_Drop, batch_format="pyarrow", concurrency=2)
+
+
+def _empty_pairs(id_type: pa.DataType, score_col: str) -> "rd.Dataset":
+    return rd.from_arrow(pa.table({
+        "a": pa.array([], id_type), "b": pa.array([], id_type),
+        score_col: pa.array([], pa.float64() if score_col != "hamming"
+                            else pa.int64()),
+    }))
+
+
+def _id_type(ds, col: str) -> pa.DataType:
+    f = ds.schema().base_schema.field(col)
+    return f.type
 
 
 # ------------------------------------------------------- minhash + LSH
@@ -64,130 +313,66 @@ class _MinHashBands:
         return pa.table({"doc_id": pa.array(ids), "band_key": pa.array(keys, pa.binary())})
 
 
-def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    ids = sorted(g["doc_id"].unique())
-    a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
-    return pd.DataFrame({"a": a, "b": b})
+def _bucket_pairs_capped(bucket_cap: int):
+    """Per-bucket candidate pairs: all-pairs up to ``bucket_cap`` members,
+    star pairs (min vs member) beyond — O(n) for degenerate buckets, and
+    components still connect through the bucket min."""
 
+    def _f(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].unique())
+        a, b = [], []
+        if len(ids) > bucket_cap:
+            root = ids[0]
+            a = [root] * (len(ids) - 1)
+            b = ids[1:]
+        else:
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a.append(ids[i])
+                    b.append(ids[j])
+        return pd.DataFrame({"a": a, "b": b})
 
-class _VerifyJaccard:
-    def __init__(self, texts_ref, threshold: float, k_shingle: int, char_n: int | None):
-        self.texts = ray.get(texts_ref)
-        self.t = threshold
-        self.k = k_shingle
-        self.char_n = char_n
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        a = batch["a"].to_pylist()
-        b = batch["b"].to_pylist()
-        sims = []
-        for x, y in zip(a, b):
-            tx, ty = self.texts.get(x, ""), self.texts.get(y, "")
-            if self.char_n is None:
-                sims.append(SK.jaccard(tx, ty, self.k))
-            else:
-                sims.append(SK.ngram_jaccard(tx, ty, self.char_n))
-        t = batch.append_column("jaccard", pa.array(np.round(sims, 6), pa.float64()))
-        return t.filter(pa.array([s >= self.t for s in sims]))
-
-
-def _texts_for_pairs(docs_ds, pairs: list[tuple]) -> "ray.ObjectRef":
-    needed = {x for p in pairs for x in p[:2]}
-    sub = docs_ds.map_batches(
-        lambda b: b.filter(
-            pa.array([d in needed for d in b["doc_id"].to_pylist()])
-        ).select(["doc_id", "text"]),
-        batch_format="pyarrow",
-    )
-    texts = {r["doc_id"]: r["text"] for r in sub.take_all()}
-    return ray.put(texts)
-
-
-def _survivors(docs_ds, verified_pairs: list[tuple]):
-    """Union-find over verified pairs; survivors = cluster roots (min id)
-    plus every doc in no cluster."""
-    uf = SK.UnionFind()
-    for a, b, *_ in verified_pairs:
-        uf.union(a, b)
-    dropped = {x for x, root in uf.groups().items() if root != x}
-    dropped_ref = ray.put(dropped)
-
-    def _filter(batch: pa.Table) -> pa.Table:
-        drop = ray.get(dropped_ref)
-        return batch.filter(
-            pa.array([d not in drop for d in batch["doc_id"].to_pylist()])
-        )
-
-    return docs_ds.map_batches(_filter, batch_format="pyarrow")
-
-
-def _dup_bucket_pairs(bands, key_col: str = "band_key"):
-    """Candidate pairs from band rows, touching Python only for buckets
-    that actually collide: a vectorized count aggregate finds buckets with
-    ≥2 docs (the sparse tail), and only those go through the pairwise
-    map_groups. A bare groupby().map_groups over every bucket costs one
-    Python call per bucket (~n_docs × n_bands groups)."""
-    from ..stages.fastagg import fast_groupby_agg
-
-    bands = bands.materialize()  # sketched once; counted AND paired below
-    counts = fast_groupby_agg(bands, [key_col], {"n": (None, "count")}).to_pandas()
-    dup_keys = set(counts[counts["n"] >= 2][key_col])
-    if not dup_keys:
-        return None
-    dref = ray.put(dup_keys)
-
-    def _only_dups(b: pa.Table) -> pa.Table:
-        keys = ray.get(dref)
-        return b.filter(pa.array([k in keys for k in b[key_col].to_pylist()]))
-
-    return bands.map_batches(_only_dups, batch_format="pyarrow").groupby(
-        key_col
-    ).map_groups(_bucket_pairs, batch_format="pandas")
+    return _f
 
 
 def minhash_lsh_dedup(docs_ds, threshold: float = 0.7, n_perm: int = 128,
-                      n_bands: int = 16, k_shingle: int = 3):
-    """MinHash+LSH near-dedup. Returns (survivors_ds, verified_pairs)."""
+                      n_bands: int = 16, k_shingle: int = 3,
+                      bucket_cap: int = 512):
+    """MinHash+LSH near-dedup. Returns (survivors_ds, verified_pairs_ds)
+    — see the module docstring for the fully distributed plan."""
     # task-pool stage: MinHasher state (two rng-derived coefficient
     # arrays) rebuilds in microseconds, so tasks beat actor-pool spin-up
     stage = _MinHashBands(n_perm, n_bands, k_shingle)
-    bands = docs_ds.map_batches(
-        stage, batch_format="pyarrow", batch_size=1024,
+    bands = docs_ds.map_batches(stage, batch_format="pyarrow", batch_size=1024)
+    colliding = _colliding_rows(bands)
+    if colliding is None:
+        return docs_ds, _empty_pairs(_id_type(docs_ds, "doc_id"), "jaccard")
+    cand = colliding.groupby("band_key").map_groups(
+        _bucket_pairs_capped(bucket_cap), batch_format="pandas"
     )
-    cand = _dup_bucket_pairs(bands)
-    if cand is None:
-        return docs_ds, []
-    cand_pairs = sorted({(r["a"], r["b"]) for r in cand.take_all()})
-    if not cand_pairs:
-        return docs_ds, []
-    texts_ref = _texts_for_pairs(docs_ds, cand_pairs)
-    pair_t = pa.table({"a": pa.array([p[0] for p in cand_pairs]),
-                       "b": pa.array([p[1] for p in cand_pairs])})
-    import ray.data as rd
-
-    verified = rd.from_arrow(pair_t).map_batches(
-        _VerifyJaccard, fn_constructor_args=(texts_ref, threshold, k_shingle, None),
-        batch_format="pyarrow", batch_size=2048, concurrency=2, num_cpus=0.5,
-    )
-    vp = [(r["a"], r["b"], r["jaccard"]) for r in verified.take_all()]
-    return _survivors(docs_ds, vp), vp
+    pairs = _distinct_pairs(cand)
+    verified = _pair_texts(pairs, docs_ds).map_batches(
+        _VerifyJaccard(threshold, k_shingle, None),
+        batch_format="pyarrow", batch_size=2048,
+    ).materialize()
+    if verified.count() == 0:
+        return docs_ds, verified
+    return _drop_non_roots(docs_ds, verified, "doc_id"), verified
 
 
 def ngram_jaccard_pairs(docs_ds, pairs: list[tuple], threshold: float = 0.5,
                         char_n: int = 5):
-    """Character-n-gram Jaccard verification over explicit candidates."""
-    import ray.data as rd
-
-    texts_ref = _texts_for_pairs(docs_ds, pairs)
-    pair_t = pa.table({"a": pa.array([p[0] for p in pairs]),
-                       "b": pa.array([p[1] for p in pairs])})
-    return rd.from_arrow(pair_t).map_batches(
-        _VerifyJaccard, fn_constructor_args=(texts_ref, threshold, 3, char_n),
-        batch_format="pyarrow", batch_size=2048, concurrency=2, num_cpus=0.5,
+    """Character-n-gram Jaccard verification over an explicit (small)
+    candidate list — the pair Dataset goes through the same join-based
+    text attach + verify stages as the LSH path."""
+    it = _id_type(docs_ds, "doc_id")
+    pair_ds = rd.from_arrow(pa.table({
+        "a": pa.array([p[0] for p in pairs], it),
+        "b": pa.array([p[1] for p in pairs], it),
+    }))
+    return _pair_texts(pair_ds, docs_ds).map_batches(
+        _VerifyJaccard(threshold, 3, char_n),
+        batch_format="pyarrow", batch_size=2048,
     )
 
 
@@ -199,10 +384,8 @@ class _SimHashBands:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, keys, hashes = [], [], []
-        out_h = []
         for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
             h = SK.simhash64(text)
-            out_h.append(h)
             for bk in SK.simhash_band_keys(h, self.n_bands):
                 ids.append(doc_id)
                 keys.append(bk)
@@ -214,9 +397,12 @@ class _SimHashBands:
         })
 
 
-def simhash_dedup(docs_ds, max_hamming: int = 3, n_bands: int = 4):
+def simhash_dedup(docs_ds, max_hamming: int = 3, n_bands: int = 4,
+                  bucket_cap: int = 512):
     """SimHash near-dedup: docs within hamming distance ≤ max_hamming of
-    a smaller-id doc are dropped. Returns (survivors_ds, verified_pairs)."""
+    a smaller-id doc are dropped. Returns (survivors_ds, pairs_ds).
+    Verification (hamming on the 64-bit signatures carried with the band
+    rows) happens inside the bucket groups — no text join needed."""
     bands = docs_ds.map_batches(
         _SimHashBands(n_bands), batch_format="pyarrow", batch_size=1024,
     )
@@ -224,42 +410,43 @@ def simhash_dedup(docs_ds, max_hamming: int = 3, n_bands: int = 4):
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
         rows = g.drop_duplicates("doc_id").sort_values("doc_id")
         ids = rows["doc_id"].tolist()
-        hs = rows["simhash"].tolist()
+        hs = [np.uint64(h).item() & ((1 << 64) - 1) for h in rows["simhash"]]
         a, b, d = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                hd = SK.hamming64(np.uint64(hs[i]).item() & ((1 << 64) - 1),
-                                  np.uint64(hs[j]).item() & ((1 << 64) - 1))
+        span = range(1, len(ids)) if len(ids) > bucket_cap else None
+        if span is not None:  # degenerate bucket: star pairs vs the min
+            for j in span:
+                hd = SK.hamming64(hs[0], hs[j])
                 if hd <= max_hamming:
-                    a.append(ids[i])
-                    b.append(ids[j])
-                    d.append(hd)
-        return pd.DataFrame({"a": a, "b": b, "hamming": d})
+                    a.append(ids[0]); b.append(ids[j]); d.append(hd)
+        else:
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    hd = SK.hamming64(hs[i], hs[j])
+                    if hd <= max_hamming:
+                        a.append(ids[i]); b.append(ids[j]); d.append(hd)
+        return pd.DataFrame({"a": a, "b": b,
+                             "hamming": pd.Series(d, dtype="int64")})
 
-    from ..stages.fastagg import fast_groupby_agg
-
-    bands = bands.materialize()  # sketched once; counted AND paired below
-    counts = fast_groupby_agg(bands, ["band_key"], {"n": (None, "count")}).to_pandas()
-    dup_keys = set(counts[counts["n"] >= 2]["band_key"])
-    if not dup_keys:
-        return docs_ds, []
-    dref = ray.put(dup_keys)
-
-    def _only_dups(b: pa.Table) -> pa.Table:
-        keys = ray.get(dref)
-        return b.filter(pa.array([k in keys for k in b["band_key"].to_pylist()]))
-
-    pairs = bands.map_batches(_only_dups, batch_format="pyarrow").groupby(
-        "band_key"
-    ).map_groups(_pairs, batch_format="pandas")
-    vp = sorted({(r["a"], r["b"], r["hamming"]) for r in pairs.take_all()})
-    return _survivors(docs_ds, vp), vp
+    colliding = _colliding_rows(bands)
+    if colliding is None:
+        return docs_ds, _empty_pairs(_id_type(docs_ds, "doc_id"), "hamming")
+    pairs = colliding.groupby("band_key").map_groups(
+        _pairs, batch_format="pandas"
+    )
+    verified = fast_groupby_agg(
+        pairs, ["a", "b"], {"hamming": ("hamming", "min")}
+    ).materialize()
+    if verified.count() == 0:
+        return docs_ds, verified
+    return _drop_non_roots(docs_ds, verified, "doc_id"), verified
 
 
 # ------------------------------------------- embedding cosine near-dup
 
 class _HyperplaneBucket:
     def __init__(self, planes_ref):
+        import ray
+
         self.planes = ray.get(planes_ref) if not isinstance(planes_ref, np.ndarray) else planes_ref
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -276,10 +463,15 @@ class _HyperplaneBucket:
 
 
 def embedding_cosine_dedup(embeddings_ds, threshold: float = 0.95,
-                           nbits: int = 12, dim: int = 64, seed: int = 99):
+                           nbits: int = 12, dim: int = 64, seed: int = 99,
+                           bucket_cap: int = 4096):
     """Embedding near-dup: random-hyperplane LSH buckets, pairwise cosine
-    within buckets, drop the larger vec_id of each ≥threshold pair.
-    Returns (survivors_ds, verified_pairs)."""
+    within buckets (capped: an oversized bucket — a dense embedding
+    cluster — scores members against the bucket-min vector only, O(n)),
+    drop every vec that joins a component with a smaller vec_id.
+    Returns (survivors_ds, pairs_ds)."""
+    import ray
+
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((nbits, dim)).astype(np.float32)
     pref = ray.put(planes)
@@ -291,34 +483,38 @@ def embedding_cosine_dedup(embeddings_ds, threshold: float = 0.95,
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("vec_id").reset_index(drop=True)
         if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
         m = np.stack([np.asarray(v, dtype=np.float32) for v in g["embedding"]])
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         m = m / norms
-        sims = m @ m.T
-        ids = g["vec_id"].tolist()
+        ids = g["vec_id"].to_numpy()
         a, b, s = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if sims[i, j] >= threshold:
-                    a.append(ids[i])
-                    b.append(ids[j])
-                    s.append(round(float(sims[i, j]), 6))
-        return pd.DataFrame({"a": a, "b": b, "cosine": s})
+        if len(g) > bucket_cap:  # degenerate bucket: star vs the min vec
+            sims = (m[:1] @ m.T).ravel()
+            for j in range(1, len(ids)):
+                if sims[j] >= threshold:
+                    a.append(int(ids[0])); b.append(int(ids[j]))
+                    s.append(round(float(sims[j]), 6))
+        else:
+            sims = m @ m.T
+            for i in range(len(ids)):
+                row = sims[i]
+                for j in range(i + 1, len(ids)):
+                    if row[j] >= threshold:
+                        a.append(int(ids[i])); b.append(int(ids[j]))
+                        s.append(round(float(row[j]), 6))
+        return pd.DataFrame({"a": pd.Series(a, dtype="int64"),
+                             "b": pd.Series(b, dtype="int64"),
+                             "cosine": pd.Series(s, dtype="float64")})
 
-    pairs = bucketed.groupby("bucket").map_groups(_pairs, batch_format="pandas")
-    vp = sorted({(int(r["a"]), int(r["b"]), r["cosine"]) for r in pairs.take_all()})
-    uf = SK.UnionFind()
-    for a, b, _ in vp:
-        uf.union(a, b)
-    dropped = {x for x, root in uf.groups().items() if root != x}
-    dref = ray.put(dropped)
-
-    def _filter(batch: pa.Table) -> pa.Table:
-        drop = ray.get(dref)
-        return batch.filter(
-            pa.array([int(v) not in drop for v in batch["vec_id"].to_pylist()])
-        )
-
-    return embeddings_ds.map_batches(_filter, batch_format="pyarrow"), vp
+    cand = bucketed.groupby("bucket").map_groups(_pairs, batch_format="pandas")
+    # a pair can verify in several buckets; keep one row (max cosine)
+    verified = fast_groupby_agg(
+        cand, ["a", "b"], {"cosine": ("cosine", "max")}
+    ).materialize()
+    if verified.count() == 0:
+        return embeddings_ds, verified
+    return _drop_non_roots_by_filter(embeddings_ds, verified, "vec_id"), verified

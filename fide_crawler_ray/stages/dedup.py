@@ -91,12 +91,17 @@ def _partial_min(batch: pa.Table, key_cols, order_col: str) -> pa.Table:
 
 
 def _combine_dups_sorted(batch: pa.Table) -> pa.Table:
-    """Global combine, keeping ONLY keys with total count ≥ 2 — unique
-    keys (the overwhelming majority) need no broadcast state at all. The
-    surviving dup-key table is sorted by signature for binary search."""
+    """Combine partials: per-key (min order, summed count), sorted by
+    signature for binary search. Keys are NOT pruned here: pruning
+    "count < 2" inside a combine call is only sound if the call saw every
+    partial for the key — if the combine input ever split into two calls,
+    a duplicate key straddling them would get c=1 in each and BOTH rows
+    would survive silently. The global c ≥ 2 prune happens in
+    ``_probe_arrays``, after the cross-block sum-merge, where total
+    counts are known unconditionally."""
     df = batch.to_pandas()
     g = df.groupby(["a", "b"], sort=False).agg(o=("o", "min"), c=("c", "sum"))
-    m = g[g["c"] >= 2].reset_index()[["a", "b", "o"]]
+    m = g.reset_index()[["a", "b", "o", "c"]]
     keys = np.empty(len(m), dtype=_SIG_DT)
     keys["a"] = m["a"].to_numpy().astype(np.uint64)
     keys["b"] = m["b"].to_numpy().astype(np.uint64)
@@ -117,9 +122,15 @@ _probe_cache: dict[str, tuple] = {}
 
 
 def _probe_arrays(refs) -> tuple:
-    """Merge the min-table blocks into one sorted array (a large combine
-    may exceed the block-size cap and arrive as several blocks, each
-    internally combined; duplicate keys across blocks take the min)."""
+    """Merge the combined-key blocks into one sorted DUP-ONLY array.
+
+    A large combine output may exceed the block-size cap and arrive as
+    several blocks, each internally combined; keys straddling block
+    boundaries min-merge their order and SUM-merge their counts, and only
+    then does the global c ≥ 2 prune run — so a duplicate key split
+    across blocks (each side seeing c=1) is still recognized as a dup.
+    Unique keys (the overwhelming majority) are dropped here, keeping the
+    per-worker probe arrays dup-sized."""
     key = "|".join(r.hex() if hasattr(r, "hex") else str(id(r)) for r in refs)
     hit = _probe_cache.get(key)
     if hit is None:
@@ -127,43 +138,62 @@ def _probe_arrays(refs) -> tuple:
         n = sum(t.num_rows for t in tables)
         keys = np.empty(n, dtype=_SIG_DT)
         mins = np.empty(n, dtype=np.int64)
+        cnts = np.empty(n, dtype=np.int64)
         at = 0
         for t in tables:
             m = t.num_rows
             keys["a"][at:at + m] = t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
             keys["b"][at:at + m] = t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
             mins[at:at + m] = t["o"].to_numpy(zero_copy_only=False)
+            cnts[at:at + m] = t["c"].to_numpy(zero_copy_only=False)
             at += m
         order = np.argsort(keys, kind="stable")
-        keys, mins = keys[order], mins[order]
-        if n > 1:  # min-merge duplicate keys straddling block boundaries
+        keys, mins, cnts = keys[order], mins[order], cnts[order]
+        if n > 1:  # merge duplicate keys straddling block boundaries
             starts = np.flatnonzero(
                 np.concatenate([[True], keys[1:] != keys[:-1]])
             )
             mins = np.minimum.reduceat(mins, starts)
+            cnts = np.add.reduceat(cnts, starts)
             keys = keys[starts]
-        hit = (keys, mins)
+        dup = cnts >= 2  # global counts — safe to prune here
+        hit = (keys[dup], mins[dup])
         _probe_cache.clear()
         _probe_cache[key] = hit
     return hit
 
 
-def dedup_dataset(ds, key_cols=DEDUP_KEY, order_col: str = "lineage"):
-    """D1 over a Dataset — see module docstring for the plan."""
+# Above this many partial rows (per-batch distinct keys summed — an
+# upper bound on true key cardinality), the single-task combine and the
+# per-worker probe arrays stop being "small": switch to the
+# hash-partitioned join plan automatically.
+DEDUP_MAX_COMBINE_ROWS = 20_000_000
+
+
+def dedup_dataset(ds, key_cols=DEDUP_KEY, order_col: str = "lineage",
+                  max_combine_rows: int = DEDUP_MAX_COMBINE_ROWS):
+    """D1 over a Dataset — see module docstring for the plan. Past
+    ``max_combine_rows`` partial rows the cardinality guard reroutes to
+    ``dedup_dataset_join`` (identical output, pinned by
+    tests/test_normalize_dedup.py) instead of the broadcast probe."""
     partial = ds.map_batches(
         lambda b: _partial_min(b, key_cols, order_col), batch_format="pyarrow"
-    )
+    ).materialize()
+    if partial.count() > max_combine_rows:
+        return dedup_dataset_join(ds, key_cols, order_col)
     mins_ds = (
         partial.repartition(1)
         .map_batches(_combine_dups_sorted, batch_format="pyarrow", batch_size=None)
         .materialize()
     )
     if mins_ds.count() == 0:
-        return ds  # no key occurs twice: input is already deduped
+        return ds  # empty input
     refs = mins_ds.to_arrow_refs()
 
     def _probe(batch: pa.Table) -> pa.Table:
         ks, ms = _probe_arrays(refs)
+        if len(ks) == 0:
+            return batch  # no key occurs twice: input already deduped
         sig = _key_sig(batch, key_cols)
         idx = np.clip(np.searchsorted(ks, sig), 0, len(ks) - 1)
         is_dup_key = ks[idx] == sig

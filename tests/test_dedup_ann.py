@@ -33,9 +33,13 @@ def test_exact_dedup_keeps_min_doc_id():
     assert len(ids) == 5
 
 
+def _pairs_set(pairs_ds):
+    return {(r["a"], r["b"]) for r in pairs_ds.take_all()}
+
+
 def test_minhash_lsh_finds_near_dups():
     survivors, pairs = DT.minhash_lsh_dedup(_docs(), threshold=0.5)
-    pair_set = {(a, b) for a, b, _ in pairs}
+    pair_set = _pairs_set(pairs)
     assert (0, 1) in pair_set          # exact dup
     assert (0, 2) in pair_set          # near dup
     ids = sorted(survivors.to_pandas()["doc_id"])
@@ -45,7 +49,7 @@ def test_minhash_lsh_finds_near_dups():
 
 def test_simhash_dedup_drops_exact_and_near():
     survivors, pairs = DT.simhash_dedup(_docs(), max_hamming=10)
-    pair_set = {(a, b) for a, b, _ in pairs}
+    pair_set = _pairs_set(pairs)
     assert (0, 1) in pair_set
     ids = sorted(survivors.to_pandas()["doc_id"])
     assert 0 in ids and 1 not in ids
@@ -75,7 +79,7 @@ def test_embedding_cosine_dedup():
     survivors, pairs = DT.embedding_cosine_dedup(ds, threshold=0.99, dim=16)
     ids = set(survivors.to_pandas()["vec_id"])
     assert 0 in ids and 1 not in ids
-    assert any((a, b) == (0, 1) for a, b, _ in pairs)
+    assert (0, 1) in _pairs_set(pairs)
 
 
 def test_brute_force_topk_matches_numpy():

@@ -1,0 +1,102 @@
+"""Cardinality-guarded aggregation and dedup fallback paths produce
+output identical to the primary (single-task-combine) plans, and the
+dedup probe stays correct when a duplicate key's partials straddle
+combined-block boundaries (the multi-block hazard: a per-call c>=2 prune
+would drop a key seen once per block and let both duplicate rows
+survive)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from fide_crawler_ray.stages import dedup as DD
+from fide_crawler_ray.stages.fastagg import fast_groupby_agg
+
+
+def _events_ds(n=5000, seed=3):
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame({
+        "k1": rng.integers(0, 40, n),
+        "k2": rng.choice(["x", "y", "z"], n),
+        # integer-valued floats so sums/means are exact in both plans
+        "v": rng.integers(0, 1000, n).astype("float64"),
+    })
+    return rd.from_pandas(df), df
+
+
+AGGS = {
+    "n": (None, "count"),
+    "total": ("v", "sum"),
+    "lo": ("v", "min"),
+    "hi": ("v", "max"),
+    "avg": ("v", "mean"),
+}
+
+
+def _run(ds, **kw):
+    out = fast_groupby_agg(ds, ["k1", "k2"], AGGS, **kw).to_pandas()
+    return out.sort_values(["k1", "k2"]).reset_index(drop=True)
+
+
+def test_fastagg_native_fallback_identical():
+    ds, df = _events_ds()
+    primary = _run(ds)
+    # max_combine_rows=0 forces every call down the native-aggregate path
+    fallback = _run(ds, max_combine_rows=0)
+    assert list(primary.columns) == list(fallback.columns)
+    pd.testing.assert_frame_equal(primary, fallback)
+    # sanity vs plain pandas
+    exp = (
+        df.groupby(["k1", "k2"])["v"]
+        .agg(n="size", total="sum", lo="min", hi="max", avg="mean")
+        .reset_index().sort_values(["k1", "k2"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        primary.astype({"n": "int64"}), exp.astype({"n": "int64"}),
+        check_dtype=False,
+    )
+
+
+def test_dedup_cardinality_guard_reroutes_identically():
+    rng = np.random.default_rng(11)
+    n = 4000
+    t = pa.table({
+        "key": pa.array(rng.integers(0, 1500, n)),
+        "payload": pa.array(rng.integers(0, 10, n)),
+        "lineage": pa.array(np.arange(n, dtype=np.int64)),
+    })
+    ds = rd.from_arrow(t)
+    a = DD.dedup_dataset(ds, key_cols=("key",), order_col="lineage").to_pandas()
+    b = DD.dedup_dataset(ds, key_cols=("key",), order_col="lineage",
+                         max_combine_rows=0).to_pandas()
+    a = a.sort_values("lineage").reset_index(drop=True)
+    b = b.sort_values("lineage").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # keep-first semantics: one survivor per key, the min lineage
+    exp = t.to_pandas().groupby("key")["lineage"].min().sort_values().tolist()
+    assert a["lineage"].tolist() == exp
+
+
+def test_probe_arrays_merges_split_dup_key():
+    """A dup key whose two partials land in different combined blocks
+    (c=1 in each) must still be pruned as a duplicate after the
+    cross-block sum-merge."""
+    DD._probe_cache.clear()
+
+    def blk(a, b, o, c):
+        return pa.table({
+            "a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64()),
+            "o": pa.array(o, pa.int64()), "c": pa.array(c, pa.int64()),
+        })
+
+    # key (7, 7) split across blocks with per-block count 1; key (1, 1)
+    # unique; key (9, 9) dup within one block.
+    refs = [
+        ray.put(blk([1, 7], [1, 7], [10, 4], [1, 1])),
+        ray.put(blk([7, 9], [7, 9], [2, 5], [1, 2])),
+    ]
+    ks, ms = DD._probe_arrays(refs)
+    got = {(int(k["a"]), int(k["b"])): int(m) for k, m in zip(ks, ms)}
+    assert got == {(7, 7): 2, (9, 9): 5}  # split dup kept w/ global min; unique pruned
