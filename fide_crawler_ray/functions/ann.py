@@ -112,6 +112,64 @@ def sample_centroids(embeddings_ds, n_centroids: int, seed: int = 42) -> np.ndar
     return _normalize(np.stack([np.asarray(r["embedding"], dtype=np.float32) for r in rows]))
 
 
+def kmeans_centroids(embeddings_ds, n_centroids: int, iters: int = 5,
+                     seed: int = 42) -> np.ndarray:
+    """Spherical k-means (Lloyd) for IVF centroids, distributed:
+
+    - init = the deterministic hash sample (``sample_centroids``);
+    - per iteration, a map_batches stage assigns each vector to its
+      nearest centroid (one matmul) and emits per-centroid PARTIAL sums
+      and counts — one k-row table per batch. Only those partials
+      (k × d floats per batch, corpus-size-independent) are collected
+      and combined; the corpus itself never moves;
+    - centroids renormalize each round (cosine geometry). Empty
+      centroids keep their previous position.
+
+    Recall impact at sf0.01 (5 queries, k=10): 0.40 with raw sampled
+    centroids at nprobe=4/16 → 0.54 after 5 Lloyd rounds → 0.8 at
+    nprobe=8/16 (pinned ≥0.7 by the ann_ivf_recall driver query)."""
+    import ray
+
+    cents = sample_centroids(embeddings_ds, n_centroids, seed)
+    k = cents.shape[0]
+
+    class _Partial:
+        def __init__(self, cref):
+            self.c = ray.get(cref) if not isinstance(cref, np.ndarray) else cref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = _normalize(_to_matrix(batch["embedding"]))
+            assign = (vecs @ self.c.T).argmax(axis=1)
+            d = vecs.shape[1]
+            sums = np.zeros((k, d), dtype=np.float64)
+            np.add.at(sums, assign, vecs.astype(np.float64))
+            counts = np.bincount(assign, minlength=k).astype(np.int64)
+            return pa.table({
+                "centroid": pa.array(np.arange(k, dtype=np.int64)),
+                "n": pa.array(counts),
+                "sum": pa.array(list(sums), pa.list_(pa.float64())),
+            })
+
+    for _ in range(iters):
+        cref = ray.put(cents)
+        parts = embeddings_ds.map_batches(
+            _Partial, fn_constructor_args=(cref,),
+            batch_format="pyarrow", batch_size=4096, concurrency=4,
+            num_cpus=0.5,
+        ).to_pandas()
+        d = cents.shape[1]
+        sums = np.zeros((k, d), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        cids = parts["centroid"].to_numpy()
+        np.add.at(counts, cids, parts["n"].to_numpy())
+        np.add.at(sums, cids, np.stack(parts["sum"].to_numpy()))
+        nonempty = counts > 0
+        new = cents.astype(np.float64).copy()
+        new[nonempty] = sums[nonempty] / counts[nonempty, None]
+        cents = _normalize(new.astype(np.float32))
+    return cents
+
+
 class IvfAssign:
     """Adds an ivf_bucket column: argmax cosine against the centroids."""
 

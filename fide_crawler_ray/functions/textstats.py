@@ -17,8 +17,12 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-_WORD = re.compile(r"\w+")
-_WS = re.compile(r"\s+")
+# re.ASCII pins parity with the DuckDB oracles: RE2's \w / \s are ASCII
+# classes, while Python's default is Unicode — they agree on ASCII-only
+# corpora (the current testdata) but would silently diverge on non-ASCII
+# text without the flag.
+_WORD = re.compile(r"\w+", re.ASCII)
+_WS = re.compile(r"\s+", re.ASCII)
 
 # language profiles for the n-gram/stopword heuristic language-ID.
 # Tiny on purpose: a deterministic, explainable heuristic, not a model.
@@ -94,6 +98,9 @@ class LangId:
 
     def __init__(self, profiles: dict[str, set[str]] | None = None):
         self.profiles = {k: frozenset(v) for k, v in (profiles or LANG_PROFILES).items()}
+        # Unicode \w on purpose (unlike the oracled kernels above): the
+        # profiles contain non-ASCII stopwords ("für", "não") and this
+        # stage has no SQL oracle to stay bit-parallel with.
         self.word = re.compile(r"\w+")
         self.langs = sorted(self.profiles)
 

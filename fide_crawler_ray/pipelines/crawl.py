@@ -121,10 +121,13 @@ class CrawlResult:
         return ray.get([s.stats.remote() for s in self.shards])
 
     def fetch_log(self) -> list[tuple[int, int, str]]:
-        """Merged crawl order: per-shard logs merged by (vts, priority)."""
+        """Merged crawl order: per-shard logs in global priority order
+        with virtual-time tiebreak. Requires ``run_crawl(...,
+        record_log=True)`` — the log is opt-in (ordering tests only) so
+        the hot shard path carries no unbounded state in production."""
         logs = ray.get([s.get_fetch_log.remote() for s in self.shards])
         merged = [e for log in logs for e in log]
-        merged.sort(key=lambda e: (e[1],))  # global priority order
+        merged.sort(key=lambda e: (e[1], e[0]))  # (priority, vts)
         return merged
 
     def seen_hashes(self) -> set[bytes]:
@@ -166,6 +169,7 @@ def run_crawl(
     persist_docs: bool = True,
     persist_games: bool = True,
     checkpoint_every: int = 1,
+    record_log: bool = False,
 ) -> CrawlResult:
     """Run the crawl to frontier exhaustion (or ``max_epochs``, for the
     checkpoint/resume tests). See module docstring."""
@@ -176,7 +180,8 @@ def run_crawl(
         seeds = synth.seed_queries(cfg)
 
     shards = [
-        FrontierShard.remote(k, n_shards, politeness_gap_us=politeness_gap_us)
+        FrontierShard.remote(k, n_shards, politeness_gap_us=politeness_gap_us,
+                             record_log=record_log)
         for k in range(n_shards)
     ]
     epoch0 = 0

@@ -444,10 +444,44 @@ def q_ann_bruteforce(sf_dir):
 
 
 def q_ann_ivf(sf_dir):
-    """IVF-bucketed ANN (rows-only; recall vs brute force is tested)."""
+    """IVF-bucketed ANN with k-means centroids (rows-only; recall vs
+    brute force is asserted by ann_ivf_recall)."""
     emb = T(sf_dir, "embeddings", ["vec_id", "embedding"])
-    cents = ANN.sample_centroids(emb, n_centroids=16)
-    return ANN.ivf_search(emb, cents, _queries_matrix(sf_dir), k=10, nprobe=4)
+    cents = ANN.kmeans_centroids(emb, n_centroids=16, iters=5)
+    # nprobe=8/16: the synthetic embeddings are near-uniform (no cluster
+    # structure), so cosine neighbors scatter across buckets — half the
+    # buckets probed buys recall 0.8 at 2x pruning; real clustered
+    # corpora probe far fewer.
+    return ANN.ivf_search(emb, cents, _queries_matrix(sf_dir), k=10, nprobe=8)
+
+
+def q_ann_ivf_recall(sf_dir):
+    """Recall@10 of IVF (nprobe=8 of 16 buckets) against the exact
+    brute-force top-k — the numeric quality gate for the approximate
+    path. Asserts the threshold so a recall regression fails the run,
+    not just drifts."""
+    brute = to_df_any(q_ann_bruteforce(sf_dir))
+    ivf = to_df_any(q_ann_ivf(sf_dir))
+    hits = total = 0
+    for qid in sorted(brute["query_id"].unique()):
+        b = set(brute.loc[brute["query_id"] == qid, "vec_id"])
+        i = set(ivf.loc[ivf["query_id"] == qid, "vec_id"])
+        hits += len(b & i)
+        total += len(b)
+    recall = hits / max(total, 1)
+    assert recall >= 0.7, f"IVF recall@10 regressed: {recall:.3f} < 0.7"
+    return pd.DataFrame([{"recall_at_10": _canon(recall, 6),
+                          "n_queries": int(brute["query_id"].nunique())}])
+
+
+def to_df_any(result):
+    import ray.data as _rd
+
+    if isinstance(result, _rd.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
 
 
 # ========================================================= windows
@@ -640,6 +674,7 @@ def queries() -> dict:
         "dedup_embedding": q_dedup_embedding,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_recall": q_ann_ivf_recall,
         "events_tumbling": q_events_tumbling,
         "events_sessionize": q_events_sessionize,
         "set_union": q_set_union,

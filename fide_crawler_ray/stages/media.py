@@ -57,11 +57,54 @@ def materialize_media_batch(batch: pa.Table, ref_col: str = "profile_photo") -> 
     )
 
 
+def parse_image_dims(payload: bytes) -> tuple[int, int] | None:
+    """Pure-python (width, height) from PNG / JPEG / GIF headers — no
+    image library needed. Returns None for unrecognized or truncated
+    payloads (pixel formats beyond the header are NOT validated; this is
+    a header parse, not a decode)."""
+    n = len(payload)
+    # PNG: 8-byte signature, IHDR width/height big-endian at offsets 16/20
+    if n >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+        w = int.from_bytes(payload[16:20], "big")
+        h = int.from_bytes(payload[20:24], "big")
+        return (w, h) if w and h else None
+    # GIF: 'GIF87a'/'GIF89a', logical screen size little-endian at 6/8
+    if n >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w = int.from_bytes(payload[6:8], "little")
+        h = int.from_bytes(payload[8:10], "little")
+        return (w, h) if w and h else None
+    # JPEG: walk markers to the first SOFn frame header
+    if n >= 4 and payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < n:
+            if payload[i] != 0xFF:
+                i += 1
+                continue
+            marker = payload[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = int.from_bytes(payload[i + 2:i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 <= n:
+                    h = int.from_bytes(payload[i + 5:i + 7], "big")
+                    w = int.from_bytes(payload[i + 7:i + 9], "big")
+                    return (w, h) if w and h else None
+                return None
+            i += 2 + seg_len
+    return None
+
+
 class ImageDecodeStub:
-    """Actor-pool decode stage. Real decode when PIL exists; otherwise a
-    deterministic stub (dims derived from payload hash) so the Ray-side
-    plumbing — schema, batch size, actor lifecycle — is exercised and
-    tested end-to-end."""
+    """Actor-pool decode stage. Decode priority per payload:
+
+    1. PIL, when importable (absent in this environment);
+    2. pure-python header parse (``parse_image_dims``) — REAL dimensions
+       for PNG/JPEG/GIF payloads, no image library needed;
+    3. deterministic hash-derived stub dims (the synthetic site's photo
+       payloads are fake bytes, and the Ray-side plumbing — schema,
+       batch size, actor lifecycle — must still be exercised end-to-end).
+    """
 
     def __init__(self):
         try:
@@ -82,6 +125,9 @@ class ImageDecodeStub:
                     return im.size
             except Exception:
                 return (None, None)
+        dims = parse_image_dims(payload)
+        if dims is not None:
+            return dims
         # STUB: deterministic fake dimensions from the payload digest
         d = hashlib.sha1(payload).digest()
         return (64 + d[0] % 192, 64 + d[1] % 192)

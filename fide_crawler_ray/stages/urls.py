@@ -55,7 +55,17 @@ def host_of(url: str) -> str:
 def pack_priority(seed_rank: int, result_idx: int, kind: int, month_idx: int) -> int:
     """seed_rank(12b) | result_idx(16b) | kind(2b) | month_idx(16b) → <2^46,
     leaving 16 low bits free for the span-offset lineage suffix.
-    result_idx 0 is the search page itself; results are 1-based."""
+    result_idx 0 is the search page itself; results are 1-based.
+
+    Range-guarded: a field overflowing its bit width would silently bleed
+    into higher fields, corrupting crawl ordering and the lineage
+    tiebreak (fetch_log merging sorts by priority)."""
+    if not (0 <= seed_rank < (1 << 12) and 0 <= result_idx < (1 << 16)
+            and 0 <= kind < (1 << 2) and 0 <= month_idx < (1 << 16)):
+        raise ValueError(
+            f"pack_priority field out of range: seed_rank={seed_rank} "
+            f"result_idx={result_idx} kind={kind} month_idx={month_idx}"
+        )
     return (seed_rank << 34) | (result_idx << 18) | (kind << 16) | month_idx
 
 

@@ -60,7 +60,8 @@ class FrontierShard:
     def __init__(self, shard_id: int, n_shards: int,
                  politeness_gap_us: int = 1_000_000,
                  seen_capacity: int = 1 << 16,
-                 seen_max_inmem: int = 1 << 20):
+                 seen_max_inmem: int = 1 << 20,
+                 record_log: bool = False):
         self.shard_id = shard_id
         self.n_shards = n_shards
         self.gap_us = politeness_gap_us
@@ -68,6 +69,11 @@ class FrontierShard:
         self.heaps: dict[str, list] = defaultdict(list)  # host → [(priority, row)]
         self.host_next_vts: dict[str, int] = defaultdict(int)
         self.robots: dict[str, list[str]] = {}  # host → disallow path prefixes
+        # fetch log: OPT-IN (ordering tests only). On the production path
+        # it would be an O(total-pops) memory leak inside the most
+        # critical actor at a 10^10-URL frontier, so it defaults off and
+        # is excluded from snapshots when disabled.
+        self.record_log = record_log
         self.fetch_log: list[tuple[int, int, str]] = []  # (vts, priority, url)
         self.counters = defaultdict(int)
 
@@ -163,7 +169,8 @@ class FrontierShard:
                 nxt is None or (vts, host) < nxt
             ):
                 prio, url, row = heapq.heappop(heap)
-                self.fetch_log.append((vts, prio, url))
+                if self.record_log:
+                    self.fetch_log.append((vts, prio, url))
                 out_rows.append(row)
                 out_vts.append(vts)
                 vts += self.gap_us
@@ -211,7 +218,7 @@ class FrontierShard:
             "host_next_vts": dict(self.host_next_vts),
             "robots": dict(self.robots),
             "seen": self.seen.state(),
-            "fetch_log": list(self.fetch_log),
+            "fetch_log": list(self.fetch_log) if self.record_log else [],
             "counters": dict(self.counters),
         }
 

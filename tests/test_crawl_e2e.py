@@ -27,7 +27,7 @@ GAP = 1_000_000
 def crawl_and_golden(tmp_path_factory):
     out = str(tmp_path_factory.mktemp("crawl"))
     res = C.run_crawl(CFG, out, n_shards=2, fetch_concurrency=2,
-                      politeness_gap_us=GAP)
+                      politeness_gap_us=GAP, record_log=True)
     golden = refsem.crawl(CFG)
     yield res, golden
     shutil.rmtree(out, ignore_errors=True)
@@ -89,7 +89,7 @@ def test_game_history_matches_reference(crawl_and_golden):
 def test_duplicate_seed_urls_dropped(tmp_path):
     seeds = synth.seed_queries(CFG) + [synth.seed_queries(CFG)[0]]
     out = str(tmp_path / "dupseed")
-    res = C.run_crawl(CFG, out, seeds=seeds, n_shards=2)
+    res = C.run_crawl(CFG, out, seeds=seeds, n_shards=2, record_log=True)
     ref_order, _, _, _ = refsem.crawl(CFG, seeds=seeds)
     assert [u for (_, _, u) in res.fetch_log()] == [U.canonicalize(u) for u in ref_order]
     stats = res.stats()
@@ -102,7 +102,7 @@ def test_robots_exclusion(tmp_path):
         robots_disallow=(("ratings.fide.com", "/profile/100001"),),
     )
     out = str(tmp_path / "robots")
-    res = C.run_crawl(cfg, out, n_shards=2)
+    res = C.run_crawl(cfg, out, n_shards=2, record_log=True)
     fetched = {u for (_, _, u) in res.fetch_log()}
     assert not any("/profile/100001" in u for u in fetched)
     # calc pages for that player are unaffected (different path)
@@ -136,7 +136,8 @@ def test_incremental_watermark_crawl(tmp_path):
     store1 = first.game_history()
 
     out2 = str(tmp_path / "w2")
-    second = C.run_crawl(CFG, out2, n_shards=2, incremental_store=store1)
+    second = C.run_crawl(CFG, out2, n_shards=2, incremental_store=store1,
+                         record_log=True)
     fetched2 = {u for (_, _, u) in second.fetch_log()}
     # months strictly inside every player's stored window are not refetched
     wm = C.watermark_windows(C.store_watermarks(store1))

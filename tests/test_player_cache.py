@@ -9,11 +9,11 @@ CFG = synth.SiteConfig(seed=42, n_players=6, n_queries=2, n_months=4)
 
 
 def test_player_store_preseed_suppresses_profile_refetch(tmp_path):
-    first = C.run_crawl(CFG, str(tmp_path / "one"), n_shards=2)
+    first = C.run_crawl(CFG, str(tmp_path / "one"), n_shards=2, record_log=True)
     fetched1 = {u for (_, _, u) in first.fetch_log()}
     assert any("/profile/" in u for u in fetched1)
 
-    second = C.run_crawl(CFG, str(tmp_path / "two"), n_shards=2,
+    second = C.run_crawl(CFG, str(tmp_path / "two"), n_shards=2, record_log=True,
                          player_store=first.players())
     fetched2 = {u for (_, _, u) in second.fetch_log()}
     assert not any("/profile/" in u and "calculations" not in u for u in fetched2)
