@@ -12,24 +12,28 @@ Five operators, all expressed as Dataset pipelines:
 - ``embedding_cosine_dedup``: random-hyperplane LSH buckets over the
   embedding column → within-bucket pairwise cosine → pairs → survivors.
 
-Scale contract (everything is a Dataset stage; NOTHING corpus-, pair- or
-text-sized ever lands on the driver):
+Scale contract (everything is a Dataset stage; the corpus and its texts
+never land on the driver, and every small-side structure is CARDINALITY
+GUARDED — broadcast-by-ref / bounded-driver below a threshold, a
+hash-partitioned join / distributed algorithm above it; both sides of
+every guard are pinned byte-identical by tests):
 
-- colliding-bucket selection is a hash-partitioned ``left_semi`` join of
-  band rows against the count≥2 bucket keys (no broadcast key set);
+- colliding-bucket selection: count≥2 bucket keys → guarded semi-filter
+  (``pc.is_in`` with ref-shipped value set, or ``left_semi`` join);
 - per-bucket pair generation is ``groupby(band_key).map_groups`` with a
   ``bucket_cap``: oversized buckets (a degenerate band — e.g. an
   all-identical shard of a duplicate-heavy corpus) emit star pairs
   (bucket-min vs member, O(n)) instead of all-pairs O(n²) — components
   still connect through the min, so survivor semantics are preserved;
-- candidate-pair texts come from two hash joins (pair→text on each end),
-  never a driver text lookup;
-- clustering is distributed min-label propagation over the verified-pair
-  edge Dataset (iterate: label(n) ← min over n ∪ neighbors, converged
-  when no label changes). Label propagation with min converges to the
-  component minimum — exactly the union-find-by-min-root semantics the
-  r1 driver implementation had, pinned by tests;
-- survivors are a ``left_anti`` join of docs against dropped labels.
+- pair verification: small pair sets ship the pair-named texts by ref
+  into lookup actors; large ones attach texts with two hash joins
+  (pair→text on each end) and stream;
+- clustering: small edge sets run a bounded driver union-find; large
+  ones run distributed min-label propagation over the edge Dataset
+  (iterate: label(n) ← min over n ∪ neighbors until no label changes —
+  converges to the component minimum, exactly union-find-by-min-root);
+- survivors: guarded anti-filter of docs against dropped labels
+  (``pc.is_in``-invert, or ``left_anti`` join).
 
 All dedup operators return ``(survivors_ds, pairs_ds)`` — both lazy
 Datasets (r1 returned a driver-side pair list; collecting pairs is now
@@ -52,6 +56,18 @@ from ..stages.fastagg import fast_groupby_agg
 # node count; the joins here move only band rows / candidate pairs (the
 # sparse LSH tail), not the corpus.
 N_JOIN_PARTS = 8
+
+# Cardinality guard (the fastagg pattern, applied to the dedup tail):
+# below these thresholds the small side broadcasts — as OBJECT REFS
+# consumed by vectorized pc.is_in filters, or as a bounded driver-side
+# union-find — and above them the hash-partitioned join / distributed
+# label-propagation paths run. Every Ray hash-shuffle join spins up its
+# aggregator actors (~1-2 s fixed cost), so joining a 256-row pair set
+# against a corpus is the wrong plan at small scale, and a corpus-sized
+# broadcast is the wrong plan at large scale; the guard picks per run.
+# Both paths are pinned byte-identical by tests/test_dedup_distributed.py.
+MAX_BROADCAST_KEYS = 2_000_000
+MAX_DRIVER_PAIRS = 200_000
 
 
 # ------------------------------------------------------------- exact
@@ -104,11 +120,67 @@ def _compact(ds, rows_per_block: int = 65536):
     return mat.repartition(k)
 
 
+# Per-worker cache of deserialized broadcast state (value sets / text
+# dicts), keyed by the shipping ObjectRef — each worker process builds
+# once and reuses across its tasks, so the filters can run as TASKS
+# (reusing warm workers) instead of paying actor-pool spin-up per stage.
+_bcast_cache: dict[str, object] = {}
+
+
+def _cached_broadcast(refs_ref, build):
+    import ray
+
+    key = refs_ref.hex()
+    hit = _bcast_cache.get(key)
+    if hit is None:
+        tables = ray.get(ray.get(refs_ref))
+        hit = build(pa.concat_tables(tables))
+        _bcast_cache.clear()
+        _bcast_cache[key] = hit
+    return hit
+
+
+def _is_in_stage(refs_ref, col: str, key_col: str, invert: bool):
+    """Vectorized membership filter with ref-shipped value set: key
+    blocks live in the object store; each worker concatenates them once
+    (cached) and probes per batch with one ``pc.is_in``. ``invert=True``
+    keeps NON-members."""
+
+    def _f(b: pa.Table) -> pa.Table:
+        vs = _cached_broadcast(refs_ref,
+                               lambda t: t[key_col].combine_chunks())
+        mask = pc.is_in(b[col], value_set=vs)
+        return b.filter(pc.invert(mask) if invert else mask)
+
+    return _f
+
+
+def _semi(ds, keys_ds, col: str, key_col: str, schema: pa.Schema,
+          invert: bool = False, max_broadcast: int | None = None):
+    """Guarded semi/anti-filter: keep ds rows whose `col` is (not, when
+    inverted) in keys_ds[key_col]. Small key sets broadcast by ref into
+    a pc.is_in map stage; large ones go through the hash-partitioned
+    left_semi/left_anti join. keys_ds must be materialized."""
+    import ray
+
+    if max_broadcast is None:
+        max_broadcast = MAX_BROADCAST_KEYS  # resolved at call time (tests patch it)
+    n = keys_ds.count()
+    if n <= max_broadcast:
+        rref = ray.put(keys_ds.to_arrow_refs())
+        return ds.map_batches(
+            _is_in_stage(rref, col, key_col, invert), batch_format="pyarrow",
+        )
+    joined = ds.join(keys_ds, "left_anti" if invert else "left_semi",
+                     N_JOIN_PARTS, on=(col,), right_on=(key_col,))
+    return _norm(joined, schema)
+
+
 def _colliding_rows(bands, key_col: str = "band_key"):
     """Band rows whose bucket key collides (count ≥ 2) — the sparse tail
-    of LSH. Hash-partitioned semi-join; no driver or broadcast key set.
-    Returns None when no bucket collides."""
-    bands = bands.materialize()  # sketched once; counted AND joined below
+    of LSH. Guarded semi-filter (broadcast refs small / semi-join big);
+    no driver key set either way. Returns None when no bucket collides."""
+    bands = bands.materialize()  # sketched once; counted AND probed below
     dup_keys = (
         fast_groupby_agg(bands, [key_col], {"n": (None, "count")})
         .filter(expr="n >= 2")
@@ -117,8 +189,8 @@ def _colliding_rows(bands, key_col: str = "band_key"):
     )
     if dup_keys.count() == 0:
         return None
-    joined = bands.join(dup_keys, "left_semi", N_JOIN_PARTS, on=(key_col,))
-    return _norm(joined, bands.schema().base_schema)
+    return _semi(bands, dup_keys, key_col, key_col,
+                 bands.schema().base_schema)
 
 
 def _distinct_pairs(pairs_ds, cols=("a", "b")):
@@ -150,10 +222,37 @@ def _pair_texts(pairs_ds, docs_ds, id_col: str = "doc_id",
     )
 
 
+def _verify_lookup_stage(texts_refs_ref, threshold: float, k_shingle: int,
+                         char_n: int | None, id_col: str, text_col: str):
+    """Verification stage for the SMALL-pair path: the texts of the docs
+    named by candidate pairs (is_in-filtered from the corpus, never the
+    corpus itself) ship as block refs; each worker builds the lookup
+    dict once (cached) and each pair row is an O(1) lookup + exact
+    Jaccard."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        texts = _cached_broadcast(
+            texts_refs_ref,
+            lambda t: dict(zip(t[id_col].to_pylist(), t[text_col].to_pylist())),
+        )
+        a = batch["a"].to_pylist()
+        b = batch["b"].to_pylist()
+        if char_n is None:
+            sims = [SK.jaccard(texts.get(x, ""), texts.get(y, ""), k_shingle)
+                    for x, y in zip(a, b)]
+        else:
+            sims = [SK.ngram_jaccard(texts.get(x, ""), texts.get(y, ""), char_n)
+                    for x, y in zip(a, b)]
+        t = batch.append_column("jaccard", pa.array(np.round(sims, 6), pa.float64()))
+        return t.filter(pc.greater_equal(t["jaccard"], threshold))
+
+    return _f
+
+
 class _VerifyJaccard:
     """Verification stage over joined pair rows (a, b, __text_a,
     __text_b): exact word-shingle (or char-n-gram) Jaccard, keep rows
-    ≥ threshold."""
+    ≥ threshold (the LARGE-pair path, fed by ``_pair_texts`` joins)."""
 
     def __init__(self, threshold: float, k_shingle: int, char_n: int | None):
         self.t = threshold
@@ -235,7 +334,8 @@ def _min_label_components(pairs_ds, max_iters: int = 30):
 
 
 def _dropped_nodes(pairs_ds):
-    """Dataset of every node whose component label is a smaller id."""
+    """Dataset of every node whose component label is a smaller id
+    (distributed label propagation — the LARGE-pair path)."""
     labels = _min_label_components(pairs_ds)
     return labels.map_batches(
         lambda b: pa.table(
@@ -245,40 +345,74 @@ def _dropped_nodes(pairs_ds):
     )
 
 
-def _drop_non_roots(docs_ds, pairs_ds, id_col: str):
-    """Survivors = docs minus every dropped node, as a ``left_anti`` join
-    — both sides stream through the exchange, nothing on the driver."""
-    return _norm(
-        docs_ds.join(_dropped_nodes(pairs_ds), "left_anti", N_JOIN_PARTS,
-                     on=(id_col,), right_on=("node",)),
-        docs_ds.schema().base_schema,
-    )
+def _dropped_nodes_guarded(verified, id_type: pa.DataType,
+                           max_driver_pairs: int | None = None):
+    """Dropped-node Dataset with the cardinality guard: a pair set below
+    the threshold clusters with a BOUNDED driver union-find (the edges
+    are the sparse tail — a few KB here vs ~10 s of join-actor spin-up
+    for the distributed loop); above it, distributed min-label
+    propagation. Identical output (union-by-min == min-label), pinned by
+    tests. `verified` must be materialized."""
+    if max_driver_pairs is None:
+        max_driver_pairs = MAX_DRIVER_PAIRS  # resolved at call time (tests patch it)
+    if verified.count() <= max_driver_pairs:
+        uf = SK.UnionFind()
+        for r in verified.select_columns(["a", "b"]).take_all():
+            uf.union(r["a"], r["b"])
+        dropped = sorted(x for x, root in uf.groups().items() if root != x)
+        return rd.from_arrow(pa.table({"node": pa.array(dropped, id_type)}))
+    return _dropped_nodes(verified)
 
 
-def _drop_non_roots_by_filter(ds, pairs_ds, id_col: str):
-    """Survivor filter for tables whose payload the Arrow join cannot
-    carry (list<float> embedding columns are unsupported as join non-key
-    fields): the dropped-id blocks are shipped by OBJECT REF and
-    concatenated inside each map actor (never on the driver), then the
-    filter is a vectorized ``pc.is_in``. Per-worker memory is the
-    dropped-id array (8 B/id) — fine for the sparse LSH tail; a
-    dup-majority corpus would need an id-only join + a bucketed
-    re-attach of the payload instead."""
+def _survivors_guarded(ds, verified, id_col: str,
+                       joinable: bool = True,
+                       max_driver_pairs: int | None = None):
+    """Survivors = rows whose id joins no smaller-id component member.
+    The dropped set goes through the guarded anti-filter (`_semi` with
+    invert): ref-broadcast pc.is_in when small, left_anti join when big.
+    ``joinable=False`` forces the broadcast path for tables whose payload
+    the Arrow join cannot carry (list<float> embedding columns are
+    unsupported as join non-key fields)."""
+    it = _id_type(ds, id_col)
+    dropped = _dropped_nodes_guarded(verified, it, max_driver_pairs).materialize()
+    max_broadcast = None if joinable else (1 << 62)
+    return _semi(ds, dropped, id_col, "node", ds.schema().base_schema,
+                 invert=True, max_broadcast=max_broadcast)
+
+
+def _verified_minhash_pairs(pairs_ds, docs_ds, threshold: float,
+                            k_shingle: int, char_n: int | None = None,
+                            id_col: str = "doc_id", text_col: str = "text",
+                            max_driver_pairs: int | None = None):
+    """Exact-Jaccard verification of a (materialized) candidate-pair
+    Dataset, guarded: below the threshold the pair ids collect (bounded)
+    and the named texts ship by ref into lookup actors; above it, two
+    hash joins attach texts and verification streams."""
     import ray
 
-    dropped = _dropped_nodes(pairs_ds).materialize()
-    rref = ray.put(dropped.to_arrow_refs())
-
-    class _Drop:
-        def __init__(self):
-            t = pa.concat_tables(ray.get(ray.get(rref)))
-            self.vs = t["node"].combine_chunks()
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            mask = pc.is_in(b[id_col], value_set=self.vs)
-            return b.filter(pc.invert(mask))
-
-    return ds.map_batches(_Drop, batch_format="pyarrow", concurrency=2)
+    if max_driver_pairs is None:
+        max_driver_pairs = MAX_DRIVER_PAIRS  # resolved at call time (tests patch it)
+    if pairs_ds.count() <= max_driver_pairs:
+        ids = set()
+        for r in pairs_ds.select_columns(["a", "b"]).take_all():
+            ids.add(r["a"])
+            ids.add(r["b"])
+        it = _id_type(docs_ds, id_col)
+        needed = rd.from_arrow(pa.table({id_col: pa.array(sorted(ids), it)}))
+        texts = _semi(docs_ds.select_columns([id_col, text_col]),
+                      needed.materialize(), id_col, id_col,
+                      pa.schema([(id_col, it), (text_col, pa.string())])
+                      ).materialize()
+        tref = ray.put(texts.to_arrow_refs())
+        return pairs_ds.map_batches(
+            _verify_lookup_stage(tref, threshold, k_shingle, char_n,
+                                 id_col, text_col),
+            batch_format="pyarrow", batch_size=2048,
+        )
+    return _pair_texts(pairs_ds, docs_ds, id_col, text_col).map_batches(
+        _VerifyJaccard(threshold, k_shingle, char_n),
+        batch_format="pyarrow", batch_size=2048,
+    )
 
 
 def _empty_pairs(id_type: pa.DataType, score_col: str) -> "rd.Dataset":
@@ -341,39 +475,39 @@ def minhash_lsh_dedup(docs_ds, threshold: float = 0.7, n_perm: int = 128,
     """MinHash+LSH near-dedup. Returns (survivors_ds, verified_pairs_ds)
     — see the module docstring for the fully distributed plan."""
     # task-pool stage: MinHasher state (two rng-derived coefficient
-    # arrays) rebuilds in microseconds, so tasks beat actor-pool spin-up
+    # arrays) rebuilds in microseconds, so tasks beat actor-pool spin-up.
+    # batch_size=256: the sketch matmul stays vectorized at this size and
+    # a 5k-doc corpus splits into ~20 tasks instead of 5 (the sketch was
+    # parallelism-starved, not compute-bound).
     stage = _MinHashBands(n_perm, n_bands, k_shingle)
-    bands = docs_ds.map_batches(stage, batch_format="pyarrow", batch_size=1024)
+    bands = docs_ds.map_batches(stage, batch_format="pyarrow", batch_size=256)
     colliding = _colliding_rows(bands)
     if colliding is None:
         return docs_ds, _empty_pairs(_id_type(docs_ds, "doc_id"), "jaccard")
     cand = colliding.groupby("band_key").map_groups(
         _bucket_pairs_capped(bucket_cap), batch_format="pandas"
     )
-    pairs = _distinct_pairs(cand)
-    verified = _pair_texts(pairs, docs_ds).map_batches(
-        _VerifyJaccard(threshold, k_shingle, None),
-        batch_format="pyarrow", batch_size=2048,
+    pairs = _distinct_pairs(cand).materialize()
+    verified = _verified_minhash_pairs(
+        pairs, docs_ds, threshold, k_shingle
     ).materialize()
     if verified.count() == 0:
         return docs_ds, verified
-    return _drop_non_roots(docs_ds, verified, "doc_id"), verified
+    return _survivors_guarded(docs_ds, verified, "doc_id"), verified
 
 
 def ngram_jaccard_pairs(docs_ds, pairs: list[tuple], threshold: float = 0.5,
                         char_n: int = 5):
-    """Character-n-gram Jaccard verification over an explicit (small)
-    candidate list — the pair Dataset goes through the same join-based
-    text attach + verify stages as the LSH path."""
+    """Character-n-gram Jaccard verification over an explicit candidate
+    list — the pair Dataset goes through the same guarded verify stages
+    as the LSH path."""
     it = _id_type(docs_ds, "doc_id")
     pair_ds = rd.from_arrow(pa.table({
         "a": pa.array([p[0] for p in pairs], it),
         "b": pa.array([p[1] for p in pairs], it),
-    }))
-    return _pair_texts(pair_ds, docs_ds).map_batches(
-        _VerifyJaccard(threshold, 3, char_n),
-        batch_format="pyarrow", batch_size=2048,
-    )
+    })).materialize()
+    return _verified_minhash_pairs(pair_ds, docs_ds, threshold, 3,
+                                   char_n=char_n)
 
 
 # ------------------------------------------------------------ simhash
@@ -438,7 +572,7 @@ def simhash_dedup(docs_ds, max_hamming: int = 3, n_bands: int = 4,
     ).materialize()
     if verified.count() == 0:
         return docs_ds, verified
-    return _drop_non_roots(docs_ds, verified, "doc_id"), verified
+    return _survivors_guarded(docs_ds, verified, "doc_id"), verified
 
 
 # ------------------------------------------- embedding cosine near-dup
@@ -517,4 +651,5 @@ def embedding_cosine_dedup(embeddings_ds, threshold: float = 0.95,
     ).materialize()
     if verified.count() == 0:
         return embeddings_ds, verified
-    return _drop_non_roots_by_filter(embeddings_ds, verified, "vec_id"), verified
+    return _survivors_guarded(embeddings_ds, verified, "vec_id",
+                              joinable=False), verified

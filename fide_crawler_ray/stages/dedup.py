@@ -102,10 +102,11 @@ def _combine_dups_sorted(batch: pa.Table) -> pa.Table:
     df = batch.to_pandas()
     g = df.groupby(["a", "b"], sort=False).agg(o=("o", "min"), c=("c", "sum"))
     m = g.reset_index()[["a", "b", "o", "c"]]
-    keys = np.empty(len(m), dtype=_SIG_DT)
-    keys["a"] = m["a"].to_numpy().astype(np.uint64)
-    keys["b"] = m["b"].to_numpy().astype(np.uint64)
-    order = np.argsort(keys, kind="stable")
+    # lexsort on the two uint64 halves == structured (a, b) order, but
+    # radix-style — structured-void argsort is comparison-based and ~10x
+    # slower at 10^5+ keys
+    order = np.lexsort((m["b"].to_numpy().astype(np.uint64),
+                        m["a"].to_numpy().astype(np.uint64)))
     m = m.iloc[order]
     return pa.Table.from_pandas(m, preserve_index=False)
 
@@ -147,9 +148,13 @@ def _probe_arrays(refs) -> tuple:
             mins[at:at + m] = t["o"].to_numpy(zero_copy_only=False)
             cnts[at:at + m] = t["c"].to_numpy(zero_copy_only=False)
             at += m
-        order = np.argsort(keys, kind="stable")
-        keys, mins, cnts = keys[order], mins[order], cnts[order]
-        if n > 1:  # merge duplicate keys straddling block boundaries
+        if len(tables) > 1:
+            # blocks are each internally sorted by the combine; a multi-
+            # block arrival re-sorts (lexsort on the uint64 halves — the
+            # comparison-based structured argsort was the probe's hot
+            # spot) and merges keys straddling block boundaries
+            order = np.lexsort((keys["b"], keys["a"]))
+            keys, mins, cnts = keys[order], mins[order], cnts[order]
             starts = np.flatnonzero(
                 np.concatenate([[True], keys[1:] != keys[:-1]])
             )

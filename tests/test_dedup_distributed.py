@@ -72,6 +72,22 @@ def test_min_label_components_equals_union_find():
     assert got == exp  # identical component roots (min id)
 
 
+def test_guard_paths_identical(monkeypatch):
+    """Driver union-find / ref-broadcast path (default at toy scale) and
+    the distributed label-propagation + join path (forced by zeroing the
+    guard thresholds) must produce identical survivors and pairs."""
+    docs = _cluster_docs()
+    s_small, p_small = DT.minhash_lsh_dedup(docs, threshold=0.5)
+    small = sorted(s_small.to_pandas()["doc_id"])
+    pairs_small = sorted((r["a"], r["b"]) for r in p_small.take_all())
+
+    monkeypatch.setattr(DT, "MAX_DRIVER_PAIRS", 0)
+    monkeypatch.setattr(DT, "MAX_BROADCAST_KEYS", 0)
+    s_big, p_big = DT.minhash_lsh_dedup(docs, threshold=0.5)
+    assert sorted(s_big.to_pandas()["doc_id"]) == small
+    assert sorted((r["a"], r["b"]) for r in p_big.take_all()) == pairs_small
+
+
 def test_bucket_cap_star_pairing_preserves_components():
     """With a tiny bucket_cap every bucket degenerates to star pairs;
     survivors must still equal the uncapped run (components connect
