@@ -91,19 +91,23 @@ def q_a5_grouped_multi_agg(sf_dir):
 
 def q_a1_first_last(sf_dir):
     """A1: per-user first/last value by time + delta (the reference's
-    initial/final rating, ui/streamlit_ui.py:136-138)."""
+    initial/final rating, ui/streamlit_ui.py:136-138). Mergeable
+    first/last-by-order aggregate (stages/fastagg.grouped_first_last) —
+    no per-group Python, so the plan survives key counts growing with
+    data (the r1 map_groups version was one Python call per user)."""
+    from ..stages.fastagg import grouped_first_last
+
     ds = T(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    out = grouped_first_last(ds, ["user_id"], "value", ["ts", "event_id"])
 
-    def _fl(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        return pd.DataFrame([{
-            "user_id": g["user_id"].iloc[0],
-            "first_value": _canon(float(g["value"].iloc[0]), 6),
-            "last_value": _canon(float(g["value"].iloc[-1]), 6),
-            "value_delta": _canon(float(g["value"].iloc[-1] - g["value"].iloc[0]), 6),
-        }])
+    def _delta(b: pa.Table) -> pa.Table:
+        t = b.append_column(
+            "value_delta", pc.subtract(b["last_value"], b["first_value"])
+        )
+        return _canon_cols(t, {"first_value": 6, "last_value": 6,
+                               "value_delta": 6})
 
-    return ds.groupby("user_id").map_groups(_fl, batch_format="pandas")
+    return out.map_batches(_delta, batch_format="pyarrow")
 
 
 def q_a2_global_mean(sf_dir):
@@ -504,19 +508,15 @@ def q_events_tumbling(sf_dir):
 
 def q_events_sessionize(sf_dir):
     """Session windows (30-min inactivity gap) per user → session count.
-    Partition-by-key + in-group ts sort, per the streaming-shaped-workload
-    pattern (no event-time engine semantics needed)."""
+    Sort-based vectorized plan (stages/sessions.py): range-partitioned
+    sort + per-block session-start flags + a bounded one-row-per-block
+    boundary stitch — no per-key Python (the r1 map_groups version was
+    one call per user)."""
+    from ..stages.sessions import sessionize_counts
+
     ds = T(sf_dir, "events", ["user_id", "ts", "event_id"])
-
-    def _sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        gaps = g["ts"].diff() > pd.Timedelta(minutes=30)
-        return pd.DataFrame([{
-            "user_id": g["user_id"].iloc[0],
-            "n_sessions": int(1 + gaps.sum()),
-        }])
-
-    return ds.groupby("user_id").map_groups(_sessions, batch_format="pandas")
+    return sessionize_counts(ds, "user_id", "ts", ["event_id"],
+                             gap_seconds=30 * 60)
 
 
 # ==================================================== crawl (rows-only)

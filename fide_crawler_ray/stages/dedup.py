@@ -13,13 +13,18 @@ Execution plan — two cheap map passes instead of an all-to-all shuffle:
    synth-vs-reference parity tests pin exactness).
 2. partial min-lineage per signature per batch (pandas groupby — one row
    per distinct key per batch).
-3. partials coalesce into ONE small task (one row per distinct key) —
-   the classic pre-aggregate/combine: the partial table is ~24 B/key, so
-   even 10^8 keys combine in one 2.4 GB task; beyond that
-   ``dedup_dataset_join`` (hash groupby + Dataset.join) is the fallback.
-4. the (signature → min lineage) table broadcasts via ``ray.put`` as a
-   sorted structured numpy array; a final map pass keeps rows whose
-   lineage equals their key's minimum (vectorized searchsorted probe).
+3. partials coalesce into ONE small task (one row per distinct key,
+   with the global occurrence count carried along) — the classic
+   pre-aggregate/combine: the partial table is ~32 B/key, so even 10^8
+   keys combine in one ~3 GB task; past ``max_combine_rows`` partial
+   rows a cardinality guard reroutes to ``dedup_dataset_join`` (hash
+   groupby + Dataset.join) automatically.
+4. the combined (signature, min lineage, count) table ships by ref;
+   each probe worker merges the blocks once (cached), prunes to keys
+   with global count ≥ 2 — pruning must happen HERE, after the
+   cross-block merge, or a dup key whose partials straddle combine
+   calls would silently survive — and keeps rows whose lineage equals
+   their key's minimum (vectorized searchsorted probe).
 
 Why not ``groupby().map_groups(head(1))``: one Python call per group —
 92 s at sf0.1 (~500k groups). Why not aggregate+join: two all-to-all
@@ -87,7 +92,7 @@ def _partial_min(batch: pa.Table, key_cols, order_col: str) -> pa.Table:
     g = df.groupby(["a", "b"], sort=False)["o"]
     m = g.agg(["min", "size"]).reset_index()
     m.columns = ["a", "b", "o", "c"]
-    return pa.Table.from_pandas(m, preserve_index=False)
+    return pa.Table.from_pandas(m, preserve_index=False).replace_schema_metadata(None)
 
 
 def _combine_dups_sorted(batch: pa.Table) -> pa.Table:
@@ -108,7 +113,7 @@ def _combine_dups_sorted(batch: pa.Table) -> pa.Table:
     order = np.lexsort((m["b"].to_numpy().astype(np.uint64),
                         m["a"].to_numpy().astype(np.uint64)))
     m = m.iloc[order]
-    return pa.Table.from_pandas(m, preserve_index=False)
+    return pa.Table.from_pandas(m, preserve_index=False).replace_schema_metadata(None)
 
 
 def keep_first_group(g: pd.DataFrame, key_cols=DEDUP_KEY, order_col: str = "lineage") -> pd.DataFrame:

@@ -63,7 +63,7 @@ def fast_groupby_agg(ds, keys: list[str], aggs: dict[str, tuple[str | None, str]
             else:
                 raise ValueError(op)
         out = pd.DataFrame(cols).reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     def _final(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
@@ -81,7 +81,7 @@ def fast_groupby_agg(ds, keys: list[str], aggs: dict[str, tuple[str | None, str]
             elif op == "mean":
                 cols[name] = g[f"__{name}_s"].sum() / g[f"__{name}_c"].sum()
         out = pd.DataFrame(cols).reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     partial = ds.map_batches(_partial, batch_format="pyarrow").materialize()
     if partial.count() <= max_combine_rows:
@@ -89,6 +89,65 @@ def fast_groupby_agg(ds, keys: list[str], aggs: dict[str, tuple[str | None, str]
             _final, batch_format="pyarrow", batch_size=None
         )
     return _native_combine(partial, keys, aggs)
+
+
+def grouped_first_last(ds, keys: list[str], value_col: str,
+                       order_cols: list[str],
+                       max_combine_rows: int = DEFAULT_MAX_COMBINE_ROWS):
+    """Per-key first/last `value_col` by lexicographic `order_cols` —
+    fully mergeable, no per-group Python (the r1 version was a
+    ``map_groups`` per key: one Python call per user, unusable at 10^7
+    keys). Partial per batch: sort + vectorized groupby first/last,
+    carrying the order-key values of the chosen rows; combine: the same
+    operation over partials (associative), applied as a TREE when the
+    partial table exceeds one task. Returns a Dataset with columns
+    keys + first_value + last_value."""
+
+    def _partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(order_cols, kind="mergesort")
+        g = df.groupby(list(keys), sort=False, dropna=False)
+        f = g[[value_col] + list(order_cols)].first()
+        l = g[[value_col] + list(order_cols)].last()
+        out = f.join(l, lsuffix="__f", rsuffix="__l").reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    fo = [f"{c}__f" for c in order_cols]
+    lo = [f"{c}__l" for c in order_cols]
+
+    def _combine(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        df = b.to_pandas()
+        first_cols = [f"{value_col}__f"] + fo
+        last_cols = [f"{value_col}__l"] + lo
+        f = (df.sort_values(fo, kind="mergesort")
+               .groupby(list(keys), sort=False, dropna=False)[first_cols].first())
+        l = (df.sort_values(lo, kind="mergesort")
+               .groupby(list(keys), sort=False, dropna=False)[last_cols].last())
+        out = f.join(l).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    part = ds.map_batches(_partial, batch_format="pyarrow").materialize()
+    # tree combine: halve until one task can finish (combine is
+    # associative, so any grouping of partials gives the same answer)
+    while part.count() > max_combine_rows:
+        nb = max(1, part.num_blocks() // 4)
+        part = part.repartition(nb).map_batches(
+            _combine, batch_format="pyarrow", batch_size=None
+        ).materialize()
+        if nb == 1:
+            break
+    final = part.repartition(1).map_batches(
+        _combine, batch_format="pyarrow", batch_size=None
+    )
+    return final.map_batches(
+        lambda b: pa.table(
+            {**{k: b[k] for k in keys},
+             "first_value": b[f"{value_col}__f"],
+             "last_value": b[f"{value_col}__l"]}
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def _native_combine(partial, keys, aggs):

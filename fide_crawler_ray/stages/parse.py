@@ -220,9 +220,11 @@ def parse_calc_batch(batch: pa.Table) -> pa.Table:
         # spans than game rows → IndexError on the color zip) is skipped
         # whole, mirroring the reference's per-page error swallow (bare
         # except at data_fetching_processing.py:195) instead of killing
-        # the fetch/parse task. Rows buffer doc-locally and commit only
-        # on a clean parse, so a partial document never leaks rows.
-        doc: dict[str, list] = {c: [] for c in out}
+        # the fetch/parse task. Rows append directly to the batch output
+        # (this loop is the crawl's hot path) and roll back to the
+        # document's start mark on error, so a partial document never
+        # leaks rows.
+        mark = len(out["lineage"])
         try:
             colors = ["white" if "clr_wh" in s["media_ref"] else "black"
                       for s in spans if s["kind"] == "media"]
@@ -240,23 +242,23 @@ def parse_calc_batch(batch: pa.Table) -> pa.Table:
                     color_index += 1
                     if not all([f[0], f[1], f[2], f[3], f[4], f[5], f[6]]):
                         continue  # dropna: missing required field (:192)
-                    doc["fide_id"].append(fid)
-                    doc["date"].append(tdate)
-                    doc["tournament_name"].append(tname)
-                    doc["country"].append(f[2])
-                    doc["player_name"].append(pname)
-                    doc["player_rating"].append(rating)
-                    doc["player_color"].append(color)
-                    doc["opponent_name"].append(f[0])
-                    doc["opponent_rating"].append(f[1])
-                    doc["result"].append(f[3])
-                    doc["chg"].append(f[4])
-                    doc["k"].append(f[5])
-                    doc["k_chg"].append(f[6])
-                    doc["lineage"].append((prio << 16) | s["offset"])
+                    out["fide_id"].append(fid)
+                    out["date"].append(tdate)
+                    out["tournament_name"].append(tname)
+                    out["country"].append(f[2])
+                    out["player_name"].append(pname)
+                    out["player_rating"].append(rating)
+                    out["player_color"].append(color)
+                    out["opponent_name"].append(f[0])
+                    out["opponent_rating"].append(f[1])
+                    out["result"].append(f[3])
+                    out["chg"].append(f[4])
+                    out["k"].append(f[5])
+                    out["k_chg"].append(f[6])
+                    out["lineage"].append((prio << 16) | s["offset"])
         except (IndexError, ValueError, KeyError):
+            for c in out:  # roll back the partial document
+                del out[c][mark:]
             continue  # skip malformed document (reference parity)
-        for c, vals in doc.items():
-            out[c].extend(vals)
     t = pa.table({c: pa.array(out[c], pa.string()) for c in _GAME_COLS})
     return t.append_column("lineage", pa.array(out["lineage"], pa.int64()))

@@ -59,6 +59,65 @@ def test_fastagg_native_fallback_identical():
     )
 
 
+def test_grouped_first_last_matches_pandas_and_tree_path():
+    from fide_crawler_ray.stages.fastagg import grouped_first_last
+
+    rng = np.random.default_rng(5)
+    n = 6000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 80, n),
+        "o1": rng.integers(0, 50, n),
+        "o2": np.arange(n),  # unique tiebreak
+        "v": rng.integers(0, 1000, n).astype("float64"),
+    })
+    ds = rd.from_pandas(df)
+
+    def run(**kw):
+        out = grouped_first_last(ds, ["k"], "v", ["o1", "o2"], **kw).to_pandas()
+        return out.sort_values("k").reset_index(drop=True)
+
+    got = run()
+    tree = run(max_combine_rows=50)  # force several tree-combine rounds
+    pd.testing.assert_frame_equal(got, tree)
+
+    s = df.sort_values(["o1", "o2"], kind="mergesort")
+    exp = pd.DataFrame({
+        "k": sorted(df["k"].unique()),
+        "first_value": s.groupby("k")["v"].first().sort_index().to_numpy(),
+        "last_value": s.groupby("k")["v"].last().sort_index().to_numpy(),
+    })
+    pd.testing.assert_frame_equal(got.astype({"k": "int64"}), exp, check_dtype=False)
+
+
+def test_sessionize_counts_boundary_stitch_matches_pandas():
+    """Sort-based sessionize with sessions deliberately spanning block
+    boundaries (8 input blocks) must equal the per-key pandas answer."""
+    from fide_crawler_ray.stages.sessions import sessionize_counts
+
+    rng = np.random.default_rng(9)
+    n = 4000
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 25, n),
+        # mixture of small gaps (same session) and >30min jumps
+        "ts": base + pd.to_timedelta(
+            np.cumsum(rng.choice([60, 120, 2400], n)), unit="s"),
+        "event_id": np.arange(n),
+    })
+    ds = rd.from_pandas(df).repartition(8)
+    got = (sessionize_counts(ds, "user_id", "ts", ["event_id"], 1800)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+
+    def _ref(g):
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        return int(1 + (g["ts"].diff() > pd.Timedelta(minutes=30)).sum())
+
+    exp = (df.groupby("user_id").apply(_ref, include_groups=False)
+           .rename("n_sessions").reset_index()
+           .sort_values("user_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_dedup_cardinality_guard_reroutes_identically():
     rng = np.random.default_rng(11)
     n = 4000

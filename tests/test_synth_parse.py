@@ -60,6 +60,29 @@ def test_calc_parser_matches_reference_positional():
         assert g == r
 
 
+def test_calc_parser_skips_malformed_doc_without_leaking_rows():
+    """A calc doc with fewer media spans than game rows (IndexError on
+    the color zip) is skipped WHOLE — no partial rows leak, the task
+    survives, and well-formed docs in the same batch still parse
+    (reference parity: bare except per page, data_fetching_processing
+    .py:195)."""
+    pid = synth.player_ids(CFG)[0]
+    m = synth.months_of(CFG)[0]
+    good = synth.render_calc(CFG, pid, m)
+    n_games = sum(1 for s in good["spans"] if s["kind"] == "game")
+    assert n_games > 0
+    bad = dict(good)
+    bad["spans"] = [s for s in good["spans"] if s["kind"] != "media"][:-1] + \
+        [s for s in good["spans"] if s["kind"] == "media"][:1]
+    # bad doc: ≥2 game rows but only 1 media span → IndexError mid-doc
+    batch = _doc_batch([bad, good], [pid, pid], ["x", "x"], [0, 1 << 20])
+    out = P.parse_calc_batch(batch)
+    good_only = P.parse_calc_batch(_doc_batch([good], [pid], ["x"], [1 << 20]))
+    assert out.num_rows == good_only.num_rows  # bad doc contributed 0 rows
+    assert out.drop_columns(["lineage"]).to_pylist() == \
+        good_only.drop_columns(["lineage"]).to_pylist()
+
+
 def test_calc_parser_drops_footnote_and_handles_empty():
     # find a month with no calc table
     found_empty = False
