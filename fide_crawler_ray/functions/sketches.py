@@ -29,6 +29,18 @@ def shingles(text: str, k: int = 3) -> list[str]:
     return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
 
 
+def char_shingles(text: str, n: int = 5) -> list[str]:
+    """Lowercased character n-grams (the shingle family behind the
+    n-gram-Jaccard dedup flavor); a doc shorter than n chars yields one
+    shingle."""
+    t = (text or "").lower()
+    if not t:
+        return []
+    if len(t) <= n:
+        return [t]
+    return [t[i : i + n] for i in range(len(t) - n + 1)]
+
+
 def _hash64(strings: list[str]) -> np.ndarray:
     """Deterministic 64-bit hashes, vectorized (pandas siphash with a
     fixed key — C speed; a per-string hashlib loop was the minhash
@@ -62,11 +74,13 @@ class MinHasher:
             vals = self.a[:, None] * x[None, :] + self.b[:, None]
         return vals.min(axis=1)
 
-    def signatures(self, texts: list[str], k: int = 3) -> np.ndarray:
+    def signatures(self, texts: list[str], k: int = 3,
+                   shingler=shingles) -> np.ndarray:
         """Batch signatures: one (n_perm × total_shingles) multiply for
         the whole batch + segment-min via ``minimum.reduceat`` — far
-        cheaper than a per-document matmul loop."""
-        hashes = [_hash64(shingles(t, k)) for t in texts]
+        cheaper than a per-document matmul loop. ``shingler`` picks the
+        shingle family (word ``shingles`` or ``char_shingles``)."""
+        hashes = [_hash64(shingler(t, k)) for t in texts]
         sigs = np.full((len(texts), self.n_perm), np.iinfo(np.uint64).max,
                        dtype=np.uint64)
         nonempty = [i for i, h in enumerate(hashes) if len(h)]

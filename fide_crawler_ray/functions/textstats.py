@@ -124,7 +124,9 @@ class LangId:
                 confs.append(0.0)
             else:
                 preds.append(best)
-                confs.append(round(top / len(toks), 6))
+                # fixed-point round (see pipelines/queries.py float
+                # policy) so the DuckDB oracle matches bitwise
+                confs.append(round(top / len(toks) * 1e6) / 1e6)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],

@@ -431,14 +431,17 @@ def _id_type(ds, col: str) -> pa.DataType:
 # ------------------------------------------------------- minhash + LSH
 
 class _MinHashBands:
-    def __init__(self, n_perm: int, n_bands: int, k_shingle: int):
+    def __init__(self, n_perm: int, n_bands: int, k_shingle: int,
+                 shingler=SK.shingles):
         self.mh = SK.MinHasher(n_perm=n_perm)
         self.n_bands = n_bands
         self.k = k_shingle
+        self.shingler = shingler
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_pylist()
-        sigs = self.mh.signatures(batch["text"].to_pylist(), self.k)
+        sigs = self.mh.signatures(batch["text"].to_pylist(), self.k,
+                                  self.shingler)
         ids, keys = [], []
         for doc_id, sig in zip(doc_ids, sigs):
             for bk in SK.band_keys(sig, self.n_bands):
@@ -490,6 +493,31 @@ def minhash_lsh_dedup(docs_ds, threshold: float = 0.7, n_perm: int = 128,
     pairs = _distinct_pairs(cand).materialize()
     verified = _verified_minhash_pairs(
         pairs, docs_ds, threshold, k_shingle
+    ).materialize()
+    if verified.count() == 0:
+        return docs_ds, verified
+    return _survivors_guarded(docs_ds, verified, "doc_id"), verified
+
+
+def ngram_jaccard_dedup(docs_ds, threshold: float = 0.8, char_n: int = 5,
+                        n_perm: int = 128, n_bands: int = 16,
+                        bucket_cap: int = 512):
+    """Character-n-gram Jaccard near-dedup (the fourth dedup flavor):
+    candidates from MinHash+LSH over CHAR n-gram shingles, verification
+    by exact char-n-gram Jaccard, then the same guarded clustering /
+    survivor plan as the word-shingle path. Returns
+    (survivors_ds, verified_pairs_ds)."""
+    stage = _MinHashBands(n_perm, n_bands, char_n, shingler=SK.char_shingles)
+    bands = docs_ds.map_batches(stage, batch_format="pyarrow", batch_size=256)
+    colliding = _colliding_rows(bands)
+    if colliding is None:
+        return docs_ds, _empty_pairs(_id_type(docs_ds, "doc_id"), "jaccard")
+    cand = colliding.groupby("band_key").map_groups(
+        _bucket_pairs_capped(bucket_cap), batch_format="pandas"
+    )
+    pairs = _distinct_pairs(cand).materialize()
+    verified = _verified_minhash_pairs(
+        pairs, docs_ds, threshold, char_n, char_n=char_n
     ).materialize()
     if verified.count() == 0:
         return docs_ds, verified

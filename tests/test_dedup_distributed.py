@@ -53,6 +53,16 @@ def test_simhash_pinned_survivors():
     assert 30 in got and 31 in got and 32 in got
 
 
+def test_ngram_jaccard_dedup_pinned_survivors():
+    survivors, pairs = DT.ngram_jaccard_dedup(_cluster_docs(), threshold=0.8)
+    got = sorted(survivors.to_pandas()["doc_id"])
+    # exact dup 11 always drops; one-char-class edits (12, 21, 22) stay
+    # near-identical at the char-5-gram level → clusters collapse to min
+    assert got == [10, 20, 30, 31, 32]
+    ps = {(r["a"], r["b"]) for r in pairs.take_all()}
+    assert (10, 11) in ps
+
+
 def test_min_label_components_equals_union_find():
     rng = np.random.default_rng(17)
     nodes = np.arange(0, 200)
