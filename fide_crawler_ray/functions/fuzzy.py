@@ -11,8 +11,6 @@ with ratio > 0 — a null-preserving left-outer enrich.
 
 from __future__ import annotations
 
-import numpy as np
-
 _PREFIXES = (
     "https://", "http://", "www.", "view.livechesscloud.com/#",
     "chess24.com/en/watch/live-tournaments/",
@@ -36,23 +34,31 @@ def clean_link(link: str) -> str:
 
 def lev_ratio(a: str, b: str) -> float:
     """Levenshtein ratio with substitution cost 2 (python-Levenshtein
-    compatible): 1.0 identical, 0.0 disjoint."""
+    compatible): 1.0 identical, 0.0 disjoint.
+
+    Two-row DP over plain Python lists — numpy scalar indexing in the
+    inner loop was ~10x slower (each cell paid a python→numpy call; the
+    fuzzy enrich dropped from ~9.7 s to ~1 s for 88×20 pairs)."""
     la, lb = len(a), len(b)
     if la == 0 and lb == 0:
         return 1.0
     if la == 0 or lb == 0:
         return 0.0
-    # O(la*lb) DP, two rows, sub cost 2
-    prev = np.arange(lb + 1, dtype=np.int32)
-    cur = np.empty(lb + 1, dtype=np.int32)
+    prev = list(range(lb + 1))
     for i in range(1, la + 1):
-        cur[0] = i
+        cur = [i] + [0] * lb
         ca = a[i - 1]
+        left = i
         for j in range(1, lb + 1):
             sub = prev[j - 1] + (0 if ca == b[j - 1] else 2)
-            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, sub)
-        prev, cur = cur, prev
-    d = int(prev[lb])
+            up = prev[j] + 1
+            left = sub if sub < up else up
+            c = cur[j - 1] + 1
+            if c < left:
+                left = c
+            cur[j] = left
+        prev = cur
+    d = prev[lb]
     return (la + lb - d) / (la + lb)
 
 

@@ -88,16 +88,17 @@ def exact_dedup(docs_ds):
 # ----------------------------------------- shared distributed plumbing
 
 def _norm(ds, schema: pa.Schema):
-    """Normalize block schemas after a join: Ray's hash-shuffle join (and
-    aggregate) emit ZERO-COLUMN blocks for empty partitions, which crash
-    any downstream join/projection ("No match for FieldRef" in Acero).
-    Rewrites empty batches to schema'd empty tables and fixes column
-    order on the rest."""
+    """Normalize NON-EMPTY block schemas after a join (column selection +
+    order). Ray's hash-shuffle join (and aggregate) emit ZERO-COLUMN
+    blocks for empty partitions, and ``map_batches`` never invokes the
+    fn on an empty block — so those cannot be fixed here: they must be
+    removed by ``_compact`` (before feeding another join) or skipped by
+    the combine tasks (stages/fastagg.py, stages/dedup.py)."""
     names = schema.names
 
     def _f(b: pa.Table) -> pa.Table:
         if b.num_rows == 0 or b.num_columns == 0:
-            return schema.empty_table()
+            return schema.empty_table()  # only batch-level empties arrive
         return b.select(names)
 
     return ds.map_batches(_f, batch_format="pyarrow")

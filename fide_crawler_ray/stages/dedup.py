@@ -95,25 +95,51 @@ def _partial_min(batch: pa.Table, key_cols, order_col: str) -> pa.Table:
     return pa.Table.from_pandas(m, preserve_index=False).replace_schema_metadata(None)
 
 
-def _combine_dups_sorted(batch: pa.Table) -> pa.Table:
-    """Combine partials: per-key (min order, summed count), sorted by
-    signature for binary search. Keys are NOT pruned here: pruning
-    "count < 2" inside a combine call is only sound if the call saw every
-    partial for the key — if the combine input ever split into two calls,
-    a duplicate key straddling them would get c=1 in each and BOTH rows
-    would survive silently. The global c ≥ 2 prune happens in
-    ``_probe_arrays``, after the cross-block sum-merge, where total
-    counts are known unconditionally."""
-    df = batch.to_pandas()
-    g = df.groupby(["a", "b"], sort=False).agg(o=("o", "min"), c=("c", "sum"))
-    m = g.reset_index()[["a", "b", "o", "c"]]
-    # lexsort on the two uint64 halves == structured (a, b) order, but
-    # radix-style — structured-void argsort is comparison-based and ~10x
-    # slower at 10^5+ keys
-    order = np.lexsort((m["b"].to_numpy().astype(np.uint64),
-                        m["a"].to_numpy().astype(np.uint64)))
-    m = m.iloc[order]
-    return pa.Table.from_pandas(m, preserve_index=False).replace_schema_metadata(None)
+@ray.remote
+def _combine_all_task(*tables: pa.Table) -> pa.Table:
+    """Combine ALL partial blocks in one explicit Ray task → sorted
+    DUP-ONLY (a, b, o, c) table.
+
+    Why a raw task and not ``repartition(1).map_batches(batch_size=
+    None)``: Ray splits any output block over ``target_max_block_size``
+    (128 MB default), so past ~4M partial rows the "single" combine
+    silently becomes several per-block calls — and pruning "count < 2"
+    inside a call is only sound if the call saw every partial for the
+    key (a dup key straddling calls would get c=1 in each and BOTH rows
+    would survive). A task receiving every block ref by construction has
+    no such failure mode, and pruning here keeps the probe broadcast
+    dup-sized (the unique majority never ships).
+
+    Vectorized: one concat + uint64 lexsort + reduceat min/sum."""
+    tables = [t for t in tables if t.num_rows > 0]  # empties are 0-column
+    n = sum(t.num_rows for t in tables)
+    a = np.empty(n, dtype=np.uint64)
+    b = np.empty(n, dtype=np.uint64)
+    o = np.empty(n, dtype=np.int64)
+    c = np.empty(n, dtype=np.int64)
+    at = 0
+    for t in tables:
+        m = t.num_rows
+        a[at:at + m] = t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b[at:at + m] = t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        o[at:at + m] = t["o"].to_numpy(zero_copy_only=False)
+        c[at:at + m] = t["c"].to_numpy(zero_copy_only=False)
+        at += m
+    order = np.lexsort((b, a))
+    a, b, o, c = a[order], b[order], o[order], c[order]
+    if n:
+        starts = np.flatnonzero(np.concatenate(
+            [[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])]))
+        o = np.minimum.reduceat(o, starts)
+        c = np.add.reduceat(c, starts)
+        a, b = a[starts], b[starts]
+    dup = c >= 2  # global counts — prune is safe here
+    return pa.table({
+        "a": pa.array(a[dup].astype(np.int64), pa.int64()),
+        "b": pa.array(b[dup].astype(np.int64), pa.int64()),
+        "o": pa.array(o[dup], pa.int64()),
+        "c": pa.array(c[dup], pa.int64()),
+    })
 
 
 def keep_first_group(g: pd.DataFrame, key_cols=DEDUP_KEY, order_col: str = "lineage") -> pd.DataFrame:
@@ -191,14 +217,7 @@ def dedup_dataset(ds, key_cols=DEDUP_KEY, order_col: str = "lineage",
     ).materialize()
     if partial.count() > max_combine_rows:
         return dedup_dataset_join(ds, key_cols, order_col)
-    mins_ds = (
-        partial.repartition(1)
-        .map_batches(_combine_dups_sorted, batch_format="pyarrow", batch_size=None)
-        .materialize()
-    )
-    if mins_ds.count() == 0:
-        return ds  # empty input
-    refs = mins_ds.to_arrow_refs()
+    refs = [_combine_all_task.remote(*partial.to_arrow_refs())]
 
     def _probe(batch: pa.Table) -> pa.Table:
         ks, ms = _probe_arrays(refs)

@@ -40,11 +40,33 @@ import pyarrow as pa
 DEFAULT_MAX_COMBINE_ROWS = 4_000_000
 
 
+def _dummy_row(schema: pa.Schema) -> pa.Table:
+    """One type-appropriate default row for `schema` — used to run the
+    pandas partial path on EMPTY batches without dtype degradation
+    (pandas aggregates over an empty frame demote dtypes, which makes
+    empty partial blocks schema-mismatch the non-empty ones)."""
+    cols = {}
+    for f in schema:
+        if pa.types.is_timestamp(f.type):
+            v = pa.array([0], pa.int64()).cast(f.type)
+        elif pa.types.is_string(f.type) or pa.types.is_large_string(f.type):
+            v = pa.array([""], f.type)
+        elif pa.types.is_binary(f.type) or pa.types.is_fixed_size_binary(f.type):
+            v = pa.array([b"\x00" * getattr(f.type, "byte_width", 1)], f.type)
+        else:
+            v = pa.array([0], pa.int64()).cast(f.type)
+        cols[f.name] = v
+    return pa.table(cols)
+
+
 def fast_groupby_agg(ds, keys: list[str], aggs: dict[str, tuple[str | None, str]],
                      max_combine_rows: int = DEFAULT_MAX_COMBINE_ROWS):
     """aggs: {out_col: (in_col_or_None, 'count'|'sum'|'min'|'max'|'mean')}."""
 
     def _partial(b: pa.Table) -> pa.Table:
+        empty = b.num_rows == 0
+        if empty:  # typed dummy row keeps the partial schema stable
+            b = _dummy_row(b.schema)
         df = b.to_pandas()
         g = df.groupby(list(keys), sort=False, dropna=False)
         cols = {}
@@ -63,32 +85,73 @@ def fast_groupby_agg(ds, keys: list[str], aggs: dict[str, tuple[str | None, str]
             else:
                 raise ValueError(op)
         out = pd.DataFrame(cols).reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
-
-    def _final(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        g = df.groupby(list(keys), sort=False, dropna=False)
-        cols = {}
-        for name, (col, op) in aggs.items():
-            if op == "count":
-                cols[name] = g[f"__{name}_c"].sum()
-            elif op == "sum":
-                cols[name] = g[f"__{name}_s"].sum()
-            elif op == "min":
-                cols[name] = g[f"__{name}_n"].min()
-            elif op == "max":
-                cols[name] = g[f"__{name}_x"].max()
-            elif op == "mean":
-                cols[name] = g[f"__{name}_s"].sum() / g[f"__{name}_c"].sum()
-        out = pd.DataFrame(cols).reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+        t = pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+        return t.slice(0, 0) if empty else t
 
     partial = ds.map_batches(_partial, batch_format="pyarrow").materialize()
     if partial.count() <= max_combine_rows:
-        return partial.repartition(1).map_batches(
-            _final, batch_format="pyarrow", batch_size=None
-        )
+        import ray
+        import ray.data as rd
+
+        # explicit Ray task, NOT repartition(1)+map_batches: Ray splits
+        # output blocks over target_max_block_size, so a large partial
+        # table would silently combine per-block and emit DUPLICATE keys;
+        # a task receiving every block ref sees everything by construction
+        ref = _final_combine_task.remote(list(keys), aggs,
+                                         *partial.to_arrow_refs())
+        return rd.from_arrow_refs([ref])
     return _native_combine(partial, keys, aggs)
+
+
+def _final_combine(b: pa.Table, keys, aggs) -> pa.Table:
+    df = b.to_pandas()
+    g = df.groupby(list(keys), sort=False, dropna=False)
+    cols = {}
+    for name, (col, op) in aggs.items():
+        if op == "count":
+            cols[name] = g[f"__{name}_c"].sum()
+        elif op == "sum":
+            cols[name] = g[f"__{name}_s"].sum()
+        elif op == "min":
+            cols[name] = g[f"__{name}_n"].min()
+        elif op == "max":
+            cols[name] = g[f"__{name}_x"].max()
+        elif op == "mean":
+            cols[name] = g[f"__{name}_s"].sum() / g[f"__{name}_c"].sum()
+    out = pd.DataFrame(cols).reset_index()
+    return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+
+def _lazy_final_combine_task():
+    import ray
+
+    @ray.remote
+    def _t(keys, aggs, *tables: pa.Table) -> pa.Table:
+        # drop empty blocks: Ray's map_batches never calls the partial fn
+        # on them, so they arrive zero-column and would fail the concat
+        live = [t for t in tables if t.num_rows > 0]
+        if not live:
+            return pa.table({})
+        return _final_combine(pa.concat_tables(live), keys, aggs)
+
+    return _t
+
+
+class _TaskHandle:
+    """Defers the @ray.remote declaration so importing this module never
+    touches Ray (library code must not initialize a session)."""
+
+    def __init__(self, factory):
+        self._factory = factory
+        self._fn = None
+
+    def remote(self, *args, **kw):
+        if self._fn is None:
+            self._fn = self._factory()
+        return self._fn.remote(*args, **kw)
+
+
+_final_combine_task = _TaskHandle(_lazy_final_combine_task)
 
 
 def grouped_first_last(ds, keys: list[str], value_col: str,
@@ -104,32 +167,27 @@ def grouped_first_last(ds, keys: list[str], value_col: str,
     keys + first_value + last_value."""
 
     def _partial(b: pa.Table) -> pa.Table:
+        empty = b.num_rows == 0
+        if empty:  # typed dummy row keeps the partial schema stable
+            b = _dummy_row(b.schema)
         df = b.to_pandas().sort_values(order_cols, kind="mergesort")
         g = df.groupby(list(keys), sort=False, dropna=False)
         f = g[[value_col] + list(order_cols)].first()
         l = g[[value_col] + list(order_cols)].last()
         out = f.join(l, lsuffix="__f", rsuffix="__l").reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
-
-    fo = [f"{c}__f" for c in order_cols]
-    lo = [f"{c}__l" for c in order_cols]
+        t = pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+        return t.slice(0, 0) if empty else t
 
     def _combine(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return b
-        df = b.to_pandas()
-        first_cols = [f"{value_col}__f"] + fo
-        last_cols = [f"{value_col}__l"] + lo
-        f = (df.sort_values(fo, kind="mergesort")
-               .groupby(list(keys), sort=False, dropna=False)[first_cols].first())
-        l = (df.sort_values(lo, kind="mergesort")
-               .groupby(list(keys), sort=False, dropna=False)[last_cols].last())
-        out = f.join(l).reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+        return _fl_combine(b, list(keys), value_col, list(order_cols))
 
     part = ds.map_batches(_partial, batch_format="pyarrow").materialize()
-    # tree combine: halve until one task can finish (combine is
-    # associative, so any grouping of partials gives the same answer)
+    # tree combine: per-BLOCK merging is associative, so intermediate
+    # rounds may combine any subset of partials; only the FINAL combine
+    # must see everything — hence an explicit Ray task (a repartition(1)
+    # map can silently split past target_max_block_size)
     while part.count() > max_combine_rows:
         nb = max(1, part.num_blocks() // 4)
         part = part.repartition(nb).map_batches(
@@ -137,9 +195,11 @@ def grouped_first_last(ds, keys: list[str], value_col: str,
         ).materialize()
         if nb == 1:
             break
-    final = part.repartition(1).map_batches(
-        _combine, batch_format="pyarrow", batch_size=None
-    )
+    import ray.data as rd
+
+    final = rd.from_arrow_refs([_fl_combine_task.remote(
+        list(keys), value_col, list(order_cols), *part.to_arrow_refs()
+    )])
     return final.map_batches(
         lambda b: pa.table(
             {**{k: b[k] for k in keys},
@@ -148,6 +208,36 @@ def grouped_first_last(ds, keys: list[str], value_col: str,
         ),
         batch_format="pyarrow",
     )
+
+
+def _fl_combine(b: pa.Table, keys, value_col, order_cols) -> pa.Table:
+    fo = [f"{c}__f" for c in order_cols]
+    lo = [f"{c}__l" for c in order_cols]
+    df = b.to_pandas()
+    first_cols = [f"{value_col}__f"] + fo
+    last_cols = [f"{value_col}__l"] + lo
+    f = (df.sort_values(fo, kind="mergesort")
+           .groupby(list(keys), sort=False, dropna=False)[first_cols].first())
+    l = (df.sort_values(lo, kind="mergesort")
+           .groupby(list(keys), sort=False, dropna=False)[last_cols].last())
+    out = f.join(l).reset_index()
+    return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+
+def _lazy_fl_combine_task():
+    import ray
+
+    @ray.remote
+    def _t(keys, value_col, order_cols, *tables: pa.Table) -> pa.Table:
+        live = [t for t in tables if t.num_rows > 0]  # see _final task note
+        if not live:
+            return pa.table({})
+        return _fl_combine(pa.concat_tables(live), keys, value_col, order_cols)
+
+    return _t
+
+
+_fl_combine_task = _TaskHandle(_lazy_fl_combine_task)
 
 
 def _native_combine(partial, keys, aggs):

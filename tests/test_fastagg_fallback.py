@@ -138,6 +138,41 @@ def test_dedup_cardinality_guard_reroutes_identically():
     assert a["lineage"].tolist() == exp
 
 
+def test_combine_correct_under_tiny_block_size():
+    """Ray splits output blocks over target_max_block_size, so a
+    'single-task' combine expressed as repartition(1)+map_batches can
+    silently run per-block — duplicating keys (fastagg) or letting
+    split dup keys survive (dedup). Both now combine in one explicit
+    Ray task; this pins correctness with the block cap forced tiny."""
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 16 * 1024  # 16 KB → everything splits
+    try:
+        ds, df = _events_ds(n=20000, seed=21)
+        out = _run(ds)
+        # every key appears exactly once
+        assert not out.duplicated(["k1", "k2"]).any()
+        exp = (df.groupby(["k1", "k2"])["v"]
+               .agg(n="size", total="sum", lo="min", hi="max", avg="mean")
+               .reset_index().sort_values(["k1", "k2"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+        rng = np.random.default_rng(22)
+        n = 30000
+        t = pa.table({
+            "key": pa.array(rng.integers(0, 12000, n)),
+            "lineage": pa.array(np.arange(n, dtype=np.int64)),
+        })
+        got = DD.dedup_dataset(rd.from_arrow(t), key_cols=("key",),
+                               order_col="lineage").to_pandas()
+        exp_l = t.to_pandas().groupby("key")["lineage"].min().sort_values()
+        assert sorted(got["lineage"]) == exp_l.tolist()
+    finally:
+        ctx.target_max_block_size = old
+
+
 def test_probe_arrays_merges_split_dup_key():
     """A dup key whose two partials land in different combined blocks
     (c=1 in each) must still be pruned as a duplicate after the
