@@ -569,6 +569,28 @@ def q_tournament_rollup(sf_dir):
     return df
 
 
+def q_media_features(sf_dir):
+    """M16 multimodal pipeline over the crawled players store: data-URI
+    parse → binary payload column → actor-pool decode (PIL → pure-python
+    header parse → deterministic stub) → hash-embedding features
+    (rows-only: binary payloads are not a SQL surface)."""
+    from ..stages.media import media_pipeline
+
+    players = q_crawl_players(sf_dir)
+    out = media_pipeline(players)
+    return out.map_batches(
+        lambda b: pa.table({
+            "fide_id": b["fide_id"],
+            "media_mime": b["media_mime"],
+            "media_len": b["media_len"],
+            "width": b["width"],
+            "height": b["height"],
+            "emb_dim": pc.list_value_length(b["media_embedding"]),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def q_fuzzy_match(sf_dir):
     """J3: fuzzy external join (Levenshtein argmax enrich) over crawled
     tournament names vs deterministic candidate links (rows-only)."""
@@ -707,6 +729,7 @@ def queries() -> dict:
         "crawl_players": q_crawl_players,
         "tournament_rollup": q_tournament_rollup,
         "fuzzy_match": q_fuzzy_match,
+        "media_features": q_media_features,
     }
 
 
