@@ -295,8 +295,7 @@ def q_j1_broadcast_join(sf_dir):
     Arrow table, and probed with vectorized ``pc.index_in`` + take — no
     per-row Python on the fact-table side."""
     seg_map = ray.put(
-        T(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-        .sort("c_custkey").to_arrow_refs()
+        T(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_arrow_refs()
     )
 
     class _Join:
@@ -618,18 +617,15 @@ def q_set_union(sf_dir):
 
 
 def q_topk_per_group(sf_dir):
-    """Top-3 orders by price within each order priority (grouped top-k:
-    sort + head per group)."""
+    """Top-3 orders by price within each order priority. Mergeable
+    grouped top-k (stages/fastagg.grouped_topk): per-batch vectorized
+    sort+head(k) partials → tree combine — no per-group Python, so the
+    plan survives group counts growing with data."""
+    from ..stages.fastagg import grouped_topk
+
     ds = T(sf_dir, "orders", ["o_orderpriority", "o_orderkey", "o_totalprice"])
-
-    def _top(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_totalprice", "o_orderkey"],
-                          ascending=[False, True]).head(3)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return ds.groupby("o_orderpriority").map_groups(_top, batch_format="pandas")
+    return grouped_topk(ds, ["o_orderpriority"],
+                        ["o_totalprice", "o_orderkey"], [False, True], 3)
 
 
 def q_events_sliding(sf_dir):

@@ -64,7 +64,13 @@ def read_all(root: str, name: str, **kwargs):
 
     Expands partitions to explicit file paths: ray.data.read_parquet only
     directory-expands the FIRST of multiple paths, so passing several
-    epoch directories fails on the second one."""
+    epoch directories fails on the second one.
+
+    ``**kwargs`` pass through to ``read_parquet`` — in particular
+    ``columns=[...]`` (column pruning) and ``filter=<pyarrow dataset
+    expression>`` (row-group predicate pushdown), so only the needed
+    columns/row groups leave storage (S3 pushdown contract; pinned by
+    tests/test_report_media.py::test_store_filter_pushdown)."""
     base = os.path.join(root, name)
     files = []
     if os.path.isdir(base):
@@ -82,6 +88,14 @@ def read_all(root: str, name: str, **kwargs):
         return None
     # partitioning=None: the epoch= path component is layout, not data
     kwargs.setdefault("partitioning", None)
+    cols = kwargs.pop("columns", None)
+    if cols is not None and kwargs.get("filter") is not None:
+        # Ray 2.49: columns + filter + partitioning=None crashes in
+        # _infer_columns (unbound partition_columns); apply the
+        # projection as a select (the optimizer pushes it into the scan)
+        return rd.read_parquet(files, **kwargs).select_columns(cols)
+    if cols is not None:
+        kwargs["columns"] = cols
     return rd.read_parquet(files, **kwargs)
 
 

@@ -142,12 +142,6 @@ def _combine_all_task(*tables: pa.Table) -> pa.Table:
     })
 
 
-def keep_first_group(g: pd.DataFrame, key_cols=DEDUP_KEY, order_col: str = "lineage") -> pd.DataFrame:
-    """Per-group exact keep-first (for small-group call sites)."""
-    g = g.sort_values(order_col, kind="mergesort")
-    return g.drop_duplicates(subset=list(key_cols), keep="first")
-
-
 # per-worker cache of the deserialized sorted min-table (one build per
 # worker process, reused across that worker's probe tasks)
 _probe_cache: dict[str, tuple] = {}

@@ -210,6 +210,69 @@ def grouped_first_last(ds, keys: list[str], value_col: str,
     )
 
 
+def grouped_topk(ds, keys: list[str], order_by: list[str],
+                 ascending: list[bool], k: int,
+                 max_combine_rows: int = DEFAULT_MAX_COMBINE_ROWS):
+    """Per-key top-k rows by `order_by` — mergeable (top-k of a union ==
+    top-k of per-part top-ks), so partials are vectorized
+    sort+groupby.head(k) per batch, tree-combined, with the final
+    combine as one explicit Ray task that also assigns 1-based ranks.
+    No per-group Python (the r1 version was map_groups per group)."""
+
+    def _sel(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(order_by, ascending=ascending, kind="mergesort")
+                  .groupby(list(keys), sort=False, dropna=False).head(k))
+
+    def _partial(b: pa.Table) -> pa.Table:
+        empty = b.num_rows == 0
+        if empty:
+            b = _dummy_row(b.schema)
+        out = _sel(b.to_pandas())
+        t = pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+        return t.slice(0, 0) if empty else t
+
+    part = ds.map_batches(_partial, batch_format="pyarrow").materialize()
+    while part.count() > max_combine_rows:
+        nb = max(1, part.num_blocks() // 4)
+        part = part.repartition(nb).map_batches(
+            lambda b: b if b.num_rows == 0 else pa.Table.from_pandas(
+                _sel(b.to_pandas()), preserve_index=False
+            ).replace_schema_metadata(None),
+            batch_format="pyarrow", batch_size=None,
+        ).materialize()
+        if nb == 1:
+            break
+    import ray.data as rd
+
+    ref = _topk_combine_task.remote(list(keys), list(order_by),
+                                    list(ascending), k,
+                                    *part.to_arrow_refs())
+    return rd.from_arrow_refs([ref])
+
+
+def _topk_combine(b: pa.Table, keys, order_by, ascending, k) -> pa.Table:
+    df = (b.to_pandas()
+          .sort_values(order_by, ascending=ascending, kind="mergesort")
+          .groupby(list(keys), sort=False, dropna=False).head(k))
+    df = df.sort_values(order_by, ascending=ascending, kind="mergesort")
+    df["rank"] = df.groupby(list(keys), sort=False, dropna=False).cumcount() + 1
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+
+def _lazy_topk_combine_task():
+    import ray
+
+    @ray.remote
+    def _t(keys, order_by, ascending, k, *tables: pa.Table) -> pa.Table:
+        live = [t for t in tables if t.num_rows > 0]
+        if not live:
+            return pa.table({})
+        return _topk_combine(pa.concat_tables(live), keys, order_by,
+                             ascending, k)
+
+    return _t
+
+
 def _fl_combine(b: pa.Table, keys, value_col, order_cols) -> pa.Table:
     fo = [f"{c}__f" for c in order_cols]
     lo = [f"{c}__l" for c in order_cols]
@@ -238,6 +301,7 @@ def _lazy_fl_combine_task():
 
 
 _fl_combine_task = _TaskHandle(_lazy_fl_combine_task)
+_topk_combine_task = _TaskHandle(_lazy_topk_combine_task)
 
 
 def _native_combine(partial, keys, aggs):

@@ -89,6 +89,37 @@ def test_grouped_first_last_matches_pandas_and_tree_path():
     pd.testing.assert_frame_equal(got.astype({"k": "int64"}), exp, check_dtype=False)
 
 
+def test_grouped_topk_matches_pandas_and_tree_path():
+    from fide_crawler_ray.stages.fastagg import grouped_topk
+
+    rng = np.random.default_rng(13)
+    n = 5000
+    df = pd.DataFrame({
+        "g": rng.integers(0, 40, n),
+        "v": rng.standard_normal(n),
+        "tie": np.arange(n),
+    })
+    ds = rd.from_pandas(df)
+
+    def run(**kw):
+        out = grouped_topk(ds, ["g"], ["v", "tie"], [False, True], 3, **kw)
+        return (out.to_pandas().sort_values(["g", "rank"])
+                .reset_index(drop=True))
+
+    got = run()
+    tree = run(max_combine_rows=64)  # force tree-combine rounds
+    pd.testing.assert_frame_equal(got, tree)
+
+    exp = (df.sort_values(["v", "tie"], ascending=[False, True])
+           .groupby("g").head(3)
+           .sort_values(["v", "tie"], ascending=[False, True]))
+    exp["rank"] = exp.groupby("g").cumcount() + 1
+    exp = exp.sort_values(["g", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["g", "v", "tie", "rank"]],
+                                  exp[["g", "v", "tie", "rank"]],
+                                  check_dtype=False)
+
+
 def test_sessionize_counts_boundary_stitch_matches_pandas():
     """Sort-based sessionize with sessions deliberately spanning block
     boundaries (8 input blocks) must equal the per-key pandas answer."""

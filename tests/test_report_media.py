@@ -52,6 +52,27 @@ def test_write_report_csv_and_md(tmp_path):
     assert pd.read_csv(written["csv"])["revenue"].tolist() == [1.0, 2.0]
 
 
+def test_store_filter_pushdown(tmp_path):
+    """S3: the store reader pushes column pruning and row predicates
+    down to the parquet scan."""
+    import pyarrow.dataset as pads
+
+    from fide_crawler_ray.sources import store as ST
+
+    t = pa.table({
+        "k": pa.array(range(100), pa.int64()),
+        "v": pa.array([f"row{i}" for i in range(100)], pa.string()),
+        "unused": pa.array([0.0] * 100, pa.float64()),
+    })
+    root = str(tmp_path / "st")
+    assert ST.write_epoch(rd.from_arrow(t), root, "tbl", 1) == 100
+    ds = ST.read_all(root, "tbl", columns=["k", "v"],
+                     filter=pads.field("k") >= 90)
+    df = ds.to_pandas()
+    assert list(df.columns) == ["k", "v"]
+    assert sorted(df["k"]) == list(range(90, 100))
+
+
 def test_write_report_row_cap(tmp_path):
     big = pd.DataFrame({"x": range(10)})
     try:
