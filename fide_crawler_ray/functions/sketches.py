@@ -185,3 +185,49 @@ class UnionFind:
 
     def groups(self) -> dict:
         return {x: self.find(x) for x in list(self.parent)}
+
+
+# ============================================================ HyperLogLog
+
+HLL_P = 14  # 2^14 = 16384 registers, ~0.81% standard error
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit avalanche hash (splitmix64 finalizer),
+    vectorized — uniform bits for HLL from integer keys."""
+    x = x.astype(np.uint64, copy=True)
+    x += np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def hll_partial(keys: np.ndarray, p: int = HLL_P) -> np.ndarray:
+    """One batch's HLL register array (uint8[2^p]); merge = elementwise
+    max — fully mergeable, so distinct-count scales with zero shuffle."""
+    h = _splitmix64(keys)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = h << np.uint64(p)  # low 64-p bits shifted to the top
+    # rank = leading zeros of `rest` within 64-p bits, +1; rest==0 → max
+    nz = rest != 0
+    lz = np.full(len(h), 64 - p, dtype=np.uint8)
+    if nz.any():
+        # floor(log2(rest)) via float64 exponent is exact for the top bit
+        top = np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.int64)
+        lz[nz] = (63 - top).astype(np.uint8)
+    rank = lz + 1
+    regs = np.zeros(1 << p, dtype=np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray, p: int = HLL_P) -> float:
+    """Standard HLL estimator with small-range (linear counting)
+    correction — the published Flajolet et al. formulation."""
+    m = float(1 << p)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return float(est)

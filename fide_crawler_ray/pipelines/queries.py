@@ -726,7 +726,14 @@ def queries() -> dict:
         "tournament_rollup": q_tournament_rollup,
         "fuzzy_match": q_fuzzy_match,
         "media_features": q_media_features,
+        **_relational_queries(),
     }
+
+
+def _relational_queries() -> dict:
+    from . import relational  # deferred: relational imports T from here
+
+    return relational.queries()
 
 
 ORACLES: dict[str, str] = {
@@ -972,4 +979,6 @@ ORACLES: dict[str, str] = {
 
 
 def oracle_sql() -> dict:
-    return dict(ORACLES)
+    from . import relational  # deferred: relational imports T from here
+
+    return {**ORACLES, **relational.ORACLES}
