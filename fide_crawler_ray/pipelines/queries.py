@@ -590,6 +590,96 @@ def q_media_features(sf_dir):
     )
 
 
+def q_media_thumbnails(sf_dir):
+    """Multimodal resize stage on top of the decode pipeline: actor-pool
+    ``ImageResizeStub`` (real aspect math; PIL-gated resample) producing
+    thumbnail dims + payload lengths (rows-only: binary surface)."""
+    from ..stages.media import MEDIA_BATCH_SIZE, ImageResizeStub, media_pipeline
+
+    out = media_pipeline(q_crawl_players(sf_dir)).map_batches(
+        ImageResizeStub, batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE, concurrency=2, num_cpus=0.5,
+    )
+    return out.map_batches(
+        lambda b: pa.table({
+            "fide_id": b["fide_id"],
+            "width": b["width"], "height": b["height"],
+            "thumb_width": b["thumb_width"],
+            "thumb_height": b["thumb_height"],
+            "thumb_len": pc.binary_length(b["thumb_payload"]),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def q_audio_framing(sf_dir):
+    """Audio framing over opaque binary payloads: documents' byte counts
+    stand in for PCM (1 byte/sample, 16 kHz; the codec decode is the
+    stubbed part — framing arithmetic is real). The actor stage computes
+    frames from the ACTUAL payload length; the oracle recomputes the
+    closed form from n_chars — so the binary plumbing is end-to-end
+    oracle-checked."""
+    from ..stages.media import MEDIA_BATCH_SIZE, AudioFrameStage
+
+    def _payload(b: pa.Table) -> pa.Table:
+        pays = [bytes(int(n)) for n in b["n_chars"].to_pylist()]
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "audio_payload": pa.array(pays, pa.binary()),
+        })
+
+    ds = T(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        _payload, batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE)
+    out = ds.map_batches(
+        AudioFrameStage, batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE, concurrency=2, num_cpus=0.5,
+    )
+    return out.map_batches(
+        lambda b: pa.table({
+            "doc_id": b["doc_id"],
+            "n_samples": b["n_samples"],
+            "n_frames": b["n_frames"],
+            # no rounding: duration is ONE IEEE division of the same
+            # integers on both sides → already bitwise identical
+            # (rounding would break: n/16000 × 1e6 lands exactly on .5
+            # for odd n, where pyarrow and SQL round different ways)
+            "duration_s": b["duration_s"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def q_video_frame_sample(sf_dir):
+    """Video frame-sampling plumbing: per-doc synthetic frame counts +
+    payloads → uniform deterministic index selection + digest frame
+    payloads (rows-only; index math unit-tested)."""
+    from ..stages.media import MEDIA_BATCH_SIZE, VideoFrameSampleStub
+
+    def _fake_video(b: pa.Table) -> pa.Table:
+        n = pc.cast(pc.add(pc.bit_wise_and(b["doc_id"], 255), 1), pa.int64())
+        pays = [str(i).encode() for i in b["doc_id"].to_pylist()]
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_video_frames": n,
+            "media_payload": pa.array(pays, pa.binary()),
+        })
+
+    ds = T(sf_dir, "documents", ["doc_id"]).map_batches(
+        _fake_video, batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE)
+    out = ds.map_batches(
+        VideoFrameSampleStub, batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE, concurrency=2, num_cpus=0.5,
+    )
+    return out.map_batches(
+        lambda b: pa.table({
+            "doc_id": b["doc_id"],
+            "n_video_frames": b["n_video_frames"],
+            "n_sampled": pc.list_value_length(b["sampled_frames"]),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def q_fuzzy_match(sf_dir):
     """J3: fuzzy external join (Levenshtein argmax enrich) over crawled
     tournament names vs deterministic candidate links (rows-only)."""
@@ -726,6 +816,9 @@ def queries() -> dict:
         "tournament_rollup": q_tournament_rollup,
         "fuzzy_match": q_fuzzy_match,
         "media_features": q_media_features,
+        "media_thumbnails": q_media_thumbnails,
+        "audio_framing": q_audio_framing,
+        "video_frame_sample": q_video_frame_sample,
         **_relational_queries(),
     }
 
@@ -974,6 +1067,16 @@ ORACLES: dict[str, str] = {
         SELECT CAST(query_id AS INT) AS query_id, vec_id,
                round(raw, 4) AS score, CAST(rank AS INT) AS rank
         FROM r WHERE rank <= 10
+    """,
+    # framing closed-form: engine computes from ACTUAL payload length,
+    # oracle from n_chars (payload is n_chars bytes by construction)
+    "audio_framing": """
+        SELECT doc_id, n_chars AS n_samples,
+               CASE WHEN n_chars >= 400
+                    THEN CAST(floor((n_chars - 400) / 160.0) AS BIGINT) + 1
+                    ELSE 0 END AS n_frames,
+               n_chars / 16000.0 AS duration_s
+        FROM documents
     """,
 }
 

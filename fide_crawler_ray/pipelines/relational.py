@@ -317,10 +317,25 @@ def q_hll_distinct(sf_dir):
         return pa.table({"regs": pa.array([hll_partial(keys).tobytes()],
                                           pa.binary())})
 
+    def _merge(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        regs = np.zeros(1 << HLL_P, dtype=np.uint8)
+        for buf in b["regs"].to_pylist():
+            np.maximum(regs, np.frombuffer(buf, dtype=np.uint8), out=regs)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    # register max is associative → tree-combine inside Ray; the driver
+    # only ever sees ≤32 partial buffers (one block per partial would be
+    # 16 KB × n_blocks — real memory at 100-TB block counts)
     parts = ds.map_batches(_partial, batch_format="pyarrow").materialize()
-    tables = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows > 0]
+    while parts.count() > 32:
+        parts = parts.repartition(
+            max(1, parts.num_blocks() // 8)
+        ).map_batches(_merge, batch_format="pyarrow",
+                      batch_size=None).materialize()
     regs = np.zeros(1 << HLL_P, dtype=np.uint8)
-    for t in tables:
+    for t in ray.get(parts.to_arrow_refs()):
         for buf in t["regs"].to_pylist():
             np.maximum(regs, np.frombuffer(buf, dtype=np.uint8), out=regs)
     approx = hll_estimate(regs)

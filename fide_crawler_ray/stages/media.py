@@ -180,3 +180,142 @@ def media_pipeline(players_ds, concurrency: int = 2):
         MediaFeatureStub, batch_format="pyarrow",
         batch_size=MEDIA_BATCH_SIZE, concurrency=concurrency, num_cpus=0.5,
     )
+
+
+def resize_dims(w: int, h: int, max_dim: int) -> tuple[int, int]:
+    """Aspect-preserving thumbnail dimensions (never upscales)."""
+    scale = min(1.0, max_dim / max(w, h, 1))
+    return (max(1, round(w * scale)), max(1, round(h * scale)))
+
+
+class ImageResizeStub:
+    """Actor-pool resize stage: real aspect-ratio math on the decoded
+    (width, height) columns; the pixel resample itself is PIL when
+    importable, else a deterministic stub payload (digest-derived bytes)
+    — same import-gating contract as ImageDecodeStub."""
+
+    def __init__(self, max_dim: int = 128):
+        self.max_dim = max_dim
+        try:
+            from PIL import Image
+
+            self._pil = Image
+        except ImportError:
+            self._pil = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tw, th, thumbs = [], [], []
+        widths = batch["width"].to_pylist()
+        heights = batch["height"].to_pylist()
+        payloads = batch["media_payload"].to_pylist()
+        for w, h, p in zip(widths, heights, payloads):
+            if w is None or h is None or p is None:
+                tw.append(None), th.append(None), thumbs.append(None)
+                continue
+            nw, nh = resize_dims(w, h, self.max_dim)
+            tw.append(nw)
+            th.append(nh)
+            if self._pil is not None:
+                import io
+
+                try:
+                    with self._pil.open(io.BytesIO(p)) as im:
+                        im.thumbnail((self.max_dim, self.max_dim))
+                        buf = io.BytesIO()
+                        im.save(buf, format="PNG")
+                        thumbs.append(buf.getvalue())
+                        continue
+                except Exception:
+                    pass
+            # STUB payload: deterministic digest bytes sized to the thumb
+            thumbs.append(hashlib.sha256(p).digest()[: max(8, (nw * nh) % 64)])
+        return (
+            batch.append_column("thumb_width", pa.array(tw, pa.int32()))
+            .append_column("thumb_height", pa.array(th, pa.int32()))
+            .append_column("thumb_payload", pa.array(thumbs, pa.binary()))
+        )
+
+
+def frame_offsets(n_samples: int, frame_len: int, hop: int):
+    """Sliding audio frame start offsets (sample units): 0, hop, 2·hop …
+    while a full frame fits. Pure framing math — real, not a stub."""
+    import numpy as np
+
+    if n_samples < frame_len:
+        return np.empty(0, dtype=np.int64)
+    return np.arange(0, n_samples - frame_len + 1, hop, dtype=np.int64)
+
+
+class AudioFrameStage:
+    """Actor-pool audio framing: opaque PCM-ish binary payload + sample
+    rate → frame count, duration, and the frame-offset list. The
+    sample-decode (codec) step would sit before this and is the stubbed
+    part elsewhere; framing itself is exact arithmetic over payload
+    length, so THIS stage is real and oracle-checkable."""
+
+    def __init__(self, frame_len: int = 400, hop: int = 160,
+                 sample_rate: int = 16_000, bytes_per_sample: int = 1):
+        self.frame_len, self.hop = frame_len, hop
+        self.rate, self.bps = sample_rate, bytes_per_sample
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_samples, n_frames, durations, offsets = [], [], [], []
+        for p in batch["audio_payload"].to_pylist():
+            if p is None:
+                n_samples.append(None), n_frames.append(None)
+                durations.append(None), offsets.append(None)
+                continue
+            ns = len(p) // self.bps
+            offs = frame_offsets(ns, self.frame_len, self.hop)
+            n_samples.append(ns)
+            n_frames.append(len(offs))
+            durations.append(ns / self.rate)
+            offsets.append(offs[:16].tolist())  # head only; full list is derivable
+        return (
+            batch.append_column("n_samples", pa.array(n_samples, pa.int64()))
+            .append_column("n_frames", pa.array(n_frames, pa.int64()))
+            .append_column("duration_s", pa.array(durations, pa.float64()))
+            .append_column("frame_offsets",
+                           pa.array(offsets, pa.list_(pa.int64())))
+        )
+
+
+def sample_frame_indices(n_frames: int, k: int):
+    """Uniform deterministic video frame sampling: k indices spread over
+    [0, n_frames) (all frames when n_frames <= k). Pure math — real."""
+    import numpy as np
+
+    if n_frames <= 0:
+        return np.empty(0, dtype=np.int64)
+    if n_frames <= k:
+        return np.arange(n_frames, dtype=np.int64)
+    return np.unique((np.arange(k) * (n_frames / k)).astype(np.int64))
+
+
+class VideoFrameSampleStub:
+    """Video frame-sample stage: index selection is real; the frame
+    extraction itself (codec) is represented by deterministic digest
+    payloads per selected index (no video library in this env)."""
+
+    def __init__(self, k: int = 8):
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idx_col, frames_col = [], []
+        metas = batch["n_video_frames"].to_pylist()
+        payloads = batch["media_payload"].to_pylist()
+        for n, p in zip(metas, payloads):
+            if n is None or p is None:
+                idx_col.append(None), frames_col.append(None)
+                continue
+            idx = sample_frame_indices(int(n), self.k)
+            idx_col.append(idx.tolist())
+            frames_col.append(
+                [hashlib.sha1(p + i.tobytes()).digest()[:8] for i in idx]
+            )
+        return (
+            batch.append_column("sampled_frames",
+                                pa.array(idx_col, pa.list_(pa.int64())))
+            .append_column("frame_payloads",
+                           pa.array(frames_col, pa.list_(pa.binary())))
+        )

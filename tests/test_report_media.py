@@ -80,3 +80,66 @@ def test_write_report_row_cap(tmp_path):
         raise AssertionError("row cap not enforced")
     except ValueError as e:
         assert "report input has" in str(e)
+
+
+def test_resize_stage_dims_and_payloads():
+    """ImageResizeStub: aspect-preserving dims, never upscales, null in →
+    null out; stub thumb payload is deterministic."""
+    from fide_crawler_ray.stages.media import ImageResizeStub, resize_dims
+
+    assert resize_dims(640, 480, 128) == (128, 96)
+    assert resize_dims(480, 640, 128) == (96, 128)
+    assert resize_dims(100, 50, 128) == (100, 50)  # no upscale
+    t = pa.table({
+        "width": pa.array([640, None], pa.int32()),
+        "height": pa.array([480, None], pa.int32()),
+        "media_payload": pa.array([b"imgbytes", None], pa.binary()),
+    })
+    r = ImageResizeStub()
+    out1, out2 = r(t), r(t)
+    assert out1["thumb_width"].to_pylist() == [128, None]
+    assert out1["thumb_height"].to_pylist() == [96, None]
+    assert out1["thumb_payload"].to_pylist() == out2["thumb_payload"].to_pylist()
+    assert out1["thumb_payload"].to_pylist()[1] is None
+
+
+def test_audio_framing_math():
+    """frame_offsets: standard sliding-window framing (frame 400, hop
+    160) — exact counts and offsets, including shorter-than-one-frame."""
+    import numpy as np
+
+    from fide_crawler_ray.stages.media import AudioFrameStage, frame_offsets
+
+    assert frame_offsets(399, 400, 160).tolist() == []
+    assert frame_offsets(400, 400, 160).tolist() == [0]
+    assert frame_offsets(1000, 400, 160).tolist() == [0, 160, 320, 480]
+    st = AudioFrameStage()
+    out = st(pa.table({"audio_payload": [b"\0" * 1000, None]}))
+    assert out["n_frames"].to_pylist() == [4, None]
+    assert out["duration_s"].to_pylist()[0] == 1000 / 16000.0
+    assert out["frame_offsets"].to_pylist()[0] == [0, 160, 320, 480]
+
+
+def test_video_frame_sampling():
+    """sample_frame_indices: k uniform indices, all frames when short,
+    strictly increasing, deterministic."""
+    import numpy as np
+
+    from fide_crawler_ray.stages.media import (VideoFrameSampleStub,
+                                               sample_frame_indices)
+
+    idx = sample_frame_indices(100, 8)
+    assert len(idx) == 8 and idx[0] == 0 and idx[-1] < 100
+    assert np.all(np.diff(idx) > 0)
+    assert sample_frame_indices(3, 8).tolist() == [0, 1, 2]
+    assert sample_frame_indices(0, 8).tolist() == []
+    st = VideoFrameSampleStub(k=4)
+    t = pa.table({
+        "n_video_frames": pa.array([20, None], pa.int64()),
+        "media_payload": pa.array([b"vid", None], pa.binary()),
+    })
+    out = st(t)
+    assert out["sampled_frames"].to_pylist()[0] == [0, 5, 10, 15]
+    assert out["sampled_frames"].to_pylist()[1] is None
+    frames = out["frame_payloads"].to_pylist()[0]
+    assert len(frames) == 4 and all(len(f) == 8 for f in frames)
