@@ -115,6 +115,7 @@ def run_bench() -> dict:
         "d1_exact_dedup", "o2_topk", "j1_broadcast_join",
         "text_token_stats", "text_quality", "dedup_exact_text",
         "ann_bruteforce", "events_sessionize", "dedup_minhash",
+        "j_inner_join", "asof_join", "window_functions", "term_doc_freq",
     ]
     qs = Q.queries()
     for name in suite:

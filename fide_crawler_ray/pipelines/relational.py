@@ -151,6 +151,80 @@ def q_asof_join(sf_dir):
     return ev.map_batches(_AsOf, batch_format="pyarrow", concurrency=2)
 
 
+def q_region_revenue(sf_dir):
+    """Three-table join chain orders⋈customer⋈nation⋈region collapsed
+    into ONE broadcast probe: the dimension chain (customer→nation→
+    region, all small) is pre-joined into a custkey→region map per actor
+    in ``__init__`` — a chained shuffle join would move the fact table
+    three times for no reason."""
+    refs = ray.put((
+        T(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_arrow_refs(),
+        T(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_arrow_refs(),
+        T(sf_dir, "region", ["r_regionkey", "r_name"]).to_arrow_refs(),
+    ))
+
+    class _Chain:
+        def __init__(self):
+            c, n, r = ray.get(refs)
+            cd = pa.concat_tables(ray.get(c)).to_pandas()
+            nd = pa.concat_tables(ray.get(n)).to_pandas()
+            rd_ = pa.concat_tables(ray.get(r)).to_pandas()
+            m = (cd.merge(nd, left_on="c_nationkey", right_on="n_nationkey")
+                   .merge(rd_, left_on="n_regionkey", right_on="r_regionkey"))
+            self.keys = pa.array(m["c_custkey"].to_numpy())
+            self.names = pa.array(m["r_name"], pa.string())
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            idx = pc.index_in(b["o_custkey"], value_set=self.keys)
+            t = b.append_column("r_name", pc.take(self.names, idx))
+            return t.filter(pc.is_valid(idx))
+
+    ds = T(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        _Chain, batch_format="pyarrow", concurrency=2)
+    out = fast_groupby_agg(ds, ["r_name"], {
+        "revenue": ("o_totalprice", "sum"), "n_orders": (None, "count"),
+    })
+    return out.map_batches(_canon_stage({"revenue": 4}),
+                           batch_format="pyarrow")
+
+
+def q_event_funnel(sf_dir):
+    """Sequential conversion funnel view → click → purchase per user
+    (stage k counts users whose earliest stage-k event strictly follows
+    their earliest qualifying stage-(k-1) event) — the ordered-pattern
+    operator SQL needs three correlated joins for. Per-user map_groups
+    (same user-fits-a-worker contract as sessionize), then one tiny sum."""
+    ds = T(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def _stages(df: pd.DataFrame) -> pd.DataFrame:
+        def first_after(kind, t0):
+            sel = df[(df["event_type"] == kind) & (df["ts"] > t0)] \
+                if t0 is not None else df[df["event_type"] == kind]
+            return sel["ts"].min() if len(sel) else None
+
+        t_view = first_after("view", None)
+        t_click = first_after("click", t_view) if t_view is not None else None
+        t_purch = (first_after("purchase", t_click)
+                   if t_click is not None else None)
+        return pd.DataFrame([{
+            "v": int(t_view is not None),
+            "c": int(t_click is not None),
+            "p": int(t_purch is not None),
+        }])
+
+    flags = ds.groupby("user_id").map_groups(_stages, batch_format="pandas")
+    from ray.data.aggregate import Sum
+
+    row = flags.aggregate(Sum("v", alias_name="n_view"),
+                          Sum("c", alias_name="n_view_click"),
+                          Sum("p", alias_name="n_view_click_purchase"))
+    return pd.DataFrame([{
+        "n_view": int(row["n_view"]),
+        "n_view_click": int(row["n_view_click"]),
+        "n_view_click_purchase": int(row["n_view_click_purchase"]),
+    }])
+
+
 # ===================================================== window functions
 
 
@@ -265,6 +339,77 @@ def q_quantiles(sf_dir):
         r = max(1, math.ceil(q * n))
         row[name] = float(vals[np.searchsorted(cum, r)])
     return pd.DataFrame([row])
+
+
+def q_grouped_median(sf_dir):
+    """Per-group exact quantiles (median + p90) via the grouped
+    distinct-value CDF: one map-side-combined groupby on (group, value)
+    — the exchange moves |group × distinct value| rows — then a bounded
+    driver pick per group (groups × distinct values ≤ a few hundred
+    here; for continuous value domains this operator would bin first)."""
+    vc = fast_groupby_agg(
+        T(sf_dir, "lineitem", ["l_returnflag", "l_quantity"]),
+        ["l_returnflag", "l_quantity"], {"n": (None, "count")},
+    ).materialize()
+    t = pa.concat_tables(
+        b for b in ray.get(vc.to_arrow_refs()) if b.num_rows > 0
+    )
+    df = t.to_pandas().sort_values(["l_returnflag", "l_quantity"])
+    rows = []
+    for flag, g in df.groupby("l_returnflag", sort=True):
+        cum = g["n"].cumsum().to_numpy()
+        vals = g["l_quantity"].to_numpy()
+        n = int(cum[-1])
+
+        def pick(q):
+            return float(vals[np.searchsorted(cum, max(1, math.ceil(q * n)))])
+
+        rows.append({"l_returnflag": flag,
+                     "median_qty": pick(0.5), "p90_qty": pick(0.9)})
+    return pd.DataFrame(rows)
+
+
+def q_segment_monthly_revenue(sf_dir):
+    """TPC-H-Q3-shaped composite: semi-filter orders to one customer
+    segment with a broadcast key set (``ray.put`` once, vectorized
+    ``pc.index_in`` probe per batch), then a monthly revenue rollup —
+    filter-pushdown + broadcast-join + aggregate in one pipeline."""
+    keys = ray.put(
+        T(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+            lambda b: b.filter(
+                pc.equal(b["c_mktsegment"], "BUILDING")
+            ).select(["c_custkey"]),
+            batch_format="pyarrow",
+        ).to_arrow_refs()
+    )
+
+    class _Semi:
+        def __init__(self):
+            t = pa.concat_tables(
+                x for x in ray.get(ray.get(keys)) if x.num_rows > 0
+            )
+            self.keys = t["c_custkey"].combine_chunks()
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            return b.filter(
+                pc.is_valid(pc.index_in(b["o_custkey"], value_set=self.keys))
+            )
+
+    ds = T(sf_dir, "orders",
+           ["o_custkey", "o_orderdate", "o_totalprice"]).map_batches(
+        _Semi, batch_format="pyarrow", concurrency=2)
+    ds = ds.map_batches(
+        lambda b: pa.table({
+            "month": pc.strftime(b["o_orderdate"], format="%Y-%m"),
+            "o_totalprice": b["o_totalprice"],
+        }),
+        batch_format="pyarrow",
+    )
+    out = fast_groupby_agg(ds, ["month"], {
+        "revenue": ("o_totalprice", "sum"), "n_orders": (None, "count"),
+    })
+    return out.map_batches(_canon_stage({"revenue": 4}),
+                           batch_format="pyarrow")
 
 
 # ========================================================== string agg
@@ -390,6 +535,64 @@ def q_term_doc_freq(sf_dir):
     return out.sort(["df", "term"], descending=[True, False]).limit(50)
 
 
+def q_tfidf_top_terms(sf_dir):
+    """Per-document top-3 vocabulary terms by a tf/df relevance score —
+    the vocabulary-pruning / keyword-extraction primitive. Two passes:
+    (1) document frequency via the same distinct-term flat_map as
+    q_term_doc_freq (vocab-sized result, broadcast once via ``ray.put``);
+    (2) per-doc term counts scored against the broadcast df map, local
+    top-3. Score is INTEGER (tf·10⁶ // df) so ranking is bitwise
+    deterministic on both engine and oracle sides — a float tf·ln(N/df)
+    would rank-flip on 1-ULP log differences between numpy and SQL."""
+
+    def _terms(b: pa.Table) -> pa.Table:
+        terms: list[str] = []
+        for txt in b["text"].to_pylist():
+            terms.extend(set(_TOKEN.findall(txt.lower())))
+        return pa.table({"term": pa.array(terms, pa.string())})
+
+    docs = T(sf_dir, "documents", ["doc_id", "text"])
+    df_tbl = fast_groupby_agg(
+        docs.map_batches(_terms, batch_format="pyarrow"),
+        ["term"], {"df": (None, "count")},
+    ).materialize()
+    dref = ray.put(df_tbl.to_arrow_refs())
+
+    class _Score:
+        def __init__(self):
+            t = pa.concat_tables(
+                x for x in ray.get(ray.get(dref)) if x.num_rows > 0
+            )
+            self.df = dict(zip(t["term"].to_pylist(),
+                               t["df"].to_pylist()))
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            out_doc, out_term, out_tf, out_score = [], [], [], []
+            for doc_id, txt in zip(b["doc_id"].to_pylist(),
+                                   b["text"].to_pylist()):
+                tf: dict[str, int] = {}
+                for w in _TOKEN.findall(txt.lower()):
+                    tf[w] = tf.get(w, 0) + 1
+                scored = sorted(
+                    ((t, c, (c * 1_000_000) // self.df[t])
+                     for t, c in tf.items()),
+                    key=lambda x: (-x[2], x[0]),
+                )[:3]
+                for t, c, s in scored:
+                    out_doc.append(doc_id)
+                    out_term.append(t)
+                    out_tf.append(c)
+                    out_score.append(s)
+            return pa.table({
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "term": pa.array(out_term, pa.string()),
+                "tf": pa.array(out_tf, pa.int64()),
+                "score_fp": pa.array(out_score, pa.int64()),
+            })
+
+    return docs.map_batches(_Score, batch_format="pyarrow", concurrency=2)
+
+
 # ==================================================== embedding norms
 
 
@@ -424,14 +627,19 @@ def queries() -> dict:
         "j_inner_join": q_j_inner_join,
         "j_left_outer": q_j_left_outer,
         "asof_join": q_asof_join,
+        "region_revenue": q_region_revenue,
+        "event_funnel": q_event_funnel,
         "window_functions": q_window_functions,
         "rollup_agg": q_rollup_agg,
         "quantiles": q_quantiles,
+        "grouped_median": q_grouped_median,
+        "segment_monthly_revenue": q_segment_monthly_revenue,
         "string_agg": q_string_agg,
         "distinct_count": q_distinct_count,
         "hll_distinct": q_hll_distinct,
         "sample_hash": q_sample_hash,
         "term_doc_freq": q_term_doc_freq,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "embedding_norms": q_embedding_norms,
     }
 
@@ -457,6 +665,30 @@ ORACLES: dict[str, str] = {
         SELECT e.event_id, m.marker_event_id
         FROM events e ASOF LEFT JOIN m
           ON e.user_id = m.user_id AND e.ts >= m.ts
+    """,
+    "region_revenue": """
+        SELECT r_name,
+               round(sum(o_totalprice) * 10000.0) / 10000.0 AS revenue,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "event_funnel": """
+        WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, min(e.ts) AS t_click
+              FROM events e JOIN v USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > v.t_view
+              GROUP BY e.user_id),
+        p AS (SELECT e.user_id FROM events e JOIN c USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+              GROUP BY e.user_id)
+        SELECT (SELECT count(*) FROM v) AS n_view,
+               (SELECT count(*) FROM c) AS n_view_click,
+               (SELECT count(*) FROM p) AS n_view_click_purchase
     """,
     "window_functions": """
         WITH s AS (
@@ -494,6 +726,28 @@ ORACLES: dict[str, str] = {
                         THEN v END) AS q95
         FROM s
     """,
+    "grouped_median": """
+        WITH s AS (
+            SELECT l_returnflag, l_quantity AS v,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY l_quantity) AS rn,
+                   count(*) OVER (PARTITION BY l_returnflag) AS n
+            FROM lineitem)
+        SELECT l_returnflag,
+               max(CASE WHEN rn = GREATEST(1, CAST(ceil(0.5 * n) AS BIGINT))
+                        THEN v END) AS median_qty,
+               max(CASE WHEN rn = GREATEST(1, CAST(ceil(0.9 * n) AS BIGINT))
+                        THEN v END) AS p90_qty
+        FROM s GROUP BY l_returnflag
+    """,
+    "segment_monthly_revenue": """
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               round(sum(o_totalprice) * 10000.0) / 10000.0 AS revenue,
+               count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY 1
+    """,
     "string_agg": """
         SELECT n_regionkey,
                string_agg(n_name, ',' ORDER BY n_name) AS nations
@@ -517,6 +771,29 @@ ORACLES: dict[str, str] = {
                 FROM documents)
             WHERE term <> '')
         GROUP BY term ORDER BY df DESC, term LIMIT 50
+    """,
+    "tfidf_top_terms": """
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text),
+                                                '[^a-z0-9_]+')) AS term
+            FROM documents),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM tok WHERE term <> '' GROUP BY doc_id, term),
+        df AS (
+            SELECT term, count(DISTINCT doc_id) AS df
+            FROM tok WHERE term <> '' GROUP BY term),
+        s AS (
+            SELECT tf.doc_id, tf.term, tf.tf,
+                   (tf.tf * 1000000) // df.df AS score_fp,
+                   row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY (tf.tf * 1000000) // df.df DESC, tf.term
+                   ) AS rn
+            FROM tf JOIN df USING (term))
+        SELECT doc_id, term, tf, CAST(score_fp AS BIGINT) AS score_fp
+        FROM s WHERE rn <= 3
     """,
     "embedding_norms": """
         SELECT vec_id,

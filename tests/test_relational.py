@@ -131,3 +131,13 @@ def test_sample_hash_deterministic():
     b = q_sample_hash(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
     assert 0.15 < len(a) / 500 < 0.35
+
+
+def test_registry_consistency():
+    """Every oracle key has a query; registries import cleanly from the
+    driver entry module (the contract the correctness gate runs on)."""
+    import __ray_entry__ as E
+
+    q, o = E.queries(), E.oracle_sql()
+    assert set(o) <= set(q), sorted(set(o) - set(q))
+    assert len(q) >= 60 and len(o) >= 45
