@@ -231,3 +231,39 @@ def hll_estimate(regs: np.ndarray, p: int = HLL_P) -> float:
     if est <= 2.5 * m and zeros > 0:
         est = m * np.log(m / zeros)
     return float(est)
+
+
+# ================================================== histogram quantiles
+
+HIST_BINS = 8192
+
+
+def hist_partial(vals: np.ndarray, lo: float, hi: float,
+                 bins: int = HIST_BINS) -> np.ndarray:
+    """One batch's fixed-range histogram counts (int64[bins]); merge =
+    elementwise sum — mergeable, so continuous-column quantiles need no
+    sort and no distinct-value exchange (the exact-CDF plan is for small
+    discrete domains). Values outside [lo, hi] clamp to the edge bins."""
+    if hi <= lo:
+        counts = np.zeros(bins, dtype=np.int64)
+        counts[0] = len(vals)
+        return counts
+    idx = ((vals - lo) * (bins / (hi - lo))).astype(np.int64)
+    np.clip(idx, 0, bins - 1, out=idx)
+    return np.bincount(idx, minlength=bins).astype(np.int64)
+
+
+def hist_quantile(counts: np.ndarray, lo: float, hi: float,
+                  q: float) -> float:
+    """Quantile from merged histogram counts: rank ceil(q·n) located in
+    the bin CDF, answered with the bin's RIGHT edge — guaranteed within
+    one bin width, (hi-lo)/bins, above the true value."""
+    import math
+
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    if n == 0:
+        return lo
+    r = max(1, math.ceil(q * n))
+    b = int(np.searchsorted(cum, r))
+    return lo + (b + 1) * (hi - lo) / len(counts)

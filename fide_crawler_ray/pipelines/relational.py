@@ -462,27 +462,12 @@ def q_hll_distinct(sf_dir):
         return pa.table({"regs": pa.array([hll_partial(keys).tobytes()],
                                           pa.binary())})
 
-    def _merge(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return b
-        regs = np.zeros(1 << HLL_P, dtype=np.uint8)
-        for buf in b["regs"].to_pylist():
-            np.maximum(regs, np.frombuffer(buf, dtype=np.uint8), out=regs)
-        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
-
-    # register max is associative → tree-combine inside Ray; the driver
-    # only ever sees ≤32 partial buffers (one block per partial would be
-    # 16 KB × n_blocks — real memory at 100-TB block counts)
-    parts = ds.map_batches(_partial, batch_format="pyarrow").materialize()
-    while parts.count() > 32:
-        parts = parts.repartition(
-            max(1, parts.num_blocks() // 8)
-        ).map_batches(_merge, batch_format="pyarrow",
-                      batch_size=None).materialize()
-    regs = np.zeros(1 << HLL_P, dtype=np.uint8)
-    for t in ray.get(parts.to_arrow_refs()):
-        for buf in t["regs"].to_pylist():
-            np.maximum(regs, np.frombuffer(buf, dtype=np.uint8), out=regs)
+    # register max is associative → tree-combine inside Ray
+    # (_tree_reduce_buffers); the driver only ever sees ≤32 partial
+    # buffers (one buffer per block would be 16 KB × n_blocks — real
+    # memory at 100-TB block counts)
+    parts = ds.map_batches(_partial, batch_format="pyarrow")
+    regs = _tree_reduce_buffers(parts, "regs", np.maximum, np.uint8)
     approx = hll_estimate(regs)
     exact = fast_groupby_agg(ds, ["l_partkey"],
                              {"__n": (None, "count")}).count()
@@ -490,6 +475,102 @@ def q_hll_distinct(sf_dir):
         "approx": float(approx), "exact": int(exact),
         "rel_err": abs(approx - exact) / max(exact, 1),
     }])
+
+
+def _tree_reduce_buffers(parts, col: str, combine, dtype) -> np.ndarray:
+    """Tree-combine single-binary-column sketch partials (one fixed-size
+    buffer per input block) inside Ray; the driver only ever sees ≤32
+    buffers regardless of block count. `combine(acc, arr)` must be
+    associative+commutative (sum, max…)."""
+
+    def _merge(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        acc = None
+        for buf in b[col].to_pylist():
+            arr = np.frombuffer(buf, dtype=dtype)
+            acc = arr.copy() if acc is None else combine(acc, arr)
+        return pa.table({col: pa.array([acc.tobytes()], pa.binary())})
+
+    parts = parts.materialize()
+    while parts.count() > 32:
+        parts = parts.repartition(
+            max(1, parts.num_blocks() // 8)
+        ).map_batches(_merge, batch_format="pyarrow",
+                      batch_size=None).materialize()
+    acc = None
+    for t in ray.get(parts.to_arrow_refs()):
+        for buf in t[col].to_pylist():
+            arr = np.frombuffer(buf, dtype=dtype)
+            acc = arr.copy() if acc is None else combine(acc, arr)
+    return acc
+
+
+def q_approx_quantiles(sf_dir):
+    """Continuous-column quantiles via a mergeable fixed-range histogram
+    sketch (8192 bins): pass 1 is a min/max aggregate, pass 2 emits one
+    64 KiB count buffer per block, tree-summed inside Ray — no sort, no
+    distinct-value exchange (the exact-CDF plan q_quantiles uses is only
+    for small discrete domains). Rank error ≤ one bin mass; asserted
+    against the exact quantile in tests (rows-only for the driver)."""
+    from ray.data.aggregate import Max, Min
+
+    from ..functions.sketches import hist_partial, hist_quantile
+
+    ds = T(sf_dir, "lineitem", ["l_extendedprice"])
+    mm = ds.aggregate(Min("l_extendedprice", alias_name="lo"),
+                      Max("l_extendedprice", alias_name="hi"))
+    lo, hi = float(mm["lo"]), float(mm["hi"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        v = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table({"counts": pa.array(
+            [hist_partial(v, lo, hi).tobytes()], pa.binary())})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow")
+    counts = _tree_reduce_buffers(parts, "counts", np.add, np.int64)
+    return pd.DataFrame([{
+        "p50": hist_quantile(counts, lo, hi, 0.5),
+        "p95": hist_quantile(counts, lo, hi, 0.95),
+        "p99": hist_quantile(counts, lo, hi, 0.99),
+        "n": int(counts.sum()), "lo": lo, "hi": hi,
+    }])
+
+
+def q_source_cap(sf_dir):
+    """Per-source document cap (corpus balancing / data mixing): keep at
+    most 15 docs per source, selected in deterministic md5 order —
+    mergeable grouped top-k (stages/fastagg.grouped_topk), so the cap
+    runs map-side and the exchange carries ≤ cap rows per (block,
+    source)."""
+    from ..stages.fastagg import grouped_topk
+
+    def _h(b: pa.Table) -> pa.Table:
+        h = [hashlib.md5(str(i).encode()).hexdigest()
+             for i in b["doc_id"].to_pylist()]
+        return b.append_column("h", pa.array(h, pa.string()))
+
+    ds = T(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        _h, batch_format="pyarrow")
+    out = grouped_topk(ds, ["source"], ["h", "doc_id"], [True, True], 15)
+    return out.select_columns(["source", "doc_id", "rank"])
+
+
+def q_stratified_sample(sf_dir):
+    """Stratified deterministic sampling with per-stratum rates (25% of
+    'en' docs, 50% of every other language) — the language-rebalancing
+    primitive; md5-gated so the sample is reproducible and oracle-exact
+    across runs and cluster sizes."""
+
+    def _s(b: pa.Table) -> pa.Table:
+        keep = []
+        for i, lang in zip(b["doc_id"].to_pylist(), b["lang"].to_pylist()):
+            nib = int(hashlib.md5(str(i).encode()).hexdigest()[0], 16)
+            keep.append(nib < (4 if lang == "en" else 8))
+        return b.filter(pa.array(keep))
+
+    return T(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        _s, batch_format="pyarrow")
 
 
 # ===================================================== hash sampling
@@ -638,6 +719,9 @@ def queries() -> dict:
         "distinct_count": q_distinct_count,
         "hll_distinct": q_hll_distinct,
         "sample_hash": q_sample_hash,
+        "approx_quantiles": q_approx_quantiles,
+        "source_cap": q_source_cap,
+        "stratified_sample": q_stratified_sample,
         "term_doc_freq": q_term_doc_freq,
         "tfidf_top_terms": q_tfidf_top_terms,
         "embedding_norms": q_embedding_norms,
@@ -761,6 +845,22 @@ ORACLES: dict[str, str] = {
     "sample_hash": """
         SELECT doc_id, n_chars FROM documents
         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+    """,
+    "source_cap": """
+        SELECT source, doc_id, rn AS rank FROM (
+            SELECT source, doc_id,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn
+            FROM documents) WHERE rn <= 15
+    """,
+    "stratified_sample": """
+        SELECT doc_id, lang FROM documents
+        WHERE (lang = 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3'))
+           OR (lang <> 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7'))
     """,
     "term_doc_freq": """
         SELECT term, count(*) AS df FROM (

@@ -141,3 +141,30 @@ def test_registry_consistency():
     q, o = E.queries(), E.oracle_sql()
     assert set(o) <= set(q), sorted(set(o) - set(q))
     assert len(q) >= 60 and len(o) >= 45
+
+
+def test_approx_quantiles_error_bound():
+    """Histogram-sketch quantiles must land within 0.5% RANK error of the
+    exact quantile on a continuous column (bin mass bound)."""
+    from fide_crawler_ray.pipelines.relational import T, q_approx_quantiles
+
+    row = q_approx_quantiles(SF).iloc[0]
+    vals = np.sort(T(SF, "lineitem", ["l_extendedprice"])
+                   .to_pandas()["l_extendedprice"].to_numpy())
+    n = len(vals)
+    assert row["n"] == n
+    for q, name in [(0.5, "p50"), (0.95, "p95"), (0.99, "p99")]:
+        rank = np.searchsorted(vals, row[name]) / n
+        assert abs(rank - q) < 0.005, (name, row[name], rank)
+
+
+def test_hist_partial_merge_equals_single_pass():
+    from fide_crawler_ray.functions.sketches import hist_partial
+
+    rng = np.random.default_rng(11)
+    v = rng.normal(50, 20, size=40_000)
+    lo, hi = float(v.min()), float(v.max())
+    single = hist_partial(v, lo, hi)
+    merged = sum(hist_partial(c, lo, hi) for c in np.array_split(v, 9))
+    assert np.array_equal(single, merged)
+    assert single.sum() == len(v)
