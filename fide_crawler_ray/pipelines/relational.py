@@ -700,6 +700,43 @@ def q_embedding_norms(sf_dir):
         _norms, batch_format="pyarrow")
 
 
+def q_export_partitioned(sf_dir):
+    """Partitioned-sink round trip: orders written as hive-partitioned
+    Parquet (one directory per order month — the resumable-output layout
+    the store contract requires), read back with partition pruning, then
+    counted per partition. The oracle recomputes the per-month counts
+    from the source table, so the sink+read-back path is end-to-end
+    value-checked, not just smoke-tested."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    out = tempfile.mkdtemp(prefix="fcray_export_")
+    try:
+        ds = T(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+            lambda b: pa.table({
+                "o_orderkey": b["o_orderkey"],
+                "month": pc.strftime(b["o_orderdate"], format="%Y-%m"),
+            }),
+            batch_format="pyarrow",
+        )
+        ds.write_parquet(out, partition_cols=["month"])
+        back = rd.read_parquet(out)
+        got = fast_groupby_agg(back, ["month"], {"n": (None, "count")})
+        # hive partition values read back as large_string/dictionary on
+        # some paths — pin the comparison dtype
+        return got.map_batches(
+            lambda b: pa.table({
+                "month": pc.cast(b["month"], pa.string()),
+                "n": b["n"],
+            }),
+            batch_format="pyarrow",
+        ).to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 # ============================================================ registry
 
 
@@ -725,6 +762,7 @@ def queries() -> dict:
         "term_doc_freq": q_term_doc_freq,
         "tfidf_top_terms": q_tfidf_top_terms,
         "embedding_norms": q_embedding_norms,
+        "export_partitioned": q_export_partitioned,
     }
 
 
@@ -894,6 +932,10 @@ ORACLES: dict[str, str] = {
             FROM tf JOIN df USING (term))
         SELECT doc_id, term, tf, CAST(score_fp AS BIGINT) AS score_fp
         FROM s WHERE rn <= 3
+    """,
+    "export_partitioned": """
+        SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n
+        FROM orders GROUP BY 1
     """,
     "embedding_norms": """
         SELECT vec_id,
