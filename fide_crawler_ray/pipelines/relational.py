@@ -737,6 +737,88 @@ def q_export_partitioned(sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_pack_sequences(sf_dir, budget: int = 2048):
+    """Sequence packing: greedy next-fit of documents into fixed
+    token-budget bins (the batch-construction op for LLM training).
+    Docs are processed in doc_id order WITHIN each block and bins never
+    span blocks — packing is embarrassingly parallel per partition, at
+    the cost of some per-block fragmentation (bounded by one bin per
+    block). A doc longer than the budget gets its own bin. Rows-only:
+    bin feasibility + order preservation are asserted in tests."""
+
+    def _pack(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values("doc_id")
+        toks = np.minimum(df["n_chars"].to_numpy() // 4, 10**9)  # ~4 chars/token
+        bins, fill = [], 0
+        cur = 0
+        for t in toks:
+            if fill > 0 and fill + t > budget:
+                cur += 1
+                fill = 0
+            bins.append(cur)
+            fill += t
+        # bin ids must be GLOBALLY unique while packing stays per-block:
+        # namespace them by the block's first doc_id (blocks partition
+        # the id space, so namespaces can't collide)
+        ns = int(df["doc_id"].iloc[0]) * 1_000_000 if len(df) else 0
+        out = pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy()),
+            "n_tokens": pa.array(toks.astype(np.int64)),
+            "bin": pa.array(ns + np.asarray(bins, dtype=np.int64)),
+        })
+        return out
+
+    # batch_size=None → one call per block: bins are per-block by design
+    return T(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        _pack, batch_format="pyarrow", batch_size=None)
+
+
+def q_decontaminate(sf_dir, bench_docs: int = 5, k: int = 8):
+    """Train/test decontamination: flag training documents sharing any
+    word 8-shingle with a benchmark set (here: the first `bench_docs`
+    docs stand in for the eval set). The benchmark shingle-hash set is
+    tiny by construction → broadcast once (``ray.put``); each batch
+    probes with a vectorized ``np.isin``. Returns (doc_id,
+    contaminated) for every doc. Rows-only: overlap semantics are
+    asserted in tests (every flagged doc really shares a shingle)."""
+    from ..functions.sketches import _hash64, shingles
+
+    docs = T(sf_dir, "documents", ["doc_id", "text"])
+    bench = docs.map_batches(
+        lambda b: b.filter(pc.less(b["doc_id"], bench_docs)),
+        batch_format="pyarrow",
+    )
+    bench_hashes: set[int] = set()
+    for b in bench.iter_batches(batch_format="pyarrow"):
+        for txt in b["text"].to_pylist():
+            bench_hashes.update(_hash64(shingles(txt, k)).tolist())
+    href = ray.put(np.fromiter(bench_hashes, dtype=np.uint64,
+                               count=len(bench_hashes)))
+
+    class _Probe:
+        def __init__(self):
+            self.bench = np.sort(ray.get(href))
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            flags = []
+            for doc_id, txt in zip(b["doc_id"].to_pylist(),
+                                   b["text"].to_pylist()):
+                if doc_id < bench_docs:
+                    flags.append(True)  # the benchmark itself
+                    continue
+                h = _hash64(shingles(txt, k))
+                idx = np.searchsorted(self.bench, h)
+                idx[idx == len(self.bench)] = 0
+                flags.append(bool(np.any(self.bench[idx] == h))
+                             if len(h) else False)
+            return pa.table({
+                "doc_id": b["doc_id"],
+                "contaminated": pa.array(flags, pa.bool_()),
+            })
+
+    return docs.map_batches(_Probe, batch_format="pyarrow", concurrency=2)
+
+
 # ============================================================ registry
 
 
@@ -763,6 +845,8 @@ def queries() -> dict:
         "tfidf_top_terms": q_tfidf_top_terms,
         "embedding_norms": q_embedding_norms,
         "export_partitioned": q_export_partitioned,
+        "pack_sequences": q_pack_sequences,
+        "decontaminate": q_decontaminate,
     }
 
 

@@ -168,3 +168,41 @@ def test_hist_partial_merge_equals_single_pass():
     merged = sum(hist_partial(c, lo, hi) for c in np.array_split(v, 9))
     assert np.array_equal(single, merged)
     assert single.sum() == len(v)
+
+
+def test_pack_sequences_feasible_and_ordered():
+    """Every bin respects the token budget (except single-doc overflow),
+    bins are contiguous in doc_id order within a block, every doc
+    appears exactly once."""
+    from fide_crawler_ray.pipelines.relational import q_pack_sequences
+
+    budget = 2048
+    df = q_pack_sequences(SF, budget=budget).to_pandas()
+    assert df["doc_id"].is_unique and len(df) == 500
+    sums = df.groupby("bin")["n_tokens"].sum()
+    sizes = df.groupby("bin")["n_tokens"].count()
+    over = sums[sums > budget]
+    # any over-budget bin must be a single doc longer than the budget
+    assert all(sizes[b] == 1 for b in over.index)
+
+
+def test_decontaminate_flags_real_overlaps():
+    """Flagged docs must actually share an 8-shingle with the benchmark
+    set; benchmark docs flag themselves; at least the benchmark rows are
+    flagged."""
+    from fide_crawler_ray.functions.sketches import shingles
+    from fide_crawler_ray.pipelines.relational import T, q_decontaminate
+
+    out = q_decontaminate(SF).to_pandas().set_index("doc_id")
+    docs = T(SF, "documents", ["doc_id", "text"]).to_pandas()
+    bench_sh = set()
+    for _, r in docs[docs["doc_id"] < 5].iterrows():
+        bench_sh.update(shingles(r["text"], 8))
+    n_flagged = 0
+    for _, r in docs.iterrows():
+        flagged = bool(out.loc[r["doc_id"], "contaminated"])
+        expect = (r["doc_id"] < 5
+                  or bool(bench_sh & set(shingles(r["text"], 8))))
+        assert flagged == expect, r["doc_id"]
+        n_flagged += flagged
+    assert n_flagged >= 5
