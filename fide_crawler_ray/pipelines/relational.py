@@ -616,15 +616,28 @@ def q_term_doc_freq(sf_dir):
     return out.sort(["df", "term"], descending=[True, False]).limit(50)
 
 
-def q_tfidf_top_terms(sf_dir):
+# Above this many vocabulary terms the per-actor df dict stops being a
+# "small side" (a web corpus's raw vocabulary is effectively unbounded:
+# urls, typos, ids) and the join path runs instead. Same guard pattern
+# as dedup_text.MAX_BROADCAST_KEYS; both paths pinned identical by
+# tests/test_relational.py.
+TFIDF_MAX_BROADCAST_VOCAB = 2_000_000
+
+
+def q_tfidf_top_terms(sf_dir,
+                      max_broadcast_vocab: int = TFIDF_MAX_BROADCAST_VOCAB):
     """Per-document top-3 vocabulary terms by a tf/df relevance score —
     the vocabulary-pruning / keyword-extraction primitive. Two passes:
     (1) document frequency via the same distinct-term flat_map as
-    q_term_doc_freq (vocab-sized result, broadcast once via ``ray.put``);
-    (2) per-doc term counts scored against the broadcast df map, local
-    top-3. Score is INTEGER (tf·10⁶ // df) so ranking is bitwise
-    deterministic on both engine and oracle sides — a float tf·ln(N/df)
-    would rank-flip on 1-ULP log differences between numpy and SQL."""
+    q_term_doc_freq; (2) per-doc tf scored against df, local top-3.
+    Score is INTEGER (tf·10⁶ // df) so ranking is bitwise deterministic
+    on both engine and oracle sides — a float tf·ln(N/df) would
+    rank-flip on 1-ULP log differences between numpy and SQL.
+
+    The df side is CARDINALITY GUARDED: below `max_broadcast_vocab` it
+    broadcasts once (``ray.put``) into scoring actors; above it (raw web
+    vocabulary is unbounded — urls, typos) the (doc, term, tf) rows hash-
+    join the df table and a mergeable grouped top-k picks the winners."""
 
     def _terms(b: pa.Table) -> pa.Table:
         terms: list[str] = []
@@ -637,6 +650,46 @@ def q_tfidf_top_terms(sf_dir):
         docs.map_batches(_terms, batch_format="pyarrow"),
         ["term"], {"df": (None, "count")},
     ).materialize()
+
+    def _tf_rows(b: pa.Table) -> pa.Table:
+        out_doc, out_term, out_tf = [], [], []
+        for doc_id, txt in zip(b["doc_id"].to_pylist(),
+                               b["text"].to_pylist()):
+            tf: dict[str, int] = {}
+            for w in _TOKEN.findall(txt.lower()):
+                tf[w] = tf.get(w, 0) + 1
+            for t, c in tf.items():
+                out_doc.append(doc_id)
+                out_term.append(t)
+                out_tf.append(c)
+        return pa.table({
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "term": pa.array(out_term, pa.string()),
+            "tf": pa.array(out_tf, pa.int64()),
+        })
+
+    if df_tbl.count() > max_broadcast_vocab:
+        # join path: (doc, term, tf) ⋈ df on term, then mergeable top-k
+        from ..stages.fastagg import grouped_topk
+
+        tf_rows = docs.map_batches(_tf_rows, batch_format="pyarrow")
+        joined = tf_rows.join(df_tbl, "inner", num_partitions=8,
+                              on=("term",))
+        scored = joined.map_batches(
+            lambda b: pa.table({
+                "doc_id": b["doc_id"],
+                "term": b["term"],
+                "tf": b["tf"],
+                "score_fp": pc.cast(
+                    pc.divide(pc.multiply(b["tf"], 1_000_000), b["df"]),
+                    pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        top = grouped_topk(scored, ["doc_id"], ["score_fp", "term"],
+                           [False, True], 3)
+        return top.select_columns(["doc_id", "term", "tf", "score_fp"])
+
     dref = ray.put(df_tbl.to_arrow_refs())
 
     class _Score:

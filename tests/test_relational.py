@@ -206,3 +206,16 @@ def test_decontaminate_flags_real_overlaps():
         assert flagged == expect, r["doc_id"]
         n_flagged += flagged
     assert n_flagged >= 5
+
+
+def test_tfidf_guard_paths_identical():
+    """The broadcast-df path and the join+grouped-topk path (forced by a
+    zero vocab threshold) must produce identical rows."""
+    from fide_crawler_ray.pipelines.relational import q_tfidf_top_terms
+
+    cols = ["doc_id", "term", "tf", "score_fp"]
+    a = (q_tfidf_top_terms(SF).to_pandas()[cols]
+         .sort_values(cols).reset_index(drop=True))
+    b = (q_tfidf_top_terms(SF, max_broadcast_vocab=0).to_pandas()[cols]
+         .sort_values(cols).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
