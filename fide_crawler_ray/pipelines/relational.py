@@ -110,9 +110,13 @@ def q_asof_join(sf_dir):
 
     class _AsOf:
         def __init__(self):
-            m = pa.concat_tables(
-                t for t in ray.get(ray.get(mref)) if t.num_rows > 0
-            )
+            live = [t for t in ray.get(ray.get(mref)) if t.num_rows > 0]
+            if not live:  # no markers at all → every event gets NULL
+                self.mt = np.empty(0, dtype=np.int64)
+                self.mid = np.empty(0, dtype=np.int64)
+                self.seg = {}
+                return
+            m = pa.concat_tables(live)
             mu = m["user_id"].to_numpy(zero_copy_only=False)
             mt = _ts_ns(m["ts"])
             mid = m["marker_event_id"].to_numpy(zero_copy_only=False)
@@ -124,6 +128,11 @@ def q_asof_join(sf_dir):
                         zip(mu[starts], starts, ends)}
 
         def __call__(self, b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({
+                    "event_id": b["event_id"],
+                    "marker_event_id": pa.array([], pa.int64()),
+                })
             u = b["user_id"].to_numpy(zero_copy_only=False)
             t = _ts_ns(b["ts"])
             out = np.zeros(len(u), dtype=np.int64)
@@ -225,6 +234,17 @@ def q_event_funnel(sf_dir):
     }])
 
 
+def _round_half_away(x: np.ndarray) -> np.ndarray:
+    """SQL round() semantics (half away from zero, like C++ std::round),
+    NOT numpy's half-to-even — an exact-.5 product would otherwise land
+    1 fixed-point unit apart from the oracle. trunc/frac arithmetic is
+    exact in IEEE (|x - trunc(x)| subtraction is Sterbenz-safe), so this
+    matches DuckDB's round() bit for bit."""
+    t = np.trunc(x)
+    frac = x - t
+    return t + np.where(np.abs(frac) >= 0.5, np.sign(x), 0.0)
+
+
 # ===================================================== window functions
 
 
@@ -241,7 +261,7 @@ def q_window_functions(sf_dir):
 
     def _wins(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["ts", "event_id"], kind="mergesort")
-        v = np.rint(df["value"].to_numpy() * 1e6).astype(np.int64)
+        v = _round_half_away(df["value"].to_numpy() * 1e6).astype(np.int64)
         # first row's lag is NULL (SQL semantics); both DuckDB's .df()
         # and Arrow's to_pandas surface nullable BIGINT as float64+NaN,
         # so float64 here IS the comparison dtype (values ≤ ~1e12 are
@@ -385,10 +405,10 @@ def q_segment_monthly_revenue(sf_dir):
 
     class _Semi:
         def __init__(self):
-            t = pa.concat_tables(
-                x for x in ray.get(ray.get(keys)) if x.num_rows > 0
-            )
-            self.keys = t["c_custkey"].combine_chunks()
+            live = [x for x in ray.get(ray.get(keys)) if x.num_rows > 0]
+            # zero matching customers → empty key set → filter drops all
+            self.keys = (pa.concat_tables(live)["c_custkey"].combine_chunks()
+                         if live else pa.array([], pa.int64()))
 
         def __call__(self, b: pa.Table) -> pa.Table:
             return b.filter(
@@ -565,9 +585,12 @@ def q_stratified_sample(sf_dir):
     def _s(b: pa.Table) -> pa.Table:
         keep = []
         for i, lang in zip(b["doc_id"].to_pylist(), b["lang"].to_pylist()):
+            if lang is None:  # SQL: NULL <> 'en' is NULL → row excluded
+                keep.append(False)
+                continue
             nib = int(hashlib.md5(str(i).encode()).hexdigest()[0], 16)
             keep.append(nib < (4 if lang == "en" else 8))
-        return b.filter(pa.array(keep))
+        return b.filter(pa.array(keep, pa.bool_()))
 
     return T(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
         _s, batch_format="pyarrow")
@@ -585,7 +608,7 @@ def q_sample_hash(sf_dir):
     def _sample(b: pa.Table) -> pa.Table:
         mask = [hashlib.md5(str(i).encode()).hexdigest()[0] in "0123"
                 for i in b["doc_id"].to_pylist()]
-        return b.filter(pa.array(mask))
+        return b.filter(pa.array(mask, pa.bool_()))
 
     return T(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
         _sample, batch_format="pyarrow")
@@ -597,6 +620,17 @@ def q_sample_hash(sf_dir):
 _TOKEN = re.compile(r"[a-z0-9_]+")
 
 
+def _distinct_terms_batch(b: pa.Table) -> pa.Table:
+    """Per-doc DISTINCT tokens flat-mapped to term rows (shared by
+    q_term_doc_freq and q_tfidf_top_terms so tokenization can never
+    desynchronize between them and their oracles)."""
+    terms: list[str] = []
+    for txt in b["text"].to_pylist():
+        terms.extend(set(_TOKEN.findall(txt.lower())))
+    return pa.table({"term": pa.array(terms, pa.string())})
+
+
+
 def q_term_doc_freq(sf_dir):
     """Top-50 vocabulary terms by document frequency: per-doc DISTINCT
     tokens flat-mapped to term rows, map-side-combined groupby count,
@@ -604,14 +638,8 @@ def q_term_doc_freq(sf_dir):
     the shuffle moves one row per (block, term) — vocabulary-sized, not
     corpus-sized."""
 
-    def _terms(b: pa.Table) -> pa.Table:
-        terms: list[str] = []
-        for txt in b["text"].to_pylist():
-            terms.extend(set(_TOKEN.findall(txt.lower())))
-        return pa.table({"term": pa.array(terms, pa.string())})
-
     ds = T(sf_dir, "documents", ["text"]).map_batches(
-        _terms, batch_format="pyarrow")
+        _distinct_terms_batch, batch_format="pyarrow")
     out = fast_groupby_agg(ds, ["term"], {"df": (None, "count")})
     return out.sort(["df", "term"], descending=[True, False]).limit(50)
 
@@ -639,15 +667,9 @@ def q_tfidf_top_terms(sf_dir,
     vocabulary is unbounded — urls, typos) the (doc, term, tf) rows hash-
     join the df table and a mergeable grouped top-k picks the winners."""
 
-    def _terms(b: pa.Table) -> pa.Table:
-        terms: list[str] = []
-        for txt in b["text"].to_pylist():
-            terms.extend(set(_TOKEN.findall(txt.lower())))
-        return pa.table({"term": pa.array(terms, pa.string())})
-
     docs = T(sf_dir, "documents", ["doc_id", "text"])
     df_tbl = fast_groupby_agg(
-        docs.map_batches(_terms, batch_format="pyarrow"),
+        docs.map_batches(_distinct_terms_batch, batch_format="pyarrow"),
         ["term"], {"df": (None, "count")},
     ).materialize()
 
@@ -860,10 +882,12 @@ def q_decontaminate(sf_dir, bench_docs: int = 5, k: int = 8):
                     flags.append(True)  # the benchmark itself
                     continue
                 h = _hash64(shingles(txt, k))
+                if len(h) == 0 or len(self.bench) == 0:
+                    flags.append(False)  # nothing to overlap with
+                    continue
                 idx = np.searchsorted(self.bench, h)
                 idx[idx == len(self.bench)] = 0
-                flags.append(bool(np.any(self.bench[idx] == h))
-                             if len(h) else False)
+                flags.append(bool(np.any(self.bench[idx] == h)))
             return pa.table({
                 "doc_id": b["doc_id"],
                 "contaminated": pa.array(flags, pa.bool_()),
