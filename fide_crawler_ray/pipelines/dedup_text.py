@@ -23,8 +23,13 @@ every guard are pinned byte-identical by tests):
 - per-bucket pair generation is ``groupby(band_key).map_groups`` with a
   ``bucket_cap``: oversized buckets (a degenerate band — e.g. an
   all-identical shard of a duplicate-heavy corpus) emit star pairs
-  (bucket-min vs member, O(n)) instead of all-pairs O(n²) — components
-  still connect through the min, so survivor semantics are preserved;
+  (bucket-min vs member, O(n)) instead of all-pairs O(n²). For the
+  all-similar bucket this is exact (components connect through the
+  min); for a HETEROGENEOUS oversized bucket it is a recall trade —
+  a member-member duplicate neither of which verifies against the
+  bucket min is missed in that bucket (it is usually recovered by the
+  other bands; LSH candidate generation is probabilistic to begin
+  with, and the cap bounds the O(n²) blowup that matters at scale);
 - pair verification: small pair sets ship the pair-named texts by ref
   into lookup actors; large ones attach texts with two hash joins
   (pair→text on each end) and stream;
@@ -38,6 +43,13 @@ every guard are pinned byte-identical by tests):
 All dedup operators return ``(survivors_ds, pairs_ds)`` — both lazy
 Datasets (r1 returned a driver-side pair list; collecting pairs is now
 the caller's choice, and tests do so only at toy scale).
+
+Corpus-scan count: each operator re-executes the ``docs_ds`` lineage up
+to three times (band sketch, verification text fetch, survivor filter)
+rather than materializing it — pinning a corpus-sized dataset in the
+object store costs more than re-running a column-pruned parquet scan at
+the 100-TB design point. A caller holding a small corpus can pass
+``docs_ds.materialize()`` to collapse the scans.
 """
 
 from __future__ import annotations
@@ -212,6 +224,9 @@ def _pair_texts(pairs_ds, docs_ds, id_col: str = "doc_id",
     docs = docs_ds.select_columns([id_col, text_col])
     ta = docs.rename_columns({id_col: "a", text_col: "__text_a"})
     tb = docs.rename_columns({id_col: "b", text_col: "__text_b"})
+    # pairs may arrive from fastagg's native fallback with empty leading
+    # blocks — compact before the join (see _compact's docstring)
+    pairs_ds = _compact(pairs_ds)
     withA = _compact(_norm(
         pairs_ds.join(ta, "inner", N_JOIN_PARTS, on=("a",)),
         pa.schema([("a", it), ("b", it), ("__text_a", pa.string())]),
@@ -238,12 +253,17 @@ def _verify_lookup_stage(texts_refs_ref, threshold: float, k_shingle: int,
         )
         a = batch["a"].to_pylist()
         b = batch["b"].to_pylist()
-        if char_n is None:
-            sims = [SK.jaccard(texts.get(x, ""), texts.get(y, ""), k_shingle)
-                    for x, y in zip(a, b)]
-        else:
-            sims = [SK.ngram_jaccard(texts.get(x, ""), texts.get(y, ""), char_n)
-                    for x, y in zip(a, b)]
+        # a pair naming a doc_id absent from the corpus must be DROPPED
+        # (-1 sentinel fails the threshold), matching the large path's
+        # inner-join semantics — texts.get(x, "") would instead score
+        # two missing docs jaccard("","") == 1.0 and emit a phantom pair
+        fn = (lambda x, y: SK.jaccard(x, y, k_shingle)) if char_n is None \
+            else (lambda x, y: SK.ngram_jaccard(x, y, char_n))
+        sims = [
+            fn(ta, tb) if (ta := texts.get(x)) is not None
+            and (tb := texts.get(y)) is not None else -1.0
+            for x, y in zip(a, b)
+        ]
         t = batch.append_column("jaccard", pa.array(np.round(sims, 6), pa.float64()))
         return t.filter(pc.greater_equal(t["jaccard"], threshold))
 
@@ -273,7 +293,7 @@ class _VerifyJaccard:
         return t.filter(pc.greater_equal(t["jaccard"], self.t))
 
 
-def _min_label_components(pairs_ds, max_iters: int = 30):
+def _min_label_components(pairs_ds, max_iters: int = 64):
     """Distributed connected components: min-label propagation over the
     (a, b) edge Dataset. Returns a Dataset (node, label) for every node
     appearing in an edge, where label = min id of its component.
@@ -296,16 +316,22 @@ def _min_label_components(pairs_ds, max_iters: int = 30):
     edges = pairs_ds.select_columns(["a", "b"]).map_batches(
         _sym, batch_format="pyarrow"
     )
-    edges = fast_groupby_agg(edges, ["src", "dst"], {"__n": (None, "count")}) \
-        .drop_columns(["__n"]).materialize()
+    # every join input below is _compact-ed: fastagg's native fallback
+    # and filter stages can emit empty blocks, and an empty FIRST block
+    # on a join side crashes Acero (see _compact's docstring) — exactly
+    # at the large scale this path exists for
+    edges = _compact(
+        fast_groupby_agg(edges, ["src", "dst"], {"__n": (None, "count")})
+        .drop_columns(["__n"])
+    )
 
-    labels = edges.map_batches(
+    labels = _compact(edges.map_batches(
         lambda b: pa.table({
             "node": b["src"].filter(pc.equal(b["src"], b["dst"])),
             "label": b["dst"].filter(pc.equal(b["src"], b["dst"])),
         }),
         batch_format="pyarrow",
-    ).materialize()
+    ))
 
     it = labels.schema().base_schema.field("node").type
     for _ in range(max_iters):
@@ -314,10 +340,9 @@ def _min_label_components(pairs_ds, max_iters: int = 30):
                        on=("dst",), right_on=("node",)),
             pa.schema([("src", it), ("label", it)]),
         )
-        new_labels = (
+        new_labels = _compact(
             fast_groupby_agg(j, ["src"], {"label": ("label", "min")})
             .rename_columns({"src": "node"})
-            .materialize()
         )
         diff = _norm(
             new_labels.join(labels, "inner", N_JOIN_PARTS, on=("node",),
@@ -330,8 +355,15 @@ def _min_label_components(pairs_ds, max_iters: int = 30):
         changed = diff.count()
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    # propagation moves labels one hop per iteration: a component with
+    # diameter > max_iters would exit with WRONG labels — refuse to
+    # return silently-divergent survivors (the driver union-find path
+    # would disagree, breaking the guard-equality contract)
+    raise RuntimeError(
+        f"min-label propagation did not converge in {max_iters} iterations "
+        "(component diameter exceeds the cap); raise max_iters"
+    )
 
 
 def _dropped_nodes(pairs_ds):
@@ -562,10 +594,17 @@ class _SimHashBands:
 
 def simhash_dedup(docs_ds, max_hamming: int = 3, n_bands: int = 4,
                   bucket_cap: int = 512):
-    """SimHash near-dedup: docs within hamming distance ≤ max_hamming of
-    a smaller-id doc are dropped. Returns (survivors_ds, pairs_ds).
-    Verification (hamming on the 64-bit signatures carried with the band
-    rows) happens inside the bucket groups — no text join needed."""
+    """SimHash near-dedup: candidate docs within hamming distance
+    ≤ max_hamming of a smaller-id doc are dropped. Returns
+    (survivors_ds, pairs_ds). Verification (hamming on the 64-bit
+    signatures carried with the band rows) happens inside the bucket
+    groups — no text join needed.
+
+    Recall contract: band LSH GUARANTEES candidacy only for pairs with
+    hamming < n_bands (pigeonhole — some band is untouched); for
+    n_bands ≤ hamming ≤ max_hamming a pair is verified only if it still
+    collides in some band (probabilistic, like every LSH scheme). Use
+    more bands for a stronger guarantee at more shuffle volume."""
     bands = docs_ds.map_batches(
         _SimHashBands(n_bands), batch_format="pyarrow", batch_size=1024,
     )
@@ -600,7 +639,9 @@ def simhash_dedup(docs_ds, max_hamming: int = 3, n_bands: int = 4,
         pairs, ["a", "b"], {"hamming": ("hamming", "min")}
     ).materialize()
     if verified.count() == 0:
-        return docs_ds, verified
+        # fastagg's combine emits a zero-COLUMN table when every partial
+        # is empty — return the properly typed empty pair schema instead
+        return docs_ds, _empty_pairs(_id_type(docs_ds, "doc_id"), "hamming")
     return _survivors_guarded(docs_ds, verified, "doc_id"), verified
 
 
@@ -679,6 +720,8 @@ def embedding_cosine_dedup(embeddings_ds, threshold: float = 0.95,
         cand, ["a", "b"], {"cosine": ("cosine", "max")}
     ).materialize()
     if verified.count() == 0:
-        return embeddings_ds, verified
+        # typed empty pair schema (see simhash_dedup note)
+        return embeddings_ds, _empty_pairs(
+            _id_type(embeddings_ds, "vec_id"), "cosine")
     return _survivors_guarded(embeddings_ds, verified, "vec_id",
                               joinable=False), verified

@@ -106,3 +106,31 @@ def test_bucket_cap_star_pairing_preserves_components():
     s_full, _ = DT.minhash_lsh_dedup(docs, threshold=0.5, bucket_cap=512)
     s_star, _ = DT.minhash_lsh_dedup(docs, threshold=0.5, bucket_cap=1)
     assert sorted(s_full.to_pandas()["doc_id"]) == sorted(s_star.to_pandas()["doc_id"])
+
+
+def test_missing_pair_ids_dropped_not_phantom_verified():
+    """A candidate pair naming doc_ids absent from the corpus must be
+    dropped (the join path's inner-join semantics) — NOT verified at
+    jaccard('','') == 1.0 by the small-path lookup default."""
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": ["alpha beta gamma delta epsilon", "alpha beta gamma delta zeta"],
+    }))
+    verified = DT.ngram_jaccard_pairs(docs, [(1, 2), (98, 99)], threshold=0.5)
+    rows = verified.to_pandas()
+    assert set(zip(rows["a"], rows["b"])) == {(1, 2)}
+
+
+def test_simhash_unverified_candidates_typed_empty_pairs():
+    """Candidates that collide in a band but all fail the hamming gate
+    must yield a properly TYPED empty pairs dataset (a, b, hamming) —
+    not fastagg's zero-column table."""
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": ["the quick brown fox jumps over the lazy dog",
+                 "the quick brown fox jumped over the lazy dogs"],
+    }))
+    surv, pairs = DT.simhash_dedup(docs, max_hamming=0)
+    names = set(pairs.schema().names)
+    assert names == {"a", "b", "hamming"}, names
+    assert pairs.count() == 0 or surv.count() == 1  # identical-hash edge
