@@ -22,14 +22,19 @@ min/max date — an aggregation over the store, not actor state).
 
 Ray usage notes: the only raw actors are the frontier shards (shared
 mutable state the Dataset API can't express); everything else is
-Dataset ``map_batches``. Per-epoch doc sets are bounded by the pop
-budget, so the epoch materialization that feeds the three parse branches
-is bounded memory, while stores stream via ``write_parquet``.
+Dataset ``map_batches``. ``pop_budget`` is PER SHARD (a hot host
+concentrates in one shard, so a divided budget would starve skewed
+epochs): per-epoch doc sets are bounded by n_shards × pop_budget, and
+that is the bound on the epoch materialization that feeds the three
+parse branches; stores stream via ``write_parquet``.
 """
 
 from __future__ import annotations
 
 import math
+import os
+import shutil
+from concurrent.futures import ThreadPoolExecutor
 
 import pyarrow as pa
 import ray
@@ -85,6 +90,16 @@ def store_watermarks(game_history_ds) -> dict[str, tuple[str, str]]:
     return {r["fide_id"]: (r["dmin"], r["dmax"]) for r in agg.take_all()}
 
 
+def partition_by_shard(rows: pa.Table, n_shards: int) -> dict[int, list[int]]:
+    """host → owning-shard row index map (THE routing rule; every caller
+    that talks to shards must use this one function so routing and the
+    restored per-host state can never disagree)."""
+    by_shard: dict[int, list[int]] = {}
+    for i, h in enumerate(rows["host"].to_pylist()):
+        by_shard.setdefault(shard_of(h, n_shards), []).append(i)
+    return by_shard
+
+
 def make_router(shards, months, watermarks):
     """Link-routing stage: expand accepted search results into frontier
     URL rows and offer them to the owning shards directly from the task
@@ -94,11 +109,7 @@ def make_router(shards, months, watermarks):
 
     def _route(results: pa.Table) -> pa.Table:
         rows = P.expand_frontier_batch(results, months, watermarks)
-        n_shards = len(shards)
-        hosts = rows["host"].to_pylist()
-        by_shard: dict[int, list[int]] = {}
-        for i, h in enumerate(hosts):
-            by_shard.setdefault(shard_of(h, n_shards), []).append(i)
+        by_shard = partition_by_shard(rows, len(shards))
         futs = [shards[s].offer.remote(rows.take(idx)) for s, idx in by_shard.items()]
         stats = ray.get(futs)
         return pa.table(
@@ -172,7 +183,12 @@ def run_crawl(
     record_log: bool = False,
 ) -> CrawlResult:
     """Run the crawl to frontier exhaustion (or ``max_epochs``, for the
-    checkpoint/resume tests). See module docstring."""
+    checkpoint/resume tests). ``pop_budget`` is PER SHARD (see module
+    docstring — an epoch fetches ≤ n_shards × pop_budget pages). A fresh
+    run (resume=False) into a previously-used out_dir clears the
+    engine's own store/checkpoint subdirectories first; resume=True
+    validates n_shards against the checkpoint and refuses to start from
+    a manifest whose shard snapshots are missing."""
     months = [m for m in synth.months_of(cfg)
               if (start_month is None or m >= start_month)
               and (end_month is None or m <= end_month)]
@@ -185,12 +201,32 @@ def run_crawl(
         for k in range(n_shards)
     ]
     epoch0 = 0
+    if not resume and store.load_manifest(out_dir) is not None:
+        # a FRESH run into a previously-used out_dir would otherwise
+        # merge the old run's surviving epoch partitions into this run's
+        # stores (read_all lists every epoch= dir) — clear the engine's
+        # own artifacts (never anything else in the directory)
+        for sub in ("docs", "players", "games_raw", "game_history",
+                    "checkpoint"):
+            shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
     manifest = store.load_manifest(out_dir) if resume else None
     if manifest is not None:
+        if manifest.get("n_shards") != n_shards:
+            raise RuntimeError(
+                f"resume with n_shards={n_shards} but the checkpoint was "
+                f"written with n_shards={manifest.get('n_shards')}: per-host "
+                "state would be routed to the wrong shards"
+            )
         snaps = store.load_shard_snapshots(out_dir, n_shards)
-        if snaps is not None:
-            ray.get([shards[s["shard_id"]].restore.remote(s) for s in snaps])
-            epoch0 = manifest["completed_epochs"]
+        if snaps is None:
+            # refusing beats silently starting an empty crawl that then
+            # marks itself finished with zero output
+            raise RuntimeError(
+                "resume requested but shard snapshots are missing or "
+                "incomplete; restart without resume=True"
+            )
+        ray.get([shards[s["shard_id"]].restore.remote(s) for s in snaps])
+        epoch0 = manifest["completed_epochs"]
     if manifest is None:
         # robots: fetch + parse robots.txt once per known host, push rules
         # into the owning shard (engine-added; reference has none)
@@ -219,11 +255,9 @@ def run_crawl(
                     ["profile"] * len(known), list(known), [""] * len(known),
                     [""] * len(known), [0] * len(known),
                 )
-                by_shard0: dict[int, list[int]] = {}
-                for i, h in enumerate(rows["host"].to_pylist()):
-                    by_shard0.setdefault(shard_of(h, n_shards), []).append(i)
                 ray.get([shards[s].mark_seen.remote(rows.take(idx))
-                         for s, idx in by_shard0.items()])
+                         for s, idx in
+                         partition_by_shard(rows, n_shards).items()])
 
         # seed offers: one search URL per seed query, in seed order
         seed_rows = U.make_url_rows(
@@ -234,13 +268,18 @@ def run_crawl(
             [""] * len(seeds),
             [U.pack_priority(i, 0, U.KIND_SEARCH, 0) for i in range(len(seeds))],
         )
-        by_shard: dict[int, list[int]] = {}
-        for i, h in enumerate(seed_rows["host"].to_pylist()):
-            by_shard.setdefault(shard_of(h, n_shards), []).append(i)
+        by_shard = partition_by_shard(seed_rows, n_shards)
         ray.get([shards[s].offer.remote(seed_rows.take(idx)) for s, idx in by_shard.items()])
-        store.save_manifest(out_dir, {"completed_epochs": 0, "finished": False,
-                                      "n_shards": n_shards})
+        # snapshots BEFORE manifest: the manifest's existence is the
+        # resume signal, so it must never exist without its snapshots
+        # (a crash between the two would otherwise make resume raise)
         store.save_shard_snapshots(out_dir, ray.get([s.snapshot.remote() for s in shards]))
+        store.save_manifest(out_dir, {
+            "completed_epochs": 0, "finished": False, "n_shards": n_shards,
+            # watermarks must survive a crash DURING epoch 0, or resume
+            # re-crawls every month the incremental store already covers
+            "watermarks": {k: list(v) for k, v in watermarks.items()},
+        })
         watermarks_state = watermarks
     else:
         watermarks_state = manifest.get("watermarks", {})
@@ -272,34 +311,39 @@ def run_crawl(
             return rd.from_arrow(sub).repartition(nb)
 
         # URL kind is known BEFORE fetching, so each page type runs as its
-        # own fused fetch→parse pipeline — one streaming pass per kind, no
-        # all-docs materialization barrier. The docs store (when enabled)
-        # is the only consumer that needs raw span documents.
-        n_docs = 0
-        if persist_docs:
-            all_ds = rd.from_arrow(url_table).repartition(
-                max(1, min(4 * fetch_concurrency,
-                           math.ceil(url_table.num_rows / batch_size))))
-            docs = all_ds.map_batches(
-                P.make_fetch_fn(cfg), batch_format="pyarrow", batch_size=batch_size,
-            )
-            n_docs = store.write_epoch(docs, out_dir, "docs", epoch)
-
+        # own fetch→parse pipeline. Every URL is fetched EXACTLY ONCE:
+        # when the docs store is on, each kind's fetched span documents
+        # are materialized (bounded by the per-epoch pop budget) so the
+        # parse branch and the docs partition share one fetch pass — the
+        # earlier design ran a second all-docs fetch pipeline just for
+        # the store, doubling the crawl's dominant cost (and, with a real
+        # HTTP fetcher, its request traffic) every epoch. With the store
+        # off, the fetch→parse pipelines stay fused and fully streaming.
         fetch_fn = P.make_fetch_fn(cfg)
+        fetched_for_docs: list = []  # thread-safe appends (GIL)
+
+        def _fetched(kind: str):
+            ds = _kind_ds(kind)
+            if ds is None:
+                return None
+            f = ds.map_batches(fetch_fn, batch_format="pyarrow",
+                               batch_size=batch_size)
+            if persist_docs:
+                f = f.materialize()
+                fetched_for_docs.append(f)
+            return f
 
         # The three per-kind pipelines are independent — drive them from
         # concurrent driver threads so their fixed per-execution overheads
         # and compute phases overlap (serially they add ~2s × pipelines ×
         # epochs of pure dead time). All joined before the next pop.
         def _run_search() -> int:
-            search_ds = _kind_ds("search")
-            if search_ds is None:
+            fetched = _fetched("search")
+            if fetched is None:
                 return 0
             # Small router batches: one search page expands to
             # O(results × months) URL rows, so expansion parallelizes.
-            return search_ds.map_batches(
-                fetch_fn, batch_format="pyarrow", batch_size=batch_size,
-            ).map_batches(
+            return fetched.map_batches(
                 P.parse_search_batch, batch_format="pyarrow",
             ).map_batches(
                 make_router(shards, months, watermarks_state),
@@ -307,28 +351,24 @@ def run_crawl(
             ).count()  # forces offers to complete before the next pop
 
         def _run_profiles() -> int:
-            profile_ds = _kind_ds("profile")
-            if profile_ds is None:
+            fetched = _fetched("profile")
+            if fetched is None:
                 return 0
-            players = profile_ds.map_batches(
-                fetch_fn, batch_format="pyarrow", batch_size=batch_size,
-            ).map_batches(P.parse_profile_batch, batch_format="pyarrow")
+            players = fetched.map_batches(P.parse_profile_batch,
+                                          batch_format="pyarrow")
             return store.write_epoch(players, out_dir, "players", epoch)
 
         def _run_calcs() -> int:
-            calc_ds = _kind_ds("calc")
-            if calc_ds is None:
+            fetched = _fetched("calc")
+            if fetched is None:
                 return 0
-            games = calc_ds.map_batches(
-                fetch_fn, batch_format="pyarrow", batch_size=batch_size,
-            ).map_batches(P.parse_calc_batch, batch_format="pyarrow")
+            games = fetched.map_batches(P.parse_calc_batch,
+                                        batch_format="pyarrow")
             # persist_games=False: throughput benches measure the
             # fetch+parse+frontier path without the shared single-node
             # disk (a real cluster's store bandwidth scales with nodes)
             return (store.write_epoch(games, out_dir, "games_raw", epoch)
                     if persist_games else games.count())
-
-        from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=3) as pool:
             f_search = pool.submit(_run_search)
@@ -337,6 +377,13 @@ def run_crawl(
             f_search.result()
             n_players = f_profiles.result()
             n_games = f_games.result()
+
+        n_docs = 0
+        if fetched_for_docs:
+            docs_all = fetched_for_docs[0]
+            if len(fetched_for_docs) > 1:
+                docs_all = docs_all.union(*fetched_for_docs[1:])
+            n_docs = store.write_epoch(docs_all, out_dir, "docs", epoch)
 
         # per-partition lineage: what this epoch consumed and produced
         epochs_meta[str(epoch)] = {

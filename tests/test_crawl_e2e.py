@@ -151,3 +151,38 @@ def test_incremental_watermark_crawl(tmp_path):
                 }
                 skipped += 1
     assert skipped > 0
+
+
+def test_resume_refuses_missing_snapshots_and_wrong_shards(tmp_path):
+    """A manifest without its shard snapshots (or with a different shard
+    count) must REFUSE to resume — silently starting an empty frontier
+    would mark the crawl finished with zero output."""
+    import glob
+    import os
+
+    out = str(tmp_path / "r")
+    C.run_crawl(CFG, out, n_shards=2, max_epochs=1)
+    with pytest.raises(RuntimeError, match="n_shards"):
+        C.run_crawl(CFG, out, n_shards=4, resume=True)
+    for f in glob.glob(os.path.join(out, "checkpoint", "shard_*.pkl")):
+        os.remove(f)
+    with pytest.raises(RuntimeError, match="snapshots"):
+        C.run_crawl(CFG, out, n_shards=2, resume=True)
+
+
+def test_fresh_run_clears_stale_epoch_partitions(tmp_path):
+    """resume=False into a used out_dir must not merge the previous
+    run's surviving epoch partitions into the new stores."""
+    out = str(tmp_path / "reuse")
+    months = synth.months_of(CFG)
+    big = C.run_crawl(CFG, out, n_shards=2)  # many epochs
+    big_rows = big.game_history().count()
+
+    small = C.run_crawl(CFG, out, n_shards=2,
+                        start_month=months[0], end_month=months[1])
+    small_rows = small.game_history().count()
+
+    fresh = C.run_crawl(CFG, str(tmp_path / "clean"), n_shards=2,
+                        start_month=months[0], end_month=months[1])
+    assert small_rows == fresh.game_history().count()
+    assert small_rows < big_rows
