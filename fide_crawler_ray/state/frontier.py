@@ -1,7 +1,10 @@
 """Frontier shard actors: politeness heaps + robots + URL-seen + fetch log.
 
 The engine's central stateful stage (SURVEY.md §4, ST2-ST4). The frontier
-is sharded by ``hash(host) % n_shards`` so each host's politeness state
+is sharded by ``crc32(host) % n_shards`` (NOT Python ``hash()``, which is
+PYTHONHASHSEED-dependent — routing must be stable across processes and
+restarts or resumed per-host state lands on the wrong shards) so each
+host's politeness state
 (next-fetch time, robots rules) lives in exactly one actor — per-host
 crawl rate is politeness-bound no matter how many workers exist, so
 sharding a single host finer cannot speed it up; breadth across hosts is
@@ -30,21 +33,20 @@ disallowed path prefix are dropped and counted.
 from __future__ import annotations
 
 import heapq
+import zlib
 from collections import defaultdict
 
 import numpy as np
 import pyarrow as pa
 import ray
 
-from .cuckoo import SeenSet
+from .cuckoo import SeenSet, sha1_bytes_to_array
 
 URL_FIELDS = ["url", "host", "url_hash", "kind", "fide_id", "period",
               "player_name", "priority"]
 
 
 def shard_of(host: str, n_shards: int) -> int:
-    import zlib
-
     return zlib.crc32(host.encode()) % n_shards
 
 
@@ -68,6 +70,14 @@ class FrontierShard:
         self.seen = SeenSet(capacity=seen_capacity, max_inmem=seen_max_inmem)
         self.heaps: dict[str, list] = defaultdict(list)  # host → [(priority, row)]
         self.host_next_vts: dict[str, int] = defaultdict(int)
+        # host-level selection heap: (next_vts, host) for every host with
+        # pending URLs, membership-tracked so each host appears once.
+        # pop_ready is O(log H) per host selection; the r1 version
+        # re-listed and re-sorted every live host per outer iteration —
+        # O(H² log H) per epoch in the breadth-across-hosts regime the
+        # module docstring names as the parallelism source.
+        self.host_heap: list[tuple[int, str]] = []
+        self.hosts_in_heap: set[str] = set()
         self.robots: dict[str, list[str]] = {}  # host → disallow path prefixes
         # fetch log: OPT-IN (ordering tests only). On the production path
         # it would be an O(total-pops) memory leak inside the most
@@ -101,17 +111,18 @@ class FrontierShard:
         self.counters["offered"] += n
         if n == 0:
             return {"offered": 0, "enqueued": 0}
-        hashes = np.frombuffer(
-            b"".join(rows["url_hash"].to_pylist()), dtype=np.uint8
-        ).reshape(-1, 20)
         cols = [rows[f].to_pylist() for f in URL_FIELDS]
         hosts = cols[1]
         urls = cols[0]
         prios = cols[7]
+        hashes = sha1_bytes_to_array(cols[2])  # one extraction, shared layout
         robots_ok = np.ones(n, dtype=bool)
-        if self.robots:  # only hosts with rules pay the per-row check
+        # only ROWS whose host carries rules pay the per-row path check
+        rule_hosts = {h for h, r in self.robots.items() if r}
+        if rule_hosts:
             for j in range(n):
-                if not self._robots_allowed(hosts[j], urls[j]):
+                h = hosts[j]
+                if h in rule_hosts and not self._robots_allowed(h, urls[j]):
                     robots_ok[j] = False
         self.counters["robots_dropped"] += int((~robots_ok).sum())
         # seen-check only robots-allowed urls (a disallowed url stays
@@ -120,11 +131,15 @@ class FrontierShard:
         already = np.ones(n, dtype=bool)
         if len(idx):
             already[idx] = self.seen.check_and_add(hashes[idx])
-        self.counters["dup_dropped"] += int(already[idx].sum()) if len(idx) else 0
+        self.counters["dup_dropped"] += int(already[idx].sum())
         enq = 0
         for j in np.flatnonzero(~already):
-            row = tuple(c[j] for c in cols)
-            heapq.heappush(self.heaps[hosts[j]], (prios[j], urls[j], row))
+            h = hosts[j]
+            heap = self.heaps[h]
+            heapq.heappush(heap, (prios[j], urls[j], tuple(c[j] for c in cols)))
+            if h not in self.hosts_in_heap:
+                heapq.heappush(self.host_heap, (self.host_next_vts[h], h))
+                self.hosts_in_heap.add(h)
             enq += 1
         self.counters["enqueued"] += enq
         return {"offered": n, "enqueued": enq}
@@ -136,9 +151,7 @@ class FrontierShard:
         n = rows.num_rows
         if n == 0:
             return 0
-        hashes = np.frombuffer(
-            b"".join(rows["url_hash"].to_pylist()), dtype=np.uint8
-        ).reshape(-1, 20)
+        hashes = sha1_bytes_to_array(rows["url_hash"].to_pylist())
         already = self.seen.check_and_add(hashes)
         added = int((~already).sum())
         self.counters["cache_preseeded"] += added
@@ -155,14 +168,16 @@ class FrontierShard:
         heappop-per-URL with no host re-selection cost."""
         out_rows: list[tuple] = []
         out_vts: list[int] = []
-        while len(out_rows) < max_n:
-            live = [(self.host_next_vts[h], h) for h, hp in self.heaps.items() if hp]
-            if not live:
-                break
-            live.sort()
-            _, host = live[0]
-            nxt = live[1] if len(live) > 1 else None
-            heap = self.heaps[host]
+        while len(out_rows) < max_n and self.host_heap:
+            _, host = heapq.heappop(self.host_heap)
+            self.hosts_in_heap.discard(host)
+            heap = self.heaps.get(host)
+            if not heap:  # drained by a previous call in this epoch
+                self.heaps.pop(host, None)
+                continue
+            # the runner-up host's entry is accurate (vts only changes
+            # here, and changed hosts are re-pushed with the new value)
+            nxt = self.host_heap[0] if self.host_heap else None
             vts = self.host_next_vts[host]
             # drain while this host still wins the (vts, host) tiebreak
             while heap and len(out_rows) < max_n and (
@@ -175,6 +190,13 @@ class FrontierShard:
                 out_vts.append(vts)
                 vts += self.gap_us
             self.host_next_vts[host] = vts
+            if heap:
+                heapq.heappush(self.host_heap, (vts, host))
+                self.hosts_in_heap.add(host)
+            else:
+                # delete drained hosts (politeness clock survives in
+                # host_next_vts) so H never inflates across the run
+                self.heaps.pop(host, None)
         self.counters["popped"] += len(out_rows)
         if not out_rows:
             return None
@@ -213,11 +235,11 @@ class FrontierShard:
         return {
             "shard_id": self.shard_id,
             "gap_us": self.gap_us,
-            "pending": {h: [(p, u, r) for (p, u, r) in hp]
-                        for h, hp in self.heaps.items() if hp},
+            "pending": {h: list(hp) for h, hp in self.heaps.items() if hp},
             "host_next_vts": dict(self.host_next_vts),
             "robots": dict(self.robots),
             "seen": self.seen.state(),
+            "record_log": self.record_log,
             "fetch_log": list(self.fetch_log) if self.record_log else [],
             "counters": dict(self.counters),
         }
@@ -225,11 +247,25 @@ class FrontierShard:
     def restore(self, snap: dict) -> None:
         self.gap_us = snap["gap_us"]
         self.heaps = defaultdict(list)
+        self.host_heap = []
+        self.hosts_in_heap = set()
         for h, entries in snap["pending"].items():
             self.heaps[h] = [tuple(e) for e in entries]
             heapq.heapify(self.heaps[h])
         self.host_next_vts = defaultdict(int, snap["host_next_vts"])
+        for h in self.heaps:
+            heapq.heappush(self.host_heap, (self.host_next_vts[h], h))
+            self.hosts_in_heap.add(h)
         self.robots = dict(snap["robots"])
         self.seen = SeenSet.from_state(snap["seen"])
-        self.fetch_log = [tuple(e) for e in snap["fetch_log"]]
+        if self.record_log and not snap.get("record_log", False):
+            # the pre-checkpoint pops were never recorded: an ordering
+            # log resumed from this snapshot would silently present a
+            # TRUNCATED crawl order as complete — refuse instead
+            raise ValueError(
+                "record_log=True resume from a snapshot written with "
+                "record_log=False: the earlier crawl order is unrecoverable"
+            )
+        self.fetch_log = ([tuple(e) for e in snap["fetch_log"]]
+                          if self.record_log else [])
         self.counters = defaultdict(int, snap["counters"])
