@@ -108,3 +108,40 @@ def test_seenset_autogrows_past_capacity():
     assert s.cuckoo.n_buckets * 4 >= 100_000
     assert s.check_and_add(h).all()
     assert not s.contains_batch(_hashes(1000, "other")).any()
+
+
+def test_state_round_trip_preserves_capacity_and_exactness():
+    """state()/from_state() must keep the cuckoo table dimensions EXACT
+    (the r2-interim hash-list form re-derived capacity from the slot
+    count and doubled the table on every resume) and reproduce the full
+    membership set structurally."""
+    import hashlib
+
+    s = SeenSet(capacity=1 << 12, max_inmem=1 << 10)
+    hs = sha1_bytes_to_array(
+        [hashlib.sha1(str(i).encode()).digest() for i in range(5000)])
+    assert not s.check_and_add(hs).any()
+    for _ in range(6):
+        s = SeenSet.from_state(s.state())
+    assert s.check_and_add(hs).all()  # everything still seen
+    slots0 = s.cuckoo.n_buckets
+    s2 = SeenSet.from_state(s.state())
+    assert s2.cuckoo.n_buckets == slots0  # no inflation per round trip
+    assert s2.n == s.n
+
+
+def test_spill_segments_compact():
+    """Past MAX_SEGMENTS spills the exact tier compacts to one merged
+    segment with no membership change."""
+    import hashlib
+
+    s = SeenSet(capacity=1 << 12, max_inmem=256)
+    hs = sha1_bytes_to_array(
+        [hashlib.sha1(f"c{i}".encode()).digest() for i in range(5000)])
+    for i in range(0, len(hs), 512):
+        s.check_and_add(hs[i:i + 512])
+    assert len(s.segments) <= SeenSet.MAX_SEGMENTS + 1
+    assert s.contains_batch(hs).all()
+    other = sha1_bytes_to_array(
+        [hashlib.sha1(f"z{i}".encode()).digest() for i in range(1000)])
+    assert not s.contains_batch(other).any()
