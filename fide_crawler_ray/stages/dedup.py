@@ -41,8 +41,13 @@ import ray
 
 from ..schema import DEDUP_KEY
 
-_HKEY_1 = b"fcray-dedup-seed1"[:16].decode("latin1")
-_HKEY_2 = b"fcray-dedup-seed2"[:16].decode("latin1")
+# exactly 16 chars each AND distinct — the r2-interim 17-byte literals
+# truncated to the SAME 16 bytes, silently collapsing the "128-bit"
+# signature to 64 bits (expected birthday collisions at the 10^10-key
+# scale the join fallback exists for)
+_HKEY_1 = "fcray-dedup-sd-1"
+_HKEY_2 = "fcray-dedup-sd-2"
+assert len(_HKEY_1) == len(_HKEY_2) == 16 and _HKEY_1 != _HKEY_2
 _SIG_DT = np.dtype([("a", np.uint64), ("b", np.uint64)])
 
 
@@ -83,6 +88,11 @@ def add_key_hash_batch(batch: pa.Table, key_cols=DEDUP_KEY) -> pa.Table:
 
 
 def _partial_min(batch: pa.Table, key_cols, order_col: str) -> pa.Table:
+    """Per-batch (key → min order, total count, count AT the min). The
+    at-min count `m` is what lets the combine detect ORDER TIES — rows
+    sharing a key's minimal lineage (identical re-ingested rows, e.g. an
+    incremental boundary-month refetch), of which exactly one must
+    survive (reference ROW_NUMBER keeps rn=1, never all tied rows)."""
     sig = _key_sig(batch, key_cols)
     df = pd.DataFrame({
         "a": sig["a"].astype(np.int64),
@@ -92,6 +102,9 @@ def _partial_min(batch: pa.Table, key_cols, order_col: str) -> pa.Table:
     g = df.groupby(["a", "b"], sort=False)["o"]
     m = g.agg(["min", "size"]).reset_index()
     m.columns = ["a", "b", "o", "c"]
+    mins = g.transform("min")
+    at_min = df[df["o"] == mins].groupby(["a", "b"], sort=False).size()
+    m = m.merge(at_min.rename("m").reset_index(), on=["a", "b"])
     return pa.Table.from_pandas(m, preserve_index=False).replace_schema_metadata(None)
 
 
@@ -110,28 +123,40 @@ def _combine_all_task(*tables: pa.Table) -> pa.Table:
     no such failure mode, and pruning here keeps the probe broadcast
     dup-sized (the unique majority never ships).
 
-    Vectorized: one concat + uint64 lexsort + reduceat min/sum."""
+    Vectorized: one concat + uint64 lexsort + reduceat min/sum. The
+    output carries `m` = GLOBAL count of rows at the key's global min
+    order (partials at a higher local min contribute zero), so the probe
+    can tell apart the normal dup key (one winner) from an ORDER TIE
+    (several identical winners, exactly one of which may survive)."""
     tables = [t for t in tables if t.num_rows > 0]  # empties are 0-column
     n = sum(t.num_rows for t in tables)
     a = np.empty(n, dtype=np.uint64)
     b = np.empty(n, dtype=np.uint64)
     o = np.empty(n, dtype=np.int64)
     c = np.empty(n, dtype=np.int64)
+    cm = np.empty(n, dtype=np.int64)
     at = 0
     for t in tables:
-        m = t.num_rows
-        a[at:at + m] = t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        b[at:at + m] = t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        o[at:at + m] = t["o"].to_numpy(zero_copy_only=False)
-        c[at:at + m] = t["c"].to_numpy(zero_copy_only=False)
-        at += m
+        k = t.num_rows
+        a[at:at + k] = t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b[at:at + k] = t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        o[at:at + k] = t["o"].to_numpy(zero_copy_only=False)
+        c[at:at + k] = t["c"].to_numpy(zero_copy_only=False)
+        cm[at:at + k] = t["m"].to_numpy(zero_copy_only=False)
+        at += k
     order = np.lexsort((b, a))
-    a, b, o, c = a[order], b[order], o[order], c[order]
+    a, b, o, c, cm = a[order], b[order], o[order], c[order], cm[order]
     if n:
         starts = np.flatnonzero(np.concatenate(
             [[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])]))
-        o = np.minimum.reduceat(o, starts)
+        lens = np.diff(np.r_[starts, n])
+        gmin = np.minimum.reduceat(o, starts)
+        # at-min counts only from partials whose local min IS the global min
+        cm_tot = np.add.reduceat(
+            np.where(o == np.repeat(gmin, lens), cm, 0), starts)
+        o = gmin
         c = np.add.reduceat(c, starts)
+        cm = cm_tot
         a, b = a[starts], b[starts]
     dup = c >= 2  # global counts — prune is safe here
     return pa.table({
@@ -139,7 +164,26 @@ def _combine_all_task(*tables: pa.Table) -> pa.Table:
         "b": pa.array(b[dup].astype(np.int64), pa.int64()),
         "o": pa.array(o[dup], pa.int64()),
         "c": pa.array(c[dup], pa.int64()),
+        "m": pa.array(cm[dup], pa.int64()),
     })
+
+
+@ray.remote
+def _tied_reps_task(key_cols, *tables: pa.Table) -> pa.Table:
+    """One representative row per TIED key (several rows share the key's
+    minimal order — identical re-ingested rows). Stable argsort on the
+    key signature keeps, per key, the candidate appearing earliest in
+    block order — deterministic because the candidate dataset is
+    materialized before its refs are passed here."""
+    tabs = [t for t in tables if t.num_rows]
+    if not tabs:
+        return tables[0]
+    t = pa.concat_tables(tabs)
+    sig = _key_sig(t, key_cols)
+    order = np.argsort(sig, kind="stable")
+    s = sig[order]
+    first = np.concatenate([[True], s[1:] != s[:-1]])
+    return t.take(pa.array(order[first].astype(np.int64)))
 
 
 # per-worker cache of the deserialized sorted min-table (one build per
@@ -147,48 +191,25 @@ def _combine_all_task(*tables: pa.Table) -> pa.Table:
 _probe_cache: dict[str, tuple] = {}
 
 
-def _probe_arrays(refs) -> tuple:
-    """Merge the combined-key blocks into one sorted DUP-ONLY array.
-
-    A large combine output may exceed the block-size cap and arrive as
-    several blocks, each internally combined; keys straddling block
-    boundaries min-merge their order and SUM-merge their counts, and only
-    then does the global c ≥ 2 prune run — so a duplicate key split
-    across blocks (each side seeing c=1) is still recognized as a dup.
-    Unique keys (the overwhelming majority) are dropped here, keeping the
-    per-worker probe arrays dup-sized."""
-    key = "|".join(r.hex() if hasattr(r, "hex") else str(id(r)) for r in refs)
+def _probe_arrays(ref) -> tuple:
+    """Deserialize the single combine-task output (already sorted,
+    already dup-pruned) into per-worker probe arrays (keys, mins, tied)
+    — one build per worker process, cached by ref."""
+    key = ref.hex() if hasattr(ref, "hex") else str(id(ref))
     hit = _probe_cache.get(key)
     if hit is None:
-        tables = ray.get(list(refs))
-        n = sum(t.num_rows for t in tables)
+        t = ray.get(ref)
+        n = t.num_rows
         keys = np.empty(n, dtype=_SIG_DT)
-        mins = np.empty(n, dtype=np.int64)
-        cnts = np.empty(n, dtype=np.int64)
-        at = 0
-        for t in tables:
-            m = t.num_rows
-            keys["a"][at:at + m] = t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            keys["b"][at:at + m] = t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            mins[at:at + m] = t["o"].to_numpy(zero_copy_only=False)
-            cnts[at:at + m] = t["c"].to_numpy(zero_copy_only=False)
-            at += m
-        if len(tables) > 1:
-            # blocks are each internally sorted by the combine; a multi-
-            # block arrival re-sorts (lexsort on the uint64 halves — the
-            # comparison-based structured argsort was the probe's hot
-            # spot) and merges keys straddling block boundaries
-            order = np.lexsort((keys["b"], keys["a"]))
-            keys, mins, cnts = keys[order], mins[order], cnts[order]
-            starts = np.flatnonzero(
-                np.concatenate([[True], keys[1:] != keys[:-1]])
-            )
-            mins = np.minimum.reduceat(mins, starts)
-            cnts = np.add.reduceat(cnts, starts)
-            keys = keys[starts]
-        dup = cnts >= 2  # global counts — safe to prune here
-        hit = (keys[dup], mins[dup])
-        _probe_cache.clear()
+        keys["a"] = t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        keys["b"] = t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        mins = t["o"].to_numpy(zero_copy_only=False)
+        tied = t["m"].to_numpy(zero_copy_only=False) >= 2
+        hit = (keys, mins, tied)
+        # bounded per-key cache (a single clear() made it one-slot and
+        # two concurrent dedup pipelines evicted each other per batch)
+        while len(_probe_cache) >= 4:
+            _probe_cache.pop(next(iter(_probe_cache)))
         _probe_cache[key] = hit
     return hit
 
@@ -210,23 +231,53 @@ def dedup_dataset(ds, key_cols=DEDUP_KEY, order_col: str = "lineage",
         lambda b: _partial_min(b, key_cols, order_col), batch_format="pyarrow"
     ).materialize()
     if partial.count() > max_combine_rows:
+        # NOTE the reroute re-hashes the dataset (the partial pass's
+        # hashes are discarded): materializing kh columns for reuse would
+        # pin a corpus-sized dataset in the object store — re-hashing is
+        # the cheaper side at exactly the scale the reroute serves.
         return dedup_dataset_join(ds, key_cols, order_col)
-    refs = [_combine_all_task.remote(*partial.to_arrow_refs())]
+    ref = _combine_all_task.remote(*partial.to_arrow_refs())
 
     def _probe(batch: pa.Table) -> pa.Table:
-        ks, ms = _probe_arrays(refs)
+        ks, ms, td = _probe_arrays(ref)
         if len(ks) == 0:
             return batch  # no key occurs twice: input already deduped
         sig = _key_sig(batch, key_cols)
         idx = np.clip(np.searchsorted(ks, sig), 0, len(ks) - 1)
         is_dup_key = ks[idx] == sig
-        # unique keys always kept; dup keys keep only the min-lineage row
-        keep = ~is_dup_key | (
-            batch[order_col].to_numpy(zero_copy_only=False) == ms[idx]
-        )
+        at_min = (batch[order_col].to_numpy(zero_copy_only=False) == ms[idx])
+        # unique keys kept; dup keys keep the min-order row — except keys
+        # whose min is TIED (several identical rows share it): those are
+        # dropped here and re-emitted exactly once by the representative
+        # side channel below (keeping all tied copies would emit
+        # duplicates; the reference ROW_NUMBER semantics keep rn=1)
+        keep = ~is_dup_key | (at_min & ~td[idx])
         return batch.filter(pa.array(keep))
 
-    return ds.map_batches(_probe, batch_format="pyarrow")
+    main = ds.map_batches(_probe, batch_format="pyarrow")
+
+    # tied-key representatives: the combine's dup table is the broadcast
+    # small side already, so the driver may inspect it; ties are rare
+    # (identical re-ingested rows) and their candidate rows are a tiny
+    # subset, gathered in one task that keeps the first copy per key.
+    comb = ray.get(ref)
+    if comb.num_rows == 0 or not np.any(
+            comb["m"].to_numpy(zero_copy_only=False) >= 2):
+        return main
+
+    def _tied_rows(batch: pa.Table) -> pa.Table:
+        ks, ms, td = _probe_arrays(ref)
+        sig = _key_sig(batch, key_cols)
+        idx = np.clip(np.searchsorted(ks, sig), 0, len(ks) - 1)
+        hit = (ks[idx] == sig) & td[idx] & (
+            batch[order_col].to_numpy(zero_copy_only=False) == ms[idx])
+        return batch.filter(pa.array(hit))
+
+    tied_ds = ds.map_batches(_tied_rows, batch_format="pyarrow").materialize()
+    rep_ref = _tied_reps_task.remote(list(key_cols), *tied_ds.to_arrow_refs())
+    import ray.data as rd
+
+    return main.union(rd.from_arrow_refs([rep_ref]))
 
 
 def dedup_dataset_join(ds, key_cols=DEDUP_KEY, order_col: str = "lineage",
@@ -244,8 +295,23 @@ def dedup_dataset_join(ds, key_cols=DEDUP_KEY, order_col: str = "lineage",
         Min(order_col, alias_name="__min_ord")
     )
     joined = hashed.join(mins, "inner", num_partitions, on=("kh1", "kh2"))
-    out = joined.map_batches(
-        lambda b: b.filter(pc.equal(b[order_col], b["__min_ord"])),
-        batch_format="pyarrow",
-    )
+
+    def _min_first(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b[order_col], b["__min_ord"]))
+        # ORDER TIES (several identical rows at the key's min) keep
+        # exactly one representative. Sound per-block because the hash
+        # join co-partitions every row of a key into one partition and
+        # batch_size=None maps whole blocks.
+        k1 = b["kh1"].to_numpy(zero_copy_only=False)
+        k2 = b["kh2"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((k2, k1))
+        s1, s2 = k1[order], k2[order]
+        first = np.concatenate(
+            [[True], (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])]) if len(order) else \
+            np.zeros(0, dtype=bool)
+        keep = np.sort(order[first])
+        return b.take(pa.array(keep.astype(np.int64)))
+
+    out = joined.map_batches(_min_first, batch_format="pyarrow",
+                             batch_size=None)
     return out.drop_columns(["kh1", "kh2", "__min_ord"])

@@ -204,24 +204,56 @@ def test_combine_correct_under_tiny_block_size():
         ctx.target_max_block_size = old
 
 
-def test_probe_arrays_merges_split_dup_key():
-    """A dup key whose two partials land in different combined blocks
-    (c=1 in each) must still be pruned as a duplicate after the
-    cross-block sum-merge."""
+def test_combine_task_merges_split_dup_key_and_ties():
+    """A dup key whose two partials land in different partial blocks
+    (c=1 in each) must still be flagged dup by the single combine task,
+    and the at-min tie count `m` must merge only from partials whose
+    local min IS the global min."""
     DD._probe_cache.clear()
 
-    def blk(a, b, o, c):
+    def blk(a, b, o, c, m):
         return pa.table({
             "a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64()),
             "o": pa.array(o, pa.int64()), "c": pa.array(c, pa.int64()),
+            "m": pa.array(m, pa.int64()),
         })
 
-    # key (7, 7) split across blocks with per-block count 1; key (1, 1)
-    # unique; key (9, 9) dup within one block.
-    refs = [
-        ray.put(blk([1, 7], [1, 7], [10, 4], [1, 1])),
-        ray.put(blk([7, 9], [7, 9], [2, 5], [1, 2])),
-    ]
-    ks, ms = DD._probe_arrays(refs)
-    got = {(int(k["a"]), int(k["b"])): int(m) for k, m in zip(ks, ms)}
-    assert got == {(7, 7): 2, (9, 9): 5}  # split dup kept w/ global min; unique pruned
+    # (1,1) unique → pruned; (7,7) split dup, global min 2 from block 2
+    # only (block 1's local min 4 contributes nothing to m); (9,9) dup
+    # within one block with both rows AT the min → tied; (5,5) tied
+    # ACROSS blocks (same min order in both).
+    ref = DD._combine_all_task.remote(
+        blk([1, 5, 7], [1, 5, 7], [10, 3, 4], [1, 1, 1], [1, 1, 1]),
+        blk([5, 7, 9], [5, 7, 9], [3, 2, 5], [1, 1, 2], [1, 1, 2]),
+    )
+    ks, ms, td = DD._probe_arrays(ref)
+    got = {(int(k["a"]), int(k["b"])): (int(m), bool(t))
+           for k, m, t in zip(ks, ms, td)}
+    assert got == {(5, 5): (3, True), (7, 7): (2, False), (9, 9): (5, True)}
+
+
+def test_dedup_order_ties_keep_exactly_one_row_both_paths():
+    """Identical rows sharing BOTH key and order (re-ingested duplicates
+    with equal lineage) must yield exactly one survivor per key —
+    reference ROW_NUMBER keeps rn=1, never all tied rows — on both the
+    broadcast-probe path and the join fallback."""
+    rng = np.random.default_rng(31)
+    n = 3000
+    key = rng.integers(0, 800, n)
+    lin = rng.integers(0, 5, n).astype(np.int64)  # heavy order ties
+    t = pa.table({
+        "key": pa.array(key),
+        "payload": pa.array(key * 7),  # key-determined → survivors comparable
+        "lineage": pa.array(lin),
+    })
+    ds = rd.from_arrow(t).repartition(8)
+    exp = (t.to_pandas().groupby("key")["lineage"].min()
+           .reset_index().sort_values("key").reset_index(drop=True))
+    for kw in ({}, {"max_combine_rows": 0}):
+        got = (DD.dedup_dataset(ds, key_cols=("key",), order_col="lineage",
+                                **kw).to_pandas()
+               .sort_values("key").reset_index(drop=True))
+        # exactly one row per key, at that key's min lineage
+        assert got["key"].tolist() == exp["key"].tolist()
+        assert got["lineage"].tolist() == exp["lineage"].tolist()
+        assert (got["payload"] == got["key"] * 7).all()
