@@ -820,6 +820,7 @@ def queries() -> dict:
         "audio_framing": q_audio_framing,
         "video_frame_sample": q_video_frame_sample,
         **_relational_queries(),
+        **_textclean_queries(),
     }
 
 
@@ -827,6 +828,12 @@ def _relational_queries() -> dict:
     from . import relational  # deferred: relational imports T from here
 
     return relational.queries()
+
+
+def _textclean_queries() -> dict:
+    from . import textclean  # deferred: textclean imports T from here
+
+    return textclean.queries()
 
 
 ORACLES: dict[str, str] = {
@@ -1082,6 +1089,6 @@ ORACLES: dict[str, str] = {
 
 
 def oracle_sql() -> dict:
-    from . import relational  # deferred: relational imports T from here
+    from . import relational, textclean  # deferred: both import T from here
 
-    return {**ORACLES, **relational.ORACLES}
+    return {**ORACLES, **relational.ORACLES, **textclean.ORACLES}
