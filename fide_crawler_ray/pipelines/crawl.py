@@ -2,12 +2,12 @@
 
 Epoch loop over the sharded frontier:
 
-    seeds → frontier.offer(search URLs)
+    seeds → salted seen-filter bank (admit) → frontier shards (enqueue)
     loop:  shards.pop_ready (per-host politeness order, virtual time)
          → Dataset(url rows) → map_batches(Fetcher actor pool)   # fetch
          → docs partition written (resumable)                     # store
          → parse_search → expand (profile+calc URLs, watermark-gapped)
-                        → route back to frontier shards           # offer
+                        → salted admit → owning shards            # offer
          → parse_profile → players partition
          → parse_calc    → games_raw partition
          → checkpoint frontier snapshots + manifest
@@ -36,6 +36,7 @@ import os
 import shutil
 from concurrent.futures import ThreadPoolExecutor
 
+import numpy as np
 import pyarrow as pa
 import ray
 import ray.data as rd
@@ -46,7 +47,9 @@ from ..stages import dedup as DD
 from ..stages import normalize as NZ
 from ..stages import parse as P
 from ..stages import urls as U
-from ..state.frontier import FrontierShard, shard_of
+from ..state.cuckoo import sha1_bytes_to_array
+from ..state.frontier import (FrontierShard, SeenFilterShard, salt_of_hashes,
+                              shard_of)
 
 
 def _prev_month_str(period: str) -> str:
@@ -100,22 +103,61 @@ def partition_by_shard(rows: pa.Table, n_shards: int) -> dict[int, list[int]]:
     return by_shard
 
 
-def make_router(shards, months, watermarks):
+def partition_by_salt(rows: pa.Table, n_filters: int) -> dict[int, np.ndarray]:
+    """url_hash-salt → seen-filter row index map (THE bank routing rule,
+    mirroring partition_by_shard; vectorized — the salt is a numpy
+    reduction over the SHA1 bytes, no per-row Python)."""
+    salts = salt_of_hashes(sha1_bytes_to_array(rows["url_hash"].to_pylist()),
+                           n_filters)
+    return {int(s): np.flatnonzero(salts == s) for s in np.unique(salts)}
+
+
+def offer_rows(filters, shards, rows: pa.Table) -> dict:
+    """Two-hop admission — the salted enqueue path (north rule's hot-host
+    skew handling). Hop 1 salt-partitions by url_hash to the seen-filter
+    bank (parallel across the bank even when ONE host dominates); hop 2
+    host-partitions the admitted survivors to the owning politeness
+    shard. Survivor volume is bounded by true frontier growth, so the
+    hot shard's serialized work no longer scales with offer traffic."""
+    if rows.num_rows == 0:
+        return {"offered": 0, "enqueued": 0}
+    futs = [filters[s].admit.remote(rows.take(idx))
+            for s, idx in partition_by_salt(rows, len(filters)).items()]
+    admitted = [t for t in ray.get(futs) if t.num_rows]
+    if not admitted:
+        return {"offered": rows.num_rows, "enqueued": 0}
+    adm = pa.concat_tables(admitted)
+    stats = ray.get([shards[s].offer.remote(adm.take(idx)) for s, idx
+                     in partition_by_shard(adm, len(shards)).items()])
+    return {"offered": rows.num_rows,
+            "enqueued": sum(s["enqueued"] for s in stats)}
+
+
+def _save_frontier_snapshots(out_dir: str, shards, filters) -> None:
+    """Checkpoint BOTH actor banks (politeness shards + seen filters);
+    resume needs the pair or the restored frontier would re-admit every
+    pending URL's duplicates (or worse, refetch admitted ones)."""
+    all_snaps = ray.get([s.snapshot.remote() for s in shards]
+                        + [f.snapshot.remote() for f in filters])
+    store.save_shard_snapshots(out_dir, all_snaps[:len(shards)])
+    store.save_shard_snapshots(out_dir, all_snaps[len(shards):],
+                               prefix="seenfilter", id_key="filter_id")
+
+
+def make_router(filters, shards, months, watermarks):
     """Link-routing stage: expand accepted search results into frontier
-    URL rows and offer them to the owning shards directly from the task
-    (no driver collection — the scalable enqueue path). A plain task
-    function: actor handles serialize into task closures, and tasks avoid
-    per-epoch actor-pool spin-up."""
+    URL rows and offer them through the salted bank to the owning shards
+    directly from the task (no driver collection — the scalable enqueue
+    path). A plain task function: actor handles serialize into task
+    closures, and tasks avoid per-epoch actor-pool spin-up."""
 
     def _route(results: pa.Table) -> pa.Table:
         rows = P.expand_frontier_batch(results, months, watermarks)
-        by_shard = partition_by_shard(rows, len(shards))
-        futs = [shards[s].offer.remote(rows.take(idx)) for s, idx in by_shard.items()]
-        stats = ray.get(futs)
+        stats = offer_rows(filters, shards, rows)
         return pa.table(
             {
-                "offered": pa.array([sum(s["offered"] for s in stats)], pa.int64()),
-                "enqueued": pa.array([sum(s["enqueued"] for s in stats)], pa.int64()),
+                "offered": pa.array([stats["offered"]], pa.int64()),
+                "enqueued": pa.array([stats["enqueued"]], pa.int64()),
             }
         )
 
@@ -123,13 +165,18 @@ def make_router(shards, months, watermarks):
 
 
 class CrawlResult:
-    def __init__(self, out_dir: str, shards, epochs: int):
+    def __init__(self, out_dir: str, shards, filters, epochs: int):
         self.out_dir = out_dir
         self.shards = shards
+        self.filters = filters
         self.epochs = epochs
 
     def stats(self) -> list[dict]:
-        return ray.get([s.stats.remote() for s in self.shards])
+        """Politeness-shard stats followed by seen-filter stats (offered /
+        robots_dropped / dup_dropped live in the filters; popped /
+        enqueued / pending in the shards)."""
+        return ray.get([s.stats.remote() for s in self.shards]
+                       + [f.stats.remote() for f in self.filters])
 
     def fetch_log(self) -> list[tuple[int, int, str]]:
         """Merged crawl order: per-shard logs in global priority order
@@ -142,7 +189,7 @@ class CrawlResult:
         return merged
 
     def seen_hashes(self) -> set[bytes]:
-        sets = ray.get([s.seen_hashes.remote() for s in self.shards])
+        sets = ray.get([f.seen_hashes.remote() for f in self.filters])
         return set(b for s in sets for b in s)
 
     def game_history(self):
@@ -166,6 +213,7 @@ def run_crawl(
     out_dir: str,
     seeds: list[str] | None = None,
     n_shards: int = 2,
+    n_seen_filters: int | None = None,
     pop_budget: int = 100_000,
     fetch_concurrency: int = 4,
     batch_size: int = 128,
@@ -200,6 +248,12 @@ def run_crawl(
                              record_log=record_log)
         for k in range(n_shards)
     ]
+    # salted URL-seen bank: partitioned by url-hash salt, NOT host, so a
+    # dominant host's duplicate-heavy offer traffic parallelizes (north
+    # rule). Defaults to n_shards actors; size it to offer volume, which
+    # is independent of host skew by construction.
+    n_filters = n_seen_filters if n_seen_filters is not None else n_shards
+    filters = [SeenFilterShard.remote(k, n_filters) for k in range(n_filters)]
     epoch0 = 0
     if not resume and store.load_manifest(out_dir) is not None:
         # a FRESH run into a previously-used out_dir would otherwise
@@ -217,15 +271,24 @@ def run_crawl(
                 f"written with n_shards={manifest.get('n_shards')}: per-host "
                 "state would be routed to the wrong shards"
             )
+        if manifest.get("n_seen_filters") != n_filters:
+            raise RuntimeError(
+                f"resume with n_seen_filters={n_filters} but the checkpoint "
+                f"was written with {manifest.get('n_seen_filters')}: url-hash "
+                "salts would route seen-state to the wrong filters"
+            )
         snaps = store.load_shard_snapshots(out_dir, n_shards)
-        if snaps is None:
+        fsnaps = store.load_shard_snapshots(out_dir, n_filters,
+                                            prefix="seenfilter")
+        if snaps is None or fsnaps is None:
             # refusing beats silently starting an empty crawl that then
             # marks itself finished with zero output
             raise RuntimeError(
-                "resume requested but shard snapshots are missing or "
-                "incomplete; restart without resume=True"
+                "resume requested but shard/filter snapshots are missing "
+                "or incomplete; restart without resume=True"
             )
-        ray.get([shards[s["shard_id"]].restore.remote(s) for s in snaps])
+        ray.get([shards[s["shard_id"]].restore.remote(s) for s in snaps]
+                + [filters[s["filter_id"]].restore.remote(s) for s in fsnaps])
         epoch0 = manifest["completed_epochs"]
     if manifest is None:
         # robots: fetch + parse robots.txt once per known host, push rules
@@ -234,7 +297,10 @@ def run_crawl(
             doc = synth.render_url(cfg, synth.robots_url(host))
             rules = [s["text"].split("|", 1)[1] for s in doc["spans"]
                      if s["kind"] == "field" and s["text"].startswith("disallow|")]
-            ray.get([s.set_robots.remote(host, rules) for s in shards])
+            # rules live in the seen-filter bank (replicated — admission
+            # happens there, BEFORE the seen insert, so disallowed URLs
+            # stay unseen)
+            ray.get([f.set_robots.remote(host, rules) for f in filters])
 
         # watermarks from an existing store (incremental crawl, ST3/A11)
         watermarks = {}
@@ -255,9 +321,9 @@ def run_crawl(
                     ["profile"] * len(known), list(known), [""] * len(known),
                     [""] * len(known), [0] * len(known),
                 )
-                ray.get([shards[s].mark_seen.remote(rows.take(idx))
+                ray.get([filters[s].mark_seen.remote(rows.take(idx))
                          for s, idx in
-                         partition_by_shard(rows, n_shards).items()])
+                         partition_by_salt(rows, n_filters).items()])
 
         # seed offers: one search URL per seed query, in seed order
         seed_rows = U.make_url_rows(
@@ -268,14 +334,14 @@ def run_crawl(
             [""] * len(seeds),
             [U.pack_priority(i, 0, U.KIND_SEARCH, 0) for i in range(len(seeds))],
         )
-        by_shard = partition_by_shard(seed_rows, n_shards)
-        ray.get([shards[s].offer.remote(seed_rows.take(idx)) for s, idx in by_shard.items()])
+        offer_rows(filters, shards, seed_rows)
         # snapshots BEFORE manifest: the manifest's existence is the
         # resume signal, so it must never exist without its snapshots
         # (a crash between the two would otherwise make resume raise)
-        store.save_shard_snapshots(out_dir, ray.get([s.snapshot.remote() for s in shards]))
+        _save_frontier_snapshots(out_dir, shards, filters)
         store.save_manifest(out_dir, {
             "completed_epochs": 0, "finished": False, "n_shards": n_shards,
+            "n_seen_filters": n_filters,
             # watermarks must survive a crash DURING epoch 0, or resume
             # re-crawls every month the incremental store already covers
             "watermarks": {k: list(v) for k, v in watermarks.items()},
@@ -295,7 +361,7 @@ def run_crawl(
     epochs_meta: dict[str, dict] = dict(base_manifest.get("epochs", {}))
     while True:
         if max_epochs is not None and epoch - epoch0 >= max_epochs:
-            return CrawlResult(out_dir, shards, epoch)
+            return CrawlResult(out_dir, shards, filters, epoch)
         pops = ray.get([s.pop_ready.remote(per_shard_budget) for s in shards])
         tables = [t for t in pops if t is not None and t.num_rows > 0]
         if not tables:
@@ -346,7 +412,7 @@ def run_crawl(
             return fetched.map_batches(
                 P.parse_search_batch, batch_format="pyarrow",
             ).map_batches(
-                make_router(shards, months, watermarks_state),
+                make_router(filters, shards, months, watermarks_state),
                 batch_format="pyarrow", batch_size=16, num_cpus=0.1,
             ).count()  # forces offers to complete before the next pop
 
@@ -395,10 +461,10 @@ def run_crawl(
         }
         epoch += 1
         if checkpoint_every and (epoch - epoch0) % checkpoint_every == 0:
-            store.save_shard_snapshots(
-                out_dir, ray.get([s.snapshot.remote() for s in shards]))
+            _save_frontier_snapshots(out_dir, shards, filters)
             store.save_manifest(out_dir, {
                 "completed_epochs": epoch, "finished": False, "n_shards": n_shards,
+                "n_seen_filters": n_filters,
                 "watermarks": {k: list(v) for k, v in watermarks_state.items()},
                 "epochs": epochs_meta,
             })
@@ -411,10 +477,11 @@ def run_crawl(
     m["epochs"] = epochs_meta
     m["metrics"] = {
         "shards": ray.get([s.stats.remote() for s in shards]),
+        "seen_filters": ray.get([f.stats.remote() for f in filters]),
         "epochs": epochs_meta,
     }
     store.save_manifest(out_dir, m)
-    return CrawlResult(out_dir, shards, epoch)
+    return CrawlResult(out_dir, shards, filters, epoch)
 
 
 def finalize_game_history(out_dir: str) -> None:

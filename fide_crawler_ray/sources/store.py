@@ -121,21 +121,27 @@ def save_manifest(root: str, manifest: dict) -> None:
     os.replace(tmp, manifest_path(root))
 
 
-def save_shard_snapshots(root: str, snapshots: list[dict]) -> None:
+def save_shard_snapshots(root: str, snapshots: list[dict],
+                         prefix: str = "shard",
+                         id_key: str = "shard_id") -> None:
+    """Atomic per-actor snapshot files. ``prefix``/``id_key`` distinguish
+    the politeness shards (``shard_{k}``, keyed ``shard_id``) from the
+    salted seen-filter bank (``seenfilter_{k}``, keyed ``filter_id``)."""
     d = os.path.join(root, "checkpoint")
     os.makedirs(d, exist_ok=True)
     for snap in snapshots:
-        tmp = os.path.join(d, f"shard_{snap['shard_id']}.pkl.tmp")
+        tmp = os.path.join(d, f"{prefix}_{snap[id_key]}.pkl.tmp")
         with open(tmp, "wb") as f:
             pickle.dump(snap, f)
-        os.replace(tmp, os.path.join(d, f"shard_{snap['shard_id']}.pkl"))
+        os.replace(tmp, os.path.join(d, f"{prefix}_{snap[id_key]}.pkl"))
 
 
-def load_shard_snapshots(root: str, n_shards: int) -> list[dict] | None:
+def load_shard_snapshots(root: str, n_shards: int,
+                         prefix: str = "shard") -> list[dict] | None:
     d = os.path.join(root, "checkpoint")
     snaps = []
     for k in range(n_shards):
-        p = os.path.join(d, f"shard_{k}.pkl")
+        p = os.path.join(d, f"{prefix}_{k}.pkl")
         if not os.path.exists(p):
             return None
         with open(p, "rb") as f:

@@ -1,18 +1,34 @@
-"""Frontier shard actors: politeness heaps + robots + URL-seen + fetch log.
+"""Frontier actors: salted URL-seen bank + politeness shards + fetch log.
 
-The engine's central stateful stage (SURVEY.md §4, ST2-ST4). The frontier
-is sharded by ``crc32(host) % n_shards`` (NOT Python ``hash()``, which is
-PYTHONHASHSEED-dependent — routing must be stable across processes and
-restarts or resumed per-host state lands on the wrong shards) so each
-host's politeness state
-(next-fetch time, robots rules) lives in exactly one actor — per-host
-crawl rate is politeness-bound no matter how many workers exist, so
-sharding a single host finer cannot speed it up; breadth across hosts is
-where parallelism comes from. Hot-host *offer* traffic (fide.com
-dominates; BASELINE.json north_star) is absorbed by the callers: the
-link-routing stage partitions each Arrow batch by shard and issues
-concurrent ``offer`` calls from every fetch task, so no driver-side or
-single-queue bottleneck exists on the enqueue path.
+The engine's central stateful stage (SURVEY.md §4, ST2-ST4), split into
+two actor banks with DIFFERENT partitioning keys:
+
+- ``SeenFilterShard`` — the authoritative URL-seen set, partitioned by a
+  SALT derived from the SHA1 url_hash (host-independent). This is the
+  north rule's "explicit salting for hot-host skew": offer traffic is
+  duplicate-dominated and all of it for fide.com would otherwise
+  serialize into the one actor that owns the host. Hash-salting spreads
+  the dedup work uniformly across the bank no matter how skewed the host
+  distribution is; only the already-deduplicated survivors (bounded by
+  the true frontier growth, not by offer volume) reach the host-owned
+  politeness shard. robots.txt rules are replicated into every filter
+  (write-once per run, tiny) and applied BEFORE the seen-insert so a
+  disallowed URL stays unseen — a later robots change could admit it.
+
+- ``FrontierShard`` — per-host politeness state, sharded by
+  ``crc32(host) % n_shards`` (NOT Python ``hash()``, which is
+  PYTHONHASHSEED-dependent — routing must be stable across processes and
+  restarts or resumed per-host state lands on the wrong shards) so each
+  host's next-fetch clock lives in exactly one actor — per-host crawl
+  rate is politeness-bound no matter how many workers exist, so sharding
+  a single host finer cannot speed it up; breadth across hosts is where
+  pop parallelism comes from. Its ``offer`` is now enqueue-only (heap
+  push of pre-deduplicated rows), so the hot shard's serialized work per
+  epoch is O(unique new URLs), not O(offered rows).
+
+The link-routing stage partitions each Arrow batch by salt, then the
+admitted survivors by host, issuing concurrent calls from every fetch
+task — no driver-side or single-queue bottleneck on the enqueue path.
 
 Politeness uses VIRTUAL time (microseconds): ``pop_ready`` assigns each
 URL a fetch timestamp ≥ host_next_vts and advances the host clock by the
@@ -50,6 +66,119 @@ def shard_of(host: str, n_shards: int) -> int:
     return zlib.crc32(host.encode()) % n_shards
 
 
+def salt_of_hashes(hashes: np.ndarray, n_filters: int) -> np.ndarray:
+    """url_hash rows ((n, 20) uint8 SHA1) → owning seen-filter index.
+
+    Derived from SHA1 tail bytes 16:20 — disjoint from the cuckoo key
+    bytes 0:8 and fingerprint bytes 8:10 (cuckoo._keys64 /
+    _parts_from_sha1), so bank routing cannot correlate with in-filter
+    bucket placement. Host-independent by construction: a dominant
+    host's offers spread uniformly across the bank."""
+    return (hashes[:, 16:20].copy().view(">u4").reshape(-1)
+            % np.uint32(n_filters)).astype(np.int64)
+
+
+@ray.remote(num_cpus=0)
+class SeenFilterShard:
+    """One shard of the salted URL-seen bank (see module docstring).
+
+    Authoritative first-offer-wins admission: ``admit`` applies robots
+    rules, then atomically tests-and-inserts the url hashes into this
+    partition of the seen set and returns only the rows never offered
+    before. Partitioned by ``salt_of_hashes``, NOT by host — the whole
+    point is that hot-host offer traffic parallelizes across the bank.
+
+    num_cpus=0 for the same reason as FrontierShard: lightweight
+    coordinators that must not starve the fetch/parse pool on small
+    clusters."""
+
+    def __init__(self, filter_id: int, n_filters: int,
+                 seen_capacity: int = 1 << 16,
+                 seen_max_inmem: int = 1 << 20):
+        self.filter_id = filter_id
+        self.n_filters = n_filters
+        self.seen = SeenSet(capacity=seen_capacity, max_inmem=seen_max_inmem)
+        self.robots: dict[str, list[str]] = {}  # host → disallow prefixes
+        self.counters = defaultdict(int)
+
+    def set_robots(self, host: str, disallow_prefixes: list[str]) -> None:
+        # replicated into every filter: rules are write-once per run and
+        # a few strings per host; replication keeps admit() single-hop
+        self.robots[host] = list(disallow_prefixes)
+
+    def _robots_allowed(self, host: str, url: str) -> bool:
+        rules = self.robots.get(host)
+        if not rules:
+            return True
+        path = url.split("//", 1)[-1]
+        path = "/" + path.split("/", 1)[1] if "/" in path else "/"
+        return not any(path.startswith(p) for p in rules)
+
+    def admit(self, rows: pa.Table) -> pa.Table:
+        """robots-filter + seen test-and-insert; returns admitted rows.
+
+        Order matters: a robots-disallowed URL is NOT inserted into the
+        seen set (a later robots change could admit it). Duplicate URLs
+        offered concurrently race here, and actor-serialized
+        check_and_add guarantees exactly one caller gets the row back."""
+        n = rows.num_rows
+        self.counters["offered"] += n
+        if n == 0:
+            return rows
+        keep = np.ones(n, dtype=bool)
+        rule_hosts = {h for h, r in self.robots.items() if r}
+        if rule_hosts:
+            hosts = rows["host"].to_pylist()
+            urls = rows["url"].to_pylist()
+            for j in range(n):
+                h = hosts[j]
+                if h in rule_hosts and not self._robots_allowed(h, urls[j]):
+                    keep[j] = False
+            self.counters["robots_dropped"] += int((~keep).sum())
+        idx = np.flatnonzero(keep)
+        if len(idx):
+            hashes = sha1_bytes_to_array(rows["url_hash"].to_pylist())
+            already = self.seen.check_and_add(hashes[idx])
+            self.counters["dup_dropped"] += int(already.sum())
+            keep[idx[already]] = False
+        admitted = rows.filter(pa.array(keep))
+        self.counters["admitted"] += admitted.num_rows
+        return admitted
+
+    def mark_seen(self, rows: pa.Table) -> int:
+        """Insert URL hashes WITHOUT admission — the store-cache pre-seed
+        path (ST2): URLs whose content the store already holds are never
+        fetched again."""
+        n = rows.num_rows
+        if n == 0:
+            return 0
+        hashes = sha1_bytes_to_array(rows["url_hash"].to_pylist())
+        already = self.seen.check_and_add(hashes)
+        added = int((~already).sum())
+        self.counters["cache_preseeded"] += added
+        return added
+
+    def seen_hashes(self) -> list[bytes]:
+        return self.seen.all_hashes()
+
+    def stats(self) -> dict:
+        return dict(self.counters, filter=self.filter_id, seen=self.seen.n)
+
+    def snapshot(self) -> dict:
+        return {
+            "filter_id": self.filter_id,
+            "n_filters": self.n_filters,
+            "robots": dict(self.robots),
+            "seen": self.seen.state(),
+            "counters": dict(self.counters),
+        }
+
+    def restore(self, snap: dict) -> None:
+        self.robots = dict(snap["robots"])
+        self.seen = SeenSet.from_state(snap["seen"])
+        self.counters = defaultdict(int, snap["counters"])
+
+
 @ray.remote(num_cpus=0)
 class FrontierShard:
     """One shard of the distributed frontier (see module docstring).
@@ -61,13 +190,10 @@ class FrontierShard:
 
     def __init__(self, shard_id: int, n_shards: int,
                  politeness_gap_us: int = 1_000_000,
-                 seen_capacity: int = 1 << 16,
-                 seen_max_inmem: int = 1 << 20,
                  record_log: bool = False):
         self.shard_id = shard_id
         self.n_shards = n_shards
         self.gap_us = politeness_gap_us
-        self.seen = SeenSet(capacity=seen_capacity, max_inmem=seen_max_inmem)
         self.heaps: dict[str, list] = defaultdict(list)  # host → [(priority, row)]
         self.host_next_vts: dict[str, int] = defaultdict(int)
         # host-level selection heap: (next_vts, host) for every host with
@@ -78,7 +204,6 @@ class FrontierShard:
         # module docstring names as the parallelism source.
         self.host_heap: list[tuple[int, str]] = []
         self.hosts_in_heap: set[str] = set()
-        self.robots: dict[str, list[str]] = {}  # host → disallow path prefixes
         # fetch log: OPT-IN (ordering tests only). On the production path
         # it would be an O(total-pops) memory leak inside the most
         # critical actor at a 10^10-URL frontier, so it defaults off and
@@ -87,75 +212,32 @@ class FrontierShard:
         self.fetch_log: list[tuple[int, int, str]] = []  # (vts, priority, url)
         self.counters = defaultdict(int)
 
-    # ------------------------------------------------------------- robots
-    def set_robots(self, host: str, disallow_prefixes: list[str]) -> None:
-        self.robots[host] = list(disallow_prefixes)
-
-    def _robots_allowed(self, host: str, url: str) -> bool:
-        rules = self.robots.get(host)
-        if not rules:
-            return True
-        path = url.split("//", 1)[-1]
-        path = "/" + path.split("/", 1)[1] if "/" in path else "/"
-        return not any(path.startswith(p) for p in rules)
-
     # -------------------------------------------------------------- offer
     def offer(self, rows: pa.Table) -> dict:
-        """Enqueue unseen, robots-allowed URL rows. Returns counters.
+        """Enqueue pre-admitted URL rows (robots + seen dedup already
+        applied by the SeenFilterShard bank — the rows arriving here are
+        first-offer winners). Returns counters.
 
-        Hot path for the dominant host (all of its offers serialize into
-        this one actor): columnar extraction (`to_pylist` per column,
-        C-level) instead of per-cell `.as_py()`, and heap entries are
-        (priority, url, row-tuple) — no per-row dict building."""
+        Still the hot shard for a dominant host, but its serialized work
+        is now O(unique new URLs): columnar extraction (`to_pylist` per
+        column, C-level) instead of per-cell `.as_py()`, and heap entries
+        are (priority, url, row-tuple) — no per-row dict building."""
         n = rows.num_rows
-        self.counters["offered"] += n
         if n == 0:
-            return {"offered": 0, "enqueued": 0}
+            return {"enqueued": 0}
         cols = [rows[f].to_pylist() for f in URL_FIELDS]
         hosts = cols[1]
         urls = cols[0]
         prios = cols[7]
-        hashes = sha1_bytes_to_array(cols[2])  # one extraction, shared layout
-        robots_ok = np.ones(n, dtype=bool)
-        # only ROWS whose host carries rules pay the per-row path check
-        rule_hosts = {h for h, r in self.robots.items() if r}
-        if rule_hosts:
-            for j in range(n):
-                h = hosts[j]
-                if h in rule_hosts and not self._robots_allowed(h, urls[j]):
-                    robots_ok[j] = False
-        self.counters["robots_dropped"] += int((~robots_ok).sum())
-        # seen-check only robots-allowed urls (a disallowed url stays
-        # unseen: a later robots change could admit it)
-        idx = np.flatnonzero(robots_ok)
-        already = np.ones(n, dtype=bool)
-        if len(idx):
-            already[idx] = self.seen.check_and_add(hashes[idx])
-        self.counters["dup_dropped"] += int(already[idx].sum())
-        enq = 0
-        for j in np.flatnonzero(~already):
+        for j in range(n):
             h = hosts[j]
             heap = self.heaps[h]
             heapq.heappush(heap, (prios[j], urls[j], tuple(c[j] for c in cols)))
             if h not in self.hosts_in_heap:
                 heapq.heappush(self.host_heap, (self.host_next_vts[h], h))
                 self.hosts_in_heap.add(h)
-            enq += 1
-        self.counters["enqueued"] += enq
-        return {"offered": n, "enqueued": enq}
-
-    def mark_seen(self, rows: pa.Table) -> int:
-        """Insert URL hashes into the seen set WITHOUT enqueuing — the
-        store-cache pre-seed path (ST2): URLs whose content the store
-        already holds are never fetched again."""
-        n = rows.num_rows
-        if n == 0:
-            return 0
-        hashes = sha1_bytes_to_array(rows["url_hash"].to_pylist())
-        already = self.seen.check_and_add(hashes)
-        added = int((~already).sum())
-        self.counters["cache_preseeded"] += added
-        return added
+        self.counters["enqueued"] += n
+        return {"enqueued": n}
 
     # --------------------------------------------------------------- pop
     def pop_ready(self, max_n: int) -> pa.Table | None:
@@ -221,14 +303,10 @@ class FrontierShard:
         return sum(len(h) for h in self.heaps.values())
 
     def stats(self) -> dict:
-        return dict(self.counters, pending=self.pending(), shard=self.shard_id,
-                    seen=self.seen.n)
+        return dict(self.counters, pending=self.pending(), shard=self.shard_id)
 
     def get_fetch_log(self) -> list[tuple[int, int, str]]:
         return list(self.fetch_log)
-
-    def seen_hashes(self) -> list[bytes]:
-        return self.seen.all_hashes()
 
     # --------------------------------------------------------- checkpoint
     def snapshot(self) -> dict:
@@ -237,8 +315,6 @@ class FrontierShard:
             "gap_us": self.gap_us,
             "pending": {h: list(hp) for h, hp in self.heaps.items() if hp},
             "host_next_vts": dict(self.host_next_vts),
-            "robots": dict(self.robots),
-            "seen": self.seen.state(),
             "record_log": self.record_log,
             "fetch_log": list(self.fetch_log) if self.record_log else [],
             "counters": dict(self.counters),
@@ -256,8 +332,6 @@ class FrontierShard:
         for h in self.heaps:
             heapq.heappush(self.host_heap, (self.host_next_vts[h], h))
             self.hosts_in_heap.add(h)
-        self.robots = dict(snap["robots"])
-        self.seen = SeenSet.from_state(snap["seen"])
         if self.record_log and not snap.get("record_log", False):
             # the pre-checkpoint pops were never recorded: an ordering
             # log resumed from this snapshot would silently present a

@@ -145,3 +145,50 @@ def test_spill_segments_compact():
     other = sha1_bytes_to_array(
         [hashlib.sha1(f"z{i}".encode()).digest() for i in range(1000)])
     assert not s.contains_batch(other).any()
+
+
+# ---------------------------------------------------------------- salted bank
+
+def test_salt_of_hashes_uniform_and_disjoint_from_cuckoo_bytes():
+    """Salt routing uses SHA1 tail bytes: host-independent (same-host URLs
+    spread across the bank) and stable across calls."""
+    from fide_crawler_ray.state.frontier import salt_of_hashes
+
+    h = _hashes(4000, salt="onehost/")  # one "host" prefix, many URLs
+    s = salt_of_hashes(h, 8)
+    assert s.min() >= 0 and s.max() <= 7
+    counts = np.bincount(s, minlength=8)
+    # uniform-ish: no filter owns more than 2x its fair share
+    assert counts.max() < 2 * (4000 / 8)
+    # deterministic
+    assert (salt_of_hashes(h, 8) == s).all()
+
+
+def test_seen_filter_shard_admit_semantics(ray_session):
+    """First-offer-wins exactly once; robots-disallowed rows dropped AND
+    left unseen (a later robots change could admit them)."""
+    import pyarrow as pa
+    import ray as _ray
+
+    from fide_crawler_ray.stages import urls as U
+    from fide_crawler_ray.state.frontier import SeenFilterShard
+
+    f = SeenFilterShard.remote(0, 1)
+    _ray.get(f.set_robots.remote("h.example", ["/blocked"]))
+    urls = ["https://h.example/a", "https://h.example/blocked/x",
+            "https://h.example/b"]
+    rows = U.make_url_rows(urls, ["calc"] * 3, [""] * 3, [""] * 3, [""] * 3,
+                           [1, 2, 3])
+    adm1 = _ray.get(f.admit.remote(rows))
+    assert adm1["url"].to_pylist() == ["https://h.example/a",
+                                       "https://h.example/b"]
+    # duplicate re-offer: nothing admitted
+    adm2 = _ray.get(f.admit.remote(rows.slice(0, 1)))
+    assert adm2.num_rows == 0
+    # the disallowed URL was NOT marked seen: lifting robots admits it
+    _ray.get(f.set_robots.remote("h.example", []))
+    adm3 = _ray.get(f.admit.remote(rows.slice(1, 1)))
+    assert adm3["url"].to_pylist() == ["https://h.example/blocked/x"]
+    st = _ray.get(f.stats.remote())
+    assert st["offered"] == 5 and st["robots_dropped"] == 1
+    assert st["dup_dropped"] == 1 and st["admitted"] == 3
