@@ -229,6 +229,8 @@ def run_crawl(
     persist_games: bool = True,
     checkpoint_every: int = 1,
     record_log: bool = False,
+    max_pending_inmem: int | None = None,
+    spill_chunk: int = 4096,
 ) -> CrawlResult:
     """Run the crawl to frontier exhaustion (or ``max_epochs``, for the
     checkpoint/resume tests). ``pop_budget`` is PER SHARD (see module
@@ -243,9 +245,16 @@ def run_crawl(
     if seeds is None:
         seeds = synth.seed_queries(cfg)
 
+    # pending-queue spill (10^10-URL frontiers): opt-in bound on each
+    # shard's in-memory pending set; the overflow lives as priority-sorted
+    # chunk files under out_dir/spill and reloads in exact pop order
+    spill_dir = (os.path.join(out_dir, "spill")
+                 if max_pending_inmem is not None else None)
     shards = [
         FrontierShard.remote(k, n_shards, politeness_gap_us=politeness_gap_us,
-                             record_log=record_log)
+                             record_log=record_log,
+                             max_pending_inmem=max_pending_inmem,
+                             spill_dir=spill_dir, spill_chunk=spill_chunk)
         for k in range(n_shards)
     ]
     # salted URL-seen bank: partitioned by url-hash salt, NOT host, so a
@@ -261,7 +270,7 @@ def run_crawl(
         # stores (read_all lists every epoch= dir) — clear the engine's
         # own artifacts (never anything else in the directory)
         for sub in ("docs", "players", "games_raw", "game_history",
-                    "checkpoint"):
+                    "checkpoint", "spill"):
             shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
     manifest = store.load_manifest(out_dir) if resume else None
     if manifest is not None:

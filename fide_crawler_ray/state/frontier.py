@@ -49,6 +49,8 @@ disallowed path prefix are dropped and counted.
 from __future__ import annotations
 
 import heapq
+import os
+import pickle
 import zlib
 from collections import defaultdict
 
@@ -190,11 +192,34 @@ class FrontierShard:
 
     def __init__(self, shard_id: int, n_shards: int,
                  politeness_gap_us: int = 1_000_000,
-                 record_log: bool = False):
+                 record_log: bool = False,
+                 max_pending_inmem: int | None = None,
+                 spill_dir: str | None = None,
+                 spill_chunk: int = 4096):
         self.shard_id = shard_id
         self.n_shards = n_shards
         self.gap_us = politeness_gap_us
         self.heaps: dict[str, list] = defaultdict(list)  # host → [(priority, row)]
+        # pending-queue spill tier (10^10-URL frontiers: the in-memory
+        # heaps are the one remaining unbounded state — the seen set
+        # already spills via SeenSet segments). Opt-in: when the shard's
+        # total in-memory pending exceeds max_pending_inmem, the hottest
+        # host's heap tail (HIGHEST priorities — popped last) is written
+        # as priority-sorted chunk files; pop_ready reloads chunks in
+        # priority order before it could ever pop past them, so crawl
+        # ordering is bit-identical to the unlimited path (asserted in
+        # tests/test_crawl_e2e.py::test_pending_spill_ordering_exact).
+        self.max_pending_inmem = max_pending_inmem
+        self.spill_dir = spill_dir
+        self.spill_chunk = spill_chunk
+        self.pending_inmem = 0
+        # host → list of chunk descriptors {path, n, min_prio}, sorted
+        # ascending by min_prio (consecutive priority ranges of one or
+        # more sorted runs; merged lazily at refill by min_prio order)
+        self.spill_chunks: dict[str, list[dict]] = defaultdict(list)
+        self._spill_seq = 0
+        if max_pending_inmem is not None and spill_dir is None:
+            raise ValueError("max_pending_inmem requires spill_dir")
         self.host_next_vts: dict[str, int] = defaultdict(int)
         # host-level selection heap: (next_vts, host) for every host with
         # pending URLs, membership-tracked so each host appears once.
@@ -237,7 +262,63 @@ class FrontierShard:
                 heapq.heappush(self.host_heap, (self.host_next_vts[h], h))
                 self.hosts_in_heap.add(h)
         self.counters["enqueued"] += n
+        self.pending_inmem += n
+        self._maybe_spill()
         return {"enqueued": n}
+
+    # --------------------------------------------------------------- spill
+    def _maybe_spill(self) -> None:
+        """Spill the hottest host's heap tail to priority-sorted chunk
+        files once in-memory pending exceeds the bound. The hot head
+        (lowest priorities — popped first) stays in memory; effective
+        in-memory bound is max(max_pending_inmem, live_hosts ×
+        spill_chunk). Chunk files are never deleted mid-run so a resume
+        from any checkpoint still finds every file its snapshot
+        references; a fresh run's out_dir cleanup garbage-collects them."""
+        if self.max_pending_inmem is None:
+            return
+        while self.pending_inmem > self.max_pending_inmem:
+            host = max(self.heaps, key=lambda h: len(self.heaps[h]))
+            heap = self.heaps[host]
+            if len(heap) <= self.spill_chunk:
+                break  # every heap is within one hot window — nothing to gain
+            os.makedirs(self.spill_dir, exist_ok=True)
+            entries = sorted(heap)
+            self.heaps[host] = entries[: self.spill_chunk]  # sorted IS a heap
+            tail = entries[self.spill_chunk:]
+            for i in range(0, len(tail), self.spill_chunk):
+                chunk = tail[i:i + self.spill_chunk]
+                path = os.path.join(
+                    self.spill_dir,
+                    f"shard{self.shard_id}_chunk{self._spill_seq}.pkl")
+                self._spill_seq += 1
+                with open(path + ".tmp", "wb") as f:
+                    pickle.dump(chunk, f)
+                os.replace(path + ".tmp", path)
+                self.spill_chunks[host].append(
+                    {"path": path, "n": len(chunk), "min_prio": chunk[0][0]})
+            self.spill_chunks[host].sort(key=lambda c: c["min_prio"])
+            self.pending_inmem -= len(tail)
+            self.counters["spilled"] += len(tail)
+
+    def _refill(self, host: str) -> None:
+        """Reload spilled chunks until the in-memory heap provably covers
+        the next pop: safe to pop the heap top only while it is strictly
+        below every unloaded chunk's min_prio (priorities are unique —
+        pack_priority range-guards the fields)."""
+        chunks = self.spill_chunks.get(host)
+        if not chunks:
+            return
+        heap = self.heaps[host]
+        while chunks and (not heap or heap[0][0] >= chunks[0]["min_prio"]):
+            c = chunks.pop(0)
+            with open(c["path"], "rb") as f:
+                for e in pickle.load(f):
+                    heapq.heappush(heap, tuple(e))
+            self.pending_inmem += c["n"]
+            self.counters["refilled"] += c["n"]
+        if not chunks:
+            self.spill_chunks.pop(host, None)
 
     # --------------------------------------------------------------- pop
     def pop_ready(self, max_n: int) -> pa.Table | None:
@@ -253,6 +334,7 @@ class FrontierShard:
         while len(out_rows) < max_n and self.host_heap:
             _, host = heapq.heappop(self.host_heap)
             self.hosts_in_heap.discard(host)
+            self._refill(host)
             heap = self.heaps.get(host)
             if not heap:  # drained by a previous call in this epoch
                 self.heaps.pop(host, None)
@@ -265,14 +347,21 @@ class FrontierShard:
             while heap and len(out_rows) < max_n and (
                 nxt is None or (vts, host) < nxt
             ):
+                ch = self.spill_chunks.get(host)
+                if ch and heap[0][0] >= ch[0]["min_prio"]:
+                    # the next pop would skip past a spilled entry —
+                    # reload before popping (keeps ordering exact)
+                    self._refill(host)
+                    continue
                 prio, url, row = heapq.heappop(heap)
+                self.pending_inmem -= 1
                 if self.record_log:
                     self.fetch_log.append((vts, prio, url))
                 out_rows.append(row)
                 out_vts.append(vts)
                 vts += self.gap_us
             self.host_next_vts[host] = vts
-            if heap:
+            if heap or self.spill_chunks.get(host):
                 heapq.heappush(self.host_heap, (vts, host))
                 self.hosts_in_heap.add(host)
             else:
@@ -300,7 +389,9 @@ class FrontierShard:
 
     # ------------------------------------------------------------- status
     def pending(self) -> int:
-        return sum(len(h) for h in self.heaps.values())
+        return (sum(len(h) for h in self.heaps.values())
+                + sum(c["n"] for chunks in self.spill_chunks.values()
+                      for c in chunks))
 
     def stats(self) -> dict:
         return dict(self.counters, pending=self.pending(), shard=self.shard_id)
@@ -314,6 +405,12 @@ class FrontierShard:
             "shard_id": self.shard_id,
             "gap_us": self.gap_us,
             "pending": {h: list(hp) for h, hp in self.heaps.items() if hp},
+            # spilled pending: chunk DESCRIPTORS only — the chunk files
+            # stay on disk (never deleted mid-run), so a restore from
+            # this snapshot finds exactly the chunks it references
+            "pending_spill": {h: list(cs) for h, cs
+                              in self.spill_chunks.items() if cs},
+            "spill_seq": self._spill_seq,
             "host_next_vts": dict(self.host_next_vts),
             "record_log": self.record_log,
             "fetch_log": list(self.fetch_log) if self.record_log else [],
@@ -328,8 +425,17 @@ class FrontierShard:
         for h, entries in snap["pending"].items():
             self.heaps[h] = [tuple(e) for e in entries]
             heapq.heapify(self.heaps[h])
+        self.pending_inmem = sum(len(hp) for hp in self.heaps.values())
+        self.spill_chunks = defaultdict(list)
+        for h, chunks in snap.get("pending_spill", {}).items():
+            for c in chunks:
+                if not os.path.exists(c["path"]):
+                    raise RuntimeError(
+                        f"spill chunk missing on restore: {c['path']}")
+            self.spill_chunks[h] = [dict(c) for c in chunks]
+        self._spill_seq = snap.get("spill_seq", 0)
         self.host_next_vts = defaultdict(int, snap["host_next_vts"])
-        for h in self.heaps:
+        for h in set(self.heaps) | set(self.spill_chunks):
             heapq.heappush(self.host_heap, (self.host_next_vts[h], h))
             self.hosts_in_heap.add(h)
         if self.record_log and not snap.get("record_log", False):

@@ -186,3 +186,40 @@ def test_fresh_run_clears_stale_epoch_partitions(tmp_path):
                         start_month=months[0], end_month=months[1])
     assert small_rows == fresh.game_history().count()
     assert small_rows < big_rows
+
+
+def test_pending_spill_ordering_exact(tmp_path, crawl_and_golden):
+    """A tiny in-memory pending bound (forces heavy spill/refill churn)
+    must leave the crawl order, seen set, and output bit-identical to the
+    unlimited run — the spill tier may only move WHERE pending rows live,
+    never WHAT pops next."""
+    res_unlimited, (ref_order, _, _, _) = crawl_and_golden
+    out = str(tmp_path / "spill_crawl")
+    res = C.run_crawl(CFG, out, n_shards=2, fetch_concurrency=2,
+                      politeness_gap_us=GAP, record_log=True,
+                      max_pending_inmem=8, spill_chunk=4)
+    stats = res.stats()
+    assert sum(s.get("spilled", 0) for s in stats) > 0  # spill actually ran
+    assert sum(s.get("spilled", 0) for s in stats) == \
+        sum(s.get("refilled", 0) for s in stats)  # everything came back
+    assert [u for (_, _, u) in res.fetch_log()] == \
+        [u for (_, _, u) in res_unlimited.fetch_log()]
+    assert res.seen_hashes() == res_unlimited.seen_hashes()
+    assert res.game_history().count() == res_unlimited.game_history().count()
+
+
+def test_pending_spill_survives_resume(tmp_path):
+    """Kill after epoch 1 with spilled pending on disk; resume must reload
+    the snapshot's chunk descriptors and finish with the same rows as an
+    uninterrupted spilling run."""
+    out_full = str(tmp_path / "full")
+    full = C.run_crawl(CFG, out_full, n_shards=2, fetch_concurrency=2,
+                       max_pending_inmem=8, spill_chunk=4)
+    out = str(tmp_path / "killed")
+    C.run_crawl(CFG, out, n_shards=2, fetch_concurrency=2,
+                max_pending_inmem=8, spill_chunk=4,
+                max_epochs=1, finalize=False)
+    resumed = C.run_crawl(CFG, out, n_shards=2, fetch_concurrency=2,
+                          max_pending_inmem=8, spill_chunk=4, resume=True)
+    assert resumed.seen_hashes() == full.seen_hashes()
+    assert resumed.game_history().count() == full.game_history().count()
