@@ -20,7 +20,8 @@ existing game_history store is passed, per-player month windows already
 covered are excluded during expansion (watermark A11: groupby(fide_id)
 min/max date — an aggregation over the store, not actor state).
 
-Ray usage notes: the only raw actors are the frontier shards (shared
+Ray usage notes: the only raw actors are the two frontier banks — the
+salted seen filters and the politeness shards (shared
 mutable state the Dataset API can't express); everything else is
 Dataset ``map_batches``. ``pop_budget`` is PER SHARD (a hot host
 concentrates in one shard, so a divided budget would starve skewed
