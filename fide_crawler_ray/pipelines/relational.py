@@ -896,6 +896,186 @@ def q_decontaminate(sf_dir, bench_docs: int = 5, k: int = 8):
     return docs.map_batches(_Probe, batch_format="pyarrow", concurrency=2)
 
 
+# ============================================== range join / similarity join
+
+RANGE_JOIN_MOD = 89        # window selector (co-prime with as-of's 97)
+_RJ_US_PER_MIN = 60_000_000
+
+
+def q_range_join(sf_dir):
+    """Interval (range) join: each event matched to EVERY "campaign
+    window" whose [start, end) span contains the event's timestamp — the
+    general non-equi containment join Ray Data lacks natively (as-of
+    covers only "latest marker ≤ ts"; this has multiplicity, and windows
+    may overlap). Windows derive deterministically from the events table
+    itself: rows with ``event_id % 89 == 0`` open a window of
+    ``30 + (event_id % 5) * 15`` minutes — variable spans, so the probe
+    needs the max-span candidate bound (the general interval-join shape,
+    not fixed-width bucketing).
+
+    Plan: the window side is sparse by construction (1/89 of events), so
+    it is broadcast once (``ray.put``) sorted by start; each batch finds
+    its candidate windows with two vectorized ``searchsorted`` calls
+    (start ≤ ts and start > ts − max_span — anything earlier provably
+    ended) and filters candidates by window end. O(log W + hits) per
+    event, no shuffle of the big side. Partitioning assumption (per the
+    engine's custom-operator contract): the WINDOW side fits in worker
+    memory; if it did not, range-partition both sides by time bucket
+    (windows replicated into each bucket they overlap) and run the same
+    probe per bucket."""
+    ev = T(sf_dir, "events", ["event_id", "ts"])
+
+    def _windows(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy(zero_copy_only=False)
+        w = b.filter(pa.array(ids % RANGE_JOIN_MOD == 0))
+        wid = w["event_id"].to_numpy(zero_copy_only=False)
+        start = _ts_us(w["ts"])
+        dur = (30 + (wid % 5) * 15) * _RJ_US_PER_MIN
+        return pa.table({
+            "window_id": pa.array(wid, pa.int64()),
+            "start_us": pa.array(start, pa.int64()),
+            "end_us": pa.array(start + dur, pa.int64()),
+        })
+
+    windows = ev.map_batches(_windows, batch_format="pyarrow").materialize()
+    wref = ray.put(windows.to_arrow_refs())
+
+    class _RangeProbe:
+        def __init__(self):
+            live = [t for t in ray.get(ray.get(wref)) if t.num_rows > 0]
+            if not live:
+                self.start = np.empty(0, dtype=np.int64)
+                self.end = np.empty(0, dtype=np.int64)
+                self.wid = np.empty(0, dtype=np.int64)
+                self.max_span = 0
+                return
+            w = pa.concat_tables(live)
+            start = w["start_us"].to_numpy(zero_copy_only=False)
+            order = np.argsort(start, kind="stable")
+            self.start = start[order]
+            self.end = w["end_us"].to_numpy(zero_copy_only=False)[order]
+            self.wid = w["window_id"].to_numpy(zero_copy_only=False)[order]
+            self.max_span = int(np.max(self.end - self.start))
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            out = {"event_id": pa.array([], pa.int64()),
+                   "window_id": pa.array([], pa.int64())}
+            if b.num_rows == 0 or len(self.start) == 0:
+                return pa.table(out)
+            t = _ts_us(b["ts"])
+            eid = b["event_id"].to_numpy(zero_copy_only=False)
+            # candidates: start in (t - max_span, t]  (start ≤ t - max_span
+            # ⇒ end = start + dur ≤ start + max_span ≤ t ⇒ cannot contain)
+            lo = np.searchsorted(self.start, t - self.max_span, side="right")
+            hi = np.searchsorted(self.start, t, side="right")
+            counts = hi - lo
+            total = int(counts.sum())
+            if total == 0:
+                return pa.table(out)
+            rows = np.repeat(np.arange(len(t)), counts)
+            offs = np.cumsum(counts)
+            ramp = np.arange(total) - np.repeat(offs - counts, counts)
+            cidx = np.repeat(lo, counts) + ramp
+            keep = self.end[cidx] > t[rows]
+            return pa.table({
+                "event_id": pa.array(eid[rows[keep]], pa.int64()),
+                "window_id": pa.array(self.wid[cidx[keep]], pa.int64()),
+            })
+
+    return ev.map_batches(_RangeProbe, batch_format="pyarrow", concurrency=2)
+
+
+def _ts_us(col) -> np.ndarray:
+    """Arrow timestamp column → int64 MICROseconds (matches DuckDB's
+    ``epoch_us``; the comparison domain on both range-join sides)."""
+    a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return a.to_numpy(zero_copy_only=False).astype("datetime64[us]").view("int64")
+
+
+SIM_JOIN_K = 3             # words per shingle
+SIM_JOIN_THRESHOLD = 0.5
+
+
+def _shingle_rows(b: pa.Table, rename: bool = False) -> pa.Table:
+    """(doc_id, sh, sz) rows: per-doc DISTINCT word-3-shingles (same
+    ``[a-z0-9_]+`` tokenizer as q_term_doc_freq) hashed to int64; sz
+    (the doc's distinct-shingle count) rides on every row so pair
+    scoring needs no second sizes join."""
+    out_id, out_sh, out_sz = [], [], []
+    for doc_id, txt in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+        toks = _TOKEN.findall(txt.lower())
+        shs = {" ".join(toks[i:i + SIM_JOIN_K])
+               for i in range(len(toks) - SIM_JOIN_K + 1)}
+        for s in shs:
+            out_id.append(doc_id)
+            out_sh.append(int.from_bytes(
+                hashlib.md5(s.encode()).digest()[:8], "big", signed=True))
+            out_sz.append(len(shs))
+    a, h, z = ("b", "sh_r", "sz_b") if rename else ("a", "sh", "sz_a")
+    return pa.table({
+        a: pa.array(out_id, pa.int64()),
+        h: pa.array(out_sh, pa.int64()),
+        z: pa.array(out_sz, pa.int64()),
+    })
+
+
+def q_similarity_join(sf_dir, threshold: float = SIM_JOIN_THRESHOLD):
+    """EXACT set-similarity self-join: all document pairs with word-
+    3-shingle Jaccard ≥ threshold. Unlike the MinHash/SimHash dedup
+    paths (probabilistic candidates → rows-only checks), this plan is
+    exact — any pair with Jaccard > 0 shares ≥ 1 shingle, so an
+    inverted-index join on shingle hash loses nothing — which is what
+    makes it DuckDB-oracle-checkable bit-for-bit.
+
+    Plan: docs → distinct-shingle rows (doc, hash, size) → native hash
+    ``Dataset.join`` on the shingle hash (both sides shuffled by hash;
+    no driver state) → a<b pair rows → partial-agg groupby counts the
+    intersection → Jaccard from the carried sizes. Scale note: a
+    shingle with document frequency df yields df² join rows; web-scale
+    corpora prune the head of that distribution with positional prefix
+    filtering (drop each doc's most common shingles from the index,
+    verify candidates against full sets) — not applied here because the
+    oracle must see identical semantics, and stop-shingle df at this
+    corpus is tiny."""
+    docs = T(sf_dir, "documents", ["doc_id", "text"])
+    left = docs.map_batches(_shingle_rows, batch_format="pyarrow").materialize()
+    right = left.map_batches(
+        lambda b: b.rename_columns(["b", "sh_r", "sz_b"]),
+        batch_format="pyarrow",
+    )
+    j = left.join(right, "inner", num_partitions=8,
+                  on=("sh",), right_on=("sh_r",))
+    pairs = j.map_batches(
+        lambda b: b.filter(pc.less(b["a"], b["b"])).select(
+            ["a", "b", "sz_a", "sz_b"]),
+        batch_format="pyarrow",
+    )
+    agg = fast_groupby_agg(pairs, ["a", "b"], {
+        "inter": (None, "count"),
+        "sz_a": ("sz_a", "max"),
+        "sz_b": ("sz_b", "max"),
+    })
+
+    # Jaccard in INTEGER fixed-point (inter·10⁶ // union) and the
+    # threshold as an integer cross-multiplication — exact on both
+    # engine and oracle sides, no float round-mode to disagree on.
+    thr_num, thr_den = int(threshold * 100), 100
+
+    def _score(b: pa.Table) -> pa.Table:
+        inter = b["inter"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uni = (b["sz_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+               + b["sz_b"].to_numpy(zero_copy_only=False) - inter)
+        keep = inter * thr_den >= uni * thr_num
+        return pa.table({
+            "a": b["a"].filter(pa.array(keep)),
+            "b": b["b"].filter(pa.array(keep)),
+            "jaccard_fp": pa.array(inter[keep] * 1_000_000 // uni[keep],
+                                   pa.int64()),
+        })
+
+    return agg.map_batches(_score, batch_format="pyarrow")
+
+
 # ============================================================ registry
 
 
@@ -924,10 +1104,51 @@ def queries() -> dict:
         "export_partitioned": q_export_partitioned,
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
+        "range_join": q_range_join,
+        "similarity_join": q_similarity_join,
     }
 
 
 ORACLES: dict[str, str] = {
+    "range_join": """
+        WITH w AS (
+            SELECT event_id AS window_id,
+                   epoch_us(ts) AS start_us,
+                   epoch_us(ts) + (30 + (event_id % 5) * 15) * 60000000
+                       AS end_us
+            FROM events WHERE event_id % 89 = 0
+        )
+        SELECT e.event_id, w.window_id
+        FROM events e JOIN w
+          ON epoch_us(e.ts) >= w.start_us AND epoch_us(e.ts) < w.end_us
+    """,
+    "similarity_join": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text),
+                                                  '[^a-z0-9_]+'),
+                               t -> t <> '') AS w
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+            FROM toks, UNNEST(range(1, len(w) - 1)) AS u(i)
+            WHERE len(w) >= 3
+        ),
+        szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        pairs AS (
+            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+            FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+            GROUP BY x.doc_id, y.doc_id
+        )
+        SELECT a, b,
+               CAST((inter * 1000000) // (sa.sz + sb.sz - inter) AS BIGINT)
+                   AS jaccard_fp
+        FROM pairs
+        JOIN szs sa ON a = sa.doc_id
+        JOIN szs sb ON b = sb.doc_id
+        WHERE inter * 100 >= (sa.sz + sb.sz - inter) * 50
+    """,
     "j_inner_join": """
         SELECT c_nationkey,
                round(sum(o_totalprice) * 10000.0) / 10000.0 AS revenue,

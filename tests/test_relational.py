@@ -219,3 +219,59 @@ def test_tfidf_guard_paths_identical():
     b = (q_tfidf_top_terms(SF, max_broadcast_vocab=0).to_pandas()[cols]
          .sort_values(cols).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_range_join_matches_bruteforce():
+    """Every (event, window) pair from the interval join must be exactly
+    the containment set a brute-force O(E·W) pandas scan produces —
+    including overlapping windows (multiplicity) and variable spans."""
+    from fide_crawler_ray.pipelines.relational import (
+        RANGE_JOIN_MOD, T, q_range_join)
+
+    out = q_range_join(SF).to_pandas()
+    ev = T(SF, "events", ["event_id", "ts"]).to_pandas()
+    w = ev[ev["event_id"] % RANGE_JOIN_MOD == 0].copy()
+    w["start"] = w["ts"]
+    w["end"] = w["ts"] + pd.to_timedelta(
+        30 + (w["event_id"] % 5) * 15, unit="m")
+    expect = set()
+    for _, win in w.iterrows():
+        hit = ev[(ev["ts"] >= win["start"]) & (ev["ts"] < win["end"])]
+        expect.update((int(e), int(win["event_id"]))
+                      for e in hit["event_id"])
+    got = set(zip(out["event_id"].astype(int), out["window_id"].astype(int)))
+    assert got == expect
+    assert len(out) == len(got)  # no duplicate pairs
+
+
+def test_similarity_join_matches_bruteforce():
+    """The inverted-index similarity self-join must equal the all-pairs
+    exact word-3-shingle Jaccard computation (it is exact by design:
+    J > 0 ⇒ the pair shares a shingle ⇒ the index join sees it)."""
+    from fide_crawler_ray.pipelines.relational import (
+        _TOKEN, SIM_JOIN_K, T, q_similarity_join)
+
+    out = q_similarity_join(SF).to_pandas()
+    docs = T(SF, "documents", ["doc_id", "text"]).to_pandas()
+    sets = {
+        int(r["doc_id"]): {
+            " ".join(toks[i:i + SIM_JOIN_K])
+            for toks in [_TOKEN.findall(r["text"].lower())]
+            for i in range(len(toks) - SIM_JOIN_K + 1)
+        }
+        for _, r in docs.iterrows()
+    }
+    expect = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            uni = len(sets[a] | sets[b])
+            if inter * 100 >= uni * 50:
+                expect[(a, b)] = inter * 1_000_000 // uni
+    got = {(int(r["a"]), int(r["b"])): int(r["jaccard_fp"])
+           for _, r in out.iterrows()}
+    assert got == expect
+    assert len(expect) > 0  # corpus contains near-duplicates by design
