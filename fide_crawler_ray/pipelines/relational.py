@@ -1076,6 +1076,127 @@ def q_similarity_join(sf_dir, threshold: float = SIM_JOIN_THRESHOLD):
     return agg.map_batches(_score, batch_format="pyarrow")
 
 
+# =========================================== profiling / reshape operators
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_grouped_distinct_count(sf_dir):
+    """COUNT(DISTINCT user) per event_type — the grouped-distinct shape
+    whose naive plan reshuffles every raw row. Two partial-agg stages:
+    (1) distinct (type, user) pairs (map-side combine dedupes within
+    each batch, so the exchange moves pair cardinality, not row count),
+    (2) pair counts per type."""
+    ev = T(sf_dir, "events", ["event_type", "user_id"])
+    pairs = fast_groupby_agg(ev, ["event_type", "user_id"],
+                             {"_n": (None, "count")})
+    return fast_groupby_agg(pairs, ["event_type"],
+                            {"n_users": (None, "count")})
+
+
+def q_mode_per_group(sf_dir):
+    """Per-user modal event type (argmax-by-count) with a deterministic
+    tie-break (higher count, then lexicographically smaller type) —
+    grouped counts then the mergeable grouped top-1, no per-group
+    Python."""
+    from ..stages.fastagg import grouped_topk
+
+    ev = T(sf_dir, "events", ["user_id", "event_type"])
+    counts = fast_groupby_agg(ev, ["user_id", "event_type"],
+                              {"n": (None, "count")})
+    top = grouped_topk(counts, ["user_id"], ["n", "event_type"],
+                       [False, True], 1)
+    return top.map_batches(
+        lambda b: pa.table({
+            "user_id": b["user_id"],
+            "mode_event": b["event_type"],
+            "n": b["n"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def q_histogram(sf_dir):
+    """Fixed-width value histogram of l_quantity (width 5.0, domain
+    [1, 50]) — the data-profiling primitive. Bucket assignment is
+    INTEGER fixed-point (round(v·100) // 500) so bin edges are exact on
+    both engine and oracle sides; the groupby moves one row per
+    (block, bucket)."""
+    ds = T(sf_dir, "lineitem", ["l_quantity"])
+
+    def _bucket(b: pa.Table) -> pa.Table:
+        v = np.round(b["l_quantity"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        return pa.table({"bucket": pa.array(v // 500, pa.int64())})
+
+    return fast_groupby_agg(
+        ds.map_batches(_bucket, batch_format="pyarrow"),
+        ["bucket"], {"n": (None, "count")},
+    )
+
+
+def q_grouped_variance(sf_dir):
+    """Population variance of l_quantity per return flag from mergeable
+    moments (n, Σv, Σv²) — v held in integer fixed-point (×100) so the
+    partials are EXACT integers and the only floats are the final
+    per-group expression, written identically on both sides
+    ((s2 − s²/n)/n scaled back to original units, then the module's
+    fixed-point canonicalization)."""
+    ds = T(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def _moments(b: pa.Table) -> pa.Table:
+        v = np.round(b["l_quantity"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "v": pa.array(v, pa.int64()),
+            "v2": pa.array(v * v, pa.int64()),
+        })
+
+    agg = fast_groupby_agg(
+        ds.map_batches(_moments, batch_format="pyarrow"),
+        ["l_returnflag"],
+        {"n": (None, "count"), "s": ("v", "sum"), "s2": ("v2", "sum")},
+    )
+
+    def _var(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = b["s"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s2 = b["s2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # same op order as the SQL: (s2 - s*s/n)/n, then ÷10⁴ (v was ×100)
+        var = (s2 - s * s / n) / n / 10000.0
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "n": b["n"],
+            "var_pop": pa.array(var, pa.float64()),
+        })
+
+    return agg.map_batches(_var, batch_format="pyarrow").map_batches(
+        _canon_stage({"var_pop": 4}), batch_format="pyarrow")
+
+
+def q_pivot_wide(sf_dir):
+    """Long→wide pivot: per-user event counts spread into one column per
+    event type (the reshape every feature-table build needs). Map-side
+    0/1 indicator columns + partial-agg sums — the exchange moves one
+    row per (block, user), and no stage ever needs a whole group in one
+    place."""
+    ev = T(sf_dir, "events", ["user_id", "event_type"])
+
+    def _ind(b: pa.Table) -> pa.Table:
+        cols = {"user_id": b["user_id"]}
+        for t in EVENT_TYPES:
+            cols[f"n_{t}"] = pc.cast(pc.equal(b["event_type"], t),
+                                     pa.int64())
+        return pa.table(cols)
+
+    return fast_groupby_agg(
+        ev.map_batches(_ind, batch_format="pyarrow"),
+        ["user_id"],
+        {f"n_{t}": (f"n_{t}", "sum") for t in EVENT_TYPES},
+    )
+
+
 # ============================================================ registry
 
 
@@ -1106,10 +1227,66 @@ def queries() -> dict:
         "decontaminate": q_decontaminate,
         "range_join": q_range_join,
         "similarity_join": q_similarity_join,
+        "grouped_distinct_count": q_grouped_distinct_count,
+        "mode_per_group": q_mode_per_group,
+        "histogram": q_histogram,
+        "grouped_variance": q_grouped_variance,
+        "pivot_wide": q_pivot_wide,
     }
 
 
 ORACLES: dict[str, str] = {
+    "grouped_distinct_count": """
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
+    """,
+    "mode_per_group": """
+        WITH c AS (
+            SELECT user_id, event_type, count(*) AS n
+            FROM events GROUP BY user_id, event_type
+        ),
+        r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY n DESC, event_type) AS rn
+            FROM c
+        )
+        SELECT user_id, event_type AS mode_event, n FROM r WHERE rn = 1
+    """,
+    "histogram": """
+        SELECT CAST(round(l_quantity * 100) AS BIGINT) // 500 AS bucket,
+               count(*) AS n
+        FROM lineitem GROUP BY bucket
+    """,
+    "grouped_variance": """
+        WITH m AS (
+            SELECT l_returnflag,
+                   CAST(round(l_quantity * 100) AS BIGINT) AS v
+            FROM lineitem
+        ),
+        a AS (
+            SELECT l_returnflag, count(*) AS n,
+                   sum(v) AS s, sum(v * v) AS s2
+            FROM m GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               round((s2 * 1.0 - (s * 1.0) * (s * 1.0) / n) / n / 10000.0
+                     * 10000.0) / 10000.0 AS var_pop
+        FROM a
+    """,
+    "pivot_wide": """
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_click,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_error,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_signup,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_view
+        FROM events GROUP BY user_id
+    """,
     "range_join": """
         WITH w AS (
             SELECT event_id AS window_id,

@@ -275,3 +275,33 @@ def test_similarity_join_matches_bruteforce():
            for _, r in out.iterrows()}
     assert got == expect
     assert len(expect) > 0  # corpus contains near-duplicates by design
+
+
+def test_mode_per_group_tiebreak_and_counts():
+    """The modal event type must be the true per-user argmax by count,
+    with ties broken toward the lexicographically smaller type."""
+    from fide_crawler_ray.pipelines.relational import T, q_mode_per_group
+
+    out = q_mode_per_group(SF).to_pandas().set_index("user_id")
+    ev = T(SF, "events", ["user_id", "event_type"]).to_pandas()
+    counts = (ev.groupby(["user_id", "event_type"]).size()
+                .rename("n").reset_index())
+    for uid, g in counts.groupby("user_id"):
+        g = g.sort_values(["n", "event_type"],
+                          ascending=[False, True])
+        assert out.loc[uid, "mode_event"] == g.iloc[0]["event_type"]
+        assert out.loc[uid, "n"] == g.iloc[0]["n"]
+
+
+def test_grouped_variance_matches_pandas():
+    """var_pop per flag (on the ×100 fixed-point values, scaled back)
+    must agree with pandas population variance to canon precision."""
+    from fide_crawler_ray.pipelines.relational import T, q_grouped_variance
+
+    out = q_grouped_variance(SF).to_pandas().set_index("l_returnflag")
+    li = T(SF, "lineitem", ["l_returnflag", "l_quantity"]).to_pandas()
+    li["v"] = (li["l_quantity"] * 100).round().astype("int64")
+    for flag, g in li.groupby("l_returnflag"):
+        expect = g["v"].var(ddof=0) / 10000.0
+        assert abs(out.loc[flag, "var_pop"] - expect) < 1e-4
+        assert out.loc[flag, "n"] == len(g)
