@@ -1076,6 +1076,65 @@ def q_similarity_join(sf_dir, threshold: float = SIM_JOIN_THRESHOLD):
     return agg.map_batches(_score, batch_format="pyarrow")
 
 
+# ---------------------------------------------------- heavy hitters (MG)
+
+MG_CAPACITY = 64
+
+
+def _mg_compress(terms: np.ndarray, counts: np.ndarray, k: int):
+    """Misra-Gries compression: keep the k largest counters minus the
+    (k+1)-th value (deterministic tie-break by term). Per-term
+    undercount introduced ≤ the subtracted value; summaries merge by
+    counter SUM (order-independent) + one final compression — the
+    mergeable-summaries construction (Agarwal et al., PODS'12)."""
+    if len(terms) <= k:
+        return terms, counts
+    order = np.lexsort((terms, -counts))
+    d = counts[order[k]]
+    keep = order[:k]
+    est = counts[keep] - d
+    pos = est > 0
+    return terms[keep][pos], est[pos]
+
+
+def q_heavy_hitters(sf_dir, k: int = MG_CAPACITY, top: int = 20):
+    """Approximate most-frequent terms (heavy hitters) across the
+    corpus with a Misra-Gries sketch — the third mergeable-sketch
+    family next to HLL (distinct) and the histogram (quantiles), for
+    when the exact term-count shuffle is unaffordable. Per-batch exact
+    counts are MG-compressed to ≤ k counters, partials merge by plain
+    counter sum (a tiny partial-agg groupby over ≤ k·n_blocks rows),
+    and ONE final compression yields the sketch — merge-order
+    independent, so the result is deterministic. Total undercount
+    ≤ N_tokens/(k+1), asserted in tests. Rows-only: estimates are
+    sketch values, not exact counts."""
+    ds = T(sf_dir, "documents", ["text"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for txt in b["text"].to_pylist():
+            toks.extend(_TOKEN.findall(txt.lower()))
+        terms, counts = np.unique(np.asarray(toks, dtype=object),
+                                  return_counts=True)
+        terms, counts = _mg_compress(terms, counts.astype(np.int64), k)
+        return pa.table({
+            "term": pa.array(terms.tolist(), pa.string()),
+            "cnt": pa.array(counts, pa.int64()),
+        })
+
+    summed = fast_groupby_agg(
+        ds.map_batches(_partial, batch_format="pyarrow"),
+        ["term"], {"cnt": ("cnt", "sum")},
+    ).to_pandas()  # ≤ k × n_blocks rows — sketch-sized, not corpus-sized
+    terms = summed["term"].to_numpy(dtype=object)
+    counts = summed["cnt"].to_numpy(dtype=np.int64)
+    terms, counts = _mg_compress(terms, counts, k)
+    out = pd.DataFrame({"term": terms, "est_count": counts})
+    return (out.sort_values(["est_count", "term"],
+                            ascending=[False, True], kind="mergesort")
+               .head(top).reset_index(drop=True))
+
+
 # =========================================== profiling / reshape operators
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -1227,6 +1286,7 @@ def queries() -> dict:
         "decontaminate": q_decontaminate,
         "range_join": q_range_join,
         "similarity_join": q_similarity_join,
+        "heavy_hitters": q_heavy_hitters,
         "grouped_distinct_count": q_grouped_distinct_count,
         "mode_per_group": q_mode_per_group,
         "histogram": q_histogram,

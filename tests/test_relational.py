@@ -305,3 +305,29 @@ def test_grouped_variance_matches_pandas():
         expect = g["v"].var(ddof=0) / 10000.0
         assert abs(out.loc[flag, "var_pop"] - expect) < 1e-4
         assert out.loc[flag, "n"] == len(g)
+
+
+def test_heavy_hitters_mg_guarantee():
+    """Misra-Gries invariants on real data: estimates never exceed true
+    counts, total undercount ≤ N_tokens/(k+1) per reported term, and
+    every term whose true count clears twice that bound is reported."""
+    from fide_crawler_ray.pipelines.relational import (
+        _TOKEN, MG_CAPACITY, T, q_heavy_hitters)
+
+    out = q_heavy_hitters(SF, top=MG_CAPACITY)
+    docs = T(SF, "documents", ["text"]).to_pandas()
+    exact: dict[str, int] = {}
+    n_tokens = 0
+    for txt in docs["text"]:
+        for t in _TOKEN.findall(txt.lower()):
+            exact[t] = exact.get(t, 0) + 1
+            n_tokens += 1
+    bound = n_tokens / (MG_CAPACITY + 1)
+    reported = dict(zip(out["term"], out["est_count"]))
+    for term, est in reported.items():
+        assert est <= exact[term]
+        assert exact[term] - est <= bound, (term, est, exact[term], bound)
+    top_exact = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))
+    for term, cnt in top_exact[:5]:
+        if cnt > 2 * bound:
+            assert term in reported, (term, cnt, bound)
