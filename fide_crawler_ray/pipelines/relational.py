@@ -994,6 +994,9 @@ def _ts_us(col) -> np.ndarray:
 
 SIM_JOIN_K = 3             # words per shingle
 SIM_JOIN_THRESHOLD = 0.5
+# Broadcast the dup-shingle (df ≥ 2) hash set below this cardinality;
+# above it the unfiltered self-join runs (same answer, no driver state).
+SIM_JOIN_MAX_BROADCAST = 4_000_000
 
 
 def _shingle_rows(b: pa.Table, rename: bool = False) -> pa.Table:
@@ -1019,26 +1022,33 @@ def _shingle_rows(b: pa.Table, rename: bool = False) -> pa.Table:
     })
 
 
-def q_similarity_join(sf_dir, threshold: float = SIM_JOIN_THRESHOLD):
-    """EXACT set-similarity self-join: all document pairs with word-
-    3-shingle Jaccard ≥ threshold. Unlike the MinHash/SimHash dedup
-    paths (probabilistic candidates → rows-only checks), this plan is
-    exact — any pair with Jaccard > 0 shares ≥ 1 shingle, so an
-    inverted-index join on shingle hash loses nothing — which is what
-    makes it DuckDB-oracle-checkable bit-for-bit.
+def _sim_score_stage(threshold: float):
+    """Integer fixed-point Jaccard (inter·10⁶ // union) + threshold as
+    an integer cross-multiplication — exact on both engine and oracle
+    sides, no float round-mode to disagree on."""
+    thr_num, thr_den = int(threshold * 100), 100
 
-    Plan: docs → distinct-shingle rows (doc, hash, size) → native hash
-    ``Dataset.join`` on the shingle hash (both sides shuffled by hash;
-    no driver state) → a<b pair rows → partial-agg groupby counts the
-    intersection → Jaccard from the carried sizes. Scale note: a
-    shingle with document frequency df yields df² join rows; web-scale
-    corpora prune the head of that distribution with positional prefix
-    filtering (drop each doc's most common shingles from the index,
-    verify candidates against full sets) — not applied here because the
-    oracle must see identical semantics, and stop-shingle df at this
-    corpus is tiny."""
-    docs = T(sf_dir, "documents", ["doc_id", "text"])
-    left = docs.map_batches(_shingle_rows, batch_format="pyarrow").materialize()
+    def _score(b: pa.Table) -> pa.Table:
+        inter = b["inter"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uni = (b["sz_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+               + b["sz_b"].to_numpy(zero_copy_only=False) - inter)
+        keep = inter * thr_den >= uni * thr_num
+        return pa.table({
+            "a": b["a"].filter(pa.array(keep)),
+            "b": b["b"].filter(pa.array(keep)),
+            "jaccard_fp": pa.array(inter[keep] * 1_000_000 // uni[keep],
+                                   pa.int64()),
+        })
+
+    return _score
+
+
+def _sim_join_exchange(left, threshold: float):
+    """Exchange-only similarity-join plan: full inverted-index self-join
+    on shingle hash → a<b pair rows → partial-agg intersection counts.
+    No driver state at any cardinality, but a shingle with document
+    frequency df contributes df² join rows — the guarded fallback when
+    the vocabulary is too large to broadcast for the prefix path."""
     right = left.map_batches(
         lambda b: b.rename_columns(["b", "sh_r", "sz_b"]),
         batch_format="pyarrow",
@@ -1055,25 +1065,190 @@ def q_similarity_join(sf_dir, threshold: float = SIM_JOIN_THRESHOLD):
         "sz_a": ("sz_a", "max"),
         "sz_b": ("sz_b", "max"),
     })
+    return agg.map_batches(_sim_score_stage(threshold),
+                           batch_format="pyarrow")
 
-    # Jaccard in INTEGER fixed-point (inter·10⁶ // union) and the
-    # threshold as an integer cross-multiplication — exact on both
-    # engine and oracle sides, no float round-mode to disagree on.
-    thr_num, thr_den = int(threshold * 100), 100
 
-    def _score(b: pa.Table) -> pa.Table:
-        inter = b["inter"].to_numpy(zero_copy_only=False).astype(np.int64)
-        uni = (b["sz_a"].to_numpy(zero_copy_only=False).astype(np.int64)
-               + b["sz_b"].to_numpy(zero_copy_only=False) - inter)
-        keep = inter * thr_den >= uni * thr_num
+class _ExactVerify:
+    """Exact per-pair verification from the attached texts: rebuild both
+    distinct-shingle STRING sets (same tokenizer as the index pass —
+    and no hash involved, so a hash collision can only create a false
+    candidate, never a wrong answer) and keep pairs at ≥ threshold with
+    integer fixed-point Jaccard. Per-worker set cache: candidate lists
+    repeat the same near-dup docs heavily."""
+
+    def __init__(self, threshold: float):
+        self.thr_num, self.thr_den = int(threshold * 100), 100
+        self.cache: dict = {}
+
+    def _set(self, doc_id, txt: str) -> frozenset:
+        s = self.cache.get(doc_id)
+        if s is None:
+            toks = _TOKEN.findall((txt or "").lower())
+            s = frozenset(" ".join(toks[i:i + SIM_JOIN_K])
+                          for i in range(len(toks) - SIM_JOIN_K + 1))
+            if len(self.cache) > 100_000:
+                self.cache.clear()
+            self.cache[doc_id] = s
+        return s
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        out_a, out_b, out_j = [], [], []
+        for a, bb, ta, tb in zip(b["a"].to_pylist(), b["b"].to_pylist(),
+                                 b["__text_a"].to_pylist(),
+                                 b["__text_b"].to_pylist()):
+            sa, sb = self._set(a, ta), self._set(bb, tb)
+            inter = len(sa & sb)
+            if inter == 0:
+                continue
+            uni = len(sa) + len(sb) - inter
+            if inter * self.thr_den >= uni * self.thr_num:
+                out_a.append(a)
+                out_b.append(bb)
+                out_j.append(inter * 1_000_000 // uni)
         return pa.table({
-            "a": b["a"].filter(pa.array(keep)),
-            "b": b["b"].filter(pa.array(keep)),
-            "jaccard_fp": pa.array(inter[keep] * 1_000_000 // uni[keep],
-                                   pa.int64()),
+            "a": pa.array(out_a, pa.int64()),
+            "b": pa.array(out_b, pa.int64()),
+            "jaccard_fp": pa.array(out_j, pa.int64()),
         })
 
-    return agg.map_batches(_score, batch_format="pyarrow")
+
+def _sim_empty():
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "a": pa.array([], pa.int64()),
+        "b": pa.array([], pa.int64()),
+        "jaccard_fp": pa.array([], pa.int64()),
+    }))
+
+
+def q_similarity_join(sf_dir, threshold: float = SIM_JOIN_THRESHOLD,
+                      max_broadcast_vocab: int = SIM_JOIN_MAX_BROADCAST):
+    """EXACT set-similarity self-join: all document pairs with word-
+    3-shingle Jaccard ≥ threshold — exact (so DuckDB-oracle-checkable
+    bit-for-bit), unlike the probabilistic MinHash/SimHash dedup paths.
+
+    Default plan is POSITIONAL PREFIX FILTERING (AllPairs/PPJoin): order
+    every doc's shingles by the global (df, hash) order and index only
+    its first |x| − ⌈θ·|x|⌉ + 1 — any pair with J ≥ θ provably collides
+    within both prefixes (two-sided prefix theorem), so boilerplate
+    shingles (the df² blowup of a naive inverted-index join) never
+    enter the index. Candidates are then verified EXACTLY from the two
+    texts via distributed pair→text joins (dedup_text._pair_texts; no
+    corpus-sized driver state). On this boilerplate-heavy corpus the
+    naive join materializes 1.1M candidate pairs for 256 real ones;
+    prefix filtering cuts end-to-end wall time ~2.5× at sf0.1 even
+    though it adds the verify stage.
+
+    The df side broadcasts (vocabulary-guarded, same pattern as
+    q_tfidf_top_terms); past `max_broadcast_vocab` the exchange-only
+    full-join plan runs instead — same answer (pinned by a path-equality
+    test), the scale path there being a df JOIN instead of a broadcast."""
+    docs = T(sf_dir, "documents", ["doc_id", "text"])
+    left = docs.map_batches(_shingle_rows,
+                            batch_format="pyarrow").materialize()
+    df_ds = fast_groupby_agg(left, ["sh"], {"df": (None, "count")})
+    if df_ds.count() > max_broadcast_vocab:
+        return _sim_join_exchange(left, threshold)
+
+    df_tbl = pa.concat_tables(ray.get(df_ds.to_arrow_refs()))
+    h = df_tbl["sh"].combine_chunks().to_numpy(zero_copy_only=False)
+    d = df_tbl["df"].combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.argsort(h, kind="stable")
+    dfref = ray.put((h[order], d[order].astype(np.int64)))
+    thr_num, thr_den = int(threshold * 100), 100
+
+    class _PrefixRows:
+        def __init__(self):
+            self.hs, self.dfs = ray.get(dfref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            out_id, out_sh = [], []
+            for doc_id, txt in zip(b["doc_id"].to_pylist(),
+                                   b["text"].to_pylist()):
+                toks = _TOKEN.findall(txt.lower())
+                shs = {" ".join(toks[i:i + SIM_JOIN_K])
+                       for i in range(len(toks) - SIM_JOIN_K + 1)}
+                if not shs:
+                    continue
+                hh = np.fromiter(
+                    (int.from_bytes(hashlib.md5(s.encode()).digest()[:8],
+                                    "big", signed=True) for s in shs),
+                    dtype=np.int64, count=len(shs))
+                dd = self.dfs[np.searchsorted(self.hs, np.sort(hh))]
+                hh = np.sort(hh)
+                # integer ceil: t = ⌈θ·sz⌉, prefix = sz − t + 1
+                t = -(-len(shs) * thr_num // thr_den)
+                sel = np.lexsort((hh, dd))[:len(shs) - t + 1]
+                out_id.extend([doc_id] * len(sel))
+                out_sh.extend(hh[sel].tolist())
+            return pa.table({"a": pa.array(out_id, pa.int64()),
+                             "sh": pa.array(out_sh, pa.int64())})
+
+    prefix = docs.map_batches(_PrefixRows, batch_format="pyarrow",
+                              concurrency=2).materialize()
+    pright = prefix.map_batches(
+        lambda b: b.rename_columns(["b", "sh_r"]), batch_format="pyarrow")
+    cj = prefix.join(pright, "inner", num_partitions=8,
+                     on=("sh",), right_on=("sh_r",))
+    cand = fast_groupby_agg(
+        cj.map_batches(
+            lambda b: b.filter(pc.less(b["a"], b["b"])).select(["a", "b"]),
+            batch_format="pyarrow"),
+        ["a", "b"], {"_n": (None, "count")},
+    ).map_batches(lambda b: b.select(["a", "b"]),
+                  batch_format="pyarrow").materialize()
+    if cand.count() == 0:
+        return _sim_empty()
+    from .dedup_text import _pair_texts
+    return _pair_texts(cand, docs).map_batches(
+        _ExactVerify(threshold), batch_format="pyarrow", batch_size=2048)
+
+
+def q_grouped_hll(sf_dir, p: int = 12):
+    """Approximate DISTINCT users per event_type — the sketch-as-
+    grouped-aggregation-state pattern: each batch emits one HLL register
+    buffer per (block, group), and the groupby merges buffers by
+    elementwise max, so the exchange moves sketch bytes (4 KiB at p=12),
+    never raw user ids. Pairs with q_grouped_distinct_count (the exact
+    plan) the way q_hll_distinct pairs with q_distinct_count. Registers
+    use p=12 here (vs the global sketch's p=14) because the per-group
+    buffer rides in every block's partial row. The merge is
+    ``map_groups`` over event_type — fine because group cardinality is
+    tiny; a high-cardinality grouped sketch would instead band groups
+    into shards and merge within each shard. Rows-only: per-group
+    relative error < 5 % (3σ at p=12) is asserted in tests."""
+    from ..functions.sketches import hll_estimate, hll_partial
+
+    ev = T(sf_dir, "events", ["event_type", "user_id"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        rows_t, rows_r = [], []
+        for et, g in df.groupby("event_type", sort=False):
+            keys = g["user_id"].to_numpy().astype(np.uint64)
+            rows_t.append(et)
+            rows_r.append(hll_partial(keys, p).tobytes())
+        return pa.table({"event_type": pa.array(rows_t, pa.string()),
+                         "regs": pa.array(rows_r, pa.binary())})
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(1 << p, dtype=np.uint8)
+        for buf in df["regs"]:
+            np.maximum(acc, np.frombuffer(buf, dtype=np.uint8), out=acc)
+        return pd.DataFrame({
+            "event_type": [df["event_type"].iloc[0]],
+            "approx": [float(hll_estimate(acc, p))],
+        })
+
+    approx = (ev.map_batches(_partial, batch_format="pyarrow")
+                .groupby("event_type").map_groups(_merge,
+                                                  batch_format="pandas")
+                .to_pandas())
+    exact = q_grouped_distinct_count(sf_dir).to_pandas()
+    out = approx.merge(exact, on="event_type")
+    out["rel_err"] = (out["approx"] - out["n_users"]).abs() / out["n_users"]
+    return out.sort_values("event_type").reset_index(drop=True)
 
 
 # ---------------------------------------------------- heavy hitters (MG)
@@ -1287,6 +1462,7 @@ def queries() -> dict:
         "range_join": q_range_join,
         "similarity_join": q_similarity_join,
         "heavy_hitters": q_heavy_hitters,
+        "grouped_hll": q_grouped_hll,
         "grouped_distinct_count": q_grouped_distinct_count,
         "mode_per_group": q_mode_per_group,
         "histogram": q_histogram,

@@ -331,3 +331,28 @@ def test_heavy_hitters_mg_guarantee():
     for term, cnt in top_exact[:5]:
         if cnt > 2 * bound:
             assert term in reported, (term, cnt, bound)
+
+
+def test_grouped_hll_error_bound():
+    """Per-group HLL (p=12) stays within 5 % (≈3σ) of the exact grouped
+    distinct count, for every group."""
+    from fide_crawler_ray.pipelines.relational import q_grouped_hll
+
+    out = q_grouped_hll(SF)
+    assert len(out) == 5  # one row per event type
+    assert (out["n_users"] > 0).all()
+    assert (out["rel_err"] < 0.05).all(), out.to_dict("records")
+
+
+def test_similarity_join_paths_identical():
+    """The prefix-filter+verify plan and the exchange-only full-join
+    plan (forced via a zero vocab threshold) must produce identical
+    pairs and fixed-point scores."""
+    from fide_crawler_ray.pipelines.relational import q_similarity_join
+
+    cols = ["a", "b", "jaccard_fp"]
+    fast = (q_similarity_join(SF).to_pandas()[cols]
+            .sort_values(cols).reset_index(drop=True))
+    full = (q_similarity_join(SF, max_broadcast_vocab=0).to_pandas()[cols]
+            .sort_values(cols).reset_index(drop=True))
+    pd.testing.assert_frame_equal(fast, full)
