@@ -1205,6 +1205,27 @@ def q_similarity_join(sf_dir, threshold: float = SIM_JOIN_THRESHOLD,
         _ExactVerify(threshold), batch_format="pyarrow", batch_size=2048)
 
 
+def q_connected_components(sf_dir, threshold: float = SIM_JOIN_THRESHOLD):
+    """Connected components of the EXACT similarity graph (edges =
+    q_similarity_join pairs): distributed min-label propagation over the
+    edge Dataset (dedup_text._min_label_components — iterate label(n) ←
+    min over n ∪ neighbors until fixpoint; the same iterative engine the
+    near-dup survivor paths use, here exposed with an exact ORACLE: a
+    DuckDB recursive-CTE transitive closure computes the identical
+    (doc, min-reachable-id) labeling, so the driver gate proves the
+    iterative algorithm, not just its row count)."""
+    pairs = q_similarity_join(sf_dir, threshold).materialize()
+    if pairs.count() == 0:
+        return _sim_empty().map_batches(
+            lambda b: pa.table({"doc_id": b["a"], "component": b["b"]}),
+            batch_format="pyarrow")
+    from .dedup_text import _min_label_components
+    comp = _min_label_components(pairs)
+    return comp.map_batches(
+        lambda b: pa.table({"doc_id": b["node"], "component": b["label"]}),
+        batch_format="pyarrow")
+
+
 def q_grouped_hll(sf_dir, p: int = 12):
     """Approximate DISTINCT users per event_type — the sketch-as-
     grouped-aggregation-state pattern: each batch emits one HLL register
@@ -1463,6 +1484,7 @@ def queries() -> dict:
         "similarity_join": q_similarity_join,
         "heavy_hitters": q_heavy_hitters,
         "grouped_hll": q_grouped_hll,
+        "connected_components": q_connected_components,
         "grouped_distinct_count": q_grouped_distinct_count,
         "mode_per_group": q_mode_per_group,
         "histogram": q_histogram,
@@ -1740,3 +1762,21 @@ ORACLES: dict[str, str] = {
         GROUP BY vec_id
     """,
 }
+
+# Composed oracle: transitive closure over the similarity pairs — the
+# recursive CTE replays q_connected_components' min-label fixpoint.
+ORACLES["connected_components"] = (
+    "WITH RECURSIVE pairs_t AS (" + ORACLES["similarity_join"] + "),\n"
+    """e AS (
+        SELECT a AS src, b AS dst FROM pairs_t
+        UNION SELECT b, a FROM pairs_t
+        UNION SELECT a, a FROM pairs_t
+        UNION SELECT b, b FROM pairs_t
+    ),
+    reach(n, m) AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT r.n, e2.dst FROM reach r JOIN e e2 ON r.m = e2.src
+    )
+    SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n"""
+)
