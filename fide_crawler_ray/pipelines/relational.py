@@ -1430,6 +1430,56 @@ def q_grouped_variance(sf_dir):
         _canon_stage({"var_pop": 4}), batch_format="pyarrow")
 
 
+def q_group_outliers(sf_dir):
+    """Per-group 3σ outlier counts over events.value — the anomaly-
+    detection composition: one pass of exact integer moments (n, Σv,
+    Σv² on ×100 fixed-point values, same partials as
+    q_grouped_variance), the tiny 5-row moment table broadcast, then a
+    map-side squared-z-score predicate — no second shuffle of the raw
+    rows. The predicate compares (v − s/n)² > 9·var with the SAME
+    float64 op sequence the oracle SQL spells out, so the row set is
+    bitwise-identical on both sides (no sqrt, no round-mode)."""
+    ev = T(sf_dir, "events", ["event_type", "value"])
+
+    def _fp(b: pa.Table) -> pa.Table:
+        v = np.round(b["value"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        return pa.table({
+            "event_type": b["event_type"],
+            "v": pa.array(v, pa.int64()),
+            "v2": pa.array(v * v, pa.int64()),
+        })
+
+    fp = ev.map_batches(_fp, batch_format="pyarrow")
+    mom = fast_groupby_agg(fp, ["event_type"], {
+        "n": (None, "count"), "s": ("v", "sum"), "s2": ("v2", "sum"),
+    }).to_pandas()  # one row per event type — broadcast side
+    mref = ray.put({
+        r["event_type"]: (float(r["n"]), float(r["s"]), float(r["s2"]))
+        for _, r in mom.iterrows()
+    })
+
+    class _Flag:
+        def __init__(self):
+            self.m = ray.get(mref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            et = pd.Series(b["event_type"].to_pylist())
+            v = np.round(b["value"].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64).astype(np.float64)
+            n = et.map(lambda t: self.m[t][0]).to_numpy()
+            s = et.map(lambda t: self.m[t][1]).to_numpy()
+            s2 = et.map(lambda t: self.m[t][2]).to_numpy()
+            dev = v - s / n
+            keep = dev * dev > 9.0 * ((s2 - (s * s) / n) / n)
+            return pa.table({
+                "event_type": b["event_type"].filter(pa.array(keep))})
+
+    flagged = ev.map_batches(_Flag, batch_format="pyarrow", concurrency=2)
+    return fast_groupby_agg(flagged, ["event_type"],
+                            {"n_outliers": (None, "count")})
+
+
 def q_pivot_wide(sf_dir):
     """Long→wide pivot: per-user event counts spread into one column per
     event type (the reshape every feature-table build needs). Map-side
@@ -1490,6 +1540,7 @@ def queries() -> dict:
         "histogram": q_histogram,
         "grouped_variance": q_grouped_variance,
         "pivot_wide": q_pivot_wide,
+        "group_outliers": q_group_outliers,
     }
 
 
@@ -1530,6 +1581,24 @@ ORACLES: dict[str, str] = {
                round((s2 * 1.0 - (s * 1.0) * (s * 1.0) / n) / n / 10000.0
                      * 10000.0) / 10000.0 AS var_pop
         FROM a
+    """,
+    "group_outliers": """
+        WITH m AS (
+            SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+            FROM events
+        ),
+        a AS (
+            SELECT event_type, count(*) AS n,
+                   sum(v) AS s, sum(v * v) AS s2
+            FROM m GROUP BY event_type
+        )
+        SELECT m.event_type, count(*) AS n_outliers
+        FROM m JOIN a USING (event_type)
+        WHERE (m.v * 1.0 - a.s * 1.0 / a.n)
+              * (m.v * 1.0 - a.s * 1.0 / a.n)
+              > 9.0 * ((a.s2 * 1.0 - (a.s * 1.0) * (a.s * 1.0) / a.n)
+                       / a.n)
+        GROUP BY m.event_type
     """,
     "pivot_wide": """
         SELECT user_id,
