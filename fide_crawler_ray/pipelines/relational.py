@@ -1430,6 +1430,75 @@ def q_grouped_variance(sf_dir):
         _canon_stage({"var_pop": 4}), batch_format="pyarrow")
 
 
+def q_bigram_stats(sf_dir, min_count: int = 5,
+                   max_broadcast_vocab: int = TFIDF_MAX_BROADCAST_VOCAB):
+    """Corpus bigram statistics — counts and integer fixed-point
+    conditional probabilities P(w2|w1) for bigrams seen ≥ min_count
+    times — the n-gram language-model table every classic LM-data
+    pipeline materializes. Per-batch bigram counters (map-side combine)
+    → partial-agg sum per (w1, w2); head totals are a second partial-agg
+    over the ALREADY-AGGREGATED bigram table (vocabulary-sized, never
+    corpus-sized). The head-total side is vocabulary-guarded like
+    q_tfidf_top_terms: broadcast dict below the threshold, hash join
+    above it — both produce identical rows."""
+    docs = T(sf_dir, "documents", ["text"])
+
+    def _bi(b: pa.Table) -> pa.Table:
+        cnt: dict = {}
+        for txt in b["text"].to_pylist():
+            toks = _TOKEN.findall(txt.lower())
+            for i in range(len(toks) - 1):
+                k = (toks[i], toks[i + 1])
+                cnt[k] = cnt.get(k, 0) + 1
+        return pa.table({
+            "w1": pa.array([k[0] for k in cnt], pa.string()),
+            "w2": pa.array([k[1] for k in cnt], pa.string()),
+            "c": pa.array(list(cnt.values()), pa.int64()),
+        })
+
+    bi = fast_groupby_agg(
+        docs.map_batches(_bi, batch_format="pyarrow"),
+        ["w1", "w2"], {"c": ("c", "sum")},
+    ).materialize()
+    heads = fast_groupby_agg(bi, ["w1"], {"hc": ("c", "sum")})
+
+    if heads.count() <= max_broadcast_vocab:
+        hdf = heads.to_pandas()
+        href = ray.put(dict(zip(hdf["w1"], hdf["hc"].astype(np.int64))))
+
+        class _Prob:
+            def __init__(self):
+                self.hc = ray.get(href)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                keep = pc.greater_equal(b["c"], min_count)
+                b = b.filter(keep)
+                c = b["c"].to_numpy(zero_copy_only=False)
+                hc = pd.Series(b["w1"].to_pylist()).map(self.hc).to_numpy(
+                    dtype=np.int64)
+                return pa.table({
+                    "w1": b["w1"], "w2": b["w2"], "c": b["c"],
+                    "prob_fp": pa.array(c * 1_000_000 // hc, pa.int64()),
+                })
+
+        return bi.map_batches(_Prob, batch_format="pyarrow", concurrency=2)
+
+    j = bi.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["c"], min_count)),
+        batch_format="pyarrow",
+    ).join(heads, "inner", num_partitions=8, on=("w1",))
+    return j.map_batches(
+        lambda b: pa.table({
+            "w1": b["w1"], "w2": b["w2"], "c": b["c"],
+            "prob_fp": pa.array(
+                b["c"].to_numpy(zero_copy_only=False) * 1_000_000
+                // b["hc"].to_numpy(zero_copy_only=False).astype(np.int64),
+                pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def q_group_outliers(sf_dir):
     """Per-group 3σ outlier counts over events.value — the anomaly-
     detection composition: one pass of exact integer moments (n, Σv,
@@ -1541,6 +1610,7 @@ def queries() -> dict:
         "grouped_variance": q_grouped_variance,
         "pivot_wide": q_pivot_wide,
         "group_outliers": q_group_outliers,
+        "bigram_stats": q_bigram_stats,
     }
 
 
@@ -1581,6 +1651,26 @@ ORACLES: dict[str, str] = {
                round((s2 * 1.0 - (s * 1.0) * (s * 1.0) / n) / n / 10000.0
                      * 10000.0) / 10000.0 AS var_pop
         FROM a
+    """,
+    "bigram_stats": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text),
+                                                  '[^a-z0-9_]+'),
+                               t -> t <> '') AS w
+            FROM documents
+        ),
+        bi AS (
+            SELECT w[i] AS w1, w[i+1] AS w2, count(*) AS c
+            FROM toks, UNNEST(range(1, len(w))) AS u(i)
+            WHERE len(w) >= 2
+            GROUP BY w1, w2
+        ),
+        h AS (SELECT w1, sum(c) AS hc FROM bi GROUP BY w1)
+        SELECT bi.w1, bi.w2, c,
+               CAST((c * 1000000) // hc AS BIGINT) AS prob_fp
+        FROM bi JOIN h USING (w1)
+        WHERE c >= 5
     """,
     "group_outliers": """
         WITH m AS (

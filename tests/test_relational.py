@@ -356,3 +356,16 @@ def test_similarity_join_paths_identical():
     full = (q_similarity_join(SF, max_broadcast_vocab=0).to_pandas()[cols]
             .sort_values(cols).reset_index(drop=True))
     pd.testing.assert_frame_equal(fast, full)
+
+
+def test_bigram_stats_guard_paths_identical():
+    """Broadcast-head-totals path vs join path (forced by a zero vocab
+    threshold) must produce identical bigram rows."""
+    from fide_crawler_ray.pipelines.relational import q_bigram_stats
+
+    cols = ["w1", "w2", "c", "prob_fp"]
+    a = (q_bigram_stats(SF).to_pandas()[cols]
+         .sort_values(cols).reset_index(drop=True))
+    b = (q_bigram_stats(SF, max_broadcast_vocab=0).to_pandas()[cols]
+         .sort_values(cols).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
