@@ -36,6 +36,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from ..stages.fastagg import fast_groupby_agg
@@ -309,6 +310,151 @@ def _vocab_prune_join(docs, df, n_docs: int):
     return out.union(empty)
 
 
+# ===================================================== span-level dedup
+
+SPAN_W = 8  # tokens per window (Lee et al. use 50 BPE tokens; scaled to
+#             the synthetic corpus' short docs so cross-doc dups exist)
+SPAN_MAX_BROADCAST_DUPS = 2_000_000
+
+
+def q_span_dedup(sf_dir, w: int = SPAN_W,
+                 max_broadcast_dups: int = SPAN_MAX_BROADCAST_DUPS):
+    """Exact duplicated-SPAN statistics — the substring-level exact
+    dedup of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" (arXiv:2107.06499), at window granularity: every
+    ``w``-token sliding window is hashed, windows whose hash repeats
+    anywhere in the corpus (``n_dup_windows``) or in a *different*
+    document (``n_crossdoc_windows``) are counted per document, and a
+    document is kept only while cross-document duplicated spans cover
+    under half of its windows. Whole-doc dedup (dedup_exact_text /
+    minhash) misses partially-copied text; this operator is the exact
+    detector for it.
+
+    Scale plan (100 TB): the window pass is one ``map_batches`` (tokens
+    exploded with numpy, the w-gram join vectorized via shifted
+    ``str.cat``, md5 per *window* — linear hashing work, the same cost
+    class as exact text dedup); the exchange moves distinct
+    ``(hash, doc)`` pairs pre-counted map-side, never raw windows; the
+    duplicated-hash side (hashes with global count ≥ 2 — a tiny
+    fraction of all hashes in a healthy corpus) is cardinality-guarded:
+    broadcast + ``pc.index_in`` probe below ``max_broadcast_dups``,
+    hash-partitioned left-outer ``Dataset.join`` above it. Both paths
+    produce identical rows (pinned by test)."""
+    docs = T(sf_dir, "documents", ["doc_id", "text"])
+
+    def _wins(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "h": pd.Series([], dtype="object"),
+            "m": pd.Series([], dtype="int64"),
+        })
+        if len(df) == 0:
+            return empty
+        toks = df["text"].str.split(" ")
+        lens = toks.map(len).to_numpy(dtype=np.int64)
+        doc = np.repeat(df["doc_id"].to_numpy(), lens)
+        flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks]
+        ) if lens.sum() else np.empty(0, dtype=object)
+        n = flat.shape[0]
+        ok = np.zeros(n, dtype=bool)
+        if n >= w:
+            # a window starting at i is valid iff token i+w-1 is still
+            # in the same document (each doc's tokens are contiguous)
+            ok[: n - w + 1] = doc[: n - w + 1] == doc[w - 1:]
+        idx = np.nonzero(ok)[0]
+        if idx.size == 0:
+            return empty
+        joined = pd.Series(flat[idx], dtype=object).str.cat(
+            [pd.Series(flat[idx + k], dtype=object) for k in range(1, w)],
+            sep=" ",
+        )
+        hs = [hashlib.md5(s.encode()).hexdigest() for s in joined]
+        # map-side combine: one (doc, hash) row with multiplicity m
+        g = (pd.DataFrame({"doc_id": doc[idx], "h": hs})
+             .groupby(["doc_id", "h"], sort=False).size()
+             .reset_index(name="m"))
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64"),
+            "h": g["h"],
+            "m": g["m"].astype("int64"),
+        })
+
+    pairs = fast_groupby_agg(
+        docs.map_batches(_wins, batch_format="pandas"),
+        ["h", "doc_id"], {"m": ("m", "sum")},
+    ).materialize()
+    hstats = fast_groupby_agg(pairs, ["h"], {
+        "c": ("m", "sum"), "nd": (None, "count"),
+    })
+    dup = hstats.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["c"], 2)),
+        batch_format="pyarrow",
+    ).materialize()
+
+    if dup.count() <= max_broadcast_dups:
+        live = [t for t in ray.get(dup.to_arrow_refs()) if t.num_rows > 0]
+        dt = (pa.concat_tables(live) if live
+              else pa.table({"h": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64()),
+                             "nd": pa.array([], pa.int64())}))
+        dref = ray.put(dt)
+
+        class _Flag:
+            def __init__(self):
+                d = ray.get(dref)
+                self.hs = d["h"].combine_chunks()
+                self.nd = d["nd"].to_numpy(zero_copy_only=False)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                ix = pc.index_in(b["h"], value_set=self.hs)
+                hit = pc.is_valid(ix).to_numpy(zero_copy_only=False)
+                m = b["m"].to_numpy(zero_copy_only=False)
+                nd = np.zeros(len(m), dtype=np.int64)
+                if hit.any():
+                    nd[hit] = self.nd[
+                        ix.to_numpy(zero_copy_only=False)[hit].astype(np.int64)
+                    ]
+                return pa.table({
+                    "doc_id": b["doc_id"],
+                    "m": b["m"],
+                    "dup_m": pa.array(np.where(hit, m, 0), pa.int64()),
+                    "cross_m": pa.array(np.where(nd >= 2, m, 0), pa.int64()),
+                })
+
+        flagged = pairs.map_batches(_Flag, batch_format="pyarrow",
+                                    concurrency=2)
+    else:
+        j = pairs.join(dup, "left_outer", num_partitions=8, on=("h",))
+
+        def _flag_join(b: pa.Table) -> pa.Table:
+            m = b["m"].to_numpy(zero_copy_only=False)
+            hit = pc.is_valid(b["c"]).to_numpy(zero_copy_only=False)
+            nd = pc.fill_null(b["nd"], 0).to_numpy(zero_copy_only=False)
+            return pa.table({
+                "doc_id": b["doc_id"],
+                "m": b["m"],
+                "dup_m": pa.array(np.where(hit, m, 0), pa.int64()),
+                "cross_m": pa.array(np.where(nd >= 2, m, 0), pa.int64()),
+            })
+
+        flagged = j.map_batches(_flag_join, batch_format="pyarrow")
+
+    per_doc = fast_groupby_agg(flagged, ["doc_id"], {
+        "n_windows": ("m", "sum"),
+        "n_dup_windows": ("dup_m", "sum"),
+        "n_crossdoc_windows": ("cross_m", "sum"),
+    })
+    return per_doc.map_batches(
+        lambda b: b.append_column(
+            "keep",
+            pc.less(pc.multiply(b["n_crossdoc_windows"], 2),
+                    b["n_windows"]),
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # ============================================================ registry
 
 def queries() -> dict:
@@ -318,6 +464,7 @@ def queries() -> dict:
         "repetition_topgram": q_repetition_topgram,
         "mix_sources": q_mix_sources,
         "vocab_prune": q_vocab_prune,
+        "span_dedup": q_span_dedup,
     }
 
 
@@ -403,5 +550,31 @@ ORACLES: dict[str, str] = {
                coalesce(agg.clean_text, '') AS clean_text,
                len(split(d.text, ' ')) - coalesce(agg.n_kept, 0) AS n_dropped
         FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """,
+    # w = SPAN_W = 8 tokens → window i covers ts[i .. i+7]; documents
+    # shorter than 8 tokens have no windows (inner join on both sides)
+    "span_dedup": """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        pos AS (
+            SELECT doc_id, ts,
+                   unnest(range(1, greatest(len(ts) - 6, 1))) AS i
+            FROM toks),
+        wins AS (
+            SELECT doc_id, md5(array_to_string(ts[i:i+7], ' ')) AS h
+            FROM pos),
+        stats AS (
+            SELECT h, count(*) AS c, count(DISTINCT doc_id) AS nd
+            FROM wins GROUP BY h)
+        SELECT w.doc_id,
+               count(*) AS n_windows,
+               CAST(sum(CASE WHEN s.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_windows,
+               CAST(sum(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_crossdoc_windows,
+               CAST(sum(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   * 2 < count(*) AS keep
+        FROM wins w JOIN stats s ON w.h = s.h
+        GROUP BY w.doc_id
     """,
 }

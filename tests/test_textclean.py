@@ -74,3 +74,72 @@ def test_vocab_prune_join_fallback_identical():
         kept = r["clean_text"].split(" ") if r["clean_text"] else []
         it = iter(orig)
         assert all(any(w == o for o in it) for w in kept), r["doc_id"]
+
+
+def test_span_dedup_join_fallback_identical_and_brute_force():
+    fast = _df(TC.q_span_dedup(SF))
+    slow = _df(TC.q_span_dedup(SF, max_broadcast_dups=0))
+    pd.testing.assert_frame_equal(fast, slow)
+
+    # brute-force recomputation in plain Python over the same corpus
+    import hashlib
+    from collections import Counter, defaultdict
+
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    w = TC.SPAN_W
+    cnt: Counter = Counter()
+    docset: defaultdict = defaultdict(set)
+    per_doc: dict = {}
+    for _, r in docs.iterrows():
+        ts = r["text"].split(" ")
+        hs = [hashlib.md5(" ".join(ts[i:i + w]).encode()).hexdigest()
+              for i in range(len(ts) - w + 1)]
+        per_doc[r["doc_id"]] = hs
+        for h in hs:
+            cnt[h] += 1
+            docset[h].add(r["doc_id"])
+    got = fast.set_index("doc_id")
+    assert len(got) == sum(1 for hs in per_doc.values() if hs)
+    for did, hs in per_doc.items():
+        if not hs:
+            assert did not in got.index
+            continue
+        nd = sum(1 for h in hs if cnt[h] >= 2)
+        nc = sum(1 for h in hs if len(docset[h]) >= 2)
+        row = got.loc[did]
+        assert row["n_windows"] == len(hs)
+        assert row["n_dup_windows"] == nd, did
+        assert row["n_crossdoc_windows"] == nc, did
+        assert bool(row["keep"]) == (2 * nc < len(hs))
+
+
+def test_span_dedup_flags_partial_copy():
+    """A doc that copies a long span from another doc is flagged even
+    though the docs are not whole-doc duplicates."""
+    import ray.data as rd
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi".split())
+    donor = " ".join(base)
+    thief = " ".join(base[:12] + ["unique", "tail", "words", "here"])
+    clean = " ".join(f"tok{i}" for i in range(16))
+    tbl = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [donor, thief, clean],
+    })
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        rd.from_pandas(tbl).write_parquet(os.path.join(td, "documents.parquet"))
+        out = _df(TC.q_span_dedup(td))
+    out = out.set_index("doc_id")
+    # thief shares its first 12 tokens with donor → 5 cross-doc windows
+    assert out.loc[1, "n_crossdoc_windows"] == 5
+    assert out.loc[0, "n_crossdoc_windows"] == 5
+    assert out.loc[2, "n_crossdoc_windows"] == 0
+    assert bool(out.loc[2, "keep"])
+    # thief has 9 windows, 5 cross-doc → dropped; donor same
+    assert not bool(out.loc[1, "keep"])
