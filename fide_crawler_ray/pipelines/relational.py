@@ -327,6 +327,103 @@ def q_rollup_agg(sf_dir):
     return leaf.union(lvl1, rd.from_arrow(lvl2))
 
 
+def q_cube_agg(sf_dir):
+    """GROUP BY CUBE(l_returnflag, l_linestatus): the full lattice —
+    leaf groups, BOTH single-dimension subtotal tiers, and the grand
+    total. Same plan as ROLLUP (each tier re-aggregated from the leaf
+    table, integer fixed-point sums → re-aggregation exact) plus the
+    linestatus-only tier ROLLUP omits; every tier above the leaf is
+    O(distinct dimension values) rows — bounded, driver-safe."""
+    ds = T(sf_dir, "lineitem",
+           ["l_returnflag", "l_linestatus", "l_quantity"]).map_batches(
+        lambda b: pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "qty_fp": pc.cast(pc.round(pc.multiply(b["l_quantity"], 100.0)),
+                              pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    leaf = fast_groupby_agg(ds, ["l_returnflag", "l_linestatus"], {
+        "sum_qty_fp": ("qty_fp", "sum"), "n": (None, "count"),
+    }).materialize()
+
+    def _null_col(b: pa.Table, keep: str, nulled: str) -> pa.Table:
+        cols = {
+            "l_returnflag": (b["l_returnflag"] if keep == "l_returnflag"
+                             else pa.nulls(b.num_rows, pa.string())),
+            "l_linestatus": (b["l_linestatus"] if keep == "l_linestatus"
+                             else pa.nulls(b.num_rows, pa.string())),
+            "sum_qty_fp": b["sum_qty_fp"], "n": b["n"],
+        }
+        return pa.table(cols)
+
+    by_rf = fast_groupby_agg(leaf, ["l_returnflag"], {
+        "sum_qty_fp": ("sum_qty_fp", "sum"), "n": ("n", "sum"),
+    }).map_batches(lambda b: _null_col(b, "l_returnflag", "l_linestatus"),
+                   batch_format="pyarrow").materialize()
+    by_ls = fast_groupby_agg(leaf, ["l_linestatus"], {
+        "sum_qty_fp": ("sum_qty_fp", "sum"), "n": ("n", "sum"),
+    }).map_batches(lambda b: _null_col(b, "l_linestatus", "l_returnflag"),
+                   batch_format="pyarrow").materialize()
+    total = pa.concat_tables(
+        t for t in ray.get(by_rf.to_arrow_refs()) if t.num_rows > 0
+    )
+    grand = pa.table({
+        "l_returnflag": pa.nulls(1, pa.string()),
+        "l_linestatus": pa.nulls(1, pa.string()),
+        "sum_qty_fp": pa.array([pc.sum(total["sum_qty_fp"]).as_py()],
+                               pa.int64()),
+        "n": pa.array([pc.sum(total["n"]).as_py()], pa.int64()),
+    })
+    import ray.data as rd
+
+    return leaf.union(by_rf, by_ls, rd.from_arrow(grand))
+
+
+def q_rank_functions(sf_dir):
+    """Ranking window functions per user over event value: ``rank``,
+    ``dense_rank``, integer fixed-point ``percent_rank`` and
+    ``ntile(4)`` — the second half of the SQL window surface
+    (q_window_functions covers row_number / running sum / lag). Ranks
+    order by the fixed-point value alone (well-defined under ties);
+    ntile orders by (value, event_id) — a total order, so the bucket
+    assignment is deterministic on both engines. percent_rank is
+    computed as ``(rank−1)·10⁶ // (n−1)`` in int64 — exact, no float.
+
+    Plan: ``groupby(user).map_groups`` with numpy rank kernels — same
+    per-key-fits-a-worker assumption as q_window_functions."""
+    ds = T(sf_dir, "events", ["user_id", "event_id", "value"])
+
+    def _ranks(df: pd.DataFrame) -> pd.DataFrame:
+        v = _round_half_away(df["value"].to_numpy() * 1e6).astype(np.int64)
+        eid = df["event_id"].to_numpy()
+        order = np.lexsort((eid, v))
+        vs, es = v[order], eid[order]
+        n = len(vs)
+        new = np.ones(n, dtype=bool)
+        new[1:] = vs[1:] != vs[:-1]
+        rnk = np.where(new, np.arange(1, n + 1, dtype=np.int64), 0)
+        rnk = np.maximum.accumulate(rnk)
+        drnk = np.cumsum(new).astype(np.int64)
+        pct = (rnk - 1) * 1_000_000 // (n - 1) if n > 1 else np.zeros(
+            n, dtype=np.int64)
+        base, rem = divmod(n, 4)
+        counts = np.array([base + 1] * rem + [base] * (4 - rem),
+                          dtype=np.int64)
+        tile = np.repeat(np.arange(1, 5, dtype=np.int64), counts)[:n]
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy()[order],
+            "event_id": es,
+            "rnk": rnk,
+            "drnk": drnk,
+            "pct_fp": pct,
+            "tile": tile,
+        })
+
+    return ds.groupby("user_id").map_groups(_ranks, batch_format="pandas")
+
+
 # ====================================================== exact quantiles
 
 
@@ -1583,6 +1680,8 @@ def queries() -> dict:
         "event_funnel": q_event_funnel,
         "window_functions": q_window_functions,
         "rollup_agg": q_rollup_agg,
+        "cube_agg": q_cube_agg,
+        "rank_functions": q_rank_functions,
         "quantiles": q_quantiles,
         "grouped_median": q_grouped_median,
         "segment_monthly_revenue": q_segment_monthly_revenue,
@@ -1806,6 +1905,31 @@ ORACLES: dict[str, str] = {
                    AS sum_qty_fp,
                count(*) AS n
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    "cube_agg": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_qty_fp,
+               count(*) AS n
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    "rank_functions": """
+        WITH e AS (
+            SELECT user_id, event_id,
+                   CAST(round(value * 1000000) AS BIGINT) AS v
+            FROM events
+        )
+        SELECT user_id, event_id,
+               rank() OVER (PARTITION BY user_id ORDER BY v) AS rnk,
+               dense_rank() OVER (PARTITION BY user_id ORDER BY v) AS drnk,
+               CASE WHEN count(*) OVER (PARTITION BY user_id) = 1 THEN 0
+                    ELSE (rank() OVER (PARTITION BY user_id ORDER BY v) - 1)
+                         * 1000000
+                         // (count(*) OVER (PARTITION BY user_id) - 1)
+               END AS pct_fp,
+               ntile(4) OVER (PARTITION BY user_id ORDER BY v, event_id)
+                   AS tile
+        FROM e
     """,
     "quantiles": """
         WITH s AS (

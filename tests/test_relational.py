@@ -369,3 +369,39 @@ def test_bigram_stats_guard_paths_identical():
     b = (q_bigram_stats(SF, max_broadcast_vocab=0).to_pandas()[cols]
          .sort_values(cols).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_cube_agg_tiers_consistent():
+    """Every CUBE tier must re-aggregate to the same grand total."""
+    from fide_crawler_ray.pipelines.relational import q_cube_agg
+
+    out = q_cube_agg(SF).to_pandas()
+    leaf = out[out["l_returnflag"].notna() & out["l_linestatus"].notna()]
+    by_rf = out[out["l_returnflag"].notna() & out["l_linestatus"].isna()]
+    by_ls = out[out["l_returnflag"].isna() & out["l_linestatus"].notna()]
+    grand = out[out["l_returnflag"].isna() & out["l_linestatus"].isna()]
+    assert len(grand) == 1
+    g = int(grand["sum_qty_fp"].iloc[0])
+    for tier in (leaf, by_rf, by_ls):
+        assert int(tier["sum_qty_fp"].sum()) == g
+        assert int(tier["n"].sum()) == int(grand["n"].iloc[0])
+
+
+def test_rank_functions_invariants():
+    """rank/dense_rank/ntile invariants per partition: rank jumps by
+    tie-group size, dense_rank is contiguous, ntile buckets differ by
+    at most one row, percent_rank endpoints are 0 and 10^6."""
+    from fide_crawler_ray.pipelines.relational import q_rank_functions
+
+    out = q_rank_functions(SF).to_pandas()
+    for uid, g in out.groupby("user_id"):
+        n = len(g)
+        assert sorted(g["rnk"].unique()) == sorted(
+            g.groupby("rnk").size().pipe(
+                lambda s: np.cumsum([1] + list(s.iloc[:-1]))))
+        assert set(g["drnk"]) == set(range(1, g["drnk"].max() + 1))
+        sizes = g.groupby("tile").size()
+        assert sizes.max() - sizes.min() <= 1
+        if n > 1:
+            assert g["pct_fp"].min() == 0
+            assert g["pct_fp"].max() == 1_000_000
