@@ -490,6 +490,65 @@ def q_ann_ivf_recall(sf_dir):
                           "n_queries": int(brute["query_id"].nunique())}])
 
 
+def q_embedding_kmeans(sf_dir, k: int = 8, iters: int = 5):
+    """Corpus clustering: distributed spherical k-means over the
+    embeddings table (the SemDeDup / cluster-balanced-sampling
+    primitive), returning one row per cluster with its size and the
+    integer fixed-point mean cosine similarity of members to their
+    centroid. Rows-only (iterative algorithm, not SQL-expressible);
+    the Lloyd objective's monotonicity is asserted by a test.
+
+    Scale plan: centroids are k×d floats broadcast per round
+    (``ray.put``); each round's exchange is per-batch k-row partials,
+    corpus-size-independent (see ANN.kmeans_centroids); the final
+    assignment pass is one map_batches emitting per-batch per-cluster
+    partial (n, Σsim) rows folded by a k-row groupby."""
+    emb = T(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = ANN.kmeans_centroids(emb, n_centroids=k, iters=iters)
+    cref = ray.put(cents)
+
+    class _Stats:
+        def __init__(self):
+            self.c = ray.get(cref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            vecs = ANN._normalize(ANN._to_matrix(b["embedding"]))
+            sims = vecs @ self.c.T
+            assign = sims.argmax(axis=1)
+            best = sims[np.arange(len(assign)), assign].astype(np.float64)
+            kk = self.c.shape[0]
+            n = np.bincount(assign, minlength=kk).astype(np.int64)
+            s = np.zeros(kk, dtype=np.float64)
+            np.add.at(s, assign, best)
+            return pa.table({
+                "cluster": pa.array(np.arange(kk, dtype=np.int64)),
+                "n": pa.array(n),
+                "sum_sim": pa.array(s),
+            })
+
+    parts = emb.map_batches(_Stats, batch_format="pyarrow",
+                            batch_size=4096, concurrency=2)
+    agg = fast_groupby_agg(parts, ["cluster"], {
+        "n": ("n", "sum"), "sum_sim": ("sum_sim", "sum"),
+    })
+    return agg.map_batches(
+        lambda b: pa.table({
+            "cluster": b["cluster"],
+            "n": b["n"],
+            "mean_sim_fp": pa.array(
+                np.where(
+                    b["n"].to_numpy(zero_copy_only=False) > 0,
+                    (b["sum_sim"].to_numpy(zero_copy_only=False)
+                     * 1_000_000
+                     / np.maximum(b["n"].to_numpy(zero_copy_only=False), 1)
+                     ).astype(np.int64),
+                    0),
+                pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def to_df_any(result):
     import ray.data as _rd
 
@@ -805,6 +864,7 @@ def queries() -> dict:
         "ann_bruteforce": q_ann_bruteforce,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_recall": q_ann_ivf_recall,
+        "embedding_kmeans": q_embedding_kmeans,
         "events_tumbling": q_events_tumbling,
         "events_sessionize": q_events_sessionize,
         "set_union": q_set_union,

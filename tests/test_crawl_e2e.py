@@ -223,3 +223,19 @@ def test_pending_spill_survives_resume(tmp_path):
                           max_pending_inmem=8, spill_chunk=4, resume=True)
     assert resumed.seen_hashes() == full.seen_hashes()
     assert resumed.game_history().count() == full.game_history().count()
+
+
+def test_job_entrypoint(tmp_path, capsys):
+    """`python -m fide_crawler_ray` CLI contract: runs inside an
+    existing Ray session (the Ray Job Server case — no re-init), prints
+    one JSON status line, exits 0."""
+    import json
+
+    from fide_crawler_ray.job import main
+
+    rc = main(["--out", str(tmp_path / "job"), "--players", "4",
+               "--queries", "2", "--months", "3", "--shards", "2"])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    st = json.loads(line)
+    assert st["pages"] > 0 and st["game_rows"] > 0

@@ -10,6 +10,8 @@ from fide_crawler_ray.pipelines import dedup_text as DT
 
 BASE = "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill nearby"
 
+SF = "/root/testdata/sf0.001"
+
 
 def _docs():
     texts = {
@@ -116,3 +118,22 @@ def test_ivf_search_recall_vs_brute():
         top = ivf[(ivf["query_id"] == j) & (ivf["rank"] == 1)]
         assert top["score"].iloc[0] == 1.0
     assert ivf[(ivf["query_id"] == 3) & (ivf["rank"] == 1)]["vec_id"].iloc[0] == 3
+
+
+def test_embedding_kmeans_objective_improves():
+    """Lloyd iterations can only raise the spherical k-means objective
+    (total member→centroid cosine); cluster sizes must sum to the
+    corpus and every cluster mean must be a valid cosine."""
+    from fide_crawler_ray.pipelines.queries import q_embedding_kmeans
+
+    import pyarrow.parquet as pq
+
+    n_vecs = pq.read_metadata(f"{SF}/embeddings.parquet").num_rows
+    base = q_embedding_kmeans(SF, iters=0).to_pandas()
+    out = q_embedding_kmeans(SF, iters=5).to_pandas()
+    assert int(out["n"].sum()) == n_vecs
+    assert int(base["n"].sum()) == n_vecs
+    obj0 = (base["n"] * base["mean_sim_fp"]).sum()
+    obj5 = (out["n"] * out["mean_sim_fp"]).sum()
+    assert obj5 >= obj0 - 1e3  # fixed-point truncation slack
+    assert out["mean_sim_fp"].between(-1_000_000, 1_000_000).all()
