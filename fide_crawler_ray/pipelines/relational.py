@@ -39,8 +39,10 @@ def q_j_inner_join(sf_dir):
     both sides hash-partitioned through the exchange, no driver state),
     then revenue per nation. The row-level join is deliberate: it
     exercises the shuffle-join path, unlike J1's broadcast plan."""
-    orders = T(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    cust = T(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = T(sf_dir, "orders", ["o_custkey", "o_totalprice"],
+               target_block_mb=32, min_blocks=8)
+    cust = T(sf_dir, "customer", ["c_custkey", "c_nationkey"],
+             target_block_mb=32, min_blocks=4)
     j = orders.join(cust, "inner", num_partitions=8,
                     on=("o_custkey",), right_on=("c_custkey",))
     out = fast_groupby_agg(j, ["c_nationkey"], {
@@ -60,7 +62,8 @@ def q_j_left_outer(sf_dir):
         T(sf_dir, "orders", ["o_custkey"]), ["o_custkey"],
         {"n_orders": (None, "count")},
     )
-    j = T(sf_dir, "customer", ["c_custkey"]).join(
+    j = T(sf_dir, "customer", ["c_custkey"],
+          target_block_mb=32, min_blocks=4).join(
         counts, "left_outer", num_partitions=8,
         on=("c_custkey",), right_on=("o_custkey",),
     )
@@ -1094,6 +1097,9 @@ SIM_JOIN_THRESHOLD = 0.5
 # Broadcast the dup-shingle (df ≥ 2) hash set below this cardinality;
 # above it the unfiltered self-join runs (same answer, no driver state).
 SIM_JOIN_MAX_BROADCAST = 4_000_000
+# verify tier: max DISTINCT docs named by candidate pairs whose texts
+# may ship by ref to lookup actors (bounds the per-worker lookup dict)
+SIM_JOIN_MAX_BROADCAST_DOCS = 200_000
 
 
 def _shingle_rows(b: pa.Table, rename: bool = False) -> pa.Table:
@@ -1210,6 +1216,35 @@ class _ExactVerify:
         })
 
 
+class _ExactVerifyLookup(_ExactVerify):
+    """Small-pair-tier variant of _ExactVerify: texts arrive as block
+    REFS (is_in-filtered to the docs the pairs name, never the corpus),
+    built into a lookup dict once per worker; a pair naming a missing
+    doc is dropped (mirrors the join path's inner-join semantics)."""
+
+    def __init__(self, threshold: float, tref):
+        super().__init__(threshold)
+        self.tref = tref
+        self.texts = None
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        if self.texts is None:
+            self.texts = {}
+            for t in ray.get(ray.get(self.tref)):
+                self.texts.update(zip(t["doc_id"].to_pylist(),
+                                      t["text"].to_pylist()))
+        ta = [self.texts.get(x) for x in b["a"].to_pylist()]
+        tb = [self.texts.get(x) for x in b["b"].to_pylist()]
+        keep = pa.array([x is not None and y is not None
+                         for x, y in zip(ta, tb)])
+        b2 = pa.table({
+            "a": b["a"], "b": b["b"],
+            "__text_a": pa.array(ta, pa.string()),
+            "__text_b": pa.array(tb, pa.string()),
+        }).filter(keep)
+        return super().__call__(b2)
+
+
 def _sim_empty():
     import ray.data as rd
     return rd.from_arrow(pa.table({
@@ -1241,7 +1276,10 @@ def q_similarity_join(sf_dir, threshold: float = SIM_JOIN_THRESHOLD,
     q_tfidf_top_terms); past `max_broadcast_vocab` the exchange-only
     full-join plan runs instead — same answer (pinned by a path-equality
     test), the scale path there being a df JOIN instead of a broadcast."""
-    docs = T(sf_dir, "documents", ["doc_id", "text"])
+    # join-feeding read: size-based blocks (see T's docstring) — the
+    # prefix self-join pays per-(block, partition) shuffle overhead
+    docs = T(sf_dir, "documents", ["doc_id", "text"],
+             target_block_mb=8, min_blocks=4)
     left = docs.map_batches(_shingle_rows,
                             batch_format="pyarrow").materialize()
     df_ds = fast_groupby_agg(left, ["sh"], {"df": (None, "count")})
@@ -1282,8 +1320,12 @@ def q_similarity_join(sf_dir, threshold: float = SIM_JOIN_THRESHOLD,
             return pa.table({"a": pa.array(out_id, pa.int64()),
                              "sh": pa.array(out_sh, pa.int64())})
 
+    # autoscaling (1, 4) pool: up to 4 actors on big sessions without
+    # starving a 4-CPU test session (a fixed pool of 4 can deadlock
+    # against the hash-shuffle aggregator actors on tiny clusters)
     prefix = docs.map_batches(_PrefixRows, batch_format="pyarrow",
-                              concurrency=2).materialize()
+                              concurrency=(1, 4),
+                              batch_size=1024).materialize()
     pright = prefix.map_batches(
         lambda b: b.rename_columns(["b", "sh_r"]), batch_format="pyarrow")
     cj = prefix.join(pright, "inner", num_partitions=8,
@@ -1297,7 +1339,38 @@ def q_similarity_join(sf_dir, threshold: float = SIM_JOIN_THRESHOLD,
                   batch_format="pyarrow").materialize()
     if cand.count() == 0:
         return _sim_empty()
-    from .dedup_text import _pair_texts
+    from .dedup_text import _id_type, _pair_texts, _semi
+
+    # Verify tier choice is guarded on the DISTINCT DOCS the candidate
+    # pairs name (computed distributedly — the pair set itself never
+    # collects), not on pair count: PPJoin candidates concentrate on
+    # the near-dup docs, so even a large pair set usually names a small
+    # doc set. Below the guard the named texts are is_in-filtered from
+    # the corpus and ship by REF into lookup actors (pairs stream);
+    # above it the exchange path attaches texts with two hash joins.
+    it = _id_type(docs, "doc_id")
+
+    def _ends(b: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            b["a"].to_numpy(zero_copy_only=False),
+            b["b"].to_numpy(zero_copy_only=False),
+        ]))
+        return pa.table({"doc_id": pa.array(u, it)})
+
+    ids_ds = fast_groupby_agg(
+        cand.map_batches(_ends, batch_format="pyarrow"),
+        ["doc_id"], {"_n": (None, "count")},
+    ).map_batches(lambda b: b.select(["doc_id"]),
+                  batch_format="pyarrow").materialize()
+    if ids_ds.count() <= SIM_JOIN_MAX_BROADCAST_DOCS:
+        texts = _semi(docs.select_columns(["doc_id", "text"]),
+                      ids_ds, "doc_id", "doc_id",
+                      pa.schema([("doc_id", it), ("text", pa.string())])
+                      ).materialize()
+        tref = ray.put(texts.to_arrow_refs())
+        return cand.map_batches(
+            _ExactVerifyLookup(threshold, tref),
+            batch_format="pyarrow", batch_size=2048)
     return _pair_texts(cand, docs).map_batches(
         _ExactVerify(threshold), batch_format="pyarrow", batch_size=2048)
 

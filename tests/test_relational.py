@@ -405,3 +405,17 @@ def test_rank_functions_invariants():
         if n > 1:
             assert g["pct_fp"].min() == 0
             assert g["pct_fp"].max() == 1_000_000
+
+
+def test_similarity_join_verify_tiers_identical(monkeypatch):
+    """Broadcast-texts lookup verify vs pair→text join verify (forced
+    by a zero broadcast-docs guard) must produce identical pairs."""
+    import fide_crawler_ray.pipelines.relational as R
+
+    cols = ["a", "b", "jaccard_fp"]
+    fast = (R.q_similarity_join(SF).to_pandas()[cols]
+            .sort_values(cols).reset_index(drop=True))
+    monkeypatch.setattr(R, "SIM_JOIN_MAX_BROADCAST_DOCS", 0)
+    slow = (R.q_similarity_join(SF).to_pandas()[cols]
+            .sort_values(cols).reset_index(drop=True))
+    pd.testing.assert_frame_equal(fast, slow)
