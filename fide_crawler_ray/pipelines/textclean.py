@@ -455,6 +455,54 @@ def q_span_dedup(sf_dir, w: int = SPAN_W,
     )
 
 
+# ===================================================== document chunking
+
+CHUNK_SIZE = 64    # tokens per chunk
+CHUNK_STRIDE = 48  # tokens between chunk starts (overlap = 16)
+
+
+def q_chunk_documents(sf_dir, size: int = CHUNK_SIZE,
+                      stride: int = CHUNK_STRIDE):
+    """Sliding-window document chunking — the pretraining / RAG
+    pre-tokenization splitter: each document becomes overlapping
+    ``size``-token chunks every ``stride`` tokens. A final partial
+    chunk is emitted only while it contributes more than the overlap
+    (start ≤ len − overlap), so no chunk is fully contained in its
+    predecessor. Pure map — embarrassingly parallel, no exchange at
+    all; the per-doc loop is the same linear cost class as
+    tokenization itself (house policy for tokenize-shaped kernels,
+    like q_bigram_stats)."""
+    docs = T(sf_dir, "documents", ["doc_id", "text"])
+    overlap = size - stride
+
+    def _chunks(df: pd.DataFrame) -> pd.DataFrame:
+        out_id: list = []
+        out_idx: list = []
+        out_n: list = []
+        out_txt: list = []
+        for did, txt in zip(df["doc_id"].to_numpy(), df["text"]):
+            ts = txt.split(" ")
+            n = len(ts)
+            bound = max(n - overlap, 1)
+            s, ci = 0, 0
+            while s < bound:
+                w = ts[s:s + size]
+                out_id.append(did)
+                out_idx.append(ci)
+                out_n.append(len(w))
+                out_txt.append(" ".join(w))
+                s += stride
+                ci += 1
+        return pd.DataFrame({
+            "doc_id": np.array(out_id, np.int64),
+            "chunk_idx": np.array(out_idx, np.int64),
+            "n_tokens": np.array(out_n, np.int64),
+            "chunk": pd.Series(out_txt, dtype="object"),
+        })
+
+    return docs.map_batches(_chunks, batch_format="pandas")
+
+
 # ============================================================ registry
 
 def queries() -> dict:
@@ -465,6 +513,7 @@ def queries() -> dict:
         "mix_sources": q_mix_sources,
         "vocab_prune": q_vocab_prune,
         "span_dedup": q_span_dedup,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -576,5 +625,20 @@ ORACLES: dict[str, str] = {
                    * 2 < count(*) AS keep
         FROM wins w JOIN stats s ON w.h = s.h
         GROUP BY w.doc_id
+    """,
+    # size=64, stride=48, overlap=16: starts are 1-based 1, 49, … while
+    # start ≤ greatest(len−16, 1); final partial chunk keeps its length
+    "chunk_documents": """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        starts AS (
+            SELECT doc_id, ts,
+                   unnest(range(1, greatest(len(ts) - 16, 1) + 1, 48)) AS s
+            FROM toks)
+        SELECT doc_id,
+               CAST((s - 1) / 48 AS BIGINT) AS chunk_idx,
+               least(64, len(ts) - s + 1) AS n_tokens,
+               array_to_string(ts[s:s+63], ' ') AS chunk
+        FROM starts
     """,
 }

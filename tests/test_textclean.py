@@ -143,3 +143,25 @@ def test_span_dedup_flags_partial_copy():
     assert bool(out.loc[2, "keep"])
     # thief has 9 windows, 5 cross-doc → dropped; donor same
     assert not bool(out.loc[1, "keep"])
+
+
+def test_chunk_documents_reconstruction():
+    """Chunk invariants: stride-overlap reconstruction gives back the
+    original token stream; every chunk except possibly the last is
+    full-size; no chunk is contained in its predecessor."""
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    out = _df(TC.q_chunk_documents(SF)).sort_values(["doc_id", "chunk_idx"])
+    size, stride = TC.CHUNK_SIZE, TC.CHUNK_STRIDE
+    for _, r in docs.iterrows():
+        ch = out[out["doc_id"] == r["doc_id"]]
+        assert list(ch["chunk_idx"]) == list(range(len(ch)))
+        toks = r["text"].split(" ")
+        rebuilt = []
+        for i, (_, row) in enumerate(ch.iterrows()):
+            w = row["chunk"].split(" ") if row["chunk"] else [""]
+            assert len(w) == row["n_tokens"]
+            assert len(w) > size - stride or len(ch) == 1
+            rebuilt.extend(w if i == 0 else w[size - stride:])
+        assert rebuilt == toks, r["doc_id"]
