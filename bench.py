@@ -116,7 +116,7 @@ def run_bench() -> dict:
         "text_token_stats", "text_quality", "dedup_exact_text",
         "ann_bruteforce", "events_sessionize", "dedup_minhash",
         "j_inner_join", "asof_join", "window_functions", "term_doc_freq",
-        "range_join", "similarity_join",
+        "range_join", "similarity_join", "span_dedup", "embedding_kmeans",
     ]
     qs = Q.queries()
     for name in suite:

@@ -384,6 +384,66 @@ def q_cube_agg(sf_dir):
     return leaf.union(by_rf, by_ls, rd.from_arrow(grand))
 
 
+def q_table_diff(sf_dir):
+    """Snapshot diff — the incremental-pipeline primitive: classify
+    every key of two table versions as added / removed / changed /
+    same. The two "snapshots" are derived deterministically from
+    orders (old = keys ∉ 0 mod 10; new = keys ∉ 0 mod 7 with price
+    doubled on keys ≡ 0 mod 3), prices compared in integer fixed-point.
+
+    Plan: no join at all — both snapshots union into (key, src, p)
+    rows and ONE partial-agg groupby folds each key's ≤2 rows into
+    (n, src_sum, p_old, p_new); status is a map-side expression over
+    that. The exchange moves one row per key per side — the same cost
+    as the outer join the SQL oracle spells out, with no null-handling
+    asymmetry between engines."""
+    def _snap(src: int):
+        def _f(b: pa.Table) -> pa.Table:
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            p = _round_half_away(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+            if src == 0:
+                keep = k % 10 != 0
+                k, p = k[keep], p[keep]
+            else:
+                keep = k % 7 != 0
+                k, p = k[keep], p[keep]
+                p = np.where(k % 3 == 0, p * 2, p)
+            return pa.table({
+                "o_orderkey": pa.array(k, pa.int64()),
+                "src": pa.array(np.full(len(k), src, dtype=np.int64)),
+                "p_old": pa.array(np.where(src == 0, p, 0), pa.int64()),
+                "p_new": pa.array(np.where(src == 1, p, 0), pa.int64()),
+            })
+        return _f
+
+    base = T(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    both = base.map_batches(_snap(0), batch_format="pyarrow").union(
+        base.map_batches(_snap(1), batch_format="pyarrow"))
+    agg = fast_groupby_agg(both, ["o_orderkey"], {
+        "n": (None, "count"), "src_sum": ("src", "sum"),
+        "p_old": ("p_old", "sum"), "p_new": ("p_new", "sum"),
+    })
+
+    def _status(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        ss = b["src_sum"].to_numpy(zero_copy_only=False)
+        po = b["p_old"].to_numpy(zero_copy_only=False)
+        pn = b["p_new"].to_numpy(zero_copy_only=False)
+        st = np.where(
+            n == 1,
+            np.where(ss == 1, "added", "removed"),
+            np.where(po != pn, "changed", "same"),
+        )
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "status": pa.array(st.tolist(), pa.string()),
+        })
+
+    return agg.map_batches(_status, batch_format="pyarrow")
+
+
 def q_rank_functions(sf_dir):
     """Ranking window functions per user over event value: ``rank``,
     ``dense_rank``, integer fixed-point ``percent_rank`` and
@@ -1755,6 +1815,7 @@ def queries() -> dict:
         "rollup_agg": q_rollup_agg,
         "cube_agg": q_cube_agg,
         "rank_functions": q_rank_functions,
+        "table_diff": q_table_diff,
         "quantiles": q_quantiles,
         "grouped_median": q_grouped_median,
         "segment_monthly_revenue": q_segment_monthly_revenue,
@@ -1985,6 +2046,23 @@ ORACLES: dict[str, str] = {
                    AS sum_qty_fp,
                count(*) AS n
         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    "table_diff": """
+        WITH old AS (
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS p
+            FROM orders WHERE o_orderkey % 10 != 0),
+        new AS (
+            SELECT o_orderkey,
+                   (CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END)
+                   * CAST(round(o_totalprice * 100) AS BIGINT) AS p
+            FROM orders WHERE o_orderkey % 7 != 0)
+        SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+               CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                    WHEN new.o_orderkey IS NULL THEN 'removed'
+                    WHEN old.p != new.p THEN 'changed'
+                    ELSE 'same' END AS status
+        FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
     """,
     "rank_functions": """
         WITH e AS (
