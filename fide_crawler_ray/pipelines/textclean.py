@@ -455,6 +455,57 @@ def q_span_dedup(sf_dir, w: int = SPAN_W,
     )
 
 
+# ============================================== quantile-gated filtering
+
+
+def q_length_band_filter(sf_dir, q_lo: float = 0.1, q_hi: float = 0.9):
+    """Percentile-band length filter — the "drop the tails" corpus gate
+    (too-short docs are boilerplate, too-long are concatenation junk):
+    keep documents whose word count lies within the corpus' exact
+    [p10, p90] band. Composition: the exact distinct-value-CDF quantile
+    plan (same as relational.q_quantiles — the exchange moves one row
+    per DISTINCT length, the driver picks ranks from the tiny CDF) →
+    two broadcast ints → a map-side integer predicate. Rank rule
+    (row_number = ceil(q·n), floor 1) is pinned in the oracle SQL; the
+    thresholds and counts are integers, so the keep flag cannot
+    straddle a float edge."""
+    import math
+
+    docs = T(sf_dir, "documents", ["doc_id", "text"])
+
+    def _nw(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_words": (df["text"].str.count(" ") + 1).astype("int64"),
+        })
+
+    nw = docs.map_batches(_nw, batch_format="pandas").materialize()
+    vc = fast_groupby_agg(nw, ["n_words"], {"n": (None, "count")})
+    t = pa.concat_tables(
+        b for b in ray.get(vc.materialize().to_arrow_refs())
+        if b.num_rows > 0
+    )
+    vals = t["n_words"].to_numpy(zero_copy_only=False)
+    cnts = t["n"].to_numpy(zero_copy_only=False)
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+
+    def pick(q: float) -> int:
+        r = max(1, math.ceil(q * n))
+        return int(vals[np.searchsorted(cum, r)])
+
+    lo, hi = pick(q_lo), pick(q_hi)
+    return nw.map_batches(
+        lambda b: b.append_column(
+            "keep",
+            pc.and_(pc.greater_equal(b["n_words"], lo),
+                    pc.less_equal(b["n_words"], hi))),
+        batch_format="pyarrow",
+    )
+
+
 # ===================================================== document chunking
 
 CHUNK_SIZE = 64    # tokens per chunk
@@ -514,6 +565,7 @@ def queries() -> dict:
         "vocab_prune": q_vocab_prune,
         "span_dedup": q_span_dedup,
         "chunk_documents": q_chunk_documents,
+        "length_band_filter": q_length_band_filter,
     }
 
 
@@ -640,5 +692,26 @@ ORACLES: dict[str, str] = {
                least(64, len(ts) - s + 1) AS n_tokens,
                array_to_string(ts[s:s+63], ' ') AS chunk
         FROM starts
+    """,
+    # rank rule mirrors q_quantiles: row_number = greatest(1, ceil(q*n))
+    "length_band_filter": """
+        WITH nw AS (
+            SELECT doc_id,
+                   len(text) - len(replace(text, ' ', '')) + 1 AS n_words
+            FROM documents),
+        s AS (
+            SELECT n_words AS v,
+                   row_number() OVER (ORDER BY n_words) AS rn,
+                   count(*) OVER () AS n
+            FROM nw),
+        b AS (
+            SELECT max(CASE WHEN rn = GREATEST(1, CAST(ceil(0.1 * n)
+                             AS BIGINT)) THEN v END) AS lo,
+                   max(CASE WHEN rn = GREATEST(1, CAST(ceil(0.9 * n)
+                             AS BIGINT)) THEN v END) AS hi
+            FROM s)
+        SELECT nw.doc_id, nw.n_words,
+               nw.n_words BETWEEN b.lo AND b.hi AS keep
+        FROM nw, b
     """,
 }
