@@ -35,6 +35,7 @@ from __future__ import annotations
 import math
 import os
 import shutil
+import time
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
@@ -145,15 +146,37 @@ def _save_frontier_snapshots(out_dir: str, shards, filters) -> None:
                                prefix="seenfilter", id_key="filter_id")
 
 
-def make_router(filters, shards, months, watermarks):
-    """Link-routing stage: expand accepted search results into frontier
-    URL rows and offer them through the salted bank to the owning shards
-    directly from the task (no driver collection — the scalable enqueue
-    path). A plain task function: actor handles serialize into task
-    closures, and tasks avoid per-epoch actor-pool spin-up."""
+def make_expander(months, watermarks):
+    """Expansion stage (pure compute, no RPCs): accepted search results →
+    frontier URL rows (M7+M8 month walk, canonicalize+SHA1). Split from
+    the offer stage so it parallelizes freely — the offers that follow
+    are only safe to fan out AFTER the epoch's canonical dedup (see
+    _run_search)."""
 
-    def _route(results: pa.Table) -> pa.Table:
-        rows = P.expand_frontier_batch(results, months, watermarks)
+    def _expand(results: pa.Table) -> pa.Table:
+        return P.expand_frontier_batch(results, months, watermarks)
+
+    return _expand
+
+
+def make_offer_stage(filters, shards):
+    """Offer stage: route pre-deduped URL rows through the salted bank to
+    the owning shards directly from the task (no driver collection — the
+    scalable enqueue path). A plain task function: actor handles
+    serialize into task closures, and tasks avoid per-epoch actor-pool
+    spin-up.
+
+    CONTRACT: input rows must contain each url_hash at most once across
+    the WHOLE epoch (the caller dedups to the min-priority copy first).
+    Concurrent offer tasks then cannot race on first-offer-wins
+    admission, so the admitted set — and with it the exact crawl order
+    vs the sequential reference — is independent of task scheduling.
+    The r2 router that interleaved expansion and offers serialized the
+    whole expansion behind per-batch RPC round-trips (~12 s of the
+    heavy-crawl wall time in ONE task); this split is both faster and
+    deterministic."""
+
+    def _offer(rows: pa.Table) -> pa.Table:
         stats = offer_rows(filters, shards, rows)
         return pa.table(
             {
@@ -162,7 +185,7 @@ def make_router(filters, shards, months, watermarks):
             }
         )
 
-    return _route
+    return _offer
 
 
 class CrawlResult:
@@ -372,11 +395,13 @@ def run_crawl(
     while True:
         if max_epochs is not None and epoch - epoch0 >= max_epochs:
             return CrawlResult(out_dir, shards, filters, epoch)
+        _t0 = time.perf_counter()
         pops = ray.get([s.pop_ready.remote(per_shard_budget) for s in shards])
         tables = [t for t in pops if t is not None and t.num_rows > 0]
         if not tables:
             break
         url_table = pa.concat_tables(tables)
+        _t_pop = time.perf_counter() - _t0
 
         def _kind_ds(kind: str):
             sub = url_table.filter(pa.compute.equal(url_table["kind"], kind))
@@ -417,13 +442,26 @@ def run_crawl(
             fetched = _fetched("search")
             if fetched is None:
                 return 0
-            # Small router batches: one search page expands to
-            # O(results × months) URL rows, so expansion parallelizes.
-            return fetched.map_batches(
+            # expand (pure compute, repartitioned so one search block
+            # doesn't serialize it) → canonical min-priority dedup per
+            # url_hash (a duplicate URL reached from two search results
+            # must admit its FIRST-encounter copy — min priority — no
+            # matter how offer tasks interleave; this reproduces the
+            # sequential reference's first-offer-wins order exactly,
+            # pinned by test_crawl_ordering_exact) → fanned-out offers.
+            expanded = fetched.map_batches(
                 P.parse_search_batch, batch_format="pyarrow",
-            ).map_batches(
-                make_router(filters, shards, months, watermarks_state),
-                batch_format="pyarrow", batch_size=16, num_cpus=0.1,
+            ).repartition(max(2, fetch_concurrency)).map_batches(
+                make_expander(months, watermarks_state),
+                batch_format="pyarrow", batch_size=64,
+            )
+            # dedup key is the canonical url STRING (url_hash is its
+            # sha1 — same identity; _key_sig hashes string columns)
+            deduped = DD.dedup_dataset(expanded, key_cols=("url",),
+                                       order_col="priority")
+            return deduped.map_batches(
+                make_offer_stage(filters, shards),
+                batch_format="pyarrow", batch_size=4096, num_cpus=0.1,
             ).count()  # forces offers to complete before the next pop
 
         def _run_profiles() -> int:
@@ -446,6 +484,7 @@ def run_crawl(
             return (store.write_epoch(games, out_dir, "games_raw", epoch)
                     if persist_games else games.count())
 
+        _t0 = time.perf_counter()
         with ThreadPoolExecutor(max_workers=3) as pool:
             f_search = pool.submit(_run_search)
             f_profiles = pool.submit(_run_profiles)
@@ -453,6 +492,10 @@ def run_crawl(
             f_search.result()
             n_players = f_profiles.result()
             n_games = f_games.result()
+        if os.environ.get("FCRAY_TIMING"):
+            print(f"[epoch {epoch}] urls={url_table.num_rows} "
+                  f"pop={_t_pop:.2f}s pipelines="
+                  f"{time.perf_counter() - _t0:.2f}s", flush=True)
 
         n_docs = 0
         if fetched_for_docs:

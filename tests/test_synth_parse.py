@@ -145,3 +145,74 @@ def test_url_canonicalize_and_predicate():
     assert list(U.url_keep_mask(arr)) == [True, False, False, False]
     ids = U.extract_profile_ids(pa.array(["/profile/123", "/x/9"]))
     assert ids.to_pylist() == ["123", "Sem ID"]
+
+
+def test_calc_vectorized_matches_scalar():
+    """parse_calc_batch (vectorized hot path) must be byte-identical to
+    parse_calc_batch_scalar (the executable spec) on a heavy corpus AND
+    on crafted malformed documents exercising every rollback path."""
+    import pandas as pd
+
+    cfg = synth.SiteConfig(seed=11, n_players=40, n_queries=8, n_months=6,
+                           games_lo=20, games_hi=40,
+                           max_tournaments_per_month=4)
+    months = synth.months_of(cfg)
+    urls = [synth.calc_url(pid, m)
+            for pid in range(100000, 100030) for m in months]
+    n = len(urls)
+    batch = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "priority": pa.array(range(n), pa.int64()),
+        "fide_id": pa.array([str(100000 + i % 30) for i in range(n)],
+                            pa.string()),
+        "player_name": pa.array([f"pn{i % 9}" for i in range(n)],
+                                pa.string()),
+    })
+    doc = P.make_fetch_fn(cfg)(batch)
+    pd.testing.assert_frame_equal(P.parse_calc_batch_scalar(doc).to_pandas(),
+                                  P.parse_calc_batch(doc).to_pandas())
+
+    spans_type = pa.list_(pa.struct(
+        [("kind", pa.string()), ("text", pa.string()),
+         ("media_ref", pa.string()), ("offset", pa.int32())]))
+
+    def S(k, t, m, o):
+        return {"kind": k, "text": t, "media_ref": m, "offset": o}
+
+    docs = [
+        [S("header", "T1|2022-01-01", "", 0), S("rating", "2300", "", 1),
+         S("media", "clr_wh", "clr_wh", 2),
+         S("game", "opp|2100|BRA|1.0|3|40|2.2", "", 3)],
+        [S("header", "NOPIPE", "", 0), S("media", "clr_bl", "clr_bl", 1),
+         S("game", "o|2|c|r|ch|k|kc", "", 2)],            # bad header
+        [S("header", "T2|2022-02-02", "", 0),
+         S("media", "clr_wh", "clr_wh", 1),
+         S("game", "only|three|fields", "", 2)],          # short game row
+        [S("header", "T3|2022-03-03", "", 0),
+         S("media", "clr_wh", "clr_wh", 1),
+         S("game", "o|2|c|r|ch|k|kc", "", 2),
+         S("game", "o2|2|c|r|ch|k|kc", "", 3)],           # games > media
+        [S("game", "o|2|c|r|ch|k|kc", "", 0),
+         S("media", "clr_bl", "clr_bl", 1)],              # no header/rating
+        [S("header", "T4|2022-04-04", "", 0),
+         S("media", "clr_wh", "clr_wh", 1),
+         S("media", "clr_bl", "clr_bl", 2),
+         S("game", "|2100|BRA|1.0|3|40|2.2", "", 3),      # empty field row
+         S("game", "ok|2100|BRA|1.0|3|40|2.2", "", 4)],
+        [],                                               # empty doc
+    ]
+    mb = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(len(docs))], pa.string()),
+        "doc_kind": pa.array(["calc"] * len(docs), pa.string()),
+        "spans": pa.array(docs, spans_type),
+        "fide_id": pa.array([f"f{i}" for i in range(len(docs))], pa.string()),
+        "player_name": pa.array([f"p{i}" for i in range(len(docs))],
+                                pa.string()),
+        "priority": pa.array(list(range(len(docs))), pa.int64()),
+    })
+    a = P.parse_calc_batch_scalar(mb).to_pandas()
+    b = P.parse_calc_batch(mb).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    # the malformed docs (1, 2, 3) contributed no rows; row-dropped doc
+    # 5 kept exactly its valid row
+    assert sorted(a["fide_id"]) == ["f0", "f4", "f5"]
