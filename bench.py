@@ -21,10 +21,11 @@ import time
 
 def run_scaling_workload() -> dict:
     """The two-parallelism-level workload: a compute-bound crawl (heavy
-    pages: ~700 spans, ~170 games each, ~9 ms fetch+parse per page ×
-    240k pages ≈ 36 CPU-minutes) so throughput actually tracks CPUs —
-    the sf0.1 operator suite is fixed-overhead-dominated and cannot
-    evidence scaling. Store writes are disabled here (persist_games=False):
+    pages: ~700 spans, ~170 games each, ~2.8 ms fetch+parse per page —
+    was ~9 ms before the vectorized calc parser — × 120k pages ≈ 340
+    CPU-seconds) so throughput actually tracks CPUs — the sf0.1
+    operator suite is fixed-overhead-dominated and cannot evidence
+    scaling. Store writes are disabled here (persist_games=False):
     on one box they bottleneck on the single shared disk, a resource that
     scales with node count on the real N vs 4N clusters this measurement
     stands in for; full-pipeline numbers are recorded in BASELINE.md."""

@@ -95,3 +95,31 @@ def test_dedup_join_fallback_matches_primary():
     a = a.sort_values("lineage").reset_index(drop=True)
     b = b.sort_values("lineage").reset_index(drop=True)[a.columns.tolist()]
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_dedup_partitioned_combine_matches_single(monkeypatch):
+    """The partitioned combine (large-partial tier) must produce exactly
+    the same survivors as the single-task combine, including order
+    ties (several rows at a key's min lineage keep one representative)."""
+    games_raw, _ = _raw_rows()
+    ds = rd.from_arrow(_raw_to_table(games_raw)).repartition(4)
+    ds = ds.map_batches(NZ.normalize_games_batch, batch_format="pyarrow")
+    a = DD.dedup_dataset(ds).to_pandas()
+    monkeypatch.setattr(DD, "SINGLE_COMBINE_MAX_ROWS", 0)
+    b = DD.dedup_dataset(ds).to_pandas()
+    a = a.sort_values("lineage").reset_index(drop=True)
+    b = b.sort_values("lineage").reset_index(drop=True)[a.columns.tolist()]
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    # tie case through the partitioned path
+    t = pa.table({
+        "date": ["2022-01-01"] * 3,
+        "tournament_name": ["T"] * 3,
+        "player_name": ["P"] * 3,
+        "opponent_name": ["O"] * 3,
+        "result": [1.0, 1.0, 0.5],
+        "marker": ["first", "second", "other"],
+        "lineage": pa.array([5, 5, 7], pa.int64()),
+    })
+    out = DD.dedup_dataset(rd.from_arrow(t), key_cols=DEDUP_KEY).to_pandas()
+    assert len(out) == 2 and "other" in set(out["marker"])
