@@ -95,3 +95,54 @@ def test_perf_rating_antisymmetry(n, p2):
     b = rating_performance(np.array([n]), np.array([mirror]), np.array([0.0]),
                            np.zeros(1), np.zeros(1), np.zeros(1))[0]
     assert (np.isnan(a) and np.isnan(b)) or a == -b
+
+
+# random span documents: kinds and pipe-counts chosen adversarially so
+# every parser path (state fill, color zip, malformed rollback, dropna)
+# is reachable
+_span_st = st.builds(
+    lambda kind, npipes, media_white, empty_first: {
+        "kind": kind,
+        "text": ("|" if empty_first else "") + "|".join(
+            f"f{i}" for i in range(npipes)),
+        "media_ref": "clr_wh" if media_white else "clr_bl",
+        "offset": 0,  # rewritten to the span index below
+    },
+    st.sampled_from(["header", "rating", "game", "media", "footnote",
+                     "field"]),
+    st.integers(min_value=0, max_value=8),
+    st.booleans(),
+    st.booleans(),
+)
+_doc_st = st.lists(_span_st, min_size=0, max_size=12)
+
+
+@given(st.lists(_doc_st, min_size=1, max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_parse_calc_vectorized_matches_scalar_property(docs):
+    """parse_calc_batch (vectorized) ≡ parse_calc_batch_scalar on
+    arbitrary span documents — including malformed ones that trigger
+    the whole-document rollback."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from fide_crawler_ray.stages import parse as P
+
+    spans_type = pa.list_(pa.struct(
+        [("kind", pa.string()), ("text", pa.string()),
+         ("media_ref", pa.string()), ("offset", pa.int32())]))
+    fixed = [
+        [dict(s, offset=i) for i, s in enumerate(doc)] for doc in docs
+    ]
+    batch = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(len(fixed))], pa.string()),
+        "doc_kind": pa.array(["calc"] * len(fixed), pa.string()),
+        "spans": pa.array(fixed, spans_type),
+        "fide_id": pa.array([f"f{i}" for i in range(len(fixed))], pa.string()),
+        "player_name": pa.array([f"p{i}" for i in range(len(fixed))],
+                                pa.string()),
+        "priority": pa.array(list(range(len(fixed))), pa.int64()),
+    })
+    a = P.parse_calc_batch_scalar(batch).to_pandas()
+    b = P.parse_calc_batch(batch).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
