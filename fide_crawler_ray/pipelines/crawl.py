@@ -39,6 +39,7 @@ import time
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
@@ -144,6 +145,25 @@ def _save_frontier_snapshots(out_dir: str, shards, filters) -> None:
     store.save_shard_snapshots(out_dir, all_snaps[:len(shards)])
     store.save_shard_snapshots(out_dir, all_snaps[len(shards):],
                                prefix="seenfilter", id_key="filter_id")
+
+
+@ray.remote
+def _dedup_urls_task(*tables: pa.Table) -> pa.Table:
+    """Small-expansion canonical URL dedup (keep the min-priority copy
+    per url) in one task: stable sort by priority, first occurrence per
+    url wins. Exact same survivors as dedup_dataset(key=url,
+    order=priority) — priorities are unique (pack_priority is
+    range-guarded), so there are no order ties."""
+    live = [t for t in tables if t.num_rows > 0]
+    if not live:
+        return tables[0] if tables else pa.table({})
+    t = pa.concat_tables(live)
+    prio = t["priority"].to_numpy(zero_copy_only=False)
+    order = np.argsort(prio, kind="stable")
+    t = t.take(pa.array(order.astype(np.int64)))
+    df = pd.Series(t["url"].to_pylist())
+    keep = ~df.duplicated(keep="first")
+    return t.filter(pa.array(keep.to_numpy()))
 
 
 def make_expander(months, watermarks):
@@ -454,11 +474,18 @@ def run_crawl(
             ).repartition(max(2, fetch_concurrency)).map_batches(
                 make_expander(months, watermarks_state),
                 batch_format="pyarrow", batch_size=64,
-            )
+            ).materialize()  # bounded: one epoch's expansion
             # dedup key is the canonical url STRING (url_hash is its
-            # sha1 — same identity; _key_sig hashes string columns)
-            deduped = DD.dedup_dataset(expanded, key_cols=("url",),
-                                       order_col="priority")
+            # sha1 — same identity; _key_sig hashes string columns).
+            # Below the guard, ONE explicit task sorts + keeps-first —
+            # the full dedup_dataset pipeline costs ~3 s of fixed
+            # Dataset executions, which dominates small-crawl epochs.
+            if expanded.count() <= 2_000_000:
+                deduped = rd.from_arrow(ray.get(
+                    _dedup_urls_task.remote(*expanded.to_arrow_refs())))
+            else:
+                deduped = DD.dedup_dataset(expanded, key_cols=("url",),
+                                           order_col="priority")
             return deduped.map_batches(
                 make_offer_stage(filters, shards),
                 batch_format="pyarrow", batch_size=4096, num_cpus=0.1,
