@@ -419,3 +419,17 @@ def test_similarity_join_verify_tiers_identical(monkeypatch):
     slow = (R.q_similarity_join(SF).to_pandas()[cols]
             .sort_values(cols).reset_index(drop=True))
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_similarity_join_pair_tiers_identical(monkeypatch):
+    """Single-task run-expansion pairing vs hash self-join pairing
+    (forced via a zero prefix guard) must produce identical pairs."""
+    import fide_crawler_ray.pipelines.relational as R
+
+    cols = ["a", "b", "jaccard_fp"]
+    fast = (R.q_similarity_join(SF).to_pandas()[cols]
+            .sort_values(cols).reset_index(drop=True))
+    monkeypatch.setattr(R, "SIM_JOIN_MAX_SINGLE_PREFIX", 0)
+    slow = (R.q_similarity_join(SF).to_pandas()[cols]
+            .sort_values(cols).reset_index(drop=True))
+    pd.testing.assert_frame_equal(fast, slow)
