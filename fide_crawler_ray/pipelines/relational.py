@@ -384,6 +384,51 @@ def q_cube_agg(sf_dir):
     return leaf.union(by_rf, by_ls, rd.from_arrow(grand))
 
 
+def q_above_customer_avg(sf_dir):
+    """Decorrelated subquery — the classic "rows above their group's
+    average" pattern (``WHERE o_totalprice > (SELECT avg(..) ... WHERE
+    same customer)``): per-customer (Σprice_fp, n) via one partial-agg
+    groupby, broadcast (customer-count-sized — the guard reroute would
+    be a hash join, same as q_bigram_stats), then a map-side INTEGER
+    cross-product predicate ``price_fp · n > Σprice_fp`` — exact, no
+    division, no float edge."""
+    orders = T(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def _fp(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_custkey": b["o_custkey"],
+            "p": pa.array(_round_half_away(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64), pa.int64()),
+        })
+
+    fp = orders.map_batches(_fp, batch_format="pyarrow").materialize()
+    agg = fast_groupby_agg(fp, ["o_custkey"], {
+        "s": ("p", "sum"), "n": (None, "count"),
+    }).to_pandas()  # one row per customer with orders — broadcast side
+    aref = ray.put((agg["o_custkey"].to_numpy(np.int64),
+                    agg["s"].to_numpy(np.int64),
+                    agg["n"].to_numpy(np.int64)))
+
+    class _Above:
+        def __init__(self):
+            k, s, n = ray.get(aref)
+            order = np.argsort(k)
+            self.k, self.s, self.n = k[order], s[order], n[order]
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+            p = b["p"].to_numpy(zero_copy_only=False)
+            ix = np.searchsorted(self.k, ck)
+            keep = p * self.n[ix] > self.s[ix]
+            return pa.table({
+                "o_orderkey": b["o_orderkey"].filter(pa.array(keep)),
+            })
+
+    return fp.map_batches(_Above, batch_format="pyarrow", concurrency=2)
+
+
 def q_table_diff(sf_dir):
     """Snapshot diff — the incremental-pipeline primitive: classify
     every key of two table versions as added / removed / changed /
@@ -1877,6 +1922,7 @@ def queries() -> dict:
         "cube_agg": q_cube_agg,
         "rank_functions": q_rank_functions,
         "table_diff": q_table_diff,
+        "above_customer_avg": q_above_customer_avg,
         "quantiles": q_quantiles,
         "grouped_median": q_grouped_median,
         "segment_monthly_revenue": q_segment_monthly_revenue,
@@ -2107,6 +2153,18 @@ ORACLES: dict[str, str] = {
                    AS sum_qty_fp,
                count(*) AS n
         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    "above_customer_avg": """
+        WITH fp AS (
+            SELECT o_orderkey, o_custkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS p
+            FROM orders),
+        agg AS (
+            SELECT o_custkey AS k, sum(p) AS s, count(*) AS n
+            FROM fp GROUP BY o_custkey)
+        SELECT fp.o_orderkey
+        FROM fp JOIN agg ON fp.o_custkey = agg.k
+        WHERE fp.p * agg.n > agg.s
     """,
     "table_diff": """
         WITH old AS (
