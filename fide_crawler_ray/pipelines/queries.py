@@ -668,6 +668,40 @@ def q_media_features(sf_dir):
     )
 
 
+def q_media_dedup(sf_dir):
+    """Exact media dedup by raw payload BYTES (binary-key dedup — the
+    image-level exact dedup every multimodal corpus pipeline runs before
+    perceptual hashing): decode data-URIs to binary, keep the
+    first-by-lineage copy of each distinct payload. Rows-only (binary
+    payloads are not a SQL surface); keep-first semantics pinned by the
+    binary-key dedup unit test."""
+    from ..stages.media import materialize_media_batch
+
+    players = q_crawl_players(sf_dir)
+    withp = players.map_batches(materialize_media_batch,
+                                batch_format="pyarrow", batch_size=256)
+    # deterministic keep-first order: the numeric fide_id (unique per
+    # player, block-layout-independent)
+    withp = withp.map_batches(
+        lambda b: b.append_column("lineage",
+                                  pc.cast(b["fide_id"], pa.int64())),
+        batch_format="pyarrow",
+    )
+    deduped = DD.dedup_dataset(
+        withp.map_batches(
+            lambda b: b.filter(pc.is_valid(b["media_payload"])),
+            batch_format="pyarrow"),
+        key_cols=("media_payload",), order_col="lineage",
+    )
+    return deduped.map_batches(
+        lambda b: pa.table({
+            "fide_id": b["fide_id"],
+            "media_len": b["media_len"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def q_media_thumbnails(sf_dir):
     """Multimodal resize stage on top of the decode pipeline: actor-pool
     ``ImageResizeStub`` (real aspect math; PIL-gated resample) producing
@@ -896,6 +930,7 @@ def queries() -> dict:
         "fuzzy_match": q_fuzzy_match,
         "media_features": q_media_features,
         "media_thumbnails": q_media_thumbnails,
+        "media_dedup": q_media_dedup,
         "audio_framing": q_audio_framing,
         "video_frame_sample": q_video_frame_sample,
         **_relational_queries(),

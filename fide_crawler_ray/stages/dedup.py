@@ -66,7 +66,15 @@ def _key_sig(batch: pa.Table, key_cols) -> np.ndarray:
     b = np.zeros(n, dtype=np.uint64)
     with np.errstate(over="ignore"):
         for i, c in enumerate(key_cols):
-            col = batch[c].cast(pa.string()).to_pandas().fillna("\x00null")
+            col_t = batch[c]
+            if (pa.types.is_binary(col_t.type)
+                    or pa.types.is_large_binary(col_t.type)
+                    or pa.types.is_fixed_size_binary(col_t.type)):
+                # binary keys (url_hash, media payloads): hash the raw
+                # bytes — pd.util.hash_array handles object bytes rows
+                col = col_t.to_pandas().fillna(b"\x00null")
+            else:
+                col = col_t.cast(pa.string()).to_pandas().fillna("\x00null")
             arr = col.to_numpy(dtype=object)
             h1 = pd.util.hash_array(arr, hash_key=_HKEY_1)
             h2 = pd.util.hash_array(arr, hash_key=_HKEY_2)

@@ -123,3 +123,26 @@ def test_dedup_partitioned_combine_matches_single(monkeypatch):
     })
     out = DD.dedup_dataset(rd.from_arrow(t), key_cols=DEDUP_KEY).to_pandas()
     assert len(out) == 2 and "other" in set(out["marker"])
+
+
+def test_dedup_on_binary_key():
+    """dedup_dataset accepts binary key columns (url_hash / media
+    payloads): keep-first by lineage per distinct byte string."""
+    t = pa.table({
+        "payload": pa.array([b"\x00\x01", b"\x00\x01", b"zz", None, None],
+                            pa.binary()),
+        "marker": ["first", "second", "z", "n1", "n2"],
+        "lineage": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    })
+    out = DD.dedup_dataset(rd.from_arrow(t), key_cols=("payload",),
+                           order_col="lineage").to_pandas()
+    assert sorted(out["marker"]) == ["first", "n1", "z"]
+
+    fb = pa.table({
+        "h": pa.array([b"a" * 20, b"a" * 20, b"b" * 20], pa.binary(20)),
+        "marker": ["first", "second", "other"],
+        "lineage": pa.array([1, 2, 3], pa.int64()),
+    })
+    out = DD.dedup_dataset(rd.from_arrow(fb), key_cols=("h",),
+                           order_col="lineage").to_pandas()
+    assert sorted(out["marker"]) == ["first", "other"]

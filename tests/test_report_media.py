@@ -143,3 +143,28 @@ def test_video_frame_sampling():
     assert out["sampled_frames"].to_pylist()[1] is None
     frames = out["frame_payloads"].to_pylist()[0]
     assert len(frames) == 4 and all(len(f) == 8 for f in frames)
+
+
+def test_media_dedup_by_payload_bytes():
+    """Binary-payload exact dedup: distinct payloads survive once, keep
+    the smallest fide_id; nulls (non-data URIs) are excluded."""
+    from fide_crawler_ray.pipelines.queries import q_crawl_players, q_media_dedup
+
+    import ray
+
+    sf = "/root/testdata/sf0.001"
+    df = q_media_dedup(sf).to_pandas()
+    players = q_crawl_players(sf).to_pandas()
+    assert 0 < len(df) <= len(players)
+    # recompute expected survivors driver-side
+    from fide_crawler_ray.stages.media import parse_data_uri
+
+    best = {}
+    for _, r in players.iterrows():
+        mime, payload = parse_data_uri(r["profile_photo"])
+        if payload is None:
+            continue
+        fid = int(r["fide_id"])
+        if payload not in best or fid < best[payload]:
+            best[payload] = fid
+    assert sorted(df["fide_id"].astype(int)) == sorted(best.values())
