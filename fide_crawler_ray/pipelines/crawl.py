@@ -427,8 +427,12 @@ def run_crawl(
             sub = url_table.filter(pa.compute.equal(url_table["kind"], kind))
             if sub.num_rows == 0:
                 return None
+            # search pages are ~750× heavier downstream (each expands to
+            # O(results × months) URL rows in the FUSED parse+expand
+            # stage), so they get small blocks for parallelism
+            rpb = 8 if kind == "search" else batch_size
             nb = max(1, min(4 * fetch_concurrency,
-                            math.ceil(sub.num_rows / batch_size)))
+                            math.ceil(sub.num_rows / rpb)))
             return rd.from_arrow(sub).repartition(nb)
 
         # URL kind is known BEFORE fetching, so each page type runs as its
@@ -469,12 +473,21 @@ def run_crawl(
             # matter how offer tasks interleave; this reproduces the
             # sequential reference's first-offer-wins order exactly,
             # pinned by test_crawl_ordering_exact) → fanned-out offers.
+            expander = make_expander(months, watermarks_state)
+
+            def _parse_expand(b: pa.Table) -> pa.Table:
+                # fused: parse + expand in one stage (no intermediate
+                # shuffle; _kind_ds already gives search small blocks)
+                return expander(P.parse_search_batch(b))
+
+            _ts = time.perf_counter()
             expanded = fetched.map_batches(
-                P.parse_search_batch, batch_format="pyarrow",
-            ).repartition(max(2, fetch_concurrency)).map_batches(
-                make_expander(months, watermarks_state),
-                batch_format="pyarrow", batch_size=64,
+                _parse_expand, batch_format="pyarrow",
             ).materialize()  # bounded: one epoch's expansion
+            if os.environ.get("FCRAY_TIMING"):
+                print(f"[search] expand={time.perf_counter() - _ts:.2f}s",
+                      flush=True)
+            _ts = time.perf_counter()
             # dedup key is the canonical url STRING (url_hash is its
             # sha1 — same identity; _key_sig hashes string columns).
             # Below the guard, ONE explicit task sorts + keeps-first —
@@ -486,10 +499,18 @@ def run_crawl(
             else:
                 deduped = DD.dedup_dataset(expanded, key_cols=("url",),
                                            order_col="priority")
-            return deduped.map_batches(
+            if os.environ.get("FCRAY_TIMING"):
+                print(f"[search] dedup={time.perf_counter() - _ts:.2f}s",
+                      flush=True)
+            _ts = time.perf_counter()
+            n = deduped.map_batches(
                 make_offer_stage(filters, shards),
                 batch_format="pyarrow", batch_size=4096, num_cpus=0.1,
             ).count()  # forces offers to complete before the next pop
+            if os.environ.get("FCRAY_TIMING"):
+                print(f"[search] offers={time.perf_counter() - _ts:.2f}s",
+                      flush=True)
+            return n
 
         def _run_profiles() -> int:
             fetched = _fetched("profile")
