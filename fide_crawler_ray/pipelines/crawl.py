@@ -505,7 +505,7 @@ def run_crawl(
             _ts = time.perf_counter()
             n = deduped.map_batches(
                 make_offer_stage(filters, shards),
-                batch_format="pyarrow", batch_size=4096, num_cpus=0.1,
+                batch_format="pyarrow", batch_size=16384, num_cpus=0.1,
             ).count()  # forces offers to complete before the next pop
             if os.environ.get("FCRAY_TIMING"):
                 print(f"[search] offers={time.perf_counter() - _ts:.2f}s",
