@@ -147,6 +147,11 @@ def _save_frontier_snapshots(out_dir: str, shards, filters) -> None:
                                prefix="seenfilter", id_key="filter_id")
 
 
+# single-task tier bound for the epoch-expansion URL dedup (tests patch
+# this to force the distributed dedup_dataset path)
+EXPANSION_DEDUP_MAX_SINGLE = 2_000_000
+
+
 @ray.remote
 def _dedup_urls_task(*tables: pa.Table) -> pa.Table:
     """Small-expansion canonical URL dedup (keep the min-priority copy
@@ -493,7 +498,7 @@ def run_crawl(
             # Below the guard, ONE explicit task sorts + keeps-first —
             # the full dedup_dataset pipeline costs ~3 s of fixed
             # Dataset executions, which dominates small-crawl epochs.
-            if expanded.count() <= 2_000_000:
+            if expanded.count() <= EXPANSION_DEDUP_MAX_SINGLE:
                 deduped = rd.from_arrow(ray.get(
                     _dedup_urls_task.remote(*expanded.to_arrow_refs())))
             else:

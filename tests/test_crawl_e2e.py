@@ -239,3 +239,26 @@ def test_job_entrypoint(tmp_path, capsys):
     line = capsys.readouterr().out.strip().splitlines()[-1]
     st = json.loads(line)
     assert st["pages"] > 0 and st["game_rows"] > 0
+
+
+def test_expansion_dedup_tiers_equivalent(tmp_path, monkeypatch):
+    """The distributed dedup_dataset tier for large epoch expansions
+    (forced via a zero single-task guard) must produce the exact same
+    crawl as the single-task tier: same pages, same game_history rows,
+    same final URL-seen behavior (re-run enqueues nothing new)."""
+    from fide_crawler_ray.pipelines import crawl as C
+
+    cfg = synth.SiteConfig(seed=13, n_players=12, n_queries=4, n_months=6)
+    a = C.run_crawl(cfg, str(tmp_path / "a"), n_shards=2,
+                    fetch_concurrency=2)
+    monkeypatch.setattr(C, "EXPANSION_DEDUP_MAX_SINGLE", 0)
+    b = C.run_crawl(cfg, str(tmp_path / "b"), n_shards=2,
+                    fetch_concurrency=2)
+    assert a.pages() == b.pages()
+    ga = a.game_history().to_pandas().sort_values("lineage").reset_index(
+        drop=True)
+    gb = b.game_history().to_pandas().sort_values("lineage").reset_index(
+        drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(ga, gb)
