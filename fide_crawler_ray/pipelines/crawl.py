@@ -96,14 +96,19 @@ def store_watermarks(game_history_ds) -> dict[str, tuple[str, str]]:
     return {r["fide_id"]: (r["dmin"], r["dmax"]) for r in agg.take_all()}
 
 
-def partition_by_shard(rows: pa.Table, n_shards: int) -> dict[int, list[int]]:
+def partition_by_shard(rows: pa.Table, n_shards: int) -> dict[int, np.ndarray]:
     """host → owning-shard row index map (THE routing rule; every caller
     that talks to shards must use this one function so routing and the
-    restored per-host state can never disagree)."""
-    by_shard: dict[int, list[int]] = {}
-    for i, h in enumerate(rows["host"].to_pylist()):
-        by_shard.setdefault(shard_of(h, n_shards), []).append(i)
-    return by_shard
+    restored per-host state can never disagree). Vectorized: crc32 runs
+    once per DISTINCT host (pandas factorize), not per row — offer
+    batches are dominated by one host."""
+    codes, uniques = pd.factorize(
+        pd.Series(rows["host"].to_pylist(), dtype="object"))
+    owner = np.array([shard_of(h, n_shards) for h in uniques],
+                     dtype=np.int64)
+    shard_per_row = owner[codes]
+    return {int(s): np.flatnonzero(shard_per_row == s)
+            for s in np.unique(shard_per_row)}
 
 
 def partition_by_salt(rows: pa.Table, n_filters: int) -> dict[int, np.ndarray]:
