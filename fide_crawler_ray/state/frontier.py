@@ -254,10 +254,11 @@ class FrontierShard:
         hosts = cols[1]
         urls = cols[0]
         prios = cols[7]
+        row_tuples = list(zip(*cols))  # one C-level transpose, no per-row gen
         for j in range(n):
             h = hosts[j]
             heap = self.heaps[h]
-            heapq.heappush(heap, (prios[j], urls[j], tuple(c[j] for c in cols)))
+            heapq.heappush(heap, (prios[j], urls[j], row_tuples[j]))
             if h not in self.hosts_in_heap:
                 heapq.heappush(self.host_heap, (self.host_next_vts[h], h))
                 self.hosts_in_heap.add(h)
