@@ -384,6 +384,40 @@ def q_cube_agg(sf_dir):
     return leaf.union(by_rf, by_ls, rd.from_arrow(grand))
 
 
+_DIVISION_PARTS = (1, 2, 3, 4, 5)
+
+
+def q_relational_division(sf_dir):
+    """Relational DIVISION (threshold form) — "suppliers that supply at
+    least K parts of the target set" (K = |set| is exact ∀-division;
+    the synthetic lineitem tops out at 4-of-5, so K=3 keeps the result
+    non-degenerate): filter lineitem to the target partkeys
+    (map-side ``pc.is_in``), reduce to distinct (supp, part) pairs with
+    one partial-agg groupby, then a per-supplier distinct count — the
+    exchange moves distinct pairs (≤ |suppliers|·|set|), never raw
+    lineitem rows."""
+    target = list(_DIVISION_PARTS)
+    li = T(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+
+    def _flt(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["l_partkey"],
+                                 value_set=pa.array(target, pa.int64())))
+
+    pairs = fast_groupby_agg(
+        li.map_batches(_flt, batch_format="pyarrow"),
+        ["l_suppkey", "l_partkey"], {"_n": (None, "count")},
+    )
+    counts = fast_groupby_agg(pairs, ["l_suppkey"],
+                              {"n_parts": (None, "count")})
+    return counts.map_batches(
+        lambda b: pa.table({
+            "l_suppkey": b["l_suppkey"].filter(
+                pc.greater_equal(b["n_parts"], 3)),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def q_above_customer_avg(sf_dir):
     """Decorrelated subquery — the classic "rows above their group's
     average" pattern (``WHERE o_totalprice > (SELECT avg(..) ... WHERE
@@ -1923,6 +1957,7 @@ def queries() -> dict:
         "rank_functions": q_rank_functions,
         "table_diff": q_table_diff,
         "above_customer_avg": q_above_customer_avg,
+        "relational_division": q_relational_division,
         "quantiles": q_quantiles,
         "grouped_median": q_grouped_median,
         "segment_monthly_revenue": q_segment_monthly_revenue,
@@ -2153,6 +2188,13 @@ ORACLES: dict[str, str] = {
                    AS sum_qty_fp,
                count(*) AS n
         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    "relational_division": """
+        SELECT l_suppkey
+        FROM lineitem
+        WHERE l_partkey IN (1, 2, 3, 4, 5)
+        GROUP BY l_suppkey
+        HAVING count(DISTINCT l_partkey) >= 3
     """,
     "above_customer_avg": """
         WITH fp AS (
