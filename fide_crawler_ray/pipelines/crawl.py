@@ -104,6 +104,8 @@ def partition_by_shard(rows: pa.Table, n_shards: int) -> dict[int, np.ndarray]:
     batches are dominated by one host."""
     codes, uniques = pd.factorize(
         pd.Series(rows["host"].to_pylist(), dtype="object"))
+    if (codes == -1).any():  # factorize maps null → -1; fail fast like
+        raise ValueError("null host in frontier rows")  # shard_of would
     owner = np.array([shard_of(h, n_shards) for h in uniques],
                      dtype=np.int64)
     shard_per_row = owner[codes]
@@ -504,8 +506,10 @@ def run_crawl(
             # the full dedup_dataset pipeline costs ~3 s of fixed
             # Dataset executions, which dominates small-crawl epochs.
             if expanded.count() <= EXPANSION_DEDUP_MAX_SINGLE:
-                deduped = rd.from_arrow(ray.get(
-                    _dedup_urls_task.remote(*expanded.to_arrow_refs())))
+                # from_arrow_refs: consume the task output in place —
+                # no driver-heap copy, no duplicate object-store put
+                deduped = rd.from_arrow_refs(
+                    [_dedup_urls_task.remote(*expanded.to_arrow_refs())])
             else:
                 deduped = DD.dedup_dataset(expanded, key_cols=("url",),
                                            order_col="priority")

@@ -61,8 +61,12 @@ def T(sf_dir: str, name: str, columns=None, *,
     path = os.path.join(sf_dir, f"{name}.parquet")
     kwargs = {}
     if target_block_mb is not None:
-        nb = max(min_blocks,
-                 -(-os.path.getsize(path) // (target_block_mb << 20)))
+        if os.path.isdir(path):  # directory-shaped parquet tables
+            size = sum(e.stat().st_size for e in os.scandir(path)
+                       if e.is_file())
+        else:
+            size = os.path.getsize(path)
+        nb = max(min_blocks, -(-size // (target_block_mb << 20)))
         kwargs["override_num_blocks"] = nb
     return rd.read_parquet(path, columns=columns, **kwargs)
 
@@ -522,7 +526,10 @@ def q_embedding_kmeans(sf_dir, k: int = 8, iters: int = 5):
     corpus-size-independent (see ANN.kmeans_centroids); the final
     assignment pass is one map_batches emitting per-batch per-cluster
     partial (n, Σsim) rows folded by a k-row groupby."""
-    emb = T(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # materialize ONCE here: kmeans_centroids' internal materialize only
+    # rebinds its local parameter, so the final stats pass would
+    # otherwise re-read the parquet
+    emb = T(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
     cents = ANN.kmeans_centroids(emb, n_centroids=k, iters=iters)
     cref = ray.put(cents)
 

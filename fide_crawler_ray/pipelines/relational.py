@@ -351,7 +351,7 @@ def q_cube_agg(sf_dir):
         "sum_qty_fp": ("qty_fp", "sum"), "n": (None, "count"),
     }).materialize()
 
-    def _null_col(b: pa.Table, keep: str, nulled: str) -> pa.Table:
+    def _null_col(b: pa.Table, keep: str) -> pa.Table:
         cols = {
             "l_returnflag": (b["l_returnflag"] if keep == "l_returnflag"
                              else pa.nulls(b.num_rows, pa.string())),
@@ -363,11 +363,11 @@ def q_cube_agg(sf_dir):
 
     by_rf = fast_groupby_agg(leaf, ["l_returnflag"], {
         "sum_qty_fp": ("sum_qty_fp", "sum"), "n": ("n", "sum"),
-    }).map_batches(lambda b: _null_col(b, "l_returnflag", "l_linestatus"),
+    }).map_batches(lambda b: _null_col(b, "l_returnflag"),
                    batch_format="pyarrow").materialize()
     by_ls = fast_groupby_agg(leaf, ["l_linestatus"], {
         "sum_qty_fp": ("sum_qty_fp", "sum"), "n": ("n", "sum"),
-    }).map_batches(lambda b: _null_col(b, "l_linestatus", "l_returnflag"),
+    }).map_batches(lambda b: _null_col(b, "l_linestatus"),
                    batch_format="pyarrow").materialize()
     total = pa.concat_tables(
         t for t in ray.get(by_rf.to_arrow_refs()) if t.num_rows > 0
@@ -1237,6 +1237,7 @@ SIM_JOIN_THRESHOLD = 0.5
 # above it the unfiltered self-join runs (same answer, no driver state).
 SIM_JOIN_MAX_BROADCAST = 4_000_000
 SIM_JOIN_MAX_SINGLE_PREFIX = 5_000_000  # prefix rows for 1-task pairing
+SIM_JOIN_MAX_RUN = 20_000  # max docs sharing one prefix shingle (k² cap)
 # verify tier: max DISTINCT docs named by candidate pairs whose texts
 # may ship by ref to lookup actors (bounds the per-worker lookup dict)
 SIM_JOIN_MAX_BROADCAST_DOCS = 200_000
@@ -1357,7 +1358,7 @@ class _ExactVerify:
 
 
 @ray.remote
-def _prefix_pairs_task(*tables: pa.Table) -> pa.Table:
+def _prefix_pairs_task(max_run: int, *tables: pa.Table) -> pa.Table:
     """Distinct candidate pairs (a < b) from the prefix index in one
     task: sort rows by shingle hash, expand each equal-run's pair
     matrix with repeat/arange (no Python loop over pairs), then a
@@ -1378,6 +1379,12 @@ def _prefix_pairs_task(*tables: pa.Table) -> pa.Table:
     if runs.size == 0:
         return pa.table({"a": pa.array([], pa.int64()),
                          "b": pa.array([], pa.int64())})
+    if int(lens.max()) > max_run:
+        # k² pair matrix of a degenerate run would OOM this one task;
+        # the caller falls back to the distributed join tier
+        raise ValueError(
+            f"degenerate prefix run: {int(lens.max())} rows share one "
+            f"shingle (cap {max_run})")
     # for a run of length k: k*(k-1)/2 ordered index pairs (i<j)
     out_a: list = []
     out_b: list = []
@@ -1520,10 +1527,21 @@ def q_similarity_join(sf_dir, threshold: float = SIM_JOIN_THRESHOLD,
         # plan above the guard.
         import ray.data as rd
 
-        cand = rd.from_arrow(
-            ray.get(_prefix_pairs_task.remote(*prefix.to_arrow_refs()))
-        ).materialize()
+        try:
+            cand = rd.from_arrow_refs(
+                [_prefix_pairs_task.remote(SIM_JOIN_MAX_RUN,
+                                           *prefix.to_arrow_refs())]
+            ).materialize()
+        except Exception as e:  # RayTaskError wraps the task's ValueError
+            if "degenerate prefix run" not in str(e):
+                raise
+            # a single shingle collided in > SIM_JOIN_MAX_RUN docs —
+            # the k² pair matrix would OOM one task; the distributed
+            # join tier spreads/spills the same blow-up instead
+            cand = None
     else:
+        cand = None
+    if cand is None:
         pright = prefix.map_batches(
             lambda b: b.rename_columns(["b", "sh_r"]),
             batch_format="pyarrow")

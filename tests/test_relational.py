@@ -433,3 +433,18 @@ def test_similarity_join_pair_tiers_identical(monkeypatch):
     slow = (R.q_similarity_join(SF).to_pandas()[cols]
             .sort_values(cols).reset_index(drop=True))
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_similarity_join_degenerate_run_falls_back(monkeypatch):
+    """A prefix shingle shared by more docs than SIM_JOIN_MAX_RUN must
+    reroute to the distributed join tier (not OOM the pairing task) and
+    still produce the same pairs."""
+    import fide_crawler_ray.pipelines.relational as R
+
+    cols = ["a", "b", "jaccard_fp"]
+    base = (R.q_similarity_join(SF).to_pandas()[cols]
+            .sort_values(cols).reset_index(drop=True))
+    monkeypatch.setattr(R, "SIM_JOIN_MAX_RUN", 1)
+    rerouted = (R.q_similarity_join(SF).to_pandas()[cols]
+                .sort_values(cols).reset_index(drop=True))
+    pd.testing.assert_frame_equal(base, rerouted)
