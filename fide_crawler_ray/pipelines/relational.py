@@ -1358,11 +1358,19 @@ class _ExactVerify:
 
 
 @ray.remote
-def _prefix_pairs_task(max_run: int, *tables: pa.Table) -> pa.Table:
+def _prefix_pairs_task(max_run: int, thr_num: int, thr_den: int,
+                       *tables: pa.Table) -> pa.Table:
     """Distinct candidate pairs (a < b) from the prefix index in one
     task: sort rows by shingle hash, expand each equal-run's pair
-    matrix with repeat/arange (no Python loop over pairs), then a
-    128-bit-packed np.unique dedups multi-shingle collisions."""
+    matrix with repeat/arange (no Python loop over pairs), apply the
+    PPJoin LENGTH filter (J ≥ θ requires θ·max(|A|,|B|) ≤ min(|A|,|B|))
+    and POSITIONAL filter (a collision at ordered-prefix positions
+    (i, j) bounds |A∩B| ≤ 1 + min(|A|−i−1, |B|−j−1), which must reach
+    ⌈θ/(1+θ)·(|A|+|B|)⌉; a pair survives if ANY of its collisions
+    passes — a superset of PPJoin's accumulate form, so no true pair
+    is lost), then a structured np.unique dedups multi-shingle
+    survivors. On a boilerplate corpus the filtered-out collisions are
+    the bulk of the naive candidate set."""
     live = [t for t in tables if t.num_rows > 0]
     if not live:
         return pa.table({"a": pa.array([], pa.int64()),
@@ -1370,8 +1378,10 @@ def _prefix_pairs_task(max_run: int, *tables: pa.Table) -> pa.Table:
     t = pa.concat_tables(live)
     sh = t["sh"].to_numpy(zero_copy_only=False)
     ids = t["a"].to_numpy(zero_copy_only=False)
+    szs = t["sz_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    poss = t["pos_a"].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(sh, kind="stable")
-    sh, ids = sh[order], ids[order]
+    sh, ids, szs, poss = sh[order], ids[order], szs[order], poss[order]
     n = len(sh)
     starts = np.flatnonzero(np.concatenate([[True], sh[1:] != sh[:-1]]))
     lens = np.diff(np.r_[starts, n])
@@ -1391,11 +1401,20 @@ def _prefix_pairs_task(max_run: int, *tables: pa.Table) -> pa.Table:
     for r in runs:  # runs are few relative to pairs; inner work is numpy
         s, k = starts[r], lens[r]
         seg = ids[s:s + k]
+        segsz = szs[s:s + k]
+        segpos = poss[s:s + k]
         iu, ju = np.triu_indices(k, k=1)
         pa_, pb_ = seg[iu], seg[ju]
+        sa_, sb_ = segsz[iu], segsz[ju]
+        smin = np.minimum(sa_, sb_)
+        smax = np.maximum(sa_, sb_)
         lo = np.minimum(pa_, pb_)
         hi = np.maximum(pa_, pb_)
-        keep = lo != hi
+        # required intersection (integer ceil) and positional upper bound
+        req = -(-(sa_ + sb_) * thr_num // (thr_num + thr_den))
+        ub = 1 + np.minimum(sa_ - segpos[iu] - 1, sb_ - segpos[ju] - 1)
+        keep = ((lo != hi) & (smin * thr_den >= smax * thr_num)
+                & (ub >= req))
         out_a.append(lo[keep])
         out_b.append(hi[keep])
     a = np.concatenate(out_a)
@@ -1486,39 +1505,39 @@ def q_similarity_join(sf_dir, threshold: float = SIM_JOIN_THRESHOLD,
     dfref = ray.put((h[order], d[order].astype(np.int64)))
     thr_num, thr_den = int(threshold * 100), 100
 
-    class _PrefixRows:
-        def __init__(self):
-            self.hs, self.dfs = ray.get(dfref)
+    def _prefix_rows(b: pa.Table) -> pa.Table:
+        # Prefix selection straight off the materialized shingle index
+        # (a, sh, sz_a) — the corpus is tokenized/hashed exactly ONCE
+        # (in _shingle_rows); this pass is pure numpy segment math in a
+        # task pool (no actor spin-up). Per doc run: order rows by
+        # (df, hash) and keep the first sz − ⌈θ·sz⌉ + 1. If a doc's rows
+        # ever fragment across blocks, each fragment keeps its own first
+        # p — a SUPERSET of the true prefix's rows in that fragment
+        # (|P ∩ frag| ≤ p and P-rows sort first), so candidates are only
+        # added, never missed; exact verification absorbs the surplus.
+        hs, dfs = ray.get(dfref)  # plasma shared-memory, zero-copy
+        aa = b["a"].to_numpy(zero_copy_only=False)
+        sh = b["sh"].to_numpy(zero_copy_only=False)
+        sz = b["sz_a"].to_numpy(zero_copy_only=False)
+        dd = dfs[np.searchsorted(hs, sh)]
+        o = np.lexsort((sh, dd, aa))  # doc-major, then (df, hash)
+        aa, sh, sz = aa[o], sh[o], sz[o]
+        starts = np.flatnonzero(np.r_[True, aa[1:] != aa[:-1]])
+        lens = np.diff(np.r_[starts, len(aa)])
+        szd = sz[starts]
+        t = -(-szd * thr_num // thr_den)  # integer ceil ⌈θ·sz⌉
+        p = np.minimum(szd - t + 1, lens)
+        rank = np.arange(len(aa)) - np.repeat(starts, lens)
+        keep = rank < np.repeat(p, lens)
+        # pos = the row's rank in its doc's global (df, hash) shingle
+        # order — the PPJoin positional filter's input downstream
+        return pa.table({"a": pa.array(aa[keep], pa.int64()),
+                         "sh": pa.array(sh[keep], pa.int64()),
+                         "sz_a": pa.array(sz[keep], pa.int64()),
+                         "pos_a": pa.array(rank[keep], pa.int64())})
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            out_id, out_sh = [], []
-            for doc_id, txt in zip(b["doc_id"].to_pylist(),
-                                   b["text"].to_pylist()):
-                toks = _TOKEN.findall(txt.lower())
-                shs = {" ".join(toks[i:i + SIM_JOIN_K])
-                       for i in range(len(toks) - SIM_JOIN_K + 1)}
-                if not shs:
-                    continue
-                hh = np.fromiter(
-                    (int.from_bytes(hashlib.md5(s.encode()).digest()[:8],
-                                    "big", signed=True) for s in shs),
-                    dtype=np.int64, count=len(shs))
-                dd = self.dfs[np.searchsorted(self.hs, np.sort(hh))]
-                hh = np.sort(hh)
-                # integer ceil: t = ⌈θ·sz⌉, prefix = sz − t + 1
-                t = -(-len(shs) * thr_num // thr_den)
-                sel = np.lexsort((hh, dd))[:len(shs) - t + 1]
-                out_id.extend([doc_id] * len(sel))
-                out_sh.extend(hh[sel].tolist())
-            return pa.table({"a": pa.array(out_id, pa.int64()),
-                             "sh": pa.array(out_sh, pa.int64())})
-
-    # autoscaling (1, 4) pool: up to 4 actors on big sessions without
-    # starving a 4-CPU test session (a fixed pool of 4 can deadlock
-    # against the hash-shuffle aggregator actors on tiny clusters)
-    prefix = docs.map_batches(_PrefixRows, batch_format="pyarrow",
-                              concurrency=(1, 4),
-                              batch_size=1024).materialize()
+    prefix = left.map_batches(_prefix_rows, batch_format="pyarrow",
+                              batch_size=None).materialize()
     if prefix.count() <= SIM_JOIN_MAX_SINGLE_PREFIX:
         # prefix rows are (int64, int64) pairs — at this size ONE task
         # sorting by shingle and expanding equal-runs beats the hash
@@ -1530,6 +1549,7 @@ def q_similarity_join(sf_dir, threshold: float = SIM_JOIN_THRESHOLD,
         try:
             cand = rd.from_arrow_refs(
                 [_prefix_pairs_task.remote(SIM_JOIN_MAX_RUN,
+                                           thr_num, thr_den,
                                            *prefix.to_arrow_refs())]
             ).materialize()
         except Exception as e:  # RayTaskError wraps the task's ValueError
@@ -1543,15 +1563,30 @@ def q_similarity_join(sf_dir, threshold: float = SIM_JOIN_THRESHOLD,
         cand = None
     if cand is None:
         pright = prefix.map_batches(
-            lambda b: b.rename_columns(["b", "sh_r"]),
+            lambda b: b.rename_columns(["b", "sh_r", "sz_b", "pos_b"]),
             batch_format="pyarrow")
         cj = prefix.join(pright, "inner", num_partitions=8,
                          on=("sh",), right_on=("sh_r",))
+
+        def _pair_filter(b: pa.Table) -> pa.Table:
+            # same a<b + PPJoin length/positional filters as the
+            # single-task tier (any-collision-passes semantics: the
+            # groupby below keeps a pair if any collision row survives)
+            sa_ = b["sz_a"].to_numpy(zero_copy_only=False)
+            sb_ = b["sz_b"].to_numpy(zero_copy_only=False)
+            ia = b["pos_a"].to_numpy(zero_copy_only=False)
+            jb = b["pos_b"].to_numpy(zero_copy_only=False)
+            req = -(-(sa_ + sb_) * thr_num // (thr_num + thr_den))
+            ub = 1 + np.minimum(sa_ - ia - 1, sb_ - jb - 1)
+            keep = ((np.minimum(sa_, sb_) * thr_den
+                     >= np.maximum(sa_, sb_) * thr_num)
+                    & (ub >= req)
+                    & (b["a"].to_numpy(zero_copy_only=False)
+                       < b["b"].to_numpy(zero_copy_only=False)))
+            return b.filter(pa.array(keep)).select(["a", "b"])
+
         cand = fast_groupby_agg(
-            cj.map_batches(
-                lambda b: b.filter(pc.less(b["a"], b["b"])).select(
-                    ["a", "b"]),
-                batch_format="pyarrow"),
+            cj.map_batches(_pair_filter, batch_format="pyarrow"),
             ["a", "b"], {"_n": (None, "count")},
         ).map_batches(lambda b: b.select(["a", "b"]),
                       batch_format="pyarrow").materialize()
