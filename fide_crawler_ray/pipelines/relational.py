@@ -1853,6 +1853,113 @@ def q_grouped_variance(sf_dir):
         _canon_stage({"var_pop": 4}), batch_format="pyarrow")
 
 
+def _set_op(sf_dir, want_in_b: bool):
+    """Shared plan for EXCEPT / INTERSECT (SQL set semantics, i.e.
+    DISTINCT rows): side A = (p_brand, p_type) of parts with
+    p_size > 25, side B = same columns of parts with
+    p_retailprice > 950 (keys are (p_brand, p_type, p_size) triples). Map-side per-block DISTINCT with side
+    indicator columns → union → ONE partial-agg groupby folding each
+    row's presence into (in_a, in_b) maxima → map-side predicate.
+    The exchange moves one row per distinct (row, side) — never the
+    raw table — and there is no join and no driver-side key set."""
+    part = T(sf_dir, "part",
+             ["p_brand", "p_type", "p_size", "p_retailprice"])
+
+    def _side(flag_col: str, pred):
+        def _f(df: pd.DataFrame) -> pa.Table:
+            d = (df[pred(df)][["p_brand", "p_type", "p_size"]]
+                 .drop_duplicates().reset_index(drop=True))
+            n = len(d)
+            one = flag_col == "a"
+            return pa.table({
+                "p_brand": pa.array(d["p_brand"], pa.string()),
+                "p_type": pa.array(d["p_type"], pa.string()),
+                "p_size": pa.array(d["p_size"].to_numpy(), pa.int64()),
+                "in_a": pa.array(np.full(n, 1 if one else 0), pa.int64()),
+                "in_b": pa.array(np.full(n, 0 if one else 1), pa.int64()),
+            })
+        return _f
+
+    a = part.map_batches(_side("a", lambda d: d["p_size"] > 25),
+                         batch_format="pandas")
+    b = part.map_batches(_side("b", lambda d: d["p_retailprice"] > 950),
+                         batch_format="pandas")
+    agg = fast_groupby_agg(a.union(b), ["p_brand", "p_type", "p_size"], {
+        "in_a": ("in_a", "max"), "in_b": ("in_b", "max"),
+    })
+
+    def _pick(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(t["in_a"], 1),
+                       pc.equal(t["in_b"], 1 if want_in_b else 0))
+        return t.filter(keep).select(["p_brand", "p_type", "p_size"])
+
+    return agg.map_batches(_pick, batch_format="pyarrow")
+
+
+def q_set_except(sf_dir):
+    """SQL EXCEPT (set difference, distinct semantics): rows of side A
+    not present in side B. See _set_op for the exchange plan."""
+    return _set_op(sf_dir, want_in_b=False)
+
+
+def q_set_intersect(sf_dir):
+    """SQL INTERSECT (distinct semantics): rows present in both sides.
+    See _set_op for the exchange plan."""
+    return _set_op(sf_dir, want_in_b=True)
+
+
+def q_grouped_corr(sf_dir):
+    """Pearson correlation of l_quantity vs l_extendedprice (rounded to
+    whole units) per return flag, from mergeable EXACT integer moments
+    (n, Σx, Σy, Σx², Σy², Σxy) — the only floats are one final
+    per-group expression written operation-for-operation identically in
+    the SQL oracle, then integer fixed-point (×10⁶, half-away) on both
+    sides. Values are held at unit scale (not ×100) so Σy² stays under
+    int64 through ~sf100 (~1.2e10 per row × 6e7 rows/group); the
+    partials are a constant 6 ints per group — the exchange never moves
+    rows."""
+    ds = T(sf_dir, "lineitem",
+           ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def _moments(b: pa.Table) -> pa.Table:
+        x = _round_half_away(
+            b["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        y = _round_half_away(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "x": pa.array(x, pa.int64()),
+            "y": pa.array(y, pa.int64()),
+            "xx": pa.array(x * x, pa.int64()),
+            "yy": pa.array(y * y, pa.int64()),
+            "xy": pa.array(x * y, pa.int64()),
+        })
+
+    agg = fast_groupby_agg(
+        ds.map_batches(_moments, batch_format="pyarrow"),
+        ["l_returnflag"],
+        {"n": (None, "count"), "sx": ("x", "sum"), "sy": ("y", "sum"),
+         "sxx": ("xx", "sum"), "syy": ("yy", "sum"), "sxy": ("xy", "sum")},
+    )
+
+    def _corr(b: pa.Table) -> pa.Table:
+        f = {c: b[c].to_numpy(zero_copy_only=False).astype(np.float64)
+             for c in ("n", "sx", "sy", "sxx", "syy", "sxy")}
+        # same op order as the SQL: (n*1.0)*sxy - (sx*1.0)*sy, etc.
+        num = f["n"] * f["sxy"] - f["sx"] * f["sy"]
+        den = (np.sqrt(f["n"] * f["sxx"] - f["sx"] * f["sx"])
+               * np.sqrt(f["n"] * f["syy"] - f["sy"] * f["sy"]))
+        corr_fp = _round_half_away(num / den * 1_000_000.0).astype(np.int64)
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "n": b["n"],
+            "corr_fp": pa.array(corr_fp, pa.int64()),
+        })
+
+    return agg.map_batches(_corr, batch_format="pyarrow")
+
+
 def q_bigram_stats(sf_dir, min_count: int = 5,
                    max_broadcast_vocab: int = TFIDF_MAX_BROADCAST_VOCAB):
     """Corpus bigram statistics — counts and integer fixed-point
@@ -2039,6 +2146,9 @@ def queries() -> dict:
         "pivot_wide": q_pivot_wide,
         "group_outliers": q_group_outliers,
         "bigram_stats": q_bigram_stats,
+        "set_except": q_set_except,
+        "set_intersect": q_set_intersect,
+        "grouped_corr": q_grouped_corr,
     }
 
 
@@ -2063,6 +2173,38 @@ ORACLES: dict[str, str] = {
         SELECT CAST(round(l_quantity * 100) AS BIGINT) // 500 AS bucket,
                count(*) AS n
         FROM lineitem GROUP BY bucket
+    """,
+    "set_except": """
+        SELECT p_brand, p_type, p_size FROM part WHERE p_size > 25
+        EXCEPT
+        SELECT p_brand, p_type, p_size FROM part WHERE p_retailprice > 950
+    """,
+    "set_intersect": """
+        SELECT p_brand, p_type, p_size FROM part WHERE p_size > 25
+        INTERSECT
+        SELECT p_brand, p_type, p_size FROM part WHERE p_retailprice > 950
+    """,
+    "grouped_corr": """
+        WITH m AS (
+            SELECT l_returnflag,
+                   CAST(round(l_quantity) AS BIGINT) AS x,
+                   CAST(round(l_extendedprice) AS BIGINT) AS y
+            FROM lineitem
+        ),
+        a AS (
+            SELECT l_returnflag, count(*) AS n,
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS sxx, sum(y * y) AS syy,
+                   sum(x * y) AS sxy
+            FROM m GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               CAST(round(
+                   ((n * 1.0) * sxy - (sx * 1.0) * sy)
+                   / (sqrt((n * 1.0) * sxx - (sx * 1.0) * sx)
+                      * sqrt((n * 1.0) * syy - (sy * 1.0) * sy))
+                   * 1000000.0) AS BIGINT) AS corr_fp
+        FROM a
     """,
     "grouped_variance": """
         WITH m AS (

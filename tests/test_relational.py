@@ -448,3 +448,45 @@ def test_similarity_join_degenerate_run_falls_back(monkeypatch):
     rerouted = (R.q_similarity_join(SF).to_pandas()[cols]
                 .sort_values(cols).reset_index(drop=True))
     pd.testing.assert_frame_equal(base, rerouted)
+
+
+def test_set_ops_algebra():
+    """EXCEPT and INTERSECT must partition side A's distinct rows:
+    disjoint from each other, and their union re-assembles exactly the
+    distinct rows of A (pandas brute force)."""
+    from fide_crawler_ray.pipelines.relational import (
+        T, q_set_except, q_set_intersect)
+
+    cols = ["p_brand", "p_type", "p_size"]
+    ex = q_set_except(SF).to_pandas()
+    it = q_set_intersect(SF).to_pandas()
+    part = T(SF, "part", cols + ["p_retailprice"]).to_pandas()
+    a = part[part["p_size"] > 25][cols].drop_duplicates()
+    b = part[part["p_retailprice"] > 950][cols].drop_duplicates()
+    def key(d):
+        # an all-empty Ray result loses its columns in to_pandas()
+        if len(d) == 0:
+            return set()
+        return set(map(tuple, d[cols].itertuples(index=False)))
+
+    ka, kb, kex, kit = key(a), key(b), key(ex), key(it)
+    assert kex == ka - kb
+    assert kit == ka & kb
+    assert not (kex & kit) and (kex | kit) == ka
+
+
+def test_grouped_corr_matches_pandas():
+    """corr_fp must equal pandas' Pearson r (to the 1e-6 fixed point)
+    on the same rounded-unit values."""
+    from fide_crawler_ray.pipelines.relational import T, q_grouped_corr
+
+    out = q_grouped_corr(SF).to_pandas().set_index("l_returnflag")
+    df = T(SF, "lineitem",
+           ["l_returnflag", "l_quantity", "l_extendedprice"]).to_pandas()
+    df["x"] = df["l_quantity"].round().astype("int64")
+    df["y"] = df["l_extendedprice"].round().astype("int64")
+    for rf, g in df.groupby("l_returnflag"):
+        r = g["x"].corr(g["y"])
+        got = out.loc[rf, "corr_fp"] / 1e6
+        assert abs(got - r) < 2e-6, (rf, got, r)
+        assert out.loc[rf, "n"] == len(g)
