@@ -628,6 +628,107 @@ def q_grouped_median(sf_dir):
     return pd.DataFrame(rows)
 
 
+def q_percentile_cont(sf_dir):
+    """Interpolated (type-7 / SQL percentile_cont) quartiles of
+    l_extendedprice per return flag — unlike q_quantiles/q_grouped_median
+    (rank-rule picks), these INTERPOLATE between order statistics.
+    Exactness: values go to ×100 integer fixed point, and a quartile at
+    0-based position k·(n−1)/4 is the integer 4·lo + rem·(hi−lo) in ×400
+    units (rem = k·(n−1) mod 4), so engine and oracle do ONE identical
+    float division at the end. Plan: one hash shuffle
+    (groupby.map_groups) with a per-group numpy sort — group count is
+    the partition bound (3 flags here); a high-cardinality group column
+    would use the grouped-CDF plan of q_grouped_median instead."""
+    ds = T(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def _q(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(_round_half_away(
+            g["l_extendedprice"].to_numpy() * 100.0).astype(np.int64))
+        n = len(v)
+        out = {"l_returnflag": [g["l_returnflag"].iloc[0]], "n": [n]}
+        for k, name in ((1, "p25"), (2, "p50"), (3, "p75")):
+            pos = k * (n - 1)
+            idx, rem = pos // 4, pos % 4
+            lo = v[idx]
+            hi = v[idx + 1] if rem else lo
+            out[name] = [(4 * lo + rem * (hi - lo)) / 400.0]
+        return pd.DataFrame(out)
+
+    return ds.groupby("l_returnflag").map_groups(_q, batch_format="pandas")
+
+
+def q_grouped_entropy(sf_dir):
+    """Shannon entropy (nats) of each user's event-type distribution —
+    the distribution-skew signal corpus-balancing pipelines gate on.
+    Two partial-agg exchanges, both pre-combined map-side: (user, type)
+    counts, then per-user (n, Σc·ln c) — the ln is applied to EXACT
+    integer counts on both engine and oracle sides and the final
+    expression ln(n) − s/n is mirrored operation-for-operation, emitted
+    as ×10⁶ half-away fixed point."""
+    counts = fast_groupby_agg(
+        T(sf_dir, "events", ["user_id", "event_type"]),
+        ["user_id", "event_type"], {"c": (None, "count")},
+    )
+
+    def _clnc(b: pa.Table) -> pa.Table:
+        c = b["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "user_id": b["user_id"],
+            "c": b["c"],
+            "clnc": pa.array(c * np.log(c), pa.float64()),
+        })
+
+    agg = fast_groupby_agg(
+        counts.map_batches(_clnc, batch_format="pyarrow"),
+        ["user_id"], {"n": ("c", "sum"), "s": ("clnc", "sum")},
+    )
+
+    def _ent(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = b["s"].to_numpy(zero_copy_only=False)
+        ent = np.log(n) - s / n
+        return pa.table({
+            "user_id": b["user_id"],
+            "n_events": b["n"],
+            "entropy_fp": pa.array(
+                _round_half_away(ent * 1_000_000.0).astype(np.int64),
+                pa.int64()),
+        })
+
+    return agg.map_batches(_ent, batch_format="pyarrow")
+
+
+def q_cross_join(sf_dir):
+    """Cartesian product region × nation with a derived label — the
+    small-dimension CROSS JOIN (enumeration/grid expansion) primitive.
+    One side broadcasts by ref (5 rows); each nation batch emits its
+    product block map-side — no shuffle at all. A big×big cross join
+    has no scale-correct form and is deliberately not offered."""
+    regions = ray.put(pa.concat_tables(ray.get(
+        T(sf_dir, "region", ["r_name"]).to_arrow_refs())))
+
+    class _Cross:
+        def __init__(self):
+            r = ray.get(regions)
+            self.r_names = r["r_name"].to_pylist()
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            k = len(self.r_names)
+            n = b.num_rows
+            nn = b["n_name"].to_pylist()
+            return pa.table({
+                "r_name": pa.array(np.repeat(self.r_names, n).tolist(),
+                                   pa.string()),
+                "n_name": pa.array(nn * k, pa.string()),
+                "pair": pa.array(
+                    [f"{r}:{x}" for r in self.r_names for x in nn],
+                    pa.string()),
+            })
+
+    return T(sf_dir, "nation", ["n_name"]).map_batches(
+        _Cross, batch_format="pyarrow", concurrency=(1, 2))
+
+
 def q_segment_monthly_revenue(sf_dir):
     """TPC-H-Q3-shaped composite: semi-filter orders to one customer
     segment with a broadcast key set (``ray.put`` once, vectorized
@@ -2120,6 +2221,9 @@ def queries() -> dict:
         "relational_division": q_relational_division,
         "quantiles": q_quantiles,
         "grouped_median": q_grouped_median,
+        "percentile_cont": q_percentile_cont,
+        "grouped_entropy": q_grouped_entropy,
+        "cross_join": q_cross_join,
         "segment_monthly_revenue": q_segment_monthly_revenue,
         "string_agg": q_string_agg,
         "distinct_count": q_distinct_count,
@@ -2468,6 +2572,65 @@ ORACLES: dict[str, str] = {
                max(CASE WHEN rn = GREATEST(1, CAST(ceil(0.9 * n) AS BIGINT))
                         THEN v END) AS p90_qty
         FROM s GROUP BY l_returnflag
+    """,
+    "percentile_cont": """
+        WITH m AS (
+            SELECT l_returnflag,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+            FROM lineitem
+        ),
+        s AS (
+            SELECT l_returnflag, v,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY v) - 1 AS rn,
+                   count(*) OVER (PARTITION BY l_returnflag) AS n
+            FROM m
+        ),
+        q AS (
+            SELECT g.l_returnflag, g.n, t.k,
+                   (t.k * (g.n - 1)) // 4 AS idx,
+                   (t.k * (g.n - 1)) % 4 AS rem
+            FROM (SELECT DISTINCT l_returnflag, n FROM s) g
+            CROSS JOIN (VALUES (1), (2), (3)) t(k)
+        ),
+        j AS (
+            SELECT q.l_returnflag, q.n, q.k, q.rem,
+                   max(CASE WHEN s.rn = q.idx THEN s.v END) AS lo,
+                   max(CASE WHEN s.rn = q.idx + 1 THEN s.v END) AS hi
+            FROM q JOIN s
+              ON s.l_returnflag = q.l_returnflag
+             AND (s.rn = q.idx OR s.rn = q.idx + 1)
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT l_returnflag, any_value(n) AS n,
+               max(CASE WHEN k = 1 THEN
+                   (4 * lo + rem * (COALESCE(hi, lo) - lo)) / 400.0
+                   END) AS p25,
+               max(CASE WHEN k = 2 THEN
+                   (4 * lo + rem * (COALESCE(hi, lo) - lo)) / 400.0
+                   END) AS p50,
+               max(CASE WHEN k = 3 THEN
+                   (4 * lo + rem * (COALESCE(hi, lo) - lo)) / 400.0
+                   END) AS p75
+        FROM j GROUP BY l_returnflag
+    """,
+    "grouped_entropy": """
+        WITH c AS (
+            SELECT user_id, event_type, count(*) AS c
+            FROM events GROUP BY user_id, event_type
+        ),
+        a AS (
+            SELECT user_id, sum(c) AS n, sum(c * ln(c)) AS s
+            FROM c GROUP BY user_id
+        )
+        SELECT user_id, n AS n_events,
+               CAST(round((ln(n) - s / n) * 1000000.0) AS BIGINT)
+                   AS entropy_fp
+        FROM a
+    """,
+    "cross_join": """
+        SELECT r_name, n_name, r_name || ':' || n_name AS pair
+        FROM region CROSS JOIN nation
     """,
     "segment_monthly_revenue": """
         SELECT strftime(o_orderdate, '%Y-%m') AS month,

@@ -490,3 +490,47 @@ def test_grouped_corr_matches_pandas():
         got = out.loc[rf, "corr_fp"] / 1e6
         assert abs(got - r) < 2e-6, (rf, got, r)
         assert out.loc[rf, "n"] == len(g)
+
+
+def test_percentile_cont_matches_numpy():
+    """p25/p50/p75 must equal numpy's linear (type-7) interpolation on
+    the ×100-rounded values."""
+    from fide_crawler_ray.pipelines.relational import T, q_percentile_cont
+
+    out = q_percentile_cont(SF).to_pandas().set_index("l_returnflag")
+    df = T(SF, "lineitem",
+           ["l_returnflag", "l_extendedprice"]).to_pandas()
+    v100 = (df["l_extendedprice"] * 100).round().astype("int64")
+    for rf, g in v100.groupby(df["l_returnflag"]):
+        for q, col in ((25, "p25"), (50, "p50"), (75, "p75")):
+            want = np.percentile(g.to_numpy(), q, method="linear") / 100.0
+            assert abs(out.loc[rf, col] - want) < 1e-9, (rf, col)
+        assert out.loc[rf, "n"] == len(g)
+
+
+def test_grouped_entropy_bounds_and_values():
+    """Entropy must match a direct computation and respect the
+    [0, ln(n_types)] bound."""
+    from fide_crawler_ray.pipelines.relational import T, q_grouped_entropy
+
+    out = q_grouped_entropy(SF).to_pandas().set_index("user_id")
+    ev = T(SF, "events", ["user_id", "event_type"]).to_pandas()
+    for uid, g in ev.groupby("user_id"):
+        p = g["event_type"].value_counts(normalize=True).to_numpy()
+        want = float(-(p * np.log(p)).sum())
+        got = out.loc[uid, "entropy_fp"] / 1e6
+        assert abs(got - want) < 2e-6, (uid, got, want)
+        assert -1e-9 <= got <= np.log(len(p)) + 1e-6
+
+
+def test_cross_join_full_product():
+    """Every (region, nation) pair exactly once, with the derived label."""
+    from fide_crawler_ray.pipelines.relational import T, q_cross_join
+
+    out = q_cross_join(SF).to_pandas()
+    r = T(SF, "region", ["r_name"]).to_pandas()["r_name"]
+    n = T(SF, "nation", ["n_name"]).to_pandas()["n_name"]
+    assert len(out) == len(r) * len(n)
+    got = set(map(tuple, out[["r_name", "n_name"]].itertuples(index=False)))
+    assert got == {(a, b) for a in r for b in n}
+    assert (out["pair"] == out["r_name"] + ":" + out["n_name"]).all()
