@@ -628,6 +628,149 @@ def q_grouped_median(sf_dir):
     return pd.DataFrame(rows)
 
 
+PAGERANK_ITERS = 5
+PAGERANK_SCALE = 10 ** 9
+PAGERANK_MAX_SINGLE_EDGES = 5_000_000
+
+
+def _pagerank_edges(sf_dir, n_nodes: int):
+    """Deterministic synthetic link graph over the customer node domain
+    (0..n−1, dense): one edge per order, src = o_custkey,
+    dst = o_orderkey mod n — the same derived-input pattern as
+    q_table_diff's snapshots."""
+    orders = T(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def _e(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        c = b["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(c.astype(np.int64), pa.int64()),
+            "dst": pa.array((k % n_nodes).astype(np.int64), pa.int64()),
+        })
+
+    return orders.map_batches(_e, batch_format="pyarrow")
+
+
+@ray.remote
+def _pagerank_task(n: int, iters: int, *tables: pa.Table) -> pa.Table:
+    """Single-task PageRank iteration over the collected edge list —
+    the small-graph tier (guard: PAGERANK_MAX_SINGLE_EDGES)."""
+    live = [t for t in tables if t.num_rows > 0]
+    t = pa.concat_tables(live)
+    src = t["src"].to_numpy(zero_copy_only=False)
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    od = np.bincount(src, minlength=n).astype(np.int64)
+    pr = np.full(n, PAGERANK_SCALE // n, dtype=np.int64)
+    tele = (15 * PAGERANK_SCALE // 100) // n
+    for _ in range(iters):
+        c = pr[src] // od[src]
+        s = np.zeros(n, dtype=np.int64)
+        np.add.at(s, dst, c)
+        pr = tele + (85 * s) // 100
+    return pa.table({
+        "node": pa.array(np.arange(n, dtype=np.int64)),
+        "pr_fp": pa.array(pr, pa.int64()),
+    })
+
+
+def q_pagerank(sf_dir, iters: int = PAGERANK_ITERS,
+               max_single_edges: int = PAGERANK_MAX_SINGLE_EDGES):
+    """PageRank (damping 0.85, fixed iteration count, evaporating
+    dangling mass) over the derived order graph — the iterative
+    distributed graph algorithm class (alongside q_connected_components'
+    label propagation). The recurrence runs ENTIRELY in ×10⁹ integer
+    fixed point — pr′(v) = ⌊0.15·S⌋/n + ⌊85·Σ_{u→v}⌊pr(u)/outdeg(u)⌋/100⌋
+    — so results are exact, summation-order-independent, and the DuckDB
+    oracle (the same recurrence unrolled into one CTE per iteration)
+    matches bit for bit.
+
+    Scale plan: per iteration one hash join (edges ⋈ pr on src), one
+    map-side-combined groupby on dst, and one left-outer join back onto
+    the node list — nothing node- or edge-sized ever sits on the
+    driver. Below ``max_single_edges`` the collected-edge single-task
+    tier runs instead (both tiers pinned identical by test)."""
+    n = T(sf_dir, "customer", ["c_custkey"]).count()
+    edges = _pagerank_edges(sf_dir, n).materialize()
+    tele = (15 * PAGERANK_SCALE // 100) // n
+    import ray.data as rd
+
+    if edges.count() <= max_single_edges:
+        return rd.from_arrow_refs(
+            [_pagerank_task.remote(n, iters, *edges.to_arrow_refs())])
+
+    nodes = T(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda b: pa.table({"node": b["c_custkey"]}),
+        batch_format="pyarrow")
+    outd = fast_groupby_agg(edges, ["src"], {"od": (None, "count")})
+    edges_od = edges.join(outd, "inner", num_partitions=8,
+                          on=("src",)).materialize()
+    pr = nodes.map_batches(
+        lambda b: pa.table({
+            "node": b["node"],
+            "pr_fp": pa.array(np.full(b.num_rows, PAGERANK_SCALE // n),
+                              pa.int64()),
+        }), batch_format="pyarrow").materialize()
+    for _ in range(iters):
+        j = edges_od.join(pr, "inner", num_partitions=8,
+                          on=("src",), right_on=("node",))
+        contrib = j.map_batches(
+            lambda b: pa.table({
+                "dst": b["dst"],
+                "c": pa.array(
+                    b["pr_fp"].to_numpy(zero_copy_only=False)
+                    // b["od"].to_numpy(zero_copy_only=False), pa.int64()),
+            }), batch_format="pyarrow")
+        s = fast_groupby_agg(contrib, ["dst"], {"s": ("c", "sum")})
+        joined = nodes.join(s, "left_outer", num_partitions=8,
+                            on=("node",), right_on=("dst",))
+        pr = joined.map_batches(
+            lambda b: pa.table({
+                "node": b["node"],
+                "pr_fp": pa.array(
+                    tele + (85 * pc.fill_null(b["s"], 0)
+                            .to_numpy(zero_copy_only=False)) // 100,
+                    pa.int64()),
+            }), batch_format="pyarrow").materialize()
+    return pr
+
+
+def _pagerank_oracle(iters: int = PAGERANK_ITERS) -> str:
+    """The q_pagerank recurrence unrolled into one CTE per iteration —
+    all-integer arithmetic, so it matches the engine bit for bit."""
+    head = f"""
+        WITH nn AS (SELECT count(*) AS c FROM customer),
+        edges AS (
+            SELECT o_custkey AS src,
+                   o_orderkey % (SELECT c FROM nn) AS dst
+            FROM orders
+        ),
+        outd AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+        p0 AS (
+            SELECT c_custkey AS node,
+                   {PAGERANK_SCALE} // (SELECT c FROM nn) AS pr
+            FROM customer
+        )"""
+    body = ""
+    for i in range(1, iters + 1):
+        body += f""",
+        p{i} AS (
+            SELECT b.node,
+                   ({15 * PAGERANK_SCALE // 100} // (SELECT c FROM nn))
+                   + (85 * COALESCE(s.s, 0)) // 100 AS pr
+            FROM (SELECT node FROM p0) b
+            LEFT JOIN (
+                SELECT e.dst AS node, sum(p.pr // o.od) AS s
+                FROM edges e
+                JOIN p{i - 1} p ON p.node = e.src
+                JOIN outd o ON o.src = e.src
+                GROUP BY e.dst
+            ) s ON s.node = b.node
+        )"""
+    return head + body + f"""
+        SELECT node, pr AS pr_fp FROM p{iters}
+    """
+
+
 def q_percentile_cont(sf_dir):
     """Interpolated (type-7 / SQL percentile_cont) quartiles of
     l_extendedprice per return flag — unlike q_quantiles/q_grouped_median
@@ -2224,6 +2367,7 @@ def queries() -> dict:
         "percentile_cont": q_percentile_cont,
         "grouped_entropy": q_grouped_entropy,
         "cross_join": q_cross_join,
+        "pagerank": q_pagerank,
         "segment_monthly_revenue": q_segment_monthly_revenue,
         "string_agg": q_string_agg,
         "distinct_count": q_distinct_count,
@@ -2573,6 +2717,7 @@ ORACLES: dict[str, str] = {
                         THEN v END) AS p90_qty
         FROM s GROUP BY l_returnflag
     """,
+    "pagerank": _pagerank_oracle(),
     "percentile_cont": """
         WITH m AS (
             SELECT l_returnflag,

@@ -534,3 +534,32 @@ def test_cross_join_full_product():
     got = set(map(tuple, out[["r_name", "n_name"]].itertuples(index=False)))
     assert got == {(a, b) for a in r for b in n}
     assert (out["pair"] == out["r_name"] + ":" + out["n_name"]).all()
+
+
+def test_pagerank_tiers_identical():
+    """Single-task iteration vs the join-per-iteration distributed plan
+    (forced via a zero edge guard) must produce identical integer ranks."""
+    from fide_crawler_ray.pipelines.relational import q_pagerank
+
+    fast = (q_pagerank(SF).to_pandas()
+            .sort_values("node").reset_index(drop=True))
+    slow = (q_pagerank(SF, max_single_edges=0).to_pandas()
+            .sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_pagerank_invariants():
+    """Every node ≥ the teleport floor; total mass ≤ the initial 10⁹
+    (floor divisions only ever evaporate mass); in-degree correlates
+    with rank (the node with max in-degree outranks the median)."""
+    from fide_crawler_ray.pipelines.relational import (
+        PAGERANK_SCALE, T, _pagerank_edges, q_pagerank)
+
+    out = q_pagerank(SF).to_pandas().set_index("node")["pr_fp"]
+    n = len(out)
+    tele = (15 * PAGERANK_SCALE // 100) // n
+    assert (out >= tele).all()
+    assert out.sum() <= PAGERANK_SCALE + n
+    ed = _pagerank_edges(SF, n).to_pandas()
+    indeg = ed["dst"].value_counts()
+    assert out.loc[indeg.idxmax()] > out.median()
