@@ -771,6 +771,104 @@ def _pagerank_oracle(iters: int = PAGERANK_ITERS) -> str:
     """
 
 
+TRIANGLES_MAX_SINGLE_EDGES = 20_000_000
+
+
+@ray.remote
+def _triangle_task(*tables: pa.Table) -> pa.Table:
+    """Single-task wedge expansion + membership probe over the collected
+    normalized edge list (u < v, distinct): per equal-u run, all (a < b)
+    neighbor pairs via triu_indices; a wedge is a triangle iff (a, b) is
+    itself an edge — probed with one searchsorted against the packed
+    (u<<32|v) edge keys. Counts each triangle exactly once (at its
+    minimum node)."""
+    t = pa.concat_tables([x for x in tables if x.num_rows > 0])
+    u = t["u"].to_numpy(zero_copy_only=False)
+    v = t["v"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((v, u))
+    u, v = u[order], v[order]
+    keys = np.sort((u.astype(np.int64) << 32) | v.astype(np.int64))
+    starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+    lens = np.diff(np.r_[starts, len(u)])
+    wa, wb = [], []
+    for s, k in zip(starts[lens >= 2], lens[lens >= 2]):
+        seg = v[s:s + k]
+        iu, ju = np.triu_indices(k, k=1)
+        wa.append(seg[iu])
+        wb.append(seg[ju])
+    if wa:
+        a = np.concatenate(wa)
+        b = np.concatenate(wb)
+        wk = (a.astype(np.int64) << 32) | b.astype(np.int64)
+        pos = np.searchsorted(keys, wk)
+        pos[pos >= len(keys)] = len(keys) - 1
+        n_tri = int((keys[pos] == wk).sum())
+        n_wedges = len(wk)
+    else:
+        n_tri = n_wedges = 0
+    return pa.table({"n_wedges": pa.array([n_wedges], pa.int64()),
+                     "n_triangles": pa.array([n_tri], pa.int64())})
+
+
+def q_triangle_count(sf_dir,
+                     max_single_edges: int = TRIANGLES_MAX_SINGLE_EDGES):
+    """Triangle + wedge counts of the derived order graph (undirected,
+    de-duplicated, loop-free) — the second-order graph-analytics
+    primitive next to q_pagerank/q_connected_components. Each triangle
+    counts once, at its minimum-id node (wedges pair only
+    greater-than-center neighbors).
+
+    Scale plan: normalized distinct edges via one partial-agg groupby;
+    wedges from an edges⋈edges hash self-join on the center node;
+    triangles from a second hash join of wedge (a, b) pairs against the
+    edge list; both joins carry one count partial-agg behind them —
+    nothing graph-sized on the driver. Under the edge guard the
+    collected single-task tier runs instead (pinned identical by
+    test). Degenerate hubs: wedge volume is Σ deg², the same k² class
+    the similarity join caps — a production corpus would degree-orient
+    edges first; the derived graph here is near-uniform."""
+    n = T(sf_dir, "customer", ["c_custkey"]).count()
+    raw = _pagerank_edges(sf_dir, n)
+
+    def _norm(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({
+            "u": pa.array(np.minimum(s, d), pa.int64()),
+            "v": pa.array(np.maximum(s, d), pa.int64()),
+        })
+
+    edges = fast_groupby_agg(
+        raw.map_batches(_norm, batch_format="pyarrow"),
+        ["u", "v"], {"_n": (None, "count")},
+    ).map_batches(lambda b: b.select(["u", "v"]),
+                  batch_format="pyarrow").materialize()
+    import ray.data as rd
+
+    if edges.count() <= max_single_edges:
+        return rd.from_arrow_refs(
+            [_triangle_task.remote(*edges.to_arrow_refs())])
+
+    right = edges.map_batches(
+        lambda b: b.rename_columns(["u_r", "b"]), batch_format="pyarrow")
+    wedges = edges.join(right, "inner", num_partitions=8,
+                        on=("u",), right_on=("u_r",)).map_batches(
+        lambda b: b.filter(pc.less(b["v"], b["b"]))
+                   .select(["v", "b"]).rename_columns(["a", "b"]),
+        batch_format="pyarrow").materialize()
+    tri = wedges.join(
+        edges.map_batches(lambda b: b.rename_columns(["a_r", "b_r"]),
+                          batch_format="pyarrow"),
+        "inner", num_partitions=8,
+        on=("a", "b"), right_on=("a_r", "b_r"))
+    return rd.from_arrow(pa.table({
+        "n_wedges": pa.array([wedges.count()], pa.int64()),
+        "n_triangles": pa.array([tri.count()], pa.int64()),
+    }))
+
+
 def q_percentile_cont(sf_dir):
     """Interpolated (type-7 / SQL percentile_cont) quartiles of
     l_extendedprice per return flag — unlike q_quantiles/q_grouped_median
@@ -2368,6 +2466,7 @@ def queries() -> dict:
         "grouped_entropy": q_grouped_entropy,
         "cross_join": q_cross_join,
         "pagerank": q_pagerank,
+        "triangle_count": q_triangle_count,
         "segment_monthly_revenue": q_segment_monthly_revenue,
         "string_agg": q_string_agg,
         "distinct_count": q_distinct_count,
@@ -2718,6 +2817,25 @@ ORACLES: dict[str, str] = {
         FROM s GROUP BY l_returnflag
     """,
     "pagerank": _pagerank_oracle(),
+    "triangle_count": """
+        WITH nn AS (SELECT count(*) AS c FROM customer),
+        e0 AS (
+            SELECT o_custkey AS src,
+                   o_orderkey % (SELECT c FROM nn) AS dst
+            FROM orders
+        ),
+        e AS (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM e0 WHERE src <> dst
+        ),
+        w AS (
+            SELECT e1.v AS a, e2.v AS b
+            FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+        )
+        SELECT (SELECT count(*) FROM w) AS n_wedges,
+               (SELECT count(*) FROM w JOIN e
+                 ON e.u = w.a AND e.v = w.b) AS n_triangles
+    """,
     "percentile_cont": """
         WITH m AS (
             SELECT l_returnflag,

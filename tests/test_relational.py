@@ -563,3 +563,15 @@ def test_pagerank_invariants():
     ed = _pagerank_edges(SF, n).to_pandas()
     indeg = ed["dst"].value_counts()
     assert out.loc[indeg.idxmax()] > out.median()
+
+
+def test_triangle_count_tiers_identical():
+    """Single-task wedge expansion vs the double-hash-join plan (forced
+    via a zero edge guard) must agree exactly."""
+    from fide_crawler_ray.pipelines.relational import q_triangle_count
+
+    fast = q_triangle_count(SF).to_pandas()
+    slow = q_triangle_count(SF, max_single_edges=0).to_pandas()
+    pd.testing.assert_frame_equal(
+        fast.reset_index(drop=True), slow.reset_index(drop=True))
+    assert fast["n_wedges"].iloc[0] >= fast["n_triangles"].iloc[0] >= 0
