@@ -898,6 +898,64 @@ def q_percentile_cont(sf_dir):
     return ds.groupby("l_returnflag").map_groups(_q, batch_format="pandas")
 
 
+def q_winsorize(sf_dir):
+    """Winsorized (percentile-clipped) grouped sums — the outlier-
+    robust feature-normalization primitive: clip l_extendedprice to its
+    per-group [p05, p95] band (rank-rule quantiles, same pick as
+    q_quantiles) and report clip counts + the clipped sum, all in ×100
+    integer fixed point so engine and oracle agree exactly.
+
+    Two passes: per-group quantiles from a map_groups numpy sort
+    (3 groups — the partition bound; a wide group column would use the
+    grouped-CDF plan), thresholds broadcast as a dict (group-count
+    sized), then one map-side clip + partial-agg sum — the second pass
+    exchanges only group partials."""
+    ds = T(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def _fp(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "v": pa.array(_round_half_away(
+                b["l_extendedprice"].to_numpy(zero_copy_only=False)
+                * 100.0).astype(np.int64), pa.int64()),
+        })
+
+    fp = ds.map_batches(_fp, batch_format="pyarrow").materialize()
+
+    def _qs(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["v"].to_numpy())
+        n = len(v)
+        pick = lambda q: int(v[max(1, math.ceil(q * n)) - 1])
+        return pd.DataFrame({"l_returnflag": [g["l_returnflag"].iloc[0]],
+                             "lo": [pick(0.05)], "hi": [pick(0.95)]})
+
+    bands = {r["l_returnflag"]: (r["lo"], r["hi"])
+             for r in fp.groupby("l_returnflag")
+                        .map_groups(_qs, batch_format="pandas")
+                        .take_all()}
+    bref = ray.put(bands)
+
+    def _clip(b: pa.Table) -> pa.Table:
+        bd = ray.get(bref)
+        flags = b["l_returnflag"].to_pylist()
+        v = b["v"].to_numpy(zero_copy_only=False)
+        lo = np.fromiter((bd[f][0] for f in flags), np.int64, len(flags))
+        hi = np.fromiter((bd[f][1] for f in flags), np.int64, len(flags))
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "clo": pa.array((v < lo).astype(np.int64), pa.int64()),
+            "chi": pa.array((v > hi).astype(np.int64), pa.int64()),
+            "cv": pa.array(np.clip(v, lo, hi), pa.int64()),
+        })
+
+    return fast_groupby_agg(
+        fp.map_batches(_clip, batch_format="pyarrow"),
+        ["l_returnflag"],
+        {"n": (None, "count"), "n_clipped_lo": ("clo", "sum"),
+         "n_clipped_hi": ("chi", "sum"), "sum_clipped_fp": ("cv", "sum")},
+    )
+
+
 def q_grouped_entropy(sf_dir):
     """Shannon entropy (nats) of each user's event-type distribution —
     the distribution-skew signal corpus-balancing pipelines gate on.
@@ -2467,6 +2525,7 @@ def queries() -> dict:
         "cross_join": q_cross_join,
         "pagerank": q_pagerank,
         "triangle_count": q_triangle_count,
+        "winsorize": q_winsorize,
         "segment_monthly_revenue": q_segment_monthly_revenue,
         "string_agg": q_string_agg,
         "distinct_count": q_distinct_count,
@@ -2817,6 +2876,35 @@ ORACLES: dict[str, str] = {
         FROM s GROUP BY l_returnflag
     """,
     "pagerank": _pagerank_oracle(),
+    "winsorize": """
+        WITH m AS (
+            SELECT l_returnflag,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+            FROM lineitem
+        ),
+        s AS (
+            SELECT l_returnflag, v,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY v) AS rn,
+                   count(*) OVER (PARTITION BY l_returnflag) AS n
+            FROM m
+        ),
+        q AS (
+            SELECT l_returnflag,
+                   max(CASE WHEN rn = GREATEST(1,
+                       CAST(ceil(0.05 * n) AS BIGINT)) THEN v END) AS lo,
+                   max(CASE WHEN rn = GREATEST(1,
+                       CAST(ceil(0.95 * n) AS BIGINT)) THEN v END) AS hi
+            FROM s GROUP BY 1
+        )
+        SELECT m.l_returnflag, count(*) AS n,
+               sum(CASE WHEN v < lo THEN 1 ELSE 0 END) AS n_clipped_lo,
+               sum(CASE WHEN v > hi THEN 1 ELSE 0 END) AS n_clipped_hi,
+               sum(CASE WHEN v < lo THEN lo
+                        WHEN v > hi THEN hi ELSE v END) AS sum_clipped_fp
+        FROM m JOIN q USING (l_returnflag)
+        GROUP BY 1
+    """,
     "triangle_count": """
         WITH nn AS (SELECT count(*) AS c FROM customer),
         e0 AS (

@@ -575,3 +575,26 @@ def test_triangle_count_tiers_identical():
     pd.testing.assert_frame_equal(
         fast.reset_index(drop=True), slow.reset_index(drop=True))
     assert fast["n_wedges"].iloc[0] >= fast["n_triangles"].iloc[0] >= 0
+
+
+def test_winsorize_clip_fractions():
+    """Clip counts must respect the rank rule (≈5% each tail) and the
+    clipped sum must equal a direct pandas winsorization."""
+    from fide_crawler_ray.pipelines.relational import T, q_winsorize
+    import math
+
+    out = q_winsorize(SF).to_pandas().set_index("l_returnflag")
+    df = T(SF, "lineitem",
+           ["l_returnflag", "l_extendedprice"]).to_pandas()
+    df["v"] = (df["l_extendedprice"] * 100).round().astype("int64")
+    for rf, g in df.groupby("l_returnflag"):
+        v = np.sort(g["v"].to_numpy())
+        n = len(v)
+        lo = v[max(1, math.ceil(0.05 * n)) - 1]
+        hi = v[max(1, math.ceil(0.95 * n)) - 1]
+        assert out.loc[rf, "n"] == n
+        assert out.loc[rf, "n_clipped_lo"] == int((g["v"] < lo).sum())
+        assert out.loc[rf, "n_clipped_hi"] == int((g["v"] > hi).sum())
+        assert out.loc[rf, "sum_clipped_fp"] == int(
+            g["v"].clip(lo, hi).sum())
+        assert out.loc[rf, "n_clipped_lo"] <= math.ceil(0.05 * n)
