@@ -898,6 +898,45 @@ def q_percentile_cont(sf_dir):
     return ds.groupby("l_returnflag").map_groups(_q, batch_format="pandas")
 
 
+def q_key_skew(sf_dir):
+    """Key-distribution skew profile of orders.o_custkey — the
+    diagnostic a shuffle planner consults before picking partition
+    counts / salting hot keys: distinct-key count, top-1 key share, and
+    the Gini coefficient of the per-key frequency distribution. All
+    integer arithmetic (shares and Gini emitted as ×10⁶ floor
+    fixed-point), so the oracle matches exactly. Gini over counts c_i
+    sorted ascending (1-based rank i): (2·Σi·c_i − (k+1)·S) / (k·S) —
+    rank ties among equal counts don't change the sum, so the
+    deterministic tie order is irrelevant.
+
+    Plan: one map-side-combined groupby to per-key counts (the only
+    corpus-sized exchange), then the k-row count table aggregates via a
+    sort + one map_groups fold — key-table-sized, never row-sized."""
+    counts = fast_groupby_agg(
+        T(sf_dir, "orders", ["o_custkey"]),
+        ["o_custkey"], {"c": (None, "count")},
+    )
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        c = np.sort(g["c"].to_numpy().astype(np.int64))
+        k = len(c)
+        s = int(c.sum())
+        i = np.arange(1, k + 1, dtype=np.int64)
+        num = 2 * int((i * c).sum()) - (k + 1) * s
+        return pd.DataFrame({
+            "n_keys": [k], "n_rows": [s],
+            "top1_fp": [int(c[-1]) * 1_000_000 // s],
+            "gini_fp": [num * 1_000_000 // (k * s)],
+        })
+
+    return counts.map_batches(
+        lambda b: b.append_column("_g", pa.array([0] * b.num_rows,
+                                                 pa.int64())),
+        batch_format="pyarrow",
+    ).groupby("_g").map_groups(
+        lambda g: _fold(g), batch_format="pandas")
+
+
 def q_winsorize(sf_dir):
     """Winsorized (percentile-clipped) grouped sums — the outlier-
     robust feature-normalization primitive: clip l_extendedprice to its
@@ -2526,6 +2565,7 @@ def queries() -> dict:
         "pagerank": q_pagerank,
         "triangle_count": q_triangle_count,
         "winsorize": q_winsorize,
+        "key_skew": q_key_skew,
         "segment_monthly_revenue": q_segment_monthly_revenue,
         "string_agg": q_string_agg,
         "distinct_count": q_distinct_count,
@@ -2876,6 +2916,25 @@ ORACLES: dict[str, str] = {
         FROM s GROUP BY l_returnflag
     """,
     "pagerank": _pagerank_oracle(),
+    "key_skew": """
+        WITH c AS (
+            SELECT o_custkey, count(*) AS c
+            FROM orders GROUP BY o_custkey
+        ),
+        r AS (
+            SELECT c, row_number() OVER (ORDER BY c, o_custkey) AS i
+            FROM c
+        ),
+        a AS (
+            SELECT count(*) AS k, sum(c) AS s,
+                   max(c) AS top1, sum(i * c) AS ic
+            FROM r
+        )
+        SELECT k AS n_keys, s AS n_rows,
+               top1 * 1000000 // s AS top1_fp,
+               (2 * ic - (k + 1) * s) * 1000000 // (k * s) AS gini_fp
+        FROM a
+    """,
     "winsorize": """
         WITH m AS (
             SELECT l_returnflag,

@@ -598,3 +598,21 @@ def test_winsorize_clip_fractions():
         assert out.loc[rf, "sum_clipped_fp"] == int(
             g["v"].clip(lo, hi).sum())
         assert out.loc[rf, "n_clipped_lo"] <= math.ceil(0.05 * n)
+
+
+def test_key_skew_gini_properties():
+    """Gini must match a direct computation and sit in [0, 1); top-1
+    share must equal the max key frequency."""
+    from fide_crawler_ray.pipelines.relational import T, q_key_skew
+
+    row = q_key_skew(SF).to_pandas().iloc[0]
+    vc = T(SF, "orders", ["o_custkey"]).to_pandas()["o_custkey"] \
+        .value_counts().to_numpy()
+    c = np.sort(vc.astype(np.int64))
+    k, s = len(c), int(c.sum())
+    i = np.arange(1, k + 1, dtype=np.int64)
+    num = 2 * int((i * c).sum()) - (k + 1) * s
+    assert row["n_keys"] == k and row["n_rows"] == s
+    assert row["top1_fp"] == int(c[-1]) * 1_000_000 // s
+    assert row["gini_fp"] == num * 1_000_000 // (k * s)
+    assert 0 <= row["gini_fp"] < 1_000_000
