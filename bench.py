@@ -118,7 +118,7 @@ def run_bench() -> dict:
         "ann_bruteforce", "events_sessionize", "dedup_minhash",
         "j_inner_join", "asof_join", "window_functions", "term_doc_freq",
         "range_join", "similarity_join", "span_dedup", "embedding_kmeans",
-        "table_diff", "above_customer_avg",
+        "table_diff", "above_customer_avg", "pagerank", "triangle_count",
     ]
     qs = Q.queries()
     for name in suite:
