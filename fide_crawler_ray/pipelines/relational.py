@@ -237,6 +237,15 @@ def q_event_funnel(sf_dir):
     }])
 
 
+def _rank_pick_sorted(v: np.ndarray, q: float):
+    """The engine-wide exact-quantile RANK RULE — the value at 1-based
+    rank max(1, ceil(q·n)) of the sorted array. Every rank-rule oracle
+    mirrors it as ``GREATEST(1, CAST(ceil(q * n) AS BIGINT))``; keep the
+    two in lockstep (q_quantiles/q_grouped_median pick the same rank off
+    a CDF instead of a sorted array)."""
+    return v[max(1, math.ceil(q * len(v))) - 1]
+
+
 def _round_half_away(x: np.ndarray) -> np.ndarray:
     """SQL round() semantics (half away from zero, like C++ std::round),
     NOT numpy's half-to-even — an exact-.5 product would otherwise land
@@ -689,7 +698,19 @@ def q_pagerank(sf_dir, iters: int = PAGERANK_ITERS,
     the node list — nothing node- or edge-sized ever sits on the
     driver. Below ``max_single_edges`` the collected-edge single-task
     tier runs instead (both tiers pinned identical by test)."""
-    n = T(sf_dir, "customer", ["c_custkey"]).count()
+    from ray.data.aggregate import Count, Max, Min
+
+    cust = T(sf_dir, "customer", ["c_custkey"])
+    dom = cust.aggregate(Min("c_custkey"), Max("c_custkey"), Count())
+    n = dom["count()"]
+    if dom["min(c_custkey)"] != 0 or dom["max(c_custkey)"] != n - 1:
+        # both tiers and the SQL oracle assume a dense 0-based node
+        # domain (pr[src] indexing / bincount / arange node ids);
+        # diverging silently on a 1-based dump would be worse than
+        # failing fast
+        raise ValueError(
+            f"pagerank needs dense 0-based c_custkey; got "
+            f"[{dom['min(c_custkey)']}, {dom['max(c_custkey)']}] n={n}")
     edges = _pagerank_edges(sf_dir, n).materialize()
     tele = (15 * PAGERANK_SCALE // 100) // n
     import ray.data as rd
@@ -698,9 +719,11 @@ def q_pagerank(sf_dir, iters: int = PAGERANK_ITERS,
         return rd.from_arrow_refs(
             [_pagerank_task.remote(n, iters, *edges.to_arrow_refs())])
 
+    # materialized: the left-outer join re-consumes nodes every
+    # iteration — without this each round re-reads the customer parquet
     nodes = T(sf_dir, "customer", ["c_custkey"]).map_batches(
         lambda b: pa.table({"node": b["c_custkey"]}),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
     outd = fast_groupby_agg(edges, ["src"], {"od": (None, "count")})
     edges_od = edges.join(outd, "inner", num_partitions=8,
                           on=("src",)).materialize()
@@ -787,13 +810,18 @@ def _triangle_task(*tables: pa.Table) -> pa.Table:
     v = t["v"].to_numpy(zero_copy_only=False)
     order = np.lexsort((v, u))
     u, v = u[order], v[order]
-    keys = np.sort((u.astype(np.int64) << 32) | v.astype(np.int64))
+    # already sorted: (u<<32)|v is monotone under the (u, v) lexsort
+    keys = (u.astype(np.int64) << 32) | v.astype(np.int64)
     starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
     lens = np.diff(np.r_[starts, len(u)])
     wa, wb = [], []
+    triu_cache: dict = {}  # degrees cluster on few values — reuse index pairs
     for s, k in zip(starts[lens >= 2], lens[lens >= 2]):
         seg = v[s:s + k]
-        iu, ju = np.triu_indices(k, k=1)
+        iu_ju = triu_cache.get(k)
+        if iu_ju is None:
+            iu_ju = triu_cache[k] = np.triu_indices(k, k=1)
+        iu, ju = iu_ju
         wa.append(seg[iu])
         wb.append(seg[ju])
     if wa:
@@ -963,23 +991,28 @@ def q_winsorize(sf_dir):
 
     def _qs(g: pd.DataFrame) -> pd.DataFrame:
         v = np.sort(g["v"].to_numpy())
-        n = len(v)
-        pick = lambda q: int(v[max(1, math.ceil(q * n)) - 1])
         return pd.DataFrame({"l_returnflag": [g["l_returnflag"].iloc[0]],
-                             "lo": [pick(0.05)], "hi": [pick(0.95)]})
+                             "lo": [int(_rank_pick_sorted(v, 0.05))],
+                             "hi": [int(_rank_pick_sorted(v, 0.95))]})
 
-    bands = {r["l_returnflag"]: (r["lo"], r["hi"])
-             for r in fp.groupby("l_returnflag")
-                        .map_groups(_qs, batch_format="pandas")
-                        .take_all()}
-    bref = ray.put(bands)
+    band_rows = (fp.groupby("l_returnflag")
+                   .map_groups(_qs, batch_format="pandas").take_all())
+    bref = ray.put((
+        pa.array([r["l_returnflag"] for r in band_rows]),
+        np.array([r["lo"] for r in band_rows], dtype=np.int64),
+        np.array([r["hi"] for r in band_rows], dtype=np.int64),
+    ))
 
     def _clip(b: pa.Table) -> pa.Table:
-        bd = ray.get(bref)
-        flags = b["l_returnflag"].to_pylist()
+        # vectorized band probe: one dictionary-encode of the group
+        # column against the band keys, then two numpy takes — no
+        # per-row Python
+        keys, los, his = ray.get(bref)
+        codes = pc.index_in(b["l_returnflag"], value_set=keys) \
+            .to_numpy(zero_copy_only=False)
         v = b["v"].to_numpy(zero_copy_only=False)
-        lo = np.fromiter((bd[f][0] for f in flags), np.int64, len(flags))
-        hi = np.fromiter((bd[f][1] for f in flags), np.int64, len(flags))
+        lo = los[codes]
+        hi = his[codes]
         return pa.table({
             "l_returnflag": b["l_returnflag"],
             "clo": pa.array((v < lo).astype(np.int64), pa.int64()),
@@ -999,10 +1032,16 @@ def q_grouped_entropy(sf_dir):
     """Shannon entropy (nats) of each user's event-type distribution —
     the distribution-skew signal corpus-balancing pipelines gate on.
     Two partial-agg exchanges, both pre-combined map-side: (user, type)
-    counts, then per-user (n, Σc·ln c) — the ln is applied to EXACT
-    integer counts on both engine and oracle sides and the final
-    expression ln(n) − s/n is mirrored operation-for-operation, emitted
-    as ×10⁶ half-away fixed point."""
+    counts, then per-user (n, Σ round(c·ln c · 10⁹)) — the ln is applied
+    to EXACT integer counts on both engine and oracle sides and each
+    term is quantized to ×10⁹ int64 BEFORE the distributed sum, so the
+    exchange moves only integers and the result is summation-order
+    independent (float addition is not associative; an unquantized
+    float Σ would make the bitwise oracle gate layout-dependent).
+    Headroom: c·ln(c)·10⁹ stays under int64 through c ≈ 2×10⁸ events
+    per (user, type). The final expression ln(n) − (s/10⁹)/n is
+    mirrored operation-for-operation, emitted as ×10⁶ half-away fixed
+    point."""
     counts = fast_groupby_agg(
         T(sf_dir, "events", ["user_id", "event_type"]),
         ["user_id", "event_type"], {"c": (None, "count")},
@@ -1013,17 +1052,19 @@ def q_grouped_entropy(sf_dir):
         return pa.table({
             "user_id": b["user_id"],
             "c": b["c"],
-            "clnc": pa.array(c * np.log(c), pa.float64()),
+            "clnc_fp": pa.array(
+                _round_half_away(c * np.log(c) * 1e9).astype(np.int64),
+                pa.int64()),
         })
 
     agg = fast_groupby_agg(
         counts.map_batches(_clnc, batch_format="pyarrow"),
-        ["user_id"], {"n": ("c", "sum"), "s": ("clnc", "sum")},
+        ["user_id"], {"n": ("c", "sum"), "s": ("clnc_fp", "sum")},
     )
 
     def _ent(b: pa.Table) -> pa.Table:
         n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
-        s = b["s"].to_numpy(zero_copy_only=False)
+        s = b["s"].to_numpy(zero_copy_only=False).astype(np.float64) / 1e9
         ent = np.log(n) - s / n
         return pa.table({
             "user_id": b["user_id"],
@@ -2294,38 +2335,36 @@ def q_grouped_variance(sf_dir):
 
 def _set_op(sf_dir, want_in_b: bool):
     """Shared plan for EXCEPT / INTERSECT (SQL set semantics, i.e.
-    DISTINCT rows): side A = (p_brand, p_type) of parts with
-    p_size > 25, side B = same columns of parts with
-    p_retailprice > 950 (keys are (p_brand, p_type, p_size) triples). Map-side per-block DISTINCT with side
-    indicator columns → union → ONE partial-agg groupby folding each
-    row's presence into (in_a, in_b) maxima → map-side predicate.
-    The exchange moves one row per distinct (row, side) — never the
-    raw table — and there is no join and no driver-side key set."""
+    DISTINCT rows) over (p_brand, p_type, p_size) keys: side A = parts
+    with p_size > 25, side B = parts with p_retailprice > 950. ONE scan
+    computes, per block, the distinct keys matching either predicate
+    with (in_a, in_b) indicator maxima; ONE partial-agg groupby folds
+    them globally; a map-side predicate picks the set op. The exchange
+    moves one row per distinct key per block — never the raw table —
+    and there is no join and no driver-side key set."""
     part = T(sf_dir, "part",
              ["p_brand", "p_type", "p_size", "p_retailprice"])
+    keys = ["p_brand", "p_type", "p_size"]
 
-    def _side(flag_col: str, pred):
-        def _f(df: pd.DataFrame) -> pa.Table:
-            d = (df[pred(df)][["p_brand", "p_type", "p_size"]]
-                 .drop_duplicates().reset_index(drop=True))
-            n = len(d)
-            one = flag_col == "a"
-            return pa.table({
-                "p_brand": pa.array(d["p_brand"], pa.string()),
-                "p_type": pa.array(d["p_type"], pa.string()),
-                "p_size": pa.array(d["p_size"].to_numpy(), pa.int64()),
-                "in_a": pa.array(np.full(n, 1 if one else 0), pa.int64()),
-                "in_b": pa.array(np.full(n, 0 if one else 1), pa.int64()),
-            })
-        return _f
+    def _sides(df: pd.DataFrame) -> pa.Table:
+        df = df.assign(
+            in_a=(df["p_size"] > 25).astype("int64"),
+            in_b=(df["p_retailprice"] > 950).astype("int64"))
+        d = (df[df["in_a"] + df["in_b"] > 0]
+             .groupby(keys, sort=False, as_index=False)[["in_a", "in_b"]]
+             .max())
+        return pa.table({
+            "p_brand": pa.array(d["p_brand"], pa.string()),
+            "p_type": pa.array(d["p_type"], pa.string()),
+            "p_size": pa.array(d["p_size"].to_numpy(), pa.int64()),
+            "in_a": pa.array(d["in_a"].to_numpy(), pa.int64()),
+            "in_b": pa.array(d["in_b"].to_numpy(), pa.int64()),
+        })
 
-    a = part.map_batches(_side("a", lambda d: d["p_size"] > 25),
-                         batch_format="pandas")
-    b = part.map_batches(_side("b", lambda d: d["p_retailprice"] > 950),
-                         batch_format="pandas")
-    agg = fast_groupby_agg(a.union(b), ["p_brand", "p_type", "p_size"], {
-        "in_a": ("in_a", "max"), "in_b": ("in_b", "max"),
-    })
+    agg = fast_groupby_agg(
+        part.map_batches(_sides, batch_format="pandas"), keys, {
+            "in_a": ("in_a", "max"), "in_b": ("in_b", "max"),
+        })
 
     def _pick(t: pa.Table) -> pa.Table:
         keep = pc.and_(pc.equal(t["in_a"], 1),
@@ -3030,12 +3069,14 @@ ORACLES: dict[str, str] = {
             FROM events GROUP BY user_id, event_type
         ),
         a AS (
-            SELECT user_id, sum(c) AS n, sum(c * ln(c)) AS s
+            SELECT user_id, sum(c) AS n,
+                   sum(CAST(round(c * ln(c) * 1000000000.0) AS BIGINT))
+                       AS s
             FROM c GROUP BY user_id
         )
         SELECT user_id, n AS n_events,
-               CAST(round((ln(n) - s / n) * 1000000.0) AS BIGINT)
-                   AS entropy_fp
+               CAST(round((ln(n) - (s / 1000000000.0) / n) * 1000000.0)
+                    AS BIGINT) AS entropy_fp
         FROM a
     """,
     "cross_join": """
