@@ -1837,6 +1837,39 @@ class _ExactVerify:
         })
 
 
+def _prefix_rows_table(b: pa.Table, hs: np.ndarray, dfs: np.ndarray,
+                       thr_num: int, thr_den: int) -> pa.Table:
+    """Prefix selection straight off the materialized shingle index
+    (a, sh, sz_a) — the corpus is tokenized/hashed exactly ONCE (in
+    _shingle_rows); this pass is pure numpy segment math in a task pool
+    (no actor spin-up). Per doc run: order rows by (df, hash) and keep
+    the first sz − ⌈θ·sz⌉ + 1. If a doc's rows ever fragment across
+    blocks, each fragment keeps its own first p — a SUPERSET of the
+    true prefix's rows in that fragment (|P ∩ frag| ≤ p and P-rows sort
+    first), so candidates are only added, never missed; exact
+    verification absorbs the surplus. ``pos_a`` is the row's rank in
+    its doc's global (df, hash) shingle order — the PPJoin positional
+    filter's input downstream. Module-level (not nested in
+    q_similarity_join) so the property test can drive it directly."""
+    aa = b["a"].to_numpy(zero_copy_only=False)
+    sh = b["sh"].to_numpy(zero_copy_only=False)
+    sz = b["sz_a"].to_numpy(zero_copy_only=False)
+    dd = dfs[np.searchsorted(hs, sh)]
+    o = np.lexsort((sh, dd, aa))  # doc-major, then (df, hash)
+    aa, sh, sz = aa[o], sh[o], sz[o]
+    starts = np.flatnonzero(np.r_[True, aa[1:] != aa[:-1]])
+    lens = np.diff(np.r_[starts, len(aa)])
+    szd = sz[starts]
+    t = -(-szd * thr_num // thr_den)  # integer ceil ⌈θ·sz⌉
+    p = np.minimum(szd - t + 1, lens)
+    rank = np.arange(len(aa)) - np.repeat(starts, lens)
+    keep = rank < np.repeat(p, lens)
+    return pa.table({"a": pa.array(aa[keep], pa.int64()),
+                     "sh": pa.array(sh[keep], pa.int64()),
+                     "sz_a": pa.array(sz[keep], pa.int64()),
+                     "pos_a": pa.array(rank[keep], pa.int64())})
+
+
 @ray.remote
 def _prefix_pairs_task(max_run: int, thr_num: int, thr_den: int,
                        *tables: pa.Table) -> pa.Table:
@@ -1986,35 +2019,8 @@ def q_similarity_join(sf_dir, threshold: float = SIM_JOIN_THRESHOLD,
     thr_num, thr_den = int(threshold * 100), 100
 
     def _prefix_rows(b: pa.Table) -> pa.Table:
-        # Prefix selection straight off the materialized shingle index
-        # (a, sh, sz_a) — the corpus is tokenized/hashed exactly ONCE
-        # (in _shingle_rows); this pass is pure numpy segment math in a
-        # task pool (no actor spin-up). Per doc run: order rows by
-        # (df, hash) and keep the first sz − ⌈θ·sz⌉ + 1. If a doc's rows
-        # ever fragment across blocks, each fragment keeps its own first
-        # p — a SUPERSET of the true prefix's rows in that fragment
-        # (|P ∩ frag| ≤ p and P-rows sort first), so candidates are only
-        # added, never missed; exact verification absorbs the surplus.
         hs, dfs = ray.get(dfref)  # plasma shared-memory, zero-copy
-        aa = b["a"].to_numpy(zero_copy_only=False)
-        sh = b["sh"].to_numpy(zero_copy_only=False)
-        sz = b["sz_a"].to_numpy(zero_copy_only=False)
-        dd = dfs[np.searchsorted(hs, sh)]
-        o = np.lexsort((sh, dd, aa))  # doc-major, then (df, hash)
-        aa, sh, sz = aa[o], sh[o], sz[o]
-        starts = np.flatnonzero(np.r_[True, aa[1:] != aa[:-1]])
-        lens = np.diff(np.r_[starts, len(aa)])
-        szd = sz[starts]
-        t = -(-szd * thr_num // thr_den)  # integer ceil ⌈θ·sz⌉
-        p = np.minimum(szd - t + 1, lens)
-        rank = np.arange(len(aa)) - np.repeat(starts, lens)
-        keep = rank < np.repeat(p, lens)
-        # pos = the row's rank in its doc's global (df, hash) shingle
-        # order — the PPJoin positional filter's input downstream
-        return pa.table({"a": pa.array(aa[keep], pa.int64()),
-                         "sh": pa.array(sh[keep], pa.int64()),
-                         "sz_a": pa.array(sz[keep], pa.int64()),
-                         "pos_a": pa.array(rank[keep], pa.int64())})
+        return _prefix_rows_table(b, hs, dfs, thr_num, thr_den)
 
     prefix = left.map_batches(_prefix_rows, batch_format="pyarrow",
                               batch_size=None).materialize()

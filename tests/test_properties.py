@@ -146,3 +146,55 @@ def test_parse_calc_vectorized_matches_scalar_property(docs):
     a = P.parse_calc_batch_scalar(batch).to_pandas()
     b = P.parse_calc_batch(batch).to_pandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+docs_st = st.lists(
+    st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta",
+                              "eps", "zeta"]),
+             min_size=3, max_size=12).map(" ".join),
+    min_size=2, max_size=12)
+
+
+@given(docs_st)
+@settings(max_examples=25, deadline=None)
+def test_ppjoin_candidates_superset_of_true_pairs(texts):
+    """PPJoin's prefix + length + positional filters must NEVER drop a
+    true pair: on arbitrary small corpora, every (a, b) with word-shingle
+    Jaccard ≥ θ must appear in the candidate set produced by
+    _prefix_rows_table → _prefix_pairs_task."""
+    import pyarrow as pa
+    import ray
+
+    from fide_crawler_ray.pipelines import relational as R
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    left = R._shingle_rows(tbl)
+    if left.num_rows == 0:
+        return
+    sh = left["sh"].to_numpy(zero_copy_only=False)
+    hs, cnt = np.unique(sh, return_counts=True)
+    thr_num, thr_den = 50, 100
+    prefix = R._prefix_rows_table(left, hs, cnt.astype(np.int64),
+                                  thr_num, thr_den)
+    cand = ray.get(R._prefix_pairs_task.remote(
+        R.SIM_JOIN_MAX_RUN, thr_num, thr_den, prefix))
+    got = set(zip(cand["a"].to_pylist(), cand["b"].to_pylist()))
+    # brute force truth
+    import re as _re
+    sets = []
+    for t in texts:
+        toks = R._TOKEN.findall(t.lower())
+        sets.append({" ".join(toks[i:i + R.SIM_JOIN_K])
+                     for i in range(len(toks) - R.SIM_JOIN_K + 1)})
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            a, b = sets[i], sets[j]
+            if not a or not b:
+                continue
+            inter = len(a & b)
+            uni = len(a | b)
+            if inter * thr_den >= uni * thr_num:
+                assert (i, j) in got, (texts[i], texts[j], inter, uni)
