@@ -1531,6 +1531,49 @@ def q_export_partitioned(sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_export_jsonl_csv(sf_dir):
+    """JSONL + CSV source/sink round trip — the interchange formats
+    every ingest pipeline meets before Parquet: documents stream to
+    newline-delimited JSON, events stream to CSV (both sharded — one
+    file per block, the resumable layout), each is read back with Ray
+    Data's native readers, and per-source / per-type counts plus an
+    integer value checksum prove the round trip byte-faithful. The
+    oracle recomputes both from the source tables, so sink + reader are
+    value-checked end to end, not smoke-tested."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    out = tempfile.mkdtemp(prefix="fcray_interchange_")
+    try:
+        T(sf_dir, "documents", ["doc_id", "source"]) \
+            .write_json(f"{out}/docs")
+        T(sf_dir, "events", ["event_id", "event_type"]) \
+            .write_csv(f"{out}/events")
+        docs = fast_groupby_agg(
+            rd.read_json(f"{out}/docs"), ["source"],
+            {"n": (None, "count"), "id_sum": ("doc_id", "sum")},
+        ).map_batches(
+            lambda b: pa.table({
+                "key": pc.cast(b["source"], pa.string()),
+                "n": b["n"],
+                "id_sum": pc.cast(b["id_sum"], pa.int64()),
+            }), batch_format="pyarrow")
+        ev = fast_groupby_agg(
+            rd.read_csv(f"{out}/events"), ["event_type"],
+            {"n": (None, "count"), "id_sum": ("event_id", "sum")},
+        ).map_batches(
+            lambda b: pa.table({
+                "key": pc.cast(b["event_type"], pa.string()),
+                "n": b["n"],
+                "id_sum": pc.cast(b["id_sum"], pa.int64()),
+            }), batch_format="pyarrow")
+        return docs.union(ev).to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_pack_sequences(sf_dir, budget: int = 2048):
     """Sequence packing: greedy next-fit of documents into fixed
     token-budget bins (the batch-construction op for LLM training).
@@ -2611,6 +2654,7 @@ def queries() -> dict:
         "triangle_count": q_triangle_count,
         "winsorize": q_winsorize,
         "key_skew": q_key_skew,
+        "export_jsonl_csv": q_export_jsonl_csv,
         "segment_monthly_revenue": q_segment_monthly_revenue,
         "string_agg": q_string_agg,
         "distinct_count": q_distinct_count,
@@ -3163,6 +3207,15 @@ ORACLES: dict[str, str] = {
     "export_partitioned": """
         SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n
         FROM orders GROUP BY 1
+    """,
+    "export_jsonl_csv": """
+        SELECT CAST(source AS VARCHAR) AS key, count(*) AS n,
+               sum(doc_id) AS id_sum
+        FROM documents GROUP BY source
+        UNION ALL
+        SELECT CAST(event_type AS VARCHAR) AS key, count(*) AS n,
+               sum(event_id) AS id_sum
+        FROM events GROUP BY event_type
     """,
     "embedding_norms": """
         SELECT vec_id,
