@@ -250,7 +250,8 @@ def q_vocab_prune(sf_dir, max_broadcast_vocab: int = VOCAB_MAX_BROADCAST):
                 "n_dropped": (words.str.len() - n_kept).astype("int64"),
             })
 
-    return docs.map_batches(_Prune, batch_format="pandas", concurrency=2)
+    return docs.map_batches(_Prune, batch_format="pandas",
+                            concurrency=(1, 2))
 
 
 def _vocab_prune_join(docs, df, n_docs: int):
@@ -423,7 +424,7 @@ def q_span_dedup(sf_dir, w: int = SPAN_W,
                 })
 
         flagged = pairs.map_batches(_Flag, batch_format="pyarrow",
-                                    concurrency=2)
+                                    concurrency=(1, 2))
     else:
         j = pairs.join(dup, "left_outer", num_partitions=8, on=("h",))
 
