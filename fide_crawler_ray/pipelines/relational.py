@@ -1531,6 +1531,69 @@ def q_export_partitioned(sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _skyline_2d(p: np.ndarray, d: np.ndarray) -> np.ndarray:
+    """Boolean mask of the 2-D skyline (maximize p, minimize d) with
+    duplicate-safe dominance: a row survives iff its d equals the min d
+    at its own p AND is strictly below the min d over all higher p.
+    O(n log n); identical (p, d) duplicates all survive (neither
+    dominates the other — no strict part)."""
+    up, inv = np.unique(p, return_inverse=True)  # up ascending
+    k = len(up)
+    md = np.full(k, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(md, inv, d)
+    # higher[i] = min d over prices STRICTLY above up[i] (suffix min
+    # of md, shifted to exclude self; +inf at the top price)
+    higher = np.full(k, np.iinfo(np.int64).max, dtype=np.int64)
+    if k > 1:
+        higher[:-1] = np.minimum.accumulate(md[::-1])[::-1][1:]
+    return (d == md[inv]) & (d < higher[inv])
+
+
+def q_pareto_frontier(sf_dir):
+    """Pareto frontier (skyline) of orders — maximize price, minimize
+    order date: the multi-objective shortlist operator (best-tradeoff
+    rows no other row beats on both axes). Dominance is duplicate-safe
+    (tied rows survive together) and runs in ×100 integer fixed point /
+    epoch days, exactly as the NOT EXISTS oracle states it.
+
+    Scale plan: the skyline filter is MERGEABLE — skyline(A ∪ B) =
+    skyline(skyline(A) ∪ skyline(B)) since any dominator itself
+    survives locally — so each block reduces to its local frontier
+    (vectorized O(n log n)) and one tiny final task merges the
+    frontiers; the exchange moves only local-skyline rows (typically
+    O(log n) of each block)."""
+    ds = T(sf_dir, "orders",
+           ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        p = _round_half_away(
+            b["o_totalprice"].to_numpy(zero_copy_only=False)
+            * 100.0).astype(np.int64)
+        d = (b["o_orderdate"].to_pandas().to_numpy()
+             .astype("datetime64[D]").astype("int64"))
+        keep = _skyline_2d(p, d)
+        return pa.table({
+            "o_orderkey": b["o_orderkey"].filter(pa.array(keep)),
+            "price_fp": pa.array(p[keep], pa.int64()),
+            "d": pa.array(d[keep], pa.int64()),
+            "date": pc.strftime(b["o_orderdate"].filter(pa.array(keep)),
+                                format="%Y-%m-%d"),
+        })
+
+    local = ds.map_batches(_prep, batch_format="pyarrow").materialize()
+
+    @ray.remote
+    def _merge(*tables: pa.Table) -> pa.Table:
+        t = pa.concat_tables([x for x in tables if x.num_rows > 0])
+        keep = _skyline_2d(t["price_fp"].to_numpy(zero_copy_only=False),
+                           t["d"].to_numpy(zero_copy_only=False))
+        return t.filter(pa.array(keep)).select(
+            ["o_orderkey", "price_fp", "date"])
+
+    import ray.data as rd
+    return rd.from_arrow_refs([_merge.remote(*local.to_arrow_refs())])
+
+
 def q_export_jsonl_csv(sf_dir):
     """JSONL + CSV source/sink round trip — the interchange formats
     every ingest pipeline meets before Parquet: documents stream to
@@ -2655,6 +2718,7 @@ def queries() -> dict:
         "winsorize": q_winsorize,
         "key_skew": q_key_skew,
         "export_jsonl_csv": q_export_jsonl_csv,
+        "pareto_frontier": q_pareto_frontier,
         "segment_monthly_revenue": q_segment_monthly_revenue,
         "string_agg": q_string_agg,
         "distinct_count": q_distinct_count,
@@ -3207,6 +3271,21 @@ ORACLES: dict[str, str] = {
     "export_partitioned": """
         SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n
         FROM orders GROUP BY 1
+    """,
+    "pareto_frontier": """
+        WITH m AS (
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS p,
+                   o_orderdate AS d
+            FROM orders
+        )
+        SELECT o_orderkey, p AS price_fp,
+               strftime(d, '%Y-%m-%d') AS date
+        FROM m b
+        WHERE NOT EXISTS (
+            SELECT 1 FROM m a
+            WHERE a.p >= b.p AND a.d <= b.d
+              AND (a.p > b.p OR a.d < b.d))
     """,
     "export_jsonl_csv": """
         SELECT CAST(source AS VARCHAR) AS key, count(*) AS n,

@@ -616,3 +616,46 @@ def test_key_skew_gini_properties():
     assert row["top1_fp"] == int(c[-1]) * 1_000_000 // s
     assert row["gini_fp"] == num * 1_000_000 // (k * s)
     assert 0 <= row["gini_fp"] < 1_000_000
+
+
+def test_pareto_frontier_matches_bruteforce():
+    """The mergeable per-block skyline must equal the O(n²) dominance
+    definition, duplicates included."""
+    from fide_crawler_ray.pipelines.relational import (
+        T, _skyline_2d, q_pareto_frontier)
+
+    out = q_pareto_frontier(SF).to_pandas()
+    df = T(SF, "orders",
+           ["o_orderkey", "o_totalprice", "o_orderdate"]).to_pandas()
+    p = (df["o_totalprice"] * 100).round().astype("int64").to_numpy()
+    d = df["o_orderdate"].to_numpy().astype("datetime64[D]").astype("int64")
+    survivors = set()
+    for i in range(len(p)):
+        dominated = (((p >= p[i]) & (d <= d[i]))
+                     & ((p > p[i]) | (d < d[i]))).any()
+        if not dominated:
+            survivors.add(int(df["o_orderkey"].iloc[i]))
+    assert set(out["o_orderkey"]) == survivors
+    # the vectorized kernel agrees with the same brute force
+    mask = _skyline_2d(p, d)
+    assert set(df["o_orderkey"].to_numpy()[mask]) == survivors
+
+
+def test_skyline_merge_property():
+    """skyline(A ∪ B) == skyline(skyline(A) ∪ skyline(B)) on random
+    integer points (the invariant the distributed plan relies on)."""
+    from fide_crawler_ray.pipelines.relational import _skyline_2d
+
+    rng = np.random.default_rng(3)
+    for _ in range(20):
+        p = rng.integers(0, 40, size=200).astype(np.int64)
+        d = rng.integers(0, 40, size=200).astype(np.int64)
+        full = _skyline_2d(p, d)
+        half = np.zeros(200, dtype=bool)
+        half[:100] = _skyline_2d(p[:100], d[:100])
+        half[100:] = _skyline_2d(p[100:], d[100:])
+        pm, dm = p[half], d[half]
+        merged = _skyline_2d(pm, dm)
+        got = set(zip(pm[merged], dm[merged]))
+        want = set(zip(p[full], d[full]))
+        assert got == want
