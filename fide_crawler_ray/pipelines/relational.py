@@ -1584,7 +1584,12 @@ def q_pareto_frontier(sf_dir):
 
     @ray.remote
     def _merge(*tables: pa.Table) -> pa.Table:
-        t = pa.concat_tables([x for x in tables if x.num_rows > 0])
+        live = [x for x in tables if x.num_rows > 0]
+        if not live:
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "price_fp": pa.array([], pa.int64()),
+                             "date": pa.array([], pa.string())})
+        t = pa.concat_tables(live)
         keep = _skyline_2d(t["price_fp"].to_numpy(zero_copy_only=False),
                            t["d"].to_numpy(zero_copy_only=False))
         return t.filter(pa.array(keep)).select(
@@ -3276,7 +3281,7 @@ ORACLES: dict[str, str] = {
         WITH m AS (
             SELECT o_orderkey,
                    CAST(round(o_totalprice * 100) AS BIGINT) AS p,
-                   o_orderdate AS d
+                   CAST(o_orderdate AS DATE) AS d
             FROM orders
         )
         SELECT o_orderkey, p AS price_fp,

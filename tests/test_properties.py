@@ -183,7 +183,6 @@ def test_ppjoin_candidates_superset_of_true_pairs(texts):
         R.SIM_JOIN_MAX_RUN, thr_num, thr_den, prefix))
     got = set(zip(cand["a"].to_pylist(), cand["b"].to_pylist()))
     # brute force truth
-    import re as _re
     sets = []
     for t in texts:
         toks = R._TOKEN.findall(t.lower())

@@ -622,12 +622,13 @@ def test_pareto_frontier_matches_bruteforce():
     """The mergeable per-block skyline must equal the O(n²) dominance
     definition, duplicates included."""
     from fide_crawler_ray.pipelines.relational import (
-        T, _skyline_2d, q_pareto_frontier)
+        T, _round_half_away, _skyline_2d, q_pareto_frontier)
 
     out = q_pareto_frontier(SF).to_pandas()
     df = T(SF, "orders",
            ["o_orderkey", "o_totalprice", "o_orderdate"]).to_pandas()
-    p = (df["o_totalprice"] * 100).round().astype("int64").to_numpy()
+    p = _round_half_away(
+        df["o_totalprice"].to_numpy() * 100.0).astype("int64")
     d = df["o_orderdate"].to_numpy().astype("datetime64[D]").astype("int64")
     survivors = set()
     for i in range(len(p)):
