@@ -11,6 +11,11 @@ import pytest
 
 SF = "/root/testdata/sf0.001"
 
+# the engine-wide fixed-point rounding (half away from zero, matching SQL
+# round()) — tests must NOT use pandas .round() (half to even) or a .5
+# product diverges 1 fixed-point unit from the engine/oracle
+from fide_crawler_ray.pipelines.relational import _round_half_away as _rha  # noqa: E402
+
 
 def test_hll_error_bound():
     """HLL (p=14) must stay within ~3 standard errors (0.81% × 3) of the
@@ -300,7 +305,7 @@ def test_grouped_variance_matches_pandas():
 
     out = q_grouped_variance(SF).to_pandas().set_index("l_returnflag")
     li = T(SF, "lineitem", ["l_returnflag", "l_quantity"]).to_pandas()
-    li["v"] = (li["l_quantity"] * 100).round().astype("int64")
+    li["v"] = _rha(li["l_quantity"].to_numpy() * 100.0).astype("int64")
     for flag, g in li.groupby("l_returnflag"):
         expect = g["v"].var(ddof=0) / 10000.0
         assert abs(out.loc[flag, "var_pop"] - expect) < 1e-4
@@ -483,8 +488,8 @@ def test_grouped_corr_matches_pandas():
     out = q_grouped_corr(SF).to_pandas().set_index("l_returnflag")
     df = T(SF, "lineitem",
            ["l_returnflag", "l_quantity", "l_extendedprice"]).to_pandas()
-    df["x"] = df["l_quantity"].round().astype("int64")
-    df["y"] = df["l_extendedprice"].round().astype("int64")
+    df["x"] = _rha(df["l_quantity"].to_numpy()).astype("int64")
+    df["y"] = _rha(df["l_extendedprice"].to_numpy()).astype("int64")
     for rf, g in df.groupby("l_returnflag"):
         r = g["x"].corr(g["y"])
         got = out.loc[rf, "corr_fp"] / 1e6
@@ -500,7 +505,8 @@ def test_percentile_cont_matches_numpy():
     out = q_percentile_cont(SF).to_pandas().set_index("l_returnflag")
     df = T(SF, "lineitem",
            ["l_returnflag", "l_extendedprice"]).to_pandas()
-    v100 = (df["l_extendedprice"] * 100).round().astype("int64")
+    v100 = pd.Series(_rha(df["l_extendedprice"].to_numpy() * 100.0)
+                     .astype("int64"))
     for rf, g in v100.groupby(df["l_returnflag"]):
         for q, col in ((25, "p25"), (50, "p50"), (75, "p75")):
             want = np.percentile(g.to_numpy(), q, method="linear") / 100.0
@@ -586,7 +592,7 @@ def test_winsorize_clip_fractions():
     out = q_winsorize(SF).to_pandas().set_index("l_returnflag")
     df = T(SF, "lineitem",
            ["l_returnflag", "l_extendedprice"]).to_pandas()
-    df["v"] = (df["l_extendedprice"] * 100).round().astype("int64")
+    df["v"] = _rha(df["l_extendedprice"].to_numpy() * 100.0).astype("int64")
     for rf, g in df.groupby("l_returnflag"):
         v = np.sort(g["v"].to_numpy())
         n = len(v)
