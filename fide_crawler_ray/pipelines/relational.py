@@ -926,6 +926,63 @@ def q_percentile_cont(sf_dir):
     return ds.groupby("l_returnflag").map_groups(_q, batch_format="pandas")
 
 
+def q_rolling_active_users(sf_dir, window_days: int = 7):
+    """Rolling 7-day distinct active users (WAU) per day — the
+    retention-dashboard primitive that needs a DISTINCT inside a
+    sliding window. Exact and fully distributed: distinct (day, user)
+    pairs via one map-side-combined groupby, each pair exploded into
+    its ``window_days`` contributing window-end days (a ×7 fan-out of
+    the already-distinct pair table, not of raw events), then a second
+    distinct-pair + count exchange. Every day from an activity day D to
+    D+6 receives D's users; both sides state the same fan-out, so the
+    oracle matches exactly."""
+    ev = T(sf_dir, "events", ["user_id", "ts"])
+
+    def _day_pairs(b: pa.Table) -> pa.Table:
+        d = (b["ts"].to_pandas().to_numpy()
+             .astype("datetime64[D]").astype("int64"))
+        t = pa.table({
+            "day": pa.array(d, pa.int64()),
+            "user_id": b["user_id"],
+        })
+        # map-side distinct before the exchange
+        return pa.TableGroupBy(t, ["day", "user_id"]).aggregate(
+            []).rename_columns(["day", "user_id"])
+
+    pairs = fast_groupby_agg(
+        ev.map_batches(_day_pairs, batch_format="pyarrow"),
+        ["day", "user_id"], {"_n": (None, "count")},
+    )
+
+    def _explode(b: pa.Table) -> pa.Table:
+        d = b["day"].to_numpy(zero_copy_only=False)
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        k = window_days
+        return pa.table({
+            "wday": pa.array(np.repeat(d, k)
+                             + np.tile(np.arange(k, dtype=np.int64),
+                                       len(d)), pa.int64()),
+            "user_id": pa.array(np.repeat(u, k), pa.int64()),
+        })
+
+    wpairs = fast_groupby_agg(
+        pairs.map_batches(_explode, batch_format="pyarrow"),
+        ["wday", "user_id"], {"_n": (None, "count")},
+    )
+    counts = fast_groupby_agg(wpairs, ["wday"], {"wau": (None, "count")})
+
+    def _fmt(b: pa.Table) -> pa.Table:
+        days = b["wday"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]")
+        return pa.table({
+            "day": pa.array(np.datetime_as_string(days, unit="D"),
+                            pa.string()),
+            "wau": b["wau"],
+        })
+
+    return counts.map_batches(_fmt, batch_format="pyarrow")
+
+
 def q_key_skew(sf_dir):
     """Key-distribution skew profile of orders.o_custkey — the
     diagnostic a shuffle planner consults before picking partition
@@ -2724,6 +2781,7 @@ def queries() -> dict:
         "key_skew": q_key_skew,
         "export_jsonl_csv": q_export_jsonl_csv,
         "pareto_frontier": q_pareto_frontier,
+        "rolling_active_users": q_rolling_active_users,
         "segment_monthly_revenue": q_segment_monthly_revenue,
         "string_agg": q_string_agg,
         "distinct_count": q_distinct_count,
@@ -3276,6 +3334,20 @@ ORACLES: dict[str, str] = {
     "export_partitioned": """
         SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n
         FROM orders GROUP BY 1
+    """,
+    "rolling_active_users": """
+        WITH du AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        ),
+        w AS (
+            SELECT CAST(day + g.i * INTERVAL 1 DAY AS DATE) AS wday,
+                   user_id
+            FROM du CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6))
+                 g(i)
+        )
+        SELECT strftime(wday, '%Y-%m-%d') AS day,
+               count(DISTINCT user_id) AS wau
+        FROM w GROUP BY 1
     """,
     "pareto_frontier": """
         WITH m AS (

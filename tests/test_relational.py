@@ -666,3 +666,26 @@ def test_skyline_merge_property():
         got = set(zip(pm[merged], dm[merged]))
         want = set(zip(p[full], d[full]))
         assert got == want
+
+
+def test_rolling_active_users_matches_pandas():
+    """Per-day WAU must equal a direct pandas rolling-window distinct
+    count over the same day grid."""
+    from fide_crawler_ray.pipelines.relational import (
+        T, q_rolling_active_users)
+
+    out = (q_rolling_active_users(SF).to_pandas()
+           .set_index("day")["wau"].sort_index())
+    ev = T(SF, "events", ["user_id", "ts"]).to_pandas()
+    ev["day"] = ev["ts"].to_numpy().astype("datetime64[D]")
+    du = ev[["day", "user_id"]].drop_duplicates()
+    want = {}
+    for d in du["day"].unique():
+        for k in range(7):
+            wd = str(np.datetime64(d, "D") + np.timedelta64(k, "D"))
+            want.setdefault(wd, set())
+    for wd in want:
+        lo = np.datetime64(wd) - np.timedelta64(6, "D")
+        m = (du["day"] >= lo) & (du["day"] <= np.datetime64(wd))
+        want[wd] = du[m]["user_id"].nunique()
+    assert dict(out) == want
