@@ -62,6 +62,27 @@ def lev_ratio(a: str, b: str) -> float:
     return (la + lb - d) / (la + lb)
 
 
+def edit_distance(a: str, b: str) -> int:
+    """Plain Levenshtein distance (unit insert/delete/substitute) —
+    DuckDB ``levenshtein()``-compatible, unlike lev_ratio's cost-2
+    substitutions. Same two-row plain-list DP (see lev_ratio for why
+    not numpy)."""
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (ca != b[j - 1]))
+        prev = cur
+    return prev[lb]
+
+
 def best_match(name: str, candidates: list[str]) -> tuple[str | None, float]:
     """Argmax Levenshtein ratio over cleaned candidates; (None, 0.0) when
     nothing scores > 0 (reference :144-153)."""

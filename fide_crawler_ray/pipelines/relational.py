@@ -926,6 +926,56 @@ def q_percentile_cont(sf_dir):
     return ds.groupby("l_returnflag").map_groups(_q, batch_format="pandas")
 
 
+def q_fuzzy_best_match(sf_dir):
+    """Oracle-backed fuzzy best match: deterministic typo queries
+    (p_name with the character at position p_partkey mod len removed,
+    for the first 50 parts) matched against the 500-part candidate name
+    list by MIN unit-cost Levenshtein, ties broken by name — the
+    entity-resolution primitive with an EXACT DuckDB ``levenshtein()``
+    oracle (the probabilistic enrich path stays in ``fuzzy_match``).
+
+    Plan: candidates broadcast once by ref into an actor pool (500
+    names — the guarded-small side); each query row scans them with the
+    two-row DP in ``__call__``. The scan is O(|candidates|) per query —
+    the honest cost of exact 1-NN edit distance; a large candidate side
+    would move to the n-gram-blocked fuzzy_match plan instead."""
+    from ..functions.fuzzy import edit_distance
+
+    part = T(sf_dir, "part", ["p_partkey", "p_name"])
+    cand = part.filter(expr="p_partkey < 500").map_batches(
+        lambda b: b.select(["p_name"]), batch_format="pyarrow")
+    cref = ray.put(sorted(cand.to_pandas()["p_name"].tolist()))
+
+    class _Best:
+        def __init__(self):
+            self.cands = ray.get(cref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keys, names, dists, qnames = [], [], [], []
+            for k, nm in zip(b["p_partkey"].to_pylist(),
+                             b["p_name"].to_pylist()):
+                pos = k % len(nm)
+                q = nm[:pos] + nm[pos + 1:]
+                best_d, best_n = None, None
+                for c in self.cands:  # sorted — first win = name tiebreak
+                    d = edit_distance(q, c)
+                    if best_d is None or d < best_d:
+                        best_d, best_n = d, c
+                keys.append(k)
+                qnames.append(q)
+                names.append(best_n)
+                dists.append(best_d)
+            return pa.table({
+                "p_partkey": pa.array(keys, pa.int64()),
+                "qname": pa.array(qnames, pa.string()),
+                "match_name": pa.array(names, pa.string()),
+                "dist": pa.array(dists, pa.int64()),
+            })
+
+    return part.filter(expr="p_partkey < 50").map_batches(
+        _Best, batch_format="pyarrow", concurrency=(1, 4), batch_size=16)
+
+
 def q_rolling_active_users(sf_dir, window_days: int = 7):
     """Rolling 7-day distinct active users (WAU) per day — the
     retention-dashboard primitive that needs a DISTINCT inside a
@@ -2782,6 +2832,7 @@ def queries() -> dict:
         "export_jsonl_csv": q_export_jsonl_csv,
         "pareto_frontier": q_pareto_frontier,
         "rolling_active_users": q_rolling_active_users,
+        "fuzzy_best_match": q_fuzzy_best_match,
         "segment_monthly_revenue": q_segment_monthly_revenue,
         "string_agg": q_string_agg,
         "distinct_count": q_distinct_count,
@@ -3334,6 +3385,27 @@ ORACLES: dict[str, str] = {
     "export_partitioned": """
         SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n
         FROM orders GROUP BY 1
+    """,
+    "fuzzy_best_match": """
+        WITH q AS (
+            SELECT p_partkey,
+                   substr(p_name, 1, p_partkey % length(p_name))
+                   || substr(p_name, p_partkey % length(p_name) + 2)
+                       AS qname
+            FROM part WHERE p_partkey < 50
+        ),
+        c AS (SELECT p_name AS cname FROM part WHERE p_partkey < 500),
+        d AS (
+            SELECT q.p_partkey, q.qname, c.cname,
+                   levenshtein(q.qname, c.cname) AS dist,
+                   row_number() OVER (
+                       PARTITION BY q.p_partkey
+                       ORDER BY levenshtein(q.qname, c.cname), c.cname
+                   ) AS rn
+            FROM q CROSS JOIN c
+        )
+        SELECT p_partkey, qname, cname AS match_name, dist
+        FROM d WHERE rn = 1
     """,
     "rolling_active_users": """
         WITH du AS (

@@ -165,3 +165,20 @@ def test_localization_rename():
     assert list(localize_columns(df, "xx").columns) == list(df.columns)
     ds = localize_dataset(rd.from_pandas(df), "pt-BR")
     assert "Nome do Torneio" in ds.schema().names
+
+
+def test_edit_distance_properties():
+    """Unit-cost Levenshtein: identity, symmetry, known values, and the
+    triangle inequality on a few fixed strings."""
+    from fide_crawler_ray.functions.fuzzy import edit_distance as ed
+
+    assert ed("", "") == 0
+    assert ed("abc", "") == 3 and ed("", "abc") == 3
+    assert ed("kitten", "sitting") == 3
+    assert ed("flaw", "lawn") == 2
+    words = ["table", "tale", "tables", "cable", "tbale"]
+    for a in words:
+        for b in words:
+            assert ed(a, b) == ed(b, a)
+            for c in words:
+                assert ed(a, c) <= ed(a, b) + ed(b, c)
