@@ -926,6 +926,60 @@ def q_percentile_cont(sf_dir):
     return ds.groupby("l_returnflag").map_groups(_q, batch_format="pandas")
 
 
+def q_grouped_mad(sf_dir):
+    """Median absolute deviation of l_quantity per return flag — the
+    outlier-robust spread statistic next to q_grouped_variance. Both
+    medians use the engine-wide rank rule (``_rank_pick_sorted``) over
+    ×100 integer fixed point, so the two-level SQL window oracle
+    matches exactly. Per-group numpy sorts in map_groups (3 groups —
+    the partition bound, same caveat as q_percentile_cont)."""
+    ds = T(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def _mad(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(_round_half_away(
+            g["l_quantity"].to_numpy() * 100.0).astype(np.int64))
+        med = int(_rank_pick_sorted(v, 0.5))
+        dd = np.sort(np.abs(v - med))
+        return pd.DataFrame({
+            "l_returnflag": [g["l_returnflag"].iloc[0]],
+            "median_fp": [med],
+            "mad_fp": [int(_rank_pick_sorted(dd, 0.5))],
+        })
+
+    return ds.groupby("l_returnflag").map_groups(_mad,
+                                                 batch_format="pandas")
+
+
+def q_event_transitions(sf_dir):
+    """Per-user event-type transition counts (the Markov/session-mining
+    primitive: how often does event X follow event Y?). One hash
+    shuffle partitions by user; each group sorts by the deterministic
+    (ts, event_id) order and pairs consecutive events with a vectorized
+    shift; per-group counters are partial rows that one
+    map-side-combined groupby folds globally — the exchange after the
+    user partition moves only (prev, next, n) triples."""
+    ev = T(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        prev = g["event_type"].to_numpy()[:-1]
+        nxt = g["event_type"].to_numpy()[1:]
+        if len(prev) == 0:
+            return pd.DataFrame({
+                "prev_event": pd.Series([], dtype="object"),
+                "next_event": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64")})
+        d = (pd.DataFrame({"prev_event": prev, "next_event": nxt})
+             .groupby(["prev_event", "next_event"], sort=False)
+             .size().reset_index(name="n"))
+        d["n"] = d["n"].astype("int64")
+        return d
+
+    pairs = ev.groupby("user_id").map_groups(_pairs, batch_format="pandas")
+    return fast_groupby_agg(pairs, ["prev_event", "next_event"],
+                            {"n": ("n", "sum")})
+
+
 def q_fuzzy_best_match(sf_dir):
     """Oracle-backed fuzzy best match: deterministic typo queries
     (p_name with the character at position p_partkey mod len removed,
@@ -2833,6 +2887,8 @@ def queries() -> dict:
         "pareto_frontier": q_pareto_frontier,
         "rolling_active_users": q_rolling_active_users,
         "fuzzy_best_match": q_fuzzy_best_match,
+        "event_transitions": q_event_transitions,
+        "grouped_mad": q_grouped_mad,
         "segment_monthly_revenue": q_segment_monthly_revenue,
         "string_agg": q_string_agg,
         "distinct_count": q_distinct_count,
@@ -3385,6 +3441,54 @@ ORACLES: dict[str, str] = {
     "export_partitioned": """
         SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n
         FROM orders GROUP BY 1
+    """,
+    "grouped_mad": """
+        WITH m AS (
+            SELECT l_returnflag,
+                   CAST(round(l_quantity * 100) AS BIGINT) AS v
+            FROM lineitem
+        ),
+        s AS (
+            SELECT l_returnflag, v,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY v) AS rn,
+                   count(*) OVER (PARTITION BY l_returnflag) AS n
+            FROM m
+        ),
+        med AS (
+            SELECT l_returnflag,
+                   max(CASE WHEN rn = GREATEST(1,
+                       CAST(ceil(0.5 * n) AS BIGINT)) THEN v END) AS med
+            FROM s GROUP BY 1
+        ),
+        dev AS (
+            SELECT m.l_returnflag, med.med, abs(m.v - med.med) AS dd
+            FROM m JOIN med USING (l_returnflag)
+        ),
+        s2 AS (
+            SELECT l_returnflag, med, dd,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY dd) AS rn,
+                   count(*) OVER (PARTITION BY l_returnflag) AS n
+            FROM dev
+        )
+        SELECT l_returnflag, any_value(med) AS median_fp,
+               max(CASE WHEN rn = GREATEST(1,
+                   CAST(ceil(0.5 * n) AS BIGINT)) THEN dd END) AS mad_fp
+        FROM s2 GROUP BY 1
+    """,
+    "event_transitions": """
+        WITH s AS (
+            SELECT event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS nxt
+            FROM events
+        )
+        SELECT event_type AS prev_event, nxt AS next_event,
+               count(*) AS n
+        FROM s WHERE nxt IS NOT NULL
+        GROUP BY 1, 2
     """,
     "fuzzy_best_match": """
         WITH q AS (

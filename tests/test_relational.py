@@ -689,3 +689,41 @@ def test_rolling_active_users_matches_pandas():
         m = (du["day"] >= lo) & (du["day"] <= np.datetime64(wd))
         want[wd] = du[m]["user_id"].nunique()
     assert dict(out) == want
+
+
+def test_event_transitions_matches_pandas():
+    """Global transition counts must equal a direct per-user
+    sort + shift count."""
+    from fide_crawler_ray.pipelines.relational import (
+        T, q_event_transitions)
+
+    out = q_event_transitions(SF).to_pandas()
+    got = {(r.prev_event, r.next_event): r.n
+           for r in out.itertuples(index=False)}
+    ev = T(SF, "events",
+           ["user_id", "event_type", "ts", "event_id"]).to_pandas()
+    want: dict = {}
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        e = g["event_type"].to_numpy()
+        for a, b in zip(e[:-1], e[1:]):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    assert got == want
+
+
+def test_grouped_mad_matches_direct():
+    """median_fp / mad_fp must equal the rank-rule picks computed
+    directly, and MAD must be ≤ the group's value range."""
+    from fide_crawler_ray.pipelines.relational import (
+        T, _rank_pick_sorted, q_grouped_mad)
+
+    out = q_grouped_mad(SF).to_pandas().set_index("l_returnflag")
+    df = T(SF, "lineitem", ["l_returnflag", "l_quantity"]).to_pandas()
+    df["v"] = _rha(df["l_quantity"].to_numpy() * 100.0).astype("int64")
+    for rf, g in df.groupby("l_returnflag"):
+        v = np.sort(g["v"].to_numpy())
+        med = int(_rank_pick_sorted(v, 0.5))
+        mad = int(_rank_pick_sorted(np.sort(np.abs(v - med)), 0.5))
+        assert out.loc[rf, "median_fp"] == med
+        assert out.loc[rf, "mad_fp"] == mad
+        assert 0 <= mad <= v[-1] - v[0]
