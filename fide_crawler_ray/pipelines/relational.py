@@ -926,6 +926,53 @@ def q_percentile_cont(sf_dir):
     return ds.groupby("l_returnflag").map_groups(_q, batch_format="pandas")
 
 
+def q_cohort_retention(sf_dir, max_k: int = 13):
+    """Cohort retention matrix — users grouped by their FIRST active
+    day (the cohort), counted on each later day-offset k ≤ ``max_k``:
+    the canonical product-analytics table. Distinct (day, user) pairs
+    and per-user first days each come from one map-side-combined
+    partial-agg; a hash join attaches the cohort back onto the pair
+    table (user-keyed — the side that can be huge — so no broadcast),
+    and the final count is exact because the joined pairs are already
+    distinct per (cohort, k, user)."""
+    ev = T(sf_dir, "events", ["user_id", "ts"])
+
+    def _day_pairs(b: pa.Table) -> pa.Table:
+        d = (b["ts"].to_pandas().to_numpy()
+             .astype("datetime64[D]").astype("int64"))
+        t = pa.table({"day": pa.array(d, pa.int64()),
+                      "user_id": b["user_id"]})
+        return pa.TableGroupBy(t, ["day", "user_id"]).aggregate(
+            []).rename_columns(["day", "user_id"])
+
+    du = fast_groupby_agg(
+        ev.map_batches(_day_pairs, batch_format="pyarrow"),
+        ["day", "user_id"], {"_n": (None, "count")},
+    ).map_batches(lambda b: b.select(["day", "user_id"]),
+                  batch_format="pyarrow").materialize()
+    first = fast_groupby_agg(du, ["user_id"], {"c": ("day", "min")}) \
+        .map_batches(lambda b: b.rename_columns(["user_r", "c"]),
+                     batch_format="pyarrow")
+    j = du.join(first, "inner", num_partitions=8,
+                on=("user_id",), right_on=("user_r",))
+
+    def _mat(b: pa.Table) -> pa.Table:
+        day = b["day"].to_numpy(zero_copy_only=False)
+        c = b["c"].to_numpy(zero_copy_only=False)
+        k = day - c
+        keep = k <= max_k
+        return pa.table({
+            "cohort_day": pa.array(np.datetime_as_string(
+                c[keep].astype("datetime64[D]"), unit="D"), pa.string()),
+            "k": pa.array(k[keep], pa.int64()),
+        })
+
+    return fast_groupby_agg(
+        j.map_batches(_mat, batch_format="pyarrow"),
+        ["cohort_day", "k"], {"n_users": (None, "count")},
+    )
+
+
 def q_grouped_mad(sf_dir):
     """Median absolute deviation of l_quantity per return flag — the
     outlier-robust spread statistic next to q_grouped_variance. Both
@@ -2889,6 +2936,7 @@ def queries() -> dict:
         "fuzzy_best_match": q_fuzzy_best_match,
         "event_transitions": q_event_transitions,
         "grouped_mad": q_grouped_mad,
+        "cohort_retention": q_cohort_retention,
         "segment_monthly_revenue": q_segment_monthly_revenue,
         "string_agg": q_string_agg,
         "distinct_count": q_distinct_count,
@@ -3441,6 +3489,18 @@ ORACLES: dict[str, str] = {
     "export_partitioned": """
         SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n
         FROM orders GROUP BY 1
+    """,
+    "cohort_retention": """
+        WITH du AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        ),
+        f AS (SELECT user_id, min(day) AS c FROM du GROUP BY user_id)
+        SELECT strftime(f.c, '%Y-%m-%d') AS cohort_day,
+               CAST(du.day - f.c AS BIGINT) AS k,
+               count(*) AS n_users
+        FROM du JOIN f USING (user_id)
+        WHERE du.day - f.c <= 13
+        GROUP BY 1, 2
     """,
     "grouped_mad": """
         WITH m AS (

@@ -727,3 +727,29 @@ def test_grouped_mad_matches_direct():
         assert out.loc[rf, "median_fp"] == med
         assert out.loc[rf, "mad_fp"] == mad
         assert 0 <= mad <= v[-1] - v[0]
+
+
+def test_cohort_retention_matches_pandas():
+    """The matrix must equal a direct pandas cohort computation, and
+    k=0 of each cohort must equal the cohort's size."""
+    from fide_crawler_ray.pipelines.relational import (
+        T, q_cohort_retention)
+
+    out = q_cohort_retention(SF).to_pandas()
+    got = {(r.cohort_day, r.k): r.n_users
+           for r in out.itertuples(index=False)}
+    ev = T(SF, "events", ["user_id", "ts"]).to_pandas()
+    ev["day"] = ev["ts"].to_numpy().astype("datetime64[D]")
+    du = ev[["day", "user_id"]].drop_duplicates()
+    first = du.groupby("user_id")["day"].min()
+    want: dict = {}
+    for _, r in du.iterrows():
+        c = first[r["user_id"]]
+        k = int((r["day"] - c).days)
+        if k <= 13:
+            key = (str(np.datetime64(c, "D")), k)
+            want[key] = want.get(key, 0) + 1
+    assert got == want
+    sizes = first.value_counts()
+    for c, n in sizes.items():
+        assert got[(str(np.datetime64(c, "D")), 0)] == n
