@@ -1006,7 +1006,8 @@ ORACLES: dict[str, str] = {
         SELECT l_orderkey, count(*) AS n_items,
                round(sum(l_quantity) * 10000.0) / 10000.0 AS sum_qty,
                round(sum(l_extendedprice) * 10000.0) / 10000.0 AS sum_price,
-               sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returns
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_returns
         FROM lineitem GROUP BY l_orderkey
     """,
     "a11_watermark": """

@@ -163,36 +163,71 @@ def q_asof_join(sf_dir):
     return ev.map_batches(_AsOf, batch_format="pyarrow", concurrency=2)
 
 
+# customer→region map broadcast below this; above it customer is treated
+# as what it really is at scale — a fact-sized table — and orders
+# hash-join against it (nation/region stay broadcast: genuinely tiny)
+REGION_REV_MAX_BROADCAST = 2_000_000
+
+
 def q_region_revenue(sf_dir):
-    """Three-table join chain orders⋈customer⋈nation⋈region collapsed
-    into ONE broadcast probe: the dimension chain (customer→nation→
-    region, all small) is pre-joined into a custkey→region map per actor
-    in ``__init__`` — a chained shuffle join would move the fact table
-    three times for no reason."""
-    refs = ray.put((
-        T(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_arrow_refs(),
+    """Three-table join chain orders⋈customer⋈nation⋈region. Below
+    REGION_REV_MAX_BROADCAST customers the dimension chain (customer→
+    nation→region) is pre-joined into a custkey→region map per actor in
+    ``__init__`` — ONE broadcast probe; a chained shuffle join would
+    move the fact table three times for no reason. Customer is the one
+    "dimension" that grows with the dataset, so above the guard the
+    nation→region label (≤25 rows) attaches to customer map-side and
+    orders hash-join customer on custkey — one fact exchange. Tiers
+    pinned identical by test."""
+    cust = T(sf_dir, "customer", ["c_custkey", "c_nationkey"]).materialize()
+    nr_refs = ray.put((
         T(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_arrow_refs(),
         T(sf_dir, "region", ["r_regionkey", "r_name"]).to_arrow_refs(),
     ))
 
-    class _Chain:
-        def __init__(self):
-            c, n, r = ray.get(refs)
-            cd = pa.concat_tables(ray.get(c)).to_pandas()
-            nd = pa.concat_tables(ray.get(n)).to_pandas()
-            rd_ = pa.concat_tables(ray.get(r)).to_pandas()
-            m = (cd.merge(nd, left_on="c_nationkey", right_on="n_nationkey")
-                   .merge(rd_, left_on="n_regionkey", right_on="r_regionkey"))
-            self.keys = pa.array(m["c_custkey"].to_numpy())
-            self.names = pa.array(m["r_name"], pa.string())
+    def _nation_region_map():
+        n, r = ray.get(nr_refs)
+        nd = pa.concat_tables(ray.get(n)).to_pandas()
+        rd_ = pa.concat_tables(ray.get(r)).to_pandas()
+        m = nd.merge(rd_, left_on="n_regionkey", right_on="r_regionkey")
+        return (pa.array(m["n_nationkey"].to_numpy()),
+                pa.array(m["r_name"], pa.string()))
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            idx = pc.index_in(b["o_custkey"], value_set=self.keys)
-            t = b.append_column("r_name", pc.take(self.names, idx))
-            return t.filter(pc.is_valid(idx))
+    orders = T(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
-    ds = T(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
-        _Chain, batch_format="pyarrow", concurrency=2)
+    if cust.count() > REGION_REV_MAX_BROADCAST:
+        def _label(b: pa.Table) -> pa.Table:
+            nk, names = _nation_region_map()
+            idx = pc.index_in(b["c_nationkey"], value_set=nk)
+            return pa.table({
+                "ck_r": b["c_custkey"],
+                "r_name": pc.take(names, idx),
+            }).filter(pc.is_valid(idx))
+
+        labeled = cust.map_batches(_label, batch_format="pyarrow")
+        ds = orders.join(labeled, "inner", num_partitions=16,
+                         on=("o_custkey",), right_on=("ck_r",))
+    else:
+        cref = ray.put(cust.to_arrow_refs())
+
+        class _Chain:
+            def __init__(self):
+                cd = pa.concat_tables(ray.get(ray.get(cref))).to_pandas()
+                nk, names = _nation_region_map()
+                nd = pa.table({"n_nationkey": nk,
+                               "r_name": names}).to_pandas()
+                m = cd.merge(nd, left_on="c_nationkey",
+                             right_on="n_nationkey")
+                self.keys = pa.array(m["c_custkey"].to_numpy())
+                self.names = pa.array(m["r_name"], pa.string())
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                idx = pc.index_in(b["o_custkey"], value_set=self.keys)
+                t = b.append_column("r_name", pc.take(self.names, idx))
+                return t.filter(pc.is_valid(idx))
+
+        ds = orders.map_batches(_Chain, batch_format="pyarrow",
+                                concurrency=2)
     out = fast_groupby_agg(ds, ["r_name"], {
         "revenue": ("o_totalprice", "sum"), "n_orders": (None, "count"),
     })
@@ -427,14 +462,25 @@ def q_relational_division(sf_dir):
     )
 
 
+# per-group aggregate rows broadcast (by block ref, plasma-shared) below
+# this; above it the decorrelated aggregate stays a Dataset and the fact
+# side hash-joins against it — the aggregate is customer-CARDINALITY
+# sized, i.e. it grows with the dataset, unlike a true dimension
+ABOVE_AVG_MAX_BROADCAST = 2_000_000
+
+
 def q_above_customer_avg(sf_dir):
     """Decorrelated subquery — the classic "rows above their group's
     average" pattern (``WHERE o_totalprice > (SELECT avg(..) ... WHERE
     same customer)``): per-customer (Σprice_fp, n) via one partial-agg
-    groupby, broadcast (customer-count-sized — the guard reroute would
-    be a hash join, same as q_bigram_stats), then a map-side INTEGER
-    cross-product predicate ``price_fp · n > Σprice_fp`` — exact, no
-    division, no float edge."""
+    groupby, then a map-side INTEGER cross-product predicate
+    ``price_fp · n > Σprice_fp`` — exact, no division, no float edge.
+    Dual tier: below ABOVE_AVG_MAX_BROADCAST the per-customer aggregate
+    ships as BLOCK REFS (actors assemble the probe arrays from plasma —
+    nothing lands on the driver); above it the aggregate stays a
+    Dataset and orders hash-join against it (customer is fact-scale:
+    at 100 TB the aggregate is too big to broadcast). Both tiers are
+    pinned identical by test."""
     orders = T(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
 
     def _fp(b: pa.Table) -> pa.Table:
@@ -449,14 +495,34 @@ def q_above_customer_avg(sf_dir):
     fp = orders.map_batches(_fp, batch_format="pyarrow").materialize()
     agg = fast_groupby_agg(fp, ["o_custkey"], {
         "s": ("p", "sum"), "n": (None, "count"),
-    }).to_pandas()  # one row per customer with orders — broadcast side
-    aref = ray.put((agg["o_custkey"].to_numpy(np.int64),
-                    agg["s"].to_numpy(np.int64),
-                    agg["n"].to_numpy(np.int64)))
+    }).materialize()
+
+    if agg.count() > ABOVE_AVG_MAX_BROADCAST:
+        j = fp.join(
+            agg.map_batches(
+                lambda b: b.rename_columns(["ck_r", "s", "n"]),
+                batch_format="pyarrow"),
+            "inner", num_partitions=16,
+            on=("o_custkey",), right_on=("ck_r",))
+
+        def _pred(b: pa.Table) -> pa.Table:
+            p = b["p"].to_numpy(zero_copy_only=False)
+            s = b["s"].to_numpy(zero_copy_only=False)
+            n = b["n"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "o_orderkey": b["o_orderkey"].filter(pa.array(p * n > s)),
+            })
+
+        return j.map_batches(_pred, batch_format="pyarrow")
+
+    aref = ray.put(agg.to_arrow_refs())
 
     class _Above:
         def __init__(self):
-            k, s, n = ray.get(aref)
+            t = pa.concat_tables(ray.get(ray.get(aref)))
+            k = t["o_custkey"].to_numpy(zero_copy_only=False)
+            s = t["s"].to_numpy(zero_copy_only=False)
+            n = t["n"].to_numpy(zero_copy_only=False)
             order = np.argsort(k)
             self.k, self.s, self.n = k[order], s[order], n[order]
 
@@ -790,21 +856,28 @@ def _pagerank_oracle(iters: int = PAGERANK_ITERS) -> str:
             ) s ON s.node = b.node
         )"""
     return head + body + f"""
-        SELECT node, pr AS pr_fp FROM p{iters}
+        SELECT node, CAST(pr AS BIGINT) AS pr_fp FROM p{iters}
     """
 
 
 TRIANGLES_MAX_SINGLE_EDGES = 20_000_000
 
 
+TRIANGLES_WEDGE_BUDGET = 50_000_000  # Σ deg·(deg−1)/2 cap for the 1-task tier
+
+
 @ray.remote
-def _triangle_task(*tables: pa.Table) -> pa.Table:
+def _triangle_task(max_wedges: int, *tables: pa.Table) -> pa.Table:
     """Single-task wedge expansion + membership probe over the collected
     normalized edge list (u < v, distinct): per equal-u run, all (a < b)
-    neighbor pairs via triu_indices; a wedge is a triangle iff (a, b) is
-    itself an edge — probed with one searchsorted against the packed
-    (u<<32|v) edge keys. Counts each triangle exactly once (at its
-    minimum node)."""
+    neighbor pairs expanded in bounded chunks (_run_pair_chunks — peak
+    memory O(chunk), not O(Σ deg²)); a wedge is a triangle iff (a, b) is
+    itself an edge — probed with one searchsorted per chunk against the
+    packed (u<<32|v) edge keys. Counts each triangle exactly once (at
+    its minimum node). Guarded on TOTAL wedge volume Σ k·(k−1)/2 — one
+    hub under the edge-count guard can still cost O(deg²) compute, so
+    the caller falls back to the distributed join tier above the
+    budget (the edge-count guard alone cannot see hub skew)."""
     t = pa.concat_tables([x for x in tables if x.num_rows > 0])
     u = t["u"].to_numpy(zero_copy_only=False)
     v = t["v"].to_numpy(zero_copy_only=False)
@@ -814,26 +887,20 @@ def _triangle_task(*tables: pa.Table) -> pa.Table:
     keys = (u.astype(np.int64) << 32) | v.astype(np.int64)
     starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
     lens = np.diff(np.r_[starts, len(u)])
-    wa, wb = [], []
-    triu_cache: dict = {}  # degrees cluster on few values — reuse index pairs
-    for s, k in zip(starts[lens >= 2], lens[lens >= 2]):
-        seg = v[s:s + k]
-        iu_ju = triu_cache.get(k)
-        if iu_ju is None:
-            iu_ju = triu_cache[k] = np.triu_indices(k, k=1)
-        iu, ju = iu_ju
-        wa.append(seg[iu])
-        wb.append(seg[ju])
-    if wa:
-        a = np.concatenate(wa)
-        b = np.concatenate(wb)
-        wk = (a.astype(np.int64) << 32) | b.astype(np.int64)
+    runs = np.flatnonzero(lens >= 2)
+    kk = lens[runs].astype(np.int64)
+    n_wedges = int((kk * (kk - 1) // 2).sum())
+    if n_wedges > max_wedges:
+        raise ValueError(
+            f"degenerate hub: {n_wedges} wedges across equal-u runs "
+            f"(budget {max_wedges})")
+    n_tri = 0
+    for iu, ju in _run_pair_chunks(starts, lens, runs,
+                                   SIM_JOIN_PAIR_CHUNK):
+        wk = (v[iu].astype(np.int64) << 32) | v[ju].astype(np.int64)
         pos = np.searchsorted(keys, wk)
         pos[pos >= len(keys)] = len(keys) - 1
-        n_tri = int((keys[pos] == wk).sum())
-        n_wedges = len(wk)
-    else:
-        n_tri = n_wedges = 0
+        n_tri += int((keys[pos] == wk).sum())
     return pa.table({"n_wedges": pa.array([n_wedges], pa.int64()),
                      "n_triangles": pa.array([n_tri], pa.int64())})
 
@@ -852,9 +919,10 @@ def q_triangle_count(sf_dir,
     edge list; both joins carry one count partial-agg behind them —
     nothing graph-sized on the driver. Under the edge guard the
     collected single-task tier runs instead (pinned identical by
-    test). Degenerate hubs: wedge volume is Σ deg², the same k² class
-    the similarity join caps — a production corpus would degree-orient
-    edges first; the derived graph here is near-uniform."""
+    test), itself guarded on TOTAL wedge volume Σ deg·(deg−1)/2
+    (TRIANGLES_WEDGE_BUDGET) with fail-over to the join tier — the
+    same enforced degenerate-run protection as the similarity join,
+    since one hub node under the edge-count guard is still O(deg²)."""
     n = T(sf_dir, "customer", ["c_custkey"]).count()
     raw = _pagerank_edges(sf_dir, n)
 
@@ -876,8 +944,16 @@ def q_triangle_count(sf_dir,
     import ray.data as rd
 
     if edges.count() <= max_single_edges:
-        return rd.from_arrow_refs(
-            [_triangle_task.remote(*edges.to_arrow_refs())])
+        try:
+            return rd.from_arrow_refs(
+                [_triangle_task.remote(TRIANGLES_WEDGE_BUDGET,
+                                       *edges.to_arrow_refs())]
+            ).materialize()
+        except Exception as e:  # RayTaskError wraps the ValueError
+            if "degenerate hub" not in str(e):
+                raise
+            # hub skew: wedge volume exceeds the single-task budget —
+            # the join tier below spreads the same expansion
 
     right = edges.map_batches(
         lambda b: b.rename_columns(["u_r", "b"]), batch_format="pyarrow")
@@ -1246,6 +1322,11 @@ def q_grouped_entropy(sf_dir):
     exchange moves only integers and the result is summation-order
     independent (float addition is not associative; an unquantized
     float Σ would make the bitwise oracle gate layout-dependent).
+    ln is evaluated through libm (math.log per distinct count) rather
+    than numpy's SIMD log: DuckDB's ln calls std::log → libm, and the
+    two implementations can disagree by 1 ulp, which near a .5
+    quantization boundary would flip the fixed-point bit — same-libm
+    evaluation makes both sides bit-identical on a host.
     Headroom: c·ln(c)·10⁹ stays under int64 through c ≈ 2×10⁸ events
     per (user, type). The final expression ln(n) − (s/10⁹)/n is
     mirrored operation-for-operation, emitted as ×10⁶ half-away fixed
@@ -1256,12 +1337,15 @@ def q_grouped_entropy(sf_dir):
     )
 
     def _clnc(b: pa.Table) -> pa.Table:
-        c = b["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = b["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(c, return_inverse=True)
+        lnu = np.array([math.log(float(u)) for u in uniq], np.float64)
+        cln = c.astype(np.float64) * lnu[inv]
         return pa.table({
             "user_id": b["user_id"],
             "c": b["c"],
             "clnc_fp": pa.array(
-                _round_half_away(c * np.log(c) * 1e9).astype(np.int64),
+                _round_half_away(cln * 1e9).astype(np.int64),
                 pa.int64()),
         })
 
@@ -1273,7 +1357,9 @@ def q_grouped_entropy(sf_dir):
     def _ent(b: pa.Table) -> pa.Table:
         n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
         s = b["s"].to_numpy(zero_copy_only=False).astype(np.float64) / 1e9
-        ent = np.log(n) - s / n
+        un, inv = np.unique(n, return_inverse=True)
+        lnn = np.array([math.log(float(u)) for u in un], np.float64)
+        ent = lnn[inv] - s / n
         return pa.table({
             "user_id": b["user_id"],
             "n_events": b["n"],
@@ -2036,7 +2122,12 @@ SIM_JOIN_THRESHOLD = 0.5
 # above it the unfiltered self-join runs (same answer, no driver state).
 SIM_JOIN_MAX_BROADCAST = 4_000_000
 SIM_JOIN_MAX_SINGLE_PREFIX = 5_000_000  # prefix rows for 1-task pairing
-SIM_JOIN_MAX_RUN = 20_000  # max docs sharing one prefix shingle (k² cap)
+# single-task pairing guard: TOTAL Σ k·(k−1)/2 candidate pairs across all
+# equal-runs (the quantity that actually costs memory/compute — a per-run
+# length cap of 20k used to admit one ~2e8-pair run ≈ 15 GB of derived
+# int64 arrays in a single task); above it fail over to the join tier
+SIM_JOIN_PAIR_BUDGET = 50_000_000
+SIM_JOIN_PAIR_CHUNK = 4_000_000  # pairs expanded per chunk (~0.4 GB peak)
 # verify tier: max DISTINCT docs named by candidate pairs whose texts
 # may ship by ref to lookup actors (bounds the per-worker lookup dict)
 SIM_JOIN_MAX_BROADCAST_DOCS = 200_000
@@ -2189,20 +2280,55 @@ def _prefix_rows_table(b: pa.Table, hs: np.ndarray, dfs: np.ndarray,
                      "pos_a": pa.array(rank[keep], pa.int64())})
 
 
+def _run_pair_chunks(starts: np.ndarray, lens: np.ndarray,
+                     runs: np.ndarray, chunk_pairs: int):
+    """Yield (iu, ju) GLOBAL index pairs (iu < ju, both inside one
+    equal-run) in chunks of ≤ chunk_pairs pairs, fully vectorized
+    (repeat + cumsum ramp — no per-pair or per-row Python loop).
+    Bounds peak memory at O(chunk) independent of run shape: a single
+    2e8-pair run streams through as ~50 chunks instead of one 15 GB
+    triu materialization."""
+    # per run, row i (0-based, i < k-1) contributes k-1-i pairs
+    row_run = np.repeat(runs, np.maximum(lens[runs] - 1, 0))
+    row_i = (np.arange(len(row_run))
+             - np.repeat(np.cumsum(np.maximum(lens[runs] - 1, 0))
+                         - np.maximum(lens[runs] - 1, 0),
+                         np.maximum(lens[runs] - 1, 0)))
+    row_pairs = lens[row_run] - 1 - row_i
+    cum = np.cumsum(row_pairs)
+    lo_row = 0
+    while lo_row < len(row_run):
+        base = cum[lo_row - 1] if lo_row else 0
+        hi_row = int(np.searchsorted(cum, base + chunk_pairs, "right"))
+        hi_row = max(hi_row, lo_row + 1)  # always advance ≥ 1 row
+        rr = row_run[lo_row:hi_row]
+        ri = row_i[lo_row:hi_row]
+        counts = (lens[rr] - 1 - ri).astype(np.int64)
+        iu = np.repeat(starts[rr] + ri, counts)
+        offs = np.cumsum(counts)
+        ramp = np.arange(int(offs[-1])) - np.repeat(offs - counts, counts)
+        ju = iu + 1 + ramp
+        yield iu, ju
+        lo_row = hi_row
+
+
 @ray.remote
-def _prefix_pairs_task(max_run: int, thr_num: int, thr_den: int,
+def _prefix_pairs_task(max_pairs: int, thr_num: int, thr_den: int,
                        *tables: pa.Table) -> pa.Table:
     """Distinct candidate pairs (a < b) from the prefix index in one
     task: sort rows by shingle hash, expand each equal-run's pair
-    matrix with repeat/arange (no Python loop over pairs), apply the
+    matrix in bounded chunks with repeat/cumsum-ramp (no Python loop
+    over pairs, ≤ SIM_JOIN_PAIR_CHUNK pairs live at once), apply the
     PPJoin LENGTH filter (J ≥ θ requires θ·max(|A|,|B|) ≤ min(|A|,|B|))
     and POSITIONAL filter (a collision at ordered-prefix positions
     (i, j) bounds |A∩B| ≤ 1 + min(|A|−i−1, |B|−j−1), which must reach
     ⌈θ/(1+θ)·(|A|+|B|)⌉; a pair survives if ANY of its collisions
     passes — a superset of PPJoin's accumulate form, so no true pair
     is lost), then a structured np.unique dedups multi-shingle
-    survivors. On a boilerplate corpus the filtered-out collisions are
-    the bulk of the naive candidate set."""
+    survivors. Guarded on TOTAL Σ k·(k−1)/2 across runs (max_pairs),
+    the quantity that costs compute — the caller falls back to the
+    distributed join tier above it. On a boilerplate corpus the
+    filtered-out collisions are the bulk of the naive candidate set."""
     live = [t for t in tables if t.num_rows > 0]
     if not live:
         return pa.table({"a": pa.array([], pa.int64()),
@@ -2221,30 +2347,29 @@ def _prefix_pairs_task(max_run: int, thr_num: int, thr_den: int,
     if runs.size == 0:
         return pa.table({"a": pa.array([], pa.int64()),
                          "b": pa.array([], pa.int64())})
-    if int(lens.max()) > max_run:
-        # k² pair matrix of a degenerate run would OOM this one task;
+    kk = lens[runs].astype(np.int64)
+    total_pairs = int((kk * (kk - 1) // 2).sum())
+    if total_pairs > max_pairs:
+        # Σ pair-matrix volume would swamp this one task's time budget;
         # the caller falls back to the distributed join tier
         raise ValueError(
-            f"degenerate prefix run: {int(lens.max())} rows share one "
-            f"shingle (cap {max_run})")
-    # for a run of length k: k*(k-1)/2 ordered index pairs (i<j)
+            f"degenerate prefix run: {total_pairs} candidate pairs "
+            f"across equal-runs (budget {max_pairs})")
+    # for a run of length k: k*(k-1)/2 ordered index pairs (i<j),
+    # expanded in ≤ SIM_JOIN_PAIR_CHUNK-pair chunks (bounded peak RSS)
     out_a: list = []
     out_b: list = []
-    for r in runs:  # runs are few relative to pairs; inner work is numpy
-        s, k = starts[r], lens[r]
-        seg = ids[s:s + k]
-        segsz = szs[s:s + k]
-        segpos = poss[s:s + k]
-        iu, ju = np.triu_indices(k, k=1)
-        pa_, pb_ = seg[iu], seg[ju]
-        sa_, sb_ = segsz[iu], segsz[ju]
+    for iu, ju in _run_pair_chunks(starts, lens, runs,
+                                   SIM_JOIN_PAIR_CHUNK):
+        pa_, pb_ = ids[iu], ids[ju]
+        sa_, sb_ = szs[iu], szs[ju]
         smin = np.minimum(sa_, sb_)
         smax = np.maximum(sa_, sb_)
         lo = np.minimum(pa_, pb_)
         hi = np.maximum(pa_, pb_)
         # required intersection (integer ceil) and positional upper bound
         req = -(-(sa_ + sb_) * thr_num // (thr_num + thr_den))
-        ub = 1 + np.minimum(sa_ - segpos[iu] - 1, sb_ - segpos[ju] - 1)
+        ub = 1 + np.minimum(sa_ - poss[iu] - 1, sb_ - poss[ju] - 1)
         keep = ((lo != hi) & (smin * thr_den >= smax * thr_num)
                 & (ub >= req))
         out_a.append(lo[keep])
@@ -2353,16 +2478,16 @@ def q_similarity_join(sf_dir, threshold: float = SIM_JOIN_THRESHOLD,
 
         try:
             cand = rd.from_arrow_refs(
-                [_prefix_pairs_task.remote(SIM_JOIN_MAX_RUN,
+                [_prefix_pairs_task.remote(SIM_JOIN_PAIR_BUDGET,
                                            thr_num, thr_den,
                                            *prefix.to_arrow_refs())]
             ).materialize()
         except Exception as e:  # RayTaskError wraps the task's ValueError
             if "degenerate prefix run" not in str(e):
                 raise
-            # a single shingle collided in > SIM_JOIN_MAX_RUN docs —
-            # the k² pair matrix would OOM one task; the distributed
-            # join tier spreads/spills the same blow-up instead
+            # Σ k² pair volume exceeds the single-task budget; the
+            # distributed join tier spreads/spills the same blow-up
+            # instead
             cand = None
     else:
         cand = None
@@ -3301,9 +3426,10 @@ ORACLES: dict[str, str] = {
                    max(c) AS top1, sum(i * c) AS ic
             FROM r
         )
-        SELECT k AS n_keys, s AS n_rows,
-               top1 * 1000000 // s AS top1_fp,
-               (2 * ic - (k + 1) * s) * 1000000 // (k * s) AS gini_fp
+        SELECT k AS n_keys, CAST(s AS BIGINT) AS n_rows,
+               CAST(top1 * 1000000 // s AS BIGINT) AS top1_fp,
+               CAST((2 * ic - (k + 1) * s) * 1000000 // (k * s)
+                    AS BIGINT) AS gini_fp
         FROM a
     """,
     "winsorize": """
@@ -3328,10 +3454,13 @@ ORACLES: dict[str, str] = {
             FROM s GROUP BY 1
         )
         SELECT m.l_returnflag, count(*) AS n,
-               sum(CASE WHEN v < lo THEN 1 ELSE 0 END) AS n_clipped_lo,
-               sum(CASE WHEN v > hi THEN 1 ELSE 0 END) AS n_clipped_hi,
-               sum(CASE WHEN v < lo THEN lo
-                        WHEN v > hi THEN hi ELSE v END) AS sum_clipped_fp
+               CAST(sum(CASE WHEN v < lo THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clipped_lo,
+               CAST(sum(CASE WHEN v > hi THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clipped_hi,
+               CAST(sum(CASE WHEN v < lo THEN lo
+                             WHEN v > hi THEN hi ELSE v END)
+                    AS BIGINT) AS sum_clipped_fp
         FROM m JOIN q USING (l_returnflag)
         GROUP BY 1
     """,
@@ -3406,7 +3535,7 @@ ORACLES: dict[str, str] = {
                        AS s
             FROM c GROUP BY user_id
         )
-        SELECT user_id, n AS n_events,
+        SELECT user_id, CAST(n AS BIGINT) AS n_events,
                CAST(round((ln(n) - (s / 1000000000.0) / n) * 1000000.0)
                     AS BIGINT) AS entropy_fp
         FROM a
@@ -3602,11 +3731,11 @@ ORACLES: dict[str, str] = {
     """,
     "export_jsonl_csv": """
         SELECT CAST(source AS VARCHAR) AS key, count(*) AS n,
-               sum(doc_id) AS id_sum
+               CAST(sum(doc_id) AS BIGINT) AS id_sum
         FROM documents GROUP BY source
         UNION ALL
         SELECT CAST(event_type AS VARCHAR) AS key, count(*) AS n,
-               sum(event_id) AS id_sum
+               CAST(sum(event_id) AS BIGINT) AS id_sum
         FROM events GROUP BY event_type
     """,
     "embedding_norms": """

@@ -205,25 +205,14 @@ def _combine_partition_task(pid: int, n_parts: int,
     return _merge_partials(mine)
 
 
-def _combine_partitioned(partial_ds, n_parts: int = DEDUP_COMBINE_PARTS):
-    """Distributed combine for large partial sets: n_parts parallel
-    tasks each read the partial blocks (zero-copy from the local object
-    store), filter their key partition (pid = a mod n_parts) and merge
-    it independently; the concatenated dup-only results re-sort for the
-    probe's searchsorted. The single-task combine above ~4M partial
-    rows was the finalize bottleneck (19 s of a 17M-row dedup at 32
-    CPUs); partition tasks bring it to a few seconds.
-
-    Scale note: every task reads every partial block, so cross-node
-    traffic is n_parts × |partials| of SKINNY rows (~40 B/row). That is
-    the right trade to ~10^8 partial rows; beyond it the caller's
-    ``max_combine_rows`` guard reroutes to the hash-join plan whose
-    exchange is one-pass."""
-    refs = partial_ds.to_arrow_refs()
-    parts = ray.get([
-        _combine_partition_task.remote(pid, n_parts, *refs)
-        for pid in range(n_parts)
-    ])
+@ray.remote
+def _finalize_combine_task(*parts: pa.Table) -> pa.Table:
+    """Concat + lexsort the partition-combine outputs (dup-only, skinny
+    rows) in ONE worker task, so the sorted probe table never
+    round-trips through the driver heap — the combine path's design
+    goal is keeping its state off the driver, and a driver-side concat
+    + single-threaded sort of the full dup table would be a transient
+    driver-sized copy in exactly that path."""
     live = [t for t in parts if t.num_rows > 0]
     if not live:
         return pa.table({
@@ -236,6 +225,29 @@ def _combine_partitioned(partial_ds, n_parts: int = DEDUP_COMBINE_PARTS):
     bu = t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
     order = np.lexsort((bu, au))
     return t.take(pa.array(order.astype(np.int64)))
+
+
+def _combine_partitioned(partial_ds, n_parts: int = DEDUP_COMBINE_PARTS):
+    """Distributed combine for large partial sets: n_parts parallel
+    tasks each read the partial blocks (zero-copy from the local object
+    store), filter their key partition (pid = a mod n_parts) and merge
+    it independently; a final worker task concats + re-sorts the
+    dup-only results for the probe's searchsorted and its ObjectRef is
+    handed straight to the probe — no partition result ever lands on
+    the driver. The single-task combine above ~4M partial rows was the
+    finalize bottleneck (19 s of a 17M-row dedup at 32 CPUs); partition
+    tasks bring it to a few seconds.
+
+    Scale note: every task reads every partial block, so cross-node
+    traffic is n_parts × |partials| of SKINNY rows (~40 B/row). That is
+    the right trade to ~10^8 partial rows; beyond it the caller's
+    ``max_combine_rows`` guard reroutes to the hash-join plan whose
+    exchange is one-pass."""
+    refs = partial_ds.to_arrow_refs()
+    return _finalize_combine_task.remote(*[
+        _combine_partition_task.remote(pid, n_parts, *refs)
+        for pid in range(n_parts)
+    ])
 
 
 @ray.remote
@@ -308,7 +320,7 @@ def dedup_dataset(ds, key_cols=DEDUP_KEY, order_col: str = "lineage",
         # the cheaper side at exactly the scale the reroute serves.
         return dedup_dataset_join(ds, key_cols, order_col)
     if n_partial > SINGLE_COMBINE_MAX_ROWS:
-        ref = ray.put(_combine_partitioned(partial))
+        ref = _combine_partitioned(partial)
     else:
         ref = _combine_all_task.remote(*partial.to_arrow_refs())
 

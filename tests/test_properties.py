@@ -180,7 +180,7 @@ def test_ppjoin_candidates_superset_of_true_pairs(texts):
     prefix = R._prefix_rows_table(left, hs, cnt.astype(np.int64),
                                   thr_num, thr_den)
     cand = ray.get(R._prefix_pairs_task.remote(
-        R.SIM_JOIN_MAX_RUN, thr_num, thr_den, prefix))
+        R.SIM_JOIN_PAIR_BUDGET, thr_num, thr_den, prefix))
     got = set(zip(cand["a"].to_pylist(), cand["b"].to_pylist()))
     # brute force truth
     sets = []

@@ -440,16 +440,41 @@ def test_similarity_join_pair_tiers_identical(monkeypatch):
     pd.testing.assert_frame_equal(fast, slow)
 
 
+def test_run_pair_chunks_matches_triu():
+    """Chunked equal-run pair expansion must enumerate exactly the
+    triu pairs of every run, for any chunk size (including chunks
+    smaller than one row's pair count, forcing the ≥1-row advance)."""
+    import numpy as np
+
+    import fide_crawler_ray.pipelines.relational as R
+
+    lens = np.array([1, 4, 2, 7, 3], np.int64)
+    starts = np.r_[0, np.cumsum(lens)[:-1]]
+    runs = np.flatnonzero(lens >= 2)
+    want = set()
+    for r in runs:
+        s, k = int(starts[r]), int(lens[r])
+        iu, ju = np.triu_indices(k, k=1)
+        want |= set(zip((s + iu).tolist(), (s + ju).tolist()))
+    for chunk in (1, 2, 5, 1000):
+        got = []
+        for iu, ju in R._run_pair_chunks(starts, lens, runs, chunk):
+            assert len(iu) == len(ju)
+            got += list(zip(iu.tolist(), ju.tolist()))
+        assert len(got) == len(set(got)) == len(want)
+        assert set(got) == want
+
+
 def test_similarity_join_degenerate_run_falls_back(monkeypatch):
-    """A prefix shingle shared by more docs than SIM_JOIN_MAX_RUN must
-    reroute to the distributed join tier (not OOM the pairing task) and
-    still produce the same pairs."""
+    """A candidate-pair volume above SIM_JOIN_PAIR_BUDGET must reroute
+    to the distributed join tier (not OOM the pairing task) and still
+    produce the same pairs."""
     import fide_crawler_ray.pipelines.relational as R
 
     cols = ["a", "b", "jaccard_fp"]
     base = (R.q_similarity_join(SF).to_pandas()[cols]
             .sort_values(cols).reset_index(drop=True))
-    monkeypatch.setattr(R, "SIM_JOIN_MAX_RUN", 1)
+    monkeypatch.setattr(R, "SIM_JOIN_PAIR_BUDGET", 0)
     rerouted = (R.q_similarity_join(SF).to_pandas()[cols]
                 .sort_values(cols).reset_index(drop=True))
     pd.testing.assert_frame_equal(base, rerouted)
@@ -581,6 +606,46 @@ def test_triangle_count_tiers_identical():
     pd.testing.assert_frame_equal(
         fast.reset_index(drop=True), slow.reset_index(drop=True))
     assert fast["n_wedges"].iloc[0] >= fast["n_triangles"].iloc[0] >= 0
+
+
+def test_above_customer_avg_tiers_identical(monkeypatch):
+    """Broadcast-by-ref tier vs the hash-join tier (forced via a zero
+    guard — the 100-TB path where the per-customer aggregate is too
+    big to broadcast) must agree exactly."""
+    import fide_crawler_ray.pipelines.relational as R
+
+    base = (R.q_above_customer_avg(SF).to_pandas()
+            .sort_values("o_orderkey").reset_index(drop=True))
+    monkeypatch.setattr(R, "ABOVE_AVG_MAX_BROADCAST", 0)
+    joined = (R.q_above_customer_avg(SF).to_pandas()
+              .sort_values("o_orderkey").reset_index(drop=True))
+    pd.testing.assert_frame_equal(base, joined[["o_orderkey"]])
+
+
+def test_region_revenue_tiers_identical(monkeypatch):
+    """custkey→region broadcast probe vs the orders⋈customer hash join
+    (forced via a zero guard) must agree exactly."""
+    import fide_crawler_ray.pipelines.relational as R
+
+    cols = ["r_name", "revenue", "n_orders"]
+    base = (R.q_region_revenue(SF).to_pandas()[cols]
+            .sort_values("r_name").reset_index(drop=True))
+    monkeypatch.setattr(R, "REGION_REV_MAX_BROADCAST", 0)
+    joined = (R.q_region_revenue(SF).to_pandas()[cols]
+              .sort_values("r_name").reset_index(drop=True))
+    pd.testing.assert_frame_equal(base, joined)
+
+
+def test_triangle_count_hub_budget_falls_back(monkeypatch):
+    """A wedge volume above TRIANGLES_WEDGE_BUDGET must reroute the
+    single-task tier to the join tier (not OOM one task) and still
+    produce the same counts."""
+    import fide_crawler_ray.pipelines.relational as R
+
+    base = R.q_triangle_count(SF).to_pandas().reset_index(drop=True)
+    monkeypatch.setattr(R, "TRIANGLES_WEDGE_BUDGET", 0)
+    rerouted = R.q_triangle_count(SF).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, rerouted)
 
 
 def test_winsorize_clip_fractions():

@@ -96,7 +96,11 @@ def main():
             ok = False
         else:
             try:
-                pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                # dtype-strict: the driver's hash compare distinguishes
+                # int64 1 from float64 1.0, so a lenient check here hides
+                # exactly the red the driver will raise (r2 lesson: six
+                # HUGEINT->float64 oracle sums passed locally, failed there).
+                pd.testing.assert_frame_equal(got, exp, check_dtype=True,
                                               check_exact=True)
             except AssertionError as e:
                 print(f"FAIL  {name}: values differ: {str(e)[:300]}")
