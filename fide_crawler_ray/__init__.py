@@ -49,3 +49,27 @@ def _stub_fsspec_http() -> None:
 
 
 _stub_fsspec_http()
+
+
+def _silence_schema_hash_noise() -> None:
+    """Drop Ray Data's per-read "Failed to hash the schemas (for
+    deduplication): unhashable type: 'dict'" warning. It fires on every
+    read of a parquet file carrying pandas schema metadata (this
+    pyarrow's ``hash(Schema)`` chokes on the embedded dict) — a purely
+    cosmetic dedup fast-path miss inside Ray's unify_schemas; Ray falls
+    through to the full unification and the result is identical. The
+    input files are external (testdata), so the metadata cannot be
+    stripped at the source. This module is imported in every worker
+    process that runs our stages, so the filter applies fleet-wide."""
+    import logging
+
+    class _SchemaHashNoise(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            return "Failed to hash the schemas" not in record.getMessage()
+
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).addFilter(_SchemaHashNoise())
+
+
+_silence_schema_hash_noise()

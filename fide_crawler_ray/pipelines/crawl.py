@@ -87,13 +87,79 @@ def watermark_windows(min_max: dict[str, tuple[str, str]]) -> dict[str, tuple[st
 
 
 def store_watermarks(game_history_ds) -> dict[str, tuple[str, str]]:
-    """A11: groupby(fide_id) min/max date over the existing store."""
+    """A11: groupby(fide_id) min/max date over the existing store.
+
+    Dict-returning scalar spec (test/API surface); the crawl itself uses
+    ``watermark_windows_ds`` + ``_watermark_lookup`` so player-cardinality
+    watermark state never lands on the driver (pinned equal by test)."""
     from ray.data.aggregate import Max, Min
 
     agg = game_history_ds.groupby("fide_id").aggregate(
         Min("date", alias_name="dmin"), Max("date", alias_name="dmax")
     )
     return {r["fide_id"]: (r["dmin"], r["dmax"]) for r in agg.take_all()}
+
+
+def watermark_windows_ds(game_history_ds):
+    """Distributed ST3 watermarks: groupby(fide_id) min/max date → the
+    excluded-month window per player, as a DATASET end-to-end. Same gap
+    arithmetic as watermark_windows (head refetches to db_start−1day,
+    tail from db_end+1day — boundary months refetch, strictly-inside
+    months are excluded), vectorized over pandas Periods per batch.
+    Watermark state is player-cardinality-sized — at a 10^10-URL
+    frontier it belongs in the object store, not a driver dict."""
+    from ray.data.aggregate import Max, Min
+
+    agg = game_history_ds.groupby("fide_id").aggregate(
+        Min("date", alias_name="dmin"), Max("date", alias_name="dmax")
+    )
+
+    def _win(b: pa.Table) -> pa.Table:
+        dmin = pd.to_datetime(pd.Series(b["dmin"].to_pylist()))
+        dmax = pd.to_datetime(pd.Series(b["dmax"].to_pylist()))
+        if len(dmin) == 0:
+            return pa.table({"fide_id": pa.array([], pa.string()),
+                             "lo_excl": pa.array([], pa.string()),
+                             "hi_excl": pa.array([], pa.string())})
+        lo = (dmin - pd.Timedelta(days=1)).dt.to_period("M") + 1
+        hi = (dmax + pd.Timedelta(days=1)).dt.to_period("M") - 1
+        keep = (lo <= hi).to_numpy()
+        ids = np.asarray(b["fide_id"].to_pylist(), dtype=object)[keep]
+        return pa.table({
+            "fide_id": pa.array(ids, pa.string()),
+            "lo_excl": pa.array(
+                lo.dt.strftime("%Y-%m-01").to_numpy()[keep], pa.string()),
+            "hi_excl": pa.array(
+                hi.dt.strftime("%Y-%m-01").to_numpy()[keep], pa.string()),
+        })
+
+    return agg.map_batches(_win, batch_format="pyarrow")
+
+
+# per-worker-process cache of the assembled watermark lookup (one build
+# per worker, reused across that worker's expansion tasks)
+_WM_CACHE: dict[str, dict] = {}
+
+
+def _watermark_lookup(wref) -> dict[str, tuple[str, str]]:
+    """fide_id → (lo_excl, hi_excl) built INSIDE the worker from plasma
+    block refs (zero-copy reads; the driver never assembles the dict)."""
+    if wref is None:
+        return {}
+    key = wref.hex()
+    hit = _WM_CACHE.get(key)
+    if hit is None:
+        hit = {}
+        for t in ray.get(ray.get(wref)):
+            if t.num_rows == 0:  # empty blocks may carry a 0-col schema
+                continue
+            hit.update(zip(
+                t["fide_id"].to_pylist(),
+                zip(t["lo_excl"].to_pylist(), t["hi_excl"].to_pylist())))
+        while len(_WM_CACHE) >= 4:
+            _WM_CACHE.pop(next(iter(_WM_CACHE)))
+        _WM_CACHE[key] = hit
+    return hit
 
 
 def partition_by_shard(rows: pa.Table, n_shards: int) -> dict[int, np.ndarray]:
@@ -178,15 +244,18 @@ def _dedup_urls_task(*tables: pa.Table) -> pa.Table:
     return t.filter(pa.array(keep.to_numpy()))
 
 
-def make_expander(months, watermarks):
+def make_expander(months, wm_ref=None):
     """Expansion stage (pure compute, no RPCs): accepted search results →
     frontier URL rows (M7+M8 month walk, canonicalize+SHA1). Split from
     the offer stage so it parallelizes freely — the offers that follow
     are only safe to fan out AFTER the epoch's canonical dedup (see
-    _run_search)."""
+    _run_search). ``wm_ref`` is a ray.put ref of watermark BLOCK refs;
+    the per-player lookup is assembled inside each worker
+    (_watermark_lookup, cached per process) — never on the driver."""
 
     def _expand(results: pa.Table) -> pa.Table:
-        return P.expand_frontier_batch(results, months, watermarks)
+        return P.expand_frontier_batch(results, months,
+                                       _watermark_lookup(wm_ref))
 
     return _expand
 
@@ -367,10 +436,14 @@ def run_crawl(
             # stay unseen)
             ray.get([f.set_robots.remote(host, rules) for f in filters])
 
-        # watermarks from an existing store (incremental crawl, ST3/A11)
-        watermarks = {}
+        # watermarks from an existing store (incremental crawl, ST3/A11):
+        # computed and kept as a Dataset, persisted as a parquet sidecar
+        # (crash-safe for resume), shipped to expanders as block refs —
+        # player-cardinality state never materializes on the driver
+        wm_ds = None
         if incremental_store is not None:
-            watermarks = watermark_windows(store_watermarks(incremental_store))
+            wm_ds = watermark_windows_ds(incremental_store).materialize()
+            store.write_epoch(wm_ds, out_dir, "watermarks", 0)
 
         # ST2 player-store cache: pre-seed the URL-seen filters with the
         # profile URLs of players already stored, so they are never
@@ -407,14 +480,20 @@ def run_crawl(
         store.save_manifest(out_dir, {
             "completed_epochs": 0, "finished": False, "n_shards": n_shards,
             "n_seen_filters": n_filters,
-            # watermarks must survive a crash DURING epoch 0, or resume
-            # re-crawls every month the incremental store already covers
-            "watermarks": {k: list(v) for k, v in watermarks.items()},
+            # the watermark sidecar (written above, before the manifest)
+            # survives a crash DURING epoch 0, or resume would re-crawl
+            # every month the incremental store already covers
+            "has_watermarks": wm_ds is not None,
         })
-        watermarks_state = watermarks
     else:
-        watermarks_state = manifest.get("watermarks", {})
-        watermarks_state = {k: tuple(v) for k, v in watermarks_state.items()}
+        wm_ds = None
+        if manifest.get("has_watermarks"):
+            wm_ds = store.read_all(out_dir, "watermarks")
+            wm_ds = wm_ds.materialize() if wm_ds is not None else None
+    # block refs wrapped in one plasma object; wm_ds stays bound for the
+    # whole crawl so the blocks cannot be released mid-run
+    wm_ref = (ray.put(wm_ds.to_arrow_refs())
+              if wm_ds is not None and wm_ds.count() > 0 else None)
 
     epoch = epoch0
     # per-SHARD pop budget: a hot host concentrates in one shard (that is
@@ -485,7 +564,7 @@ def run_crawl(
             # matter how offer tasks interleave; this reproduces the
             # sequential reference's first-offer-wins order exactly,
             # pinned by test_crawl_ordering_exact) → fanned-out offers.
-            expander = make_expander(months, watermarks_state)
+            expander = make_expander(months, wm_ref)
 
             def _parse_expand(b: pa.Table) -> pa.Table:
                 # fused: parse + expand in one stage (no intermediate
@@ -580,7 +659,7 @@ def run_crawl(
             store.save_manifest(out_dir, {
                 "completed_epochs": epoch, "finished": False, "n_shards": n_shards,
                 "n_seen_filters": n_filters,
-                "watermarks": {k: list(v) for k, v in watermarks_state.items()},
+                "has_watermarks": wm_ref is not None,
                 "epochs": epochs_meta,
             })
 

@@ -68,7 +68,36 @@ def T(sf_dir: str, name: str, columns=None, *,
             size = os.path.getsize(path)
         nb = max(min_blocks, -(-size // (target_block_mb << 20)))
         kwargs["override_num_blocks"] = nb
+    clean = _clean_schema(path, tuple(columns) if columns else None)
+    if clean is not None:
+        kwargs["schema"] = clean
     return rd.read_parquet(path, columns=columns, **kwargs)
+
+
+_SCHEMA_CACHE: dict[tuple, "pa.Schema"] = {}
+
+
+def _clean_schema(path: str, columns: tuple | None):
+    """Footer schema with pandas metadata STRIPPED (projected to the
+    selected columns), passed as read_parquet(schema=...). The testdata
+    files carry pandas schema metadata whose embedded dict makes
+    hash(Schema) raise in this pyarrow, so Ray's unify_schemas dedup
+    fast path logs a 'Failed to hash the schemas' warning in every read
+    worker; handing the read a metadata-free schema removes the noise
+    at the source (types are the file's own — no cast). One footer read
+    per (path, columns), cached per process."""
+    if os.path.isdir(path):  # multi-file dirs: let Ray infer
+        return None
+    key = (path, columns)
+    hit = _SCHEMA_CACHE.get(key)
+    if hit is None:
+        import pyarrow.parquet as pq
+
+        s = pq.ParquetFile(path).schema_arrow.remove_metadata()
+        if columns is not None:
+            s = pa.schema([s.field(c) for c in columns])
+        hit = _SCHEMA_CACHE[key] = s
+    return hit
 
 
 def _canon(v: float, ndigits: int) -> float:

@@ -128,6 +128,48 @@ def test_checkpoint_resume_equivalence(tmp_path):
     assert resumed.seen_hashes() == full.seen_hashes()
 
 
+def test_watermark_windows_ds_matches_scalar_spec(tmp_path):
+    """The distributed watermark plan (Dataset end-to-end, block-ref
+    lookup) must produce exactly the dict the scalar spec computes."""
+    months = synth.months_of(CFG)
+    out1 = str(tmp_path / "w")
+    first = C.run_crawl(CFG, out1, n_shards=2,
+                        start_month=months[1], end_month=months[3])
+    store1 = first.game_history()
+    want = C.watermark_windows(C.store_watermarks(store1))
+    assert want
+    t = C.watermark_windows_ds(store1).to_pandas()
+    got = {r.fide_id: (r.lo_excl, r.hi_excl) for r in t.itertuples()}
+    assert got == want
+    # the worker-side lookup assembles the same mapping from block refs
+    import ray
+
+    wm_ds = C.watermark_windows_ds(store1).materialize()
+    wref = ray.put(wm_ds.to_arrow_refs())
+    assert C._watermark_lookup(wref) == want
+    assert C._watermark_lookup(None) == {}
+
+
+def test_incremental_resume_reloads_watermark_sidecar(tmp_path):
+    """A killed incremental crawl resumed WITHOUT incremental_store must
+    reload the watermark parquet sidecar — fetching exactly the URL set
+    of an uninterrupted incremental run (a lost sidecar would re-crawl
+    the excluded months)."""
+    months = synth.months_of(CFG)
+    first = C.run_crawl(CFG, str(tmp_path / "a"), n_shards=2,
+                        start_month=months[1], end_month=months[3])
+    store1 = first.game_history()
+    full = C.run_crawl(CFG, str(tmp_path / "full"), n_shards=2,
+                       incremental_store=store1, record_log=True)
+    out = str(tmp_path / "b")
+    C.run_crawl(CFG, out, n_shards=2, incremental_store=store1,
+                max_epochs=1, record_log=True)
+    resumed = C.run_crawl(CFG, out, n_shards=2, resume=True,
+                          record_log=True)
+    assert ({u for (_, _, u) in resumed.fetch_log()}
+            == {u for (_, _, u) in full.fetch_log()})
+
+
 def test_incremental_watermark_crawl(tmp_path):
     months = synth.months_of(CFG)
     out1 = str(tmp_path / "w1")
