@@ -3032,6 +3032,343 @@ def q_pivot_wide(sf_dir):
 # ============================================================ registry
 
 
+def q_grouped_regression(sf_dir):
+    """Per-group ordinary-least-squares fit (regr_slope / regr_intercept
+    semantics): l_extendedprice (whole units) on l_quantity per return
+    flag — the grouped-regression primitive feature pipelines use for
+    trend features. Mergeable EXACT integer moments (n, Σx, Σy, Σx²,
+    Σxy); the final slope/intercept are one float expression written
+    operation-for-operation identically in SQL (+,−,×,÷ are IEEE
+    correctly-rounded, so identical trees on identical integer inputs
+    are bit-identical — only libm functions can diverge), then ×10⁶
+    half-away fixed point. The exchange moves 5 ints per group."""
+    ds = T(sf_dir, "lineitem",
+           ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def _moments(b: pa.Table) -> pa.Table:
+        x = _round_half_away(
+            b["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        y = _round_half_away(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "x": pa.array(x, pa.int64()),
+            "y": pa.array(y, pa.int64()),
+            "xx": pa.array(x * x, pa.int64()),
+            "xy": pa.array(x * y, pa.int64()),
+        })
+
+    agg = fast_groupby_agg(
+        ds.map_batches(_moments, batch_format="pyarrow"),
+        ["l_returnflag"],
+        {"n": (None, "count"), "sx": ("x", "sum"), "sy": ("y", "sum"),
+         "sxx": ("xx", "sum"), "sxy": ("xy", "sum")},
+    )
+
+    def _fit(b: pa.Table) -> pa.Table:
+        f = {c: b[c].to_numpy(zero_copy_only=False).astype(np.float64)
+             for c in ("n", "sx", "sy", "sxx", "sxy")}
+        # same op order as the SQL oracle, term for term
+        slope = ((f["n"] * f["sxy"] - f["sx"] * f["sy"])
+                 / (f["n"] * f["sxx"] - f["sx"] * f["sx"]))
+        intercept = (f["sy"] - slope * f["sx"]) / f["n"]
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "n": b["n"],
+            "slope_fp": pa.array(_round_half_away(
+                slope * 1_000_000.0).astype(np.int64), pa.int64()),
+            "intercept_fp": pa.array(_round_half_away(
+                intercept * 1_000_000.0).astype(np.int64), pa.int64()),
+        })
+
+    return agg.map_batches(_fit, batch_format="pyarrow")
+
+
+def q_weighted_avg(sf_dir):
+    """Revenue-weighted mean discount per return flag — the weighted
+    aggregate primitive (mixture weights, weighted quality scores).
+    ALL-integer: Σ(price_fp·disc_fp) and Σ(price_fp) are mergeable int64
+    partials; the final ×10⁴ // division runs in PYTHON ints on the
+    group-count-sized table (HUGEINT-equivalent — numpy int64 would
+    overflow the ×10⁴ rescale at large sf, the oracle's HUGEINT does
+    not), so engine and oracle agree exactly at every scale."""
+    ds = T(sf_dir, "lineitem",
+           ["l_returnflag", "l_extendedprice", "l_discount"])
+
+    def _fp(b: pa.Table) -> pa.Table:
+        p = _round_half_away(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        d = _round_half_away(
+            b["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "p": pa.array(p, pa.int64()),
+            "pd": pa.array(p * d, pa.int64()),
+        })
+
+    agg = fast_groupby_agg(
+        ds.map_batches(_fp, batch_format="pyarrow"),
+        ["l_returnflag"],
+        {"n": (None, "count"), "sp": ("p", "sum"), "spd": ("pd", "sum")},
+    )
+
+    def _div(b: pa.Table) -> pa.Table:
+        spd = [int(v) for v in b["spd"].to_pylist()]
+        sp = [int(v) for v in b["sp"].to_pylist()]
+        w = [x * 10_000 // y for x, y in zip(spd, sp)]
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "n": b["n"],
+            "wavg_disc_fp": pa.array(w, pa.int64()),
+        })
+
+    return agg.map_batches(_div, batch_format="pyarrow")
+
+
+def q_unpivot_long(sf_dir):
+    """UNPIVOT / melt — wide part columns (p_size, p_retailprice) to
+    long (key, attr, val_fp) rows, the inverse of q_pivot_wide and the
+    schema-normalization primitive feature stores need. A pure map:
+    each batch emits its k× long block map-side — no shuffle, perfectly
+    scale-oblivious. Values ride as ×100 int64 fixed point so one
+    column carries both attributes exactly."""
+    ds = T(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+
+    def _melt(b: pa.Table) -> pa.Table:
+        k = b["p_partkey"].to_numpy(zero_copy_only=False)
+        size = b["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        price = _round_half_away(
+            b["p_retailprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        n = len(k)
+        return pa.table({
+            "p_partkey": pa.array(np.concatenate([k, k]), pa.int64()),
+            "attr": pa.array(["p_size"] * n + ["p_retailprice"] * n,
+                             pa.string()),
+            "val_fp": pa.array(np.concatenate([size * 100, price]),
+                               pa.int64()),
+        })
+
+    return ds.map_batches(_melt, batch_format="pyarrow")
+
+
+def q_grouped_skew(sf_dir):
+    """Population skewness of l_quantity per return flag — the
+    third-moment distribution-shape signal (corpus length/quality skew
+    checks). Mergeable EXACT integer moments (n, Σx, Σx², Σx³); the
+    final expression uses only IEEE correctly-rounded ops (+,−,×,÷,
+    sqrt — sqrt IS correctly rounded, unlike pow/ln) written
+    operation-for-operation identically in the SQL oracle, so the
+    ×10⁶ fixed-point result is bit-identical. x is whole units so Σx³
+    stays far under 2⁵³ through sf100."""
+    ds = T(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def _moments(b: pa.Table) -> pa.Table:
+        x = _round_half_away(
+            b["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "x": pa.array(x, pa.int64()),
+            "xx": pa.array(x * x, pa.int64()),
+            "xxx": pa.array(x * x * x, pa.int64()),
+        })
+
+    agg = fast_groupby_agg(
+        ds.map_batches(_moments, batch_format="pyarrow"),
+        ["l_returnflag"],
+        {"n": (None, "count"), "sx": ("x", "sum"),
+         "sxx": ("xx", "sum"), "sxxx": ("xxx", "sum")},
+    )
+
+    def _skew(b: pa.Table) -> pa.Table:
+        f = {c: b[c].to_numpy(zero_copy_only=False).astype(np.float64)
+             for c in ("n", "sx", "sxx", "sxxx")}
+        # identical op tree to the SQL oracle (explicit parens)
+        m2 = (f["n"] * f["sxx"] - f["sx"] * f["sx"]) / (f["n"] * f["n"])
+        m3 = (((f["n"] * f["n"]) * f["sxxx"]
+               - (3.0 * f["n"]) * (f["sx"] * f["sxx"]))
+              + (2.0 * f["sx"]) * (f["sx"] * f["sx"])) \
+            / ((f["n"] * f["n"]) * f["n"])
+        skew = m3 / (m2 * np.sqrt(m2))
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "n": b["n"],
+            "skew_fp": pa.array(_round_half_away(
+                skew * 1_000_000.0).astype(np.int64), pa.int64()),
+        })
+
+    return agg.map_batches(_skew, batch_format="pyarrow")
+
+
+LM_MAX_BROADCAST_BIGRAMS = 4_000_000
+
+
+def _ln_fp9(v: int) -> int:
+    """``CAST(round(ln(v) * 1e9) AS BIGINT)`` for a positive int, via
+    libm (math.log — same code path as DuckDB's ln) and half-away
+    rounding (trunc/frac arithmetic, exact in IEEE — matches the array
+    kernel _round_half_away)."""
+    x = math.log(v) * 1e9
+    t = math.trunc(x)
+    return int(t + 1) if x - t >= 0.5 else int(t)
+
+
+def q_bigram_lm_score(sf_dir,
+                      max_broadcast: int = LM_MAX_BROADCAST_BIGRAMS):
+    """Per-document add-one-smoothed bigram log-likelihood under the
+    corpus's own bigram model — the n-gram LM quality signal classic
+    data pipelines (CCNet-style) gate on before training. Each doc's
+    score is Σ ln((c(w1,w2)+1)/(hc(w1)+V)) over its adjacent token
+    pairs, emitted as an EXACT ×10⁹ int64 fixed-point sum: every term
+    quantizes ln(c+1) and ln(hc+V) separately through libm (math.log —
+    same code path as DuckDB's ln, so bit-identical on a host; see
+    q_grouped_entropy) BEFORE the distributed sum, making the result
+    summation-order independent.
+
+    Plan: bigram counts + head totals via map-side counters → one
+    vocabulary-sized partial-agg each; V from a distinct-token count.
+    Below ``max_broadcast`` bigram types the model ships as plasma
+    dicts and scoring is a PURE MAP (zero exchange); above it the doc
+    bigram rows hash-join the model tables (two joins + one per-doc
+    groupby) — the corpus never concentrates anywhere. Tiers pinned
+    identical by test."""
+    docs = T(sf_dir, "documents", ["doc_id", "text"])
+
+    def _bi_counts(b: pa.Table) -> pa.Table:
+        cnt: dict = {}
+        for txt in b["text"].to_pylist():
+            toks = _TOKEN.findall(txt.lower())
+            for i in range(len(toks) - 1):
+                k = (toks[i], toks[i + 1])
+                cnt[k] = cnt.get(k, 0) + 1
+        return pa.table({
+            "w1": pa.array([k[0] for k in cnt], pa.string()),
+            "w2": pa.array([k[1] for k in cnt], pa.string()),
+            "c": pa.array(list(cnt.values()), pa.int64()),
+        })
+
+    def _uni(b: pa.Table) -> pa.Table:
+        toks = set()
+        for txt in b["text"].to_pylist():
+            toks.update(_TOKEN.findall(txt.lower()))
+        return pa.table({"tok": pa.array(sorted(toks), pa.string())})
+
+    bi = fast_groupby_agg(
+        docs.map_batches(_bi_counts, batch_format="pyarrow"),
+        ["w1", "w2"], {"c": ("c", "sum")},
+    ).materialize()
+    heads = fast_groupby_agg(bi, ["w1"], {"hc": ("c", "sum")})
+    vocab = fast_groupby_agg(
+        docs.map_batches(_uni, batch_format="pyarrow"),
+        ["tok"], {"_n": (None, "count")},
+    )
+    n_vocab = vocab.count()
+
+    def _score_rows(doc_ids, texts, cdict, hdict, lncache):
+        out_id, out_n, out_s = [], [], []
+        for did, txt in zip(doc_ids, texts):
+            toks = _TOKEN.findall(txt.lower())
+            if len(toks) < 2:
+                continue
+            s = 0
+            for i in range(len(toks) - 1):
+                num = cdict[(toks[i], toks[i + 1])] + 1
+                den = hdict[toks[i]] + n_vocab
+                for v in (num, den):
+                    if v not in lncache:
+                        lncache[v] = _ln_fp9(v)
+                s += lncache[num] - lncache[den]
+            out_id.append(did)
+            out_n.append(len(toks) - 1)
+            out_s.append(s)
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "n_bigrams": pa.array(out_n, pa.int64()),
+            "ll_fp": pa.array(out_s, pa.int64()),
+        })
+
+    if bi.count() <= max_broadcast:
+        bref = ray.put((bi.to_arrow_refs(), heads.to_arrow_refs()))
+
+        class _Score:
+            def __init__(self):
+                brefs, hrefs = ray.get(bref)
+                self.c, self.h = {}, {}
+                for t in ray.get(brefs):
+                    self.c.update(zip(zip(t["w1"].to_pylist(),
+                                          t["w2"].to_pylist()),
+                                      t["c"].to_pylist()))
+                for t in ray.get(hrefs):
+                    self.h.update(zip(t["w1"].to_pylist(),
+                                      t["hc"].to_pylist()))
+                self.ln: dict = {}
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                return _score_rows(b["doc_id"].to_pylist(),
+                                   b["text"].to_pylist(),
+                                   self.c, self.h, self.ln)
+
+        return docs.map_batches(_Score, batch_format="pyarrow",
+                                concurrency=(1, 4))
+
+    # exchange tier: doc bigram rows join the model tables
+    def _bg_rows(b: pa.Table) -> pa.Table:
+        out_id, out_w1, out_w2 = [], [], []
+        for did, txt in zip(b["doc_id"].to_pylist(),
+                            b["text"].to_pylist()):
+            toks = _TOKEN.findall(txt.lower())
+            for i in range(len(toks) - 1):
+                out_id.append(did)
+                out_w1.append(toks[i])
+                out_w2.append(toks[i + 1])
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "w1": pa.array(out_w1, pa.string()),
+            "w2": pa.array(out_w2, pa.string()),
+        })
+
+    bg = docs.map_batches(_bg_rows, batch_format="pyarrow")
+    j1 = bg.join(
+        bi.map_batches(lambda t: t.rename_columns(["b1", "b2", "c"]),
+                       batch_format="pyarrow"),
+        "inner", num_partitions=16,
+        on=("w1", "w2"), right_on=("b1", "b2"))
+    j2 = j1.join(
+        heads.map_batches(lambda t: t.rename_columns(["h1", "hc"]),
+                          batch_format="pyarrow"),
+        "inner", num_partitions=16, on=("w1",), right_on=("h1",))
+
+    class _Term:
+        def __init__(self):
+            self.ln: dict = {}
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            c = b["c"].to_numpy(zero_copy_only=False)
+            h = b["hc"].to_numpy(zero_copy_only=False)
+            term = np.empty(len(c), np.int64)
+            for i in range(len(c)):
+                num, den = int(c[i]) + 1, int(h[i]) + n_vocab
+                for v in (num, den):
+                    if v not in self.ln:
+                        self.ln[v] = _ln_fp9(v)
+                term[i] = self.ln[num] - self.ln[den]
+            return pa.table({
+                "doc_id": b["doc_id"],
+                "one": pa.array(np.ones(len(c), np.int64), pa.int64()),
+                "term_fp": pa.array(term, pa.int64()),
+            })
+
+    terms = j2.map_batches(_Term, batch_format="pyarrow",
+                           concurrency=(1, 4))
+    return fast_groupby_agg(
+        terms, ["doc_id"],
+        {"n_bigrams": ("one", "sum"), "ll_fp": ("term_fp", "sum")},
+    )
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -3091,6 +3428,11 @@ def queries() -> dict:
         "set_except": q_set_except,
         "set_intersect": q_set_intersect,
         "grouped_corr": q_grouped_corr,
+        "grouped_regression": q_grouped_regression,
+        "weighted_avg": q_weighted_avg,
+        "unpivot_long": q_unpivot_long,
+        "grouped_skew": q_grouped_skew,
+        "bigram_lm_score": q_bigram_lm_score,
     }
 
 
@@ -3125,6 +3467,118 @@ ORACLES: dict[str, str] = {
         SELECT p_brand, p_type, p_size FROM part WHERE p_size > 25
         INTERSECT
         SELECT p_brand, p_type, p_size FROM part WHERE p_retailprice > 950
+    """,
+    "bigram_lm_score": """
+        WITH arr AS (
+            SELECT doc_id,
+                   string_split_regex(lower(text), '[^a-z0-9_]+') AS a
+            FROM documents
+        ),
+        tok AS (
+            SELECT doc_id, a[i] AS tok,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY i)
+                       AS pos
+            FROM arr, UNNEST(generate_series(1, len(a))) AS g(i)
+            WHERE a[i] <> ''
+        ),
+        bg AS (
+            SELECT t1.doc_id, t1.tok AS w1, t2.tok AS w2
+            FROM tok t1
+            JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+        ),
+        bi AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+        hd AS (SELECT w1, CAST(sum(c) AS BIGINT) AS hc
+               FROM bi GROUP BY w1),
+        v AS (SELECT count(DISTINCT tok) AS nv FROM tok),
+        term AS (
+            SELECT bg.doc_id,
+                   CAST(round(ln((bi.c + 1) * 1.0) * 1000000000.0)
+                        AS BIGINT)
+                   - CAST(round(ln((hd.hc + (SELECT nv FROM v)) * 1.0)
+                                * 1000000000.0) AS BIGINT) AS term_fp
+            FROM bg JOIN bi USING (w1, w2) JOIN hd USING (w1)
+        )
+        SELECT doc_id, count(*) AS n_bigrams,
+               CAST(sum(term_fp) AS BIGINT) AS ll_fp
+        FROM term GROUP BY doc_id
+    """,
+    "grouped_regression": """
+        WITH m AS (
+            SELECT l_returnflag,
+                   CAST(round(l_quantity) AS BIGINT) AS x,
+                   CAST(round(l_extendedprice) AS BIGINT) AS y
+            FROM lineitem
+        ),
+        a AS (
+            SELECT l_returnflag, count(*) AS n,
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS sxx, sum(x * y) AS sxy
+            FROM m GROUP BY l_returnflag
+        ),
+        f AS (
+            SELECT l_returnflag, n,
+                   ((n * 1.0) * sxy - (sx * 1.0) * sy)
+                   / ((n * 1.0) * sxx - (sx * 1.0) * sx) AS slope
+            FROM a
+        )
+        SELECT f.l_returnflag, f.n,
+               CAST(round(slope * 1000000.0) AS BIGINT) AS slope_fp,
+               CAST(round(((a.sy * 1.0) - slope * (a.sx * 1.0))
+                          / (a.n * 1.0) * 1000000.0)
+                    AS BIGINT) AS intercept_fp
+        FROM f JOIN a USING (l_returnflag)
+    """,
+    "weighted_avg": """
+        WITH m AS (
+            SELECT l_returnflag,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+                   CAST(round(l_discount * 100) AS BIGINT) AS d
+            FROM lineitem
+        ),
+        a AS (
+            SELECT l_returnflag, count(*) AS n,
+                   sum(p) AS sp, sum(p * d) AS spd
+            FROM m GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               CAST(spd * 10000 // sp AS BIGINT) AS wavg_disc_fp
+        FROM a
+    """,
+    "unpivot_long": """
+        SELECT p_partkey, 'p_size' AS attr,
+               CAST(p_size AS BIGINT) * 100 AS val_fp
+        FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice' AS attr,
+               CAST(round(p_retailprice * 100) AS BIGINT) AS val_fp
+        FROM part
+    """,
+    "grouped_skew": """
+        WITH m AS (
+            SELECT l_returnflag,
+                   CAST(round(l_quantity) AS BIGINT) AS x
+            FROM lineitem
+        ),
+        a AS (
+            SELECT l_returnflag, count(*) AS n,
+                   sum(x) AS sx, sum(x * x) AS sxx,
+                   sum(x * x * x) AS sxxx
+            FROM m GROUP BY l_returnflag
+        ),
+        f AS (
+            SELECT l_returnflag, n,
+                   ((n * 1.0) * sxx - (sx * 1.0) * sx)
+                   / ((n * 1.0) * (n * 1.0)) AS m2,
+                   ((((n * 1.0) * (n * 1.0)) * sxxx
+                     - (3.0 * (n * 1.0)) * ((sx * 1.0) * sxx))
+                    + (2.0 * (sx * 1.0)) * ((sx * 1.0) * sx))
+                   / (((n * 1.0) * (n * 1.0)) * (n * 1.0)) AS m3
+            FROM a
+        )
+        SELECT l_returnflag, n,
+               CAST(round(m3 / (m2 * sqrt(m2)) * 1000000.0)
+                    AS BIGINT) AS skew_fp
+        FROM f
     """,
     "grouped_corr": """
         WITH m AS (

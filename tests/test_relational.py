@@ -636,6 +636,23 @@ def test_region_revenue_tiers_identical(monkeypatch):
     pd.testing.assert_frame_equal(base, joined)
 
 
+def test_bigram_lm_score_tiers_identical(monkeypatch):
+    """Broadcast-model scoring (pure map) vs the hash-join tier (forced
+    via a zero bigram guard) must agree exactly; scores are negative
+    log-likelihood sums, so every ll_fp < 0."""
+    import fide_crawler_ray.pipelines.relational as R
+
+    cols = ["doc_id", "n_bigrams", "ll_fp"]
+    base = (R.q_bigram_lm_score(SF).to_pandas()[cols]
+            .sort_values("doc_id").reset_index(drop=True))
+    assert (base["ll_fp"] < 0).all()
+    assert (base["n_bigrams"] > 0).all()
+    monkeypatch.setattr(R, "LM_MAX_BROADCAST_BIGRAMS", 0)
+    joined = (R.q_bigram_lm_score(SF).to_pandas()[cols]
+              .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(base, joined)
+
+
 def test_triangle_count_hub_budget_falls_back(monkeypatch):
     """A wedge volume above TRIANGLES_WEDGE_BUDGET must reroute the
     single-task tier to the join tier (not OOM one task) and still
