@@ -364,6 +364,7 @@ def run_crawl(
     engine's own store/checkpoint subdirectories first; resume=True
     validates n_shards against the checkpoint and refuses to start from
     a manifest whose shard snapshots are missing."""
+    _t_setup = time.perf_counter()
     months = [m for m in synth.months_of(cfg)
               if (start_month is None or m >= start_month)
               and (end_month is None or m <= end_month)]
@@ -388,6 +389,16 @@ def run_crawl(
     # is independent of host skew by construction.
     n_filters = n_seen_filters if n_seen_filters is not None else n_shards
     filters = [SeenFilterShard.remote(k, n_filters) for k in range(n_filters)]
+    # fire-and-forget warm-up: the FIRST pa.Table argument a fresh actor
+    # deserializes costs ~0.45 s (arrow/ray serialization first-touch);
+    # a 0-row table exercises exactly that path and returns before any
+    # state is read (admit/offer early-exit on num_rows == 0). Actor
+    # tasks run in submission order, so by the time real traffic
+    # arrives the cost is already paid — measured: first offer_rows
+    # 0.96 s → 0.05 s. No ray.get: it overlaps the rest of setup.
+    _empty = U.make_url_rows([], [], [], [], [], [])
+    _warm_refs = ([f.admit.remote(_empty) for f in filters]
+                  + [s.offer.remote(_empty) for s in shards])  # noqa: F841
     epoch0 = 0
     if not resume and store.load_manifest(out_dir) is not None:
         # a FRESH run into a previously-used out_dir would otherwise
@@ -495,6 +506,9 @@ def run_crawl(
     wm_ref = (ray.put(wm_ds.to_arrow_refs())
               if wm_ds is not None and wm_ds.count() > 0 else None)
 
+    if os.environ.get("FCRAY_TIMING"):
+        print(f"[setup] actors+seeds+snapshots="
+              f"{time.perf_counter() - _t_setup:.2f}s", flush=True)
     epoch = epoch0
     # per-SHARD pop budget: a hot host concentrates in one shard (that is
     # what makes its politeness state consistent), so dividing the budget
@@ -584,11 +598,11 @@ def run_crawl(
             # Below the guard, ONE explicit task sorts + keeps-first —
             # the full dedup_dataset pipeline costs ~3 s of fixed
             # Dataset executions, which dominates small-crawl epochs.
-            if expanded.count() <= EXPANSION_DEDUP_MAX_SINGLE:
-                # from_arrow_refs: consume the task output in place —
-                # no driver-heap copy, no duplicate object-store put
-                deduped = rd.from_arrow_refs(
-                    [_dedup_urls_task.remote(*expanded.to_arrow_refs())])
+            small = expanded.count() <= EXPANSION_DEDUP_MAX_SINGLE
+            if small:
+                # ONE explicit task; the table comes back as a ref and
+                # feeds the driver-RPC offer fan-out directly below
+                dedup_ref = _dedup_urls_task.remote(*expanded.to_arrow_refs())
             else:
                 deduped = DD.dedup_dataset(expanded, key_cols=("url",),
                                            order_col="priority")
@@ -596,10 +610,20 @@ def run_crawl(
                 print(f"[search] dedup={time.perf_counter() - _ts:.2f}s",
                       flush=True)
             _ts = time.perf_counter()
-            n = deduped.map_batches(
-                make_offer_stage(filters, shards),
-                batch_format="pyarrow", batch_size=16384, num_cpus=0.1,
-            ).count()  # forces offers to complete before the next pop
+            if small:
+                # small tier: offer via the same salt/shard routing the
+                # distributed stage uses (offer_rows == seed path), from
+                # the driver — skips one whole Dataset execution (~0.5 s
+                # of fixed cost per epoch); the big tier keeps offers
+                # inside tasks where volume demands it
+                tbl = ray.get(dedup_ref)
+                offer_rows(filters, shards, tbl)
+                n = tbl.num_rows
+            else:
+                n = deduped.map_batches(
+                    make_offer_stage(filters, shards),
+                    batch_format="pyarrow", batch_size=16384, num_cpus=0.1,
+                ).count()  # forces offers to complete before the next pop
             if os.environ.get("FCRAY_TIMING"):
                 print(f"[search] offers={time.perf_counter() - _ts:.2f}s",
                       flush=True)
@@ -663,8 +687,11 @@ def run_crawl(
                 "epochs": epochs_meta,
             })
 
+    _t_fin = time.perf_counter()
     if finalize:
         finalize_game_history(out_dir)
+    if os.environ.get("FCRAY_TIMING"):
+        print(f"[finalize] {time.perf_counter() - _t_fin:.2f}s", flush=True)
     m = store.load_manifest(out_dir) or {}
     m["finished"] = True
     m["completed_epochs"] = epoch
@@ -678,11 +705,59 @@ def run_crawl(
     return CrawlResult(out_dir, shards, filters, epoch)
 
 
-def finalize_game_history(out_dir: str) -> None:
+FINALIZE_MAX_SINGLE_ROWS = 2_000_000
+
+
+@ray.remote
+def _finalize_small_task(tmp_dir: str, *tables: pa.Table) -> int:
+    """Small-store finalize in ONE task: normalize + keep-first dedup +
+    dropna + parquet write. Same semantics as the Dataset path — min
+    lineage per DEDUP_KEY; tied mins keep the candidate earliest in
+    block order, which the stable lexsort preserves; surviving rows stay
+    in input order (np.sort of the kept indices). The Dataset path costs
+    ~4 fixed pipeline executions (~1.9 s) that dominate small crawls;
+    above FINALIZE_MAX_SINGLE_ROWS the distributed path runs instead
+    (pinned identical by test)."""
+    import pyarrow.parquet as pq
+
+    live = [NZ.normalize_games_batch(x) for x in tables if x.num_rows > 0]
+    if not live:
+        return 0
+    t = pa.concat_tables(live)
+    sig = DD._key_sig(t, DD.DEDUP_KEY)
+    order = t["lineage"].to_numpy(zero_copy_only=False)
+    perm = np.lexsort((order, sig))  # stable: input order breaks ties
+    s = sig[perm]
+    first = np.r_[True, s[1:] != s[:-1]]
+    t = t.take(pa.array(np.sort(perm[first]).astype(np.int64)))
+    t = NZ.drop_null_batch(t)
+    if t.num_rows:
+        pq.write_table(t, os.path.join(tmp_dir, "part-0.parquet"))
+    return t.num_rows
+
+
+def finalize_game_history(
+        out_dir: str,
+        max_single_rows: int | None = None) -> None:
     """games_raw (all epochs) → normalize → dedup keep-first → dropna →
     game_history store (reference process_game_history + DB dedup)."""
     raw = store.read_all(out_dir, "games_raw")
     if raw is None:
+        return
+    if max_single_rows is None:
+        max_single_rows = FINALIZE_MAX_SINGLE_ROWS
+    if raw.count() <= max_single_rows:
+        final = store.epoch_dir(out_dir, "game_history", 0)
+        tmp = final + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(final, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        n = ray.get(_finalize_small_task.remote(tmp, *raw.to_arrow_refs()))
+        if n == 0:
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.makedirs(final, exist_ok=True)  # empty partition marker
+        else:
+            os.rename(tmp, final)
         return
     # materialize the normalized rows once: dedup makes two passes over
     # its input (partial-min scan + probe scan) — without this the read +

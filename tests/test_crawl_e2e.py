@@ -128,6 +128,22 @@ def test_checkpoint_resume_equivalence(tmp_path):
     assert resumed.seen_hashes() == full.seen_hashes()
 
 
+def test_finalize_tiers_identical(tmp_path):
+    """Single-task finalize (normalize+dedup+dropna+write in one task)
+    vs the Dataset path (forced via a zero row guard) must produce the
+    exact same game_history content."""
+    out = str(tmp_path / "f")
+    res = C.run_crawl(CFG, out, n_shards=2)
+    small = res.game_history().to_pandas()
+    C.finalize_game_history(out, max_single_rows=0)  # overwrite via big path
+    big = C.run_crawl.__globals__["store"].read_all(
+        out, "game_history").to_pandas()
+    cols = sorted(small.columns)
+    s = small[cols].sort_values(cols).reset_index(drop=True)
+    b = big[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(s, b)
+
+
 def test_watermark_windows_ds_matches_scalar_spec(tmp_path):
     """The distributed watermark plan (Dataset end-to-end, block-ref
     lookup) must produce exactly the dict the scalar spec computes."""
