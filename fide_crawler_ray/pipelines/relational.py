@@ -3369,6 +3369,206 @@ def q_bigram_lm_score(sf_dir,
     )
 
 
+QNORM_MAX_BROADCAST_VALUES = 4_000_000
+
+
+def q_quantile_norm(sf_dir, max_broadcast: int = QNORM_MAX_BROADCAST_VALUES):
+    """GLOBAL quantile normalization — map every order's price to its
+    corpus-wide percent_rank (rank−1)·10⁶ // (n−1), the rank→uniform
+    transform feature pipelines use to decouple a feature from its
+    marginal distribution. Unlike q_rank_functions (per-user windows,
+    bounded groups) this is a TOTAL ordering over the whole table — the
+    one window shape that cannot ride on map_groups.
+
+    Plan: no global sort of the rows. The min-rank of a VALUE is
+    1 + (count of strictly smaller values), so one partial-agg groupby
+    builds the distinct-value histogram, its cumulative counts (sorted
+    once — distinct-value-sized, not row-sized) give rank(v), and a
+    map-side searchsorted stamps every row. Distinct values broadcast
+    below the guard; above it rows hash-join the rank table instead.
+    Ties get the min rank — exactly SQL rank(), so percent_rank matches
+    the oracle bit for bit (all-integer arithmetic)."""
+    orders = T(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def _fp(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "p": pa.array(_round_half_away(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64), pa.int64()),
+        })
+
+    fp = orders.map_batches(_fp, batch_format="pyarrow").materialize()
+    hist = fast_groupby_agg(fp, ["p"], {"c": (None, "count")}).materialize()
+    n_total = int(fp.count())
+
+    if hist.count() <= max_broadcast:
+        href = ray.put(hist.to_arrow_refs())
+
+        class _Rank:
+            def __init__(self):
+                t = pa.concat_tables(
+                    [x for x in ray.get(ray.get(href)) if x.num_rows])
+                v = t["p"].to_numpy(zero_copy_only=False)
+                c = t["c"].to_numpy(zero_copy_only=False)
+                order = np.argsort(v)
+                self.v = v[order]
+                cc = np.cumsum(c[order])
+                # min-rank of value i = 1 + rows strictly smaller
+                self.rank = np.r_[0, cc[:-1]] + 1
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                p = b["p"].to_numpy(zero_copy_only=False)
+                r = self.rank[np.searchsorted(self.v, p)]
+                q = (r - 1) * 1_000_000 // (n_total - 1)
+                return pa.table({
+                    "o_orderkey": b["o_orderkey"],
+                    "q_fp": pa.array(q, pa.int64()),
+                })
+
+        return fp.map_batches(_Rank, batch_format="pyarrow",
+                              concurrency=(1, 4))
+
+    # exchange tier: rank table derived once (distinct-value-sized sort
+    # in one task), rows hash-join it on the value
+    @ray.remote
+    def _rank_table(*tables: pa.Table) -> pa.Table:
+        t = pa.concat_tables([x for x in tables if x.num_rows])
+        v = t["p"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        order = np.argsort(v)
+        cc = np.cumsum(c[order])
+        return pa.table({
+            "pv": pa.array(v[order], pa.int64()),
+            "rank": pa.array(np.r_[0, cc[:-1]] + 1, pa.int64()),
+        })
+
+    import ray.data as rd
+
+    ranks = rd.from_arrow_refs([_rank_table.remote(*hist.to_arrow_refs())])
+    j = fp.join(ranks, "inner", num_partitions=16,
+                on=("p",), right_on=("pv",))
+
+    def _q(b: pa.Table) -> pa.Table:
+        r = b["rank"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "q_fp": pa.array((r - 1) * 1_000_000 // (n_total - 1),
+                             pa.int64()),
+        })
+
+    return j.map_batches(_q, batch_format="pyarrow")
+
+
+def q_grouped_geomean(sf_dir):
+    """Per-group geometric-mean invariant: n and Σ round(ln(p_fp)·10⁹)
+    over ×100 fixed-point prices per order priority — the log-domain
+    mean pipelines use for strictly-positive, skewed features. Each ln
+    term quantizes to int64 BEFORE the distributed sum (order
+    independent, same policy as q_grouped_entropy / q_bigram_lm_score)
+    through libm math.log — bit-identical to DuckDB's ln on a host."""
+    ds = T(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def _lnp(b: pa.Table) -> pa.Table:
+        p = _round_half_away(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        uniq, inv = np.unique(p, return_inverse=True)
+        lnu = np.empty(len(uniq), np.int64)
+        for i, u in enumerate(uniq):
+            lnu[i] = _ln_fp9(int(u))
+        return pa.table({
+            "o_orderpriority": b["o_orderpriority"],
+            "lnp": pa.array(lnu[inv], pa.int64()),
+        })
+
+    return fast_groupby_agg(
+        ds.map_batches(_lnp, batch_format="pyarrow"),
+        ["o_orderpriority"], {"n": (None, "count"),
+                              "ln_sum_fp": ("lnp", "sum")},
+    )
+
+
+BM25_QUERY = ("hash", "join", "vector")
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def q_bm25_topk(sf_dir, k: int = 10):
+    """BM25 top-k retrieval of documents for a fixed keyword query —
+    the lexical-retrieval primitive next to the tf-idf and ANN entries.
+    Okapi BM25 (k1=1.2, b=0.75): Σ_t idf(t)·tf·(k1+1)/(tf + k1·(1−b +
+    b·dl/avgdl)), idf = ln((N−df+0.5)/(df+0.5)).
+
+    One tokenization pass materializes the per-doc feature row
+    (doc_id, tf_t…, dl) — vocabulary-free, one row per doc; corpus
+    stats (N, Σdl, df_t) are ONE tiny global aggregate over it; scoring
+    is a pure map with the stats in the closure (a handful of ints),
+    then a distributed sort + limit(k). The float score expression is
+    mirrored operation-for-operation in SQL (fixed 3-term sum in fixed
+    order; ln through libm), emitted ×10⁶ fixed point with a doc_id
+    tie-break, so top-k is deterministic and bit-exact."""
+    docs = T(sf_dir, "documents", ["doc_id", "text"])
+
+    def _feat(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        tfs = [[] for _ in BM25_QUERY]
+        dls = []
+        for txt in b["text"].to_pylist():
+            toks = _TOKEN.findall(txt.lower())
+            dls.append(len(toks))
+            for qi, qt in enumerate(BM25_QUERY):
+                tfs[qi].append(sum(1 for t in toks if t == qt))
+        cols = {"doc_id": pa.array(ids, pa.int64()),
+                "dl": pa.array(dls, pa.int64())}
+        for qi in range(len(BM25_QUERY)):
+            cols[f"tf{qi}"] = pa.array(tfs[qi], pa.int64())
+        return pa.table(cols)
+
+    feat = docs.map_batches(_feat, batch_format="pyarrow").materialize()
+
+    def _stats(b: pa.Table) -> pa.Table:
+        out = {"n": pa.array([b.num_rows], pa.int64()),
+               "total": pa.array(
+                   [int(b["dl"].to_numpy(zero_copy_only=False).sum())],
+                   pa.int64())}
+        for qi in range(len(BM25_QUERY)):
+            tf = b[f"tf{qi}"].to_numpy(zero_copy_only=False)
+            out[f"df{qi}"] = pa.array([int((tf > 0).sum())], pa.int64())
+        return pa.table(out)
+
+    parts = feat.map_batches(_stats, batch_format="pyarrow").to_pandas()
+    n_docs = int(parts["n"].sum())
+    total = int(parts["total"].sum())
+    dfs = [int(parts[f"df{qi}"].sum()) for qi in range(len(BM25_QUERY))]
+
+    def _score(b: pa.Table) -> pa.Table:
+        dl = b["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        avgdl = (total * 1.0) / n_docs
+        score = np.zeros(len(dl), np.float64)
+        # fixed term order — the SQL sums the same three terms in the
+        # same order (float addition is order-sensitive)
+        for qi in range(len(BM25_QUERY)):
+            tf = b[f"tf{qi}"].to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            idf = math.log(((n_docs - dfs[qi]) + 0.5) / (dfs[qi] + 0.5))
+            # 2.2 as a LITERAL, not k1+1.0: the float sum 1.2+1.0 lands
+            # a rounding tie away from the double the SQL literal 2.2
+            # parses to — literals on both sides are identical by
+            # construction
+            score = score + idf * ((tf * 2.2)
+                                   / (tf + BM25_K1 * ((1.0 - BM25_B)
+                                      + BM25_B * (dl / avgdl))))
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "score_fp": pa.array(_round_half_away(
+                score * 1_000_000.0).astype(np.int64), pa.int64()),
+        })
+
+    scored = feat.map_batches(_score, batch_format="pyarrow")
+    return scored.sort(["score_fp", "doc_id"],
+                       descending=[True, False]).limit(k)
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -3433,6 +3633,9 @@ def queries() -> dict:
         "unpivot_long": q_unpivot_long,
         "grouped_skew": q_grouped_skew,
         "bigram_lm_score": q_bigram_lm_score,
+        "quantile_norm": q_quantile_norm,
+        "grouped_geomean": q_grouped_geomean,
+        "bm25_topk": q_bm25_topk,
     }
 
 
@@ -3467,6 +3670,71 @@ ORACLES: dict[str, str] = {
         SELECT p_brand, p_type, p_size FROM part WHERE p_size > 25
         INTERSECT
         SELECT p_brand, p_type, p_size FROM part WHERE p_retailprice > 950
+    """,
+    "bm25_topk": """
+        WITH arr AS (
+            SELECT doc_id,
+                   string_split_regex(lower(text), '[^a-z0-9_]+') AS a
+            FROM documents
+        ),
+        tok AS (
+            SELECT doc_id, a[i] AS tok
+            FROM arr, UNNEST(generate_series(1, len(a))) AS g(i)
+            WHERE a[i] <> ''
+        ),
+        f AS (
+            SELECT doc_id, count(*) AS dl,
+                   sum(CASE WHEN tok = 'hash' THEN 1 ELSE 0 END) AS tf0,
+                   sum(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) AS tf1,
+                   sum(CASE WHEN tok = 'vector' THEN 1 ELSE 0 END) AS tf2
+            FROM tok GROUP BY doc_id
+        ),
+        g AS (
+            SELECT count(*) AS n, sum(dl) AS total,
+                   sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                   sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                   sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+            FROM f
+        ),
+        s AS (
+            SELECT doc_id,
+                   ln(((n - df0) + 0.5) / (df0 + 0.5))
+                   * ((tf0 * 2.2) / (tf0 + 1.2 * ((1.0 - 0.75)
+                      + 0.75 * (dl / ((total * 1.0) / n)))))
+                 + ln(((n - df1) + 0.5) / (df1 + 0.5))
+                   * ((tf1 * 2.2) / (tf1 + 1.2 * ((1.0 - 0.75)
+                      + 0.75 * (dl / ((total * 1.0) / n)))))
+                 + ln(((n - df2) + 0.5) / (df2 + 0.5))
+                   * ((tf2 * 2.2) / (tf2 + 1.2 * ((1.0 - 0.75)
+                      + 0.75 * (dl / ((total * 1.0) / n)))))
+                   AS score
+            FROM f, g
+        )
+        SELECT doc_id,
+               CAST(round(score * 1000000.0) AS BIGINT) AS score_fp
+        FROM s ORDER BY score_fp DESC, doc_id LIMIT 10
+    """,
+    "quantile_norm": """
+        WITH m AS (
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS p
+            FROM orders
+        )
+        SELECT o_orderkey,
+               CAST((rank() OVER (ORDER BY p) - 1) * 1000000
+                    // ((SELECT count(*) FROM m) - 1) AS BIGINT) AS q_fp
+        FROM m
+    """,
+    "grouped_geomean": """
+        WITH m AS (
+            SELECT o_orderpriority,
+                   CAST(round(ln(CAST(round(o_totalprice * 100) AS BIGINT)
+                                 * 1.0) * 1000000000.0) AS BIGINT) AS lnp
+            FROM orders
+        )
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(lnp) AS BIGINT) AS ln_sum_fp
+        FROM m GROUP BY o_orderpriority
     """,
     "bigram_lm_score": """
         WITH arr AS (

@@ -636,6 +636,22 @@ def test_region_revenue_tiers_identical(monkeypatch):
     pd.testing.assert_frame_equal(base, joined)
 
 
+def test_quantile_norm_tiers_identical(monkeypatch):
+    """Broadcast rank-table probe vs the hash-join tier (forced via a
+    zero distinct-value guard) must agree exactly; q_fp spans the full
+    [0, 1e6] range with min-rank tie semantics."""
+    import fide_crawler_ray.pipelines.relational as R
+
+    base = (R.q_quantile_norm(SF).to_pandas()
+            .sort_values("o_orderkey").reset_index(drop=True))
+    assert base["q_fp"].min() == 0
+    assert base["q_fp"].max() == 1_000_000
+    monkeypatch.setattr(R, "QNORM_MAX_BROADCAST_VALUES", 0)
+    joined = (R.q_quantile_norm(SF).to_pandas()
+              .sort_values("o_orderkey").reset_index(drop=True))
+    pd.testing.assert_frame_equal(base, joined)
+
+
 def test_bigram_lm_score_tiers_identical(monkeypatch):
     """Broadcast-model scoring (pure map) vs the hash-join tier (forced
     via a zero bigram guard) must agree exactly; scores are negative
