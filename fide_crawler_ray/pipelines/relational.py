@@ -3493,8 +3493,8 @@ BM25_QUERY = ("hash", "join", "vector")
 BM25_K1, BM25_B = 1.2, 0.75
 
 
-def q_bm25_topk(sf_dir, k: int = 10):
-    """BM25 top-k retrieval of documents for a fixed keyword query —
+def _bm25_scored(sf_dir):
+    """BM25 scoring of every document for a fixed keyword query —
     the lexical-retrieval primitive next to the tf-idf and ANN entries.
     Okapi BM25 (k1=1.2, b=0.75): Σ_t idf(t)·tf·(k1+1)/(tf + k1·(1−b +
     b·dl/avgdl)), idf = ln((N−df+0.5)/(df+0.5)).
@@ -3564,9 +3564,79 @@ def q_bm25_topk(sf_dir, k: int = 10):
                 score * 1_000_000.0).astype(np.int64), pa.int64()),
         })
 
-    scored = feat.map_batches(_score, batch_format="pyarrow")
-    return scored.sort(["score_fp", "doc_id"],
-                       descending=[True, False]).limit(k)
+    return feat.map_batches(_score, batch_format="pyarrow")
+
+
+def q_bm25_topk(sf_dir, k: int = 10):
+    """Top-k BM25 retrieval — see _bm25_scored for the plan; this is
+    the scored dataset through one distributed sort + limit with a
+    doc_id tie-break (deterministic cutoff)."""
+    return _bm25_scored(sf_dir).sort(
+        ["score_fp", "doc_id"], descending=[True, False]).limit(k)
+
+
+RRF_K = 60       # the standard RRF dampening constant
+RRF_LIST = 20    # per-ranker candidate list length
+
+
+def q_rrf_fusion(sf_dir, k: int = 10):
+    """Reciprocal-rank fusion of two retrieval modalities — BM25
+    (lexical, _bm25_scored) and embedding cosine against the vec_id=0
+    query vector (dense) — the hybrid-retrieval primitive RAG data
+    pipelines rank with. Each ranker contributes 10⁶ // (60 + rank)
+    for its top-RRF_LIST docs (integer — the fusion itself has no float
+    at all); fused top-k breaks ties by doc_id.
+
+    The cosine ranking is exact and order-independent: per-dimension
+    products quantize to ×10¹² int64 BEFORE summation (float Σ over an
+    unnest has no defined order in SQL), and the final similarity is a
+    mirrored float expression over those integer sums (÷, ×, sqrt —
+    all IEEE correctly-rounded). Both ranker sorts are distributed
+    sort+limit; only the two RRF_LIST-row lists ever reach the driver
+    (bounded by the constant, not the corpus)."""
+    top_a = (_bm25_scored(sf_dir)
+             .sort(["score_fp", "doc_id"], descending=[True, False])
+             .limit(RRF_LIST).to_pandas())
+
+    emb = T(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q0 = emb.map_batches(
+        lambda b: b.filter(pc.equal(b["vec_id"], 0)),
+        batch_format="pyarrow").take_all()
+    qv = np.asarray(q0[0]["embedding"], np.float64)
+    nb = int(_round_half_away((qv * qv) * 1e12).astype(np.int64).sum())
+    qref = ray.put(qv)
+
+    def _sim(b: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        col = b["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        m = flat.reshape(-1, len(q))
+        dot = _round_half_away((m * q) * 1e12).astype(np.int64).sum(axis=1)
+        na = _round_half_away((m * m) * 1e12).astype(np.int64).sum(axis=1)
+        sim = ((dot * 1.0) / (np.sqrt(na * 1.0) * np.sqrt(nb * 1.0))
+               * 1_000_000.0)
+        return pa.table({
+            "vec_id": b["vec_id"],
+            "sim_fp": pa.array(_round_half_away(sim).astype(np.int64),
+                               pa.int64()),
+        })
+
+    top_b = (emb.map_batches(_sim, batch_format="pyarrow")
+             .sort(["sim_fp", "vec_id"], descending=[True, False])
+             .limit(RRF_LIST).to_pandas())
+
+    fused: dict[int, int] = {}
+    for r, did in enumerate(top_a["doc_id"], start=1):
+        fused[int(did)] = fused.get(int(did), 0) + 1_000_000 // (RRF_K + r)
+    for r, vid in enumerate(top_b["vec_id"], start=1):
+        fused[int(vid)] = fused.get(int(vid), 0) + 1_000_000 // (RRF_K + r)
+    rows = sorted(fused.items(), key=lambda x: (-x[1], x[0]))[:k]
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+        "rrf_fp": pa.array([s for _, s in rows], pa.int64()),
+    }))
 
 
 def queries() -> dict:
@@ -3636,6 +3706,7 @@ def queries() -> dict:
         "quantile_norm": q_quantile_norm,
         "grouped_geomean": q_grouped_geomean,
         "bm25_topk": q_bm25_topk,
+        "rrf_fusion": q_rrf_fusion,
     }
 
 
@@ -3713,6 +3784,92 @@ ORACLES: dict[str, str] = {
         SELECT doc_id,
                CAST(round(score * 1000000.0) AS BIGINT) AS score_fp
         FROM s ORDER BY score_fp DESC, doc_id LIMIT 10
+    """,
+    "rrf_fusion": """
+        WITH arr AS (
+            SELECT doc_id,
+                   string_split_regex(lower(text), '[^a-z0-9_]+') AS a
+            FROM documents
+        ),
+        tok AS (
+            SELECT doc_id, a[i] AS tok
+            FROM arr, UNNEST(generate_series(1, len(a))) AS g(i)
+            WHERE a[i] <> ''
+        ),
+        f AS (
+            SELECT doc_id, count(*) AS dl,
+                   sum(CASE WHEN tok = 'hash' THEN 1 ELSE 0 END) AS tf0,
+                   sum(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) AS tf1,
+                   sum(CASE WHEN tok = 'vector' THEN 1 ELSE 0 END) AS tf2
+            FROM tok GROUP BY doc_id
+        ),
+        g AS (
+            SELECT count(*) AS n, sum(dl) AS total,
+                   sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                   sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                   sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+            FROM f
+        ),
+        s AS (
+            SELECT doc_id,
+                   CAST(round((
+                   ln(((n - df0) + 0.5) / (df0 + 0.5))
+                   * ((tf0 * 2.2) / (tf0 + 1.2 * ((1.0 - 0.75)
+                      + 0.75 * (dl / ((total * 1.0) / n)))))
+                 + ln(((n - df1) + 0.5) / (df1 + 0.5))
+                   * ((tf1 * 2.2) / (tf1 + 1.2 * ((1.0 - 0.75)
+                      + 0.75 * (dl / ((total * 1.0) / n)))))
+                 + ln(((n - df2) + 0.5) / (df2 + 0.5))
+                   * ((tf2 * 2.2) / (tf2 + 1.2 * ((1.0 - 0.75)
+                      + 0.75 * (dl / ((total * 1.0) / n)))))
+                   ) * 1000000.0) AS BIGINT) AS score_fp
+            FROM f, g
+        ),
+        la AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score_fp DESC, doc_id)
+                       AS r
+            FROM s QUALIFY r <= 20
+        ),
+        q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        dims AS (
+            SELECT e.vec_id,
+                   CAST(round((CAST(e.embedding[i] AS DOUBLE)
+                               * CAST(q.qe[i] AS DOUBLE)) * 1e12)
+                        AS BIGINT) AS pxy,
+                   CAST(round((CAST(e.embedding[i] AS DOUBLE)
+                               * CAST(e.embedding[i] AS DOUBLE)) * 1e12)
+                        AS BIGINT) AS pxx
+            FROM embeddings e, q,
+                 UNNEST(generate_series(1, len(e.embedding))) AS gg(i)
+        ),
+        nb AS (
+            SELECT CAST(sum(CAST(round((CAST(qe[i] AS DOUBLE)
+                                        * CAST(qe[i] AS DOUBLE)) * 1e12)
+                                 AS BIGINT)) AS BIGINT) AS nb
+            FROM q, UNNEST(generate_series(1, len(qe))) AS gg(i)
+        ),
+        sims AS (
+            SELECT vec_id,
+                   CAST(round((CAST(sum(pxy) AS BIGINT) * 1.0)
+                              / (sqrt(CAST(sum(pxx) AS BIGINT) * 1.0)
+                                 * sqrt((SELECT nb FROM nb) * 1.0))
+                              * 1000000.0) AS BIGINT) AS sim_fp
+            FROM dims GROUP BY vec_id
+        ),
+        lb AS (
+            SELECT vec_id,
+                   row_number() OVER (ORDER BY sim_fp DESC, vec_id) AS r
+            FROM sims QUALIFY r <= 20
+        ),
+        u AS (
+            SELECT doc_id, 1000000 // (60 + r) AS c FROM la
+            UNION ALL
+            SELECT vec_id AS doc_id, 1000000 // (60 + r) AS c FROM lb
+        )
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_fp
+        FROM u GROUP BY doc_id
+        ORDER BY rrf_fp DESC, doc_id LIMIT 10
     """,
     "quantile_norm": """
         WITH m AS (
