@@ -3639,6 +3639,51 @@ def q_rrf_fusion(sf_dir, k: int = 10):
     }))
 
 
+INTERVAL_COVER_S = 300  # each event covers [ts, ts+300s)
+
+
+def q_interval_coverage(sf_dir):
+    """Gaps-and-islands interval merging — per user, merge overlapping
+    [ts, ts+300s) event windows into maximal islands and report island
+    count + total covered seconds (the classic SQL pattern behind
+    session stitching, uptime/coverage accounting, and span
+    consolidation). All-integer epoch-seconds arithmetic.
+
+    Plan: per-user ``groupby.map_groups`` (same user-fits-a-worker
+    contract as sessionize) with a vectorized island kernel — sorted
+    starts vs the running cummax of ends; islands cut where the start
+    clears every previous end; reduceat folds per-island extents. One
+    exchange (the groupby); the oracle spells the identical semantics
+    with two window functions."""
+    ds = T(sf_dir, "events", ["user_id", "ts"])
+
+    def _islands(df: pd.DataFrame) -> pd.DataFrame:
+        t = np.sort(df["ts"].to_numpy().astype("datetime64[us]")
+                    .view("int64") // 1_000_000)
+        s, e = t, t + INTERVAL_COVER_S
+        cummax_e = np.maximum.accumulate(e)
+        cut = np.r_[True, s[1:] > cummax_e[:-1]]
+        idx = np.flatnonzero(cut)
+        ends = np.maximum.reduceat(e, idx)
+        covered = int((ends - s[idx]).sum())
+        return pd.DataFrame([{
+            "user_id": df["user_id"].iloc[0],
+            "n_islands": int(cut.sum()),
+            "covered_s": covered,
+        }])
+
+    out = ds.groupby("user_id").map_groups(_islands, batch_format="pandas")
+
+    def _cast(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "n_islands": b["n_islands"].cast(pa.int64()),
+            "covered_s": b["covered_s"].cast(pa.int64()),
+        })
+
+    return out.map_batches(_cast, batch_format="pyarrow")
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -3707,6 +3752,7 @@ def queries() -> dict:
         "grouped_geomean": q_grouped_geomean,
         "bm25_topk": q_bm25_topk,
         "rrf_fusion": q_rrf_fusion,
+        "interval_coverage": q_interval_coverage,
     }
 
 
@@ -3784,6 +3830,35 @@ ORACLES: dict[str, str] = {
         SELECT doc_id,
                CAST(round(score * 1000000.0) AS BIGINT) AS score_fp
         FROM s ORDER BY score_fp DESC, doc_id LIMIT 10
+    """,
+    "interval_coverage": """
+        WITH m AS (
+            SELECT user_id, epoch_us(ts) // 1000000 AS s,
+                   epoch_us(ts) // 1000000 + 300 AS e
+            FROM events
+        ),
+        w AS (
+            SELECT user_id, s, e,
+                   max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS pmax
+            FROM m
+        ),
+        g AS (
+            SELECT user_id, s, e,
+                   sum(CASE WHEN pmax IS NULL OR s > pmax
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY s, e
+                             ROWS UNBOUNDED PRECEDING) AS isl
+            FROM w
+        ),
+        i AS (
+            SELECT user_id, isl, min(s) AS st, max(e) AS en
+            FROM g GROUP BY user_id, isl
+        )
+        SELECT user_id, count(*) AS n_islands,
+               CAST(sum(en - st) AS BIGINT) AS covered_s
+        FROM i GROUP BY user_id
     """,
     "rrf_fusion": """
         WITH arr AS (
