@@ -3684,6 +3684,46 @@ def q_interval_coverage(sf_dir):
     return out.map_batches(_cast, batch_format="pyarrow")
 
 
+def q_json_extract(sf_dir):
+    """Semi-structured column extraction — parse the events.props JSON
+    payload into typed fields and aggregate per event type (Σk, count,
+    distinct k) — the schema-on-read op every log/telemetry pipeline
+    starts with. The parse is a real JSON decode (stdlib json per
+    value, inside map_batches — same python-kernel class as the
+    tokenizer stages; pyarrow has no JSON-parse kernel), the
+    aggregation one map-side-combined partial-agg exchange."""
+    import json as _json
+
+    ds = T(sf_dir, "events", ["event_type", "props"])
+
+    def _parse(b: pa.Table) -> pa.Table:
+        ks = [int(_json.loads(p)["k"]) for p in b["props"].to_pylist()]
+        return pa.table({
+            "event_type": b["event_type"],
+            "k": pa.array(ks, pa.int64()),
+        })
+
+    parsed = ds.map_batches(_parse, batch_format="pyarrow")
+    # (type, k) counts first: the second groupby then sees the DISTINCT
+    # (type, k) table, so distinct-k is an exact count, not a sketch
+    counts = fast_groupby_agg(parsed, ["event_type", "k"],
+                              {"c": (None, "count")})
+
+    def _kc(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "c": b["c"],
+            "kc": pc.multiply(b["k"], b["c"]),
+        })
+
+    return fast_groupby_agg(
+        counts.map_batches(_kc, batch_format="pyarrow"),
+        ["event_type"],
+        {"n_distinct_k": (None, "count"), "n": ("c", "sum"),
+         "k_sum": ("kc", "sum")},
+    )
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -3753,6 +3793,7 @@ def queries() -> dict:
         "bm25_topk": q_bm25_topk,
         "rrf_fusion": q_rrf_fusion,
         "interval_coverage": q_interval_coverage,
+        "json_extract": q_json_extract,
     }
 
 
@@ -3830,6 +3871,21 @@ ORACLES: dict[str, str] = {
         SELECT doc_id,
                CAST(round(score * 1000000.0) AS BIGINT) AS score_fp
         FROM s ORDER BY score_fp DESC, doc_id LIMIT 10
+    """,
+    "json_extract": """
+        WITH m AS (
+            SELECT event_type,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events
+        ),
+        c AS (
+            SELECT event_type, k, count(*) AS c
+            FROM m GROUP BY event_type, k
+        )
+        SELECT event_type, count(*) AS n_distinct_k,
+               CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(k * c) AS BIGINT) AS k_sum
+        FROM c GROUP BY event_type
     """,
     "interval_coverage": """
         WITH m AS (
