@@ -151,7 +151,17 @@ def run_bench() -> dict:
 
 def run_scaling() -> None:
     """Same job, same input, fresh processes at num_cpus=8 and 32 (the
-    sandbox stand-in for N vs 4N node clusters)."""
+    sandbox stand-in for N vs 4N node clusters).
+
+    The sandbox host drifts 3–8× slower for minutes at a time
+    (documented in BASELINE.md with a fixed-code control run), and the
+    two legs run minutes apart — one un-repeated pair can measure the
+    host's phase, not the engine (observed: a 2-leg in a fast window +
+    an 8-leg in a slow one read 0.48 where healthy repeats read ~0.9).
+    So legs are INTERLEAVED (lo, hi, lo, hi, …) and each level takes
+    its BEST wall time over FCRAY_SCALE_REPEATS rounds (default 2):
+    best-of-N estimates the unloaded-host time for both levels alike —
+    it does not favor either leg."""
     import subprocess
 
     def run(ncpu: int) -> dict:
@@ -164,17 +174,26 @@ def run_scaling() -> None:
         return json.loads(out.strip().splitlines()[-1])
 
     levels = os.environ.get("FCRAY_SCALE_LEVELS", "8,32")
+    repeats = int(os.environ.get("FCRAY_SCALE_REPEATS", "2"))
     lo, hi = (int(x) for x in levels.split(","))
-    r_lo, r_hi = run(lo), run(hi)
+    runs_lo, runs_hi = [], []
+    for _ in range(repeats):
+        runs_lo.append(run(lo))
+        runs_hi.append(run(hi))
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     print(json.dumps({
         f"sec_{lo}": t_lo, f"sec_{hi}": t_hi,
+        f"sec_{lo}_runs": [r["value"] for r in runs_lo],
+        f"sec_{hi}_runs": [r["value"] for r in runs_hi],
         f"throughput_{lo}": round(1.0 / t_lo, 6),
         f"throughput_{hi}": round(1.0 / t_hi, 6),
         f"pages_per_sec_{lo}": r_lo["crawl"]["pages_per_sec"],
         f"pages_per_sec_{hi}": r_hi["crawl"]["pages_per_sec"],
         "levels": [lo, hi],
+        "repeats": repeats,
         "scaling_efficiency": round(eff, 3),
         "pages": r_hi["crawl"]["pages"],
     }))

@@ -1,0 +1,287 @@
+"""Numeric quality gates for the APPROXIMATE operators.
+
+Every probabilistic / sketch-based operator in the engine
+(MinHash+LSH, SimHash, HLL, Misra-Gries, histogram quantiles, IVF,
+k-means) is rows-only for the driver — there is no SQL oracle for a
+randomized algorithm. These queries close that evidence gap: each one
+measures the approximate operator against its EXACT counterpart **on
+the same corpus, computed by the engine itself**, asserts the
+algorithm's published error bound (so a quality regression fails the
+run rather than drifting silently), and returns the measured numbers
+as a row the driver records.
+
+Gate design rule: the exact side must be an engine pipeline with its
+own green oracle (similarity_join, grouped_distinct_count, …) or a
+bound-size brute force over SKETCH values (64-bit signatures, never
+the corpus) — capped and deterministic so the gate itself scales.
+
+Reference parity note: the reference (rafaelvleite/fide_crawler) has
+no approximate operators — these gates guard the engine's 100-TB
+extensions, per the LLM-data-pipeline scope.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions import ann as ANN
+from ..functions import sketches as SK
+from ..stages.fastagg import fast_groupby_agg
+from . import dedup_text as DT
+
+# Ground-truth brute force over 64-bit signatures is O(sample²) popcounts;
+# 20k keeps it < 1 s vectorized while sampling far beyond where the LSH
+# banding behaves differently. Deterministic lowest-doc_id prefix, so the
+# gate is stable across runs and cluster sizes.
+SIMHASH_GT_SAMPLE = 20_000
+
+
+def _pair_set(df: pd.DataFrame) -> set:
+    a = df["a"].to_numpy()
+    b = df["b"].to_numpy()
+    return set(zip(np.minimum(a, b).tolist(), np.maximum(a, b).tolist()))
+
+
+def q_dedup_minhash_recall(sf_dir):
+    """Precision/recall of the MinHash+LSH near-dedup's verified pair set
+    against the EXACT set-similarity self-join (q_similarity_join, which
+    has its own bit-exact DuckDB oracle) at the same threshold and the
+    same word-3-shingle Jaccard. Precision is structurally 1.0 (LSH
+    candidates are exact-Jaccard-verified before use); recall measures
+    what the banding misses (1 − (1 − t^r)^b per pair). Both sides are
+    PAIR sets — output-sized, never corpus-sized — so collecting them is
+    as cheap as returning any query result. Asserts recall ≥ 0.9
+    (measured 1.0 at sf0.01 and sf0.1: the synthetic near-dups sit well
+    above the 16-band/8-row S-curve midpoint of ~0.71)."""
+    from .queries import T, to_df_any
+    from .relational import q_similarity_join
+
+    thr = 0.7
+    exact = _pair_set(to_df_any(q_similarity_join(sf_dir, threshold=thr)))
+    docs = T(sf_dir, "documents", ["doc_id", "text"])
+    _, verified = DT.minhash_lsh_dedup(docs, threshold=thr)
+    lsh = _pair_set(to_df_any(verified))
+    hit = len(exact & lsh)
+    recall = hit / max(len(exact), 1)
+    precision = hit / max(len(lsh), 1)
+    assert recall >= 0.9, f"MinHash LSH recall regressed: {recall:.3f} < 0.9"
+    assert precision == 1.0, (
+        f"MinHash verified pairs contain non-pairs: precision {precision:.3f}"
+    )
+    return pd.DataFrame([{
+        "n_exact_pairs": len(exact), "n_lsh_pairs": len(lsh),
+        "n_hit": hit, "recall_x1e6": int(round(recall * 1e6)),
+        "precision_x1e6": int(round(precision * 1e6)),
+    }])
+
+
+def q_dedup_simhash_recall(sf_dir):
+    """Recall of the SimHash band-LSH pair set against BRUTE-FORCE
+    hamming distance over the 64-bit signatures themselves. With 4
+    bands of 16 bits, any pair with hamming ≤ 3 < n_bands leaves one
+    band untouched (pigeonhole), so recall is exactly 1.0 unless a
+    bucket overflows bucket_cap (star-pair degradation) — asserted
+    ≥ 0.99 to leave room only for that documented cap. Ground truth is
+    computed over SIGNATURES (8 bytes/doc), not texts, on a
+    deterministic ≤ SIMHASH_GT_SAMPLE lowest-doc_id sample: the gate's
+    brute force stays bounded at any corpus size while the LSH side
+    runs the full distributed pipeline."""
+    from .queries import T, to_df_any
+
+    max_hamming = 3
+    docs = T(sf_dir, "documents", ["doc_id", "text"])
+    _, verified = DT.simhash_dedup(docs, max_hamming=max_hamming)
+    lsh_all = to_df_any(verified)
+
+    sigs = docs.map_batches(
+        lambda b: pa.table({
+            "doc_id": b["doc_id"],
+            "sig": pa.array(
+                np.array([SK.simhash64(t) for t in b["text"].to_pylist()],
+                         dtype=np.uint64).astype(np.int64), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).sort("doc_id").limit(SIMHASH_GT_SAMPLE).to_pandas()
+    ids = sigs["doc_id"].to_numpy()
+    hs = sigs["sig"].to_numpy().astype(np.uint64)
+    sample = set(ids.tolist())
+
+    true_pairs: set = set()
+    for i in range(len(ids) - 1):
+        x = (hs[i] ^ hs[i + 1:]).view(np.uint8).reshape(-1, 8)
+        hd = np.unpackbits(x, axis=1).sum(axis=1)
+        for j in np.nonzero(hd <= max_hamming)[0]:
+            true_pairs.add((ids[i], ids[i + 1 + j]))
+
+    lsh = {p for p in _pair_set(lsh_all)
+           if p[0] in sample and p[1] in sample}
+    hit = len(true_pairs & lsh)
+    recall = hit / max(len(true_pairs), 1)
+    assert recall >= 0.99, (
+        f"SimHash band recall broke the pigeonhole contract: {recall:.4f}"
+    )
+    return pd.DataFrame([{
+        "n_docs_sampled": len(ids), "n_true_pairs": len(true_pairs),
+        "n_lsh_pairs": len(lsh), "recall_x1e6": int(round(recall * 1e6)),
+    }])
+
+
+def q_heavy_hitters_err(sf_dir):
+    """Misra-Gries error audit: exact counts for every reported term
+    (computed DISTRIBUTED — the reported ≤ top terms broadcast into a
+    map_batches counting stage, so only a top-row partial per block
+    moves) vs the sketch estimates. Asserts the MG mergeable-summary
+    guarantee (Agarwal et al., PODS'12): estimates never exceed true
+    counts and per-term undercount ≤ N_tokens/(k+1)."""
+    from .relational import _TOKEN, MG_CAPACITY, T, q_heavy_hitters
+
+    est = q_heavy_hitters(sf_dir)
+    terms = est["term"].tolist()
+    term_set = frozenset(terms)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        counts = dict.fromkeys(terms, 0)
+        total = 0
+        for txt in b["text"].to_pylist():
+            for t in _TOKEN.findall(txt.lower()):
+                total += 1
+                if t in term_set:
+                    counts[t] += 1
+        return pa.table({
+            "term": pa.array(list(counts) + ["\x00total"], pa.string()),
+            "cnt": pa.array(list(counts.values()) + [total], pa.int64()),
+        })
+
+    exact = fast_groupby_agg(
+        T(sf_dir, "documents", ["text"]).map_batches(
+            _partial, batch_format="pyarrow"),
+        ["term"], {"cnt": ("cnt", "sum")},
+    ).to_pandas()  # ≤ top+1 rows
+    n_tokens = int(exact.loc[exact["term"] == "\x00total", "cnt"].iloc[0])
+    true = dict(zip(exact["term"], exact["cnt"]))
+    bound = n_tokens / (MG_CAPACITY + 1)
+
+    out = est.copy()
+    out["true_count"] = out["term"].map(true).astype(np.int64)
+    out["undercount"] = out["true_count"] - out["est_count"]
+    assert (out["undercount"] >= 0).all(), out.to_dict("records")
+    assert (out["undercount"] <= bound).all(), (bound, out.to_dict("records"))
+    return out[["term", "est_count", "true_count", "undercount"]]
+
+
+def q_approx_quantiles_err(sf_dir):
+    """Rank error of the histogram-sketch quantiles vs the exact CDF,
+    computed distributed: one map_batches pass counts, per approximate
+    quantile value, how many rows fall at or below it (a 3-int partial
+    per block), so the exact rank needs no sort and no value exchange.
+    Asserts rank error < 0.005 (= one 8192-bin mass at these data)."""
+    from .relational import T, q_approx_quantiles
+
+    row = q_approx_quantiles(sf_dir).iloc[0]
+    targets = [("p50", 0.5), ("p95", 0.95), ("p99", 0.99)]
+    vals = np.array([row[name] for name, _ in targets], dtype=np.float64)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        v = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        le = (v[:, None] <= vals[None, :]).sum(axis=0).astype(np.int64)
+        return pa.table({
+            "q": pa.array([n for n, _ in targets], pa.string()),
+            "n_le": pa.array(le, pa.int64()),
+            "n": pa.array([len(v)] * len(targets), pa.int64()),
+        })
+
+    agg = fast_groupby_agg(
+        T(sf_dir, "lineitem", ["l_extendedprice"]).map_batches(
+            _partial, batch_format="pyarrow"),
+        ["q"], {"n_le": ("n_le", "sum"), "n": ("n", "sum")},
+    ).to_pandas().set_index("q")  # 3 rows
+
+    recs = []
+    for name, q in targets:
+        rank = agg.loc[name, "n_le"] / agg.loc[name, "n"]
+        err = abs(rank - q)
+        assert err < 0.005, (name, row[name], rank)
+        recs.append({"q": name, "approx_value": float(row[name]),
+                     "rank_x1e6": int(round(rank * 1e6)),
+                     "rank_err_x1e6": int(round(err * 1e6))})
+    return pd.DataFrame(recs)
+
+
+def q_hll_err(sf_dir):
+    """HLL relative-error gate, global + grouped: re-uses q_hll_distinct
+    (p=14, vs the exact distinct count) and q_grouped_hll (p=12, vs the
+    exact grouped distinct) — both already compute approx AND exact in
+    one plan — and asserts the 3σ standard-error bounds (1.04/√2^p:
+    2.5% at p=14, 5% at p=12)."""
+    from .queries import to_df_any
+    from .relational import q_grouped_hll, q_hll_distinct
+
+    g = to_df_any(q_hll_distinct(sf_dir)).iloc[0]
+    assert g["rel_err"] < 0.025, dict(g)
+    grouped = to_df_any(q_grouped_hll(sf_dir))
+    assert (grouped["rel_err"] < 0.05).all(), grouped.to_dict("records")
+    rows = [{"scope": "global", "rel_err_x1e6": int(round(g["rel_err"] * 1e6))}]
+    rows += [{"scope": f"group:{r.event_type}",
+              "rel_err_x1e6": int(round(r.rel_err * 1e6))}
+             for r in grouped.itertuples()]
+    return pd.DataFrame(rows)
+
+
+def q_kmeans_quality(sf_dir, k: int = 8, iters: int = 5):
+    """Lloyd-improvement gate for the distributed spherical k-means: the
+    mean cosine of each vector to its nearest centroid must not
+    DECREASE from the deterministic init to the trained centroids
+    (Lloyd is monotone in the quantization objective; the map_batches
+    assignment pass emits one scalar partial per block). Asserts
+    obj(trained) ≥ obj(init) and returns both, fixed-point."""
+    import ray
+
+    from .queries import T
+
+    emb = T(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    init = ANN.sample_centroids(emb, k)
+    trained = ANN.kmeans_centroids(emb, n_centroids=k, iters=iters)
+
+    def _objective(cents: np.ndarray) -> float:
+        cref = ray.put(cents)
+
+        def _partial(b: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            vecs = ANN._normalize(ANN._to_matrix(b["embedding"]))
+            best = (vecs @ c.T).max(axis=1).astype(np.float64)
+            return pa.table({"n": pa.array([len(best)], pa.int64()),
+                             "s": pa.array([float(best.sum())], pa.float64())})
+
+        parts = emb.map_batches(_partial, batch_format="pyarrow")
+        tot = fast_groupby_agg(
+            parts.map_batches(
+                lambda b: b.append_column("g", pa.array([0] * b.num_rows,
+                                                        pa.int64())),
+                batch_format="pyarrow"),
+            ["g"], {"n": ("n", "sum"), "s": ("s", "sum")},
+        ).to_pandas().iloc[0]
+        return float(tot["s"]) / max(int(tot["n"]), 1)
+
+    obj0, obj1 = _objective(init), _objective(trained)
+    # float-sum order varies with block boundaries → compare with a hair
+    # of slack and report coarse fixed-point (1e-9 objective noise is
+    # not a quality signal)
+    assert obj1 >= obj0 - 1e-9, (obj0, obj1)
+    return pd.DataFrame([{
+        "k": k, "iters": iters,
+        "obj_init_x1e6": int(round(obj0 * 1e6)),
+        "obj_trained_x1e6": int(round(obj1 * 1e6)),
+        "improved": bool(obj1 >= obj0),
+    }])
+
+
+QUERIES = {
+    "dedup_minhash_recall": q_dedup_minhash_recall,
+    "dedup_simhash_recall": q_dedup_simhash_recall,
+    "heavy_hitters_err": q_heavy_hitters_err,
+    "approx_quantiles_err": q_approx_quantiles_err,
+    "hll_err": q_hll_err,
+    "kmeans_quality": q_kmeans_quality,
+}

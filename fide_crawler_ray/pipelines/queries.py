@@ -971,6 +971,7 @@ def queries() -> dict:
         "video_frame_sample": q_video_frame_sample,
         **_relational_queries(),
         **_textclean_queries(),
+        **_quality_queries(),
     }
 
 
@@ -984,6 +985,12 @@ def _textclean_queries() -> dict:
     from . import textclean  # deferred: textclean imports T from here
 
     return textclean.queries()
+
+
+def _quality_queries() -> dict:
+    from . import quality  # deferred: quality imports T from here
+
+    return quality.QUERIES
 
 
 ORACLES: dict[str, str] = {
