@@ -168,3 +168,53 @@ def test_media_dedup_by_payload_bytes():
         if payload not in best or fid < best[payload]:
             best[payload] = fid
     assert sorted(df["fide_id"].astype(int)) == sorted(best.values())
+
+
+def _real_png(w, h, rgb):
+    """A complete, decodable RGB PNG built with stdlib only (zlib IDAT):
+    every pixel = `rgb`. Lets the pixel-decode path be tested for REAL
+    whenever a decoder is importable, with no image library needed to
+    build the fixture."""
+    import zlib
+
+    def chunk(typ, data):
+        c = struct.pack(">I", len(data)) + typ + data
+        return c + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(rgb) * w for _ in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def test_decode_real_pixels_when_decoder_available():
+    """M16 pixel decode: with a real decoder importable the stages must
+    use it — decoded dims come from the pixels and the resized thumbnail
+    is a real PNG whose pixel mean matches the solid source color.
+    Skipped (not silently stubbed) when the env lacks PIL, so gaining
+    the library later turns this test ON."""
+    import pytest
+
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from fide_crawler_ray.stages.media import ImageDecodeStub, ImageResizeStub
+
+    payload = _real_png(256, 64, (200, 40, 90))
+    batch = pa.table({"media_payload": pa.array([payload], pa.binary())})
+    dec = ImageDecodeStub()
+    assert dec._pil is not None  # the probe must prefer the real decoder
+    out = dec(batch)
+    assert (out["width"][0].as_py(), out["height"][0].as_py()) == (256, 64)
+
+    thumb = ImageResizeStub(max_dim=128)(out)
+    assert (thumb["thumb_width"][0].as_py(),
+            thumb["thumb_height"][0].as_py()) == (128, 32)
+    with Image.open(io.BytesIO(thumb["thumb_payload"][0].as_py())) as im:
+        assert im.size == (128, 32)
+        px = list(im.convert("RGB").getdata())
+        means = [sum(c[i] for c in px) / len(px) for i in range(3)]
+    for got, want in zip(means, (200, 40, 90)):
+        assert abs(got - want) < 2.0  # resample of a solid color
