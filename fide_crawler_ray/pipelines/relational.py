@@ -3724,6 +3724,254 @@ def q_json_extract(sf_dir):
     )
 
 
+# ============================================ r3 batch-2: explode / fill /
+# lead / CDC compaction / BFS — the remaining classic pipeline primitives
+
+
+def q_unnest_explode(sf_dir):
+    """UNNEST-with-ordinality (the `explode` / flat_map primitive): one
+    output row per (vec, position) over the list<float> embedding
+    column. Fully vectorized zero-copy Arrow: ``pc.list_flatten`` for
+    values, value-lengths arithmetic for the 1-based ordinal — no
+    Python per row, no per-list loop. The float32→float64 widening is
+    bit-exact on both engines (no arithmetic), so the oracle matches
+    without fixed-point."""
+    emb = T(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _ex(b: pa.Table) -> pa.Table:
+        col = b["embedding"].combine_chunks()
+        lens = pc.list_value_length(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(col)
+        vid = np.repeat(b["vec_id"].to_numpy(zero_copy_only=False), lens)
+        starts = np.repeat(np.cumsum(lens) - lens, lens)
+        ordv = np.arange(int(lens.sum()), dtype=np.int64) - starts + 1
+        return pa.table({
+            "vec_id": pa.array(vid.astype(np.int64), pa.int64()),
+            "ord": pa.array(ordv, pa.int64()),
+            "val": pc.cast(flat, pa.float64()),
+        })
+
+    return emb.map_batches(_ex, batch_format="pyarrow")
+
+
+def q_gap_fill(sf_dir):
+    """Sparse→dense time-series densification (gap fill): per-user DAILY
+    event counts with every missing day between the user's first and
+    last activity emitted as an explicit 0 — the precondition for any
+    rolling/window computation that assumes a dense axis. Plan: one
+    map-side-combined (user, day) count exchange, then per-user
+    ``map_groups`` materializes the dense range (per-key output is
+    bounded by the TIME SPAN, not the data size — same per-key-fits-a-
+    worker contract as sessionize; a multi-year span × billion-user
+    fill would instead explode (user, day-range) spans via flat_map)."""
+    ev = T(sf_dir, "events", ["user_id", "ts"])
+
+    def _day_map(b: pa.Table) -> pa.Table:
+        d = (b["ts"].to_pandas().to_numpy()
+             .astype("datetime64[D]").astype("int64"))
+        return pa.table({"user_id": b["user_id"],
+                         "day": pa.array(d, pa.int64())})
+
+    counts = fast_groupby_agg(
+        ev.map_batches(_day_map, batch_format="pyarrow"),
+        ["user_id", "day"], {"n": (None, "count")},
+    )
+
+    def _fill(df: pd.DataFrame) -> pd.DataFrame:
+        lo = int(df["day"].min())
+        full = np.arange(lo, int(df["day"].max()) + 1, dtype=np.int64)
+        n = np.zeros(len(full), dtype=np.int64)
+        n[df["day"].to_numpy() - lo] = df["n"].to_numpy()
+        return pd.DataFrame({"user_id": df["user_id"].iloc[0],
+                             "day": full, "n": n})
+
+    return counts.groupby("user_id").map_groups(_fill, batch_format="pandas")
+
+
+def q_lead_dwell(sf_dir):
+    """Per-event dwell time: LEAD(ts) − ts within each user's (ts,
+    event_id)-ordered history, in exact integer microseconds (surfaced
+    as float64 because SQL LEAD is NULL on the last row — the same
+    nullable-BIGINT ↔ float64+NaN convention as q_window_functions'
+    lag column; month-scale spans ≪ 2^53 stay exact). Completes the
+    lag/lead pair of the window surface."""
+    ds = T(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def _dwell(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        t = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        dw = np.full(len(t), np.nan)
+        dw[:-1] = (t[1:] - t[:-1]).astype(np.float64)
+        return pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                             "event_id": df["event_id"].to_numpy(),
+                             "dwell_us": dw})
+
+    return ds.groupby("user_id").map_groups(_dwell, batch_format="pandas")
+
+
+def q_cdc_upsert(sf_dir):
+    """CDC upsert compaction (last-write-wins): a base snapshot plus a
+    derived update stream (every 7th order re-priced, version 1) merged
+    to one current row per key — the lakehouse MERGE/compaction shape.
+    Plan: both channels are emitted in ONE pass over the input, then
+    the mergeable grouped top-1 by version keeps the latest — map-side
+    compaction, so the exchange carries ≤ one row per (block, key),
+    never the raw change stream. Prices are ×100 integer fixed-point."""
+    from ..stages.fastagg import grouped_topk
+
+    orders = T(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def _channels(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = _round_half_away(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        upd = (k % 7) == 0
+        return pa.table({
+            "o_orderkey": pa.array(np.concatenate([k, k[upd]]), pa.int64()),
+            "price_fp": pa.array(
+                np.concatenate([p, p[upd] + 100_000]), pa.int64()),
+            "version": pa.array(
+                np.concatenate([np.zeros(len(k), np.int64),
+                                np.ones(int(upd.sum()), np.int64)]),
+                pa.int64()),
+        })
+
+    ds = orders.map_batches(_channels, batch_format="pyarrow")
+    out = grouped_topk(ds, ["o_orderkey"], ["version"], [False], 1)
+    return out.select_columns(["o_orderkey", "price_fp", "version"])
+
+
+BFS_MAX_HOPS = 6
+BFS_MAX_SINGLE_EDGES = 5_000_000
+
+
+@ray.remote
+def _bfs_task(n: int, max_hops: int, *tables: pa.Table) -> pa.Table:
+    """Single-task BFS over the collected edge list (small-graph tier,
+    guard: BFS_MAX_SINGLE_EDGES): edges sorted by src once, each hop's
+    neighbor gather is a searchsorted slice — work per hop is edges
+    touched, not edges total."""
+    live = [t for t in tables if t.num_rows > 0]
+    t = pa.concat_tables(live)
+    order = np.argsort(t["src"].to_numpy(zero_copy_only=False),
+                       kind="stable")
+    src_s = t["src"].to_numpy(zero_copy_only=False)[order]
+    dst_s = t["dst"].to_numpy(zero_copy_only=False)[order]
+    dist = np.full(n, -1, dtype=np.int64)
+    dist[0] = 0
+    frontier = np.array([0], dtype=np.int64)
+    for hop in range(1, max_hops + 1):
+        lo = np.searchsorted(src_s, frontier, side="left")
+        hi = np.searchsorted(src_s, frontier, side="right")
+        parts = [dst_s[a:b] for a, b in zip(lo, hi) if b > a]
+        if not parts:
+            break
+        cand = np.unique(np.concatenate(parts))
+        new = cand[dist[cand] == -1]
+        if len(new) == 0:
+            break
+        dist[new] = hop
+        frontier = new
+    return pa.table({"node": pa.array(np.arange(n, dtype=np.int64)),
+                     "dist": pa.array(dist, pa.int64())})
+
+
+def q_graph_bfs(sf_dir, max_hops: int = BFS_MAX_HOPS,
+                max_single_edges: int = BFS_MAX_SINGLE_EDGES):
+    """Single-source BFS hop distance from node 0 over the derived order
+    graph (same deterministic edge set as q_pagerank) — the traversal
+    member of the graph family (pagerank = fixed-iteration, connected
+    components = converging labels, BFS = expanding frontier).
+    Unreached-within-max_hops nodes report −1 (no nullable-int dtype
+    gamble).
+
+    Scale plan: per hop one hash join (frontier ⋈ edges on src), a
+    map-side-distinct on dst, and an anti-join against the visited set
+    — the frontier and visited sets are node-sized Datasets, never
+    driver state. Below ``max_single_edges`` the collected-edge
+    single-task tier runs instead (tiers pinned identical by test)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min
+
+    cust = T(sf_dir, "customer", ["c_custkey"])
+    dom = cust.aggregate(Min("c_custkey"), Max("c_custkey"), Count())
+    n = dom["count()"]
+    if dom["min(c_custkey)"] != 0 or dom["max(c_custkey)"] != n - 1:
+        raise ValueError(
+            f"graph_bfs needs dense 0-based c_custkey; got "
+            f"[{dom['min(c_custkey)']}, {dom['max(c_custkey)']}] n={n}")
+    edges = _pagerank_edges(sf_dir, n).materialize()
+
+    if edges.count() <= max_single_edges:
+        return rd.from_arrow_refs(
+            [_bfs_task.remote(n, max_hops, *edges.to_arrow_refs())])
+
+    visited = rd.from_arrow(pa.table({
+        "node": pa.array([0], pa.int64()),
+        "dist": pa.array([0], pa.int64()),
+    })).materialize()
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        cand = edges.join(
+            frontier.map_batches(
+                lambda b: pa.table({"src": b["node"]}),
+                batch_format="pyarrow"),
+            "inner", num_partitions=8, on=("src",),
+        ).map_batches(lambda b: pa.table({"node": b["dst"]}),
+                      batch_format="pyarrow")
+        cand = fast_groupby_agg(cand, ["node"], {"_n": (None, "count")})
+        new = cand.join(visited.select_columns(["node"]), "left_anti",
+                        num_partitions=8, on=("node",))
+        new = new.map_batches(
+            lambda b, h=hop: pa.table({
+                "node": b["node"],
+                "dist": pa.array(np.full(b.num_rows, h), pa.int64()),
+            }),
+            batch_format="pyarrow",
+        ).materialize()
+        if new.count() == 0:
+            break
+        visited = visited.union(new).materialize()
+        frontier = new
+
+    nodes = cust.map_batches(
+        lambda b: pa.table({"node": b["c_custkey"]}), batch_format="pyarrow")
+    out = nodes.join(visited, "left_outer", num_partitions=8, on=("node",))
+    return out.map_batches(
+        lambda b: pa.table({
+            "node": b["node"],
+            "dist": pc.fill_null(b["dist"], -1),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def _bfs_oracle(max_hops: int = BFS_MAX_HOPS) -> str:
+    """Recursive-CTE BFS: UNION-dedup on (node, dist) pairs bounds the
+    recursion; min(dist) per node == first-reach hop."""
+    return f"""
+        WITH RECURSIVE nn AS (SELECT count(*) AS c FROM customer),
+        e AS (
+            SELECT o_custkey AS src,
+                   o_orderkey % (SELECT c FROM nn) AS dst
+            FROM orders
+        ),
+        bfs AS (
+            SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+            UNION
+            SELECT e.dst, bfs.dist + 1
+            FROM bfs JOIN e ON e.src = bfs.node
+            WHERE bfs.dist < {max_hops}
+        ),
+        d AS (SELECT node, min(dist) AS dist FROM bfs GROUP BY node)
+        SELECT c.c_custkey AS node,
+               CAST(COALESCE(d.dist, -1) AS BIGINT) AS dist
+        FROM customer c LEFT JOIN d ON d.node = c.c_custkey
+    """
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -3794,6 +4042,11 @@ def queries() -> dict:
         "rrf_fusion": q_rrf_fusion,
         "interval_coverage": q_interval_coverage,
         "json_extract": q_json_extract,
+        "unnest_explode": q_unnest_explode,
+        "gap_fill": q_gap_fill,
+        "lead_dwell": q_lead_dwell,
+        "cdc_upsert": q_cdc_upsert,
+        "graph_bfs": q_graph_bfs,
     }
 
 
@@ -4774,3 +5027,53 @@ ORACLES["connected_components"] = (
     )
     SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n"""
 )
+
+ORACLES["unnest_explode"] = """
+    SELECT vec_id, ord, embedding[ord]::DOUBLE AS val
+    FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(ord)
+"""
+
+ORACLES["gap_fill"] = """
+    WITH m AS (
+        SELECT user_id,
+               CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS day,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM m GROUP BY 1),
+    g AS (SELECT user_id, unnest(range(lo, hi + 1)) AS day FROM b)
+    SELECT g.user_id, g.day, CAST(COALESCE(m.n, 0) AS BIGINT) AS n
+    FROM g LEFT JOIN m ON g.user_id = m.user_id AND g.day = m.day
+"""
+
+ORACLES["lead_dwell"] = """
+    SELECT user_id, event_id,
+           CAST(date_diff('microsecond', ts,
+                lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                AS DOUBLE) AS dwell_us
+    FROM events
+"""
+
+ORACLES["cdc_upsert"] = """
+    WITH base AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_fp,
+               CAST(0 AS BIGINT) AS version
+        FROM orders
+    ),
+    upd AS (
+        SELECT o_orderkey, price_fp + 100000 AS price_fp,
+               CAST(1 AS BIGINT) AS version
+        FROM base WHERE o_orderkey % 7 = 0
+    ),
+    allr AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                     ORDER BY version DESC) AS rn
+        FROM allr
+    )
+    SELECT o_orderkey, price_fp, version FROM r WHERE rn = 1
+"""
+
+ORACLES["graph_bfs"] = _bfs_oracle()

@@ -851,3 +851,64 @@ def test_cohort_retention_matches_pandas():
     sizes = first.value_counts()
     for c, n in sizes.items():
         assert got[(str(np.datetime64(c, "D")), 0)] == n
+
+
+def test_graph_bfs_tiers_identical_and_valid():
+    """Single-task and distributed BFS tiers must return identical
+    distances, distances obey the edge relaxation property, and the
+    source is 0."""
+    from fide_crawler_ray.pipelines.queries import to_df_any
+    from fide_crawler_ray.pipelines.relational import (
+        _pagerank_edges, q_graph_bfs)
+
+    a = to_df_any(q_graph_bfs(SF)).sort_values("node").reset_index(drop=True)
+    b = to_df_any(q_graph_bfs(SF, max_single_edges=0)) \
+        .sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    dist = dict(zip(a["node"], a["dist"]))
+    assert dist[0] == 0
+    edges = _pagerank_edges(SF, len(a)).to_pandas()
+    for s, d in zip(edges["src"], edges["dst"]):
+        if dist[s] >= 0 and dist[d] >= 0:
+            assert dist[d] <= dist[s] + 1  # triangle inequality on hops
+
+
+def test_unnest_explode_roundtrip():
+    """Exploded rows must reassemble to the original vectors."""
+    from fide_crawler_ray.pipelines.relational import T, q_unnest_explode
+
+    out = q_unnest_explode(SF).to_pandas()
+    emb = T(SF, "embeddings", ["vec_id", "embedding"]).to_pandas()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.itertuples(index=False)}
+    assert len(out) == sum(len(v) for v in vecs.values())
+    g = out.sort_values(["vec_id", "ord"]).groupby("vec_id")["val"]
+    for vid, vals in g:
+        assert np.array_equal(vals.to_numpy(), vecs[vid])
+
+
+def test_gap_fill_dense_and_consistent():
+    """Every user's day axis is dense lo..hi; nonzero counts match the
+    raw per-day counts; fill rows are exactly the missing days."""
+    from fide_crawler_ray.pipelines.relational import T, q_gap_fill
+
+    out = q_gap_fill(SF).to_pandas()
+    ev = T(SF, "events", ["user_id", "ts"]).to_pandas()
+    ev["day"] = ev["ts"].to_numpy().astype("datetime64[D]").astype("int64")
+    raw = ev.groupby(["user_id", "day"]).size()
+    for uid, g in out.groupby("user_id"):
+        days = g["day"].to_numpy()
+        assert np.array_equal(days, np.arange(days[0], days[-1] + 1))
+        for d, n in zip(days, g["n"]):
+            assert n == raw.get((uid, d), 0)
+
+
+def test_cdc_upsert_last_write_wins():
+    from fide_crawler_ray.pipelines.relational import T, q_cdc_upsert
+
+    out = q_cdc_upsert(SF).to_pandas()
+    orders = T(SF, "orders", ["o_orderkey"]).to_pandas()
+    assert len(out) == orders["o_orderkey"].nunique()  # one row per key
+    upd = out["o_orderkey"] % 7 == 0
+    assert (out.loc[upd, "version"] == 1).all()
+    assert (out.loc[~upd, "version"] == 0).all()
