@@ -3972,6 +3972,116 @@ def _bfs_oracle(max_hops: int = BFS_MAX_HOPS) -> str:
     """
 
 
+def q_j_full_outer(sf_dir):
+    """Full-outer join with unmatched rows on BOTH sides: negative-balance
+    customers vs per-customer counts of large orders (>300k). Completes
+    the join family (inner / left / semi / anti / full). Scale plan: both
+    sides are filtered + pre-aggregated BEFORE the exchange (the join
+    moves one row per surviving key, never raw facts); Ray's hash
+    full-outer coalesces the key into the left column, and a flag column
+    carried through the join marks left-side presence."""
+    neg = T(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
+        lambda b: pa.table({
+            "c_custkey": b.filter(pc.less(b["c_acctbal"], 0.0))["c_custkey"],
+        }).append_column("__left", pa.array(
+            np.ones(len(b.filter(pc.less(b["c_acctbal"], 0.0))), np.int64))),
+        batch_format="pyarrow",
+    )
+    big = fast_groupby_agg(
+        T(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+            lambda b: pa.table({
+                "o_custkey":
+                    b.filter(pc.greater(b["o_totalprice"], 300000.0))
+                    ["o_custkey"],
+            }),
+            batch_format="pyarrow"),
+        ["o_custkey"], {"n_big": (None, "count")},
+    )
+    j = neg.join(big, "full_outer", num_partitions=8,
+                 on=("c_custkey",), right_on=("o_custkey",))
+    return j.map_batches(
+        lambda b: pa.table({
+            "custkey": b["c_custkey"],
+            "has_neg_bal": pc.fill_null(b["__left"], 0),
+            "n_big": pc.fill_null(b["n_big"], 0),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def q_forward_fill(sf_dir):
+    """Forward fill (last observation carried forward): every 7th event
+    carries a reading; all rows report the latest reading at-or-before
+    them per user in (ts, event_id) order — the sensor-gap/LOCF operator.
+    Leading rows before any reading are NULL (surfaced as NaN, the
+    nullable-BIGINT comparison dtype).
+
+    Plan: ``groupby(user).map_groups`` + a vectorized cummax-of-positions
+    fill inside each group — same bounded-per-key assumption as
+    window_functions; a cross-partition variant would carry per-block
+    (first/last reading) boundary rows through a second tiny exchange."""
+    ds = T(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def _fill(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        eid = df["event_id"].to_numpy()
+        have = (eid % 7) == 0
+        pos = np.where(have, np.arange(len(eid)), -1)
+        np.maximum.accumulate(pos, out=pos)
+        filled = np.where(
+            pos >= 0, eid[np.maximum(pos, 0)].astype(np.float64), np.nan)
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(),
+            "event_id": eid,
+            "filled": filled,
+        })
+
+    return ds.groupby("user_id").map_groups(_fill, batch_format="pandas")
+
+
+def q_exists_subquery(sf_dir):
+    """EXISTS correlated subquery (TPC-H Q4 shape): orders per priority
+    that have at least one high-quantity line item. Plan: the subquery
+    side is reduced to map-side-distinct keys (the exchange moves one
+    row per qualifying order, not lineitem rows), then a hash
+    ``left_semi`` join and a small groupby — no driver key set."""
+    keys = fast_groupby_agg(
+        T(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+            lambda b: pa.table({
+                "l_orderkey":
+                    b.filter(pc.greater(b["l_quantity"], 45.0))
+                    ["l_orderkey"],
+            }),
+            batch_format="pyarrow"),
+        ["l_orderkey"], {"__n": (None, "count")},
+    ).drop_columns(["__n"])
+    sj = T(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).join(
+        keys, "left_semi", num_partitions=8,
+        on=("o_orderkey",), right_on=("l_orderkey",))
+    return fast_groupby_agg(sj, ["o_orderpriority"],
+                            {"n_orders": (None, "count")})
+
+
+def q_order_count_distribution(sf_dir):
+    """Two-level aggregation (TPC-H Q13 shape): orders-per-customer
+    including zero-order customers, then the distribution of those
+    counts. Plan: pre-aggregate orders to one row per customer, hash
+    left-outer join against customer keys, then a second (tiny) groupby
+    over the count domain — both exchanges move key-sized tables."""
+    counts = fast_groupby_agg(
+        T(sf_dir, "orders", ["o_custkey"]), ["o_custkey"],
+        {"n_orders": (None, "count")},
+    )
+    j = T(sf_dir, "customer", ["c_custkey"]).join(
+        counts, "left_outer", num_partitions=8,
+        on=("c_custkey",), right_on=("o_custkey",),
+    ).map_batches(
+        lambda b: pa.table({"n_orders": pc.fill_null(b["n_orders"], 0)}),
+        batch_format="pyarrow",
+    )
+    return fast_groupby_agg(j, ["n_orders"], {"n_custs": (None, "count")})
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -4047,6 +4157,10 @@ def queries() -> dict:
         "lead_dwell": q_lead_dwell,
         "cdc_upsert": q_cdc_upsert,
         "graph_bfs": q_graph_bfs,
+        "j_full_outer": q_j_full_outer,
+        "forward_fill": q_forward_fill,
+        "exists_subquery": q_exists_subquery,
+        "order_count_distribution": q_order_count_distribution,
     }
 
 
@@ -5077,3 +5191,45 @@ ORACLES["cdc_upsert"] = """
 """
 
 ORACLES["graph_bfs"] = _bfs_oracle()
+
+ORACLES["j_full_outer"] = """
+    WITH l AS (
+        SELECT c_custkey, CAST(1 AS BIGINT) AS has_neg_bal
+        FROM customer WHERE c_acctbal < 0
+    ),
+    r AS (
+        SELECT o_custkey, count(*) AS n_big
+        FROM orders WHERE o_totalprice > 300000 GROUP BY o_custkey
+    )
+    SELECT COALESCE(l.c_custkey, r.o_custkey) AS custkey,
+           COALESCE(l.has_neg_bal, 0) AS has_neg_bal,
+           CAST(COALESCE(r.n_big, 0) AS BIGINT) AS n_big
+    FROM l FULL OUTER JOIN r ON l.c_custkey = r.o_custkey
+"""
+
+ORACLES["forward_fill"] = """
+    SELECT user_id, event_id,
+           last_value(CASE WHEN event_id % 7 = 0 THEN event_id END
+                      IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS filled
+    FROM events
+"""
+
+ORACLES["exists_subquery"] = """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderpriority
+"""
+
+ORACLES["order_count_distribution"] = """
+    WITH c AS (
+        SELECT c_custkey, count(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    )
+    SELECT n_orders, count(*) AS n_custs FROM c GROUP BY n_orders
+"""

@@ -912,3 +912,67 @@ def test_cdc_upsert_last_write_wins():
     upd = out["o_orderkey"] % 7 == 0
     assert (out.loc[upd, "version"] == 1).all()
     assert (out.loc[~upd, "version"] == 0).all()
+
+
+def test_full_outer_join_both_sides_preserved():
+    """Left-only, right-only, and matched keys all survive the full
+    outer join with the correct flag/count fills."""
+    from fide_crawler_ray.pipelines.relational import T, q_j_full_outer
+
+    out = q_j_full_outer(SF).to_pandas().set_index("custkey")
+    cust = T(SF, "customer", ["c_custkey", "c_acctbal"]).to_pandas()
+    orders = T(SF, "orders", ["o_custkey", "o_totalprice"]).to_pandas()
+    neg = set(cust.loc[cust["c_acctbal"] < 0, "c_custkey"])
+    big = orders[orders["o_totalprice"] > 300000] \
+        .groupby("o_custkey").size().to_dict()
+    assert set(out.index) == neg | set(big)
+    for k, row in out.iterrows():
+        assert row["has_neg_bal"] == (1 if k in neg else 0)
+        assert row["n_big"] == big.get(k, 0)
+
+
+def test_forward_fill_locf_semantics():
+    """Per user in (ts, event_id) order: each row carries the latest
+    reading (event_id of the last %7==0 row) at or before it; leading
+    rows are NaN."""
+    from fide_crawler_ray.pipelines.relational import T, q_forward_fill
+
+    out = q_forward_fill(SF).to_pandas()
+    ev = T(SF, "events", ["user_id", "ts", "event_id"]).to_pandas()
+    got = out.set_index("event_id")["filled"]
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        carry = np.nan
+        for eid in g["event_id"]:
+            if eid % 7 == 0:
+                carry = float(eid)
+            want = got.loc[eid]
+            assert (np.isnan(want) and np.isnan(carry)) or want == carry
+
+
+def test_exists_subquery_matches_bruteforce():
+    from fide_crawler_ray.pipelines.relational import T, q_exists_subquery
+
+    out = q_exists_subquery(SF).to_pandas() \
+        .set_index("o_orderpriority")["n_orders"]
+    li = T(SF, "lineitem", ["l_orderkey", "l_quantity"]).to_pandas()
+    orders = T(SF, "orders", ["o_orderkey", "o_orderpriority"]).to_pandas()
+    keys = set(li.loc[li["l_quantity"] > 45, "l_orderkey"])
+    want = orders[orders["o_orderkey"].isin(keys)] \
+        .groupby("o_orderpriority").size()
+    assert out.sort_index().equals(want.sort_index())
+
+
+def test_order_count_distribution_includes_zero_bucket():
+    from fide_crawler_ray.pipelines.relational import (
+        T, q_order_count_distribution)
+
+    out = q_order_count_distribution(SF).to_pandas() \
+        .set_index("n_orders")["n_custs"]
+    cust = T(SF, "customer", ["c_custkey"]).to_pandas()
+    orders = T(SF, "orders", ["o_custkey"]).to_pandas()
+    per_cust = orders.groupby("o_custkey").size() \
+        .reindex(cust["c_custkey"], fill_value=0)
+    want = per_cust.value_counts()
+    assert out.sort_index().equals(want.sort_index())
+    assert out.sum() == len(cust)
