@@ -275,3 +275,33 @@ def hist_quantile(counts: np.ndarray, lo: float, hi: float,
     r = max(1, math.ceil(q * n))
     b = int(np.searchsorted(cum, r))
     return lo + (b + 1) * (hi - lo) / len(counts)
+
+
+# --------------------------------------------------------- count-min
+
+CMS_W = 16384  # width → overcount ≤ e/W · N with prob 1 − e^−D per query
+CMS_D = 4      # depth (independent rows)
+
+
+def cms_partial(keys: np.ndarray, w: int = CMS_W, d: int = CMS_D) -> np.ndarray:
+    """One batch's count-min sketch: a d×w int64 matrix where row i
+    bucket-counts ``splitmix64(key ^ seed_i) mod w``. Partials merge by
+    elementwise SUM (fully mergeable, like the HLL register max)."""
+    m = np.zeros((d, w), dtype=np.int64)
+    k = keys.astype(np.uint64)
+    for i in range(d):
+        h = _splitmix64(k ^ np.uint64((0x9E3779B97F4A7C15 * (i + 1)) & 0xFFFFFFFFFFFFFFFF))
+        np.add.at(m[i], (h % np.uint64(w)).astype(np.int64), 1)
+    return m.reshape(-1)
+
+
+def cms_query(m: np.ndarray, keys: np.ndarray,
+              w: int = CMS_W, d: int = CMS_D) -> np.ndarray:
+    """Point estimates: min over the d rows (never underestimates)."""
+    mm = m.reshape(d, w)
+    k = keys.astype(np.uint64)
+    est = np.full(len(k), np.iinfo(np.int64).max, dtype=np.int64)
+    for i in range(d):
+        h = _splitmix64(k ^ np.uint64((0x9E3779B97F4A7C15 * (i + 1)) & 0xFFFFFFFFFFFFFFFF))
+        np.minimum(est, mm[i][(h % np.uint64(w)).astype(np.int64)], out=est)
+    return est

@@ -4082,6 +4082,208 @@ def q_order_count_distribution(sf_dir):
     return fast_groupby_agg(j, ["n_orders"], {"n_custs": (None, "count")})
 
 
+def q_argmax_join(sf_dir):
+    """Greatest-per-group join-back (TPC-H Q2 shape): per nation, the
+    customer with the max account balance (ties → min custkey), enriched
+    with the nation name. Plan: the mergeable grouped top-1
+    (stages/fastagg.grouped_topk — per-block top-1, tree combine) keeps
+    whole rows so no join-back to the fact table is needed; the nation
+    name comes from a broadcast of the 25-row dimension."""
+    from ..stages.fastagg import grouped_topk
+
+    top = grouped_topk(
+        T(sf_dir, "customer", ["c_nationkey", "c_custkey", "c_acctbal"]),
+        ["c_nationkey"], ["c_acctbal", "c_custkey"], [False, True], 1,
+    )
+    names = dict(zip(
+        *(T(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+          [c].tolist() for c in ("n_nationkey", "n_name"))))
+
+    def _name(b: pa.Table) -> pa.Table:
+        nk = b["c_nationkey"].to_pylist()
+        return pa.table({
+            "c_nationkey": b["c_nationkey"],
+            "n_name": pa.array([names[k] for k in nk], pa.string()),
+            "c_custkey": b["c_custkey"],
+            "c_acctbal": b["c_acctbal"],
+        })
+
+    return top.map_batches(_name, batch_format="pyarrow")
+
+
+def q_mom_growth(sf_dir):
+    """Month-over-month revenue delta per market segment: hash-join
+    orders⋈customer, monthly ×100 fixed-point revenue rollup, then a
+    per-segment LAG — the time-series growth-report shape. First month
+    per segment has NULL prev/diff (nullable-BIGINT → float64 comparison
+    dtype). The exchange moves one row per (segment, month); the lag
+    runs on the tiny aggregate."""
+    j = T(sf_dir, "orders",
+          ["o_custkey", "o_orderdate", "o_totalprice"]).join(
+        T(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+        "inner", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",))
+    m = j.map_batches(
+        lambda b: pa.table({
+            "c_mktsegment": b["c_mktsegment"],
+            "month": pc.strftime(b["o_orderdate"], format="%Y-%m"),
+            "rev_fp": pa.array(_round_half_away(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)),
+        }),
+        batch_format="pyarrow",
+    )
+    agg = fast_groupby_agg(m, ["c_mktsegment", "month"],
+                           {"rev_fp": ("rev_fp", "sum")})
+
+    def _lag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("month", kind="mergesort")
+        prev = df["rev_fp"].shift(1)
+        return pd.DataFrame({
+            "c_mktsegment": df["c_mktsegment"].to_numpy(),
+            "month": df["month"].to_numpy(),
+            "rev_fp": df["rev_fp"].to_numpy(),
+            "prev_fp": prev.to_numpy(dtype=np.float64),
+            "diff_fp": (df["rev_fp"] - prev).to_numpy(dtype=np.float64),
+        })
+
+    return agg.groupby("c_mktsegment").map_groups(_lag,
+                                                  batch_format="pandas")
+
+
+SOURCE_JACCARD_MAX_SOURCES = 63    # bitmask plan bound (one uint64)
+SOURCE_JACCARD_MAX_MASKS = 4_000_000  # distinct-mask final-task bound
+
+
+def q_source_jaccard(sf_dir):
+    """Pairwise token-set Jaccard similarity between document SOURCES —
+    the corpus-mixing diagnostic ("how much does src A's vocabulary
+    overlap src B's?"). Plan: per-doc distinct tokens → map-side
+    distinct (source, token) rows → each source gets a bit → per-token
+    source BITMASK (sum of distinct per-source bits == OR) → distinct
+    masks counted — so the final task sees |distinct masks| rows (≤ 2^S,
+    in practice ≪), never token-scale data. Pairs with zero overlap are
+    not emitted (matches the oracle's inner join). The single float
+    division inter/union is the only float op, identical on both sides.
+
+    Guards: > SOURCE_JACCARD_MAX_SOURCES sources (bitmask width) or
+    > SOURCE_JACCARD_MAX_MASKS distinct masks → the plan raises; the
+    scale path would shard the mask domain (pair counting distributes
+    over disjoint mask subsets by linearity)."""
+    docs = T(sf_dir, "documents", ["source", "text"])
+
+    def _src_tokens(b: pa.Table) -> pa.Table:
+        srcs, toks = [], []
+        for s, txt in zip(b["source"].to_pylist(), b["text"].to_pylist()):
+            t = set(_TOKEN.findall(txt.lower()))
+            srcs.extend([s] * len(t))
+            toks.extend(t)
+        return pa.table({"source": pa.array(srcs, pa.string()),
+                         "token": pa.array(toks, pa.string())})
+
+    pairs = fast_groupby_agg(
+        docs.map_batches(_src_tokens, batch_format="pyarrow"),
+        ["source", "token"], {"__n": (None, "count")},
+    ).drop_columns(["__n"])
+
+    sources = sorted(set(
+        fast_groupby_agg(docs.select_columns(["source"]), ["source"],
+                         {"__n": (None, "count")})
+        .to_pandas()["source"]))
+    if len(sources) > SOURCE_JACCARD_MAX_SOURCES:
+        raise ValueError(
+            f"source_jaccard bitmask plan supports ≤"
+            f"{SOURCE_JACCARD_MAX_SOURCES} sources, got {len(sources)}")
+    bit = {s: i for i, s in enumerate(sources)}
+    bref = ray.put(bit)
+
+    class _Mask:
+        def __init__(self):
+            self.bit = ray.get(bref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            masks = np.array([1 << self.bit[s]
+                              for s in b["source"].to_pylist()], np.int64)
+            return pa.table({"token": b["token"],
+                             "mask": pa.array(masks, pa.int64())})
+
+    # per-token OR == SUM (each source appears once per token after the
+    # distinct), then count tokens per distinct mask
+    tok_masks = fast_groupby_agg(
+        pairs.map_batches(_Mask, batch_format="pyarrow", concurrency=2),
+        ["token"], {"mask": ("mask", "sum")},
+    )
+    mask_counts = fast_groupby_agg(
+        tok_masks.drop_columns(["token"]), ["mask"],
+        {"n_tokens": (None, "count")},
+    ).to_pandas()
+    if len(mask_counts) > SOURCE_JACCARD_MAX_MASKS:
+        raise ValueError("source_jaccard: distinct-mask domain too large")
+
+    s_n = len(sources)
+    sizes = np.zeros(s_n, dtype=np.int64)
+    inter = np.zeros((s_n, s_n), dtype=np.int64)
+    for m, n in zip(mask_counts["mask"].to_numpy(),
+                    mask_counts["n_tokens"].to_numpy()):
+        bits = [i for i in range(s_n) if (int(m) >> i) & 1]
+        for i in bits:
+            sizes[i] += n
+        for ai in range(len(bits)):
+            for bi in range(ai + 1, len(bits)):
+                inter[bits[ai], bits[bi]] += n
+    rows = []
+    for a in range(s_n):
+        for b_ in range(a + 1, s_n):
+            ni = int(inter[a, b_])
+            if ni == 0:
+                continue
+            nu = int(sizes[a] + sizes[b_] - ni)
+            rows.append({"src_a": sources[a], "src_b": sources[b_],
+                         "n_inter": ni, "n_union": nu,
+                         "jaccard": ni / nu})
+    return pd.DataFrame(rows)
+
+
+def q_cms_frequency(sf_dir, top: int = 20):
+    """Count-min-sketch point-frequency estimates for the top-`top`
+    l_partkey heavy hitters, with the exact counts and asserted error
+    gates (never-underestimate; overcount within 3× the e/W·N bound;
+    mean overcount within the bound itself) — the mergeable-sketch
+    companion to the Misra–Gries heavy_hitters entry. Per-batch d×w
+    partials tree-combine by elementwise sum; the driver never sees more
+    than ~32 sketch buffers."""
+    from ..functions.sketches import CMS_D, CMS_W, cms_partial, cms_query
+
+    ds = T(sf_dir, "lineitem", ["l_partkey"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        keys = b["l_partkey"].to_numpy(zero_copy_only=False)
+        return pa.table({"m": pa.array([cms_partial(keys).tobytes()],
+                                       pa.binary())})
+
+    sketch = _tree_reduce_buffers(
+        ds.map_batches(_partial, batch_format="pyarrow"), "m",
+        np.add, np.int64)
+    exact = fast_groupby_agg(ds, ["l_partkey"], {"n": (None, "count")})
+    n_total = int(T(sf_dir, "lineitem", ["l_partkey"]).count())
+    top_df = (exact.sort(["n", "l_partkey"], descending=[True, False])
+              .limit(top).to_pandas())
+    est = cms_query(sketch, top_df["l_partkey"].to_numpy())
+    over = est - top_df["n"].to_numpy()
+    bound = math.e / CMS_W * n_total
+    assert (over >= 0).all(), "CMS underestimated a count"
+    assert over.max() <= max(3 * bound, 3.0), (over.max(), bound)
+    assert over.mean() <= max(bound, 1.0), (over.mean(), bound)
+    return pd.DataFrame({
+        "l_partkey": top_df["l_partkey"].to_numpy(),
+        "exact": top_df["n"].to_numpy(),
+        "est": est,
+        "overcount": over,
+        "d": np.full(len(est), CMS_D),
+        "w": np.full(len(est), CMS_W),
+    })
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -4161,6 +4363,10 @@ def queries() -> dict:
         "forward_fill": q_forward_fill,
         "exists_subquery": q_exists_subquery,
         "order_count_distribution": q_order_count_distribution,
+        "argmax_join": q_argmax_join,
+        "mom_growth": q_mom_growth,
+        "source_jaccard": q_source_jaccard,
+        "cms_frequency": q_cms_frequency,
     }
 
 
@@ -5232,4 +5438,49 @@ ORACLES["order_count_distribution"] = """
         GROUP BY c_custkey
     )
     SELECT n_orders, count(*) AS n_custs FROM c GROUP BY n_orders
+"""
+
+ORACLES["argmax_join"] = """
+    SELECT c_nationkey, n_name, c_custkey, c_acctbal FROM (
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer) t JOIN nation ON n_nationkey = c_nationkey
+    WHERE rn = 1
+"""
+
+ORACLES["mom_growth"] = """
+    WITH m AS (
+        SELECT c_mktsegment, strftime(o_orderdate, '%Y-%m') AS month,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_fp
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2)
+    SELECT c_mktsegment, month, rev_fp,
+           lag(rev_fp) OVER (PARTITION BY c_mktsegment ORDER BY month)
+               AS prev_fp,
+           rev_fp - lag(rev_fp) OVER (PARTITION BY c_mktsegment
+                                      ORDER BY month) AS diff_fp
+    FROM m
+"""
+
+ORACLES["source_jaccard"] = """
+    WITH tok AS (
+        SELECT DISTINCT source, term FROM (
+            SELECT source,
+                   unnest(regexp_split_to_array(lower(text),
+                                                '[^a-z0-9_]+')) AS term
+            FROM documents)
+        WHERE term <> ''),
+    sz AS (SELECT source, count(*) AS n FROM tok GROUP BY source),
+    i AS (
+        SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+        FROM tok a JOIN tok b ON a.term = b.term AND a.source < b.source
+        GROUP BY 1, 2)
+    SELECT i.src_a, i.src_b,
+           CAST(i.n_inter AS BIGINT) AS n_inter,
+           CAST(sa.n + sb.n - i.n_inter AS BIGINT) AS n_union,
+           i.n_inter / (sa.n + sb.n - i.n_inter) AS jaccard
+    FROM i JOIN sz sa ON sa.source = i.src_a
+           JOIN sz sb ON sb.source = i.src_b
 """

@@ -976,3 +976,68 @@ def test_order_count_distribution_includes_zero_bucket():
     want = per_cust.value_counts()
     assert out.sort_index().equals(want.sort_index())
     assert out.sum() == len(cust)
+
+
+def test_argmax_join_per_nation_max_with_tiebreak():
+    from fide_crawler_ray.pipelines.relational import T, q_argmax_join
+
+    out = q_argmax_join(SF).to_pandas().set_index("c_nationkey")
+    cust = T(SF, "customer",
+             ["c_nationkey", "c_custkey", "c_acctbal"]).to_pandas()
+    for nk, g in cust.groupby("c_nationkey"):
+        best = g[g["c_acctbal"] == g["c_acctbal"].max()]
+        want = best.loc[best["c_custkey"].idxmin()]
+        assert out.loc[nk, "c_custkey"] == want["c_custkey"]
+        assert out.loc[nk, "c_acctbal"] == want["c_acctbal"]
+
+
+def test_mom_growth_lag_semantics():
+    from fide_crawler_ray.pipelines.relational import q_mom_growth
+
+    out = q_mom_growth(SF).to_pandas()
+    for _, g in out.groupby("c_mktsegment"):
+        g = g.sort_values("month")
+        assert np.isnan(g["prev_fp"].iloc[0])  # first month has no lag
+        got_prev = g["prev_fp"].to_numpy()[1:]
+        assert np.array_equal(got_prev,
+                              g["rev_fp"].to_numpy()[:-1].astype(float))
+        d = g["diff_fp"].to_numpy()[1:]
+        assert np.array_equal(
+            d, g["rev_fp"].to_numpy()[1:] - g["rev_fp"].to_numpy()[:-1])
+
+
+def test_source_jaccard_matches_bruteforce_sets():
+    from fide_crawler_ray.pipelines.relational import (
+        _TOKEN, T, q_source_jaccard)
+
+    out = q_source_jaccard(SF)
+    docs = T(SF, "documents", ["source", "text"]).to_pandas()
+    sets: dict = {}
+    for s, txt in zip(docs["source"], docs["text"]):
+        sets.setdefault(s, set()).update(_TOKEN.findall(txt.lower()))
+    got = {(r.src_a, r.src_b): (r.n_inter, r.n_union, r.jaccard)
+           for r in out.itertuples()}
+    srcs = sorted(sets)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            ni = len(sets[a] & sets[b])
+            if ni == 0:
+                assert (a, b) not in got
+                continue
+            nu = len(sets[a] | sets[b])
+            assert got[(a, b)] == (ni, nu, ni / nu)
+
+
+def test_cms_partials_merge_and_never_underestimate():
+    from fide_crawler_ray.functions.sketches import cms_partial, cms_query
+
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 3000, size=120_000)
+    merged = np.zeros_like(cms_partial(keys[:1]))
+    for chunk in np.array_split(keys, 11):
+        merged += cms_partial(chunk)
+    assert np.array_equal(merged, cms_partial(keys))  # mergeable
+    qk = np.arange(3000)
+    est = cms_query(merged, qk)
+    exact = np.bincount(keys, minlength=3000)
+    assert (est >= exact).all()
