@@ -4284,6 +4284,77 @@ def q_cms_frequency(sf_dir, top: int = 20):
     })
 
 
+BUCKETED_JOIN_BUCKETS = 16
+
+
+def q_bucketed_join(sf_dir, n_buckets: int = BUCKETED_JOIN_BUCKETS):
+    """Layout-aware co-partitioned join: both sides are written ONCE
+    hash-bucketed by the join key (splitmix64(key) mod n_buckets), then
+    each bucket pair joins LOCALLY in its own task — ZERO exchange at
+    join time. This is the 100-TB plan for repeated joins on one key:
+    pay the shuffle once at layout time, amortize it over every
+    subsequent join (and co-locate bucket i of both tables on one node).
+    Revenue is ×100 integer fixed-point so the per-bucket partial →
+    final-sum plan is bit-exact regardless of bucket count.
+
+    The per-bucket task does read → pyarrow hash join → nation-level
+    partial agg, so the union carries ≤ |nations| rows per bucket."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from ..functions.sketches import _splitmix64
+
+    root = f"/tmp/fcray_bucketed_{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+
+    def _bucketize(key):
+        def _b(b: pa.Table) -> pa.Table:
+            k = b[key].to_numpy(zero_copy_only=False).astype(np.uint64)
+            return b.append_column("bucket", pa.array(
+                (_splitmix64(k) % np.uint64(n_buckets)).astype(np.int64)))
+        return _b
+
+    T(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        _bucketize("o_custkey"), batch_format="pyarrow",
+    ).write_parquet(f"{root}/orders", partition_cols=["bucket"])
+    T(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        _bucketize("c_custkey"), batch_format="pyarrow",
+    ).write_parquet(f"{root}/customer", partition_cols=["bucket"])
+
+    @ray.remote
+    def _bucket_join(i: int) -> pa.Table:
+        import pyarrow.parquet as pq
+        o = pq.read_table(f"{root}/orders/bucket={i}",
+                          columns=["o_custkey", "o_totalprice"])
+        c = pq.read_table(f"{root}/customer/bucket={i}",
+                          columns=["c_custkey", "c_nationkey"])
+        j = o.join(c, keys="o_custkey", right_keys="c_custkey",
+                   join_type="inner")
+        fp = _round_half_away(
+            j["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        df = pd.DataFrame({
+            "c_nationkey":
+                j["c_nationkey"].to_numpy(zero_copy_only=False),
+            "rev_fp": fp,
+        })
+        g = df.groupby("c_nationkey", sort=False)
+        out = g.agg(rev_fp=("rev_fp", "sum"), n_orders=("rev_fp", "size"))
+        return pa.Table.from_pandas(out.reset_index(),
+                                    preserve_index=False)
+
+    refs = [_bucket_join.remote(i) for i in range(n_buckets)]
+    ray.wait(refs, num_returns=len(refs))
+    shutil.rmtree(root, ignore_errors=True)
+    partials = rd.from_arrow_refs(refs)
+    return fast_groupby_agg(partials, ["c_nationkey"], {
+        "rev_fp": ("rev_fp", "sum"),
+        "n_orders": ("n_orders", "sum"),
+    })
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -4367,6 +4438,7 @@ def queries() -> dict:
         "mom_growth": q_mom_growth,
         "source_jaccard": q_source_jaccard,
         "cms_frequency": q_cms_frequency,
+        "bucketed_join": q_bucketed_join,
     }
 
 
@@ -5483,4 +5555,13 @@ ORACLES["source_jaccard"] = """
            i.n_inter / (sa.n + sb.n - i.n_inter) AS jaccard
     FROM i JOIN sz sa ON sa.source = i.src_a
            JOIN sz sb ON sb.source = i.src_b
+"""
+
+ORACLES["bucketed_join"] = """
+    SELECT c_nationkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS rev_fp,
+           count(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
 """

@@ -1041,3 +1041,21 @@ def test_cms_partials_merge_and_never_underestimate():
     est = cms_query(merged, qk)
     exact = np.bincount(keys, minlength=3000)
     assert (est >= exact).all()
+
+
+def test_bucketed_join_equals_shuffle_join_and_is_partitioned():
+    """The zero-exchange bucketed plan must agree with the shuffle-join
+    aggregate (nation keys + counts), and bucket count must not change
+    the result (partial sums are exact integers)."""
+    from fide_crawler_ray.pipelines.relational import (
+        q_bucketed_join, q_j_inner_join)
+
+    a = q_bucketed_join(SF).to_pandas() \
+        .sort_values("c_nationkey").reset_index(drop=True)
+    b = q_bucketed_join(SF, n_buckets=5).to_pandas() \
+        .sort_values("c_nationkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    j = q_j_inner_join(SF).to_pandas() \
+        .sort_values("c_nationkey").reset_index(drop=True)
+    assert a["c_nationkey"].tolist() == j["c_nationkey"].tolist()
+    assert a["n_orders"].tolist() == j["n_orders"].tolist()
