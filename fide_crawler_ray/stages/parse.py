@@ -58,9 +58,27 @@ def make_fetch_fn(cfg: synth.SiteConfig):
     return _fetch
 
 
+# inline retry budget per URL; the reference retries transient failures
+# in the fetch slot itself (old_scripts/fide-games-scraper-public.py:48),
+# which keeps crawl ordering exact — a requeue would reorder
+FETCH_MAX_ATTEMPTS = 5
+
+
+def _fetch_one(cfg: synth.SiteConfig, url: str) -> dict:
+    for attempt in range(FETCH_MAX_ATTEMPTS):
+        try:
+            return synth.fetch_url(cfg, url, attempt)
+        except synth.TransientFetchError:
+            # a real deployment would back off here; pacing is owned by
+            # the frontier's virtual-time politeness, not the fetcher
+            continue
+    raise RuntimeError(
+        f"fetch failed after {FETCH_MAX_ATTEMPTS} attempts: {url}")
+
+
 def fetch_batch(cfg: synth.SiteConfig, batch: pa.Table) -> pa.Table:
     urls = batch["url"].to_pylist()
-    docs = [synth.render_url(cfg, u) for u in urls]
+    docs = [_fetch_one(cfg, u) for u in urls]
     spans_type = pa.list_(
         pa.struct(
             [("kind", pa.string()), ("text", pa.string()),

@@ -39,6 +39,7 @@ calc_table at all (:150 ``if fullTable is not None``).
 from __future__ import annotations
 
 import hashlib
+import zlib
 from dataclasses import dataclass, field
 from datetime import date
 
@@ -65,6 +66,11 @@ class SiteConfig:
     footnote_rate: float = 0.5
     decoys_per_search: int = 2
     robots_disallow: tuple = (("fide.com", "/news"),)
+    # deterministic transient-fetch fault model (0 = off): every URL with
+    # crc32(url) % fault_every == 0 fails its first `fault_attempts`
+    # fetch attempts — the sandbox stand-in for HTTP timeouts / 5xx
+    fault_every: int = 0
+    fault_attempts: int = 2
 
 
 # ---------------------------------------------------------------- URLs
@@ -335,6 +341,24 @@ def render_robots(cfg: SiteConfig, host: str) -> dict:
     rules = [path for h, path in cfg.robots_disallow if h == host]
     spans = [_span("field", f"disallow|{p}") for p in rules]
     return _finish(url, "robots", spans)
+
+
+class TransientFetchError(RuntimeError):
+    """Deterministic synthetic transient fetch failure — the sandbox
+    stand-in for an HTTP timeout / 5xx. The reference blocks and retries
+    these inline in the fetch slot
+    (old_scripts/fide-games-scraper-public.py:48 sleeps 10 s and
+    retries), which is also what keeps crawl ordering exact here."""
+
+
+def fetch_url(cfg: SiteConfig, url: str, attempt: int = 0) -> dict:
+    """render_url behind the fault model: the selected URLs fail their
+    first ``cfg.fault_attempts`` attempts, then succeed — so a retrying
+    fetcher produces BIT-IDENTICAL output to a fault-free run."""
+    if (cfg.fault_every and attempt < cfg.fault_attempts
+            and zlib.crc32(url.encode()) % cfg.fault_every == 0):
+        raise TransientFetchError(url)
+    return render_url(cfg, url)
 
 
 def render_url(cfg: SiteConfig, url: str) -> dict:

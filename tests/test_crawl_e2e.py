@@ -320,3 +320,46 @@ def test_expansion_dedup_tiers_equivalent(tmp_path, monkeypatch):
     import pandas as pd
 
     pd.testing.assert_frame_equal(ga, gb)
+
+
+def test_transient_fetch_faults_retry_to_identical_output(tmp_path):
+    """Deterministic transient fetch failures (every crc32%5==0 URL
+    fails its first 2 attempts) must be absorbed by the in-slot retry:
+    pages, ordering, and game rows bit-identical to the fault-free run."""
+    import pandas as pd
+
+    from fide_crawler_ray import synth
+    from fide_crawler_ray.pipelines import crawl as C
+
+    base = synth.SiteConfig(seed=11, n_players=6, n_queries=2, n_months=6)
+    faulty = synth.SiteConfig(seed=11, n_players=6, n_queries=2,
+                              n_months=6, fault_every=5, fault_attempts=2)
+    a = C.run_crawl(base, str(tmp_path / "a"), n_shards=2,
+                    fetch_concurrency=2)
+    b = C.run_crawl(faulty, str(tmp_path / "b"), n_shards=2,
+                    fetch_concurrency=2)
+    assert a.pages() == b.pages()
+    ga = a.game_history().to_pandas().sort_values("lineage") \
+        .reset_index(drop=True)
+    gb = b.game_history().to_pandas().sort_values("lineage") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(ga, gb)
+
+
+def test_permanent_fetch_failure_raises():
+    """Faults outlasting the retry budget must fail loudly, not emit
+    partial documents."""
+    import pyarrow as pa
+    import pytest
+
+    from fide_crawler_ray import synth
+    from fide_crawler_ray.stages.parse import FETCH_MAX_ATTEMPTS, fetch_batch
+
+    cfg = synth.SiteConfig(seed=1, fault_every=1,
+                           fault_attempts=FETCH_MAX_ATTEMPTS + 1)
+    batch = pa.table({
+        "url": ["https://fide.com/search?query=Surname0"],
+        "fide_id": [""], "player_name": [""], "priority": [0],
+    })
+    with pytest.raises(RuntimeError, match="fetch failed after"):
+        fetch_batch(cfg, batch)
