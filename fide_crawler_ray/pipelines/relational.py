@@ -4355,6 +4355,315 @@ def q_bucketed_join(sf_dir, n_buckets: int = BUCKETED_JOIN_BUCKETS):
     })
 
 
+# ====================================================== data auditing
+
+_FK_RELATIONS = (
+    # (label, child table, child key, parent table, parent key)
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+)
+
+
+def q_fk_integrity(sf_dir):
+    """Referential-integrity audit: per FK relation, the number of
+    distinct child keys and how many of them are orphans (missing from
+    the parent table) — the data-quality gate every ingest pipeline runs
+    before joining. Scale plan: each side is reduced to map-side
+    DISTINCT keys before the hash ``left_anti`` exchange, so the
+    all-to-all moves key sets, never fact rows; the three relations'
+    outputs are driver scalars (one int pair each)."""
+    rows = []
+    for label, child, ck, parent, pk in _FK_RELATIONS:
+        ckeys = fast_groupby_agg(
+            T(sf_dir, child, [ck]), [ck], {"__n": (None, "count")},
+        ).drop_columns(["__n"]).materialize()
+        orphans = ckeys.join(
+            T(sf_dir, parent, [pk]), "left_anti", num_partitions=4,
+            on=(ck,), right_on=(pk,))
+        rows.append({"relation": label, "n_child_keys": ckeys.count(),
+                     "n_orphans": orphans.count()})
+    return pd.DataFrame(rows).sort_values("relation").reset_index(drop=True)
+
+
+_PROFILE_COLS = ("o_custkey", "o_orderpriority", "o_orderstatus")
+
+
+def q_table_profile(sf_dir):
+    """Column profiler (the first stage of any schema-drift monitor):
+    per column of ``orders`` — row count, null count, exact distinct
+    count. Plan: ONE long-format pass; each block emits (a) 3 count/null
+    partial rows and (b) its block-DISTINCT (col, val-as-string) pairs,
+    so the single exchange carries per-block distinct pairs (bounded by
+    value domain × blocks), never raw rows. Stringification is injective
+    per column (values never cross columns), so per-column distinct
+    counts are exact."""
+    ds = T(sf_dir, "orders", list(_PROFILE_COLS))
+
+    def _counts(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "col": pa.array(list(_PROFILE_COLS), pa.string()),
+            "n_rows": pa.array([len(b)] * len(_PROFILE_COLS), pa.int64()),
+            "n_null": pa.array([b[c].null_count for c in _PROFILE_COLS],
+                               pa.int64()),
+        })
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        cols, vals = [], []
+        for c in _PROFILE_COLS:
+            u = pc.unique(pc.cast(b[c], pa.string()))
+            cols.append(pa.array([c] * len(u), pa.string()))
+            vals.append(u)
+        return pa.table({"col": pa.concat_arrays(cols),
+                         "val": pa.concat_arrays(
+                             a.combine_chunks() if isinstance(
+                                 a, pa.ChunkedArray) else a for a in vals)})
+
+    counts = fast_groupby_agg(
+        ds.map_batches(_counts, batch_format="pyarrow"), ["col"],
+        {"n_rows": ("n_rows", "sum"), "n_null": ("n_null", "sum")},
+    ).to_pandas()
+    distinct = fast_groupby_agg(
+        fast_groupby_agg(
+            ds.map_batches(_pairs, batch_format="pyarrow"),
+            ["col", "val"], {"__n": (None, "count")}),
+        ["col"], {"n_distinct": (None, "count")},
+    ).to_pandas()
+    out = counts.merge(distinct, on="col").sort_values("col")
+    return out[["col", "n_rows", "n_null", "n_distinct"]] \
+        .reset_index(drop=True)
+
+
+def q_chi_square(sf_dir):
+    """Chi-square independence decomposition of a contingency table
+    (o_orderstatus × o_orderpriority): per cell the observed count, the
+    expected count under independence (×1e6 fixed point) and the cell's
+    χ² contribution (×1e9) — the categorical-drift / feature-selection
+    statistic. Plan: one partial-agg groupby builds the |statuses|×
+    |priorities| table; the marginals and per-cell terms run on that
+    tiny aggregate. Float policy: e = double(rt·ct)/N and (n−e)²/e are
+    single IEEE ops mirrored verbatim in the oracle, then half-away
+    rounding on both sides."""
+    cont = fast_groupby_agg(
+        T(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"]),
+        ["o_orderstatus", "o_orderpriority"], {"n": (None, "count")},
+    ).to_pandas()
+    n = cont["n"].to_numpy(np.int64)
+    rt = cont.groupby("o_orderstatus")["n"].transform("sum") \
+        .to_numpy(np.int64)
+    ct = cont.groupby("o_orderpriority")["n"].transform("sum") \
+        .to_numpy(np.int64)
+    tot = int(n.sum())
+    e = (rt * ct).astype(np.float64) / tot
+    d = n - e
+    chi2 = d * d / e
+    out = pd.DataFrame({
+        "o_orderstatus": cont["o_orderstatus"],
+        "o_orderpriority": cont["o_orderpriority"],
+        "n": n,
+        "e_fp": _round_half_away(1e6 * e).astype(np.int64),
+        "chi2_fp": _round_half_away(1e9 * chi2).astype(np.int64),
+    })
+    return out.sort_values(["o_orderstatus", "o_orderpriority"]) \
+        .reset_index(drop=True)
+
+
+_IDLE_RICH_NATIONS = (1, 3, 5, 7, 9, 11, 13)
+
+
+def q_idle_rich_customers(sf_dir):
+    """TPC-H Q22 shape: customers in selected nations with positive,
+    above-pool-average balance who never placed a LARGE order
+    (>450k) — per nation count and total balance. Composite of scalar
+    subquery + anti-join + grouped agg. Exactness: balances are ×100
+    integer cents and the average comparison is the cross-multiplied
+    ``bal·n > Σbal`` (no division). Scale plan: the pool scalar is two
+    ints (per-block partials summed); the anti-join probes
+    map-side-distinct large-order custkeys through a hash ``left_anti``
+    exchange — key-sized, never fact-sized."""
+    pool = T(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def _pool(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater(b["c_acctbal"], 0.0),
+            pc.is_in(b["c_nationkey"],
+                     value_set=pa.array(_IDLE_RICH_NATIONS, pa.int64())))
+        t = b.filter(keep)
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "c_nationkey": t["c_nationkey"],
+            "bal_c": pa.array(_round_half_away(
+                t["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64), pa.int64()),
+        })
+
+    fp = pool.map_batches(_pool, batch_format="pyarrow").materialize()
+    parts = fp.map_batches(
+        lambda b: pa.table({
+            "s": pa.array([int(pc.sum(b["bal_c"]).as_py() or 0)], pa.int64()),
+            "n": pa.array([len(b)], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).to_pandas()
+    tot, np_ = int(parts["s"].sum()), int(parts["n"].sum())
+
+    okeys = fast_groupby_agg(
+        T(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+            lambda b: pa.table({
+                "o_custkey":
+                    b.filter(pc.greater(b["o_totalprice"], 450000.0))
+                    ["o_custkey"],
+            }),
+            batch_format="pyarrow"),
+        ["o_custkey"], {"__n": (None, "count")},
+    ).drop_columns(["__n"])
+    rich = fp.map_batches(
+        lambda b: b.filter(pc.greater(
+            pc.multiply(b["bal_c"], np.int64(np_)), np.int64(tot))),
+        batch_format="pyarrow",
+    )
+    idle = rich.join(okeys, "left_anti", num_partitions=4,
+                     on=("c_custkey",), right_on=("o_custkey",))
+    return fast_groupby_agg(idle, ["c_nationkey"], {
+        "n_custs": (None, "count"), "totbal_fp": ("bal_c", "sum"),
+    })
+
+
+def q_group_mean_impute(sf_dir):
+    """Group-mean imputation (the tabular-ML missing-value stage):
+    events whose ``event_id % 11 == 0`` are treated as missing and take
+    their user's mean of present values; everything is ×1e6 integer
+    fixed point and the mean divides once per user on the tiny
+    aggregate (double(Σ)/n, mirrored in the oracle). Users with no
+    present value stay NULL. Plan: per-user (Σ, n) partial-agg groupby,
+    hash left-outer join back, vectorized where() — the exchange moves
+    one row per user plus the fact rows once."""
+    ds = T(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def _fp(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        v = _round_half_away(
+            b["value"].to_numpy(zero_copy_only=False) * 1e6
+        ).astype(np.int64)
+        return pa.table({
+            "event_id": b["event_id"],
+            "user_id": b["user_id"],
+            "v_fp": pa.array(v, pa.int64()),
+            "miss": pa.array(eid % 11 == 0),
+        })
+
+    fp = ds.map_batches(_fp, batch_format="pyarrow").materialize()
+    present = fp.map_batches(
+        lambda b: b.filter(pc.invert(b["miss"])).select(
+            ["user_id", "v_fp"]),
+        batch_format="pyarrow")
+    means = fast_groupby_agg(present, ["user_id"], {
+        "s": ("v_fp", "sum"), "n": (None, "count"),
+    }).map_batches(
+        lambda b: pa.table({
+            "uid_r": b["user_id"],
+            "mean_fp": pa.array(_round_half_away(
+                b["s"].to_numpy(zero_copy_only=False).astype(np.float64)
+                / b["n"].to_numpy(zero_copy_only=False)
+            ).astype(np.int64), pa.int64()),
+        }),
+        batch_format="pyarrow")
+    j = fp.join(means, "left_outer", num_partitions=8,
+                on=("user_id",), right_on=("uid_r",))
+
+    def _impute(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b["event_id"],
+            "user_id": b["user_id"],
+            "value_fp": pc.if_else(b["miss"], b["mean_fp"], b["v_fp"]),
+        })
+
+    return j.map_batches(_impute, batch_format="pyarrow")
+
+
+def q_trimmed_mean(sf_dir):
+    """Per-group 10% trimmed mean of l_quantity WITHOUT any row sort:
+    the grouped value-counts histogram (one partial-agg exchange, |flag|
+    × |distinct qty| rows) yields exact rank thresholds by cumulative
+    sum, and each value's kept multiplicity is the overlap of its rank
+    interval with (n//10, n − n//10] — bit-identical to the oracle's
+    row_number window because a rank slice of a sorted multiset is
+    tie-order-free. The robust-statistics aggregate at 100 TB: the raw
+    column never moves, only the tiny histogram does."""
+    hist = fast_groupby_agg(
+        T(sf_dir, "lineitem", ["l_returnflag", "l_quantity"]),
+        ["l_returnflag", "l_quantity"], {"cnt": (None, "count")},
+    ).to_pandas()
+    rows = []
+    for flag, g in hist.groupby("l_returnflag"):
+        g = g.sort_values("l_quantity")
+        qc = _round_half_away(
+            g["l_quantity"].to_numpy(np.float64) * 100).astype(np.int64)
+        cnt = g["cnt"].to_numpy(np.int64)
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        lo, hi = n // 10, n - n // 10
+        start = cum - cnt  # ranks (start, cum] hold this value
+        kept = np.clip(np.minimum(cum, hi) - np.maximum(start, lo), 0, None)
+        n_kept = int(kept.sum())
+        s = int((qc * kept).sum())
+        rows.append({
+            "l_returnflag": flag, "n_kept": n_kept, "sum_fp": s,
+            "mean_fp": int(_round_half_away(
+                np.float64(s) / n_kept)) if n_kept else None,
+        })
+    return pd.DataFrame(rows).sort_values("l_returnflag") \
+        .reset_index(drop=True)
+
+
+def q_ratio_to_report(sf_dir):
+    """Ratio-to-report window (revenue share of each nation within its
+    region, ×1e9 fixed point): hash-join orders⋈customer pre-aggregated
+    to nation grain, broadcast the 25/5-row nation→region dimensions,
+    and compute shares on the |nations|-row aggregate. The only
+    fact-sized motion is the orders→nation partial agg; division happens
+    once per nation on exact integer sums (double/double, mirrored)."""
+    names = {
+        int(r["n_nationkey"]): (str(r["n_name"]), int(r["n_regionkey"]))
+        for _, r in T(sf_dir, "nation").to_pandas().iterrows()
+    }
+    regions = {
+        int(r["r_regionkey"]): str(r["r_name"])
+        for _, r in T(sf_dir, "region").to_pandas().iterrows()
+    }
+
+    def _fp(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": b["o_custkey"],
+            "rev_c": pa.array(_round_half_away(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64), pa.int64()),
+        })
+
+    j = T(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        _fp, batch_format="pyarrow",
+    ).join(
+        T(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        "inner", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",))
+    nr = fast_groupby_agg(j, ["c_nationkey"], {"rev_fp": ("rev_c", "sum")}
+                          ).to_pandas()
+    nr["n_name"] = [names[k][0] for k in nr["c_nationkey"]]
+    nr["r_name"] = [regions[names[k][1]] for k in nr["c_nationkey"]]
+    reg = nr.groupby("r_name")["rev_fp"].transform("sum")
+    share = 1e9 * (nr["rev_fp"].to_numpy(np.float64)
+                   / reg.to_numpy(np.float64))
+    out = pd.DataFrame({
+        "n_name": nr["n_name"], "r_name": nr["r_name"],
+        "rev_fp": nr["rev_fp"],
+        "share_fp": _round_half_away(share).astype(np.int64),
+    })
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -4439,6 +4748,13 @@ def queries() -> dict:
         "source_jaccard": q_source_jaccard,
         "cms_frequency": q_cms_frequency,
         "bucketed_join": q_bucketed_join,
+        "fk_integrity": q_fk_integrity,
+        "table_profile": q_table_profile,
+        "chi_square": q_chi_square,
+        "idle_rich_customers": q_idle_rich_customers,
+        "group_mean_impute": q_group_mean_impute,
+        "trimmed_mean": q_trimmed_mean,
+        "ratio_to_report": q_ratio_to_report,
     }
 
 
@@ -5564,4 +5880,146 @@ ORACLES["bucketed_join"] = """
            count(*) AS n_orders
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_nationkey
+"""
+
+ORACLES["fk_integrity"] = """
+    SELECT 'lineitem.l_orderkey->orders' AS relation,
+           count(DISTINCT l_orderkey) AS n_child_keys,
+           (SELECT count(DISTINCT l.l_orderkey) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+               AS n_orphans
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           count(DISTINCT l_partkey),
+           (SELECT count(DISTINCT l.l_partkey) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           count(DISTINCT o_custkey),
+           (SELECT count(DISTINCT o.o_custkey) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    FROM orders
+    ORDER BY relation
+"""
+
+ORACLES["table_profile"] = """
+    SELECT 'o_custkey' AS col, count(*) AS n_rows,
+           count(*) - count(o_custkey) AS n_null,
+           count(DISTINCT o_custkey) AS n_distinct FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority) FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus) FROM orders
+    ORDER BY col
+"""
+
+ORACLES["chi_square"] = """
+    WITH c AS (
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ),
+    t AS (
+        SELECT *,
+               CAST(sum(n) OVER (PARTITION BY o_orderstatus) AS BIGINT)
+                   AS rt,
+               CAST(sum(n) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+                   AS ct,
+               CAST(sum(n) OVER () AS BIGINT) AS tot
+        FROM c
+    )
+    SELECT o_orderstatus, o_orderpriority, n,
+           CAST(round(1e6 * (CAST(rt * ct AS DOUBLE) / tot))
+                AS BIGINT) AS e_fp,
+           CAST(round(1e9 * ((n - CAST(rt * ct AS DOUBLE) / tot)
+                             * (n - CAST(rt * ct AS DOUBLE) / tot)
+                             / (CAST(rt * ct AS DOUBLE) / tot)))
+                AS BIGINT) AS chi2_fp
+    FROM t ORDER BY o_orderstatus, o_orderpriority
+"""
+
+ORACLES["idle_rich_customers"] = """
+    WITH pool AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        FROM customer
+        WHERE c_acctbal > 0.0
+          AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+    ),
+    s AS (SELECT CAST(sum(bal_c) AS BIGINT) AS tot,
+                 count(*) AS np FROM pool)
+    SELECT c_nationkey, count(*) AS n_custs,
+           CAST(sum(bal_c) AS BIGINT) AS totbal_fp
+    FROM pool, s
+    WHERE bal_c * np > tot
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = pool.c_custkey
+                        AND o.o_totalprice > 450000.0)
+    GROUP BY c_nationkey
+"""
+
+ORACLES["group_mean_impute"] = """
+    WITH v AS (
+        SELECT event_id, user_id,
+               CAST(round(value * 1e6) AS BIGINT) AS v_fp,
+               (event_id % 11 = 0) AS miss
+        FROM events
+    ),
+    m AS (
+        SELECT user_id,
+               CAST(round(CAST(sum(CASE WHEN NOT miss THEN v_fp END)
+                               AS DOUBLE)
+                          / NULLIF(count(CASE WHEN NOT miss THEN 1 END),
+                                   0))
+                    AS BIGINT) AS mean_fp
+        FROM v GROUP BY user_id
+    )
+    SELECT v.event_id, v.user_id,
+           CASE WHEN v.miss THEN m.mean_fp ELSE v.v_fp END AS value_fp
+    FROM v JOIN m USING (user_id)
+"""
+
+ORACLES["trimmed_mean"] = """
+    WITH q AS (
+        SELECT l_returnflag,
+               CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_quantity) AS rn,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    )
+    SELECT l_returnflag, count(*) AS n_kept,
+           CAST(sum(qc) AS BIGINT) AS sum_fp,
+           CAST(round(CAST(sum(qc) AS DOUBLE) / count(*))
+                AS BIGINT) AS mean_fp
+    FROM q WHERE rn > n // 10 AND rn <= n - n // 10
+    GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+ORACLES["ratio_to_report"] = """
+    WITH nr AS (
+        SELECT c_nationkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_fp
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey
+    ),
+    x AS (
+        SELECT n_name, r_name, rev_fp,
+               CAST(sum(rev_fp) OVER (PARTITION BY r_name) AS BIGINT)
+                   AS reg_fp
+        FROM nr JOIN nation ON n_nationkey = c_nationkey
+                JOIN region ON r_regionkey = n_regionkey
+    )
+    SELECT n_name, r_name, rev_fp,
+           CAST(round(1e9 * (CAST(rev_fp AS DOUBLE)
+                             / CAST(reg_fp AS DOUBLE)))
+                AS BIGINT) AS share_fp
+    FROM x ORDER BY n_name
 """

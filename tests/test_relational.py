@@ -1059,3 +1059,116 @@ def test_bucketed_join_equals_shuffle_join_and_is_partitioned():
         .sort_values("c_nationkey").reset_index(drop=True)
     assert a["c_nationkey"].tolist() == j["c_nationkey"].tolist()
     assert a["n_orders"].tolist() == j["n_orders"].tolist()
+
+
+def test_trimmed_mean_histogram_equals_sorted_slice():
+    """The histogram rank-overlap plan must equal the brute-force
+    'sort each group, drop n//10 off each end' computation."""
+    from fide_crawler_ray.pipelines.relational import T, q_trimmed_mean
+
+    got = q_trimmed_mean(SF).set_index("l_returnflag")
+    df = T(SF, "lineitem", ["l_returnflag", "l_quantity"]).to_pandas()
+    for flag, g in df.groupby("l_returnflag"):
+        qc = np.sort(_rha(g["l_quantity"].to_numpy() * 100).astype(np.int64))
+        n = len(qc)
+        kept = qc[n // 10: n - n // 10]
+        assert got.loc[flag, "n_kept"] == len(kept)
+        assert got.loc[flag, "sum_fp"] == int(kept.sum())
+        assert got.loc[flag, "mean_fp"] == int(
+            _rha(np.float64(kept.sum()) / len(kept)))
+
+
+def test_chi_square_marginal_consistency():
+    """Expected counts must reproduce the observed marginals (Σe per
+    row/column/total == observed, within fixed-point rounding)."""
+    from fide_crawler_ray.pipelines.relational import q_chi_square
+
+    out = q_chi_square(SF)
+    n_tot = out["n"].sum()
+    assert abs(out["e_fp"].sum() - n_tot * 1_000_000) <= len(out)
+    for col in ("o_orderstatus", "o_orderpriority"):
+        g = out.groupby(col).agg(n=("n", "sum"), e=("e_fp", "sum"))
+        assert (abs(g["e"] - g["n"] * 1_000_000) <= len(out)).all()
+    assert (out["chi2_fp"] >= 0).all()
+
+
+def test_fk_integrity_counts_match_pandas():
+    from fide_crawler_ray.pipelines.relational import T, q_fk_integrity
+
+    got = q_fk_integrity(SF).set_index("relation")
+    li = T(SF, "lineitem", ["l_orderkey", "l_partkey"]).to_pandas()
+    orders = T(SF, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
+    part = T(SF, "part", ["p_partkey"]).to_pandas()
+    cust = T(SF, "customer", ["c_custkey"]).to_pandas()
+    cases = {
+        "lineitem.l_orderkey->orders":
+            (li["l_orderkey"], orders["o_orderkey"]),
+        "lineitem.l_partkey->part": (li["l_partkey"], part["p_partkey"]),
+        "orders.o_custkey->customer":
+            (orders["o_custkey"], cust["c_custkey"]),
+    }
+    for rel, (child, parent) in cases.items():
+        ck = set(child)
+        assert got.loc[rel, "n_child_keys"] == len(ck)
+        assert got.loc[rel, "n_orphans"] == len(ck - set(parent))
+
+
+def test_group_mean_impute_semantics():
+    """Missing rows take their user's present-value mean; present rows
+    pass through; all-missing users stay null."""
+    from fide_crawler_ray.pipelines.relational import T, q_group_mean_impute
+
+    out = q_group_mean_impute(SF).to_pandas().set_index("event_id")
+    ev = T(SF, "events", ["event_id", "user_id", "value"]).to_pandas()
+    ev["v_fp"] = _rha(ev["value"].to_numpy() * 1e6).astype(np.int64)
+    ev["miss"] = ev["event_id"] % 11 == 0
+    means = {}
+    for uid, g in ev[~ev["miss"]].groupby("user_id"):
+        means[uid] = int(_rha(np.float64(g["v_fp"].sum()) / len(g)))
+    checked_missing = 0
+    for _, e in ev.sample(n=min(len(ev), 400), random_state=2).iterrows():
+        got = out.loc[e["event_id"], "value_fp"]
+        if not e["miss"]:
+            assert got == e["v_fp"]
+        elif e["user_id"] in means:
+            assert got == means[e["user_id"]]
+            checked_missing += 1
+        else:
+            assert pd.isna(got)
+    assert checked_missing > 0
+
+
+def test_ratio_to_report_shares_sum_to_unit():
+    """Within every region the nation shares must sum to 1e9 (within
+    per-nation rounding), and rev_fp must be consistent with shares."""
+    from fide_crawler_ray.pipelines.relational import q_ratio_to_report
+
+    out = q_ratio_to_report(SF)
+    for region, g in out.groupby("r_name"):
+        assert abs(g["share_fp"].sum() - 1_000_000_000) <= len(g)
+        # the largest-revenue nation must carry the largest share
+        assert (g["rev_fp"].idxmax() == g["share_fp"].idxmax())
+
+
+def test_idle_rich_customers_bruteforce():
+    from fide_crawler_ray.pipelines.relational import (
+        _IDLE_RICH_NATIONS, T, q_idle_rich_customers)
+
+    got = q_idle_rich_customers(SF).to_pandas() \
+        .sort_values("c_nationkey").reset_index(drop=True)
+    cust = T(SF, "customer",
+             ["c_custkey", "c_nationkey", "c_acctbal"]).to_pandas()
+    orders = T(SF, "orders", ["o_custkey", "o_totalprice"]).to_pandas()
+    pool = cust[(cust["c_acctbal"] > 0.0)
+                & cust["c_nationkey"].isin(_IDLE_RICH_NATIONS)].copy()
+    pool["bal_c"] = _rha(pool["c_acctbal"].to_numpy() * 100).astype(np.int64)
+    tot, n = int(pool["bal_c"].sum()), len(pool)
+    big = set(orders[orders["o_totalprice"] > 450000.0]["o_custkey"])
+    sel = pool[(pool["bal_c"] * n > tot)
+               & ~pool["c_custkey"].isin(big)]
+    exp = sel.groupby("c_nationkey").agg(
+        n_custs=("bal_c", "size"), totbal_fp=("bal_c", "sum"),
+    ).reset_index().sort_values("c_nationkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"n_custs": "int64", "totbal_fp": "int64"}), exp,
+        check_dtype=False)
