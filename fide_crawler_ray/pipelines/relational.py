@@ -4664,6 +4664,119 @@ def q_ratio_to_report(sf_dir):
     return out.sort_values("n_name").reset_index(drop=True)
 
 
+def q_dedup_survivor(sf_dir):
+    """Quality-aware survivorship dedup: per exact-duplicate cluster
+    (raw-text md5) keep the BEST record — max n_chars, tie-broken by min
+    doc_id — not merely the first-seen. This is the canonicalization
+    flavor of D1 a training-data pipeline wants (keep the longest/most
+    complete copy). Plan: md5 map-side, then the mergeable grouped top-1
+    (per-block top-1, tree combine) — no per-group Python, no join-back;
+    the exchange carries ≤1 row per (block × cluster)."""
+    from ..stages.fastagg import grouped_topk
+
+    def _h(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        return pa.table({
+            "h": pa.array([hashlib.md5((t or "").encode()).hexdigest()
+                           for t in texts], pa.string()),
+            "doc_id": b["doc_id"],
+            "source": b["source"],
+            "n_chars": b["n_chars"],
+        })
+
+    ds = T(sf_dir, "documents", ["doc_id", "text", "source", "n_chars"]
+           ).map_batches(_h, batch_format="pyarrow")
+    top = grouped_topk(ds, ["h"], ["n_chars", "doc_id"], [False, True], 1)
+    return top.select_columns(["doc_id", "source", "n_chars"])
+
+
+def q_time_weighted_avg(sf_dir):
+    """Time-weighted average (TWAP): per user, each value weighted by
+    its dwell — the milliseconds until the user's next event in
+    (ts, event_id) order; the last event carries no weight. The
+    stream-analytics aggregate for irregularly-sampled series. Exactness:
+    values are ×1e3 integers, dwell is exact epoch-ms, Σ(v·dw) and Σdw
+    are exact int64 sums (|v_fp|≤5e5, dw≤1e8 ⇒ products ≤5e13), and the
+    single final division is double/int mirrored in the oracle. Plan:
+    per-user ``map_groups`` with a vectorized shift — the same
+    bounded-rows-per-key assumption as window_functions; the exchange
+    moves each event row once."""
+    ds = T(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    _empty = pd.DataFrame({
+        "user_id": pd.Series(dtype="int64"),
+        "total_dwell_ms": pd.Series(dtype="int64"),
+        "twa_fp": pd.Series(dtype="int64"),
+    })
+
+    def _twa(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        ms = df["ts"].to_numpy().astype("datetime64[ms]").view("int64")
+        v = _round_half_away(df["value"].to_numpy() * 1e3).astype(np.int64)
+        dw = ms[1:] - ms[:-1]
+        tot = int(dw.sum())
+        if len(df) < 2 or tot == 0:
+            # <2 events → no dwell rows; all-same-ms → HAVING Σdw > 0
+            return _empty
+        s = int((v[:-1] * dw).sum())
+        return pd.DataFrame({
+            "user_id": df["user_id"].iloc[:1],
+            "total_dwell_ms": np.array([tot], np.int64),
+            "twa_fp": np.array(
+                [int(_round_half_away(np.float64(s) / tot))], np.int64),
+        })
+
+    return ds.groupby("user_id").map_groups(_twa, batch_format="pandas")
+
+
+WEIGHTED_SAMPLE_K = 100
+
+
+def q_weighted_sample(sf_dir, k: int = WEIGHTED_SAMPLE_K):
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis A-ES): each order draws u ∈ (0,1] from md5(o_orderkey) and
+    scores key = ln(u)/w with w = o_totalprice; the top-k keys are the
+    sample — inclusion probability ∝ weight, yet fully reproducible (and
+    therefore exactly SQL-oracle-able, unlike RNG sampling). Plan:
+    per-block local top-k, then one final combine task over ≤ blocks×k
+    rows — no global sort, no shuffle. ln is libm ``math.log`` on both
+    sides (the engine-wide ulp-parity policy)."""
+
+    def _keys(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].to_pylist()
+        w = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        u = np.array(
+            [int(hashlib.md5(str(x).encode()).hexdigest()[:8], 16) + 1
+             for x in ok], np.float64) / 4294967296.0
+        key = np.array([math.log(x) for x in u], np.float64) / w
+        df = pd.DataFrame({"o_orderkey": ok, "key": key})
+        df = df.sort_values(["key", "o_orderkey"],
+                            ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = T(sf_dir, "orders", ["o_orderkey", "o_totalprice"]
+              ).map_batches(_keys, batch_format="pyarrow").materialize()
+
+    @ray.remote
+    def _final(refs) -> pa.Table:
+        blocks = ray.get(list(refs))
+        t = pa.concat_tables([b for b in blocks if b.num_rows])
+        df = t.to_pandas().sort_values(
+            ["key", "o_orderkey"], ascending=[False, True]).head(k)
+        return pa.table({
+            "o_orderkey": pa.array(df["o_orderkey"].to_numpy(np.int64)),
+            "key_fp": pa.array(_round_half_away(
+                df["key"].to_numpy() * 1e9).astype(np.int64)),
+        })
+
+    import ray.data as rd
+
+    # block refs go to the combine task unresolved (plasma-shared);
+    # ≤ blocks×k rows ever co-reside there, nothing lands on the driver
+    ref = _final.remote(parts.to_arrow_refs())
+    return rd.from_arrow_refs([ref])
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -4755,6 +4868,9 @@ def queries() -> dict:
         "group_mean_impute": q_group_mean_impute,
         "trimmed_mean": q_trimmed_mean,
         "ratio_to_report": q_ratio_to_report,
+        "dedup_survivor": q_dedup_survivor,
+        "time_weighted_avg": q_time_weighted_avg,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -6000,6 +6116,54 @@ ORACLES["trimmed_mean"] = """
                 AS BIGINT) AS mean_fp
     FROM q WHERE rn > n // 10 AND rn <= n - n // 10
     GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+ORACLES["dedup_survivor"] = """
+    WITH h AS (
+        SELECT doc_id, source, n_chars, md5(text) AS hh FROM documents
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY hh ORDER BY n_chars DESC, doc_id) AS rn
+        FROM h
+    )
+    SELECT doc_id, source, n_chars FROM r WHERE rn = 1 ORDER BY doc_id
+"""
+
+ORACLES["time_weighted_avg"] = """
+    WITH o AS (
+        SELECT user_id,
+               CAST(round(value * 1e3) AS BIGINT) AS v_fp,
+               epoch_ms(ts) AS ms,
+               lead(epoch_ms(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    d AS (
+        SELECT user_id, v_fp, nxt - ms AS dw FROM o WHERE nxt IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(sum(dw) AS BIGINT) AS total_dwell_ms,
+           CAST(round(CAST(sum(v_fp * dw) AS DOUBLE)
+                      / sum(dw)) AS BIGINT) AS twa_fp
+    FROM d GROUP BY user_id HAVING sum(dw) > 0
+"""
+
+ORACLES["weighted_sample"] = """
+    WITH u AS (
+        SELECT o_orderkey, o_totalprice,
+               ((SELECT sum((strpos('0123456789abcdef',
+                                    substr(h, i, 1)) - 1)
+                            * 16 ** (8 - i))
+                 FROM range(1, 9) t(i)) + 1) / 4294967296.0 AS uu
+        FROM (SELECT o_orderkey, o_totalprice,
+                     md5(CAST(o_orderkey AS VARCHAR)) AS h FROM orders)
+    )
+    SELECT o_orderkey,
+           CAST(round(1e9 * (ln(uu) / o_totalprice)) AS BIGINT) AS key_fp
+    FROM u
+    ORDER BY ln(uu) / o_totalprice DESC, o_orderkey
+    LIMIT 100
 """
 
 ORACLES["ratio_to_report"] = """

@@ -1172,3 +1172,60 @@ def test_idle_rich_customers_bruteforce():
     pd.testing.assert_frame_equal(
         got.astype({"n_custs": "int64", "totbal_fp": "int64"}), exp,
         check_dtype=False)
+
+
+def test_dedup_survivor_keeps_best_per_cluster():
+    """Each md5 cluster keeps exactly one row: max n_chars, min doc_id
+    tie-break — and every cluster is represented."""
+    import hashlib
+
+    from fide_crawler_ray.pipelines.relational import T, q_dedup_survivor
+
+    got = q_dedup_survivor(SF).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    docs = T(SF, "documents", ["doc_id", "text", "source",
+                               "n_chars"]).to_pandas()
+    docs["h"] = [hashlib.md5((t or "").encode()).hexdigest()
+                 for t in docs["text"]]
+    exp = docs.sort_values(["n_chars", "doc_id"],
+                           ascending=[False, True]) \
+        .groupby("h", sort=False).head(1)
+    assert sorted(got["doc_id"]) == sorted(exp["doc_id"])
+    assert len(got) == docs["h"].nunique()
+
+
+def test_time_weighted_avg_bruteforce():
+    from fide_crawler_ray.pipelines.relational import T, q_time_weighted_avg
+
+    got = q_time_weighted_avg(SF).to_pandas().set_index("user_id")
+    ev = T(SF, "events", ["user_id", "ts", "event_id",
+                          "value"]).to_pandas()
+    checked = 0
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ms = g["ts"].to_numpy().astype("datetime64[ms]").view("int64")
+        dw = ms[1:] - ms[:-1]
+        if len(g) < 2 or dw.sum() == 0:
+            assert uid not in got.index
+            continue
+        v = _rha(g["value"].to_numpy() * 1e3).astype(np.int64)
+        assert got.loc[uid, "total_dwell_ms"] == dw.sum()
+        assert got.loc[uid, "twa_fp"] == int(
+            _rha(np.float64((v[:-1] * dw).sum()) / dw.sum()))
+        checked += 1
+        if checked >= 40:
+            break
+    assert checked > 0
+
+
+def test_weighted_sample_deterministic_and_weight_biased():
+    """Same input → bit-identical sample; and A-ES must favor heavy
+    rows: the sample's mean weight exceeds the population mean."""
+    from fide_crawler_ray.pipelines.relational import T, q_weighted_sample
+
+    a = q_weighted_sample(SF).to_pandas()
+    b = q_weighted_sample(SF).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    orders = T(SF, "orders", ["o_orderkey", "o_totalprice"]).to_pandas()
+    w = orders.set_index("o_orderkey")["o_totalprice"]
+    assert w.loc[a["o_orderkey"]].mean() > w.mean()
