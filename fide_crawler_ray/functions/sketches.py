@@ -305,3 +305,45 @@ def cms_query(m: np.ndarray, keys: np.ndarray,
         h = _splitmix64(k ^ np.uint64((0x9E3779B97F4A7C15 * (i + 1)) & 0xFFFFFFFFFFFFFFFF))
         np.minimum(est, mm[i][(h % np.uint64(w)).astype(np.int64)], out=est)
     return est
+
+
+# ------------------------------------------------------------- bloom
+
+BLOOM_K = 6  # double-hashed probes per key (Kirsch–Mitzenmacher)
+
+
+def _bloom_idx(keys: np.ndarray, m_bits: int, k: int):
+    """Yield the k probe bit-indices per key: (h1 + i·h2) mod m with two
+    independent splitmix64 streams — deterministic, vectorized."""
+    kk = keys.astype(np.uint64)
+    h1 = _splitmix64(kk)
+    h2 = _splitmix64(kk ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+    m = np.uint64(m_bits)
+    for i in range(k):
+        yield ((h1 + np.uint64(i) * h2) % m).astype(np.int64)
+
+
+def bloom_partial(keys: np.ndarray, m_bits: int,
+                  k: int = BLOOM_K) -> np.ndarray:
+    """One batch's Bloom filter as a uint64 word array (m_bits/64
+    words). Partials merge by elementwise OR — fully mergeable, so the
+    build never shuffles; only filter buffers move."""
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    for idx in _bloom_idx(keys, m_bits, k):
+        np.bitwise_or.at(words, idx >> 6,
+                         np.uint64(1) << (idx.astype(np.uint64)
+                                          & np.uint64(63)))
+    return words
+
+
+def bloom_probe(words: np.ndarray, keys: np.ndarray,
+                k: int = BLOOM_K) -> np.ndarray:
+    """Membership mask: True iff every probe bit is set (no false
+    negatives by construction; false positives bounded by m/n and k)."""
+    m_bits = len(words) * 64
+    ok = np.ones(len(keys), dtype=bool)
+    for idx in _bloom_idx(keys, m_bits, k):
+        bit = (words[idx >> 6] >> (idx.astype(np.uint64)
+                                   & np.uint64(63))) & np.uint64(1)
+        ok &= bit.astype(bool)
+    return ok

@@ -4777,6 +4777,112 @@ def q_weighted_sample(sf_dir, k: int = WEIGHTED_SAMPLE_K):
     return rd.from_arrow_refs([ref])
 
 
+def q_bloom_semi_join(sf_dir):
+    """Broadcast-Bloom join pushdown — THE shuffle-avoidance pattern for
+    selective joins at 100 TB: build a Bloom filter over the small
+    side's keys (rich customers), OR-merge the per-block partials (only
+    filter buffers move, never keys), broadcast the filter, and pre-drop
+    fact rows map-side BEFORE the expensive exchange. Returns a one-row
+    audit: candidate counts, false-positive rate, and the exact semi
+    count — with asserted gates (zero false negatives; FP rate within 3×
+    the (1−e^{−kn/m})^k analytic bound). Not SQL-expressible (the FP set
+    depends on the hash), so rows-only + gates, like cms_frequency."""
+    from ..functions.sketches import BLOOM_K, bloom_partial, bloom_probe
+
+    dim = fast_groupby_agg(
+        T(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
+            lambda b: pa.table({
+                "c_custkey":
+                    b.filter(pc.greater(b["c_acctbal"], 4000.0))
+                    ["c_custkey"],
+            }),
+            batch_format="pyarrow"),
+        ["c_custkey"], {"__n": (None, "count")},
+    ).drop_columns(["__n"]).materialize()
+    n_keys = dim.count()
+    m_bits = 1 << max(14, int(math.ceil(math.log2(16 * max(n_keys, 1)))))
+
+    def _build(b: pa.Table) -> pa.Table:
+        keys = b["c_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table({"w": pa.array(
+            [bloom_partial(keys, m_bits).tobytes()], pa.binary())})
+
+    words = _tree_reduce_buffers(
+        dim.map_batches(_build, batch_format="pyarrow"), "w",
+        np.bitwise_or, np.uint64)
+    wref = ray.put(words)
+
+    class _Probe:
+        def __init__(self):
+            self.words = ray.get(wref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keys = b["o_custkey"].to_numpy(zero_copy_only=False)
+            ok = bloom_probe(self.words, keys)
+            return pa.table({
+                "n": pa.array([len(b)], pa.int64()),
+                "n_pass": pa.array([int(ok.sum())], pa.int64()),
+            })
+
+    orders = T(sf_dir, "orders", ["o_custkey"])
+    counts = orders.map_batches(_Probe, batch_format="pyarrow",
+                                concurrency=(1, 4)).to_pandas()
+    n_orders, n_pass = int(counts["n"].sum()), int(counts["n_pass"].sum())
+    n_exact = orders.join(dim, "left_semi", num_partitions=4,
+                          on=("o_custkey",),
+                          right_on=("c_custkey",)).count()
+    assert n_pass >= n_exact, "Bloom dropped a true match (false negative)"
+    fp = (n_pass - n_exact) / max(n_orders - n_exact, 1)
+    bound = (1.0 - math.exp(-BLOOM_K * n_keys / m_bits)) ** BLOOM_K
+    assert fp <= max(3 * bound, 1e-3), (fp, bound)
+    return pd.DataFrame([{
+        "n_orders": n_orders, "n_exact": n_exact, "n_bloom_pass": n_pass,
+        "n_false_pos": n_pass - n_exact,
+        "fp_rate_fp": int(_round_half_away(np.float64(fp) * 1e9)),
+        "m_bits": m_bits, "k": BLOOM_K, "n_keys": n_keys,
+    }])
+
+
+def q_join_size_estimate(sf_dir):
+    """Sketch-based join-cardinality estimation (the optimizer
+    primitive): the self-join size of lineitem on l_partkey — Σ_k f(k)²
+    — estimated as the count-min row-wise inner product min_i Σ_w
+    cms[i,w]², against the exact value from the grouped counts. The CMS
+    inner product never underestimates (cross-collision terms only
+    add), giving a one-sided error bound checked by asserted gates.
+    Sketch partials tree-combine; the exact side's exchange carries one
+    row per distinct key."""
+    from ..functions.sketches import CMS_D, CMS_W, cms_partial
+
+    ds = T(sf_dir, "lineitem", ["l_partkey"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        keys = b["l_partkey"].to_numpy(zero_copy_only=False)
+        return pa.table({"m": pa.array([cms_partial(keys).tobytes()],
+                                       pa.binary())})
+
+    sketch = _tree_reduce_buffers(
+        ds.map_batches(_partial, batch_format="pyarrow"), "m",
+        np.add, np.int64).reshape(CMS_D, CMS_W)
+    est = int(min(int((row.astype(object) * row).sum()) for row in sketch))
+
+    counts = fast_groupby_agg(ds, ["l_partkey"], {"n": (None, "count")})
+    sq = counts.map_batches(
+        lambda b: pa.table({"s": pa.array(
+            [int((b["n"].to_numpy(zero_copy_only=False).astype(object)
+                  ** 2).sum())], pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    exact = int(sq["s"].sum())
+    assert est >= exact, "CMS inner product underestimated the join size"
+    rel = (est - exact) / max(exact, 1)
+    assert rel <= 0.5, (est, exact, rel)
+    return pd.DataFrame([{
+        "exact": exact, "est": est,
+        "rel_err_fp": int(_round_half_away(np.float64(rel) * 1e9)),
+        "d": CMS_D, "w": CMS_W,
+    }])
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -4871,6 +4977,8 @@ def queries() -> dict:
         "dedup_survivor": q_dedup_survivor,
         "time_weighted_avg": q_time_weighted_avg,
         "weighted_sample": q_weighted_sample,
+        "bloom_semi_join": q_bloom_semi_join,
+        "join_size_estimate": q_join_size_estimate,
     }
 
 

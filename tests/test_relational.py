@@ -1229,3 +1229,46 @@ def test_weighted_sample_deterministic_and_weight_biased():
     orders = T(SF, "orders", ["o_orderkey", "o_totalprice"]).to_pandas()
     w = orders.set_index("o_orderkey")["o_totalprice"]
     assert w.loc[a["o_orderkey"]].mean() > w.mean()
+
+
+def test_bloom_kernels_mergeable_no_false_negatives():
+    from fide_crawler_ray.functions.sketches import (
+        bloom_partial, bloom_probe)
+
+    keys = np.arange(5000, dtype=np.uint64) * 7919
+    m = 1 << 17
+    single = bloom_partial(keys, m)
+    merged = np.zeros_like(single)
+    for c in np.array_split(keys, 9):
+        merged |= bloom_partial(c, m)
+    assert np.array_equal(single, merged)
+    assert bloom_probe(single, keys).all()
+    probe = np.arange(10_000_000, 10_050_000, dtype=np.uint64)
+    assert bloom_probe(single, probe).mean() < 0.01
+
+
+def test_bloom_semi_join_audit():
+    """Exact semi count must equal the true pandas semi count and the
+    in-query gates must hold (they assert internally)."""
+    from fide_crawler_ray.pipelines.relational import T, q_bloom_semi_join
+
+    row = q_bloom_semi_join(SF).iloc[0]
+    cust = T(SF, "customer", ["c_custkey", "c_acctbal"]).to_pandas()
+    orders = T(SF, "orders", ["o_custkey"]).to_pandas()
+    rich = set(cust[cust["c_acctbal"] > 4000.0]["c_custkey"])
+    assert row["n_exact"] == orders["o_custkey"].isin(rich).sum()
+    assert row["n_bloom_pass"] >= row["n_exact"]
+    assert row["n_orders"] == len(orders)
+
+
+def test_join_size_estimate_exact_side():
+    """The exact Σf² must equal the brute-force self-join size; the
+    sketch gates assert inside the query."""
+    from fide_crawler_ray.pipelines.relational import (
+        T, q_join_size_estimate)
+
+    row = q_join_size_estimate(SF).iloc[0]
+    li = T(SF, "lineitem", ["l_partkey"]).to_pandas()
+    f = li["l_partkey"].value_counts().to_numpy()
+    assert row["exact"] == int((f.astype(object) ** 2).sum())
+    assert row["est"] >= row["exact"]
