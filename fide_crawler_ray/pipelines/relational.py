@@ -4843,28 +4843,36 @@ def q_bloom_semi_join(sf_dir):
     }])
 
 
+JOIN_EST_W = 1 << 17  # inner-product noise ≈ N²/w → w must absorb N²
+JOIN_EST_D = 4
+
+
 def q_join_size_estimate(sf_dir):
     """Sketch-based join-cardinality estimation (the optimizer
     primitive): the self-join size of lineitem on l_partkey — Σ_k f(k)²
     — estimated as the count-min row-wise inner product min_i Σ_w
     cms[i,w]², against the exact value from the grouped counts. The CMS
     inner product never underestimates (cross-collision terms only
-    add), giving a one-sided error bound checked by asserted gates.
-    Sketch partials tree-combine; the exact side's exchange carries one
-    row per distinct key."""
-    from ..functions.sketches import CMS_D, CMS_W, cms_partial
+    add); its expected overcount is (N²−Σf²)/w ≈ N²/w, so the asserted
+    gate is the analytic 3·N²/w — scale-aware, unlike a fixed ratio
+    (at 10× data the noise grows 100× and a fixed-w fixed-ratio gate
+    would flip). Sketch partials tree-combine (d×w int64, ~4 MB); the
+    exact side's exchange carries one row per distinct key."""
+    from ..functions.sketches import cms_partial
 
     ds = T(sf_dir, "lineitem", ["l_partkey"])
 
     def _partial(b: pa.Table) -> pa.Table:
         keys = b["l_partkey"].to_numpy(zero_copy_only=False)
-        return pa.table({"m": pa.array([cms_partial(keys).tobytes()],
-                                       pa.binary())})
+        return pa.table({"m": pa.array(
+            [cms_partial(keys, w=JOIN_EST_W, d=JOIN_EST_D).tobytes()],
+            pa.binary())})
 
     sketch = _tree_reduce_buffers(
         ds.map_batches(_partial, batch_format="pyarrow"), "m",
-        np.add, np.int64).reshape(CMS_D, CMS_W)
+        np.add, np.int64).reshape(JOIN_EST_D, JOIN_EST_W)
     est = int(min(int((row.astype(object) * row).sum()) for row in sketch))
+    n_total = int(sketch[0].sum())
 
     counts = fast_groupby_agg(ds, ["l_partkey"], {"n": (None, "count")})
     sq = counts.map_batches(
@@ -4874,12 +4882,13 @@ def q_join_size_estimate(sf_dir):
         batch_format="pyarrow").to_pandas()
     exact = int(sq["s"].sum())
     assert est >= exact, "CMS inner product underestimated the join size"
+    bound = 3.0 * n_total * n_total / JOIN_EST_W
+    assert est - exact <= bound, (est, exact, bound)
     rel = (est - exact) / max(exact, 1)
-    assert rel <= 0.5, (est, exact, rel)
     return pd.DataFrame([{
         "exact": exact, "est": est,
         "rel_err_fp": int(_round_half_away(np.float64(rel) * 1e9)),
-        "d": CMS_D, "w": CMS_W,
+        "d": JOIN_EST_D, "w": JOIN_EST_W,
     }])
 
 
