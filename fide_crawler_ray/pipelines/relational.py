@@ -4376,16 +4376,23 @@ def q_fk_integrity(sf_dir):
     DISTINCT keys before the hash ``left_anti`` exchange, so the
     all-to-all moves key sets, never fact rows; the three relations'
     outputs are driver scalars (one int pair each)."""
-    rows = []
-    for label, child, ck, parent, pk in _FK_RELATIONS:
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _audit(rel):
+        label, child, ck, parent, pk = rel
         ckeys = fast_groupby_agg(
             T(sf_dir, child, [ck]), [ck], {"__n": (None, "count")},
         ).drop_columns(["__n"]).materialize()
         orphans = ckeys.join(
             T(sf_dir, parent, [pk]), "left_anti", num_partitions=4,
             on=(ck,), right_on=(pk,))
-        rows.append({"relation": label, "n_child_keys": ckeys.count(),
-                     "n_orphans": orphans.count()})
+        return {"relation": label, "n_child_keys": ckeys.count(),
+                "n_orphans": orphans.count()}
+
+    # the three audits are independent Dataset pipelines — run them
+    # concurrently (each execution gets its own streaming executor)
+    with ThreadPoolExecutor(max_workers=len(_FK_RELATIONS)) as ex:
+        rows = list(ex.map(_audit, _FK_RELATIONS))
     return pd.DataFrame(rows).sort_values("relation").reset_index(drop=True)
 
 
@@ -4892,6 +4899,101 @@ def q_join_size_estimate(sf_dir):
     }])
 
 
+def q_pmi_bigrams(sf_dir, min_count: int = 5):
+    """Pointwise mutual information for corpus bigrams seen ≥ min_count
+    times — the collocation/association-mining statistic (PMI =
+    ln(c·N / (c1·c2)) with c1/c2 the first-/second-position marginals).
+    Plan: the per-batch bigram counters and partial-agg sum are shared
+    with bigram_stats; marginals and N are second-level aggregates over
+    the ALREADY vocabulary-sized bigram table, joined back with two
+    hash joins (no driver state at any cardinality). Float policy: the
+    integer products stay < 2^53 so the double ratio is exact-operand
+    correctly-rounded division, and ln is libm ``math.log`` on both
+    sides (the engine-wide ulp-parity policy)."""
+    docs = T(sf_dir, "documents", ["text"])
+
+    def _bi(b: pa.Table) -> pa.Table:
+        cnt: dict = {}
+        for txt in b["text"].to_pylist():
+            toks = _TOKEN.findall(txt.lower())
+            for i in range(len(toks) - 1):
+                k = (toks[i], toks[i + 1])
+                cnt[k] = cnt.get(k, 0) + 1
+        return pa.table({
+            "w1": pa.array([k[0] for k in cnt], pa.string()),
+            "w2": pa.array([k[1] for k in cnt], pa.string()),
+            "c": pa.array(list(cnt.values()), pa.int64()),
+        })
+
+    bi = fast_groupby_agg(
+        docs.map_batches(_bi, batch_format="pyarrow"),
+        ["w1", "w2"], {"c": ("c", "sum")},
+    ).materialize()
+    heads = fast_groupby_agg(bi, ["w1"], {"c1": ("c", "sum")})
+    tails = fast_groupby_agg(bi, ["w2"], {"c2": ("c", "sum")}).map_batches(
+        lambda b: b.rename_columns(["w2_r", "c2"]), batch_format="pyarrow")
+    nb = int(bi.map_batches(
+        lambda b: pa.table({"s": pa.array(
+            [int(pc.sum(b["c"]).as_py() or 0)], pa.int64())}),
+        batch_format="pyarrow").to_pandas()["s"].sum())
+
+    j = bi.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["c"], min_count)),
+        batch_format="pyarrow",
+    ).join(heads, "inner", num_partitions=8, on=("w1",)) \
+        .join(tails, "inner", num_partitions=8,
+              on=("w2",), right_on=("w2_r",))
+
+    def _pmi(b: pa.Table) -> pa.Table:
+        c = b["c"].to_numpy(zero_copy_only=False)
+        c1 = b["c1"].to_numpy(zero_copy_only=False)
+        c2 = b["c2"].to_numpy(zero_copy_only=False)
+        ratio = (c * nb).astype(np.float64) / (c1 * c2).astype(np.float64)
+        pmi = np.array([math.log(x) for x in ratio], np.float64)
+        return pa.table({
+            "w1": b["w1"], "w2": b["w2"], "c": b["c"],
+            "pmi_fp": pa.array(_round_half_away(1e9 * pmi)
+                               .astype(np.int64), pa.int64()),
+        })
+
+    return j.map_batches(_pmi, batch_format="pyarrow")
+
+
+def q_daily_anomaly(sf_dir):
+    """Seasonal-naive anomaly detection on the event stream: each day
+    with a full trailing week is scored against the trailing-week
+    baseline and flagged when it deviates by more than 3σ. The z-test is
+    ALL-INTEGER — (n·k − S)² > 9·(S2·k − S²) is the 3σ rule
+    cross-multiplied by k², so there is no float anywhere and the oracle
+    matches bit-for-bit by construction. Plan: the only fact-scale work
+    is the daily-count partial agg; the trailing window runs on the
+    date-cardinality-bounded aggregate (days, not events)."""
+    daily = fast_groupby_agg(
+        T(sf_dir, "events", ["ts"]).map_batches(
+            lambda b: pa.table(
+                {"day": pc.strftime(b["ts"], format="%Y-%m-%d")}),
+            batch_format="pyarrow"),
+        ["day"], {"n": (None, "count")},
+    ).to_pandas().sort_values("day").reset_index(drop=True)
+    n = daily["n"].to_numpy(np.int64)
+    k = 7
+    s = pd.Series(n).rolling(k).sum().shift(1).to_numpy()
+    s2 = pd.Series(n * n).rolling(k).sum().shift(1).to_numpy()
+    full = ~np.isnan(s)
+    s_i = np.where(full, s, 0).astype(np.int64)
+    s2_i = np.where(full, s2, 0).astype(np.int64)
+    dev_sq = (n * k - s_i) ** 2
+    thr = 9 * (s2_i * k - s_i * s_i)
+    out = pd.DataFrame({
+        "day": daily["day"][full],
+        "n": n[full],
+        "dev_sq": dev_sq[full],
+        "thr": thr[full],
+        "is_anomaly": (dev_sq > thr)[full],
+    })
+    return out.sort_values("day").reset_index(drop=True)
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -4988,6 +5090,8 @@ def queries() -> dict:
         "weighted_sample": q_weighted_sample,
         "bloom_semi_join": q_bloom_semi_join,
         "join_size_estimate": q_join_size_estimate,
+        "pmi_bigrams": q_pmi_bigrams,
+        "daily_anomaly": q_daily_anomaly,
     }
 
 
@@ -6233,6 +6337,55 @@ ORACLES["trimmed_mean"] = """
                 AS BIGINT) AS mean_fp
     FROM q WHERE rn > n // 10 AND rn <= n - n // 10
     GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+ORACLES["pmi_bigrams"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text),
+                                              '[^a-z0-9_]+'),
+                           t -> t <> '') AS w
+        FROM documents
+    ),
+    bi AS (
+        SELECT w[i] AS w1, w[i+1] AS w2, count(*) AS c
+        FROM toks, UNNEST(range(1, len(w))) AS u(i)
+        WHERE len(w) >= 2
+        GROUP BY w1, w2
+    ),
+    h AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1 FROM bi GROUP BY w1),
+    t AS (SELECT w2, CAST(sum(c) AS BIGINT) AS c2 FROM bi GROUP BY w2),
+    nn AS (SELECT CAST(sum(c) AS BIGINT) AS nb FROM bi)
+    SELECT bi.w1, bi.w2, c,
+           CAST(round(1e9 * ln((c * nb) * 1.0 / (c1 * c2)))
+                AS BIGINT) AS pmi_fp
+    FROM bi JOIN h USING (w1) JOIN t USING (w2), nn
+    WHERE c >= 5
+"""
+
+ORACLES["daily_anomaly"] = """
+    WITH d AS (
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               count(*) AS n
+        FROM events GROUP BY day
+    ),
+    w AS (
+        SELECT day, CAST(n AS BIGINT) AS n,
+               CAST(count(*) OVER win AS BIGINT) AS k,
+               CAST(COALESCE(sum(n) OVER win, 0) AS BIGINT) AS s,
+               CAST(COALESCE(sum(n * n) OVER win, 0) AS BIGINT) AS s2
+        FROM d
+        WINDOW win AS (ORDER BY day
+                       ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT day, n,
+           (n * 7 - s) * (n * 7 - s) AS dev_sq,
+           9 * (s2 * 7 - s * s) AS thr,
+           (n * 7 - s) * (n * 7 - s) > 9 * (s2 * 7 - s * s)
+               AS is_anomaly
+    FROM w
+    WHERE k = 7
+    ORDER BY day
 """
 
 ORACLES["dedup_survivor"] = """
