@@ -4994,6 +4994,120 @@ def q_daily_anomaly(sf_dir):
     return out.sort_values("day").reset_index(drop=True)
 
 
+def q_q6_band_revenue(sf_dir):
+    """TPC-H Q6 shape: forecast-revenue-change — one tight filter band
+    (ship year 1996, discount ∈ [0.05, 0.07], quantity < 24) and a
+    global sum of price·discount. The per-row product is ONE float
+    multiply quantized ×1e4 before the integer sum, so block/batch
+    association order cannot move the result. Plan: pure filtered
+    map + partial sums; the only thing that ever moves is one int pair
+    per block."""
+    ds = T(sf_dir, "lineitem",
+           ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+    lo = np.datetime64("1996-01-01").astype("datetime64[ns]").view("int64")
+    hi = np.datetime64("1997-01-01").astype("datetime64[ns]").view("int64")
+
+    def _band(b: pa.Table) -> pa.Table:
+        ship = _ts_ns(b["l_shipdate"])
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False)
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        keep = ((ship >= lo) & (ship < hi)
+                & (disc >= 0.05) & (disc <= 0.07) & (qty < 24.0))
+        fp = _round_half_away(
+            price[keep] * disc[keep] * 1e4).astype(np.int64)
+        return pa.table({
+            "revenue_fp": pa.array([int(fp.sum())], pa.int64()),
+            "n_rows": pa.array([int(keep.sum())], pa.int64()),
+        })
+
+    parts = ds.map_batches(_band, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame([{
+        "revenue_fp": int(parts["revenue_fp"].sum()),
+        "n_rows": int(parts["n_rows"].sum()),
+    }])
+
+
+def q_ship_delay_distribution(sf_dir):
+    """Order-to-ship latency distribution: exact integer day deltas
+    between o_orderdate and l_shipdate, counted per delay — the
+    fulfillment-SLA histogram. This is the one genuine FACT⋈FACT join
+    in the suite (lineitem⋈orders): both sides are projected to
+    (key, epoch-day) BEFORE the hash exchange, and the second groupby
+    runs on the tiny delay domain."""
+    li = T(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+        lambda b: pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "ship_day": pa.array(
+                _ts_ns(b["l_shipdate"]) // 86_400_000_000_000, pa.int64()),
+        }),
+        batch_format="pyarrow")
+    orders = T(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+        lambda b: pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "order_day": pa.array(
+                _ts_ns(b["o_orderdate"]) // 86_400_000_000_000, pa.int64()),
+        }),
+        batch_format="pyarrow")
+    j = li.join(orders, "inner", num_partitions=8,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+    d = j.map_batches(
+        lambda b: pa.table({
+            "delay_days": pc.subtract(b["ship_day"], b["order_day"]),
+        }),
+        batch_format="pyarrow")
+    return fast_groupby_agg(d, ["delay_days"], {"n": (None, "count")})
+
+
+def q_promo_revenue_ratio(sf_dir):
+    """TPC-H Q14 shape: per ship-month, the share of revenue from PROMO
+    parts (×1e9). Plan: part is a TRUE dimension (does not grow with
+    fact data) — its partkey→is-promo map broadcasts once per actor and
+    the fact side folds to (month, promo_fp, total_fp) partials
+    map-side; the exchange carries one row per (block × month). The
+    final ratio divides two exact integer cent-sums (double/double,
+    mirrored)."""
+    pref = ray.put(
+        T(sf_dir, "part", ["p_partkey", "p_type"]).to_arrow_refs())
+
+    class _Fold:
+        def __init__(self):
+            t = pa.concat_tables(ray.get(ray.get(pref)))
+            self.keys = t["p_partkey"].combine_chunks()
+            self.promo = pc.equal(t["p_type"], "PROMO").combine_chunks()
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            idx = pc.index_in(b["l_partkey"], value_set=self.keys)
+            is_promo = self.promo.take(idx).to_numpy(zero_copy_only=False)
+            month = pc.strftime(b["l_shipdate"], format="%Y-%m")
+            fp = _round_half_away(
+                b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+            df = pd.DataFrame({
+                "month": month.to_pandas(),
+                "promo_fp": np.where(is_promo, fp, 0),
+                "total_fp": fp,
+            })
+            g = df.groupby("month", sort=False).sum().reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    folded = T(sf_dir, "lineitem",
+               ["l_partkey", "l_shipdate", "l_extendedprice"]).map_batches(
+        _Fold, batch_format="pyarrow", concurrency=(1, 4))
+    agg = fast_groupby_agg(folded, ["month"], {
+        "promo_fp": ("promo_fp", "sum"), "total_fp": ("total_fp", "sum"),
+    })
+
+    def _ratio(b: pa.Table) -> pa.Table:
+        p = b["promo_fp"].to_numpy(zero_copy_only=False)
+        t = b["total_fp"].to_numpy(zero_copy_only=False)
+        r = 1e9 * (p.astype(np.float64) / t.astype(np.float64))
+        return b.append_column(
+            "ratio_fp", pa.array(_round_half_away(r).astype(np.int64)))
+
+    return agg.map_batches(_ratio, batch_format="pyarrow")
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -5092,6 +5206,9 @@ def queries() -> dict:
         "join_size_estimate": q_join_size_estimate,
         "pmi_bigrams": q_pmi_bigrams,
         "daily_anomaly": q_daily_anomaly,
+        "q6_band_revenue": q_q6_band_revenue,
+        "ship_delay_distribution": q_ship_delay_distribution,
+        "promo_revenue_ratio": q_promo_revenue_ratio,
     }
 
 
@@ -6337,6 +6454,45 @@ ORACLES["trimmed_mean"] = """
                 AS BIGINT) AS mean_fp
     FROM q WHERE rn > n // 10 AND rn <= n - n // 10
     GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+ORACLES["q6_band_revenue"] = """
+    SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 1e4)
+                         AS BIGINT)) AS BIGINT) AS revenue_fp,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24.0
+"""
+
+ORACLES["ship_delay_distribution"] = """
+    SELECT date_diff('day', CAST(o_orderdate AS DATE),
+                     CAST(l_shipdate AS DATE)) AS delay_days,
+           count(*) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY delay_days
+"""
+
+ORACLES["promo_revenue_ratio"] = """
+    WITH m AS (
+        SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m')
+                   AS month,
+               CAST(sum(CASE WHEN p_type = 'PROMO'
+                             THEN CAST(round(l_extendedprice * 100)
+                                       AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS promo_fp,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_fp
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY month
+    )
+    SELECT month, promo_fp, total_fp,
+           CAST(round(1e9 * (CAST(promo_fp AS DOUBLE)
+                             / CAST(total_fp AS DOUBLE)))
+                AS BIGINT) AS ratio_fp
+    FROM m
 """
 
 ORACLES["pmi_bigrams"] = """

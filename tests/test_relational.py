@@ -1326,3 +1326,34 @@ def test_daily_anomaly_integer_rule_matches_float_sigma():
     # and on the real data both formulations agree day by day
     for _, r in out.iterrows():
         assert (r["dev_sq"] > r["thr"]) == bool(r["is_anomaly"])
+
+
+def test_ship_delay_distribution_matches_bruteforce():
+    """The histogram totals the lineitem row count and matches the
+    pandas merge + day-delta value counts exactly (the synthetic
+    shipdates are independent of order dates, so deltas span both
+    signs — the operator must not assume an ordering)."""
+    from fide_crawler_ray.pipelines.relational import (
+        T, q_ship_delay_distribution)
+
+    out = q_ship_delay_distribution(SF).to_pandas() \
+        .sort_values("delay_days").reset_index(drop=True)
+    li = T(SF, "lineitem", ["l_orderkey", "l_shipdate"]).to_pandas()
+    orders = T(SF, "orders", ["o_orderkey", "o_orderdate"]).to_pandas()
+    m = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    delta = (m["l_shipdate"].to_numpy().astype("datetime64[D]")
+             - m["o_orderdate"].to_numpy().astype("datetime64[D]")
+             ).astype(np.int64)
+    exp = pd.Series(delta).value_counts().sort_index()
+    assert out["n"].sum() == len(li)
+    assert out["delay_days"].tolist() == exp.index.tolist()
+    assert out["n"].tolist() == exp.tolist()
+
+
+def test_promo_ratio_bounds_and_consistency():
+    from fide_crawler_ray.pipelines.relational import q_promo_revenue_ratio
+
+    out = q_promo_revenue_ratio(SF).to_pandas()
+    assert ((out["ratio_fp"] >= 0) & (out["ratio_fp"] <= 10**9)).all()
+    assert (out["promo_fp"] <= out["total_fp"]).all()
+    assert len(out) > 12  # multiple ship months present
