@@ -5108,6 +5108,89 @@ def q_promo_revenue_ratio(sf_dir):
     return agg.map_batches(_ratio, batch_format="pyarrow")
 
 
+def q_standardize(sf_dir):
+    """Per-group z-score feature scaling (the tabular-ML preprocessing
+    stage): every event's value standardized against its event_type's
+    mean/std, ×1e6 fixed point. Values are ×100 integer cents; the
+    per-group moments (n, Σv, Σv²) are exact integers from one
+    partial-agg groupby; the per-row float expression is mirrored
+    op-for-op in the oracle (sub, div, sqrt are IEEE correctly-rounded).
+    Plan: event_type is a bounded domain → the 3-number moments
+    broadcast; the fact side is one pure map pass."""
+    ds = T(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def _v(b: pa.Table) -> pa.Table:
+        v = _round_half_away(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({
+            "event_id": b["event_id"],
+            "event_type": b["event_type"],
+            "v": pa.array(v, pa.int64()),
+            "v2": pa.array(v * v, pa.int64()),
+        })
+
+    fp = ds.map_batches(_v, batch_format="pyarrow").materialize()
+    mom = fast_groupby_agg(fp, ["event_type"], {
+        "n": (None, "count"), "s": ("v", "sum"), "s2": ("v2", "sum"),
+    }).to_pandas()
+    mref = ray.put({
+        r["event_type"]: (int(r["n"]), int(r["s"]), int(r["s2"]))
+        for _, r in mom.iterrows()
+    })
+
+    class _Z:
+        def __init__(self):
+            self.m = ray.get(mref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            et = pd.Series(b["event_type"].to_pylist())
+            n = et.map({k: v[0] for k, v in self.m.items()}).to_numpy(
+                np.float64)
+            s = et.map({k: v[1] for k, v in self.m.items()}).to_numpy(
+                np.float64)
+            s2 = et.map({k: v[2] for k, v in self.m.items()}).to_numpy(
+                np.float64)
+            v = b["v"].to_numpy(zero_copy_only=False).astype(np.float64)
+            z = (v - s / n) / np.sqrt((s2 - s * s / n) / n)
+            return pa.table({
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "z_fp": pa.array(_round_half_away(1e6 * z)
+                                 .astype(np.int64), pa.int64()),
+            })
+
+    return fp.drop_columns(["v2"]).map_batches(
+        _Z, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def q_train_val_test_split(sf_dir):
+    """Deterministic train/val/test corpus split (80/10/10 by
+    md5(doc_id) bucket) audited per source — the holdout-assignment
+    stage every training pipeline needs to be reproducible across runs
+    and machines (hash-based, NOT RNG-based, so adding documents never
+    reshuffles existing assignments). Plan: pure map + one tiny
+    (source × split) partial-agg groupby."""
+    ds = T(sf_dir, "documents", ["doc_id", "source"])
+
+    def _split(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        bucket = np.array(
+            [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10
+             for i in ids], np.int64)
+        split = np.where(bucket < 8, "train",
+                         np.where(bucket == 8, "val", "test"))
+        return pa.table({
+            "source": b["source"],
+            "split": pa.array(split.tolist(), pa.string()),
+        })
+
+    return fast_groupby_agg(
+        ds.map_batches(_split, batch_format="pyarrow"),
+        ["source", "split"], {"n": (None, "count")},
+    )
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -5209,6 +5292,8 @@ def queries() -> dict:
         "q6_band_revenue": q_q6_band_revenue,
         "ship_delay_distribution": q_ship_delay_distribution,
         "promo_revenue_ratio": q_promo_revenue_ratio,
+        "standardize": q_standardize,
+        "train_val_test_split": q_train_val_test_split,
     }
 
 
@@ -6454,6 +6539,44 @@ ORACLES["trimmed_mean"] = """
                 AS BIGINT) AS mean_fp
     FROM q WHERE rn > n // 10 AND rn <= n - n // 10
     GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+ORACLES["standardize"] = """
+    WITH m AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events
+    ),
+    a AS (
+        SELECT event_type, count(*) AS n,
+               CAST(sum(v) AS BIGINT) AS s,
+               CAST(sum(v * v) AS BIGINT) AS s2
+        FROM m GROUP BY event_type
+    )
+    SELECT event_id, m.event_type,
+           CAST(round(1e6 * ((m.v * 1.0 - a.s * 1.0 / a.n)
+                             / sqrt((a.s2 * 1.0
+                                     - (a.s * 1.0) * (a.s * 1.0) / a.n)
+                                    / a.n)))
+                AS BIGINT) AS z_fp
+    FROM m JOIN a USING (event_type)
+"""
+
+ORACLES["train_val_test_split"] = """
+    WITH b AS (
+        SELECT source,
+               CAST((SELECT sum((strpos('0123456789abcdef',
+                                        substr(h, i, 1)) - 1)
+                                * 16 ** (8 - i))
+                     FROM range(1, 9) t(i)) AS BIGINT) % 10 AS bucket
+        FROM (SELECT source, md5(CAST(doc_id AS VARCHAR)) AS h
+              FROM documents)
+    )
+    SELECT source,
+           CASE WHEN bucket < 8 THEN 'train'
+                WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n
+    FROM b GROUP BY source, split
 """
 
 ORACLES["q6_band_revenue"] = """
