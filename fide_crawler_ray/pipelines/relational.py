@@ -5191,6 +5191,98 @@ def q_train_val_test_split(sf_dir):
     )
 
 
+def q_quality_top_quartile(sf_dir):
+    """Per-source quality gating at a percentile threshold: keep the
+    documents whose n_chars exceeds their source's p75 (rank rule:
+    value at row ceil(0.75·n) of the sorted multiset — tie-order-free,
+    pinned in the oracle). The curriculum/quality-mixing primitive.
+    Plan: per-source distinct-value histogram (one partial-agg
+    exchange, |sources|×|distinct n_chars| rows), thresholds from the
+    tiny CDF, broadcast dict, pure filter map — the raw corpus is
+    scanned twice but never sorted or shuffled."""
+    docs = T(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    hist = fast_groupby_agg(
+        docs.drop_columns(["doc_id"]), ["source", "n_chars"],
+        {"cnt": (None, "count")},
+    ).to_pandas()
+    thresholds = {}
+    for src, g in hist.groupby("source"):
+        g = g.sort_values("n_chars")
+        cum = g["cnt"].cumsum().to_numpy()
+        n = int(cum[-1])
+        r = max(1, math.ceil(0.75 * n))
+        thresholds[src] = int(
+            g["n_chars"].to_numpy()[np.searchsorted(cum, r)])
+    tref = ray.put(thresholds)
+
+    class _Gate:
+        def __init__(self):
+            self.thr = ray.get(tref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            thr = pd.Series(b["source"].to_pylist()).map(self.thr) \
+                .to_numpy(np.int64)
+            keep = b["n_chars"].to_numpy(zero_copy_only=False) > thr
+            return b.filter(pa.array(keep))
+
+    return docs.map_batches(_Gate, batch_format="pyarrow",
+                            concurrency=(1, 4))
+
+
+def q_schema_evolution_read(sf_dir):
+    """Schema-evolution tolerant store read: epoch-1 parquet was written
+    BEFORE a column existed (even orderkeys: o_orderkey, o_totalprice),
+    epoch-2 after (odd orderkeys: + o_orderpriority); the reader must
+    union-by-name, back-filling NULL for pre-evolution rows — the
+    ingest reality of every long-lived 100-TB store. The engine writes
+    both epochs (real files), reads each with its own schema, aligns,
+    unions, and aggregates; the oracle derives the identical result from
+    the base table (pre-evolution rows ⇒ NULL priority), so it needs no
+    filesystem state."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    root = f"/tmp/fcray_schemaevo_{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+    orders = T(sf_dir, "orders",
+               ["o_orderkey", "o_totalprice", "o_orderpriority"])
+    orders.map_batches(
+        lambda b: b.filter(
+            pc.equal(pc.bit_wise_and(b["o_orderkey"], 1), 0)
+        ).select(["o_orderkey", "o_totalprice"]),
+        batch_format="pyarrow",
+    ).write_parquet(f"{root}/epoch1")
+    orders.map_batches(
+        lambda b: b.filter(pc.equal(pc.bit_wise_and(b["o_orderkey"], 1),
+                                    1)),
+        batch_format="pyarrow",
+    ).write_parquet(f"{root}/epoch2")
+
+    v1 = rd.read_parquet(f"{root}/epoch1").map_batches(
+        lambda b: b.append_column(
+            "o_orderpriority", pa.nulls(len(b), pa.string())),
+        batch_format="pyarrow")
+    v2 = rd.read_parquet(f"{root}/epoch2").map_batches(
+        lambda b: b.select(["o_orderkey", "o_totalprice",
+                            "o_orderpriority"]),
+        batch_format="pyarrow")
+    both = v1.union(v2).map_batches(
+        lambda b: pa.table({
+            "o_orderpriority_u": b["o_orderpriority"],
+            "fp": pa.array(_round_half_away(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64), pa.int64()),
+        }),
+        batch_format="pyarrow")
+    out = fast_groupby_agg(both, ["o_orderpriority_u"], {
+        "n": (None, "count"), "tot_fp": ("fp", "sum"),
+    }).materialize()
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -5294,6 +5386,8 @@ def queries() -> dict:
         "promo_revenue_ratio": q_promo_revenue_ratio,
         "standardize": q_standardize,
         "train_val_test_split": q_train_val_test_split,
+        "quality_top_quartile": q_quality_top_quartile,
+        "schema_evolution_read": q_schema_evolution_read,
     }
 
 
@@ -6539,6 +6633,35 @@ ORACLES["trimmed_mean"] = """
                 AS BIGINT) AS mean_fp
     FROM q WHERE rn > n // 10 AND rn <= n - n // 10
     GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+ORACLES["quality_top_quartile"] = """
+    WITH r AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars) AS rn,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM documents
+    ),
+    t AS (
+        SELECT source,
+               max(CASE WHEN rn = CAST(greatest(1, ceil(0.75 * n))
+                                       AS BIGINT)
+                        THEN n_chars END) AS p75
+        FROM r GROUP BY source
+    )
+    SELECT doc_id, documents.source, n_chars
+    FROM documents JOIN t ON documents.source = t.source
+    WHERE n_chars > p75
+"""
+
+ORACLES["schema_evolution_read"] = """
+    SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+               AS o_orderpriority_u,
+           count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS tot_fp
+    FROM orders GROUP BY o_orderpriority_u
 """
 
 ORACLES["standardize"] = """

@@ -86,6 +86,16 @@ def fast_groupby_agg(ds, keys: list[str], aggs: dict[str, tuple[str | None, str]
                 raise ValueError(op)
         out = pd.DataFrame(cols).reset_index()
         t = pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+        # a block whose key column is ALL null round-trips through
+        # pandas as float64 (NaN group key) and would diverge from the
+        # other blocks' schema at concat — restore the input key types
+        for k in keys:
+            if (k in b.schema.names
+                    and t.schema.field(k).type != b.schema.field(k).type):
+                vals = out[k].astype(object).where(pd.notna(out[k]), None)
+                t = t.set_column(
+                    t.schema.get_field_index(k), k,
+                    pa.array(vals.tolist(), type=b.schema.field(k).type))
         return t.slice(0, 0) if empty else t
 
     partial = ds.map_batches(_partial, batch_format="pyarrow").materialize()

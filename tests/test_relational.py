@@ -1394,3 +1394,41 @@ def test_split_is_stable_under_corpus_growth():
     base = {i: assign(i) for i in ids}
     grown = {i: assign(i) for i in ids + list(range(10**9, 10**9 + 500))}
     assert all(grown[i] == base[i] for i in ids)
+
+
+def test_quality_top_quartile_threshold_rule():
+    """Kept docs are exactly those above their source's rank-rule p75
+    (value at row ceil(0.75·n) of the sorted multiset)."""
+    import math
+
+    from fide_crawler_ray.pipelines.relational import (
+        T, q_quality_top_quartile)
+
+    got = set(q_quality_top_quartile(SF).to_pandas()["doc_id"])
+    docs = T(SF, "documents", ["doc_id", "source", "n_chars"]).to_pandas()
+    exp = set()
+    for src, g in docs.groupby("source"):
+        vals = np.sort(g["n_chars"].to_numpy())
+        p75 = vals[max(1, math.ceil(0.75 * len(vals))) - 1]
+        exp |= set(g[g["n_chars"] > p75]["doc_id"])
+    assert got == exp
+
+
+def test_schema_evolution_read_backfills_nulls():
+    """Epoch-1 rows (written before the column existed) must surface
+    with NULL priority; epoch-2 rows keep theirs; totals reconcile with
+    the base table."""
+    from fide_crawler_ray.pipelines.relational import (
+        T, q_schema_evolution_read)
+
+    out = q_schema_evolution_read(SF).to_pandas()
+    orders = T(SF, "orders",
+               ["o_orderkey", "o_totalprice", "o_orderpriority"]
+               ).to_pandas()
+    n_even = (orders["o_orderkey"] % 2 == 0).sum()
+    null_row = out[out["o_orderpriority_u"].isna()]
+    assert len(null_row) == 1 and null_row["n"].iloc[0] == n_even
+    assert out["n"].sum() == len(orders)
+    odd = orders[orders["o_orderkey"] % 2 == 1]
+    for pri, g in odd.groupby("o_orderpriority"):
+        assert out[out["o_orderpriority_u"] == pri]["n"].iloc[0] == len(g)
