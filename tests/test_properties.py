@@ -197,3 +197,66 @@ def test_ppjoin_candidates_superset_of_true_pairs(texts):
             uni = len(a | b)
             if inter * thr_den >= uni * thr_num:
                 assert (i, j) in got, (texts[i], texts[j], inter, uni)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=50), min_size=1,
+                max_size=400))
+@settings(max_examples=100, deadline=None)
+def test_trimmed_histogram_slice_equals_sorted_slice(vals):
+    """The rank-overlap histogram computation (q_trimmed_mean's kernel)
+    must equal 'sort, drop n//10 off each end' for ANY multiset."""
+    arr = np.sort(np.array(vals, np.int64))
+    n = len(arr)
+    lo, hi = n // 10, n - n // 10
+    expect = arr[lo:hi]
+    # histogram path
+    uvals, cnts = np.unique(arr, return_counts=True)
+    cum = np.cumsum(cnts)
+    start = cum - cnts
+    kept = np.clip(np.minimum(cum, hi) - np.maximum(start, lo), 0, None)
+    assert int(kept.sum()) == len(expect)
+    assert int((uvals * kept).sum()) == int(expect.sum())
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1),
+                min_size=1, max_size=500),
+       st.lists(st.integers(min_value=0, max_value=2**63 - 1),
+                min_size=1, max_size=200))
+@settings(max_examples=30, deadline=None)
+def test_bloom_never_false_negative(members, probes):
+    from fide_crawler_ray.functions.sketches import (
+        bloom_partial, bloom_probe)
+
+    keys = np.array(members, np.uint64)
+    w = bloom_partial(keys, 1 << 14)
+    assert bloom_probe(w, keys).all()
+    # merged partials behave identically
+    w2 = np.zeros_like(w)
+    for c in np.array_split(keys, 3):
+        if len(c):
+            w2 |= bloom_partial(c, 1 << 14)
+    p = np.array(probes, np.uint64)
+    assert np.array_equal(bloom_probe(w, p), bloom_probe(w2, p))
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10_000), min_size=8,
+                max_size=60))
+@settings(max_examples=100, deadline=None)
+def test_anomaly_integer_rule_equals_float_rule(counts):
+    """(n·k−S)² > 9·(S2·k−S²) ⟺ (n−mean)² > 9·var for every day with a
+    full trailing window — the all-integer cross-multiplication never
+    flips the 3σ verdict."""
+    n = np.array(counts, np.int64)
+    k = 7
+    for i in range(k, len(n)):
+        w = n[i - k:i]
+        s, s2 = int(w.sum()), int((w * w).sum())
+        int_rule = (int(n[i]) * k - s) ** 2 > 9 * (s2 * k - s * s)
+        mean = s / k
+        var = (s2 - s * s / k) / k
+        float_rule = (n[i] - mean) ** 2 > 9 * var
+        # exact ties under the float rule can round either way; the
+        # integer rule is the specification — they must agree whenever
+        # the float expressions are not at an exact boundary
+        if (n[i] - mean) ** 2 != 9 * var:
+            assert int_rule == float_rule
