@@ -5283,6 +5283,177 @@ def q_schema_evolution_read(sf_dir):
     return out
 
 
+INCR_AGG_CUTOFF = "1999-01-01"
+
+
+def q_incremental_agg(sf_dir):
+    """Incremental aggregate maintenance (the streaming-warehouse
+    pattern): a 'materialized' monthly-revenue base built from orders
+    BEFORE the cutoff is updated with the late-arriving delta (orders at
+    or after it) by MERGING partial sums — never recomputing the base.
+    Because the partials are exact ×100 integers, merge == full
+    recompute bit-for-bit, which is exactly what the oracle (a plain
+    full-table aggregate) checks. The delta pass scans ONLY delta rows;
+    the merge exchanges one row per (month, side)."""
+    cutoff = np.datetime64(INCR_AGG_CUTOFF).astype(
+        "datetime64[ns]").view("int64")
+
+    def _part(lo: bool):
+        def _f(b: pa.Table) -> pa.Table:
+            d = _ts_ns(b["o_orderdate"])
+            keep = d < cutoff if lo else d >= cutoff
+            t = b.filter(pa.array(keep))
+            return pa.table({
+                "month": pc.strftime(t["o_orderdate"], format="%Y-%m"),
+                "rev_fp": pa.array(_round_half_away(
+                    t["o_totalprice"].to_numpy(zero_copy_only=False)
+                    * 100.0).astype(np.int64), pa.int64()),
+                "n": pa.array(np.ones(len(t), np.int64), pa.int64()),
+            })
+        return _f
+
+    orders = T(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    base = fast_groupby_agg(
+        orders.map_batches(_part(True), batch_format="pyarrow"),
+        ["month"], {"rev_fp": ("rev_fp", "sum"), "n": ("n", "sum")})
+    delta = fast_groupby_agg(
+        orders.map_batches(_part(False), batch_format="pyarrow"),
+        ["month"], {"rev_fp": ("rev_fp", "sum"), "n": ("n", "sum")})
+    # merge = one more mergeable partial-agg over the two tiny sides
+    return fast_groupby_agg(
+        base.union(delta), ["month"],
+        {"rev_fp": ("rev_fp", "sum"), "n": ("n", "sum")})
+
+
+KCORE_K = 14
+KCORE_MAX_SINGLE_EDGES = 20_000_000
+KCORE_MAX_ROUNDS = 200
+
+
+@ray.remote
+def _kcore_task(k: int, *tables: pa.Table) -> pa.Table:
+    """Single-task k-core peel over the collected normalized edge list
+    (guard: KCORE_MAX_SINGLE_EDGES): repeatedly drop nodes with
+    within-subgraph degree < k until fixpoint — O(rounds · |E|)
+    vectorized bincounts."""
+    live_t = [t for t in tables if t.num_rows > 0]
+    t = pa.concat_tables(live_t)
+    u = t["u"].to_numpy(zero_copy_only=False)
+    v = t["v"].to_numpy(zero_copy_only=False)
+    n = int(max(u.max(), v.max())) + 1 if len(u) else 0
+    live = np.ones(len(u), bool)
+    for _ in range(KCORE_MAX_ROUNDS):
+        deg = (np.bincount(u[live], minlength=n)
+               + np.bincount(v[live], minlength=n))
+        bad = (deg > 0) & (deg < k)
+        if not bad.any():
+            break
+        live &= ~(bad[u] | bad[v])
+    deg = (np.bincount(u[live], minlength=n)
+           + np.bincount(v[live], minlength=n))
+    nodes = np.flatnonzero(deg >= k)
+    return pa.table({
+        "node": pa.array(nodes.astype(np.int64), pa.int64()),
+        "core_deg": pa.array(deg[nodes].astype(np.int64), pa.int64()),
+    })
+
+
+def q_graph_kcore(sf_dir, k: int = KCORE_K,
+                  max_single_edges: int = KCORE_MAX_SINGLE_EDGES):
+    """K-core decomposition (k=14) of the derived order graph — the
+    community/spam-filter graph primitive next to pagerank/BFS/
+    triangles: iteratively peel nodes whose within-subgraph degree is
+    below k until fixpoint. Dual tier: under the edge guard one task
+    peels the collected edge list with vectorized bincounts; above it,
+    each round is a degree partial-agg + two hash ``left_semi`` joins
+    that keep only edges with BOTH endpoints live (exchange carries
+    key-sized node sets, never raw degrees×rows). Both tiers are pinned
+    identical by test. Asserted gates (rows-only — peeling is not
+    SQL-expressible): every output node has within-core degree ≥ k, and
+    one extra peel round removes nothing (fixpoint ⇒ maximality)."""
+    import ray.data as rd
+
+    n = T(sf_dir, "customer", ["c_custkey"]).count()
+    raw = _pagerank_edges(sf_dir, n)
+
+    def _norm(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({
+            "u": pa.array(np.minimum(s, d), pa.int64()),
+            "v": pa.array(np.maximum(s, d), pa.int64()),
+        })
+
+    edges = fast_groupby_agg(
+        raw.map_batches(_norm, batch_format="pyarrow"),
+        ["u", "v"], {"_n": (None, "count")},
+    ).map_batches(lambda b: b.select(["u", "v"]),
+                  batch_format="pyarrow").materialize()
+
+    if edges.count() <= max_single_edges:
+        out = rd.from_arrow_refs(
+            [_kcore_task.remote(k, *edges.to_arrow_refs())]).materialize()
+    else:
+        out = _kcore_join_tier(edges, k)
+
+    # in-query invariant gates: ≥k within-core degree, and fixpoint
+    df = out.to_pandas()
+    assert (df["core_deg"] >= k).all() or df.empty, "sub-k node in core"
+    core = df["node"].to_numpy(np.int64)
+    et = pa.concat_tables(
+        [b for b in ray.get(edges.to_arrow_refs()) if b.num_rows])
+    uu = et["u"].to_numpy(zero_copy_only=False)
+    vv = et["v"].to_numpy(zero_copy_only=False)
+    inc = np.isin(uu, core) & np.isin(vv, core)
+    degc = np.bincount(uu[inc], minlength=n) + np.bincount(
+        vv[inc], minlength=n)
+    assert not ((degc > 0) & (degc < k)).any(), "not a fixpoint"
+    return out
+
+
+def _kcore_join_tier(edges, k: int, num_partitions: int = 8):
+    """Distributed peel: per round, degree partial-agg over live edges →
+    live node set (≥k) → two semi joins keep edges with both endpoints
+    live. Terminates when the edge count stops shrinking."""
+    import ray.data as rd
+
+    live = edges.materialize()
+    prev = live.count()
+    for _ in range(KCORE_MAX_ROUNDS):
+        both = live.map_batches(
+            lambda b: pa.table({"node": pa.concat_arrays([
+                b["u"].combine_chunks() if isinstance(b["u"],
+                                                      pa.ChunkedArray)
+                else b["u"],
+                b["v"].combine_chunks() if isinstance(b["v"],
+                                                      pa.ChunkedArray)
+                else b["v"]])}),
+            batch_format="pyarrow")
+        deg = fast_groupby_agg(both, ["node"], {"deg": (None, "count")})
+        keep = deg.map_batches(
+            lambda b: b.filter(pc.greater_equal(b["deg"], k))
+                       .select(["node"]),
+            batch_format="pyarrow").materialize()
+        live = live.join(keep, "left_semi", num_partitions=num_partitions,
+                         on=("u",), right_on=("node",)) \
+                   .join(keep, "left_semi", num_partitions=num_partitions,
+                         on=("v",), right_on=("node",)).materialize()
+        cur = live.count()
+        if cur == prev:
+            break
+        prev = cur
+    both = live.map_batches(
+        lambda b: pa.table({"node": pa.concat_arrays([
+            b["u"].combine_chunks() if isinstance(b["u"], pa.ChunkedArray)
+            else b["u"],
+            b["v"].combine_chunks() if isinstance(b["v"], pa.ChunkedArray)
+            else b["v"]])}),
+        batch_format="pyarrow")
+    return fast_groupby_agg(both, ["node"], {"core_deg": (None, "count")})
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -5388,6 +5559,8 @@ def queries() -> dict:
         "train_val_test_split": q_train_val_test_split,
         "quality_top_quartile": q_quality_top_quartile,
         "schema_evolution_read": q_schema_evolution_read,
+        "incremental_agg": q_incremental_agg,
+        "graph_kcore": q_graph_kcore,
     }
 
 
@@ -6633,6 +6806,14 @@ ORACLES["trimmed_mean"] = """
                 AS BIGINT) AS mean_fp
     FROM q WHERE rn > n // 10 AND rn <= n - n // 10
     GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+ORACLES["incremental_agg"] = """
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS rev_fp,
+           count(*) AS n
+    FROM orders GROUP BY month
 """
 
 ORACLES["quality_top_quartile"] = """

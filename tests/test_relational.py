@@ -1432,3 +1432,56 @@ def test_schema_evolution_read_backfills_nulls():
     odd = orders[orders["o_orderkey"] % 2 == 1]
     for pri, g in odd.groupby("o_orderpriority"):
         assert out[out["o_orderpriority_u"] == pri]["n"].iloc[0] == len(g)
+
+
+def test_kcore_tiers_equal_and_match_bruteforce():
+    """Single-task peel == distributed join tier == brute-force numpy
+    peel; gates (≥k degree, fixpoint) assert inside the query."""
+    from fide_crawler_ray.pipelines.relational import (
+        KCORE_K, T, _pagerank_edges, q_graph_kcore)
+
+    a = q_graph_kcore(SF).to_pandas().sort_values("node") \
+        .reset_index(drop=True)
+    b = q_graph_kcore(SF, max_single_edges=0).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+    n = T(SF, "customer", ["c_custkey"]).count()
+    raw = _pagerank_edges(SF, n).to_pandas()
+    s, d = raw["src"].to_numpy(), raw["dst"].to_numpy()
+    keep = s != d
+    e = np.unique(np.stack([np.minimum(s[keep], d[keep]),
+                            np.maximum(s[keep], d[keep])], 1), axis=0)
+    u, v = e[:, 0], e[:, 1]
+    live = np.ones(len(u), bool)
+    while True:
+        deg = (np.bincount(u[live], minlength=n)
+               + np.bincount(v[live], minlength=n))
+        bad = (deg > 0) & (deg < KCORE_K)
+        if not bad.any():
+            break
+        live &= ~(bad[u] | bad[v])
+    deg = (np.bincount(u[live], minlength=n)
+           + np.bincount(v[live], minlength=n))
+    nodes = np.flatnonzero(deg >= KCORE_K)
+    assert a["node"].tolist() == nodes.tolist()
+    assert a["core_deg"].tolist() == deg[nodes].tolist()
+
+
+def test_incremental_agg_merge_equals_recompute():
+    """Merging the pre-cutoff base with the late delta must equal the
+    full recompute (exact integer partials)."""
+    from fide_crawler_ray.pipelines.relational import (
+        T, q_incremental_agg)
+
+    got = q_incremental_agg(SF).to_pandas().sort_values("month") \
+        .reset_index(drop=True)
+    orders = T(SF, "orders", ["o_orderdate", "o_totalprice"]).to_pandas()
+    orders["month"] = orders["o_orderdate"].dt.strftime("%Y-%m")
+    orders["fp"] = _rha(orders["o_totalprice"].to_numpy() * 100) \
+        .astype(np.int64)
+    exp = orders.groupby("month").agg(
+        rev_fp=("fp", "sum"), n=("fp", "size")).reset_index() \
+        .sort_values("month").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"rev_fp": "int64", "n": "int64"}), exp,
+        check_dtype=False)
