@@ -5454,6 +5454,42 @@ def _kcore_join_tier(edges, k: int, num_partitions: int = 8):
     return fast_groupby_agg(both, ["node"], {"core_deg": (None, "count")})
 
 
+def q_time_to_convert(sf_dir):
+    """Conversion latency: per user, milliseconds from their FIRST
+    'view' to the first 'purchase' at-or-after it — the funnel-timing
+    KPI. All-integer epoch-ms, so exact. Plan: grouped-min first-view
+    (key-sized), hash join against map-side-filtered purchases, then
+    min(p_ms − v_ms) per user — one exchange of purchase rows, one of
+    user-level aggregates; no per-group Python anywhere."""
+    ev = T(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def _typed(kind):
+        def _f(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b["event_type"], kind))
+            return pa.table({
+                "user_id": t["user_id"],
+                "ms": pa.array(_ts_ns(t["ts"]) // 1_000_000, pa.int64()),
+            })
+        return _f
+
+    fv = fast_groupby_agg(
+        ev.map_batches(_typed("view"), batch_format="pyarrow"),
+        ["user_id"], {"v_ms": ("ms", "min")},
+    ).map_batches(lambda b: b.rename_columns(["uid_r", "v_ms"]),
+                  batch_format="pyarrow")
+    j = ev.map_batches(_typed("purchase"), batch_format="pyarrow").join(
+        fv, "inner", num_partitions=8,
+        on=("user_id",), right_on=("uid_r",))
+    diffs = j.map_batches(
+        lambda b: pa.table({
+            "user_id": b["user_id"],
+            "d": pc.subtract(b["ms"], b["v_ms"]),
+        }).filter(pc.greater_equal(
+            pc.subtract(b["ms"], b["v_ms"]), 0)),
+        batch_format="pyarrow")
+    return fast_groupby_agg(diffs, ["user_id"], {"ttc_ms": ("d", "min")})
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -5561,6 +5597,7 @@ def queries() -> dict:
         "schema_evolution_read": q_schema_evolution_read,
         "incremental_agg": q_incremental_agg,
         "graph_kcore": q_graph_kcore,
+        "time_to_convert": q_time_to_convert,
     }
 
 
@@ -6806,6 +6843,20 @@ ORACLES["trimmed_mean"] = """
                 AS BIGINT) AS mean_fp
     FROM q WHERE rn > n // 10 AND rn <= n - n // 10
     GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+ORACLES["time_to_convert"] = """
+    WITH fv AS (
+        SELECT user_id, min(epoch_ms(ts)) AS v_ms
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    d AS (
+        SELECT e.user_id, epoch_ms(e.ts) - fv.v_ms AS dd
+        FROM events e JOIN fv USING (user_id)
+        WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= fv.v_ms
+    )
+    SELECT user_id, CAST(min(dd) AS BIGINT) AS ttc_ms
+    FROM d GROUP BY user_id
 """
 
 ORACLES["incremental_agg"] = """

@@ -1485,3 +1485,25 @@ def test_incremental_agg_merge_equals_recompute():
     pd.testing.assert_frame_equal(
         got.astype({"rev_fp": "int64", "n": "int64"}), exp,
         check_dtype=False)
+
+
+def test_time_to_convert_bruteforce():
+    from fide_crawler_ray.pipelines.relational import T, q_time_to_convert
+
+    got = q_time_to_convert(SF).to_pandas().set_index("user_id")
+    ev = T(SF, "events", ["user_id", "ts", "event_type"]).to_pandas()
+    ev["ms"] = ev["ts"].to_numpy().astype("datetime64[ms]").view("int64")
+    checked = 0
+    for uid, g in ev.groupby("user_id"):
+        views = g[g["event_type"] == "view"]["ms"]
+        if views.empty:
+            assert uid not in got.index
+            continue
+        v = views.min()
+        purch = g[(g["event_type"] == "purchase") & (g["ms"] >= v)]["ms"]
+        if purch.empty:
+            assert uid not in got.index
+        else:
+            assert got.loc[uid, "ttc_ms"] == purch.min() - v
+            checked += 1
+    assert checked > 0
