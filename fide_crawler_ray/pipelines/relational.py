@@ -5490,6 +5490,42 @@ def q_time_to_convert(sf_dir):
     return fast_groupby_agg(diffs, ["user_id"], {"ttc_ms": ("d", "min")})
 
 
+def q_first_touch_attribution(sf_dir):
+    """First-touch attribution: every purchase credits the channel (the
+    event_type of its user's FIRST event by (ts, event_id)); output
+    purchases per channel. Plan: the mergeable grouped first/last
+    aggregate (stages/fastagg.grouped_first_last — per-block partials,
+    tree combine, no per-group Python) produces one (user, first
+    channel) row, purchases pre-count map-side to one row per user, and
+    the two key-sized aggregates hash-join before a tiny rollup."""
+    from ..stages.fastagg import grouped_first_last
+
+    ev = T(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    first = grouped_first_last(ev, ["user_id"], "event_type",
+                               ["ts", "event_id"]).map_batches(
+        lambda b: pa.table({
+            "uid_r": b["user_id"],
+            "channel": b["first_value"],
+        }),
+        batch_format="pyarrow")
+    purchases = fast_groupby_agg(
+        ev.map_batches(
+            lambda b: pa.table({
+                "user_id":
+                    b.filter(pc.equal(b["event_type"], "purchase"))
+                    ["user_id"],
+            }),
+            batch_format="pyarrow"),
+        ["user_id"], {"n_purch": (None, "count")},
+    )
+    j = purchases.join(first, "inner", num_partitions=8,
+                       on=("user_id",), right_on=("uid_r",))
+    return fast_groupby_agg(j, ["channel"], {
+        "n_purchases": ("n_purch", "sum"),
+        "n_users": (None, "count"),
+    })
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -5598,6 +5634,7 @@ def queries() -> dict:
         "incremental_agg": q_incremental_agg,
         "graph_kcore": q_graph_kcore,
         "time_to_convert": q_time_to_convert,
+        "first_touch_attribution": q_first_touch_attribution,
     }
 
 
@@ -6843,6 +6880,23 @@ ORACLES["trimmed_mean"] = """
                 AS BIGINT) AS mean_fp
     FROM q WHERE rn > n // 10 AND rn <= n - n // 10
     GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+ORACLES["first_touch_attribution"] = """
+    WITH f AS (
+        SELECT user_id, first(event_type ORDER BY ts, event_id)
+                   AS channel
+        FROM events GROUP BY user_id
+    ),
+    p AS (
+        SELECT user_id, count(*) AS n_purch
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT channel,
+           CAST(sum(n_purch) AS BIGINT) AS n_purchases,
+           count(*) AS n_users
+    FROM p JOIN f USING (user_id)
+    GROUP BY channel
 """
 
 ORACLES["time_to_convert"] = """
