@@ -5526,6 +5526,94 @@ def q_first_touch_attribution(sf_dir):
     })
 
 
+def _rank_thresholds(vals: np.ndarray, cnts: np.ndarray,
+                     qs=(0.25, 0.5, 0.75)) -> list[int]:
+    """Quartile thresholds by the engine-wide rank rule (value at row
+    ceil(q·n) of the sorted multiset) from a distinct-value CDF."""
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+    return [int(vals[np.searchsorted(cum, max(1, math.ceil(q * n)))])
+            for q in qs]
+
+
+def q_rfm_segments(sf_dir):
+    """RFM customer segmentation: recency (days since last order,
+    quartile-bucketed), frequency (order count, quartile-bucketed),
+    monetary (total cents, decimal-digit band) — counts per segment.
+    Bucket rule: 1 + Σ[v > t_q] with t_q the rank-rule quartiles, so
+    ties are deterministic and the oracle states the same arithmetic.
+    Scale plan: one per-customer partial-agg groupby; the quartiles come
+    from SMALL-DOMAIN distinct-value CDFs (days, order counts — bounded
+    domains, not customer-sized); the monetary band is a pure function
+    (digit count) needing no quantile at all."""
+    orders = T(sf_dir, "orders", ["o_custkey", "o_orderdate",
+                                  "o_totalprice"])
+
+    def _fp(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": b["o_custkey"],
+            "day": pa.array(_ts_ns(b["o_orderdate"])
+                            // 86_400_000_000_000, pa.int64()),
+            "cents": pa.array(_round_half_away(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64), pa.int64()),
+        })
+
+    per_cust = fast_groupby_agg(
+        orders.map_batches(_fp, batch_format="pyarrow"),
+        ["o_custkey"], {
+            "last_day": ("day", "max"),
+            "f": (None, "count"),
+            "m_cents": ("cents", "sum"),
+        }).materialize()
+    ref_day = int(fast_groupby_agg(
+        per_cust.map_batches(
+            lambda b: pa.table({"k": pa.array([0] * len(b), pa.int64()),
+                                "d": b["last_day"]}),
+            batch_format="pyarrow"),
+        ["k"], {"mx": ("d", "max")}).to_pandas()["mx"].iloc[0])
+
+    rec = per_cust.map_batches(
+        lambda b: pa.table({
+            "r": pc.subtract(np.int64(ref_day), b["last_day"]),
+            "f": b["f"],
+        }),
+        batch_format="pyarrow").materialize()
+    r_hist = fast_groupby_agg(rec, ["r"], {"c": (None, "count")}
+                              ).to_pandas()
+    f_hist = fast_groupby_agg(rec, ["f"], {"c": (None, "count")}
+                              ).to_pandas()
+    r_t = _rank_thresholds(r_hist["r"].to_numpy(np.int64),
+                           r_hist["c"].to_numpy(np.int64))
+    f_t = _rank_thresholds(f_hist["f"].to_numpy(np.int64),
+                           f_hist["c"].to_numpy(np.int64))
+    tref = ray.put((ref_day, r_t, f_t))
+
+    class _Seg:
+        def __init__(self):
+            self.ref_day, self.r_t, self.f_t = ray.get(tref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            r = self.ref_day - b["last_day"].to_numpy(zero_copy_only=False)
+            f = b["f"].to_numpy(zero_copy_only=False)
+            m = b["m_cents"].to_numpy(zero_copy_only=False)
+            rb = 1 + sum((r > t).astype(np.int64) for t in self.r_t)
+            fb = 1 + sum((f > t).astype(np.int64) for t in self.f_t)
+            mb = np.char.str_len(m.astype("U"))  # decimal digit count
+            return pa.table({
+                "r_bucket": pa.array(rb, pa.int64()),
+                "f_bucket": pa.array(fb, pa.int64()),
+                "m_band": pa.array(mb.astype(np.int64), pa.int64()),
+            })
+
+    seg = per_cust.map_batches(_Seg, batch_format="pyarrow",
+                               concurrency=(1, 4))
+    return fast_groupby_agg(seg, ["r_bucket", "f_bucket", "m_band"],
+                            {"n_custs": (None, "count")})
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -5635,6 +5723,7 @@ def queries() -> dict:
         "graph_kcore": q_graph_kcore,
         "time_to_convert": q_time_to_convert,
         "first_touch_attribution": q_first_touch_attribution,
+        "rfm_segments": q_rfm_segments,
     }
 
 
@@ -6880,6 +6969,57 @@ ORACLES["trimmed_mean"] = """
                 AS BIGINT) AS mean_fp
     FROM q WHERE rn > n // 10 AND rn <= n - n // 10
     GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+ORACLES["rfm_segments"] = """
+    WITH pc AS (
+        SELECT o_custkey,
+               max(CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT))
+                   AS last_day,
+               count(*) AS f,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS m_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    rd AS (SELECT max(last_day) AS ref_day FROM pc),
+    rf AS (SELECT ref_day - last_day AS r, f, m_cents FROM pc, rd),
+    ranked AS (
+        SELECT r, f, m_cents,
+               row_number() OVER (ORDER BY r) AS rr,
+               row_number() OVER (ORDER BY f) AS fr,
+               count(*) OVER () AS n
+        FROM rf
+    ),
+    th AS (
+        SELECT
+            max(CASE WHEN rr = greatest(1, CAST(ceil(0.25 * n)
+                                                AS BIGINT))
+                     THEN r END) AS r25,
+            max(CASE WHEN rr = greatest(1, CAST(ceil(0.5 * n)
+                                                AS BIGINT))
+                     THEN r END) AS r50,
+            max(CASE WHEN rr = greatest(1, CAST(ceil(0.75 * n)
+                                                AS BIGINT))
+                     THEN r END) AS r75,
+            max(CASE WHEN fr = greatest(1, CAST(ceil(0.25 * n)
+                                                AS BIGINT))
+                     THEN f END) AS f25,
+            max(CASE WHEN fr = greatest(1, CAST(ceil(0.5 * n)
+                                                AS BIGINT))
+                     THEN f END) AS f50,
+            max(CASE WHEN fr = greatest(1, CAST(ceil(0.75 * n)
+                                                AS BIGINT))
+                     THEN f END) AS f75
+        FROM ranked
+    )
+    SELECT 1 + CAST(r > r25 AS BIGINT) + CAST(r > r50 AS BIGINT)
+             + CAST(r > r75 AS BIGINT) AS r_bucket,
+           1 + CAST(f > f25 AS BIGINT) + CAST(f > f50 AS BIGINT)
+             + CAST(f > f75 AS BIGINT) AS f_bucket,
+           CAST(length(CAST(m_cents AS VARCHAR)) AS BIGINT) AS m_band,
+           count(*) AS n_custs
+    FROM rf, th
+    GROUP BY r_bucket, f_bucket, m_band
 """
 
 ORACLES["first_touch_attribution"] = """

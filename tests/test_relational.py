@@ -1507,3 +1507,42 @@ def test_time_to_convert_bruteforce():
             assert got.loc[uid, "ttc_ms"] == purch.min() - v
             checked += 1
     assert checked > 0
+
+
+def test_rfm_segments_bruteforce():
+    import math
+
+    from fide_crawler_ray.pipelines.relational import T, q_rfm_segments
+
+    got = q_rfm_segments(SF).to_pandas() \
+        .sort_values(["r_bucket", "f_bucket", "m_band"]) \
+        .reset_index(drop=True)
+    orders = T(SF, "orders",
+               ["o_custkey", "o_orderdate", "o_totalprice"]).to_pandas()
+    orders["day"] = orders["o_orderdate"].to_numpy() \
+        .astype("datetime64[D]").view("int64")
+    orders["cents"] = _rha(
+        orders["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    pc_ = orders.groupby("o_custkey").agg(
+        last_day=("day", "max"), f=("day", "size"),
+        m=("cents", "sum"))
+    ref = pc_["last_day"].max()
+    r = (ref - pc_["last_day"]).to_numpy()
+    f = pc_["f"].to_numpy()
+
+    def th(v):
+        s = np.sort(v)
+        return [int(s[max(1, math.ceil(q * len(s))) - 1])
+                for q in (0.25, 0.5, 0.75)]
+
+    rt, ft = th(r), th(f)
+    rb = 1 + sum((r > t).astype(int) for t in rt)
+    fb = 1 + sum((f > t).astype(int) for t in ft)
+    mb = pc_["m"].astype(str).str.len().to_numpy()
+    exp = pd.DataFrame({"r_bucket": rb, "f_bucket": fb, "m_band": mb}) \
+        .groupby(["r_bucket", "f_bucket", "m_band"]).size() \
+        .rename("n_custs").reset_index() \
+        .sort_values(["r_bucket", "f_bucket", "m_band"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype(exp.dtypes.to_dict()), exp, check_dtype=False)
