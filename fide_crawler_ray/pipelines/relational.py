@@ -6971,6 +6971,36 @@ ORACLES["trimmed_mean"] = """
     GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
+# decontaminate gained an exact oracle (string-level shingle overlap —
+# the engine's 64-bit shingle hashes are injective in practice, verified
+# by this very comparison): windows mirror functions/sketches.shingles
+# (k=8; ≤k tokens → ONE whole-doc shingle via greatest(len−6, 2))
+ORACLES["decontaminate"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text),
+                                              '[^a-z0-9_]+'),
+                           t -> t <> '') AS ts
+        FROM documents
+    ),
+    wins AS (
+        SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS sh
+        FROM toks, UNNEST(range(1, greatest(len(ts) - 6, 2))) AS u(i)
+        WHERE len(ts) >= 1
+    ),
+    bench AS (SELECT DISTINCT sh FROM wins WHERE doc_id < 5),
+    flags AS (
+        SELECT w.doc_id,
+               max(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS hit
+        FROM wins w LEFT JOIN bench b ON w.sh = b.sh
+        GROUP BY w.doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id < 5 THEN TRUE
+                ELSE COALESCE(f.hit, 0) = 1 END AS contaminated
+    FROM documents d LEFT JOIN flags f ON d.doc_id = f.doc_id
+"""
+
 ORACLES["rfm_segments"] = """
     WITH pc AS (
         SELECT o_custkey,
