@@ -648,27 +648,56 @@ def simhash_dedup(docs_ds, max_hamming: int = 3, n_bands: int = 4,
 # ------------------------------------------- embedding cosine near-dup
 
 class _HyperplaneBucket:
-    def __init__(self, planes_ref):
+    """Multi-table hyperplane LSH: `n_tables` independent nbits-bit
+    signatures per vector (planes stacked (n_tables·nbits, dim)), each
+    emitted as its own namespaced bucket row. One table's recall for a
+    boundary pair at angle θ is (1−θ/π)^nbits (~0.55 at cosine ≈ 0.98);
+    T tables lift it to 1−(1−p)^T (~0.96 at T=4) — the standard
+    recall/shuffle-volume trade, paid as T rows per vector through the
+    bucket exchange. Cross-table duplicate pairs collapse in the
+    max-cosine groupby downstream."""
+
+    def __init__(self, planes_ref, n_tables: int):
         import ray
 
-        self.planes = ray.get(planes_ref) if not isinstance(planes_ref, np.ndarray) else planes_ref
+        self.planes = ray.get(planes_ref) if not isinstance(
+            planes_ref, np.ndarray) else planes_ref
+        self.n_tables = n_tables
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions.ann import _normalize, _to_matrix
 
         vecs = _normalize(_to_matrix(batch["embedding"]))
-        signs = (vecs @ self.planes.T) > 0  # (n, nbits)
-        keys = (signs.astype(np.int64) * (1 << np.arange(signs.shape[1], dtype=np.int64))).sum(axis=1)
+        signs = (vecs @ self.planes.T) > 0  # (n, n_tables·nbits)
+        nbits = signs.shape[1] // self.n_tables
+        weights = 1 << np.arange(nbits, dtype=np.int64)
+        n = len(vecs)
+        ids, buckets, embs = [], [], []
+        emb_col = batch["embedding"]
+        for t in range(self.n_tables):
+            band = signs[:, t * nbits:(t + 1) * nbits]
+            keys = (band.astype(np.int64) * weights).sum(axis=1)
+            ids.append(batch["vec_id"])
+            buckets.append(pa.array(
+                keys + (np.int64(t) << np.int64(nbits)), pa.int64()))
+            embs.append(emb_col)
         return pa.table({
-            "vec_id": batch["vec_id"],
-            "bucket": pa.array(keys, pa.int64()),
-            "embedding": batch["embedding"],
+            "vec_id": pa.concat_arrays(
+                [c.combine_chunks() if isinstance(c, pa.ChunkedArray)
+                 else c for c in ids]),
+            "bucket": pa.concat_arrays(buckets),
+            "embedding": pa.concat_arrays(
+                [c.combine_chunks() if isinstance(c, pa.ChunkedArray)
+                 else c for c in embs]),
+        }) if n else pa.table({
+            "vec_id": batch["vec_id"], "bucket": pa.array([], pa.int64()),
+            "embedding": emb_col,
         })
 
 
 def embedding_cosine_dedup(embeddings_ds, threshold: float = 0.95,
                            nbits: int = 12, dim: int = 64, seed: int = 99,
-                           bucket_cap: int = 4096):
+                           bucket_cap: int = 4096, n_tables: int = 4):
     """Embedding near-dup: random-hyperplane LSH buckets, pairwise cosine
     within buckets (capped: an oversized bucket — a dense embedding
     cluster — scores members against the bucket-min vector only, O(n)),
@@ -677,10 +706,10 @@ def embedding_cosine_dedup(embeddings_ds, threshold: float = 0.95,
     import ray
 
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((nbits, dim)).astype(np.float32)
+    planes = rng.standard_normal((n_tables * nbits, dim)).astype(np.float32)
     pref = ray.put(planes)
     bucketed = embeddings_ds.map_batches(
-        _HyperplaneBucket, fn_constructor_args=(pref,),
+        _HyperplaneBucket, fn_constructor_args=(pref, n_tables),
         batch_format="pyarrow", batch_size=4096, concurrency=4, num_cpus=0.5,
     )
 

@@ -277,6 +277,119 @@ def q_kmeans_quality(sf_dir, k: int = 8, iters: int = 5):
     }])
 
 
+NGRAM_GT_SAMPLE = 300      # brute force = sample²/2 set intersections
+EMB_GT_SAMPLE = 4_000      # brute force = one sample² matmul
+
+
+def q_dedup_ngram_recall(sf_dir):
+    """Precision/recall of the char-5-gram Jaccard near-dedup's verified
+    pair set against BRUTE-FORCE exact shingle-set Jaccard on a
+    deterministic lowest-doc_id sample (bounded at NGRAM_GT_SAMPLE, so
+    the gate stays O(sample²) at any corpus size). Precision is
+    structurally 1.0 (candidates are exact-Jaccard-verified); recall
+    measures what the banding misses."""
+    from .queries import T, to_df_any
+
+    thr, char_n = 0.8, 5
+    docs = T(sf_dir, "documents", ["doc_id", "text"])
+    _, verified = DT.ngram_jaccard_dedup(docs, threshold=thr,
+                                         char_n=char_n)
+    sample_df = docs.sort("doc_id").limit(NGRAM_GT_SAMPLE).to_pandas()
+    ids = sample_df["doc_id"].to_numpy()
+    sets = [np.unique(SK._hash64(SK.char_shingles(t, char_n)))
+            for t in sample_df["text"]]
+    true_pairs: set = set()
+    for i in range(len(ids) - 1):
+        for j in range(i + 1, len(ids)):
+            inter = len(np.intersect1d(sets[i], sets[j],
+                                       assume_unique=True))
+            union = len(sets[i]) + len(sets[j]) - inter
+            if union and inter / union >= thr:
+                true_pairs.add((ids[i], ids[j]))
+    sample = set(ids.tolist())
+    vdf = to_df_any(verified)
+    lsh = set() if "a" not in vdf.columns else {
+        p for p in _pair_set(vdf)
+        if p[0] in sample and p[1] in sample}
+    hit = len(true_pairs & lsh)
+    recall = hit / len(true_pairs) if true_pairs else 1.0
+    precision = hit / len(lsh) if lsh else 1.0
+    assert recall >= 0.9, f"ngram LSH recall regressed: {recall:.3f}"
+    assert precision == 1.0, f"ngram precision {precision:.3f} < 1"
+    return pd.DataFrame([{
+        "n_docs_sampled": len(ids), "n_true_pairs": len(true_pairs),
+        "n_lsh_pairs": len(lsh), "n_hit": hit,
+        "recall_x1e6": int(round(recall * 1e6)),
+        "precision_x1e6": int(round(precision * 1e6)),
+    }])
+
+
+def q_dedup_embedding_recall(sf_dir, plant_every: int = 4):
+    """Precision/recall of the hyperplane-LSH embedding near-dedup on
+    PLANTED near-duplicates: the synthetic embeddings are mutually far
+    apart (max cosine ≈ 0.51), so a gate over the natural corpus would
+    be vacuous — instead every ``plant_every``-th sampled vector gains a
+    deterministically jittered copy (cosine ≥ ~0.999), the full operator
+    runs on the augmented Dataset, and recall is measured against the
+    BRUTE-FORCE cosine ≥ τ pair set of the augmented sample (one
+    sample² float32 matmul, bounded at EMB_GT_SAMPLE). Precision is
+    structurally 1.0 (bucket candidates are exact-cosine-verified)."""
+    import ray.data as rd
+
+    from .queries import T, to_df_any
+
+    thr = 0.98
+    sample_df = T(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+        .sort("vec_id").limit(EMB_GT_SAMPLE).to_pandas()
+    ids = sample_df["vec_id"].to_numpy(np.int64)
+    m = np.stack([np.asarray(v, dtype=np.float32)
+                  for v in sample_df["embedding"]])
+    # plant: deterministic small jitter (index-seeded), unit-safe
+    planted_rows = np.arange(0, len(ids), plant_every)
+    jit = m[planted_rows].copy()
+    for r, row in zip(planted_rows, range(len(jit))):
+        rng = np.random.default_rng(1000 + int(ids[r]))
+        jit[row] += 0.02 * rng.standard_normal(m.shape[1]) \
+            .astype(np.float32)
+    aug_ids = np.concatenate([ids, ids[planted_rows] + 1_000_000_000])
+    aug = np.concatenate([m, jit])
+    aug_tbl = pa.table({
+        "vec_id": pa.array(aug_ids, pa.int64()),
+        # list<float32>, matching the parquet layout the op consumes
+        "embedding": pa.array(
+            [v.tolist() for v in aug.astype(np.float32)],
+            type=pa.list_(pa.float32())),
+    })
+    _, verified = DT.embedding_cosine_dedup(
+        rd.from_arrow(aug_tbl), threshold=thr)
+
+    norms = np.linalg.norm(aug, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    nm = aug / norms
+    sim = nm @ nm.T
+    iu = np.triu_indices(len(aug_ids), k=1)
+    hitmask = sim[iu] >= thr
+    true_pairs = set(zip(
+        np.minimum(aug_ids[iu[0][hitmask]], aug_ids[iu[1][hitmask]])
+        .tolist(),
+        np.maximum(aug_ids[iu[0][hitmask]], aug_ids[iu[1][hitmask]])
+        .tolist()))
+    vdf = to_df_any(verified)
+    lsh = set() if "a" not in vdf.columns else _pair_set(vdf)
+    hit = len(true_pairs & lsh)
+    recall = hit / len(true_pairs) if true_pairs else 1.0
+    precision = hit / len(lsh) if lsh else 1.0
+    assert len(true_pairs) >= len(planted_rows), "planting failed"
+    assert recall >= 0.8, f"embedding LSH recall regressed: {recall:.3f}"
+    assert precision == 1.0, f"embedding precision {precision:.3f} < 1"
+    return pd.DataFrame([{
+        "n_vecs_sampled": len(aug_ids), "n_true_pairs": len(true_pairs),
+        "n_lsh_pairs": len(lsh), "n_hit": hit,
+        "recall_x1e6": int(round(recall * 1e6)),
+        "precision_x1e6": int(round(precision * 1e6)),
+    }])
+
+
 QUERIES = {
     "dedup_minhash_recall": q_dedup_minhash_recall,
     "dedup_simhash_recall": q_dedup_simhash_recall,
@@ -284,4 +397,6 @@ QUERIES = {
     "approx_quantiles_err": q_approx_quantiles_err,
     "hll_err": q_hll_err,
     "kmeans_quality": q_kmeans_quality,
+    "dedup_ngram_recall": q_dedup_ngram_recall,
+    "dedup_embedding_recall": q_dedup_embedding_recall,
 }

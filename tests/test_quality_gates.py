@@ -59,3 +59,22 @@ def test_gates_registered_in_queries():
     q = E.queries()
     for name, fn in QG.QUERIES.items():
         assert q.get(name) is fn, name
+
+
+def test_ngram_recall_gate():
+    from fide_crawler_ray.pipelines.quality import q_dedup_ngram_recall
+
+    row = q_dedup_ngram_recall(SF).iloc[0]
+    assert row["recall_x1e6"] >= 900_000
+    assert row["precision_x1e6"] == 1_000_000
+
+
+def test_embedding_recall_gate_planted():
+    """Multi-table hyperplane LSH must recover ≥80% of planted
+    near-duplicates (single-table was ~52% at the 0.98 boundary)."""
+    from fide_crawler_ray.pipelines.quality import q_dedup_embedding_recall
+
+    row = q_dedup_embedding_recall(SF).iloc[0]
+    assert row["n_true_pairs"] > 0
+    assert row["recall_x1e6"] >= 800_000
+    assert row["precision_x1e6"] == 1_000_000
