@@ -103,35 +103,36 @@ def q_quality_gopher(sf_dir):
     word length band, word-repetition ratio cap. Emits the metrics plus
     the composite keep flag (so downstream can either filter or audit
     the rejection reasons). Pure map pass, vectorized (explode + grouped
-    nunique for the distinct-word count)."""
-
-    def _q(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.reset_index(drop=True)
-        t = df["text"]
-        n_words = (t.str.count(" ") + 1).astype("int64")
-        n_nosp = (t.str.len() - (n_words - 1)).astype("int64")
-        mwl = n_nosp / n_words
-        distinct = (t.str.split(" ").explode().groupby(level=0).nunique()
-                    .reindex(df.index).astype("int64"))
-        rep = 1.0 - distinct / n_words
-        # integer cross-products: mwl>=4 ⇔ n_nosp >= 4*n_words, etc.;
-        # rep<=0.6 ⇔ (n_words-distinct)*10 <= 6*n_words
-        keep = (
-            n_words.between(20, 90)
-            & (n_nosp >= 4 * n_words) & (n_nosp <= 5 * n_words)
-            & ((n_words - distinct) * 10 <= 6 * n_words)
-        )
-        out = pa.Table.from_pandas(pd.DataFrame({
-            "doc_id": df["doc_id"],
-            "n_words": n_words,
-            "mean_word_len": mwl,
-            "rep_ratio": rep,
-            "keep": keep,
-        }), preserve_index=False)
-        return _canon_stage({"mean_word_len": 6, "rep_ratio": 6})(out)
-
+    nunique for the distinct-word count). The kernel is module-level
+    (gopher_flags) so the curation composite reuses it verbatim."""
     return T(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        _q, batch_format="pandas")
+        gopher_flags, batch_format="pandas")
+
+
+def gopher_flags(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reset_index(drop=True)
+    t = df["text"]
+    n_words = (t.str.count(" ") + 1).astype("int64")
+    n_nosp = (t.str.len() - (n_words - 1)).astype("int64")
+    mwl = n_nosp / n_words
+    distinct = (t.str.split(" ").explode().groupby(level=0).nunique()
+                .reindex(df.index).astype("int64"))
+    rep = 1.0 - distinct / n_words
+    # integer cross-products: mwl>=4 ⇔ n_nosp >= 4*n_words, etc.;
+    # rep<=0.6 ⇔ (n_words-distinct)*10 <= 6*n_words
+    keep = (
+        n_words.between(20, 90)
+        & (n_nosp >= 4 * n_words) & (n_nosp <= 5 * n_words)
+        & ((n_words - distinct) * 10 <= 6 * n_words)
+    )
+    out = pa.Table.from_pandas(pd.DataFrame({
+        "doc_id": df["doc_id"],
+        "n_words": n_words,
+        "mean_word_len": mwl,
+        "rep_ratio": rep,
+        "keep": keep,
+    }), preserve_index=False)
+    return _canon_stage({"mean_word_len": 6, "rep_ratio": 6})(out)
 
 
 def q_repetition_topgram(sf_dir):
@@ -555,10 +556,141 @@ def q_chunk_documents(sf_dir, size: int = CHUNK_SIZE,
     return docs.map_batches(_chunks, batch_format="pandas")
 
 
+# ============================================== end-to-end curation
+
+CURATION_BENCH_DOCS = 5
+
+
+def q_curation_pipeline(sf_dir):
+    """End-to-end corpus curation — the composition proof that the
+    engine's cleaning stages CHAIN as one streaming Dataset program the
+    way a real training-data pipeline runs them:
+
+        lang-ID agreement → Gopher quality gates → exact dedup →
+        MinHash near-dedup → decontamination vs the benchmark docs →
+        train/val/test split
+
+    Each stage consumes the previous stage's survivor Dataset (semi
+    joins / survivor plans, never driver row sets beyond the guarded
+    broadcast tiers the stages already own). Returns the per-stage
+    attrition audit (rows_in → rows_out) plus final split counts.
+    Rows-only (LSH-dependent); gates assert monotone non-increasing
+    attrition and a non-empty final corpus."""
+    import hashlib as _hl
+
+    from ..functions import sketches as SK
+    from ..functions import textstats as TS
+    from . import dedup_text as DT
+
+    docs0 = T(sf_dir, "documents",
+              ["doc_id", "text", "lang", "source", "n_chars"]).materialize()
+    stages: list[dict] = []
+    cur = docs0
+    n = cur.count()
+    stages.append({"stage": "start", "rows_in": n, "rows_out": n})
+
+    def _record(name: str, ds):
+        nonlocal cur, n
+        ds = ds.materialize()
+        m = ds.count()
+        stages.append({"stage": name, "rows_in": n, "rows_out": m})
+        cur, n = ds, m
+
+    # 1) language-ID agreement: detector must confirm the metadata lang
+    pred = cur.map_batches(TS.LangId, batch_format="pyarrow",
+                           concurrency=(1, 4)).map_batches(
+        lambda b: b.select(["doc_id", "lang_pred"]).rename_columns(
+            ["did_r", "lang_pred"]),
+        batch_format="pyarrow")
+    agree = cur.join(pred, "inner", num_partitions=4,
+                     on=("doc_id",), right_on=("did_r",)).map_batches(
+        lambda b: b.filter(pc.equal(b["lang"], b["lang_pred"]))
+                   .select(["doc_id", "text", "lang", "source",
+                            "n_chars"]),
+        batch_format="pyarrow")
+    _record("langid_agree", agree)
+
+    # 2) Gopher quality gates (same kernel as q_quality_gopher)
+    flags = cur.map_batches(
+        lambda df: gopher_flags(df).select(["doc_id", "keep"]),
+        batch_format="pandas").map_batches(
+        lambda b: b.filter(b["keep"])
+        .select(["doc_id"]).rename_columns(["did_r"]),
+        batch_format="pyarrow").materialize()
+    kept = cur.join(flags, "left_semi", num_partitions=4,
+                    on=("doc_id",), right_on=("did_r",))
+    _record("gopher_quality", kept)
+
+    # 3) exact text dedup (keep min doc_id per md5 cluster)
+    exact_ids = DT.exact_dedup(cur).materialize()
+    _record("exact_dedup", DT._semi(
+        cur, exact_ids, "doc_id", "doc_id", cur.schema().base_schema))
+
+    # 4) MinHash+LSH near-dedup over the survivors
+    survivors, _ = DT.minhash_lsh_dedup(cur, threshold=0.7)
+    _record("minhash_dedup", survivors)
+
+    # 5) decontamination: drop docs sharing an 8-shingle with the
+    # benchmark docs (doc_id < CURATION_BENCH_DOCS of the ORIGINAL
+    # corpus), and the benchmark docs themselves
+    bench_hashes: set[int] = set()
+    for b in docs0.iter_batches(batch_format="pyarrow"):
+        t = b.filter(pc.less(b["doc_id"], CURATION_BENCH_DOCS))
+        for txt in t["text"].to_pylist():
+            bench_hashes.update(SK._hash64(SK.shingles(txt, 8)).tolist())
+    bref = ray.put(np.sort(np.fromiter(
+        bench_hashes, dtype=np.uint64, count=len(bench_hashes))))
+
+    class _Decon:
+        def __init__(self):
+            self.bench = ray.get(bref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keep = []
+            for doc_id, txt in zip(b["doc_id"].to_pylist(),
+                                   b["text"].to_pylist()):
+                if doc_id < CURATION_BENCH_DOCS:
+                    keep.append(False)
+                    continue
+                h = SK._hash64(SK.shingles(txt, 8))
+                if len(h) == 0 or len(self.bench) == 0:
+                    keep.append(True)
+                    continue
+                idx = np.searchsorted(self.bench, h)
+                idx[idx == len(self.bench)] = 0
+                keep.append(not bool(np.any(self.bench[idx] == h)))
+            return b.filter(pa.array(keep))
+
+    _record("decontaminate", cur.map_batches(
+        _Decon, batch_format="pyarrow", concurrency=(1, 4)))
+
+    # 6) split assignment audit (hash-based 80/10/10)
+    final = cur.map_batches(
+        lambda b: pa.table({"bucket": pa.array(
+            [int(_hl.md5(str(i).encode()).hexdigest()[:8], 16) % 10
+             for i in b["doc_id"].to_pylist()], pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    for name, mask in (("train", final["bucket"] < 8),
+                       ("val", final["bucket"] == 8),
+                       ("test", final["bucket"] == 9)):
+        stages.append({"stage": f"split:{name}", "rows_in": n,
+                       "rows_out": int(mask.sum())})
+
+    out = pd.DataFrame(stages)
+    body = out[~out["stage"].str.startswith("split:")]
+    assert (body["rows_out"] <= body["rows_in"]).all(), out
+    assert n > 0, "curation emptied the corpus"
+    split_total = out[out["stage"].str.startswith("split:")][
+        "rows_out"].sum()
+    assert split_total == n, out
+    return out
+
+
 # ============================================================ registry
 
 def queries() -> dict:
     return {
+        "curation_pipeline": q_curation_pipeline,
         "pii_scrub": q_pii_scrub,
         "quality_gopher": q_quality_gopher,
         "repetition_topgram": q_repetition_topgram,

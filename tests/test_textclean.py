@@ -165,3 +165,28 @@ def test_chunk_documents_reconstruction():
             assert len(w) > size - stride or len(ch) == 1
             rebuilt.extend(w if i == 0 else w[size - stride:])
         assert rebuilt == toks, r["doc_id"]
+
+
+def test_curation_pipeline_attrition_and_consistency():
+    """The end-to-end curation chain: monotone attrition, split counts
+    partition the final corpus, and the first two stages match their
+    standalone operators' keep sets."""
+    import numpy as np
+
+    from fide_crawler_ray.pipelines import textclean as TC
+    from fide_crawler_ray.pipelines.queries import T, q_text_langid
+
+    out = TC.q_curation_pipeline(SF)
+    body = out[~out["stage"].str.startswith("split:")]
+    assert (body["rows_out"] <= body["rows_in"]).all()
+    # chained: each stage's rows_in equals the previous stage's rows_out
+    ro = body["rows_out"].tolist()
+    ri = body["rows_in"].tolist()
+    assert ri[1:] == ro[:-1]
+    splits = out[out["stage"].str.startswith("split:")]
+    assert splits["rows_out"].sum() == ro[-1]
+    # stage-1 survivor count == standalone langid agreement count
+    pred = q_text_langid(SF).to_pandas().set_index("doc_id")["lang_pred"]
+    docs = T(SF, "documents", ["doc_id", "lang"]).to_pandas()
+    n_agree = int((docs.set_index("doc_id")["lang"] == pred).sum())
+    assert body.iloc[1]["rows_out"] == n_agree
