@@ -5614,6 +5614,45 @@ def q_rfm_segments(sf_dir):
                             {"n_custs": (None, "count")})
 
 
+def q_returned_revenue_topk(sf_dir, k: int = 20):
+    """TPC-H Q10 shape: the top-k customers by revenue lost to returned
+    line items (l_returnflag = 'R'), with nation name. Plan: lineitem is
+    filtered + ×100-quantized + pre-aggregated to (orderkey, cents)
+    MAP-SIDE, hash-joined to orders (→ custkey), re-aggregated per
+    customer, top-k via the mergeable grouped top-1-style partial sort
+    (distributed sort + limit on the tiny aggregate), and the 25-row
+    nation dimension broadcast for the name."""
+    li = fast_groupby_agg(
+        T(sf_dir, "lineitem",
+          ["l_orderkey", "l_returnflag", "l_extendedprice"]).map_batches(
+            lambda b: (lambda t: pa.table({
+                "l_orderkey": t["l_orderkey"],
+                "cents": pa.array(_round_half_away(
+                    t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                    * 100.0).astype(np.int64), pa.int64()),
+            }))(b.filter(pc.equal(b["l_returnflag"], "R"))),
+            batch_format="pyarrow"),
+        ["l_orderkey"], {"cents": ("cents", "sum")},
+    )
+    j = li.join(
+        T(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        "inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",))
+    per_cust = fast_groupby_agg(j, ["o_custkey"],
+                                {"lost_fp": ("cents", "sum")})
+    cust = per_cust.join(
+        T(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        "inner", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",))
+    names = dict(zip(
+        *(T(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+          [c].tolist() for c in ("n_nationkey", "n_name"))))
+    top = cust.sort(["lost_fp", "o_custkey"],
+                    descending=[True, False]).limit(k).to_pandas()
+    top["n_name"] = top["c_nationkey"].map(names)
+    return top[["o_custkey", "n_name", "lost_fp"]].reset_index(drop=True)
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -5724,6 +5763,7 @@ def queries() -> dict:
         "time_to_convert": q_time_to_convert,
         "first_touch_attribution": q_first_touch_attribution,
         "rfm_segments": q_rfm_segments,
+        "returned_revenue_topk": q_returned_revenue_topk,
     }
 
 
@@ -6999,6 +7039,22 @@ ORACLES["decontaminate"] = """
            CASE WHEN d.doc_id < 5 THEN TRUE
                 ELSE COALESCE(f.hit, 0) = 1 END AS contaminated
     FROM documents d LEFT JOIN flags f ON d.doc_id = f.doc_id
+"""
+
+ORACLES["returned_revenue_topk"] = """
+    WITH lost AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS lost_fp
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+        GROUP BY o_custkey
+    )
+    SELECT o_custkey, n_name, lost_fp
+    FROM lost JOIN customer ON c_custkey = o_custkey
+              JOIN nation ON n_nationkey = c_nationkey
+    ORDER BY lost_fp DESC, o_custkey
+    LIMIT 20
 """
 
 ORACLES["rfm_segments"] = """
