@@ -5653,6 +5653,56 @@ def q_returned_revenue_topk(sf_dir, k: int = 20):
     return top[["o_custkey", "n_name", "lost_fp"]].reset_index(drop=True)
 
 
+def q_supplier_nation_profit(sf_dir):
+    """TPC-H Q9 shape: profit per supplier nation per order year, with
+    profit = Σ(extendedprice·(1−discount)) over line items, ×100 fixed
+    point quantized per row (one mirrored float expression) before the
+    integer sums. Plan: supplier→nation is a TRUE dimension (bounded by
+    supplier count × 25) → broadcast suppkey→nation name; the year
+    comes from a hash join against orders pre-projected to (orderkey,
+    year) — the only fact-sized exchange."""
+    sup = T(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = dict(zip(
+        *(T(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+          [c].tolist() for c in ("n_nationkey", "n_name"))))
+    s2n = ray.put({int(r["s_suppkey"]): nat[int(r["s_nationkey"])]
+                   for _, r in sup.iterrows()})
+
+    class _Profit:
+        def __init__(self):
+            self.s2n = ray.get(s2n)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc = b["l_discount"].to_numpy(zero_copy_only=False)
+            fp = _round_half_away(
+                price * (1.0 - disc) * 100.0).astype(np.int64)
+            names = pd.Series(
+                b["l_suppkey"].to_numpy(zero_copy_only=False)
+            ).map(self.s2n)
+            return pa.table({
+                "l_orderkey": b["l_orderkey"],
+                "n_name": pa.array(names.tolist(), pa.string()),
+                "profit_fp": pa.array(fp, pa.int64()),
+            })
+
+    li = T(sf_dir, "lineitem",
+           ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+           ).map_batches(_Profit, batch_format="pyarrow",
+                         concurrency=(1, 4))
+    years = T(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+        lambda b: pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_year": pc.cast(pc.year(b["o_orderdate"]), pa.int64()),
+        }),
+        batch_format="pyarrow")
+    j = li.join(years, "inner", num_partitions=8,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+    return fast_groupby_agg(j, ["n_name", "o_year"], {
+        "profit_fp": ("profit_fp", "sum"), "n_items": (None, "count"),
+    })
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -5764,6 +5814,7 @@ def queries() -> dict:
         "first_touch_attribution": q_first_touch_attribution,
         "rfm_segments": q_rfm_segments,
         "returned_revenue_topk": q_returned_revenue_topk,
+        "supplier_nation_profit": q_supplier_nation_profit,
     }
 
 
@@ -7039,6 +7090,20 @@ ORACLES["decontaminate"] = """
            CASE WHEN d.doc_id < 5 THEN TRUE
                 ELSE COALESCE(f.hit, 0) = 1 END AS contaminated
     FROM documents d LEFT JOIN flags f ON d.doc_id = f.doc_id
+"""
+
+ORACLES["supplier_nation_profit"] = """
+    SELECT n_name,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+                               * 100) AS BIGINT)) AS BIGINT)
+               AS profit_fp,
+           count(*) AS n_items
+    FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON n_nationkey = s_nationkey
+         JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY n_name, o_year
 """
 
 ORACLES["returned_revenue_topk"] = """
