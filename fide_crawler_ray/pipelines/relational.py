@@ -4807,7 +4807,13 @@ def q_bloom_semi_join(sf_dir):
         ["c_custkey"], {"__n": (None, "count")},
     ).drop_columns(["__n"]).materialize()
     n_keys = dim.count()
-    m_bits = 1 << max(14, int(math.ceil(math.log2(16 * max(n_keys, 1)))))
+    # 16 bits/key, capped at 2^30 bits (128 MB broadcast buffer): past
+    # ~67M keys the FP rate degrades rather than the buffer growing —
+    # at that scale a real deployment shards the filter by key hash
+    # (blocked Bloom) instead of broadcasting one buffer; the FP gate
+    # below uses the ACTUAL m, so degradation is measured, not hidden
+    m_bits = 1 << min(30, max(14, int(math.ceil(
+        math.log2(16 * max(n_keys, 1))))))
 
     def _build(b: pa.Table) -> pa.Table:
         keys = b["c_custkey"].to_numpy(zero_copy_only=False)
@@ -5398,18 +5404,23 @@ def q_graph_kcore(sf_dir, k: int = KCORE_K,
     else:
         out = _kcore_join_tier(edges, k)
 
-    # in-query invariant gates: ≥k within-core degree, and fixpoint
+    # in-query invariant gates: ≥k within-core degree always; the full
+    # fixpoint re-check collects the edge table, so it only runs under
+    # the same edge guard as the single-task tier (above it the join
+    # tier's own termination condition — a round that removed nothing —
+    # IS the fixpoint proof, no driver copy needed)
     df = out.to_pandas()
     assert (df["core_deg"] >= k).all() or df.empty, "sub-k node in core"
-    core = df["node"].to_numpy(np.int64)
-    et = pa.concat_tables(
-        [b for b in ray.get(edges.to_arrow_refs()) if b.num_rows])
-    uu = et["u"].to_numpy(zero_copy_only=False)
-    vv = et["v"].to_numpy(zero_copy_only=False)
-    inc = np.isin(uu, core) & np.isin(vv, core)
-    degc = np.bincount(uu[inc], minlength=n) + np.bincount(
-        vv[inc], minlength=n)
-    assert not ((degc > 0) & (degc < k)).any(), "not a fixpoint"
+    if edges.count() <= max_single_edges:
+        core = df["node"].to_numpy(np.int64)
+        et = pa.concat_tables(
+            [b for b in ray.get(edges.to_arrow_refs()) if b.num_rows])
+        uu = et["u"].to_numpy(zero_copy_only=False)
+        vv = et["v"].to_numpy(zero_copy_only=False)
+        inc = np.isin(uu, core) & np.isin(vv, core)
+        degc = np.bincount(uu[inc], minlength=n) + np.bincount(
+            vv[inc], minlength=n)
+        assert not ((degc > 0) & (degc < k)).any(), "not a fixpoint"
     return out
 
 
@@ -5653,18 +5664,66 @@ def q_returned_revenue_topk(sf_dir, k: int = 20):
     return top[["o_custkey", "n_name", "lost_fp"]].reset_index(drop=True)
 
 
-def q_supplier_nation_profit(sf_dir):
+SUPPLIER_MAX_BROADCAST = 2_000_000
+
+
+def q_supplier_nation_profit(sf_dir,
+                             max_broadcast: int = SUPPLIER_MAX_BROADCAST):
     """TPC-H Q9 shape: profit per supplier nation per order year, with
     profit = Σ(extendedprice·(1−discount)) over line items, ×100 fixed
     point quantized per row (one mirrored float expression) before the
-    integer sums. Plan: supplier→nation is a TRUE dimension (bounded by
-    supplier count × 25) → broadcast suppkey→nation name; the year
-    comes from a hash join against orders pre-projected to (orderkey,
-    year) — the only fact-sized exchange."""
-    sup = T(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    integer sums. Plan: suppkey→nation broadcasts below
+    SUPPLIER_MAX_BROADCAST (supplier GROWS with the dataset, unlike
+    nation — same guard class as region_revenue); above it the supplier
+    keys hash-join instead. The year comes from a hash join against
+    orders pre-projected to (orderkey, year) — the only unavoidable
+    fact-sized exchange."""
     nat = dict(zip(
         *(T(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
           [c].tolist() for c in ("n_nationkey", "n_name"))))
+    sup_ds = T(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    if sup_ds.count() > max_broadcast:
+        # supplier grows with the dataset (unlike nation): above the
+        # guard ship only the 25-row nation map and hash-join the
+        # supplier keys instead of broadcasting them
+        named = sup_ds.map_batches(
+            lambda b: pa.table({
+                "sk_r": b["s_suppkey"],
+                "n_name": pa.array(
+                    pd.Series(b["s_nationkey"].to_numpy(
+                        zero_copy_only=False)).map(nat).tolist(),
+                    pa.string()),
+            }),
+            batch_format="pyarrow")
+        li = T(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount"]).map_batches(
+            lambda b: pa.table({
+                "l_orderkey": b["l_orderkey"],
+                "l_suppkey": b["l_suppkey"],
+                "profit_fp": pa.array(_round_half_away(
+                    b["l_extendedprice"].to_numpy(zero_copy_only=False)
+                    * (1.0 - b["l_discount"].to_numpy(
+                        zero_copy_only=False)) * 100.0
+                ).astype(np.int64), pa.int64()),
+            }),
+            batch_format="pyarrow",
+        ).join(named, "inner", num_partitions=8,
+               on=("l_suppkey",), right_on=("sk_r",))
+        years = T(sf_dir, "orders",
+                  ["o_orderkey", "o_orderdate"]).map_batches(
+            lambda b: pa.table({
+                "o_orderkey": b["o_orderkey"],
+                "o_year": pc.cast(pc.year(b["o_orderdate"]), pa.int64()),
+            }),
+            batch_format="pyarrow")
+        j = li.join(years, "inner", num_partitions=8,
+                    on=("l_orderkey",), right_on=("o_orderkey",))
+        return fast_groupby_agg(j, ["n_name", "o_year"], {
+            "profit_fp": ("profit_fp", "sum"),
+            "n_items": (None, "count"),
+        })
+    sup = sup_ds.to_pandas()
     s2n = ray.put({int(r["s_suppkey"]): nat[int(r["s_nationkey"])]
                    for _, r in sup.iterrows()})
 

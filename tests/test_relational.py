@@ -1546,3 +1546,15 @@ def test_rfm_segments_bruteforce():
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(
         got.astype(exp.dtypes.to_dict()), exp, check_dtype=False)
+
+
+def test_supplier_profit_tiers_equal():
+    """Broadcast tier == hash-join tier (forced via max_broadcast=0)."""
+    from fide_crawler_ray.pipelines.relational import (
+        q_supplier_nation_profit)
+
+    a = q_supplier_nation_profit(SF).to_pandas() \
+        .sort_values(["n_name", "o_year"]).reset_index(drop=True)
+    b = q_supplier_nation_profit(SF, max_broadcast=0).to_pandas() \
+        .sort_values(["n_name", "o_year"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns.tolist()])
