@@ -5762,6 +5762,57 @@ def q_supplier_nation_profit(sf_dir,
     })
 
 
+def q_disjunctive_band_revenue(sf_dir):
+    """TPC-H Q19 shape: revenue from line items matching ANY of three
+    (part-attribute band × quantity band) disjuncts — the
+    multi-predicate pushdown pattern where the dimension attributes
+    must reach the fact scan BEFORE filtering. Plan: part is a true
+    dimension → broadcast (type, size) per partkey; one map pass
+    evaluates the OR of the three bands vectorized and quantizes
+    ×100 before the integer partial sums."""
+    pref = ray.put(
+        T(sf_dir, "part", ["p_partkey", "p_type", "p_size"]
+          ).to_arrow_refs())
+
+    class _Bands:
+        def __init__(self):
+            t = pa.concat_tables(ray.get(ray.get(pref)))
+            self.keys = t["p_partkey"].combine_chunks()
+            self.types = t["p_type"].combine_chunks()
+            self.sizes = t["p_size"].combine_chunks()
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            idx = pc.index_in(b["l_partkey"], value_set=self.keys)
+            ptype = np.asarray(self.types.take(idx))
+            psize = self.sizes.take(idx).to_numpy(zero_copy_only=False)
+            qty = b["l_quantity"].to_numpy(zero_copy_only=False)
+            keep = (
+                ((ptype == "PROMO") & (qty >= 1.0) & (qty <= 11.0))
+                | ((ptype == "SMALL") & (psize >= 1) & (psize <= 25)
+                   & (qty >= 10.0) & (qty <= 20.0))
+                | ((ptype == "LARGE") & (psize >= 10)
+                   & (qty >= 20.0) & (qty <= 30.0))
+            )
+            price = b["l_extendedprice"].to_numpy(
+                zero_copy_only=False)[keep]
+            disc = b["l_discount"].to_numpy(zero_copy_only=False)[keep]
+            fp = _round_half_away(
+                price * (1.0 - disc) * 100.0).astype(np.int64)
+            return pa.table({
+                "revenue_fp": pa.array([int(fp.sum())], pa.int64()),
+                "n_rows": pa.array([int(keep.sum())], pa.int64()),
+            })
+
+    parts = T(sf_dir, "lineitem",
+              ["l_partkey", "l_quantity", "l_extendedprice",
+               "l_discount"]).map_batches(
+        _Bands, batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    return pd.DataFrame([{
+        "revenue_fp": int(parts["revenue_fp"].sum()),
+        "n_rows": int(parts["n_rows"].sum()),
+    }])
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -5874,6 +5925,7 @@ def queries() -> dict:
         "rfm_segments": q_rfm_segments,
         "returned_revenue_topk": q_returned_revenue_topk,
         "supplier_nation_profit": q_supplier_nation_profit,
+        "disjunctive_band_revenue": q_disjunctive_band_revenue,
     }
 
 
@@ -7149,6 +7201,20 @@ ORACLES["decontaminate"] = """
            CASE WHEN d.doc_id < 5 THEN TRUE
                 ELSE COALESCE(f.hit, 0) = 1 END AS contaminated
     FROM documents d LEFT JOIN flags f ON d.doc_id = f.doc_id
+"""
+
+ORACLES["disjunctive_band_revenue"] = """
+    SELECT CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+                               * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_fp,
+           count(*) AS n_rows
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_type = 'PROMO'
+           AND l_quantity >= 1.0 AND l_quantity <= 11.0)
+       OR (p_type = 'SMALL' AND p_size >= 1 AND p_size <= 25
+           AND l_quantity >= 10.0 AND l_quantity <= 20.0)
+       OR (p_type = 'LARGE' AND p_size >= 10
+           AND l_quantity >= 20.0 AND l_quantity <= 30.0)
 """
 
 ORACLES["supplier_nation_profit"] = """
