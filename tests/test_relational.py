@@ -1558,3 +1558,23 @@ def test_supplier_profit_tiers_equal():
     b = q_supplier_nation_profit(SF, max_broadcast=0).to_pandas() \
         .sort_values(["n_name", "o_year"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b[a.columns.tolist()])
+
+
+def test_disjunctive_band_revenue_bruteforce():
+    from fide_crawler_ray.pipelines.relational import (
+        T, q_disjunctive_band_revenue)
+
+    got = q_disjunctive_band_revenue(SF).iloc[0]
+    li = T(SF, "lineitem", ["l_partkey", "l_quantity",
+                            "l_extendedprice", "l_discount"]).to_pandas()
+    part = T(SF, "part", ["p_partkey", "p_type", "p_size"]).to_pandas()
+    m = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    q, t, s = m["l_quantity"], m["p_type"], m["p_size"]
+    keep = (((t == "PROMO") & q.between(1, 11))
+            | ((t == "SMALL") & s.between(1, 25) & q.between(10, 20))
+            | ((t == "LARGE") & (s >= 10) & q.between(20, 30)))
+    fp = _rha(m.loc[keep, "l_extendedprice"].to_numpy()
+              * (1.0 - m.loc[keep, "l_discount"].to_numpy())
+              * 100.0).astype(np.int64)
+    assert got["n_rows"] == int(keep.sum())
+    assert got["revenue_fp"] == int(fp.sum())
