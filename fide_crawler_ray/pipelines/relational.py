@@ -5813,6 +5813,59 @@ def q_disjunctive_band_revenue(sf_dir):
     }])
 
 
+ZORDER_BITS = 20
+ZORDER_BLOCK_SHIFT = 28
+# the audited 2-D range predicate: custkey band × order-day band
+ZORDER_RANGE = (2_000, 4_000, 9_500, 10_500)
+
+
+def q_zorder_layout(sf_dir):
+    """Z-order (Morton) layout audit — the data-layout half of the
+    100-TB story: interleave the bits of (custkey, order-day) into a
+    space-filling key, bucket rows into coarse z-blocks, and emit each
+    block's zone map (min/max of BOTH dimensions) plus whether a fixed
+    2-D range predicate can PRUNE it (zone map disjoint from the
+    range). Under a z-sorted layout both dimensions cluster, so a 2-D
+    range touches O(√blocks) instead of all of them — the measurable
+    claim this operator audits. All-integer (bit ops only), so the
+    oracle (unrolled bit-interleave in SQL) matches exactly."""
+    x_lo, x_hi, y_lo, y_hi = ZORDER_RANGE
+
+    def _z(b: pa.Table) -> pa.Table:
+        x = (b["o_custkey"].to_numpy(zero_copy_only=False)
+             % (1 << ZORDER_BITS)).astype(np.int64)
+        y = ((_ts_ns(b["o_orderdate"]) // 86_400_000_000_000)
+             % (1 << ZORDER_BITS)).astype(np.int64)
+        z = np.zeros(len(x), np.int64)
+        for i in range(ZORDER_BITS):
+            z |= (((x >> i) & 1) << (2 * i)) | (((y >> i) & 1)
+                                                << (2 * i + 1))
+        return pa.table({
+            "zblock": pa.array(z >> ZORDER_BLOCK_SHIFT, pa.int64()),
+            "x": pa.array(x, pa.int64()),
+            "y": pa.array(y, pa.int64()),
+        })
+
+    blocks = fast_groupby_agg(
+        T(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+            _z, batch_format="pyarrow"),
+        ["zblock"], {
+            "n_rows": (None, "count"),
+            "min_x": ("x", "min"), "max_x": ("x", "max"),
+            "min_y": ("y", "min"), "max_y": ("y", "max"),
+        })
+
+    def _touch(b: pa.Table) -> pa.Table:
+        touched = pc.and_(
+            pc.and_(pc.less_equal(b["min_x"], x_hi),
+                    pc.greater_equal(b["max_x"], x_lo)),
+            pc.and_(pc.less_equal(b["min_y"], y_hi),
+                    pc.greater_equal(b["max_y"], y_lo)))
+        return b.append_column("touched", touched)
+
+    return blocks.map_batches(_touch, batch_format="pyarrow")
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -5926,6 +5979,7 @@ def queries() -> dict:
         "returned_revenue_topk": q_returned_revenue_topk,
         "supplier_nation_profit": q_supplier_nation_profit,
         "disjunctive_band_revenue": q_disjunctive_band_revenue,
+        "zorder_layout": q_zorder_layout,
     }
 
 
@@ -7201,6 +7255,33 @@ ORACLES["decontaminate"] = """
            CASE WHEN d.doc_id < 5 THEN TRUE
                 ELSE COALESCE(f.hit, 0) = 1 END AS contaminated
     FROM documents d LEFT JOIN flags f ON d.doc_id = f.doc_id
+"""
+
+ORACLES["zorder_layout"] = """
+    WITH xy AS (
+        SELECT o_custkey % 1048576 AS x,
+               CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT)
+                   % 1048576 AS y
+        FROM orders
+    ),
+    z AS (
+        SELECT x, y,
+               CAST((SELECT sum((((x >> i) & 1) * (2.0 ** (2 * i)))
+                                + (((y >> i) & 1)
+                                   * (2.0 ** (2 * i + 1))))
+                     FROM range(0, 20) t(i)) AS BIGINT) >> 28 AS zblock
+        FROM xy
+    ),
+    blk AS (
+        SELECT zblock, count(*) AS n_rows,
+               min(x) AS min_x, max(x) AS max_x,
+               min(y) AS min_y, max(y) AS max_y
+        FROM z GROUP BY zblock
+    )
+    SELECT zblock, n_rows, min_x, max_x, min_y, max_y,
+           (min_x <= 4000 AND max_x >= 2000
+            AND min_y <= 10500 AND max_y >= 9500) AS touched
+    FROM blk
 """
 
 ORACLES["disjunctive_band_revenue"] = """

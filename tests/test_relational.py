@@ -1578,3 +1578,16 @@ def test_disjunctive_band_revenue_bruteforce():
               * 100.0).astype(np.int64)
     assert got["n_rows"] == int(keep.sum())
     assert got["revenue_fp"] == int(fp.sum())
+
+
+def test_zorder_layout_prunes_most_blocks():
+    """The z-layout claim: the fixed 2-D range touches a small minority
+    of z-blocks, and zone maps are consistent (min<=max, rows>0)."""
+    from fide_crawler_ray.pipelines.relational import q_zorder_layout
+
+    out = q_zorder_layout(SF).to_pandas()
+    assert (out["n_rows"] > 0).all()
+    assert (out["min_x"] <= out["max_x"]).all()
+    assert (out["min_y"] <= out["max_y"]).all()
+    if len(out) >= 8:
+        assert out["touched"].mean() < 0.5, out["touched"].mean()
