@@ -5866,6 +5866,228 @@ def q_zorder_layout(sf_dir):
     return blocks.map_batches(_touch, batch_format="pyarrow")
 
 
+def q_q3_shipping_priority(sf_dir, k: int = 10):
+    """TPC-H Q3 shape: top unshipped-revenue orders for one market
+    segment — customers in BUILDING, orders placed before the cutoff,
+    revenue restricted to line items shipped after it. Plan: lineitem
+    quantizes price·(1−disc) ×100 per row and pre-aggregates to one
+    (orderkey, revenue) row MAP-SIDE before any exchange; orders is
+    semi-filtered against the BUILDING customers by hash join (customer
+    grows with the dataset — never broadcast); the final top-k sorts the
+    per-order aggregate (≤ |orders| rows), never raw lineitem."""
+    cutoff = np.datetime64("1998-07-01").astype(
+        "datetime64[ns]").view("int64")
+
+    def _rev(b: pa.Table) -> pa.Table:
+        t = b.filter(pa.array(_ts_ns(b["l_shipdate"]) > cutoff))
+        fp = _round_half_away(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False))
+            * 100.0).astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "revenue_fp": pa.array(fp, pa.int64())})
+
+    li = fast_groupby_agg(
+        T(sf_dir, "lineitem",
+          ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"]
+          ).map_batches(_rev, batch_format="pyarrow"),
+        ["l_orderkey"], {"revenue_fp": ("revenue_fp", "sum")})
+    orders = T(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderdate",
+                "o_orderpriority"]).map_batches(
+        lambda b: b.filter(pa.array(_ts_ns(b["o_orderdate"]) < cutoff)),
+        batch_format="pyarrow")
+    bld = T(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: b.filter(pc.equal(b["c_mktsegment"], "BUILDING"))
+                   .select(["c_custkey"]),
+        batch_format="pyarrow")
+    orders = orders.join(bld, "inner", num_partitions=8,
+                         on=("o_custkey",), right_on=("c_custkey",))
+    j = li.join(orders, "inner", num_partitions=8,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+    top = j.sort(["revenue_fp", "l_orderkey"],
+                 descending=[True, False]).limit(k).to_pandas()
+    return top[["l_orderkey", "o_orderdate", "o_orderpriority",
+                "revenue_fp"]].reset_index(drop=True)
+
+
+def q_q7_nation_trade_volume(sf_dir):
+    """TPC-H Q7 shape: shipping volume between every (supplier nation,
+    customer nation) pair per ship year, cross-nation pairs only. Plan:
+    the 25-row nation name map rides inside each projection closure (a
+    true fixed-size dimension); supplier and customer both GROW with
+    the dataset, so each attaches its nation via hash join — never a
+    broadcast; lineitem folds price·(1−disc) ×100 per row before the
+    join chain lineitem⋈supplier⋈orders⋈customer. The final groupby is
+    over ≤ 25·25·|years| keys."""
+    nat = dict(zip(
+        *(T(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+          [c].tolist() for c in ("n_nationkey", "n_name"))))
+
+    def _name_col(col, b):
+        return pa.array(pd.Series(
+            b[col].to_numpy(zero_copy_only=False)).map(nat).tolist(),
+            pa.string())
+
+    sup = T(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda b: pa.table({"s_suppkey": b["s_suppkey"],
+                            "supp_nation": _name_col("s_nationkey", b)}),
+        batch_format="pyarrow")
+    cust = T(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: pa.table({"c_custkey": b["c_custkey"],
+                            "cust_nation": _name_col("c_nationkey", b)}),
+        batch_format="pyarrow")
+    oc = T(sf_dir, "orders", ["o_orderkey", "o_custkey"]).join(
+        cust, "inner", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",))
+
+    def _fold(b: pa.Table) -> pa.Table:
+        fp = _round_half_away(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False))
+            * 100.0).astype(np.int64)
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "l_suppkey": b["l_suppkey"],
+            "l_year": pc.cast(pc.year(b["l_shipdate"]), pa.int64()),
+            "volume_fp": pa.array(fp, pa.int64()),
+        })
+
+    li = T(sf_dir, "lineitem",
+           ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
+            "l_discount"]).map_batches(_fold, batch_format="pyarrow")
+    j = li.join(sup, "inner", num_partitions=8, on=("l_suppkey",),
+                right_on=("s_suppkey",))
+    j = j.join(oc, "inner", num_partitions=8, on=("l_orderkey",),
+               right_on=("o_orderkey",))
+    j = j.map_batches(
+        lambda b: b.filter(pc.invert(pc.equal(b["supp_nation"],
+                                              b["cust_nation"]))),
+        batch_format="pyarrow")
+    return fast_groupby_agg(j, ["supp_nation", "cust_nation", "l_year"], {
+        "volume_fp": ("volume_fp", "sum"), "n_items": (None, "count"),
+    })
+
+
+def q_q15_top_supplier(sf_dir):
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue over one
+    quarter (ties all returned, like the reference query's view+max).
+    Plan: lineitem folds to (suppkey, cents) map-side; the per-supplier
+    aggregate STAYS a Dataset (supplier grows with data); only the
+    scalar max crosses to the driver, and the winner filter re-streams
+    the aggregate against that scalar."""
+    q_lo = np.datetime64("1997-01-01").astype("datetime64[ns]").view("int64")
+    q_hi = np.datetime64("1997-04-01").astype("datetime64[ns]").view("int64")
+
+    def _fold(b: pa.Table) -> pa.Table:
+        ship = _ts_ns(b["l_shipdate"])
+        t = b.filter(pa.array((ship >= q_lo) & (ship < q_hi)))
+        fp = _round_half_away(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False))
+            * 100.0).astype(np.int64)
+        return pa.table({"l_suppkey": t["l_suppkey"],
+                         "total_fp": pa.array(fp, pa.int64())})
+
+    per_sup = fast_groupby_agg(
+        T(sf_dir, "lineitem",
+          ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"]
+          ).map_batches(_fold, batch_format="pyarrow"),
+        ["l_suppkey"], {"total_fp": ("total_fp", "sum")})
+    best = per_sup.max("total_fp")
+    out = per_sup.map_batches(
+        lambda b: b.filter(pc.equal(b["total_fp"], best)),
+        batch_format="pyarrow")
+    return out.sort("l_suppkey").to_pandas()
+
+
+def q_q17_small_qty_revenue(sf_dir):
+    """TPC-H Q17 shape: revenue locked in small-quantity line items —
+    rows whose quantity is below 20% of their part's average quantity.
+    The correlated per-part average becomes a fact⋈fact-aggregate hash
+    self-join on partkey (the aggregate side is one row per part and
+    STAYS a Dataset); the comparison cross-multiplies to all-integer
+    form (5·qty_fp·n < Σqty_fp) so no division ever happens, and the
+    output is one global (revenue_fp, n_rows) pair from partial sums."""
+    proj = T(sf_dir, "lineitem",
+             ["l_partkey", "l_quantity", "l_extendedprice"]).map_batches(
+        lambda b: pa.table({
+            "l_partkey": b["l_partkey"],
+            "qty_fp": pa.array(_round_half_away(
+                b["l_quantity"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64), pa.int64()),
+            "cents": pa.array(_round_half_away(
+                b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64), pa.int64()),
+        }),
+        batch_format="pyarrow")
+    agg = fast_groupby_agg(proj, ["l_partkey"], {
+        "sum_qty_fp": ("qty_fp", "sum"), "n_li": (None, "count"),
+    }).map_batches(
+        lambda b: b.rename_columns(["pk_r", "sum_qty_fp", "n_li"]),
+        batch_format="pyarrow")
+    j = proj.join(agg, "inner", num_partitions=8,
+                  on=("l_partkey",), right_on=("pk_r",))
+
+    def _small(b: pa.Table) -> pa.Table:
+        qty = b["qty_fp"].to_numpy(zero_copy_only=False)
+        n = b["n_li"].to_numpy(zero_copy_only=False)
+        s = b["sum_qty_fp"].to_numpy(zero_copy_only=False)
+        keep = 5 * qty * n < s
+        cents = b["cents"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({
+            "revenue_fp": pa.array([int(cents.sum())], pa.int64()),
+            "n_rows": pa.array([int(keep.sum())], pa.int64()),
+        })
+
+    parts = j.map_batches(_small, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame([{
+        "revenue_fp": int(parts["revenue_fp"].sum()),
+        "n_rows": int(parts["n_rows"].sum()),
+    }])
+
+
+def q_q18_large_orders(sf_dir, k: int = 20, min_qty_fp: int = 25_000):
+    """TPC-H Q18 shape: the top-k largest orders by value among orders
+    whose total line-item quantity exceeds a threshold (250.00, held
+    ×100 fixed point). Plan: lineitem pre-folds to per-order quantity
+    sums map-side, the HAVING filter runs on that aggregate (one row
+    per order), and only surviving orders hash-join back to the orders
+    table for customer/date/value — the top-k sort never sees raw
+    lineitem rows."""
+    qty = fast_groupby_agg(
+        T(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+            lambda b: pa.table({
+                "l_orderkey": b["l_orderkey"],
+                "qty_fp": pa.array(_round_half_away(
+                    b["l_quantity"].to_numpy(zero_copy_only=False) * 100.0
+                ).astype(np.int64), pa.int64()),
+            }),
+            batch_format="pyarrow"),
+        ["l_orderkey"], {"sum_qty_fp": ("qty_fp", "sum")},
+    ).map_batches(
+        lambda b: b.filter(pc.greater(b["sum_qty_fp"], min_qty_fp)),
+        batch_format="pyarrow")
+    orders = T(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+               ).map_batches(
+        lambda b: pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_custkey": b["o_custkey"],
+            "o_orderdate": b["o_orderdate"],
+            "total_cents": pa.array(_round_half_away(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64), pa.int64()),
+        }),
+        batch_format="pyarrow")
+    j = qty.join(orders, "inner", num_partitions=8,
+                 on=("l_orderkey",), right_on=("o_orderkey",))
+    top = j.sort(["total_cents", "l_orderkey"],
+                 descending=[True, False]).limit(k).to_pandas()
+    return top[["l_orderkey", "o_custkey", "o_orderdate", "total_cents",
+                "sum_qty_fp"]].reset_index(drop=True)
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -5980,6 +6202,11 @@ def queries() -> dict:
         "supplier_nation_profit": q_supplier_nation_profit,
         "disjunctive_band_revenue": q_disjunctive_band_revenue,
         "zorder_layout": q_zorder_layout,
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "q7_nation_trade_volume": q_q7_nation_trade_volume,
+        "q15_top_supplier": q_q15_top_supplier,
+        "q17_small_qty_revenue": q_q17_small_qty_revenue,
+        "q18_large_orders": q_q18_large_orders,
     }
 
 
@@ -7641,4 +7868,91 @@ ORACLES["ratio_to_report"] = """
                              / CAST(reg_fp AS DOUBLE)))
                 AS BIGINT) AS share_fp
     FROM x ORDER BY n_name
+"""
+
+ORACLES["q3_shipping_priority"] = """
+    WITH li AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+                                   * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_fp
+        FROM lineitem
+        WHERE l_shipdate > TIMESTAMP '1998-07-01'
+        GROUP BY l_orderkey
+    )
+    SELECT l_orderkey, o_orderdate, o_orderpriority, revenue_fp
+    FROM li JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-07-01'
+    ORDER BY revenue_fp DESC, l_orderkey
+    LIMIT 10
+"""
+
+ORACLES["q7_nation_trade_volume"] = """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+                               * 100) AS BIGINT)) AS BIGINT)
+               AS volume_fp,
+           count(*) AS n_items
+    FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation sn ON sn.n_nationkey = s_nationkey
+         JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         JOIN nation cn ON cn.n_nationkey = c_nationkey
+    WHERE sn.n_name <> cn.n_name
+    GROUP BY supp_nation, cust_nation, l_year
+"""
+
+ORACLES["q15_top_supplier"] = """
+    WITH r AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+                                   * 100) AS BIGINT)) AS BIGINT)
+                   AS total_fp
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, total_fp FROM r
+    WHERE total_fp = (SELECT max(total_fp) FROM r)
+    ORDER BY l_suppkey
+"""
+
+ORACLES["q17_small_qty_revenue"] = """
+    WITH q AS (
+        SELECT l_partkey,
+               CAST(round(l_quantity * 100) AS BIGINT) AS qty_fp,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    a AS (
+        SELECT l_partkey AS pk,
+               CAST(sum(qty_fp) AS BIGINT) AS sum_qty_fp,
+               count(*) AS n_li
+        FROM q GROUP BY l_partkey
+    )
+    SELECT CAST(sum(cents) AS BIGINT) AS revenue_fp,
+           count(*) AS n_rows
+    FROM q JOIN a ON l_partkey = pk
+    WHERE 5 * qty_fp * n_li < sum_qty_fp
+"""
+
+ORACLES["q18_large_orders"] = """
+    WITH q AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                    AS BIGINT) AS sum_qty_fp
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 25000
+    )
+    SELECT l_orderkey, o_custkey, o_orderdate,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+           sum_qty_fp
+    FROM q JOIN orders ON o_orderkey = l_orderkey
+    ORDER BY total_cents DESC, l_orderkey
+    LIMIT 20
 """
