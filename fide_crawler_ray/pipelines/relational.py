@@ -6088,6 +6088,168 @@ def q_q18_large_orders(sf_dir, k: int = 20, min_qty_fp: int = 25_000):
                 "sum_qty_fp"]].reset_index(drop=True)
 
 
+def q_q8_market_share(sf_dir, region: str = "ASIA",
+                      target: str = "NATION_3"):
+    """TPC-H Q8 shape: one supplier nation's share of revenue in one
+    region's customer market, per order year (×1e9 mirrored div of two
+    exact integer cent-sums). Plan: nation/region are fixed-size
+    dimensions and ride as in-closure maps; supplier and customer GROW
+    with the data, so the target-supplier flag and the region filter
+    both attach by hash join; the share division happens once per year
+    row on two exact integer sums."""
+    nat = T(sf_dir, "nation",
+            ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = T(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    region_keys = set(
+        nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+        .query("r_name == @region")["n_nationkey"].tolist())
+    target_keys = set(nat.query("n_name == @target")["n_nationkey"])
+
+    sup = T(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda b: pa.table({
+            "s_suppkey": b["s_suppkey"],
+            "is_target": pa.array(np.isin(
+                b["s_nationkey"].to_numpy(zero_copy_only=False),
+                list(target_keys)).astype(np.int64), pa.int64()),
+        }),
+        batch_format="pyarrow")
+    cust = T(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: b.filter(pa.array(np.isin(
+            b["c_nationkey"].to_numpy(zero_copy_only=False),
+            list(region_keys)))).select(["c_custkey"]),
+        batch_format="pyarrow")
+    oc = T(sf_dir, "orders",
+           ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda b: pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_custkey": b["o_custkey"],
+            "o_year": pc.cast(pc.year(b["o_orderdate"]), pa.int64()),
+        }),
+        batch_format="pyarrow").join(
+        cust, "inner", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",))
+
+    li = T(sf_dir, "lineitem",
+           ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+           ).map_batches(
+        lambda b: pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "l_suppkey": b["l_suppkey"],
+            "rev_fp": pa.array(_round_half_away(
+                b["l_extendedprice"].to_numpy(zero_copy_only=False)
+                * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False))
+                * 100.0).astype(np.int64), pa.int64()),
+        }),
+        batch_format="pyarrow")
+    j = li.join(sup, "inner", num_partitions=8,
+                on=("l_suppkey",), right_on=("s_suppkey",))
+    j = j.join(oc, "inner", num_partitions=8,
+               on=("l_orderkey",), right_on=("o_orderkey",))
+    j = j.map_batches(
+        lambda b: b.append_column("target_rev", pc.multiply(
+            b["rev_fp"], b["is_target"])),
+        batch_format="pyarrow")
+    agg = fast_groupby_agg(j, ["o_year"], {
+        "target_fp": ("target_rev", "sum"),
+        "total_fp": ("rev_fp", "sum"),
+    })
+
+    def _share(b: pa.Table) -> pa.Table:
+        t = b["target_fp"].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = b["total_fp"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return b.append_column("share_fp", pa.array(
+            _round_half_away(1e9 * (t / d)).astype(np.int64)))
+
+    return agg.map_batches(_share, batch_format="pyarrow")
+
+
+def q_q16_part_supplier_counts(sf_dir, excl_brand: str = "Brand#1"):
+    """TPC-H Q16 shape (adapted: lineitem is the part⇄supplier link —
+    the synthetic schema has no partsupp): distinct suppliers per
+    (brand, type, size), one brand excluded. Plan: raw lineitem first
+    collapses to DISTINCT (partkey, suppkey) pairs map-side (groupby on
+    the pair), joins the part attributes by hash join, then dedups the
+    (brand, type, size, suppkey) quadruple before the final count —
+    each exchange carries only shrinking distinct sets, never raw
+    fact rows."""
+    pairs = fast_groupby_agg(
+        T(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]),
+        ["l_partkey", "l_suppkey"], {"n": (None, "count")})
+    part = T(sf_dir, "part",
+             ["p_partkey", "p_brand", "p_type", "p_size"]).map_batches(
+        lambda b: b.filter(pc.invert(pc.equal(b["p_brand"], excl_brand))),
+        batch_format="pyarrow")
+    j = pairs.join(part, "inner", num_partitions=8,
+                   on=("l_partkey",), right_on=("p_partkey",))
+    quad = fast_groupby_agg(
+        j, ["p_brand", "p_type", "p_size", "l_suppkey"],
+        {"m": (None, "count")})
+    return fast_groupby_agg(quad, ["p_brand", "p_type", "p_size"], {
+        "supplier_cnt": (None, "count")})
+
+
+def q_q21_late_sole_supplier(sf_dir, k: int = 20,
+                             late_days: int = 365):
+    """TPC-H Q21 shape (adapted to the available columns: late means
+    shipped > late_days after the order date): suppliers who were the
+    ONLY late supplier in a multi-supplier order, ranked by how many
+    orders they alone held up. Plan: lineitem⋈orders is the one
+    fact-sized hash exchange; everything after runs on per-(order,
+    supplier) then per-order aggregates that shrink monotonically. The
+    'which supplier was late' argmax is a max over sk·late with -1
+    fill — no per-group Python."""
+    orders = T(sf_dir, "orders",
+               ["o_orderkey", "o_orderdate"]).map_batches(
+        lambda b: pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "order_day": pa.array(
+                _ts_ns(b["o_orderdate"]) // 86_400_000_000_000,
+                pa.int64()),
+        }),
+        batch_format="pyarrow")
+    li = T(sf_dir, "lineitem",
+           ["l_orderkey", "l_suppkey", "l_shipdate"]).map_batches(
+        lambda b: pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "l_suppkey": b["l_suppkey"],
+            "ship_day": pa.array(
+                _ts_ns(b["l_shipdate"]) // 86_400_000_000_000,
+                pa.int64()),
+        }),
+        batch_format="pyarrow")
+    j = li.join(orders, "inner", num_partitions=8,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+    j = j.map_batches(
+        lambda b: pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "l_suppkey": b["l_suppkey"],
+            "late": pc.cast(pc.greater(
+                b["ship_day"],
+                pc.add(b["order_day"], late_days)), pa.int64()),
+        }),
+        batch_format="pyarrow")
+    per_pair = fast_groupby_agg(j, ["l_orderkey", "l_suppkey"],
+                                {"late_any": ("late", "max")})
+    per_pair = per_pair.map_batches(
+        lambda b: b.append_column("sk_if_late", pc.subtract(
+            pc.multiply(pc.add(b["l_suppkey"], 1), b["late_any"]), 1)),
+        batch_format="pyarrow")
+    per_order = fast_groupby_agg(per_pair, ["l_orderkey"], {
+        "ns": (None, "count"),
+        "nl": ("late_any", "sum"),
+        "lsk": ("sk_if_late", "max"),
+    })
+    sole = per_order.map_batches(
+        lambda b: (lambda t: pa.table({"l_suppkey": t["lsk"]}))(
+            b.filter(pc.and_(pc.greater(b["ns"], 1),
+                             pc.equal(b["nl"], 1)))),
+        batch_format="pyarrow")
+    counts = fast_groupby_agg(sole, ["l_suppkey"],
+                              {"numwait": (None, "count")})
+    return counts.sort(["numwait", "l_suppkey"],
+                       descending=[True, False]).limit(k).to_pandas()
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -6207,6 +6369,9 @@ def queries() -> dict:
         "q15_top_supplier": q_q15_top_supplier,
         "q17_small_qty_revenue": q_q17_small_qty_revenue,
         "q18_large_orders": q_q18_large_orders,
+        "q8_market_share": q_q8_market_share,
+        "q16_part_supplier_counts": q_q16_part_supplier_counts,
+        "q21_late_sole_supplier": q_q21_late_sole_supplier,
     }
 
 
@@ -7954,5 +8119,58 @@ ORACLES["q18_large_orders"] = """
            sum_qty_fp
     FROM q JOIN orders ON o_orderkey = l_orderkey
     ORDER BY total_cents DESC, l_orderkey
+    LIMIT 20
+"""
+
+ORACLES["q8_market_share"] = """
+    WITH t AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+                    AS BIGINT) AS rev,
+               CASE WHEN sn.n_name = 'NATION_3' THEN 1 ELSE 0 END AS ist
+        FROM lineitem
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation sn ON sn.n_nationkey = s_nationkey
+             JOIN orders ON o_orderkey = l_orderkey
+             JOIN customer ON c_custkey = o_custkey
+             JOIN nation cn ON cn.n_nationkey = c_nationkey
+             JOIN region ON r_regionkey = cn.n_regionkey
+        WHERE r_name = 'ASIA'
+    )
+    SELECT o_year,
+           CAST(sum(rev * ist) AS BIGINT) AS target_fp,
+           CAST(sum(rev) AS BIGINT) AS total_fp,
+           CAST(round(1e9 * (CAST(sum(rev * ist) AS DOUBLE)
+                             / CAST(sum(rev) AS DOUBLE)))
+                AS BIGINT) AS share_fp
+    FROM t GROUP BY o_year
+"""
+
+ORACLES["q16_part_supplier_counts"] = """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+    GROUP BY p_brand, p_type, p_size
+"""
+
+ORACLES["q21_late_sole_supplier"] = """
+    WITH ls AS (
+        SELECT l_orderkey AS ok, l_suppkey AS sk,
+               max(CASE WHEN l_shipdate > o_orderdate
+                             + INTERVAL 365 DAY
+                        THEN 1 ELSE 0 END) AS late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY ok, sk
+    ),
+    po AS (
+        SELECT ok, count(*) AS ns, sum(late) AS nl,
+               max(CASE WHEN late = 1 THEN sk END) AS lsk
+        FROM ls GROUP BY ok
+    )
+    SELECT lsk AS l_suppkey, count(*) AS numwait
+    FROM po WHERE ns > 1 AND nl = 1
+    GROUP BY lsk
+    ORDER BY numwait DESC, l_suppkey
     LIMIT 20
 """
