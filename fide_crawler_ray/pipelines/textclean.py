@@ -688,9 +688,97 @@ def q_curation_pipeline(sf_dir):
 
 # ============================================================ registry
 
+DSIR_BUCKETS = 1024
+
+
+def q_dsir_weights(sf_dir, n_buckets: int = DSIR_BUCKETS):
+    """DSIR-style hashed importance weights (Xie et al. 2023): score
+    every document by how target-like its hashed unigram distribution
+    is, target = the English subcorpus. Per-bucket weight is
+    ln((t_b+1)/(T+B)) − ln((r_b+1)/(R+B)) quantized ×1e9 per BUCKET
+    (libm log on exact integer ratios, the grouped_entropy recipe), so
+    each document's score is an exact INTEGER sum of its tokens'
+    bucket weights — association-order-free at any parallelism.
+
+    Scale plan (100 TB): pass 1 folds token→md5-bucket counts to B=1024
+    mergeable partial rows per block (the only exchange is B-sized);
+    the weight table is B rows and broadcasts by closure; pass 2 is one
+    shuffle-free map with a per-actor token→bucket memo (vocabulary-
+    sized, Heaps-bounded — the same budget vocab_prune's broadcast tier
+    assumes)."""
+    docs = T(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def _bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % n_buckets
+
+    def _counts(b: pa.Table) -> pa.Table:
+        t_cnt = np.zeros(n_buckets, np.int64)
+        r_cnt = np.zeros(n_buckets, np.int64)
+        memo: dict[str, int] = {}
+        for txt, lang in zip(b["text"].to_pylist(), b["lang"].to_pylist()):
+            is_t = lang == "en"
+            for tok in txt.split(" "):
+                bk = memo.get(tok)
+                if bk is None:
+                    bk = memo[tok] = _bucket(tok)
+                r_cnt[bk] += 1
+                if is_t:
+                    t_cnt[bk] += 1
+        return pa.table({
+            "bucket": pa.array(np.arange(n_buckets), pa.int64()),
+            "t_cnt": pa.array(t_cnt, pa.int64()),
+            "r_cnt": pa.array(r_cnt, pa.int64()),
+        })
+
+    import math
+
+    from .relational import _round_half_away
+
+    cnt = fast_groupby_agg(
+        docs.map_batches(_counts, batch_format="pyarrow"),
+        ["bucket"], {"t_cnt": ("t_cnt", "sum"), "r_cnt": ("r_cnt", "sum")},
+    ).to_pandas()  # B rows — fixed size, scale-independent
+    tt = int(cnt["t_cnt"].sum())
+    rt = int(cnt["r_cnt"].sum())
+    w_raw = np.zeros(n_buckets, np.float64)
+    for bk, t, r in zip(cnt["bucket"], cnt["t_cnt"], cnt["r_cnt"]):
+        # libm log (math.log == DuckDB ln code path); ratio computed as
+        # ONE double division on exact ints, mirrored in the oracle
+        w_raw[int(bk)] = 1e9 * (
+            math.log((int(t) + 1.0) / (tt + float(n_buckets)))
+            - math.log((int(r) + 1.0) / (rt + float(n_buckets))))
+    w_fp = _round_half_away(w_raw).astype(np.int64)
+
+    class _Score:
+        def __init__(self):
+            self.memo: dict[str, int] = {}
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            scores, ns = [], []
+            for txt in b["text"].to_pylist():
+                toks = txt.split(" ")
+                s = 0
+                for tok in toks:
+                    bk = self.memo.get(tok)
+                    if bk is None:
+                        bk = self.memo[tok] = _bucket(tok)
+                    s += int(w_fp[bk])
+                scores.append(s)
+                ns.append(len(toks))
+            return pa.table({
+                "doc_id": b["doc_id"],
+                "n_tokens": pa.array(ns, pa.int64()),
+                "score_fp": pa.array(scores, pa.int64()),
+            })
+
+    return docs.map_batches(_Score, batch_format="pyarrow",
+                            concurrency=(1, 2))
+
+
 def queries() -> dict:
     return {
         "curation_pipeline": q_curation_pipeline,
+        "dsir_weights": q_dsir_weights,
         "pii_scrub": q_pii_scrub,
         "quality_gopher": q_quality_gopher,
         "repetition_topgram": q_repetition_topgram,
@@ -848,3 +936,34 @@ ORACLES: dict[str, str] = {
         FROM nw, b
     """,
 }
+
+ORACLES["dsir_weights"] = """
+    WITH b AS (
+        SELECT doc_id, lang,
+               CAST((SELECT sum((strpos('0123456789abcdef',
+                                        substr(h, i, 1)) - 1)
+                                * 16 ** (8 - i))
+                     FROM range(1, 9) t(i)) AS BIGINT) % 1024 AS bucket
+        FROM (SELECT doc_id, lang, md5(u.tok) AS h
+              FROM documents,
+                   unnest(string_split(text, ' ')) AS u(tok))
+    ),
+    cnt AS (
+        SELECT bucket,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_cnt,
+               count(*) AS r_cnt
+        FROM b GROUP BY bucket
+    ),
+    tot AS (SELECT sum(t_cnt) AS tt, sum(r_cnt) AS rt FROM cnt),
+    w AS (
+        SELECT bucket,
+               CAST(round(1e9 * (ln((t_cnt + 1.0) / (tt + 1024.0))
+                               - ln((r_cnt + 1.0) / (rt + 1024.0))))
+                    AS BIGINT) AS w_fp
+        FROM cnt, tot
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(w_fp) AS BIGINT) AS score_fp
+    FROM b JOIN w USING (bucket)
+    GROUP BY doc_id
+"""
