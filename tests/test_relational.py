@@ -1591,3 +1591,207 @@ def test_zorder_layout_prunes_most_blocks():
     assert (out["min_y"] <= out["max_y"]).all()
     if len(out) >= 8:
         assert out["touched"].mean() < 0.5, out["touched"].mean()
+
+
+def test_q3_shipping_priority_bruteforce():
+    from fide_crawler_ray.pipelines.relational import (
+        T, q_q3_shipping_priority)
+
+    got = q_q3_shipping_priority(SF)
+    li = T(SF, "lineitem", ["l_orderkey", "l_shipdate", "l_extendedprice",
+                            "l_discount"]).to_pandas()
+    o = T(SF, "orders", ["o_orderkey", "o_custkey", "o_orderdate",
+                         "o_orderpriority"]).to_pandas()
+    c = T(SF, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    cut = pd.Timestamp("1998-07-01")
+    li = li[li["l_shipdate"] > cut].copy()
+    li["revenue_fp"] = _rha(li["l_extendedprice"].to_numpy()
+                            * (1.0 - li["l_discount"].to_numpy())
+                            * 100.0).astype(np.int64)
+    agg = li.groupby("l_orderkey")["revenue_fp"].sum().reset_index()
+    m = (agg.merge(o[o["o_orderdate"] < cut], left_on="l_orderkey",
+                   right_on="o_orderkey")
+         .merge(c[c["c_mktsegment"] == "BUILDING"], left_on="o_custkey",
+                right_on="c_custkey"))
+    exp = (m.sort_values(["revenue_fp", "l_orderkey"],
+                         ascending=[False, True]).head(10)
+           [["l_orderkey", "o_orderdate", "o_orderpriority", "revenue_fp"]]
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_q7_nation_trade_volume_bruteforce():
+    from fide_crawler_ray.pipelines.relational import (
+        T, q_q7_nation_trade_volume)
+
+    got = (q_q7_nation_trade_volume(SF).to_pandas()
+           .sort_values(["supp_nation", "cust_nation", "l_year"])
+           .reset_index(drop=True))
+    li = T(SF, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate",
+                            "l_extendedprice", "l_discount"]).to_pandas()
+    s = T(SF, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    o = T(SF, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
+    c = T(SF, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    n = T(SF, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nm = dict(zip(n["n_nationkey"], n["n_name"]))
+    m = (li.merge(s, left_on="l_suppkey", right_on="s_suppkey")
+         .merge(o, left_on="l_orderkey", right_on="o_orderkey")
+         .merge(c, left_on="o_custkey", right_on="c_custkey"))
+    m["supp_nation"] = m["s_nationkey"].map(nm)
+    m["cust_nation"] = m["c_nationkey"].map(nm)
+    m = m[m["supp_nation"] != m["cust_nation"]].copy()
+    m["l_year"] = m["l_shipdate"].dt.year.astype("int64")
+    m["volume_fp"] = _rha(m["l_extendedprice"].to_numpy()
+                          * (1.0 - m["l_discount"].to_numpy())
+                          * 100.0).astype(np.int64)
+    exp = (m.groupby(["supp_nation", "cust_nation", "l_year"])
+           .agg(volume_fp=("volume_fp", "sum"),
+                n_items=("volume_fp", "size"))
+           .reset_index()
+           .sort_values(["supp_nation", "cust_nation", "l_year"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=True)
+
+
+def test_q15_top_supplier_is_argmax_with_ties():
+    from fide_crawler_ray.pipelines.relational import (
+        T, q_q15_top_supplier)
+
+    got = q_q15_top_supplier(SF)
+    li = T(SF, "lineitem", ["l_suppkey", "l_shipdate", "l_extendedprice",
+                            "l_discount"]).to_pandas()
+    li = li[(li["l_shipdate"] >= pd.Timestamp("1997-01-01"))
+            & (li["l_shipdate"] < pd.Timestamp("1997-04-01"))].copy()
+    li["fp"] = _rha(li["l_extendedprice"].to_numpy()
+                    * (1.0 - li["l_discount"].to_numpy())
+                    * 100.0).astype(np.int64)
+    per = li.groupby("l_suppkey")["fp"].sum()
+    best = per.max()
+    exp = sorted(per[per == best].index.tolist())
+    assert got["l_suppkey"].tolist() == exp
+    assert (got["total_fp"] == best).all()
+
+
+def test_q17_integer_condition_matches_float_form():
+    """The cross-multiplied all-integer condition (5·qty_fp·n < Σqty_fp)
+    must select exactly the rows the float form qty < 0.2·avg does on
+    this data (the integer form exists to kill div-rounding ambiguity,
+    not to change semantics)."""
+    from fide_crawler_ray.pipelines.relational import (
+        T, q_q17_small_qty_revenue)
+
+    got = q_q17_small_qty_revenue(SF).iloc[0]
+    li = T(SF, "lineitem",
+           ["l_partkey", "l_quantity", "l_extendedprice"]).to_pandas()
+    qty_fp = _rha(li["l_quantity"].to_numpy() * 100.0).astype(np.int64)
+    cents = _rha(li["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+    g = pd.DataFrame({"pk": li["l_partkey"], "q": qty_fp}).groupby("pk")["q"]
+    s = g.sum().reindex(li["l_partkey"]).to_numpy()
+    n = g.size().reindex(li["l_partkey"]).to_numpy()
+    keep_int = 5 * qty_fp * n < s
+    assert got["n_rows"] == int(keep_int.sum())
+    assert got["revenue_fp"] == int(cents[keep_int].sum())
+
+
+def test_q18_large_orders_bruteforce():
+    from fide_crawler_ray.pipelines.relational import (
+        T, q_q18_large_orders)
+
+    got = q_q18_large_orders(SF)
+    li = T(SF, "lineitem", ["l_orderkey", "l_quantity"]).to_pandas()
+    li["qty_fp"] = _rha(li["l_quantity"].to_numpy() * 100.0).astype(np.int64)
+    agg = li.groupby("l_orderkey")["qty_fp"].sum()
+    big = agg[agg > 25_000].rename("sum_qty_fp").reset_index()
+    o = T(SF, "orders", ["o_orderkey", "o_custkey", "o_orderdate",
+                         "o_totalprice"]).to_pandas()
+    o["total_cents"] = _rha(o["o_totalprice"].to_numpy()
+                            * 100.0).astype(np.int64)
+    m = big.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    exp = (m.sort_values(["total_cents", "l_orderkey"],
+                         ascending=[False, True]).head(20)
+           [["l_orderkey", "o_custkey", "o_orderdate", "total_cents",
+             "sum_qty_fp"]].reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_q8_market_share_bounds_and_one_year():
+    from fide_crawler_ray.pipelines.relational import (
+        T, q_q8_market_share)
+
+    out = q_q8_market_share(SF).to_pandas()
+    assert (out["target_fp"] <= out["total_fp"]).all()
+    assert out["share_fp"].between(0, 10**9).all()
+    # brute-force one year end-to-end
+    li = T(SF, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice",
+                            "l_discount"]).to_pandas()
+    s = T(SF, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    o = T(SF, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+          ).to_pandas()
+    c = T(SF, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    n = T(SF, "nation", ["n_nationkey", "n_name", "n_regionkey"]
+          ).to_pandas()
+    r = T(SF, "region", ["r_regionkey", "r_name"]).to_pandas()
+    asia = set(n.merge(r, left_on="n_regionkey", right_on="r_regionkey")
+               .query("r_name == 'ASIA'")["n_nationkey"])
+    target = set(n.query("n_name == 'NATION_3'")["n_nationkey"])
+    m = (li.merge(s, left_on="l_suppkey", right_on="s_suppkey")
+         .merge(o, left_on="l_orderkey", right_on="o_orderkey")
+         .merge(c, left_on="o_custkey", right_on="c_custkey"))
+    m = m[m["c_nationkey"].isin(asia)].copy()
+    m["rev"] = _rha(m["l_extendedprice"].to_numpy()
+                    * (1.0 - m["l_discount"].to_numpy())
+                    * 100.0).astype(np.int64)
+    year = int(out["o_year"].iloc[0])
+    my = m[m["o_orderdate"].dt.year == year]
+    row = out.set_index("o_year").loc[year]
+    assert row["total_fp"] == int(my["rev"].sum())
+    assert row["target_fp"] == int(
+        my.loc[my["s_nationkey"].isin(target), "rev"].sum())
+
+
+def test_q16_part_supplier_counts_bruteforce():
+    from fide_crawler_ray.pipelines.relational import (
+        T, q_q16_part_supplier_counts)
+
+    got = (q_q16_part_supplier_counts(SF).to_pandas()
+           .sort_values(["p_brand", "p_type", "p_size"])
+           .reset_index(drop=True))
+    li = T(SF, "lineitem", ["l_partkey", "l_suppkey"]).to_pandas()
+    p = T(SF, "part", ["p_partkey", "p_brand", "p_type", "p_size"]
+          ).to_pandas()
+    m = li.merge(p[p["p_brand"] != "Brand#1"], left_on="l_partkey",
+                 right_on="p_partkey")
+    exp = (m.groupby(["p_brand", "p_type", "p_size"])["l_suppkey"]
+           .nunique().rename("supplier_cnt").reset_index()
+           .sort_values(["p_brand", "p_type", "p_size"])
+           .reset_index(drop=True))
+    exp["supplier_cnt"] = exp["supplier_cnt"].astype("int64")
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_q21_late_sole_supplier_bruteforce():
+    from fide_crawler_ray.pipelines.relational import (
+        T, q_q21_late_sole_supplier)
+
+    got = q_q21_late_sole_supplier(SF)
+    li = T(SF, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"]
+           ).to_pandas()
+    o = T(SF, "orders", ["o_orderkey", "o_orderdate"]).to_pandas()
+    m = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    m["late"] = ((m["l_shipdate"] - m["o_orderdate"]).dt.days
+                 > 365).astype(int)
+    pp = (m.groupby(["l_orderkey", "l_suppkey"])["late"].max()
+          .reset_index())
+    po = pp.groupby("l_orderkey").agg(
+        ns=("late", "size"), nl=("late", "sum"),
+        lsk=("l_suppkey", lambda s: -1))
+    late_sk = (pp[pp["late"] == 1].groupby("l_orderkey")["l_suppkey"]
+               .max())
+    po["lsk"] = late_sk.reindex(po.index, fill_value=-1)
+    sole = po[(po["ns"] > 1) & (po["nl"] == 1)]
+    exp = (sole.groupby("lsk").size().rename("numwait").reset_index()
+           .rename(columns={"lsk": "l_suppkey"})
+           .sort_values(["numwait", "l_suppkey"],
+                        ascending=[False, True]).head(20)
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)

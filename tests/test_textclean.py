@@ -190,3 +190,54 @@ def test_curation_pipeline_attrition_and_consistency():
     docs = T(SF, "documents", ["doc_id", "lang"]).to_pandas()
     n_agree = int((docs.set_index("doc_id")["lang"] == pred).sum())
     assert body.iloc[1]["rows_out"] == n_agree
+
+
+def test_dsir_weights_separate_target_from_rest():
+    """DSIR's defining property: the target (English) subcorpus must
+    score higher on average than the rest, and a driver-side exact
+    recompute of a handful of documents must match to the integer."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from fide_crawler_ray.pipelines.relational import _round_half_away
+    from fide_crawler_ray.pipelines.textclean import (
+        DSIR_BUCKETS, T, q_dsir_weights)
+
+    out = q_dsir_weights(SF).to_pandas().set_index("doc_id")
+    docs = T(SF, "documents", ["doc_id", "text", "lang"]).to_pandas()
+    langs = docs.set_index("doc_id")["lang"]
+    en = out.loc[langs[langs == "en"].index, "score_fp"]
+    rest = out.loc[langs[langs != "en"].index, "score_fp"]
+    assert en.mean() > rest.mean(), (en.mean(), rest.mean())
+
+    # exact recompute of 5 docs
+    B = DSIR_BUCKETS
+    bk = {}
+
+    def bucket(tok):
+        if tok not in bk:
+            bk[tok] = int(hashlib.md5(tok.encode()).hexdigest()[:8],
+                          16) % B
+        return bk[tok]
+
+    t_cnt = np.zeros(B, np.int64)
+    r_cnt = np.zeros(B, np.int64)
+    for _, row in docs.iterrows():
+        for tok in row["text"].split(" "):
+            b = bucket(tok)
+            r_cnt[b] += 1
+            if row["lang"] == "en":
+                t_cnt[b] += 1
+    tt, rt = int(t_cnt.sum()), int(r_cnt.sum())
+    w_raw = np.array([
+        1e9 * (math.log((int(t) + 1.0) / (tt + float(B)))
+               - math.log((int(r) + 1.0) / (rt + float(B))))
+        for t, r in zip(t_cnt, r_cnt)])
+    w_fp = _round_half_away(w_raw).astype(np.int64)
+    for _, row in docs.head(5).iterrows():
+        toks = row["text"].split(" ")
+        exp = int(sum(int(w_fp[bucket(t)]) for t in toks))
+        assert out.loc[row["doc_id"], "score_fp"] == exp
+        assert out.loc[row["doc_id"], "n_tokens"] == len(toks)
