@@ -69,6 +69,63 @@ class BruteForceTopK:
         )
 
 
+class BruteForceTopKExclude(BruteForceTopK):
+    """Hard-negative variant: per-batch local top-k cosine per query,
+    EXCLUDING candidates that share the query's label (the contrastive-
+    training hard-negative mining primitive). Same broadcast-once /
+    one-matmul-per-batch plan as the base class; the label mask is one
+    vectorized compare per batch."""
+
+    def __init__(self, queries_ref, qlabels_ref, k: int):
+        super().__init__(queries_ref, k)
+        ql = (ray.get(qlabels_ref)
+              if not isinstance(qlabels_ref, np.ndarray) else qlabels_ref)
+        self.qlabels = np.asarray(ql, dtype=np.int64)  # (nq,)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize(_to_matrix(batch["embedding"])).astype(np.float64)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        labels = batch["label"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sims = vecs @ self.q.T.astype(np.float64)  # (n, nq)
+        # mask same-label candidates per query column
+        sims[labels[:, None] == self.qlabels[None, :]] = -np.inf
+        n, nq = sims.shape
+        k = min(self.k, n)
+        out_q, out_id, out_s = [], [], []
+        for j in range(nq):
+            col = sims[:, j]
+            idx = np.argpartition(-col, k - 1)[:k] if k < n else np.arange(n)
+            for i in idx:
+                if col[i] == -np.inf:
+                    continue
+                out_q.append(j)
+                out_id.append(int(ids[i]))
+                out_s.append(float(col[i]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int32()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def hard_negatives_topk(embeddings_ds, queries: np.ndarray,
+                        qlabels: np.ndarray, k: int = 10):
+    """Exact cosine top-k hard negatives (different label than the
+    query): Dataset of (vec_id, embedding, label) → Dataset of
+    (query_id, vec_id, score, rank)."""
+    qref = ray.put(np.asarray(queries, dtype=np.float32))
+    lref = ray.put(np.asarray(qlabels, dtype=np.int64))
+    partials = embeddings_ds.map_batches(
+        BruteForceTopKExclude, fn_constructor_args=(qref, lref, k),
+        batch_format="pyarrow", batch_size=4096, concurrency=4, num_cpus=0.5,
+    )
+    return partials.groupby("query_id").map_groups(
+        topk_reduce(k), batch_format="pandas")
+
+
 def topk_reduce(k: int):
     """Final per-query merge of local top-ks (groupby map_groups body)."""
 

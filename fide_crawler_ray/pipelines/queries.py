@@ -511,6 +511,27 @@ def q_ann_bruteforce(sf_dir):
     return ANN.brute_force_topk(emb, _queries_matrix(sf_dir), k=10)
 
 
+def q_hard_negatives(sf_dir, k: int = 10):
+    """Contrastive-training hard-negative mining: for each of the first
+    5 vectors (as queries), the top-k most-cosine-similar corpus vectors
+    whose LABEL differs from the query's — the embedding-space
+    counterpart of in-batch negative sampling. Same scale plan as
+    ann_bruteforce (queries+labels broadcast once, one matmul + one
+    vectorized label mask per batch, k-row partials merged per query);
+    exact DuckDB oracle via list_cosine_similarity with the label
+    exclusion in the join predicate."""
+    q = (
+        T(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+        .filter(expr="vec_id < 5")
+        .to_pandas().sort_values("vec_id")
+    )
+    queries = np.stack([np.asarray(v, dtype=np.float32)
+                        for v in q["embedding"]])
+    qlabels = q["label"].to_numpy().astype(np.int64)
+    emb = T(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    return ANN.hard_negatives_topk(emb, queries, qlabels, k=k)
+
+
 def q_ann_ivf(sf_dir):
     """IVF-bucketed ANN with k-means centroids (rows-only; recall vs
     brute force is asserted by ann_ivf_recall)."""
@@ -951,6 +972,7 @@ def queries() -> dict:
         "dedup_ngram": q_dedup_ngram,
         "dedup_embedding": q_dedup_embedding,
         "ann_bruteforce": q_ann_bruteforce,
+        "hard_negatives": q_hard_negatives,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_recall": q_ann_ivf_recall,
         "embedding_kmeans": q_embedding_kmeans,
@@ -1219,6 +1241,20 @@ ORACLES: dict[str, str] = {
                                                 ORDER BY ts, event_id)
                              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
             FROM events) GROUP BY user_id
+    """,
+    "hard_negatives": """
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
+                   FROM embeddings WHERE vec_id < 5),
+        s AS (SELECT q.qid AS query_id, e.vec_id,
+                     CAST(list_cosine_similarity(q.qe, e.embedding)
+                          AS DOUBLE) AS raw
+              FROM q, embeddings e WHERE e.label <> q.ql),
+        r AS (SELECT query_id, vec_id, raw, ROW_NUMBER() OVER (
+                  PARTITION BY query_id ORDER BY raw DESC, vec_id) AS rank
+              FROM s)
+        SELECT CAST(query_id AS INT) AS query_id, vec_id,
+               round(raw, 4) AS score, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 10
     """,
     "ann_bruteforce": """
         WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings

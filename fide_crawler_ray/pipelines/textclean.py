@@ -775,10 +775,50 @@ def q_dsir_weights(sf_dir, n_buckets: int = DSIR_BUCKETS):
                             concurrency=(1, 2))
 
 
+EPOCH_SHUFFLE_SHARDS = 16
+
+
+def q_epoch_shuffle(sf_dir, n_shards: int = EPOCH_SHUFFLE_SHARDS,
+                    seed: int = 0):
+    """Deterministic epoch shuffle for training-data ordering: every
+    document gets a (shard, position) that is a pure function of
+    (seed, doc_id) — reproducible at any cluster size, any block
+    layout, any retry, unlike ``Dataset.random_shuffle``. Shard =
+    md5 bucket; within-shard order = full md5 hex (doc_id tie-break).
+
+    Scale plan (100 TB): the keying pass is shuffle-free; position
+    assignment is a groupby(shard).map_groups sort — n_shards is
+    chosen so one shard ≈ one worker's memory (shard COUNT grows with
+    the corpus, shard SIZE stays fixed — the WebDataset-style
+    shard-then-shuffle-within layout training loaders expect)."""
+    docs = T(sf_dir, "documents", ["doc_id"])
+
+    def _key(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        hs = [hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+              for i in ids]
+        shard = [int(h[:8], 16) % n_shards for h in hs]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "h": pa.array(hs, pa.string()),
+            "shard": pa.array(shard, pa.int64()),
+        })
+
+    keyed = docs.map_batches(_key, batch_format="pyarrow")
+
+    def _pos(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id"]).reset_index(drop=True)
+        g["pos"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["doc_id", "shard", "pos"]]
+
+    return keyed.groupby("shard").map_groups(_pos, batch_format="pandas")
+
+
 def queries() -> dict:
     return {
         "curation_pipeline": q_curation_pipeline,
         "dsir_weights": q_dsir_weights,
+        "epoch_shuffle": q_epoch_shuffle,
         "pii_scrub": q_pii_scrub,
         "quality_gopher": q_quality_gopher,
         "repetition_topgram": q_repetition_topgram,
@@ -966,4 +1006,24 @@ ORACLES["dsir_weights"] = """
            CAST(sum(w_fp) AS BIGINT) AS score_fp
     FROM b JOIN w USING (bucket)
     GROUP BY doc_id
+"""
+
+ORACLES["epoch_shuffle"] = """
+    WITH k AS (
+        SELECT doc_id,
+               md5('0:' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, h,
+               CAST((SELECT sum((strpos('0123456789abcdef',
+                                        substr(h, i, 1)) - 1)
+                                * 16 ** (8 - i))
+                     FROM range(1, 9) t(i)) AS BIGINT) % 16 AS shard
+        FROM k
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (
+               PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+    FROM s
 """

@@ -137,3 +137,28 @@ def test_embedding_kmeans_objective_improves():
     obj5 = (out["n"] * out["mean_sim_fp"]).sum()
     assert obj5 >= obj0 - 1e3  # fixed-point truncation slack
     assert out["mean_sim_fp"].between(-1_000_000, 1_000_000).all()
+
+
+def test_hard_negatives_exclude_label_and_match_bruteforce():
+    """Every returned hard negative has a different label than its
+    query, and the result equals a driver-side numpy brute force."""
+    from fide_crawler_ray.pipelines.queries import (
+        T, q_hard_negatives, to_df_any)
+
+    out = to_df_any(q_hard_negatives(SF))
+    emb = T(SF, "embeddings", ["vec_id", "embedding", "label"]).to_pandas()
+    labels = emb.set_index("vec_id")["label"]
+    vecs = np.stack([np.asarray(v, dtype=np.float32)
+                     for v in emb["embedding"]]).astype(np.float64)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    ids = emb["vec_id"].to_numpy()
+    for qid in sorted(out["query_id"].unique()):
+        ql = labels.loc[qid]
+        got = out[out["query_id"] == qid].sort_values("rank")
+        assert (got["vec_id"].map(labels) != ql).all()
+        qv = vecs[ids == qid][0]
+        sims = vecs @ qv
+        mask = labels.reindex(ids).to_numpy() != ql
+        order = sorted(zip(-sims[mask], ids[mask]))
+        exp_ids = [int(i) for _, i in order[:10]]
+        assert got["vec_id"].tolist() == exp_ids

@@ -241,3 +241,34 @@ def test_dsir_weights_separate_target_from_rest():
         exp = int(sum(int(w_fp[bucket(t)]) for t in toks))
         assert out.loc[row["doc_id"], "score_fp"] == exp
         assert out.loc[row["doc_id"], "n_tokens"] == len(toks)
+
+
+def test_epoch_shuffle_is_deterministic_permutation():
+    """Positions form a contiguous 1..n_s permutation per shard, the
+    assignment matches a driver recompute, and two invocations agree
+    (the reproducibility property random_shuffle lacks)."""
+    import hashlib
+
+    from fide_crawler_ray.pipelines.textclean import (
+        EPOCH_SHUFFLE_SHARDS, T, q_epoch_shuffle)
+
+    out = q_epoch_shuffle(SF).to_pandas()
+    docs = T(SF, "documents", ["doc_id"]).to_pandas()
+    assert len(out) == len(docs)
+    assert set(out["doc_id"]) == set(docs["doc_id"])
+    for shard, g in out.groupby("shard"):
+        assert sorted(g["pos"]) == list(range(1, len(g) + 1))
+    # driver recompute
+    hs = {int(i): hashlib.md5(f"0:{i}".encode()).hexdigest()
+          for i in docs["doc_id"]}
+    exp_shard = {i: int(h[:8], 16) % EPOCH_SHUFFLE_SHARDS
+                 for i, h in hs.items()}
+    got_shard = dict(zip(out["doc_id"], out["shard"]))
+    assert got_shard == exp_shard
+    one = out[out["shard"] == out["shard"].iloc[0]].sort_values("pos")
+    exp_order = sorted(one["doc_id"], key=lambda i: (hs[i], i))
+    assert one["doc_id"].tolist() == exp_order
+    again = q_epoch_shuffle(SF).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values(["shard", "pos"]).reset_index(drop=True),
+        again.sort_values(["shard", "pos"]).reset_index(drop=True))
