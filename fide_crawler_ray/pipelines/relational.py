@@ -6250,6 +6250,212 @@ def q_q21_late_sole_supplier(sf_dir, k: int = 20,
                        descending=[True, False]).limit(k).to_pandas()
 
 
+def q_orc_roundtrip(sf_dir):
+    """ORC source/sink round trip — the third interchange format after
+    JSONL/CSV (export_jsonl_csv): lineitem streams to sharded ORC (one
+    file per block via pyarrow.orc inside map_batches — Ray has no
+    native ORC writer), the shards are read back one-task-per-file
+    (paths Dataset → pyarrow.orc read per batch — the partitioned,
+    resumable layout), and per-flag counts plus an integer checksum
+    prove the round trip value-faithful against an oracle that never
+    touches ORC."""
+    import shutil
+    import tempfile
+    import uuid
+
+    import ray.data as rd
+
+    out = tempfile.mkdtemp(prefix="fcray_orc_")
+    try:
+        def _write(b: pa.Table) -> pa.Table:
+            import pyarrow.orc as orc
+
+            t = pa.table({
+                "l_orderkey": b["l_orderkey"],
+                "l_returnflag": b["l_returnflag"],
+                "qty_fp": pa.array(_round_half_away(
+                    b["l_quantity"].to_numpy(zero_copy_only=False) * 100.0
+                ).astype(np.int64), pa.int64()),
+            })
+            path = f"{out}/{uuid.uuid4().hex}.orc"
+            orc.write_table(t, path)
+            return pa.table({"path": pa.array([path], pa.string())})
+
+        paths = T(sf_dir, "lineitem",
+                  ["l_orderkey", "l_returnflag", "l_quantity"]
+                  ).map_batches(_write, batch_format="pyarrow") \
+            .materialize()
+
+        def _read(b: pa.Table) -> pa.Table:
+            import pyarrow.orc as orc
+
+            return pa.concat_tables(
+                [orc.read_table(p) for p in b["path"].to_pylist()])
+
+        rows = paths.map_batches(_read, batch_format="pyarrow")
+        agg = fast_groupby_agg(rows, ["l_returnflag"], {
+            "n": (None, "count"),
+            "qty_sum_fp": ("qty_fp", "sum"),
+            "key_sum": ("l_orderkey", "sum"),
+        })
+        return agg.to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def q_benford_audit(sf_dir):
+    """Benford's-law audit of order values (the fraud/data-quality
+    screen): observed leading-digit counts of o_totalprice cents vs the
+    Benford expectation ln(1+1/d)/ln(10) ×1e9. The leading digit comes
+    from the INTEGER cent string (no float log10 anywhere); expected
+    frequencies use libm ln on exact small ints, mirrored term for term
+    in the oracle. One map + one 9-row groupby."""
+    import math
+
+    def _digits(b: pa.Table) -> pa.Table:
+        cents = _round_half_away(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        first = np.array([int(str(c)[0]) for c in cents], np.int64)
+        return pa.table({"digit": pa.array(first, pa.int64())})
+
+    counts = fast_groupby_agg(
+        T(sf_dir, "orders", ["o_totalprice"]).map_batches(
+            _digits, batch_format="pyarrow"),
+        ["digit"], {"n": (None, "count")})
+
+    def _expected(b: pa.Table) -> pa.Table:
+        d = b["digit"].to_numpy(zero_copy_only=False)
+        exp = np.array([
+            1e9 * ((math.log(int(x) + 1.0) - math.log(float(x)))
+                   / math.log(10.0)) for x in d])
+        return b.append_column("benford_fp", pa.array(
+            _round_half_away(exp).astype(np.int64)))
+
+    return counts.map_batches(_expected, batch_format="pyarrow")
+
+
+def q_grouping_sets_agg(sf_dir):
+    """GROUPING SETS ((returnflag), (linestatus)) — the non-hierarchical
+    grouping shape ROLLUP/CUBE don't cover: two independent unit sets,
+    each an exact-integer aggregate, unioned with ''-filled keys.
+    Plan: one shared quantized scan feeds two map-side-combined
+    groupbys; no lattice re-aggregation needed (the sets overlap in
+    neither direction)."""
+    scan = T(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_quantity"]).map_batches(
+        lambda b: pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "qty_fp": pa.array(_round_half_away(
+                b["l_quantity"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64), pa.int64()),
+        }),
+        batch_format="pyarrow").materialize()
+    by_rf = fast_groupby_agg(scan, ["l_returnflag"], {
+        "sum_qty_fp": ("qty_fp", "sum"), "n": (None, "count"),
+    }).map_batches(
+        lambda b: pa.table({
+            "rf": b["l_returnflag"],
+            "ls": pa.array([""] * len(b), pa.string()),
+            "sum_qty_fp": b["sum_qty_fp"], "n": b["n"],
+        }),
+        batch_format="pyarrow")
+    by_ls = fast_groupby_agg(scan, ["l_linestatus"], {
+        "sum_qty_fp": ("qty_fp", "sum"), "n": (None, "count"),
+    }).map_batches(
+        lambda b: pa.table({
+            "rf": pa.array([""] * len(b), pa.string()),
+            "ls": b["l_linestatus"],
+            "sum_qty_fp": b["sum_qty_fp"], "n": b["n"],
+        }),
+        batch_format="pyarrow")
+    return by_rf.union(by_ls)
+
+
+def q_churned_customers(sf_dir):
+    """Month-over-month churn: per month, how many customers ordered in
+    it but not in the following month (absence detection — the windowed
+    anti-join shape). Plan: orders collapse to DISTINCT (custkey,
+    month#) pairs map-side; churn = pair-table LEFT ANTI pair-table on
+    (custkey, month#+1) — both sides key-sized, hash-partitioned; the
+    final count groupby is month-domain-sized. The global max month is
+    excluded (no data after it to churn into)."""
+    pairs = fast_groupby_agg(
+        T(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+            lambda b: pa.table({
+                "o_custkey": b["o_custkey"],
+                "mnum": pa.array(
+                    pc.year(b["o_orderdate"]).to_numpy(
+                        zero_copy_only=False) * 12
+                    + pc.month(b["o_orderdate"]).to_numpy(
+                        zero_copy_only=False) - 1, pa.int64()),
+            }),
+            batch_format="pyarrow"),
+        ["o_custkey", "mnum"], {"c": (None, "count")},
+    ).drop_columns(["c"]).materialize()
+    max_m = pairs.max("mnum")
+    probe = pairs.map_batches(
+        lambda b: (lambda t: pa.table({
+            "o_custkey": t["o_custkey"],
+            "mnum": t["mnum"],
+            "next_m": pc.add(t["mnum"], 1),
+        }))(b.filter(pc.less(b["mnum"], max_m))),
+        batch_format="pyarrow")
+    anti = probe.join(pairs.map_batches(
+        lambda b: b.rename_columns(["ck_r", "m_r"]),
+        batch_format="pyarrow"),
+        "left_anti", num_partitions=8,
+        on=("o_custkey", "next_m"), right_on=("ck_r", "m_r"))
+    out = fast_groupby_agg(anti, ["mnum"], {"n_churned": (None, "count")})
+    return out.map_batches(
+        lambda b: pa.table({
+            "month": pa.array([
+                f"{m // 12:04d}-{m % 12 + 1:02d}"
+                for m in b["mnum"].to_pylist()], pa.string()),
+            "n_churned": b["n_churned"],
+        }),
+        batch_format="pyarrow")
+
+
+def q_late_events(sf_dir):
+    """Out-of-order-arrival audit (the streaming watermark primitive):
+    events 'arrive' in a deterministic md5(event_id) permutation of the
+    stream; an event is LATE if its timestamp is behind the running max
+    already seen for its user — exactly what a watermark operator would
+    flag. Per-user counts via sorted map_groups (bounded per-user
+    volume, same assumption as the other per-key window ops)."""
+
+    def _h(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_pylist()
+        return pa.table({
+            "user_id": b["user_id"],
+            "event_id": b["event_id"],
+            "ts_ns": pa.array(_ts_ns(b["ts"]), pa.int64()),
+            "h": pa.array([hashlib.md5(str(i).encode()).hexdigest()
+                           for i in ids], pa.string()),
+        })
+
+    keyed = T(sf_dir, "events",
+              ["user_id", "event_id", "ts"]).map_batches(
+        _h, batch_format="pyarrow")
+
+    def _audit(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "event_id"])
+        ts = g["ts_ns"].to_numpy()
+        run_max = np.maximum.accumulate(ts)
+        late = np.zeros(len(ts), bool)
+        late[1:] = ts[1:] < run_max[:-1]
+        return pd.DataFrame({
+            "user_id": [int(g["user_id"].iloc[0])],
+            "n_events": [len(g)],
+            "n_late": [int(late.sum())],
+        })
+
+    return keyed.groupby("user_id").map_groups(
+        _audit, batch_format="pandas")
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -6372,6 +6578,11 @@ def queries() -> dict:
         "q8_market_share": q_q8_market_share,
         "q16_part_supplier_counts": q_q16_part_supplier_counts,
         "q21_late_sole_supplier": q_q21_late_sole_supplier,
+        "orc_roundtrip": q_orc_roundtrip,
+        "benford_audit": q_benford_audit,
+        "grouping_sets_agg": q_grouping_sets_agg,
+        "churned_customers": q_churned_customers,
+        "late_events": q_late_events,
     }
 
 
@@ -8173,4 +8384,74 @@ ORACLES["q21_late_sole_supplier"] = """
     GROUP BY lsk
     ORDER BY numwait DESC, l_suppkey
     LIMIT 20
+"""
+
+ORACLES["orc_roundtrip"] = """
+    SELECT l_returnflag, count(*) AS n,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS qty_sum_fp,
+           CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+ORACLES["benford_audit"] = """
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+                                     AS BIGINT) AS VARCHAR), 1, 1)
+                    AS BIGINT) AS digit
+        FROM orders
+    )
+    SELECT digit, count(*) AS n,
+           CAST(round(1e9 * ((ln(digit + 1.0)
+                              - ln(CAST(digit AS DOUBLE)))
+                             / ln(10.0))) AS BIGINT) AS benford_fp
+    FROM d GROUP BY digit
+"""
+
+ORACLES["grouping_sets_agg"] = """
+    SELECT COALESCE(l_returnflag, '') AS rf,
+           COALESCE(l_linestatus, '') AS ls,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS sum_qty_fp,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+ORACLES["churned_customers"] = """
+    WITH pairs AS (
+        SELECT DISTINCT o_custkey,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                    AS BIGINT) AS mnum
+        FROM orders
+    ),
+    mx AS (SELECT max(mnum) AS m FROM pairs)
+    SELECT lpad(CAST(mnum // 12 AS VARCHAR), 4, '0') || '-'
+               || lpad(CAST(mnum % 12 + 1 AS VARCHAR), 2, '0') AS month,
+           count(*) AS n_churned
+    FROM pairs p, mx
+    WHERE p.mnum < mx.m
+      AND NOT EXISTS (
+          SELECT 1 FROM pairs q
+          WHERE q.o_custkey = p.o_custkey AND q.mnum = p.mnum + 1)
+    GROUP BY month
+"""
+
+ORACLES["late_events"] = """
+    WITH a AS (
+        SELECT user_id, event_id, ts,
+               md5(CAST(event_id AS VARCHAR)) AS h
+        FROM events
+    ),
+    x AS (
+        SELECT user_id, ts,
+               max(ts) OVER (PARTITION BY user_id ORDER BY h, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS mx
+        FROM a
+    )
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CASE WHEN ts < mx THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late
+    FROM x GROUP BY user_id
 """

@@ -1795,3 +1795,68 @@ def test_q21_late_sole_supplier_bruteforce():
                         ascending=[False, True]).head(20)
            .reset_index(drop=True))
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_churned_customers_bruteforce():
+    from fide_crawler_ray.pipelines.relational import (
+        T, q_churned_customers)
+
+    got = (q_churned_customers(SF).to_pandas()
+           .sort_values("month").reset_index(drop=True))
+    o = T(SF, "orders", ["o_custkey", "o_orderdate"]).to_pandas()
+    o["mnum"] = (o["o_orderdate"].dt.year * 12
+                 + o["o_orderdate"].dt.month - 1)
+    pairs = set(zip(o["o_custkey"], o["mnum"]))
+    mx = o["mnum"].max()
+    from collections import Counter
+    c = Counter(m for ck, m in pairs
+                if m < mx and (ck, m + 1) not in pairs)
+    exp = (pd.DataFrame(
+        [{"month": f"{m // 12:04d}-{m % 12 + 1:02d}", "n_churned": n}
+         for m, n in c.items()])
+        .sort_values("month").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_late_events_bruteforce():
+    import hashlib
+
+    from fide_crawler_ray.pipelines.relational import T, q_late_events
+
+    got = q_late_events(SF).to_pandas().set_index("user_id")
+    ev = T(SF, "events", ["user_id", "event_id", "ts"]).to_pandas()
+    ev["h"] = ev["event_id"].map(
+        lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["h", "event_id"])
+        ts = g["ts"].astype("int64").to_numpy()
+        run = np.maximum.accumulate(ts)
+        late = (ts[1:] < run[:-1]).sum()
+        assert got.loc[uid, "n_events"] == len(g)
+        assert got.loc[uid, "n_late"] == int(late)
+    # the md5 permutation must actually produce disorder somewhere
+    assert got["n_late"].sum() > 0
+
+
+def test_benford_audit_counts_and_expectation():
+    from fide_crawler_ray.pipelines.relational import (
+        T, q_benford_audit)
+
+    out = q_benford_audit(SF).to_pandas().sort_values("digit")
+    n_orders = T(SF, "orders", ["o_orderkey"]).count()
+    assert out["n"].sum() == n_orders
+    assert set(out["digit"]).issubset(set(range(1, 10)))
+    # Benford frequencies sum to 1 when all 9 digits appear
+    if len(out) == 9:
+        assert abs(out["benford_fp"].sum() - 10**9) <= 5
+
+
+def test_orc_roundtrip_preserves_totals():
+    from fide_crawler_ray.pipelines.relational import T, q_orc_roundtrip
+
+    out = q_orc_roundtrip(SF)
+    li = T(SF, "lineitem", ["l_orderkey", "l_quantity"]).to_pandas()
+    assert out["n"].sum() == len(li)
+    assert out["key_sum"].sum() == li["l_orderkey"].sum()
+    assert out["qty_sum_fp"].sum() == int(
+        _rha(li["l_quantity"].to_numpy() * 100.0).astype(np.int64).sum())
