@@ -6456,6 +6456,101 @@ def q_late_events(sf_dir):
         _audit, batch_format="pandas")
 
 
+def q_inverted_index(sf_dir, k_postings: int = 10):
+    """Inverted-index build (the IR/retrieval primitive): per term, its
+    document frequency, total term frequency, and the first
+    ``k_postings`` doc_ids of its posting list. Plan: one tokenize pass
+    emits the (term, doc_id, tf) index rows; df/tf fold through a
+    map-side-combined groupby; the posting heads use the MERGEABLE
+    grouped top-k (top-k of a union == top-k of per-part top-ks), so a
+    stopword term with a billion postings still only ships k rows per
+    block; the final term-keyed join is vocabulary-sized (Heaps-
+    bounded), never corpus-sized."""
+    from collections import Counter
+
+    from ..stages.fastagg import grouped_topk
+
+    def _tf(b: pa.Table) -> pa.Table:
+        terms, dids, tfs = [], [], []
+        for did, txt in zip(b["doc_id"].to_pylist(),
+                            b["text"].to_pylist()):
+            for tok, c in Counter((txt or "").split(" ")).items():
+                terms.append(tok)
+                dids.append(did)
+                tfs.append(c)
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "doc_id": pa.array(dids, pa.int64()),
+            "tf": pa.array(tfs, pa.int64()),
+        })
+
+    tdf = T(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _tf, batch_format="pyarrow").materialize()
+    stats = fast_groupby_agg(tdf, ["term"], {
+        "df": (None, "count"), "tf_total": ("tf", "sum")})
+    heads = grouped_topk(tdf, ["term"], ["doc_id"], [True], k_postings)
+
+    def _join_postings(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        return pd.DataFrame({
+            "term": [g["term"].iloc[0]],
+            "postings": [",".join(str(int(d)) for d in g["doc_id"])],
+        })
+
+    postings = heads.groupby("term").map_groups(
+        _join_postings, batch_format="pandas")
+    out = stats.join(postings.map_batches(
+        lambda b: b.rename_columns(["t_r", "postings"]),
+        batch_format="pyarrow"),
+        "inner", num_partitions=8, on=("term",), right_on=("t_r",))
+    return out.select_columns(["term", "df", "tf_total", "postings"])
+
+
+def q_event_cooccurrence(sf_dir, window_s: int = 3600):
+    """Event-type co-occurrence mining: counts of ordered (first,
+    second) event-type pairs where the same user produced both within
+    one hour — the session-context / market-basket primitive. Per-user
+    sorted two-pointer window (searchsorted, no O(n²) unless the window
+    itself is O(n)); the exchange after is the tiny type×type matrix.
+    Per-user volume is the same bounded-key assumption as the other
+    window ops."""
+    win_ns = window_s * 1_000_000_000
+
+    def _proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "event_id": b["event_id"],
+            "ts_ns": pa.array(_ts_ns(b["ts"]), pa.int64()),
+            "event_type": b["event_type"],
+        })
+
+    ev = T(sf_dir, "events",
+           ["user_id", "event_id", "ts", "event_type"]).map_batches(
+        _proj, batch_format="pyarrow")
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_ns", "event_id"])
+        ts = g["ts_ns"].to_numpy()
+        types = g["event_type"].to_numpy()
+        hi = np.searchsorted(ts, ts + win_ns, side="right")
+        starts = np.arange(len(ts)) + 1
+        n = np.maximum(hi - starts, 0)
+        if n.sum() == 0:
+            return pd.DataFrame({"first_type": [], "second_type": []})
+        first_idx = np.repeat(np.arange(len(ts)), n)
+        second_idx = np.concatenate(
+            [np.arange(s, h) for s, h in zip(starts, hi) if h > s])
+        return pd.DataFrame({
+            "first_type": types[first_idx],
+            "second_type": types[second_idx],
+        })
+
+    pairs = ev.groupby("user_id").map_groups(
+        _pairs, batch_format="pandas")
+    return fast_groupby_agg(pairs, ["first_type", "second_type"],
+                            {"n": (None, "count")})
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -6583,6 +6678,8 @@ def queries() -> dict:
         "grouping_sets_agg": q_grouping_sets_agg,
         "churned_customers": q_churned_customers,
         "late_events": q_late_events,
+        "inverted_index": q_inverted_index,
+        "event_cooccurrence": q_event_cooccurrence,
     }
 
 
@@ -8454,4 +8551,35 @@ ORACLES["late_events"] = """
            CAST(sum(CASE WHEN ts < mx THEN 1 ELSE 0 END) AS BIGINT)
                AS n_late
     FROM x GROUP BY user_id
+"""
+
+ORACLES["inverted_index"] = """
+    WITH tok AS (
+        SELECT doc_id, u.tok AS term
+        FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+    ),
+    td AS (
+        SELECT term, doc_id, count(*) AS tf
+        FROM tok GROUP BY term, doc_id
+    ),
+    r AS (
+        SELECT term, doc_id, tf, row_number() OVER (
+            PARTITION BY term ORDER BY doc_id) AS rn
+        FROM td
+    )
+    SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total,
+           string_agg(CASE WHEN rn <= 10
+                           THEN CAST(doc_id AS VARCHAR) END,
+                      ',' ORDER BY doc_id) AS postings
+    FROM r GROUP BY term
+"""
+
+ORACLES["event_cooccurrence"] = """
+    SELECT a.event_type AS first_type, b.event_type AS second_type,
+           count(*) AS n
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+     AND b.ts <= a.ts + INTERVAL 1 HOUR
+    GROUP BY first_type, second_type
 """

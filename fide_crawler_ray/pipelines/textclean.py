@@ -814,11 +814,140 @@ def q_epoch_shuffle(sf_dir, n_shards: int = EPOCH_SHUFFLE_SHARDS,
     return keyed.groupby("shard").map_groups(_pos, batch_format="pandas")
 
 
+BPE_MERGES = 20
+BPE_VOCAB_DRIVER_MAX = 200_000
+
+
+def _bpe_top_pair(counts: dict) -> tuple:
+    """Deterministic best pair: max count, then lexicographic (a, b)."""
+    return min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+
+
+def _bpe_apply(syms: list[str], a: str, b: str) -> list[str]:
+    """Merge all non-overlapping (a, b) occurrences left to right."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _bpe_merges_local(word_counts: list, n_merges: int) -> pd.DataFrame:
+    """Reference/driver tier: plain-python BPE over the (word, count)
+    vocabulary. This is the executable spec the distributed tier is
+    pinned against."""
+    vocab = [(list(w) + ["</w>"], int(c)) for w, c in word_counts]
+    rows = []
+    for rank in range(1, n_merges + 1):
+        counts: dict = {}
+        for syms, c in vocab:
+            for p in zip(syms, syms[1:]):
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        a, b = _bpe_top_pair(counts)
+        rows.append({"rank": rank, "left": a, "right": b,
+                     "pair_count": int(counts[(a, b)])})
+        vocab = [(_bpe_apply(s, a, b), c) for s, c in vocab]
+    return pd.DataFrame(rows)
+
+
+def q_bpe_train(sf_dir, n_merges: int = BPE_MERGES,
+                max_driver_vocab: int = BPE_VOCAB_DRIVER_MAX):
+    """BPE tokenizer training (the merge-table build step of an LLM
+    data pipeline), distributed: the corpus first collapses to a
+    (word, count) VOCABULARY Dataset (map-side Counter partials → one
+    vocabulary-sized groupby — the classic BPE trick: all later work is
+    Heaps-bounded, never corpus-sized). Each merge round then needs one
+    pair-count fold (map partials → groupby sum → global top-1 by
+    (count desc, pair asc)) and one symbol-rewrite map over the
+    vocabulary. Below ``max_driver_vocab`` the rounds run in plain
+    python on the collected vocabulary (driver tier — the executable
+    spec); above it every round stays a Dataset pipeline. Both tiers
+    are pinned identical by test. Rows-only (iterative; not
+    SQL-expressible)."""
+    from collections import Counter
+
+    def _wc(b: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in b["text"].to_pylist():
+            c.update((txt or "").split(" "))
+        return pa.table({
+            "word": pa.array(list(c.keys()), pa.string()),
+            "cnt": pa.array(list(c.values()), pa.int64()),
+        })
+
+    vocab = fast_groupby_agg(
+        T(sf_dir, "documents", ["text"]).map_batches(
+            _wc, batch_format="pyarrow"),
+        ["word"], {"cnt": ("cnt", "sum")}).materialize()
+
+    if vocab.count() <= max_driver_vocab:
+        wc = vocab.to_pandas()
+        return _bpe_merges_local(
+            list(zip(wc["word"], wc["cnt"])), n_merges)
+
+    # distributed tier: symbols ride as one space-joined string column
+    syms_ds = vocab.map_batches(
+        lambda b: pa.table({
+            "syms": pa.array(
+                [" ".join(list(w) + ["</w>"])
+                 for w in b["word"].to_pylist()], pa.string()),
+            "cnt": b["cnt"],
+        }),
+        batch_format="pyarrow").materialize()
+    rows = []
+    for rank in range(1, n_merges + 1):
+        def _pairs(b: pa.Table) -> pa.Table:
+            c: dict = {}
+            for s, n in zip(b["syms"].to_pylist(),
+                            b["cnt"].to_pylist()):
+                parts = s.split(" ")
+                for p in zip(parts, parts[1:]):
+                    c[p] = c.get(p, 0) + n
+            ks = list(c.keys())
+            return pa.table({
+                "a": pa.array([k[0] for k in ks], pa.string()),
+                "b": pa.array([k[1] for k in ks], pa.string()),
+                "c": pa.array([c[k] for k in ks], pa.int64()),
+            })
+
+        agg = fast_groupby_agg(
+            syms_ds.map_batches(_pairs, batch_format="pyarrow"),
+            ["a", "b"], {"c": ("c", "sum")})
+        top = agg.sort(["c", "a", "b"],
+                       descending=[True, False, False]).limit(1) \
+            .to_pandas()
+        if top.empty:
+            break
+        a, b_, cnt = (str(top["a"].iloc[0]), str(top["b"].iloc[0]),
+                      int(top["c"].iloc[0]))
+        rows.append({"rank": rank, "left": a, "right": b_,
+                     "pair_count": cnt})
+
+        def _apply(t: pa.Table, a=a, b_=b_) -> pa.Table:
+            return pa.table({
+                "syms": pa.array(
+                    [" ".join(_bpe_apply(s.split(" "), a, b_))
+                     for s in t["syms"].to_pylist()], pa.string()),
+                "cnt": t["cnt"],
+            })
+
+        syms_ds = syms_ds.map_batches(
+            _apply, batch_format="pyarrow").materialize()
+    return pd.DataFrame(rows)
+
+
 def queries() -> dict:
     return {
         "curation_pipeline": q_curation_pipeline,
         "dsir_weights": q_dsir_weights,
         "epoch_shuffle": q_epoch_shuffle,
+        "bpe_train": q_bpe_train,
         "pii_scrub": q_pii_scrub,
         "quality_gopher": q_quality_gopher,
         "repetition_topgram": q_repetition_topgram,

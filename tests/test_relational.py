@@ -1860,3 +1860,32 @@ def test_orc_roundtrip_preserves_totals():
     assert out["key_sum"].sum() == li["l_orderkey"].sum()
     assert out["qty_sum_fp"].sum() == int(
         _rha(li["l_quantity"].to_numpy() * 100.0).astype(np.int64).sum())
+
+
+def test_event_cooccurrence_bruteforce():
+    from fide_crawler_ray.pipelines.relational import (
+        T, q_event_cooccurrence)
+
+    got = (q_event_cooccurrence(SF).to_pandas()
+           .sort_values(["first_type", "second_type"])
+           .reset_index(drop=True))
+    ev = T(SF, "events", ["user_id", "event_id", "ts", "event_type"]
+           ).to_pandas()
+    ev["ts_ns"] = ev["ts"].astype("datetime64[ns]").astype("int64")
+    from collections import Counter
+    c = Counter()
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts_ns", "event_id"]).reset_index(drop=True)
+        for i in range(len(g)):
+            for j in range(i + 1, len(g)):
+                if g["ts_ns"].iloc[j] - g["ts_ns"].iloc[i] \
+                        > 3600 * 10**9:
+                    break
+                c[(g["event_type"].iloc[i],
+                   g["event_type"].iloc[j])] += 1
+    exp = (pd.DataFrame(
+        [{"first_type": a, "second_type": b, "n": n}
+         for (a, b), n in c.items()])
+        .sort_values(["first_type", "second_type"])
+        .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)

@@ -272,3 +272,41 @@ def test_epoch_shuffle_is_deterministic_permutation():
     pd.testing.assert_frame_equal(
         out.sort_values(["shard", "pos"]).reset_index(drop=True),
         again.sort_values(["shard", "pos"]).reset_index(drop=True))
+
+
+def test_bpe_train_tiers_identical_and_sane():
+    """The distributed BPE tier (forced via max_driver_vocab=0) must be
+    merge-for-merge identical to the plain-python driver tier, merges
+    must be usable (re-applying them shortens the corpus tokenization),
+    and the first merge must be the true most-frequent pair."""
+    from collections import Counter
+
+    from fide_crawler_ray.pipelines.textclean import (
+        T, _bpe_apply, q_bpe_train)
+
+    local = q_bpe_train(SF)
+    dist = q_bpe_train(SF, max_driver_vocab=0)
+    pd.testing.assert_frame_equal(local, dist)
+    assert len(local) == 20
+
+    docs = T(SF, "documents", ["text"]).to_pandas()
+    wc = Counter()
+    for t in docs["text"]:
+        wc.update(t.split(" "))
+    pair_counts = Counter()
+    for w, c in wc.items():
+        syms = list(w) + ["</w>"]
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] += c
+    best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert (local["left"].iloc[0], local["right"].iloc[0]) == best[0]
+    assert local["pair_count"].iloc[0] == best[1]
+
+    # applying all merges must shorten tokenization vs chars
+    n_before = sum((len(w) + 1) * c for w, c in wc.items())
+    vocab = {w: list(w) + ["</w>"] for w in wc}
+    for _, m in local.iterrows():
+        vocab = {w: _bpe_apply(s, m["left"], m["right"])
+                 for w, s in vocab.items()}
+    n_after = sum(len(vocab[w]) * c for w, c in wc.items())
+    assert n_after < n_before
