@@ -511,6 +511,47 @@ def q_ann_bruteforce(sf_dir):
     return ANN.brute_force_topk(emb, _queries_matrix(sf_dir), k=10)
 
 
+def q_batch_inference(sf_dir, n_classes: int = 3):
+    """Batched model-inference stage (the scoring/labeling step of a
+    training-data pipeline) as an ACTOR-POOL map_batches: the 'model'
+    (a deterministic integer weight matrix W[j,c] = ((j·31+c·17) mod 7)
+    − 3 — the stand-in for real weights, which the env can't load) is
+    built once per actor in ``__init__``; each batch is ONE matmul.
+    Embeddings quantize ×1e6 to int64 before the integer matmul, so
+    logits are exact integers and argmax ties break to the smallest
+    class on both sides. The plumbing (broadcast-once weights, batch
+    sizing, per-actor state) is exactly what a real checkpoint-loading
+    scorer needs at 100 TB."""
+
+    class _Infer:
+        def __init__(self):
+            self.W: np.ndarray | None = None  # built on first batch (needs d)
+            self.C = n_classes
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            from .relational import _round_half_away
+
+            m = ANN._to_matrix(b["embedding"]).astype(np.float64)
+            if self.W is None:
+                d = m.shape[1]
+                j = np.arange(d)[:, None]
+                c = np.arange(self.C)[None, :]
+                self.W = ((j * 31 + c * 17) % 7 - 3).astype(np.int64)
+            efp = _round_half_away(m * 1e6).astype(np.int64)
+            logits = efp @ self.W  # (n, C) exact int64
+            pred = np.argmax(logits, axis=1)  # first max = smallest c
+            best = logits[np.arange(len(pred)), pred]
+            return pa.table({
+                "vec_id": b["vec_id"],
+                "pred": pa.array(pred.astype(np.int64), pa.int64()),
+                "best_logit_fp": pa.array(best, pa.int64()),
+            })
+
+    return T(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        _Infer, batch_format="pyarrow", batch_size=4096,
+        concurrency=(1, 4))
+
+
 def q_hard_negatives(sf_dir, k: int = 10):
     """Contrastive-training hard-negative mining: for each of the first
     5 vectors (as queries), the top-k most-cosine-similar corpus vectors
@@ -973,6 +1014,7 @@ def queries() -> dict:
         "dedup_embedding": q_dedup_embedding,
         "ann_bruteforce": q_ann_bruteforce,
         "hard_negatives": q_hard_negatives,
+        "batch_inference": q_batch_inference,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_recall": q_ann_ivf_recall,
         "embedding_kmeans": q_embedding_kmeans,
@@ -1241,6 +1283,30 @@ ORACLES: dict[str, str] = {
                                                 ORDER BY ts, event_id)
                              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
             FROM events) GROUP BY user_id
+    """,
+    "batch_inference": """
+        WITH e AS (
+            SELECT vec_id, gs - 1 AS j,
+                   CAST(round(CAST(embedding[gs] AS DOUBLE) * 1000000)
+                        AS BIGINT) AS efp
+            FROM embeddings,
+                 unnest(generate_series(1, len(embedding))) AS t(gs)
+        ),
+        l AS (
+            SELECT vec_id, c,
+                   CAST(sum(efp * (((j * 31 + c * 17) % 7) - 3))
+                        AS BIGINT) AS logit_fp
+            FROM e, unnest(generate_series(0, 2)) AS cc(c)
+            GROUP BY vec_id, c
+        ),
+        r AS (
+            SELECT vec_id, c, logit_fp, row_number() OVER (
+                PARTITION BY vec_id ORDER BY logit_fp DESC, c) AS rn
+            FROM l
+        )
+        SELECT vec_id, CAST(c AS BIGINT) AS pred,
+               logit_fp AS best_logit_fp
+        FROM r WHERE rn = 1
     """,
     "hard_negatives": """
         WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
