@@ -6551,6 +6551,104 @@ def q_event_cooccurrence(sf_dir, window_s: int = 3600):
                             {"n": (None, "count")})
 
 
+def q_compact_store(sf_dir, shard_rows: int = 1000,
+                    target_mb: int = 8):
+    """Small-file compaction (the lakehouse maintenance op a 100-TB
+    store needs continuously): documents are first written as MANY tiny
+    parquet shards (the pathological post-ingest layout), then
+    compacted by a size-based re-read (T()'s own block arithmetic) into
+    few right-sized files. The audit row proves rows and an integer
+    checksum survived, and that the file count actually dropped — a
+    compaction that loses or duplicates rows fails the oracle, not just
+    a smoke test."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    out = tempfile.mkdtemp(prefix="fcray_compact_")
+    try:
+        docs = T(sf_dir, "documents", ["doc_id", "n_chars"])
+        small = _os.path.join(out, "small")
+        docs.repartition(
+            max(8, docs.count() // shard_rows)).write_parquet(small)
+        n_before = len([f for f in _os.listdir(small)
+                        if f.endswith(".parquet")])
+        compacted = _os.path.join(out, "compacted")
+        nb = max(1, -(-sum(
+            e.stat().st_size for e in _os.scandir(small)
+            if e.is_file()) // (target_mb << 20)))
+        rd.read_parquet(small).repartition(nb).write_parquet(
+            compacted, min_rows_per_file=shard_rows * 4)
+        n_after = len([f for f in _os.listdir(compacted)
+                       if f.endswith(".parquet")])
+        back = rd.read_parquet(compacted)
+        agg = back.map_batches(
+            lambda b: pa.table({
+                "n_rows": pa.array([len(b)], pa.int64()),
+                "id_sum": pa.array(
+                    [int(b["doc_id"].to_numpy(
+                        zero_copy_only=False).sum())], pa.int64()),
+                "chars_sum": pa.array(
+                    [int(b["n_chars"].to_numpy(
+                        zero_copy_only=False).sum())], pa.int64()),
+            }),
+            batch_format="pyarrow").to_pandas()
+        return pd.DataFrame([{
+            "n_rows": int(agg["n_rows"].sum()),
+            "id_sum": int(agg["id_sum"].sum()),
+            "chars_sum": int(agg["chars_sum"].sum()),
+            "compacted": bool(n_after < n_before),
+        }])
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def q_theil_index(sf_dir):
+    """Theil-T inequality index of customer spend (the concentration
+    audit beside key_skew's Gini): T = (1/n)·Σ (x/μ)·ln(x/μ) over
+    per-customer cent totals. Every ln term is computed on EXACT
+    integers — ln(x·n/S) = ln(x)+ln(n)−ln(S), each a libm log of an
+    exact int64 — and quantized ×1e9 per customer before the integer
+    sum, so the index is association-order-free. The per-customer
+    aggregate stays a Dataset; only n and S (two scalars) cross to the
+    driver before the final map."""
+    import math
+
+    per_cust = fast_groupby_agg(
+        T(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+            lambda b: pa.table({
+                "o_custkey": b["o_custkey"],
+                "cents": pa.array(_round_half_away(
+                    b["o_totalprice"].to_numpy(zero_copy_only=False)
+                    * 100.0).astype(np.int64), pa.int64()),
+            }),
+            batch_format="pyarrow"),
+        ["o_custkey"], {"x": ("cents", "sum")}).materialize()
+    n = per_cust.count()
+    s = per_cust.sum("x")
+    ln_n, ln_s = math.log(n), math.log(s)
+
+    def _terms(b: pa.Table) -> pa.Table:
+        x = b["x"].to_numpy(zero_copy_only=False)
+        # (x/μ)·ln(x/μ) = (x·n/S)·(ln x + ln n − ln S); ln on exact ints
+        t = np.array([
+            1e9 * ((int(v) * n / s)
+                   * (math.log(int(v)) + ln_n - ln_s)) for v in x])
+        return pa.table({
+            "term_fp": pa.array(_round_half_away(t).astype(np.int64)),
+            "one": pa.array(np.ones(len(x), np.int64)),
+        })
+
+    parts = per_cust.map_batches(_terms, batch_format="pyarrow") \
+        .to_pandas()
+    return pd.DataFrame([{
+        "n_customers": int(parts["one"].sum()),
+        "theil_sum_fp": int(parts["term_fp"].sum()),
+    }])
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -6680,6 +6778,8 @@ def queries() -> dict:
         "late_events": q_late_events,
         "inverted_index": q_inverted_index,
         "event_cooccurrence": q_event_cooccurrence,
+        "compact_store": q_compact_store,
+        "theil_index": q_theil_index,
     }
 
 
@@ -8582,4 +8682,27 @@ ORACLES["event_cooccurrence"] = """
      AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
      AND b.ts <= a.ts + INTERVAL 1 HOUR
     GROUP BY first_type, second_type
+"""
+
+ORACLES["compact_store"] = """
+    SELECT count(*) AS n_rows,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+           true AS compacted
+    FROM documents
+"""
+
+ORACLES["theil_index"] = """
+    WITH pc AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS x
+        FROM orders GROUP BY o_custkey
+    ),
+    t AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s FROM pc)
+    SELECT n AS n_customers,
+           CAST(sum(CAST(round(1e9 * (((x * n) / s)
+                                      * (ln(x) + ln(n) - ln(s))))
+                         AS BIGINT)) AS BIGINT) AS theil_sum_fp
+    FROM pc, t GROUP BY n
 """
