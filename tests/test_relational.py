@@ -1889,3 +1889,36 @@ def test_event_cooccurrence_bruteforce():
         .sort_values(["first_type", "second_type"])
         .reset_index(drop=True))
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_compact_store_reduces_files_and_preserves_totals():
+    from fide_crawler_ray.pipelines.relational import (
+        T, q_compact_store)
+
+    out = q_compact_store(SF).iloc[0]
+    docs = T(SF, "documents", ["doc_id", "n_chars"]).to_pandas()
+    assert out["n_rows"] == len(docs)
+    assert out["id_sum"] == docs["doc_id"].sum()
+    assert out["chars_sum"] == docs["n_chars"].sum()
+    assert bool(out["compacted"])
+
+
+def test_theil_index_matches_direct_computation():
+    import math
+
+    from fide_crawler_ray.pipelines.relational import T, q_theil_index
+
+    got = q_theil_index(SF).iloc[0]
+    o = T(SF, "orders", ["o_custkey", "o_totalprice"]).to_pandas()
+    cents = pd.Series(
+        _rha(o["o_totalprice"].to_numpy() * 100.0).astype(np.int64))
+    x = cents.groupby(o["o_custkey"]).sum()
+    n, s = len(x), int(x.sum())
+    terms = _rha(np.array([
+        1e9 * ((int(v) * n / s)
+               * (math.log(int(v)) + math.log(n) - math.log(s)))
+        for v in x])).astype(np.int64)
+    assert got["n_customers"] == n
+    assert got["theil_sum_fp"] == int(terms.sum())
+    # Theil index is non-negative and 0 only under perfect equality
+    assert got["theil_sum_fp"] >= 0
