@@ -6649,6 +6649,77 @@ def q_theil_index(sf_dir):
     }])
 
 
+WEIGHTED_JOIN_SAMPLE_K = 50
+
+
+def q_weighted_join_sample(sf_dir, k: int = WEIGHTED_JOIN_SAMPLE_K):
+    """Weighted sampling over a JOIN (the 'Streaming Weighted Sampling
+    over Join Queries' shape, EDBT 2023 — see PAPERS.md): draw k line
+    items ∝ extendedprice FROM THE JOIN lineitem⋈part, carrying the
+    joined attribute (p_type) into the sample. Same deterministic A-ES
+    construction as q_weighted_sample (u from md5 of the row key, score
+    = ln(u)/w, libm ln both sides) — the join never materializes
+    globally: part attrs ride per actor (true dimension, the
+    promo_revenue_ratio pattern), each block keeps its local top-k, and
+    one combine task folds ≤ blocks×k rows."""
+    import math
+
+    pref = ray.put(
+        T(sf_dir, "part", ["p_partkey", "p_type"]).to_arrow_refs())
+
+    class _Keys:
+        def __init__(self):
+            t = pa.concat_tables(ray.get(ray.get(pref)))
+            self.keys = t["p_partkey"].combine_chunks()
+            self.types = t["p_type"].combine_chunks()
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            idx = pc.index_in(b["l_partkey"], value_set=self.keys)
+            ptype = self.types.take(idx)
+            ok = b["l_orderkey"].to_pylist()
+            ln_ = b["l_linenumber"].to_pylist()
+            w = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            u = np.array(
+                [int(hashlib.md5(f"{o}:{n}".encode()).hexdigest()[:8],
+                     16) + 1 for o, n in zip(ok, ln_)],
+                np.float64) / 4294967296.0
+            key = np.array([math.log(x) for x in u], np.float64) / w
+            df = pd.DataFrame({
+                "l_orderkey": ok, "l_linenumber": ln_,
+                "p_type": ptype.to_pylist(), "key": key,
+            })
+            df = df.sort_values(
+                ["key", "l_orderkey", "l_linenumber"],
+                ascending=[False, True, True]).head(k)
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = T(sf_dir, "lineitem",
+              ["l_orderkey", "l_linenumber", "l_partkey",
+               "l_extendedprice"]).map_batches(
+        _Keys, batch_format="pyarrow",
+        concurrency=(1, 4)).materialize()
+
+    @ray.remote
+    def _final(refs) -> pa.Table:
+        blocks = ray.get(list(refs))
+        t = pa.concat_tables([b for b in blocks if b.num_rows])
+        df = t.to_pandas().sort_values(
+            ["key", "l_orderkey", "l_linenumber"],
+            ascending=[False, True, True]).head(k)
+        return pa.table({
+            "l_orderkey": pa.array(df["l_orderkey"].to_numpy(np.int64)),
+            "l_linenumber": pa.array(
+                df["l_linenumber"].to_numpy(np.int64)),
+            "p_type": pa.array(df["p_type"].tolist(), pa.string()),
+            "key_fp": pa.array(_round_half_away(
+                df["key"].to_numpy() * 1e9).astype(np.int64)),
+        })
+
+    import ray.data as rd
+
+    return rd.from_arrow_refs([_final.remote(parts.to_arrow_refs())])
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -6780,6 +6851,7 @@ def queries() -> dict:
         "event_cooccurrence": q_event_cooccurrence,
         "compact_store": q_compact_store,
         "theil_index": q_theil_index,
+        "weighted_join_sample": q_weighted_join_sample,
     }
 
 
@@ -8705,4 +8777,27 @@ ORACLES["theil_index"] = """
                                       * (ln(x) + ln(n) - ln(s))))
                          AS BIGINT)) AS BIGINT) AS theil_sum_fp
     FROM pc, t GROUP BY n
+"""
+
+ORACLES["weighted_join_sample"] = """
+    WITH j AS (
+        SELECT l_orderkey, l_linenumber, p_type, l_extendedprice,
+               md5(CAST(l_orderkey AS VARCHAR) || ':'
+                   || CAST(l_linenumber AS VARCHAR)) AS h
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    u AS (
+        SELECT l_orderkey, l_linenumber, p_type, l_extendedprice,
+               ((SELECT sum((strpos('0123456789abcdef',
+                                    substr(h, i, 1)) - 1)
+                            * 16 ** (8 - i))
+                 FROM range(1, 9) t(i)) + 1) / 4294967296.0 AS uu
+        FROM j
+    )
+    SELECT l_orderkey, l_linenumber, p_type,
+           CAST(round(1e9 * (ln(uu) / l_extendedprice)) AS BIGINT)
+               AS key_fp
+    FROM u
+    ORDER BY ln(uu) / l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 50
 """
