@@ -6720,6 +6720,157 @@ def q_weighted_join_sample(sf_dir, k: int = WEIGHTED_JOIN_SAMPLE_K):
     return rd.from_arrow_refs([_final.remote(parts.to_arrow_refs())])
 
 
+LCR_MAX_HOPS = 3
+LCR_MAX_SINGLE_EDGES = 5_000_000
+
+# DFA for the path-label language 0·1* (first edge labeled 0, then any
+# number of 1-labeled edges): state 0 --lbl 0--> state 1 --lbl 1--> 1.
+# Accepting state: 1. Encoded as {(q, lbl): q'}.
+_LCR_DFA = {(0, 0): 1, (1, 1): 1}
+_LCR_ACCEPT = 1
+
+
+@ray.remote
+def _lcr_task(n: int, max_hops: int, *tables: pa.Table) -> pa.Table:
+    """Single-task label-constrained BFS over the PRODUCT graph
+    (node × DFA state) — small-graph tier. Same searchsorted slicing
+    as _bfs_task, with the automaton step fused into the gather."""
+    live = [t for t in tables if t.num_rows > 0]
+    t = pa.concat_tables(live)
+    order = np.argsort(t["src"].to_numpy(zero_copy_only=False),
+                       kind="stable")
+    src_s = t["src"].to_numpy(zero_copy_only=False)[order]
+    dst_s = t["dst"].to_numpy(zero_copy_only=False)[order]
+    lbl_s = t["lbl"].to_numpy(zero_copy_only=False)[order]
+    n_q = 2
+    dist = np.full(n * n_q, -1, dtype=np.int64)  # (node, q) → hop
+    dist[0 * n_q + 0] = 0
+    frontier = np.array([0 * n_q + 0], dtype=np.int64)
+    for hop in range(1, max_hops + 1):
+        nodes = frontier // n_q
+        qs = frontier % n_q
+        lo = np.searchsorted(src_s, nodes, side="left")
+        hi = np.searchsorted(src_s, nodes, side="right")
+        outs = []
+        for a, b, q in zip(lo, hi, qs):
+            if b <= a:
+                continue
+            d, l = dst_s[a:b], lbl_s[a:b]
+            for (q0, lbl), q1 in _LCR_DFA.items():
+                if q0 != q:
+                    continue
+                m = l == lbl
+                if m.any():
+                    outs.append(d[m] * n_q + q1)
+        if not outs:
+            break
+        cand = np.unique(np.concatenate(outs))
+        new = cand[dist[cand] == -1]
+        if len(new) == 0:
+            break
+        dist[new] = hop
+        frontier = new
+    # per NODE: min hop over accepting product states
+    acc = dist[np.arange(n) * n_q + _LCR_ACCEPT]
+    keep = acc >= 0
+    return pa.table({
+        "node": pa.array(np.arange(n, dtype=np.int64)[keep]),
+        "dist": pa.array(acc[keep], pa.int64()),
+    })
+
+
+def q_label_reachability(sf_dir, max_hops: int = LCR_MAX_HOPS,
+                         max_single_edges: int = LCR_MAX_SINGLE_EDGES):
+    """Label-constrained reachability (the ICDE 2022 billion-scale LCR
+    shape, see PAPERS.md): nodes reachable from node 0 by a path whose
+    EDGE-LABEL SEQUENCE matches the regular language 0·1*, with the min
+    hop count. Solved as BFS over the PRODUCT graph (node × DFA state)
+    — the standard LCR construction — so the distributed tier is
+    exactly the graph_bfs join plan with a (node, q) composite frontier
+    key and a vectorized automaton step after the edge join. Edge
+    labels derive deterministically from the order graph
+    (lbl = o_orderkey mod 3). Below the edge guard the collected
+    single-task tier runs instead (tiers pinned identical by test)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min
+
+    cust = T(sf_dir, "customer", ["c_custkey"])
+    dom = cust.aggregate(Min("c_custkey"), Max("c_custkey"), Count())
+    n = dom["count()"]
+    if dom["min(c_custkey)"] != 0 or dom["max(c_custkey)"] != n - 1:
+        raise ValueError("label_reachability needs dense 0-based "
+                         "c_custkey")
+    orders = T(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def _e(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        c = b["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(c.astype(np.int64), pa.int64()),
+            "dst": pa.array((k % n).astype(np.int64), pa.int64()),
+            "lbl": pa.array((k % 3).astype(np.int64), pa.int64()),
+        })
+
+    edges = orders.map_batches(_e, batch_format="pyarrow").materialize()
+    if edges.count() <= max_single_edges:
+        return rd.from_arrow_refs(
+            [_lcr_task.remote(n, max_hops, *edges.to_arrow_refs())])
+
+    n_q = 2
+    visited = rd.from_arrow(pa.table({
+        "pk": pa.array([0 * n_q + 0], pa.int64()),
+        "dist": pa.array([0], pa.int64()),
+    })).materialize()
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        fr = frontier.map_batches(
+            lambda b: pa.table({
+                "src": pc.cast(pc.divide(b["pk"], n_q), pa.int64()),
+                "q": pa.array(
+                    b["pk"].to_numpy(zero_copy_only=False) % n_q,
+                    pa.int64()),
+            }),
+            batch_format="pyarrow")
+        cand = edges.join(fr, "inner", num_partitions=8, on=("src",))
+
+        def _step(b: pa.Table) -> pa.Table:
+            q = b["q"].to_numpy(zero_copy_only=False)
+            lbl = b["lbl"].to_numpy(zero_copy_only=False)
+            dst = b["dst"].to_numpy(zero_copy_only=False)
+            q1 = np.full(len(q), -1, np.int64)
+            for (q0, lb), qn in _LCR_DFA.items():
+                q1[(q == q0) & (lbl == lb)] = qn
+            keep = q1 >= 0
+            return pa.table({"pk": pa.array(
+                dst[keep] * n_q + q1[keep], pa.int64())})
+
+        cand = fast_groupby_agg(
+            cand.map_batches(_step, batch_format="pyarrow"),
+            ["pk"], {"_n": (None, "count")})
+        new = cand.join(visited.select_columns(["pk"]), "left_anti",
+                        num_partitions=8, on=("pk",))
+        new = new.map_batches(
+            lambda b, h=hop: pa.table({
+                "pk": b["pk"],
+                "dist": pa.array(np.full(b.num_rows, h), pa.int64()),
+            }),
+            batch_format="pyarrow").materialize()
+        if new.count() == 0:
+            break
+        visited = visited.union(new).materialize()
+        frontier = new
+
+    acc = visited.map_batches(
+        lambda b: (lambda pk, d: pa.table({
+            "node": pa.array(pk[pk % n_q == _LCR_ACCEPT] // n_q,
+                             pa.int64()),
+            "dist": pa.array(d[pk % n_q == _LCR_ACCEPT], pa.int64()),
+        }))(b["pk"].to_numpy(zero_copy_only=False),
+            b["dist"].to_numpy(zero_copy_only=False)),
+        batch_format="pyarrow")
+    return acc
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -6852,6 +7003,7 @@ def queries() -> dict:
         "compact_store": q_compact_store,
         "theil_index": q_theil_index,
         "weighted_join_sample": q_weighted_join_sample,
+        "label_reachability": q_label_reachability,
     }
 
 
@@ -8800,4 +8952,47 @@ ORACLES["weighted_join_sample"] = """
     FROM u
     ORDER BY ln(uu) / l_extendedprice DESC, l_orderkey, l_linenumber
     LIMIT 50
+"""
+
+ORACLES["label_reachability"] = """
+    WITH e AS (
+        SELECT o_custkey AS src,
+               o_orderkey % (SELECT count(*) FROM customer) AS dst,
+               o_orderkey % 3 AS lbl
+        FROM orders
+    ),
+    f0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS q,
+                  CAST(0 AS BIGINT) AS d),
+    v0 AS (SELECT * FROM f0),
+    n1 AS (
+        SELECT DISTINCT e.dst AS node, CAST(1 AS BIGINT) AS q,
+               CAST(1 AS BIGINT) AS d
+        FROM f0 f JOIN e ON e.src = f.node
+        WHERE (f.q = 0 AND e.lbl = 0) OR (f.q = 1 AND e.lbl = 1)
+    ),
+    f1 AS (SELECT * FROM n1 WHERE NOT EXISTS (
+               SELECT 1 FROM v0 v
+               WHERE v.node = n1.node AND v.q = n1.q)),
+    v1 AS (SELECT * FROM v0 UNION ALL SELECT * FROM f1),
+    n2 AS (
+        SELECT DISTINCT e.dst AS node, CAST(1 AS BIGINT) AS q,
+               CAST(2 AS BIGINT) AS d
+        FROM f1 f JOIN e ON e.src = f.node
+        WHERE (f.q = 0 AND e.lbl = 0) OR (f.q = 1 AND e.lbl = 1)
+    ),
+    f2 AS (SELECT * FROM n2 WHERE NOT EXISTS (
+               SELECT 1 FROM v1 v
+               WHERE v.node = n2.node AND v.q = n2.q)),
+    v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM f2),
+    n3 AS (
+        SELECT DISTINCT e.dst AS node, CAST(1 AS BIGINT) AS q,
+               CAST(3 AS BIGINT) AS d
+        FROM f2 f JOIN e ON e.src = f.node
+        WHERE (f.q = 0 AND e.lbl = 0) OR (f.q = 1 AND e.lbl = 1)
+    ),
+    f3 AS (SELECT * FROM n3 WHERE NOT EXISTS (
+               SELECT 1 FROM v2 v
+               WHERE v.node = n3.node AND v.q = n3.q)),
+    v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM f3)
+    SELECT node, d AS dist FROM v3 WHERE q = 1
 """

@@ -1922,3 +1922,29 @@ def test_theil_index_matches_direct_computation():
     assert got["theil_sum_fp"] == int(terms.sum())
     # Theil index is non-negative and 0 only under perfect equality
     assert got["theil_sum_fp"] >= 0
+
+
+def test_label_reachability_tiers_equal_and_semantics():
+    """The distributed product-graph tier (forced via guard=0) must
+    equal the single-task tier, and hop-1 nodes must be exactly the
+    lbl-0 out-neighbors of node 0 (the DFA's required first step)."""
+    from fide_crawler_ray.pipelines.relational import (
+        T, q_label_reachability)
+
+    one = (q_label_reachability(SF).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    dist = (q_label_reachability(SF, max_single_edges=0).to_pandas()
+            .sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(one, dist)
+
+    o = T(SF, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
+    n = T(SF, "customer", ["c_custkey"]).count()
+    e = pd.DataFrame({
+        "src": o["o_custkey"].astype("int64"),
+        "dst": (o["o_orderkey"] % n).astype("int64"),
+        "lbl": (o["o_orderkey"] % 3).astype("int64"),
+    })
+    hop1 = set(e[(e["src"] == 0) & (e["lbl"] == 0)]["dst"])
+    got1 = set(one[one["dist"] == 1]["node"])
+    assert got1 == hop1
+    assert (one["dist"] >= 1).all()
