@@ -6871,6 +6871,82 @@ def q_label_reachability(sf_dir, max_hops: int = LCR_MAX_HOPS,
     return acc
 
 
+def q_k_anonymity(sf_dir, k: int = 5):
+    """k-anonymity audit (the re-identification-risk screen a training
+    corpus with person-level rows needs): customers grouped by the
+    quasi-identifier triple (nation, market segment, account-balance
+    band of 1000); any group smaller than k is re-identifiable. Output
+    is the audit summary — total groups, risky groups, rows at risk,
+    and the worst (smallest) group size. Plan: one map-side-combined
+    groupby over the quasi-identifier (group-count-sized exchange),
+    then per-block partial sums of the risk flags — the quasi-id
+    aggregate never lands on the driver."""
+    quasi = T(sf_dir, "customer",
+              ["c_nationkey", "c_mktsegment", "c_acctbal"]).map_batches(
+        lambda b: pa.table({
+            "c_nationkey": b["c_nationkey"],
+            "c_mktsegment": b["c_mktsegment"],
+            # +100000 shift keeps the dividend positive (acctbal can be
+            # negative; python // floors but DuckDB // truncates — on
+            # nonneg ints they agree)
+            "bal_band": pa.array(
+                (_round_half_away(
+                    b["c_acctbal"].to_numpy(zero_copy_only=False)
+                    * 100.0).astype(np.int64) + 100_000) // 100_000,
+                pa.int64()),
+        }),
+        batch_format="pyarrow")
+    groups = fast_groupby_agg(
+        quasi, ["c_nationkey", "c_mktsegment", "bal_band"],
+        {"n": (None, "count")})
+
+    def _audit(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        risky = n < k
+        return pa.table({
+            "n_groups": pa.array([len(n)], pa.int64()),
+            "n_risky_groups": pa.array([int(risky.sum())], pa.int64()),
+            "n_risky_rows": pa.array([int(n[risky].sum())], pa.int64()),
+            "min_group": pa.array([int(n.min()) if len(n) else 0],
+                                  pa.int64()),
+        })
+
+    parts = groups.map_batches(_audit, batch_format="pyarrow") \
+        .to_pandas()
+    return pd.DataFrame([{
+        "n_groups": int(parts["n_groups"].sum()),
+        "n_risky_groups": int(parts["n_risky_groups"].sum()),
+        "n_risky_rows": int(parts["n_risky_rows"].sum()),
+        "min_group": int(parts["min_group"].min()),
+    }])
+
+
+def q_weekly_revenue(sf_dir):
+    """ISO-calendar weekly revenue rollup (the calendar-correct weekly
+    reporting shape — ISO weeks straddle year boundaries, so naive
+    year+weekofyear double-counts): key = (isoyear, isoweek), verified
+    pandas.isocalendar ≡ DuckDB isoyear()/week() on this data. One
+    map + one week-domain-sized groupby over integer cents."""
+
+    def _wk(df: pd.DataFrame) -> pd.DataFrame:
+        ic = df["o_orderdate"].dt.isocalendar()
+        return pd.DataFrame({
+            "iso_year": ic["year"].astype("int64"),
+            "iso_week": ic["week"].astype("int64"),
+            "cents": pd.Series(_round_half_away(
+                df["o_totalprice"].to_numpy() * 100.0
+            ).astype(np.int64)),
+            "one": np.ones(len(df), np.int64),
+        })
+
+    folded = T(sf_dir, "orders",
+               ["o_orderdate", "o_totalprice"]).map_batches(
+        _wk, batch_format="pandas")
+    return fast_groupby_agg(folded, ["iso_year", "iso_week"], {
+        "revenue_fp": ("cents", "sum"), "n_orders": (None, "count"),
+    })
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -7004,6 +7080,8 @@ def queries() -> dict:
         "theil_index": q_theil_index,
         "weighted_join_sample": q_weighted_join_sample,
         "label_reachability": q_label_reachability,
+        "k_anonymity": q_k_anonymity,
+        "weekly_revenue": q_weekly_revenue,
     }
 
 
@@ -8995,4 +9073,33 @@ ORACLES["label_reachability"] = """
                WHERE v.node = n3.node AND v.q = n3.q)),
     v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM f3)
     SELECT node, d AS dist FROM v3 WHERE q = 1
+"""
+
+ORACLES["k_anonymity"] = """
+    WITH q AS (
+        SELECT c_nationkey, c_mktsegment,
+               (CAST(round(c_acctbal * 100) AS BIGINT) + 100000)
+                   // 100000 AS bal_band
+        FROM customer
+    ),
+    g AS (
+        SELECT c_nationkey, c_mktsegment, bal_band, count(*) AS n
+        FROM q GROUP BY c_nationkey, c_mktsegment, bal_band
+    )
+    SELECT count(*) AS n_groups,
+           CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_risky_groups,
+           CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+               AS n_risky_rows,
+           CAST(min(n) AS BIGINT) AS min_group
+    FROM g
+"""
+
+ORACLES["weekly_revenue"] = """
+    SELECT CAST(isoyear(o_orderdate) AS BIGINT) AS iso_year,
+           CAST(week(o_orderdate) AS BIGINT) AS iso_week,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_fp,
+           count(*) AS n_orders
+    FROM orders GROUP BY iso_year, iso_week
 """
