@@ -6947,6 +6947,109 @@ def q_weekly_revenue(sf_dir):
     })
 
 
+def q_psi_drift(sf_dir):
+    """Population-stability-index drift detector (the ML-ops screen for
+    feature drift between two periods): event values banded to 20.00
+    buckets, distributions compared between the first and second half
+    of the stream, PSI term (p1−p2)·ln(p1/p2) per bucket with add-one
+    smoothing. Every probability is one exact-int double division, the
+    ln is libm on that ratio, and the ×1e9 quantization happens per
+    BUCKET before any sum — the standard mirrored-float-tree policy.
+    Plan: per-block (bucket, c1, c2) partials → one bucket-domain-sized
+    groupby; only three scalars (t1, t2, n_buckets) touch the driver."""
+    import math
+
+    cut = np.datetime64("2024-01-16").astype(
+        "datetime64[ns]").view("int64")
+
+    def _b(b: pa.Table) -> pa.Table:
+        cents = _round_half_away(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        bucket = cents // 2000
+        p1 = (_ts_ns(b["ts"]) < cut).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(bucket, pa.int64()),
+            "c1": pa.array(p1, pa.int64()),
+            "c2": pa.array(1 - p1, pa.int64()),
+        })
+
+    cnt = fast_groupby_agg(
+        T(sf_dir, "events", ["ts", "value"]).map_batches(
+            _b, batch_format="pyarrow"),
+        ["bucket"], {"c1": ("c1", "sum"), "c2": ("c2", "sum")},
+    ).materialize()
+    t1 = cnt.sum("c1")
+    t2 = cnt.sum("c2")
+    nb = cnt.count()
+
+    def _terms(b: pa.Table) -> pa.Table:
+        c1 = b["c1"].to_numpy(zero_copy_only=False)
+        c2 = b["c2"].to_numpy(zero_copy_only=False)
+        term = np.empty(len(c1), np.float64)
+        for i in range(len(c1)):
+            p1 = (int(c1[i]) + 1.0) / (t1 + float(nb))
+            p2 = (int(c2[i]) + 1.0) / (t2 + float(nb))
+            term[i] = 1e9 * ((p1 - p2) * math.log(p1 / p2))
+        return b.append_column("psi_term_fp", pa.array(
+            _round_half_away(term).astype(np.int64)))
+
+    return cnt.map_batches(_terms, batch_format="pyarrow")
+
+
+def q_ab_test_welch(sf_dir):
+    """Deterministic A/B experiment readout with a Welch unequal-
+    variance 95% CI: users split into arms by md5(user_id) first nibble
+    (reproducible assignment — the experimentation primitive), value
+    compared in exact integer cents. All moments (n, Σx, Σx²) are exact
+    int64 partial sums; mean/variance/CI are ONE mirrored float tree
+    over those exact ints (sample variance /(n−1), se = sqrt(va/na +
+    vb/nb), the 1.96 literal written identically on both sides — sqrt
+    is IEEE-exact, the tree is shape-mirrored). Per-block partials →
+    one 2-row combine; nothing user-level leaves the workers."""
+    import hashlib as _hl
+    import math
+
+    def _m(b: pa.Table) -> pa.Table:
+        cents = _round_half_away(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        arm_a = np.array([
+            int(_hl.md5(str(u).encode()).hexdigest()[0], 16) < 8
+            for u in b["user_id"].to_pylist()])
+        rows = []
+        for arm, mask in (("A", arm_a), ("B", ~arm_a)):
+            x = cents[mask]
+            rows.append({"arm": arm, "n": len(x),
+                         "s": int(x.sum()),
+                         "s2": int((x * x).sum())})
+        df = pd.DataFrame(rows)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    mom = fast_groupby_agg(
+        T(sf_dir, "events", ["user_id", "value"]).map_batches(
+            _m, batch_format="pyarrow"),
+        ["arm"], {"n": ("n", "sum"), "s": ("s", "sum"),
+                  "s2": ("s2", "sum")}).to_pandas().set_index("arm")
+    na, sa, s2a = (int(mom.loc["A", c]) for c in ("n", "s", "s2"))
+    nb_, sb, s2b = (int(mom.loc["B", c]) for c in ("n", "s", "s2"))
+    ma = (sa * 1.0) / na
+    mb = (sb * 1.0) / nb_
+    va = (s2a * 1.0 - (sa * 1.0) * (sa * 1.0) / na) / (na - 1)
+    vb = (s2b * 1.0 - (sb * 1.0) * (sb * 1.0) / nb_) / (nb_ - 1)
+    se = math.sqrt(va / na + vb / nb_)
+    diff = ma - mb
+    fp = _round_half_away(np.array([
+        1e6 * diff, 1e6 * (diff - 1.96 * se), 1e6 * (diff + 1.96 * se),
+    ])).astype(np.int64)
+    return pd.DataFrame([{
+        "n_a": na, "n_b": nb_,
+        "diff_fp": int(fp[0]),
+        "ci_lo_fp": int(fp[1]),
+        "ci_hi_fp": int(fp[2]),
+    }])
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -7082,6 +7185,8 @@ def queries() -> dict:
         "label_reachability": q_label_reachability,
         "k_anonymity": q_k_anonymity,
         "weekly_revenue": q_weekly_revenue,
+        "psi_drift": q_psi_drift,
+        "ab_test_welch": q_ab_test_welch,
     }
 
 
@@ -9102,4 +9207,71 @@ ORACLES["weekly_revenue"] = """
                 AS BIGINT) AS revenue_fp,
            count(*) AS n_orders
     FROM orders GROUP BY iso_year, iso_week
+"""
+
+ORACLES["psi_drift"] = """
+    WITH b AS (
+        SELECT CAST(round(value * 100) AS BIGINT) // 2000 AS bucket,
+               CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
+                   AS in1
+        FROM events
+    ),
+    cnt AS (
+        SELECT bucket,
+               CAST(sum(in1) AS BIGINT) AS c1,
+               CAST(sum(1 - in1) AS BIGINT) AS c2
+        FROM b GROUP BY bucket
+    ),
+    tot AS (SELECT CAST(sum(c1) AS BIGINT) AS t1,
+                   CAST(sum(c2) AS BIGINT) AS t2,
+                   count(*) AS nb
+            FROM cnt)
+    SELECT bucket, c1, c2,
+           CAST(round(1e9 * ((((c1 + 1.0) / (t1 + CAST(nb AS DOUBLE)))
+                              - ((c2 + 1.0) / (t2 + CAST(nb AS DOUBLE))))
+                             * ln(((c1 + 1.0) / (t1 + CAST(nb AS DOUBLE)))
+                                  / ((c2 + 1.0)
+                                     / (t2 + CAST(nb AS DOUBLE))))))
+                AS BIGINT) AS psi_term_fp
+    FROM cnt, tot
+"""
+
+ORACLES["ab_test_welch"] = """
+    WITH a AS (
+        SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                         IN ('0','1','2','3','4','5','6','7')
+                    THEN 'A' ELSE 'B' END AS arm,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    m AS (
+        SELECT arm, count(*) AS n,
+               CAST(sum(cents) AS BIGINT) AS s,
+               CAST(sum(cents * cents) AS BIGINT) AS s2
+        FROM a GROUP BY arm
+    ),
+    w AS (
+        SELECT
+            max(CASE WHEN arm = 'A' THEN n END) AS na,
+            max(CASE WHEN arm = 'A' THEN s END) AS sa,
+            max(CASE WHEN arm = 'A' THEN s2 END) AS s2a,
+            max(CASE WHEN arm = 'B' THEN n END) AS nb,
+            max(CASE WHEN arm = 'B' THEN s END) AS sb,
+            max(CASE WHEN arm = 'B' THEN s2 END) AS s2b
+        FROM m
+    ),
+    c AS (
+        SELECT na, nb,
+               (sa * 1.0) / na - (sb * 1.0) / nb AS diff,
+               sqrt(((s2a * 1.0 - (sa * 1.0) * (sa * 1.0) / na)
+                     / (na - 1)) / na
+                    + ((s2b * 1.0 - (sb * 1.0) * (sb * 1.0) / nb)
+                       / (nb - 1)) / nb) AS se
+        FROM w
+    )
+    SELECT na AS n_a, nb AS n_b,
+           CAST(round(1e6 * diff) AS BIGINT) AS diff_fp,
+           CAST(round(1e6 * (diff - 1.96 * se)) AS BIGINT) AS ci_lo_fp,
+           CAST(round(1e6 * (diff + 1.96 * se)) AS BIGINT) AS ci_hi_fp
+    FROM c
 """
