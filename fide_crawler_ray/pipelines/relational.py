@@ -7050,6 +7050,42 @@ def q_ab_test_welch(sf_dir):
     }])
 
 
+def q_frequent_itemsets(sf_dir, min_support: int = 10):
+    """Market-basket frequent PAIRS (the A-Priori second pass): baskets
+    are orders, items are the part types they contain; count baskets
+    containing each unordered type pair, keep support ≥ min_support.
+    Plan: lineitem collapses to DISTINCT (order, type) map-side (the
+    A-Priori dedup); pair expansion runs per basket in sorted
+    map_groups (baskets are small by construction — the per-key
+    bounded assumption); the final exchange is the tiny type×type
+    count matrix."""
+    pairs_src = fast_groupby_agg(
+        T(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+            lambda b: b, batch_format="pyarrow"),
+        ["l_orderkey", "l_partkey"], {"_n": (None, "count")})
+    part = T(sf_dir, "part", ["p_partkey", "p_type"])
+    j = pairs_src.join(part, "inner", num_partitions=8,
+                       on=("l_partkey",), right_on=("p_partkey",))
+    ot = fast_groupby_agg(j, ["l_orderkey", "p_type"],
+                          {"_m": (None, "count")})
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ts = sorted(g["p_type"].tolist())
+        if len(ts) < 2:
+            return pd.DataFrame({"item_a": [], "item_b": []})
+        a, b = zip(*[(ts[i], ts[k]) for i in range(len(ts))
+                     for k in range(i + 1, len(ts))])
+        return pd.DataFrame({"item_a": list(a), "item_b": list(b)})
+
+    pairs = ot.groupby("l_orderkey").map_groups(
+        _pairs, batch_format="pandas")
+    counts = fast_groupby_agg(pairs, ["item_a", "item_b"],
+                              {"support": (None, "count")})
+    return counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["support"], min_support)),
+        batch_format="pyarrow")
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -7187,6 +7223,7 @@ def queries() -> dict:
         "weekly_revenue": q_weekly_revenue,
         "psi_drift": q_psi_drift,
         "ab_test_welch": q_ab_test_welch,
+        "frequent_itemsets": q_frequent_itemsets,
     }
 
 
@@ -9274,4 +9311,17 @@ ORACLES["ab_test_welch"] = """
            CAST(round(1e6 * (diff - 1.96 * se)) AS BIGINT) AS ci_lo_fp,
            CAST(round(1e6 * (diff + 1.96 * se)) AS BIGINT) AS ci_hi_fp
     FROM c
+"""
+
+ORACLES["frequent_itemsets"] = """
+    WITH ot AS (
+        SELECT DISTINCT l_orderkey, p_type
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    )
+    SELECT a.p_type AS item_a, b.p_type AS item_b,
+           count(*) AS support
+    FROM ot a JOIN ot b
+      ON a.l_orderkey = b.l_orderkey AND a.p_type < b.p_type
+    GROUP BY item_a, item_b
+    HAVING count(*) >= 10
 """
