@@ -260,3 +260,56 @@ def test_anomaly_integer_rule_equals_float_rule(counts):
         # the float expressions are not at an exact boundary
         if (n[i] - mean) ** 2 != 9 * var:
             assert int_rule == float_rule
+
+
+@given(st.lists(st.text(alphabet="abcd", min_size=1, max_size=8),
+                min_size=1, max_size=30),
+       st.sampled_from(["a", "b", "c", "d"]),
+       st.sampled_from(["a", "b", "c", "d"]))
+@settings(max_examples=60, deadline=None)
+def test_bpe_apply_preserves_text_and_shrinks(words, la, lb):
+    """_bpe_apply invariants: the concatenation of symbols is unchanged
+    (a merge only regroups, never rewrites), the symbol count never
+    grows, and applying the same merge twice is idempotent."""
+    from fide_crawler_ray.pipelines.textclean import _bpe_apply
+
+    for w in words:
+        syms = list(w) + ["</w>"]
+        out = _bpe_apply(syms, la, lb)
+        assert "".join(out) == "".join(syms)
+        assert len(out) <= len(syms)
+        assert _bpe_apply(out, la, lb) == out
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10**6),
+                min_size=2, max_size=200, unique=True))
+@settings(max_examples=40, deadline=None)
+def test_epoch_shuffle_key_is_total_order(ids):
+    """The (md5, id) shuffle key is a strict total order over any id
+    set (no collisions can make the epoch order ambiguous)."""
+    keys = [(hashlib.md5(f"0:{i}".encode()).hexdigest(), i)
+            for i in ids]
+    assert len(set(keys)) == len(ids)
+    a = sorted(ids, key=lambda i: (
+        hashlib.md5(f"0:{i}".encode()).hexdigest(), i))
+    b = sorted(ids, key=lambda i: (
+        hashlib.md5(f"0:{i}".encode()).hexdigest(), i))
+    assert a == b
+
+
+@given(st.lists(st.integers(min_value=0, max_value=500),
+                min_size=1, max_size=50))
+@settings(max_examples=40, deadline=None)
+def test_psi_term_zero_iff_identical_distributions(counts):
+    """PSI property: when both periods have IDENTICAL bucket counts the
+    per-bucket term is exactly 0 (p1 == p2 bitwise under the mirrored
+    expression), so equal distributions can never read as drift."""
+    import math
+
+    t = sum(counts)
+    nb = len(counts)
+    for c in counts:
+        p1 = (c + 1.0) / (t + float(nb))
+        p2 = (c + 1.0) / (t + float(nb))
+        term = 1e9 * ((p1 - p2) * math.log(p1 / p2))
+        assert term == 0.0
