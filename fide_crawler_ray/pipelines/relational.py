@@ -7086,6 +7086,52 @@ def q_frequent_itemsets(sf_dir, min_support: int = 10):
         batch_format="pyarrow")
 
 
+def q_db_file_export(sf_dir):
+    """S9: single-file database export — the reference ships its crawl
+    output as a copyable sqlite .db artifact (SURVEY §2.1 S9, scoped
+    out until now); the engine exports a report aggregate into a
+    DuckDB database FILE and round-trips it. The exported table is
+    report-sized (an aggregate, never fact data), so the single-file
+    artifact step is driver-side by design — the same contract as the
+    reference's artifact copy. The oracle recomputes the aggregate
+    straight from parquet, so a lossy export fails the hash, not just
+    a smoke test."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    import duckdb as _dk
+
+    agg = fast_groupby_agg(
+        T(sf_dir, "orders", ["o_orderstatus", "o_totalprice"]
+          ).map_batches(
+            lambda b: pa.table({
+                "o_orderstatus": b["o_orderstatus"],
+                "cents": pa.array(_round_half_away(
+                    b["o_totalprice"].to_numpy(zero_copy_only=False)
+                    * 100.0).astype(np.int64), pa.int64()),
+            }),
+            batch_format="pyarrow"),
+        ["o_orderstatus"], {"n": (None, "count"),
+                            "revenue_fp": ("cents", "sum")}
+    ).to_pandas()
+    out = tempfile.mkdtemp(prefix="fcray_dbexport_")
+    try:
+        path = _os.path.join(out, "report.duckdb")
+        con = _dk.connect(path)
+        con.execute("CREATE TABLE report AS SELECT * FROM agg")
+        con.close()
+        ro = _dk.connect(path, read_only=True)
+        back = ro.execute(
+            "SELECT o_orderstatus, CAST(n AS BIGINT) AS n, "
+            "CAST(revenue_fp AS BIGINT) AS revenue_fp "
+            "FROM report ORDER BY o_orderstatus").df()
+        ro.close()
+        return back
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -7224,6 +7270,7 @@ def queries() -> dict:
         "psi_drift": q_psi_drift,
         "ab_test_welch": q_ab_test_welch,
         "frequent_itemsets": q_frequent_itemsets,
+        "db_file_export": q_db_file_export,
     }
 
 
@@ -9324,4 +9371,12 @@ ORACLES["frequent_itemsets"] = """
       ON a.l_orderkey = b.l_orderkey AND a.p_type < b.p_type
     GROUP BY item_a, item_b
     HAVING count(*) >= 10
+"""
+
+ORACLES["db_file_export"] = """
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_fp
+    FROM orders GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
 """

@@ -73,13 +73,45 @@ def to_markdown(df: pd.DataFrame, float_fmt: str = "{:.4f}") -> str:
     return "\n".join(lines) + "\n"
 
 
+class ReportSession:
+    """ST5: session language state — the engine analog of the
+    reference's ``st.session_state['lang']`` toggle (reference
+    ui/streamlit_ui.py:398–414, default 'pt', flag buttons flip it; every
+    subsequent render consults the session). Here the session object
+    holds the language across report writes and localizes column
+    headers through functions/localization.py (M19) at render time —
+    presentation state only, never shipped into the data plane."""
+
+    _TOGGLE = {"pt-BR": "en-US", "en-US": "pt-BR"}
+
+    def __init__(self, lang: str = "pt-BR"):
+        self.lang = lang
+
+    def toggle(self) -> str:
+        self.lang = self._TOGGLE.get(self.lang, "pt-BR")
+        return self.lang
+
+    def write(self, result, out_path: str,
+              formats: tuple[str, ...] = ("csv", "md"),
+              max_rows: int = MAX_REPORT_ROWS) -> dict[str, str]:
+        return write_report(result, out_path, formats=formats,
+                            max_rows=max_rows, lang=self.lang)
+
+
 def write_report(result, out_path: str, formats: tuple[str, ...] = ("csv", "md"),
-                 max_rows: int = MAX_REPORT_ROWS) -> dict[str, str]:
+                 max_rows: int = MAX_REPORT_ROWS,
+                 lang: str | None = None) -> dict[str, str]:
     """Write `result` (Dataset | pyarrow.Table | DataFrame) as
     `<out_path>.csv` / `<out_path>.md`, atomically replacing previous
-    versions (the reference's clear+set semantic). Returns
-    {format: path}."""
+    versions (the reference's clear+set semantic). When ``lang`` is
+    given, column headers are localized through the M19 lookup before
+    rendering (ST5 session-language semantics — data values are never
+    translated, only display labels). Returns {format: path}."""
     df = _to_frame(result, max_rows)
+    if lang is not None:
+        from ..functions.localization import localize_columns
+
+        df = localize_columns(df, lang)
     written = {}
     if "csv" in formats:
         p = f"{out_path}.csv"

@@ -218,3 +218,32 @@ def test_decode_real_pixels_when_decoder_available():
         means = [sum(c[i] for c in px) / len(px) for i in range(3)]
     for got, want in zip(means, (200, 40, 90)):
         assert abs(got - want) < 2.0  # resample of a solid color
+
+
+def test_report_session_language_state(tmp_path):
+    """ST5 semantics: the session's language persists across report
+    writes, the toggle flips it (reference ui/streamlit_ui.py:398-414),
+    and rendered headers come from the M19 localization table while
+    data values stay untranslated."""
+    from fide_crawler_ray.functions.localization import LABELS
+
+    df = pd.DataFrame({
+        "date": ["2024-01-01"],
+        "tournament_name": ["T1"],
+        "result": [1.0],
+    })
+    s = RP.ReportSession()               # defaults pt-BR like the reference
+    out = s.write(df, str(tmp_path / "r1"))
+    csv1 = open(out["csv"]).read()
+    assert csv1.splitlines()[0] == "Data,Nome do Torneio,Resultado"
+    assert "T1" in csv1                  # values untouched
+    # session state persists across writes
+    out2 = s.write(df, str(tmp_path / "r2"))
+    assert open(out2["csv"]).read().splitlines()[0] == \
+        "Data,Nome do Torneio,Resultado"
+    # toggle flips to en-US for subsequent renders
+    assert s.toggle() == "en-US"
+    out3 = s.write(df, str(tmp_path / "r3"))
+    head = open(out3["csv"]).read().splitlines()[0]
+    assert head == ",".join(LABELS["en-US"][c] for c in df.columns)
+    assert s.toggle() == "pt-BR"         # round trip
