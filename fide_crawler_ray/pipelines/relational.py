@@ -7132,6 +7132,100 @@ def q_db_file_export(sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+SSSP_ROUNDS = 4
+SSSP_MAX_SINGLE_EDGES = 5_000_000
+
+
+@ray.remote
+def _sssp_task(n: int, rounds: int, *tables: pa.Table) -> pa.Table:
+    """Single-task Bellman-Ford over the collected weighted edge list
+    (small-graph tier). Integer weights → exact distances."""
+    live = [t for t in tables if t.num_rows > 0]
+    t = pa.concat_tables(live)
+    src = t["src"].to_numpy(zero_copy_only=False)
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    w = t["w"].to_numpy(zero_copy_only=False)
+    INF = np.iinfo(np.int64).max // 4
+    dist = np.full(n, INF, dtype=np.int64)
+    dist[0] = 0
+    for _ in range(rounds):
+        cand = dist[src] + w
+        nd = dist.copy()
+        np.minimum.at(nd, dst, cand)
+        if np.array_equal(nd, dist):
+            break
+        dist = nd
+    keep = dist < INF
+    return pa.table({
+        "node": pa.array(np.arange(n, dtype=np.int64)[keep]),
+        "dist": pa.array(dist[keep], pa.int64()),
+    })
+
+
+def q_graph_sssp(sf_dir, rounds: int = SSSP_ROUNDS,
+                 max_single_edges: int = SSSP_MAX_SINGLE_EDGES):
+    """Weighted single-source shortest paths from node 0, Bellman-Ford
+    with a fixed round budget (the min-plus-semiring member of the
+    graph family: BFS counts hops, this minimizes integer edge-weight
+    sums — exact, no floats anywhere). Edge weights derive
+    deterministically from the order graph (w = okey//n mod 9 + 1).
+    Distributed tier per round: dist⋈edges hash join on src → map
+    candidate (dst, dist+w) → map-side-combined min per dst →
+    left-outer merge with the previous front. Below the edge guard the
+    collected single-task tier runs (pinned identical by test)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min
+
+    cust = T(sf_dir, "customer", ["c_custkey"])
+    dom = cust.aggregate(Min("c_custkey"), Max("c_custkey"), Count())
+    n = dom["count()"]
+    if dom["min(c_custkey)"] != 0 or dom["max(c_custkey)"] != n - 1:
+        raise ValueError("graph_sssp needs dense 0-based c_custkey")
+    orders = T(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def _e(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        c = b["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(c.astype(np.int64), pa.int64()),
+            "dst": pa.array((k % n).astype(np.int64), pa.int64()),
+            "w": pa.array(((k // n) % 9 + 1).astype(np.int64),
+                          pa.int64()),
+        })
+
+    edges = orders.map_batches(_e, batch_format="pyarrow").materialize()
+    if edges.count() <= max_single_edges:
+        return rd.from_arrow_refs(
+            [_sssp_task.remote(n, rounds, *edges.to_arrow_refs())])
+
+    dist = rd.from_arrow(pa.table({
+        "node": pa.array([0], pa.int64()),
+        "dist": pa.array([0], pa.int64()),
+    })).materialize()
+    for _ in range(rounds):
+        cand = edges.join(
+            dist.map_batches(
+                lambda b: b.rename_columns(["src", "d0"]),
+                batch_format="pyarrow"),
+            "inner", num_partitions=8, on=("src",))
+        cand = cand.map_batches(
+            lambda b: pa.table({
+                "node": b["dst"],
+                "dist": pc.add(b["d0"], b["w"]),
+            }),
+            batch_format="pyarrow")
+        merged = fast_groupby_agg(
+            cand.union(dist), ["node"], {"dist": ("dist", "min")},
+        ).materialize()
+        same = (merged.count() == dist.count())
+        dist = merged
+        if same:
+            # counts equal is necessary but not sufficient; one cheap
+            # extra round is the convergence check at this budget
+            continue
+    return dist
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -7271,6 +7365,7 @@ def queries() -> dict:
         "ab_test_welch": q_ab_test_welch,
         "frequent_itemsets": q_frequent_itemsets,
         "db_file_export": q_db_file_export,
+        "graph_sssp": q_graph_sssp,
     }
 
 
@@ -9379,4 +9474,33 @@ ORACLES["db_file_export"] = """
                 AS BIGINT) AS revenue_fp
     FROM orders GROUP BY o_orderstatus
     ORDER BY o_orderstatus
+"""
+
+ORACLES["graph_sssp"] = """
+    WITH e AS (
+        SELECT CAST(o_custkey AS BIGINT) AS src,
+               CAST(o_orderkey % (SELECT count(*) FROM customer)
+                    AS BIGINT) AS dst,
+               CAST((o_orderkey // (SELECT count(*) FROM customer))
+                    % 9 + 1 AS BIGINT) AS w
+        FROM orders
+    ),
+    d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+    c1 AS (SELECT e.dst AS node, min(d.dist + e.w) AS dist
+           FROM d0 d JOIN e ON e.src = d.node GROUP BY e.dst),
+    d1 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM
+           (SELECT * FROM d0 UNION ALL SELECT * FROM c1) GROUP BY node),
+    c2 AS (SELECT e.dst AS node, min(d.dist + e.w) AS dist
+           FROM d1 d JOIN e ON e.src = d.node GROUP BY e.dst),
+    d2 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM
+           (SELECT * FROM d1 UNION ALL SELECT * FROM c2) GROUP BY node),
+    c3 AS (SELECT e.dst AS node, min(d.dist + e.w) AS dist
+           FROM d2 d JOIN e ON e.src = d.node GROUP BY e.dst),
+    d3 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM
+           (SELECT * FROM d2 UNION ALL SELECT * FROM c3) GROUP BY node),
+    c4 AS (SELECT e.dst AS node, min(d.dist + e.w) AS dist
+           FROM d3 d JOIN e ON e.src = d.node GROUP BY e.dst),
+    d4 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM
+           (SELECT * FROM d3 UNION ALL SELECT * FROM c4) GROUP BY node)
+    SELECT node, dist FROM d4
 """

@@ -1948,3 +1948,35 @@ def test_label_reachability_tiers_equal_and_semantics():
     got1 = set(one[one["dist"] == 1]["node"])
     assert got1 == hop1
     assert (one["dist"] >= 1).all()
+
+
+def test_graph_sssp_tiers_equal_and_optimal():
+    """Distributed Bellman-Ford (forced via guard=0) equals the
+    single-task tier, and every reported distance equals the true
+    shortest ≤4-edge path cost from a driver-side relaxation."""
+    from fide_crawler_ray.pipelines.relational import T, q_graph_sssp
+
+    one = (q_graph_sssp(SF).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    dist = (q_graph_sssp(SF, max_single_edges=0).to_pandas()
+            .sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(one, dist)
+
+    o = T(SF, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
+    n = T(SF, "customer", ["c_custkey"]).count()
+    src = o["o_custkey"].to_numpy(np.int64)
+    dst = (o["o_orderkey"] % n).to_numpy(np.int64)
+    w = ((o["o_orderkey"] // n) % 9 + 1).to_numpy(np.int64)
+    INF = np.iinfo(np.int64).max // 4
+    d = np.full(n, INF, np.int64)
+    d[0] = 0
+    for _ in range(4):
+        cand = d[src] + w
+        nd = d.copy()
+        np.minimum.at(nd, dst, cand)
+        d = nd
+    exp = pd.DataFrame({
+        "node": np.arange(n, dtype=np.int64)[d < INF],
+        "dist": d[d < INF],
+    }).reset_index(drop=True)
+    pd.testing.assert_frame_equal(one, exp)
