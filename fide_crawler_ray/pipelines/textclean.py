@@ -711,23 +711,27 @@ def q_dsir_weights(sf_dir, n_buckets: int = DSIR_BUCKETS):
     def _bucket(tok: str) -> int:
         return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % n_buckets
 
-    def _counts(b: pa.Table) -> pa.Table:
-        t_cnt = np.zeros(n_buckets, np.int64)
-        r_cnt = np.zeros(n_buckets, np.int64)
-        memo: dict[str, int] = {}
-        for txt, lang in zip(b["text"].to_pylist(), b["lang"].to_pylist()):
-            is_t = lang == "en"
-            for tok in txt.split(" "):
-                bk = memo.get(tok)
-                if bk is None:
-                    bk = memo[tok] = _bucket(tok)
-                r_cnt[bk] += 1
-                if is_t:
-                    t_cnt[bk] += 1
-        return pa.table({
-            "bucket": pa.array(np.arange(n_buckets), pa.int64()),
-            "t_cnt": pa.array(t_cnt, pa.int64()),
-            "r_cnt": pa.array(r_cnt, pa.int64()),
+    def _bucket_series(ex: pd.Series, memo: dict) -> np.ndarray:
+        """Vectorized token→bucket: md5 only on NEW vocabulary (memo),
+        then one C-level dict map over the exploded token column."""
+        for tok in pd.unique(ex.to_numpy()):
+            if tok not in memo:
+                memo[tok] = _bucket(tok)
+        return ex.map(memo).to_numpy(np.int64)
+
+    def _counts(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        ex = df["text"].str.split(" ").explode()
+        bk = _bucket_series(ex, {})
+        is_t = (df["lang"] == "en").to_numpy()[
+            ex.index.to_numpy(np.int64)]
+        r_cnt = np.bincount(bk, minlength=n_buckets).astype(np.int64)
+        t_cnt = np.bincount(bk[is_t],
+                            minlength=n_buckets).astype(np.int64)
+        return pd.DataFrame({
+            "bucket": np.arange(n_buckets, dtype=np.int64),
+            "t_cnt": t_cnt,
+            "r_cnt": r_cnt,
         })
 
     import math
@@ -735,7 +739,7 @@ def q_dsir_weights(sf_dir, n_buckets: int = DSIR_BUCKETS):
     from .relational import _round_half_away
 
     cnt = fast_groupby_agg(
-        docs.map_batches(_counts, batch_format="pyarrow"),
+        docs.map_batches(_counts, batch_format="pandas"),
         ["bucket"], {"t_cnt": ("t_cnt", "sum"), "r_cnt": ("r_cnt", "sum")},
     ).to_pandas()  # B rows — fixed size, scale-independent
     tt = int(cnt["t_cnt"].sum())
@@ -751,27 +755,30 @@ def q_dsir_weights(sf_dir, n_buckets: int = DSIR_BUCKETS):
 
     class _Score:
         def __init__(self):
-            self.memo: dict[str, int] = {}
+            self.memo: dict[str, int] = {}  # vocabulary-sized, per actor
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            scores, ns = [], []
-            for txt in b["text"].to_pylist():
-                toks = txt.split(" ")
-                s = 0
-                for tok in toks:
-                    bk = self.memo.get(tok)
-                    if bk is None:
-                        bk = self.memo[tok] = _bucket(tok)
-                    s += int(w_fp[bk])
-                scores.append(s)
-                ns.append(len(toks))
-            return pa.table({
-                "doc_id": b["doc_id"],
-                "n_tokens": pa.array(ns, pa.int64()),
-                "score_fp": pa.array(scores, pa.int64()),
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df.reset_index(drop=True)
+            ex = df["text"].str.split(" ").explode()
+            bk = _bucket_series(ex, self.memo)
+            doc_idx = ex.index.to_numpy(np.int64)
+            scores = np.bincount(
+                doc_idx, weights=w_fp[bk].astype(np.float64),
+                minlength=len(df)).astype(np.int64)
+            # bincount weights go through double — exact only below
+            # 2^53 per doc; per-doc |score| is ≤ tokens·max|w| ≈ 1e13,
+            # comfortably inside. Assert so growth can't silently
+            # round (then it must switch to np.add.at on int64).
+            assert np.abs(scores).max(initial=0) < (1 << 52)
+            n_tok = np.bincount(doc_idx,
+                                minlength=len(df)).astype(np.int64)
+            return pd.DataFrame({
+                "doc_id": df["doc_id"],
+                "n_tokens": n_tok,
+                "score_fp": scores,
             })
 
-    return docs.map_batches(_Score, batch_format="pyarrow",
+    return docs.map_batches(_Score, batch_format="pandas",
                             concurrency=(1, 2))
 
 
