@@ -6466,26 +6466,22 @@ def q_inverted_index(sf_dir, k_postings: int = 10):
     stopword term with a billion postings still only ships k rows per
     block; the final term-keyed join is vocabulary-sized (Heaps-
     bounded), never corpus-sized."""
-    from collections import Counter
-
     from ..stages.fastagg import grouped_topk
 
-    def _tf(b: pa.Table) -> pa.Table:
-        terms, dids, tfs = [], [], []
-        for did, txt in zip(b["doc_id"].to_pylist(),
-                            b["text"].to_pylist()):
-            for tok, c in Counter((txt or "").split(" ")).items():
-                terms.append(tok)
-                dids.append(did)
-                tfs.append(c)
-        return pa.table({
-            "term": pa.array(terms, pa.string()),
-            "doc_id": pa.array(dids, pa.int64()),
-            "tf": pa.array(tfs, pa.int64()),
-        })
+    def _tf(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        ex = df["text"].fillna("").str.split(" ").explode()
+        g = (pd.DataFrame({
+            "term": ex.to_numpy(),
+            "doc_id": df["doc_id"].to_numpy()[
+                ex.index.to_numpy(np.int64)],
+        }).groupby(["term", "doc_id"], sort=False).size()
+            .rename("tf").reset_index())
+        g["tf"] = g["tf"].astype("int64")
+        return g
 
     tdf = T(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        _tf, batch_format="pyarrow").materialize()
+        _tf, batch_format="pandas").materialize()
     stats = fast_groupby_agg(tdf, ["term"], {
         "df": (None, "count"), "tf_total": ("tf", "sum")})
     heads = grouped_topk(tdf, ["term"], ["doc_id"], [True], k_postings)

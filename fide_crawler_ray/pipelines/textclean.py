@@ -877,20 +877,15 @@ def q_bpe_train(sf_dir, n_merges: int = BPE_MERGES,
     spec); above it every round stays a Dataset pipeline. Both tiers
     are pinned identical by test. Rows-only (iterative; not
     SQL-expressible)."""
-    from collections import Counter
-
-    def _wc(b: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for txt in b["text"].to_pylist():
-            c.update((txt or "").split(" "))
-        return pa.table({
-            "word": pa.array(list(c.keys()), pa.string()),
-            "cnt": pa.array(list(c.values()), pa.int64()),
-        })
+    def _wc(df: pd.DataFrame) -> pd.DataFrame:
+        vc = (df["text"].fillna("").str.split(" ").explode()
+              .value_counts())
+        return pd.DataFrame({"word": vc.index.to_numpy(),
+                             "cnt": vc.to_numpy(np.int64)})
 
     vocab = fast_groupby_agg(
         T(sf_dir, "documents", ["text"]).map_batches(
-            _wc, batch_format="pyarrow"),
+            _wc, batch_format="pandas"),
         ["word"], {"cnt": ("cnt", "sum")}).materialize()
 
     if vocab.count() <= max_driver_vocab:
