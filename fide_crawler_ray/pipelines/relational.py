@@ -7222,6 +7222,56 @@ def q_graph_sssp(sf_dir, rounds: int = SSSP_ROUNDS,
     return dist
 
 
+def q_did_estimate(sf_dir):
+    """Difference-in-differences readout (the quasi-experimental
+    counterpart of ab_test_welch): arms assigned by md5 nibble,
+    periods split at the stream midpoint; DiD = (Ā₂−Ā₁)−(B̄₂−B̄₁) in
+    cents. All four cell moments are exact int64 partial sums; the
+    four means and the final subtraction are one shape-mirrored float
+    tree ×1e6. The exchange is the 4-row (arm, period) moment table."""
+    import hashlib as _hl
+
+    cut = np.datetime64("2024-01-16").astype(
+        "datetime64[ns]").view("int64")
+
+    def _m(b: pa.Table) -> pa.Table:
+        cents = _round_half_away(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        arm_a = np.array([
+            int(_hl.md5(str(u).encode()).hexdigest()[0], 16) < 8
+            for u in b["user_id"].to_pylist()])
+        p2 = _ts_ns(b["ts"]) >= cut
+        rows = []
+        for arm, am in (("A", arm_a), ("B", ~arm_a)):
+            for per, pm in ((1, ~p2), (2, p2)):
+                x = cents[am & pm]
+                rows.append({"arm": arm, "period": per,
+                             "n": len(x), "s": int(x.sum())})
+        return pa.Table.from_pandas(pd.DataFrame(rows),
+                                    preserve_index=False)
+
+    mom = fast_groupby_agg(
+        T(sf_dir, "events", ["user_id", "ts", "value"]).map_batches(
+            _m, batch_format="pyarrow"),
+        ["arm", "period"], {"n": ("n", "sum"), "s": ("s", "sum")},
+    ).to_pandas().set_index(["arm", "period"])
+
+    def mean(arm, per):
+        return (int(mom.loc[(arm, per), "s"]) * 1.0) \
+            / int(mom.loc[(arm, per), "n"])
+
+    did = (mean("A", 2) - mean("A", 1)) - (mean("B", 2) - mean("B", 1))
+    return pd.DataFrame([{
+        "n_a1": int(mom.loc[("A", 1), "n"]),
+        "n_a2": int(mom.loc[("A", 2), "n"]),
+        "n_b1": int(mom.loc[("B", 1), "n"]),
+        "n_b2": int(mom.loc[("B", 2), "n"]),
+        "did_fp": int(_round_half_away(
+            np.array([1e6 * did]))[0]),
+    }])
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -7362,6 +7412,7 @@ def queries() -> dict:
         "frequent_itemsets": q_frequent_itemsets,
         "db_file_export": q_db_file_export,
         "graph_sssp": q_graph_sssp,
+        "did_estimate": q_did_estimate,
     }
 
 
@@ -9499,4 +9550,39 @@ ORACLES["graph_sssp"] = """
     d4 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM
            (SELECT * FROM d3 UNION ALL SELECT * FROM c4) GROUP BY node)
     SELECT node, dist FROM d4
+"""
+
+ORACLES["did_estimate"] = """
+    WITH a AS (
+        SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                         IN ('0','1','2','3','4','5','6','7')
+                    THEN 'A' ELSE 'B' END AS arm,
+               CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 2 ELSE 1
+                    END AS period,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    m AS (
+        SELECT arm, period, count(*) AS n,
+               CAST(sum(cents) AS BIGINT) AS s
+        FROM a GROUP BY arm, period
+    ),
+    w AS (
+        SELECT
+            max(CASE WHEN arm='A' AND period=1 THEN n END) AS na1,
+            max(CASE WHEN arm='A' AND period=1 THEN s END) AS sa1,
+            max(CASE WHEN arm='A' AND period=2 THEN n END) AS na2,
+            max(CASE WHEN arm='A' AND period=2 THEN s END) AS sa2,
+            max(CASE WHEN arm='B' AND period=1 THEN n END) AS nb1,
+            max(CASE WHEN arm='B' AND period=1 THEN s END) AS sb1,
+            max(CASE WHEN arm='B' AND period=2 THEN n END) AS nb2,
+            max(CASE WHEN arm='B' AND period=2 THEN s END) AS sb2
+        FROM m
+    )
+    SELECT na1 AS n_a1, na2 AS n_a2, nb1 AS n_b1, nb2 AS n_b2,
+           CAST(round(1e6 * (((sa2 * 1.0) / na2 - (sa1 * 1.0) / na1)
+                             - ((sb2 * 1.0) / nb2
+                                - (sb1 * 1.0) / nb1)))
+                AS BIGINT) AS did_fp
+    FROM w
 """
