@@ -7272,6 +7272,58 @@ def q_did_estimate(sf_dir):
     }])
 
 
+def q_q2_min_cost_supplier(sf_dir, region: str = "EUROPE"):
+    """TPC-H Q2 shape (adapted: the synthetic schema has no partsupp,
+    so the part⇄supplier catalog is the DISTINCT lineitem pair set and
+    supplycost is the deterministic integer
+    ((pk·31 + sk·17) mod 10000) + 1): for every part, the minimum-cost
+    supplier among its region suppliers, ties to the smaller suppkey.
+    Plan: pair collapse map-side → region flag attaches to supplier by
+    hash join (supplier grows with data) → the correlated min becomes
+    ONE map-side-combined min over the packed key cost·2³²+sk (argmin
+    without a second pass or a self-join) → decode. All integers."""
+    nat = T(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = T(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    region_keys = set(
+        nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+        .query("r_name == @region")["n_nationkey"].tolist())
+    sup = T(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda b: b.filter(pa.array(np.isin(
+            b["s_nationkey"].to_numpy(zero_copy_only=False),
+            list(region_keys)))).select(["s_suppkey"]),
+        batch_format="pyarrow")
+    pairs = fast_groupby_agg(
+        T(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]),
+        ["l_partkey", "l_suppkey"], {"_n": (None, "count")})
+    j = pairs.join(sup, "inner", num_partitions=8,
+                   on=("l_suppkey",), right_on=("s_suppkey",))
+
+    def _pack(b: pa.Table) -> pa.Table:
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        cost = (pk * 31 + sk * 17) % 10_000 + 1
+        return pa.table({
+            "l_partkey": pa.array(pk.astype(np.int64), pa.int64()),
+            "packed": pa.array((cost.astype(np.int64) << 32)
+                               + sk.astype(np.int64), pa.int64()),
+        })
+
+    best = fast_groupby_agg(
+        j.map_batches(_pack, batch_format="pyarrow"),
+        ["l_partkey"], {"packed": ("packed", "min")})
+    return best.map_batches(
+        lambda b: pa.table({
+            "p_partkey": b["l_partkey"],
+            "best_suppkey": pa.array(
+                b["packed"].to_numpy(zero_copy_only=False)
+                & ((1 << 32) - 1), pa.int64()),
+            "min_cost": pa.array(
+                b["packed"].to_numpy(zero_copy_only=False) >> 32,
+                pa.int64()),
+        }),
+        batch_format="pyarrow")
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -7413,6 +7465,7 @@ def queries() -> dict:
         "db_file_export": q_db_file_export,
         "graph_sssp": q_graph_sssp,
         "did_estimate": q_did_estimate,
+        "q2_min_cost_supplier": q_q2_min_cost_supplier,
     }
 
 
@@ -9585,4 +9638,31 @@ ORACLES["did_estimate"] = """
                                 - (sb1 * 1.0) / nb1)))
                 AS BIGINT) AS did_fp
     FROM w
+"""
+
+ORACLES["q2_min_cost_supplier"] = """
+    WITH ps AS (
+        SELECT DISTINCT l_partkey, l_suppkey
+        FROM lineitem
+    ),
+    r AS (
+        SELECT n_nationkey FROM nation JOIN region
+          ON r_regionkey = n_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    c AS (
+        SELECT l_partkey, l_suppkey,
+               (l_partkey * 31 + l_suppkey * 17) % 10000 + 1 AS cost
+        FROM ps JOIN supplier ON l_suppkey = s_suppkey
+        WHERE s_nationkey IN (SELECT n_nationkey FROM r)
+    ),
+    k AS (
+        SELECT l_partkey,
+               min(cost * 4294967296 + l_suppkey) AS packed
+        FROM c GROUP BY l_partkey
+    )
+    SELECT l_partkey AS p_partkey,
+           CAST(packed % 4294967296 AS BIGINT) AS best_suppkey,
+           CAST(packed // 4294967296 AS BIGINT) AS min_cost
+    FROM k
 """
