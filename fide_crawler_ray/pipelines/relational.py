@@ -292,6 +292,30 @@ def _round_half_away(x: np.ndarray) -> np.ndarray:
     return t + np.where(np.abs(frac) >= 0.5, np.sign(x), 0.0)
 
 
+def _compact_small(ds, rows_per_block: int = 65_536):
+    """Materialize a SMALL (dimension-scale) join side and repartition it
+    into guaranteed-nonempty blocks; returns None when the side is empty.
+
+    Works around a Ray 2.49 hash-shuffle-join edge: the join's schema
+    broadcast rides on the FIRST shuffle task of each input sequence, and
+    a task whose input block is empty returns before broadcasting
+    (ray/data/_internal/execution/operators/hash_shuffle.py:223), while
+    every later task skips empty shards — so a partition that then
+    receives no real row for that side finalizes against a column-less
+    table and pyarrow raises "No match for FieldRef". Heavily-filtered
+    tiny sides (a dimension filter at small sf) are exactly the shape
+    that produces an empty FIRST block, and whether the crash fires
+    depends on task scheduling order, so it is flaky. Compacting to
+    ceil(n / rows_per_block) blocks (≥1 row each) makes every shuffle
+    task's input nonempty. Only use on sides that are small by design —
+    the materialize is one extra object-store copy of that side."""
+    m = ds.materialize()
+    n = m.count()
+    if n == 0:
+        return None
+    return m.repartition(max(1, min(32, -(-n // rows_per_block))))
+
+
 # ===================================================== window functions
 
 
@@ -7292,6 +7316,11 @@ def q_q2_min_cost_supplier(sf_dir, region: str = "EUROPE"):
             b["s_nationkey"].to_numpy(zero_copy_only=False),
             list(region_keys)))).select(["s_suppkey"]),
         batch_format="pyarrow")
+    sup = _compact_small(sup)
+    if sup is None:
+        return pd.DataFrame({"p_partkey": pd.Series([], dtype="int64"),
+                             "best_suppkey": pd.Series([], dtype="int64"),
+                             "min_cost": pd.Series([], dtype="int64")})
     pairs = fast_groupby_agg(
         T(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]),
         ["l_partkey", "l_suppkey"], {"_n": (None, "count")})
@@ -7321,6 +7350,264 @@ def q_q2_min_cost_supplier(sf_dir, region: str = "EUROPE"):
                 b["packed"].to_numpy(zero_copy_only=False) >> 32,
                 pa.int64()),
         }),
+        batch_format="pyarrow")
+
+
+def q_q1_pricing_summary(sf_dir):
+    """TPC-H Q1 (full shape, all eight aggregates): the pricing summary
+    report over lineitem shipped on or before the cutoff, grouped by
+    (returnflag, linestatus). Every money sum is ONE per-row float
+    expression quantized to integer cents before the sum, and the three
+    averages divide exact integer sums (double/double, mirrored in the
+    oracle) — so block/batch association order cannot move any output
+    bit. Plan: map-side fold to per-block (flag, status) partials (the
+    key domain is ~6 pairs), one tiny groupby-sum exchange, vectorized
+    finalize. Reference parity: the widest grouped-aggregate shape in
+    the engine (the reference's tournament summary,
+    ui/streamlit_ui.py:164-167, stops at three aggregates)."""
+    cutoff = np.datetime64("2001-09-01").astype("datetime64[ns]").view("int64")
+    ds = T(sf_dir, "lineitem",
+           ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_shipdate"])
+
+    def _fold(b: pa.Table) -> pa.Table:
+        t = b.filter(pa.array(_ts_ns(b["l_shipdate"]) <= cutoff))
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        tax = t["l_tax"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "l_returnflag": t["l_returnflag"].to_pandas(),
+            "l_linestatus": t["l_linestatus"].to_pandas(),
+            "sum_qty_fp": _round_half_away(qty * 100.0).astype(np.int64),
+            "sum_base_fp": _round_half_away(price * 100.0).astype(np.int64),
+            "sum_disc_price_fp": _round_half_away(
+                price * (1.0 - disc) * 100.0).astype(np.int64),
+            "sum_charge_fp": _round_half_away(
+                price * (1.0 - disc) * (1.0 + tax) * 100.0
+            ).astype(np.int64),
+            "sum_disc_fp": _round_half_away(disc * 10_000.0).astype(np.int64),
+            "count_order": np.ones(len(qty), np.int64),
+        })
+        g = (df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+             .sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    sums = ["sum_qty_fp", "sum_base_fp", "sum_disc_price_fp",
+            "sum_charge_fp", "sum_disc_fp", "count_order"]
+    agg = fast_groupby_agg(
+        ds.map_batches(_fold, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"], {c: (c, "sum") for c in sums})
+
+    def _finalize(b: pa.Table) -> pa.Table:
+        n = b["count_order"].to_numpy(zero_copy_only=False).astype(np.float64)
+        q = b["sum_qty_fp"].to_numpy(zero_copy_only=False)
+        p = b["sum_base_fp"].to_numpy(zero_copy_only=False)
+        d = b["sum_disc_fp"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "sum_qty_fp": b["sum_qty_fp"],
+            "sum_base_fp": b["sum_base_fp"],
+            "sum_disc_price_fp": b["sum_disc_price_fp"],
+            "sum_charge_fp": b["sum_charge_fp"],
+            "avg_qty_fp": pa.array(_round_half_away(
+                1e4 * (q / (100.0 * n))).astype(np.int64)),
+            "avg_price_fp": pa.array(_round_half_away(
+                1e4 * (p / (100.0 * n))).astype(np.int64)),
+            "avg_disc_fp": pa.array(_round_half_away(
+                1e4 * (d / (10_000.0 * n))).astype(np.int64)),
+            "count_order": b["count_order"],
+        })
+
+    return agg.map_batches(_finalize, batch_format="pyarrow")
+
+
+def q_q4_order_priority(sf_dir):
+    """TPC-H Q4 shape (adapted: the synthetic lineitem has no
+    commitdate/receiptdate, so the "late" EXISTS predicate is
+    l_shipdate > o_orderdate): count of orders per priority in one
+    quarter having at least one late-shipped line. Plan: the EXISTS
+    collapses to ONE mergeable per-order max(ship_ns) partial aggregate
+    on the fact side — no row-level semi-join fan-out — then a
+    fact⋈fact hash join against the window-filtered orders and a
+    grouped count over the 5-value priority domain. All-integer ns
+    comparisons on both sides."""
+    lo = np.datetime64("1997-01-01").astype("datetime64[ns]").view("int64")
+    hi = np.datetime64("1997-04-01").astype("datetime64[ns]").view("int64")
+    last_ship = fast_groupby_agg(
+        T(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+            lambda b: pa.table({
+                "l_orderkey": b["l_orderkey"],
+                "ship_ns": pa.array(_ts_ns(b["l_shipdate"]), pa.int64()),
+            }),
+            batch_format="pyarrow"),
+        ["l_orderkey"], {"max_ship_ns": ("ship_ns", "max")})
+
+    def _win(b: pa.Table) -> pa.Table:
+        ons = _ts_ns(b["o_orderdate"])
+        t = b.filter(pa.array((ons >= lo) & (ons < hi)))
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_orderpriority": t["o_orderpriority"],
+            "order_ns": pa.array(_ts_ns(t["o_orderdate"]), pa.int64()),
+        })
+
+    orders = T(sf_dir, "orders",
+               ["o_orderkey", "o_orderdate", "o_orderpriority"]).map_batches(
+        _win, batch_format="pyarrow")
+    j = orders.join(last_ship, "inner", num_partitions=8,
+                    on=("o_orderkey",), right_on=("l_orderkey",))
+    late = j.map_batches(
+        lambda b: b.filter(
+            pc.greater(b["max_ship_ns"], b["order_ns"])
+        ).select(["o_orderpriority"]),
+        batch_format="pyarrow")
+    return fast_groupby_agg(late, ["o_orderpriority"],
+                            {"order_count": (None, "count")})
+
+
+def q_q11_important_parts(sf_dir):
+    """TPC-H Q11 shape (adapted: no partsupp table, so "value" is the
+    discounted revenue a part actually moved in lineitem): parts whose
+    share of total value exceeds 1/1500 — the correlated scalar
+    subquery (HAVING value > fraction × sum(value)) decorrelated into
+    a per-part integer cent-sum plus ONE streaming scalar aggregate.
+    The comparison is all-integer cross-multiplication
+    (value_fp·1500 > total), so no division or float ever appears.
+    Plan: map-side per-part partials → small groupby (|part| rows) →
+    scalar total via Dataset.aggregate → closure-scalar filter. The
+    per-part table never lands on the driver."""
+    from ray.data.aggregate import Sum
+
+    v = fast_groupby_agg(
+        T(sf_dir, "lineitem",
+          ["l_partkey", "l_extendedprice", "l_discount"]).map_batches(
+            lambda b: pa.table({
+                "partkey": b["l_partkey"],
+                "value_fp": pa.array(_round_half_away(
+                    b["l_extendedprice"].to_numpy(zero_copy_only=False)
+                    * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False))
+                    * 100.0).astype(np.int64)),
+            }),
+            batch_format="pyarrow"),
+        ["partkey"], {"value_fp": ("value_fp", "sum")})
+    total = int(v.aggregate(Sum("value_fp", alias_name="t"))["t"])
+    return v.map_batches(
+        lambda b: b.filter(pa.array(
+            b["value_fp"].to_numpy(zero_copy_only=False) * 1500 > total)),
+        batch_format="pyarrow")
+
+
+def q_q12_priority_by_returnflag(sf_dir):
+    """TPC-H Q12 shape (adapted: the synthetic lineitem has no shipmode,
+    so the line-class axis is l_returnflag): per returnflag, how many
+    1998-shipped lines belong to high-priority (1-URGENT / 2-HIGH)
+    orders vs not. Plan: orders project to (key, is_high∈{0,1}) —
+    ONE int column through the fact⋈fact hash exchange — and the
+    grouped sum runs over the 3-value returnflag domain. All integers."""
+    lo = np.datetime64("1998-01-01").astype("datetime64[ns]").view("int64")
+    hi = np.datetime64("1999-01-01").astype("datetime64[ns]").view("int64")
+    li = T(sf_dir, "lineitem",
+           ["l_orderkey", "l_returnflag", "l_shipdate"]).map_batches(
+        lambda b: b.filter(pa.array(
+            (_ts_ns(b["l_shipdate"]) >= lo)
+            & (_ts_ns(b["l_shipdate"]) < hi)
+        )).select(["l_orderkey", "l_returnflag"]),
+        batch_format="pyarrow")
+    orders = T(sf_dir, "orders",
+               ["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda b: pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "is_high": pc.cast(pc.is_in(
+                b["o_orderpriority"],
+                value_set=pa.array(["1-URGENT", "2-HIGH"])), pa.int64()),
+        }),
+        batch_format="pyarrow")
+    j = li.join(orders, "inner", num_partitions=8,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def _fold(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_returnflag": b["l_returnflag"].to_pandas(),
+            "high_line_count": b["is_high"].to_numpy(zero_copy_only=False),
+        })
+        df["low_line_count"] = 1 - df["high_line_count"]
+        g = df.groupby("l_returnflag", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return fast_groupby_agg(
+        j.map_batches(_fold, batch_format="pyarrow"),
+        ["l_returnflag"], {"high_line_count": ("high_line_count", "sum"),
+                           "low_line_count": ("low_line_count", "sum")})
+
+
+def q_q20_excess_suppliers(sf_dir):
+    """TPC-H Q20 shape (adapted: no partsupp/availqty, so "excess" is
+    relative volume): suppliers from the low half of nations whose
+    shipped quantity of 'red%'-named parts exceeds the mean share among
+    those suppliers (the max is ≥ the mean, so the result is nonempty
+    at every sf). The threshold is the all-integer cross-multiplication
+    qty_fp·ns > total, so the fraction never becomes a float. Plan: part is a TRUE dimension →
+    its target-partkey set broadcasts once per actor; the fact side
+    folds to per-supplier integer partials; supplier attaches by hash
+    join (supplier grows with data); (total, ns) come from ONE
+    streaming scalar aggregate, never a driver row set."""
+    from ray.data.aggregate import Count, Sum
+
+    pref = ray.put(T(sf_dir, "part", ["p_partkey", "p_name"]).map_batches(
+        lambda b: b.filter(pc.starts_with(b["p_name"], "red"))
+        .select(["p_partkey"]),
+        batch_format="pyarrow").to_arrow_refs())
+
+    class _Fold:
+        def __init__(self):
+            t = pa.concat_tables(ray.get(ray.get(pref)))
+            self.keys = t["p_partkey"].combine_chunks()
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            hit = pc.is_valid(
+                pc.index_in(b["l_partkey"], value_set=self.keys))
+            t = b.filter(hit)
+            df = pd.DataFrame({
+                "l_suppkey": t["l_suppkey"].to_numpy(zero_copy_only=False),
+                "qty_fp": _round_half_away(
+                    t["l_quantity"].to_numpy(zero_copy_only=False) * 100.0
+                ).astype(np.int64),
+            })
+            g = df.groupby("l_suppkey", sort=False).sum().reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    v = fast_groupby_agg(
+        T(sf_dir, "lineitem",
+          ["l_partkey", "l_suppkey", "l_quantity"]).map_batches(
+            _Fold, batch_format="pyarrow", concurrency=(1, 4)),
+        ["l_suppkey"], {"qty_fp": ("qty_fp", "sum")})
+    sup = _compact_small(T(sf_dir, "supplier",
+                           ["s_suppkey", "s_name", "s_nationkey"]).map_batches(
+        lambda b: b.filter(pc.less(b["s_nationkey"], 13))
+        .select(["s_suppkey", "s_name"]),
+        batch_format="pyarrow"))
+    if sup is None:
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype="int64"),
+                             "s_name": pd.Series([], dtype="object"),
+                             "qty_fp": pd.Series([], dtype="int64")})
+    s = v.join(sup, "inner", num_partitions=8,
+               on=("l_suppkey",), right_on=("s_suppkey",))
+    tot = s.aggregate(Sum("qty_fp", alias_name="total"),
+                      Count(alias_name="ns"))
+    if not tot or tot.get("total") is None:
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype="int64"),
+                             "s_name": pd.Series([], dtype="object"),
+                             "qty_fp": pd.Series([], dtype="int64")})
+    total, ns = int(tot["total"]), int(tot["ns"])
+    return s.map_batches(
+        lambda b: pa.table({
+            "s_suppkey": b["l_suppkey"],
+            "s_name": b["s_name"],
+            "qty_fp": b["qty_fp"],
+        }).filter(pa.array(
+            b["qty_fp"].to_numpy(zero_copy_only=False) * ns > total)),
         batch_format="pyarrow")
 
 
@@ -7466,6 +7753,11 @@ def queries() -> dict:
         "graph_sssp": q_graph_sssp,
         "did_estimate": q_did_estimate,
         "q2_min_cost_supplier": q_q2_min_cost_supplier,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q4_order_priority": q_q4_order_priority,
+        "q11_important_parts": q_q11_important_parts,
+        "q12_priority_by_returnflag": q_q12_priority_by_returnflag,
+        "q20_excess_suppliers": q_q20_excess_suppliers,
     }
 
 
@@ -9665,4 +9957,98 @@ ORACLES["q2_min_cost_supplier"] = """
            CAST(packed % 4294967296 AS BIGINT) AS best_suppkey,
            CAST(packed // 4294967296 AS BIGINT) AS min_cost
     FROM k
+"""
+
+ORACLES["q1_pricing_summary"] = """
+    WITH f AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(round(l_quantity * 100.0) AS BIGINT) AS q_fp,
+               CAST(round(l_extendedprice * 100.0) AS BIGINT) AS p_fp,
+               CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
+                    AS BIGINT) AS dp_fp,
+               CAST(round(l_extendedprice * (1.0 - l_discount)
+                          * (1.0 + l_tax) * 100.0) AS BIGINT) AS ch_fp,
+               CAST(round(l_discount * 10000.0) AS BIGINT) AS d_fp
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    ),
+    g AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(q_fp) AS BIGINT) AS sum_qty_fp,
+               CAST(sum(p_fp) AS BIGINT) AS sum_base_fp,
+               CAST(sum(dp_fp) AS BIGINT) AS sum_disc_price_fp,
+               CAST(sum(ch_fp) AS BIGINT) AS sum_charge_fp,
+               CAST(sum(d_fp) AS BIGINT) AS sum_disc_fp,
+               count(*) AS count_order
+        FROM f GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT l_returnflag, l_linestatus, sum_qty_fp, sum_base_fp,
+           sum_disc_price_fp, sum_charge_fp,
+           CAST(round(1e4 * (CAST(sum_qty_fp AS DOUBLE)
+                             / (100.0 * count_order)))
+                AS BIGINT) AS avg_qty_fp,
+           CAST(round(1e4 * (CAST(sum_base_fp AS DOUBLE)
+                             / (100.0 * count_order)))
+                AS BIGINT) AS avg_price_fp,
+           CAST(round(1e4 * (CAST(sum_disc_fp AS DOUBLE)
+                             / (10000.0 * count_order)))
+                AS BIGINT) AS avg_disc_fp,
+           count_order
+    FROM g
+"""
+
+ORACLES["q4_order_priority"] = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+"""
+
+ORACLES["q11_important_parts"] = """
+    WITH v AS (
+        SELECT l_partkey AS partkey,
+               CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+                                   * 100.0) AS BIGINT))
+                    AS BIGINT) AS value_fp
+        FROM lineitem GROUP BY l_partkey
+    ),
+    t AS (SELECT CAST(sum(value_fp) AS HUGEINT) AS total FROM v)
+    SELECT partkey, value_fp FROM v, t WHERE value_fp * 1500 > total
+"""
+
+ORACLES["q12_priority_by_returnflag"] = """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate < TIMESTAMP '1999-01-01'
+    GROUP BY l_returnflag
+"""
+
+ORACLES["q20_excess_suppliers"] = """
+    WITH tp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+    v AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(round(l_quantity * 100.0) AS BIGINT))
+                    AS BIGINT) AS qty_fp
+        FROM lineitem JOIN tp ON l_partkey = p_partkey
+        GROUP BY l_suppkey
+    ),
+    s AS (
+        SELECT l_suppkey, s_name, qty_fp
+        FROM v JOIN supplier ON l_suppkey = s_suppkey
+        WHERE s_nationkey < 13
+    ),
+    t AS (SELECT CAST(sum(qty_fp) AS HUGEINT) AS total,
+                 count(*) AS ns FROM s)
+    SELECT l_suppkey AS s_suppkey, s_name, qty_fp
+    FROM s, t
+    WHERE qty_fp * ns > total
 """

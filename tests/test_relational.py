@@ -1980,3 +1980,128 @@ def test_graph_sssp_tiers_equal_and_optimal():
         "dist": d[d < INF],
     }).reset_index(drop=True)
     pd.testing.assert_frame_equal(one, exp)
+
+
+def test_q1_pricing_summary_bruteforce():
+    from fide_crawler_ray.pipelines.relational import T, q_q1_pricing_summary
+
+    got = (q_q1_pricing_summary(SF).to_pandas()
+           .sort_values(["l_returnflag", "l_linestatus"])
+           .reset_index(drop=True))
+    li = T(SF, "lineitem",
+           ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_shipdate"]).to_pandas()
+    li = li[li["l_shipdate"] <= pd.Timestamp("2001-09-01")].copy()
+    qty = li["l_quantity"].to_numpy()
+    price = li["l_extendedprice"].to_numpy()
+    disc = li["l_discount"].to_numpy()
+    tax = li["l_tax"].to_numpy()
+    li["sum_qty_fp"] = _rha(qty * 100.0).astype(np.int64)
+    li["sum_base_fp"] = _rha(price * 100.0).astype(np.int64)
+    li["sum_disc_price_fp"] = _rha(
+        price * (1.0 - disc) * 100.0).astype(np.int64)
+    li["sum_charge_fp"] = _rha(
+        price * (1.0 - disc) * (1.0 + tax) * 100.0).astype(np.int64)
+    li["sum_disc_fp"] = _rha(disc * 10_000.0).astype(np.int64)
+    li["count_order"] = np.int64(1)
+    g = (li.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+         [["sum_qty_fp", "sum_base_fp", "sum_disc_price_fp",
+           "sum_charge_fp", "sum_disc_fp", "count_order"]].sum()
+         .sort_values(["l_returnflag", "l_linestatus"])
+         .reset_index(drop=True))
+    n = g["count_order"].to_numpy().astype(np.float64)
+    exp = g.assign(
+        avg_qty_fp=_rha(1e4 * (g["sum_qty_fp"].to_numpy()
+                               / (100.0 * n))).astype(np.int64),
+        avg_price_fp=_rha(1e4 * (g["sum_base_fp"].to_numpy()
+                                 / (100.0 * n))).astype(np.int64),
+        avg_disc_fp=_rha(1e4 * (g["sum_disc_fp"].to_numpy()
+                                / (10_000.0 * n))).astype(np.int64),
+    ).drop(columns=["sum_disc_fp"])
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  exp[sorted(exp.columns)])
+
+
+def test_q4_order_priority_bruteforce():
+    from fide_crawler_ray.pipelines.relational import T, q_q4_order_priority
+
+    got = (q_q4_order_priority(SF).to_pandas()
+           .sort_values("o_orderpriority").reset_index(drop=True))
+    li = T(SF, "lineitem", ["l_orderkey", "l_shipdate"]).to_pandas()
+    last = li.groupby("l_orderkey")["l_shipdate"].max()
+    o = T(SF, "orders",
+          ["o_orderkey", "o_orderdate", "o_orderpriority"]).to_pandas()
+    o = o[(o["o_orderdate"] >= pd.Timestamp("1997-01-01"))
+          & (o["o_orderdate"] < pd.Timestamp("1997-04-01"))].copy()
+    o["max_ship"] = o["o_orderkey"].map(last)
+    late = o[o["max_ship"] > o["o_orderdate"]]
+    exp = (late.groupby("o_orderpriority").size().rename("order_count")
+           .reset_index().sort_values("o_orderpriority")
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_q11_important_parts_bruteforce():
+    from fide_crawler_ray.pipelines.relational import T, q_q11_important_parts
+
+    got = (q_q11_important_parts(SF).to_pandas()
+           .sort_values("partkey").reset_index(drop=True))
+    li = T(SF, "lineitem",
+           ["l_partkey", "l_extendedprice", "l_discount"]).to_pandas()
+    li["value_fp"] = _rha(
+        li["l_extendedprice"].to_numpy()
+        * (1.0 - li["l_discount"].to_numpy()) * 100.0).astype(np.int64)
+    v = li.groupby("l_partkey", as_index=False)["value_fp"].sum()
+    total = int(v["value_fp"].sum())
+    exp = (v[v["value_fp"] * 1500 > total]
+           .rename(columns={"l_partkey": "partkey"})
+           .sort_values("partkey").reset_index(drop=True))
+    assert len(exp) > 0
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_q12_priority_by_returnflag_bruteforce():
+    from fide_crawler_ray.pipelines.relational import (
+        T, q_q12_priority_by_returnflag)
+
+    got = (q_q12_priority_by_returnflag(SF).to_pandas()
+           .sort_values("l_returnflag").reset_index(drop=True))
+    li = T(SF, "lineitem",
+           ["l_orderkey", "l_returnflag", "l_shipdate"]).to_pandas()
+    li = li[(li["l_shipdate"] >= pd.Timestamp("1998-01-01"))
+            & (li["l_shipdate"] < pd.Timestamp("1999-01-01"))]
+    o = T(SF, "orders", ["o_orderkey", "o_orderpriority"]).to_pandas()
+    m = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    m["high_line_count"] = m["o_orderpriority"].isin(
+        ["1-URGENT", "2-HIGH"]).astype(np.int64)
+    m["low_line_count"] = np.int64(1) - m["high_line_count"]
+    exp = (m.groupby("l_returnflag", as_index=False)
+           [["high_line_count", "low_line_count"]].sum()
+           .sort_values("l_returnflag").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_q20_excess_suppliers_bruteforce():
+    from fide_crawler_ray.pipelines.relational import (
+        T, q_q20_excess_suppliers)
+
+    got = (q_q20_excess_suppliers(SF).to_pandas()
+           .sort_values("s_suppkey").reset_index(drop=True))
+    part = T(SF, "part", ["p_partkey", "p_name"]).to_pandas()
+    red = set(part[part["p_name"].str.startswith("red")]["p_partkey"])
+    li = T(SF, "lineitem",
+           ["l_partkey", "l_suppkey", "l_quantity"]).to_pandas()
+    li = li[li["l_partkey"].isin(red)].copy()
+    li["qty_fp"] = _rha(li["l_quantity"].to_numpy() * 100.0).astype(np.int64)
+    v = li.groupby("l_suppkey", as_index=False)["qty_fp"].sum()
+    sup = T(SF, "supplier",
+            ["s_suppkey", "s_name", "s_nationkey"]).to_pandas()
+    s = v.merge(sup[sup["s_nationkey"] < 13], left_on="l_suppkey",
+                right_on="s_suppkey")
+    total, ns = int(s["qty_fp"].sum()), len(s)
+    exp = (s[s["qty_fp"] * ns > total]
+           [["s_suppkey", "s_name", "qty_fp"]]
+           .sort_values("s_suppkey").reset_index(drop=True))
+    assert len(exp) > 0
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  exp[sorted(exp.columns)])
