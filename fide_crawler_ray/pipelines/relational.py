@@ -7611,6 +7611,101 @@ def q_q20_excess_suppliers(sf_dir):
         batch_format="pyarrow")
 
 
+def q_embedding_covariance(sf_dir):
+    """Exact d×d covariance over the embedding column, as the all-integer
+    statistic n·S_ij − S_i·S_j on ×1e4-quantized components (float32 →
+    float64 is exact, ONE float multiply before the quantize). The d²
+    result is constant-sized (d=64 → 2080 upper-triangle cells), so the
+    only thing that ever moves is one (d×d + d + 1)-int partial per
+    block. Plan: per-block numpy Q^T·Q (vectorized matmul on the
+    zero-copy list buffer), long-form partials keyed (i, j), one tiny
+    groupby-sum, integer finalize. The ×1e4 scale keeps q_i·q_j ≈ 1e8,
+    so the int64 sum is overflow-safe to ~9×10^10 rows."""
+
+    def _partial(b: pa.Table) -> pa.Table:
+        col = b["embedding"]
+        la = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        flat = la.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        d = 64
+        q = _round_half_away(flat * 1e4).astype(np.int64).reshape(-1, d)
+        s_ij = q.T @ q                      # d×d integer partial
+        s_i = q.sum(axis=0)
+        iu, ju = np.triu_indices(d)
+        i = np.concatenate([iu + 1, np.arange(1, d + 1), [0]])
+        j = np.concatenate([ju + 1, np.zeros(d, np.int64), [0]])
+        s = np.concatenate([s_ij[iu, ju], s_i, [q.shape[0]]])
+        return pa.table({"i": pa.array(i, pa.int64()),
+                         "j": pa.array(j, pa.int64()),
+                         "s": pa.array(s, pa.int64())})
+
+    agg = fast_groupby_agg(
+        T(sf_dir, "embeddings", ["embedding"]).map_batches(
+            _partial, batch_format="pyarrow"),
+        ["i", "j"], {"s": ("s", "sum")})
+
+    def _finalize(b: pa.Table) -> pa.Table:
+        # constant-size (d²+d+1 rows) — decode the packed partial rows
+        df = b.to_pandas()
+        n = int(df.loc[(df["i"] == 0) & (df["j"] == 0), "s"].iloc[0])
+        sums = (df[(df["j"] == 0) & (df["i"] > 0)]
+                .set_index("i")["s"].to_dict())
+        p = df[(df["i"] > 0) & (df["j"] > 0)]
+        cov = (n * p["s"].to_numpy()
+               - np.array([sums[i] for i in p["i"]])
+               * np.array([sums[j] for j in p["j"]]))
+        return pa.table({
+            "i": pa.array(p["i"].to_numpy(), pa.int64()),
+            "j": pa.array(p["j"].to_numpy(), pa.int64()),
+            "cov_n2_fp": pa.array(cov, pa.int64()),
+        })
+
+    return agg.repartition(1).map_batches(
+        _finalize, batch_format="pyarrow", batch_size=None)
+
+
+def q_weighted_median(sf_dir):
+    """Per-returnflag revenue-weighted median quantity: the smallest
+    quantity v with 2·cumweight(v) ≥ totalweight, weights = exact
+    integer cents. NO row sort anywhere: the value domain is collapsed
+    map-side to a (flag, qty_fp) weight histogram (bounded by the
+    distinct-quantity domain, not row count), and the rank rule runs
+    over that tiny histogram. Mirrors the trimmed_mean/quantile_norm
+    histogram-rank pattern; all integers end to end."""
+
+    def _fold(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_returnflag": b["l_returnflag"].to_pandas(),
+            "v": _round_half_away(
+                b["l_quantity"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64),
+            "wt": _round_half_away(
+                b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64),
+        })
+        g = (df.groupby(["l_returnflag", "v"], sort=False)["wt"]
+             .sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = fast_groupby_agg(
+        T(sf_dir, "lineitem",
+          ["l_returnflag", "l_quantity", "l_extendedprice"]).map_batches(
+            _fold, batch_format="pyarrow"),
+        ["l_returnflag", "v"], {"wt": ("wt", "sum")})
+
+    def _rank(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(["l_returnflag", "v"])
+        out = []
+        for flag, g in df.groupby("l_returnflag", sort=True):
+            vs = g["v"].to_numpy()
+            cw = np.cumsum(g["wt"].to_numpy())
+            out.append({"l_returnflag": flag,
+                        "wmedian_fp": int(vs[np.argmax(2 * cw >= cw[-1])])})
+        return pa.Table.from_pandas(pd.DataFrame(out), preserve_index=False)
+
+    return hist.repartition(1).map_batches(
+        _rank, batch_format="pyarrow", batch_size=None)
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -7758,6 +7853,8 @@ def queries() -> dict:
         "q11_important_parts": q_q11_important_parts,
         "q12_priority_by_returnflag": q_q12_priority_by_returnflag,
         "q20_excess_suppliers": q_q20_excess_suppliers,
+        "embedding_covariance": q_embedding_covariance,
+        "weighted_median": q_weighted_median,
     }
 
 
@@ -10051,4 +10148,50 @@ ORACLES["q20_excess_suppliers"] = """
     SELECT l_suppkey AS s_suppkey, s_name, qty_fp
     FROM s, t
     WHERE qty_fp * ns > total
+"""
+
+ORACLES["embedding_covariance"] = """
+    WITH e AS (
+        SELECT vec_id, i,
+               CAST(round(x * 1e4) AS BIGINT) AS q
+        FROM (SELECT vec_id, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings)
+    ),
+    p AS (
+        SELECT a.i AS i, b.i AS j,
+               CAST(sum(a.q * b.q) AS BIGINT) AS s_ij
+        FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
+        GROUP BY a.i, b.i
+    ),
+    s AS (SELECT i, CAST(sum(q) AS BIGINT) AS s_i FROM e GROUP BY i),
+    n AS (SELECT count(*) AS n FROM embeddings)
+    SELECT p.i, p.j,
+           CAST(n.n * p.s_ij - sa.s_i * sb.s_i AS BIGINT) AS cov_n2_fp
+    FROM p
+    JOIN s sa ON sa.i = p.i
+    JOIN s sb ON sb.i = p.j, n
+"""
+
+ORACLES["weighted_median"] = """
+    WITH w AS (
+        SELECT l_returnflag,
+               CAST(round(l_quantity * 100.0) AS BIGINT) AS v,
+               CAST(round(l_extendedprice * 100.0) AS BIGINT) AS wt
+        FROM lineitem
+    ),
+    g AS (
+        SELECT l_returnflag, v, CAST(sum(wt) AS BIGINT) AS wv
+        FROM w GROUP BY l_returnflag, v
+    ),
+    c AS (
+        SELECT l_returnflag, v, wv,
+               sum(wv) OVER (PARTITION BY l_returnflag ORDER BY v)
+                   AS cw,
+               sum(wv) OVER (PARTITION BY l_returnflag) AS tw
+        FROM g
+    )
+    SELECT l_returnflag, CAST(min(v) AS BIGINT) AS wmedian_fp
+    FROM c WHERE 2 * cw >= tw
+    GROUP BY l_returnflag
 """

@@ -2105,3 +2105,51 @@ def test_q20_excess_suppliers_bruteforce():
     assert len(exp) > 0
     pd.testing.assert_frame_equal(got[sorted(got.columns)],
                                   exp[sorted(exp.columns)])
+
+
+def test_embedding_covariance_matches_numpy():
+    from fide_crawler_ray.pipelines.relational import (
+        T, q_embedding_covariance)
+
+    got = (q_embedding_covariance(SF).to_pandas()
+           .sort_values(["i", "j"]).reset_index(drop=True))
+    emb = T(SF, "embeddings", ["embedding"]).to_pandas()["embedding"]
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+    q = _rha(x * 1e4).astype(np.int64)
+    n = q.shape[0]
+    s_ij = q.T @ q
+    s_i = q.sum(axis=0)
+    iu, ju = np.triu_indices(q.shape[1])
+    exp = pd.DataFrame({
+        "i": iu + 1, "j": ju + 1,
+        "cov_n2_fp": n * s_ij[iu, ju] - s_i[iu] * s_i[ju],
+    }).astype(np.int64).sort_values(["i", "j"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    # the packed statistic really is n²·covariance: spot-check one cell
+    c = np.cov(q[:, 0], q[:, 1], bias=True)[0, 1]
+    row = exp[(exp["i"] == 1) & (exp["j"] == 2)]["cov_n2_fp"].iloc[0]
+    assert abs(row / (n * n) - c) < 1e-6
+
+
+def test_weighted_median_bruteforce():
+    from fide_crawler_ray.pipelines.relational import T, q_weighted_median
+
+    got = (q_weighted_median(SF).to_pandas()
+           .sort_values("l_returnflag").reset_index(drop=True))
+    li = T(SF, "lineitem",
+           ["l_returnflag", "l_quantity", "l_extendedprice"]).to_pandas()
+    li["v"] = _rha(li["l_quantity"].to_numpy() * 100.0).astype(np.int64)
+    li["wt"] = _rha(li["l_extendedprice"].to_numpy() * 100.0
+                    ).astype(np.int64)
+    out = []
+    for flag, g in li.groupby("l_returnflag"):
+        g = g.sort_values("v")
+        # expand-by-weight definition: smallest v where cumweight
+        # reaches half the total weight
+        cw = g["wt"].cumsum().to_numpy()
+        out.append({"l_returnflag": flag,
+                    "wmedian_fp": int(g["v"].to_numpy()
+                                      [np.argmax(2 * cw >= cw[-1])])})
+    exp = (pd.DataFrame(out).sort_values("l_returnflag")
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
