@@ -944,9 +944,52 @@ def q_bpe_train(sf_dir, n_merges: int = BPE_MERGES,
     return pd.DataFrame(rows)
 
 
+def q_bpe_encode(sf_dir, n_merges: int = BPE_MERGES):
+    """BPE tokenizer APPLY (the encode step that follows q_bpe_train in
+    an LLM data pipeline): tokenize every document with the trained
+    merge table and report per-doc word/token counts. The merge list is
+    built once and ships to an actor pool via ``ray.put``; each actor
+    memoizes word → token-count, so per-batch cost is bounded by the
+    vocabulary it has seen (Heaps' law), not the corpus. A word always
+    encodes to ≥1 token and merges only ever shrink the symbol count,
+    so n_tokens ∈ [n_words, n_chars+n_words] — asserted by test, with
+    the scalar re-encode as the executable spec. Rows-only (the merge
+    table is iteratively trained; not SQL-expressible)."""
+    merges = q_bpe_train(sf_dir, n_merges)
+    mref = ray.put(list(zip(merges["left"], merges["right"])))
+
+    class _Encode:
+        def __init__(self):
+            self.merges = ray.get(mref)
+            self.memo: dict[str, int] = {}
+
+        def _ntok(self, w: str) -> int:
+            hit = self.memo.get(w)
+            if hit is None:
+                syms = list(w) + ["</w>"]
+                for a, b in self.merges:
+                    syms = _bpe_apply(syms, a, b)
+                hit = self.memo[w] = len(syms)
+            return hit
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            words = df["text"].fillna("").str.split(" ")
+            return pd.DataFrame({
+                "doc_id": df["doc_id"],
+                "n_words": words.str.len().astype(np.int64),
+                "n_tokens": pd.Series(
+                    [sum(self._ntok(w) for w in ws) for ws in words],
+                    index=df.index, dtype=np.int64),
+            })
+
+    return T(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _Encode, batch_format="pandas", concurrency=(1, 4))
+
+
 def queries() -> dict:
     return {
         "curation_pipeline": q_curation_pipeline,
+        "bpe_encode": q_bpe_encode,
         "dsir_weights": q_dsir_weights,
         "epoch_shuffle": q_epoch_shuffle,
         "bpe_train": q_bpe_train,

@@ -310,3 +310,37 @@ def test_bpe_train_tiers_identical_and_sane():
                  for w, s in vocab.items()}
     n_after = sum(len(vocab[w]) * c for w, c in wc.items())
     assert n_after < n_before
+
+
+def test_bpe_encode_matches_scalar_spec():
+    """The actor-pool encode equals a pure-python re-encode with the
+    same merge table, and token counts respect the BPE bounds
+    (n_words <= n_tokens <= n_chars + n_words)."""
+    import numpy as np
+    import pandas as pd
+
+    from fide_crawler_ray.pipelines.textclean import (
+        _bpe_apply, q_bpe_encode, q_bpe_train)
+    from fide_crawler_ray.pipelines.queries import T
+
+    got = q_bpe_encode(SF).to_pandas().set_index("doc_id").sort_index()
+    docs = (T(SF, "documents", ["doc_id", "text"]).to_pandas()
+            .set_index("doc_id").sort_index())
+    assert len(got) == len(docs)
+    merges = list(zip(*(q_bpe_train(SF)[c] for c in ["left", "right"])))
+
+    def ntok(w):
+        syms = list(w) + ["</w>"]
+        for a, b in merges:
+            syms = _bpe_apply(syms, a, b)
+        return len(syms)
+
+    sample = docs.sample(n=min(len(docs), 30), random_state=3)
+    for doc_id, row in sample.iterrows():
+        ws = (row["text"] or "").split(" ")
+        assert got.loc[doc_id, "n_words"] == len(ws)
+        assert got.loc[doc_id, "n_tokens"] == sum(ntok(w) for w in ws)
+    nchars = docs["text"].fillna("").str.replace(" ", "").str.len()
+    assert (got["n_tokens"] >= got["n_words"]).all()
+    assert (got["n_tokens"].to_numpy()
+            <= nchars.to_numpy() + got["n_words"].to_numpy()).all()
