@@ -7706,6 +7706,77 @@ def q_weighted_median(sf_dir):
         _rank, batch_format="pyarrow", batch_size=None)
 
 
+def q_store_time_travel(sf_dir):
+    """Snapshot-isolation time travel over the engine's own epoch store
+    (sources/store.py — atomic tmp+rename partitions + manifest, the
+    resumable-output/lineage contract): orders land in three epochs
+    (epoch k = o_orderkey % 3 == k), then the table is read AS OF each
+    epoch and aggregated. Because an epoch is either fully renamed in or
+    absent, the as-of cut is exact — the oracle recomputes each cut as
+    the modulo predicate. Epoch writes stream (write_epoch consumes the
+    Dataset); each as-of read is a pruned parquet scan of ≤k epochs."""
+    import shutil
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources import store
+
+    root = "/tmp/fcray_time_travel"
+    shutil.rmtree(root, ignore_errors=True)
+    src = T(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        lambda b: b.append_column("total_cents", pa.array(
+            _round_half_away(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64))),
+        batch_format="pyarrow")
+    for k in range(3):
+        part = src.map_batches(
+            lambda b, k=k: b.filter(pa.array(
+                b["o_orderkey"].to_numpy(zero_copy_only=False) % 3 == k
+            )).select(["o_orderkey", "total_cents"]),
+            batch_format="pyarrow")
+        store.write_epoch(part, root, "orders", k)
+    rows = []
+    for e in range(3):
+        ds = store.read_all(root, "orders", max_epoch=e,
+                            columns=["total_cents"])
+        agg = ds.aggregate(Count(alias_name="n_rows"),
+                           Sum("total_cents", alias_name="total_cents"))
+        rows.append({"as_of_epoch": e, "n_rows": int(agg["n_rows"]),
+                     "total_cents": int(agg["total_cents"])})
+    shutil.rmtree(root, ignore_errors=True)
+    return pd.DataFrame(rows)
+
+
+def q_cumulative_users(sf_dir):
+    """Per-day cumulative distinct users (the audience-growth curve):
+    distinct-counting under a running window collapses to "count each
+    user once, on their FIRST day" — a mergeable per-user min, then a
+    day histogram and one cumsum over the tiny day domain. No window
+    fan-out, no per-day distinct sets."""
+    first = fast_groupby_agg(
+        T(sf_dir, "events", ["user_id", "ts"]).map_batches(
+            lambda b: pa.table({
+                "user_id": b["user_id"],
+                "day": pa.array(_ts_ns(b["ts"]) // 86_400_000_000_000,
+                                pa.int64()),
+            }),
+            batch_format="pyarrow"),
+        ["user_id"], {"day": ("day", "min")})
+    hist = fast_groupby_agg(first, ["day"], {"n": (None, "count")})
+
+    def _cum(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values("day")
+        return pa.table({
+            "day": pa.array(df["day"].to_numpy(), pa.int64()),
+            "cum_users": pa.array(np.cumsum(df["n"].to_numpy()),
+                                  pa.int64()),
+        })
+
+    return hist.repartition(1).map_batches(
+        _cum, batch_format="pyarrow", batch_size=None)
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -7855,6 +7926,8 @@ def queries() -> dict:
         "q20_excess_suppliers": q_q20_excess_suppliers,
         "embedding_covariance": q_embedding_covariance,
         "weighted_median": q_weighted_median,
+        "store_time_travel": q_store_time_travel,
+        "cumulative_users": q_cumulative_users,
     }
 
 
@@ -10194,4 +10267,25 @@ ORACLES["weighted_median"] = """
     SELECT l_returnflag, CAST(min(v) AS BIGINT) AS wmedian_fp
     FROM c WHERE 2 * cw >= tw
     GROUP BY l_returnflag
+"""
+
+ORACLES["store_time_travel"] = """
+    SELECT g.e AS as_of_epoch, count(*) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders, (SELECT unnest([0, 1, 2]) AS e) g
+    WHERE o_orderkey % 3 <= g.e
+    GROUP BY g.e
+"""
+
+ORACLES["cumulative_users"] = """
+    WITH f AS (
+        SELECT user_id,
+               min(date_diff('day', DATE '1970-01-01',
+                             CAST(ts AS DATE))) AS day
+        FROM events GROUP BY user_id
+    ),
+    c AS (SELECT day, count(*) AS n FROM f GROUP BY day)
+    SELECT day, CAST(sum(n) OVER (ORDER BY day) AS BIGINT) AS cum_users
+    FROM c
 """

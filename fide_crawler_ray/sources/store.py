@@ -59,8 +59,13 @@ def write_epoch(ds, root: str, name: str, epoch: int) -> int:
     return n
 
 
-def read_all(root: str, name: str, **kwargs):
+def read_all(root: str, name: str, max_epoch: int | None = None, **kwargs):
     """Read every completed epoch partition of a table as one Dataset.
+
+    ``max_epoch`` gives snapshot-isolation time travel: only epochs
+    ≤ max_epoch are scanned, reproducing exactly the table state after
+    that epoch committed (atomic tmp+rename means an epoch is either
+    fully visible or absent — there is no torn cut to worry about).
 
     Expands partitions to explicit file paths: ray.data.read_parquet only
     directory-expands the FIRST of multiple paths, so passing several
@@ -77,6 +82,12 @@ def read_all(root: str, name: str, **kwargs):
         for d in sorted(os.listdir(base)):
             if d.endswith(".tmp"):
                 continue
+            if max_epoch is not None and d.startswith("epoch="):
+                try:
+                    if int(d.split("=", 1)[1]) > max_epoch:
+                        continue
+                except ValueError:
+                    pass
             full = os.path.join(base, d)
             if os.path.isdir(full):
                 files.extend(
@@ -89,13 +100,11 @@ def read_all(root: str, name: str, **kwargs):
     # partitioning=None: the epoch= path component is layout, not data
     kwargs.setdefault("partitioning", None)
     cols = kwargs.pop("columns", None)
-    if cols is not None and kwargs.get("filter") is not None:
-        # Ray 2.49: columns + filter + partitioning=None crashes in
+    if cols is not None:
+        # Ray 2.49: columns + partitioning=None can crash in
         # _infer_columns (unbound partition_columns); apply the
         # projection as a select (the optimizer pushes it into the scan)
         return rd.read_parquet(files, **kwargs).select_columns(cols)
-    if cols is not None:
-        kwargs["columns"] = cols
     return rd.read_parquet(files, **kwargs)
 
 

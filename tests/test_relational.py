@@ -2153,3 +2153,35 @@ def test_weighted_median_bruteforce():
     exp = (pd.DataFrame(out).sort_values("l_returnflag")
            .reset_index(drop=True))
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_store_time_travel_cuts_match_modulo():
+    from fide_crawler_ray.pipelines.relational import (
+        T, _round_half_away as rha, q_store_time_travel)
+
+    got = q_store_time_travel(SF)
+    o = T(SF, "orders", ["o_orderkey", "o_totalprice"]).to_pandas()
+    o["cents"] = rha(o["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+    for e in range(3):
+        cut = o[o["o_orderkey"] % 3 <= e]
+        row = got[got["as_of_epoch"] == e].iloc[0]
+        assert row["n_rows"] == len(cut)
+        assert row["total_cents"] == int(cut["cents"].sum())
+    # monotone growth across epochs (snapshot isolation sanity)
+    assert got.sort_values("as_of_epoch")["n_rows"].is_monotonic_increasing
+
+
+def test_cumulative_users_bruteforce():
+    from fide_crawler_ray.pipelines.relational import T, q_cumulative_users
+
+    got = (q_cumulative_users(SF).to_pandas()
+           .sort_values("day").reset_index(drop=True))
+    ev = T(SF, "events", ["user_id", "ts"]).to_pandas()
+    ev["day"] = (ev["ts"].astype("datetime64[ns]").astype(np.int64)
+                 // 86_400_000_000_000)
+    first = ev.groupby("user_id")["day"].min()
+    exp = (first.value_counts().sort_index().cumsum()
+           .rename("cum_users").reset_index()
+           .rename(columns={"index": "day"}).astype(np.int64))
+    pd.testing.assert_frame_equal(got, exp)
+    assert got["cum_users"].iloc[-1] == ev["user_id"].nunique()
