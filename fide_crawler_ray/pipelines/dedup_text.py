@@ -695,6 +695,102 @@ class _HyperplaneBucket:
         })
 
 
+def _cosine_pairs_group(threshold: float, cap: int):
+    """map_groups body shared by the LSH-bucket and k-means-cluster
+    embedding dedups: exact pairwise cosine inside one candidate group,
+    emitting (a=min_id, b=max_id, cosine) for every pair ≥ threshold.
+    A group larger than ``cap`` (a degenerate dense cluster) scores
+    members against the group's min-id vector only — O(n) star
+    fallback instead of the O(n²) matmul."""
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id").reset_index(drop=True)
+        if len(g) < 2:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
+        m = np.stack([np.asarray(v, dtype=np.float32) for v in g["embedding"]])
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        m = m / norms
+        ids = g["vec_id"].to_numpy()
+        a, b, s = [], [], []
+        if len(g) > cap:  # degenerate group: star vs the min vec
+            sims = (m[:1] @ m.T).ravel()
+            for j in range(1, len(ids)):
+                if sims[j] >= threshold:
+                    a.append(int(ids[0])); b.append(int(ids[j]))
+                    s.append(round(float(sims[j]), 6))
+        else:
+            sims = m @ m.T
+            for i in range(len(ids)):
+                row = sims[i]
+                for j in range(i + 1, len(ids)):
+                    if row[j] >= threshold:
+                        a.append(int(ids[i])); b.append(int(ids[j]))
+                        s.append(round(float(row[j]), 6))
+        return pd.DataFrame({"a": pd.Series(a, dtype="int64"),
+                             "b": pd.Series(b, dtype="int64"),
+                             "cosine": pd.Series(s, dtype="float64")})
+
+    return _pairs
+
+
+def semdedup(embeddings_ds, n_clusters: int = 8, iters: int = 3,
+             threshold: float = 0.98, cluster_cap: int = 8192):
+    """SemDeDup (Abbas et al., arXiv:2303.09540 shape): spherical
+    k-means clusters are the candidate groups — semantic near-dups land
+    in the same cluster by construction — then exact pairwise cosine
+    inside each cluster; every vec pairing ≥ threshold with a smaller
+    vec_id is dropped. Differs from embedding_cosine_dedup only in the
+    grouping stage (learned clusters vs random hyperplane buckets): the
+    pair kernel, the cap fallback and the survivor anti-join are the
+    same shared code. At 100 TB, n_clusters scales ~√N so |cluster|
+    stays bounded; the centroid fit itself is the distributed Lloyd of
+    functions/ann.kmeans_centroids (k×d partials only, corpus never
+    moves). Returns (survivors_ds, pairs_ds)."""
+    import ray
+
+    from ..functions.ann import kmeans_centroids
+
+    embeddings_ds = embeddings_ds.materialize()
+    cents = kmeans_centroids(embeddings_ds, n_clusters, iters)
+    n = np.linalg.norm(cents, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    cref = ray.put((cents / n).astype(np.float32).T)
+
+    class _Assign:
+        def __init__(self):
+            self.ct = ray.get(cref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            col = b["embedding"]
+            la = (col.combine_chunks()
+                  if isinstance(col, pa.ChunkedArray) else col)
+            m = la.values.to_numpy(zero_copy_only=False).astype(
+                np.float32).reshape(b.num_rows, -1)
+            nm = m / np.clip(
+                np.linalg.norm(m, axis=1, keepdims=True), 1e-9, None)
+            cl = (nm @ self.ct).argmax(axis=1).astype(np.int64)
+            return pa.table({"vec_id": b["vec_id"], "embedding": la,
+                             "cluster": pa.array(cl, pa.int64())})
+
+    assigned = embeddings_ds.map_batches(
+        _Assign, batch_format="pyarrow", batch_size=4096,
+        concurrency=(1, 4), num_cpus=0.5)
+    cand = assigned.groupby("cluster").map_groups(
+        _cosine_pairs_group(threshold, cluster_cap),
+        batch_format="pandas")
+    verified = fast_groupby_agg(
+        cand, ["a", "b"], {"cosine": ("cosine", "max")}
+    ).materialize()
+    if verified.count() == 0:
+        return embeddings_ds, _empty_pairs(
+            _id_type(embeddings_ds, "vec_id"), "cosine")
+    return _survivors_guarded(embeddings_ds, verified, "vec_id",
+                              joinable=False), verified
+
+
 def embedding_cosine_dedup(embeddings_ds, threshold: float = 0.95,
                            nbits: int = 12, dim: int = 64, seed: int = 99,
                            bucket_cap: int = 4096, n_tables: int = 4):
@@ -713,36 +809,7 @@ def embedding_cosine_dedup(embeddings_ds, threshold: float = 0.95,
         batch_format="pyarrow", batch_size=4096, concurrency=4, num_cpus=0.5,
     )
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("vec_id").reset_index(drop=True)
-        if len(g) < 2:
-            return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                                 "b": pd.Series(dtype="int64"),
-                                 "cosine": pd.Series(dtype="float64")})
-        m = np.stack([np.asarray(v, dtype=np.float32) for v in g["embedding"]])
-        norms = np.linalg.norm(m, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        m = m / norms
-        ids = g["vec_id"].to_numpy()
-        a, b, s = [], [], []
-        if len(g) > bucket_cap:  # degenerate bucket: star vs the min vec
-            sims = (m[:1] @ m.T).ravel()
-            for j in range(1, len(ids)):
-                if sims[j] >= threshold:
-                    a.append(int(ids[0])); b.append(int(ids[j]))
-                    s.append(round(float(sims[j]), 6))
-        else:
-            sims = m @ m.T
-            for i in range(len(ids)):
-                row = sims[i]
-                for j in range(i + 1, len(ids)):
-                    if row[j] >= threshold:
-                        a.append(int(ids[i])); b.append(int(ids[j]))
-                        s.append(round(float(row[j]), 6))
-        return pd.DataFrame({"a": pd.Series(a, dtype="int64"),
-                             "b": pd.Series(b, dtype="int64"),
-                             "cosine": pd.Series(s, dtype="float64")})
-
+    _pairs = _cosine_pairs_group(threshold, bucket_cap)
     cand = bucketed.groupby("bucket").map_groups(_pairs, batch_format="pandas")
     # a pair can verify in several buckets; keep one row (max cosine)
     verified = fast_groupby_agg(

@@ -324,6 +324,68 @@ def q_dedup_ngram_recall(sf_dir):
     }])
 
 
+def _planted_embeddings(sf_dir, plant_every: int):
+    """Deterministic planted-near-dup corpus for the embedding dedup
+    gates: the natural synthetic embeddings are mutually far apart
+    (max cosine ≈ 0.51), so every ``plant_every``-th sampled vector
+    gains an index-seeded jittered copy (cosine ≥ ~0.999) under
+    vec_id + 1e9. Returns (aug_tbl, ids, planted_rows, aug_ids, aug)."""
+    from .queries import T
+
+    sample_df = T(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+        .sort("vec_id").limit(EMB_GT_SAMPLE).to_pandas()
+    ids = sample_df["vec_id"].to_numpy(np.int64)
+    m = np.stack([np.asarray(v, dtype=np.float32)
+                  for v in sample_df["embedding"]])
+    planted_rows = np.arange(0, len(ids), plant_every)
+    jit = m[planted_rows].copy()
+    for r, row in zip(planted_rows, range(len(jit))):
+        rng = np.random.default_rng(1000 + int(ids[r]))
+        jit[row] += 0.02 * rng.standard_normal(m.shape[1]) \
+            .astype(np.float32)
+    aug_ids = np.concatenate([ids, ids[planted_rows] + 1_000_000_000])
+    aug = np.concatenate([m, jit])
+    aug_tbl = pa.table({
+        "vec_id": pa.array(aug_ids, pa.int64()),
+        # list<float32>, matching the parquet layout the ops consume
+        "embedding": pa.array(
+            [v.tolist() for v in aug.astype(np.float32)],
+            type=pa.list_(pa.float32())),
+    })
+    return aug_tbl, ids, planted_rows, aug_ids, aug
+
+
+def q_semdedup_recall(sf_dir, plant_every: int = 4):
+    """SemDeDup quality gate on planted near-dups: every planted copy
+    must be dropped (its original is the nearest vector by a wide
+    margin, so both land in the same k-means cluster), and NO natural
+    vector may be dropped (natural max cosine ≈ 0.51 ≪ 0.98). Asserts
+    drop-recall ≥ 0.9 and zero natural drops, and returns the measured
+    numbers as the driver-visible row."""
+    import ray.data as rd
+
+    aug_tbl, ids, planted_rows, aug_ids, _ = _planted_embeddings(
+        sf_dir, plant_every)
+    survivors, pairs = DT.semdedup(
+        rd.from_arrow(aug_tbl), threshold=0.98)
+    kept = set(survivors.select_columns(["vec_id"]).to_pandas()
+               ["vec_id"].tolist())
+    planted_ids = set((ids[planted_rows] + 1_000_000_000).tolist())
+    dropped = set(aug_ids.tolist()) - kept
+    hit = len(dropped & planted_ids)
+    recall = hit / len(planted_ids) if planted_ids else 1.0
+    natural_dropped = len(dropped - planted_ids)
+    assert recall >= 0.9, f"semdedup drop-recall regressed: {recall:.3f}"
+    assert natural_dropped == 0, \
+        f"semdedup dropped {natural_dropped} natural vectors"
+    return pd.DataFrame([{
+        "n_vecs": len(aug_ids), "n_planted": len(planted_ids),
+        "n_dropped": len(dropped), "n_hit": hit,
+        "recall_x1e6": int(round(recall * 1e6)),
+        "natural_dropped": natural_dropped,
+    }])
+
+
 def q_dedup_embedding_recall(sf_dir, plant_every: int = 4):
     """Precision/recall of the hyperplane-LSH embedding near-dedup on
     PLANTED near-duplicates: the synthetic embeddings are mutually far
@@ -336,30 +398,11 @@ def q_dedup_embedding_recall(sf_dir, plant_every: int = 4):
     structurally 1.0 (bucket candidates are exact-cosine-verified)."""
     import ray.data as rd
 
-    from .queries import T, to_df_any
+    from .queries import to_df_any
 
     thr = 0.98
-    sample_df = T(sf_dir, "embeddings", ["vec_id", "embedding"]) \
-        .sort("vec_id").limit(EMB_GT_SAMPLE).to_pandas()
-    ids = sample_df["vec_id"].to_numpy(np.int64)
-    m = np.stack([np.asarray(v, dtype=np.float32)
-                  for v in sample_df["embedding"]])
-    # plant: deterministic small jitter (index-seeded), unit-safe
-    planted_rows = np.arange(0, len(ids), plant_every)
-    jit = m[planted_rows].copy()
-    for r, row in zip(planted_rows, range(len(jit))):
-        rng = np.random.default_rng(1000 + int(ids[r]))
-        jit[row] += 0.02 * rng.standard_normal(m.shape[1]) \
-            .astype(np.float32)
-    aug_ids = np.concatenate([ids, ids[planted_rows] + 1_000_000_000])
-    aug = np.concatenate([m, jit])
-    aug_tbl = pa.table({
-        "vec_id": pa.array(aug_ids, pa.int64()),
-        # list<float32>, matching the parquet layout the op consumes
-        "embedding": pa.array(
-            [v.tolist() for v in aug.astype(np.float32)],
-            type=pa.list_(pa.float32())),
-    })
+    aug_tbl, ids, planted_rows, aug_ids, aug = _planted_embeddings(
+        sf_dir, plant_every)
     _, verified = DT.embedding_cosine_dedup(
         rd.from_arrow(aug_tbl), threshold=thr)
 
@@ -399,4 +442,5 @@ QUERIES = {
     "kmeans_quality": q_kmeans_quality,
     "dedup_ngram_recall": q_dedup_ngram_recall,
     "dedup_embedding_recall": q_dedup_embedding_recall,
+    "semdedup_recall": q_semdedup_recall,
 }

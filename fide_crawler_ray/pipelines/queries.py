@@ -496,6 +496,16 @@ def q_dedup_embedding(sf_dir):
     return survivors.select_columns(["vec_id"])
 
 
+def q_semdedup(sf_dir):
+    """SemDeDup survivors over the embedding corpus (k-means clusters →
+    within-cluster exact cosine; see dedup_text.semdedup). Rows-only:
+    iterative Lloyd upstream, not SQL-expressible — the recall gate is
+    quality.q_semdedup_recall on planted near-dups."""
+    survivors, _ = DT.semdedup(
+        T(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.98)
+    return survivors.select_columns(["vec_id"])
+
+
 def _queries_matrix(sf_dir, n=5):
     q = (
         T(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -1012,6 +1022,7 @@ def queries() -> dict:
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram": q_dedup_ngram,
         "dedup_embedding": q_dedup_embedding,
+        "semdedup": q_semdedup,
         "ann_bruteforce": q_ann_bruteforce,
         "hard_negatives": q_hard_negatives,
         "batch_inference": q_batch_inference,

@@ -78,3 +78,23 @@ def test_embedding_recall_gate_planted():
     assert row["n_true_pairs"] > 0
     assert row["recall_x1e6"] >= 800_000
     assert row["precision_x1e6"] == 1_000_000
+
+
+def test_semdedup_recall_gate_planted():
+    """SemDeDup must drop ≥90% of planted jittered copies and never
+    drop a natural vector (natural max cosine ≈ 0.51 ≪ 0.98)."""
+    from fide_crawler_ray.pipelines.quality import q_semdedup_recall
+
+    row = q_semdedup_recall(SF).iloc[0]
+    assert row["n_planted"] > 0
+    assert row["recall_x1e6"] >= 900_000
+    assert row["natural_dropped"] == 0
+
+
+def test_semdedup_without_near_dups_keeps_everything():
+    """On the natural corpus (no near-dups) SemDeDup is the identity."""
+    from fide_crawler_ray.pipelines.queries import T, q_semdedup
+
+    out = q_semdedup(SF).to_pandas()
+    n = T(SF, "embeddings", ["vec_id"]).count()
+    assert len(out) == n
