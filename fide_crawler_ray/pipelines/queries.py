@@ -727,6 +727,46 @@ def _crawl_store(sf_key: str):
     return out
 
 
+@functools.lru_cache(maxsize=2)
+def _crawl_fetch_log(sf_key: str):
+    """One small logged crawl (record_log=True is ordering-audit-only
+    state, so it runs separately from the cached store crawl); returns
+    the merged (vts, priority, url) fetch log."""
+    cfg = synth.SiteConfig(seed=42, n_players=6, n_queries=2, n_months=12)
+    out = tempfile.mkdtemp(prefix="fcray_qlog_", dir="/tmp")
+    res = CR.run_crawl(cfg, out, n_shards=2, fetch_concurrency=2,
+                       record_log=True, persist_docs=False,
+                       persist_games=False, finalize=False)
+    return res.fetch_log()
+
+
+def q_crawl_politeness_audit(sf_dir):
+    """Politeness audit over the crawl's own fetch log: per host, the
+    minimum virtual-time gap between consecutive fetches must respect
+    the politeness budget (1 s virtual). Hosts hash to exactly one
+    frontier shard, so each host's log lives on one virtual clock and
+    the per-host gap is globally meaningful. Asserts the budget
+    in-query (a violation fails the run) and returns the per-host
+    numbers as the driver-visible row. Rows-only (the crawl is not a
+    SQL surface)."""
+    log = _crawl_fetch_log("fixed")
+    gap_budget = 1_000_000  # run_crawl default politeness_gap_us
+    by_host: dict[str, list[int]] = {}
+    for vts, _prio, url in log:
+        host = url.split("://", 1)[-1].split("/", 1)[0]
+        by_host.setdefault(host, []).append(int(vts))
+    rows = []
+    for host, vs in sorted(by_host.items()):
+        vs.sort()
+        gaps = np.diff(np.asarray(vs, dtype=np.int64))
+        min_gap = int(gaps.min()) if len(gaps) else gap_budget
+        ok = min_gap >= gap_budget
+        assert ok, f"politeness violated on {host}: {min_gap} µs"
+        rows.append({"host": host, "n_fetches": len(vs),
+                     "min_gap_us": min_gap, "gap_ok": ok})
+    return pd.DataFrame(rows)
+
+
 def q_crawl_game_history(sf_dir):
     """Flagship crawl: synthetic site → frontier crawl → parsed, normalized,
     deduped game_history (rows-only: the site is not a SQL view)."""
@@ -1036,6 +1076,7 @@ def queries() -> dict:
         "events_sliding": q_events_sliding,
         "random_sample": q_random_sample,
         "crawl_game_history": q_crawl_game_history,
+        "crawl_politeness_audit": q_crawl_politeness_audit,
         "crawl_players": q_crawl_players,
         "tournament_rollup": q_tournament_rollup,
         "fuzzy_match": q_fuzzy_match,

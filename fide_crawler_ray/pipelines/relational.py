@@ -7777,6 +7777,86 @@ def q_cumulative_users(sf_dir):
         _cum, batch_format="pyarrow", batch_size=None)
 
 
+DAY_NS = 86_400_000_000_000
+
+
+def q_max_concurrency(sf_dir, dur_ns: int = 1_800_000_000_000):
+    """Per-day peak concurrency of 30-minute event intervals — the
+    sweep-line operator, made scale-safe by TIME partitioning instead of
+    a global sort: each interval emits clipped (+1, −1) boundaries into
+    every day it overlaps (≤2 with a sub-day duration — the halo), so
+    each day's sweep is independent and runs vectorized inside one
+    map_groups over that day's boundaries (bounded by per-day event
+    volume, the documented partition assumption). Touching intervals
+    count as concurrent (+1 sorts before −1 at equal t; mirrored as
+    ORDER BY t, d DESC in the oracle). All-integer ns arithmetic."""
+    ev = T(sf_dir, "events", ["ts"])
+
+    def _bounds(b: pa.Table) -> pa.Table:
+        s = _ts_ns(b["ts"])
+        e = s + dur_ns
+        d0 = s // DAY_NS
+        d1 = e // DAY_NS
+        # first-day part: [s, min(e, day_end)) — always nonempty
+        hi0 = np.minimum(e, (d0 + 1) * DAY_NS)
+        # spillover part: [day_start, e), only when it crosses midnight
+        # with a nonzero remainder
+        cross = (d1 > d0) & (e > d1 * DAY_NS)
+        lo1 = d1[cross] * DAY_NS
+        day = np.concatenate([d0, d0, d1[cross], d1[cross]])
+        t = np.concatenate([s, hi0, lo1, e[cross]])
+        n0, n1 = len(s), int(cross.sum())
+        dd = np.concatenate([np.ones(n0, np.int64),
+                             -np.ones(n0, np.int64),
+                             np.ones(n1, np.int64),
+                             -np.ones(n1, np.int64)])
+        return pa.table({"day": pa.array(day, pa.int64()),
+                         "t": pa.array(t, pa.int64()),
+                         "d": pa.array(dd, pa.int64())})
+
+    bounds = ev.map_batches(_bounds, batch_format="pyarrow")
+
+    def _sweep(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((-g["d"].to_numpy(), g["t"].to_numpy()))
+        run = np.cumsum(g["d"].to_numpy()[order])
+        return pd.DataFrame({"day": [int(g["day"].iloc[0])],
+                             "peak": [int(run.max())]})
+
+    return bounds.groupby("day").map_groups(
+        _sweep, batch_format="pandas")
+
+
+def q_pca_top_component(sf_dir, iters: int = 60):
+    """Top principal component of the embedding corpus: the distributed
+    pass is q_embedding_covariance's fold into the EXACT integer
+    n·S_ij − S_i·S_j statistic (constant d×d size); the eigen-iteration
+    then runs on that d×d matrix — dimension-sized math, corpus never
+    revisited. Power iteration from a fixed start, sign-normalized on
+    the largest-|loading| coordinate. Rows-only (iterative); the
+    Rayleigh-dominance gate (λ₁ ≥ every single-axis variance) is
+    asserted in-query so a regression fails the run."""
+    cov = q_embedding_covariance(sf_dir).to_pandas()
+    d = int(cov["i"].max())
+    m = np.zeros((d, d))
+    m[cov["i"] - 1, cov["j"] - 1] = cov["cov_n2_fp"]
+    m[cov["j"] - 1, cov["i"] - 1] = cov["cov_n2_fp"]
+    scale = np.abs(m).max()
+    a = m / scale  # condition the iteration; eigenvectors unchanged
+    v = np.full(d, 1.0 / np.sqrt(d))
+    for _ in range(iters):
+        w = a @ v
+        v = w / np.linalg.norm(w)
+    lam = float(v @ a @ v) * scale
+    assert lam >= m.diagonal().max() - 1e-6 * scale, \
+        "power iteration lost Rayleigh dominance"
+    if v[np.argmax(np.abs(v))] < 0:
+        v = -v
+    return pd.DataFrame({
+        "dim": np.arange(1, d + 1, dtype=np.int64),
+        "loading_x1e6": np.round(v * 1e6).astype(np.int64),
+    })
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -7928,6 +8008,8 @@ def queries() -> dict:
         "weighted_median": q_weighted_median,
         "store_time_travel": q_store_time_travel,
         "cumulative_users": q_cumulative_users,
+        "max_concurrency": q_max_concurrency,
+        "pca_top_component": q_pca_top_component,
     }
 
 
@@ -10288,4 +10370,38 @@ ORACLES["cumulative_users"] = """
     c AS (SELECT day, count(*) AS n FROM f GROUP BY day)
     SELECT day, CAST(sum(n) OVER (ORDER BY day) AS BIGINT) AS cum_users
     FROM c
+"""
+
+ORACLES["max_concurrency"] = """
+    WITH iv AS (
+        SELECT epoch_ns(ts) AS s,
+               epoch_ns(ts) + 1800000000000 AS e
+        FROM events
+    ),
+    b AS (
+        SELECT s // 86400000000000 AS day, s AS t, 1 AS d FROM iv
+        UNION ALL
+        SELECT s // 86400000000000 AS day,
+               least(e, (s // 86400000000000 + 1) * 86400000000000)
+                   AS t, -1 AS d
+        FROM iv
+        UNION ALL
+        SELECT e // 86400000000000 AS day,
+               (e // 86400000000000) * 86400000000000 AS t, 1 AS d
+        FROM iv
+        WHERE e // 86400000000000 > s // 86400000000000
+          AND e > (e // 86400000000000) * 86400000000000
+        UNION ALL
+        SELECT e // 86400000000000 AS day, e AS t, -1 AS d
+        FROM iv
+        WHERE e // 86400000000000 > s // 86400000000000
+          AND e > (e // 86400000000000) * 86400000000000
+    ),
+    r AS (
+        SELECT day,
+               sum(d) OVER (PARTITION BY day ORDER BY t, d DESC
+                            ROWS UNBOUNDED PRECEDING) AS run
+        FROM b
+    )
+    SELECT day, CAST(max(run) AS BIGINT) AS peak FROM r GROUP BY day
 """

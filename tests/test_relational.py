@@ -2185,3 +2185,62 @@ def test_cumulative_users_bruteforce():
            .rename(columns={"index": "day"}).astype(np.int64))
     pd.testing.assert_frame_equal(got, exp)
     assert got["cum_users"].iloc[-1] == ev["user_id"].nunique()
+
+
+def test_max_concurrency_bruteforce():
+    """Day-partitioned sweep == a single global sweep, sliced by day."""
+    from fide_crawler_ray.pipelines.relational import (
+        DAY_NS, T, q_max_concurrency)
+
+    got = (q_max_concurrency(SF).to_pandas()
+           .sort_values("day").reset_index(drop=True))
+    ts = (T(SF, "events", ["ts"]).to_pandas()["ts"]
+          .astype("datetime64[ns]").astype(np.int64).to_numpy())
+    dur = 1_800_000_000_000
+    exp_rows = {}
+    for day in np.unique(np.concatenate([ts // DAY_NS,
+                                         (ts + dur) // DAY_NS])):
+        lo_d, hi_d = day * DAY_NS, (day + 1) * DAY_NS
+        s = np.maximum(ts, lo_d)
+        e = np.minimum(ts + dur, hi_d)
+        keep = s < e
+        if not keep.any():
+            continue
+        pts = np.concatenate([np.stack([s[keep],
+                                        np.ones(keep.sum())], 1),
+                              np.stack([e[keep],
+                                        -np.ones(keep.sum())], 1)])
+        order = np.lexsort((-pts[:, 1], pts[:, 0]))
+        exp_rows[int(day)] = int(np.cumsum(pts[order, 1]).max())
+    exp = (pd.DataFrame({"day": list(exp_rows), "peak": list(
+        exp_rows.values())}).astype(np.int64)
+        .sort_values("day").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_pca_top_component_dominates_axes():
+    """λ₁ from the returned loading vector must beat every single-axis
+    variance, and the loading must be unit-norm (×1e6 quantized)."""
+    from fide_crawler_ray.pipelines.relational import (
+        q_embedding_covariance, q_pca_top_component)
+
+    got = q_pca_top_component(SF)
+    v = got["loading_x1e6"].to_numpy() / 1e6
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-3
+    cov = q_embedding_covariance(SF).to_pandas()
+    d = int(cov["i"].max())
+    m = np.zeros((d, d))
+    m[cov["i"] - 1, cov["j"] - 1] = cov["cov_n2_fp"]
+    m[cov["j"] - 1, cov["i"] - 1] = cov["cov_n2_fp"]
+    rayleigh = float(v @ m @ v) / float(v @ v)
+    assert rayleigh >= m.diagonal().max() * (1 - 1e-9)
+
+
+def test_crawl_politeness_audit_gaps():
+    from fide_crawler_ray.pipelines.queries import q_crawl_politeness_audit
+
+    out = q_crawl_politeness_audit(SF)
+    assert len(out) >= 1
+    assert bool(out["gap_ok"].all())
+    assert (out.loc[out["n_fetches"] > 1, "min_gap_us"]
+            >= 1_000_000).all()
