@@ -767,6 +767,88 @@ def q_crawl_politeness_audit(sf_dir):
     return pd.DataFrame(rows)
 
 
+@functools.lru_cache(maxsize=2)
+def _crawl_store_partial(sf_key: str):
+    """One-epoch checkpointed crawl (max_epochs=1) — leaves a LIVE
+    frontier snapshot (nonempty pending heaps) plus the epoch-0 lineage
+    manifest for the audit queries."""
+    cfg = synth.SiteConfig(seed=42, n_players=6, n_queries=2, n_months=12)
+    out = tempfile.mkdtemp(prefix="fcray_qsnap_", dir="/tmp")
+    CR.run_crawl(cfg, out, n_shards=2, fetch_concurrency=2, max_epochs=1,
+                 finalize=False)
+    return out
+
+
+def q_lineage_audit(sf_dir):
+    """Per-partition lineage audit over the crawl store: every epoch's
+    manifest entry (urls consumed, rows produced, priority window) is
+    checked against the epoch partition it describes — row counts must
+    match exactly and every game row's lineage id (priority << 16 |
+    span offset) must decode into the epoch's recorded priority window.
+    Violations raise; the per-epoch numbers return as the
+    driver-visible rows. Rows-only (store manifests are not a SQL
+    surface)."""
+    out = _crawl_store("fixed")
+    from ..sources import store
+
+    manifest = store.load_manifest(out) or {}
+    rows = []
+    for epoch_s, meta in sorted(manifest.get("epochs", {}).items()):
+        epoch = int(epoch_s)
+        games = store.read_all(out, "games_raw", max_epoch=epoch)
+        prev = (store.read_all(out, "games_raw", max_epoch=epoch - 1)
+                if epoch else None)
+        n_games = (games.count() if games is not None else 0) - \
+            (prev.count() if prev is not None else 0)
+        assert n_games == meta["games_raw_rows"], \
+            (epoch, n_games, meta["games_raw_rows"])
+        lineage_ok = True
+        if meta["games_raw_rows"]:
+            ep = store.read_all(out, "games_raw", max_epoch=epoch,
+                                columns=["lineage"])
+            # isolate THIS epoch's rows via the priority window
+            lin = ep.to_pandas()["lineage"].to_numpy()
+            prio = lin >> 16
+            in_window = ((prio >= meta["priority_min"])
+                         & (prio <= meta["priority_max"]))
+            lineage_ok = bool(in_window.sum() >= meta["games_raw_rows"])
+            assert lineage_ok, (epoch, int(in_window.sum()))
+        rows.append({"epoch": epoch,
+                     "urls_fetched": meta["urls_fetched"],
+                     "docs_rows": meta["docs_rows"],
+                     "games_raw_rows": meta["games_raw_rows"],
+                     "lineage_ok": lineage_ok})
+    assert rows, "manifest carried no epoch lineage"
+    return pd.DataFrame(rows)
+
+
+def q_frontier_snapshot_stats(sf_dir):
+    """Checkpoint-resumable frontier evidence as a query: after a
+    one-epoch crawl, the persisted per-shard snapshots must hold a
+    LIVE frontier (nonempty pending heaps — the crawl is resumable
+    from exactly this state, pinned by the resume e2e tests) and the
+    seen-filter snapshots must carry the counters the manifest
+    metrics report. Returns one row per politeness shard."""
+    out = _crawl_store_partial("fixed")
+    from ..sources import store
+
+    shards = store.load_shard_snapshots(out, 2, prefix="shard") or []
+    filters = store.load_shard_snapshots(out, 2, prefix="seenfilter") or []
+    assert shards and filters, "checkpoint snapshots missing"
+    rows = []
+    for snap in shards:
+        pending = sum(len(v) for v in snap["pending"].values())
+        rows.append({
+            "shard_id": int(snap["shard_id"]),
+            "n_hosts_pending": len(snap["pending"]),
+            "n_pending": pending,
+            "gap_us": int(snap["gap_us"]),
+        })
+    assert sum(r["n_pending"] for r in rows) > 0, \
+        "one-epoch crawl left no pending frontier to resume"
+    return pd.DataFrame(rows)
+
+
 def q_crawl_game_history(sf_dir):
     """Flagship crawl: synthetic site → frontier crawl → parsed, normalized,
     deduped game_history (rows-only: the site is not a SQL view)."""
@@ -1077,6 +1159,8 @@ def queries() -> dict:
         "random_sample": q_random_sample,
         "crawl_game_history": q_crawl_game_history,
         "crawl_politeness_audit": q_crawl_politeness_audit,
+        "lineage_audit": q_lineage_audit,
+        "frontier_snapshot_stats": q_frontier_snapshot_stats,
         "crawl_players": q_crawl_players,
         "tournament_rollup": q_tournament_rollup,
         "fuzzy_match": q_fuzzy_match,

@@ -363,3 +363,21 @@ def test_permanent_fetch_failure_raises():
     })
     with pytest.raises(RuntimeError, match="fetch failed after"):
         fetch_batch(cfg, batch)
+
+
+def test_lineage_audit_epochs_consistent():
+    from fide_crawler_ray.pipelines.queries import q_lineage_audit
+
+    out = q_lineage_audit("/root/testdata/sf0.001")
+    assert len(out) >= 1
+    assert bool(out["lineage_ok"].all())
+    assert int(out["urls_fetched"].sum()) > 0
+
+
+def test_frontier_snapshot_stats_resumable_state():
+    from fide_crawler_ray.pipelines.queries import q_frontier_snapshot_stats
+
+    out = q_frontier_snapshot_stats("/root/testdata/sf0.001")
+    assert len(out) == 2
+    assert int(out["n_pending"].sum()) > 0
+    assert (out["gap_us"] == 1_000_000).all()
