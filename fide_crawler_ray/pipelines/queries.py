@@ -849,6 +849,39 @@ def q_frontier_snapshot_stats(sf_dir):
     return pd.DataFrame(rows)
 
 
+def q_crawl_metrics(sf_dir):
+    """Crawl progress counters (SURVEY ST6) surfaced from the finished
+    store's manifest metrics: one row per frontier component (politeness
+    shards + seen filters) with its counters, plus a conservation check —
+    offered = enqueued + dup_dropped + robots_dropped across the filter
+    bank, and popped == pages fetched per the epoch lineage. Rows-only."""
+    out = _crawl_store("fixed")
+    from ..sources import store
+
+    m = (store.load_manifest(out) or {}).get("metrics", {})
+    rows = []
+    for s in m.get("shards", []):
+        rows.append({"component": f"shard_{s['shard']}",
+                     "popped": int(s.get("popped", 0)),
+                     "enqueued": int(s.get("enqueued", 0)),
+                     "offered": 0, "dup_dropped": 0, "robots_dropped": 0,
+                     "seen": 0, "pending": int(s.get("pending", 0))})
+    for f in m.get("seen_filters", []):
+        rows.append({"component": f"seenfilter_{f['filter']}",
+                     "popped": 0, "enqueued": 0,
+                     "offered": int(f.get("offered", 0)),
+                     "dup_dropped": int(f.get("dup_dropped", 0)),
+                     "robots_dropped": int(f.get("robots_dropped", 0)),
+                     "seen": int(f.get("seen", 0)), "pending": 0})
+    df = pd.DataFrame(rows)
+    total_popped = int(df["popped"].sum())
+    fetched = sum(e["urls_fetched"]
+                  for e in (store.load_manifest(out) or {})
+                  .get("epochs", {}).values())
+    assert total_popped == fetched, (total_popped, fetched)
+    return df
+
+
 def q_crawl_game_history(sf_dir):
     """Flagship crawl: synthetic site → frontier crawl → parsed, normalized,
     deduped game_history (rows-only: the site is not a SQL view)."""
@@ -1160,6 +1193,7 @@ def queries() -> dict:
         "crawl_game_history": q_crawl_game_history,
         "crawl_politeness_audit": q_crawl_politeness_audit,
         "lineage_audit": q_lineage_audit,
+        "crawl_metrics": q_crawl_metrics,
         "frontier_snapshot_stats": q_frontier_snapshot_stats,
         "crawl_players": q_crawl_players,
         "tournament_rollup": q_tournament_rollup,

@@ -7857,6 +7857,60 @@ def q_pca_top_component(sf_dir, iters: int = 60):
     })
 
 
+def q_hll_union_intersect(sf_dir):
+    """HLL set algebra: the distinct audiences of 'click' and 'view'
+    events, their UNION (elementwise register max — the merge HLL is
+    closed under) and their INTERSECTION via inclusion–exclusion.
+    This is the 100-TB audience-overlap path: three 16 KiB sketches
+    instead of a distinct-pair shuffle. Exact counterparts are computed
+    engine-side for the gate: union rel-err must stay inside the HLL
+    bound, intersection abs-err inside 5% of the union (IE error
+    compounds — the documented weakness of sketch intersection).
+    Rows-only (randomized summary)."""
+    from ..functions.sketches import hll_estimate, hll_partial
+
+    def _sketch(event_type: str) -> np.ndarray:
+        ds = T(sf_dir, "events", ["user_id", "event_type"]).map_batches(
+            lambda b: pa.table({"user_id": b["user_id"].filter(
+                pc.equal(b["event_type"], event_type))}),
+            batch_format="pyarrow")
+        parts = ds.map_batches(
+            lambda b: pa.table({"regs": pa.array(
+                [hll_partial(b["user_id"].to_numpy(
+                    zero_copy_only=False).astype(np.uint64)).tobytes()],
+                pa.binary())}),
+            batch_format="pyarrow")
+        return _tree_reduce_buffers(parts, "regs", np.maximum, np.uint8)
+
+    ra, rb = _sketch("click"), _sketch("view")
+    est_a, est_b = hll_estimate(ra), hll_estimate(rb)
+    est_union = hll_estimate(np.maximum(ra, rb))
+    est_inter = est_a + est_b - est_union
+
+    def _exact(types: tuple) -> int:
+        ds = T(sf_dir, "events", ["user_id", "event_type"]).map_batches(
+            lambda b: pa.table({"user_id": b["user_id"].filter(
+                pc.is_in(b["event_type"],
+                         value_set=pa.array(list(types))))}),
+            batch_format="pyarrow")
+        return fast_groupby_agg(ds, ["user_id"],
+                                {"__n": (None, "count")}).count()
+
+    ex_a, ex_b = _exact(("click",)), _exact(("view",))
+    ex_union = _exact(("click", "view"))
+    ex_inter = ex_a + ex_b - ex_union
+    assert abs(est_union - ex_union) / max(ex_union, 1) < 0.025, \
+        (est_union, ex_union)
+    assert abs(est_inter - ex_inter) <= 0.05 * max(ex_union, 1), \
+        (est_inter, ex_inter)
+    return pd.DataFrame([{
+        "est_a": float(est_a), "est_b": float(est_b),
+        "est_union": float(est_union), "est_intersect": float(est_inter),
+        "exact_a": ex_a, "exact_b": ex_b, "exact_union": ex_union,
+        "exact_intersect": ex_inter,
+    }])
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -8009,6 +8063,7 @@ def queries() -> dict:
         "store_time_travel": q_store_time_travel,
         "cumulative_users": q_cumulative_users,
         "max_concurrency": q_max_concurrency,
+        "hll_union_intersect": q_hll_union_intersect,
         "pca_top_component": q_pca_top_component,
     }
 

@@ -381,3 +381,19 @@ def test_frontier_snapshot_stats_resumable_state():
     assert len(out) == 2
     assert int(out["n_pending"].sum()) > 0
     assert (out["gap_us"] == 1_000_000).all()
+
+
+def test_crawl_metrics_conservation():
+    from fide_crawler_ray.pipelines.queries import q_crawl_metrics
+
+    out = q_crawl_metrics("/root/testdata/sf0.001")
+    shards = out[out["component"].str.startswith("shard_")]
+    filters = out[out["component"].str.startswith("seenfilter_")]
+    assert len(shards) == 2 and len(filters) == 2
+    assert int(shards["popped"].sum()) > 0
+    # every offer is accounted for: enqueued into a shard, duplicate,
+    # or robots-blocked
+    offered = int(filters["offered"].sum())
+    assert offered == int(shards["enqueued"].sum()
+                          + filters["dup_dropped"].sum()
+                          + filters["robots_dropped"].sum())

@@ -2244,3 +2244,14 @@ def test_crawl_politeness_audit_gaps():
     assert bool(out["gap_ok"].all())
     assert (out.loc[out["n_fetches"] > 1, "min_gap_us"]
             >= 1_000_000).all()
+
+
+def test_hll_union_intersect_gate():
+    from fide_crawler_ray.pipelines.relational import q_hll_union_intersect
+
+    row = q_hll_union_intersect(SF).iloc[0]
+    assert row["exact_union"] >= max(row["exact_a"], row["exact_b"])
+    assert row["exact_intersect"] >= 0
+    # in-query asserts already bound the sketch error; re-check union
+    assert (abs(row["est_union"] - row["exact_union"])
+            / max(row["exact_union"], 1)) < 0.025
