@@ -7911,6 +7911,98 @@ def q_hll_union_intersect(sf_dir):
     }])
 
 
+def q_session_paths(sf_dir, gap_ns: int = 1_800_000_000_000, topn: int = 20):
+    """Top event-type TRIGRAM paths within sessions (the clickstream
+    path-mining shape): per user, events sessionize on a 30-min gap,
+    each session contributes its consecutive type-trigrams, and the
+    global top-20 paths are ranked (count desc, then lexicographic —
+    a total order, so the cut is deterministic). Plan: per-user sorted
+    map_groups (bounded per-user volume — the engine's documented
+    per-key assumption) emits trigram PARTIAL counts; the exchange is
+    the ≤|types|³ path matrix; top-20 sorts that tiny domain."""
+
+    _empty = pa.table({"t1": pa.array([], pa.string()),
+                       "t2": pa.array([], pa.string()),
+                       "t3": pa.array([], pa.string()),
+                       "n": pa.array([], pa.int64())})
+
+    def _paths(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["ts", "event_id"])
+        if len(g) < 3:
+            return _empty
+        t = g["ts"].to_numpy().astype("datetime64[ns]").view("int64")
+        brk = np.zeros(len(g), np.int64)
+        brk[1:] = (np.diff(t) > gap_ns).astype(np.int64)
+        sess = np.cumsum(brk)
+        ok = np.arange(len(g) - 2)
+        same = (sess[ok] == sess[ok + 1]) & (sess[ok] == sess[ok + 2])
+        i = ok[same]
+        if len(i) == 0:
+            return _empty
+        et = g["event_type"].to_numpy()
+        df = pd.DataFrame({"t1": et[i], "t2": et[i + 1], "t3": et[i + 2]})
+        out = (df.groupby(["t1", "t2", "t3"], sort=False).size()
+               .rename("n").reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    ev = T(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    partial = ev.groupby("user_id").map_groups(
+        _paths, batch_format="pandas")
+    agg = fast_groupby_agg(partial, ["t1", "t2", "t3"],
+                           {"n": ("n", "sum")})
+    return (agg.sort(["n", "t1", "t2", "t3"],
+                     descending=[True, False, False, False])
+            .limit(topn))
+
+
+def q_cdc_merge_delete(sf_dir):
+    """CDC MERGE with deletes (lakehouse change-log apply): a base
+    snapshot (v0) + a derived update stream (every 7th order re-priced,
+    v1) + a delete stream (every 11th order tombstoned, v2) compact to
+    one surviving row per key. All channels are emitted in ONE pass
+    over the input; the mergeable grouped top-1 by version keeps the
+    latest op map-side, and tombstones filter AFTER the merge — so a
+    delete wins over any earlier update, the MERGE semantic. Integer
+    cents throughout."""
+    from ..stages.fastagg import grouped_topk
+
+    orders = T(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def _channels(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = _round_half_away(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        upd = (k % 7) == 0
+        dele = (k % 11) == 0
+        return pa.table({
+            "o_orderkey": pa.array(
+                np.concatenate([k, k[upd], k[dele]]), pa.int64()),
+            "price_fp": pa.array(
+                np.concatenate([p, p[upd] + 100_000,
+                                np.zeros(int(dele.sum()), np.int64)]),
+                pa.int64()),
+            "version": pa.array(
+                np.concatenate([np.zeros(len(k), np.int64),
+                                np.ones(int(upd.sum()), np.int64),
+                                np.full(int(dele.sum()), 2, np.int64)]),
+                pa.int64()),
+            "is_delete": pa.array(
+                np.concatenate([np.zeros(len(k) + int(upd.sum()),
+                                         np.int64),
+                                np.ones(int(dele.sum()), np.int64)]),
+                pa.int64()),
+        })
+
+    log = orders.map_batches(_channels, batch_format="pyarrow")
+    latest = grouped_topk(log, ["o_orderkey"], ["version"], [False], 1)
+    return latest.map_batches(
+        lambda b: b.filter(pc.equal(b["is_delete"], 0))
+        .select(["o_orderkey", "price_fp"]),
+        batch_format="pyarrow")
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -8064,6 +8156,8 @@ def queries() -> dict:
         "cumulative_users": q_cumulative_users,
         "max_concurrency": q_max_concurrency,
         "hll_union_intersect": q_hll_union_intersect,
+        "session_paths": q_session_paths,
+        "cdc_merge_delete": q_cdc_merge_delete,
         "pca_top_component": q_pca_top_component,
     }
 
@@ -10459,4 +10553,47 @@ ORACLES["max_concurrency"] = """
         FROM b
     )
     SELECT day, CAST(max(run) AS BIGINT) AS peak FROM r GROUP BY day
+"""
+
+ORACLES["session_paths"] = """
+    WITH brk AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS b
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sess
+        FROM brk
+    ),
+    o AS (
+        SELECT user_id, sess, event_type,
+               row_number() OVER (PARTITION BY user_id, sess
+                                  ORDER BY ts, event_id) AS rn
+        FROM s
+    ),
+    tri AS (
+        SELECT a.event_type AS t1, b.event_type AS t2,
+               c.event_type AS t3, count(*) AS n
+        FROM o a
+        JOIN o b ON a.user_id = b.user_id AND a.sess = b.sess
+               AND b.rn = a.rn + 1
+        JOIN o c ON a.user_id = c.user_id AND a.sess = c.sess
+               AND c.rn = a.rn + 2
+        GROUP BY t1, t2, t3
+    )
+    SELECT t1, t2, t3, CAST(n AS BIGINT) AS n
+    FROM tri ORDER BY n DESC, t1, t2, t3 LIMIT 20
+"""
+
+ORACLES["cdc_merge_delete"] = """
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 7 = 0
+                      THEN 100000 ELSE 0 END AS price_fp
+    FROM orders
+    WHERE o_orderkey % 11 <> 0
 """

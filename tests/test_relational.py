@@ -2255,3 +2255,48 @@ def test_hll_union_intersect_gate():
     # in-query asserts already bound the sketch error; re-check union
     assert (abs(row["est_union"] - row["exact_union"])
             / max(row["exact_union"], 1)) < 0.025
+
+
+def test_session_paths_bruteforce():
+    from fide_crawler_ray.pipelines.relational import T, q_session_paths
+
+    got = (q_session_paths(SF).to_pandas().reset_index(drop=True))
+    ev = (T(SF, "events", ["user_id", "ts", "event_id", "event_type"])
+          .to_pandas().sort_values(["user_id", "ts", "event_id"]))
+    counts: dict = {}
+    for _, g in ev.groupby("user_id"):
+        t = g["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        sess = np.cumsum(np.concatenate(
+            [[0], (np.diff(t) > 1_800_000_000_000).astype(int)]))
+        et = g["event_type"].to_numpy()
+        for i in range(len(g) - 2):
+            if sess[i] == sess[i + 1] == sess[i + 2]:
+                k = (et[i], et[i + 1], et[i + 2])
+                counts[k] = counts.get(k, 0) + 1
+    exp = (pd.DataFrame([{"t1": a, "t2": b, "t3": c, "n": n}
+                         for (a, b, c), n in counts.items()])
+           .sort_values(["n", "t1", "t2", "t3"],
+                        ascending=[False, True, True, True])
+           .head(20).reset_index(drop=True))
+    exp["n"] = exp["n"].astype(np.int64)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_cdc_merge_delete_semantics():
+    from fide_crawler_ray.pipelines.relational import (
+        T, _round_half_away as rha, q_cdc_merge_delete)
+
+    got = (q_cdc_merge_delete(SF).to_pandas()
+           .sort_values("o_orderkey").reset_index(drop=True))
+    o = T(SF, "orders", ["o_orderkey", "o_totalprice"]).to_pandas()
+    # deletes win over updates: a key hit by both must be absent
+    both = o[(o["o_orderkey"] % 7 == 0) & (o["o_orderkey"] % 11 == 0)]
+    assert not got["o_orderkey"].isin(both["o_orderkey"]).any()
+    surv = o[o["o_orderkey"] % 11 != 0].copy()
+    surv["price_fp"] = (rha(surv["o_totalprice"].to_numpy() * 100)
+                        .astype(np.int64)
+                        + np.where(surv["o_orderkey"] % 7 == 0,
+                                   100_000, 0))
+    exp = (surv[["o_orderkey", "price_fp"]]
+           .sort_values("o_orderkey").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
