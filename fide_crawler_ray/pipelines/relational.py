@@ -8003,6 +8003,74 @@ def q_cdc_merge_delete(sf_dir):
         batch_format="pyarrow")
 
 
+def q_balanced_downsample(sf_dir):
+    """Class-balanced downsampling of the labeled embedding corpus:
+    every label keeps exactly min-class-count rows, chosen in
+    deterministic md5(vec_id) order — reproducible at any cluster
+    size/retry, unlike a random sample, and oracle-exact. Plan: the
+    per-label counts are one tiny groupby (label domain); the selection
+    is the mergeable grouped top-k by (md5 hex, vec_id), so only
+    k-row partials per block move."""
+    from ..stages.fastagg import grouped_topk
+
+    counts = fast_groupby_agg(
+        T(sf_dir, "embeddings", ["label"]),
+        ["label"], {"n": (None, "count")}).to_pandas()
+    k = int(counts["n"].min())
+
+    def _hash(b: pa.Table) -> pa.Table:
+        h = [hashlib.md5(str(i).encode()).hexdigest()
+             for i in b["vec_id"].to_pylist()]
+        return pa.table({"vec_id": b["vec_id"], "label": b["label"],
+                         "h": pa.array(h, pa.string())})
+
+    hashed = T(sf_dir, "embeddings", ["vec_id", "label"]).map_batches(
+        _hash, batch_format="pyarrow")
+    picked = grouped_topk(hashed, ["label"], ["h", "vec_id"],
+                          [True, True], k)
+    return picked.select_columns(["label", "vec_id"])
+
+
+def q_target_encode_loo(sf_dir):
+    """Leave-one-out target (mean) encoding of o_orderpriority against
+    the order total — the categorical-feature trick that avoids
+    leaking each row's own target: enc = (S_g − x)/(n_g − 1) on exact
+    integer cent sums, ×1e6 quantized after ONE mirrored float
+    division. Plan: per-category (S, n) is a tiny groupby broadcast
+    back via closure (category domain is 5); the encode itself is a
+    pure map — no row ever moves twice."""
+    o = T(sf_dir, "orders", ["o_orderkey", "o_orderpriority",
+                             "o_totalprice"])
+    stats = fast_groupby_agg(
+        o.map_batches(
+            lambda b: pa.table({
+                "o_orderpriority": b["o_orderpriority"],
+                "cents": pa.array(_round_half_away(
+                    b["o_totalprice"].to_numpy(zero_copy_only=False)
+                    * 100.0).astype(np.int64)),
+            }),
+            batch_format="pyarrow"),
+        ["o_orderpriority"], {"s": ("cents", "sum"),
+                              "n": (None, "count")}).to_pandas()
+    smap = dict(zip(stats["o_orderpriority"],
+                    zip(stats["s"], stats["n"])))
+
+    def _encode(b: pa.Table) -> pa.Table:
+        cents = _round_half_away(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        pr = b["o_orderpriority"].to_pylist()
+        s = np.array([smap[p][0] for p in pr], np.int64)
+        n = np.array([smap[p][1] for p in pr], np.int64)
+        enc = _round_half_away(
+            1e6 * ((s - cents).astype(np.float64)
+                   / (n - 1).astype(np.float64))).astype(np.int64)
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "loo_enc_fp": pa.array(enc, pa.int64())})
+
+    return o.map_batches(_encode, batch_format="pyarrow")
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -8158,6 +8226,8 @@ def queries() -> dict:
         "hll_union_intersect": q_hll_union_intersect,
         "session_paths": q_session_paths,
         "cdc_merge_delete": q_cdc_merge_delete,
+        "balanced_downsample": q_balanced_downsample,
+        "target_encode_loo": q_target_encode_loo,
         "pca_top_component": q_pca_top_component,
     }
 
@@ -10596,4 +10666,36 @@ ORACLES["cdc_merge_delete"] = """
                       THEN 100000 ELSE 0 END AS price_fp
     FROM orders
     WHERE o_orderkey % 11 <> 0
+"""
+
+ORACLES["balanced_downsample"] = """
+    WITH c AS (SELECT label, count(*) AS n FROM embeddings
+               GROUP BY label),
+    k AS (SELECT min(n) AS k FROM c),
+    h AS (SELECT label, vec_id,
+                 md5(CAST(vec_id AS VARCHAR)) AS h
+          FROM embeddings),
+    r AS (SELECT label, vec_id,
+                 row_number() OVER (PARTITION BY label
+                                    ORDER BY h, vec_id) AS rn
+          FROM h)
+    SELECT label, vec_id FROM r, k WHERE rn <= k.k
+"""
+
+ORACLES["target_encode_loo"] = """
+    WITH c AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+        FROM orders
+    ),
+    g AS (
+        SELECT o_orderpriority, CAST(sum(cents) AS BIGINT) AS s,
+               count(*) AS n
+        FROM c GROUP BY o_orderpriority
+    )
+    SELECT o_orderkey,
+           CAST(round(1e6 * (CAST(s - cents AS DOUBLE)
+                             / CAST(n - 1 AS DOUBLE)))
+                AS BIGINT) AS loo_enc_fp
+    FROM c JOIN g USING (o_orderpriority)
 """

@@ -2300,3 +2300,36 @@ def test_cdc_merge_delete_semantics():
     exp = (surv[["o_orderkey", "price_fp"]]
            .sort_values("o_orderkey").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_balanced_downsample_equal_classes():
+    from fide_crawler_ray.pipelines.relational import (
+        T, q_balanced_downsample)
+
+    got = q_balanced_downsample(SF).to_pandas()
+    sizes = got.groupby("label").size()
+    full = T(SF, "embeddings", ["label"]).to_pandas()["label"]
+    assert (sizes == full.value_counts().min()).all()
+    assert sizes.index.tolist() == sorted(full.unique().tolist())
+    # deterministic: same call twice picks the same rows
+    again = q_balanced_downsample(SF).to_pandas()
+    a = got.sort_values(["label", "vec_id"]).reset_index(drop=True)
+    b = again.sort_values(["label", "vec_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_target_encode_loo_excludes_own_row():
+    from fide_crawler_ray.pipelines.relational import (
+        T, _round_half_away as rha, q_target_encode_loo)
+
+    got = (q_target_encode_loo(SF).to_pandas()
+           .set_index("o_orderkey"))
+    o = T(SF, "orders", ["o_orderkey", "o_orderpriority",
+                         "o_totalprice"]).to_pandas()
+    o["cents"] = rha(o["o_totalprice"].to_numpy() * 100.0
+                     ).astype(np.int64)
+    g = o.groupby("o_orderpriority")["cents"].agg(["sum", "count"])
+    for _, r in o.sample(n=50, random_state=5).iterrows():
+        s, n = g.loc[r["o_orderpriority"]]
+        exp = int(rha(np.array([1e6 * ((s - r["cents"]) / (n - 1))]))[0])
+        assert got.loc[r["o_orderkey"], "loo_enc_fp"] == exp
