@@ -8071,6 +8071,55 @@ def q_target_encode_loo(sf_dir):
     return o.map_batches(_encode, batch_format="pyarrow")
 
 
+def q_collapse_runs(sf_dir):
+    """Run-length collapse of consecutive duplicate event types per
+    user (the event-stream de-bounce): per user, count events and RUNS
+    (a run starts where the type differs from its predecessor in
+    (ts, event_id) order). Per-user sorted map_groups, one vectorized
+    shift-compare per group; the exchange is one row per user."""
+
+    def _runs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        et = g["event_type"].to_numpy()
+        starts = 1 + int((et[1:] != et[:-1]).sum()) if len(et) else 0
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_events": np.array([len(g)], np.int64),
+                             "n_runs": np.array([starts], np.int64)})
+
+    ev = T(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    return ev.groupby("user_id").map_groups(_runs, batch_format="pandas")
+
+
+def q_info_gain(sf_dir):
+    """Information gain of o_orderpriority → o_orderstatus (the
+    entropy-based feature-selection score): IG = ln N + (Σ_xy c·ln c −
+    Σ_x n·ln n − Σ_y c·ln c)/N, every c·ln c term libm-ln of an EXACT
+    integer count quantized ×1e9 BEFORE the sums (grouped_entropy's
+    policy — numpy SIMD log can differ from DuckDB's libm by 1 ulp).
+    The distributed work is ONE (x, y) contingency fold; everything
+    after is domain-sized."""
+    cont = fast_groupby_agg(
+        T(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"]),
+        ["o_orderpriority", "o_orderstatus"], {"c": (None, "count")}
+    ).to_pandas()  # |X|×|Y| rows — domain-sized, not data-sized
+
+    def _slnsum(counts) -> int:
+        return int(sum(
+            int(_round_half_away(np.array(
+                [c * math.log(float(c)) * 1e9]))[0])
+            for c in counts if c > 0))
+
+    n = int(cont["c"].sum())
+    s_xy = _slnsum(cont["c"])
+    s_x = _slnsum(cont.groupby("o_orderpriority")["c"].sum())
+    s_y = _slnsum(cont.groupby("o_orderstatus")["c"].sum())
+    ig = math.log(float(n)) + ((s_xy - s_x - s_y) / 1e9) / n
+    return pd.DataFrame([{
+        "n": n,
+        "ig_fp": int(_round_half_away(np.array([ig * 1e6]))[0]),
+    }])
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -8228,6 +8277,8 @@ def queries() -> dict:
         "cdc_merge_delete": q_cdc_merge_delete,
         "balanced_downsample": q_balanced_downsample,
         "target_encode_loo": q_target_encode_loo,
+        "collapse_runs": q_collapse_runs,
+        "info_gain": q_info_gain,
         "pca_top_component": q_pca_top_component,
     }
 
@@ -10698,4 +10749,39 @@ ORACLES["target_encode_loo"] = """
                              / CAST(n - 1 AS DOUBLE)))
                 AS BIGINT) AS loo_enc_fp
     FROM c JOIN g USING (o_orderpriority)
+"""
+
+ORACLES["collapse_runs"] = """
+    WITH l AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+    )
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CASE WHEN prev IS NULL OR event_type <> prev
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+    FROM l GROUP BY user_id
+"""
+
+ORACLES["info_gain"] = """
+    WITH cont AS (
+        SELECT o_orderpriority AS x, o_orderstatus AS y,
+               count(*) AS c
+        FROM orders GROUP BY x, y
+    ),
+    sxy AS (SELECT CAST(sum(CAST(round(c * ln(c) * 1e9) AS BIGINT))
+                        AS BIGINT) AS s FROM cont),
+    mx AS (SELECT x, CAST(sum(c) AS BIGINT) AS c FROM cont GROUP BY x),
+    sx AS (SELECT CAST(sum(CAST(round(c * ln(c) * 1e9) AS BIGINT))
+                       AS BIGINT) AS s FROM mx),
+    my AS (SELECT y, CAST(sum(c) AS BIGINT) AS c FROM cont GROUP BY y),
+    sy AS (SELECT CAST(sum(CAST(round(c * ln(c) * 1e9) AS BIGINT))
+                       AS BIGINT) AS s FROM my),
+    nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cont)
+    SELECT n,
+           CAST(round(1e6 * (ln(n) + ((CAST(sxy.s - sx.s - sy.s
+                                            AS DOUBLE) / 1e9) / n)))
+                AS BIGINT) AS ig_fp
+    FROM nn, sxy, sx, sy
 """

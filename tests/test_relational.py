@@ -2333,3 +2333,40 @@ def test_target_encode_loo_excludes_own_row():
         s, n = g.loc[r["o_orderpriority"]]
         exp = int(rha(np.array([1e6 * ((s - r["cents"]) / (n - 1))]))[0])
         assert got.loc[r["o_orderkey"], "loo_enc_fp"] == exp
+
+
+def test_collapse_runs_bruteforce():
+    from fide_crawler_ray.pipelines.relational import T, q_collapse_runs
+
+    got = (q_collapse_runs(SF).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    ev = (T(SF, "events", ["user_id", "ts", "event_id", "event_type"])
+          .to_pandas().sort_values(["user_id", "ts", "event_id"]))
+    rows = []
+    for uid, g in ev.groupby("user_id"):
+        et = g["event_type"].to_numpy()
+        rows.append({"user_id": uid,
+                     "n_events": np.int64(len(g)),
+                     "n_runs": np.int64(
+                         1 + (et[1:] != et[:-1]).sum())})
+    exp = (pd.DataFrame(rows).sort_values("user_id")
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+    assert (got["n_runs"] <= got["n_events"]).all()
+
+
+def test_info_gain_bounds():
+    """IG must sit in [0, min(H(X), H(Y))] (standard mutual-information
+    bound), computed here in floats for the sanity check only."""
+    from fide_crawler_ray.pipelines.relational import T, q_info_gain
+
+    row = q_info_gain(SF).iloc[0]
+    o = T(SF, "orders", ["o_orderpriority", "o_orderstatus"]).to_pandas()
+
+    def ent(s):
+        p = s.value_counts(normalize=True).to_numpy()
+        return float(-(p * np.log(p)).sum())
+
+    ig = row["ig_fp"] / 1e6
+    assert -1e-6 <= ig <= min(ent(o["o_orderpriority"]),
+                              ent(o["o_orderstatus"])) + 1e-6
