@@ -66,7 +66,14 @@ def T(sf_dir: str, name: str, columns=None, *,
                        if e.is_file())
         else:
             size = os.path.getsize(path)
-        nb = max(min_blocks, -(-size // (target_block_mb << 20)))
+        # parallelism floor, CLAMPED for tiny files: a 3 KB dimension
+        # split 8 ways yields ~1-row blocks that a downstream filter
+        # empties — and an empty FIRST block on a join side loses the
+        # Ray 2.49 hash-shuffle schema broadcast (see _compact_small).
+        # ≥4 KB per block keeps every block comfortably nonempty while
+        # leaving real tables (MBs+) on the min_blocks floor.
+        floor = min(min_blocks, -(-size // 4096))
+        nb = max(floor, -(-size // (target_block_mb << 20)))
         kwargs["override_num_blocks"] = nb
     clean = _clean_schema(path, tuple(columns) if columns else None)
     if clean is not None:
@@ -849,6 +856,73 @@ def q_frontier_snapshot_stats(sf_dir):
     return pd.DataFrame(rows)
 
 
+def q_span_stats(sf_dir):
+    """Interleaved span-document audit over the crawl's docs store (the
+    BASELINE.json input_hint shape: doc_id + spans
+    list<struct<kind,text,media_ref,offset>>): per doc_kind, span/media
+    counts, text volume, and the ORDER invariant — every document's
+    span offsets must be non-decreasing (span order is load-bearing:
+    the reference zips media to text rows positionally). Zero-copy list
+    kernel: flattened child arrays + reduceat over list offsets, no
+    per-row Python. The order violation count must be zero (asserted).
+    Rows-only (list<struct> store, not a SQL view)."""
+    out = _crawl_store("fixed")
+    from ..sources import store
+
+    docs = store.read_all(out, "docs",
+                          columns=["doc_id", "doc_kind", "spans"])
+
+    def _stats(b: pa.Table) -> pa.Table:
+        col = b["spans"]
+        la = (col.combine_chunks()
+              if isinstance(col, pa.ChunkedArray) else col)
+        offs = la.offsets.to_numpy().astype(np.int64)
+        kinds = la.values.field("kind").to_numpy(zero_copy_only=False)
+        texts = la.values.field("text")
+        span_off = la.values.field("offset").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        tlen = pc.coalesce(pc.utf8_length(texts),
+                           pa.scalar(0)).to_numpy(zero_copy_only=False)
+        is_media = (kinds == "media").astype(np.int64)
+        n = len(b)
+        lens = np.diff(offs)
+
+        def _per_doc(vals):
+            if len(vals) == 0:
+                return np.zeros(n, np.int64)
+            # trailing zero-span docs put len(vals) into offsets —
+            # clip for reduceat, then zero every empty doc's slot
+            s = np.add.reduceat(vals,
+                                np.minimum(offs[:-1], len(vals) - 1))
+            s[lens == 0] = 0
+            return s.astype(np.int64)
+
+        # order invariant: offsets non-decreasing WITHIN each doc
+        incr = np.ones(len(span_off), np.int64)
+        if len(span_off) > 1:
+            incr[1:] = (span_off[1:] >= span_off[:-1]).astype(np.int64)
+        incr[offs[:-1][lens > 0]] = 1  # document starts reset the chain
+        df = pd.DataFrame({
+            "doc_kind": b["doc_kind"].to_pandas(),
+            "n_docs": np.ones(n, np.int64),
+            "n_spans": lens,
+            "n_media": _per_doc(is_media),
+            "text_chars": _per_doc(tlen.astype(np.int64)),
+            "order_violations": _per_doc(1 - incr),
+        })
+        g = df.groupby("doc_kind", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = fast_groupby_agg(
+        docs.map_batches(_stats, batch_format="pyarrow"),
+        ["doc_kind"], {c: (c, "sum") for c in
+                       ["n_docs", "n_spans", "n_media", "text_chars",
+                        "order_violations"]})
+    res = agg.to_pandas()  # doc_kind domain-sized
+    assert int(res["order_violations"].sum()) == 0, res.to_dict("records")
+    return res.sort_values("doc_kind").reset_index(drop=True)
+
+
 def q_crawl_metrics(sf_dir):
     """Crawl progress counters (SURVEY ST6) surfaced from the finished
     store's manifest metrics: one row per frontier component (politeness
@@ -1194,6 +1268,7 @@ def queries() -> dict:
         "crawl_politeness_audit": q_crawl_politeness_audit,
         "lineage_audit": q_lineage_audit,
         "crawl_metrics": q_crawl_metrics,
+        "span_stats": q_span_stats,
         "frontier_snapshot_stats": q_frontier_snapshot_stats,
         "crawl_players": q_crawl_players,
         "tournament_rollup": q_tournament_rollup,

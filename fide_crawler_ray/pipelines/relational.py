@@ -2845,7 +2845,14 @@ def _set_op(sf_dir, want_in_b: bool):
                        pc.equal(t["in_b"], 1 if want_in_b else 0))
         return t.filter(keep).select(["p_brand", "p_type", "p_size"])
 
-    return agg.map_batches(_pick, batch_format="pyarrow")
+    out = agg.map_batches(_pick, batch_format="pyarrow").materialize()
+    if out.count() == 0:
+        # an all-empty Dataset drops its schema; the INTERSECT can be
+        # legitimately empty at tiny sf — hand back a TYPED empty frame
+        return pd.DataFrame({"p_brand": pd.Series(dtype="object"),
+                             "p_type": pd.Series(dtype="object"),
+                             "p_size": pd.Series(dtype="int64")})
+    return out
 
 
 def q_set_except(sf_dir):
@@ -8120,6 +8127,51 @@ def q_info_gain(sf_dir):
     }])
 
 
+def q_label_centroids(sf_dir):
+    """Per-class mean embedding (the class-prototype primitive behind
+    nearest-centroid classification and SemDeDup cluster seeding),
+    exact: components quantize ×1e4 (float32→float64 exact, one
+    multiply), per-(label, dim) integer sums + counts fold map-side
+    (the partial is ≤ |labels|·(d+1) ints per block), and the mean is
+    ONE mirrored float division emitted ×1e6."""
+
+    def _fold(b: pa.Table) -> pa.Table:
+        col = b["embedding"]
+        la = (col.combine_chunks()
+              if isinstance(col, pa.ChunkedArray) else col)
+        d = 64
+        q = _round_half_away(la.values.to_numpy(
+            zero_copy_only=False).astype(np.float64) * 1e4
+        ).astype(np.int64).reshape(-1, d)
+        lab = b["label"].to_numpy(zero_copy_only=False)
+        labs, dims, sums, ns = [], [], [], []
+        for lv in np.unique(lab):
+            rows = q[lab == lv]
+            labs.extend([int(lv)] * d)
+            dims.extend(range(1, d + 1))
+            sums.extend(rows.sum(axis=0).tolist())
+            ns.extend([rows.shape[0]] * d)
+        return pa.table({"label": pa.array(labs, pa.int64()),
+                         "dim": pa.array(dims, pa.int64()),
+                         "s_fp": pa.array(sums, pa.int64()),
+                         "n": pa.array(ns, pa.int64())})
+
+    agg = fast_groupby_agg(
+        T(sf_dir, "embeddings", ["label", "embedding"]).map_batches(
+            _fold, batch_format="pyarrow"),
+        ["label", "dim"], {"s_fp": ("s_fp", "sum"), "n": ("n", "sum")})
+
+    def _mean(b: pa.Table) -> pa.Table:
+        s = b["s_fp"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False)
+        mean = _round_half_away(
+            1e6 * (s.astype(np.float64) / (1e4 * n.astype(np.float64)))
+        ).astype(np.int64)
+        return b.append_column("mean_fp", pa.array(mean, pa.int64()))
+
+    return agg.map_batches(_mean, batch_format="pyarrow")
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -8279,6 +8331,7 @@ def queries() -> dict:
         "target_encode_loo": q_target_encode_loo,
         "collapse_runs": q_collapse_runs,
         "info_gain": q_info_gain,
+        "label_centroids": q_label_centroids,
         "pca_top_component": q_pca_top_component,
     }
 
@@ -10784,4 +10837,22 @@ ORACLES["info_gain"] = """
                                             AS DOUBLE) / 1e9) / n)))
                 AS BIGINT) AS ig_fp
     FROM nn, sxy, sx, sy
+"""
+
+ORACLES["label_centroids"] = """
+    WITH e AS (
+        SELECT label, i, CAST(round(x * 1e4) AS BIGINT) AS q
+        FROM (SELECT label, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings)
+    ),
+    g AS (
+        SELECT label, i AS dim, CAST(sum(q) AS BIGINT) AS s_fp,
+               count(*) AS n
+        FROM e GROUP BY label, i
+    )
+    SELECT label, dim, s_fp, n,
+           CAST(round(1e6 * (CAST(s_fp AS DOUBLE) / (1e4 * n)))
+                AS BIGINT) AS mean_fp
+    FROM g
 """

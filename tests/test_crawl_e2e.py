@@ -397,3 +397,14 @@ def test_crawl_metrics_conservation():
     assert offered == int(shards["enqueued"].sum()
                           + filters["dup_dropped"].sum()
                           + filters["robots_dropped"].sum())
+
+
+def test_span_stats_order_invariant_and_volume():
+    from fide_crawler_ray.pipelines.queries import q_span_stats
+
+    out = q_span_stats("/root/testdata/sf0.001")
+    assert int(out["order_violations"].sum()) == 0
+    assert int(out["n_spans"].sum()) > 0
+    calc = out[out["doc_kind"] == "calc"]
+    if len(calc):  # calc pages interleave media color markers with text
+        assert int(calc["n_media"].iloc[0]) > 0

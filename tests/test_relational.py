@@ -2370,3 +2370,28 @@ def test_info_gain_bounds():
     ig = row["ig_fp"] / 1e6
     assert -1e-6 <= ig <= min(ent(o["o_orderpriority"]),
                               ent(o["o_orderstatus"])) + 1e-6
+
+
+def test_label_centroids_bruteforce():
+    from fide_crawler_ray.pipelines.relational import (
+        T, _round_half_away as rha, q_label_centroids)
+
+    got = (q_label_centroids(SF).to_pandas()
+           .sort_values(["label", "dim"]).reset_index(drop=True))
+    emb = T(SF, "embeddings", ["label", "embedding"]).to_pandas()
+    x = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in emb["embedding"]])
+    q = rha(x * 1e4).astype(np.int64)
+    rows = []
+    for lv, idx in emb.groupby("label").groups.items():
+        rowsq = q[emb.index.get_indexer(idx)]
+        s = rowsq.sum(axis=0)
+        n = rowsq.shape[0]
+        for d in range(q.shape[1]):
+            rows.append({"label": int(lv), "dim": d + 1,
+                         "s_fp": int(s[d]), "n": n,
+                         "mean_fp": int(rha(np.array(
+                             [1e6 * (s[d] / (1e4 * n))]))[0])})
+    exp = (pd.DataFrame(rows).astype(np.int64)
+           .sort_values(["label", "dim"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
