@@ -8251,6 +8251,98 @@ def q_resume_export(sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_degree_assortativity(sf_dir):
+    """Directed degree assortativity (out-degree of source vs in-degree
+    of target, Pearson over edges) of the derived order graph — the
+    network-structure scalar. Plan: two degree groupbys (node-sized),
+    two fact-scale hash joins to attach degrees to edges, then EXACT
+    int64 moments (n, Σx, Σy, Σxx, Σyy, Σxy) via map-side partial sums
+    and ONE mirrored float tree ×1e6 (grouped_corr's policy — sqrt is
+    IEEE-exact, the op order matches the SQL literally)."""
+    from ray.data.aggregate import Sum as ASum
+
+    n_nodes = T(sf_dir, "customer", ["c_custkey"]).count()
+    # dst = k² mod n (NOT k mod n as in the pagerank graph): dense
+    # orderkeys make k mod n perfectly uniform — in-degree variance 0
+    # and the correlation undefined; quadratic residues repeat, so
+    # in-degrees genuinely vary
+    edges = T(sf_dir, "orders",
+              ["o_orderkey", "o_custkey"]).map_batches(
+        lambda b: pa.table({
+            "src": pc.cast(b["o_custkey"], pa.int64()),
+            "dst": pa.array(
+                (b["o_orderkey"].to_numpy(zero_copy_only=False)
+                 .astype(np.int64) ** 2) % n_nodes, pa.int64()),
+        }),
+        batch_format="pyarrow")
+    od = fast_groupby_agg(edges, ["src"], {"x": (None, "count")})
+    idg = fast_groupby_agg(edges, ["dst"], {"y": (None, "count")})
+    j = edges.join(od, "inner", num_partitions=8, on=("src",)) \
+             .join(idg, "inner", num_partitions=8, on=("dst",))
+    mom = j.map_batches(
+        lambda b: pa.table({
+            "n": pa.array([b.num_rows], pa.int64()),
+            "sx": pa.array([int(b["x"].to_numpy(
+                zero_copy_only=False).sum())], pa.int64()),
+            "sy": pa.array([int(b["y"].to_numpy(
+                zero_copy_only=False).sum())], pa.int64()),
+            "sxx": pa.array([int((b["x"].to_numpy(zero_copy_only=False)
+                                  ** 2).sum())], pa.int64()),
+            "syy": pa.array([int((b["y"].to_numpy(zero_copy_only=False)
+                                  ** 2).sum())], pa.int64()),
+            "sxy": pa.array([int((b["x"].to_numpy(zero_copy_only=False)
+                                  * b["y"].to_numpy(
+                                      zero_copy_only=False)).sum())],
+                            pa.int64()),
+        }),
+        batch_format="pyarrow")
+    agg = mom.aggregate(*(ASum(c, alias_name=c)
+                          for c in ("n", "sx", "sy", "sxx", "syy",
+                                    "sxy")))
+    f = {c: float(agg[c]) for c in ("n", "sx", "sy", "sxx", "syy",
+                                    "sxy")}
+    num = f["n"] * f["sxy"] - f["sx"] * f["sy"]
+    den = (np.sqrt(f["n"] * f["sxx"] - f["sx"] * f["sx"])
+           * np.sqrt(f["n"] * f["syy"] - f["sy"] * f["sy"]))
+    fp = int(_round_half_away(np.array([1e6 * (num / den)]))[0])
+    return pd.DataFrame([{"n": int(agg["n"]), "assort_fp": fp}])
+
+
+def q_time_split_embargo(sf_dir):
+    """Temporal train/test split with an embargo gap (leak-proof
+    time-series CV): train strictly before 1997-01-01, a one-year
+    embargo, test from 1998-01-01 — rows inside the gap are dropped so
+    label leakage across the boundary is structurally impossible.
+    Pure map + two tiny aggregates; per-split row/user counts and day
+    bounds are the oracle-checked evidence."""
+    t1 = np.datetime64("2024-01-11").astype("datetime64[ns]").view("int64")
+    t2 = np.datetime64("2024-01-16").astype("datetime64[ns]").view("int64")
+
+    def _tag(b: pa.Table) -> pa.Table:
+        ts = _ts_ns(b["ts"])
+        split = np.where(ts < t1, "train",
+                         np.where(ts >= t2, "test", ""))
+        keep = split != ""
+        return pa.table({
+            "split": pa.array(split[keep], pa.string()),
+            "user_id": b["user_id"].filter(pa.array(keep)),
+            "day": pa.array(ts[keep] // 86_400_000_000_000, pa.int64()),
+        })
+
+    tagged = T(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        _tag, batch_format="pyarrow")
+    users = fast_groupby_agg(tagged, ["split", "user_id"],
+                             {"_n": (None, "count")})
+    nuser = fast_groupby_agg(users, ["split"],
+                             {"n_users": (None, "count")})
+    span = fast_groupby_agg(tagged, ["split"], {
+        "n_rows": (None, "count"), "min_day": ("day", "min"),
+        "max_day": ("day", "max")})
+    # both sides are 2 rows — merge driver-side, no shuffle join
+    return (span.to_pandas().merge(nuser.to_pandas(), on="split")
+            .sort_values("split").reset_index(drop=True))
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -8412,6 +8504,8 @@ def queries() -> dict:
         "info_gain": q_info_gain,
         "label_centroids": q_label_centroids,
         "resume_export": q_resume_export,
+        "degree_assortativity": q_degree_assortativity,
+        "time_split_embargo": q_time_split_embargo,
         "pca_top_component": q_pca_top_component,
     }
 
@@ -10941,4 +11035,48 @@ ORACLES["resume_export"] = """
     SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
            count(*) AS n
     FROM orders GROUP BY month
+"""
+
+ORACLES["degree_assortativity"] = """
+    WITH e AS (
+        SELECT o_custkey AS src,
+               (o_orderkey * o_orderkey)
+                   % (SELECT count(*) FROM customer) AS dst
+        FROM orders
+    ),
+    od AS (SELECT src, count(*) AS x FROM e GROUP BY src),
+    idg AS (SELECT dst, count(*) AS y FROM e GROUP BY dst),
+    j AS (SELECT x, y FROM e JOIN od USING (src)
+          JOIN idg USING (dst)),
+    m AS (
+        SELECT count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM j
+    )
+    SELECT n,
+           CAST(round(1e6 * (((n * 1.0) * sxy - (sx * 1.0) * sy)
+                / (sqrt((n * 1.0) * sxx - (sx * 1.0) * sx)
+                   * sqrt((n * 1.0) * syy - (sy * 1.0) * sy))))
+                AS BIGINT) AS assort_fp
+    FROM m
+"""
+
+ORACLES["time_split_embargo"] = """
+    WITH t AS (
+        SELECT CASE WHEN ts < TIMESTAMP '2024-01-11' THEN 'train'
+                    WHEN ts >= TIMESTAMP '2024-01-16' THEN 'test'
+                    ELSE '' END AS split,
+               user_id,
+               epoch_ns(ts) // 86400000000000 AS day
+        FROM events
+    )
+    SELECT split, count(*) AS n_rows,
+           CAST(min(day) AS BIGINT) AS min_day,
+           CAST(max(day) AS BIGINT) AS max_day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM t WHERE split <> '' GROUP BY split
 """

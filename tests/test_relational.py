@@ -2410,3 +2410,40 @@ def test_resume_export_counts_match_source():
            .rename(columns={"index": "month", "o_orderdate": "month"}))
     exp["n"] = exp["n"].astype(np.int64)
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_degree_assortativity_bruteforce():
+    from fide_crawler_ray.pipelines.relational import (
+        T, q_degree_assortativity)
+
+    got = q_degree_assortativity(SF).iloc[0]
+    o = T(SF, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
+    n = T(SF, "customer", ["c_custkey"]).count()
+    src = o["o_custkey"].to_numpy()
+    dst = (o["o_orderkey"].to_numpy().astype(np.int64) ** 2) % n
+    od = pd.Series(src).value_counts()
+    idg = pd.Series(dst).value_counts()
+    x = od[src].to_numpy().astype(float)
+    y = idg[dst].to_numpy().astype(float)
+    r = np.corrcoef(x, y)[0, 1]
+    assert got["n"] == len(o)
+    assert abs(got["assort_fp"] / 1e6 - r) < 1e-4
+    assert -1_000_000 <= got["assort_fp"] <= 1_000_000
+
+
+def test_time_split_embargo_no_leakage():
+    from fide_crawler_ray.pipelines.relational import (
+        T, q_time_split_embargo)
+
+    got = q_time_split_embargo(SF).set_index("split")
+    gap_lo = np.datetime64("2024-01-11").astype(
+        "datetime64[ns]").view("int64") // 86_400_000_000_000
+    gap_hi = np.datetime64("2024-01-16").astype(
+        "datetime64[ns]").view("int64") // 86_400_000_000_000
+    assert got.loc["train", "max_day"] < gap_lo
+    assert got.loc["test", "min_day"] >= gap_hi
+    ev = T(SF, "events", ["ts"]).to_pandas()
+    d = (ev["ts"].astype("datetime64[ns]").astype(np.int64)
+         // 86_400_000_000_000)
+    assert int(got["n_rows"].sum()) == int(
+        ((d < gap_lo) | (d >= gap_hi)).sum())
