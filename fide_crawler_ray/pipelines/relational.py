@@ -8343,6 +8343,44 @@ def q_time_split_embargo(sf_dir):
             .sort_values("split").reset_index(drop=True))
 
 
+def q_pareto_8020(sf_dir):
+    """Revenue concentration (the 80/20 cut): the smallest set of
+    customers, taken in (revenue desc, custkey) order, whose exact
+    integer cent sum reaches 80% of total — compared all-integer
+    (5·cumsum ≥ 4·total), no float share ever computed. Plan: the
+    distributed part is the per-customer cent fold (fact → key-sized);
+    the ordered prefix scan then runs in ONE task over the
+    customer-sized table (documented tier — at 100 TB the same scan is
+    a distributed sort plus ordered per-block prefix partials)."""
+    v = fast_groupby_agg(
+        T(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+            lambda b: pa.table({
+                "o_custkey": b["o_custkey"],
+                "cents": pa.array(_round_half_away(
+                    b["o_totalprice"].to_numpy(zero_copy_only=False)
+                    * 100.0).astype(np.int64)),
+            }),
+            batch_format="pyarrow"),
+        ["o_custkey"], {"cents": ("cents", "sum")})
+
+    def _cut(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(
+            ["cents", "o_custkey"], ascending=[False, True])
+        c = df["cents"].to_numpy()
+        total = int(c.sum())
+        cum = np.cumsum(c)
+        k = int(np.argmax(5 * cum >= 4 * total)) + 1
+        return pa.table({
+            "n_customers": pa.array([len(df)], pa.int64()),
+            "k_top": pa.array([k], pa.int64()),
+            "total_cents": pa.array([total], pa.int64()),
+            "top_cents": pa.array([int(cum[k - 1])], pa.int64()),
+        })
+
+    return v.repartition(1).map_batches(
+        _cut, batch_format="pyarrow", batch_size=None)
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -8506,6 +8544,7 @@ def queries() -> dict:
         "resume_export": q_resume_export,
         "degree_assortativity": q_degree_assortativity,
         "time_split_embargo": q_time_split_embargo,
+        "pareto_8020": q_pareto_8020,
         "pca_top_component": q_pca_top_component,
     }
 
@@ -11079,4 +11118,29 @@ ORACLES["time_split_embargo"] = """
            CAST(max(day) AS BIGINT) AS max_day,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
     FROM t WHERE split <> '' GROUP BY split
+"""
+
+ORACLES["pareto_8020"] = """
+    WITH v AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+        SELECT cents,
+               sum(cents) OVER (ORDER BY cents DESC, o_custkey
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+               row_number() OVER (ORDER BY cents DESC, o_custkey)
+                   AS rn
+        FROM v
+    ),
+    t AS (SELECT CAST(sum(cents) AS BIGINT) AS total,
+                 count(*) AS n_customers FROM v),
+    k AS (SELECT min(rn) AS k_top FROM r, t
+          WHERE 5 * cum >= 4 * total)
+    SELECT n_customers, k_top, total AS total_cents,
+           (SELECT CAST(cum AS BIGINT) FROM r, k
+            WHERE rn = k.k_top) AS top_cents
+    FROM t, k
 """

@@ -2447,3 +2447,22 @@ def test_time_split_embargo_no_leakage():
          // 86_400_000_000_000)
     assert int(got["n_rows"].sum()) == int(
         ((d < gap_lo) | (d >= gap_hi)).sum())
+
+
+def test_pareto_8020_cut_is_minimal():
+    from fide_crawler_ray.pipelines.relational import (
+        T, _round_half_away as rha, q_pareto_8020)
+
+    row = q_pareto_8020(SF).to_pandas().iloc[0]
+    o = T(SF, "orders", ["o_custkey", "o_totalprice"]).to_pandas()
+    o["cents"] = rha(o["o_totalprice"].to_numpy() * 100.0
+                     ).astype(np.int64)
+    v = (o.groupby("o_custkey")["cents"].sum()
+         .sort_values(ascending=False))
+    cum = v.cumsum().to_numpy()
+    total = int(v.sum())
+    assert row["total_cents"] == total
+    k = int(row["k_top"])
+    assert 5 * cum[k - 1] >= 4 * total          # reaches 80%
+    assert k == 1 or 5 * cum[k - 2] < 4 * total  # and is minimal
+    assert row["top_cents"] == int(cum[k - 1])
