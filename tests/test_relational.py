@@ -487,9 +487,11 @@ def test_set_ops_algebra():
     from fide_crawler_ray.pipelines.relational import (
         T, q_set_except, q_set_intersect)
 
+    from fide_crawler_ray.pipelines.queries import to_df_any
+
     cols = ["p_brand", "p_type", "p_size"]
-    ex = q_set_except(SF).to_pandas()
-    it = q_set_intersect(SF).to_pandas()
+    ex = to_df_any(q_set_except(SF))
+    it = to_df_any(q_set_intersect(SF))
     part = T(SF, "part", cols + ["p_retailprice"]).to_pandas()
     a = part[part["p_size"] > 25][cols].drop_duplicates()
     b = part[part["p_retailprice"] > 950][cols].drop_duplicates()
