@@ -8381,6 +8381,79 @@ def q_pareto_8020(sf_dir):
         _cut, batch_format="pyarrow", batch_size=None)
 
 
+def q_clustering_coefficient(sf_dir):
+    """Per-node local clustering coefficient of the derived order graph
+    (2·tri(v) / deg(v)·(deg(v)−1)) — the third graph-structure
+    primitive after PageRank and global triangles. Plan: adjacency =
+    both orientations of the distinct edge list; wedges KEEP their
+    center through the self-join (unlike q_triangle_count's min-center
+    wedges) so the closing edge join yields per-center triangle counts
+    directly; degrees are one node-sized groupby; the final left join
+    is node-sized. One mirrored float division ×1e6; nodes with
+    deg < 2 are excluded (coefficient undefined)."""
+    n = T(sf_dir, "customer", ["c_custkey"]).count()
+    raw = _pagerank_edges(sf_dir, n)
+
+    def _norm(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({
+            "u": pa.array(np.minimum(s, d), pa.int64()),
+            "v": pa.array(np.maximum(s, d), pa.int64()),
+        })
+
+    edges = fast_groupby_agg(
+        raw.map_batches(_norm, batch_format="pyarrow"),
+        ["u", "v"], {"_n": (None, "count")},
+    ).map_batches(lambda b: b.select(["u", "v"]),
+                  batch_format="pyarrow").materialize()
+    adj = edges.map_batches(
+        lambda b: pa.table({
+            "c": pa.array(np.concatenate(
+                [b["u"].to_numpy(zero_copy_only=False),
+                 b["v"].to_numpy(zero_copy_only=False)]), pa.int64()),
+            "nb": pa.array(np.concatenate(
+                [b["v"].to_numpy(zero_copy_only=False),
+                 b["u"].to_numpy(zero_copy_only=False)]), pa.int64()),
+        }),
+        batch_format="pyarrow").materialize()
+    deg = fast_groupby_agg(adj, ["c"], {"deg": (None, "count")})
+    right = adj.map_batches(
+        lambda b: b.rename_columns(["c_r", "nb2"]),
+        batch_format="pyarrow")
+    wedges = adj.join(right, "inner", num_partitions=8,
+                      on=("c",), right_on=("c_r",)).map_batches(
+        lambda b: b.filter(pc.less(b["nb"], b["nb2"]))
+        .rename_columns(["c", "a", "b"]),
+        batch_format="pyarrow")
+    closed = wedges.join(
+        edges.map_batches(lambda b: b.rename_columns(["a_r", "b_r"]),
+                          batch_format="pyarrow"),
+        "inner", num_partitions=8, on=("a", "b"),
+        right_on=("a_r", "b_r"))
+    tri = fast_groupby_agg(closed, ["c"], {"n_tri": (None, "count")})
+    out = deg.join(tri, "left_outer", num_partitions=8, on=("c",))
+
+    def _coef(b: pa.Table) -> pa.Table:
+        d = b["deg"].to_numpy(zero_copy_only=False)
+        t = pc.fill_null(b["n_tri"], 0).to_numpy(zero_copy_only=False)
+        t = t.astype(np.int64)
+        keep = d >= 2
+        d, t, node = d[keep], t[keep], \
+            b["c"].to_numpy(zero_copy_only=False)[keep]
+        fp = _round_half_away(
+            1e6 * ((2.0 * t) / (d * (d - 1)).astype(np.float64))
+        ).astype(np.int64)
+        return pa.table({"node": pa.array(node, pa.int64()),
+                         "deg": pa.array(d, pa.int64()),
+                         "n_tri": pa.array(t, pa.int64()),
+                         "coef_fp": pa.array(fp, pa.int64())})
+
+    return out.map_batches(_coef, batch_format="pyarrow")
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -8545,6 +8618,7 @@ def queries() -> dict:
         "degree_assortativity": q_degree_assortativity,
         "time_split_embargo": q_time_split_embargo,
         "pareto_8020": q_pareto_8020,
+        "clustering_coefficient": q_clustering_coefficient,
         "pca_top_component": q_pca_top_component,
     }
 
@@ -11143,4 +11217,29 @@ ORACLES["pareto_8020"] = """
            (SELECT CAST(cum AS BIGINT) FROM r, k
             WHERE rn = k.k_top) AS top_cents
     FROM t, k
+"""
+
+ORACLES["clustering_coefficient"] = """
+    WITH e0 AS (
+        SELECT o_custkey AS s,
+               o_orderkey % (SELECT count(*) FROM customer) AS d
+        FROM orders
+    ),
+    e1 AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+           FROM e0 WHERE s <> d),
+    adj AS (SELECT u AS c, v AS nb FROM e1
+            UNION ALL SELECT v, u FROM e1),
+    deg AS (SELECT c, count(*) AS deg FROM adj GROUP BY c),
+    w AS (SELECT x.c, x.nb AS a, y.nb AS b
+          FROM adj x JOIN adj y ON x.c = y.c AND x.nb < y.nb),
+    t AS (SELECT w.c, count(*) AS n_tri
+          FROM w JOIN e1 ON w.a = e1.u AND w.b = e1.v
+          GROUP BY w.c)
+    SELECT deg.c AS node, deg.deg,
+           CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri,
+           CAST(round(1e6 * ((2.0 * coalesce(t.n_tri, 0))
+                             / (deg.deg * (deg.deg - 1))))
+                AS BIGINT) AS coef_fp
+    FROM deg LEFT JOIN t ON deg.c = t.c
+    WHERE deg.deg >= 2
 """

@@ -2468,3 +2468,17 @@ def test_pareto_8020_cut_is_minimal():
     assert 5 * cum[k - 1] >= 4 * total          # reaches 80%
     assert k == 1 or 5 * cum[k - 2] < 4 * total  # and is minimal
     assert row["top_cents"] == int(cum[k - 1])
+
+
+def test_clustering_coefficient_consistent_with_global_triangles():
+    """Σ per-node triangle counts == 3 × the global triangle count
+    (every triangle touches exactly three nodes), and coefficients
+    live in [0, 1]."""
+    from fide_crawler_ray.pipelines.relational import (
+        q_clustering_coefficient, q_triangle_count)
+
+    got = q_clustering_coefficient(SF).to_pandas()
+    tri = q_triangle_count(SF).to_pandas().iloc[0]
+    assert int(got["n_tri"].sum()) == 3 * int(tri["n_triangles"])
+    assert got["coef_fp"].between(0, 1_000_000).all()
+    assert (got["deg"] >= 2).all()
