@@ -528,6 +528,53 @@ def q_ann_bruteforce(sf_dir):
     return ANN.brute_force_topk(emb, _queries_matrix(sf_dir), k=10)
 
 
+def q_mmr_rerank(sf_dir, k: int = 10, pool: int = 50, lam: float = 0.7):
+    """MMR (maximal-marginal-relevance) diversified re-ranking of the
+    exact ANN results: the distributed part is the brute-force top-pool
+    retrieval (per-batch matmul partials, its own green oracle); the
+    re-rank then runs on the OUTPUT-sized candidate set — pool
+    embeddings fetched by a broadcast id filter, a pool² similarity
+    matrix, and the greedy λ·rel − (1−λ)·max-sim-to-chosen selection
+    with vec_id tie-break. Rows-only (greedy-iterative); the scalar
+    re-implementation in the test is the executable spec."""
+    emb = T(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cands = ANN.brute_force_topk(
+        emb, _queries_matrix(sf_dir), k=pool).to_pandas()
+    need = pa.array(sorted(set(cands["vec_id"].tolist())), pa.int64())
+    vec_df = emb.map_batches(
+        lambda b: b.filter(pc.is_in(b["vec_id"], value_set=need)),
+        batch_format="pyarrow").to_pandas()  # pool-set-sized
+    m = np.stack([np.asarray(v, dtype=np.float32)
+                  for v in vec_df["embedding"]]).astype(np.float64)
+    m /= np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
+    row_of = {int(v): i for i, v in enumerate(vec_df["vec_id"])}
+    sims = m @ m.T
+    out = []
+    for qid, g in cands.groupby("query_id"):
+        g = g.sort_values(["score", "vec_id"],
+                          ascending=[False, True])
+        ids = g["vec_id"].to_numpy()
+        rel = g["score"].to_numpy().astype(np.float64)
+        rows = np.array([row_of[int(v)] for v in ids])
+        chosen: list[int] = []
+        avail = np.ones(len(ids), bool)
+        for rank in range(1, min(k, len(ids)) + 1):
+            if chosen:
+                div = sims[np.ix_(rows, rows[chosen])].max(axis=1)
+            else:
+                div = np.zeros(len(ids))
+            obj = lam * rel - (1.0 - lam) * div
+            obj[~avail] = -np.inf
+            # argmax with vec_id tie-break (ids ascend within g order)
+            best = int(np.lexsort((ids, -obj))[0])
+            chosen.append(best)
+            avail[best] = False
+            out.append({"query_id": int(qid), "rank": rank,
+                        "vec_id": int(ids[best]),
+                        "mmr_fp": int(round(float(obj[best]) * 1e6))})
+    return pd.DataFrame(out)
+
+
 def q_batch_inference(sf_dir, n_classes: int = 3):
     """Batched model-inference stage (the scoring/labeling step of a
     training-data pipeline) as an ACTOR-POOL map_batches: the 'model'
@@ -1253,6 +1300,7 @@ def queries() -> dict:
         "dedup_embedding": q_dedup_embedding,
         "semdedup": q_semdedup,
         "ann_bruteforce": q_ann_bruteforce,
+        "mmr_rerank": q_mmr_rerank,
         "hard_negatives": q_hard_negatives,
         "batch_inference": q_batch_inference,
         "ann_ivf": q_ann_ivf,

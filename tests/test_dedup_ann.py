@@ -162,3 +162,50 @@ def test_hard_negatives_exclude_label_and_match_bruteforce():
         order = sorted(zip(-sims[mask], ids[mask]))
         exp_ids = [int(i) for _, i in order[:10]]
         assert got["vec_id"].tolist() == exp_ids
+
+
+def test_mmr_rerank_matches_scalar_spec():
+    """The MMR selection equals a pure-python greedy re-implementation,
+    the first pick per query is the relevance argmax, and no vec is
+    picked twice."""
+    import numpy as np
+    import pandas as pd
+
+    from fide_crawler_ray.functions import ann as ANN
+    from fide_crawler_ray.pipelines.queries import (
+        T, _queries_matrix, q_mmr_rerank)
+
+    SF = "/root/testdata/sf0.001"
+    got = q_mmr_rerank(SF)
+    assert not got.duplicated(["query_id", "vec_id"]).any()
+
+    emb = T(SF, "embeddings", ["vec_id", "embedding"])
+    cands = ANN.brute_force_topk(
+        emb, _queries_matrix(SF), k=50).to_pandas()
+    vecs = {int(r["vec_id"]): np.asarray(r["embedding"], np.float64)
+            for _, r in emb.to_pandas().iterrows()}
+    lam = 0.7
+    for qid, g in cands.groupby("query_id"):
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True])
+        ids = g["vec_id"].tolist()
+        rel = dict(zip(g["vec_id"], g["score"]))
+        nv = {i: vecs[i] / max(np.linalg.norm(vecs[i]), 1e-12)
+              for i in ids}
+        chosen = []
+        for rank in range(1, 11):
+            best, best_obj = None, -np.inf
+            for i in ids:
+                if i in chosen:
+                    continue
+                div = max((float(nv[i] @ nv[j]) for j in chosen),
+                          default=0.0)
+                obj = lam * float(rel[i]) - (1 - lam) * div
+                if obj > best_obj + 1e-12 or (
+                        abs(obj - best_obj) <= 1e-12
+                        and (best is None or i < best)):
+                    best, best_obj = i, obj
+            chosen.append(best)
+            row = got[(got["query_id"] == qid) & (got["rank"] == rank)]
+            assert int(row["vec_id"].iloc[0]) == best, (qid, rank)
+        # first pick is the top-relevance vec
+        assert chosen[0] == ids[0]
