@@ -313,3 +313,87 @@ def test_psi_term_zero_iff_identical_distributions(counts):
         p2 = (c + 1.0) / (t + float(nb))
         term = 1e9 * ((p1 - p2) * math.log(p1 / p2))
         assert term == 0.0
+
+
+@given(st.lists(st.tuples(st.integers(1, 50), st.integers(1, 20)),
+                min_size=1, max_size=60))
+@settings(max_examples=100, deadline=None)
+def test_weighted_median_rank_rule_equals_expansion(pairs):
+    """The histogram rank rule (smallest v with 2·cumw ≥ W) equals the
+    median position of the weight-EXPANDED multiset."""
+    vals = np.array([v for v, _ in pairs], np.int64)
+    wts = np.array([w for _, w in pairs], np.int64)
+    order = np.argsort(vals, kind="stable")
+    v_s, w_s = vals[order], wts[order]
+    # collapse duplicate values like the engine's histogram
+    uniq, inv = np.unique(v_s, return_inverse=True)
+    wv = np.zeros(len(uniq), np.int64)
+    np.add.at(wv, inv, w_s)
+    cw = np.cumsum(wv)
+    rank_rule = int(uniq[np.argmax(2 * cw >= cw[-1])])
+    expanded = np.repeat(vals, wts)
+    expanded.sort()
+    w_total = int(wts.sum())
+    # the element at 0-based position ceil(W/2)-1 of the expansion
+    pos = (w_total + 1) // 2 - 1 if w_total % 2 else w_total // 2 - 1
+    assert rank_rule == int(expanded[pos])
+
+
+@given(st.lists(st.integers(0, 5 * 86_400), min_size=1, max_size=80),
+       st.integers(60, 36_000))
+@settings(max_examples=100, deadline=None)
+def test_sweepline_day_partition_equals_global_sweep(starts, dur):
+    """Per-day halo decomposition preserves every day's peak: clipping
+    intervals to day windows never changes the running count inside
+    the day (the q_max_concurrency plan invariant), for any duration
+    up to 10h (≤ 1-day spillover)."""
+    DAY = 86_400
+    s = np.array(sorted(starts), np.int64)
+    e = s + dur
+    # global sweep, sliced per day
+    days = np.unique(np.concatenate([s // DAY, e // DAY]))
+    for day in days:
+        lo_d, hi_d = day * DAY, (day + 1) * DAY
+        cs = np.maximum(s, lo_d)
+        ce = np.minimum(e, hi_d)
+        keep = cs < ce
+        if not keep.any():
+            continue
+        pts = np.concatenate([
+            np.stack([cs[keep], np.ones(keep.sum(), np.int64)], 1),
+            np.stack([ce[keep], -np.ones(keep.sum(), np.int64)], 1)])
+        order = np.lexsort((-pts[:, 1], pts[:, 0]))
+        clipped_peak = int(np.cumsum(pts[order, 1]).max())
+        # reference: count concurrency at every boundary instant in-day
+        ref = 0
+        for t in pts[:, 0]:
+            if lo_d <= t < hi_d:
+                ref = max(ref, int(((s <= t) & (t < e)).sum()))
+        assert clipped_peak == ref
+
+
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 2),
+                          st.integers(0, 1000)),
+                min_size=1, max_size=100))
+@settings(max_examples=100, deadline=None)
+def test_cdc_merge_is_log_order_invariant(ops):
+    """Last-writer-wins by version is invariant to the arrival order of
+    the change log (the property the mergeable grouped top-1 relies
+    on), with deletes (version 2) beating updates beating base."""
+    import random
+
+    def apply(log):
+        # deterministic winner per key: max (version, payload) —
+        # the tie rule grouped_topk's stable sort realizes
+        best = {}
+        for key, version, payload in log:
+            v = best.get(key)
+            if v is None or (version, payload) > v:
+                best[key] = (version, payload)
+        return best
+
+    a = apply(ops)
+    shuffled = ops[:]
+    random.Random(7).shuffle(shuffled)
+    b = apply(shuffled)
+    assert a == b
