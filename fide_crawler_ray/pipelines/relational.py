@@ -8454,6 +8454,52 @@ def q_clustering_coefficient(sf_dir):
     return out.map_batches(_coef, batch_format="pyarrow")
 
 
+def q_sampled_estimate(sf_dir):
+    """Corpus statistics from a deterministic 1/4 hash sample with a
+    Wilson 95% interval — the pattern for "estimate a property of
+    100 TB without scanning it": the sample is md5-gated (reproducible,
+    oracle-exact), the measured property is the long-document rate,
+    and the estimate + interval are ONE mirrored float tree over exact
+    integer counts (sqrt is IEEE-exact, 1.96 literal mirrored)."""
+    ds = T(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def _fold(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        in_sample = np.array(
+            [hashlib.md5(str(i).encode()).hexdigest()[0] in "0123"
+             for i in ids])
+        long_doc = (b["n_chars"].to_numpy(zero_copy_only=False)
+                    >= 300) & in_sample
+        return pa.table({
+            "n_sampled": pa.array([int(in_sample.sum())], pa.int64()),
+            "n_long": pa.array([int(long_doc.sum())], pa.int64()),
+            "n_total": pa.array([b.num_rows], pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    parts = ds.map_batches(_fold, batch_format="pyarrow")
+    agg = parts.aggregate(*(Sum(c, alias_name=c)
+                            for c in ("n_sampled", "n_long", "n_total")))
+    n, x = int(agg["n_sampled"]), int(agg["n_long"])
+    total = int(agg["n_total"])
+    z = 1.96
+    p = x / n
+    den = 1.0 + z * z / n
+    center = (p + z * z / (2.0 * n)) / den
+    half = (z * math.sqrt(p * (1.0 - p) / n
+                          + z * z / (4.0 * (n * 1.0 * n)))) / den
+    return pd.DataFrame([{
+        "n_total": total, "n_sampled": n, "n_long_sampled": x,
+        "est_long_total": int(_round_half_away(
+            np.array([p * total]))[0]),
+        "ci_lo_fp": int(_round_half_away(
+            np.array([1e6 * (center - half)]))[0]),
+        "ci_hi_fp": int(_round_half_away(
+            np.array([1e6 * (center + half)]))[0]),
+    }])
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -8619,6 +8665,7 @@ def queries() -> dict:
         "time_split_embargo": q_time_split_embargo,
         "pareto_8020": q_pareto_8020,
         "clustering_coefficient": q_clustering_coefficient,
+        "sampled_estimate": q_sampled_estimate,
         "pca_top_component": q_pca_top_component,
     }
 
@@ -11242,4 +11289,41 @@ ORACLES["clustering_coefficient"] = """
                 AS BIGINT) AS coef_fp
     FROM deg LEFT JOIN t ON deg.c = t.c
     WHERE deg.deg >= 2
+"""
+
+ORACLES["sampled_estimate"] = """
+    WITH s AS (
+        SELECT count(*) AS n_total,
+               CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),
+                                         1, 1)
+                             IN ('0', '1', '2', '3')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+               CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),
+                                         1, 1)
+                             IN ('0', '1', '2', '3')
+                              AND n_chars >= 300
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_long_sampled
+        FROM documents
+    ),
+    w AS (
+        SELECT n_total, n_sampled, n_long_sampled,
+               CAST(n_long_sampled AS DOUBLE) / n_sampled AS p,
+               1.0 + (1.96 * 1.96) / n_sampled AS den
+        FROM s
+    ),
+    h AS (
+        SELECT *,
+               (p + (1.96 * 1.96) / (2.0 * n_sampled)) / den AS center,
+               (1.96 * sqrt((p * (1.0 - p)) / n_sampled
+                            + (1.96 * 1.96)
+                              / (4.0 * ((n_sampled * 1.0)
+                                        * n_sampled)))) / den AS half
+        FROM w
+    )
+    SELECT n_total, n_sampled, n_long_sampled,
+           CAST(round(p * n_total) AS BIGINT) AS est_long_total,
+           CAST(round(1e6 * (center - half)) AS BIGINT) AS ci_lo_fp,
+           CAST(round(1e6 * (center + half)) AS BIGINT) AS ci_hi_fp
+    FROM h
 """

@@ -2482,3 +2482,19 @@ def test_clustering_coefficient_consistent_with_global_triangles():
     assert int(got["n_tri"].sum()) == 3 * int(tri["n_triangles"])
     assert got["coef_fp"].between(0, 1_000_000).all()
     assert (got["deg"] >= 2).all()
+
+
+def test_sampled_estimate_interval_covers_sample_rate():
+    from fide_crawler_ray.pipelines.relational import (
+        T, q_sampled_estimate)
+
+    row = q_sampled_estimate(SF).iloc[0]
+    assert 0 < row["n_sampled"] < row["n_total"]
+    p = row["n_long_sampled"] / row["n_sampled"]
+    assert row["ci_lo_fp"] <= int(round(p * 1e6)) <= row["ci_hi_fp"]
+    # the full-corpus truth should land inside the 95% interval here
+    # (deterministic data, wide interval at this n)
+    docs = T(SF, "documents", ["n_chars"]).to_pandas()
+    truth = (docs["n_chars"] >= 300).mean()
+    assert row["ci_lo_fp"] / 1e6 - 0.02 <= truth <= \
+        row["ci_hi_fp"] / 1e6 + 0.02
