@@ -8500,6 +8500,91 @@ def q_sampled_estimate(sf_dir):
     }])
 
 
+def q_containment_join(sf_dir, threshold: float = 0.8,
+                       max_broadcast_vocab: int = SIM_JOIN_MAX_BROADCAST):
+    """ASYMMETRIC containment self-join: ordered pairs (a, b) where
+    |a ∩ b| / |a| ≥ θ over word-3-shingle sets — the near-subset
+    detector (quotes, boilerplate wrappers, partial mirrors) that
+    Jaccard misses: a tiny doc fully inside a huge one has J ≈ |a|/|b|,
+    below any symmetric threshold. Candidate generation is the
+    one-sided containment prefix theorem: index side stays FULL, probe
+    side keeps only |a| − ⌈θ·|a|⌉ + 1 shingles in the global (df, hash)
+    order (the exact prefix pass _prefix_rows_table already implements
+    — reused verbatim). Candidates then verify EXACTLY by a
+    two-hop join back through the shingle index (pair ⋈ a-rows ⋈
+    b-rows on (b, sh) = true intersection counts); vocabulary-guarded
+    broadcast with full-join fallback, like the Jaccard join."""
+    docs = T(sf_dir, "documents", ["doc_id", "text"],
+             target_block_mb=8, min_blocks=4)
+    rows = docs.map_batches(_shingle_rows,
+                            batch_format="pyarrow").materialize()
+    thr_num, thr_den = int(threshold * 100), 100
+    df_ds = fast_groupby_agg(rows, ["sh"], {"df": (None, "count")})
+    if df_ds.count() <= max_broadcast_vocab:
+        df_tbl = pa.concat_tables(ray.get(df_ds.to_arrow_refs()))
+        h = df_tbl["sh"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = df_tbl["df"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        dfref = ray.put((h[order], d[order].astype(np.int64)))
+        probe = rows.map_batches(
+            lambda b: _prefix_rows_table(b, *ray.get(dfref),
+                                         thr_num, thr_den),
+            batch_format="pyarrow", batch_size=None)
+    else:
+        probe = rows  # full probe side — correct superset, no prefix
+    index = rows.map_batches(
+        lambda b: _shingle_rows_rename(b), batch_format="pyarrow")
+    cand = fast_groupby_agg(
+        probe.join(index, "inner", num_partitions=8,
+                   on=("sh",), right_on=("sh_r",)).map_batches(
+            lambda b: pa.table({
+                "a": b["a"].filter(
+                    pc.not_equal(b["a"], b["b_r"])),
+                "b": b["b_r"].filter(
+                    pc.not_equal(b["a"], b["b_r"])),
+            }),
+            batch_format="pyarrow"),
+        ["a", "b"], {"_n": (None, "count")}).map_batches(
+        lambda b: b.select(["a", "b"]), batch_format="pyarrow")
+    # exact verify: pair ⋈ a-shingles, then ⋈ b-shingles on (b, sh)
+    hop1 = cand.join(rows, "inner", num_partitions=8, on=("a",))
+    inter = fast_groupby_agg(
+        hop1.join(index, "inner", num_partitions=8,
+                  on=("b", "sh"), right_on=("b_r", "sh_r")).map_batches(
+            lambda b: b.select(["a", "b", "sz_a"]),
+            batch_format="pyarrow"),
+        ["a", "b"], {"inter": (None, "count"),
+                     "sz_a": ("sz_a", "max")})
+
+    def _score(b: pa.Table) -> pa.Table:
+        i = b["inter"].to_numpy(zero_copy_only=False)
+        sz = b["sz_a"].to_numpy(zero_copy_only=False)
+        keep = i * thr_den >= thr_num * sz
+        i, sz = i[keep], sz[keep]
+        return pa.table({
+            "a": b["a"].filter(pa.array(keep)),
+            "b": b["b"].filter(pa.array(keep)),
+            "inter": pa.array(i, pa.int64()),
+            "containment_fp": pa.array(
+                (i * 1_000_000) // sz, pa.int64()),
+        })
+
+    out = inter.map_batches(_score, batch_format="pyarrow").materialize()
+    if out.count() == 0:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64"),
+                             "inter": pd.Series(dtype="int64"),
+                             "containment_fp": pd.Series(dtype="int64")})
+    return out
+
+
+def _shingle_rows_rename(b: pa.Table) -> pa.Table:
+    """(a, sh, sz_a) → (b_r, sh_r, sz_b) for the index side of the
+    containment join (matches _shingle_rows' layout without
+    re-tokenizing the corpus)."""
+    return b.rename_columns(["b_r", "sh_r", "sz_b"])
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -8666,6 +8751,7 @@ def queries() -> dict:
         "pareto_8020": q_pareto_8020,
         "clustering_coefficient": q_clustering_coefficient,
         "sampled_estimate": q_sampled_estimate,
+        "containment_join": q_containment_join,
         "pca_top_component": q_pca_top_component,
     }
 
@@ -11326,4 +11412,30 @@ ORACLES["sampled_estimate"] = """
            CAST(round(1e6 * (center - half)) AS BIGINT) AS ci_lo_fp,
            CAST(round(1e6 * (center + half)) AS BIGINT) AS ci_hi_fp
     FROM h
+"""
+
+ORACLES["containment_join"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text),
+                                              '[^a-z0-9_]+'),
+                           t -> t <> '') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+        FROM toks, UNNEST(range(1, len(w) - 1)) AS u(i)
+        WHERE len(w) >= 3
+    ),
+    szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id <> y.doc_id
+        GROUP BY x.doc_id, y.doc_id
+    )
+    SELECT a, b, inter,
+           CAST((inter * 1000000) // sa.sz AS BIGINT)
+               AS containment_fp
+    FROM pairs JOIN szs sa ON a = sa.doc_id
+    WHERE inter * 100 >= 80 * sa.sz
 """

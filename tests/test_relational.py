@@ -2498,3 +2498,38 @@ def test_sampled_estimate_interval_covers_sample_rate():
     truth = (docs["n_chars"] >= 300).mean()
     assert row["ci_lo_fp"] / 1e6 - 0.02 <= truth <= \
         row["ci_hi_fp"] / 1e6 + 0.02
+
+
+def test_containment_join_bruteforce_and_asymmetry():
+    from fide_crawler_ray.pipelines.queries import to_df_any
+    from fide_crawler_ray.pipelines.relational import (
+        _TOKEN, T, q_containment_join)
+
+    got = to_df_any(q_containment_join(SF))
+    docs = T(SF, "documents", ["doc_id", "text"]).to_pandas()
+    sets = {}
+    for _, r in docs.iterrows():
+        t = _TOKEN.findall(r["text"].lower())
+        sets[r["doc_id"]] = {" ".join(t[i:i + 3])
+                             for i in range(len(t) - 2)}
+    exp = []
+    ids = list(sets)
+    for a in ids:
+        for b in ids:
+            if a == b or not sets[a]:
+                continue
+            inter = len(sets[a] & sets[b])
+            if inter * 100 >= 80 * len(sets[a]):
+                exp.append((a, b, inter,
+                            inter * 1_000_000 // len(sets[a])))
+    gotset = set(map(tuple, got[["a", "b", "inter", "containment_fp"]]
+                     .itertuples(index=False)))
+    assert gotset == set(exp)
+    # containment is genuinely asymmetric: at least one pair must NOT
+    # have its mirror in the result unless sizes match
+    if exp:
+        asym = [(a, b) for a, b, *_ in exp
+                if (b, a) not in {(x[0], x[1]) for x in exp}]
+        sym = [(a, b) for a, b, *_ in exp
+               if (b, a) in {(x[0], x[1]) for x in exp}]
+        assert len(asym) + len(sym) == len(exp)
