@@ -478,13 +478,19 @@ def q_relational_division(sf_dir):
     )
     counts = fast_groupby_agg(pairs, ["l_suppkey"],
                               {"n_parts": (None, "count")})
-    return counts.map_batches(
+    out = counts.map_batches(
         lambda b: pa.table({
             "l_suppkey": b["l_suppkey"].filter(
                 pc.greater_equal(b["n_parts"], 3)),
         }),
         batch_format="pyarrow",
-    )
+    ).materialize()
+    if out.count() == 0:
+        # legitimately empty at some sf (sf0.1: no supplier reaches
+        # 3-of-5) — an all-empty Dataset drops its schema, so hand
+        # back a TYPED empty frame
+        return pd.DataFrame({"l_suppkey": pd.Series(dtype="int64")})
+    return out
 
 
 # per-group aggregate rows broadcast (by block ref, plasma-shared) below
@@ -7478,11 +7484,13 @@ def q_q4_order_priority(sf_dir):
 def q_q11_important_parts(sf_dir):
     """TPC-H Q11 shape (adapted: no partsupp table, so "value" is the
     discounted revenue a part actually moved in lineitem): parts whose
-    share of total value exceeds 1/1500 — the correlated scalar
-    subquery (HAVING value > fraction × sum(value)) decorrelated into
-    a per-part integer cent-sum plus ONE streaming scalar aggregate.
+    share of total value exceeds 4/3 of the MEAN share (the TPC-H
+    fraction is FRACTION/SF for exactly this reason — a fixed fraction
+    degenerates as the part count grows; a mean-relative one is
+    scale-free) — the correlated scalar subquery decorrelated into a
+    per-part integer cent-sum plus ONE streaming scalar aggregate.
     The comparison is all-integer cross-multiplication
-    (value_fp·1500 > total), so no division or float ever appears.
+    (value_fp·n_parts·3 > total·4), so no division or float appears.
     Plan: map-side per-part partials → small groupby (|part| rows) →
     scalar total via Dataset.aggregate → closure-scalar filter. The
     per-part table never lands on the driver."""
@@ -7500,10 +7508,15 @@ def q_q11_important_parts(sf_dir):
             }),
             batch_format="pyarrow"),
         ["partkey"], {"value_fp": ("value_fp", "sum")})
-    total = int(v.aggregate(Sum("value_fp", alias_name="t"))["t"])
+    from ray.data.aggregate import Count
+
+    agg = v.aggregate(Sum("value_fp", alias_name="t"),
+                      Count(alias_name="np"))
+    total, np_ = int(agg["t"]), int(agg["np"])
     return v.map_batches(
         lambda b: b.filter(pa.array(
-            b["value_fp"].to_numpy(zero_copy_only=False) * 1500 > total)),
+            b["value_fp"].to_numpy(zero_copy_only=False) * (np_ * 3)
+            > total * 4)),
         batch_format="pyarrow")
 
 
@@ -11011,8 +11024,10 @@ ORACLES["q11_important_parts"] = """
                     AS BIGINT) AS value_fp
         FROM lineitem GROUP BY l_partkey
     ),
-    t AS (SELECT CAST(sum(value_fp) AS HUGEINT) AS total FROM v)
-    SELECT partkey, value_fp FROM v, t WHERE value_fp * 1500 > total
+    t AS (SELECT CAST(sum(value_fp) AS HUGEINT) AS total,
+                 count(*) AS np FROM v)
+    SELECT partkey, value_fp FROM v, t
+    WHERE value_fp * (np * 3) > total * 4
 """
 
 ORACLES["q12_priority_by_returnflag"] = """

@@ -2055,7 +2055,7 @@ def test_q11_important_parts_bruteforce():
         * (1.0 - li["l_discount"].to_numpy()) * 100.0).astype(np.int64)
     v = li.groupby("l_partkey", as_index=False)["value_fp"].sum()
     total = int(v["value_fp"].sum())
-    exp = (v[v["value_fp"] * 1500 > total]
+    exp = (v[v["value_fp"] * (len(v) * 3) > total * 4]
            .rename(columns={"l_partkey": "partkey"})
            .sort_values("partkey").reset_index(drop=True))
     assert len(exp) > 0
