@@ -8598,6 +8598,39 @@ def _shingle_rows_rename(b: pa.Table) -> pa.Table:
     return b.rename_columns(["b_r", "sh_r", "sz_b"])
 
 
+def q_cascade_delete(sf_dir):
+    """Referential cascade audit: deleting negative-balance customers
+    must take their orders and those orders' lineitems with them — two
+    chained hash anti-joins (each side projected to keys before the
+    exchange), counted per table. The 'deleted customer keys' side is
+    customer-scale, so it flows through the exchange, never the
+    driver. (Counts use Dataset.count(), NOT Dataset.aggregate —
+    Ray 2.49's global Aggregate silently returns 0 rows when planned
+    on top of a left_semi/left_anti join output; .count() and
+    map_batches execute the join correctly.)"""
+    gone = T(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
+        lambda b: b.filter(pc.less(b["c_acctbal"], 0.0))
+        .select(["c_custkey"]),
+        batch_format="pyarrow")
+    surviving_orders = T(sf_dir, "orders",
+                         ["o_orderkey", "o_custkey"]).join(
+        gone, "left_anti", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",))
+    okeys = surviving_orders.map_batches(
+        lambda b: b.select(["o_orderkey"]), batch_format="pyarrow")
+    surviving_li = T(sf_dir, "lineitem", ["l_orderkey"]).join(
+        okeys, "left_semi", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",))
+    n_cust_gone = gone.count()
+    n_orders = surviving_orders.count()
+    n_li = surviving_li.count()
+    return pd.DataFrame([{
+        "n_customers_deleted": int(n_cust_gone),
+        "n_orders_surviving": int(n_orders),
+        "n_lineitems_surviving": int(n_li),
+    }])
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -8765,6 +8798,7 @@ def queries() -> dict:
         "clustering_coefficient": q_clustering_coefficient,
         "sampled_estimate": q_sampled_estimate,
         "containment_join": q_containment_join,
+        "cascade_delete": q_cascade_delete,
         "pca_top_component": q_pca_top_component,
     }
 
@@ -11453,4 +11487,15 @@ ORACLES["containment_join"] = """
                AS containment_fp
     FROM pairs JOIN szs sa ON a = sa.doc_id
     WHERE inter * 100 >= 80 * sa.sz
+"""
+
+ORACLES["cascade_delete"] = """
+    WITH gone AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0.0),
+    so AS (SELECT o_orderkey FROM orders
+           WHERE o_custkey NOT IN (SELECT c_custkey FROM gone))
+    SELECT (SELECT count(*) FROM gone) AS n_customers_deleted,
+           (SELECT count(*) FROM so) AS n_orders_surviving,
+           (SELECT count(*) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM so))
+               AS n_lineitems_surviving
 """

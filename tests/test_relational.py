@@ -2533,3 +2533,46 @@ def test_containment_join_bruteforce_and_asymmetry():
         sym = [(a, b) for a, b, *_ in exp
                if (b, a) in {(x[0], x[1]) for x in exp}]
         assert len(asym) + len(sym) == len(exp)
+
+
+def test_cascade_delete_bruteforce():
+    from fide_crawler_ray.pipelines.relational import T, q_cascade_delete
+
+    row = q_cascade_delete(SF).iloc[0]
+    cust = T(SF, "customer", ["c_custkey", "c_acctbal"]).to_pandas()
+    orders = T(SF, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
+    li = T(SF, "lineitem", ["l_orderkey"]).to_pandas()
+    gone = set(cust[cust["c_acctbal"] < 0]["c_custkey"])
+    so = orders[~orders["o_custkey"].isin(gone)]
+    assert row["n_customers_deleted"] == len(gone)
+    assert row["n_orders_surviving"] == len(so)
+    assert row["n_lineitems_surviving"] == int(
+        li["l_orderkey"].isin(set(so["o_orderkey"])).sum())
+
+
+def test_semi_anti_join_aggregate_is_quarantined():
+    """Ray 2.49's global Dataset.aggregate silently loses all rows when
+    planned over a left_semi/left_anti join output (cascade_delete's
+    docstring). This canary pins the behavior we code around: if it
+    starts passing, the workaround notes can be retired."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from fide_crawler_ray.pipelines.queries import T
+
+    keep = T(SF, "customer", ["c_custkey", "c_acctbal"]).map_batches(
+        lambda b: b.filter(pc.less(b["c_acctbal"], 0.0))
+        .select(["c_custkey"]),
+        batch_format="pyarrow")
+    semi = T(SF, "orders", ["o_orderkey", "o_custkey"]).join(
+        keep, "left_semi", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",))
+    n_count = semi.count()
+    n_agg = int(semi.aggregate(Count(alias_name="n"))["n"])
+    assert n_count > 0
+    # the buggy behavior we avoid: aggregate sees zero rows
+    assert n_agg in (0, n_count)
+    if n_agg == n_count:
+        raise AssertionError(
+            "Ray fixed aggregate-over-semi-join; retire the "
+            ".count() workaround notes")
