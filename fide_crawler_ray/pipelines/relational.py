@@ -8631,6 +8631,77 @@ def q_cascade_delete(sf_dir):
     }])
 
 
+def q_rollup_consistency(sf_dir):
+    """Multi-granularity rollup consistency audit (the reconciliation
+    check every reporting stack needs): daily, monthly, and yearly
+    revenue cent-sums computed as three INDEPENDENT grouped plans over
+    one shared quantized scan must re-aggregate to identical totals.
+    The audit compares exact integers per granularity — a mismatch is
+    a real pipeline bug, not float noise — and returns the per-
+    granularity row the driver hashes."""
+    folded = T(sf_dir, "orders",
+               ["o_orderdate", "o_totalprice"]).map_batches(
+        lambda b: pa.table({
+            "day": pa.array(_ts_ns(b["o_orderdate"])
+                            // 86_400_000_000_000, pa.int64()),
+            "month": pc.strftime(b["o_orderdate"], format="%Y-%m"),
+            "year": pc.strftime(b["o_orderdate"], format="%Y"),
+            "cents": pa.array(_round_half_away(
+                b["o_totalprice"].to_numpy(zero_copy_only=False)
+                * 100.0).astype(np.int64)),
+        }),
+        batch_format="pyarrow").materialize()
+    rows = []
+    for gran in ("day", "month", "year"):
+        g = fast_groupby_agg(folded, [gran],
+                             {"cents": ("cents", "sum"),
+                              "n": (None, "count")})
+        from ray.data.aggregate import Count, Sum
+
+        agg = g.aggregate(Sum("cents", alias_name="s"),
+                          Count(alias_name="groups"),
+                          Sum("n", alias_name="n"))
+        rows.append({"granularity": gran,
+                     "n_groups": int(agg["groups"]),
+                     "n_orders": int(agg["n"]),
+                     "total_cents": int(agg["s"])})
+    df = pd.DataFrame(rows)
+    assert df["total_cents"].nunique() == 1, df.to_dict("records")
+    assert df["n_orders"].nunique() == 1
+    return df
+
+
+def q_weekday_profile(sf_dir):
+    """Revenue and volume by ISO weekday (1=Mon..7=Sun) — the intra-week
+    seasonality profile. One map + a 7-row groupby over integer cents;
+    the mean divides two exact integers, mirrored ×1e4."""
+
+    def _wd(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "weekday": df["o_orderdate"].dt.isocalendar()["day"]
+            .astype("int64").to_numpy(),
+            "cents": _round_half_away(
+                df["o_totalprice"].to_numpy() * 100.0
+            ).astype(np.int64),
+        })
+
+    folded = T(sf_dir, "orders",
+               ["o_orderdate", "o_totalprice"]).map_batches(
+        _wd, batch_format="pandas")
+    agg = fast_groupby_agg(folded, ["weekday"], {
+        "revenue_fp": ("cents", "sum"), "n_orders": (None, "count")})
+
+    def _mean(b: pa.Table) -> pa.Table:
+        r = b["revenue_fp"].to_numpy(zero_copy_only=False)
+        n = b["n_orders"].to_numpy(zero_copy_only=False)
+        return b.append_column("avg_cents_fp", pa.array(
+            _round_half_away(
+                1e4 * (r.astype(np.float64) / n.astype(np.float64))
+            ).astype(np.int64)))
+
+    return agg.map_batches(_mean, batch_format="pyarrow")
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -8799,6 +8870,8 @@ def queries() -> dict:
         "sampled_estimate": q_sampled_estimate,
         "containment_join": q_containment_join,
         "cascade_delete": q_cascade_delete,
+        "rollup_consistency": q_rollup_consistency,
+        "weekday_profile": q_weekday_profile,
         "pca_top_component": q_pca_top_component,
     }
 
@@ -11498,4 +11571,45 @@ ORACLES["cascade_delete"] = """
            (SELECT count(*) FROM lineitem
             WHERE l_orderkey IN (SELECT o_orderkey FROM so))
                AS n_lineitems_surviving
+"""
+
+ORACLES["rollup_consistency"] = """
+    WITH c AS (
+        SELECT epoch_ns(o_orderdate) // 86400000000000 AS day,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                   AS month,
+               strftime(o_orderdate, '%Y') AS year,
+               CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+        FROM orders
+    ),
+    g AS (
+        SELECT 'day' AS granularity, count(DISTINCT day) AS n_groups,
+               count(*) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS total_cents FROM c
+        UNION ALL
+        SELECT 'month', count(DISTINCT month), count(*),
+               CAST(sum(cents) AS BIGINT) FROM c
+        UNION ALL
+        SELECT 'year', count(DISTINCT year), count(*),
+               CAST(sum(cents) AS BIGINT) FROM c
+    )
+    SELECT granularity, n_groups, n_orders, total_cents FROM g
+"""
+
+ORACLES["weekday_profile"] = """
+    WITH c AS (
+        SELECT isodow(o_orderdate) AS weekday,
+               CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+        FROM orders
+    ),
+    g AS (
+        SELECT weekday, CAST(sum(cents) AS BIGINT) AS revenue_fp,
+               count(*) AS n_orders
+        FROM c GROUP BY weekday
+    )
+    SELECT weekday, revenue_fp, n_orders,
+           CAST(round(1e4 * (CAST(revenue_fp AS DOUBLE)
+                             / CAST(n_orders AS DOUBLE)))
+                AS BIGINT) AS avg_cents_fp
+    FROM g
 """

@@ -2576,3 +2576,36 @@ def test_semi_anti_join_aggregate_is_quarantined():
         raise AssertionError(
             "Ray fixed aggregate-over-semi-join; retire the "
             ".count() workaround notes")
+
+
+def test_rollup_consistency_totals_agree():
+    from fide_crawler_ray.pipelines.relational import (
+        T, q_rollup_consistency)
+
+    got = q_rollup_consistency(SF)
+    assert got["total_cents"].nunique() == 1
+    assert got["n_orders"].nunique() == 1
+    d = got.set_index("granularity")["n_groups"]
+    assert d["day"] >= d["month"] >= d["year"]
+
+
+def test_weekday_profile_bruteforce():
+    from fide_crawler_ray.pipelines.relational import (
+        T, _round_half_away as rha, q_weekday_profile)
+
+    got = (q_weekday_profile(SF).to_pandas()
+           .sort_values("weekday").reset_index(drop=True))
+    o = T(SF, "orders", ["o_orderdate", "o_totalprice"]).to_pandas()
+    o["weekday"] = o["o_orderdate"].dt.isocalendar()["day"].astype(
+        "int64").to_numpy()
+    o["cents"] = rha(o["o_totalprice"].to_numpy() * 100.0
+                     ).astype(np.int64)
+    g = o.groupby("weekday").agg(
+        revenue_fp=("cents", "sum"), n_orders=("cents", "size"))
+    exp = g.reset_index()
+    exp["avg_cents_fp"] = rha(
+        1e4 * (exp["revenue_fp"].to_numpy().astype(float)
+               / exp["n_orders"].to_numpy().astype(float))
+    ).astype(np.int64)
+    exp = exp.astype({"revenue_fp": np.int64, "n_orders": np.int64})
+    pd.testing.assert_frame_equal(got, exp)
