@@ -386,6 +386,56 @@ def q_semdedup_recall(sf_dir, plant_every: int = 4):
     }])
 
 
+def q_quantized_ann_recall(sf_dir, k: int = 10):
+    """Scalar-quantization quality gate: embeddings compressed to int8
+    (per-vector symmetric max-abs scale — 4× smaller, the standard
+    production ANN memory lever) must preserve brute-force top-k:
+    recall@10 of the quantized search vs the full-precision search
+    (which has its own exact oracle) asserted ≥ 0.9. The quantized
+    path runs the SAME distributed brute-force kernel over a
+    re-materialized int8→float corpus, so the gate measures the
+    quantization error, not a different algorithm."""
+    import ray.data as rd
+
+    from .queries import T, _queries_matrix
+
+    emb = T(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = _queries_matrix(sf_dir)
+    full = ANN.brute_force_topk(emb, q, k=k).to_pandas()
+
+    def _quant(b: pa.Table) -> pa.Table:
+        col = b["embedding"]
+        la = (col.combine_chunks()
+              if isinstance(col, pa.ChunkedArray) else col)
+        m = la.values.to_numpy(zero_copy_only=False).astype(
+            np.float32).reshape(b.num_rows, -1)
+        scale = np.abs(m).max(axis=1, keepdims=True)
+        scale[scale == 0] = 1.0
+        q8 = np.clip(np.round(m / scale * 127.0), -127, 127)
+        deq = (q8 * scale / 127.0).astype(np.float32)
+        return pa.table({
+            "vec_id": b["vec_id"],
+            "embedding": pa.array([v.tolist() for v in deq],
+                                  type=pa.list_(pa.float32())),
+        })
+
+    quant = emb.map_batches(_quant, batch_format="pyarrow")
+    qres = ANN.brute_force_topk(quant, q, k=k).to_pandas()
+    hits = tot = 0
+    for qid, g in full.groupby("query_id"):
+        truth = set(g["vec_id"])
+        got = set(qres[qres["query_id"] == qid]["vec_id"])
+        hits += len(truth & got)
+        tot += len(truth)
+    recall = hits / max(tot, 1)
+    assert recall >= 0.9, f"int8 quantization recall {recall:.3f}"
+    return pd.DataFrame([{
+        "k": k, "n_queries": full["query_id"].nunique(),
+        "n_hits": hits, "n_truth": tot,
+        "recall_x1e6": int(round(recall * 1e6)),
+    }])
+
+
 def q_dedup_embedding_recall(sf_dir, plant_every: int = 4):
     """Precision/recall of the hyperplane-LSH embedding near-dedup on
     PLANTED near-duplicates: the synthetic embeddings are mutually far
@@ -443,4 +493,5 @@ QUERIES = {
     "dedup_ngram_recall": q_dedup_ngram_recall,
     "dedup_embedding_recall": q_dedup_embedding_recall,
     "semdedup_recall": q_semdedup_recall,
+    "quantized_ann_recall": q_quantized_ann_recall,
 }

@@ -8702,6 +8702,55 @@ def q_weekday_profile(sf_dir):
     return agg.map_batches(_mean, batch_format="pyarrow")
 
 
+def q_corpus_card(sf_dir):
+    """Corpus datasheet (the 'data card' summary a training-data release
+    ships with): document/source/language counts, exact token volume,
+    length moments, and the language-distribution entropy — ONE shared
+    tokenize-free scan (tokens = whitespace runs counted vectorized),
+    three domain-sized groupbys, libm-ln entropy on exact integer
+    counts (grouped_entropy's policy). Single-row output, every field
+    an exact integer or a mirrored ×1e6 fixed point."""
+
+    def _fold(b: pa.Table) -> pa.Table:
+        txt = b["text"]
+        n_tok = pc.list_value_length(pc.split_pattern_regex(
+            txt, pattern="\\s+"))
+        return pa.table({
+            "lang": b["lang"],
+            "source": b["source"],
+            "n_tokens": pc.cast(n_tok, pa.int64()),
+            "n_chars": pc.cast(pc.utf8_length(txt), pa.int64()),
+        })
+
+    rows = T(sf_dir, "documents",
+             ["text", "lang", "source"]).map_batches(
+        _fold, batch_format="pyarrow").materialize()
+    lang = fast_groupby_agg(rows, ["lang"],
+                            {"c": (None, "count")}).to_pandas()
+    n_src = fast_groupby_agg(rows, ["source"],
+                             {"c": (None, "count")}).count()
+    from ray.data.aggregate import Count, Sum
+
+    agg = rows.aggregate(Count(alias_name="n_docs"),
+                         Sum("n_tokens", alias_name="tok"),
+                         Sum("n_chars", alias_name="ch"))
+    n = int(agg["n_docs"])
+    # language entropy: ln(n) − Σ c·ln(c)/n, per-term ×1e9 libm
+    s = int(sum(int(_round_half_away(np.array(
+        [c * math.log(float(c)) * 1e9]))[0])
+        for c in lang["c"] if c > 0))
+    ent = math.log(float(n)) - (s / 1e9) / n
+    return pd.DataFrame([{
+        "n_docs": n,
+        "n_languages": len(lang),
+        "n_sources": int(n_src),
+        "total_tokens": int(agg["tok"]),
+        "total_chars": int(agg["ch"]),
+        "lang_entropy_fp": int(_round_half_away(
+            np.array([ent * 1e6]))[0]),
+    }])
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -8872,6 +8921,7 @@ def queries() -> dict:
         "cascade_delete": q_cascade_delete,
         "rollup_consistency": q_rollup_consistency,
         "weekday_profile": q_weekday_profile,
+        "corpus_card": q_corpus_card,
         "pca_top_component": q_pca_top_component,
     }
 
@@ -11612,4 +11662,27 @@ ORACLES["weekday_profile"] = """
                              / CAST(n_orders AS DOUBLE)))
                 AS BIGINT) AS avg_cents_fp
     FROM g
+"""
+
+ORACLES["corpus_card"] = """
+    WITH d AS (
+        SELECT lang, source,
+               len(string_split_regex(text, '\\s+')) AS n_tokens,
+               len(text) AS n_chars
+        FROM documents
+    ),
+    l AS (SELECT lang, count(*) AS c FROM d GROUP BY lang),
+    s AS (SELECT CAST(sum(CAST(round(c * ln(c) * 1e9) AS BIGINT))
+                      AS BIGINT) AS s FROM l),
+    t AS (SELECT count(*) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                 CAST(sum(n_chars) AS BIGINT) AS total_chars FROM d),
+    ls AS (SELECT count(*) AS n_languages FROM l),
+    sc AS (SELECT count(DISTINCT source) AS n_sources FROM d)
+    SELECT n_docs, n_languages, n_sources, total_tokens, total_chars,
+           CAST(round(1e6 * (ln(n_docs)
+                             - ((CAST(s.s AS DOUBLE) / 1e9)
+                                / n_docs))) AS BIGINT)
+               AS lang_entropy_fp
+    FROM t, ls, sc, s
 """

@@ -98,3 +98,11 @@ def test_semdedup_without_near_dups_keeps_everything():
     out = q_semdedup(SF).to_pandas()
     n = T(SF, "embeddings", ["vec_id"]).count()
     assert len(out) == n
+
+
+def test_quantized_ann_recall_gate():
+    from fide_crawler_ray.pipelines.quality import q_quantized_ann_recall
+
+    row = q_quantized_ann_recall(SF).iloc[0]
+    assert row["n_truth"] > 0
+    assert row["recall_x1e6"] >= 900_000

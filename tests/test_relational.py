@@ -2609,3 +2609,20 @@ def test_weekday_profile_bruteforce():
     ).astype(np.int64)
     exp = exp.astype({"revenue_fp": np.int64, "n_orders": np.int64})
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_corpus_card_bruteforce():
+    from fide_crawler_ray.pipelines.relational import T, q_corpus_card
+
+    row = q_corpus_card(SF).iloc[0]
+    docs = T(SF, "documents", ["text", "lang", "source"]).to_pandas()
+    assert row["n_docs"] == len(docs)
+    assert row["n_languages"] == docs["lang"].nunique()
+    assert row["n_sources"] == docs["source"].nunique()
+    import re
+    assert row["total_tokens"] == int(
+        docs["text"].map(lambda t: len(re.split(r"\s+", t))).sum())
+    assert row["total_chars"] == int(docs["text"].str.len().sum())
+    p = docs["lang"].value_counts(normalize=True).to_numpy()
+    ent = float(-(p * np.log(p)).sum())
+    assert abs(row["lang_entropy_fp"] / 1e6 - ent) < 1e-4
