@@ -8751,6 +8751,45 @@ def q_corpus_card(sf_dir):
     }])
 
 
+def q_median_of_means(sf_dir, n_buckets: int = 16):
+    """Median-of-means robust mean estimator (heavy-tail-resistant, the
+    streaming-analytics alternative to a trimmed mean): rows land in 16
+    deterministic md5 buckets, each bucket's mean divides exact integer
+    cent sums (one mirrored float division ×1e4), and the estimate is
+    the rank-rule median of the 16 bucket means — all bucket state is
+    32 integers, so the exchange is constant-sized at any scale."""
+
+    def _fold(b: pa.Table) -> pa.Table:
+        ids = b["l_orderkey"].to_pylist()
+        bk = np.array([int(hashlib.md5(str(i).encode())
+                           .hexdigest()[0], 16) % n_buckets
+                       for i in ids], np.int64)
+        cents = _round_half_away(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame({"bucket": bk, "s": cents,
+                           "n": np.ones(len(bk), np.int64)})
+        g = df.groupby("bucket", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = fast_groupby_agg(
+        T(sf_dir, "lineitem",
+          ["l_orderkey", "l_extendedprice"]).map_batches(
+            _fold, batch_format="pyarrow"),
+        ["bucket"], {"s": ("s", "sum"), "n": ("n", "sum")}).to_pandas()
+    means = np.sort(_round_half_away(
+        1e4 * (agg["s"].to_numpy().astype(np.float64)
+               / (100.0 * agg["n"].to_numpy().astype(np.float64)))
+    ).astype(np.int64))
+    k = len(means)
+    mom = int(means[(k - 1) // 2])  # lower median (rank rule)
+    return pd.DataFrame([{
+        "n_buckets": k, "mom_fp": mom,
+        "min_bucket_mean_fp": int(means[0]),
+        "max_bucket_mean_fp": int(means[-1]),
+    }])
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -8922,6 +8961,7 @@ def queries() -> dict:
         "rollup_consistency": q_rollup_consistency,
         "weekday_profile": q_weekday_profile,
         "corpus_card": q_corpus_card,
+        "median_of_means": q_median_of_means,
         "pca_top_component": q_pca_top_component,
     }
 
@@ -11685,4 +11725,35 @@ ORACLES["corpus_card"] = """
                                 / n_docs))) AS BIGINT)
                AS lang_entropy_fp
     FROM t, ls, sc, s
+"""
+
+ORACLES["median_of_means"] = """
+    WITH c AS (
+        SELECT CAST(strpos('0123456789abcdef',
+                           substr(md5(CAST(l_orderkey AS VARCHAR)),
+                                  1, 1)) - 1 AS BIGINT) % 16 AS bucket,
+               CAST(round(l_extendedprice * 100.0) AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    g AS (
+        SELECT bucket, CAST(sum(cents) AS BIGINT) AS s,
+               count(*) AS n
+        FROM c GROUP BY bucket
+    ),
+    m AS (
+        SELECT CAST(round(1e4 * (CAST(s AS DOUBLE)
+                                 / (100.0 * n))) AS BIGINT) AS mean_fp
+        FROM g
+    ),
+    r AS (
+        SELECT mean_fp,
+               row_number() OVER (ORDER BY mean_fp) AS rn,
+               count(*) OVER () AS k
+        FROM m
+    )
+    SELECT (SELECT CAST(max(k) AS BIGINT) FROM r) AS n_buckets,
+           (SELECT mean_fp FROM r WHERE rn = (k - 1) // 2 + 1)
+               AS mom_fp,
+           (SELECT min(mean_fp) FROM r) AS min_bucket_mean_fp,
+           (SELECT max(mean_fp) FROM r) AS max_bucket_mean_fp
 """

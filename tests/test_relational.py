@@ -2626,3 +2626,29 @@ def test_corpus_card_bruteforce():
     p = docs["lang"].value_counts(normalize=True).to_numpy()
     ent = float(-(p * np.log(p)).sum())
     assert abs(row["lang_entropy_fp"] / 1e6 - ent) < 1e-4
+
+
+def test_median_of_means_bruteforce():
+    import hashlib
+
+    from fide_crawler_ray.pipelines.relational import (
+        T, _round_half_away as rha, q_median_of_means)
+
+    row = q_median_of_means(SF).iloc[0]
+    li = T(SF, "lineitem", ["l_orderkey", "l_extendedprice"]).to_pandas()
+    li["bucket"] = li["l_orderkey"].map(
+        lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[0], 16)
+        % 16)
+    li["cents"] = rha(li["l_extendedprice"].to_numpy() * 100.0
+                      ).astype(np.int64)
+    g = li.groupby("bucket").agg(s=("cents", "sum"),
+                                 n=("cents", "size"))
+    means = np.sort(rha(
+        1e4 * (g["s"].to_numpy().astype(float)
+               / (100.0 * g["n"].to_numpy().astype(float)))
+    ).astype(np.int64))
+    assert row["n_buckets"] == len(means)
+    assert row["mom_fp"] == int(means[(len(means) - 1) // 2])
+    # robustness sanity: MoM sits inside the bucket-mean envelope
+    assert row["min_bucket_mean_fp"] <= row["mom_fp"] \
+        <= row["max_bucket_mean_fp"]
