@@ -8790,6 +8790,63 @@ def q_median_of_means(sf_dir, n_buckets: int = 16):
     }])
 
 
+def q_fd_discovery(sf_dir):
+    """Functional-dependency discovery (schema profiling): does column A
+    determine column B? FD A→B holds iff |distinct A| == |distinct
+    (A,B)| — two map-side-combined distinct counts per candidate, no
+    row-level comparison. Candidates span a true FD (partkey→brand), a
+    violated one (brand→type), and a cross-column pair on orders; the
+    holds flag is the all-integer count equality."""
+    cands = [
+        ("part", "p_partkey", "p_brand"),
+        ("part", "p_brand", "p_type"),
+        ("orders", "o_custkey", "o_orderpriority"),
+        ("lineitem", "l_orderkey", "l_returnflag"),
+    ]
+    rows = []
+    for tbl, a, b_ in cands:
+        ds = T(sf_dir, tbl, [a, b_])
+        n_a = fast_groupby_agg(ds, [a], {"_n": (None, "count")}).count()
+        n_ab = fast_groupby_agg(ds, [a, b_],
+                                {"_n": (None, "count")}).count()
+        rows.append({"table_name": tbl, "lhs": a, "rhs": b_,
+                     "n_distinct_lhs": int(n_a),
+                     "n_distinct_pair": int(n_ab),
+                     "fd_holds": bool(n_a == n_ab)})
+    return pd.DataFrame(rows)
+
+
+def q_hill_tail_index(sf_dir, k: int = 200):
+    """Hill estimator of the price distribution's tail index from the
+    top-k order statistics — the heavy-tail diagnostic: H = (1/k)·Σ
+    ln(x_(i)/x_(k+1)) over the k largest values, 1/H the tail exponent.
+    The top-(k+1) comes from the mergeable per-block top-k partials
+    (k+1 ints per block — constant exchange); each ln term is libm on
+    an exact integer cent RATIO (ln(a)−ln(b) form), ×1e9 quantized
+    BEFORE the sum, so the estimate is association-order-free."""
+
+    def _top(b: pa.Table) -> pa.Table:
+        cents = _round_half_away(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        top = np.sort(cents)[-(k + 1):]
+        return pa.table({"cents": pa.array(top, pa.int64())})
+
+    parts = T(sf_dir, "orders", ["o_totalprice"]).map_batches(
+        _top, batch_format="pyarrow").to_pandas()  # ≤ blocks·(k+1)
+    top = np.sort(parts["cents"].to_numpy())[-(k + 1):]
+    xk1 = int(top[0])
+    terms = [int(_round_half_away(np.array(
+        [(math.log(float(int(v))) - math.log(float(xk1))) * 1e9]))[0])
+        for v in top[1:]]
+    s = int(sum(terms))
+    hill = (s / 1e9) / k
+    return pd.DataFrame([{
+        "k": k, "xk1_cents": xk1,
+        "hill_fp": int(_round_half_away(np.array([hill * 1e6]))[0]),
+    }])
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -8962,6 +9019,8 @@ def queries() -> dict:
         "weekday_profile": q_weekday_profile,
         "corpus_card": q_corpus_card,
         "median_of_means": q_median_of_means,
+        "fd_discovery": q_fd_discovery,
+        "hill_tail_index": q_hill_tail_index,
         "pca_top_component": q_pca_top_component,
     }
 
@@ -11756,4 +11815,55 @@ ORACLES["median_of_means"] = """
                AS mom_fp,
            (SELECT min(mean_fp) FROM r) AS min_bucket_mean_fp,
            (SELECT max(mean_fp) FROM r) AS max_bucket_mean_fp
+"""
+
+ORACLES["fd_discovery"] = """
+    WITH cand AS (
+        SELECT 'part' AS table_name, 'p_partkey' AS lhs,
+               'p_brand' AS rhs,
+               (SELECT count(DISTINCT p_partkey) FROM part)
+                   AS n_distinct_lhs,
+               (SELECT count(*) FROM (SELECT DISTINCT p_partkey,
+                                             p_brand FROM part))
+                   AS n_distinct_pair
+        UNION ALL
+        SELECT 'part', 'p_brand', 'p_type',
+               (SELECT count(DISTINCT p_brand) FROM part),
+               (SELECT count(*) FROM (SELECT DISTINCT p_brand, p_type
+                                      FROM part))
+        UNION ALL
+        SELECT 'orders', 'o_custkey', 'o_orderpriority',
+               (SELECT count(DISTINCT o_custkey) FROM orders),
+               (SELECT count(*) FROM (SELECT DISTINCT o_custkey,
+                                             o_orderpriority
+                                      FROM orders))
+        UNION ALL
+        SELECT 'lineitem', 'l_orderkey', 'l_returnflag',
+               (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+               (SELECT count(*) FROM (SELECT DISTINCT l_orderkey,
+                                             l_returnflag
+                                      FROM lineitem))
+    )
+    SELECT table_name, lhs, rhs,
+           CAST(n_distinct_lhs AS BIGINT) AS n_distinct_lhs,
+           CAST(n_distinct_pair AS BIGINT) AS n_distinct_pair,
+           n_distinct_lhs = n_distinct_pair AS fd_holds
+    FROM cand
+"""
+
+ORACLES["hill_tail_index"] = """
+    WITH c AS (
+        SELECT CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+        FROM orders ORDER BY cents DESC LIMIT 201
+    ),
+    m AS (SELECT CAST(min(cents) AS BIGINT) AS xk1 FROM c),
+    t AS (
+        SELECT CAST(sum(CAST(round((ln(cents) - ln(xk1)) * 1e9)
+                             AS BIGINT)) AS BIGINT) AS s
+        FROM c, m WHERE cents > xk1 OR cents = xk1
+    )
+    SELECT 200 AS k, xk1 AS xk1_cents,
+           CAST(round(1e6 * ((CAST(s AS DOUBLE) / 1e9) / 200))
+                AS BIGINT) AS hill_fp
+    FROM t, m
 """

@@ -2652,3 +2652,35 @@ def test_median_of_means_bruteforce():
     # robustness sanity: MoM sits inside the bucket-mean envelope
     assert row["min_bucket_mean_fp"] <= row["mom_fp"] \
         <= row["max_bucket_mean_fp"]
+
+
+def test_fd_discovery_known_dependencies():
+    from fide_crawler_ray.pipelines.relational import T, q_fd_discovery
+
+    got = q_fd_discovery(SF).set_index(["lhs", "rhs"])
+    # p_partkey is the PK of part → trivially determines p_brand
+    assert bool(got.loc[("p_partkey", "p_brand"), "fd_holds"])
+    part = T(SF, "part", ["p_brand", "p_type"]).to_pandas()
+    expected_bt = (part.groupby("p_brand")["p_type"].nunique() == 1).all()
+    assert bool(got.loc[("p_brand", "p_type"), "fd_holds"]) == bool(
+        expected_bt)
+
+
+def test_hill_tail_index_bruteforce():
+    import math
+
+    from fide_crawler_ray.pipelines.relational import (
+        T, _round_half_away as rha, q_hill_tail_index)
+
+    row = q_hill_tail_index(SF).iloc[0]
+    o = T(SF, "orders", ["o_totalprice"]).to_pandas()
+    cents = np.sort(rha(o["o_totalprice"].to_numpy() * 100.0
+                        ).astype(np.int64))[-201:]
+    xk1 = int(cents[0])
+    s = sum(int(rha(np.array(
+        [(math.log(float(int(v))) - math.log(float(xk1))) * 1e9]))[0])
+        for v in cents[1:])
+    assert row["xk1_cents"] == xk1
+    assert row["hill_fp"] == int(rha(np.array(
+        [1e6 * ((s / 1e9) / 200)]))[0])
+    assert row["hill_fp"] >= 0
