@@ -7810,7 +7810,11 @@ def q_max_concurrency(sf_dir, dur_ns: int = 1_800_000_000_000):
     map_groups over that day's boundaries (bounded by per-day event
     volume, the documented partition assumption). Touching intervals
     count as concurrent (+1 sorts before −1 at equal t; mirrored as
-    ORDER BY t, d DESC in the oracle). All-integer ns arithmetic."""
+    ORDER BY t, d DESC in the oracle), EXCEPT a pair touching exactly
+    at a day boundary: the ending interval lives only in the earlier
+    day (its next-day clip is empty), so midnight-exact touches are
+    not concurrent — on µs event data this is measure-zero, and the
+    oracle applies the identical clip. All-integer ns arithmetic."""
     ev = T(sf_dir, "events", ["ts"])
 
     def _bounds(b: pa.Table) -> pa.Table:

