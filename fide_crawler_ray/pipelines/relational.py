@@ -8851,6 +8851,389 @@ def q_hill_tail_index(sf_dir, k: int = 200):
     }])
 
 
+# ===================================== drift / tests / governance (r3)
+
+
+def _daily_event_counts(sf_dir) -> pd.DataFrame:
+    """Distributed day histogram of events: the only exchange is the
+    per-day count partials (calendar-bounded — ≤ 36.5k rows per century
+    at ANY data scale), so the driver frame is constant-sized."""
+    ev = T(sf_dir, "events", ["ts"])
+
+    def _d(b: pa.Table) -> pa.Table:
+        d = _ts_ns(b["ts"]) // DAY_NS
+        return pa.table({"day": pa.array(d, pa.int64())})
+
+    return fast_groupby_agg(
+        ev.map_batches(_d, batch_format="pyarrow"),
+        ["day"], {"x": (None, "count")}).to_pandas()
+
+
+def q_ks_drift(sf_dir):
+    """Two-sample Kolmogorov–Smirnov drift statistic between the
+    o_totalprice distributions of finished ('F') vs open ('O') orders —
+    the distribution-shift monitor a training-data pipeline runs
+    between snapshots. EXACT integer form: values are bucketed to whole
+    dollars (domain-bounded histogram — the only exchange), and
+    D = max|n2·F1 − n1·F2| is computed cross-multiplied as
+    max|n2·cum1 − n1·cum2| over the merged value domain, so no ECDF
+    float ever forms. The single mirrored float division (×1e9) happens
+    once, on identical exact integers, on both sides. The driver pass
+    is python-int exact (no int64 product overflow at any n)."""
+
+    def _pts(b: pa.Table) -> pa.Table:
+        st = b["o_orderstatus"].to_numpy(zero_copy_only=False)
+        keep = (st == "F") | (st == "O")
+        cents = _round_half_away(
+            b["o_totalprice"].to_numpy(zero_copy_only=False)[keep]
+            * 100.0).astype(np.int64)
+        is1 = (st[keep] == "F").astype(np.int64)
+        return pa.table({"v": pa.array(cents // 100, pa.int64()),
+                         "a": pa.array(is1, pa.int64()),
+                         "b": pa.array(1 - is1, pa.int64())})
+
+    g = fast_groupby_agg(
+        T(sf_dir, "orders", ["o_orderstatus", "o_totalprice"]).map_batches(
+            _pts, batch_format="pyarrow"),
+        ["v"], {"c1": ("a", "sum"), "c2": ("b", "sum")}
+    ).to_pandas().sort_values("v")
+    c1 = [int(v) for v in g["c1"]]
+    c2 = [int(v) for v in g["c2"]]
+    n1, n2 = sum(c1), sum(c2)
+    cum1 = cum2 = 0
+    d_num = 0
+    for a, b in zip(c1, c2):
+        cum1 += a
+        cum2 += b
+        d_num = max(d_num, abs(n2 * cum1 - n1 * cum2))
+    ks = 1e9 * (d_num / (n1 * n2))
+    return pd.DataFrame([{
+        "n1": n1, "n2": n2, "d_num": d_num,
+        "ks_fp": int(_round_half_away(np.array([ks]))[0])}])
+
+
+def q_mann_whitney(sf_dir):
+    """Mann–Whitney U rank test between l_quantity of returned ('R')
+    vs unreturned ('N') lineitems — the nonparametric A/B companion to
+    ab_test_welch. Tie handling is the textbook midrank rule kept
+    EXACT by doubling: for value v with cnt ties after cumb smaller
+    values, 2·midrank = 2·cumb + cnt + 1 (always integer), so
+    2·R1 = Σ c1(v)·(2·cumb + cnt + 1) and 2·U1 = 2·R1 − n1(n1+1) are
+    all-integer on both sides. The exchange is the value histogram
+    (quantity domain ≤ 50 buckets at any scale)."""
+
+    def _pts(b: pa.Table) -> pa.Table:
+        fl = b["l_returnflag"].to_numpy(zero_copy_only=False)
+        keep = (fl == "R") | (fl == "N")
+        v = _round_half_away(
+            b["l_quantity"].to_numpy(zero_copy_only=False)[keep]
+        ).astype(np.int64)
+        is1 = (fl[keep] == "R").astype(np.int64)
+        return pa.table({"v": pa.array(v, pa.int64()),
+                         "a": pa.array(is1, pa.int64()),
+                         "b": pa.array(1 - is1, pa.int64())})
+
+    g = fast_groupby_agg(
+        T(sf_dir, "lineitem", ["l_returnflag", "l_quantity"]).map_batches(
+            _pts, batch_format="pyarrow"),
+        ["v"], {"c1": ("a", "sum"), "c2": ("b", "sum")}
+    ).to_pandas().sort_values("v")
+    c1 = [int(v) for v in g["c1"]]
+    c2 = [int(v) for v in g["c2"]]
+    n1, n2 = sum(c1), sum(c2)
+    cumb = 0
+    r1x2 = 0
+    for a, b in zip(c1, c2):
+        cnt = a + b
+        r1x2 += a * (2 * cumb + cnt + 1)
+        cumb += cnt
+    u1x2 = r1x2 - n1 * (n1 + 1)
+    return pd.DataFrame([{
+        "n1": n1, "n2": n2, "u1_x2": u1x2,
+        "u2_x2": 2 * n1 * n2 - u1x2}])
+
+
+def q_cusum_changepoint(sf_dir):
+    """CUSUM change-point detector over the daily event-count series:
+    the day with the largest |cumulative deviation from the mean rate|.
+    Cross-multiplied to stay integer: dev_t = n·cum_t − t·S (the ×n
+    CUSUM of x − mean), so no mean float forms; earliest day wins ties
+    (mirrored ORDER BY dev DESC, day LIMIT 1). Exchange = the
+    calendar-bounded day histogram."""
+    d = _daily_event_counts(sf_dir).sort_values("day")
+    days = [int(v) for v in d["day"]]
+    xs = [int(v) for v in d["x"]]
+    n, s = len(xs), sum(xs)
+    cum = 0
+    best_dev, best_day = -1, -1
+    for t, (day, x) in enumerate(zip(days, xs), start=1):
+        cum += x
+        dev = abs(n * cum - t * s)
+        if dev > best_dev:
+            best_dev, best_day = dev, day
+    return pd.DataFrame([{
+        "n_days": n, "total_events": s,
+        "max_dev_abs": best_dev, "cp_day": best_day}])
+
+
+def q_lag1_autocorr(sf_dir):
+    """Lag-1 autocorrelation of the daily event-count series (the
+    burstiness/seasonality probe). Numerator and denominator are kept
+    as EXACT n²-scaled integers via d_t = n·x_t − S: num = Σ d_t·d_{t+1},
+    den = Σ d_t² — both association-order-free integer sums over the
+    calendar-bounded series; one mirrored ×1e9 division at the end."""
+    d = _daily_event_counts(sf_dir).sort_values("day")
+    xs = [int(v) for v in d["x"]]
+    n, s = len(xs), sum(xs)
+    dv = [n * x - s for x in xs]
+    num = sum(a * b for a, b in zip(dv, dv[1:]))
+    den = sum(a * a for a in dv)
+    acf = 1e9 * (num / den)
+    return pd.DataFrame([{
+        "n_days": n, "num": num, "den": den,
+        "acf_fp": int(_round_half_away(np.array([acf]))[0])}])
+
+
+def _yyyymm_from_ns(ns: np.ndarray) -> np.ndarray:
+    """int64 epoch-ns → yyyymm int64 (calendar month key), via the
+    exact datetime64[M] month index — no float, no timezone."""
+    mo = ns.astype("datetime64[ns]").astype("datetime64[M]").view("int64")
+    return (1970 + mo // 12) * 100 + (mo % 12 + 1)
+
+
+def q_l_diversity(sf_dir):
+    """l-diversity audit (privacy governance, k_anonymity's companion):
+    for each quasi-identifier group (o_orderpriority × order month),
+    the row count and the number of DISTINCT sensitive values
+    (o_orderstatus). Two stacked map-side-combined groupbys — the
+    second input is already (QI × sensitive)-sized, so the exchange is
+    domain-bounded at any scale."""
+    ds = T(sf_dir, "orders",
+           ["o_orderpriority", "o_orderdate", "o_orderstatus"])
+
+    def _qi(b: pa.Table) -> pa.Table:
+        mm = _yyyymm_from_ns(_ts_ns(b["o_orderdate"]))
+        return pa.table({
+            "o_orderpriority": b["o_orderpriority"],
+            "omonth": pa.array(mm, pa.int64()),
+            "o_orderstatus": b["o_orderstatus"]})
+
+    per_sv = fast_groupby_agg(
+        ds.map_batches(_qi, batch_format="pyarrow"),
+        ["o_orderpriority", "omonth", "o_orderstatus"],
+        {"n": (None, "count")})
+    return fast_groupby_agg(
+        per_sv, ["o_orderpriority", "omonth"],
+        {"n_rows": ("n", "sum"), "n_sensitive": (None, "count")})
+
+
+_DQ_SHIP_CUTOFF_NS = np.datetime64("1996-01-01").astype(
+    "datetime64[ns]").view("int64")
+
+
+def q_dq_violations(sf_dir):
+    """Declarative data-quality rule engine: five constraint rules
+    evaluated in ONE vectorized scan of lineitem; each batch emits
+    5 partial rows (rule, violations, checked) and the combine is a
+    constant-size groupby-sum — rule evaluation never leaves the map
+    side. The float comparisons mirror the oracle exactly (same
+    doubles, same strict <)."""
+    ds = T(sf_dir, "lineitem",
+           ["l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_shipdate"])
+
+    def _rules(b: pa.Table) -> pa.Table:
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False)
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        tax = b["l_tax"].to_numpy(zero_copy_only=False)
+        flag = b["l_returnflag"].to_numpy(zero_copy_only=False)
+        ship = _ts_ns(b["l_shipdate"])
+        n = len(qty)
+        viol = {
+            "bad_returnflag": int((~np.isin(flag, ["R", "N", "A"])).sum()),
+            "discount_gt_tax": int((disc > tax).sum()),
+            "price_below_1000x_qty": int((price < 1000.0 * qty).sum()),
+            "qty_out_of_range": int(((qty < 1.0) | (qty > 50.0)).sum()),
+            "ship_before_1996": int((ship < _DQ_SHIP_CUTOFF_NS).sum()),
+        }
+        return pa.table({
+            "rule": pa.array(sorted(viol), pa.string()),
+            "v": pa.array([viol[k] for k in sorted(viol)], pa.int64()),
+            "c": pa.array([n] * len(viol), pa.int64())})
+
+    return fast_groupby_agg(
+        ds.map_batches(_rules, batch_format="pyarrow"),
+        ["rule"], {"n_violations": ("v", "sum"), "n_checked": ("c", "sum")})
+
+
+def q_zone_map_pruning(sf_dir):
+    """Zone-map (min/max statistics) construction per ship-month
+    partition plus the pruning decision for a 1996 predicate — the
+    storage-layout primitive behind 'prune at the read': a scan with
+    WHERE shipdate IN 1996 touches only would_scan partitions. The
+    build is one map-side-combined groupby; the decision is a
+    vectorized flag on the month-domain-sized result."""
+    ds = T(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def _zm(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "yyyymm": pa.array(_yyyymm_from_ns(_ts_ns(b["l_shipdate"])),
+                               pa.int64()),
+            "k": b["l_orderkey"]})
+
+    g = fast_groupby_agg(
+        ds.map_batches(_zm, batch_format="pyarrow"), ["yyyymm"],
+        {"n_rows": (None, "count"), "min_key": ("k", "min"),
+         "max_key": ("k", "max")})
+
+    def _flag(b: pa.Table) -> pa.Table:
+        mm = b["yyyymm"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "would_scan",
+            pa.array((mm >= 199601) & (mm <= 199612), pa.bool_()))
+
+    return g.map_batches(_flag, batch_format="pyarrow")
+
+
+def q_incremental_dedup(sf_dir):
+    """Incremental-ingest dedup: the newest 20% of documents (by
+    doc_id — the arriving batch) are deduped BOTH within the batch
+    (grouped min doc_id per fingerprint) and against the existing
+    store (hash-partitioned left-anti join on fingerprints) — the
+    shape every snapshot-append corpus pipeline runs. The fingerprint
+    is md5 of the first 16 chars (a coarse prefix key, so the synth
+    corpus actually HAS collisions to drop — raw texts are all
+    unique). No driver key set: both sides stream the exchange."""
+    docs = T(sf_dir, "documents", ["doc_id", "text"])
+    from ray.data.aggregate import Max
+
+    cutoff = int(docs.aggregate(Max("doc_id", alias_name="m"))["m"]) \
+        * 4 // 5
+
+    def _fp(lo: bool):
+        def _f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            keep = ids < cutoff if lo else ids >= cutoff
+            txt = [t[:16] for t, k in zip(b["text"].to_pylist(), keep)
+                   if k]
+            h = [hashlib.md5(t.encode()).hexdigest() for t in txt]
+            return pa.table({
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "h": pa.array(h, pa.string())})
+        return _f
+
+    store_keys = _compact_small(fast_groupby_agg(
+        docs.map_batches(_fp(True), batch_format="pyarrow"),
+        ["h"], {"__n": (None, "count")}
+    ).drop_columns(["__n"]).rename_columns({"h": "sh"}))
+    batch_min = _compact_small(fast_groupby_agg(
+        docs.map_batches(_fp(False), batch_format="pyarrow"),
+        ["h"], {"doc_id": ("doc_id", "min")}))
+    return batch_min.join(
+        store_keys, "left_anti", num_partitions=8,
+        on=("h",), right_on=("sh",),
+    ).drop_columns(["h"])
+
+
+def q_apportion_quota(sf_dir, total: int = 1000, alpha: int = 2):
+    """Temperature-weighted source apportionment by the
+    largest-remainder method (Hamilton): target sample quotas per
+    source with weight n², EXACT end-to-end because integer weights
+    make every quotient/remainder integer — q₀ = ⌊N·w/W⌋, the ΣN−Σq₀
+    leftover goes to the largest remainders (source name breaks ties).
+    The distributed part is the source histogram; the apportionment is
+    source-domain-sized driver math, mirrored row-for-row in SQL
+    window functions."""
+    g = fast_groupby_agg(
+        T(sf_dir, "documents", ["source"]), ["source"],
+        {"n_docs": (None, "count")}).to_pandas()
+    src = list(g["source"])
+    n = [int(v) for v in g["n_docs"]]
+    w = [v ** alpha for v in n]
+    tot_w = sum(w)
+    q0 = [total * x // tot_w for x in w]
+    rem = [total * x - q * tot_w for x, q in zip(w, q0)]
+    left = total - sum(q0)
+    order = sorted(range(len(src)), key=lambda i: (-rem[i], src[i]))
+    bonus = set(order[:left])
+    return pd.DataFrame({
+        "source": src, "n_docs": n,
+        "quota": [q + (1 if i in bonus else 0)
+                  for i, q in enumerate(q0)]})
+
+
+def q_edge_reciprocity(sf_dir, nodes: int = 151):
+    """Directed-edge reciprocity of the hash-derived benchmark graph
+    (src = id mod p, dst = id² mod p, p=151 prime — the same derived
+    graph family as degree_assortativity): the fraction of distinct
+    edges whose reverse edge exists. Distinct edges come from a
+    map-side-combined groupby (node-budget-bounded ≤ p²); the
+    reciprocal probe is a hash-partitioned self-join against the
+    swapped edge list — no driver edge set. Join sides are compacted
+    (nonempty first block) per the Ray 2.49 schema-broadcast dodge."""
+    ev = T(sf_dir, "events", ["event_id"])
+
+    def _e(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy(zero_copy_only=False)
+        s = ids % nodes
+        d = (ids * ids) % nodes
+        keep = s != d
+        return pa.table({"src": pa.array(s[keep], pa.int64()),
+                         "dst": pa.array(d[keep], pa.int64())})
+
+    edges = _compact_small(fast_groupby_agg(
+        ev.map_batches(_e, batch_format="pyarrow"),
+        ["src", "dst"], {"__n": (None, "count")}).drop_columns(["__n"]))
+    swapped = _compact_small(
+        edges.rename_columns({"src": "rsrc", "dst": "rdst"}))
+    m = edges.count()
+    nr = edges.join(swapped, "inner", num_partitions=4,
+                    on=("src", "dst"), right_on=("rdst", "rsrc")).count()
+    recip = 1e6 * (nr / m)
+    return pd.DataFrame([{
+        "m_edges": int(m), "n_reciprocated": int(nr),
+        "recip_fp": int(_round_half_away(np.array([recip]))[0])}])
+
+
+def q_stickiness_dau_mau(sf_dir):
+    """DAU/MAU stickiness per calendar month — Σ(daily distinct users)
+    over (days-in-month × monthly distinct users). The wide step is
+    ONE distinct over (month, day, user) pairs (map-side combined);
+    the three per-month reductions run over that already-distinct
+    dataset and meet in a month-domain-sized driver merge. The single
+    float division is mirrored ×1e6 on exact integers."""
+    ev = T(sf_dir, "events", ["ts", "user_id"])
+
+    def _p(b: pa.Table) -> pa.Table:
+        ns = _ts_ns(b["ts"])
+        return pa.table({
+            "month": pa.array(_yyyymm_from_ns(ns), pa.int64()),
+            "day": pa.array(ns // DAY_NS, pa.int64()),
+            "user_id": b["user_id"]})
+
+    pairs = fast_groupby_agg(
+        ev.map_batches(_p, batch_format="pyarrow"),
+        ["month", "day", "user_id"], {"__n": (None, "count")}
+    ).drop_columns(["__n"]).materialize()
+    sdau = fast_groupby_agg(pairs, ["month"],
+                            {"sdau": (None, "count")}).to_pandas()
+    ndays = fast_groupby_agg(
+        fast_groupby_agg(pairs, ["month", "day"],
+                         {"__n": (None, "count")}),
+        ["month"], {"ndays": (None, "count")}).to_pandas()
+    mau = fast_groupby_agg(
+        fast_groupby_agg(pairs, ["month", "user_id"],
+                         {"__n": (None, "count")}),
+        ["month"], {"mau": (None, "count")}).to_pandas()
+    out = sdau.merge(ndays, on="month").merge(mau, on="month")
+    st = [int(_round_half_away(np.array(
+        [1e6 * (int(s) / (int(d) * int(m)))]))[0])
+        for s, d, m in zip(out["sdau"], out["ndays"], out["mau"])]
+    out["stickiness_fp"] = np.array(st, np.int64)
+    return out
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -9026,6 +9409,17 @@ def queries() -> dict:
         "fd_discovery": q_fd_discovery,
         "hill_tail_index": q_hill_tail_index,
         "pca_top_component": q_pca_top_component,
+        "ks_drift": q_ks_drift,
+        "mann_whitney": q_mann_whitney,
+        "cusum_changepoint": q_cusum_changepoint,
+        "lag1_autocorr": q_lag1_autocorr,
+        "l_diversity": q_l_diversity,
+        "dq_violations": q_dq_violations,
+        "zone_map_pruning": q_zone_map_pruning,
+        "incremental_dedup": q_incremental_dedup,
+        "apportion_quota": q_apportion_quota,
+        "edge_reciprocity": q_edge_reciprocity,
+        "stickiness_dau_mau": q_stickiness_dau_mau,
     }
 
 
@@ -11870,4 +12264,219 @@ ORACLES["hill_tail_index"] = """
            CAST(round(1e6 * ((CAST(s AS DOUBLE) / 1e9) / 200))
                 AS BIGINT) AS hill_fp
     FROM t, m
+"""
+
+ORACLES["ks_drift"] = """
+    WITH pts AS (
+        SELECT CAST(round(o_totalprice * 100.0) AS BIGINT) // 100 AS v,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS a,
+               CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS b
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ),
+    g AS (SELECT v, sum(a) AS c1, sum(b) AS c2 FROM pts GROUP BY v),
+    t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                 CAST(sum(c2) AS BIGINT) AS n2 FROM g),
+    c AS (SELECT sum(c1) OVER w AS cum1, sum(c2) OVER w AS cum2
+          FROM g WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+    d AS (SELECT CAST(max(abs(t.n2 * c.cum1 - t.n1 * c.cum2)) AS BIGINT)
+              AS d_num FROM c, t)
+    SELECT t.n1, t.n2, d.d_num,
+           CAST(round(1e9 * (CAST(d.d_num AS DOUBLE) / (t.n1 * t.n2)))
+                AS BIGINT) AS ks_fp
+    FROM t, d
+"""
+
+ORACLES["mann_whitney"] = """
+    WITH pts AS (
+        SELECT CAST(round(l_quantity) AS BIGINT) AS v,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS a,
+               CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS b
+        FROM lineitem WHERE l_returnflag IN ('R', 'N')
+    ),
+    g AS (SELECT v, sum(a) AS c1, sum(b) AS c2 FROM pts GROUP BY v),
+    c AS (SELECT c1, c2, c1 + c2 AS cnt,
+                 coalesce(sum(c1 + c2) OVER (
+                     ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS cumb
+          FROM g),
+    t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                 CAST(sum(c2) AS BIGINT) AS n2,
+                 CAST(sum(c1 * (2 * cumb + cnt + 1)) AS BIGINT) AS r1x2
+          FROM c)
+    SELECT n1, n2,
+           CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+           CAST(2 * n1 * n2 - (r1x2 - n1 * (n1 + 1)) AS BIGINT) AS u2_x2
+    FROM t
+"""
+
+ORACLES["cusum_changepoint"] = """
+    WITH d AS (
+        SELECT epoch_ns(ts) // 86400000000000 AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY day
+    ),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS s FROM d),
+    c AS (SELECT day,
+                 sum(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                     AS cum,
+                 row_number() OVER (ORDER BY day) AS rn
+          FROM d),
+    e AS (SELECT day, abs(t.n * c.cum - c.rn * t.s) AS dev FROM c, t),
+    b AS (SELECT day, dev FROM e ORDER BY dev DESC, day LIMIT 1)
+    SELECT t.n AS n_days, t.s AS total_events,
+           CAST(b.dev AS BIGINT) AS max_dev_abs, b.day AS cp_day
+    FROM t, b
+"""
+
+ORACLES["lag1_autocorr"] = """
+    WITH d AS (
+        SELECT epoch_ns(ts) // 86400000000000 AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY day
+    ),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS s FROM d),
+    v AS (SELECT t.n * d.x - t.s AS dv,
+                 lead(t.n * d.x - t.s) OVER (ORDER BY d.day) AS dnx
+          FROM d, t),
+    agg AS (SELECT CAST(sum(CASE WHEN dnx IS NULL THEN 0
+                                 ELSE dv * dnx END) AS BIGINT) AS num,
+                   CAST(sum(dv * dv) AS BIGINT) AS den
+            FROM v)
+    SELECT t.n AS n_days, agg.num, agg.den,
+           CAST(round(1e9 * (CAST(agg.num AS DOUBLE) / agg.den))
+                AS BIGINT) AS acf_fp
+    FROM t, agg
+"""
+
+ORACLES["l_diversity"] = """
+    SELECT o_orderpriority,
+           CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+               AS omonth,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_sensitive
+    FROM orders GROUP BY 1, 2
+"""
+
+ORACLES["dq_violations"] = """
+    SELECT 'bad_returnflag' AS rule,
+           CAST(sum(CASE WHEN l_returnflag NOT IN ('R', 'N', 'A')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+           CAST(count(*) AS BIGINT) AS n_checked
+    FROM lineitem
+    UNION ALL
+    SELECT 'discount_gt_tax',
+           CAST(sum(CASE WHEN l_discount > l_tax THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'price_below_1000x_qty',
+           CAST(sum(CASE WHEN l_extendedprice < 1000.0 * l_quantity
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'qty_out_of_range',
+           CAST(sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'ship_before_1996',
+           CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1996-01-01'
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem
+"""
+
+ORACLES["zone_map_pruning"] = """
+    WITH z AS (
+        SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate)
+                    AS BIGINT) AS yyyymm,
+               l_orderkey
+        FROM lineitem
+    )
+    SELECT yyyymm,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(l_orderkey) AS BIGINT) AS min_key,
+           CAST(max(l_orderkey) AS BIGINT) AS max_key,
+           yyyymm >= 199601 AND yyyymm <= 199612 AS would_scan
+    FROM z GROUP BY yyyymm
+"""
+
+ORACLES["incremental_dedup"] = """
+    WITH mx AS (
+        SELECT CAST(max(doc_id) AS BIGINT) * 4 // 5 AS cutoff
+        FROM documents
+    ),
+    store AS (
+        SELECT DISTINCT md5(substr(text, 1, 16)) AS h
+        FROM documents, mx WHERE doc_id < cutoff
+    ),
+    batch AS (
+        SELECT md5(substr(text, 1, 16)) AS h,
+               CAST(min(doc_id) AS BIGINT) AS doc_id
+        FROM documents, mx WHERE doc_id >= cutoff GROUP BY 1
+    )
+    SELECT b.doc_id
+    FROM batch b LEFT JOIN store s ON b.h = s.h
+    WHERE s.h IS NULL
+"""
+
+ORACLES["apportion_quota"] = """
+    WITH s AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY source
+    ),
+    w AS (SELECT source, n, n * n AS wt FROM s),
+    t AS (SELECT CAST(sum(wt) AS BIGINT) AS tw FROM w),
+    q AS (SELECT source, n, (1000 * wt) // t.tw AS q0,
+                 1000 * wt - ((1000 * wt) // t.tw) * t.tw AS rem
+          FROM w, t),
+    l AS (SELECT CAST(1000 - sum(q0) AS BIGINT) AS leftover FROM q),
+    r AS (SELECT source, n, q0,
+                 row_number() OVER (ORDER BY rem DESC, source) AS rk
+          FROM q)
+    SELECT r.source, r.n AS n_docs,
+           CAST(r.q0 + CASE WHEN r.rk <= l.leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+    FROM r, l
+"""
+
+ORACLES["edge_reciprocity"] = """
+    WITH e AS (
+        SELECT DISTINCT event_id % 151 AS src,
+               (event_id * event_id) % 151 AS dst
+        FROM events
+        WHERE event_id % 151 <> (event_id * event_id) % 151
+    ),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM e),
+    r AS (SELECT CAST(count(*) AS BIGINT) AS nr
+          FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src)
+    SELECT m.m_edges, r.nr AS n_reciprocated,
+           CAST(round(1e6 * (CAST(r.nr AS DOUBLE) / m.m_edges))
+                AS BIGINT) AS recip_fp
+    FROM m, r
+"""
+
+ORACLES["stickiness_dau_mau"] = """
+    WITH p AS (
+        SELECT DISTINCT
+               CAST(year(ts) * 100 + month(ts) AS BIGINT) AS mo,
+               epoch_ns(ts) // 86400000000000 AS day, user_id
+        FROM events
+    ),
+    a AS (SELECT mo, CAST(count(*) AS BIGINT) AS sdau
+          FROM p GROUP BY mo),
+    d AS (SELECT mo, CAST(count(DISTINCT day) AS BIGINT) AS ndays
+          FROM p GROUP BY mo),
+    u AS (SELECT mo, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+          FROM p GROUP BY mo)
+    SELECT a.mo AS month, a.sdau, d.ndays, u.mau,
+           CAST(round(1e6 * (CAST(a.sdau AS DOUBLE)
+                             / (d.ndays * u.mau))) AS BIGINT)
+               AS stickiness_fp
+    FROM a JOIN d ON a.mo = d.mo JOIN u ON a.mo = u.mo
 """
