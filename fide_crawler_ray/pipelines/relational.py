@@ -9234,6 +9234,251 @@ def q_stickiness_dau_mau(sf_dir):
     return out
 
 
+def q_anova_f(sf_dir):
+    """One-way ANOVA F of l_quantity across return flags (the
+    does-the-split-matter gate for dataset partitions). Per-group EXACT
+    integer moments (n, Σx, Σx²) merge map-side; each group's
+    between-term S_i²/n_i is ×1e6-quantized to an integer BEFORE the
+    cross-group sum (per-term quantization policy — the sum is then
+    association-order-free), and F forms from those integers with one
+    mirrored float division. x is whole units, so every integer stays
+    far under 2⁵³ through sf100."""
+    ds = T(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def _m(b: pa.Table) -> pa.Table:
+        x = _round_half_away(
+            b["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return pa.table({"g": b["l_returnflag"],
+                         "x": pa.array(x, pa.int64()),
+                         "xx": pa.array(x * x, pa.int64())})
+
+    m = fast_groupby_agg(
+        ds.map_batches(_m, batch_format="pyarrow"), ["g"],
+        {"n": (None, "count"), "sx": ("x", "sum"), "sxx": ("xx", "sum")}
+    ).to_pandas()  # k rows — group-domain sized
+    ns = [int(v) for v in m["n"]]
+    sxs = [int(v) for v in m["sx"]]
+    k, n, s, q = len(ns), sum(ns), sum(sxs), int(m["sxx"].sum())
+    # mirrored op tree: CAST(sx AS DOUBLE) * sx / n, ×1e6, round
+    terms = [int(_round_half_away(np.array(
+        [1e6 * ((float(sx) * sx) / ni)]))[0])
+        for sx, ni in zip(sxs, ns)]
+    st = sum(terms)
+    ssb = st - int(_round_half_away(np.array(
+        [1e6 * ((float(s) * s) / n)]))[0])
+    ssw = 1_000_000 * q - st
+    f = 1e6 * (float((n - k) * ssb) / float((k - 1) * ssw))
+    return pd.DataFrame([{
+        "k_groups": k, "n_total": n, "ssb_fp": ssb, "ssw_fp": ssw,
+        "f_fp": int(_round_half_away(np.array([f]))[0])}])
+
+
+def q_trending_terms(sf_dir):
+    """Trending vocabulary between corpus snapshots: token counts in
+    the newer half of documents (by doc_id) minus the older half,
+    top-20 risers by (Δcount desc, term). Tokenization is the shared
+    ``[a-z0-9_]+`` kernel (same as term_doc_freq, so the oracle's
+    regexp_split can never desynchronize); the exchange is the
+    vocabulary-sized (term, early, late) histogram."""
+    docs = T(sf_dir, "documents", ["doc_id", "text"])
+    from ray.data.aggregate import Max
+
+    cutoff = int(docs.aggregate(Max("doc_id", alias_name="m"))["m"]) // 2
+
+    def _tok(b: pa.Table) -> pa.Table:
+        terms: list[str] = []
+        late: list[int] = []
+        for i, txt in zip(b["doc_id"].to_pylist(),
+                          b["text"].to_pylist()):
+            toks = _TOKEN.findall(txt.lower())
+            terms.extend(toks)
+            late.extend([1 if i >= cutoff else 0] * len(toks))
+        lt = np.array(late, np.int64)
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "lt": pa.array(lt, pa.int64()),
+                         "er": pa.array(1 - lt, pa.int64())})
+
+    g = fast_groupby_agg(
+        docs.map_batches(_tok, batch_format="pyarrow"),
+        ["term"], {"c_early": ("er", "sum"), "c_late": ("lt", "sum")})
+
+    def _score(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "delta", pc.subtract(b["c_late"], b["c_early"]))
+
+    return g.map_batches(_score, batch_format="pyarrow").sort(
+        ["delta", "term"], descending=[True, False]).limit(20)
+
+
+def q_dup_cluster_sizes(sf_dir):
+    """Dedup report: the duplicate-cluster size histogram over the
+    prefix-16 fingerprint (incremental_dedup's key) — how many
+    clusters of each size the dedup would collapse. Two stacked
+    map-side-combined groupbys; the second input is already
+    fingerprint-domain sized."""
+    docs = T(sf_dir, "documents", ["text"])
+
+    def _fp(b: pa.Table) -> pa.Table:
+        h = [hashlib.md5(t[:16].encode()).hexdigest()
+             for t in b["text"].to_pylist()]
+        return pa.table({"h": pa.array(h, pa.string())})
+
+    clusters = fast_groupby_agg(
+        docs.map_batches(_fp, batch_format="pyarrow"),
+        ["h"], {"sz": (None, "count")})
+    return fast_groupby_agg(
+        clusters, ["sz"], {"n_clusters": (None, "count")}
+    ).rename_columns({"sz": "cluster_size"})
+
+
+def q_set_cover_sources(sf_dir, rounds: int = 5,
+                        max_pairs: int = TFIDF_MAX_BROADCAST_VOCAB):
+    """Greedy max-coverage source selection (the data-curation
+    'which sources buy the most new vocabulary' question): pick
+    ``rounds`` sources, each maximizing marginal new-term coverage
+    (ties by source name). The distributed fold is the DISTINCT
+    (source, term) pair set (vocabulary × source bounded, guarded by
+    ``max_pairs`` — beyond it a web-scale corpus needs a sketch-based
+    variant); the greedy itself is source-domain driver math.
+    Rows-only: greedy is iterative, but submodularity is asserted
+    in-query (marginal gains non-increasing, coverage monotone)."""
+    docs = T(sf_dir, "documents", ["source", "text"])
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        src: list[str] = []
+        term: list[str] = []
+        for s, txt in zip(b["source"].to_pylist(),
+                          b["text"].to_pylist()):
+            toks = set(_TOKEN.findall(txt.lower()))
+            src.extend([s] * len(toks))
+            term.extend(toks)
+        return pa.table({"source": pa.array(src, pa.string()),
+                         "term": pa.array(term, pa.string())})
+
+    pairs = fast_groupby_agg(
+        docs.map_batches(_pairs, batch_format="pyarrow"),
+        ["source", "term"], {"__n": (None, "count")}).drop_columns(["__n"])
+    df = pairs.to_pandas()
+    assert len(df) <= max_pairs, \
+        f"source×vocab pairs {len(df)} exceed the broadcast guard"
+    sets = {s: set(g["term"]) for s, g in df.groupby("source")}
+    covered: set = set()
+    out = []
+    prev_gain = None
+    for rnd in range(1, rounds + 1):
+        best = min(((-len(v - covered), k) for k, v in sets.items()))
+        gain, src = -best[0], best[1]
+        covered |= sets.pop(src)
+        assert prev_gain is None or gain <= prev_gain, \
+            "greedy marginal gain increased (submodularity violated)"
+        prev_gain = gain
+        out.append({"round": rnd, "source": src,
+                    "marginal_new_terms": gain,
+                    "covered_terms": len(covered)})
+    return pd.DataFrame(out)
+
+
+def q_compression_ratio(sf_dir):
+    """Per-source zlib compressibility — the Gopher-style quality
+    signal (templated/repetitive text compresses far better than
+    natural prose). Per-batch C-speed deflate inside map_batches with
+    mergeable integer byte sums; one ×1e6 division per source at the
+    end. Rows-only (the ratio depends on the zlib build, not on SQL
+    semantics); sanity gates asserted in-query."""
+    import zlib
+
+    docs = T(sf_dir, "documents", ["source", "text"])
+
+    def _z(b: pa.Table) -> pa.Table:
+        srcs = b["source"].to_pylist()
+        raw = [t.encode() for t in b["text"].to_pylist()]
+        comp = [len(zlib.compress(r, 6)) for r in raw]
+        return pa.table({
+            "source": pa.array(srcs, pa.string()),
+            "raw_b": pa.array([len(r) for r in raw], pa.int64()),
+            "comp_b": pa.array(comp, pa.int64())})
+
+    g = fast_groupby_agg(
+        docs.map_batches(_z, batch_format="pyarrow"), ["source"],
+        {"n_docs": (None, "count"), "raw_bytes": ("raw_b", "sum"),
+         "comp_bytes": ("comp_b", "sum")}).to_pandas()
+    ratio = [int(_round_half_away(np.array(
+        [1e6 * (int(c) / int(r))]))[0])
+        for c, r in zip(g["comp_bytes"], g["raw_bytes"])]
+    g["ratio_fp"] = np.array(ratio, np.int64)
+    assert ((g["ratio_fp"] > 0) & (g["ratio_fp"] < 1_200_000)).all(), \
+        "compression ratio outside sane (0, 1.2) band"
+    return g
+
+
+def _pava(ns: list, ss: list):
+    """Pool-adjacent-violators on exact (Σx, n) pairs: returns pooled
+    (Σx, n) per input level, means non-decreasing. All arithmetic is
+    integer cross-multiplication (s_a·n_b vs s_b·n_a) — no float until
+    the caller divides, so pooling decisions are exact."""
+    blocks = [[s, n] for s, n in zip(ss, ns)]  # [sum, count]
+    out: list = []
+    for b in blocks:
+        out.append(b)
+        while len(out) >= 2 and \
+                out[-2][0] * out[-1][1] > out[-1][0] * out[-2][1]:
+            s2, n2 = out.pop()
+            out[-1][0] += s2
+            out[-1][1] += n2
+    return out
+
+
+def q_isotonic_fit(sf_dir):
+    """Isotonic regression (PAVA) of mean extended price on quantity
+    level — the monotone-calibration primitive. The distributed fold
+    is the ≤50-level (n, Σcents) histogram; pooling runs on the driver
+    with EXACT integer cross-multiplied comparisons, so the fit is
+    deterministic at any parallelism. Rows-only (iterative pooling);
+    monotonicity and mass conservation asserted in-query."""
+    ds = T(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+
+    def _lv(b: pa.Table) -> pa.Table:
+        q = _round_half_away(
+            b["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        c = _round_half_away(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"lvl": pa.array(q, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    g = fast_groupby_agg(
+        ds.map_batches(_lv, batch_format="pyarrow"), ["lvl"],
+        {"n": (None, "count"), "s": ("c", "sum")}
+    ).to_pandas().sort_values("lvl")
+    ns = [int(v) for v in g["n"]]
+    ss = [int(v) for v in g["s"]]
+    pooled = _pava(ns, ss)
+    # expand pooled blocks back to levels
+    fitted = []
+    for s_blk, n_blk in pooled:
+        fitted.append((s_blk, n_blk))
+    rows = []
+    i = 0
+    for s_blk, n_blk in fitted:
+        taken = 0
+        while taken < n_blk:
+            rows.append(int(_round_half_away(np.array(
+                [1e4 * (s_blk / (100.0 * n_blk))]))[0]))
+            taken += ns[i]
+            i += 1
+    out = pd.DataFrame({
+        "lvl": g["lvl"].to_numpy(np.int64),
+        "n": np.array(ns, np.int64),
+        "fitted_mean_fp": np.array(rows, np.int64)})
+    f = out["fitted_mean_fp"].to_numpy()
+    assert (np.diff(f) >= 0).all(), "isotonic fit not monotone"
+    assert sum(s for s, _ in pooled) == sum(ss) and \
+        sum(n for _, n in pooled) == sum(ns), "PAVA lost mass"
+    return out
+
+
 def queries() -> dict:
     return {
         "j_inner_join": q_j_inner_join,
@@ -9420,6 +9665,12 @@ def queries() -> dict:
         "apportion_quota": q_apportion_quota,
         "edge_reciprocity": q_edge_reciprocity,
         "stickiness_dau_mau": q_stickiness_dau_mau,
+        "anova_f": q_anova_f,
+        "trending_terms": q_trending_terms,
+        "dup_cluster_sizes": q_dup_cluster_sizes,
+        "set_cover_sources": q_set_cover_sources,
+        "compression_ratio": q_compression_ratio,
+        "isotonic_fit": q_isotonic_fit,
     }
 
 
@@ -12479,4 +12730,65 @@ ORACLES["stickiness_dau_mau"] = """
                              / (d.ndays * u.mau))) AS BIGINT)
                AS stickiness_fp
     FROM a JOIN d ON a.mo = d.mo JOIN u ON a.mo = u.mo
+"""
+
+ORACLES["anova_f"] = """
+    WITH m AS (
+        SELECT l_returnflag AS g,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS sx,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                        * CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS sxx
+        FROM lineitem GROUP BY 1
+    ),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(n) AS BIGINT) AS n,
+                 CAST(sum(sx) AS BIGINT) AS s,
+                 CAST(sum(sxx) AS BIGINT) AS q FROM m),
+    b AS (SELECT CAST(sum(CAST(round(
+                     1e6 * ((CAST(sx AS DOUBLE) * sx) / n))
+                     AS BIGINT)) AS BIGINT) AS st FROM m),
+    s2 AS (SELECT t.k, t.n,
+                  b.st - CAST(round(1e6 * ((CAST(t.s AS DOUBLE) * t.s)
+                                           / t.n)) AS BIGINT) AS ssb,
+                  1000000 * t.q - b.st AS ssw
+           FROM t, b)
+    SELECT k AS k_groups, n AS n_total,
+           CAST(ssb AS BIGINT) AS ssb_fp, CAST(ssw AS BIGINT) AS ssw_fp,
+           CAST(round(1e6 * (CAST((n - k) * ssb AS DOUBLE)
+                             / CAST((k - 1) * ssw AS DOUBLE)))
+                AS BIGINT) AS f_fp
+    FROM s2
+"""
+
+ORACLES["trending_terms"] = """
+    WITH mx AS (SELECT CAST(max(doc_id) AS BIGINT) // 2 AS cutoff
+                FROM documents),
+    tok AS (
+        SELECT CASE WHEN doc_id >= mx.cutoff THEN 1 ELSE 0 END AS lt,
+               unnest(regexp_split_to_array(lower(text),
+                                            '[^a-z0-9_]+')) AS term
+        FROM documents, mx
+    ),
+    g AS (
+        SELECT term,
+               CAST(sum(1 - lt) AS BIGINT) AS c_early,
+               CAST(sum(lt) AS BIGINT) AS c_late
+        FROM tok WHERE term <> '' GROUP BY term
+    )
+    SELECT term, c_early, c_late,
+           CAST(c_late - c_early AS BIGINT) AS delta
+    FROM g ORDER BY delta DESC, term LIMIT 20
+"""
+
+ORACLES["dup_cluster_sizes"] = """
+    WITH c AS (
+        SELECT md5(substr(text, 1, 16)) AS h,
+               CAST(count(*) AS BIGINT) AS sz
+        FROM documents GROUP BY 1
+    )
+    SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+    FROM c GROUP BY sz
 """

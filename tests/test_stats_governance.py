@@ -145,3 +145,76 @@ def test_dq_violations_total_checked_consistent(ray_session):
     assert byrule["qty_out_of_range"] == 0
     assert byrule["bad_returnflag"] == 0
     assert byrule["discount_gt_tax"] > 0
+
+
+def test_anova_f_matches_float_reference(ray_session):
+    got = R.q_anova_f(SF).iloc[0]
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity"])
+    x = np.round(li["l_quantity"].to_numpy())
+    g = li["l_returnflag"].to_numpy()
+    groups = [x[g == f] for f in np.unique(g)]
+    k, n = len(groups), len(x)
+    gm = x.mean()
+    ssb = sum(len(gi) * (gi.mean() - gm) ** 2 for gi in groups)
+    ssw = sum(((gi - gi.mean()) ** 2).sum() for gi in groups)
+    f_ref = (ssb / (k - 1)) / (ssw / (n - k))
+    assert int(got["k_groups"]) == k and int(got["n_total"]) == n
+    assert abs(int(got["ssb_fp"]) / 1e6 - ssb) < 1e-2
+    assert abs(int(got["f_fp"]) / 1e6 - f_ref) < 1e-3
+
+
+def test_pava_pools_exactly():
+    # decreasing means -> one global pool
+    out = R._pava([1, 1, 1], [30, 20, 10])
+    assert out == [[60, 3]]
+    # already monotone -> untouched
+    out = R._pava([2, 1, 3], [2, 4, 30])
+    assert out == [[2, 2], [4, 1], [30, 3]]
+    # single violation (1, 5, 3) pools only the trailing pair -> mean 4
+    out = R._pava([1, 1, 1], [1, 5, 3])
+    assert out == [[1, 1], [8, 2]]
+
+
+def test_isotonic_fit_monotone_and_conservative(ray_session):
+    out = R.q_isotonic_fit(SF)
+    f = out["fitted_mean_fp"].to_numpy()
+    assert (np.diff(f) >= 0).all()
+    assert len(out) == out["lvl"].nunique()
+
+
+def test_set_cover_greedy_matches_bruteforce(ray_session):
+    got = R.q_set_cover_sources(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["source", "text"])
+    sets = {}
+    for s, t in zip(docs["source"], docs["text"]):
+        sets.setdefault(s, set()).update(R._TOKEN.findall(t.lower()))
+    covered, picks = set(), []
+    for _ in range(5):
+        src = min(sets, key=lambda s: (-len(sets[s] - covered), s))
+        picks.append((src, len(sets[src] - covered)))
+        covered |= sets.pop(src)
+    assert list(got["source"]) == [p[0] for p in picks]
+    assert list(got["marginal_new_terms"]) == [p[1] for p in picks]
+    assert int(got["covered_terms"].iloc[-1]) == len(covered)
+
+
+def test_trending_terms_conserves_counts(ray_session):
+    out = R.q_trending_terms(SF).to_pandas()
+    assert len(out) == 20
+    assert (out["delta"] == out["c_late"] - out["c_early"]).all()
+    assert (out["delta"].to_numpy()[:-1] >= out["delta"].to_numpy()[1:]).all()
+
+
+def test_compression_ratio_batch_invariant(ray_session):
+    import zlib
+    out = R.q_compression_ratio(SF).sort_values("source")
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["source", "text"])
+    raw = docs.groupby("source")["text"].apply(
+        lambda s: sum(len(t.encode()) for t in s))
+    comp = docs.groupby("source")["text"].apply(
+        lambda s: sum(len(zlib.compress(t.encode(), 6)) for t in s))
+    assert list(out["raw_bytes"]) == list(raw.sort_index())
+    assert list(out["comp_bytes"]) == list(comp.sort_index())
