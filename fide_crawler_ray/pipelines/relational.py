@@ -9671,6 +9671,11 @@ def queries() -> dict:
         "set_cover_sources": q_set_cover_sources,
         "compression_ratio": q_compression_ratio,
         "isotonic_fit": q_isotonic_fit,
+        "hhi_concentration": q_hhi_concentration,
+        "grouped_harmonic": q_grouped_harmonic,
+        "spearman_corr": q_spearman_corr,
+        "survival_km": q_survival_km,
+        "equidepth_histogram": q_equidepth_histogram,
     }
 
 
@@ -12791,4 +12796,407 @@ ORACLES["dup_cluster_sizes"] = """
     )
     SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
     FROM c GROUP BY sz
+"""
+
+
+# =============================================== round-3 seventh batch
+
+
+def q_hhi_concentration(sf_dir):
+    """Herfindahl–Hirschman revenue-concentration index across nations
+    (the market-concentration gate a source-mixing pipeline runs before
+    trusting a corpus split). Revenue is integer cents; orders pre-
+    aggregate to one row per customer BEFORE the customer join (the
+    exchange moves |customer| skinny rows, never |orders|), nation sums
+    are ≤25 rows, and the final share-of-squares is EXACT Python-int
+    arithmetic mirrored by HUGEINT in the oracle — Σsᵢ²·10¹² and the
+    grand total² stay under 128 bits through ~sf1000. Division is
+    positive-truncating on both sides (Python ``//`` vs HUGEINT ``/``)."""
+    orders = T(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def _fp(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "ck": b["o_custkey"],
+            "p": pa.array(_round_half_away(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64), pa.int64()),
+        })
+
+    per_cust = fast_groupby_agg(
+        orders.map_batches(_fp, batch_format="pyarrow"),
+        ["ck"], {"s": ("p", "sum")})
+    cust = T(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j = per_cust.join(cust, "inner", num_partitions=8,
+                      on=("ck",), right_on=("c_custkey",))
+    nat = fast_groupby_agg(j, ["c_nationkey"], {"s": ("s", "sum")}).to_pandas()
+    s = [int(v) for v in nat["s"]]
+    tot = sum(s)
+    ssq = sum(v * v for v in s)
+    return pd.DataFrame([{
+        "n_nations": np.int64(len(s)),
+        "hhi_fp": np.int64(ssq * 10**12 // (tot * tot)),
+    }])
+
+
+# lcm(1..50): every rounded l_quantity divides it exactly, so per-value
+# reciprocal mass c·(L/x) is an exact integer on both engines.
+_HARMONIC_L = 3099044504245996706400  # 72 bits; HUGEINT literal in SQL
+
+
+def q_grouped_harmonic(sf_dir):
+    """Exact harmonic mean of l_quantity per return flag via the
+    common-denominator trick: with L = lcm(1..50), Σ 1/x = Σ (L/x) / L
+    is EXACT integer arithmetic — no float reciprocal sum (whose result
+    would depend on association order). The distributed part is a
+    (flag, value) value-count groupby (≤ 200 rows out, map-side
+    combined); the ≤200-row table finishes on the driver in Python
+    ints, mirrored by HUGEINT in the oracle. n·L·10⁶ < 2¹²⁷ through
+    ~sf100."""
+    li = T(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def _x(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "f": b["l_returnflag"],
+            "x": pa.array(_round_half_away(
+                b["l_quantity"].to_numpy(zero_copy_only=False)
+            ).astype(np.int64), pa.int64()),
+        })
+
+    cells = fast_groupby_agg(
+        li.map_batches(_x, batch_format="pyarrow"),
+        ["f", "x"], {"c": (None, "count")}).to_pandas()
+    rows = []
+    for f, g in cells.groupby("f", sort=True):
+        n = int(g["c"].sum())
+        s = sum(int(c) * (_HARMONIC_L // int(x))
+                for x, c in zip(g["x"], g["c"]))
+        rows.append({"l_returnflag": f, "n": np.int64(n),
+                     "harm_fp": np.int64(n * _HARMONIC_L * 10**6 // s)})
+    return pd.DataFrame(rows)
+
+
+def q_spearman_corr(sf_dir):
+    """Global Spearman rank correlation of l_quantity vs l_discount —
+    the monotone-association check (Pearson misses nonlinear ties;
+    grouped_corr covers that side). Both columns have TINY domains
+    (≤50 × ≤11 distinct values), so the whole fact table reduces to a
+    map-side-combined (x, y) contingency table; average tie-ranks are
+    held as EXACT integers via the 2·rank trick (2·cum_before+cnt+1),
+    and all six rank moments are Python-int / HUGEINT exact (< 2¹²⁷
+    through sf100). The only floats are the mirrored final expression:
+    int→double casts (correctly rounded on BOTH engines — verified
+    against DuckDB's HUGEINT cast at half-ulp tie points), IEEE sqrt
+    and one division."""
+    li = T(sf_dir, "lineitem", ["l_quantity", "l_discount"])
+
+    def _xy(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "x": pa.array(_round_half_away(
+                b["l_quantity"].to_numpy(zero_copy_only=False)
+            ).astype(np.int64), pa.int64()),
+            "y": pa.array(_round_half_away(
+                b["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64), pa.int64()),
+        })
+
+    cells = fast_groupby_agg(
+        li.map_batches(_xy, batch_format="pyarrow"),
+        ["x", "y"], {"c": (None, "count")}).to_pandas()
+
+    def _rank2(marg: dict[int, int]) -> dict[int, int]:
+        out, cum = {}, 0
+        for v in sorted(marg):
+            out[v] = 2 * cum + marg[v] + 1
+            cum += marg[v]
+        return out
+
+    mx = cells.groupby("x")["c"].sum().astype(int).to_dict()
+    my = cells.groupby("y")["c"].sum().astype(int).to_dict()
+    r2x, r2y = _rank2(mx), _rank2(my)
+    n = sx = sy = sxx = syy = sxy = 0
+    for x, y, c in zip(cells["x"], cells["y"], cells["c"]):
+        c, rx, ry = int(c), r2x[int(x)], r2y[int(y)]
+        n += c
+        sx += c * rx
+        sy += c * ry
+        sxx += c * rx * rx
+        syy += c * ry * ry
+        sxy += c * rx * ry
+    num = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    rho = float(num) / (math.sqrt(float(vx)) * math.sqrt(float(vy)))
+    return pd.DataFrame([{
+        "n": np.int64(n),
+        "rho_fp": np.int64(int(_round_half_away(
+            np.array([rho * 1e9]))[0])),
+    }])
+
+
+def q_survival_km(sf_dir):
+    """Kaplan–Meier survival curve for repeat purchase: per customer,
+    days from the FIRST order to the SECOND; single-order customers
+    are right-censored at the dataset's last order date — the textbook
+    churn estimator with real censoring. The per-customer bottom-2
+    order dates come from ``groupby(custkey).map_groups`` (the
+    documented bounded-per-key pattern — groups are order-count-per-
+    customer sized); a map-side-combined value-count over
+    (duration_days, observed) then leaves a TIME-SPAN-sized table
+    (≤ ~2400 rows at any sf) for the driver. Survival is the
+    left-to-right float product Π (n_risk−d)/n_risk — every factor is
+    a ≤2⁵³-exact int division and IEEE multiply, so the recurrence is
+    bit-equal to the oracle's ordered RECURSIVE CTE (no libm
+    anywhere)."""
+    orders = T(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def _us(b: pa.Table) -> pa.Table:
+        return pa.table({"ck": b["o_custkey"],
+                         "t": b["o_orderdate"].cast(pa.int64())})
+
+    tsd = orders.map_batches(_us, batch_format="pyarrow").materialize()
+    from ray.data.aggregate import Max
+
+    gmax = int(tsd.aggregate(Max("t", alias_name="m"))["m"])
+
+    def _bottom2(df: pd.DataFrame) -> pd.DataFrame:
+        t = np.sort(df["t"].to_numpy())
+        if len(t) >= 2:
+            dur, obs = (int(t[1]) - int(t[0])) // 86_400_000_000, 1
+        else:
+            dur, obs = (gmax - int(t[0])) // 86_400_000_000, 0
+        return pd.DataFrame({"dur": [np.int64(dur)],
+                             "obs": [np.int64(obs)]})
+
+    per_cust = tsd.groupby("ck").map_groups(
+        _bottom2, batch_format="pandas")
+    vc = fast_groupby_agg(
+        per_cust, ["dur"],
+        {"d": ("obs", "sum"), "tot": (None, "count")}).to_pandas()
+    vc = vc.sort_values("dur", ascending=False).reset_index(drop=True)
+    n_risk = vc["tot"].cumsum().astype(int)
+    rows = []
+    s = None
+    for dur, d, nr in sorted(zip(vc["dur"].astype(int), vc["d"].astype(int),
+                                 n_risk), key=lambda r: r[0]):
+        if d == 0:
+            continue
+        # mirrored op order: (n_risk − d) * 1.0 / n_risk, seeded at 1.0
+        factor = float(nr - d) * 1.0 / float(nr)
+        s = factor if s is None else s * factor
+        rows.append({"t_days": np.int64(dur), "n_risk": np.int64(nr),
+                     "d_events": np.int64(d),
+                     "surv_fp": np.int64(int(_round_half_away(
+                         np.array([s * 1e9]))[0]))})
+    return pd.DataFrame(rows)
+
+
+@ray.remote
+def _block_nrows_task(t: pa.Table) -> int:
+    return t.num_rows
+
+
+@ray.remote
+def _block_take_task(t: pa.Table, idxs: list[int]) -> list[int]:
+    col = t["v"].to_numpy(zero_copy_only=False)
+    return [int(col[i]) for i in idxs]
+
+
+def q_equidepth_histogram(sf_dir):
+    """Equi-depth (equal-frequency) 10-bucket histogram of order value —
+    the statistics primitive equi-WIDTH histograms (q_histogram) can't
+    replace on skewed data, and the building block for range-
+    partitioning a fact column. o_totalprice is near-unique, so the
+    value-counts CDF of q_quantiles would be corpus-sized; instead this
+    is a distributed RANK-SELECT: sort the fp column (the one sanctioned
+    all-to-all), read per-block row counts via skinny remote tasks
+    (blocks stay in plasma — the driver holds ONE int per block), then
+    fetch exactly the ≤10 boundary rows from the ≤10 blocks that
+    contain them. Boundary ranks are ceil(j·n/10) with the float
+    product mirrored in the oracle (j·n exact in double through 2⁵³)."""
+    orders = T(sf_dir, "orders", ["o_totalprice"])
+
+    def _fp(b: pa.Table) -> pa.Table:
+        return pa.table({"v": pa.array(_round_half_away(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64), pa.int64())})
+
+    ds = orders.map_batches(_fp, batch_format="pyarrow") \
+        .sort("v").materialize()
+    refs = ds.to_arrow_refs()
+    counts = ray.get([_block_nrows_task.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    n = int(offsets[-1])
+    ranks = [(j, int(math.ceil(j * n / 10.0))) for j in range(1, 11)]
+    wanted: dict[int, list[tuple[int, int]]] = {}
+    for j, rk in ranks:
+        # rk is 1-based; row index rk-1 lives in block bi with
+        # offsets[bi] <= rk-1 < offsets[bi+1]
+        bi = int(np.searchsorted(offsets[1:], rk - 1, side="right"))
+        wanted.setdefault(bi, []).append((j, rk - 1 - int(offsets[bi])))
+    fetched = ray.get([
+        _block_take_task.remote(refs[bi], [li for _, li in pairs])
+        for bi, pairs in wanted.items()])
+    out = {}
+    for (bi, pairs), vals in zip(wanted.items(), fetched):
+        for (j, _), v in zip(pairs, vals):
+            out[j] = v
+    return pd.DataFrame([{
+        "bucket": np.int64(j), "cum_rank": np.int64(rk),
+        "boundary": np.int64(out[j]),
+    } for j, rk in ranks])
+
+
+ORACLES["hhi_concentration"] = """
+    WITH r AS (
+        -- sum(BIGINT) is an exact HUGEINT in DuckDB; sum(HUGEINT)
+        -- silently degrades to DOUBLE, hence the DECIMAL(38,0) sums
+        -- at the next level
+        SELECT c_nationkey,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS s
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey
+    ),
+    t AS (SELECT count(*) AS k,
+                 CAST(sum(CAST(s AS DECIMAL(38, 0))) AS HUGEINT) AS tot,
+                 CAST(sum(CAST(s * s AS DECIMAL(38, 0))) AS HUGEINT) AS ssq
+          FROM r)
+    SELECT CAST(k AS BIGINT) AS n_nations,
+           CAST(ssq * 1000000000000 // (tot * tot) AS BIGINT) AS hhi_fp
+    FROM t
+"""
+
+ORACLES["grouped_harmonic"] = """
+    WITH m AS (
+        SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS x
+        FROM lineitem
+    ),
+    g AS (SELECT l_returnflag, x, count(*) AS c FROM m GROUP BY 1, 2),
+    a AS (
+        SELECT l_returnflag, CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(CAST(CAST(c AS HUGEINT)
+                   * (CAST('3099044504245996706400' AS HUGEINT) // x)
+                   AS DECIMAL(38, 0))) AS HUGEINT) AS s
+        FROM g GROUP BY 1
+    )
+    SELECT l_returnflag, n,
+           CAST(CAST(n AS HUGEINT)
+                * CAST('3099044504245996706400' AS HUGEINT)
+                * 1000000 // s AS BIGINT) AS harm_fp
+    FROM a
+"""
+
+ORACLES["spearman_corr"] = """
+    WITH m AS (
+        SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+               CAST(round(l_discount * 100) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    cells AS (SELECT x, y, count(*) AS c FROM m GROUP BY x, y),
+    mgx AS (SELECT x, sum(c) AS cx FROM cells GROUP BY x),
+    mgy AS (SELECT y, sum(c) AS cy FROM cells GROUP BY y),
+    rx AS (
+        SELECT x, 2 * CAST(COALESCE(sum(cx) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT)
+                 + CAST(cx AS BIGINT) + 1 AS r2x
+        FROM mgx
+    ),
+    ry AS (
+        SELECT y, 2 * CAST(COALESCE(sum(cy) OVER (ORDER BY y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT)
+                 + CAST(cy AS BIGINT) + 1 AS r2y
+        FROM mgy
+    ),
+    s AS (
+        -- DECIMAL(38,0) sums: sum(HUGEINT) degrades to DOUBLE in
+        -- DuckDB, which is exact only below 2^53 and would silently
+        -- drift at scale
+        SELECT CAST(sum(c) AS HUGEINT) AS n,
+               CAST(sum(CAST(CAST(c AS HUGEINT) * r2x
+                    AS DECIMAL(38, 0))) AS HUGEINT) AS sx,
+               CAST(sum(CAST(CAST(c AS HUGEINT) * r2y
+                    AS DECIMAL(38, 0))) AS HUGEINT) AS sy,
+               CAST(sum(CAST(CAST(c AS HUGEINT) * r2x * r2x
+                    AS DECIMAL(38, 0))) AS HUGEINT) AS sxx,
+               CAST(sum(CAST(CAST(c AS HUGEINT) * r2y * r2y
+                    AS DECIMAL(38, 0))) AS HUGEINT) AS syy,
+               CAST(sum(CAST(CAST(c AS HUGEINT) * r2x * r2y
+                    AS DECIMAL(38, 0))) AS HUGEINT) AS sxy
+        FROM cells JOIN rx USING (x) JOIN ry USING (y)
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+                / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                   * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                * 1000000000.0) AS BIGINT) AS rho_fp
+    FROM s
+"""
+
+ORACLES["survival_km"] = """
+    WITH RECURSIVE o2 AS (
+        SELECT o_custkey, epoch_us(o_orderdate) AS t FROM orders
+    ),
+    g AS (SELECT max(t) AS gmax FROM o2),
+    r AS (
+        SELECT o_custkey, t,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY t) AS rn
+        FROM o2
+    ),
+    u AS (
+        SELECT o_custkey, min(t) AS mn, count(*) AS c,
+               min(CASE WHEN rn = 2 THEN t END) AS m2
+        FROM r GROUP BY o_custkey
+    ),
+    d AS (
+        SELECT CASE WHEN c >= 2 THEN (m2 - mn) // 86400000000
+                    ELSE ((SELECT gmax FROM g) - mn) // 86400000000
+               END AS dur,
+               CASE WHEN c >= 2 THEN 1 ELSE 0 END AS obs
+        FROM u
+    ),
+    vc AS (
+        SELECT dur, CAST(sum(obs) AS BIGINT) AS d_events,
+               CAST(count(*) AS BIGINT) AS tot
+        FROM d GROUP BY dur
+    ),
+    ev AS (
+        SELECT dur, d_events,
+               CAST(sum(tot) OVER (ORDER BY dur DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS n_risk
+        FROM vc
+    ),
+    ev2 AS (
+        SELECT dur, d_events, n_risk,
+               row_number() OVER (ORDER BY dur) AS rn
+        FROM ev WHERE d_events > 0
+    ),
+    km AS (
+        SELECT rn, dur, d_events, n_risk,
+               (n_risk - d_events) * 1.0 / n_risk AS s
+        FROM ev2 WHERE rn = 1
+        UNION ALL
+        SELECT e.rn, e.dur, e.d_events, e.n_risk,
+               km.s * ((e.n_risk - e.d_events) * 1.0 / e.n_risk)
+        FROM km JOIN ev2 e ON e.rn = km.rn + 1
+    )
+    SELECT dur AS t_days, n_risk, d_events,
+           CAST(round(s * 1000000000.0) AS BIGINT) AS surv_fp
+    FROM km
+"""
+
+ORACLES["equidepth_histogram"] = """
+    WITH m AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+    ),
+    r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM m),
+    t AS (SELECT count(*) AS n FROM m),
+    b AS (
+        SELECT CAST(j AS BIGINT) AS bucket,
+               CAST(ceil(j * (SELECT n FROM t) / 10.0) AS BIGINT) AS cum_rank
+        FROM range(1, 11) s(j)
+    )
+    SELECT bucket, cum_rank, r.v AS boundary
+    FROM b JOIN r ON r.rn = b.cum_rank
 """

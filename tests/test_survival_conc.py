@@ -1,0 +1,121 @@
+"""Brute-force references for the r3 seventh batch (hhi_concentration,
+grouped_harmonic, spearman_corr, survival_km, equidepth_histogram).
+The DuckDB oracles pin engine↔SQL parity; these tests pin the MATH —
+each operator is recomputed here from the raw parquet with an
+independent (pandas / numpy / fractions) formulation.
+"""
+
+import math
+from fractions import Fraction
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fide_crawler_ray.pipelines import relational as R
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def orders():
+    return pd.read_parquet(f"{SF}/orders.parquet")
+
+
+@pytest.fixture(scope="module")
+def lineitem():
+    return pd.read_parquet(f"{SF}/lineitem.parquet")
+
+
+def test_hhi_matches_bruteforce(ray_session, orders):
+    got = R.q_hhi_concentration(SF).iloc[0]
+    cust = pd.read_parquet(f"{SF}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    p = np.round(orders["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+    df = pd.DataFrame({"ck": orders["o_custkey"], "p": p}).merge(
+        cust, left_on="ck", right_on="c_custkey")
+    s = df.groupby("c_nationkey")["p"].sum()
+    tot = int(s.sum())
+    ssq = sum(int(v) ** 2 for v in s)
+    assert int(got["n_nations"]) == s.size
+    assert int(got["hhi_fp"]) == ssq * 10**12 // (tot * tot)
+    # HHI of k equal shares is 1/k; concentration can only raise it
+    assert int(got["hhi_fp"]) >= 10**12 // s.size
+
+
+def test_grouped_harmonic_matches_fractions(ray_session, lineitem):
+    got = R.q_grouped_harmonic(SF).set_index("l_returnflag")
+    x = np.round(lineitem["l_quantity"].to_numpy()).astype(np.int64)
+    for f, g in pd.DataFrame(
+            {"f": lineitem["l_returnflag"], "x": x}).groupby("f"):
+        recip = sum(Fraction(1, int(v)) for v in g["x"])
+        harm = Fraction(len(g)) / recip  # exact rational harmonic mean
+        want = (harm.numerator * 10**6) // harm.denominator
+        assert int(got.loc[f, "harm_fp"]) == want
+        assert int(got.loc[f, "n"]) == len(g)
+        # harmonic ≤ arithmetic mean (AM–HM), strict under any spread
+        assert want <= int(g["x"].mean() * 1e6) + 1
+
+
+def test_spearman_matches_pandas_rank(ray_session, lineitem):
+    got = R.q_spearman_corr(SF).iloc[0]
+    x = np.round(lineitem["l_quantity"].to_numpy()).astype(np.int64)
+    y = np.round(lineitem["l_discount"].to_numpy() * 100.0).astype(np.int64)
+    rx = pd.Series(x).rank(method="average").to_numpy()
+    ry = pd.Series(y).rank(method="average").to_numpy()
+    rho = np.corrcoef(rx, ry)[0, 1]
+    assert int(got["n"]) == len(x)
+    assert abs(int(got["rho_fp"]) / 1e9 - rho) < 1e-6
+    assert -(10**9) <= int(got["rho_fp"]) <= 10**9
+
+
+def test_survival_km_matches_bruteforce(ray_session, orders):
+    got = R.q_survival_km(SF)
+    day = 86_400_000_000
+    ts = orders["o_orderdate"].astype("int64")
+    gmax = int(ts.max())
+    durs, obs = [], []
+    for _, g in pd.DataFrame(
+            {"ck": orders["o_custkey"], "t": ts}).groupby("ck"):
+        t = np.sort(g["t"].to_numpy())
+        if len(t) >= 2:
+            durs.append((int(t[1]) - int(t[0])) // day)
+            obs.append(1)
+        else:
+            durs.append((gmax - int(t[0])) // day)
+            obs.append(0)
+    d = pd.DataFrame({"dur": durs, "obs": obs})
+    rows = []
+    s = 1.0
+    n_remaining = len(d)
+    for t in sorted(d["dur"].unique()):
+        at = d[d["dur"] == t]
+        n_risk = int((d["dur"] >= t).sum())
+        de = int(at["obs"].sum())
+        if de > 0:
+            s *= (n_risk - de) / n_risk
+            rows.append((t, n_risk, de, s))
+    exp = pd.DataFrame(rows, columns=["t_days", "n_risk", "d_events", "s"])
+    got = got.sort_values("t_days").reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["t_days"].to_numpy() == exp["t_days"].to_numpy()).all()
+    assert (got["n_risk"].to_numpy() == exp["n_risk"].to_numpy()).all()
+    assert (got["d_events"].to_numpy() == exp["d_events"].to_numpy()).all()
+    assert np.allclose(got["surv_fp"].to_numpy() / 1e9, exp["s"], atol=1e-8)
+    # survival is a monotone non-increasing step function in (0, 1]
+    sv = got["surv_fp"].to_numpy()
+    assert (np.diff(sv) <= 0).all() and sv[0] <= 10**9 and sv[-1] >= 0
+
+
+def test_equidepth_matches_numpy(ray_session, orders):
+    got = R.q_equidepth_histogram(SF).sort_values("bucket")
+    v = np.sort(np.round(orders["o_totalprice"].to_numpy() * 100.0)
+                .astype(np.int64))
+    n = len(v)
+    for j, rk, b in zip(got["bucket"], got["cum_rank"], got["boundary"]):
+        want_rk = math.ceil(j * n / 10.0)
+        assert int(rk) == want_rk
+        assert int(b) == int(v[want_rk - 1])
+    # bucket 10's boundary is the global max; boundaries are monotone
+    assert int(got["boundary"].iloc[-1]) == int(v[-1])
+    assert (np.diff(got["boundary"].to_numpy()) >= 0).all()
