@@ -9676,6 +9676,9 @@ def queries() -> dict:
         "spearman_corr": q_spearman_corr,
         "survival_km": q_survival_km,
         "equidepth_histogram": q_equidepth_histogram,
+        "daily_ewma": q_daily_ewma,
+        "grouped_boxplot": q_grouped_boxplot,
+        "interpolate_daily": q_interpolate_daily,
     }
 
 
@@ -13199,4 +13202,209 @@ ORACLES["equidepth_histogram"] = """
     )
     SELECT bucket, cum_rank, r.v AS boundary
     FROM b JOIN r ON r.rn = b.cum_rank
+"""
+
+
+def q_daily_ewma(sf_dir):
+    """Exponentially weighted moving average of daily revenue
+    (α = 0.25) — the smoothing primitive behind anomaly baselines and
+    trend dashboards, and a SECOND instance of the ordered-IEEE-
+    recurrence contract introduced by survival_km: the distributed part
+    is one map-side-combined day histogram (time-span bounded, ≤ ~2400
+    rows at any sf); the recurrence s_t = 0.25·v_t + 0.75·s_{t−1} runs
+    left-to-right over exact integer cents, so every step is two IEEE
+    multiplies and an add — bit-equal to the oracle's ordered RECURSIVE
+    CTE. ewma_fp is ×100 half-away quantized (cent-hundredths keep it
+    under 2⁶³ through ~sf1000)."""
+    orders = T(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def _day(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "d": pa.array(
+                b["o_orderdate"].cast(pa.int64()).to_numpy(
+                    zero_copy_only=False) // 86_400_000_000, pa.int64()),
+            "v": pa.array(_round_half_away(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64), pa.int64()),
+        })
+
+    vc = fast_groupby_agg(
+        orders.map_batches(_day, batch_format="pyarrow"),
+        ["d"], {"v": ("v", "sum")}).to_pandas().sort_values("d")
+    rows, s = [], None
+    for d, v in zip(vc["d"].astype(int), vc["v"].astype(int)):
+        # mirrored op order: 0.25 * v + 0.75 * s (v implicit int→double)
+        s = 1.0 * v if s is None else 0.25 * v + 0.75 * s
+        rows.append({"d": np.int64(d), "v": np.int64(v),
+                     "ewma_fp": np.int64(int(_round_half_away(
+                         np.array([s * 100.0]))[0]))})
+    return pd.DataFrame(rows)
+
+
+def q_grouped_boxplot(sf_dir):
+    """Five-number boxplot profile per return flag — min, Q1, median,
+    Q3, max by the pinned rank rule (rank = ceil(q·n), the
+    q_quantiles contract), plus the 1.5·IQR outlier count computed
+    all-integer (2x vs 2·Q1 − 3·IQR cross-multiplication, no float
+    anywhere). The distributed part is the (flag, value) value-count
+    fold (≤ 200 rows out at any sf); the CDF walk finishes on the
+    driver and is mirrored by window cumulative sums in the oracle."""
+    li = T(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def _x(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "f": b["l_returnflag"],
+            "x": pa.array(_round_half_away(
+                b["l_quantity"].to_numpy(zero_copy_only=False)
+            ).astype(np.int64), pa.int64()),
+        })
+
+    cells = fast_groupby_agg(
+        li.map_batches(_x, batch_format="pyarrow"),
+        ["f", "x"], {"c": (None, "count")}).to_pandas()
+    rows = []
+    for f, g in cells.sort_values("x").groupby("f", sort=True):
+        xs = g["x"].to_numpy(np.int64)
+        cs = g["c"].to_numpy(np.int64)
+        cum = np.cumsum(cs)
+        n = int(cum[-1])
+
+        def _at(q: float) -> int:
+            rk = math.ceil(q * n)  # mirrored float product, exact <2^53
+            return int(xs[np.searchsorted(cum, rk, side="left")])
+
+        q1, med, q3 = _at(0.25), _at(0.5), _at(0.75)
+        iqr = q3 - q1
+        out_mask = (2 * xs < 2 * q1 - 3 * iqr) | (2 * xs > 2 * q3 + 3 * iqr)
+        rows.append({
+            "l_returnflag": f, "n": np.int64(n),
+            "x_min": np.int64(xs[0]), "q1": np.int64(q1),
+            "med": np.int64(med), "q3": np.int64(q3),
+            "x_max": np.int64(xs[-1]),
+            "n_outliers": np.int64(int(cs[out_mask].sum())),
+        })
+    return pd.DataFrame(rows)
+
+
+def q_interpolate_daily(sf_dir):
+    """Dense daily revenue series with LINEAR interpolation across
+    missing days (gap_fill's zero-fill sibling — the resampling rule a
+    rate metric needs). Interpolation is exact integer cross-
+    multiplication, (v0·(d1−t) + v1·(t−d0))·10³ // (d1−d0), in Python
+    ints mirrored by HUGEINT — no float slope, no accumulation. The
+    distributed part is the one day-histogram exchange; the dense walk
+    is TIME-SPAN bounded (~2400 rows/decade) on the driver, mirrored
+    by a generate_series × prev/next lookup in the oracle."""
+    orders = T(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def _day(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "d": pa.array(
+                b["o_orderdate"].cast(pa.int64()).to_numpy(
+                    zero_copy_only=False) // 86_400_000_000, pa.int64()),
+            "v": pa.array(_round_half_away(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64), pa.int64()),
+        })
+
+    vc = fast_groupby_agg(
+        orders.map_batches(_day, batch_format="pyarrow"),
+        ["d"], {"v": ("v", "sum")}).to_pandas().sort_values("d")
+    ds_ = vc["d"].to_numpy(np.int64)
+    vs = vc["v"].to_numpy(np.int64)
+    rows = []
+    for t in range(int(ds_[0]), int(ds_[-1]) + 1):
+        i = int(np.searchsorted(ds_, t, side="left"))
+        if i < len(ds_) and int(ds_[i]) == t:
+            v_fp = int(vs[i]) * 1000
+        else:
+            d0, v0 = int(ds_[i - 1]), int(vs[i - 1])
+            d1, v1 = int(ds_[i]), int(vs[i])
+            v_fp = (v0 * (d1 - t) + v1 * (t - d0)) * 1000 // (d1 - d0)
+        rows.append({"t": np.int64(t), "v_fp": np.int64(v_fp)})
+    return pd.DataFrame(rows)
+
+
+ORACLES["daily_ewma"] = """
+    WITH RECURSIVE m AS (
+        SELECT epoch_us(o_orderdate) // 86400000000 AS d,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+        FROM orders GROUP BY 1
+    ),
+    e AS (
+        SELECT d, CAST(v AS BIGINT) AS v,
+               row_number() OVER (ORDER BY d) AS rn
+        FROM m
+    ),
+    w AS (
+        -- e0 suffixes force DOUBLE literals (bare 0.25 is DECIMAL in
+        -- DuckDB, which would diverge from the engine's IEEE ops)
+        SELECT rn, d, v, 1.0e0 * v AS s FROM e WHERE rn = 1
+        UNION ALL
+        SELECT e.rn, e.d, e.v, 0.25e0 * e.v + 0.75e0 * w.s
+        FROM w JOIN e ON e.rn = w.rn + 1
+    )
+    SELECT d, v, CAST(round(s * 100.0) AS BIGINT) AS ewma_fp FROM w
+"""
+
+ORACLES["grouped_boxplot"] = """
+    WITH m AS (
+        SELECT l_returnflag AS f,
+               CAST(round(l_quantity) AS BIGINT) AS x
+        FROM lineitem
+    ),
+    g AS (SELECT f, x, CAST(count(*) AS BIGINT) AS c FROM m GROUP BY 1, 2),
+    w AS (
+        SELECT f, x, c,
+               CAST(sum(c) OVER (PARTITION BY f ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum,
+               CAST(sum(c) OVER (PARTITION BY f) AS BIGINT) AS n
+        FROM g
+    ),
+    pick AS (
+        SELECT f, n,
+               min(x) FILTER (cum >= CAST(ceil(0.25 * n) AS BIGINT)) AS q1,
+               min(x) FILTER (cum >= CAST(ceil(0.5 * n) AS BIGINT)) AS med,
+               min(x) FILTER (cum >= CAST(ceil(0.75 * n) AS BIGINT)) AS q3,
+               min(x) AS x_min, max(x) AS x_max
+        FROM w GROUP BY f, n
+    )
+    SELECT p.f AS l_returnflag, p.n, p.x_min, p.q1, p.med, p.q3, p.x_max,
+           CAST(COALESCE((
+               SELECT sum(g2.c) FROM g g2
+               WHERE g2.f = p.f
+                 AND (2 * g2.x < 2 * p.q1 - 3 * (p.q3 - p.q1)
+                      OR 2 * g2.x > 2 * p.q3 + 3 * (p.q3 - p.q1))
+           ), 0) AS BIGINT) AS n_outliers
+    FROM pick p
+"""
+
+ORACLES["interpolate_daily"] = """
+    WITH m AS (
+        SELECT epoch_us(o_orderdate) // 86400000000 AS d,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM orders GROUP BY 1
+    ),
+    b AS (SELECT min(d) AS lo, max(d) AS hi FROM m),
+    days AS (
+        SELECT unnest(generate_series(lo, hi)) AS t FROM b
+    ),
+    nb AS (
+        SELECT t,
+               (SELECT max(d) FROM m WHERE d <= t) AS d0,
+               (SELECT min(d) FROM m WHERE d >= t) AS d1
+        FROM days
+    )
+    SELECT nb.t,
+           CASE WHEN nb.d0 = nb.d1
+                THEN (SELECT v FROM m WHERE d = nb.t) * 1000
+                ELSE CAST((CAST(m0.v AS HUGEINT) * (nb.d1 - nb.t)
+                           + CAST(m1.v AS HUGEINT) * (nb.t - nb.d0))
+                          * 1000 // (nb.d1 - nb.d0) AS BIGINT)
+           END AS v_fp
+    FROM nb
+    LEFT JOIN m m0 ON m0.d = nb.d0
+    LEFT JOIN m m1 ON m1.d = nb.d1
 """

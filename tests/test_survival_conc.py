@@ -119,3 +119,66 @@ def test_equidepth_matches_numpy(ray_session, orders):
     # bucket 10's boundary is the global max; boundaries are monotone
     assert int(got["boundary"].iloc[-1]) == int(v[-1])
     assert (np.diff(got["boundary"].to_numpy()) >= 0).all()
+
+
+def test_daily_ewma_matches_bruteforce(ray_session, orders):
+    got = R.q_daily_ewma(SF).sort_values("d").reset_index(drop=True)
+    day = 86_400_000_000
+    df = pd.DataFrame({
+        "d": orders["o_orderdate"].astype("int64") // day,
+        "v": np.round(orders["o_totalprice"].to_numpy() * 100.0)
+        .astype(np.int64),
+    }).groupby("d")["v"].sum().sort_index()
+    assert (got["d"].to_numpy() == df.index.to_numpy()).all()
+    assert (got["v"].to_numpy() == df.to_numpy()).all()
+    s = None
+    for i, v in enumerate(df.to_numpy()):
+        s = 1.0 * v if s is None else 0.25 * v + 0.75 * s
+        assert abs(int(got["ewma_fp"].iloc[i]) - s * 100.0) <= 0.51
+    # EWMA stays inside the running min/max envelope of its inputs
+    assert got["ewma_fp"].between(df.min() * 100, df.max() * 100).all()
+
+
+def test_grouped_boxplot_matches_bruteforce(ray_session, lineitem):
+    got = R.q_grouped_boxplot(SF).set_index("l_returnflag")
+    x = np.round(lineitem["l_quantity"].to_numpy()).astype(np.int64)
+    for f, g in pd.DataFrame(
+            {"f": lineitem["l_returnflag"], "x": x}).groupby("f"):
+        v = np.sort(g["x"].to_numpy())
+        n = len(v)
+        q1 = int(v[math.ceil(0.25 * n) - 1])
+        med = int(v[math.ceil(0.5 * n) - 1])
+        q3 = int(v[math.ceil(0.75 * n) - 1])
+        iqr = q3 - q1
+        n_out = int(((2 * v < 2 * q1 - 3 * iqr)
+                     | (2 * v > 2 * q3 + 3 * iqr)).sum())
+        row = got.loc[f]
+        assert (int(row["x_min"]), int(row["q1"]), int(row["med"]),
+                int(row["q3"]), int(row["x_max"]), int(row["n_outliers"]),
+                int(row["n"])) == (int(v[0]), q1, med, q3, int(v[-1]),
+                                   n_out, n)
+
+
+def test_interpolate_daily_matches_bruteforce(ray_session, orders):
+    got = R.q_interpolate_daily(SF).sort_values("t").reset_index(drop=True)
+    day = 86_400_000_000
+    df = pd.DataFrame({
+        "d": orders["o_orderdate"].astype("int64") // day,
+        "v": np.round(orders["o_totalprice"].to_numpy() * 100.0)
+        .astype(np.int64),
+    }).groupby("d")["v"].sum().sort_index()
+    ds_, vs = df.index.to_numpy(), df.to_numpy()
+    assert int(got["t"].iloc[0]) == int(ds_[0])
+    assert int(got["t"].iloc[-1]) == int(ds_[-1])
+    assert len(got) == int(ds_[-1]) - int(ds_[0]) + 1
+    # present days reproduce their value exactly (×1e3)
+    present = got.set_index("t").loc[ds_, "v_fp"].to_numpy()
+    assert (present == vs * 1000).all()
+    # interpolated days sit within [min, max] of their two anchors
+    for t, vfp in zip(got["t"], got["v_fp"]):
+        i = np.searchsorted(ds_, t)
+        if i < len(ds_) and ds_[i] == t:
+            continue
+        lo = min(vs[i - 1], vs[i]) * 1000
+        hi = max(vs[i - 1], vs[i]) * 1000
+        assert lo <= int(vfp) <= hi
