@@ -9679,6 +9679,8 @@ def queries() -> dict:
         "daily_ewma": q_daily_ewma,
         "grouped_boxplot": q_grouped_boxplot,
         "interpolate_daily": q_interpolate_daily,
+        "kendall_tau": q_kendall_tau,
+        "markov_stationary": q_markov_stationary,
     }
 
 
@@ -13408,3 +13410,181 @@ ORACLES["interpolate_daily"] = """
     LEFT JOIN m m0 ON m0.d = nb.d0
     LEFT JOIN m m1 ON m1.d = nb.d1
 """
+
+
+def q_kendall_tau(sf_dir):
+    """Kendall τ-b of l_quantity vs l_discount — the concordance-based
+    rank association (Spearman's sibling; robust to different tie
+    structure). Everything before the final division is EXACT integer:
+    concordant/discordant pair mass comes from the tiny-domain (x, y)
+    contingency fold (≤ 550 cells at any sf) as Σ c_a·c_b over cell
+    pairs strictly ordered in both / opposite dimensions, and the tie
+    corrections n₀−n₁, n₀−n₂ are integer marginal sums. The oracle
+    mirrors with HUGEINT (sum(BIGINT)→HUGEINT is exact; per-term
+    products stay under 2⁶³ through sf100) and the one final
+    float-sqrt-division expression is written operation-for-operation
+    identically."""
+    li = T(sf_dir, "lineitem", ["l_quantity", "l_discount"])
+
+    def _xy(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "x": pa.array(_round_half_away(
+                b["l_quantity"].to_numpy(zero_copy_only=False)
+            ).astype(np.int64), pa.int64()),
+            "y": pa.array(_round_half_away(
+                b["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64), pa.int64()),
+        })
+
+    cells = fast_groupby_agg(
+        li.map_batches(_xy, batch_format="pyarrow"),
+        ["x", "y"], {"c": (None, "count")}).to_pandas()
+    recs = [(int(x), int(y), int(c))
+            for x, y, c in zip(cells["x"], cells["y"], cells["c"])]
+    conc = disc = 0
+    for xa, ya, ca in recs:
+        for xb, yb, cb in recs:
+            if xb > xa and yb > ya:
+                conc += ca * cb
+            elif xb > xa and yb < ya:
+                disc += ca * cb
+    n = sum(c for _, _, c in recs)
+    n0 = n * (n - 1) // 2
+    mx: dict[int, int] = {}
+    my: dict[int, int] = {}
+    for x, y, c in recs:
+        mx[x] = mx.get(x, 0) + c
+        my[y] = my.get(y, 0) + c
+    n1 = sum(c * (c - 1) // 2 for c in mx.values())
+    n2 = sum(c * (c - 1) // 2 for c in my.values())
+    tau = float(conc - disc) / (math.sqrt(float(n0 - n1))
+                                * math.sqrt(float(n0 - n2)))
+    return pd.DataFrame([{
+        "n": np.int64(n), "conc": np.int64(conc), "disc": np.int64(disc),
+        "tau_fp": np.int64(int(_round_half_away(np.array([tau * 1e9]))[0])),
+    }])
+
+
+_MARKOV_ITERS = 12
+_MARKOV_SCALE = 10**9
+
+
+def q_markov_stationary(sf_dir, iters: int = _MARKOV_ITERS):
+    """Stationary distribution of the event-type Markov chain by power
+    iteration — where does a user's session settle? States are the
+    event-type domain (≤ a handful); the DISTRIBUTED work is the
+    consecutive-pair transition count (per-user sorted pairing, then a
+    map-side-combined (prev, next) fold — the event_transitions plan,
+    aggregated globally); the k×k iteration runs on the driver
+    ENTIRELY in ×10⁹ integer fixed point — pᵗ⁺¹(j) = Σᵢ pᵗ(i)·c(i,j)
+    // out(i) — so every level is summation-order-free and the oracle
+    (the same recurrence unrolled one CTE per iteration, pagerank's
+    pattern) matches bit for bit. Mass evaporates at states with no
+    outgoing edges (documented; none in this domain); states with no
+    incoming edges read 0 via the final left join."""
+    ev = T(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        et = g["event_type"].to_numpy()
+        return pd.DataFrame({"prv": et[:-1], "nxt": et[1:]})
+
+    trans = fast_groupby_agg(
+        ev.groupby("user_id").map_groups(_pairs, batch_format="pandas"),
+        ["prv", "nxt"], {"c": (None, "count")}).to_pandas()
+    states = sorted(set(ev.unique("event_type")))
+    out = {s: 0 for s in states}
+    for p, c in zip(trans["prv"], trans["c"]):
+        out[p] += int(c)
+    k = len(states)
+    pi = {s: _MARKOV_SCALE // k for s in states}
+    tl = [(p, nx, int(c)) for p, nx, c in
+          zip(trans["prv"], trans["nxt"], trans["c"])]
+    for _ in range(iters):
+        nxt_pi = {s: 0 for s in states}
+        for p, nx, c in tl:
+            nxt_pi[nx] += pi[p] * c // out[p]
+        pi = nxt_pi
+    return pd.DataFrame([
+        {"event_type": s, "pi_fp": np.int64(pi[s])} for s in states])
+
+
+def _markov_oracle(iters: int = _MARKOV_ITERS) -> str:
+    """Unrolled power-iteration CTE (one level per iteration — the
+    pagerank oracle pattern; integer fixed point throughout)."""
+    lvls = [f"""
+    p0 AS (
+        SELECT st, CAST({_MARKOV_SCALE} // (SELECT count(*) FROM states)
+                   AS BIGINT) AS pi
+        FROM states
+    )"""]
+    for i in range(iters):
+        lvls.append(f"""
+    p{i + 1} AS (
+        SELECT t.nxt AS st,
+               CAST(sum(p.pi * t.c // t.rt) AS BIGINT) AS pi
+        FROM p{i} p JOIN trans t ON t.prv = p.st
+        GROUP BY t.nxt
+    )""")
+    return f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    raw AS (
+        SELECT event_type AS prv, nxt, CAST(count(*) AS BIGINT) AS c
+        FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    trans AS (
+        SELECT prv, nxt, c,
+               CAST(sum(c) OVER (PARTITION BY prv) AS BIGINT) AS rt
+        FROM raw
+    ),
+    states AS (SELECT DISTINCT event_type AS st FROM events),
+    {','.join(lvls)}
+    SELECT s.st AS event_type,
+           CAST(COALESCE(p.pi, 0) AS BIGINT) AS pi_fp
+    FROM states s LEFT JOIN p{iters} p ON p.st = s.st
+"""
+
+
+ORACLES["kendall_tau"] = """
+    WITH m AS (
+        SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+               CAST(round(l_discount * 100) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c
+              FROM m GROUP BY x, y),
+    cd AS (
+        SELECT
+            CAST(COALESCE((SELECT sum(a.c * b.c) FROM cells a
+                 JOIN cells b ON b.x > a.x AND b.y > a.y), 0)
+                 AS HUGEINT) AS conc,
+            CAST(COALESCE((SELECT sum(a.c * b.c) FROM cells a
+                 JOIN cells b ON b.x > a.x AND b.y < a.y), 0)
+                 AS HUGEINT) AS disc
+    ),
+    marg AS (
+        SELECT CAST(sum(c) AS HUGEINT) AS n,
+               CAST((SELECT sum(cx * (cx - 1) // 2) FROM (
+                    SELECT sum(c) AS cx FROM cells GROUP BY x))
+                    AS HUGEINT) AS n1,
+               CAST((SELECT sum(cy * (cy - 1) // 2) FROM (
+                    SELECT sum(c) AS cy FROM cells GROUP BY y))
+                    AS HUGEINT) AS n2
+        FROM cells
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(conc AS BIGINT) AS conc,
+           CAST(disc AS BIGINT) AS disc,
+           CAST(round(CAST(conc - disc AS DOUBLE)
+                / (sqrt(CAST(n * (n - 1) // 2 - n1 AS DOUBLE))
+                   * sqrt(CAST(n * (n - 1) // 2 - n2 AS DOUBLE)))
+                * 1000000000.0) AS BIGINT) AS tau_fp
+    FROM cd, marg
+"""
+
+ORACLES["markov_stationary"] = _markov_oracle()

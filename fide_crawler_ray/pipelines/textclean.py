@@ -990,6 +990,7 @@ def queries() -> dict:
     return {
         "curation_pipeline": q_curation_pipeline,
         "bpe_encode": q_bpe_encode,
+        "tokenizer_fertility": q_tokenizer_fertility,
         "dsir_weights": q_dsir_weights,
         "epoch_shuffle": q_epoch_shuffle,
         "bpe_train": q_bpe_train,
@@ -1201,3 +1202,34 @@ ORACLES["epoch_shuffle"] = """
                PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
     FROM s
 """
+
+
+def q_tokenizer_fertility(sf_dir, n_merges: int = BPE_MERGES):
+    """Tokenizer-quality scorecard per language: FERTILITY (BPE tokens
+    per whitespace word, the standard multilingual-tokenizer health
+    metric) and chars-per-token, from the q_bpe_encode per-doc counts
+    hash-joined back onto documents for (lang, n_chars). Ratios are
+    integer ×10⁶ floor divisions over exact count sums — no float.
+    Rows-only like the other BPE stages (the merge table is trained
+    iteratively; not SQL-expressible), with the invariants asserted
+    in-query: fertility ≥ 1 (a word is ≥ 1 token) and tokens ≤
+    chars+words (merges only shrink)."""
+    enc = q_bpe_encode(sf_dir, n_merges)
+    docs = T(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    j = enc.join(docs.map_batches(
+        lambda b: b.rename_columns(["doc_id_r", "lang", "n_chars"]),
+        batch_format="pyarrow"),
+        "inner", num_partitions=4, on=("doc_id",), right_on=("doc_id_r",))
+    g = fast_groupby_agg(j, ["lang"], {
+        "n_docs": (None, "count"), "w": ("n_words", "sum"),
+        "t": ("n_tokens", "sum"), "ch": ("n_chars", "sum"),
+    }).to_pandas().sort_values("lang").reset_index(drop=True)
+    fert = (g["t"].astype(np.int64) * 10**6) // g["w"].astype(np.int64)
+    cpt = (g["ch"].astype(np.int64) * 10**6) // g["t"].astype(np.int64)
+    assert (fert >= 10**6).all(), "a word must encode to >= 1 token"
+    assert (g["t"] <= g["ch"] + g["w"]).all(), "merges only ever shrink"
+    return pd.DataFrame({
+        "lang": g["lang"], "n_docs": g["n_docs"].astype(np.int64),
+        "fertility_fp": fert.astype(np.int64),
+        "chars_per_token_fp": cpt.astype(np.int64),
+    })

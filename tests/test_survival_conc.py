@@ -182,3 +182,62 @@ def test_interpolate_daily_matches_bruteforce(ray_session, orders):
         lo = min(vs[i - 1], vs[i]) * 1000
         hi = max(vs[i - 1], vs[i]) * 1000
         assert lo <= int(vfp) <= hi
+
+
+def test_kendall_tau_matches_bruteforce(ray_session, lineitem):
+    got = R.q_kendall_tau(SF).iloc[0]
+    x = np.round(lineitem["l_quantity"].to_numpy()).astype(np.int64)
+    y = np.round(lineitem["l_discount"].to_numpy() * 100.0).astype(np.int64)
+    n = len(x)
+    # O(n^2) broadcast concordance count (6k rows at sf0.001)
+    dx = np.sign(x[:, None] - x[None, :])
+    dy = np.sign(y[:, None] - y[None, :])
+    prod = dx * dy
+    conc = int((prod > 0).sum()) // 2
+    disc = int((prod < 0).sum()) // 2
+    assert int(got["n"]) == n
+    assert int(got["conc"]) == conc
+    assert int(got["disc"]) == disc
+    n0 = n * (n - 1) // 2
+    n1 = sum(c * (c - 1) // 2 for c in pd.Series(x).value_counts())
+    n2 = sum(c * (c - 1) // 2 for c in pd.Series(y).value_counts())
+    tau = (conc - disc) / math.sqrt((n0 - n1) * (n0 - n2))
+    assert abs(int(got["tau_fp"]) / 1e9 - tau) < 1e-6
+
+
+def test_markov_stationary_matches_float_reference(ray_session):
+    got = R.q_markov_stationary(SF).set_index("event_type")
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"])
+    pairs = []
+    for _, g in ev.groupby("user_id"):
+        et = g["event_type"].to_numpy()
+        pairs += list(zip(et[:-1], et[1:]))
+    tc = pd.Series(pairs).value_counts()
+    states = sorted(ev["event_type"].unique())
+    k = len(states)
+    idx = {s: i for i, s in enumerate(states)}
+    m = np.zeros((k, k))
+    for (a, b), c in tc.items():
+        m[idx[a], idx[b]] = c
+    m = m / m.sum(axis=1, keepdims=True)
+    p = np.full(k, 1.0 / k)
+    for _ in range(60):
+        p = p @ m
+    # fixed-point iterate (12 rounds, floor losses ≤ iters·k states)
+    pi = got["pi_fp"].to_numpy() / 1e9
+    assert np.allclose(pi, p, atol=5e-3)
+    assert 0.98 <= pi.sum() <= 1.0  # floor evaporation only, never gain
+    assert set(got.index) == set(states)
+
+
+def test_tokenizer_fertility_gates(ray_session):
+    from fide_crawler_ray.pipelines import textclean as TC
+
+    got = TC.q_tokenizer_fertility(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    assert set(got["lang"]) == set(docs["lang"])
+    assert int(got["n_docs"].sum()) == len(docs)
+    assert (got["fertility_fp"] >= 10**6).all()
+    # tokens can never outnumber characters+words → cpt strictly > 0
+    assert (got["chars_per_token_fp"] > 0).all()
