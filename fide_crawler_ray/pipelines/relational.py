@@ -9681,6 +9681,8 @@ def queries() -> dict:
         "interpolate_daily": q_interpolate_daily,
         "kendall_tau": q_kendall_tau,
         "markov_stationary": q_markov_stationary,
+        "confusion_matrix": q_confusion_matrix,
+        "window_range_sum": q_window_range_sum,
     }
 
 
@@ -13588,3 +13590,168 @@ ORACLES["kendall_tau"] = """
 """
 
 ORACLES["markov_stationary"] = _markov_oracle()
+
+
+def q_confusion_matrix(sf_dir, n_classes: int = 3):
+    """Model-evaluation scorecard: per-class TP/FP/FN and integer ×10⁶
+    precision / recall / F1 of the q_batch_inference scorer against
+    the derived ground truth ``label % n_classes`` (the embeddings
+    table's 10 raw labels folded onto the scorer's 3-class head).
+    Distributed part: the inference Dataset hash-joins embeddings on
+    vec_id, then one map-side-combined (truth, pred) fold — the
+    exchange is the k×k confusion matrix, never rows. Per-class ratios
+    are floor divisions over exact counts; F1 is the all-integer
+    2·p·r // (p+r) with a zero guard — mirrored literally in SQL."""
+    from .queries import q_batch_inference
+
+    pred = q_batch_inference(sf_dir, n_classes)
+    emb = T(sf_dir, "embeddings", ["vec_id", "label"])
+
+    def _truth(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "vid_r": b["vec_id"],
+            "truth": pa.array(
+                b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+                % n_classes, pa.int64()),
+        })
+
+    j = pred.join(emb.map_batches(_truth, batch_format="pyarrow"),
+                  "inner", num_partitions=4,
+                  on=("vec_id",), right_on=("vid_r",))
+    cm = fast_groupby_agg(
+        j, ["truth", "pred"], {"c": (None, "count")}).to_pandas()
+    classes = list(range(n_classes))
+    tp = {k: 0 for k in classes}
+    pred_cnt = {k: 0 for k in classes}
+    truth_cnt = {k: 0 for k in classes}
+    for t, p, c in zip(cm["truth"], cm["pred"], cm["c"]):
+        t, p, c = int(t), int(p), int(c)
+        pred_cnt[p] += c
+        truth_cnt[t] += c
+        if t == p:
+            tp[t] = c
+    rows = []
+    for k in classes:
+        prec = tp[k] * 10**6 // pred_cnt[k] if pred_cnt[k] else 0
+        rec = tp[k] * 10**6 // truth_cnt[k] if truth_cnt[k] else 0
+        f1 = 2 * prec * rec // (prec + rec) if prec + rec else 0
+        rows.append({
+            "class": np.int64(k), "tp": np.int64(tp[k]),
+            "fp": np.int64(pred_cnt[k] - tp[k]),
+            "fn": np.int64(truth_cnt[k] - tp[k]),
+            "prec_fp": np.int64(prec), "rec_fp": np.int64(rec),
+            "f1_fp": np.int64(f1),
+        })
+    return pd.DataFrame(rows)
+
+
+def q_window_range_sum(sf_dir):
+    """Value-based RANGE window frame — for every order, the same
+    customer's total order value within ±30 DAYS of it (the
+    window-function class the ROWS-frame suite can't express: the
+    frame is defined by the ORDER BY *value*, so it is insensitive to
+    tie order and row position). Plan: one hash shuffle by customer,
+    then per-group sorted two-pointer prefix sums (groups are
+    orders-per-customer bounded — the documented per-key contract).
+    All integer cents; no float anywhere."""
+    orders = T(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def _fp(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "ok": b["o_orderkey"], "ck": b["o_custkey"],
+            "d": pa.array(
+                b["o_orderdate"].cast(pa.int64()).to_numpy(
+                    zero_copy_only=False) // 86_400_000_000, pa.int64()),
+            "v": pa.array(_round_half_away(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64), pa.int64()),
+        })
+
+    def _range_sum(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g["d"].to_numpy(), kind="mergesort")
+        d = g["d"].to_numpy()[order]
+        v = g["v"].to_numpy()[order]
+        ok = g["ok"].to_numpy()[order]
+        pre = np.concatenate([[0], np.cumsum(v)])
+        lo = np.searchsorted(d, d - 30, side="left")
+        hi = np.searchsorted(d, d + 30, side="right")
+        return pd.DataFrame({
+            "o_orderkey": ok,
+            "range_sum": (pre[hi] - pre[lo]).astype(np.int64),
+        })
+
+    return orders.map_batches(_fp, batch_format="pyarrow") \
+        .groupby("ck").map_groups(_range_sum, batch_format="pandas")
+
+
+ORACLES["confusion_matrix"] = """
+    WITH e AS (
+        SELECT vec_id, gs - 1 AS j,
+               CAST(round(CAST(embedding[gs] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS efp
+        FROM embeddings,
+             unnest(generate_series(1, len(embedding))) AS t(gs)
+    ),
+    l AS (
+        SELECT vec_id, c,
+               CAST(sum(efp * (((j * 31 + c * 17) % 7) - 3))
+                    AS BIGINT) AS logit_fp
+        FROM e, unnest(generate_series(0, 2)) AS cc(c)
+        GROUP BY vec_id, c
+    ),
+    r AS (
+        SELECT vec_id, c, row_number() OVER (
+            PARTITION BY vec_id ORDER BY logit_fp DESC, c) AS rn
+        FROM l
+    ),
+    p AS (
+        SELECT r.vec_id, CAST(r.c AS BIGINT) AS pred,
+               CAST(emb.label % 3 AS BIGINT) AS truth
+        FROM r JOIN embeddings emb ON emb.vec_id = r.vec_id
+        WHERE rn = 1
+    ),
+    k AS (SELECT CAST(gs AS BIGINT) AS cls
+          FROM unnest(generate_series(0, 2)) AS t(gs)),
+    agg AS (
+        SELECT cls,
+               CAST(COALESCE((SELECT count(*) FROM p
+                    WHERE truth = cls AND pred = cls), 0) AS BIGINT) AS tp,
+               CAST(COALESCE((SELECT count(*) FROM p
+                    WHERE pred = cls), 0) AS BIGINT) AS pc,
+               CAST(COALESCE((SELECT count(*) FROM p
+                    WHERE truth = cls), 0) AS BIGINT) AS tc
+        FROM k
+    )
+    SELECT cls AS class, tp, pc - tp AS fp, tc - tp AS fn,
+           CASE WHEN pc > 0 THEN tp * 1000000 // pc ELSE 0 END AS prec_fp,
+           CASE WHEN tc > 0 THEN tp * 1000000 // tc ELSE 0 END AS rec_fp,
+           CASE WHEN (CASE WHEN pc > 0 THEN tp * 1000000 // pc ELSE 0 END)
+                     + (CASE WHEN tc > 0 THEN tp * 1000000 // tc ELSE 0 END)
+                     > 0
+                THEN 2 * (CASE WHEN pc > 0 THEN tp * 1000000 // pc
+                          ELSE 0 END)
+                       * (CASE WHEN tc > 0 THEN tp * 1000000 // tc
+                          ELSE 0 END)
+                     // ((CASE WHEN pc > 0 THEN tp * 1000000 // pc
+                          ELSE 0 END)
+                         + (CASE WHEN tc > 0 THEN tp * 1000000 // tc
+                            ELSE 0 END))
+                ELSE 0 END AS f1_fp
+    FROM agg
+"""
+
+ORACLES["window_range_sum"] = """
+    WITH m AS (
+        SELECT o_orderkey,
+               o_custkey AS ck,
+               epoch_us(o_orderdate) // 86400000000 AS d,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        FROM orders
+    )
+    SELECT o_orderkey,
+           CAST(sum(v) OVER (PARTITION BY ck ORDER BY d
+                RANGE BETWEEN 30 PRECEDING AND 30 FOLLOWING)
+                AS BIGINT) AS range_sum
+    FROM m
+"""

@@ -241,3 +241,43 @@ def test_tokenizer_fertility_gates(ray_session):
     assert (got["fertility_fp"] >= 10**6).all()
     # tokens can never outnumber characters+words → cpt strictly > 0
     assert (got["chars_per_token_fp"] > 0).all()
+
+
+def test_confusion_matrix_consistency(ray_session):
+    got = R.q_confusion_matrix(SF)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    n = len(emb)
+    # every vector lands in exactly one (truth, pred) cell
+    assert int((got["tp"] + got["fn"]).sum()) == n
+    assert int((got["tp"] + got["fp"]).sum()) == n
+    # truth marginals match label % 3 counts
+    tc = (emb["label"] % 3).value_counts()
+    for _, r in got.iterrows():
+        assert int(r["tp"] + r["fn"]) == int(tc[int(r["class"])])
+        p, q = int(r["prec_fp"]), int(r["rec_fp"])
+        assert 0 <= p <= 10**6 and 0 <= q <= 10**6
+        # F1 is the integer harmonic mean, between min and max of p, r
+        if p + q:
+            assert min(p, q) <= int(r["f1_fp"]) <= max(p, q)
+
+
+def test_window_range_sum_matches_bruteforce(ray_session, orders):
+    got = R.q_window_range_sum(SF).to_pandas().set_index("o_orderkey")
+    day = 86_400_000_000
+    df = pd.DataFrame({
+        "ok": orders["o_orderkey"],
+        "ck": orders["o_custkey"],
+        "d": orders["o_orderdate"].astype("int64") // day,
+        "v": np.round(orders["o_totalprice"].to_numpy() * 100.0)
+        .astype(np.int64),
+    })
+    assert len(got) == len(df)
+    for _, g in df.groupby("ck"):
+        d = g["d"].to_numpy()
+        v = g["v"].to_numpy()
+        for ok, di in zip(g["ok"], d):
+            want = int(v[(d >= di - 30) & (d <= di + 30)].sum())
+            assert int(got.loc[int(ok), "range_sum"]) == want
+    # the own row is always inside its frame → sum ≥ own value
+    m = df.set_index("ok")["v"]
+    assert (got["range_sum"] >= m.reindex(got.index)).all()
