@@ -9683,6 +9683,8 @@ def queries() -> dict:
         "markov_stationary": q_markov_stationary,
         "confusion_matrix": q_confusion_matrix,
         "window_range_sum": q_window_range_sum,
+        "hierarchy_rollup": q_hierarchy_rollup,
+        "table_checksum": q_table_checksum,
     }
 
 
@@ -13754,4 +13756,141 @@ ORACLES["window_range_sum"] = """
                 RANGE BETWEEN 30 PRECEDING AND 30 FOLLOWING)
                 AS BIGINT) AS range_sum
     FROM m
+"""
+
+
+_HIER_DIVISORS = [10**i for i in range(9)]  # customer keys < 10^8 guard
+
+
+def q_hierarchy_rollup(sf_dir):
+    """Subtree aggregation over a hierarchy — every prefix node of the
+    decimal-digit customer-key trie (parent(k) = k//10, root 0) gets
+    its subtree customer count and revenue. The classic recursive
+    rollup needs NO iteration here because ancestors are computable:
+    each per-customer row flat-maps to its ≤9-row ancestor chain and
+    ONE map-side-combined groupby folds the tree — the pattern for any
+    materialized-path / fixed-arity hierarchy at 100 TB (vs. the
+    join-per-level plans the iterative graph family uses when parents
+    are data). All integer cents; the oracle mirrors the chain with a
+    divisor table + DISTINCT (the engine's strictly-decreasing chain
+    and the divisor set collapse to the same node set)."""
+    orders = T(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def _fp(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "ck": b["o_custkey"],
+            "p": pa.array(_round_half_away(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64), pa.int64()),
+        })
+
+    per_cust = fast_groupby_agg(
+        orders.map_batches(_fp, batch_format="pyarrow"),
+        ["ck"], {"rev": ("p", "sum")})
+
+    def _ancestors(b: pa.Table) -> pa.Table:
+        ck = b["ck"].to_numpy(zero_copy_only=False)
+        if len(ck) and int(ck.max()) >= _HIER_DIVISORS[-1]:
+            raise ValueError("hierarchy_rollup assumes custkey < 10^8")
+        rev = b["rev"].to_numpy(zero_copy_only=False)
+        nodes, revs = [], []
+        for k, r in zip(ck, rev):
+            k, r = int(k), int(r)
+            while True:
+                nodes.append(k)
+                revs.append(r)
+                if k == 0:
+                    break
+                k //= 10
+        return pa.table({"node": pa.array(nodes, pa.int64()),
+                         "rev": pa.array(revs, pa.int64()),
+                         "one": pa.array(np.ones(len(nodes), np.int64))})
+
+    return fast_groupby_agg(
+        per_cust.map_batches(_ancestors, batch_format="pyarrow"),
+        ["node"],
+        {"n_customers": ("one", "sum"), "subtree_rev": ("rev", "sum")})
+
+
+def q_table_checksum(sf_dir):
+    """Order-invariant distributed table checksum — the replication /
+    migration integrity primitive: every row canonicalizes to a pinned
+    string, md5's leading 60 bits become an int64, and the table
+    digest is (Σ mod 2⁶³, XOR, count) — all three mergeable map-side,
+    so the exchange is three integers per block and the result is
+    independent of row order, partitioning, and parallelism. The
+    row-serialization contract (field order, '|' separator, cents,
+    epoch days) is pinned in the oracle SQL string itself."""
+    orders = T(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderdate", "o_orderpriority"])
+
+    def _h(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        st = b["o_orderstatus"].to_pylist()
+        p = _round_half_away(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        d = b["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000
+        pr = b["o_orderpriority"].to_pylist()
+        hs = np.fromiter(
+            (int(hashlib.md5(
+                f"{a}|{c}|{s}|{v}|{dd}|{q}".encode()).hexdigest()[:15], 16)
+             for a, c, s, v, dd, q in zip(ok, ck, st, p, d, pr)),
+            dtype=np.int64, count=len(ok))
+        acc_sum = 0
+        for h in hs:
+            acc_sum = (acc_sum + int(h)) % (2**63)
+        acc_xor = int(np.bitwise_xor.reduce(hs)) if len(hs) else 0
+        return pa.table({
+            "s": pa.array([acc_sum], pa.int64()),
+            "x": pa.array([acc_xor], pa.int64()),
+            "n": pa.array([len(hs)], pa.int64()),
+        })
+
+    parts = orders.map_batches(_h, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame([{
+        "checksum_sum": np.int64(int(parts["s"].astype(object).sum())
+                                 % (2**63)),
+        "checksum_xor": np.int64(np.bitwise_xor.reduce(
+            parts["x"].to_numpy(np.int64)) if len(parts) else 0),
+        "n_rows": np.int64(int(parts["n"].sum())),
+    }])
+
+
+ORACLES["hierarchy_rollup"] = """
+    WITH pc AS (
+        SELECT o_custkey AS ck,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+        FROM orders GROUP BY 1
+    ),
+    dv AS (SELECT CAST(pow(10, g) AS BIGINT) AS d
+           FROM unnest(generate_series(0, 8)) AS t(g)),
+    anc AS (SELECT DISTINCT ck, ck // d AS node, rev FROM pc, dv)
+    SELECT node,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(rev AS BIGINT)) AS BIGINT) AS subtree_rev
+    FROM anc GROUP BY node
+"""
+
+ORACLES["table_checksum"] = """
+    WITH h AS (
+        SELECT CAST(concat('0x', substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || '|' ||
+                   CAST(o_custkey AS VARCHAR) || '|' ||
+                   o_orderstatus || '|' ||
+                   CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                        AS VARCHAR) || '|' ||
+                   CAST(epoch_us(o_orderdate) // 86400000000
+                        AS VARCHAR) || '|' ||
+                   o_orderpriority), 1, 15)) AS BIGINT) AS v
+        FROM orders
+    )
+    SELECT CAST(CAST(sum(v) AS HUGEINT)
+                % 9223372036854775808 AS BIGINT) AS checksum_sum,
+           CAST(bit_xor(v) AS BIGINT) AS checksum_xor,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM h
 """

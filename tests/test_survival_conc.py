@@ -281,3 +281,41 @@ def test_window_range_sum_matches_bruteforce(ray_session, orders):
     # the own row is always inside its frame → sum ≥ own value
     m = df.set_index("ok")["v"]
     assert (got["range_sum"] >= m.reindex(got.index)).all()
+
+
+def test_hierarchy_rollup_conservation(ray_session, orders):
+    got = R.q_hierarchy_rollup(SF).to_pandas().set_index("node")
+    p = np.round(orders["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+    per_cust = pd.DataFrame({"ck": orders["o_custkey"], "p": p}) \
+        .groupby("ck")["p"].sum()
+    total = int(per_cust.sum())
+    # the root's subtree is the whole tree
+    assert int(got.loc[0, "subtree_rev"]) == total
+    assert int(got.loc[0, "n_customers"]) == len(per_cust)
+    # every leaf equals its own revenue
+    for ck, rev in per_cust.items():
+        assert int(got.loc[int(ck), "subtree_rev"]) >= int(rev)
+    # level-1 children partition the root (keys 1..9 plus leaf 0)
+    lvl1 = [n for n in got.index if 1 <= n <= 9]
+    own0 = int(per_cust.get(0, 0))
+    assert sum(int(got.loc[n, "subtree_rev"]) for n in lvl1) + own0 == total
+
+
+def test_table_checksum_order_invariant(ray_session, orders):
+    got = R.q_table_checksum(SF).iloc[0]
+    import hashlib as H
+    day = 86_400_000_000
+    acc_sum, acc_xor = 0, 0
+    # brute force in REVERSED row order — digest must not care
+    for _, r in orders.iloc[::-1].iterrows():
+        s = (f"{int(r['o_orderkey'])}|{int(r['o_custkey'])}|"
+             f"{r['o_orderstatus']}|"
+             f"{int(round(r['o_totalprice'] * 100))}|"
+             f"{int(r['o_orderdate'].value // 1000) // day}|"
+             f"{r['o_orderpriority']}")
+        h = int(H.md5(s.encode()).hexdigest()[:15], 16)
+        acc_sum = (acc_sum + h) % (2**63)
+        acc_xor ^= h
+    assert int(got["checksum_sum"]) == acc_sum
+    assert int(got["checksum_xor"]) == acc_xor
+    assert int(got["n_rows"]) == len(orders)
