@@ -9685,6 +9685,8 @@ def queries() -> dict:
         "window_range_sum": q_window_range_sum,
         "hierarchy_rollup": q_hierarchy_rollup,
         "table_checksum": q_table_checksum,
+        "running_median": q_running_median,
+        "source_knapsack": q_source_knapsack,
     }
 
 
@@ -13893,4 +13895,144 @@ ORACLES["table_checksum"] = """
            CAST(bit_xor(v) AS BIGINT) AS checksum_xor,
            CAST(count(*) AS BIGINT) AS n_rows
     FROM h
+"""
+
+
+def q_running_median(sf_dir):
+    """Order-sensitive running (cumulative) median of daily revenue —
+    the windowed-QUANTILE class (sum/rank windows are algebraic; a
+    running median needs an order-statistics structure). Distributed
+    part: the one day-histogram exchange; the walk is TIME-SPAN
+    bounded on the driver with an insertion-sorted buffer (the
+    two-heap equivalent), lower-median rank rule ceil(n/2) pinned by
+    the oracle's windowed quantile_disc(0.5). All integer cents."""
+    import bisect
+
+    orders = T(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def _day(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "d": pa.array(
+                b["o_orderdate"].cast(pa.int64()).to_numpy(
+                    zero_copy_only=False) // 86_400_000_000, pa.int64()),
+            "v": pa.array(_round_half_away(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64), pa.int64()),
+        })
+
+    vc = fast_groupby_agg(
+        orders.map_batches(_day, batch_format="pyarrow"),
+        ["d"], {"v": ("v", "sum")}).to_pandas().sort_values("d")
+    buf: list[int] = []
+    rows = []
+    for d, v in zip(vc["d"].astype(int), vc["v"].astype(int)):
+        bisect.insort(buf, v)
+        rows.append({"d": np.int64(d), "v": np.int64(v),
+                     "run_med": np.int64(buf[(len(buf) + 1) // 2 - 1])})
+    return pd.DataFrame(rows)
+
+
+_KNAPSACK_MAX_SOURCES = 20
+
+
+def q_source_knapsack(sf_dir, budget_pct: int = 60):
+    """Exact 0/1-knapsack source selection — choose the subset of
+    corpus sources maximizing content value (docs containing 'the' —
+    the stand-in for a quality score) under a character budget (60% of
+    the corpus), the data-mixing decision a token-budgeted training
+    run actually makes (greedy set_cover's optimal sibling). The
+    distributed part is ONE per-source (value, weight) fold; the
+    source domain is tiny by nature, so exhaustive 2^k enumeration on
+    the driver IS the spec (vectorized numpy bit folds, guarded at 20
+    sources ≈ 1M masks; beyond that a dp over quantized budget
+    replaces it), and the oracle enumerates the same masks with bit
+    arithmetic. Ties pinned: value DESC, weight ASC, mask ASC over
+    lexicographically bit-indexed sources."""
+    docs = T(sf_dir, "documents", ["source", "text", "n_chars"])
+
+    def _vw(b: pa.Table) -> pa.Table:
+        has = pc.match_substring(b["text"], "the")
+        return pa.table({
+            "source": b["source"],
+            "val": pa.array(
+                has.to_numpy(zero_copy_only=False).astype(np.int64),
+                pa.int64()),
+            "w": b["n_chars"],
+        })
+
+    sv = fast_groupby_agg(
+        docs.map_batches(_vw, batch_format="pyarrow"),
+        ["source"], {"val": ("val", "sum"), "w": ("w", "sum")}
+    ).to_pandas().sort_values("source").reset_index(drop=True)
+    k = len(sv)
+    if k > _KNAPSACK_MAX_SOURCES:
+        raise ValueError("source_knapsack enumerates 2^k; k too large")
+    vals = [int(v) for v in sv["val"]]
+    ws = [int(w) for w in sv["w"]]
+    budget = sum(ws) * budget_pct // 100
+    masks = np.arange(1 << k, dtype=np.int64)
+    tv = np.zeros(1 << k, dtype=np.int64)
+    tw = np.zeros(1 << k, dtype=np.int64)
+    for i in range(k):
+        bit = (masks >> i) & 1
+        tv += bit * vals[i]
+        tw += bit * ws[i]
+    feas = tw <= budget
+    order = np.lexsort((masks[feas], tw[feas], -tv[feas]))
+    mask = int(masks[feas][order[0]])
+    tv, tw = int(tv[feas][order[0]]), int(tw[feas][order[0]])
+    return pd.DataFrame([{
+        "source": s, "chosen": np.int64((mask >> i) & 1),
+        "val": np.int64(vals[i]), "w": np.int64(ws[i]),
+        "total_val": np.int64(tv), "total_w": np.int64(tw),
+    } for i, s in enumerate(sv["source"])])
+
+
+ORACLES["running_median"] = """
+    WITH m AS (
+        SELECT epoch_us(o_orderdate) // 86400000000 AS d,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM orders GROUP BY 1
+    )
+    SELECT d, v,
+           CAST(quantile_disc(v, 0.5) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS run_med
+    FROM m
+"""
+
+ORACLES["source_knapsack"] = """
+    WITH sv AS (
+        SELECT source,
+               CAST(sum(CASE WHEN contains(text, 'the')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS val,
+               CAST(sum(n_chars) AS BIGINT) AS w,
+               row_number() OVER (ORDER BY source) - 1 AS i
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(w) * 60 // 100 AS BIGINT) AS budget,
+                   count(*) AS k FROM sv),
+    masks AS (
+        SELECT CAST(gs AS BIGINT) AS mask
+        FROM tot, unnest(generate_series(
+             0, CAST(pow(2, k) AS BIGINT) - 1)) AS t(gs)
+    ),
+    scored AS (
+        SELECT m.mask,
+               CAST(COALESCE(sum(CASE WHEN (m.mask >> s.i) & 1 = 1
+                    THEN s.val END), 0) AS BIGINT) AS tv,
+               CAST(COALESCE(sum(CASE WHEN (m.mask >> s.i) & 1 = 1
+                    THEN s.w END), 0) AS BIGINT) AS tw
+        FROM masks m, sv s GROUP BY m.mask
+    ),
+    best AS (
+        SELECT mask, tv, tw FROM scored, tot WHERE tw <= budget
+        ORDER BY tv DESC, tw ASC, mask ASC LIMIT 1
+    )
+    SELECT s.source,
+           CAST((b.mask >> s.i) & 1 AS BIGINT) AS chosen,
+           s.val, s.w,
+           b.tv AS total_val, b.tw AS total_w
+    FROM sv s, best b
 """

@@ -319,3 +319,42 @@ def test_table_checksum_order_invariant(ray_session, orders):
     assert int(got["checksum_sum"]) == acc_sum
     assert int(got["checksum_xor"]) == acc_xor
     assert int(got["n_rows"]) == len(orders)
+
+
+def test_running_median_matches_bruteforce(ray_session, orders):
+    got = R.q_running_median(SF).sort_values("d").reset_index(drop=True)
+    day = 86_400_000_000
+    df = pd.DataFrame({
+        "d": orders["o_orderdate"].astype("int64") // day,
+        "v": np.round(orders["o_totalprice"].to_numpy() * 100.0)
+        .astype(np.int64),
+    }).groupby("d")["v"].sum().sort_index()
+    vs = df.to_numpy()
+    for i in range(len(vs)):
+        pre = np.sort(vs[:i + 1])
+        assert int(got["run_med"].iloc[i]) == int(pre[(i + 2) // 2 - 1])
+
+
+def test_source_knapsack_optimality(ray_session):
+    got = R.q_source_knapsack(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    per = docs.assign(val=docs["text"].str.contains("the").astype(int)) \
+        .groupby("source").agg(val=("val", "sum"), w=("n_chars", "sum")) \
+        .sort_index()
+    budget = int(per["w"].sum()) * 60 // 100
+    vals = per["val"].to_list()
+    ws = per["w"].to_list()
+    k = len(per)
+    best_v, best_w = -1, None
+    for mask in range(1 << k):
+        tv = sum(vals[i] for i in range(k) if (mask >> i) & 1)
+        tw = sum(ws[i] for i in range(k) if (mask >> i) & 1)
+        if tw <= budget and (tv > best_v or (tv == best_v
+                                             and tw < best_w)):
+            best_v, best_w = tv, tw
+    assert int(got["total_val"].iloc[0]) == best_v
+    assert int(got["total_w"].iloc[0]) == best_w
+    chosen_w = int((got["chosen"] * got["w"]).sum())
+    chosen_v = int((got["chosen"] * got["val"]).sum())
+    assert (chosen_v, chosen_w) == (best_v, best_w)
+    assert chosen_w <= budget
