@@ -9687,6 +9687,8 @@ def queries() -> dict:
         "table_checksum": q_table_checksum,
         "running_median": q_running_median,
         "source_knapsack": q_source_knapsack,
+        "calibration_bins": q_calibration_bins,
+        "seasonal_strength": q_seasonal_strength,
     }
 
 
@@ -14035,4 +14037,189 @@ ORACLES["source_knapsack"] = """
            s.val, s.w,
            b.tv AS total_val, b.tw AS total_w
     FROM sv s, best b
+"""
+
+
+def q_calibration_bins(sf_dir, n_bins: int = 10):
+    """Model-calibration reliability table — confidence-decile vs
+    accuracy, the diagram every scorer ships with: q_batch_inference
+    logits join ground truth (label % 3), rows bucket by EQUAL-WIDTH
+    bins over the logit range (min/max from one aggregate — rank-free,
+    so no sort), and each bin reports count + correct + integer ×10⁶
+    accuracy. Everything is integer arithmetic over exact logits; bin
+    index ⌊(logit−lo)·B/(hi−lo+1)⌋ is one integer cross-multiplication
+    mirrored in SQL. The exchange is the B-row bin table."""
+    from .queries import q_batch_inference
+
+    pred = q_batch_inference(sf_dir).materialize()
+    from ray.data.aggregate import Max, Min
+
+    dom = pred.aggregate(Min("best_logit_fp"), Max("best_logit_fp"))
+    lo, hi = int(dom["min(best_logit_fp)"]), int(dom["max(best_logit_fp)"])
+    span = hi - lo + 1
+    emb = T(sf_dir, "embeddings", ["vec_id", "label"])
+
+    def _truth(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "vid_r": b["vec_id"],
+            "truth": pa.array(
+                b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+                % 3, pa.int64()),
+        })
+
+    j = pred.join(emb.map_batches(_truth, batch_format="pyarrow"),
+                  "inner", num_partitions=4,
+                  on=("vec_id",), right_on=("vid_r",))
+
+    def _bin(b: pa.Table) -> pa.Table:
+        lg = b["best_logit_fp"].to_numpy(zero_copy_only=False)
+        ok = (b["pred"].to_numpy(zero_copy_only=False)
+              == b["truth"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "bin": pa.array((lg - lo) * n_bins // span, pa.int64()),
+            "ok": pa.array(ok.astype(np.int64), pa.int64()),
+        })
+
+    g = fast_groupby_agg(
+        j.map_batches(_bin, batch_format="pyarrow"),
+        ["bin"], {"n": (None, "count"), "correct": ("ok", "sum")}
+    ).to_pandas().sort_values("bin").reset_index(drop=True)
+    return pd.DataFrame({
+        "bin": g["bin"].astype(np.int64),
+        "n": g["n"].astype(np.int64),
+        "correct": g["correct"].astype(np.int64),
+        "acc_fp": (g["correct"].astype(np.int64) * 10**6
+                   // g["n"].astype(np.int64)),
+    })
+
+
+def q_seasonal_strength(sf_dir):
+    """Weekday-seasonality strength of daily revenue — F_seasonal =
+    1 − Var(residual)/Var(series), the STL decomposition's headline
+    statistic with the seasonal component taken as weekday means.
+    Every moment is an EXACT integer: the total deviation mass
+    Vt = Σ(n·x_t − S)² and per-weekday residual masses
+    A_w = Σ_{t∈w}(n_w·x_t − S_w)² come straight from the one
+    day-histogram exchange (HUGEINT/DECIMAL(38,0) in the oracle,
+    Python ints here); each A_w is ×10⁹-quantized BEFORE the 7-term
+    cross-weekday sum (the anova_f per-term policy — the sum is then
+    association-order-free), and the finale is one mirrored float
+    tree. The exchange is the TIME-SPAN-sized day table."""
+    orders = T(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def _day(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "d": pa.array(
+                b["o_orderdate"].cast(pa.int64()).to_numpy(
+                    zero_copy_only=False) // 86_400_000_000, pa.int64()),
+            "v": pa.array(_round_half_away(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64), pa.int64()),
+        })
+
+    vc = fast_groupby_agg(
+        orders.map_batches(_day, batch_format="pyarrow"),
+        ["d"], {"v": ("v", "sum")}).to_pandas()
+    d = [int(x) for x in vc["d"]]
+    x = [int(v) for v in vc["v"]]
+    n = len(x)
+    s = sum(x)
+    vt = sum((n * xi - s) ** 2 for xi in x)
+    wsum = {w: 0 for w in range(7)}
+    wcnt = {w: 0 for w in range(7)}
+    for di, xi in zip(d, x):
+        wsum[di % 7] += xi
+        wcnt[di % 7] += 1
+    aw = {w: 0 for w in range(7) if wcnt[w]}
+    for di, xi in zip(d, x):
+        w = di % 7
+        aw[w] += (wcnt[w] * xi - wsum[w]) ** 2
+    # per-weekday DIMENSIONLESS ratio term, ×1e9-quantized BEFORE the
+    # 7-term sum (order-free; each ≲ 1e9 so int64-safe at any sf):
+    # Var(res)/Var(tot) = Σ_w A_w·n²/(n_w²·Vt); strength stays integer
+    sres = sum(int(_round_half_away(np.array(
+        [float(a) * (n * n) / (wcnt[w] * wcnt[w]) / float(vt)
+         * 1_000_000_000.0]))[0])
+        for w, a in aw.items())
+    return pd.DataFrame([{
+        "n_days": np.int64(n),
+        "strength_fp": np.int64(1_000_000_000 - sres),
+    }])
+
+
+ORACLES["calibration_bins"] = """
+    WITH e AS (
+        SELECT vec_id, gs - 1 AS j,
+               CAST(round(CAST(embedding[gs] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS efp
+        FROM embeddings,
+             unnest(generate_series(1, len(embedding))) AS t(gs)
+    ),
+    l AS (
+        SELECT vec_id, c,
+               CAST(sum(efp * (((j * 31 + c * 17) % 7) - 3))
+                    AS BIGINT) AS logit_fp
+        FROM e, unnest(generate_series(0, 2)) AS cc(c)
+        GROUP BY vec_id, c
+    ),
+    r AS (
+        SELECT vec_id, c, logit_fp, row_number() OVER (
+            PARTITION BY vec_id ORDER BY logit_fp DESC, c) AS rn
+        FROM l
+    ),
+    p AS (
+        SELECT r.vec_id, CAST(r.c AS BIGINT) AS pred,
+               r.logit_fp AS lg,
+               CAST(emb.label % 3 AS BIGINT) AS truth
+        FROM r JOIN embeddings emb ON emb.vec_id = r.vec_id
+        WHERE rn = 1
+    ),
+    dom AS (SELECT min(lg) AS lo, max(lg) - min(lg) + 1 AS span FROM p)
+    SELECT (p.lg - d.lo) * 10 // d.span AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN pred = truth THEN 1 ELSE 0 END)
+                AS BIGINT) AS correct,
+           CAST(sum(CASE WHEN pred = truth THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS acc_fp
+    FROM p, dom d
+    GROUP BY 1
+"""
+
+ORACLES["seasonal_strength"] = """
+    WITH m AS (
+        SELECT epoch_us(o_orderdate) // 86400000000 AS d,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT count(*) AS n, CAST(sum(v) AS BIGINT) AS s FROM m),
+    vt AS (
+        SELECT CAST(sum(CAST(
+                   (CAST(t.n AS HUGEINT) * m.v - t.s)
+                   * (CAST(t.n AS HUGEINT) * m.v - t.s)
+                   AS DECIMAL(38, 0))) AS HUGEINT) AS vtot
+        FROM m, tot t
+    ),
+    wk AS (
+        SELECT d % 7 AS w, count(*) AS nw,
+               CAST(sum(v) AS BIGINT) AS sw
+        FROM m GROUP BY 1
+    ),
+    aw AS (
+        SELECT w.w, w.nw,
+               CAST(sum(CAST(
+                   (CAST(w.nw AS HUGEINT) * m.v - w.sw)
+                   * (CAST(w.nw AS HUGEINT) * m.v - w.sw)
+                   AS DECIMAL(38, 0))) AS HUGEINT) AS a
+        FROM m JOIN wk w ON m.d % 7 = w.w GROUP BY w.w, w.nw
+    ),
+    tq AS (
+        SELECT CAST(sum(CAST(round(CAST(a AS DOUBLE) * (t.n * t.n)
+                   / (nw * nw) / CAST(v.vtot AS DOUBLE)
+                   * 1000000000.0) AS BIGINT)) AS BIGINT) AS sres
+        FROM aw, tot t, vt v
+    )
+    SELECT CAST(t.n AS BIGINT) AS n_days,
+           CAST(1000000000 - q.sres AS BIGINT) AS strength_fp
+    FROM tq q, tot t
 """

@@ -358,3 +358,33 @@ def test_source_knapsack_optimality(ray_session):
     chosen_v = int((got["chosen"] * got["val"]).sum())
     assert (chosen_v, chosen_w) == (best_v, best_w)
     assert chosen_w <= budget
+
+
+def test_calibration_bins_consistency(ray_session):
+    got = R.q_calibration_bins(SF)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    assert int(got["n"].sum()) == len(emb)
+    assert (got["bin"] >= 0).all() and (got["bin"] <= 9).all()
+    assert (got["correct"] <= got["n"]).all()
+    for _, r in got.iterrows():
+        assert int(r["acc_fp"]) == int(r["correct"]) * 10**6 // int(r["n"])
+
+
+def test_seasonal_strength_matches_float_reference(ray_session, orders):
+    got = R.q_seasonal_strength(SF).iloc[0]
+    day = 86_400_000_000
+    df = pd.DataFrame({
+        "d": orders["o_orderdate"].astype("int64") // day,
+        "v": np.round(orders["o_totalprice"].to_numpy() * 100.0)
+        .astype(np.int64),
+    }).groupby("d")["v"].sum().reset_index()
+    x = df["v"].to_numpy(np.float64)
+    w = (df["d"].to_numpy() % 7)
+    wmean = pd.Series(x).groupby(w).transform("mean").to_numpy()
+    var_tot = ((x - x.mean()) ** 2).sum()
+    var_res = ((x - wmean) ** 2).sum()
+    want = 1.0 - var_res / var_tot
+    assert int(got["n_days"]) == len(x)
+    assert abs(int(got["strength_fp"]) / 1e9 - want) < 1e-5
+    # residual variance can never exceed total (weekday means minimize)
+    assert int(got["strength_fp"]) >= -7  # per-term rounding slack only
