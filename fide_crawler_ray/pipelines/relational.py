@@ -9689,6 +9689,7 @@ def queries() -> dict:
         "source_knapsack": q_source_knapsack,
         "calibration_bins": q_calibration_bins,
         "seasonal_strength": q_seasonal_strength,
+        "reset_cumsum": q_reset_cumsum,
     }
 
 
@@ -14222,4 +14223,64 @@ ORACLES["seasonal_strength"] = """
     SELECT CAST(t.n AS BIGINT) AS n_days,
            CAST(1000000000 - q.sres AS BIGINT) AS strength_fp
     FROM tq q, tot t
+"""
+
+
+def q_reset_cumsum(sf_dir):
+    """Cumulative sum with RESET markers — per user, event values
+    accumulate in order and restart at every 'signup' event (the
+    odometer / session-scoped-accumulator scan; a running total that
+    is NOT a plain window because the frame boundary is data-driven).
+    Plan: one hash shuffle by user, per-group vectorized two-level
+    cumsum (global cumsum minus the cumsum at the last reset —
+    no Python loop); the oracle expresses the same thing with the
+    count-of-resets-so-far window-partition trick. Values are ×10⁶
+    integer fixed point; ties ordered by (ts, event_id) — a total
+    order, pinned on both sides."""
+    ev = T(sf_dir, "events", ["user_id", "event_type", "ts", "event_id",
+                              "value"])
+
+    def _scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        v = _round_half_away(g["value"].to_numpy() * 1e6).astype(np.int64)
+        reset = (g["event_type"].to_numpy() == "signup")
+        cum = np.cumsum(v)
+        # cumsum value just BEFORE the most recent reset row (the reset
+        # row itself starts the new run with its own value); the last
+        # reset is tracked by POSITION so negative values are safe
+        n = len(v)
+        pos = np.where(reset, np.arange(n), -1)
+        last_pos = np.maximum.accumulate(pos)
+        base_at_reset = cum - v
+        base = np.where(last_pos >= 0,
+                        base_at_reset[np.maximum(last_pos, 0)], 0)
+        run_sum = cum - base
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "run_sum": run_sum.astype(np.int64),
+        })
+
+    return ev.groupby("user_id").map_groups(_scan, batch_format="pandas")
+
+
+ORACLES["reset_cumsum"] = """
+    WITH m AS (
+        SELECT user_id, event_id, ts,
+               CAST(round(value * 1000000) AS BIGINT) AS v,
+               CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS rs
+        FROM events
+    ),
+    g AS (
+        SELECT *, CAST(sum(rs) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS grp
+        FROM m
+    )
+    SELECT event_id,
+           CAST(sum(v) OVER (PARTITION BY user_id, grp
+                ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS run_sum
+    FROM g
 """

@@ -388,3 +388,18 @@ def test_seasonal_strength_matches_float_reference(ray_session, orders):
     assert abs(int(got["strength_fp"]) / 1e9 - want) < 1e-5
     # residual variance can never exceed total (weekday means minimize)
     assert int(got["strength_fp"]) >= -7  # per-term rounding slack only
+
+
+def test_reset_cumsum_matches_bruteforce(ray_session):
+    got = R.q_reset_cumsum(SF).to_pandas().set_index("event_id")
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"])
+    for _, g in ev.groupby("user_id"):
+        run = 0
+        for _, r in g.iterrows():
+            v = int(round(r["value"] * 1e6))
+            if r["event_type"] == "signup":
+                run = v
+            else:
+                run += v
+            assert int(got.loc[int(r["event_id"]), "run_sum"]) == run
