@@ -9690,6 +9690,9 @@ def queries() -> dict:
         "calibration_bins": q_calibration_bins,
         "seasonal_strength": q_seasonal_strength,
         "reset_cumsum": q_reset_cumsum,
+        "ttl_dedup": q_ttl_dedup,
+        "decayed_counts": q_decayed_counts,
+        "temperature_mix": q_temperature_mix,
     }
 
 
@@ -14283,4 +14286,172 @@ ORACLES["reset_cumsum"] = """
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS BIGINT) AS run_sum
     FROM g
+"""
+
+
+def q_ttl_dedup(sf_dir, ttl_days: int = 7):
+    """Streaming TTL dedup: keep an event iff it is the first for its
+    (user, event_type) key, OR its ts is at least TTL after the last
+    KEPT event of that key — the suppression CHAIN of a streaming dedup
+    operator with a time-to-live cache (an emitted event arms the
+    suppressor for TTL; suppressed events do NOT re-arm it). This is
+    data-dependent like reset_cumsum but worse: the frame boundary
+    depends on prior *decisions*, so no window function expresses it.
+    Plan: ONE hash shuffle by user_id, then a per-key searchsorted walk
+    that jumps kept-row → kept-row in O(kept · log n) without touching
+    suppressed rows. The oracle states the identical chain as a
+    recursive CTE whose step is a LATERAL next-kept probe (first row
+    by (ts, event_id) with ts ≥ kept.ts + TTL). Ties are total-ordered
+    by (ts, event_id) on both sides; the ≥-at-boundary rule is pinned
+    by side='left' ↔ `ts >= k.ts + INTERVAL`."""
+    ev = T(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+    ttl = np.timedelta64(ttl_days * 86_400 * 10**9, "ns")
+
+    def _walk(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for et, sub in g.groupby("event_type", sort=False):
+            sub = sub.sort_values(["ts", "event_id"], kind="mergesort")
+            ts = sub["ts"].to_numpy(dtype="datetime64[ns]")
+            ids = sub["event_id"].to_numpy()
+            keep, pos, n = [], 0, len(ts)
+            while pos < n:
+                keep.append(pos)
+                pos = int(np.searchsorted(ts, ts[pos] + ttl, side="left"))
+            frames.append(pd.DataFrame({
+                "event_type": et, "event_id": ids[keep]}))
+        out = pd.concat(frames, ignore_index=True)
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        return out
+
+    return ev.groupby("user_id").map_groups(_walk, batch_format="pandas")
+
+
+ORACLES["ttl_dedup"] = """
+    WITH RECURSIVE k AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM (SELECT user_id, event_type, ts, event_id,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts, event_id) AS rn
+              FROM events)
+        WHERE rn = 1
+        UNION ALL
+        SELECT n.user_id, n.event_type, n.ts, n.event_id
+        FROM k, LATERAL (
+            SELECT user_id, event_type, ts, event_id FROM events e
+            WHERE e.user_id = k.user_id AND e.event_type = k.event_type
+              AND e.ts >= k.ts + INTERVAL 7 DAY
+            ORDER BY ts, event_id LIMIT 1
+        ) n
+    )
+    SELECT user_id, event_type, event_id FROM k
+"""
+
+
+# exp2(-r/H) sub-period decay factors: computed ONCE here (numpy libm)
+# and INJECTED into the oracle SQL verbatim at 17 significant digits,
+# so no transcendental is ever re-evaluated by the second engine — the
+# hardened form of grouped_entropy's quantize-before-sum policy (the
+# 1-ULP libm-divergence hazard flagged in round-2 ADVICE cannot occur
+# when both sides read the same literal).
+_DECAY_HALF_LIFE_DAYS = 30
+_DECAY_LUT = np.exp2(-(np.arange(_DECAY_HALF_LIFE_DAYS)
+                       / float(_DECAY_HALF_LIFE_DAYS)))
+
+
+def q_decayed_counts(sf_dir):
+    """Exponentially time-decayed event counts per type (half-life 30
+    days, as-of the global max event date) — the freshness-weighted
+    popularity statistic of every feed/trending system. Exactness:
+    2^(-age/H) factors as ldexp(lut[age % H], -(age // H)); ldexp is
+    EXACT power-of-two scaling (mirrored in SQL as division by
+    1 << q, also exact), and the H lut constants are shared literals —
+    so every per-event term is bit-identical on both sides before ×1e9
+    quantization; the int64 sum is association-order-free. Plan: one
+    scalar max (distributed), then a vectorized map + map-side-combined
+    groupby over the ≤5-type domain. q is clamped at 62 on both sides
+    (the term quantizes to 0 long before that at any data span)."""
+    ev = T(sf_dir, "events", ["event_type", "ts"])
+    gmax = np.datetime64(ev.max("ts"), "ns").astype("datetime64[D]")
+    H = _DECAY_HALF_LIFE_DAYS
+
+    def _terms(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[D]")
+        age = (gmax - ts).astype(np.int64)
+        q = np.minimum(age // H, 62)
+        term = np.ldexp(_DECAY_LUT[age % H], -q)
+        return pa.table({
+            "event_type": b["event_type"],
+            "fp": pa.array(_round_half_away(term * 1e9).astype(np.int64)),
+        })
+
+    return fast_groupby_agg(
+        ev.map_batches(_terms, batch_format="pyarrow"),
+        ["event_type"], {"decay_fp": ("fp", "sum"), "n": (None, "count")})
+
+
+def _decayed_counts_oracle() -> str:
+    lut_rows = ", ".join(
+        f"({r}, {v:.17g})" for r, v in enumerate(_DECAY_LUT))
+    return f"""
+    WITH lut(r, v) AS (VALUES {lut_rows}),
+    m AS (
+        SELECT event_type,
+               date_diff('day', CAST(ts AS DATE),
+                         (SELECT max(CAST(ts AS DATE)) FROM events)) AS age
+        FROM events
+    )
+    SELECT m.event_type,
+           CAST(sum(CAST(round(
+                lut.v / CAST(1::BIGINT << LEAST(m.age // {_DECAY_HALF_LIFE_DAYS}, 62)
+                             AS DOUBLE)
+                * 1000000000) AS BIGINT)) AS BIGINT) AS decay_fp,
+           count(*) AS n
+    FROM m JOIN lut ON lut.r = m.age % {_DECAY_HALF_LIFE_DAYS}
+    GROUP BY m.event_type
+    """
+
+
+ORACLES["decayed_counts"] = _decayed_counts_oracle()
+
+
+def q_temperature_mix(sf_dir):
+    """Temperature-scaled source mixing weights, w_s ∝ n_s^(1/2) — the
+    multilingual/multi-source rebalancing rule (upweight small sources,
+    temperature T=2) from multilingual-LM data work. Exactness: sqrt is
+    CORRECTLY ROUNDED under IEEE 754 (unlike pow/exp), so numpy and
+    DuckDB agree bit-for-bit on n^0.5; weights quantize ×1e9 to int64,
+    and the ppm share is an exact integer cross floor-division done in
+    Python ints (no overflow at any corpus size) ↔ HUGEINT/
+    DECIMAL(38,0) in SQL. Plan: map-side-combined count per source
+    (source domain ≤ tens of rows at any scale), driver finale over
+    that domain-bounded frame."""
+    counts = fast_groupby_agg(
+        T(sf_dir, "documents", ["source"]),
+        ["source"], {"n_docs": (None, "count")})
+    pdf = counts.to_pandas()  # source-domain-sized
+    n = pdf["n_docs"].to_numpy().astype(np.float64)
+    w = _round_half_away(np.sqrt(n) * 1e9).astype(np.int64)
+    tot = int(w.sum())
+    return pa.table({
+        "source": pa.array(pdf["source"].astype(str)),
+        "n_docs": pa.array(pdf["n_docs"].to_numpy().astype(np.int64)),
+        "w_fp": pa.array(w),
+        "share_ppm": pa.array(
+            np.array([int(x) * 1_000_000 // tot for x in w],
+                     dtype=np.int64)),
+    })
+
+
+ORACLES["temperature_mix"] = """
+    WITH c AS (SELECT source, count(*) AS n_docs FROM documents
+               GROUP BY source),
+    w AS (SELECT source, n_docs,
+                 CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1000000000)
+                      AS BIGINT) AS w_fp
+          FROM c)
+    SELECT source, n_docs, w_fp,
+           CAST(CAST(w_fp AS HUGEINT) * 1000000
+                // CAST(sum(CAST(w_fp AS DECIMAL(38,0))) OVER ()
+                        AS HUGEINT) AS BIGINT) AS share_ppm
+    FROM w
 """
