@@ -9693,6 +9693,8 @@ def queries() -> dict:
         "ttl_dedup": q_ttl_dedup,
         "decayed_counts": q_decayed_counts,
         "temperature_mix": q_temperature_mix,
+        "salted_join": q_salted_join,
+        "partition_prune_read": q_partition_prune_read,
     }
 
 
@@ -14454,4 +14456,134 @@ ORACLES["temperature_mix"] = """
                 // CAST(sum(CAST(w_fp AS DECIMAL(38,0))) OVER ()
                         AS HUGEINT) AS BIGINT) AS share_ppm
     FROM w
+"""
+
+
+def q_salted_join(sf_dir, n_salts: int = 8):
+    """Skew-mitigating SALTED shuffle join: revenue per market segment
+    via orders ⋈ customer where one hot customer key would otherwise
+    pin an entire shuffle partition to one task. The probe side
+    (orders) gets salt = splitmix64(o_orderkey) % S — a hot key's rows
+    spread across S partitions — and the build side (customer) is
+    replicated S× with salts 0..S−1 (bounded: S · |dim| rows, and the
+    dim side is the SMALL side by construction). Joining on
+    (key, salt) is then EXACTLY the plain key join, pinned here by the
+    plain-SQL oracle and by a salted-vs-unsalted equality test. This is
+    the standard hot-key fix for joins that carry row-level payloads,
+    where fastagg's map-side pre-aggregation (the other skew weapon)
+    does not apply. Revenue is ×100 integer cents end to end."""
+    from ..functions.sketches import _splitmix64
+
+    def _salt_orders(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table({
+            "o_custkey": b["o_custkey"],
+            "cents": pa.array(_round_half_away(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)),
+            "salt": pa.array(
+                (_splitmix64(k) % np.uint64(n_salts)).astype(np.int64)),
+        })
+
+    def _replicate_cust(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        idx = np.repeat(np.arange(n), n_salts)
+        return pa.table({
+            "c_custkey": b["c_custkey"].take(pa.array(idx)),
+            "c_mktsegment": b["c_mktsegment"].take(pa.array(idx)),
+            "salt": pa.array(np.tile(np.arange(n_salts, dtype=np.int64), n)),
+        })
+
+    orders = T(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_totalprice"],
+               target_block_mb=32, min_blocks=8).map_batches(
+        _salt_orders, batch_format="pyarrow")
+    cust = T(sf_dir, "customer", ["c_custkey", "c_mktsegment"],
+             target_block_mb=32, min_blocks=4).map_batches(
+        _replicate_cust, batch_format="pyarrow")
+    j = orders.join(cust, "inner", num_partitions=8,
+                    on=("o_custkey", "salt"),
+                    right_on=("c_custkey", "salt"))
+    return fast_groupby_agg(j, ["c_mktsegment"], {
+        "revenue_c": ("cents", "sum"),
+        "n_orders": (None, "count"),
+    })
+
+
+ORACLES["salted_join"] = """
+    SELECT c_mktsegment,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_c,
+           count(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+"""
+
+
+def q_partition_prune_read(sf_dir):
+    """Path-level partition pruning: events written ONCE as
+    hive-partitioned Parquet (one directory per event_type — the
+    resumable layout), then a reader that needs only two types reads
+    ONLY those two partition DIRECTORIES — no other partition's files
+    are listed, opened, or filtered (directory pruning is a stronger
+    guarantee than row-group zone-map pruning, which still lists every
+    file: see q_zone_map_pruning for that tier). The in-query audit
+    asserts every input file of the pruned read lives under the two
+    selected dirs; the oracle recomputes the per-type monthly counts
+    from the source table, value-checking the sink → pruned-read →
+    aggregate path end to end."""
+    import shutil
+
+    import ray.data as rd
+
+    root = f"/tmp/fcray_prune_{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+    try:
+        # etype duplicates the partition column INSIDE the files: explicit
+        # file-path reads (below) skip hive-partition inference, and a
+        # real table layout keeps the partition key queryable either way
+        T(sf_dir, "events", ["event_id", "event_type", "ts"]).map_batches(
+            lambda b: pa.table({
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "etype": b["event_type"],
+                "month": pc.strftime(b["ts"], format="%Y-%m"),
+            }),
+            batch_format="pyarrow",
+        ).write_parquet(root, partition_cols=["event_type"])
+
+        want = ["click", "purchase"]
+        # ray 2.49 read_parquet expands ONE root dir but not a LIST of
+        # dirs — list the partition files explicitly (this is also what
+        # a manifest-driven reader would do)
+        paths = sorted(
+            f"{root}/event_type={t}/{f}" for t in want
+            if os.path.isdir(f"{root}/event_type={t}")
+            for f in os.listdir(f"{root}/event_type={t}")
+            if f.endswith(".parquet"))
+        back = rd.read_parquet(paths)
+        files = back.input_files()
+        assert files and all(
+            any(f"/event_type={t}/" in f or f.rsplit("/", 2)[-2] ==
+                f"event_type={t}" for t in want) for f in files), \
+            f"pruned read touched a foreign partition: {files[:3]}"
+        got = fast_groupby_agg(back, ["etype", "month"],
+                               {"n": (None, "count")})
+        return got.map_batches(
+            lambda b: pa.table({
+                "event_type": pc.cast(b["etype"], pa.string()),
+                "month": pc.cast(b["month"], pa.string()),
+                "n": b["n"],
+            }),
+            batch_format="pyarrow",
+        ).to_pandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ORACLES["partition_prune_read"] = """
+    SELECT event_type, strftime(ts, '%Y-%m') AS month, count(*) AS n
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type, month
 """

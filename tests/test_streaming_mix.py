@@ -87,3 +87,41 @@ def test_temperature_mix_flattens_distribution(ray_session, documents):
     s = got["share_ppm"].to_numpy().astype(float)
     if n.max() > n.min():
         assert s.max() / s.min() < n.max() / n.min()
+
+
+def test_salted_join_equals_unsalted_reference(ray_session):
+    got = (R.q_salted_join(SF).to_pandas()
+           .sort_values("c_mktsegment").reset_index(drop=True))
+    o = pd.read_parquet(f"{SF}/orders.parquet",
+                        columns=["o_custkey", "o_totalprice"])
+    c = pd.read_parquet(f"{SF}/customer.parquet",
+                        columns=["c_custkey", "c_mktsegment"])
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["cents"] = np.round(j["o_totalprice"] * 100.0).astype(np.int64)
+    ref = (j.groupby("c_mktsegment")
+           .agg(revenue_c=("cents", "sum"), n_orders=("cents", "size"))
+           .reset_index().sort_values("c_mktsegment")
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["c_mktsegment", "revenue_c", "n_orders"]], ref)
+
+
+def test_salted_join_salt_count_invariance(ray_session):
+    # the salted plan is salt-count-invariant: S=3 and S=8 agree exactly
+    a = (R.q_salted_join(SF, n_salts=3).to_pandas()
+         .sort_values("c_mktsegment").reset_index(drop=True))
+    b = (R.q_salted_join(SF, n_salts=8).to_pandas()
+         .sort_values("c_mktsegment").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_partition_prune_read_matches_reference(ray_session, events):
+    got = (R.q_partition_prune_read(SF)
+           .sort_values(["event_type", "month"]).reset_index(drop=True))
+    df = events[events["event_type"].isin(["click", "purchase"])].copy()
+    df["month"] = df["ts"].dt.strftime("%Y-%m")
+    ref = (df.groupby(["event_type", "month"]).size().rename("n")
+           .reset_index().sort_values(["event_type", "month"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got, ref.astype({"n": np.int64}), check_dtype=False)
