@@ -9695,6 +9695,7 @@ def queries() -> dict:
         "temperature_mix": q_temperature_mix,
         "salted_join": q_salted_join,
         "partition_prune_read": q_partition_prune_read,
+        "bootstrap_ci": q_bootstrap_ci,
     }
 
 
@@ -14587,3 +14588,103 @@ ORACLES["partition_prune_read"] = """
     WHERE event_type IN ('click', 'purchase')
     GROUP BY event_type, month
 """
+
+
+# Poisson(1) inverse-CDF thresholds at 8-bit resolution:
+# floor(256 · P[X ≤ k]) for k = 0..4 — a row's bootstrap weight in
+# replicate b is the count of thresholds ≤ its b-th md5 digest byte.
+# Shared integer literals, so engine and oracle CANNOT diverge (and the
+# transcendental e^-1 is evaluated exactly once, at import, per the
+# decayed_counts policy).
+_POIS1_TH = [int(math.floor(256 * sum(math.exp(-1) / math.factorial(i)
+                                      for i in range(k + 1))))
+             for k in range(5)]
+_BOOTSTRAP_B = 16
+
+
+def q_bootstrap_ci(sf_dir):
+    """Poisson bootstrap of the mean order price — THE resampling
+    technique for data too large to multinomial-resample (each row
+    contributes an independent Poisson(1) weight per replicate, so a
+    replicate needs one streaming pass, no global coordination; see
+    Chamandy et al., "Estimating uncertainty for massive data streams").
+    Deterministic: replicate b's weight is the inverse-CDF bucket of
+    the b-th BYTE of md5(o_orderkey) — one digest per row serves all
+    16 replicates, weights are small ints, and every aggregate is
+    integer (Σw, Σw·cents; the replicate mean is an exact ×1e6 integer
+    floor division). Plan: per-batch 16-row partials (b, Σw, Σw·cents)
+    → map-side-combined groupby → 16-row driver finale. The replicate
+    means' spread IS the sampling-uncertainty estimate; min/max/etc.
+    are left to the reader since all 16 means are returned."""
+    th = np.asarray(_POIS1_TH, dtype=np.uint8)
+    B = _BOOTSTRAP_B
+
+    def _partials(b: pa.Table) -> pa.Table:
+        keys = b["o_orderkey"].to_pylist()
+        cents = _round_half_away(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        dig = b"".join(hashlib.md5(str(k).encode()).digest() for k in keys)
+        v = np.frombuffer(dig, dtype=np.uint8).reshape(len(keys), 16)
+        reps, n_effs, wsums = [], [], []
+        for rb in range(B):
+            w = np.searchsorted(th, v[:, rb], side="right").astype(np.int64)
+            reps.append(rb)
+            n_effs.append(int(w.sum()))
+            wsums.append(int((w * cents).sum()))
+        return pa.table({
+            "replicate": pa.array(reps, pa.int64()),
+            "n_eff": pa.array(n_effs, pa.int64()),
+            "wsum": pa.array(wsums, pa.int64()),
+        })
+
+    agg = fast_groupby_agg(
+        T(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+            _partials, batch_format="pyarrow"),
+        ["replicate"], {"n_eff": ("n_eff", "sum"), "wsum": ("wsum", "sum")})
+    pdf = agg.to_pandas()  # B rows
+    mean_fp = [int(w) * 1_000_000 // max(int(n), 1)
+               for w, n in zip(pdf["wsum"], pdf["n_eff"])]
+    return pa.table({
+        "replicate": pa.array(pdf["replicate"].to_numpy().astype(np.int64)),
+        "n_eff": pa.array(pdf["n_eff"].to_numpy().astype(np.int64)),
+        "wsum": pa.array(pdf["wsum"].to_numpy().astype(np.int64)),
+        "mean_fp": pa.array(np.array(mean_fp, dtype=np.int64)),
+    })
+
+
+def _bootstrap_ci_oracle() -> str:
+    w_cases = "\n            + ".join(
+        f"CASE WHEN v >= {t} THEN 1 ELSE 0 END" for t in _POIS1_TH)
+    return f"""
+    WITH m AS (
+        SELECT md5(CAST(o_orderkey AS VARCHAR)) AS h,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    r AS (SELECT unnest(generate_series(0, {_BOOTSTRAP_B - 1})) AS b),
+    x AS (
+        SELECT r.b,
+               CAST(('0x' || substr(m.h, 2 * r.b + 1, 2)) AS INTEGER) AS v,
+               m.cents
+        FROM m CROSS JOIN r
+    ),
+    w AS (
+        SELECT b, cents,
+               ({w_cases}) AS wt
+        FROM x
+    ),
+    a AS (
+        SELECT b AS replicate,
+               CAST(sum(wt) AS BIGINT) AS n_eff,
+               CAST(sum(CAST(wt AS HUGEINT) * cents) AS DECIMAL(38,0)) AS ws
+        FROM w GROUP BY b
+    )
+    SELECT replicate, n_eff, CAST(ws AS BIGINT) AS wsum,
+           CAST(CAST(ws AS HUGEINT) * 1000000
+                // GREATEST(CAST(n_eff AS HUGEINT), 1) AS BIGINT) AS mean_fp
+    FROM a
+    """
+
+
+ORACLES["bootstrap_ci"] = _bootstrap_ci_oracle()

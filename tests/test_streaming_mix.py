@@ -125,3 +125,20 @@ def test_partition_prune_read_matches_reference(ray_session, events):
            .reset_index(drop=True))
     pd.testing.assert_frame_equal(
         got, ref.astype({"n": np.int64}), check_dtype=False)
+
+
+def test_bootstrap_ci_replicates_bracket_true_mean(ray_session):
+    got = R.q_bootstrap_ci(SF).to_pandas()
+    o = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_totalprice"])
+    cents = np.round(o["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+    true_mean = cents.mean()
+    se = cents.std() / np.sqrt(len(cents))
+    means = got["mean_fp"].to_numpy() / 1e6
+    assert len(got) == 16
+    # every replicate mean lands within 6 standard errors of the truth,
+    # and the replicate spread is on the order of the standard error
+    assert np.all(np.abs(means - true_mean) < 6 * se)
+    assert 0.2 * se < means.std(ddof=1) < 5 * se
+    # Poisson(1) weights conserve mass in expectation (E[w] = 257/256)
+    n = len(cents)
+    assert np.all(np.abs(got["n_eff"].to_numpy() - n) < 6 * np.sqrt(n) + 10)
