@@ -9696,6 +9696,8 @@ def queries() -> dict:
         "salted_join": q_salted_join,
         "partition_prune_read": q_partition_prune_read,
         "bootstrap_ci": q_bootstrap_ci,
+        "t_closeness": q_t_closeness,
+        "theil_sen": q_theil_sen,
     }
 
 
@@ -14688,3 +14690,178 @@ def _bootstrap_ci_oracle() -> str:
 
 
 ORACLES["bootstrap_ci"] = _bootstrap_ci_oracle()
+
+
+def q_t_closeness(sf_dir, t_fp: int = 200_000):
+    """t-closeness audit — the third leg of the privacy-governance trio
+    (k_anonymity: group size; l_diversity: distinct sensitive values;
+    here: the DISTRIBUTION of the sensitive attribute inside each
+    quasi-identifier group must stay within distance t of the global
+    one, or the group leaks the attribute by association). Sensitive =
+    o_orderstatus (3-value domain), QI = priority × order month (the
+    l_diversity key). Distance = total variation, computed EXACTLY in
+    integers: tvd = Σ_s |n_gs·N − N_s·n_g| / (2·n_g·N), emitted ×10⁶ by
+    one floor division (every |·| term is a product of counts — no
+    floats anywhere). Plan: the kendall_tau tiny-domain contingency
+    fold — each batch emits per-QI one-hot partial sums, ONE map-side-
+    combined groupby (QI-domain-sized exchange), a 3-integer global
+    fold broadcast back as Python scalars, and a vectorized finale.
+    Products are ≤ max_group·N; at true 100-TB counts route them
+    through Python ints / DECIMAL(38) like hhi_concentration — the SQL
+    side already does (count() sums are HUGEINT)."""
+    ds = T(sf_dir, "orders",
+           ["o_orderpriority", "o_orderdate", "o_orderstatus"])
+
+    def _fold(b: pa.Table) -> pa.Table:
+        s = b["o_orderstatus"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderpriority": b["o_orderpriority"],
+            "omonth": pa.array(_yyyymm_from_ns(_ts_ns(b["o_orderdate"])),
+                               pa.int64()),
+            "f": pa.array((s == "F").astype(np.int64)),
+            "o": pa.array((s == "O").astype(np.int64)),
+            "p": pa.array((s == "P").astype(np.int64)),
+        })
+
+    g = fast_groupby_agg(
+        ds.map_batches(_fold, batch_format="pyarrow"),
+        ["o_orderpriority", "omonth"],
+        {"nf": ("f", "sum"), "no": ("o", "sum"), "np": ("p", "sum"),
+         "n_rows": (None, "count")}).to_pandas()
+    # global sensitive-value counts: 3 integers (domain-sized, not
+    # data-sized — the one driver-side fold this audit needs)
+    tf, to, tp = (int(g["nf"].sum()), int(g["no"].sum()),
+                  int(g["np"].sum()))
+    tn = tf + to + tp
+    nf = g["nf"].to_numpy(np.int64)
+    no = g["no"].to_numpy(np.int64)
+    npp = g["np"].to_numpy(np.int64)
+    ng = g["n_rows"].to_numpy(np.int64)
+    raw = (np.abs(nf * tn - tf * ng) + np.abs(no * tn - to * ng)
+           + np.abs(npp * tn - tp * ng))
+    tvd = 1_000_000 * raw // (2 * ng * tn)
+    return pd.DataFrame({
+        "o_orderpriority": g["o_orderpriority"],
+        "omonth": g["omonth"].astype(np.int64),
+        "n_rows": ng,
+        "tvd_fp": tvd,
+        "breach": tvd > t_fp,
+    })
+
+
+ORACLES["t_closeness"] = """
+    WITH g AS (
+        SELECT o_orderpriority,
+               CAST(year(o_orderdate) * 100 + month(o_orderdate)
+                    AS BIGINT) AS omonth,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nf,
+               CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS no,
+               CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS np,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM orders GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT CAST(sum(nf) AS BIGINT) AS tf,
+               CAST(sum(no) AS BIGINT) AS "to",
+               CAST(sum(np) AS BIGINT) AS tp,
+               CAST(sum(n_rows) AS BIGINT) AS tn
+        FROM g
+    )
+    SELECT o_orderpriority, omonth, n_rows,
+           CAST(1000000 * (abs(nf * tn - tf * n_rows)
+                           + abs(no * tn - "to" * n_rows)
+                           + abs(np * tn - tp * n_rows))
+                // (2 * n_rows * tn) AS BIGINT) AS tvd_fp,
+           (1000000 * (abs(nf * tn - tf * n_rows)
+                       + abs(no * tn - "to" * n_rows)
+                       + abs(np * tn - tp * n_rows))
+            // (2 * n_rows * tn)) > 200000 AS breach
+    FROM g, t
+"""
+
+
+def q_theil_sen(sf_dir):
+    """Per-user Theil–Sen robust trend (median of all pairwise slopes —
+    the estimator that shrugs off the outliers OLS chases; the robust
+    counterpart to grouped_regression). x = day index of ts, y = value
+    in cents; slope over every pair with distinct days, as an EXACT
+    integer: floor(dy_cents·10⁶ / dx_days), numpy's native floor
+    division, mirrored in SQL by truncating `//` plus the one-row
+    negative-remainder correction (dx > 0 always — pairs are day-
+    ordered). Median = the pinned lower-median rank ceil(n/2) (the
+    grouped_boxplot rule). Plan: ONE hash shuffle on user_id, then
+    per-group vectorized pair enumeration (np.triu over the day-sorted
+    arrays) — O(k²) per key under the documented bounded-events-per-
+    user contract (max 86 here); the exchange is rows, the output is
+    users. Groups spanning a single day emit nothing on both sides."""
+    ds = T(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "day": pa.array(_ts_ns(b["ts"]) // 86_400_000_000_000,
+                            pa.int64()),
+            "y_fp": pa.array(_round_half_away(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)),
+        })
+
+    def _sen(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["day", "y_fp"], kind="mergesort")
+        day = d["day"].to_numpy(np.int64)
+        y = d["y_fp"].to_numpy(np.int64)
+        i, j = np.triu_indices(len(day), k=1)
+        keep = day[j] > day[i]
+        if not keep.any():
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype=np.int64),
+                "n_pairs": pd.Series([], dtype=np.int64),
+                "slope_fp": pd.Series([], dtype=np.int64)})
+        i, j = i[keep], j[keep]
+        slopes = np.sort((y[j] - y[i]) * 1_000_000 // (day[j] - day[i]))
+        k = (len(slopes) + 1) // 2  # lower median, rank ceil(n/2)
+        return pd.DataFrame({
+            "user_id": [np.int64(df["user_id"].iloc[0])],
+            "n_pairs": [np.int64(len(slopes))],
+            "slope_fp": [np.int64(slopes[k - 1])]})
+
+    return (ds.map_batches(_prep, batch_format="pyarrow")
+            .groupby("user_id")
+            .map_groups(_sen, batch_format="pandas"))
+
+
+ORACLES["theil_sen"] = """
+    WITH e AS (
+        SELECT user_id,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   AS day,
+               CAST(round(value * 100) AS BIGINT) AS y_fp
+        FROM events
+    ),
+    pairs AS (
+        SELECT a.user_id,
+               (b.y_fp - a.y_fp) * 1000000 AS dy6,
+               (b.day - a.day) AS dx
+        FROM e a JOIN e b
+          ON a.user_id = b.user_id AND b.day > a.day
+    ),
+    s AS (
+        SELECT user_id,
+               dy6 // dx - CASE WHEN dy6 % dx <> 0 AND dy6 < 0
+                                THEN 1 ELSE 0 END AS slope_fp
+        FROM pairs
+    ),
+    r AS (
+        SELECT user_id, slope_fp,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY slope_fp) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n_pairs
+        FROM s
+    )
+    SELECT user_id, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(slope_fp AS BIGINT) AS slope_fp
+    FROM r WHERE rn = (n_pairs + 1) // 2
+"""

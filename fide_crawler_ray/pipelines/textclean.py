@@ -972,14 +972,19 @@ def q_bpe_encode(sf_dir, n_merges: int = BPE_MERGES):
                 hit = self.memo[w] = len(syms)
             return hit
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        def __call__(self, df: pd.DataFrame) -> pa.Table:
+            # Emit metadata-free Arrow (not a DataFrame): Ray's
+            # pandas→Arrow block conversion attaches from_pandas schema
+            # metadata whose embedded dict makes hash(Schema) raise in
+            # the hash-shuffle join's schema-dedup fast path (noisy
+            # per-aggregator warnings downstream).
             words = df["text"].fillna("").str.split(" ")
-            return pd.DataFrame({
-                "doc_id": df["doc_id"],
-                "n_words": words.str.len().astype(np.int64),
-                "n_tokens": pd.Series(
+            return pa.table({
+                "doc_id": pa.Array.from_pandas(df["doc_id"]),
+                "n_words": pa.array(words.str.len().to_numpy(np.int64)),
+                "n_tokens": pa.array(
                     [sum(self._ntok(w) for w in ws) for ws in words],
-                    index=df.index, dtype=np.int64),
+                    pa.int64()),
             })
 
     return T(sf_dir, "documents", ["doc_id", "text"]).map_batches(

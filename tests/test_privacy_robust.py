@@ -1,0 +1,89 @@
+"""Brute-force references for t_closeness and theil_sen. The DuckDB
+oracles pin engine↔SQL parity; these recompute the MATH independently
+(Fraction-exact TVD; Fraction-exact pairwise slopes) from raw parquet.
+"""
+
+from fractions import Fraction
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fide_crawler_ray.pipelines import relational as R
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def orders():
+    return pd.read_parquet(f"{SF}/orders.parquet")
+
+
+@pytest.fixture(scope="module")
+def events():
+    return pd.read_parquet(f"{SF}/events.parquet")
+
+
+def test_t_closeness_matches_fraction_tvd(ray_session, orders):
+    got = R.q_t_closeness(SF).set_index(["o_orderpriority", "omonth"])
+    df = pd.DataFrame({
+        "pri": orders["o_orderpriority"],
+        "omonth": orders["o_orderdate"].dt.year * 100
+        + orders["o_orderdate"].dt.month,
+        "s": orders["o_orderstatus"],
+    })
+    n_total = len(df)
+    glob = df["s"].value_counts()
+    for (pri, om), grp in df.groupby(["pri", "omonth"]):
+        cnt = grp["s"].value_counts()
+        # exact total-variation distance over the full domain
+        tvd = sum(
+            abs(Fraction(int(cnt.get(s, 0)), len(grp))
+                - Fraction(int(glob[s]), n_total))
+            for s in glob.index) / 2
+        row = got.loc[(pri, om)]
+        assert int(row["n_rows"]) == len(grp)
+        assert int(row["tvd_fp"]) == int(tvd * 1_000_000)  # floor
+        assert bool(row["breach"]) == (int(tvd * 1_000_000) > 200_000)
+    assert len(got) == df.groupby(["pri", "omonth"]).ngroups
+
+
+def test_t_closeness_bounds(ray_session):
+    got = R.q_t_closeness(SF)
+    assert ((got["tvd_fp"] >= 0) & (got["tvd_fp"] <= 1_000_000)).all()
+    # mass conservation: group sizes sum to the table size
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    assert int(got["n_rows"].sum()) == len(orders)
+
+
+def test_theil_sen_matches_fraction_median(ray_session, events):
+    got = R.q_theil_sen(SF).to_pandas().set_index("user_id")
+    df = pd.DataFrame({
+        "u": events["user_id"],
+        "day": events["ts"].values.astype("datetime64[D]")
+        .astype(np.int64),
+        "y": np.round(events["value"].to_numpy() * 100.0)
+        .astype(np.int64),
+    })
+    seen = 0
+    for u, grp in df.groupby("u"):
+        day = grp["day"].to_numpy()
+        y = grp["y"].to_numpy()
+        slopes = []
+        for a in range(len(day)):
+            for b in range(len(day)):
+                if day[b] > day[a]:
+                    # exact floor of the ×1e6 slope fraction
+                    num = (int(y[b]) - int(y[a])) * 1_000_000
+                    dx = int(day[b]) - int(day[a])
+                    slopes.append(num // dx)
+        if not slopes:
+            assert u not in got.index
+            continue
+        seen += 1
+        slopes.sort()
+        k = (len(slopes) + 1) // 2
+        row = got.loc[u]
+        assert int(row["n_pairs"]) == len(slopes)
+        assert int(row["slope_fp"]) == slopes[k - 1]
+    assert seen == len(got)
