@@ -7089,10 +7089,17 @@ def q_frequent_itemsets(sf_dir, min_support: int = 10):
     are orders, items are the part types they contain; count baskets
     containing each unordered type pair, keep support ≥ min_support.
     Plan: lineitem collapses to DISTINCT (order, type) map-side (the
-    A-Priori dedup); pair expansion runs per basket in sorted
-    map_groups (baskets are small by construction — the per-key
-    bounded assumption); the final exchange is the tiny type×type
-    count matrix."""
+    A-Priori dedup); pair expansion runs VECTORIZED per
+    splitmix64(orderkey) % P partition as a basket-keyed self-merge
+    (C-speed pandas hash join + one `<` filter — the per-basket
+    Python loop this replaces cost minutes at sf0.1: one UDF call per
+    basket × 150k baskets); the final exchange is the tiny type×type
+    count matrix. Baskets are small by construction, so the merge
+    blowup per partition is Σk² over its baskets — bounded by the
+    same per-key contract the loop relied on."""
+    from ..functions.sketches import _splitmix64
+
+    P = 64
     pairs_src = fast_groupby_agg(
         T(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
             lambda b: b, batch_format="pyarrow"),
@@ -7103,16 +7110,23 @@ def q_frequent_itemsets(sf_dir, min_support: int = 10):
     ot = fast_groupby_agg(j, ["l_orderkey", "p_type"],
                           {"_m": (None, "count")})
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ts = sorted(g["p_type"].tolist())
-        if len(ts) < 2:
-            return pd.DataFrame({"item_a": [], "item_b": []})
-        a, b = zip(*[(ts[i], ts[k]) for i in range(len(ts))
-                     for k in range(i + 1, len(ts))])
-        return pd.DataFrame({"item_a": list(a), "item_b": list(b)})
+    def _part(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_orderkey": b["l_orderkey"], "p_type": b["p_type"],
+            "part": pa.array(
+                (_splitmix64(ok) % np.uint64(P)).astype(np.int64)),
+        })
 
-    pairs = ot.groupby("l_orderkey").map_groups(
-        _pairs, batch_format="pandas")
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["l_orderkey", "p_type"]]
+        m = d.merge(d, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["p_type_a"] < m["p_type_b"]]
+        return pd.DataFrame({"item_a": m["p_type_a"].to_numpy(),
+                             "item_b": m["p_type_b"].to_numpy()})
+
+    pairs = ot.map_batches(_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(_pairs, batch_format="pandas")
     counts = fast_groupby_agg(pairs, ["item_a", "item_b"],
                               {"support": (None, "count")})
     return counts.map_batches(
@@ -12960,9 +12974,10 @@ def q_survival_km(sf_dir):
     days from the FIRST order to the SECOND; single-order customers
     are right-censored at the dataset's last order date — the textbook
     churn estimator with real censoring. The per-customer bottom-2
-    order dates come from ``groupby(custkey).map_groups`` (the
-    documented bounded-per-key pattern — groups are order-count-per-
-    customer sized); a map-side-combined value-count over
+    order dates come from ONE splitmix64(custkey) % P shuffle and a
+    vectorized per-partition walk (lexsort by (ck, t), np.unique group
+    starts — P udf calls, not one per customer); a map-side-combined
+    value-count over
     (duration_days, observed) then leaves a TIME-SPAN-sized table
     (≤ ~2400 rows at any sf) for the driver. Survival is the
     left-to-right float product Π (n_risk−d)/n_risk — every factor is
@@ -12971,9 +12986,17 @@ def q_survival_km(sf_dir):
     anywhere)."""
     orders = T(sf_dir, "orders", ["o_custkey", "o_orderdate"])
 
+    from ..functions.sketches import _splitmix64
+
+    P = 64
+
     def _us(b: pa.Table) -> pa.Table:
-        return pa.table({"ck": b["o_custkey"],
-                         "t": b["o_orderdate"].cast(pa.int64())})
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "ck": b["o_custkey"],
+            "part": pa.array(
+                (_splitmix64(ck) % np.uint64(P)).astype(np.int64)),
+            "t": b["o_orderdate"].cast(pa.int64())})
 
     tsd = orders.map_batches(_us, batch_format="pyarrow").materialize()
     from ray.data.aggregate import Max
@@ -12981,15 +13004,22 @@ def q_survival_km(sf_dir):
     gmax = int(tsd.aggregate(Max("t", alias_name="m"))["m"])
 
     def _bottom2(df: pd.DataFrame) -> pd.DataFrame:
-        t = np.sort(df["t"].to_numpy())
-        if len(t) >= 2:
-            dur, obs = (int(t[1]) - int(t[0])) // 86_400_000_000, 1
-        else:
-            dur, obs = (gmax - int(t[0])) // 86_400_000_000, 0
-        return pd.DataFrame({"dur": [np.int64(dur)],
-                             "obs": [np.int64(obs)]})
+        ck0 = df["ck"].to_numpy(np.int64)
+        t0 = df["t"].to_numpy(np.int64)
+        order = np.lexsort((t0, ck0))
+        ck, t = ck0[order], t0[order]
+        starts = np.flatnonzero(np.r_[True, ck[1:] != ck[:-1]])
+        counts = np.diff(np.r_[starts, len(ck)])
+        multi = counts >= 2
+        t1 = t[starts]
+        second = np.where(multi, t[np.minimum(starts + 1, len(t) - 1)],
+                          gmax)
+        return pd.DataFrame({
+            "dur": ((second - t1) // 86_400_000_000).astype(np.int64),
+            "obs": multi.astype(np.int64),
+        })
 
-    per_cust = tsd.groupby("ck").map_groups(
+    per_cust = tsd.groupby("part").map_groups(
         _bottom2, batch_format="pandas")
     vc = fast_groupby_agg(
         per_cust, ["dur"],
@@ -13665,16 +13695,27 @@ def q_window_range_sum(sf_dir):
     customer's total order value within ±30 DAYS of it (the
     window-function class the ROWS-frame suite can't express: the
     frame is defined by the ORDER BY *value*, so it is insensitive to
-    tie order and row position). Plan: one hash shuffle by customer,
-    then per-group sorted two-pointer prefix sums (groups are
-    orders-per-customer bounded — the documented per-key contract).
+    tie order and row position). Plan: ONE hash shuffle into
+    splitmix64(custkey) % P partitions, then a fully VECTORIZED
+    two-pointer over each partition: rows lexsorted by (ck, day),
+    windows resolved by searchsorted on the composite key
+    ck·SPAN + (day − dmin) with SPAN = day-range + 2·30 + 1, so a
+    ±30-day probe can never cross into a neighboring customer's key
+    range — P udf calls total, not one per customer (the map_groups
+    original paid 15k pandas calls at sf0.1; this is ~5×).
     All integer cents; no float anywhere."""
+    from ..functions.sketches import _splitmix64
+
+    P = 64
     orders = T(sf_dir, "orders",
                ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
 
     def _fp(b: pa.Table) -> pa.Table:
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
         return pa.table({
             "ok": b["o_orderkey"], "ck": b["o_custkey"],
+            "part": pa.array(
+                (_splitmix64(ck) % np.uint64(P)).astype(np.int64)),
             "d": pa.array(
                 b["o_orderdate"].cast(pa.int64()).to_numpy(
                     zero_copy_only=False) // 86_400_000_000, pa.int64()),
@@ -13684,20 +13725,25 @@ def q_window_range_sum(sf_dir):
         })
 
     def _range_sum(g: pd.DataFrame) -> pd.DataFrame:
-        order = np.argsort(g["d"].to_numpy(), kind="mergesort")
-        d = g["d"].to_numpy()[order]
-        v = g["v"].to_numpy()[order]
-        ok = g["ok"].to_numpy()[order]
+        ck0 = g["ck"].to_numpy(np.int64)
+        d0 = g["d"].to_numpy(np.int64)
+        order = np.lexsort((d0, ck0))
+        ck, d = ck0[order], d0[order]
+        v = g["v"].to_numpy(np.int64)[order]
+        ok = g["ok"].to_numpy(np.int64)[order]
+        dmin = int(d.min())
+        span = int(d.max()) - dmin + 61
+        key = ck * span + (d - dmin)
         pre = np.concatenate([[0], np.cumsum(v)])
-        lo = np.searchsorted(d, d - 30, side="left")
-        hi = np.searchsorted(d, d + 30, side="right")
+        lo = np.searchsorted(key, key - 30, side="left")
+        hi = np.searchsorted(key, key + 30, side="right")
         return pd.DataFrame({
             "o_orderkey": ok,
             "range_sum": (pre[hi] - pre[lo]).astype(np.int64),
         })
 
     return orders.map_batches(_fp, batch_format="pyarrow") \
-        .groupby("ck").map_groups(_range_sum, batch_format="pandas")
+        .groupby("part").map_groups(_range_sum, batch_format="pandas")
 
 
 ORACLES["confusion_matrix"] = """

@@ -259,7 +259,15 @@ def _vocab_prune_join(docs, df, n_docs: int):
     """Join fallback for object-store-sized vocabularies: explode
     (doc_id, pos, word) token rows, hash-join against the banded kept
     words, reassemble per doc. The exchange is token-count-sized — the
-    unbounded (but fully distributed) side of the cardinality guard."""
+    unbounded (but fully distributed) side of the cardinality guard.
+    Because this IS the tier that runs at 100 TB, both ends are
+    vectorized: the explode is Arrow split_pattern + list-flatten (no
+    per-token Python), and reassembly is one splitmix64(doc_id) % P
+    shuffle + a per-partition pandas groupby-agg (P udf calls, not one
+    per document)."""
+    from ..functions.sketches import _splitmix64
+
+    P = 64
 
     def _band(b: pa.Table) -> pa.Table:
         c = b["c"].to_numpy(zero_copy_only=False)
@@ -269,33 +277,40 @@ def _vocab_prune_join(docs, df, n_docs: int):
     keepw = df.map_batches(_band, batch_format="pyarrow")
 
     def _explode(b: pa.Table) -> pa.Table:
-        dids, poss, ws, nw = [], [], [], []
-        for did, txt in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
-            parts = txt.split(" ")
-            for i, w in enumerate(parts):
-                dids.append(did)
-                poss.append(i)
-                ws.append(w)
-                nw.append(len(parts))
+        words = pc.split_pattern(b["text"], pattern=" ")
+        lens = pc.list_value_length(words).to_numpy().astype(np.int64)
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        rep = np.repeat(np.arange(len(did)), lens)
+        # position within doc: global arange minus each doc's start
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        pos = np.arange(int(lens.sum()), dtype=np.int64) - starts[rep]
+        flat = pc.list_flatten(words)
         return pa.table({
-            "doc_id": pa.array(dids, pa.int64()),
-            "pos": pa.array(poss, pa.int64()),
-            "word": pa.array(ws, pa.string()),
-            "n_words": pa.array(nw, pa.int64()),
+            "doc_id": pa.array(did[rep], pa.int64()),
+            "part": pa.array(
+                (_splitmix64(did[rep]) % np.uint64(P)).astype(np.int64)),
+            "pos": pa.array(pos, pa.int64()),
+            "word": flat,
+            "n_words": pa.array(lens[rep], pa.int64()),
         })
 
     toks = docs.map_batches(_explode, batch_format="pyarrow")
     kept = toks.join(keepw, "left_semi", num_partitions=8, on=("word",))
 
     def _reassemble(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("pos")
+        g = g.sort_values(["doc_id", "pos"], kind="mergesort")
+        agg = g.groupby("doc_id", sort=False).agg(
+            clean_text=("word", " ".join),
+            n_words=("n_words", "first"),
+            n_kept=("word", "size"))
         return pd.DataFrame({
-            "doc_id": [g["doc_id"].iloc[0]],
-            "clean_text": [" ".join(g["word"])],
-            "n_dropped": [int(g["n_words"].iloc[0]) - len(g)],
+            "doc_id": agg.index.to_numpy(np.int64),
+            "clean_text": agg["clean_text"].to_numpy(),
+            "n_dropped": (agg["n_words"] - agg["n_kept"])
+            .to_numpy(np.int64),
         })
 
-    out = kept.groupby("doc_id").map_groups(_reassemble, batch_format="pandas")
+    out = kept.groupby("part").map_groups(_reassemble, batch_format="pandas")
 
     # docs whose words were ALL pruned vanish from the join — re-emit
     # them with empty text via an anti-join on the surviving doc ids.
