@@ -119,6 +119,12 @@ def run_bench() -> dict:
         "j_inner_join", "asof_join", "window_functions", "term_doc_freq",
         "range_join", "similarity_join", "span_dedup", "embedding_kmeans",
         "table_diff", "above_customer_avg", "pagerank", "triangle_count",
+        # r3 additions — one stage per new machinery class: md5-derived
+        # replicate weights, partitioned two-pointer windows, actor-pool
+        # inference + join, skew-salted join, basket self-merge pairs,
+        # contingency-fold privacy audit
+        "bootstrap_ci", "window_range_sum", "confusion_matrix",
+        "salted_join", "frequent_itemsets", "t_closeness",
     ]
     qs = Q.queries()
     for name in suite:

@@ -9712,6 +9712,8 @@ def queries() -> dict:
         "bootstrap_ci": q_bootstrap_ci,
         "t_closeness": q_t_closeness,
         "theil_sen": q_theil_sen,
+        "forecast_mase": q_forecast_mase,
+        "attribution_position": q_attribution_position,
     }
 
 
@@ -14910,4 +14912,177 @@ ORACLES["theil_sen"] = """
     SELECT user_id, CAST(n_pairs AS BIGINT) AS n_pairs,
            CAST(slope_fp AS BIGINT) AS slope_fp
     FROM r WHERE rn = (n_pairs + 1) // 2
+"""
+
+
+def q_forecast_mase(sf_dir, m: int = 7):
+    """Forecast-accuracy scorecard: MASE (mean absolute SCALED error,
+    Hyndman & Koehler) of the seasonal-naive weekly forecast
+    ŷ_t = y_{t−7} over daily revenue — the standard dimensionless
+    baseline every forecasting pipeline must beat, here computed
+    EXACTLY: the distributed part is one map-side-combined day
+    histogram (time-span-bounded, the daily_ewma exchange); the dense
+    day grid zero-fills gaps so both lags are defined on a regular
+    calendar; numerator Σ|y_t − y_{t−m}| and the naive-walk denominator
+    Σ|y_t − y_{t−1}| are integer-cent sums, and the final ratio is one
+    ×10⁶ cross-multiplied floor division — no float anywhere."""
+    orders = T(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def _day(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "d": pa.array(
+                b["o_orderdate"].cast(pa.int64()).to_numpy(
+                    zero_copy_only=False) // 86_400_000_000, pa.int64()),
+            "v": pa.array(_round_half_away(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64), pa.int64()),
+        })
+
+    vc = fast_groupby_agg(
+        orders.map_batches(_day, batch_format="pyarrow"),
+        ["d"], {"v": ("v", "sum")}).to_pandas()
+    d = vc["d"].to_numpy(np.int64)
+    lo, hi = int(d.min()), int(d.max())
+    y = np.zeros(hi - lo + 1, np.int64)
+    y[d - lo] = vc["v"].to_numpy(np.int64)
+    n = len(y)
+    err_m = int(np.abs(y[m:] - y[:-m]).sum())
+    err_1 = int(np.abs(y[1:] - y[:-1]).sum())
+    mase = (1_000_000 * err_m * (n - 1) // (err_1 * (n - m))
+            if err_1 and n > m else 0)
+    return pd.DataFrame([{
+        "n_days": np.int64(n), "err_m_sum": np.int64(err_m),
+        "err_1_sum": np.int64(err_1), "mase_fp": np.int64(mase),
+    }])
+
+
+ORACLES["forecast_mase"] = """
+    WITH day AS (
+        SELECT datediff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE)) AS d,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM orders GROUP BY 1
+    ),
+    grid AS (
+        SELECT unnest(generate_series((SELECT min(d) FROM day),
+                                      (SELECT max(d) FROM day))) AS d
+    ),
+    dense AS (
+        SELECT g.d, COALESCE(day.v, 0) AS v
+        FROM grid g LEFT JOIN day ON day.d = g.d
+    ),
+    lagged AS (
+        SELECT v,
+               lag(v, 7) OVER (ORDER BY d) AS v7,
+               lag(v, 1) OVER (ORDER BY d) AS v1
+        FROM dense
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(CASE WHEN v7 IS NULL THEN 0
+                             ELSE abs(v - v7) END) AS BIGINT) AS err_m_sum,
+               CAST(sum(CASE WHEN v1 IS NULL THEN 0
+                             ELSE abs(v - v1) END) AS BIGINT) AS err_1_sum
+        FROM lagged
+    )
+    SELECT n_days, err_m_sum, err_1_sum,
+           CASE WHEN err_1_sum > 0 AND n_days > 7
+                THEN CAST(1000000 * CAST(err_m_sum AS HUGEINT)
+                          * (n_days - 1)
+                          // (CAST(err_1_sum AS HUGEINT)
+                              * (n_days - 7)) AS BIGINT)
+                ELSE 0 END AS mase_fp
+    FROM s
+"""
+
+
+def q_attribution_position(sf_dir):
+    """Position-based (U-shaped) multi-touch attribution — each user's
+    first conversion distributes 1,000,000 ppm of credit over the
+    TOUCH events that precede it: 40% to the first touch, 40% to the
+    last, 20% split over the middles (n=1 → all; n=2 → 500k/500k —
+    the collapse rule is pinned); integer remainders of the middle
+    split go to the EARLIEST middles (the apportion_quota largest-
+    remainder discipline, deterministic). Touch = any non-purchase
+    event before the user's first 'purchase'. Plan: one
+    splitmix64(user) % P shuffle, then per-partition VECTORIZED pandas
+    (transform-min for the conversion time, cumcount ranks, np.where
+    credit rule — no per-user Python). Output: total credited ppm per
+    event_type — conservation (Σ = converters × 10⁶) is asserted by
+    test."""
+    from ..functions.sketches import _splitmix64
+
+    P = 64
+    ev = T(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    def _part(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "part", pa.array((_splitmix64(u) % np.uint64(P))
+                             .astype(np.int64)))
+
+    def _credit(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        is_p = (g["event_type"] == "purchase").to_numpy()
+        pts = g["ts"].where(pd.Series(is_p, index=g.index))
+        first_p = pts.groupby(g["user_id"]).transform("min")
+        touch = g[(~is_p) & g["ts"].lt(first_p)].copy()
+        if len(touch) == 0:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=str),
+                "credit_ppm": pd.Series([], dtype=np.int64)})
+        grp = touch.groupby("user_id", sort=False)
+        rn = grp.cumcount().to_numpy(np.int64)
+        k = grp["event_id"].transform("size").to_numpy(np.int64)
+        first = rn == 0
+        last = rn == k - 1
+        mid = ~(first | last)
+        n_mid = k - 2
+        base = np.where(mid, 200_000 // np.maximum(n_mid, 1), 0)
+        rem = np.where(mid, 200_000 % np.maximum(n_mid, 1), 0)
+        credit = np.where(
+            k == 1, 1_000_000,
+            np.where(k == 2, 500_000,
+                     np.where(first | last, 400_000,
+                              base + (rn - 1 < rem).astype(np.int64))))
+        touch["credit_ppm"] = credit.astype(np.int64)
+        out = touch.groupby("event_type", sort=False)["credit_ppm"] \
+            .sum().reset_index()
+        out["credit_ppm"] = out["credit_ppm"].astype(np.int64)
+        return out
+
+    parts = ev.map_batches(_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(_credit, batch_format="pandas")
+    return fast_groupby_agg(parts, ["event_type"],
+                            {"credit_ppm": ("credit_ppm", "sum")})
+
+
+ORACLES["attribution_position"] = """
+    WITH conv AS (
+        SELECT user_id, min(ts) AS cts FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    touch AS (
+        SELECT e.user_id, e.event_type,
+               row_number() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ts, e.event_id) AS rn,
+               count(*) OVER (PARTITION BY e.user_id) AS k
+        FROM events e JOIN conv c ON c.user_id = e.user_id
+        WHERE e.event_type <> 'purchase' AND e.ts < c.cts
+    ),
+    credit AS (
+        SELECT event_type,
+               CASE WHEN k = 1 THEN 1000000
+                    WHEN k = 2 THEN 500000
+                    WHEN rn = 1 OR rn = k THEN 400000
+                    ELSE 200000 // (k - 2)
+                         + CASE WHEN rn - 2 < 200000 % (k - 2)
+                                THEN 1 ELSE 0 END
+               END AS ppm
+        FROM touch
+    )
+    SELECT event_type, CAST(sum(ppm) AS BIGINT) AS credit_ppm
+    FROM credit GROUP BY event_type
 """

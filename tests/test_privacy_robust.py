@@ -87,3 +87,62 @@ def test_theil_sen_matches_fraction_median(ray_session, events):
         assert int(row["n_pairs"]) == len(slopes)
         assert int(row["slope_fp"]) == slopes[k - 1]
     assert seen == len(got)
+
+
+def test_forecast_mase_matches_bruteforce(ray_session, orders):
+    got = R.q_forecast_mase(SF).iloc[0]
+    cents = np.round(orders["o_totalprice"].to_numpy() * 100.0) \
+        .astype(np.int64)
+    day = orders["o_orderdate"].values.astype("datetime64[D]") \
+        .astype(np.int64)
+    lo, hi = int(day.min()), int(day.max())
+    y = np.zeros(hi - lo + 1, np.int64)
+    np.add.at(y, day - lo, cents)
+    n = len(y)
+    err7 = int(np.abs(y[7:] - y[:-7]).sum())
+    err1 = int(np.abs(y[1:] - y[:-1]).sum())
+    assert int(got["n_days"]) == n
+    assert int(got["err_m_sum"]) == err7
+    assert int(got["err_1_sum"]) == err1
+    assert int(got["mase_fp"]) == 1_000_000 * err7 * (n - 1) \
+        // (err1 * (n - 7))
+
+
+def test_attribution_credit_conservation(ray_session, events):
+    got = R.q_attribution_position(SF).to_pandas()
+    # every converter with >=1 prior touch distributes exactly 1e6 ppm
+    conv = events[events["event_type"] == "purchase"] \
+        .groupby("user_id")["ts"].min()
+    ev = events.merge(conv.rename("cts"), on="user_id")
+    touch = ev[(ev["event_type"] != "purchase") & (ev["ts"] < ev["cts"])]
+    n_credited = touch["user_id"].nunique()
+    assert int(got["credit_ppm"].sum()) == n_credited * 1_000_000
+    assert (got["credit_ppm"] > 0).all()
+
+
+def test_attribution_matches_bruteforce(ray_session, events):
+    got = R.q_attribution_position(SF).to_pandas() \
+        .set_index("event_type")["credit_ppm"]
+    conv = events[events["event_type"] == "purchase"] \
+        .groupby("user_id")["ts"].min()
+    expect: dict = {}
+    for u, cts in conv.items():
+        t = events[(events["user_id"] == u)
+                   & (events["event_type"] != "purchase")
+                   & (events["ts"] < cts)] \
+            .sort_values(["ts", "event_id"])
+        k = len(t)
+        if k == 0:
+            continue
+        for i, et in enumerate(t["event_type"]):
+            if k == 1:
+                c = 1_000_000
+            elif k == 2:
+                c = 500_000
+            elif i == 0 or i == k - 1:
+                c = 400_000
+            else:
+                c = 200_000 // (k - 2) + (1 if i - 1 < 200_000 % (k - 2)
+                                          else 0)
+            expect[et] = expect.get(et, 0) + c
+    assert dict(got.astype(int)) == expect
