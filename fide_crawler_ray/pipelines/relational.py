@@ -7084,12 +7084,20 @@ def q_ab_test_welch(sf_dir):
     }])
 
 
-def q_frequent_itemsets(sf_dir, min_support: int = 10):
+def q_frequent_itemsets(sf_dir, min_support: int = 10,
+                        max_broadcast_parts: int = 2_000_000):
     """Market-basket frequent PAIRS (the A-Priori second pass): baskets
     are orders, items are the part types they contain; count baskets
     containing each unordered type pair, keep support ≥ min_support.
-    Plan: lineitem collapses to DISTINCT (order, type) map-side (the
-    A-Priori dedup); pair expansion runs VECTORIZED per
+    Plan: the partkey→type lookup is CARDINALITY GUARDED — below
+    `max_broadcast_parts` it ships once as a ray.put sorted-key array
+    probed by searchsorted inside map_batches directly over raw
+    lineitem, so ONE distinct-(order, type) groupby does the A-Priori
+    dedup (the join tier needs the (order, partkey) pre-distinct first
+    to keep the exchange bounded — one extra shuffle, which is why the
+    broadcast tier is the default); above the guard the hash-join tier
+    runs (part grows with the dataset, so the broadcast is not
+    assumed); pair expansion runs VECTORIZED per
     splitmix64(orderkey) % P partition as a basket-keyed self-merge
     (C-speed pandas hash join + one `<` filter — the per-basket
     Python loop this replaces cost minutes at sf0.1: one UDF call per
@@ -7100,14 +7108,33 @@ def q_frequent_itemsets(sf_dir, min_support: int = 10):
     from ..functions.sketches import _splitmix64
 
     P = 64
-    pairs_src = fast_groupby_agg(
-        T(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
-            lambda b: b, batch_format="pyarrow"),
-        ["l_orderkey", "l_partkey"], {"_n": (None, "count")})
+    li = T(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
     part = T(sf_dir, "part", ["p_partkey", "p_type"])
-    j = pairs_src.join(part, "inner", num_partitions=8,
-                       on=("l_partkey",), right_on=("p_partkey",))
-    ot = fast_groupby_agg(j, ["l_orderkey", "p_type"],
+    if part.count() <= max_broadcast_parts:
+        pt = part.to_pandas().sort_values("p_partkey")
+        keys_ref = ray.put(pt["p_partkey"].to_numpy(np.int64))
+        types_ref = ray.put(pt["p_type"].to_numpy(object))
+
+        def _probe(b: pa.Table) -> pa.Table:
+            keys, types = ray.get(keys_ref), ray.get(types_ref)
+            pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(keys, pk)
+            ok = (idx < len(keys)) & (keys[np.minimum(
+                idx, len(keys) - 1)] == pk)
+            return pa.table({
+                "l_orderkey": pa.array(
+                    b["l_orderkey"].to_numpy(zero_copy_only=False)[ok],
+                    pa.int64()),
+                "p_type": pa.array(types[idx[ok]], pa.string()),
+            })
+
+        typed = li.map_batches(_probe, batch_format="pyarrow")
+    else:
+        pairs_src = fast_groupby_agg(
+            li, ["l_orderkey", "l_partkey"], {"_n": (None, "count")})
+        typed = pairs_src.join(part, "inner", num_partitions=8,
+                               on=("l_partkey",), right_on=("p_partkey",))
+    ot = fast_groupby_agg(typed, ["l_orderkey", "p_type"],
                           {"_m": (None, "count")})
 
     def _part(b: pa.Table) -> pa.Table:

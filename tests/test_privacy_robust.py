@@ -146,3 +146,11 @@ def test_attribution_matches_bruteforce(ray_session, events):
                                           else 0)
             expect[et] = expect.get(et, 0) + c
     assert dict(got.astype(int)) == expect
+
+
+def test_frequent_itemsets_tiers_identical(ray_session):
+    fast = R.q_frequent_itemsets(SF).to_pandas() \
+        .sort_values(["item_a", "item_b"]).reset_index(drop=True)
+    slow = R.q_frequent_itemsets(SF, max_broadcast_parts=0).to_pandas() \
+        .sort_values(["item_a", "item_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow)
