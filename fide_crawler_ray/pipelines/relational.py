@@ -9741,6 +9741,7 @@ def queries() -> dict:
         "theil_sen": q_theil_sen,
         "forecast_mase": q_forecast_mase,
         "attribution_position": q_attribution_position,
+        "rendezvous_shards": q_rendezvous_shards,
     }
 
 
@@ -15112,4 +15113,92 @@ ORACLES["attribution_position"] = """
     )
     SELECT event_type, CAST(sum(ppm) AS BIGINT) AS credit_ppm
     FROM credit GROUP BY event_type
+"""
+
+
+def q_rendezvous_shards(sf_dir, s_before: int = 8):
+    """Rendezvous (highest-random-weight) consistent sharding audit —
+    the shard-assignment discipline a 10¹⁰-key frontier needs to grow
+    its shard pool without a stop-the-world reshuffle: every key goes
+    to argmax_s md5(key ':' s) (60-bit integer weight, ties to the
+    smallest s — the table_checksum md5-60-bit bridge), and when the
+    pool grows S → S+1 the ONLY keys that move are those won by the
+    NEW shard (≈ 1/(S+1) of them) — asserted in-query: moved_in = 0
+    for every pre-existing shard. Plan: one map over customer keys
+    computing both assignments per row, per-batch bincount partials,
+    one 9-row exchange; the oracle replays the argmax with windowed
+    row_number over the key × shard cross product."""
+    ds = T(sf_dir, "customer", ["c_custkey"])
+    s_after = s_before + 1
+
+    def _assign(b: pa.Table) -> pa.Table:
+        keys = b["c_custkey"].to_numpy(zero_copy_only=False)
+        w = np.empty((len(keys), s_after), np.int64)
+        for s in range(s_after):
+            suf = f":{s}"
+            w[:, s] = [int(hashlib.md5(f"{k}{suf}".encode())
+                           .hexdigest()[:15], 16) for k in keys]
+        a8 = np.argmax(w[:, :s_before], axis=1)  # first max = smallest s
+        a9 = np.argmax(w, axis=1)
+        moved = a9 != a8
+        return pa.table({
+            "shard": pa.array(np.arange(s_after, dtype=np.int64)),
+            "n_before": pa.array(
+                np.bincount(a8, minlength=s_after).astype(np.int64)),
+            "n_after": pa.array(
+                np.bincount(a9, minlength=s_after).astype(np.int64)),
+            "moved_in": pa.array(
+                np.bincount(a9[moved], minlength=s_after)
+                .astype(np.int64)),
+        })
+
+    out = fast_groupby_agg(
+        ds.map_batches(_assign, batch_format="pyarrow"), ["shard"], {
+            "n_before": ("n_before", "sum"),
+            "n_after": ("n_after", "sum"),
+            "moved_in": ("moved_in", "sum"),
+        }).to_pandas().sort_values("shard").reset_index(drop=True)
+    # the rendezvous minimal-disruption invariant: growth only ever
+    # moves keys INTO the new shard
+    assert (out.loc[out["shard"] < s_before, "moved_in"] == 0).all()
+    assert int(out.loc[out["shard"] == s_before, "moved_in"].iloc[0]) \
+        == int(out.loc[out["shard"] == s_before, "n_after"].iloc[0])
+    return out
+
+
+ORACLES["rendezvous_shards"] = """
+    WITH k AS (SELECT c_custkey AS key FROM customer),
+    w AS (
+        SELECT key, s,
+               CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || ':'
+                                        || CAST(s AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS wt
+        FROM k, unnest(generate_series(0, 8)) AS t(s)
+    ),
+    s9 AS (
+        SELECT key, s AS shard9 FROM (
+            SELECT key, s, row_number() OVER (
+                PARTITION BY key ORDER BY wt DESC, s) AS rn FROM w)
+        WHERE rn = 1
+    ),
+    s8 AS (
+        SELECT key, s AS shard8 FROM (
+            SELECT key, s, row_number() OVER (
+                PARTITION BY key ORDER BY wt DESC, s) AS rn
+            FROM w WHERE s < 8)
+        WHERE rn = 1
+    ),
+    j AS (SELECT s9.key, shard9, shard8
+          FROM s9 JOIN s8 ON s8.key = s9.key),
+    grid AS (SELECT unnest(generate_series(0, 8)) AS shard)
+    SELECT g.shard,
+           CAST(COALESCE(sum(CASE WHEN shard8 = g.shard
+                                  THEN 1 END), 0) AS BIGINT) AS n_before,
+           CAST(COALESCE(sum(CASE WHEN shard9 = g.shard
+                                  THEN 1 END), 0) AS BIGINT) AS n_after,
+           CAST(COALESCE(sum(CASE WHEN shard9 = g.shard
+                                  AND shard8 <> shard9
+                                  THEN 1 END), 0) AS BIGINT) AS moved_in
+    FROM grid g LEFT JOIN j ON j.shard9 = g.shard OR j.shard8 = g.shard
+    GROUP BY g.shard
 """

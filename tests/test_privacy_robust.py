@@ -154,3 +154,28 @@ def test_frequent_itemsets_tiers_identical(ray_session):
     slow = R.q_frequent_itemsets(SF, max_broadcast_parts=0).to_pandas() \
         .sort_values(["item_a", "item_b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_rendezvous_matches_bruteforce(ray_session):
+    import hashlib
+    got = R.q_rendezvous_shards(SF)
+    cust = pd.read_parquet(f"{SF}/customer.parquet",
+                           columns=["c_custkey"])
+    n_b = [0] * 9
+    n_a = [0] * 9
+    moved = [0] * 9
+    for k in cust["c_custkey"]:
+        w = [int(hashlib.md5(f"{k}:{s}".encode()).hexdigest()[:15], 16)
+             for s in range(9)]
+        a8 = max(range(8), key=lambda s: (w[s], -s))
+        a9 = max(range(9), key=lambda s: (w[s], -s))
+        n_b[a8] += 1
+        n_a[a9] += 1
+        if a8 != a9:
+            moved[a9] += 1
+    assert got["n_before"].tolist() == n_b
+    assert got["n_after"].tolist() == n_a
+    assert got["moved_in"].tolist() == moved
+    # growth moved roughly 1/9 of keys (binomial tolerance)
+    frac = sum(moved) / len(cust)
+    assert 0.02 < frac < 0.25
