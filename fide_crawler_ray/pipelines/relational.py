@@ -9742,6 +9742,8 @@ def queries() -> dict:
         "forecast_mase": q_forecast_mase,
         "attribution_position": q_attribution_position,
         "rendezvous_shards": q_rendezvous_shards,
+        "clamped_balance": q_clamped_balance,
+        "longest_streak": q_longest_streak,
     }
 
 
@@ -15201,4 +15203,172 @@ ORACLES["rendezvous_shards"] = """
                                   THEN 1 END), 0) AS BIGINT) AS moved_in
     FROM grid g LEFT JOIN j ON j.shard9 = g.shard OR j.shard8 = g.shard
     GROUP BY g.shard
+"""
+
+
+def q_clamped_balance(sf_dir):
+    """Floor-clamped running balance — per user, credits (non-purchase
+    event values) and debits (purchases) in time order with the
+    balance clamped at zero: b_t = max(0, b_{t−1} + d_t), the
+    inventory/wallet scan that looks sequential but has the exact
+    closed form b_t = S_t − min(0, min_{j≤t} S_j) (S = prefix sum), so
+    BOTH sides stay vectorized: the engine runs segment cumsum/cummin
+    per splitmix64(user) % P partition, the oracle nests two window
+    passes — no recursion, no row loop. A clamp fires at t iff
+    S_t < min(0, min_{j<t} S_j); integer cents throughout. Output per
+    user: final balance, clamp count, running-balance max."""
+    from ..functions.sketches import _splitmix64
+
+    P = 64
+    ev = T(sf_dir, "events", ["user_id", "event_type", "ts",
+                              "event_id", "value"])
+
+    def _part(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        cents = _round_half_away(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        debit = pc.equal(b["event_type"], "purchase").to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "user_id": b["user_id"], "ts": b["ts"],
+            "event_id": b["event_id"],
+            "d": pa.array(np.where(debit, -cents, cents)),
+            "part": pa.array((_splitmix64(u) % np.uint64(P))
+                             .astype(np.int64)),
+        })
+
+    def _scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        grp = g.groupby("user_id", sort=False)
+        s = grp["d"].cumsum()
+        # running min of S per user, then clamp algebra
+        smin = s.groupby(g["user_id"], sort=False).cummin()
+        floor = np.minimum(smin.to_numpy(np.int64), 0)
+        bal = s.to_numpy(np.int64) - floor
+        # clamp at t iff S_t < min(0, min_{j<t} S_j): shift the floor
+        prev_floor = np.minimum(
+            smin.groupby(g["user_id"], sort=False).shift(1)
+            .fillna(0).to_numpy(np.int64), 0)
+        clamped = s.to_numpy(np.int64) < prev_floor
+        out = pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(np.int64),
+            "bal": bal, "clamp": clamped.astype(np.int64)})
+        agg = out.groupby("user_id", sort=False).agg(
+            final_fp=("bal", "last"), n_clamped=("clamp", "sum"),
+            max_fp=("bal", "max"))
+        return agg.reset_index().astype(np.int64)
+
+    parts = ev.map_batches(_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(_scan, batch_format="pandas")
+    return parts.select_columns(
+        ["user_id", "final_fp", "n_clamped", "max_fp"])
+
+
+ORACLES["clamped_balance"] = """
+    WITH d AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'purchase'
+                    THEN -CAST(round(value * 100) AS BIGINT)
+                    ELSE CAST(round(value * 100) AS BIGINT) END AS d
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts, event_id,
+               sum(d) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rs
+        FROM d
+    ),
+    m AS (
+        SELECT user_id, ts, event_id, rs,
+               LEAST(min(rs) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id), 0) AS fl,
+               LEAST(COALESCE(min(rs) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0), 0) AS prev_fl,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC)
+                   AS rn_last
+        FROM s
+    )
+    SELECT user_id,
+           CAST(max(CASE WHEN rn_last = 1 THEN rs - fl END)
+                AS BIGINT) AS final_fp,
+           CAST(sum(CASE WHEN rs < prev_fl THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clamped,
+           CAST(max(rs - fl) AS BIGINT) AS max_fp
+    FROM m GROUP BY user_id
+"""
+
+
+def q_longest_streak(sf_dir):
+    """Longest run of CONSECUTIVE active days per user — the
+    gaps-and-islands classic (engagement-streak feature): distinct
+    active days collapse to islands by the day − rank trick (both
+    sides), island length = count, answer = per-user max. Engine:
+    distinct (user, day) via one map-side-combined groupby, then a
+    fully vectorized island fold per splitmix64(user) % P partition
+    (sorted day − positional rank is constant within an island). All
+    integers."""
+    from ..functions.sketches import _splitmix64
+
+    P = 64
+    ev = T(sf_dir, "events", ["user_id", "ts"])
+
+    def _day(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b["user_id"],
+            "day": pa.array(_ts_ns(b["ts"]) // 86_400_000_000_000,
+                            pa.int64()),
+            "part": pa.array((_splitmix64(u) % np.uint64(P))
+                             .astype(np.int64)),
+        })
+
+    days = fast_groupby_agg(
+        ev.map_batches(_day, batch_format="pyarrow"),
+        ["user_id", "day", "part"], {"_n": (None, "count")})
+
+    def _streak(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "day"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        d = g["day"].to_numpy(np.int64)
+        rank = np.arange(len(d), dtype=np.int64)
+        # island id: same user AND same (day − positional rank)
+        island = np.r_[True, (u[1:] != u[:-1])
+                       | ((d[1:] - rank[1:]) != (d[:-1] - rank[:-1]))]
+        iid = np.cumsum(island) - 1
+        lens = np.bincount(iid)
+        df = pd.DataFrame({"user_id": u[island], "len": lens})
+        agg = df.groupby("user_id", sort=False).agg(
+            longest=("len", "max"), n_active_days=("len", "sum"))
+        return agg.reset_index().astype(np.int64)
+
+    return days.groupby("part").map_groups(
+        _streak, batch_format="pandas").select_columns(
+        ["user_id", "longest", "n_active_days"])
+
+
+ORACLES["longest_streak"] = """
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   AS day
+        FROM events
+    ),
+    isl AS (
+        SELECT user_id,
+               day - row_number() OVER (PARTITION BY user_id
+                                        ORDER BY day) AS grp
+        FROM days
+    ),
+    lens AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS len
+        FROM isl GROUP BY user_id, grp
+    )
+    SELECT user_id, CAST(max(len) AS BIGINT) AS longest,
+           CAST(sum(len) AS BIGINT) AS n_active_days
+    FROM lens GROUP BY user_id
 """

@@ -179,3 +179,39 @@ def test_rendezvous_matches_bruteforce(ray_session):
     # growth moved roughly 1/9 of keys (binomial tolerance)
     frac = sum(moved) / len(cust)
     assert 0.02 < frac < 0.25
+
+
+def test_clamped_balance_matches_sequential(ray_session, events):
+    got = R.q_clamped_balance(SF).to_pandas().set_index("user_id")
+    for u, g in events.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        cents = np.round(g["value"].to_numpy() * 100.0).astype(np.int64)
+        d = np.where(g["event_type"].to_numpy() == "purchase",
+                     -cents, cents)
+        bal, n_clamp, mx = 0, 0, 0
+        for x in d:
+            if bal + int(x) < 0:
+                bal, n_clamp = 0, n_clamp + 1
+            else:
+                bal += int(x)
+            mx = max(mx, bal)
+        row = got.loc[u]
+        assert int(row["final_fp"]) == bal, u
+        assert int(row["n_clamped"]) == n_clamp, u
+        assert int(row["max_fp"]) == mx, u
+
+
+def test_longest_streak_matches_bruteforce(ray_session, events):
+    got = R.q_longest_streak(SF).to_pandas().set_index("user_id")
+    days = pd.DataFrame({
+        "u": events["user_id"],
+        "d": events["ts"].values.astype("datetime64[D]")
+        .astype(np.int64)}).drop_duplicates()
+    for u, g in days.groupby("u"):
+        ds_ = sorted(g["d"])
+        best = cur = 1
+        for a, b in zip(ds_, ds_[1:]):
+            cur = cur + 1 if b == a + 1 else 1
+            best = max(best, cur)
+        assert int(got.loc[u]["longest"]) == best
+        assert int(got.loc[u]["n_active_days"]) == len(ds_)
