@@ -9744,6 +9744,7 @@ def queries() -> dict:
         "rendezvous_shards": q_rendezvous_shards,
         "clamped_balance": q_clamped_balance,
         "longest_streak": q_longest_streak,
+        "lpt_partition_plan": q_lpt_partition_plan,
     }
 
 
@@ -15372,3 +15373,45 @@ ORACLES["longest_streak"] = """
            CAST(sum(len) AS BIGINT) AS n_active_days
     FROM lens GROUP BY user_id
 """
+
+
+def q_lpt_partition_plan(sf_dir, n_workers: int = 16):
+    """Skew-aware partition planner — Longest-Processing-Time greedy
+    assignment of per-key load onto P workers (the planning step
+    behind salted_join/key_skew remediation: given the measured key
+    histogram, pick WHICH keys co-locate so the heaviest worker is
+    minimal). Keys = l_partkey, load = row count. The histogram is a
+    map-side-combined groupby (key-domain-sized); the greedy runs on
+    the driver over that bounded histogram (sorted desc, least-loaded
+    heap, ties to the lower worker id — deterministic). Rows-only
+    (LPT is a 20k-step sequential recurrence — not SQL), but gated
+    in-query by Graham's bound: max_load ≤ 4/3·OPT via the certified
+    lower bound OPT ≥ max(⌈total/P⌉, max single key), plus exact
+    conservation Σ loads = Σ rows. Output: one row per worker."""
+    import heapq
+
+    hist = fast_groupby_agg(
+        T(sf_dir, "lineitem", ["l_partkey"]),
+        ["l_partkey"], {"n": (None, "count")}).to_pandas()
+    hist = hist.sort_values(["n", "l_partkey"],
+                            ascending=[False, True])
+    loads = hist["n"].to_numpy(np.int64)
+    heap = [(0, w) for w in range(n_workers)]
+    tot_load = np.zeros(n_workers, np.int64)
+    n_keys = np.zeros(n_workers, np.int64)
+    for n in loads:
+        load, w = heapq.heappop(heap)
+        tot_load[w] += int(n)
+        n_keys[w] += 1
+        heapq.heappush(heap, (load + int(n), w))
+    total = int(loads.sum())
+    lb = max(-(-total // n_workers), int(loads.max()))
+    assert int(tot_load.max()) * 3 <= 4 * lb, \
+        (int(tot_load.max()), lb)  # Graham's LPT guarantee vs OPT ≥ lb
+    assert int(tot_load.sum()) == total
+    return pd.DataFrame({
+        "worker": np.arange(n_workers, dtype=np.int64),
+        "load": tot_load,
+        "n_keys": n_keys,
+        "lb_opt": np.full(n_workers, lb, np.int64),
+    })

@@ -215,3 +215,19 @@ def test_longest_streak_matches_bruteforce(ray_session, events):
             best = max(best, cur)
         assert int(got.loc[u]["longest"]) == best
         assert int(got.loc[u]["n_active_days"]) == len(ds_)
+
+
+def test_lpt_plan_beats_naive_hash_on_skew(ray_session):
+    got = R.q_lpt_partition_plan(SF)
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_partkey"])
+    hist = li.groupby("l_partkey").size()
+    total = int(hist.sum())
+    assert int(got["load"].sum()) == total
+    assert int(got["n_keys"].sum()) == hist.size
+    lb = max(-(-total // 16), int(hist.max()))
+    assert int(got["lb_opt"].iloc[0]) == lb
+    assert int(got["load"].max()) * 3 <= 4 * lb
+    # LPT's makespan is never worse than modulo-hash partitioning's
+    naive = hist.groupby(hist.index % 16).sum().max()
+    assert int(got["load"].max()) <= int(naive)
