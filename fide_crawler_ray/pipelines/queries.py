@@ -970,6 +970,83 @@ def q_span_stats(sf_dir):
     return res.sort_values("doc_kind").reset_index(drop=True)
 
 
+def q_span_reflow(sf_dir):
+    """Interleaved span-document REFLOW — the canonicalization pass a
+    text+media corpus needs before packing/training: consecutive text
+    spans OF THE SAME KIND merge into one (single-space joined), media
+    spans pass through untouched, span order is preserved. Runs as one zero-copy
+    list-kernel map over the crawl docs store (flattened child arrays,
+    run boundaries by vectorized doc/kind comparison, per-run join via
+    a C-grouped pandas agg — no per-row Python). Conservation is
+    asserted IN-QUERY per document: media span count unchanged and the
+    doc's full text (space-joined word sequence) byte-identical before
+    vs after. Output: per doc_kind, docs / spans before / spans after /
+    media spans / merge count (violations must be zero). Rows-only
+    (list<struct> store, not a SQL view)."""
+    out = _crawl_store("fixed")
+    from ..sources import store
+
+    docs = store.read_all(out, "docs",
+                          columns=["doc_id", "doc_kind", "spans"])
+
+    def _reflow(b: pa.Table) -> pa.Table:
+        col = b["spans"]
+        la = (col.combine_chunks()
+              if isinstance(col, pa.ChunkedArray) else col)
+        offs = la.offsets.to_numpy().astype(np.int64)
+        lens = np.diff(offs)
+        n = len(b)
+        kinds = la.values.field("kind").to_numpy(zero_copy_only=False)
+        texts = pc.coalesce(la.values.field("text"), pa.scalar("")) \
+            .to_pandas()
+        m = len(kinds)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        is_text = kinds != "media"
+        run_start = np.ones(m, bool)
+        if m > 1:
+            run_start[1:] = ((doc_idx[1:] != doc_idx[:-1])
+                             | (kinds[1:] != kinds[:-1])
+                             | ~(is_text[1:] & is_text[:-1]))
+        run_id = np.cumsum(run_start) - 1
+        # merged text per run (media runs are singletons by
+        # construction: only text-text neighbors merge)
+        merged = texts.groupby(run_id).agg(" ".join)
+        run_doc = doc_idx[run_start]
+        run_is_text = is_text[run_start]
+        # conservation: per-doc word stream identical before/after
+        before = texts[is_text].groupby(doc_idx[is_text]).agg(" ".join)
+        after = merged[run_is_text].groupby(
+            run_doc[run_is_text]).agg(" ".join)
+        text_viol = int((~before.eq(
+            after.reindex(before.index, fill_value=""))).sum())
+        media_before = np.bincount(doc_idx[~is_text], minlength=n)
+        media_after = np.bincount(run_doc[~run_is_text], minlength=n)
+        media_viol = int((media_before != media_after).sum())
+        df = pd.DataFrame({
+            "doc_kind": b["doc_kind"].to_pandas(),
+            "n_docs": np.ones(n, np.int64),
+            "spans_before": lens,
+            "spans_after": np.bincount(run_doc, minlength=n)
+            .astype(np.int64),
+            "media_spans": media_before.astype(np.int64),
+        })
+        g = df.groupby("doc_kind", sort=False).sum().reset_index()
+        g["violations"] = np.int64(text_viol + media_viol)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = fast_groupby_agg(
+        docs.map_batches(_reflow, batch_format="pyarrow"),
+        ["doc_kind"], {c: (c, "sum") for c in
+                       ["n_docs", "spans_before", "spans_after",
+                        "media_spans", "violations"]})
+    res = agg.to_pandas()
+    assert int(res["violations"].sum()) == 0, res.to_dict("records")
+    res["n_merged"] = (res["spans_before"] - res["spans_after"]) \
+        .astype(np.int64)
+    assert (res["spans_after"] <= res["spans_before"]).all()
+    return res.sort_values("doc_kind").reset_index(drop=True)
+
+
 def q_crawl_metrics(sf_dir):
     """Crawl progress counters (SURVEY ST6) surfaced from the finished
     store's manifest metrics: one row per frontier component (politeness
@@ -1317,6 +1394,7 @@ def queries() -> dict:
         "lineage_audit": q_lineage_audit,
         "crawl_metrics": q_crawl_metrics,
         "span_stats": q_span_stats,
+        "span_reflow": q_span_reflow,
         "frontier_snapshot_stats": q_frontier_snapshot_stats,
         "crawl_players": q_crawl_players,
         "tournament_rollup": q_tournament_rollup,

@@ -231,3 +231,33 @@ def test_lpt_plan_beats_naive_hash_on_skew(ray_session):
     # LPT's makespan is never worse than modulo-hash partitioning's
     naive = hist.groupby(hist.index % 16).sum().max()
     assert int(got["load"].max()) <= int(naive)
+
+
+def test_span_reflow_matches_bruteforce(ray_session):
+    from fide_crawler_ray.pipelines import queries as Q
+    from fide_crawler_ray.sources import store
+    got = Q.q_span_reflow(SF).set_index("doc_kind")
+    out = Q._crawl_store("fixed")
+    docs = store.read_all(
+        out, "docs", columns=["doc_id", "doc_kind", "spans"]).to_pandas()
+    exp: dict = {}
+    for _, row in docs.iterrows():
+        spans = row["spans"]
+        after = 0
+        prev = None
+        for s in spans:
+            k = s["kind"]
+            if not (k == prev and k != "media"):
+                after += 1
+            prev = k
+        e = exp.setdefault(row["doc_kind"],
+                           {"n_docs": 0, "spans_before": 0,
+                            "spans_after": 0, "media_spans": 0})
+        e["n_docs"] += 1
+        e["spans_before"] += len(spans)
+        e["spans_after"] += after
+        e["media_spans"] += sum(s["kind"] == "media" for s in spans)
+    for k, e in exp.items():
+        row = got.loc[k]
+        for col, v in e.items():
+            assert int(row[col]) == v, (k, col, int(row[col]), v)
