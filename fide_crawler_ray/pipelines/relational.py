@@ -9745,6 +9745,7 @@ def queries() -> dict:
         "clamped_balance": q_clamped_balance,
         "longest_streak": q_longest_streak,
         "lpt_partition_plan": q_lpt_partition_plan,
+        "holdout_leakage": q_holdout_leakage,
     }
 
 
@@ -15415,3 +15416,79 @@ def q_lpt_partition_plan(sf_dir, n_workers: int = 16):
         "n_keys": n_keys,
         "lb_opt": np.full(n_workers, lb, np.int64),
     })
+
+
+def q_holdout_leakage(sf_dir):
+    """Holdout-leakage audit — the eval-integrity check that follows
+    q_train_val_test_split: EXACT-duplicate texts that straddle a
+    split boundary leak eval data into training (Lee et al. §5 report
+    the same failure class for deduplicated benchmarks). Reuses the
+    split rule verbatim (md5(doc_id) bucket 80/10/10) and the exact
+    dedup discipline (md5(text) identity). Plan: one map emits
+    (text_hash, split); a map-side-combined groupby collapses to
+    DISTINCT (hash, split); a second groupby counts splits per hash;
+    the final exchange is hash-domain-sized. Output: total distinct
+    texts, texts present in ≥2 splits, and the leaked-pair count
+    Σ(n_splits choose 2)."""
+    ds = T(sf_dir, "documents", ["doc_id", "text"])
+
+    def _hs(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        bucket = np.array(
+            [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10
+             for i in ids], np.int64)
+        split = np.where(bucket < 8, "train",
+                         np.where(bucket == 8, "val", "test"))
+        th = [hashlib.md5((t or "").encode()).hexdigest()
+              for t in b["text"].to_pylist()]
+        return pa.table({
+            "h": pa.array(th, pa.string()),
+            "split": pa.array(split.tolist(), pa.string()),
+        })
+
+    per_split = fast_groupby_agg(
+        ds.map_batches(_hs, batch_format="pyarrow"),
+        ["h", "split"], {"_n": (None, "count")})
+    per_hash = fast_groupby_agg(
+        per_split, ["h"], {"n_splits": (None, "count")})
+
+    def _fold(b: pa.Table) -> pa.Table:
+        k = b["n_splits"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_texts": pa.array([len(k)], pa.int64()),
+            "n_leaky_texts": pa.array([int((k >= 2).sum())], pa.int64()),
+            "n_leaked_pairs": pa.array(
+                [int((k * (k - 1) // 2).sum())], pa.int64()),
+        })
+
+    parts = per_hash.map_batches(_fold, batch_format="pyarrow") \
+        .to_pandas()
+    return pd.DataFrame([{
+        "n_texts": np.int64(parts["n_texts"].sum()),
+        "n_leaky_texts": np.int64(parts["n_leaky_texts"].sum()),
+        "n_leaked_pairs": np.int64(parts["n_leaked_pairs"].sum()),
+    }])
+
+
+ORACLES["holdout_leakage"] = """
+    WITH s AS (
+        SELECT md5(text) AS h,
+               CASE WHEN CAST(('0x' || substr(
+                        md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                        % 10 < 8 THEN 'train'
+                    WHEN CAST(('0x' || substr(
+                        md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                        % 10 = 8 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ),
+    d AS (SELECT DISTINCT h, split FROM s),
+    k AS (SELECT h, CAST(count(*) AS BIGINT) AS n_splits
+          FROM d GROUP BY h)
+    SELECT CAST(count(*) AS BIGINT) AS n_texts,
+           CAST(sum(CASE WHEN n_splits >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_leaky_texts,
+           CAST(sum(n_splits * (n_splits - 1) // 2)
+                AS BIGINT) AS n_leaked_pairs
+    FROM k
+"""

@@ -261,3 +261,25 @@ def test_span_reflow_matches_bruteforce(ray_session):
         row = got.loc[k]
         for col, v in e.items():
             assert int(row[col]) == v, (k, col, int(row[col]), v)
+
+
+def test_holdout_leakage_matches_bruteforce(ray_session):
+    import hashlib
+    got = R.q_holdout_leakage(SF).iloc[0]
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    seen: dict = {}
+    for did, txt in zip(docs["doc_id"], docs["text"]):
+        b = int(hashlib.md5(str(did).encode()).hexdigest()[:8], 16) % 10
+        split = "train" if b < 8 else ("val" if b == 8 else "test")
+        seen.setdefault(hashlib.md5((txt or "").encode()).hexdigest(),
+                        set()).add(split)
+    ks = [len(v) for v in seen.values()]
+    assert int(got["n_texts"]) == len(ks)
+    assert int(got["n_leaky_texts"]) == sum(k >= 2 for k in ks)
+    assert int(got["n_leaked_pairs"]) == sum(k * (k - 1) // 2 for k in ks)
+    # at sf0.001 every planted dup lands inside one split (verified by
+    # the brute force above); sf0.1 is where dups straddle the split
+    # boundary, so the positive-signal check runs there
+    got01 = R.q_holdout_leakage("/root/testdata/sf0.1").iloc[0]
+    assert int(got01["n_leaky_texts"]) > 0
