@@ -9746,6 +9746,7 @@ def queries() -> dict:
         "longest_streak": q_longest_streak,
         "lpt_partition_plan": q_lpt_partition_plan,
         "holdout_leakage": q_holdout_leakage,
+        "scd2_build": q_scd2_build,
     }
 
 
@@ -15491,4 +15492,89 @@ ORACLES["holdout_leakage"] = """
            CAST(sum(n_splits * (n_splits - 1) // 2)
                 AS BIGINT) AS n_leaked_pairs
     FROM k
+"""
+
+
+_SCD2_OPEN_US = 253_402_214_400_000_000  # 9999-12-31 00:00:00 UTC
+
+
+def q_scd2_build(sf_dir):
+    """Slowly-changing-dimension TYPE-2 build — compress each user's
+    value stream (cents) into validity intervals [valid_from, valid_to)
+    with an is_current flag: the warehouse-dimension primitive that
+    turns a CDC change feed into point-in-time-joinable history.
+    Change compression keeps a row iff its value differs from the
+    user's previous row (ties totally ordered by (ts, event_id));
+    valid_to = next kept row's ts, open intervals get the 9999-12-31
+    sentinel. Timestamps travel as epoch MICROSECONDS (int64) so the
+    comparison is format-free. Plan: one splitmix64(user) % P shuffle,
+    then a fully vectorized per-partition shift/compare — mirrored by
+    lag/lead windows in SQL."""
+    from ..functions.sketches import _splitmix64
+
+    P = 64
+    ev = T(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def _part(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b["user_id"],
+            "us": pa.array(_ts_ns(b["ts"]) // 1_000, pa.int64()),
+            "event_id": b["event_id"],
+            "v": pa.array(_round_half_away(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)),
+            "part": pa.array((_splitmix64(u) % np.uint64(P))
+                             .astype(np.int64)),
+        })
+
+    def _scd(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "us", "event_id"],
+                          kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        keep = np.r_[True, (u[1:] != u[:-1]) | (v[1:] != v[:-1])]
+        ku, kus, kv = u[keep], us[keep], v[keep]
+        nxt = np.r_[kus[1:], np.int64(_SCD2_OPEN_US)]
+        same = np.r_[ku[1:] == ku[:-1], False]
+        vt = np.where(same, nxt, np.int64(_SCD2_OPEN_US))
+        return pd.DataFrame({
+            "user_id": ku, "valid_from_us": kus,
+            "valid_to_us": vt.astype(np.int64),
+            "value_fp": kv,
+            "is_current": ~same,
+        })
+
+    return ev.map_batches(_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(_scd, batch_format="pandas") \
+        .select_columns(["user_id", "valid_from_us", "valid_to_us",
+                         "value_fp", "is_current"])
+
+
+ORACLES["scd2_build"] = """
+    WITH s AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events
+    ),
+    o AS (
+        SELECT *, lag(v) OVER (PARTITION BY user_id
+                               ORDER BY us, event_id) AS pv
+        FROM s
+    ),
+    c AS (SELECT user_id, us, event_id, v FROM o
+          WHERE pv IS NULL OR v <> pv),
+    f AS (
+        SELECT user_id, us AS valid_from_us,
+               lead(us) OVER (PARTITION BY user_id
+                              ORDER BY us, event_id) AS nxt,
+               v AS value_fp
+        FROM c
+    )
+    SELECT user_id, valid_from_us,
+           CAST(COALESCE(nxt, 253402214400000000) AS BIGINT)
+               AS valid_to_us,
+           value_fp, nxt IS NULL AS is_current
+    FROM f
 """

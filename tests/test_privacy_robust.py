@@ -283,3 +283,26 @@ def test_holdout_leakage_matches_bruteforce(ray_session):
     # boundary, so the positive-signal check runs there
     got01 = R.q_holdout_leakage("/root/testdata/sf0.1").iloc[0]
     assert int(got01["n_leaky_texts"]) > 0
+
+
+def test_scd2_intervals_tile_and_match(ray_session, events):
+    got = R.q_scd2_build(SF).to_pandas()
+    for u, g in got.groupby("user_id"):
+        g = g.sort_values("valid_from_us")
+        # intervals tile: each valid_to equals the next valid_from,
+        # exactly one open current interval per user
+        assert (g["valid_to_us"].to_numpy()[:-1]
+                == g["valid_from_us"].to_numpy()[1:]).all()
+        assert int(g["is_current"].sum()) == 1
+        assert bool(g["is_current"].iloc[-1])
+        # adjacent intervals always change value
+        v = g["value_fp"].to_numpy()
+        assert (v[1:] != v[:-1]).all()
+    # row-level reference for one user
+    ev = events.sort_values(["ts", "event_id"])
+    u0 = int(ev["user_id"].iloc[0])
+    g = ev[ev["user_id"] == u0]
+    cents = np.round(g["value"].to_numpy() * 100.0).astype(np.int64)
+    kept = [i for i in range(len(cents))
+            if i == 0 or cents[i] != cents[i - 1]]
+    assert len(got[got["user_id"] == u0]) == len(kept)
