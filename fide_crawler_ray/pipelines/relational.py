@@ -9747,6 +9747,7 @@ def queries() -> dict:
         "lpt_partition_plan": q_lpt_partition_plan,
         "holdout_leakage": q_holdout_leakage,
         "scd2_build": q_scd2_build,
+        "pit_feature_join": q_pit_feature_join,
     }
 
 
@@ -15577,4 +15578,127 @@ ORACLES["scd2_build"] = """
                AS valid_to_us,
            value_fp, nxt IS NULL AS is_current
     FROM f
+"""
+
+
+def q_pit_feature_join(sf_dir):
+    """Point-in-time-correct feature join — the leakage-free feature
+    lookup every training pipeline needs: each 'purchase' fact joins
+    the FEATURE VALUE IN EFFECT at its timestamp, where the feature is
+    the SCD2-compressed stream of the same user's 'view' values
+    (q_scd2_build's discipline restricted to views). Using any later
+    value would leak the future into training; using the raw stream
+    would double-count unchanged values. Plan: one splitmix64(user) % P
+    shuffle carrying BOTH roles in one table (no second exchange), then
+    a per-partition vectorized MERGE + FORWARD-FILL: rows sort by
+    (user, us, dim-before-fact, event_id) and each fact takes the last
+    preceding change point's value via one maximum.accumulate (user
+    equality checked on the filled index — no composite-key stride
+    arithmetic, no overflow) — mirrored in SQL by an interval join
+    against the lag/lead CTE. Facts before the first view carry
+    feature_fp −1 (pinned)."""
+    from ..functions.sketches import _splitmix64
+
+    P = 64
+    ev = T(sf_dir, "events", ["user_id", "event_type", "ts",
+                              "event_id", "value"])
+
+    def _part(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == "purchase") | (et == "view")
+        t = pa.table({
+            "user_id": b["user_id"],
+            "is_fact": pa.array(et == "purchase"),
+            "us": pa.array(_ts_ns(b["ts"]) // 1_000, pa.int64()),
+            "event_id": b["event_id"],
+            "v": pa.array(_round_half_away(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)),
+            "part": pa.array((_splitmix64(u) % np.uint64(P))
+                             .astype(np.int64)),
+        })
+        return t.filter(pa.array(keep))
+
+    def _pit(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "us", "event_id"],
+                          kind="mergesort")
+        fact_all = g["is_fact"].to_numpy()
+        dim = g[~fact_all]
+        u_d = dim["user_id"].to_numpy(np.int64)
+        us_d = dim["us"].to_numpy(np.int64)
+        v_d = dim["v"].to_numpy(np.int64)
+        # SCD2 change compression of the view stream
+        keep = np.r_[True, (u_d[1:] != u_d[:-1]) | (v_d[1:] != v_d[:-1])] \
+            if len(u_d) else np.zeros(0, bool)
+        ku, kus, kv = u_d[keep], us_d[keep], v_d[keep]
+        facts = g[fact_all]
+        u_f = facts["user_id"].to_numpy(np.int64)
+        us_f = facts["us"].to_numpy(np.int64)
+        # merge: change points and facts in one (user, us, dim-first)
+        # order; each fact forward-fills the last change-point index
+        nd, nf = len(ku), len(u_f)
+        mu = np.concatenate([ku, u_f])
+        mus = np.concatenate([kus, us_f])
+        mrole = np.concatenate([np.zeros(nd, np.int8),
+                                np.ones(nf, np.int8)])  # dim before fact
+        order = np.lexsort((mrole, mus, mu))
+        is_dim = mrole[order] == 0
+        last_dim = np.maximum.accumulate(
+            np.where(is_dim, np.arange(nd + nf), -1))
+        src = np.concatenate([np.arange(nd), np.arange(nf)])
+        fact_pos = np.flatnonzero(~is_dim)
+        fidx = src[order][fact_pos]           # index into the facts
+        didx = last_dim[fact_pos]             # merged pos of last dim
+        valid = didx >= 0
+        dsrc = src[order][np.maximum(didx, 0)]  # index into change pts
+        if nd:
+            valid &= ku[dsrc] == u_f[fidx]
+        feat = np.full(nf, np.int64(-1))
+        if nd:
+            feat_v = np.where(valid, kv[dsrc], np.int64(-1))
+            feat[fidx] = feat_v
+        return pd.DataFrame({
+            "event_id": facts["event_id"].to_numpy(np.int64),
+            "user_id": u_f,
+            "purchase_fp": facts["v"].to_numpy(np.int64),
+            "feature_fp": feat.astype(np.int64),
+        })
+
+    return ev.map_batches(_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(_pit, batch_format="pandas") \
+        .select_columns(["event_id", "user_id", "purchase_fp",
+                         "feature_fp"])
+
+
+ORACLES["pit_feature_join"] = """
+    WITH v AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+               CAST(round(value * 100) AS BIGINT) AS fv
+        FROM events WHERE event_type = 'view'
+    ),
+    o AS (
+        SELECT *, lag(fv) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS pv
+        FROM v
+    ),
+    c AS (SELECT user_id, us, event_id, fv FROM o
+          WHERE pv IS NULL OR fv <> pv),
+    dim AS (
+        SELECT user_id, us AS vf,
+               lead(us) OVER (PARTITION BY user_id
+                              ORDER BY us, event_id) AS vt,
+               fv
+        FROM c
+    ),
+    f AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               CAST(round(value * 100) AS BIGINT) AS purchase_fp
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.event_id, f.user_id, f.purchase_fp,
+           CAST(COALESCE(d.fv, -1) AS BIGINT) AS feature_fp
+    FROM f LEFT JOIN dim d
+      ON d.user_id = f.user_id AND d.vf <= f.us
+         AND (d.vt IS NULL OR f.us < d.vt)
 """

@@ -306,3 +306,19 @@ def test_scd2_intervals_tile_and_match(ray_session, events):
     kept = [i for i in range(len(cents))
             if i == 0 or cents[i] != cents[i - 1]]
     assert len(got[got["user_id"] == u0]) == len(kept)
+
+
+def test_pit_join_matches_bruteforce(ray_session, events):
+    got = R.q_pit_feature_join(SF).to_pandas().set_index("event_id")
+    views = events[events["event_type"] == "view"]
+    buys = events[events["event_type"] == "purchase"]
+    assert len(got) == len(buys)
+    for _, f in buys.iterrows():
+        vs = views[(views["user_id"] == f["user_id"])
+                   & (views["ts"] <= f["ts"])] \
+            .sort_values(["ts", "event_id"])
+        exp = (int(np.round(vs["value"].iloc[-1] * 100.0))
+               if len(vs) else -1)
+        row = got.loc[int(f["event_id"])]
+        assert int(row["feature_fp"]) == exp
+        assert int(row["purchase_fp"]) == int(np.round(f["value"] * 100))
