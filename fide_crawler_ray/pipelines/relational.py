@@ -9748,6 +9748,7 @@ def queries() -> dict:
         "holdout_leakage": q_holdout_leakage,
         "scd2_build": q_scd2_build,
         "pit_feature_join": q_pit_feature_join,
+        "ams_f2": q_ams_f2,
     }
 
 
@@ -15702,3 +15703,61 @@ ORACLES["pit_feature_join"] = """
       ON d.user_id = f.user_id AND d.vf <= f.us
          AND (d.vt IS NULL OR f.us < d.vt)
 """
+
+
+def q_ams_f2(sf_dir, n_est: int = 96):
+    """AMS second-frequency-moment sketch (Alon–Matias–Szegedy F₂ =
+    Σ_k c_k² — the self-join-size / skew statistic) — completes the
+    mergeable-sketch family next to HLL (F₀), CMS (point counts) and
+    Misra–Gries (heavy hitters). Each of ``n_est`` estimators keeps one
+    signed counter z_r = Σ s_r(key) over occurrences, with s_r(key) =
+    ±1 from the parity of splitmix64(key XOR r·φ64) — an INDEPENDENT
+    rehash per estimator (bit-slicing one hash correlates the
+    estimators); F̂₂ = the canonical AMS median-of-means: mean of z²
+    within each of 12 groups of 8, median across groups (the median of
+    RAW z² values estimates the χ²₁ median ≈ 0.455·F₂, not F₂ — and a
+    single grand mean of 48 showed ±25% one-draw spread across seeds,
+    so the group count matters as much as the estimator count).
+    Per-batch partials
+    are an n_est-int vector, tree-combined by +. Gated in-query against
+    the EXACT F₂ (one groupby + fold): median-of-48 is within ±50% with
+    overwhelming margin (Var(z²) ≤ 2F₂²). Rows-only (randomized
+    estimator; the exact side rides along in the output)."""
+    from ..functions.sketches import _splitmix64
+
+    GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+    ds = T(sf_dir, "lineitem", ["l_partkey"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        k = b["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        z = np.empty(n_est, np.int64)
+        for r in range(n_est):
+            h = _splitmix64(k ^ (np.uint64(r) * GOLDEN))
+            parity = ((h >> np.uint64(32)) ^ h) & np.uint64(1)
+            z[r] = int((2 * parity.astype(np.int64) - 1).sum())
+        return pa.table({"r": pa.array(np.arange(n_est, dtype=np.int64)),
+                         "z": pa.array(z)})
+
+    zs = fast_groupby_agg(
+        ds.map_batches(_partial, batch_format="pyarrow"),
+        ["r"], {"z": ("z", "sum")}).to_pandas()
+    z = zs.sort_values("r")["z"].to_numpy(np.int64)
+    sq = (z.astype(object)) ** 2
+    groups = [int(sum(sq[g::12])) // (n_est // 12) for g in range(12)]
+    est = int(np.median(np.array(groups, dtype=object)))
+    exact_df = fast_groupby_agg(
+        ds, ["l_partkey"], {"c": (None, "count")}).map_batches(
+        lambda b: pa.table({"f2": pa.array(
+            [int((b["c"].to_numpy(zero_copy_only=False).astype(object)
+                  ** 2).sum())], pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    f2 = int(exact_df["f2"].sum())
+    rel_err_ppm = abs(est - f2) * 1_000_000 // max(f2, 1)
+    assert rel_err_ppm <= 500_000, (est, f2, rel_err_ppm)
+    return pd.DataFrame([{
+        "n_estimators": np.int64(n_est),
+        "f2_exact": np.int64(f2),
+        "f2_est": np.int64(est),
+        "rel_err_ppm": np.int64(rel_err_ppm),
+    }])

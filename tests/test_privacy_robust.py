@@ -322,3 +322,13 @@ def test_pit_join_matches_bruteforce(ray_session, events):
         row = got.loc[int(f["event_id"])]
         assert int(row["feature_fp"]) == exp
         assert int(row["purchase_fp"]) == int(np.round(f["value"] * 100))
+
+
+def test_ams_f2_gate_and_exact_side(ray_session):
+    got = R.q_ams_f2(SF).iloc[0]
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_partkey"])
+    f2 = int((li.groupby("l_partkey").size().astype(object) ** 2).sum())
+    assert int(got["f2_exact"]) == f2
+    assert int(got["rel_err_ppm"]) <= 500_000
+    assert int(got["f2_est"]) > 0
