@@ -9749,6 +9749,7 @@ def queries() -> dict:
         "scd2_build": q_scd2_build,
         "pit_feature_join": q_pit_feature_join,
         "ams_f2": q_ams_f2,
+        "roc_auc": q_roc_auc,
     }
 
 
@@ -15761,3 +15762,98 @@ def q_ams_f2(sf_dir, n_est: int = 96):
         "f2_est": np.int64(est),
         "rel_err_ppm": np.int64(rel_err_ppm),
     }])
+
+
+def q_roc_auc(sf_dir):
+    """Exact ROC-AUC of the batch-inference scorer (class-1 logit)
+    against the derived binary truth label % 2 — the model-eval rank
+    statistic next to confusion_matrix, computed EXACTLY by the
+    Mann–Whitney identity with midrank tie handling: AUC =
+    (Σ_pos 2·midrank − n₊(n₊+1)) / (2·n₊·n₋), every term an integer.
+    Scores quantize to logit_fp // 10⁶ buckets on BOTH sides (numpy
+    floor ↔ SQL `//` with the negative-remainder correction), so the
+    exchange is the (bucket, truth) value-count fold — the engine's
+    bounded-value-histogram contract (grouped_median's discipline),
+    never a global sort. The driver walk is one cumulative pass over
+    the bucket histogram."""
+    ds = T(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    class _Score:
+        def __init__(self):
+            self.w1: np.ndarray | None = None
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            from ..functions import ann as ANN
+
+            m = ANN._to_matrix(b["embedding"]).astype(np.float64)
+            if self.w1 is None:
+                j = np.arange(m.shape[1])
+                self.w1 = ((j * 31 + 17) % 7 - 3).astype(np.int64)
+            efp = _round_half_away(m * 1e6).astype(np.int64)
+            s = efp @ self.w1
+            y = (b["label"].to_numpy(zero_copy_only=False)
+                 .astype(np.int64) % 2)
+            return pa.table({
+                "b": pa.array(s // 1_000_000),  # numpy floor division
+                "y": pa.array(y),
+            })
+
+    hist = fast_groupby_agg(
+        ds.map_batches(_Score, batch_format="pyarrow",
+                       batch_size=4096, concurrency=(1, 4)),
+        ["b"], {"n": (None, "count"), "p": ("y", "sum")}).to_pandas()
+    hist = hist.sort_values("b")
+    n = hist["n"].to_numpy(np.int64)
+    p = hist["p"].to_numpy(np.int64)
+    c = np.concatenate([[0], np.cumsum(n)[:-1]])
+    s2 = int((p.astype(object) * (2 * c.astype(object) + n + 1)).sum())
+    n_pos = int(p.sum())
+    n_neg = int(n.sum()) - n_pos
+    auc = (1_000_000 * (s2 - n_pos * (n_pos + 1))
+           // (2 * n_pos * n_neg)) if n_pos and n_neg else 0
+    return pd.DataFrame([{
+        "n_pos": np.int64(n_pos), "n_neg": np.int64(n_neg),
+        "auc_fp": np.int64(auc),
+    }])
+
+
+ORACLES["roc_auc"] = """
+    WITH e AS (
+        SELECT vec_id, gs - 1 AS j,
+               CAST(round(CAST(embedding[gs] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS efp
+        FROM embeddings,
+             unnest(generate_series(1, len(embedding))) AS t(gs)
+    ),
+    l1 AS (
+        SELECT vec_id,
+               CAST(sum(efp * (((j * 31 + 17) % 7) - 3)) AS BIGINT) AS s
+        FROM e GROUP BY vec_id
+    ),
+    q AS (
+        SELECT l1.vec_id,
+               s // 1000000 - CASE WHEN s % 1000000 <> 0 AND s < 0
+                                   THEN 1 ELSE 0 END AS b,
+               CAST(emb.label % 2 AS BIGINT) AS y
+        FROM l1 JOIN embeddings emb ON emb.vec_id = l1.vec_id
+    ),
+    h AS (SELECT b, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS p
+          FROM q GROUP BY b),
+    w AS (
+        SELECT b, n, p,
+               COALESCE(sum(n) OVER (ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS c
+        FROM h
+    ),
+    s AS (SELECT CAST(sum(p * (2 * c + n + 1)) AS BIGINT) AS s2,
+                 CAST(sum(p) AS BIGINT) AS np,
+                 CAST(sum(n - p) AS BIGINT) AS nn
+          FROM w)
+    SELECT np AS n_pos, nn AS n_neg,
+           CAST(1000000 * (CAST(s2 AS HUGEINT) - CAST(np AS HUGEINT)
+                           * (np + 1))
+                // (2 * CAST(np AS HUGEINT) * nn) AS BIGINT) AS auc_fp
+    FROM s
+"""

@@ -332,3 +332,32 @@ def test_ams_f2_gate_and_exact_side(ray_session):
     assert int(got["f2_exact"]) == f2
     assert int(got["rel_err_ppm"]) <= 500_000
     assert int(got["f2_est"]) > 0
+
+
+def test_roc_auc_matches_sklearn_free_bruteforce(ray_session):
+    got = R.q_roc_auc(SF).iloc[0]
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    m = np.stack(emb["embedding"].to_numpy())
+    j = np.arange(m.shape[1])
+    w1 = ((j * 31 + 17) % 7 - 3).astype(np.int64)
+    efp = np.round(m.astype(np.float64) * 1e6).astype(np.int64)
+    score = (efp @ w1) // 1_000_000  # quantized buckets
+    y = emb["label"].to_numpy().astype(np.int64) % 2
+    # exact midrank Mann-Whitney AUC over the bucketed scores
+    order = np.argsort(score, kind="mergesort")
+    s, yy = score[order], y[order]
+    ranks = np.empty(len(s), dtype=np.float64)
+    i = 0
+    while i < len(s):
+        k = i
+        while k < len(s) and s[k] == s[i]:
+            k += 1
+        ranks[i:k] = (i + 1 + k) / 2.0
+        i = k
+    n_pos = int(y.sum())
+    n_neg = len(y) - n_pos
+    u = ranks[yy == 1].sum() - n_pos * (n_pos + 1) / 2.0
+    auc = u / (n_pos * n_neg)
+    assert int(got["n_pos"]) == n_pos
+    assert int(got["n_neg"]) == n_neg
+    assert abs(int(got["auc_fp"]) - auc * 1e6) <= 1  # floor vs float
