@@ -9750,6 +9750,7 @@ def queries() -> dict:
         "pit_feature_join": q_pit_feature_join,
         "ams_f2": q_ams_f2,
         "roc_auc": q_roc_auc,
+        "interval_scheduling": q_interval_scheduling,
     }
 
 
@@ -15856,4 +15857,93 @@ ORACLES["roc_auc"] = """
                            * (np + 1))
                 // (2 * CAST(np AS HUGEINT) * nn) AS BIGINT) AS auc_fp
     FROM s
+"""
+
+
+def q_interval_scheduling(sf_dir):
+    """Maximum non-overlapping interval set per user (earliest-end
+    greedy — provably optimal; the capacity-planning / session-
+    scheduling classic and a THIRD data-dependent chain next to
+    ttl_dedup and clamped_balance, with an end-time recurrence instead
+    of a fixed TTL): intervals are [ts, ts + value µs-quantized
+    seconds) — the duration round(value·10⁶) µs is STRICTLY positive
+    (a zero-length interval satisfies its own start ≥ end and traps
+    the oracle's LATERAL chain in a self-loop; with dur > 0 the kept
+    end strictly increases, so both walks terminate); the chain
+    keeps an interval iff its start ≥ the last kept interval's end,
+    scanning in (end, event_id) order. Back-to-back touching intervals
+    (start == previous end) are compatible — the ≥ rule is pinned on
+    both sides. Plan: one splitmix64(user) % P shuffle, per-user walk
+    over end-sorted arrays (O(n) after the partition sort). Oracle:
+    the ttl_dedup-style RECURSIVE LATERAL next-compatible probe.
+    Output per user: intervals kept, total busy µs."""
+    from ..functions.sketches import _splitmix64
+
+    P = 64
+    ev = T(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def _part(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        st = _ts_ns(b["ts"]) // 1_000
+        dur = _round_half_away(
+            b["value"].to_numpy(zero_copy_only=False) * 1e6
+        ).astype(np.int64)
+        assert (dur > 0).all(), "zero-length interval"
+        return pa.table({
+            "user_id": b["user_id"], "event_id": b["event_id"],
+            "st": pa.array(st, pa.int64()),
+            "en": pa.array(st + dur, pa.int64()),
+            "part": pa.array((_splitmix64(u) % np.uint64(P))
+                             .astype(np.int64)),
+        })
+
+    def _greedy(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "en", "event_id"],
+                          kind="mergesort")
+        out = []
+        for u, grp in g.groupby("user_id", sort=False):
+            st = grp["st"].to_numpy(np.int64)
+            en = grp["en"].to_numpy(np.int64)
+            cur = np.int64(-2 ** 62)
+            n_kept = 0
+            busy = 0
+            for i in range(len(st)):
+                if st[i] >= cur:
+                    n_kept += 1
+                    busy += int(en[i] - st[i])
+                    cur = en[i]
+            out.append({"user_id": np.int64(u),
+                        "n_scheduled": np.int64(n_kept),
+                        "busy_us": np.int64(busy)})
+        return pd.DataFrame(out)
+
+    return ev.map_batches(_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(_greedy, batch_format="pandas") \
+        .select_columns(["user_id", "n_scheduled", "busy_us"])
+
+
+ORACLES["interval_scheduling"] = """
+    WITH RECURSIVE iv AS (
+        SELECT user_id, event_id, epoch_us(ts) AS st,
+               epoch_us(ts) + CAST(round(value * 1000000) AS BIGINT)
+                   AS en
+        FROM events
+    ),
+    k AS (
+        SELECT user_id, event_id, st, en
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY en, event_id) AS rn
+              FROM iv)
+        WHERE rn = 1
+        UNION ALL
+        SELECT n.user_id, n.event_id, n.st, n.en
+        FROM k, LATERAL (
+            SELECT user_id, event_id, st, en FROM iv
+            WHERE iv.user_id = k.user_id AND iv.st >= k.en
+            ORDER BY en, event_id LIMIT 1
+        ) n
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_scheduled,
+           CAST(sum(en - st) AS BIGINT) AS busy_us
+    FROM k GROUP BY user_id
 """

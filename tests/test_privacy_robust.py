@@ -361,3 +361,21 @@ def test_roc_auc_matches_sklearn_free_bruteforce(ray_session):
     assert int(got["n_pos"]) == n_pos
     assert int(got["n_neg"]) == n_neg
     assert abs(int(got["auc_fp"]) - auc * 1e6) <= 1  # floor vs float
+
+
+def test_interval_scheduling_greedy_is_optimal(ray_session, events):
+    got = R.q_interval_scheduling(SF).to_pandas().set_index("user_id")
+    for u, g in events.groupby("user_id"):
+        st = (g["ts"].values.astype("datetime64[us]").astype(np.int64))
+        dur = np.round(g["value"].to_numpy() * 1e6).astype(np.int64)
+        en = st + dur
+        order = np.lexsort((g["event_id"].to_numpy(), en))
+        st, en = st[order], en[order]
+        # DP over end-sorted intervals: opt[i] = max non-overlap count
+        # among the first i intervals (weighted-interval DP, weight 1)
+        opt = [0] * (len(st) + 1)
+        for i in range(1, len(st) + 1):
+            j = int(np.searchsorted(en[:i - 1], st[i - 1],
+                                    side="right"))
+            opt[i] = max(opt[i - 1], opt[j] + 1)
+        assert int(got.loc[u]["n_scheduled"]) == opt[len(st)], u
