@@ -9751,6 +9751,10 @@ def queries() -> dict:
         "ams_f2": q_ams_f2,
         "roc_auc": q_roc_auc,
         "interval_scheduling": q_interval_scheduling,
+        "cohens_kappa": q_cohens_kappa,
+        "type_token_ratio": q_type_token_ratio,
+        "rare_label_collapse": q_rare_label_collapse,
+        "arrow_ipc_roundtrip": q_arrow_ipc_roundtrip,
     }
 
 
@@ -15946,4 +15950,255 @@ ORACLES["interval_scheduling"] = """
     SELECT user_id, CAST(count(*) AS BIGINT) AS n_scheduled,
            CAST(sum(en - st) AS BIGINT) AS busy_us
     FROM k GROUP BY user_id
+"""
+
+
+def q_cohens_kappa(sf_dir, n_classes: int = 3):
+    """Cohen's κ inter-rater agreement between the batch-inference
+    scorer and the derived rater label % n_classes — the eval statistic
+    that discounts chance agreement (the confusion_matrix companion).
+    All-integer: with confusion counts c_ij, κ·10⁶ =
+    10⁶·(N·Σc_ii − Σ_i r_i·c_i) // (N² − Σ_i r_i·c_i) where r/c are row
+    and column marginals — one k×k exchange (the same fold as
+    confusion_matrix), a driver finale over k² integers."""
+    from .queries import q_batch_inference
+
+    pred = q_batch_inference(sf_dir, n_classes)
+    emb = T(sf_dir, "embeddings", ["vec_id", "label"])
+
+    def _truth(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "vid_r": b["vec_id"],
+            "truth": pa.array(
+                b["label"].to_numpy(zero_copy_only=False)
+                .astype(np.int64) % n_classes, pa.int64()),
+        })
+
+    j = pred.join(emb.map_batches(_truth, batch_format="pyarrow"),
+                  "inner", num_partitions=4,
+                  on=("vec_id",), right_on=("vid_r",))
+    cm = fast_groupby_agg(
+        j, ["truth", "pred"], {"c": (None, "count")}).to_pandas()
+    mat = np.zeros((n_classes, n_classes), np.int64)
+    for t, p, c in zip(cm["truth"], cm["pred"], cm["c"]):
+        mat[int(t), int(p)] = int(c)
+    n = int(mat.sum())
+    agree = int(np.trace(mat))
+    chance = int((mat.sum(axis=1).astype(object)
+                  * mat.sum(axis=0).astype(object)).sum())
+    denom = n * n - chance
+    kappa = (1_000_000 * (n * agree - chance) // denom) if denom else 0
+    return pd.DataFrame([{
+        "n": np.int64(n), "n_agree": np.int64(agree),
+        "chance_mass": np.int64(chance),
+        "kappa_fp": np.int64(kappa),
+    }])
+
+
+ORACLES["cohens_kappa"] = """
+    WITH e AS (
+        SELECT vec_id, gs - 1 AS j,
+               CAST(round(CAST(embedding[gs] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS efp
+        FROM embeddings,
+             unnest(generate_series(1, len(embedding))) AS t(gs)
+    ),
+    l AS (
+        SELECT vec_id, c,
+               CAST(sum(efp * (((j * 31 + c * 17) % 7) - 3))
+                    AS BIGINT) AS logit_fp
+        FROM e, unnest(generate_series(0, 2)) AS cc(c)
+        GROUP BY vec_id, c
+    ),
+    r AS (
+        SELECT vec_id, c, row_number() OVER (
+            PARTITION BY vec_id ORDER BY logit_fp DESC, c) AS rn
+        FROM l
+    ),
+    p AS (
+        SELECT r.vec_id, CAST(r.c AS BIGINT) AS pred,
+               CAST(emb.label % 3 AS BIGINT) AS truth
+        FROM r JOIN embeddings emb ON emb.vec_id = r.vec_id
+        WHERE rn = 1
+    ),
+    m AS (SELECT truth, pred, CAST(count(*) AS BIGINT) AS c
+          FROM p GROUP BY truth, pred),
+    tot AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN truth = pred THEN c ELSE 0 END)
+                    AS BIGINT) AS agree,
+               CAST((SELECT sum(rm.r_n * cm.c_n) FROM
+                     (SELECT truth AS k, sum(c) AS r_n FROM m
+                      GROUP BY truth) rm
+                     JOIN
+                     (SELECT pred AS k, sum(c) AS c_n FROM m
+                      GROUP BY pred) cm
+                     ON cm.k = rm.k) AS BIGINT) AS chance
+        FROM m
+    )
+    SELECT n, agree AS n_agree, chance AS chance_mass,
+           CASE WHEN n * n - chance <> 0 THEN CAST(
+                1000000 * (CAST(n AS HUGEINT) * agree - chance)
+                // (CAST(n AS HUGEINT) * n - chance)
+                - CASE WHEN (1000000 * (CAST(n AS HUGEINT) * agree
+                                        - chance))
+                            % (CAST(n AS HUGEINT) * n - chance) <> 0
+                        AND 1000000 * (CAST(n AS HUGEINT) * agree
+                                       - chance) < 0
+                       THEN 1 ELSE 0 END AS BIGINT)
+                ELSE 0 END AS kappa_fp
+    FROM tot
+"""
+
+
+def q_type_token_ratio(sf_dir):
+    """Per-source lexical diversity: type–token ratio (distinct words /
+    total words, ×10⁶ floor) — the quick corpus-health statistic next
+    to the Gopher rules. Distinct (source, word) collapses map-side
+    before the count (the A-Priori discipline), so the exchange is
+    vocabulary-sized, never token-sized."""
+    ds = T(sf_dir, "documents", ["source", "text"])
+
+    def _tok(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], pattern=" ")
+        lens = pc.list_value_length(words).to_numpy().astype(np.int64)
+        src = b["source"].to_numpy(zero_copy_only=False)
+        rep = np.repeat(np.arange(len(src)), lens)
+        return pa.table({
+            "source": pa.array(src[rep]),
+            "word": pc.list_flatten(words),
+        })
+
+    toks = ds.map_batches(_tok, batch_format="pyarrow")
+    total = fast_groupby_agg(toks, ["source"],
+                             {"n_tokens": (None, "count")}).to_pandas()
+    per_word = fast_groupby_agg(toks, ["source", "word"],
+                                {"_n": (None, "count")})
+    types = fast_groupby_agg(per_word, ["source"],
+                             {"n_types": (None, "count")}).to_pandas()
+    out = total.merge(types, on="source").sort_values("source")
+    out["ttr_fp"] = (out["n_types"] * 1_000_000
+                     // out["n_tokens"]).astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+ORACLES["type_token_ratio"] = """
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    s AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT word) AS BIGINT) AS n_types
+        FROM tok GROUP BY source
+    )
+    SELECT source, n_tokens, n_types,
+           CAST(n_types * 1000000 // n_tokens AS BIGINT) AS ttr_fp
+    FROM s
+"""
+
+
+def q_rare_label_collapse(sf_dir):
+    """Rare-category collapse (feature-engineering's OTHER bucket):
+    part types BELOW the mean type count fold into 'OTHER' (the
+    threshold is scale-free — n·n_types ≥ total keeps a type — per the
+    q11 lesson that fixed fractions degenerate across sf), and the
+    recount conserves total mass. Plan: one type-domain groupby, a
+    driver-side threshold over the bounded type domain broadcast back
+    as a frozenset, one recount groupby — the standard two-pass
+    rare-label encoder."""
+    ds = T(sf_dir, "part", ["p_type"])
+    counts = fast_groupby_agg(ds, ["p_type"],
+                              {"n": (None, "count")}).to_pandas()
+    total = int(counts["n"].sum())
+    n_types = len(counts)
+    keep = frozenset(
+        counts.loc[counts["n"] * n_types >= total, "p_type"])
+    keep_ref = ray.put(keep)
+
+    def _collapse(b: pa.Table) -> pa.Table:
+        k = ray.get(keep_ref)
+        t = b["p_type"].to_numpy(zero_copy_only=False)
+        lab = np.where(np.isin(t, list(k)), t, "OTHER")
+        return pa.table({"label": pa.array(lab.tolist(), pa.string())})
+
+    out = fast_groupby_agg(
+        ds.map_batches(_collapse, batch_format="pyarrow"),
+        ["label"], {"n": (None, "count")})
+    return out
+
+
+ORACLES["rare_label_collapse"] = """
+    WITH c AS (SELECT p_type, count(*) AS n FROM part GROUP BY p_type),
+    t AS (SELECT sum(n) AS total, count(*) AS n_types FROM c),
+    lab AS (
+        SELECT CASE WHEN c.n * t.n_types >= t.total
+                    THEN p.p_type ELSE 'OTHER' END AS label
+        FROM part p JOIN c ON c.p_type = p.p_type, t
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n FROM lab GROUP BY label
+"""
+
+
+def q_arrow_ipc_roundtrip(sf_dir):
+    """Arrow IPC (Feather v2) source/sink round trip — the fourth
+    interchange format after JSONL/CSV and ORC: orders stream to
+    sharded .arrow files (one per block via pyarrow.ipc inside
+    map_batches — zero-copy columnar, THE format for handing batches
+    to Arrow-native consumers), the shards read back one-task-per-file
+    from the paths Dataset (the partitioned, resumable layout), and
+    per-status counts plus integer checksums prove the trip
+    value-faithful against an oracle that never touches IPC."""
+    import shutil
+    import tempfile
+    import uuid
+
+    out = tempfile.mkdtemp(prefix="fcray_ipc_")
+    try:
+        def _write(b: pa.Table) -> pa.Table:
+            import pyarrow.ipc as ipc
+
+            t = pa.table({
+                "o_orderkey": b["o_orderkey"],
+                "o_orderstatus": b["o_orderstatus"],
+                "price_fp": pa.array(_round_half_away(
+                    b["o_totalprice"].to_numpy(zero_copy_only=False)
+                    * 100.0).astype(np.int64), pa.int64()),
+            })
+            path = f"{out}/{uuid.uuid4().hex}.arrow"
+            with ipc.new_file(path, t.schema) as w:
+                w.write_table(t)
+            return pa.table({"path": pa.array([path], pa.string())})
+
+        paths = T(sf_dir, "orders",
+                  ["o_orderkey", "o_orderstatus", "o_totalprice"]
+                  ).map_batches(_write, batch_format="pyarrow") \
+            .materialize()
+
+        def _read(b: pa.Table) -> pa.Table:
+            import pyarrow.ipc as ipc
+
+            tabs = []
+            for p in b["path"].to_pylist():
+                with ipc.open_file(p) as r:
+                    tabs.append(r.read_all())
+            return pa.concat_tables(tabs)
+
+        rows = paths.map_batches(_read, batch_format="pyarrow")
+        agg = fast_groupby_agg(rows, ["o_orderstatus"], {
+            "n": (None, "count"),
+            "price_sum_fp": ("price_fp", "sum"),
+            "key_sum": ("o_orderkey", "sum"),
+        })
+        return agg.to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+ORACLES["arrow_ipc_roundtrip"] = """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS price_sum_fp,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders GROUP BY o_orderstatus
 """
