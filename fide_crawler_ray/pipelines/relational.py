@@ -9755,6 +9755,8 @@ def queries() -> dict:
         "type_token_ratio": q_type_token_ratio,
         "rare_label_collapse": q_rare_label_collapse,
         "arrow_ipc_roundtrip": q_arrow_ipc_roundtrip,
+        "npy_roundtrip": q_npy_roundtrip,
+        "inference_margin": q_inference_margin,
     }
 
 
@@ -16201,4 +16203,137 @@ ORACLES["arrow_ipc_roundtrip"] = """
                 AS BIGINT) AS price_sum_fp,
            CAST(sum(o_orderkey) AS BIGINT) AS key_sum
     FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_npy_roundtrip(sf_dir):
+    """NumPy .npy source/sink round trip — the tensor-interchange
+    format (what embedding dumps and checkpoint shards actually ship
+    as): the embeddings matrix quantizes ×10⁶ to int64, streams to one
+    .npy shard per block, reads back via ``ray.data.read_numpy`` (the
+    native Ray tensor source), and integer column checksums prove the
+    trip value-faithful against an oracle that recomputes them from
+    the parquet list column directly."""
+    import shutil
+    import tempfile
+    import uuid
+
+    import ray.data as rd
+
+    out = tempfile.mkdtemp(prefix="fcray_npy_")
+    try:
+        def _write(b: pa.Table) -> pa.Table:
+            from ..functions import ann as ANN
+
+            m = ANN._to_matrix(b["embedding"]).astype(np.float64)
+            q = _round_half_away(m * 1e6).astype(np.int64)
+            path = f"{out}/{uuid.uuid4().hex}.npy"
+            np.save(path, q)
+            return pa.table({"path": pa.array([path], pa.string())})
+
+        T(sf_dir, "embeddings", ["embedding"]).map_batches(
+            _write, batch_format="pyarrow").materialize()
+        back = rd.read_numpy(f"{out}/")
+
+        def _fold(b: pa.Table) -> pa.Table:
+            col = b["data"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            # read_numpy yields Ray's ArrowTensorArray extension column
+            m = col.to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "n_rows": pa.array([m.shape[0]], pa.int64()),
+                "sum_all": pa.array([int(m.astype(object).sum())],
+                                    pa.int64()),
+                "sum_abs": pa.array(
+                    [int(np.abs(m).astype(object).sum())], pa.int64()),
+            })
+
+        parts = back.map_batches(_fold, batch_format="pyarrow") \
+            .to_pandas()
+        return pd.DataFrame([{
+            "n_rows": np.int64(parts["n_rows"].sum()),
+            "sum_all": np.int64(parts["sum_all"].sum()),
+            "sum_abs": np.int64(parts["sum_abs"].sum()),
+        }])
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+ORACLES["npy_roundtrip"] = """
+    WITH e AS (
+        SELECT CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS q,
+               vec_id
+        FROM embeddings
+    )
+    SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_rows,
+           CAST(sum(q) AS BIGINT) AS sum_all,
+           CAST(sum(abs(q)) AS BIGINT) AS sum_abs
+    FROM e
+"""
+
+
+def q_inference_margin(sf_dir, n_classes: int = 3, band_fp: int = 10**9):
+    """Top-1 − top-2 logit margin histogram of the batch-inference
+    scorer — the model-confidence profile that drives abstention /
+    active-learning thresholds: exact integer logits (the
+    confusion_matrix scorer), margin = best − second, banded by one
+    integer floor division. One actor-pool inference pass + a
+    band-domain groupby."""
+    ds = T(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    class _Margin:
+        def __init__(self):
+            self.W: np.ndarray | None = None
+            self.C = n_classes
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            from ..functions import ann as ANN
+
+            m = ANN._to_matrix(b["embedding"]).astype(np.float64)
+            if self.W is None:
+                j = np.arange(m.shape[1])[:, None]
+                c = np.arange(self.C)[None, :]
+                self.W = ((j * 31 + c * 17) % 7 - 3).astype(np.int64)
+            efp = _round_half_away(m * 1e6).astype(np.int64)
+            logits = efp @ self.W
+            part = np.sort(logits, axis=1)
+            margin = part[:, -1] - part[:, -2]  # ≥ 0 by construction
+            return pa.table({
+                "band": pa.array(margin // band_fp, pa.int64()),
+            })
+
+    return fast_groupby_agg(
+        ds.map_batches(_Margin, batch_format="pyarrow",
+                       batch_size=4096, concurrency=(1, 4)),
+        ["band"], {"n": (None, "count")})
+
+
+ORACLES["inference_margin"] = """
+    WITH e AS (
+        SELECT vec_id, gs - 1 AS j,
+               CAST(round(CAST(embedding[gs] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS efp
+        FROM embeddings,
+             unnest(generate_series(1, len(embedding))) AS t(gs)
+    ),
+    l AS (
+        SELECT vec_id, c,
+               CAST(sum(efp * (((j * 31 + c * 17) % 7) - 3))
+                    AS BIGINT) AS logit_fp
+        FROM e, unnest(generate_series(0, 2)) AS cc(c)
+        GROUP BY vec_id, c
+    ),
+    r AS (
+        SELECT vec_id, logit_fp, row_number() OVER (
+            PARTITION BY vec_id ORDER BY logit_fp DESC) AS rn
+        FROM l
+    ),
+    m AS (
+        SELECT a.vec_id, (a.logit_fp - b.logit_fp) // 1000000000 AS band
+        FROM (SELECT * FROM r WHERE rn = 1) a
+        JOIN (SELECT * FROM r WHERE rn = 2) b ON b.vec_id = a.vec_id
+    )
+    SELECT band, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY band
 """
