@@ -9757,6 +9757,7 @@ def queries() -> dict:
         "arrow_ipc_roundtrip": q_arrow_ipc_roundtrip,
         "npy_roundtrip": q_npy_roundtrip,
         "inference_margin": q_inference_margin,
+        "fair_share_alloc": q_fair_share_alloc,
     }
 
 
@@ -16336,4 +16337,109 @@ ORACLES["inference_margin"] = """
         JOIN (SELECT * FROM r WHERE rn = 2) b ON b.vec_id = a.vec_id
     )
     SELECT band, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY band
+"""
+
+
+def q_fair_share_alloc(sf_dir):
+    """Max-min fair (water-filling) quota allocation — the multi-tenant
+    scheduling primitive: each source demands its document count, the
+    capacity is half the corpus, and the allocation saturates small
+    demanders while splitting the rest at a common water level. The
+    level is found EXACTLY on the sorted demands: the first k where
+    remaining ≤ (n−k)·d_{k+1} fixes level = remaining // (n−k), and
+    the integer remainder goes to the LEXICOGRAPHICALLY FIRST
+    unsaturated sources (pinned largest-remainder discipline, like
+    apportion_quota). Conservation Σ alloc = capacity is asserted
+    in-query. The distributed part is one source-domain groupby; the
+    walk runs on the bounded domain. Mirrored in SQL by window
+    cumulative sums over the same sort."""
+    docs = T(sf_dir, "documents", ["source"])
+    dem = fast_groupby_agg(docs, ["source"],
+                           {"demand": (None, "count")}).to_pandas()
+    dem = dem.sort_values(["demand", "source"]).reset_index(drop=True)
+    d = dem["demand"].to_numpy(np.int64)
+    n = len(d)
+    cap = int(d.sum()) // 2
+    alloc = np.zeros(n, np.int64)
+    remaining = cap
+    level = 0
+    k = 0
+    while k < n:
+        if d[k] * (n - k) <= remaining:
+            alloc[k] = d[k]
+            remaining -= int(d[k])
+            k += 1
+        else:
+            level = remaining // (n - k)
+            extra = remaining % (n - k)
+            # unsaturated sources get the level; the remainder goes to
+            # the lexicographically first among them
+            unsat = dem.iloc[k:].sort_values("source")
+            bonus_idx = set(unsat.index[:extra])
+            for i in range(k, n):
+                alloc[i] = level + (1 if i in bonus_idx else 0)
+            break
+    dem["alloc"] = alloc
+    dem["saturated"] = dem["alloc"] == dem["demand"]
+    assert int(dem["alloc"].sum()) == cap
+    assert (dem["alloc"] <= dem["demand"]).all()
+    return dem.sort_values("source").reset_index(drop=True)[
+        ["source", "demand", "alloc", "saturated"]]
+
+
+ORACLES["fair_share_alloc"] = """
+    WITH dem AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS demand
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(demand) // 2 AS cap, count(*) AS n FROM dem),
+    s AS (
+        SELECT source, demand,
+               row_number() OVER (ORDER BY demand, source) AS rn,
+               COALESCE(sum(demand) OVER (ORDER BY demand, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum_before
+        FROM dem
+    ),
+    -- a row is SATURATED iff its full demand fits the max-min rule:
+    -- demand*(n-rn+1) <= cap - cum_before
+    flagged AS (
+        SELECT s.*, t.cap, t.n,
+               demand * (t.n - rn + 1) <= t.cap - cum_before
+                   AS saturated
+        FROM s, tot t
+    ),
+    lvl AS (
+        SELECT
+            COALESCE(sum(CASE WHEN saturated THEN demand END), 0)
+                AS sat_mass,
+            COALESCE(sum(CASE WHEN saturated THEN 1 ELSE 0 END), 0)
+                AS n_sat,
+            max(cap) AS cap, max(n) AS n
+        FROM flagged
+    ),
+    lv AS (
+        SELECT sat_mass, n_sat, cap, n,
+               CASE WHEN n > n_sat
+                    THEN (cap - sat_mass) // (n - n_sat) ELSE 0 END
+                   AS level,
+               CASE WHEN n > n_sat
+                    THEN (cap - sat_mass) % (n - n_sat) ELSE 0 END
+                   AS extra
+        FROM lvl
+    ),
+    unsat_rank AS (
+        SELECT f.source,
+               row_number() OVER (ORDER BY f.source) AS ur
+        FROM flagged f WHERE NOT f.saturated
+    )
+    SELECT f.source, f.demand,
+           CAST(CASE WHEN f.saturated THEN f.demand
+                     ELSE lv.level
+                          + CASE WHEN u.ur <= lv.extra THEN 1 ELSE 0
+                            END
+                END AS BIGINT) AS alloc,
+           f.saturated
+    FROM flagged f
+    LEFT JOIN unsat_rank u ON u.source = f.source, lv
 """

@@ -379,3 +379,21 @@ def test_interval_scheduling_greedy_is_optimal(ray_session, events):
                                     side="right"))
             opt[i] = max(opt[i - 1], opt[j] + 1)
         assert int(got.loc[u]["n_scheduled"]) == opt[len(st)], u
+
+
+def test_fair_share_maxmin_properties(ray_session):
+    got = R.q_fair_share_alloc(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["source"])
+    cap = len(docs) // 2
+    assert int(got["alloc"].sum()) == cap
+    assert (got["alloc"] <= got["demand"]).all()
+    # max-min fairness: every saturated demand is <= every unsaturated
+    # allocation + 1 (no one starves while another feasibly gets more)
+    sat = got[got["saturated"]]
+    unsat = got[~got["saturated"]]
+    if len(sat) and len(unsat):
+        assert int(sat["demand"].max()) <= int(unsat["alloc"].min()) + 1
+    # unsaturated allocations differ by at most 1 (common water level)
+    if len(unsat):
+        assert int(unsat["alloc"].max()) - int(unsat["alloc"].min()) <= 1
