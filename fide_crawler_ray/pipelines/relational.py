@@ -9758,6 +9758,7 @@ def queries() -> dict:
         "npy_roundtrip": q_npy_roundtrip,
         "inference_margin": q_inference_margin,
         "fair_share_alloc": q_fair_share_alloc,
+        "minmax_scale": q_minmax_scale,
     }
 
 
@@ -16442,4 +16443,67 @@ ORACLES["fair_share_alloc"] = """
            f.saturated
     FROM flagged f
     LEFT JOIN unsat_rank u ON u.source = f.source, lv
+"""
+
+
+def q_minmax_scale(sf_dir):
+    """Per-source min-max feature scaling audit (the [0,1] normalizer
+    of classic feature pipelines, as an exact integer): each
+    document's n_chars maps to (x − min)·10⁶ // (max − min) within its
+    source; the audit returns per-source min/max plus the scaled-value
+    sum and extremes (0 and 10⁶ must both be attained — asserted).
+    Plan: one source-domain groupby for the bounds, broadcast back as
+    dicts, one vectorized rescale + per-source fold. Degenerate
+    single-value sources pin to 0 (both sides)."""
+    ds = T(sf_dir, "documents", ["source", "n_chars"])
+    bounds = fast_groupby_agg(ds, ["source"], {
+        "lo": ("n_chars", "min"), "hi": ("n_chars", "max"),
+    }).to_pandas()
+    lo = dict(zip(bounds["source"], bounds["lo"].astype(int)))
+    hi = dict(zip(bounds["source"], bounds["hi"].astype(int)))
+    lo_ref, hi_ref = ray.put(lo), ray.put(hi)
+
+    def _scale(b: pa.Table) -> pa.Table:
+        lo_d, hi_d = ray.get(lo_ref), ray.get(hi_ref)
+        src = b["source"].to_numpy(zero_copy_only=False)
+        x = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        l = np.array([lo_d[s] for s in src], np.int64)
+        h = np.array([hi_d[s] for s in src], np.int64)
+        rng = np.maximum(h - l, 1)
+        scaled = np.where(h > l, (x - l) * 1_000_000 // rng, 0)
+        return pa.table({
+            "source": b["source"],
+            "scaled": pa.array(scaled.astype(np.int64)),
+        })
+
+    out = fast_groupby_agg(
+        ds.map_batches(_scale, batch_format="pyarrow"), ["source"], {
+            "n": (None, "count"),
+            "scaled_sum": ("scaled", "sum"),
+            "scaled_min": ("scaled", "min"),
+            "scaled_max": ("scaled", "max"),
+        }).to_pandas().sort_values("source").reset_index(drop=True)
+    assert (out["scaled_min"] == 0).all()
+    assert ((out["scaled_max"] == 1_000_000)
+            | (out["scaled_max"] == 0)).all()
+    return out
+
+
+ORACLES["minmax_scale"] = """
+    WITH b AS (
+        SELECT source, min(n_chars) AS lo, max(n_chars) AS hi
+        FROM documents GROUP BY source
+    ),
+    s AS (
+        SELECT d.source,
+               CASE WHEN b.hi > b.lo
+                    THEN (d.n_chars - b.lo) * 1000000 // (b.hi - b.lo)
+                    ELSE 0 END AS scaled
+        FROM documents d JOIN b ON b.source = d.source
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(scaled) AS BIGINT) AS scaled_sum,
+           CAST(min(scaled) AS BIGINT) AS scaled_min,
+           CAST(max(scaled) AS BIGINT) AS scaled_max
+    FROM s GROUP BY source
 """
