@@ -9759,6 +9759,7 @@ def queries() -> dict:
         "inference_margin": q_inference_margin,
         "fair_share_alloc": q_fair_share_alloc,
         "minmax_scale": q_minmax_scale,
+        "length_hist_overlap": q_length_hist_overlap,
     }
 
 
@@ -16506,4 +16507,80 @@ ORACLES["minmax_scale"] = """
            CAST(min(scaled) AS BIGINT) AS scaled_min,
            CAST(max(scaled) AS BIGINT) AS scaled_max
     FROM s GROUP BY source
+"""
+
+
+def q_length_hist_overlap(sf_dir, band: int = 100, top: int = 15):
+    """Histogram-intersection similarity between sources' document-
+    length distributions — the corpus-profiling statistic behind
+    'which sources look alike' (mixture design, dedup triage):
+    overlap(a,b) = Σ_band min(p_a, p_b) computed EXACTLY over the
+    common denominator N_a·N_b (×10⁶ one floor division per pair —
+    no float probabilities). The distributed part is one
+    (source × band) groupby; the pairwise fold runs on that bounded
+    domain (|sources|² × bands). Output: top pairs by overlap."""
+    ds = T(sf_dir, "documents", ["source", "n_chars"])
+
+    def _band(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": b["source"],
+            "band": pa.array(
+                b["n_chars"].to_numpy(zero_copy_only=False)
+                .astype(np.int64) // band),
+        })
+
+    h = fast_groupby_agg(
+        ds.map_batches(_band, batch_format="pyarrow"),
+        ["source", "band"], {"n": (None, "count")}).to_pandas()
+    piv = h.pivot_table(index="band", columns="source", values="n",
+                        fill_value=0, aggfunc="sum").astype(np.int64)
+    totals = piv.sum(axis=0).astype(np.int64)
+    srcs = sorted(piv.columns)
+    rows = []
+    for i, a in enumerate(srcs):
+        for b_ in srcs[i + 1:]:
+            na, nb = int(totals[a]), int(totals[b_])
+            inter = int(np.minimum(
+                piv[a].to_numpy(object) * nb,
+                piv[b_].to_numpy(object) * na).sum())
+            rows.append({
+                "source_a": a, "source_b": b_,
+                "overlap_fp": np.int64(1_000_000 * inter // (na * nb)),
+            })
+    out = pd.DataFrame(rows).sort_values(
+        ["overlap_fp", "source_a", "source_b"],
+        ascending=[False, True, True]).head(top)
+    return out.reset_index(drop=True)
+
+
+ORACLES["length_hist_overlap"] = """
+    WITH h AS (
+        SELECT source, n_chars // 100 AS band,
+               CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY source, band
+    ),
+    tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS nt
+            FROM h GROUP BY source),
+    pairs AS (
+        SELECT a.source AS sa, a.nt AS na, b.source AS sb, b.nt AS nb
+        FROM tot a JOIN tot b ON a.source < b.source
+    ),
+    bands AS (SELECT DISTINCT band FROM h),
+    grid AS (SELECT p.*, bd.band FROM pairs p, bands bd),
+    j AS (
+        SELECT g.sa, g.sb, g.na, g.nb,
+               LEAST(COALESCE(ha.n, 0) * g.nb,
+                     COALESCE(hb.n, 0) * g.na) AS m
+        FROM grid g
+        LEFT JOIN h ha ON ha.source = g.sa AND ha.band = g.band
+        LEFT JOIN h hb ON hb.source = g.sb AND hb.band = g.band
+    ),
+    o AS (
+        SELECT sa AS source_a, sb AS source_b,
+               CAST(1000000 * sum(m) // (max(na) * max(nb)) AS BIGINT)
+                   AS overlap_fp
+        FROM j GROUP BY sa, sb, na, nb
+    )
+    SELECT source_a, source_b, overlap_fp FROM o
+    ORDER BY overlap_fp DESC, source_a, source_b LIMIT 15
 """
