@@ -404,3 +404,33 @@ def test_cdc_merge_is_log_order_invariant(ops):
     random.Random(7).shuffle(shuffled)
     b = apply(shuffled)
     assert a == b
+
+
+@given(st.lists(st.integers(min_value=-10**6, max_value=10**6),
+                min_size=1, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_clamped_balance_closed_form_matches_recurrence(deltas):
+    """q_clamped_balance's algebra: b_t = max(0, b_{t-1} + d_t) equals
+    S_t - min(0, cummin S), and a clamp fires iff S_t < the one-step-
+    shifted floor — over arbitrary integer delta streams."""
+    import numpy as np
+
+    d = np.array(deltas, dtype=np.int64)
+    s = np.cumsum(d)
+    smin = np.minimum.accumulate(s)
+    floor = np.minimum(smin, 0)
+    bal_closed = s - floor
+    prev_floor = np.minimum(np.r_[np.int64(0), smin[:-1]], 0)
+    clamp_closed = s < prev_floor
+    bal, clamps = 0, []
+    bals = []
+    for x in d:
+        if bal + int(x) < 0:
+            bal = 0
+            clamps.append(True)
+        else:
+            bal += int(x)
+            clamps.append(False)
+        bals.append(bal)
+    assert bal_closed.tolist() == bals
+    assert clamp_closed.tolist() == clamps
