@@ -434,3 +434,32 @@ def test_clamped_balance_closed_form_matches_recurrence(deltas):
         bals.append(bal)
     assert bal_closed.tolist() == bals
     assert clamp_closed.tolist() == clamps
+
+
+@given(st.lists(st.integers(min_value=0, max_value=60),
+                min_size=1, max_size=80))
+@settings(max_examples=200, deadline=None)
+def test_islands_day_minus_rank_rule(days):
+    """q_longest_streak's island id (day − positional rank constant
+    within an island) equals the scan definition of consecutive runs,
+    for arbitrary day multisets (dedup + sort happen first, as in the
+    query plan)."""
+    import numpy as np
+
+    d = np.unique(np.array(days, dtype=np.int64))
+    rank = np.arange(len(d), dtype=np.int64)
+    island = np.r_[True, (d[1:] - rank[1:]) != (d[:-1] - rank[:-1])]
+    lens = np.diff(np.r_[np.flatnonzero(island), len(d)])
+    # reference scan
+    best = cur = 1
+    ref_lens = []
+    run = 1
+    for a, b in zip(d, d[1:]):
+        if b == a + 1:
+            run += 1
+        else:
+            ref_lens.append(run)
+            run = 1
+    ref_lens.append(run)
+    assert lens.tolist() == ref_lens
+    assert int(lens.max()) == max(ref_lens)
