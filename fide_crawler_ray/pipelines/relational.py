@@ -9760,6 +9760,7 @@ def queries() -> dict:
         "fair_share_alloc": q_fair_share_alloc,
         "minmax_scale": q_minmax_scale,
         "length_hist_overlap": q_length_hist_overlap,
+        "hapax_ratio": q_hapax_ratio,
     }
 
 
@@ -16583,4 +16584,63 @@ ORACLES["length_hist_overlap"] = """
     )
     SELECT source_a, source_b, overlap_fp FROM o
     ORDER BY overlap_fp DESC, source_a, source_b LIMIT 15
+"""
+
+
+def q_hapax_ratio(sf_dir):
+    """Hapax-legomena profile per source — the share of vocabulary
+    appearing exactly once (the Heaps'-law companion to
+    type_token_ratio; a high hapax share predicts vocabulary growth
+    and OCR/noise contamination). Same vocabulary-sized exchange as
+    TTR: distinct (source, word) counts map-side, then a constant fold
+    per source. ×10⁶ integer ratios."""
+    ds = T(sf_dir, "documents", ["source", "text"])
+
+    def _tok(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], pattern=" ")
+        lens = pc.list_value_length(words).to_numpy().astype(np.int64)
+        src = b["source"].to_numpy(zero_copy_only=False)
+        rep = np.repeat(np.arange(len(src)), lens)
+        return pa.table({
+            "source": pa.array(src[rep]),
+            "word": pc.list_flatten(words),
+        })
+
+    per_word = fast_groupby_agg(
+        ds.map_batches(_tok, batch_format="pyarrow"),
+        ["source", "word"], {"n": ("word", "count")})
+
+    def _fold(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "source": b["source"],
+            "t": pa.array(np.ones(len(n), np.int64)),
+            "h": pa.array((n == 1).astype(np.int64)),
+        })
+
+    out = fast_groupby_agg(
+        per_word.map_batches(_fold, batch_format="pyarrow"),
+        ["source"], {"n_types": ("t", "sum"), "n_hapax": ("h", "sum")},
+    ).to_pandas().sort_values("source").reset_index(drop=True)
+    out["hapax_fp"] = (out["n_hapax"] * 1_000_000
+                       // out["n_types"]).astype(np.int64)
+    return out
+
+
+ORACLES["hapax_ratio"] = """
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    v AS (SELECT source, word, count(*) AS n
+          FROM tok GROUP BY source, word),
+    s AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax
+        FROM v GROUP BY source
+    )
+    SELECT source, n_types, n_hapax,
+           CAST(n_hapax * 1000000 // n_types AS BIGINT) AS hapax_fp
+    FROM s
 """
