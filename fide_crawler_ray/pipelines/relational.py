@@ -9761,6 +9761,7 @@ def queries() -> dict:
         "minmax_scale": q_minmax_scale,
         "length_hist_overlap": q_length_hist_overlap,
         "hapax_ratio": q_hapax_ratio,
+        "voptimal_histogram": q_voptimal_histogram,
     }
 
 
@@ -16644,3 +16645,74 @@ ORACLES["hapax_ratio"] = """
            CAST(n_hapax * 1000000 // n_types AS BIGINT) AS hapax_fp
     FROM s
 """
+
+
+def q_voptimal_histogram(sf_dir, n_buckets: int = 8, band: int = 10):
+    """V-optimal histogram construction — the query-optimizer synopsis
+    that beats equi-width/equi-depth on skew: partition the banded
+    n_chars domain into B contiguous buckets minimizing total
+    within-bucket SSE. Cost uses the integer floor form
+    Σw·x² − (Σw·x)²//Σw, so the DP (O(bands²·B), on the driver over
+    the BOUNDED band histogram from one groupby) is deterministic and
+    library-free; ties break to the shortest right bucket (pinned by
+    the strict `<` improvement test). Rows-only (a DP is not SQL), but
+    the in-query asserts pin: buckets tile the domain, exactly B, and
+    total cost never increases when B grows (checked vs B−1)."""
+    ds = T(sf_dir, "documents", ["n_chars"])
+
+    def _band(b: pa.Table) -> pa.Table:
+        return pa.table({"band": pa.array(
+            b["n_chars"].to_numpy(zero_copy_only=False)
+            .astype(np.int64) // band)})
+
+    h = fast_groupby_agg(
+        ds.map_batches(_band, batch_format="pyarrow"),
+        ["band"], {"w": (None, "count")}).to_pandas().sort_values("band")
+    x = h["band"].to_numpy(np.int64)
+    w = h["w"].to_numpy(np.int64)
+    n = len(x)
+    pw = np.concatenate([[0], np.cumsum(w)])
+    pwx = np.concatenate([[0], np.cumsum(w * x)])
+    pwx2 = np.concatenate([[0], np.cumsum(w * x * x)])
+
+    def seg_cost(i: int, j: int) -> int:  # bands [i, j)
+        sw = int(pw[j] - pw[i])
+        sx = int(pwx[j] - pwx[i])
+        sx2 = int(pwx2[j] - pwx2[i])
+        return sx2 - sx * sx // sw
+
+    def dp_solve(B: int):
+        INF = float("inf")
+        dp = [[INF] * (n + 1) for _ in range(B + 1)]
+        back = [[0] * (n + 1) for _ in range(B + 1)]
+        dp[0][0] = 0
+        for b_ in range(1, B + 1):
+            for j in range(1, n + 1):
+                for i in range(b_ - 1, j):
+                    if dp[b_ - 1][i] == INF:
+                        continue
+                    c = dp[b_ - 1][i] + seg_cost(i, j)
+                    if c < dp[b_][j]:  # strict: ties keep LARGEST i
+                        dp[b_][j], back[b_][j] = c, i
+        cuts = [n]
+        for b_ in range(B, 0, -1):
+            cuts.append(back[b_][cuts[-1]])
+        return dp[B][n], cuts[::-1]
+
+    best, cuts = dp_solve(min(n_buckets, n))
+    prev_cost, _ = dp_solve(min(n_buckets - 1, n)) \
+        if min(n_buckets, n) > 1 else (best, None)
+    assert best <= prev_cost  # more buckets never hurt
+    rows = []
+    for k in range(len(cuts) - 1):
+        i, j = cuts[k], cuts[k + 1]
+        rows.append({
+            "bucket": np.int64(k),
+            "band_lo": np.int64(x[i]),
+            "band_hi": np.int64(x[j - 1]),
+            "n_rows": np.int64(pw[j] - pw[i]),
+            "sse_fp": np.int64(seg_cost(i, j)),
+        })
+    out = pd.DataFrame(rows)
+    assert int(out["n_rows"].sum()) == int(pw[n])
+    return out

@@ -397,3 +397,31 @@ def test_fair_share_maxmin_properties(ray_session):
     # unsaturated allocations differ by at most 1 (common water level)
     if len(unsat):
         assert int(unsat["alloc"].max()) - int(unsat["alloc"].min()) <= 1
+
+
+def test_voptimal_dp_matches_exhaustive(ray_session):
+    from itertools import combinations
+    got = R.q_voptimal_histogram(SF, n_buckets=4)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["n_chars"])
+    h = (docs["n_chars"] // 10).value_counts().sort_index()
+    x = h.index.to_numpy(np.int64)
+    w = h.to_numpy(np.int64)
+    n = len(x)
+    pw = np.r_[0, np.cumsum(w)]
+    pwx = np.r_[0, np.cumsum(w * x)]
+    pwx2 = np.r_[0, np.cumsum(w * x * x)]
+
+    def cost(i, j):
+        sw = int(pw[j] - pw[i])
+        sx = int(pwx[j] - pwx[i])
+        return int(pwx2[j] - pwx2[i]) - sx * sx // sw
+
+    best = None
+    for cuts in combinations(range(1, n), 3):  # 4 buckets
+        edges = [0, *cuts, n]
+        tot = sum(cost(edges[k], edges[k + 1]) for k in range(4))
+        if best is None or tot < best:
+            best = tot
+    assert int(got["sse_fp"].sum()) == best
+    assert len(got) == 4
