@@ -9762,6 +9762,7 @@ def queries() -> dict:
         "length_hist_overlap": q_length_hist_overlap,
         "hapax_ratio": q_hapax_ratio,
         "voptimal_histogram": q_voptimal_histogram,
+        "prorate_across_days": q_prorate_across_days,
     }
 
 
@@ -16716,3 +16717,79 @@ def q_voptimal_histogram(sf_dir, n_buckets: int = 8, band: int = 10):
     out = pd.DataFrame(rows)
     assert int(out["n_rows"].sum()) == int(pw[n])
     return out
+
+
+_DAY_US = 86_400_000_000
+
+
+def q_prorate_across_days(sf_dir):
+    """Calendar proration — split each event's active interval
+    [ts, ts + value seconds) across the calendar days it touches and
+    account the EXACT microseconds per day (the billing/occupancy
+    primitive; point-in-time sums get month boundaries wrong). The
+    expansion is a vectorized flat-map (np.repeat + arange over the
+    ≤2-day spans here, general for any span), overlap = min(en, day
+    end) − max(st, day start), all integer µs; the exchange is the
+    day-domain groupby. Total-mass conservation Σ us == Σ durations is
+    asserted in-query. Oracle: LATERAL generate_series over the same
+    day range with GREATEST/LEAST clipping."""
+    ev = T(sf_dir, "events", ["ts", "value"])
+
+    def _split(b: pa.Table) -> pa.Table:
+        st = _ts_ns(b["ts"]) // 1_000
+        dur = _round_half_away(
+            b["value"].to_numpy(zero_copy_only=False) * 1e6
+        ).astype(np.int64)
+        en = st + dur
+        d0 = st // _DAY_US
+        d1 = (en - 1) // _DAY_US
+        nd = (d1 - d0 + 1).astype(np.int64)
+        rep = np.repeat(np.arange(len(st)), nd)
+        starts = np.concatenate([[0], np.cumsum(nd)[:-1]])
+        off = np.arange(int(nd.sum()), dtype=np.int64) - starts[rep]
+        day = d0[rep] + off
+        lo = np.maximum(st[rep], day * _DAY_US)
+        hi = np.minimum(en[rep], (day + 1) * _DAY_US)
+        return pa.table({
+            "day": pa.array(day, pa.int64()),
+            "us": pa.array(hi - lo, pa.int64()),
+        })
+
+    out = fast_groupby_agg(
+        ev.map_batches(_split, batch_format="pyarrow"),
+        ["day"], {"busy_us": ("us", "sum"), "n_spans": (None, "count")},
+    ).to_pandas().sort_values("day").reset_index(drop=True)
+
+    def _mass(b: pa.Table) -> pa.Table:
+        dur = _round_half_away(
+            b["value"].to_numpy(zero_copy_only=False) * 1e6
+        ).astype(np.int64)
+        return pa.table({"m": pa.array([int(dur.sum())], pa.int64())})
+
+    total = int(ev.map_batches(_mass, batch_format="pyarrow")
+                .to_pandas()["m"].sum())
+    assert int(out["busy_us"].sum()) == total
+    return out
+
+
+ORACLES["prorate_across_days"] = """
+    WITH iv AS (
+        SELECT epoch_us(ts) AS st,
+               epoch_us(ts) + CAST(round(value * 1000000) AS BIGINT)
+                   AS en
+        FROM events
+    ),
+    ex AS (
+        SELECT d.day,
+               LEAST(iv.en, (d.day + 1) * 86400000000)
+               - GREATEST(iv.st, d.day * 86400000000) AS us
+        FROM iv, LATERAL (
+            SELECT unnest(generate_series(
+                iv.st // 86400000000,
+                (iv.en - 1) // 86400000000)) AS day
+        ) d
+    )
+    SELECT day, CAST(sum(us) AS BIGINT) AS busy_us,
+           CAST(count(*) AS BIGINT) AS n_spans
+    FROM ex GROUP BY day
+"""
