@@ -9763,6 +9763,7 @@ def queries() -> dict:
         "hapax_ratio": q_hapax_ratio,
         "voptimal_histogram": q_voptimal_histogram,
         "prorate_across_days": q_prorate_across_days,
+        "selectivity_independence": q_selectivity_independence,
     }
 
 
@@ -16792,4 +16793,100 @@ ORACLES["prorate_across_days"] = """
     SELECT day, CAST(sum(us) AS BIGINT) AS busy_us,
            CAST(count(*) AS BIGINT) AS n_spans
     FROM ex GROUP BY day
+"""
+
+
+def q_selectivity_independence(sf_dir):
+    """Optimizer-statistics audit: how wrong is the INDEPENDENCE
+    assumption (sel(A∧B) ≈ sel(A)·sel(B) — what every cost-based
+    planner assumes when it lacks multi-column statistics) for each
+    pair of single-column predicates over orders. Actual and expected
+    conjunction counts are exact integers (expected ×10⁶ =
+    n_a·n_b·10⁶ // N); the signed error is expected − actual ×10⁶ //
+    N·… kept as two exact columns instead of a ratio so zero-actual
+    pairs stay well-defined. ONE vectorized scan emits all per-batch
+    predicate and pair counts (constant-width partials), one
+    constant-size groupby combines."""
+    ds = T(sf_dir, "orders",
+           ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    # predicate definitions (id → name) — evaluated identically in SQL
+    names = ["status_F", "prio_urgent", "price_gt_150k"]
+
+    def _preds(b: pa.Table):
+        st = b["o_orderstatus"].to_numpy(zero_copy_only=False)
+        pr = b["o_orderpriority"].to_numpy(zero_copy_only=False)
+        tp = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        return [st == "F", pr == "1-URGENT", tp > 150_000.0]
+
+    def _fold(b: pa.Table) -> pa.Table:
+        ms = _preds(b)
+        pa_, pb_, na_, nb_, nab_, nt_ = [], [], [], [], [], []
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                pa_.append(names[i])
+                pb_.append(names[j])
+                na_.append(int(ms[i].sum()))
+                nb_.append(int(ms[j].sum()))
+                nab_.append(int((ms[i] & ms[j]).sum()))
+                nt_.append(len(ms[i]))
+        return pa.table({
+            "pred_a": pa.array(pa_, pa.string()),
+            "pred_b": pa.array(pb_, pa.string()),
+            "n_a": pa.array(na_, pa.int64()),
+            "n_b": pa.array(nb_, pa.int64()),
+            "n_and": pa.array(nab_, pa.int64()),
+            "n": pa.array(nt_, pa.int64()),
+        })
+
+    agg = fast_groupby_agg(
+        ds.map_batches(_fold, batch_format="pyarrow"),
+        ["pred_a", "pred_b"], {
+            "n_a": ("n_a", "sum"), "n_b": ("n_b", "sum"),
+            "n_and": ("n_and", "sum"), "n": ("n", "sum"),
+        }).to_pandas().sort_values(["pred_a", "pred_b"]) \
+        .reset_index(drop=True)
+    agg["expected_fp"] = (agg["n_a"].astype(object)
+                          * agg["n_b"].astype(object) * 10**6
+                          // agg["n"].astype(object)).astype(np.int64)
+    agg["actual_fp"] = (agg["n_and"] * 10**6).astype(np.int64)
+    return agg
+
+
+ORACLES["selectivity_independence"] = """
+    WITH m AS (
+        SELECT CAST(o_orderstatus = 'F' AS BIGINT) AS p0,
+               CAST(o_orderpriority = '1-URGENT' AS BIGINT) AS p1,
+               CAST(o_totalprice > 150000.0 AS BIGINT) AS p2
+        FROM orders
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(p0) AS BIGINT) AS c0,
+               CAST(sum(p1) AS BIGINT) AS c1,
+               CAST(sum(p2) AS BIGINT) AS c2,
+               CAST(sum(p0 * p1) AS BIGINT) AS c01,
+               CAST(sum(p0 * p2) AS BIGINT) AS c02,
+               CAST(sum(p1 * p2) AS BIGINT) AS c12
+        FROM m
+    )
+    SELECT * FROM (
+        SELECT 'status_F' AS pred_a, 'prio_urgent' AS pred_b,
+               c0 AS n_a, c1 AS n_b, c01 AS n_and, n,
+               CAST(CAST(c0 AS HUGEINT) * c1 * 1000000 // n AS BIGINT)
+                   AS expected_fp,
+               CAST(c01 * 1000000 AS BIGINT) AS actual_fp
+        FROM s
+        UNION ALL
+        SELECT 'status_F', 'price_gt_150k',
+               c0, c2, c02, n,
+               CAST(CAST(c0 AS HUGEINT) * c2 * 1000000 // n AS BIGINT),
+               CAST(c02 * 1000000 AS BIGINT)
+        FROM s
+        UNION ALL
+        SELECT 'prio_urgent', 'price_gt_150k',
+               c1, c2, c12, n,
+               CAST(CAST(c1 AS HUGEINT) * c2 * 1000000 // n AS BIGINT),
+               CAST(c12 * 1000000 AS BIGINT)
+        FROM s
+    )
 """
