@@ -9764,6 +9764,7 @@ def queries() -> dict:
         "voptimal_histogram": q_voptimal_histogram,
         "prorate_across_days": q_prorate_across_days,
         "selectivity_independence": q_selectivity_independence,
+        "repartition_invariance": q_repartition_invariance,
     }
 
 
@@ -16889,4 +16890,66 @@ ORACLES["selectivity_independence"] = """
                CAST(c12 * 1000000 AS BIGINT)
         FROM s
     )
+"""
+
+
+def q_repartition_invariance(sf_dir):
+    """Engine-invariant audit: the same grouped aggregate computed
+    under THREE different block layouts (engine default, 2 fat blocks,
+    41 skinny blocks — 41 is prime, so block boundaries never align
+    with any natural key period) must be IDENTICAL — the
+    partial/combine monoid law every distributed aggregate relies on,
+    surfaced as a driver-visible row instead of an assumption. Any
+    nondeterministic kernel (float association order, per-block state
+    leak) fails this row before it can corrupt a real pipeline."""
+    import ray.data as rd
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+
+    def plan(nb):
+        src = (T(sf_dir, "lineitem",
+                 ["l_returnflag", "l_quantity", "l_extendedprice"])
+               if nb is None else
+               rd.read_parquet(path, columns=[
+                   "l_returnflag", "l_quantity", "l_extendedprice"],
+                   override_num_blocks=nb))
+
+        def _fp(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "flag": b["l_returnflag"],
+                "qty_fp": pa.array(_round_half_away(
+                    b["l_quantity"].to_numpy(zero_copy_only=False)
+                    * 100.0).astype(np.int64)),
+                "price_fp": pa.array(_round_half_away(
+                    b["l_extendedprice"].to_numpy(zero_copy_only=False)
+                    * 100.0).astype(np.int64)),
+            })
+
+        return fast_groupby_agg(
+            src.map_batches(_fp, batch_format="pyarrow"), ["flag"], {
+                "n": (None, "count"),
+                "qty_sum": ("qty_fp", "sum"),
+                "price_sum": ("price_fp", "sum"),
+                "qty_min": ("qty_fp", "min"),
+                "qty_max": ("qty_fp", "max"),
+            }).to_pandas().sort_values("flag").reset_index(drop=True)
+
+    base = plan(None)
+    for nb in (2, 41):
+        other = plan(nb)
+        pd.testing.assert_frame_equal(base, other)
+    return base
+
+
+ORACLES["repartition_invariance"] = """
+    SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                AS BIGINT) AS qty_sum,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS price_sum,
+           CAST(min(CAST(round(l_quantity * 100) AS BIGINT))
+                AS BIGINT) AS qty_min,
+           CAST(max(CAST(round(l_quantity * 100) AS BIGINT))
+                AS BIGINT) AS qty_max
+    FROM lineitem GROUP BY l_returnflag
 """
