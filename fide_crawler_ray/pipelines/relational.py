@@ -9765,6 +9765,7 @@ def queries() -> dict:
         "prorate_across_days": q_prorate_across_days,
         "selectivity_independence": q_selectivity_independence,
         "repartition_invariance": q_repartition_invariance,
+        "neyman_allocation": q_neyman_allocation,
     }
 
 
@@ -16952,4 +16953,86 @@ ORACLES["repartition_invariance"] = """
            CAST(max(CAST(round(l_quantity * 100) AS BIGINT))
                 AS BIGINT) AS qty_max
     FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_neyman_allocation(sf_dir, budget: int = 1000):
+    """Neyman-optimal stratified sample allocation — the survey-design
+    answer to 'how many docs per source should the eval sample take':
+    n_h ∝ N_h·σ_h, which is EXACTLY √(N_h·Σx² − (Σx)²) (the integer
+    N_h²·Var numerator), so the weight needs ONE IEEE sqrt of an exact
+    integer — floor(sqrt) agrees bit-for-bit between numpy and DuckDB
+    because int→double rounds half-even identically and IEEE sqrt is
+    correctly rounded. Seats then fill by the apportion_quota
+    largest-remainder discipline (ties to the lexicographically first
+    source). Allocation conservation Σn_h = budget asserted in-query.
+    One source-domain groupby; the apportionment runs on the bounded
+    domain."""
+    ds = T(sf_dir, "documents", ["source", "n_chars"])
+
+    def _mom(b: pa.Table) -> pa.Table:
+        x = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "source": b["source"],
+            "one": pa.array(np.ones(len(x), np.int64)),
+            "x": pa.array(x), "x2": pa.array(x * x),
+        })
+
+    g = fast_groupby_agg(
+        ds.map_batches(_mom, batch_format="pyarrow"), ["source"], {
+            "n_h": ("one", "sum"), "sx": ("x", "sum"),
+            "sx2": ("x2", "sum"),
+        }).to_pandas().sort_values("source").reset_index(drop=True)
+    var_num = (g["n_h"].astype(object) * g["sx2"].astype(object)
+               - g["sx"].astype(object) ** 2)
+    w = np.array([math.floor(math.sqrt(float(v))) for v in var_num],
+                 dtype=np.int64)
+    W = int(w.sum())
+    base = budget * w // W
+    rem = budget * w % W
+    leftover = budget - int(base.sum())
+    order = sorted(range(len(g)),
+                   key=lambda i: (-int(rem[i]), g["source"][i]))
+    alloc = base.copy()
+    for i in order[:leftover]:
+        alloc[i] += 1
+    g["weight"] = w
+    g["alloc"] = alloc.astype(np.int64)
+    assert int(g["alloc"].sum()) == budget
+    return g[["source", "n_h", "weight", "alloc"]]
+
+
+ORACLES["neyman_allocation"] = """
+    WITH m AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_h,
+               CAST(sum(n_chars) AS BIGINT) AS sx,
+               CAST(sum(CAST(n_chars AS HUGEINT) * n_chars)
+                    AS DECIMAL(38,0)) AS sx2
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT source, n_h,
+               CAST(floor(sqrt(CAST(CAST(n_h AS HUGEINT) * sx2
+                                    - CAST(sx AS HUGEINT) * sx
+                                    AS DOUBLE))) AS BIGINT) AS weight
+        FROM m
+    ),
+    t0 AS (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM w),
+    t AS (SELECT t0.tw,
+                 (SELECT CAST(sum(1000 * weight // t0.tw) AS BIGINT)
+                  FROM w) AS base_sum
+          FROM t0),
+    b AS (
+        SELECT w.source, w.n_h, w.weight,
+               1000 * w.weight // t.tw AS base,
+               1000 * w.weight % t.tw AS rem,
+               row_number() OVER (ORDER BY 1000 * w.weight % t.tw DESC,
+                                  w.source) AS pri,
+               1000 - t.base_sum AS leftover
+        FROM w, t
+    )
+    SELECT source, n_h, weight,
+           CAST(base + CASE WHEN pri <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM b
 """
