@@ -9766,6 +9766,7 @@ def queries() -> dict:
         "selectivity_independence": q_selectivity_independence,
         "repartition_invariance": q_repartition_invariance,
         "neyman_allocation": q_neyman_allocation,
+        "term_burstiness": q_term_burstiness,
     }
 
 
@@ -17035,4 +17036,76 @@ ORACLES["neyman_allocation"] = """
            CAST(base + CASE WHEN pri <= leftover THEN 1 ELSE 0 END
                 AS BIGINT) AS alloc
     FROM b
+"""
+
+
+def q_term_burstiness(sf_dir, top: int = 20):
+    """Term burstiness — the variance-to-mean ratio of per-document
+    term counts (Church & Gale's content-word detector: function words
+    scatter ~Poisson with VMR ≈ 1, topical words clump with VMR ≫ 1)
+    for the corpus' top terms, EXACT: with per-doc counts c over N
+    docs (zeros included via the moment identity), VMR·10⁶ =
+    10⁶·(N·Σc² − (Σc)²) // (N·Σc). Tokens explode vectorized; the
+    (doc, term) fold collapses map-side; the final exchange is
+    term-domain-sized."""
+    ds = T(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = int(ds.count())
+
+    def _tok(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], pattern=" ")
+        lens = pc.list_value_length(words).to_numpy().astype(np.int64)
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        rep = np.repeat(np.arange(len(did)), lens)
+        return pa.table({
+            "doc_id": pa.array(did[rep], pa.int64()),
+            "term": pc.list_flatten(words),
+        })
+
+    per_doc = fast_groupby_agg(
+        ds.map_batches(_tok, batch_format="pyarrow"),
+        ["term", "doc_id"], {"c": ("term", "count")})
+
+    def _mom(b: pa.Table) -> pa.Table:
+        c = b["c"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "term": b["term"],
+            "s1": pa.array(c.astype(np.int64)),
+            "s2": pa.array((c * c).astype(np.int64)),
+            "df": pa.array(np.ones(len(c), np.int64)),
+        })
+
+    mom = fast_groupby_agg(
+        per_doc.map_batches(_mom, batch_format="pyarrow"),
+        ["term"], {"s1": ("s1", "sum"), "s2": ("s2", "sum"),
+                   "df": ("df", "sum")}).to_pandas()
+    mom = mom.sort_values(["s1", "term"],
+                          ascending=[False, True]).head(top)
+    s1 = mom["s1"].astype(object)
+    s2 = mom["s2"].astype(object)
+    mom["vmr_fp"] = np.array(
+        [int(1_000_000 * (n_docs * b - a * a) // (n_docs * a))
+         for a, b in zip(s1, s2)], dtype=np.int64)
+    return mom.reset_index(drop=True)
+
+
+ORACLES["term_burstiness"] = """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    pd AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS c
+           FROM tok GROUP BY term, doc_id),
+    m AS (
+        SELECT term, CAST(sum(c) AS BIGINT) AS s1,
+               CAST(sum(c * c) AS BIGINT) AS s2,
+               CAST(count(*) AS BIGINT) AS df
+        FROM pd GROUP BY term
+    ),
+    n AS (SELECT count(*) AS nd FROM documents)
+    SELECT term, s1, s2, df,
+           CAST(1000000 * (CAST(n.nd AS HUGEINT) * s2
+                           - CAST(s1 AS HUGEINT) * s1)
+                // (CAST(n.nd AS HUGEINT) * s1) AS BIGINT) AS vmr_fp
+    FROM m, n
+    ORDER BY s1 DESC, term LIMIT 20
 """
