@@ -9767,6 +9767,7 @@ def queries() -> dict:
         "repartition_invariance": q_repartition_invariance,
         "neyman_allocation": q_neyman_allocation,
         "term_burstiness": q_term_burstiness,
+        "bag_set_ops": q_bag_set_ops,
     }
 
 
@@ -17108,4 +17109,59 @@ ORACLES["term_burstiness"] = """
                 // (CAST(n.nd AS HUGEINT) * s1) AS BIGINT) AS vmr_fp
     FROM m, n
     ORDER BY s1 DESC, term LIMIT 20
+"""
+
+
+def q_bag_set_ops(sf_dir):
+    """Bag-semantics set algebra — EXCEPT ALL / INTERSECT ALL
+    multiplicities (the set_union/set_except suite is SET-semantics;
+    bags are what dedup accounting actually needs): between the
+    multisets of (status, priority) pairs from 1996 vs 1997 orders,
+    per-key m_except = max(a−b, 0), m_intersect = min(a, b), plus both
+    input multiplicities. Two map-side-combined groupbys per side fold
+    into ONE via a year indicator — a single exchange carries both
+    bags."""
+    ds = T(sf_dir, "orders",
+           ["o_orderstatus", "o_orderpriority", "o_orderdate"])
+
+    def _fold(b: pa.Table) -> pa.Table:
+        yr = pd.to_datetime(
+            b["o_orderdate"].to_pandas()).dt.year.to_numpy(np.int64)
+        keep = (yr == 1996) | (yr == 1997)
+        t = pa.table({
+            "o_orderstatus": b["o_orderstatus"],
+            "o_orderpriority": b["o_orderpriority"],
+            "a": pa.array((yr == 1996).astype(np.int64)),
+            "b": pa.array((yr == 1997).astype(np.int64)),
+        })
+        return t.filter(pa.array(keep))
+
+    g = fast_groupby_agg(
+        ds.map_batches(_fold, batch_format="pyarrow"),
+        ["o_orderstatus", "o_orderpriority"],
+        {"n_a": ("a", "sum"), "n_b": ("b", "sum")}).to_pandas()
+    g["m_except"] = np.maximum(g["n_a"] - g["n_b"], 0).astype(np.int64)
+    g["m_intersect"] = np.minimum(g["n_a"], g["n_b"]).astype(np.int64)
+    return g.sort_values(["o_orderstatus", "o_orderpriority"]) \
+        .reset_index(drop=True)
+
+
+ORACLES["bag_set_ops"] = """
+    WITH f AS (
+        SELECT o_orderstatus, o_orderpriority,
+               year(o_orderdate) AS yr
+        FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+    ),
+    g AS (
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(sum(CASE WHEN yr = 1996 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN yr = 1997 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b
+        FROM f GROUP BY 1, 2
+    )
+    SELECT o_orderstatus, o_orderpriority, n_a, n_b,
+           CAST(GREATEST(n_a - n_b, 0) AS BIGINT) AS m_except,
+           CAST(LEAST(n_a, n_b) AS BIGINT) AS m_intersect
+    FROM g
 """
