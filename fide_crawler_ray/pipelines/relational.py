@@ -9768,6 +9768,7 @@ def queries() -> dict:
         "neyman_allocation": q_neyman_allocation,
         "term_burstiness": q_term_burstiness,
         "bag_set_ops": q_bag_set_ops,
+        "lttb_downsample": q_lttb_downsample,
     }
 
 
@@ -17165,3 +17166,72 @@ ORACLES["bag_set_ops"] = """
            CAST(LEAST(n_a, n_b) AS BIGINT) AS m_intersect
     FROM g
 """
+
+
+def q_lttb_downsample(sf_dir, n_out: int = 30):
+    """LTTB (largest-triangle-three-buckets) downsampling of the daily
+    revenue series — the standard visual-fidelity reduction (Steinarsson
+    2013): keep first and last points; each interior bucket keeps the
+    point forming the LARGEST triangle with the previously kept point
+    and the next bucket's centroid. All-integer: the centroid division
+    is cleared by multiplying both candidate areas through by the next
+    bucket's size, so comparisons are exact cross products (ties → the
+    earliest day, pinned). The distributed part is the day-histogram
+    exchange (time-span bounded); the anchor walk is sequential by
+    construction and runs over that bounded domain. Rows-only (the
+    anchor recurrence is not SQL), with shape invariants asserted
+    in-query: endpoints kept, one point per bucket, days strictly
+    increasing."""
+    orders = T(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def _day(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "d": pa.array(
+                b["o_orderdate"].cast(pa.int64()).to_numpy(
+                    zero_copy_only=False) // 86_400_000_000, pa.int64()),
+            "v": pa.array(_round_half_away(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)),
+        })
+
+    vc = fast_groupby_agg(
+        orders.map_batches(_day, batch_format="pyarrow"),
+        ["d"], {"v": ("v", "sum")}).to_pandas().sort_values("d")
+    x = vc["d"].to_numpy(np.int64)
+    y = vc["v"].to_numpy(np.int64)
+    n = len(x)
+    if n <= n_out:
+        out = pd.DataFrame({"d": x, "v": y})
+        out["kept_rank"] = np.arange(len(out), dtype=np.int64)
+        return out
+    # bucket boundaries over the interior points (standard LTTB)
+    edges = [1 + (n - 2) * k // (n_out - 2) for k in range(n_out - 1)]
+    sel = [0]
+    for k in range(n_out - 2):
+        lo, hi = edges[k], edges[k + 1]
+        if k + 1 < n_out - 2:
+            nlo, nhi = edges[k + 1], edges[k + 2]
+        else:
+            nlo, nhi = n - 1, n
+        m = nhi - nlo
+        cx = int(x[nlo:nhi].sum())   # centroid × m
+        cy = int(y[nlo:nhi].sum())
+        a = sel[-1]
+        ax, ay = int(x[a]), int(y[a])
+        best_i, best_area = lo, -1
+        for i in range(lo, hi):
+            # 2·area·m: |(cx−m·ax)(y_i−ay) − (x_i−ax)(cy−m·ay)|
+            area = abs((cx - m * ax) * (int(y[i]) - ay)
+                       - (int(x[i]) - ax) * (cy - m * ay))
+            if area > best_area:
+                best_area, best_i = area, i
+        sel.append(best_i)
+    sel.append(n - 1)
+    sel_a = np.array(sel, np.int64)
+    assert sel_a[0] == 0 and sel_a[-1] == n - 1
+    assert (np.diff(sel_a) > 0).all()
+    assert len(sel_a) == n_out
+    return pd.DataFrame({
+        "d": x[sel_a], "v": y[sel_a],
+        "kept_rank": np.arange(n_out, dtype=np.int64),
+    })

@@ -425,3 +425,24 @@ def test_voptimal_dp_matches_exhaustive(ray_session):
             best = tot
     assert int(got["sse_fp"].sum()) == best
     assert len(got) == 4
+
+
+def test_lttb_bucket_and_extreme_properties(ray_session, orders):
+    got = R.q_lttb_downsample(SF, n_out=30)
+    cents = np.round(orders["o_totalprice"].to_numpy() * 100.0) \
+        .astype(np.int64)
+    day = orders["o_orderdate"].values.astype("datetime64[D]") \
+        .astype(np.int64)
+    s = pd.DataFrame({"d": day, "v": cents}).groupby("d")["v"].sum()
+    x = s.index.to_numpy(np.int64)
+    y = s.to_numpy(np.int64)
+    assert len(got) == 30
+    assert int(got["d"].iloc[0]) == int(x[0])
+    assert int(got["d"].iloc[-1]) == int(x[-1])
+    assert (np.diff(got["d"].to_numpy()) > 0).all()
+    # every kept (d, v) is a real point of the series
+    lut = dict(zip(x.tolist(), y.tolist()))
+    for d, v in zip(got["d"], got["v"]):
+        assert lut[int(d)] == int(v)
+    # the global maximum is visually load-bearing; LTTB must keep it
+    assert int(y.max()) in set(got["v"].astype(int))
