@@ -9769,6 +9769,7 @@ def queries() -> dict:
         "term_burstiness": q_term_burstiness,
         "bag_set_ops": q_bag_set_ops,
         "lttb_downsample": q_lttb_downsample,
+        "id_gap_report": q_id_gap_report,
     }
 
 
@@ -17235,3 +17236,69 @@ def q_lttb_downsample(sf_dir, n_out: int = 30):
         "d": x[sel_a], "v": y[sel_a],
         "kept_rank": np.arange(n_out, dtype=np.int64),
     })
+
+
+def q_id_gap_report(sf_dir):
+    """Sequence-gap report — the ingestion-completeness audit (missing
+    event_id ranges reveal dropped batches): every maximal gap
+    [gap_lo, gap_hi] strictly inside the observed id range. Plan: one
+    distributed SORT by event_id, then gaps split into (a) block-LOCAL
+    gaps found vectorized inside each sorted block and (b) BOUNDARY
+    gaps stitched on the driver from the per-block (min, max) summary
+    (block-count-sized — the only driver state). This is the general
+    adjacent-pair-after-sort pattern: block-local work distributed,
+    O(blocks) stitching. Oracle: lead() over the sorted distinct ids.
+    Testdata event_ids are contiguous, so both sides drop ids
+    divisible by 97 to plant deterministic gaps the audit must find."""
+
+    def _drop_97(t: pa.Table) -> pa.Table:
+        r = pc.subtract(t["event_id"],
+                        pc.multiply(pc.divide(t["event_id"], 97), 97))
+        return t.filter(pc.not_equal(r, 0))
+
+    ds = T(sf_dir, "events", ["event_id"]).map_batches(
+        _drop_97, batch_format="pyarrow")
+    dids = fast_groupby_agg(ds, ["event_id"], {"_n": (None, "count")}) \
+        .drop_columns(["_n"]).sort("event_id")
+
+    @ray.remote
+    def _block_gaps(t: pa.Table):
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return None, None, []
+        d = np.diff(ids)
+        pos = np.flatnonzero(d > 1)
+        gaps = [(int(ids[p]) + 1, int(ids[p + 1]) - 1) for p in pos]
+        return int(ids[0]), int(ids[-1]), gaps
+
+    refs = [_block_gaps.remote(r) for r in dids.to_arrow_refs()]
+    parts = [p for p in ray.get(refs) if p[0] is not None]
+    parts.sort(key=lambda p: p[0])
+    gaps: list = []
+    for k, (lo, hi, inner) in enumerate(parts):
+        if k > 0:
+            prev_hi = parts[k - 1][1]
+            if lo - prev_hi > 1:
+                gaps.append((prev_hi + 1, lo - 1))
+        gaps.extend(inner)
+    gaps.sort()
+    return pd.DataFrame({
+        "gap_lo": pd.Series([g[0] for g in gaps], dtype=np.int64),
+        "gap_hi": pd.Series([g[1] for g in gaps], dtype=np.int64),
+        "width": pd.Series([g[1] - g[0] + 1 for g in gaps],
+                           dtype=np.int64),
+    })
+
+
+ORACLES["id_gap_report"] = """
+    WITH d AS (SELECT DISTINCT event_id FROM events
+               WHERE event_id % 97 <> 0),
+    l AS (
+        SELECT event_id,
+               lead(event_id) OVER (ORDER BY event_id) AS nxt
+        FROM d
+    )
+    SELECT event_id + 1 AS gap_lo, nxt - 1 AS gap_hi,
+           CAST(nxt - event_id - 1 AS BIGINT) AS width
+    FROM l WHERE nxt IS NOT NULL AND nxt - event_id > 1
+"""
