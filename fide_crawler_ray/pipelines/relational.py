@@ -9770,6 +9770,7 @@ def queries() -> dict:
         "bag_set_ops": q_bag_set_ops,
         "lttb_downsample": q_lttb_downsample,
         "id_gap_report": q_id_gap_report,
+        "q5_local_supplier_volume": q_q5_local_supplier_volume,
     }
 
 
@@ -17301,4 +17302,112 @@ ORACLES["id_gap_report"] = """
     SELECT event_id + 1 AS gap_lo, nxt - 1 AS gap_hi,
            CAST(nxt - event_id - 1 AS BIGINT) AS width
     FROM l WHERE nxt IS NOT NULL AND nxt - event_id > 1
+"""
+
+
+def q_q5_local_supplier_volume(sf_dir, region: str = "ASIA",
+                               year: int = 1996):
+    """TPC-H Q5: revenue per nation from orders where the customer and
+    the line item's supplier sit in the SAME nation of one region, one
+    order year. Completes the engine's TPC-H set (Q5 was the one shape
+    missing: a 6-table join closed by an equality between two
+    DIFFERENT dimension attributes, c_nationkey = s_nationkey).
+
+    Plan: nation⋈region prunes to the ≤25-key region nation set, which
+    rides in closures (true fixed dimensions). Customer and supplier
+    both GROW with data, so each attaches its nationkey via hash join
+    — customer onto date-pruned orders (orders side pre-filtered to
+    the year window at the read), supplier onto cents-folded lineitem.
+    The same-nation equality is a vectorized post-join filter, and the
+    final groupby is over ≤25 nation names. No fact-scale broadcast
+    anywhere; two hash exchanges of pre-projected columns only."""
+    nat = T(sf_dir, "nation",
+            ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = T(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rk = set(reg.loc[reg["r_name"] == region, "r_regionkey"])
+    nat = nat[nat["n_regionkey"].isin(rk)]
+    keep_nk = set(int(k) for k in nat["n_nationkey"])
+    names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    lo = np.datetime64(f"{year}-01-01").astype("datetime64[ns]").view("int64")
+    hi = np.datetime64(f"{year + 1}-01-01").astype(
+        "datetime64[ns]").view("int64")
+
+    def _cust(b: pa.Table) -> pa.Table:
+        m = np.isin(b["c_nationkey"].to_numpy(zero_copy_only=False),
+                    list(keep_nk))
+        t = b.filter(pa.array(m))
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "cust_nk": pc.cast(t["c_nationkey"], pa.int64())})
+
+    def _ord(b: pa.Table) -> pa.Table:
+        d = _ts_ns(b["o_orderdate"])
+        return b.filter(pa.array((d >= lo) & (d < hi)))
+
+    oc = T(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(_ord, batch_format="pyarrow") \
+        .select_columns(["o_orderkey", "o_custkey"]) \
+        .join(T(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+              .map_batches(_cust, batch_format="pyarrow"),
+              "inner", num_partitions=8,
+              on=("o_custkey",), right_on=("c_custkey",))
+
+    def _sup(b: pa.Table) -> pa.Table:
+        m = np.isin(b["s_nationkey"].to_numpy(zero_copy_only=False),
+                    list(keep_nk))
+        t = b.filter(pa.array(m))
+        return pa.table({"s_suppkey": t["s_suppkey"],
+                         "supp_nk": pc.cast(t["s_nationkey"], pa.int64())})
+
+    def _fold(b: pa.Table) -> pa.Table:
+        fp = _round_half_away(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False))
+            * 100.0).astype(np.int64)
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "l_suppkey": b["l_suppkey"],
+                         "cents": pa.array(fp, pa.int64())})
+
+    li = T(sf_dir, "lineitem",
+           ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(_fold, batch_format="pyarrow") \
+        .join(T(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+              .map_batches(_sup, batch_format="pyarrow"),
+              "inner", num_partitions=8,
+              on=("l_suppkey",), right_on=("s_suppkey",))
+
+    j = li.join(oc, "inner", num_partitions=8,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def _same_nation(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["supp_nk"], b["cust_nk"]))
+        nk = t["supp_nk"].to_numpy(zero_copy_only=False)
+        nm = pd.Series(nk).map(names).tolist()
+        return pa.table({"n_name": pa.array(nm, pa.string()),
+                         "cents": t["cents"]})
+
+    out = fast_groupby_agg(
+        j.map_batches(_same_nation, batch_format="pyarrow"),
+        ["n_name"], {"revenue_fp": ("cents", "sum"),
+                     "n_items": (None, "count")})
+    return out.sort("n_name")
+
+
+ORACLES["q5_local_supplier_volume"] = """
+    SELECT n_name,
+           CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+                               * 100) AS BIGINT)) AS BIGINT) AS revenue_fp,
+           count(*) AS n_items
+    FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+    WHERE c_nationkey = s_nationkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY n_name
 """
