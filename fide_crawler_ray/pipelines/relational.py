@@ -9771,6 +9771,7 @@ def queries() -> dict:
         "lttb_downsample": q_lttb_downsample,
         "id_gap_report": q_id_gap_report,
         "q5_local_supplier_volume": q_q5_local_supplier_volume,
+        "hits_scores": q_hits_scores,
     }
 
 
@@ -17411,3 +17412,160 @@ ORACLES["q5_local_supplier_volume"] = """
     GROUP BY n_name
     ORDER BY n_name
 """
+
+
+HITS_ITERS = 3
+HITS_SCALE = 10 ** 9
+HITS_MAX_SINGLE_EDGES = 5_000_000
+
+
+@ray.remote
+def _hits_task(n: int, iters: int, *tables: pa.Table) -> pa.Table:
+    """Single-task HITS over the collected edge list — the small-graph
+    tier (guard: HITS_MAX_SINGLE_EDGES)."""
+    live = [t for t in tables if t.num_rows > 0]
+    t = pa.concat_tables(live)
+    src = t["src"].to_numpy(zero_copy_only=False)
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    h = np.full(n, HITS_SCALE // n, dtype=np.int64)
+    a = np.zeros(n, dtype=np.int64)
+    for _ in range(iters):
+        ar = np.zeros(n, dtype=np.int64)
+        np.add.at(ar, dst, h[src])
+        a = ar // max(1, int(ar.sum()) // HITS_SCALE)
+        hr = np.zeros(n, dtype=np.int64)
+        np.add.at(hr, src, a[dst])
+        h = hr // max(1, int(hr.sum()) // HITS_SCALE)
+    return pa.table({
+        "node": pa.array(np.arange(n, dtype=np.int64)),
+        "hub_fp": pa.array(h, pa.int64()),
+        "auth_fp": pa.array(a, pa.int64()),
+    })
+
+
+def q_hits_scores(sf_dir, iters: int = HITS_ITERS,
+                  max_single_edges: int = HITS_MAX_SINGLE_EDGES):
+    """HITS hubs & authorities over the derived order graph — the
+    OTHER eigenvector-style link-analysis primitive next to
+    q_pagerank, and unlike PageRank it alternates two propagation
+    directions per round (auth pulls over in-edges, hub pulls back
+    over out-edges). Runs entirely in ×10⁹ integer fixed point with
+    DIVIDE-FIRST L1 normalization — x ← x_raw // max(1, Σx_raw // S)
+    — so every intermediate stays ≤ |E|·S ≪ 2⁶³ (no big-product
+    overflow, no float), results are summation-order independent, and
+    the DuckDB oracle (the same recurrence unrolled, one CTE pair per
+    iteration) matches bit for bit.
+
+    Scale plan (above ``max_single_edges``): per iteration one hash
+    join edges⋈h on src + groupby dst (authority pull), one hash join
+    edges⋈a on dst + groupby src (hub pull), each followed by a
+    left-outer join onto the node list; the two Σ/S normalizers are
+    scalar aggregates. Nothing node- or edge-sized on the driver;
+    both tiers pinned identical by test."""
+    from ray.data.aggregate import Count, Max, Min
+
+    cust = T(sf_dir, "customer", ["c_custkey"])
+    dom = cust.aggregate(Min("c_custkey"), Max("c_custkey"), Count())
+    n = dom["count()"]
+    if dom["min(c_custkey)"] != 0 or dom["max(c_custkey)"] != n - 1:
+        raise ValueError(
+            f"hits needs dense 0-based c_custkey; got "
+            f"[{dom['min(c_custkey)']}, {dom['max(c_custkey)']}] n={n}")
+    edges = _pagerank_edges(sf_dir, n).materialize()
+    import ray.data as rd
+
+    if edges.count() <= max_single_edges:
+        return rd.from_arrow_refs(
+            [_hits_task.remote(n, iters, *edges.to_arrow_refs())])
+
+    nodes = T(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda b: pa.table({"node": b["c_custkey"]}),
+        batch_format="pyarrow").materialize()
+
+    def _init(name):
+        v = HITS_SCALE // n
+
+        def _m(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": b["node"],
+                name: pa.array(np.full(b.num_rows, v), pa.int64()),
+            })
+        return _m
+
+    def _pull(vec, vec_col, join_on, group_by, out_col):
+        """One propagation: edges ⋈ vec on ``join_on``, sum vec_col by
+        ``group_by``, divide-first normalize, left-join onto nodes."""
+        j = edges.join(vec, "inner", num_partitions=8,
+                       on=(join_on,), right_on=("node",))
+        raw = fast_groupby_agg(
+            j.map_batches(
+                lambda b: pa.table({"k": b[group_by], "v": b[vec_col]}),
+                batch_format="pyarrow"),
+            ["k"], {"s": ("v", "sum")}).materialize()
+        den = max(1, int(raw.sum("s")) // HITS_SCALE)
+        out = nodes.join(raw, "left_outer", num_partitions=8,
+                         on=("node",), right_on=("k",))
+        return out.map_batches(
+            lambda b: pa.table({
+                "node": b["node"],
+                out_col: pa.array(
+                    pc.fill_null(b["s"], 0).to_numpy(zero_copy_only=False)
+                    // den, pa.int64()),
+            }), batch_format="pyarrow").materialize()
+
+    h = nodes.map_batches(_init("h"), batch_format="pyarrow").materialize()
+    a = None
+    for _ in range(iters):
+        a = _pull(h, "h", "src", "dst", "a")
+        h = _pull(a, "a", "dst", "src", "h")
+    out = h.join(a, "inner", num_partitions=8, on=("node",))
+    return out.map_batches(
+        lambda b: pa.table({"node": b["node"],
+                            "hub_fp": b["h"], "auth_fp": b["a"]}),
+        batch_format="pyarrow")
+
+
+def _hits_oracle(iters: int = HITS_ITERS) -> str:
+    """The q_hits_scores recurrence unrolled — one (ar, a, hr, h) CTE
+    quartet per iteration, all-integer, bit-identical to the engine."""
+    S = HITS_SCALE
+    head = f"""
+        WITH nn AS (SELECT count(*) AS c FROM customer),
+        edges AS (
+            SELECT o_custkey AS src,
+                   o_orderkey % (SELECT c FROM nn) AS dst
+            FROM orders
+        ),
+        nodes AS (SELECT c_custkey AS node FROM customer),
+        h0 AS (SELECT node, {S} // (SELECT c FROM nn) AS h FROM nodes)"""
+    body = ""
+    for i in range(1, iters + 1):
+        body += f""",
+        ar{i} AS (
+            SELECT e.dst AS node, sum(h.h) AS ar
+            FROM edges e JOIN h{i - 1} h ON h.node = e.src
+            GROUP BY e.dst
+        ),
+        a{i} AS (
+            SELECT n.node, COALESCE(r.ar, 0)
+                   // greatest(1, (SELECT sum(ar) FROM ar{i}) // {S}) AS a
+            FROM nodes n LEFT JOIN ar{i} r ON r.node = n.node
+        ),
+        hr{i} AS (
+            SELECT e.src AS node, sum(a.a) AS hr
+            FROM edges e JOIN a{i} a ON a.node = e.dst
+            GROUP BY e.src
+        ),
+        h{i} AS (
+            SELECT n.node, COALESCE(r.hr, 0)
+                   // greatest(1, (SELECT sum(hr) FROM hr{i}) // {S}) AS h
+            FROM nodes n LEFT JOIN hr{i} r ON r.node = n.node
+        )"""
+    return head + body + f"""
+        SELECT h.node, CAST(h.h AS BIGINT) AS hub_fp,
+               CAST(a.a AS BIGINT) AS auth_fp
+        FROM h{iters} h JOIN a{iters} a ON a.node = h.node
+    """
+
+
+ORACLES["hits_scores"] = _hits_oracle()

@@ -2684,3 +2684,36 @@ def test_hill_tail_index_bruteforce():
     assert row["hill_fp"] == int(rha(np.array(
         [1e6 * ((s / 1e9) / 200)]))[0])
     assert row["hill_fp"] >= 0
+
+
+def test_hits_tiers_identical_and_sane():
+    """Single-task HITS vs the join-per-iteration distributed plan
+    (forced via a zero edge guard) must match bit for bit; L1 mass of
+    each vector stays < 2× the 10⁹ scale (the divide-first normalizer
+    floors its denominator, so Σ(x_raw // ⌊Σ/S⌋) < S·(k+1)/k ≤ 2S),
+    and a node with no in-edges has authority exactly 0 (dually no
+    out-edges ⇒ hub 0) — propagation only ever reaches along edges."""
+    import numpy as np
+
+    from fide_crawler_ray.pipelines.relational import (
+        HITS_SCALE, _pagerank_edges, q_hits_scores)
+
+    fast = (q_hits_scores(SF).to_pandas()
+            .sort_values("node").reset_index(drop=True))
+    slow = (q_hits_scores(SF, max_single_edges=0).to_pandas()
+            .sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(fast, slow)
+
+    n = len(fast)
+    assert fast["hub_fp"].sum() < 2 * HITS_SCALE
+    assert fast["auth_fp"].sum() < 2 * HITS_SCALE
+    assert (fast["hub_fp"] >= 0).all() and (fast["auth_fp"] >= 0).all()
+
+    e = _pagerank_edges(SF, n).to_pandas()
+    idx = fast.set_index("node")
+    no_in = set(range(n)) - set(e["dst"])
+    no_out = set(range(n)) - set(e["src"])
+    assert all(idx.loc[v, "auth_fp"] == 0 for v in no_in)
+    assert all(idx.loc[v, "hub_fp"] == 0 for v in no_out)
+    # and at least SOME mass survives three rounds of floor division
+    assert fast["auth_fp"].sum() > HITS_SCALE // 2
