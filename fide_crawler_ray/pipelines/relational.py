@@ -9772,6 +9772,7 @@ def queries() -> dict:
         "id_gap_report": q_id_gap_report,
         "q5_local_supplier_volume": q_q5_local_supplier_volume,
         "hits_scores": q_hits_scores,
+        "fifo_lot_matching": q_fifo_lot_matching,
     }
 
 
@@ -17569,3 +17570,136 @@ def _hits_oracle(iters: int = HITS_ITERS) -> str:
 
 
 ORACLES["hits_scores"] = _hits_oracle()
+
+
+def q_fifo_lot_matching(sf_dir):
+    """FIFO inventory lot matching — the cost-basis allocation every
+    ledger/inventory pipeline needs: per part, even line numbers act as
+    purchase LOTS (qty, integer unit cost) and odd line numbers as
+    SALES consuming lots strictly first-in-first-out; each sale reports
+    its allocated quantity, exact integer COGS, and unfilled remainder
+    once supply runs out.
+
+    Plan: one hash shuffle (groupby l_partkey) then a fully vectorized
+    per-group kernel — no per-lot loop: with G(x) = cost of the first
+    x units (prefix-weighted cumsum of qty·unit, evaluated by
+    searchsorted into the lot cumsum), a sale spanning cumulative
+    units [lo, hi) has cogs = G(min(hi,S)) − G(min(lo,S)) where S is
+    total supply. Same per-key-fits-a-worker assumption as
+    q_window_functions. The oracle states the SAME allocation as a
+    cumulative-interval overlap join (two window cumsums + an
+    inequality join), so engine and SQL agree through a completely
+    different formulation — all-integer on both sides."""
+    ds = T(sf_dir, "lineitem",
+           ["l_partkey", "l_orderkey", "l_linenumber", "l_quantity",
+            "l_extendedprice"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        qty = _round_half_away(
+            b["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        unit = _round_half_away(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64) % 1000 + 1
+        return pa.table({
+            "l_partkey": b["l_partkey"],
+            "l_orderkey": b["l_orderkey"],
+            "l_linenumber": pc.cast(b["l_linenumber"], pa.int64()),
+            "qty": pa.array(qty, pa.int64()),
+            "unit_fp": pa.array(unit, pa.int64()),
+        })
+
+    def _fifo(df: pd.DataFrame) -> pd.DataFrame:
+        # (l_orderkey, l_linenumber) is NOT unique per part in the
+        # testdata; qty+unit complete a deterministic total order
+        # (remaining full duplicates are interchangeable for FIFO)
+        df = df.sort_values(
+            ["l_orderkey", "l_linenumber", "qty", "unit_fp"],
+            kind="mergesort")
+        is_lot = (df["l_linenumber"].to_numpy() % 2) == 0
+        p, s = df[is_lot], df[~is_lot]
+        pq = p["qty"].to_numpy()
+        pu = p["unit_fp"].to_numpy()
+        p_hi = np.cumsum(pq)                      # lot cum boundaries
+        p_lo = p_hi - pq
+        w = np.cumsum(pq * pu)                    # G at lot boundaries
+        total = int(p_hi[-1]) if len(pq) else 0
+
+        def G(x):                                 # cost of first x units
+            if len(pq) == 0:
+                return np.zeros(len(x), dtype=np.int64)
+            x = np.minimum(x, total)
+            i = np.searchsorted(p_hi, x, side="left")
+            full = np.where(i > 0, w[np.maximum(i - 1, 0)], 0)
+            inlot = np.where(
+                i < len(pq),
+                (x - np.where(i > 0, p_hi[np.maximum(i - 1, 0)], 0))
+                * pu[np.minimum(i, len(pq) - 1)], 0)
+            return full + inlot
+
+        sq = s["qty"].to_numpy()
+        s_hi = np.cumsum(sq)
+        s_lo = s_hi - sq
+        alloc = np.minimum(s_hi, total) - np.minimum(s_lo, total)
+        cogs = G(s_hi) - G(s_lo)
+        return pd.DataFrame({
+            "l_partkey": s["l_partkey"].to_numpy(),
+            "sale_seq": np.arange(1, len(s) + 1, dtype=np.int64),
+            "l_orderkey": s["l_orderkey"].to_numpy(),
+            "l_linenumber": s["l_linenumber"].to_numpy(),
+            "alloc_qty": alloc.astype(np.int64),
+            "cogs_fp": cogs.astype(np.int64),
+            "unfilled_qty": (sq - alloc).astype(np.int64),
+        })
+
+    return ds.map_batches(_prep, batch_format="pyarrow") \
+        .groupby("l_partkey").map_groups(_fifo, batch_format="pandas")
+
+
+ORACLES["fifo_lot_matching"] = """
+    WITH x AS (
+        SELECT l_partkey, l_orderkey,
+               CAST(l_linenumber AS BIGINT) AS l_linenumber,
+               CAST(round(l_quantity) AS BIGINT) AS qty,
+               CAST(round(l_extendedprice) AS BIGINT) % 1000 + 1
+                   AS unit_fp
+        FROM lineitem
+    ),
+    p AS (
+        SELECT l_partkey, qty, unit_fp,
+               sum(qty) OVER (PARTITION BY l_partkey
+                              ORDER BY l_orderkey, l_linenumber, qty,
+                                       unit_fp
+                              ROWS UNBOUNDED PRECEDING) AS hi
+        FROM x WHERE l_linenumber % 2 = 0
+    ),
+    s AS (
+        SELECT l_partkey, l_orderkey, l_linenumber, qty,
+               row_number() OVER (PARTITION BY l_partkey
+                                  ORDER BY l_orderkey, l_linenumber,
+                                           qty, unit_fp) AS seq,
+               sum(qty) OVER (PARTITION BY l_partkey
+                              ORDER BY l_orderkey, l_linenumber, qty,
+                                       unit_fp
+                              ROWS UNBOUNDED PRECEDING) AS hi
+        FROM x WHERE l_linenumber % 2 = 1
+    ),
+    ov AS (
+        SELECT s.l_partkey, s.seq,
+               least(p.hi, s.hi)
+               - greatest(p.hi - p.qty, s.hi - s.qty) AS units,
+               p.unit_fp
+        FROM s JOIN p ON p.l_partkey = s.l_partkey
+                     AND p.hi > s.hi - s.qty
+                     AND p.hi - p.qty < s.hi
+    )
+    SELECT s.l_partkey, CAST(s.seq AS BIGINT) AS sale_seq,
+           s.l_orderkey, s.l_linenumber,
+           CAST(COALESCE(sum(ov.units), 0) AS BIGINT) AS alloc_qty,
+           CAST(COALESCE(sum(ov.units * ov.unit_fp), 0) AS BIGINT)
+               AS cogs_fp,
+           CAST(s.qty - COALESCE(sum(ov.units), 0) AS BIGINT)
+               AS unfilled_qty
+    FROM s LEFT JOIN ov ON ov.l_partkey = s.l_partkey
+                       AND ov.seq = s.seq
+    GROUP BY s.l_partkey, s.seq, s.l_orderkey, s.l_linenumber, s.qty
+"""

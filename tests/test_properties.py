@@ -463,3 +463,65 @@ def test_islands_day_minus_rank_rule(days):
     ref_lens.append(run)
     assert lens.tolist() == ref_lens
     assert int(lens.max()) == max(ref_lens)
+
+
+@given(st.lists(st.tuples(st.booleans(),
+                          st.integers(min_value=0, max_value=9),
+                          st.integers(min_value=1, max_value=5)),
+                min_size=1, max_size=24))
+@settings(max_examples=120, deadline=None)
+def test_fifo_closed_form_matches_unit_simulation(rows):
+    """The G(x)-based FIFO allocation (cost of first x units, evaluated
+    at each sale's cumulative boundaries) must equal a literal
+    one-unit-at-a-time FIFO simulation for any lot/sale sequence."""
+    import numpy as np
+    import pandas as pd
+
+    from fide_crawler_ray.pipelines.relational import q_fifo_lot_matching
+
+    # build the same frame shape the map_groups kernel receives; reach
+    # the kernel through the closure to test it without a Ray session
+    kernel = None
+
+    def _grab(sf_dir=None):
+        nonlocal kernel
+        import fide_crawler_ray.pipelines.relational as R
+
+        src = R.q_fifo_lot_matching.__code__
+        for c in src.co_consts:
+            if hasattr(c, "co_name") and c.co_name == "_fifo":
+                import types
+                kernel = types.FunctionType(
+                    c, {"pd": pd, "np": np}, "_fifo")
+    _grab()
+    assert kernel is not None
+
+    df = pd.DataFrame({
+        "l_partkey": np.zeros(len(rows), dtype=np.int64),
+        "l_orderkey": np.arange(len(rows), dtype=np.int64),
+        "l_linenumber": np.array(
+            [0 if is_lot else 1 for is_lot, _, _ in rows], dtype=np.int64),
+        "qty": np.array([q for _, q, _ in rows], dtype=np.int64),
+        "unit_fp": np.array([u for _, _, u in rows], dtype=np.int64),
+    })
+    got = kernel(df).sort_values("sale_seq").reset_index(drop=True)
+
+    # literal simulation: a queue of (unit_cost) per single unit
+    units = []
+    for is_lot, q, u in rows:
+        if is_lot:
+            units.extend([u] * q)
+    pos = 0
+    exp = []
+    for is_lot, q, u in rows:
+        if is_lot:
+            continue
+        take = min(q, len(units) - pos)
+        cogs = sum(units[pos:pos + take])
+        pos += take
+        exp.append((take, cogs, q - take))
+    assert len(got) == len(exp)
+    for i, (alloc, cogs, unfilled) in enumerate(exp):
+        assert got.loc[i, "alloc_qty"] == alloc
+        assert got.loc[i, "cogs_fp"] == cogs
+        assert got.loc[i, "unfilled_qty"] == unfilled
