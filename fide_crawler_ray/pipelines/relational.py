@@ -9773,6 +9773,9 @@ def queries() -> dict:
         "q5_local_supplier_volume": q_q5_local_supplier_volume,
         "hits_scores": q_hits_scores,
         "fifo_lot_matching": q_fifo_lot_matching,
+        "acf_correlogram": q_acf_correlogram,
+        "rank_overlap_at_k": q_rank_overlap_at_k,
+        "spatial_grid_nn": q_spatial_grid_nn,
     }
 
 
@@ -17702,4 +17705,302 @@ ORACLES["fifo_lot_matching"] = """
     FROM s LEFT JOIN ov ON ov.l_partkey = s.l_partkey
                        AND ov.seq = s.seq
     GROUP BY s.l_partkey, s.seq, s.l_orderkey, s.l_linenumber, s.qty
+"""
+
+
+ACF_MAX_LAG = 7
+
+
+def q_acf_correlogram(sf_dir, max_lag: int = ACF_MAX_LAG):
+    """Multi-lag autocorrelation (the correlogram, lags 1..7) of the
+    daily event-count series — q_lag1_autocorr generalized to the full
+    weekly-seasonality probe (lag-7 spikes reveal day-of-week cycles).
+    Identical exactness policy: with d_t = n·x_t − S (n²-scaled
+    centering, no float), num_k = Σ d_t·d_{t+k} and den = Σ d_t² are
+    association-free integer sums over the calendar-bounded daily
+    series (≤36.5k rows per century at ANY scale — the distributed
+    part is the day-count groupby); one mirrored ×1e9 division per
+    lag at the end."""
+    d = _daily_event_counts(sf_dir).sort_values("day")
+    xs = d["x"].to_numpy().astype(object)
+    n = len(xs)
+    s = int(d["x"].sum())
+    dv = np.array([n * int(x) - s for x in xs], dtype=object)
+    den = int(sum(a * a for a in dv))
+    rows = []
+    for k in range(1, max_lag + 1):
+        num = int(sum(dv[:-k] * dv[k:])) if k < n else 0
+        acf = 1e9 * (num / den)
+        rows.append({
+            "lag": k, "num": num, "den": den,
+            "acf_fp": int(_round_half_away(np.array([acf]))[0])})
+    out = pd.DataFrame(rows)
+    out["lag"] = out["lag"].astype(np.int64)
+    out["num"] = out["num"].astype(np.int64)
+    out["den"] = out["den"].astype(np.int64)
+    return out
+
+
+def _acf_oracle(max_lag: int = ACF_MAX_LAG) -> str:
+    """One lead(·, k) branch per lag over the same centered integer
+    series — bit-identical to the engine per the lag-1 precedent."""
+    branches = []
+    for k in range(1, max_lag + 1):
+        branches.append(f"""
+        SELECT {k} AS lag,
+               CAST(sum(CASE WHEN dn{k} IS NULL THEN 0
+                             ELSE dv * dn{k} END) AS BIGINT) AS num
+        FROM v""")
+    return f"""
+    WITH d AS (
+        SELECT epoch_ns(ts) // 86400000000000 AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY day
+    ),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS s FROM d),
+    v AS (SELECT t.n * d.x - t.s AS dv,
+                 {", ".join(f"lead(t.n * d.x - t.s, {k}) OVER (ORDER BY d.day) AS dn{k}" for k in range(1, max_lag + 1))}
+          FROM d, t),
+    den AS (SELECT CAST(sum(dv * dv) AS BIGINT) AS den FROM v),
+    nums AS ({" UNION ALL ".join(branches)})
+    SELECT nums.lag, nums.num, den.den,
+           CAST(round(1e9 * (CAST(nums.num AS DOUBLE) / den.den))
+                AS BIGINT) AS acf_fp
+    FROM nums, den
+    ORDER BY nums.lag
+"""
+
+
+ORACLES["acf_correlogram"] = _acf_oracle()
+
+
+RANK_OVERLAP_KS = (1, 5, 10, 25, 50)
+
+
+def q_rank_overlap_at_k(sf_dir, ks=RANK_OVERLAP_KS):
+    """Ranking-stability audit: how much of the top-k supplier revenue
+    ranking survives from one year to the next (overlap@k + Jaccard@k
+    for k ∈ {1,5,10,25,50}) — the drift check for any leaderboard- or
+    retrieval-shaped pipeline. Plan: ONE grouped sum per supplier with
+    two conditionally-folded cent columns (year windows resolved
+    map-side, one exchange of |supplier| partials), then each top-k
+    head is extracted by a distributed sort + limit(max k) — only the
+    ≤2·max(k) head rows ever reach the driver. Ties broken by suppkey
+    ascending, mirrored in the oracle's row_number ORDER BY."""
+    lo1 = np.datetime64("1996-01-01").astype("datetime64[ns]").view("int64")
+    lo2 = np.datetime64("1997-01-01").astype("datetime64[ns]").view("int64")
+    hi2 = np.datetime64("1998-01-01").astype("datetime64[ns]").view("int64")
+
+    def _fold(b: pa.Table) -> pa.Table:
+        ship = _ts_ns(b["l_shipdate"])
+        cents = _round_half_away(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False))
+            * 100.0).astype(np.int64)
+        in1 = (ship >= lo1) & (ship < lo2)
+        in2 = (ship >= lo2) & (ship < hi2)
+        keep = in1 | in2
+        return pa.table({
+            "l_suppkey": pc.array_filter(b["l_suppkey"], pa.array(keep)),
+            "rev1": pa.array(np.where(in1, cents, 0)[keep], pa.int64()),
+            "rev2": pa.array(np.where(in2, cents, 0)[keep], pa.int64()),
+        })
+
+    per_sup = fast_groupby_agg(
+        T(sf_dir, "lineitem",
+          ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"])
+        .map_batches(_fold, batch_format="pyarrow"),
+        ["l_suppkey"], {"rev1": ("rev1", "sum"), "rev2": ("rev2", "sum")}
+    ).materialize()
+    kmax = max(ks)
+
+    def _head(col):
+        h = per_sup.sort([col, "l_suppkey"], descending=[True, False]) \
+            .limit(kmax).to_pandas()
+        return h["l_suppkey"].tolist()
+
+    top1, top2 = _head("rev1"), _head("rev2")
+    rows = []
+    for k in ks:
+        a, b = set(top1[:k]), set(top2[:k])
+        ov = len(a & b)
+        uni = len(a | b)
+        rows.append({
+            "k": k, "overlap": ov,
+            "jaccard_fp": int(_round_half_away(
+                np.array([1e9 * ov / uni]))[0]),
+        })
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def _rank_overlap_oracle(ks=RANK_OVERLAP_KS) -> str:
+    branches = " UNION ALL ".join(f"SELECT {k} AS k" for k in ks)
+    return f"""
+    WITH per AS (
+        SELECT l_suppkey,
+               CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                              AND l_shipdate <  TIMESTAMP '1997-01-01'
+                             THEN CAST(round(l_extendedprice
+                                  * (1.0 - l_discount) * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS rev1,
+               CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                              AND l_shipdate <  TIMESTAMP '1998-01-01'
+                             THEN CAST(round(l_extendedprice
+                                  * (1.0 - l_discount) * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS rev2
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey
+    ),
+    r AS (
+        SELECT l_suppkey,
+               row_number() OVER (ORDER BY rev1 DESC, l_suppkey) AS r1,
+               row_number() OVER (ORDER BY rev2 DESC, l_suppkey) AS r2
+        FROM per
+    ),
+    kk AS ({branches})
+    SELECT kk.k,
+           CAST(sum(CASE WHEN r.r1 <= kk.k AND r.r2 <= kk.k
+                         THEN 1 ELSE 0 END) AS BIGINT) AS overlap,
+           CAST(round(1e9 * sum(CASE WHEN r.r1 <= kk.k AND r.r2 <= kk.k
+                                     THEN 1 ELSE 0 END)
+                / sum(CASE WHEN r.r1 <= kk.k OR r.r2 <= kk.k
+                           THEN 1 ELSE 0 END))
+                AS BIGINT) AS jaccard_fp
+    FROM kk, r
+    GROUP BY kk.k
+    ORDER BY kk.k
+"""
+
+
+ORACLES["rank_overlap_at_k"] = _rank_overlap_oracle()
+
+
+GEO_DOMAIN = 100_000          # coordinates live on [0, 1e5)²
+GEO_CELL = 10_000             # 10×10 grid cells
+GEO_PACK = 10_000_000         # pack = d2·PACK + suppkey (d2 ≤ 2e10)
+
+
+def _geo_xy(key: np.ndarray, off_x: int, off_y: int):
+    """Deterministic synthetic coordinates from an integer key — the
+    same multiplicative-hash arithmetic runs in the SQL oracle, all
+    products ≤ ~4e13 so int64-safe on both sides."""
+    x = (key * 2654435761 + off_x) % GEO_DOMAIN
+    y = (key * 97003969 + off_y) % GEO_DOMAIN
+    return x.astype(np.int64), y.astype(np.int64)
+
+
+def q_spatial_grid_nn(sf_dir):
+    """Bounded-radius spatial nearest neighbor — the grid-bucketed
+    spatial join every geo pipeline needs: each customer point finds
+    its closest supplier point among the 3×3 grid-cell neighborhood
+    (exact argmin there; customers whose neighborhood is empty are
+    dropped — bounded-radius semantics, stated, not approximated).
+    Points are deterministic multiplicative hashes of the keys.
+
+    Plan: suppliers flat-map into their 9 neighbor cells (constant 9×
+    expansion of the SMALLER side), ONE hash join on cell id against
+    customers mapped to their exact cell, then a map-side-combined
+    grouped MIN over the packed (d2·1e7 + suppkey) composite — the
+    argmin-with-deterministic-tie in one integer aggregate, no
+    all-pairs anywhere. At any scale the exchange is |supplier|·9 +
+    |customer| rows; skewed cells behave like any hash-join hot key."""
+    ncells = GEO_DOMAIN // GEO_CELL
+
+    def _cust(b: pa.Table) -> pa.Table:
+        k = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x, y = _geo_xy(k, 0, 0)
+        return pa.table({
+            "c_custkey": pa.array(k, pa.int64()),
+            "cell": pa.array((x // GEO_CELL) * ncells + y // GEO_CELL,
+                             pa.int64()),
+            "cx": pa.array(x, pa.int64()),
+            "cy": pa.array(y, pa.int64()),
+        })
+
+    def _sup9(b: pa.Table) -> pa.Table:
+        k = b["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x, y = _geo_xy(k, 12345, 54321)
+        cellx, celly = x // GEO_CELL, y // GEO_CELL
+        ks, xs, ys, cells = [], [], [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                gx, gy = cellx + dx, celly + dy
+                ok = (gx >= 0) & (gx < ncells) & (gy >= 0) & (gy < ncells)
+                ks.append(k[ok]); xs.append(x[ok]); ys.append(y[ok])
+                cells.append(gx[ok] * ncells + gy[ok])
+        return pa.table({
+            "s_suppkey": pa.array(np.concatenate(ks), pa.int64()),
+            "cell": pa.array(np.concatenate(cells), pa.int64()),
+            "sx": pa.array(np.concatenate(xs), pa.int64()),
+            "sy": pa.array(np.concatenate(ys), pa.int64()),
+        })
+
+    cust = T(sf_dir, "customer", ["c_custkey"]).map_batches(
+        _cust, batch_format="pyarrow")
+    sup = T(sf_dir, "supplier", ["s_suppkey"]).map_batches(
+        _sup9, batch_format="pyarrow")
+    j = cust.join(sup, "inner", num_partitions=8, on=("cell",))
+
+    def _pack(b: pa.Table) -> pa.Table:
+        dx = (b["cx"].to_numpy(zero_copy_only=False)
+              - b["sx"].to_numpy(zero_copy_only=False))
+        dy = (b["cy"].to_numpy(zero_copy_only=False)
+              - b["sy"].to_numpy(zero_copy_only=False))
+        d2 = dx * dx + dy * dy
+        return pa.table({
+            "c_custkey": b["c_custkey"],
+            "pack": pa.array(
+                d2 * GEO_PACK
+                + b["s_suppkey"].to_numpy(zero_copy_only=False),
+                pa.int64()),
+        })
+
+    best = fast_groupby_agg(
+        j.map_batches(_pack, batch_format="pyarrow"),
+        ["c_custkey"], {"pack": ("pack", "min")})
+    return best.map_batches(
+        lambda b: pa.table({
+            "c_custkey": b["c_custkey"],
+            "nn_suppkey": pa.array(
+                b["pack"].to_numpy(zero_copy_only=False) % GEO_PACK,
+                pa.int64()),
+            "d2": pa.array(
+                b["pack"].to_numpy(zero_copy_only=False) // GEO_PACK,
+                pa.int64()),
+        }), batch_format="pyarrow")
+
+
+ORACLES["spatial_grid_nn"] = f"""
+    WITH c AS (
+        SELECT c_custkey,
+               (c_custkey * 2654435761) % {GEO_DOMAIN} AS cx,
+               (c_custkey * 97003969) % {GEO_DOMAIN} AS cy
+        FROM customer
+    ),
+    s AS (
+        SELECT s_suppkey,
+               (s_suppkey * 2654435761 + 12345) % {GEO_DOMAIN} AS sx,
+               (s_suppkey * 97003969 + 54321) % {GEO_DOMAIN} AS sy
+        FROM supplier
+    ),
+    cand AS (
+        SELECT c.c_custkey, s.s_suppkey,
+               (c.cx - s.sx) * (c.cx - s.sx)
+               + (c.cy - s.sy) * (c.cy - s.sy) AS d2
+        FROM c JOIN s
+          ON abs(c.cx // {GEO_CELL} - s.sx // {GEO_CELL}) <= 1
+         AND abs(c.cy // {GEO_CELL} - s.sy // {GEO_CELL}) <= 1
+    )
+    SELECT c_custkey,
+           CAST(min(d2 * {GEO_PACK} + s_suppkey) % {GEO_PACK} AS BIGINT)
+               AS nn_suppkey,
+           CAST(min(d2 * {GEO_PACK} + s_suppkey) // {GEO_PACK} AS BIGINT)
+               AS d2
+    FROM cand GROUP BY c_custkey
 """

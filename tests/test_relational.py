@@ -2717,3 +2717,41 @@ def test_hits_tiers_identical_and_sane():
     assert all(idx.loc[v, "hub_fp"] == 0 for v in no_out)
     # and at least SOME mass survives three rounds of floor division
     assert fast["auth_fp"].sum() > HITS_SCALE // 2
+
+
+def test_spatial_grid_nn_matches_bruteforce_within_radius():
+    """The grid-bucketed argmin must equal the full brute-force nearest
+    neighbor for every customer whose true NN lies inside the 3×3 cell
+    neighborhood, and every reported pair must actually BE in that
+    neighborhood with the exact packed-min tiebreak (min suppkey)."""
+    import numpy as np
+
+    from fide_crawler_ray.pipelines.relational import (
+        GEO_CELL, GEO_DOMAIN, T, _geo_xy, q_spatial_grid_nn)
+
+    out = q_spatial_grid_nn(SF).to_pandas().set_index("c_custkey")
+    ck = T(SF, "customer", ["c_custkey"]).to_pandas()[
+        "c_custkey"].to_numpy().astype(np.int64)
+    sk = T(SF, "supplier", ["s_suppkey"]).to_pandas()[
+        "s_suppkey"].to_numpy().astype(np.int64)
+    cx, cy = _geo_xy(ck, 0, 0)
+    sx, sy = _geo_xy(sk, 12345, 54321)
+
+    d2 = ((cx[:, None] - sx[None, :]) ** 2
+          + (cy[:, None] - sy[None, :]) ** 2)
+    near = ((np.abs(cx[:, None] // GEO_CELL - sx[None, :] // GEO_CELL) <= 1)
+            & (np.abs(cy[:, None] // GEO_CELL - sy[None, :] // GEO_CELL)
+               <= 1))
+    for i, c in enumerate(ck):
+        cand = np.where(near[i])[0]
+        if len(cand) == 0:
+            assert c not in out.index
+            continue
+        dmin = d2[i, cand].min()
+        winners = cand[d2[i, cand] == dmin]
+        assert out.loc[c, "d2"] == dmin
+        assert out.loc[c, "nn_suppkey"] == sk[winners].min()
+        # when the GLOBAL argmin is inside the neighborhood the bounded
+        # search is exact, not just locally optimal
+        if d2[i].min() == dmin:
+            assert out.loc[c, "d2"] == d2[i].min()
