@@ -9776,6 +9776,8 @@ def queries() -> dict:
         "acf_correlogram": q_acf_correlogram,
         "rank_overlap_at_k": q_rank_overlap_at_k,
         "spatial_grid_nn": q_spatial_grid_nn,
+        "stream_stream_join": q_stream_stream_join,
+        "mask_plan_audit": q_mask_plan_audit,
     }
 
 
@@ -18003,4 +18005,136 @@ ORACLES["spatial_grid_nn"] = f"""
            CAST(min(d2 * {GEO_PACK} + s_suppkey) // {GEO_PACK} AS BIGINT)
                AS d2
     FROM cand GROUP BY c_custkey
+"""
+
+
+STREAM_JOIN_WINDOW_MS = 30 * 86_400_000  # 30 days
+
+
+def q_stream_stream_join(sf_dir, window_ms: int = STREAM_JOIN_WINDOW_MS):
+    """Stream-stream interval join — the windowed two-stream correlation
+    every event pipeline needs (ad-click ↔ conversion attribution):
+    for EVERY click event, the number of same-user purchase events in
+    the strict window (t, t+Δ] and the timestamp of the first one.
+    Unlike q_time_to_convert (one first-view row per user) this is a
+    per-left-event banded join, the relational stream-stream shape.
+
+    Plan: one hash shuffle (groupby user) then a loop-free per-group
+    kernel — purchases sorted once per user, every click answered by
+    two searchsorted probes (count = hi−lo, first = p[lo] when inside
+    the window). Same per-key-fits-a-worker assumption as sessionize;
+    at scale a hot user is a hot hash key, not a cross join. Oracle:
+    the literal SQL band join, LEFT so zero-purchase clicks survive."""
+    ev = T(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def _typed(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["event_type"],
+                        value_set=pa.array(["click", "purchase"]))
+        t = b.filter(keep)
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "ms": pa.array(_ts_ns(t["ts"]) // 1_000_000, pa.int64()),
+            "is_click": pc.equal(t["event_type"], "click"),
+        })
+
+    def _band(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[df["is_click"]].sort_values(["ms", "event_id"])
+        p = df[~df["is_click"]].sort_values("ms")
+        pms = p["ms"].to_numpy()
+        cms = c["ms"].to_numpy()
+        lo = np.searchsorted(pms, cms, side="right")
+        hi = np.searchsorted(pms, cms + window_ms, side="right")
+        n = (hi - lo).astype(np.int64)
+        first = np.full(len(cms), np.nan)
+        has = n > 0
+        first[has] = pms[lo[has]].astype(np.float64)
+        return pd.DataFrame({
+            "user_id": c["user_id"].to_numpy(),
+            "event_id": c["event_id"].to_numpy(),
+            "click_ms": cms,
+            "n_purch": n,
+            "first_purch_ms": first,
+        })
+
+    return ev.map_batches(_typed, batch_format="pyarrow") \
+        .groupby("user_id").map_groups(_band, batch_format="pandas")
+
+
+ORACLES["stream_stream_join"] = f"""
+    WITH c AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS cms
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT user_id, epoch_ms(ts) AS pms
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.event_id, c.cms AS click_ms,
+           CAST(count(p.pms) AS BIGINT) AS n_purch,
+           CAST(min(p.pms) AS DOUBLE) AS first_purch_ms
+    FROM c LEFT JOIN p
+      ON p.user_id = c.user_id
+     AND p.pms > c.cms AND p.pms <= c.cms + {STREAM_JOIN_WINDOW_MS}
+    GROUP BY c.user_id, c.event_id, c.cms
+"""
+
+
+def q_mask_plan_audit(sf_dir):
+    """Deterministic span-corruption (masking) plan audit — the
+    pretraining-data contract check: token i of doc d is masked iff
+    (131·d + 17·i) ≡ 0 (mod 5), and the audit reports per doc the
+    token count, masked count, and masked ratio. The ENGINE never
+    materializes a single token index: since 17 ≡ 2 (mod 5), the
+    masked positions are exactly i ≡ 3·(−d) (mod 5), so the count is
+    the closed form ⌈(n − r)/5⌉ — one vectorized regex token count
+    (Arrow RE2, same engine DuckDB uses) plus integer arithmetic per
+    row. The ORACLE explodes every token index via
+    unnest(generate_series) and counts literally, so the two sides
+    prove the closed form against the definition on real data."""
+    ds = T(sf_dir, "documents", ["doc_id", "text"])
+
+    def _plan(b: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(b["text"], r"\w+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = ((5 - (131 * d) % 5) % 5 * 3) % 5  # smallest masked index
+        msk = np.where(n > r, (n - r + 4) // 5, 0).astype(np.int64)
+        ratio = np.zeros(len(n), dtype=np.int64)
+        pos = n > 0
+        ratio[pos] = _round_half_away(
+            1e9 * msk[pos] / n[pos]).astype(np.int64)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_tok": pa.array(n, pa.int64()),
+            "n_masked": pa.array(msk, pa.int64()),
+            "mask_ratio_fp": pa.array(ratio, pa.int64()),
+        })
+
+    return ds.map_batches(_plan, batch_format="pyarrow")
+
+
+ORACLES["mask_plan_audit"] = r"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS n
+        FROM documents
+    ),
+    ex AS (
+        SELECT doc_id,
+               unnest(generate_series(0, n - 1)) AS i
+        FROM d
+    ),
+    m AS (
+        SELECT doc_id,
+               sum(CASE WHEN (131 * doc_id + 17 * i) % 5 = 0
+                        THEN 1 ELSE 0 END) AS msk
+        FROM ex GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.n AS n_tok,
+           CAST(COALESCE(m.msk, 0) AS BIGINT) AS n_masked,
+           CAST(CASE WHEN d.n = 0 THEN 0
+                     ELSE round(1e9 * COALESCE(m.msk, 0) / d.n)
+                END AS BIGINT) AS mask_ratio_fp
+    FROM d LEFT JOIN m ON m.doc_id = d.doc_id
 """
