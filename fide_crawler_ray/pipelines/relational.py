@@ -9778,6 +9778,7 @@ def queries() -> dict:
         "spatial_grid_nn": q_spatial_grid_nn,
         "stream_stream_join": q_stream_stream_join,
         "mask_plan_audit": q_mask_plan_audit,
+        "two_hop_neighbors": q_two_hop_neighbors,
     }
 
 
@@ -18137,4 +18138,111 @@ ORACLES["mask_plan_audit"] = r"""
                      ELSE round(1e9 * COALESCE(m.msk, 0) / d.n)
                 END AS BIGINT) AS mask_ratio_fp
     FROM d LEFT JOIN m ON m.doc_id = d.doc_id
+"""
+
+
+def q_two_hop_neighbors(sf_dir):
+    """Friends-of-friends: per node of the derived order graph
+    (undirected view), the distinct 1-hop neighbor count and the
+    distinct STRICTLY-2-hop count (reachable in two steps, excluding
+    the node itself and its direct neighbors) — the reach/expansion
+    metric for influence and recommendation pipelines, and the one
+    neighborhood statistic triangles/wedges don't give.
+
+    Plan: symmetrize+distinct the edge list (one map-side-combined
+    groupby), then 2-hop candidates come from ONE hash self-join on
+    the middle node followed by distinct, and the strictness is a
+    hash-partitioned left_anti join against the direct edges — joins,
+    distincts and anti-joins end to end; nothing driver-sized. The
+    wedge-shaped intermediate is Σ deg(u)² rows pre-distinct; a hub
+    node is a hot hash key, the same skew profile (and remedy:
+    salting) as the triangle counter's join tier."""
+    from ray.data.aggregate import Count, Max, Min
+
+    cust = T(sf_dir, "customer", ["c_custkey"])
+    dom = cust.aggregate(Min("c_custkey"), Max("c_custkey"), Count())
+    n = dom["count()"]
+    edges = _pagerank_edges(sf_dir, n)
+
+    def _sym(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        a = np.concatenate([s, d])
+        bb = np.concatenate([d, s])
+        keep = a != bb
+        return pa.table({"a": pa.array(a[keep], pa.int64()),
+                         "b": pa.array(bb[keep], pa.int64())})
+
+    und = fast_groupby_agg(
+        edges.map_batches(_sym, batch_format="pyarrow"),
+        ["a", "b"], {"__n": (None, "count")}) \
+        .drop_columns(["__n"]).materialize()
+
+    n1 = fast_groupby_agg(und, ["a"], {"n1": (None, "count")})
+
+    # rename the probe side so the self-join emits distinct names
+    rhs = und.map_batches(
+        lambda b: pa.table({"m": b["a"], "w": b["b"]}),
+        batch_format="pyarrow")
+    hop2 = und.join(rhs, "inner", num_partitions=8,
+                    on=("b",), right_on=("m",))
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        t = pa.table({"a": b["a"], "w": b["w"]})
+        return t.filter(pc.invert(pc.equal(t["a"], t["w"])))
+
+    p2 = fast_groupby_agg(
+        hop2.map_batches(_pairs, batch_format="pyarrow"),
+        ["a", "w"], {"__n": (None, "count")}).drop_columns(["__n"])
+    strict = p2.join(und, "left_anti", num_partitions=8,
+                     on=("a", "w"), right_on=("a", "b"))
+    n2 = fast_groupby_agg(strict, ["a"], {"n2": (None, "count")})
+
+    nodes = cust.map_batches(
+        lambda b: pa.table({"node": b["c_custkey"]}),
+        batch_format="pyarrow")
+    out = nodes.join(n1, "left_outer", num_partitions=8,
+                     on=("node",), right_on=("a",))
+    out = out.join(n2, "left_outer", num_partitions=8,
+                   on=("node",), right_on=("a",))
+    return out.map_batches(
+        lambda b: pa.table({
+            "node": b["node"],
+            "n1": pc.fill_null(pc.cast(b["n1"], pa.int64()), 0),
+            "n2": pc.fill_null(pc.cast(b["n2"], pa.int64()), 0),
+        }), batch_format="pyarrow")
+
+
+ORACLES["two_hop_neighbors"] = """
+    WITH nn AS (SELECT count(*) AS c FROM customer),
+    e AS (
+        SELECT o_custkey AS src,
+               o_orderkey % (SELECT c FROM nn) AS dst
+        FROM orders
+    ),
+    und AS (
+        SELECT DISTINCT a, b FROM (
+            SELECT src AS a, dst AS b FROM e
+            UNION ALL
+            SELECT dst AS a, src AS b FROM e
+        ) WHERE a <> b
+    ),
+    n1 AS (SELECT a, count(*) AS c FROM und GROUP BY a),
+    p2 AS (
+        SELECT DISTINCT u1.a AS a, u2.b AS w
+        FROM und u1 JOIN und u2 ON u2.a = u1.b
+        WHERE u2.b <> u1.a
+    ),
+    n2 AS (
+        SELECT p2.a, count(*) AS c
+        FROM p2 LEFT JOIN und ON und.a = p2.a AND und.b = p2.w
+        WHERE und.a IS NULL
+        GROUP BY p2.a
+    )
+    SELECT c_custkey AS node,
+           CAST(COALESCE(n1.c, 0) AS BIGINT) AS n1,
+           CAST(COALESCE(n2.c, 0) AS BIGINT) AS n2
+    FROM customer
+    LEFT JOIN n1 ON n1.a = c_custkey
+    LEFT JOIN n2 ON n2.a = c_custkey
 """
