@@ -47,6 +47,7 @@ import ray.data as rd
 from .. import synth
 from ..sources import store
 from ..stages import dedup as DD
+from ..stages.fastagg import live_arrow
 from ..stages import normalize as NZ
 from ..stages import parse as P
 from ..stages import urls as U
@@ -232,7 +233,7 @@ def _dedup_urls_task(*tables: pa.Table) -> pa.Table:
     url wins. Exact same survivors as dedup_dataset(key=url,
     order=priority) — priorities are unique (pack_priority is
     range-guarded), so there are no order ties."""
-    live = [t for t in tables if t.num_rows > 0]
+    live = live_arrow(tables)
     if not live:
         return tables[0] if tables else pa.table({})
     t = pa.concat_tables(live)

@@ -29,7 +29,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-from ..stages.fastagg import fast_groupby_agg
+from ..stages.fastagg import fast_groupby_agg, live_arrow
 from .queries import T, _canon_stage
 
 # ============================================================== joins
@@ -761,7 +761,7 @@ def _pagerank_edges(sf_dir, n_nodes: int):
 def _pagerank_task(n: int, iters: int, *tables: pa.Table) -> pa.Table:
     """Single-task PageRank iteration over the collected edge list —
     the small-graph tier (guard: PAGERANK_MAX_SINGLE_EDGES)."""
-    live = [t for t in tables if t.num_rows > 0]
+    live = live_arrow(tables)
     t = pa.concat_tables(live)
     src = t["src"].to_numpy(zero_copy_only=False)
     dst = t["dst"].to_numpy(zero_copy_only=False)
@@ -2360,7 +2360,7 @@ def _prefix_pairs_task(max_pairs: int, thr_num: int, thr_den: int,
     the quantity that costs compute — the caller falls back to the
     distributed join tier above it. On a boilerplate corpus the
     filtered-out collisions are the bulk of the naive candidate set."""
-    live = [t for t in tables if t.num_rows > 0]
+    live = live_arrow(tables)
     if not live:
         return pa.table({"a": pa.array([], pa.int64()),
                          "b": pa.array([], pa.int64())})
@@ -3891,7 +3891,7 @@ def _bfs_task(n: int, max_hops: int, *tables: pa.Table) -> pa.Table:
     guard: BFS_MAX_SINGLE_EDGES): edges sorted by src once, each hop's
     neighbor gather is a searchsorted slice — work per hop is edges
     touched, not edges total."""
-    live = [t for t in tables if t.num_rows > 0]
+    live = live_arrow(tables)
     t = pa.concat_tables(live)
     order = np.argsort(t["src"].to_numpy(zero_copy_only=False),
                        kind="stable")
@@ -5380,7 +5380,7 @@ def _kcore_task(k: int, *tables: pa.Table) -> pa.Table:
     (guard: KCORE_MAX_SINGLE_EDGES): repeatedly drop nodes with
     within-subgraph degree < k until fixpoint — O(rounds · |E|)
     vectorized bincounts."""
-    live_t = [t for t in tables if t.num_rows > 0]
+    live_t = live_arrow(tables)
     t = pa.concat_tables(live_t)
     u = t["u"].to_numpy(zero_copy_only=False)
     v = t["v"].to_numpy(zero_copy_only=False)
@@ -6769,7 +6769,7 @@ def _lcr_task(n: int, max_hops: int, *tables: pa.Table) -> pa.Table:
     """Single-task label-constrained BFS over the PRODUCT graph
     (node × DFA state) — small-graph tier. Same searchsorted slicing
     as _bfs_task, with the automaton step fused into the gather."""
-    live = [t for t in tables if t.num_rows > 0]
+    live = live_arrow(tables)
     t = pa.concat_tables(live)
     order = np.argsort(t["src"].to_numpy(zero_copy_only=False),
                        kind="stable")
@@ -7215,7 +7215,7 @@ SSSP_MAX_SINGLE_EDGES = 5_000_000
 def _sssp_task(n: int, rounds: int, *tables: pa.Table) -> pa.Table:
     """Single-task Bellman-Ford over the collected weighted edge list
     (small-graph tier). Integer weights → exact distances."""
-    live = [t for t in tables if t.num_rows > 0]
+    live = live_arrow(tables)
     t = pa.concat_tables(live)
     src = t["src"].to_numpy(zero_copy_only=False)
     dst = t["dst"].to_numpy(zero_copy_only=False)
@@ -9779,6 +9779,7 @@ def queries() -> dict:
         "stream_stream_join": q_stream_stream_join,
         "mask_plan_audit": q_mask_plan_audit,
         "two_hop_neighbors": q_two_hop_neighbors,
+        "link_prediction": q_link_prediction,
     }
 
 
@@ -17430,7 +17431,7 @@ HITS_MAX_SINGLE_EDGES = 5_000_000
 def _hits_task(n: int, iters: int, *tables: pa.Table) -> pa.Table:
     """Single-task HITS over the collected edge list — the small-graph
     tier (guard: HITS_MAX_SINGLE_EDGES)."""
-    live = [t for t in tables if t.num_rows > 0]
+    live = live_arrow(tables)
     t = pa.concat_tables(live)
     src = t["src"].to_numpy(zero_copy_only=False)
     dst = t["dst"].to_numpy(zero_copy_only=False)
@@ -18245,4 +18246,147 @@ ORACLES["two_hop_neighbors"] = """
     FROM customer
     LEFT JOIN n1 ON n1.a = c_custkey
     LEFT JOIN n2 ON n2.a = c_custkey
+"""
+
+
+def q_link_prediction(sf_dir, k: int = 100):
+    """Link prediction scores over the derived order graph: for every
+    NON-adjacent 2-hop pair (u < v), common-neighbor count, the
+    resource-allocation index Σ_{w∈N(u)∩N(v)} 1/deg(w) (Zhou et al.'s
+    RA — Adamic–Adar with 1/deg instead of 1/ln deg, chosen so the
+    score is EXACT integer floor-division fixed point, no libm), and
+    neighborhood Jaccard — the candidate-generation stage of a
+    friend/item recommender. Top-k by RA under a total ordering.
+
+    Plan: symmetrize+distinct edges, degree via one map-side-combined
+    groupby, enrich each edge with its MIDDLE node's 1/deg share once
+    (edge-scale join), then wedges from ONE hash self-join on the
+    middle (u < v dedup inside the batch kernel), partial-agg to
+    (u, v, cn, ra_fp), anti-join out already-adjacent pairs, two
+    candidate-scale degree joins for Jaccard, and a distributed
+    sort+limit on the tiny scored set. Hub middles are hot hash keys
+    (Σ deg² wedge rows) — same skew profile and salting remedy as the
+    triangle counter's join tier."""
+    from ray.data.aggregate import Count, Max, Min
+
+    cust = T(sf_dir, "customer", ["c_custkey"])
+    dom = cust.aggregate(Min("c_custkey"), Max("c_custkey"), Count())
+    n = dom["count()"]
+    edges = _pagerank_edges(sf_dir, n)
+
+    def _sym(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        a = np.concatenate([s, d])
+        bb = np.concatenate([d, s])
+        keep = a != bb
+        return pa.table({"a": pa.array(a[keep], pa.int64()),
+                         "b": pa.array(bb[keep], pa.int64())})
+
+    und = fast_groupby_agg(
+        edges.map_batches(_sym, batch_format="pyarrow"),
+        ["a", "b"], {"__n": (None, "count")}) \
+        .drop_columns(["__n"]).materialize()
+
+    deg = fast_groupby_agg(und, ["a"], {"d": (None, "count")})
+
+    # edge (m → u) carrying floor(1e9 / deg(m)): the middle node's RA share
+    share = und.join(
+        deg.map_batches(lambda b: b.rename_columns(["m", "d"]),
+                        batch_format="pyarrow"),
+        "inner", num_partitions=8, on=("a",), right_on=("m",)) \
+        .map_batches(
+            lambda b: pa.table({
+                "m": b["a"], "u": b["b"],
+                "ra": pa.array(
+                    1_000_000_000
+                    // b["d"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    pa.int64()),
+            }), batch_format="pyarrow").materialize()
+
+    rhs = share.map_batches(
+        lambda b: pa.table({"m2": b["m"], "v": b["u"]}),
+        batch_format="pyarrow")
+    wedge = share.join(rhs, "inner", num_partitions=8,
+                       on=("m",), right_on=("m2",))
+
+    def _ordered(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        keep = u < v
+        return pa.table({
+            "u": pa.array(u[keep], pa.int64()),
+            "v": pa.array(v[keep], pa.int64()),
+            "ra": b["ra"].filter(pa.array(keep)),
+        })
+
+    cand = fast_groupby_agg(
+        wedge.map_batches(_ordered, batch_format="pyarrow"),
+        ["u", "v"], {"cn": (None, "count"), "ra_fp": ("ra", "sum")})
+    nonadj = cand.join(und, "left_anti", num_partitions=8,
+                       on=("u", "v"), right_on=("a", "b"))
+
+    du = deg.map_batches(lambda b: b.rename_columns(["ku", "du"]),
+                         batch_format="pyarrow")
+    dv = deg.map_batches(lambda b: b.rename_columns(["kv", "dv"]),
+                         batch_format="pyarrow")
+    scored = nonadj.join(du, "inner", num_partitions=8,
+                         on=("u",), right_on=("ku",)) \
+        .join(dv, "inner", num_partitions=8, on=("v",), right_on=("kv",))
+
+    def _jac(b: pa.Table) -> pa.Table:
+        cn = b["cn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        duv = (b["du"].to_numpy(zero_copy_only=False).astype(np.int64)
+               + b["dv"].to_numpy(zero_copy_only=False).astype(np.int64)
+               - cn)
+        return pa.table({
+            "u": b["u"], "v": b["v"],
+            "cn": pa.array(cn, pa.int64()),
+            "ra_fp": pc.cast(b["ra_fp"], pa.int64()),
+            "jaccard_fp": pa.array((1_000_000_000 * cn) // duv, pa.int64()),
+        })
+
+    return scored.map_batches(_jac, batch_format="pyarrow") \
+        .sort(["ra_fp", "cn", "u", "v"],
+              descending=[True, True, False, False]).limit(k)
+
+
+ORACLES["link_prediction"] = """
+    WITH nn AS (SELECT count(*) AS c FROM customer),
+    e AS (
+        SELECT o_custkey AS src,
+               o_orderkey % (SELECT c FROM nn) AS dst
+        FROM orders
+    ),
+    und AS (
+        SELECT DISTINCT a, b FROM (
+            SELECT src AS a, dst AS b FROM e
+            UNION ALL
+            SELECT dst AS a, src AS b FROM e
+        ) WHERE a <> b
+    ),
+    deg AS (SELECT a, count(*) AS d FROM und GROUP BY a),
+    wedge AS (
+        SELECT u1.b AS u, u2.b AS v, u1.a AS m
+        FROM und u1 JOIN und u2 ON u2.a = u1.a AND u1.b < u2.b
+    ),
+    cand AS (
+        SELECT u, v, CAST(count(*) AS BIGINT) AS cn,
+               CAST(sum(1000000000 // d.d) AS BIGINT) AS ra_fp
+        FROM wedge JOIN deg d ON d.a = wedge.m
+        GROUP BY u, v
+    ),
+    nonadj AS (
+        SELECT c.* FROM cand c
+        LEFT JOIN und ON und.a = c.u AND und.b = c.v
+        WHERE und.a IS NULL
+    )
+    SELECT u, v, cn, ra_fp,
+           CAST((1000000000 * cn) // (du.d + dv.d - cn) AS BIGINT)
+               AS jaccard_fp
+    FROM nonadj
+    JOIN deg du ON du.a = u
+    JOIN deg dv ON dv.a = v
+    ORDER BY ra_fp DESC, cn DESC, u, v
+    LIMIT 100
 """

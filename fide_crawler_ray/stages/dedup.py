@@ -39,6 +39,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
+from .fastagg import live_arrow
+
 from ..schema import DEDUP_KEY
 
 # exactly 16 chars each AND distinct — the r2-interim 17-byte literals
@@ -144,7 +146,7 @@ def _merge_partials(tables) -> pa.Table:
     table. Sound ONLY when `tables` together hold EVERY partial row of
     every key they mention (the whole frontier, or one complete hash
     partition of it) — the c>=2 prune needs global counts."""
-    tables = [t for t in tables if t.num_rows > 0]  # empties are 0-column
+    tables = live_arrow(tables)  # empties are 0-column
     n = sum(t.num_rows for t in tables)
     a = np.empty(n, dtype=np.uint64)
     b = np.empty(n, dtype=np.uint64)
@@ -257,7 +259,7 @@ def _tied_reps_task(key_cols, *tables: pa.Table) -> pa.Table:
     key signature keeps, per key, the candidate appearing earliest in
     block order — deterministic because the candidate dataset is
     materialized before its refs are passed here."""
-    tabs = [t for t in tables if t.num_rows]
+    tabs = live_arrow(tables)
     if not tabs:
         return tables[0]
     t = pa.concat_tables(tabs)

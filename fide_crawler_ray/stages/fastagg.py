@@ -40,6 +40,28 @@ import pyarrow as pa
 DEFAULT_MAX_COMBINE_ROWS = 4_000_000
 
 
+def live_arrow(tables) -> list[pa.Table]:
+    """Coerce block refs to non-empty Arrow tables.
+
+    Blocks arriving via ``to_arrow_refs`` are normally Arrow, but Ray's
+    map operators pass ZERO-ROW input blocks through without running the
+    UDF, so a pandas empty block minted upstream — e.g. an empty
+    ``map_groups`` sort partition, which materializes as a zero-column
+    ``pd.DataFrame()`` — can reach a combine task untouched and crash
+    ``t.num_rows``. Empties carry no aggregate state, so dropping them
+    (after coercing any stray pandas survivors) is exact."""
+    out = []
+    for t in tables:
+        if isinstance(t, pd.DataFrame):
+            if len(t) == 0:
+                continue
+            t = pa.Table.from_pandas(t, preserve_index=False) \
+                .replace_schema_metadata(None)
+        if t.num_rows > 0 and t.num_columns > 0:
+            out.append(t)
+    return out
+
+
 def _dummy_row(schema: pa.Schema) -> pa.Table:
     """One type-appropriate default row for `schema` — used to run the
     pandas partial path on EMPTY batches without dtype degradation
@@ -139,7 +161,7 @@ def _lazy_final_combine_task():
     def _t(keys, aggs, *tables: pa.Table) -> pa.Table:
         # drop empty blocks: Ray's map_batches never calls the partial fn
         # on them, so they arrive zero-column and would fail the concat
-        live = [t for t in tables if t.num_rows > 0]
+        live = live_arrow(tables)
         if not live:
             return pa.table({})
         return _final_combine(pa.concat_tables(live), keys, aggs)
@@ -274,7 +296,7 @@ def _lazy_topk_combine_task():
 
     @ray.remote
     def _t(keys, order_by, ascending, k, *tables: pa.Table) -> pa.Table:
-        live = [t for t in tables if t.num_rows > 0]
+        live = live_arrow(tables)
         if not live:
             return pa.table({})
         return _topk_combine(pa.concat_tables(live), keys, order_by,
@@ -302,7 +324,7 @@ def _lazy_fl_combine_task():
 
     @ray.remote
     def _t(keys, value_col, order_cols, *tables: pa.Table) -> pa.Table:
-        live = [t for t in tables if t.num_rows > 0]  # see _final task note
+        live = live_arrow(tables)  # see _final task note
         if not live:
             return pa.table({})
         return _fl_combine(pa.concat_tables(live), keys, value_col, order_cols)
