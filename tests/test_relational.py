@@ -2755,3 +2755,59 @@ def test_spatial_grid_nn_matches_bruteforce_within_radius():
         # search is exact, not just locally optimal
         if d2[i].min() == dmin:
             assert out.loc[c, "d2"] == d2[i].min()
+
+
+def _brute_und_graph():
+    """Undirected distinct edge set of the derived order graph at SF."""
+    import pyarrow.parquet as pq
+
+    n = pq.read_table(f"{SF}/customer.parquet", columns=["c_custkey"]).num_rows
+    o = pq.read_table(f"{SF}/orders.parquet",
+                      columns=["o_orderkey", "o_custkey"]).to_pandas()
+    adj: dict = {}
+    for s, d in zip(o["o_custkey"], o["o_orderkey"] % n):
+        s, d = int(s), int(d)
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    return n, adj
+
+
+def test_two_hop_neighbors_bruteforce():
+    from fide_crawler_ray.pipelines.relational import q_two_hop_neighbors
+
+    n, adj = _brute_und_graph()
+    got = q_two_hop_neighbors(SF).to_pandas().set_index("node")
+    assert len(got) == n
+    for node in list(adj)[:200]:
+        nbrs = adj[node]
+        hop2 = set().union(*(adj[w] for w in nbrs)) - nbrs - {node}
+        assert got.loc[node, "n1"] == len(nbrs)
+        assert got.loc[node, "n2"] == len(hop2)
+
+
+def test_link_prediction_bruteforce():
+    """Engine top-k vs an exhaustive python scorer under the same total
+    ordering (ra_fp desc, cn desc, u, v)."""
+    from fide_crawler_ray.pipelines.relational import q_link_prediction
+
+    _, adj = _brute_und_graph()
+    scores = {}
+    for u, nbrs in adj.items():
+        for w in nbrs:
+            for v in adj[w]:
+                if v <= u or v in nbrs:
+                    continue
+                cn, ra = scores.get((u, v), (0, 0))
+                scores[(u, v)] = (cn + 1, ra + 1_000_000_000 // len(adj[w]))
+    rows = sorted(
+        ((ra, cn, u, v) for (u, v), (cn, ra) in scores.items()),
+        key=lambda r: (-r[0], -r[1], r[2], r[3]))[:50]
+    got = q_link_prediction(SF, k=50).to_pandas()
+    assert len(got) == 50
+    for i, (ra, cn, u, v) in enumerate(rows):
+        assert (got.loc[i, "u"], got.loc[i, "v"]) == (u, v)
+        assert got.loc[i, "ra_fp"] == ra and got.loc[i, "cn"] == cn
+        duv = len(adj[u]) + len(adj[v]) - cn
+        assert got.loc[i, "jaccard_fp"] == (1_000_000_000 * cn) // duv
