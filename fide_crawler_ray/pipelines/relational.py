@@ -9780,6 +9780,8 @@ def queries() -> dict:
         "mask_plan_audit": q_mask_plan_audit,
         "two_hop_neighbors": q_two_hop_neighbors,
         "link_prediction": q_link_prediction,
+        "bot_regularity": q_bot_regularity,
+        "conformal_quantile": q_conformal_quantile,
     }
 
 
@@ -18389,4 +18391,227 @@ ORACLES["link_prediction"] = """
     JOIN deg dv ON dv.a = v
     ORDER BY ra_fp DESC, cn DESC, u, v
     LIMIT 100
+"""
+
+
+def q_bot_regularity(sf_dir, min_gaps: int = 5):
+    """Bot / automation detector over the event stream — the abuse
+    heuristic every crawl and analytics pipeline runs: per user, the
+    squared coefficient of variation of CONSECUTIVE inter-event gaps
+    (clock-regular agents have near-zero CV; humans are bursty). Gaps
+    are clipped whole seconds (≤ 10⁶ s — longer absences count as one
+    cap, stated semantics), so the per-user partials (n, Σd, Σd²) are
+    exact integers; ``is_bot`` is decided ENTIRELY in integers —
+    4·(n·Σd² − (Σd)²) < (Σd)², i.e. cv² < ¼, evaluated in arbitrary
+    precision (python ints / HUGEINT) — and cv² itself is the module's
+    mirrored float tree, canonicalized to 4 decimals.
+
+    Plan: the attribution discipline — one splitmix64(user) % P
+    shuffle, then a fully VECTORIZED per-partition pandas kernel (sort
+    by user/ts/id, np.diff, boundary mask — no per-user Python); a
+    user's rows land in exactly one partition so no boundary stitch is
+    needed. The exchange is the raw event rows once; output is
+    user-cardinality-sized."""
+    from ..functions.sketches import _splitmix64
+
+    P = 64
+    ev = T(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def _part(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b["user_id"],
+            "event_id": b["event_id"],
+            "ns": pa.array(_ts_ns(b["ts"]), pa.int64()),
+            "part": pa.array((_splitmix64(u) % np.uint64(P))
+                             .astype(np.int64)),
+        })
+
+    def _cv(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ns", "event_id"],
+                          kind="mergesort")
+        u = g["user_id"].to_numpy()
+        ns = g["ns"].to_numpy(np.int64)
+        if len(g) < 2:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype=u.dtype),
+                "n_gaps": pd.Series([], dtype=np.int64),
+                "s_sec": pd.Series([], dtype=np.int64),
+                "s2_sec": pd.Series([], dtype=np.int64),
+                "is_bot": pd.Series([], dtype=np.int64),
+                "cv2": pd.Series([], dtype=np.float64)})
+        same = u[1:] == u[:-1]
+        d = np.minimum(np.diff(ns) // 1_000_000_000, 1_000_000)[same]
+        d2 = d * d
+        df = pd.DataFrame({"user_id": u[1:][same], "d": d, "d2": d2})
+        a = df.groupby("user_id", sort=False).agg(
+            n_gaps=("d", "size"), s_sec=("d", "sum"), s2_sec=("d2", "sum"))
+        a = a[a["n_gaps"] >= min_gaps].reset_index()
+        # exact integer bot rule in arbitrary precision (no int64 limit)
+        n_o = a["n_gaps"].astype(object)
+        s_o = a["s_sec"].astype(object)
+        s2_o = a["s2_sec"].astype(object)
+        a["is_bot"] = ((4 * (n_o * s2_o - s_o * s_o) < s_o * s_o)
+                       .astype(np.int64))
+        n = a["n_gaps"].to_numpy(np.float64)
+        s = a["s_sec"].to_numpy(np.float64)
+        s2 = a["s2_sec"].to_numpy(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cv2 = np.where(s > 0, (s2 * n - s * s) / (s * s), 0.0)
+        a["cv2"] = cv2
+        for c in ("n_gaps", "s_sec", "s2_sec"):
+            a[c] = a[c].astype(np.int64)
+        return a[["user_id", "n_gaps", "s_sec", "s2_sec",
+                  "is_bot", "cv2"]]
+
+    out = ev.map_batches(_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(_cv, batch_format="pandas")
+    return out.map_batches(_canon_stage({"cv2": 4}),
+                           batch_format="pyarrow")
+
+
+ORACLES["bot_regularity"] = """
+    WITH s AS (
+        SELECT user_id, epoch_us(ts) AS tu, event_id FROM events
+    ),
+    dr AS (
+        SELECT user_id,
+               (tu - lag(tu) OVER (PARTITION BY user_id
+                                   ORDER BY tu, event_id))
+               // 1000000 AS r
+        FROM s
+    ),
+    d AS (
+        -- NOT least(r, cap): DuckDB's least() IGNORES nulls, which
+        -- would turn every user's first row into a spurious cap gap
+        SELECT user_id,
+               CASE WHEN r > 1000000 THEN 1000000 ELSE r END AS d
+        FROM dr
+    ),
+    g AS (
+        SELECT user_id, count(d) AS n, sum(d) AS sd, sum(d * d) AS s2
+        FROM d WHERE d IS NOT NULL GROUP BY user_id
+        HAVING count(d) >= 5
+    )
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n_gaps,
+           CAST(sd AS BIGINT) AS s_sec,
+           CAST(s2 AS BIGINT) AS s2_sec,
+           CAST(CASE WHEN 4 * (n * s2 - sd * sd) < sd * sd
+                THEN 1 ELSE 0 END AS BIGINT) AS is_bot,
+           CASE WHEN sd > 0
+                THEN round((s2 * 1.0 * n - (sd * 1.0) * (sd * 1.0))
+                           / ((sd * 1.0) * (sd * 1.0)) * 10000.0)
+                     / 10000.0
+                ELSE 0.0 END AS cv2
+    FROM g
+"""
+
+
+def q_conformal_quantile(sf_dir, alpha_pct: int = 10):
+    """Split-conformal calibration — the distribution-free uncertainty
+    primitive modern eval pipelines attach to any scorer: over the
+    batch-inference logit (roc_auc's scorer, bucketized s // 10⁶ on
+    both sides), nonconformity α = (1 − 2y)·b (high score conforms
+    for positives), calibration split vec_id % 5 == 0, and q̂ = the
+    ⌈(1−α)(n+1)⌉-th smallest calibration score (clamped to n) — then
+    the realized coverage of {α ≤ q̂} on the held-out rest. All
+    integers end to end; the order statistic is an exact cumulative
+    walk over the BOUNDED score-bucket histogram (grouped_median's
+    discipline — the exchange is a (split, bucket) value-count fold,
+    never a sort).
+
+    Plan: one actor-pool scoring pass (weights built once per actor) →
+    map-side-combined (cal, alpha) histogram → a driver walk over the
+    bucket-domain-sized table."""
+    ds = T(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    class _Alpha:
+        def __init__(self):
+            self.w1: np.ndarray | None = None
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            from ..functions import ann as ANN
+
+            m = ANN._to_matrix(b["embedding"]).astype(np.float64)
+            if self.w1 is None:
+                j = np.arange(m.shape[1])
+                self.w1 = ((j * 31 + 17) % 7 - 3).astype(np.int64)
+            efp = _round_half_away(m * 1e6).astype(np.int64)
+            s = efp @ self.w1
+            bkt = s // 1_000_000  # numpy floor division, mirrored in SQL
+            y = (b["label"].to_numpy(zero_copy_only=False)
+                 .astype(np.int64) % 2)
+            vid = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "cal": pa.array((vid % 5 == 0).astype(np.int64)),
+                "alpha": pa.array((1 - 2 * y) * bkt, pa.int64()),
+            })
+
+    hist = fast_groupby_agg(
+        ds.map_batches(_Alpha, batch_format="pyarrow",
+                       batch_size=4096, concurrency=(1, 4)),
+        ["cal", "alpha"], {"c": (None, "count")}).to_pandas()
+    hist = hist.sort_values("alpha")
+    ch = hist[hist["cal"] == 1]
+    th = hist[hist["cal"] == 0]
+    n_cal = int(ch["c"].sum())
+    k = min((9 * (n_cal + 1) + 9) // 10, n_cal) \
+        if alpha_pct == 10 else min(
+            (((100 - alpha_pct) * (n_cal + 1)) + (100 - 1)) // 100, n_cal)
+    cum = ch["c"].cumsum().to_numpy(np.int64)
+    qhat = int(ch["alpha"].to_numpy(np.int64)[np.searchsorted(cum, k)])
+    n_test = int(th["c"].sum())
+    n_cov = int(th.loc[th["alpha"] <= qhat, "c"].sum())
+    return pd.DataFrame([{
+        "n_cal": np.int64(n_cal), "k": np.int64(k),
+        "qhat": np.int64(qhat), "n_test": np.int64(n_test),
+        "n_covered": np.int64(n_cov),
+        "cov_fp": np.int64(1_000_000 * n_cov // n_test),
+    }])
+
+
+ORACLES["conformal_quantile"] = """
+    WITH e AS (
+        SELECT vec_id, gs - 1 AS j,
+               CAST(round(CAST(embedding[gs] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS efp
+        FROM embeddings,
+             unnest(generate_series(1, len(embedding))) AS t(gs)
+    ),
+    l1 AS (
+        SELECT vec_id,
+               CAST(sum(efp * (((j * 31 + 17) % 7) - 3)) AS BIGINT) AS s
+        FROM e GROUP BY vec_id
+    ),
+    q AS (
+        SELECT l1.vec_id,
+               s // 1000000 - CASE WHEN s % 1000000 <> 0 AND s < 0
+                                   THEN 1 ELSE 0 END AS b,
+               CAST(emb.label % 2 AS BIGINT) AS y,
+               CASE WHEN l1.vec_id % 5 = 0 THEN 1 ELSE 0 END AS cal
+        FROM l1 JOIN embeddings emb ON emb.vec_id = l1.vec_id
+    ),
+    a AS (SELECT vec_id, cal, (1 - 2 * y) * b AS alpha FROM q),
+    kk AS (
+        SELECT count(*) AS n_cal,
+               least((9 * (count(*) + 1) + 9) // 10, count(*)) AS k
+        FROM a WHERE cal = 1
+    ),
+    h AS (SELECT alpha, count(*) AS c FROM a WHERE cal = 1
+          GROUP BY alpha),
+    w AS (SELECT alpha, sum(c) OVER (ORDER BY alpha) AS cum FROM h),
+    qh AS (SELECT min(alpha) AS qhat FROM w, kk WHERE cum >= kk.k),
+    cov AS (
+        SELECT count(*) AS n_test,
+               sum(CASE WHEN alpha <= qh.qhat THEN 1 ELSE 0 END) AS n_cov
+        FROM a, qh WHERE cal = 0
+    )
+    SELECT CAST(kk.n_cal AS BIGINT) AS n_cal,
+           CAST(kk.k AS BIGINT) AS k,
+           CAST(qh.qhat AS BIGINT) AS qhat,
+           CAST(cov.n_test AS BIGINT) AS n_test,
+           CAST(cov.n_cov AS BIGINT) AS n_covered,
+           CAST(1000000 * cov.n_cov // cov.n_test AS BIGINT) AS cov_fp
+    FROM kk, qh, cov
 """
