@@ -9782,6 +9782,7 @@ def queries() -> dict:
         "link_prediction": q_link_prediction,
         "bot_regularity": q_bot_regularity,
         "conformal_quantile": q_conformal_quantile,
+        "novelty_rate": q_novelty_rate,
     }
 
 
@@ -18614,4 +18615,79 @@ ORACLES["conformal_quantile"] = """
            CAST(cov.n_cov AS BIGINT) AS n_covered,
            CAST(1000000 * cov.n_cov // cov.n_test AS BIGINT) AS cov_fp
     FROM kk, qh, cov
+"""
+
+
+def q_novelty_rate(sf_dir, n_epochs: int = 8):
+    """Corpus novelty curve — the freshness metric a continuously-
+    ingested training corpus is monitored by: split the corpus into
+    ingestion epochs (doc_id order, equal-width id bands), and per
+    epoch report how many docs carry a content fingerprint NEVER seen
+    in any earlier epoch (md5 of the text — the exact-dedup key), as
+    a share of the epoch's docs. A collapsing novelty share is the
+    signal to stop re-crawling a source.
+
+    Plan: one scan emits (fp, epoch); one map-side-combined groupby
+    takes min(epoch) per fingerprint (fingerprint-domain exchange,
+    the dedup_exact_text shape); a second tiny groupby counts first-
+    seen fps per epoch; doc counts per epoch fold map-side. No join —
+    the epoch of first sight IS the group key."""
+    import hashlib as _hl
+
+    from ray.data.aggregate import Max
+
+    docs = T(sf_dir, "documents", ["doc_id", "text"])
+    mx = docs.aggregate(Max("doc_id"))["max(doc_id)"]
+
+    def _fp(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ep = ids * n_epochs // (mx + 1)
+        fps = [_hl.md5(t.encode("utf-8", "surrogatepass")).hexdigest()
+               for t in b["text"].to_pylist()]
+        return pa.table({
+            "fp": pa.array(fps, pa.string()),
+            "epoch": pa.array(ep, pa.int64()),
+        })
+
+    fp_epoch = docs.map_batches(_fp, batch_format="pyarrow").materialize()
+    first = fast_groupby_agg(fp_epoch, ["fp"], {"e0": ("epoch", "min")})
+    novel = fast_groupby_agg(first, ["e0"], {"n_first": (None, "count")}) \
+        .map_batches(lambda b: b.rename_columns(["epoch", "n_first"]),
+                     batch_format="pyarrow")
+    per_epoch = fast_groupby_agg(fp_epoch, ["epoch"],
+                                 {"n_docs": (None, "count")})
+    out = per_epoch.join(novel, "left_outer", num_partitions=2,
+                         on=("epoch",))
+
+    def _rate(b: pa.Table) -> pa.Table:
+        nd = b["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nf = pc.fill_null(pc.cast(b["n_first"], pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "epoch": b["epoch"],
+            "n_docs": pa.array(nd, pa.int64()),
+            "n_first_seen": pa.array(nf, pa.int64()),
+            "novelty_fp": pa.array(1_000_000 * nf // nd, pa.int64()),
+        })
+
+    return out.map_batches(_rate, batch_format="pyarrow")
+
+
+ORACLES["novelty_rate"] = """
+    WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+    f AS (
+        SELECT md5(text) AS fp,
+               doc_id * 8 // ((SELECT m FROM mx) + 1) AS epoch
+        FROM documents
+    ),
+    first_seen AS (SELECT fp, min(epoch) AS e0 FROM f GROUP BY fp),
+    nv AS (SELECT e0 AS epoch, count(*) AS n_first
+           FROM first_seen GROUP BY e0),
+    pe AS (SELECT epoch, count(*) AS n_docs FROM f GROUP BY epoch)
+    SELECT pe.epoch,
+           CAST(pe.n_docs AS BIGINT) AS n_docs,
+           CAST(COALESCE(nv.n_first, 0) AS BIGINT) AS n_first_seen,
+           CAST(1000000 * COALESCE(nv.n_first, 0) // pe.n_docs
+                AS BIGINT) AS novelty_fp
+    FROM pe LEFT JOIN nv ON nv.epoch = pe.epoch
 """
