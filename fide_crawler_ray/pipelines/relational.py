@@ -30,7 +30,7 @@ import pyarrow.compute as pc
 import ray
 
 from ..stages.fastagg import fast_groupby_agg, live_arrow
-from .queries import T, _canon_stage
+from .queries import T, _canon_stage, _queries_matrix
 
 # ============================================================== joins
 
@@ -9783,6 +9783,7 @@ def queries() -> dict:
         "bot_regularity": q_bot_regularity,
         "conformal_quantile": q_conformal_quantile,
         "novelty_rate": q_novelty_rate,
+        "ndcg_at_k": q_ndcg_at_k,
     }
 
 
@@ -18690,4 +18691,103 @@ ORACLES["novelty_rate"] = """
            CAST(1000000 * COALESCE(nv.n_first, 0) // pe.n_docs
                 AS BIGINT) AS novelty_fp
     FROM pe LEFT JOIN nv ON nv.epoch = pe.epoch
+"""
+
+
+def q_ndcg_at_k(sf_dir, k: int = 10):
+    """nDCG@10 of the exact cosine retrieval (ann_bruteforce's ranking,
+    whose ordering is pinned by its own green oracle) against graded
+    relevance rel = label % 4 — THE ranking-quality metric for any
+    retrieval/rerank pipeline. Every DCG term is quantized
+    independently — term_fp = round(10⁶·(2^rel − 1)/log2(rank+1)) —
+    BEFORE the sum (hill_tail_index's association-free discipline), so
+    per-query DCG is an exact integer sum; the ideal DCG comes from the
+    corpus-level top-k grades (grades are query-independent here), and
+    nDCG = 10⁶·dcg_fp // idcg_fp stays in integers.
+
+    Plan: the distributed part is the brute-force top-k retrieval
+    (per-batch matmul partials) + one 4-bucket grade histogram; the
+    finish is output-sized (≤ 5·k rows + 4 buckets on the driver)."""
+    from ..functions import ann as ANN
+
+    emb = T(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    topk = ANN.brute_force_topk(
+        emb.select_columns(["vec_id", "embedding"]),
+        _queries_matrix(sf_dir), k=k).to_pandas()
+
+    need = pa.array(sorted(set(topk["vec_id"].tolist())), pa.int64())
+    lab = emb.map_batches(
+        lambda b: pa.table({
+            "vec_id": b["vec_id"],
+            "rel": pa.array(
+                b["label"].to_numpy(zero_copy_only=False)
+                .astype(np.int64) % 4, pa.int64()),
+        }).filter(pc.is_in(b["vec_id"], value_set=need)),
+        batch_format="pyarrow").to_pandas()  # ≤ 5·k rows
+    rel_of = dict(zip(lab["vec_id"].astype(int), lab["rel"].astype(int)))
+
+    hist = fast_groupby_agg(
+        emb.map_batches(
+            lambda b: pa.table({"rel": pa.array(
+                b["label"].to_numpy(zero_copy_only=False)
+                .astype(np.int64) % 4, pa.int64())}),
+            batch_format="pyarrow"),
+        ["rel"], {"c": (None, "count")}).to_pandas() \
+        .sort_values("rel", ascending=False)
+
+    def _term(rel: int, rank: int) -> int:
+        return int(_round_half_away(
+            np.float64((1 << rel) - 1) / np.log2(np.float64(rank + 1))
+            * 1e6))
+
+    ideal = []
+    for _, row in hist.iterrows():
+        ideal.extend([int(row["rel"])] * int(row["c"]))
+        if len(ideal) >= k:
+            break
+    idcg_fp = sum(_term(r, i + 1) for i, r in enumerate(ideal[:k]))
+
+    rows = []
+    for qid, g in topk.groupby("query_id"):
+        dcg_fp = sum(_term(rel_of[int(v)], int(r))
+                     for v, r in zip(g["vec_id"], g["rank"]))
+        rows.append({
+            "query_id": np.int64(qid),
+            "dcg_fp": np.int64(dcg_fp),
+            "idcg_fp": np.int64(idcg_fp),
+            "ndcg_fp": np.int64(1_000_000 * dcg_fp // idcg_fp),
+        })
+    return pd.DataFrame(rows)
+
+
+ORACLES["ndcg_at_k"] = """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+               WHERE vec_id < 5),
+    s AS (SELECT q.qid AS query_id, e.vec_id,
+                 CAST(list_cosine_similarity(q.qe, e.embedding)
+                      AS DOUBLE) AS raw
+          FROM q, embeddings e),
+    r AS (SELECT query_id, vec_id, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY raw DESC, vec_id) AS rank
+          FROM s),
+    g AS (SELECT r.query_id, r.rank,
+                 CAST(e.label % 4 AS BIGINT) AS rel
+          FROM r JOIN embeddings e ON e.vec_id = r.vec_id
+          WHERE r.rank <= 10),
+    d AS (SELECT query_id,
+                 CAST(sum(CAST(round((pow(2, rel) - 1)
+                                     / log2(rank + 1) * 1000000)
+                               AS BIGINT)) AS BIGINT) AS dcg_fp
+          FROM g GROUP BY query_id),
+    ig AS (SELECT CAST(label % 4 AS BIGINT) AS rel,
+                  ROW_NUMBER() OVER (ORDER BY label % 4 DESC, vec_id)
+                      AS rank
+           FROM embeddings),
+    i AS (SELECT CAST(sum(CAST(round((pow(2, rel) - 1)
+                                     / log2(rank + 1) * 1000000)
+                               AS BIGINT)) AS BIGINT) AS idcg_fp
+          FROM ig WHERE rank <= 10)
+    SELECT d.query_id, d.dcg_fp, i.idcg_fp,
+           CAST(1000000 * d.dcg_fp // i.idcg_fp AS BIGINT) AS ndcg_fp
+    FROM d, i
 """
