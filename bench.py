@@ -125,6 +125,11 @@ def run_bench() -> dict:
         # contingency-fold privacy audit
         "bootstrap_ci", "window_range_sum", "confusion_matrix",
         "salted_join", "frequent_itemsets", "t_closeness",
+        # late-r3 machinery: datelist-bitmask sliding distinct count
+        # (link_prediction is benchmarked in BASELINE.md but kept out
+        # of the suite: its 3M-wedge expansion runs 8-12 s on this
+        # host and would swamp the total with host variance)
+        "sliding_distinct_types",
     ]
     qs = Q.queries()
     for name in suite:

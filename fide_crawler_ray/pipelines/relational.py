@@ -9784,6 +9784,7 @@ def queries() -> dict:
         "conformal_quantile": q_conformal_quantile,
         "novelty_rate": q_novelty_rate,
         "ndcg_at_k": q_ndcg_at_k,
+        "sliding_distinct_types": q_sliding_distinct_types,
     }
 
 
@@ -18253,7 +18254,89 @@ ORACLES["two_hop_neighbors"] = """
 """
 
 
-def q_link_prediction(sf_dir, k: int = 100):
+LINKPRED_MAX_SINGLE_EDGES = 5_000_000
+LINKPRED_WEDGE_BUDGET = 30_000_000
+
+
+@ray.remote
+def _link_pred_task(k: int, max_wedges: int, *tables: pa.Table) -> pa.Table:
+    """Single-task link-prediction scoring over the collected symmetric
+    distinct edge list (a → b, b-sorted within equal-a runs): wedges
+    expand per middle-node run in bounded chunks (_run_pair_chunks);
+    within a run the neighbor list is sorted and distinct, so every
+    expanded pair already satisfies u < v. Scores fold via one packed-
+    key sort + reduceat; adjacency is one searchsorted probe against
+    the packed (a<<32|b) edges; degrees come from run lengths. Guarded
+    on TOTAL wedge volume (hub skew fail-over to the join tier, the
+    triangle counter's discipline). Node ids must fit 32 bits (the
+    derived graph's domain is 0..n_customers)."""
+    from ..stages.fastagg import live_arrow
+
+    t = pa.concat_tables(live_arrow(tables))
+    a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    keys = (a << 32) | b
+    starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
+    lens = np.diff(np.r_[starts, len(a)]).astype(np.int64)
+    nodes = a[starts]
+    runs = np.flatnonzero(lens >= 2)
+    kk = lens[runs]
+    n_w = int((kk * (kk - 1) // 2).sum())
+    if n_w > max_wedges:
+        raise ValueError(
+            f"degenerate hub: {n_w} wedges (budget {max_wedges})")
+    # middle-node RA share by DIRECT position index (1e9 // deg of the
+    # run each row sits in) — no per-pair searchsorted
+    share_pos = np.repeat(1_000_000_000 // lens, lens)
+    pk_chunks, ra_chunks = [], []
+    for iu, ju in _run_pair_chunks(starts, lens, runs,
+                                   SIM_JOIN_PAIR_CHUNK):
+        pk_chunks.append((b[iu] << 32) | b[ju])
+        ra_chunks.append(share_pos[iu])
+    if not pk_chunks:
+        empty = pa.array([], pa.int64())
+        return pa.table({"u": empty, "v": empty, "cn": empty,
+                         "ra_fp": empty, "jaccard_fp": empty})
+    pk = np.concatenate(pk_chunks)
+    ra = np.concatenate(ra_chunks)
+    srt = np.argsort(pk)  # grouping only — the fold is commutative
+    pk, ra = pk[srt], ra[srt]
+    gs = np.flatnonzero(np.r_[True, pk[1:] != pk[:-1]])
+    cn = np.diff(np.r_[gs, len(pk)]).astype(np.int64)
+    ra_sum = np.add.reduceat(ra, gs)
+    upk = pk[gs]
+    pos = np.searchsorted(keys, upk)
+    pos[pos >= len(keys)] = len(keys) - 1
+    keep = keys[pos] != upk  # strictly non-adjacent pairs
+    upk, cn, ra_sum = upk[keep], cn[keep], ra_sum[keep]
+    # top-k without a full candidate-sized 4-key lexsort: partition on
+    # the primary key, keep every candidate at/above the k-th RA (ties
+    # included), then order only that small head exactly
+    if len(ra_sum) > k:
+        thr = np.partition(ra_sum, len(ra_sum) - k)[len(ra_sum) - k]
+        head = ra_sum >= thr
+        upk, cn, ra_sum = upk[head], cn[head], ra_sum[head]
+    u = upk >> 32
+    v = upk & np.int64(0xFFFFFFFF)
+    top = np.lexsort((v, u, -cn, -ra_sum))[:k]
+    u, v, cn, ra_sum = u[top], v[top], cn[top], ra_sum[top]
+    # degrees / Jaccard only for the k winners — never candidate-sized
+    du = lens[np.searchsorted(nodes, u)]
+    dv = lens[np.searchsorted(nodes, v)]
+    jac = (1_000_000_000 * cn) // (du + dv - cn)
+    return pa.table({
+        "u": pa.array(u, pa.int64()),
+        "v": pa.array(v, pa.int64()),
+        "cn": pa.array(cn, pa.int64()),
+        "ra_fp": pa.array(ra_sum, pa.int64()),
+        "jaccard_fp": pa.array(jac, pa.int64()),
+    })
+
+
+def q_link_prediction(sf_dir, k: int = 100,
+                      max_single_edges: int = LINKPRED_MAX_SINGLE_EDGES):
     """Link prediction scores over the derived order graph: for every
     NON-adjacent 2-hop pair (u < v), common-neighbor count, the
     resource-allocation index Σ_{w∈N(u)∩N(v)} 1/deg(w) (Zhou et al.'s
@@ -18291,6 +18374,19 @@ def q_link_prediction(sf_dir, k: int = 100):
         edges.map_batches(_sym, batch_format="pyarrow"),
         ["a", "b"], {"__n": (None, "count")}) \
         .drop_columns(["__n"]).materialize()
+
+    import ray.data as rd
+
+    if und.count() <= max_single_edges:
+        try:
+            return rd.from_arrow_refs(
+                [_link_pred_task.remote(k, LINKPRED_WEDGE_BUDGET,
+                                        *und.to_arrow_refs())]
+            ).materialize()
+        except Exception as e:  # RayTaskError wraps the ValueError
+            if "degenerate hub" not in str(e):
+                raise
+            # hub skew: the join tier below spreads the expansion
 
     deg = fast_groupby_agg(und, ["a"], {"d": (None, "count")})
 
@@ -18790,4 +18886,108 @@ ORACLES["ndcg_at_k"] = """
     SELECT d.query_id, d.dcg_fp, i.idcg_fp,
            CAST(1000000 * d.dcg_fp // i.idcg_fp AS BIGINT) AS ndcg_fp
     FROM d, i
+"""
+
+
+def q_sliding_distinct_types(sf_dir, window_days: int = 7):
+    """Trailing-window DISTINCT count — per user and active day, the
+    number of distinct event types in the trailing 7 days. COUNT
+    (DISTINCT) over a sliding window doesn't decompose like a sum, so
+    the engine uses the industry "datelist bitmask" plan: the type
+    vocabulary (tiny, one distinct fold) maps each type to a bit;
+    (user, day) masks OR together map-side (distinct (user, day, type)
+    rows → summing distinct powers of two IS the OR); the 7-day window
+    is then SEVEN vectorized searchsorted shift-ORs inside a
+    hash-partitioned kernel (a user's days live in one partition — no
+    per-user Python, no boundary stitch), and popcount is a 16-bit
+    lookup. The exchange carries one row per (user, day, type) — never
+    the raw events.
+
+    Same shuffle key (splitmix user) as attribution/bot_regularity —
+    the ONE partitioning reused across the event-stream operators."""
+    from ..functions.sketches import _splitmix64
+
+    P = 64
+    ev = T(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    types = sorted(
+        r["event_type"]
+        for r in fast_groupby_agg(ev.select_columns(["event_type"]),
+                                  ["event_type"],
+                                  {"__n": (None, "count")}).take_all())
+    bit_of = {t: i for i, t in enumerate(types)}
+
+    def _udt(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = _ts_ns(b["ts"]) // 86_400_000_000_000
+        bits = np.array([bit_of[t] for t in b["event_type"].to_pylist()],
+                        dtype=np.int64)
+        return pa.table({
+            "user_id": pa.array(u), "day": pa.array(day),
+            "bit": pa.array(bits),
+        })
+
+    # distinct (user, day, bit) → per-(user, day) OR via sum of powers
+    udb = fast_groupby_agg(
+        ev.map_batches(_udt, batch_format="pyarrow"),
+        ["user_id", "day", "bit"], {"__n": (None, "count")})
+
+    def _mask(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"], "day": b["day"],
+            "m": pa.array(
+                np.int64(1) << b["bit"].to_numpy(zero_copy_only=False),
+                pa.int64()),
+        })
+
+    ud = fast_groupby_agg(
+        udb.map_batches(_mask, batch_format="pyarrow"),
+        ["user_id", "day"], {"m": ("m", "sum")})
+
+    def _part(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "part", pa.array((_splitmix64(u) % np.uint64(P))
+                             .astype(np.int64)))
+
+    pop16 = np.array([bin(i).count("1") for i in range(1 << 16)],
+                     dtype=np.int64)
+
+    def _window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "day"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        d = g["day"].to_numpy(np.int64)
+        m = g["m"].to_numpy(np.int64)
+        acc = m.copy()
+        # per-user segments: searchsorted needs ONE monotone key — pack
+        # (user, day) into an int64 (day < 2^22 ≈ 11k years of days)
+        key = u * np.int64(1 << 22) + d
+        for k in range(1, window_days):
+            pos = np.searchsorted(key, key - k)
+            hit = (pos < len(key)) & (key[np.minimum(pos, len(key) - 1)]
+                                      == key - k)
+            acc[hit] |= m[np.minimum(pos, len(key) - 1)][hit]
+        return pd.DataFrame({
+            "user_id": u, "day": d,
+            "n_types_7d": pop16[acc],
+        })
+
+    return ud.map_batches(_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(_window, batch_format="pandas")
+
+
+ORACLES["sliding_distinct_types"] = """
+    WITH e AS (
+        SELECT user_id,
+               epoch_us(ts) // 86400000000 AS day,
+               event_type
+        FROM events
+    ),
+    d AS (SELECT DISTINCT user_id, day FROM e)
+    SELECT d.user_id, d.day,
+           CAST(count(DISTINCT e2.event_type) AS BIGINT) AS n_types_7d
+    FROM d JOIN e e2
+      ON e2.user_id = d.user_id
+     AND e2.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.user_id, d.day
 """

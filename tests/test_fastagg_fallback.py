@@ -257,3 +257,43 @@ def test_dedup_order_ties_keep_exactly_one_row_both_paths():
         assert got["key"].tolist() == exp["key"].tolist()
         assert got["lineage"].tolist() == exp["lineage"].tolist()
         assert (got["payload"] == got["key"] * 7).all()
+
+
+def test_combine_survives_passthrough_empty_pandas_block(ray_session):
+    """Ray's map operators pass zero-row blocks through WITHOUT running
+    the UDF, so an empty zero-column pandas block minted upstream (an
+    empty map_groups sort partition) can reach the combine task as-is.
+    Seen as an intermittent full-suite failure (q_attribution_position
+    under CPU contention); live_arrow() must absorb it."""
+    ds, df = _events_ds(n=200)
+
+    def _groups(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("k1", sort=False)["v"].sum().reset_index()
+
+    # many sort partitions over few keys → some partitions are empty
+    # and surface as pandas blocks alongside the non-empty ones
+    parts = ds.map_batches(
+        lambda b: b.assign(part=b["k1"] % 3), batch_format="pandas"
+    ).groupby("part").map_groups(_groups, batch_format="pandas")
+    # inject a genuinely empty ZERO-COLUMN pandas block (the exact
+    # shape Ray mints for an empty map_groups partition)
+    empty = rd.from_pandas(pd.DataFrame())
+    mixed = parts.union(empty)
+    out = fast_groupby_agg(mixed, ["k1"], {"s": ("v", "sum")}).to_pandas()
+    exp = df.groupby("k1")["v"].sum().reset_index(name="s")
+    got = out.sort_values("k1").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, exp.sort_values("k1").reset_index(drop=True),
+        check_dtype=False)
+
+
+def test_live_arrow_coercion_unit():
+    from fide_crawler_ray.stages.fastagg import live_arrow
+
+    t = pa.table({"a": [1, 2]})
+    out = live_arrow([
+        t, pd.DataFrame(), pd.DataFrame({"a": [3]}),
+        pa.table({}), t.slice(0, 0),
+    ])
+    assert [x.num_rows for x in out] == [2, 1]
+    assert all(isinstance(x, pa.Table) for x in out)

@@ -2811,3 +2811,14 @@ def test_link_prediction_bruteforce():
         assert got.loc[i, "ra_fp"] == ra and got.loc[i, "cn"] == cn
         duv = len(adj[u]) + len(adj[v]) - cn
         assert got.loc[i, "jaccard_fp"] == (1_000_000_000 * cn) // duv
+
+
+def test_link_prediction_tiers_identical():
+    """Single-task packed-key tier vs the wedge-join plan (forced via a
+    zero edge guard) must agree exactly."""
+    from fide_crawler_ray.pipelines.relational import q_link_prediction
+
+    fast = q_link_prediction(SF, k=50).to_pandas().reset_index(drop=True)
+    slow = q_link_prediction(SF, k=50, max_single_edges=0) \
+        .to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow)
