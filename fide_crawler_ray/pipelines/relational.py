@@ -9785,6 +9785,7 @@ def queries() -> dict:
         "novelty_rate": q_novelty_rate,
         "ndcg_at_k": q_ndcg_at_k,
         "sliding_distinct_types": q_sliding_distinct_types,
+        "holt_forecast": q_holt_forecast,
     }
 
 
@@ -18990,4 +18991,73 @@ ORACLES["sliding_distinct_types"] = """
       ON e2.user_id = d.user_id
      AND e2.day BETWEEN d.day - 6 AND d.day
     GROUP BY d.user_id, d.day
+"""
+
+
+def q_holt_forecast(sf_dir, horizon: int = 7):
+    """Holt double exponential smoothing (level + trend, α = β = ½)
+    over the daily event-count series, forecasting 7 days ahead — the
+    trend-aware upgrade of daily_ewma and the simplest real forecaster
+    a volume-monitoring pipeline runs. The recursion is EXACT ×1000
+    integer fixed point: l_t = (1000·x_t + l_{t−1} + b_{t−1}) ÷ 2,
+    b_t = (l_t − l_{t−1} + b_{t−1}) ÷ 2, both with TRUNCATING division
+    mirrored to DuckDB's `//` semantics (which truncates toward zero —
+    NOT floor — on negatives; the trend term goes negative).
+
+    Plan: the distributed part is the calendar-bounded day-count fold
+    (_daily_event_counts — constant-size exchange at any data scale);
+    the recursion is inherently sequential and runs over that bounded
+    series on the driver, mirrored by an unbounded-depth recursive CTE
+    on the oracle side."""
+    d = _daily_event_counts(sf_dir).sort_values("day")
+    xs = [int(v) for v in d["x"]]
+    n = len(xs)
+
+    def tdiv(a: int, b: int) -> int:  # DuckDB // truncates toward zero
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    l = 1000 * xs[0]
+    b = 1000 * (xs[1] - xs[0]) if n >= 2 else 0
+    for x in xs[1:]:
+        nl = tdiv(1000 * x + l + b, 2)
+        b = tdiv(nl - l + b, 2)
+        l = nl
+    return pd.DataFrame([{
+        "n_days": np.int64(n),
+        "level_fp": np.int64(l),
+        "trend_fp": np.int64(b),
+        "forecast_7d_fp": np.int64(l + horizon * b),
+    }])
+
+
+ORACLES["holt_forecast"] = """
+    WITH RECURSIVE d AS (
+        SELECT epoch_ns(ts) // 86400000000000 AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY day
+    ),
+    o AS (SELECT x, row_number() OVER (ORDER BY day) AS rn FROM d),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o),
+    r AS (
+        SELECT CAST(1 AS BIGINT) AS rn,
+               CAST(1000 * (SELECT x FROM o WHERE rn = 1)
+                    AS BIGINT) AS l,
+               CAST(1000 * ((SELECT x FROM o WHERE rn = 2)
+                            - (SELECT x FROM o WHERE rn = 1))
+                    AS BIGINT) AS b
+        UNION ALL
+        SELECT s.rn, s.l, (s.l - s.pl + s.pb) // 2 AS b
+        FROM (
+            SELECT r.rn + 1 AS rn,
+                   (1000 * o.x + r.l + r.b) // 2 AS l,
+                   r.l AS pl, r.b AS pb
+            FROM r JOIN o ON o.rn = r.rn + 1
+        ) s
+    )
+    SELECT nn.n AS n_days,
+           CAST(f.l AS BIGINT) AS level_fp,
+           CAST(f.b AS BIGINT) AS trend_fp,
+           CAST(f.l + 7 * f.b AS BIGINT) AS forecast_7d_fp
+    FROM nn, (SELECT l, b FROM r ORDER BY rn DESC LIMIT 1) f
 """
