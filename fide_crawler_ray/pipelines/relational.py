@@ -9786,6 +9786,7 @@ def queries() -> dict:
         "ndcg_at_k": q_ndcg_at_k,
         "sliding_distinct_types": q_sliding_distinct_types,
         "holt_forecast": q_holt_forecast,
+        "median_two_pass": q_median_two_pass,
     }
 
 
@@ -19060,4 +19061,68 @@ ORACLES["holt_forecast"] = """
            CAST(f.b AS BIGINT) AS trend_fp,
            CAST(f.l + 7 * f.b AS BIGINT) AS forecast_7d_fp
     FROM nn, (SELECT l, b FROM r ORDER BY rn DESC LIMIT 1) f
+"""
+
+
+def q_median_two_pass(sf_dir):
+    """Exact global median over an UNBOUNDED value domain — the
+    machinery grouped_median's bounded-histogram contract cannot give
+    you: l_extendedprice spans ~10⁸ distinct cent values, far past any
+    value-count fold. Classic two-pass radix refinement: pass 1 folds a
+    4096-bucket coarse histogram (cents >> 12) and the driver locates
+    the bucket holding the k-th rank (k = ⌈n/2⌉, the lower median);
+    pass 2 folds a second 4096-value histogram of cents & 0xFFF INSIDE
+    that bucket only (filter pushed into the map) and the driver reads
+    the exact value off the cumulative counts. Each exchange is ≤ 4096
+    rows at ANY data scale; two scans total, no sort, no row ever
+    collected. (A k-th-smallest generalization is the same code with a
+    different k.)"""
+    li = T(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def _cents(b: pa.Table) -> np.ndarray:
+        return _round_half_away(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+
+    def _coarse(b: pa.Table) -> pa.Table:
+        return pa.table({"bkt": pa.array(_cents(b) >> 12, pa.int64())})
+
+    h1 = fast_groupby_agg(
+        li.map_batches(_coarse, batch_format="pyarrow"),
+        ["bkt"], {"c": (None, "count")}).to_pandas().sort_values("bkt")
+    n = int(h1["c"].sum())
+    k = (n + 1) // 2  # 1-indexed lower-median rank
+    cum = h1["c"].cumsum().to_numpy(np.int64)
+    i = int(np.searchsorted(cum, k))
+    bkt = int(h1["bkt"].to_numpy(np.int64)[i])
+    below = int(cum[i - 1]) if i else 0
+
+    def _fine(b: pa.Table) -> pa.Table:
+        c = _cents(b)
+        c = c[(c >> 12) == bkt]
+        return pa.table({"lo": pa.array(c & 0xFFF, pa.int64())})
+
+    h2 = fast_groupby_agg(
+        li.map_batches(_fine, batch_format="pyarrow"),
+        ["lo"], {"c": (None, "count")}).to_pandas().sort_values("lo")
+    cum2 = h2["c"].cumsum().to_numpy(np.int64)
+    j = int(np.searchsorted(cum2, k - below))
+    median_cents = (bkt << 12) | int(h2["lo"].to_numpy(np.int64)[j])
+    return pd.DataFrame([{
+        "n": np.int64(n), "k": np.int64(k),
+        "median_cents": np.int64(median_cents),
+    }])
+
+
+ORACLES["median_two_pass"] = """
+    WITH v AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+        FROM lineitem
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  (count(*) + 1) // 2 AS k FROM v),
+    r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v)
+    SELECT nn.n, CAST(nn.k AS BIGINT) AS k,
+           r.c AS median_cents
+    FROM nn JOIN r ON r.rn = nn.k
 """
