@@ -9787,6 +9787,7 @@ def queries() -> dict:
         "sliding_distinct_types": q_sliding_distinct_types,
         "holt_forecast": q_holt_forecast,
         "median_two_pass": q_median_two_pass,
+        "edit_distance_join": q_edit_distance_join,
     }
 
 
@@ -19125,4 +19126,127 @@ ORACLES["median_two_pass"] = """
     SELECT nn.n, CAST(nn.k AS BIGINT) AS k,
            r.c AS median_cents
     FROM nn JOIN r ON r.rn = nn.k
+"""
+
+
+EDIT_JOIN_BUCKET_CAP = 10_000
+
+
+def q_edit_distance_join(sf_dir, bucket_cap: int = EDIT_JOIN_BUCKET_CAP):
+    """Edit-distance ≤ 1 self-join over supplier names — the
+    entity-resolution blocking primitive (typo-tolerant key matching).
+    SymSpell deletion-neighborhood blocking: every name emits itself
+    plus each single-character deletion as a block key; two strings
+    within edit distance 1 PROVABLY share a key (equal → the string
+    itself; substitution at i → both i-deletions collide; insertion →
+    the deletion at the inserted position equals the shorter string),
+    so the block join loses no true pair, and sharing a key bounds the
+    distance by 2 — one cheap vectorized verify finishes the job.
+
+    Plan: flat-map names into (variant, key, name) rows (L+1 per row —
+    constant blowup), ONE hash shuffle on the variant, per-bucket pair
+    expansion (buckets are collision-neighborhood-sized; a bucket past
+    ``bucket_cap`` — an identical-name pileup — raises loudly rather
+    than degrade to silent O(n²)), a (a, b) distinct fold, then an
+    equal-length mismatch-count / one-gap verify kernel. No driver
+    state; the exchange carries short variant strings."""
+    sup = T(sf_dir, "supplier", ["s_suppkey", "s_name"])
+
+    def _variants(b: pa.Table) -> pa.Table:
+        keys, names, vs = [], [], []
+        for k, nm in zip(b["s_suppkey"].to_pylist(),
+                         b["s_name"].to_pylist()):
+            vs.append(nm)
+            keys.append(k)
+            names.append(nm)
+            for i in range(len(nm)):
+                vs.append(nm[:i] + nm[i + 1:])
+                keys.append(k)
+                names.append(nm)
+        return pa.table({
+            "v": pa.array(vs, pa.string()),
+            "id": pa.array(keys, pa.int64()),
+            "nm": pa.array(names, pa.string()),
+        })
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("id")
+        if len(g) > bucket_cap:
+            raise ValueError(
+                f"edit-join bucket overflow ({len(g)} > {bucket_cap}): "
+                "identical-name pileup; raise the cap or pre-dedup")
+        if len(g) < 2:
+            return pd.DataFrame({
+                "a": pd.Series([], dtype=np.int64),
+                "b": pd.Series([], dtype=np.int64),
+                "na": pd.Series([], dtype=str),
+                "nb": pd.Series([], dtype=str)})
+        ids = g["id"].to_numpy(np.int64)
+        nms = g["nm"].to_numpy()
+        iu, ju = np.triu_indices(len(g), k=1)
+        a, bb = ids[iu], ids[ju]
+        na, nb = nms[iu], nms[ju]
+        swap = a > bb
+        a2 = np.where(swap, bb, a)
+        b2 = np.where(swap, a, bb)
+        return pd.DataFrame({
+            "a": a2, "b": b2,
+            "na": np.where(swap, nb, na), "nb": np.where(swap, na, nb)})
+
+    cand = sup.map_batches(_variants, batch_format="pyarrow") \
+        .groupby("v").map_groups(_pairs, batch_format="pandas")
+    dedup = fast_groupby_agg(cand, ["a", "b", "na", "nb"],
+                             {"__n": (None, "count")})
+
+    def _verify(b: pa.Table) -> pa.Table:
+        na = b["na"].to_pylist()
+        nb = b["nb"].to_pylist()
+        la = np.array([len(x) for x in na], np.int64)
+        lb = np.array([len(x) for x in nb], np.int64)
+        dist = np.full(len(na), 2, np.int64)
+        # equal-length pairs (the dominant case): byte-matrix mismatch
+        # count per length group — no per-character Python
+        eq = np.flatnonzero(la == lb)
+        for L in np.unique(la[eq]):
+            sel = eq[la[eq] == L]
+            if L == 0:
+                dist[sel] = 0
+                continue
+            ma = np.frombuffer(
+                "".join(na[i] for i in sel).encode("utf-8",
+                                                   "surrogatepass"),
+                np.uint8)
+            mb = np.frombuffer(
+                "".join(nb[i] for i in sel).encode("utf-8",
+                                                   "surrogatepass"),
+                np.uint8)
+            if len(ma) == len(sel) * L and len(mb) == len(sel) * L:
+                mm = (ma.reshape(-1, L) != mb.reshape(-1, L)).sum(axis=1)
+                dist[sel] = np.minimum(mm, 2)
+            else:  # multi-byte codepoints: per-pair fallback
+                for i in sel:
+                    dist[i] = min(sum(
+                        cx != cy for cx, cy in zip(na[i], nb[i])), 2)
+        # length-diff-1 pairs: one-gap check (insertion/deletion)
+        for i in np.flatnonzero(np.abs(la - lb) == 1):
+            x, y = (na[i], nb[i]) if la[i] < lb[i] else (nb[i], na[i])
+            k = 0
+            while k < len(x) and x[k] == y[k]:
+                k += 1
+            dist[i] = 1 if x[k:] == y[k + 1:] else 2
+        t = pa.table({
+            "a": b["a"], "b": b["b"],
+            "dist": pa.array(dist, pa.int64()),
+        })
+        return t.filter(pc.less_equal(t["dist"], 1))
+
+    return dedup.drop_columns(["__n"]) \
+        .map_batches(_verify, batch_format="pyarrow")
+
+
+ORACLES["edit_distance_join"] = """
+    SELECT a.s_suppkey AS a, b.s_suppkey AS b,
+           CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+    FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 1
 """
