@@ -483,6 +483,151 @@ def q_dedup_embedding_recall(sf_dir, plant_every: int = 4):
     }])
 
 
+
+def q_pq_ann_recall(sf_dir, m: int = 16, ks: int = 16, iters: int = 5,
+                    shortlist: int = 100, k: int = 10):
+    """Product-quantization ANN gate — the third leg of the engine's
+    quantized-retrieval triad (IVF partitions the corpus, int8 SQ
+    shrinks vectors 4x, PQ shrinks them ~16x: 64 float32 dims -> 16
+    byte codes). Per-subspace codebooks train by DISTRIBUTED Lloyd
+    (per batch: subvector assignments -> (subspace, code, n, sum)
+    partials, m*ks rows per batch regardless of corpus size); search
+    is one asymmetric-distance pass (per-query m*ks lookup tables,
+    gather-sum per batch) emitting per-batch local top-``shortlist``
+    candidates WITH their exact cosine (the full vector is in hand in
+    the same batch), then an output-sized reduce: global ADC shortlist
+    -> exact re-rank -> top-k. Recall@10 vs the full-precision
+    brute-force truth asserted >= 0.8 (synthetic near-uniform vectors
+    are PQ's WORST case - no cluster structure for the codebooks to
+    exploit; production corpora cluster and do better).
+    """
+    import ray
+
+    from .queries import T, _queries_matrix
+
+    emb = T(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = _queries_matrix(sf_dir)
+    truth = ANN.brute_force_topk(emb, q, k=k).to_pandas()
+
+    emb = emb.materialize()  # pinned blocks: reread per Lloyd round is waste
+    d = len(emb.take(1)[0]["embedding"])
+    ds = d // m
+    qn = ANN._normalize(np.asarray(q, dtype=np.float32)).astype(np.float64)
+
+    # init: the ks smallest vec_ids (deterministic, one bounded pull)
+    init = emb.filter(expr=f"vec_id < {ks}").to_pandas().sort_values("vec_id")
+    mat0 = ANN._normalize(
+        np.stack([np.asarray(v, np.float32) for v in init["embedding"]])
+    ).astype(np.float64)
+    books = np.stack([mat0[:, s * ds:(s + 1) * ds] for s in range(m)])
+
+    def _train_partial(bref):
+        def _f(b: pa.Table) -> pa.Table:
+            bk = ray.get(bref)  # (m, ks, ds)
+            x = ANN._normalize(ANN._to_matrix(b["embedding"])).astype(np.float64)
+            rows_s, rows_c, rows_n, rows_sum = [], [], [], []
+            for s in range(m):
+                xs = x[:, s * ds:(s + 1) * ds]
+                d2 = ((xs[:, None, :] - bk[s][None, :, :]) ** 2).sum(-1)
+                a = d2.argmin(1)
+                sums = np.zeros((ks, ds))
+                np.add.at(sums, a, xs)
+                cnt = np.bincount(a, minlength=ks).astype(np.int64)
+                rows_s.append(np.full(ks, s, np.int64))
+                rows_c.append(np.arange(ks, dtype=np.int64))
+                rows_n.append(cnt)
+                rows_sum.append(sums)
+            return pa.table({
+                "s": pa.array(np.concatenate(rows_s)),
+                "c": pa.array(np.concatenate(rows_c)),
+                "n": pa.array(np.concatenate(rows_n)),
+                "sum": pa.array(list(np.concatenate(rows_sum)),
+                                pa.list_(pa.float64())),
+            })
+        return _f
+
+    for _ in range(iters):
+        bref = ray.put(books)
+        parts = emb.map_batches(
+            _train_partial(bref), batch_format="pyarrow",
+            batch_size=4096, num_cpus=0.5).to_pandas()
+        sums = np.zeros((m, ks, ds))
+        cnts = np.zeros((m, ks), np.int64)
+        si = parts["s"].to_numpy()
+        ci = parts["c"].to_numpy()
+        np.add.at(cnts, (si, ci), parts["n"].to_numpy())
+        np.add.at(sums, (si, ci), np.stack(parts["sum"].to_numpy()))
+        ne = cnts > 0
+        books = books.copy()
+        books[ne] = sums[ne] / cnts[ne][:, None]
+
+    bref = ray.put(books)
+    qref = ray.put(qn)
+
+    class _AdcSearch:
+        def __init__(self):
+            self.bk = ray.get(bref)
+            qm = ray.get(qref)
+            # per-query ADC tables: (nq, m, ks)
+            self.tab = np.stack([
+                ((self.bk[s][None, :, :]
+                  - qm[:, s * ds:(s + 1) * ds][:, None, :]) ** 2).sum(-1)
+                for s in range(m)
+            ], axis=1)
+            self.qm = qm
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            x = ANN._normalize(ANN._to_matrix(b["embedding"]))
+            ids = b["vec_id"].to_numpy(zero_copy_only=False)
+            codes = np.empty((x.shape[0], m), np.int64)
+            xd = x.astype(np.float64)
+            for s in range(m):
+                xs = xd[:, s * ds:(s + 1) * ds]
+                codes[:, s] = ((xs[:, None, :]
+                                - self.bk[s][None, :, :]) ** 2).sum(-1)                     .argmin(1)
+            nq = self.tab.shape[0]
+            out_q, out_id, out_adc, out_cos = [], [], [], []
+            exact = xd @ self.qm.T  # (n, nq) exact cosine, same batch
+            for j in range(nq):
+                score = self.tab[j][np.arange(m)[:, None],
+                                    codes.T].sum(axis=0)
+                kk = min(shortlist, len(score))
+                idx = np.argpartition(score, kk - 1)[:kk] \
+                    if kk < len(score) else np.arange(len(score))
+                out_q.extend([j] * len(idx))
+                out_id.extend(ids[idx].tolist())
+                out_adc.extend(score[idx].tolist())
+                out_cos.extend(exact[idx, j].tolist())
+            return pa.table({
+                "query_id": pa.array(out_q, pa.int32()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "adc": pa.array(out_adc, pa.float64()),
+                "cos": pa.array(out_cos, pa.float64()),
+            })
+
+    cands = emb.map_batches(
+        _AdcSearch, batch_format="pyarrow", batch_size=4096,
+        concurrency=4, num_cpus=0.5).to_pandas()
+
+    hits = tot = 0
+    for qid, g in truth.groupby("query_id"):
+        c = cands[cands["query_id"] == qid] \
+            .sort_values(["adc", "vec_id"]).head(shortlist)
+        got = set(c.sort_values(["cos", "vec_id"],
+                                ascending=[False, True])
+                  .head(k)["vec_id"])
+        tset = set(g["vec_id"])
+        hits += len(tset & got)
+        tot += len(tset)
+    recall = hits / max(tot, 1)
+    assert recall >= 0.8, f"PQ shortlist+rerank recall {recall:.3f}"
+    return pd.DataFrame([{
+        "m": m, "ks": ks, "shortlist": shortlist, "k": k,
+        "n_hits": hits, "n_truth": tot,
+        "recall_x1e6": int(round(recall * 1e6)),
+    }])
+
+
 QUERIES = {
     "dedup_minhash_recall": q_dedup_minhash_recall,
     "dedup_simhash_recall": q_dedup_simhash_recall,
@@ -494,4 +639,5 @@ QUERIES = {
     "dedup_embedding_recall": q_dedup_embedding_recall,
     "semdedup_recall": q_semdedup_recall,
     "quantized_ann_recall": q_quantized_ann_recall,
+    "pq_ann_recall": q_pq_ann_recall,
 }
