@@ -18918,6 +18918,10 @@ def q_sliding_distinct_types(sf_dir, window_days: int = 7):
         for r in fast_groupby_agg(ev.select_columns(["event_type"]),
                                   ["event_type"],
                                   {"__n": (None, "count")}).take_all())
+    if len(types) > 16:  # mask fits the 16-bit popcount LUT
+        raise ValueError(
+            f"{len(types)} event types exceed the 16-bit datelist mask; "
+            "widen the LUT (or chunk the vocabulary) before use")
     bit_of = {t: i for i, t in enumerate(types)}
 
     def _udt(b: pa.Table) -> pa.Table:
