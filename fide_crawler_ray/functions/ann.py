@@ -289,3 +289,85 @@ def ivf_search(embeddings_ds, centroids: np.ndarray, queries: np.ndarray,
         _ScopedTopK, batch_format="pyarrow", batch_size=4096, concurrency=4, num_cpus=0.5,
     )
     return partials.groupby("query_id").map_groups(topk_reduce(k), batch_format="pandas")
+
+
+def build_ivf_store(embeddings_ds, centroids: np.ndarray, out_dir: str):
+    """Persist the corpus PARTITIONED BY IVF BUCKET (hive layout, one
+    directory per bucket) — the prune-at-the-read contract applied to
+    vector search: at rest, a query probing nprobe buckets opens only
+    those directories' files; the rest of the corpus is never read.
+    The bucket id is ALSO stored as an in-file column ("bucket") so the
+    pruned read does not depend on hive-path inference."""
+    import shutil
+
+    cref = ray.put(_normalize(np.asarray(centroids, dtype=np.float32)))
+    assigned = embeddings_ds.map_batches(
+        IvfAssign, fn_constructor_args=(cref,),
+        batch_format="pyarrow", batch_size=4096, concurrency=4,
+        num_cpus=0.5,
+    ).map_batches(lambda b: b.append_column("bucket", b["ivf_bucket"]),
+                  batch_format="pyarrow")
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    assigned.write_parquet(tmp, partition_cols=["ivf_bucket"])
+    import os
+
+    os.rename(tmp, out_dir)  # atomic publish, store.py's discipline
+    return out_dir
+
+
+def ivf_search_persisted(index_dir: str, centroids: np.ndarray,
+                         queries: np.ndarray, k: int = 10,
+                         nprobe: int = 4):
+    """IVF top-k over the PERSISTED index: per-query nprobe nearest
+    buckets → read ONLY those bucket directories (file-level pruning by
+    construction) → exact cosine within, scoped per query. Returns
+    (result_ds, n_rows_read, n_buckets_read) so callers can assert the
+    prune ratio."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    cn = _normalize(np.asarray(centroids, dtype=np.float32))
+    probe = np.argsort(-(qn @ cn.T), axis=1)[:, :nprobe]
+    wanted = sorted(set(int(b) for b in probe.reshape(-1)))
+    paths = []
+    hit_buckets = 0
+    for b in wanted:
+        fs = sorted(glob.glob(os.path.join(index_dir,
+                                           f"ivf_bucket={b}", "*.parquet")))
+        if fs:
+            hit_buckets += 1
+            paths.extend(fs)
+    ds = rd.read_parquet(paths, columns=["vec_id", "embedding", "bucket"]) \
+        .materialize()
+    n_read = ds.count()
+    qref = ray.put(qn)
+    pref = ray.put(probe)
+
+    class _ScopedTopKStore(BruteForceTopK):
+        def __init__(self):
+            super().__init__(qref, k)
+            self.probe = ray.get(pref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = super().__call__(batch.drop_columns(["bucket"]))
+            buckets = dict(zip(batch["vec_id"].to_pylist(),
+                               batch["bucket"].to_pylist()))
+            keep = [
+                int(buckets[v]) in set(int(x) for x in self.probe[q])
+                for q, v in zip(out["query_id"].to_pylist(),
+                                out["vec_id"].to_pylist())
+            ]
+            return out.filter(pa.array(keep))
+
+    partials = ds.map_batches(
+        _ScopedTopKStore, batch_format="pyarrow", batch_size=4096,
+        concurrency=2, num_cpus=0.5,
+    )
+    res = partials.groupby("query_id").map_groups(
+        topk_reduce(k), batch_format="pandas")
+    return res, n_read, hit_buckets

@@ -628,6 +628,78 @@ def q_pq_ann_recall(sf_dir, m: int = 16, ks: int = 16, iters: int = 5,
     }])
 
 
+
+import functools
+import tempfile
+
+
+@functools.lru_cache(maxsize=4)
+def _ivf_store_dir(sf_dir: str) -> tuple:
+    """Build (once per sf per session) the persisted bucket-partitioned
+    IVF index under /tmp; returns (index_dir, centroids_bytes, shape)."""
+    from .queries import T
+
+    emb = T(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = ANN.kmeans_centroids(emb, 16, iters=3)
+    out = tempfile.mkdtemp(prefix="fcray_ivf_", dir="/tmp") + "/index"
+    ANN.build_ivf_store(emb, cents, out)
+    return out, cents.tobytes(), cents.shape
+
+
+def q_ann_ivf_persisted(sf_dir, k: int = 10, nprobe: int = 8):
+    """Persisted-IVF retrieval gate — the at-rest scale path for vector
+    search: the corpus is written ONCE partitioned by IVF bucket
+    (hive layout), and each query batch reads ONLY its nprobe probed
+    bucket directories — file-level pruning by construction, the
+    prune-at-the-read contract applied to ANN. Asserts (a) the pruned
+    read touched a strict subset of the corpus and (b) recall@10 vs
+    the full-precision brute force (its own exact oracle) >= 0.7 — the
+    same bar as the in-memory ann_ivf_recall gate. Reports rows-read /
+    corpus-rows so the driver records the prune ratio."""
+    from .queries import T, _queries_matrix
+
+    emb = T(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n_corpus = emb.count()
+    q = _queries_matrix(sf_dir)
+    truth = ANN.brute_force_topk(emb, q, k=k).to_pandas()
+
+    index_dir, cbytes, cshape = _ivf_store_dir(sf_dir)
+    cents = np.frombuffer(cbytes, dtype=np.float32).reshape(cshape)
+    res, n_read, n_buckets = ANN.ivf_search_persisted(
+        index_dir, cents, q, k=k, nprobe=nprobe)
+    got = res.to_pandas()
+    # single-query prune measurement: one query's probes open nprobe of
+    # the 16 bucket directories, so the pruned read is sub-corpus by
+    # construction (the 5-query UNION above may legitimately cover all)
+    _, n_read_1q, n_buckets_1q = ANN.ivf_search_persisted(
+        index_dir, cents, q[:1], k=k, nprobe=nprobe)
+
+    hits = tot = 0
+    for qid, g in truth.groupby("query_id"):
+        tset = set(g["vec_id"])
+        gset = set(got[got["query_id"] == qid]["vec_id"])
+        hits += len(tset & gset)
+        tot += len(tset)
+    recall = hits / max(tot, 1)
+    import glob as _glob
+    import os as _os
+    n_buckets_total = len(_glob.glob(_os.path.join(index_dir,
+                                                   "ivf_bucket=*")))
+    assert n_read_1q < n_corpus, (
+        f"single-query pruned read touched the whole corpus "
+        f"({n_read_1q}/{n_corpus} from {n_buckets_1q} buckets)")
+    assert recall >= 0.7, f"persisted-IVF recall {recall:.3f}"
+    return pd.DataFrame([{
+        "n_corpus": int(n_corpus), "n_rows_read": int(n_read),
+        "n_buckets_read": int(n_buckets),
+        "n_buckets_total": int(n_buckets_total), "nprobe": nprobe,
+        "union_read_x1e6": int(round(n_read / n_corpus * 1e6)),
+        "prune_1q_x1e6": int(round(n_read_1q / n_corpus * 1e6)),
+        "n_hits": hits, "n_truth": tot,
+        "recall_x1e6": int(round(recall * 1e6)),
+    }])
+
+
 QUERIES = {
     "dedup_minhash_recall": q_dedup_minhash_recall,
     "dedup_simhash_recall": q_dedup_simhash_recall,
@@ -640,4 +712,5 @@ QUERIES = {
     "semdedup_recall": q_semdedup_recall,
     "quantized_ann_recall": q_quantized_ann_recall,
     "pq_ann_recall": q_pq_ann_recall,
+    "ann_ivf_persisted": q_ann_ivf_persisted,
 }
