@@ -9788,6 +9788,7 @@ def queries() -> dict:
         "holt_forecast": q_holt_forecast,
         "median_two_pass": q_median_two_pass,
         "edit_distance_join": q_edit_distance_join,
+        "wl_refinement": q_wl_refinement,
     }
 
 
@@ -19253,4 +19254,152 @@ ORACLES["edit_distance_join"] = """
            CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
     FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
     WHERE levenshtein(a.s_name, b.s_name) <= 1
+"""
+
+
+# ==================================================== WL refinement
+
+
+def q_wl_refinement(sf_dir, rounds: int = 2):
+    """1-WL (Weisfeiler–Leman) color refinement over the derived order
+    graph — the canonical graph-fingerprint primitive behind graph
+    dedup, isomorphism screening and GNN expressivity tests: start from
+    degree colors, then each round every node's new color is the hash
+    of (own color, SORTED multiset of neighbor colors). The output is
+    the final color histogram (color, n_nodes) — the refinement
+    partition any two isomorphic graphs must share.
+
+    Exact oracle: colors are md5 hex strings (hashlib.md5 ≡ DuckDB
+    ``md5()``, both lowercase hex); the per-round signature is
+    ``col || '|' || ','.join(sorted(neighbor_cols))`` where the sort is
+    plain lexicographic — md5 hex and decimal degree strings are ASCII,
+    so Python ``sorted()`` matches DuckDB's binary varchar ORDER BY
+    byte for byte. Isolated nodes never enter the edge joins; their
+    color evolves in closed form (deg "0", then md5 of sig with an
+    empty neighbor list each round) and is appended as one histogram
+    row, mirrored by the oracle's UNION ALL branch.
+
+    Scale plan: per round, TWO hash joins ship each und edge its
+    endpoint colors (edge-list-sized exchanges, node-domain-sized color
+    table), then one splitmix64(node) % P shuffle into a vectorized
+    per-partition pandas kernel (lexsort, groupby-join, one md5 per
+    NODE — node-domain-sized work, never edge-sized Python). No driver
+    state beyond two scalars (|V|, |V with deg>0|)."""
+    from ..functions.sketches import _splitmix64
+
+    P = 32
+    cust = T(sf_dir, "customer", ["c_custkey"])
+    n = cust.count()
+    edges = _pagerank_edges(sf_dir, n)
+
+    def _sym(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        a = np.concatenate([s, d])
+        bb = np.concatenate([d, s])
+        keep = a != bb
+        return pa.table({"a": pa.array(a[keep], pa.int64()),
+                         "b": pa.array(bb[keep], pa.int64())})
+
+    und = fast_groupby_agg(
+        edges.map_batches(_sym, batch_format="pyarrow"),
+        ["a", "b"], {"__n": (None, "count")}) \
+        .drop_columns(["__n"]).materialize()
+
+    colors = fast_groupby_agg(und, ["a"], {"deg": (None, "count")}) \
+        .map_batches(
+            lambda t: pa.table({
+                "node": t["a"],
+                "col": pc.cast(t["deg"], pa.string()),
+            }), batch_format="pyarrow").materialize()
+    n_active = colors.count()
+
+    def _part(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "a": t["a"], "ncol": t["ncol"], "col": t["col"],
+            "part": pa.array(
+                (_splitmix64(a) % np.uint64(P)).astype(np.int64)),
+        })
+
+    def _sig(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "node": pd.Series([], dtype=np.int64),
+                "col": pd.Series([], dtype=object)})
+        g = g.sort_values(["a", "ncol"], kind="mergesort")
+        gb = g.groupby("a", sort=True)
+        sig = gb["col"].first() + "|" + gb["ncol"].agg(",".join)
+        return pd.DataFrame({
+            "node": sig.index.to_numpy(np.int64),
+            "col": [hashlib.md5(s.encode()).hexdigest()
+                    for s in sig.to_numpy()]})
+
+    for _ in range(rounds):
+        nbr = colors.map_batches(
+            lambda t: pa.table({"bnode": t["node"], "ncol": t["col"]}),
+            batch_format="pyarrow")
+        own = colors.map_batches(
+            lambda t: pa.table({"anode": t["node"], "col": t["col"]}),
+            batch_format="pyarrow")
+        nb = und.join(nbr, "inner", num_partitions=8,
+                      on=("b",), right_on=("bnode",))
+        nb = nb.join(own, "inner", num_partitions=8,
+                     on=("a",), right_on=("anode",))
+        colors = nb.map_batches(_part, batch_format="pyarrow") \
+            .groupby("part").map_groups(_sig, batch_format="pandas") \
+            .materialize()
+
+    hist = fast_groupby_agg(colors, ["col"],
+                            {"n_nodes": (None, "count")}) \
+        .map_batches(
+            lambda t: pa.table({
+                "color": t["col"],
+                "n_nodes": pc.cast(t["n_nodes"], pa.int64()),
+            }), batch_format="pyarrow")
+
+    n_iso = n - n_active
+    if n_iso > 0:
+        c = "0"
+        for _ in range(rounds):
+            c = hashlib.md5((c + "|").encode()).hexdigest()
+        iso = ray.data.from_items([{"color": c, "n_nodes": n_iso}])
+        hist = hist.union(iso)
+    return hist
+
+
+ORACLES["wl_refinement"] = """
+    WITH nn AS (SELECT count(*) AS n FROM customer),
+    e AS (SELECT o_custkey AS s,
+                 o_orderkey % (SELECT n FROM nn) AS d
+          FROM orders),
+    und AS (SELECT DISTINCT a, b FROM (
+            SELECT s AS a, d AS b FROM e WHERE s <> d
+            UNION ALL
+            SELECT d AS a, s AS b FROM e WHERE s <> d)),
+    c0 AS (SELECT a AS node, CAST(count(*) AS VARCHAR) AS col
+           FROM und GROUP BY a),
+    r1 AS (SELECT u.a AS node,
+                  md5(c.col || '|' ||
+                      string_agg(nc.col, ',' ORDER BY nc.col)) AS col
+           FROM und u
+           JOIN c0 c ON c.node = u.a
+           JOIN c0 nc ON nc.node = u.b
+           GROUP BY u.a, c.col),
+    r2 AS (SELECT u.a AS node,
+                  md5(c.col || '|' ||
+                      string_agg(nc.col, ',' ORDER BY nc.col)) AS col
+           FROM und u
+           JOIN r1 c ON c.node = u.a
+           JOIN r1 nc ON nc.node = u.b
+           GROUP BY u.a, c.col),
+    hist AS (SELECT col AS color, CAST(count(*) AS BIGINT) AS n_nodes
+             FROM r2 GROUP BY col),
+    iso AS (SELECT md5(md5('0|') || '|') AS color,
+                   CAST((SELECT n FROM nn)
+                        - (SELECT count(*) FROM c0) AS BIGINT)
+                   AS n_nodes)
+    SELECT color, n_nodes FROM hist
+    UNION ALL
+    SELECT color, n_nodes FROM iso WHERE n_nodes > 0
 """

@@ -2822,3 +2822,37 @@ def test_link_prediction_tiers_identical():
     slow = q_link_prediction(SF, k=50, max_single_edges=0) \
         .to_pandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_wl_refinement_brute_force():
+    """2-round 1-WL color histogram vs an independent pure-Python
+    refinement over the same derived graph at sf0.001."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from fide_crawler_ray.pipelines.relational import q_wl_refinement
+
+    cust = pd.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey"])
+    n = len(cust)
+    orders = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_custkey", "o_orderkey"])
+    adj = defaultdict(set)
+    for s, d in zip(orders["o_custkey"].to_numpy(),
+                    (orders["o_orderkey"] % n).to_numpy()):
+        if s != d:
+            adj[int(s)].add(int(d))
+            adj[int(d)].add(int(s))
+    col = {v: str(len(nb)) for v, nb in adj.items()}
+    for _ in range(2):
+        col = {v: hashlib.md5(
+            (col[v] + "|" + ",".join(sorted(col[u] for u in adj[v])))
+            .encode()).hexdigest() for v in adj}
+    exp = Counter(col.values())
+    c_iso = "0"
+    for _ in range(2):
+        c_iso = hashlib.md5((c_iso + "|").encode()).hexdigest()
+    if n - len(adj) > 0:
+        exp[c_iso] += n - len(adj)
+    got = q_wl_refinement(SF).to_pandas()
+    assert dict(zip(got["color"], got["n_nodes"])) == dict(exp)
+    assert got["n_nodes"].sum() == n
