@@ -9789,6 +9789,10 @@ def queries() -> dict:
         "median_two_pass": q_median_two_pass,
         "edit_distance_join": q_edit_distance_join,
         "wl_refinement": q_wl_refinement,
+        "bm25_retrieval": q_bm25_retrieval,
+        "grouped_ols": q_grouped_ols,
+        "rrf_fusion": q_rrf_fusion,
+        "priority_sample": q_priority_sample,
     }
 
 
@@ -19402,4 +19406,380 @@ ORACLES["wl_refinement"] = """
     SELECT color, n_nodes FROM hist
     UNION ALL
     SELECT color, n_nodes FROM iso WHERE n_nodes > 0
+"""
+
+
+# ==================================================== BM25 retrieval
+
+
+BM25_QUERY_TERMS = ("merge", "stream", "window", "hash", "filter", "spark")
+
+
+def q_bm25_retrieval(sf_dir, k: int = 20):
+    """Okapi BM25 top-k retrieval over the document corpus for a fixed
+    6-term query — the lexical-retrieval baseline every search / RAG /
+    training-data-curation stack starts from (k1 = 1.2, b = 0.75).
+    All arithmetic is exact integer: the tf-saturation term
+    tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) is cleared of floats by
+    multiplying through by 10·T (T = total corpus tokens, avgdl = T/N),
+    giving 22·T·tf // (10·T·tf + 3·T + 9·dl·N); the idf is the
+    Robertson–Spärck-Jones odds (N−df+0.5)/(df+0.5) =
+    (2(N−df)+1)/(2df+1) quantized ×10⁶ — monotone in the standard
+    log-idf but bit-exact across engines (ln is not correctly rounded;
+    the engine-wide ulp-parity policy). Per-term contributions are
+    floor-divided then summed (≤ 2.2·odds_fp ≈ 10¹¹ each — int64-safe
+    output, HUGEINT intermediates on the SQL side).
+
+    Scale plan: pass 1 tokenizes each doc ONCE (same _TOKEN contract
+    as q_term_doc_freq) into a doc-count-sized skinny stats table
+    (doc_id, dl, tf per query term); a constant-width fold yields N,
+    T and the 6 dfs (the only driver scalars); pass 2 filters to
+    matched docs vectorized and scores them with Python-int exactness
+    (matched-postings-sized loop, ≤6 terms/doc); a distributed
+    sort+limit picks the top k. No corpus-sized driver state, no
+    shuffle join — the query side is 9 broadcast integers."""
+    from collections import Counter
+
+    docs = T(sf_dir, "documents", ["doc_id", "text"])
+    terms = BM25_QUERY_TERMS
+    nt = len(terms)
+
+    def _stats(b: pa.Table) -> pa.Table:
+        dl: list[int] = []
+        tfs: list[list[int]] = [[] for _ in range(nt)]
+        for txt in b["text"].to_pylist():
+            c = Counter(_TOKEN.findall(txt.lower()))
+            dl.append(sum(c.values()))
+            for j, t in enumerate(terms):
+                tfs[j].append(c.get(t, 0))
+        out = {"doc_id": b["doc_id"], "dl": pa.array(dl, pa.int64())}
+        for j in range(nt):
+            out[f"tf{j}"] = pa.array(tfs[j], pa.int64())
+        return pa.table(out)
+
+    stats = docs.map_batches(_stats, batch_format="pyarrow").materialize()
+
+    def _fold(b: pa.Table) -> pa.Table:
+        part = {"n": pa.array([len(b)], pa.int64()),
+                "t": pa.array([int(pc.sum(b["dl"]).as_py() or 0)],
+                              pa.int64())}
+        for j in range(nt):
+            part[f"df{j}"] = pa.array(
+                [int(pc.sum(pc.cast(pc.greater(b[f"tf{j}"], 0),
+                                    pa.int64())).as_py() or 0)],
+                pa.int64())
+        return pa.table(part)
+
+    g = stats.map_batches(_fold, batch_format="pyarrow").to_pandas().sum()
+    n_docs, t_tok = int(g["n"]), int(g["t"])
+    odds = [((2 * (n_docs - int(g[f"df{j}"])) + 1) * 10**6)
+            // (2 * int(g[f"df{j}"]) + 1) for j in range(nt)]
+
+    def _score(b: pa.Table) -> pa.Table:
+        tf = np.stack([b[f"tf{j}"].to_numpy(zero_copy_only=False)
+                       for j in range(nt)], axis=1)
+        keep = tf.sum(axis=1) > 0
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)[keep]
+        dl = b["dl"].to_numpy(zero_copy_only=False)[keep]
+        tf = tf[keep]
+        scores, matched = [], []
+        for i in range(len(ids)):
+            s, m, d = 0, 0, int(dl[i])
+            for j in range(nt):
+                f = int(tf[i, j])
+                if f:
+                    m += 1
+                    s += (odds[j] * 22 * t_tok * f) // (
+                        10 * t_tok * f + 3 * t_tok + 9 * d * n_docs)
+            scores.append(s)
+            matched.append(m)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "score_fp": pa.array(scores, pa.int64()),
+            "dl": pa.array(dl, pa.int64()),
+            "n_matched": pa.array(matched, pa.int64()),
+        })
+
+    return stats.map_batches(_score, batch_format="pyarrow") \
+        .sort(["score_fp", "doc_id"], descending=[True, False]).limit(k)
+
+
+ORACLES["bm25_retrieval"] = """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text),
+                                            '[^a-z0-9_]+')) AS term
+        FROM documents),
+    tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+    g AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT count(*) FROM tok2) AS t),
+    q(term) AS (VALUES ('merge'), ('stream'), ('window'),
+                       ('hash'), ('filter'), ('spark')),
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM tok2 JOIN q USING (term) GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df
+           FROM tok2 JOIN q USING (term) GROUP BY term),
+    odds AS (SELECT term,
+                    ((2 * ((SELECT n FROM g) - df) + 1) * 1000000)
+                        // (2 * df + 1) AS odds_fp
+             FROM df),
+    s AS (SELECT tf.doc_id,
+                 CAST(sum((CAST(odds.odds_fp AS HUGEINT) * 22
+                           * (SELECT t FROM g) * tf.tf)
+                     // (10 * CAST((SELECT t FROM g) AS HUGEINT) * tf.tf
+                         + 3 * (SELECT t FROM g)
+                         + 9 * CAST(dl.dl AS HUGEINT)
+                             * (SELECT n FROM g))) AS BIGINT) AS score_fp,
+                 CAST(count(*) AS BIGINT) AS n_matched,
+                 CAST(any_value(dl.dl) AS BIGINT) AS dl
+          FROM tf JOIN odds USING (term) JOIN dl USING (doc_id)
+          GROUP BY tf.doc_id)
+    SELECT doc_id, score_fp, dl, n_matched
+    FROM s ORDER BY score_fp DESC, doc_id LIMIT 20
+"""
+
+
+# ==================================================== grouped OLS trend
+
+
+OLS_DAY0 = 8000  # pinned epoch-day re-base, stated in the oracle SQL
+
+
+def q_grouped_ols(sf_dir):
+    """Per-group ordinary-least-squares trend (slope + intercept) of
+    order value in cents against epoch day — the grouped linear-fit
+    primitive behind drift monitors and per-segment forecasts. The
+    five-moment decomposition (n, Σx, Σy, Σxy, Σx²) is a mergeable
+    map-side fold — ONE constant-width row per group crosses the wire —
+    and the closed forms
+        slope_fp     = (n·Σxy − Σx·Σy)·10⁶ // (n·Σx² − (Σx)²)
+        intercept_fp = (Σy·Σx² − Σx·Σxy)·10⁶ // (n·Σx² − (Σx)²)
+    are evaluated on the 5-row group domain in arbitrary-precision
+    Python ints, floor division mirrored to the oracle's negative-
+    remainder-corrected `//` (theil_sen's correction; den > 0 by
+    Cauchy–Schwarz whenever a group spans ≥2 distinct days). x is
+    re-based to epoch_day − 8000 (pinned in the SQL) so the int64
+    per-row products xy stay ≲1.6e11 and block partials are safe to
+    sf≈100; past that the fold would carry split hi/lo limbs."""
+    orders = T(sf_dir, "orders",
+               ["o_orderpriority", "o_orderdate", "o_totalprice"])
+
+    def _mom(b: pa.Table) -> pa.Table:
+        x = (_ts_ns(b["o_orderdate"]) // 86_400_000_000_000
+             - OLS_DAY0).astype(np.int64)
+        y = _round_half_away(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({
+            "o_orderpriority": b["o_orderpriority"],
+            "x": pa.array(x), "y": pa.array(y),
+            "xy": pa.array(x * y), "xx": pa.array(x * x),
+        })
+
+    m = fast_groupby_agg(
+        orders.map_batches(_mom, batch_format="pyarrow"),
+        ["o_orderpriority"], {
+            "n": (None, "count"), "sx": ("x", "sum"), "sy": ("y", "sum"),
+            "sxy": ("xy", "sum"), "sxx": ("xx", "sum"),
+        }).to_pandas().sort_values("o_orderpriority")
+
+    rows = []
+    for r in m.itertuples(index=False):
+        n, sx, sy, sxy, sxx = (int(r.n), int(r.sx), int(r.sy),
+                               int(r.sxy), int(r.sxx))
+        den = n * sxx - sx * sx
+        rows.append({
+            "o_orderpriority": r.o_orderpriority,
+            "n": n,
+            "slope_fp": (n * sxy - sx * sy) * 10**6 // den,
+            "intercept_fp": (sy * sxx - sx * sxy) * 10**6 // den,
+        })
+    out = pd.DataFrame(rows)
+    for c in ("n", "slope_fp", "intercept_fp"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+ORACLES["grouped_ols"] = """
+    WITH m AS (
+        SELECT o_orderpriority,
+               count(*) AS n,
+               sum(CAST(epoch_us(o_orderdate) // 86400000000 - 8000
+                        AS HUGEINT)) AS sx,
+               sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                        AS HUGEINT)) AS sy,
+               sum(CAST(epoch_us(o_orderdate) // 86400000000 - 8000
+                        AS HUGEINT)
+                   * CAST(round(o_totalprice * 100) AS BIGINT)) AS sxy,
+               sum(CAST(epoch_us(o_orderdate) // 86400000000 - 8000
+                        AS HUGEINT)
+                   * (epoch_us(o_orderdate) // 86400000000 - 8000))
+                   AS sxx
+        FROM orders GROUP BY o_orderpriority),
+    d AS (SELECT o_orderpriority, n,
+                 (n * sxy - sx * sy) * 1000000 AS num_s,
+                 (sy * sxx - sx * sxy) * 1000000 AS num_i,
+                 (n * sxx - sx * sx) AS den
+          FROM m)
+    SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+           CAST(num_s // den
+                - CASE WHEN num_s % den <> 0 AND num_s < 0
+                       THEN 1 ELSE 0 END AS BIGINT) AS slope_fp,
+           CAST(num_i // den
+                - CASE WHEN num_i % den <> 0 AND num_i < 0
+                       THEN 1 ELSE 0 END AS BIGINT) AS intercept_fp
+    FROM d ORDER BY o_orderpriority
+"""
+
+
+# ==================================================== RRF rank fusion
+
+
+def q_rrf_fusion(sf_dir, k: int = 20, rrf_k: int = 60):
+    """Reciprocal-rank fusion of two full customer rankings — by total
+    revenue and by order frequency — the standard score-free ensemble
+    rule for merging heterogeneous retrieval/ranking lists
+    (Cormack et al., SIGIR'09): rrf_fp = Σ 10⁹ // (60 + rank_i), all
+    integer, so fusion is bit-deterministic.
+
+    Scale plan: ONE per-customer mergeable fold (Σcents, count), then
+    each ranking is a distributed sort whose global row_numbers are
+    stitched WITHOUT a driver materialization: per-block (first-key,
+    count) summaries (block-count-sized) order the blocks and yield
+    prefix offsets; per-block remote tasks attach offset+arange. The
+    two rank tables hash-join on custkey and a distributed top-k
+    returns k rows. Driver state: O(blocks) ints per ranking."""
+    orders = T(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def _fp(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": b["o_custkey"],
+            "cents": pa.array(_round_half_away(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)),
+        })
+
+    per = fast_groupby_agg(
+        orders.map_batches(_fp, batch_format="pyarrow"),
+        ["c_custkey"], {"cents": ("cents", "sum"),
+                        "f": (None, "count")}).materialize()
+
+    def _ranked(metric: str, rank_name: str):
+        srt = per.sort([metric, "c_custkey"], descending=[True, False])
+        refs = srt.to_arrow_refs()
+
+        @ray.remote
+        def _head(t: pa.Table):
+            if t.num_rows == 0:
+                return None
+            return (int(t[metric][0].as_py()),
+                    int(t["c_custkey"][0].as_py()), t.num_rows)
+
+        heads = ray.get([_head.remote(r) for r in refs])
+        order = sorted(
+            (i for i, h in enumerate(heads) if h is not None),
+            key=lambda i: (-heads[i][0], heads[i][1]))
+        offs, acc = {}, 0
+        for i in order:
+            offs[i] = acc
+            acc += heads[i][2]
+
+        @ray.remote
+        def _rk(t: pa.Table, off: int):
+            return pa.table({
+                "c_custkey": t["c_custkey"],
+                rank_name: pa.array(
+                    np.arange(off + 1, off + 1 + t.num_rows,
+                              dtype=np.int64)),
+            })
+
+        return ray.data.from_arrow_refs(
+            [_rk.remote(r, offs[i]) for i, r in enumerate(refs)
+             if heads[i] is not None])
+
+    ra = _ranked("cents", "rank_rev")
+    rb = _ranked("f", "rank_freq")
+    fused = ra.join(rb, "inner", num_partitions=8, on=("c_custkey",))
+
+    def _score(b: pa.Table) -> pa.Table:
+        x = b["rank_rev"].to_numpy(zero_copy_only=False)
+        y = b["rank_freq"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c_custkey": b["c_custkey"],
+            "rank_rev": b["rank_rev"], "rank_freq": b["rank_freq"],
+            "rrf_fp": pa.array(10**9 // (rrf_k + x) + 10**9 // (rrf_k + y)),
+        })
+
+    return fused.map_batches(_score, batch_format="pyarrow") \
+        .sort(["rrf_fp", "c_custkey"], descending=[True, False]).limit(k)
+
+
+ORACLES["rrf_fusion"] = """
+    WITH per AS (
+        SELECT o_custkey AS c,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+               count(*) AS f
+        FROM orders GROUP BY o_custkey),
+    r AS (SELECT c,
+                 row_number() OVER (ORDER BY cents DESC, c) AS ra,
+                 row_number() OVER (ORDER BY f DESC, c) AS rb
+          FROM per)
+    SELECT c AS c_custkey,
+           CAST(ra AS BIGINT) AS rank_rev,
+           CAST(rb AS BIGINT) AS rank_freq,
+           CAST(1000000000 // (60 + ra)
+                + 1000000000 // (60 + rb) AS BIGINT) AS rrf_fp
+    FROM r ORDER BY rrf_fp DESC, c LIMIT 20
+"""
+
+
+# ==================================================== priority sampling
+
+
+def q_priority_sample(sf_dir, k: int = 100):
+    """Priority sampling (Duffield–Lund–Thorup, JACM'07):
+    weight-proportional WITHOUT-replacement sample of k orders, the
+    subset-sum-unbiased sampling rule a 100-TB pipeline uses to keep
+    a small audit sample whose Horvitz–Thompson estimates stay
+    unbiased. Each row draws priority = H // w with H the 60-bit md5
+    of its key (the engine's pinned uniform-hash convention —
+    table_checksum's substr(md5, 1, 15)) and w its weight in cents;
+    the k SMALLEST priorities win (u/w small ⇔ w/u large), so heavy
+    rows are near-certain members. Fully distributed: one vectorized
+    scan computes priorities, a distributed sort+limit picks k — no
+    shuffle, no driver state. H < 2⁶⁰ and w ≥ 1 keep the priority in
+    int64. Ties broken by o_orderkey (md5 collisions aside, the order
+    is total)."""
+    orders = T(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def _prio(b: pa.Table) -> pa.Table:
+        keys = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        w = _round_half_away(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        hv = np.fromiter(
+            (int(hashlib.md5(str(int(x)).encode()).hexdigest()[:15], 16)
+             for x in keys),
+            dtype=np.int64, count=len(keys))
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "w_cents": pa.array(w),
+            "prio": pa.array(hv // w),
+        })
+
+    return orders.map_batches(_prio, batch_format="pyarrow") \
+        .sort(["prio", "o_orderkey"]).limit(k)
+
+
+ORACLES["priority_sample"] = """
+    WITH h AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS w_cents,
+               CAST(concat('0x', substr(md5(
+                   CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        FROM orders)
+    SELECT o_orderkey, w_cents,
+           CAST(hv // w_cents AS BIGINT) AS prio
+    FROM h ORDER BY prio, o_orderkey LIMIT 100
 """

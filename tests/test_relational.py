@@ -2856,3 +2856,113 @@ def test_wl_refinement_brute_force():
     got = q_wl_refinement(SF).to_pandas()
     assert dict(zip(got["color"], got["n_nodes"])) == dict(exp)
     assert got["n_nodes"].sum() == n
+
+
+def test_bm25_ranking_properties():
+    """BM25 top-k: scores agree with an independent float BM25 on
+    ranking (same order), and the integer score is within quantization
+    of the float one scaled."""
+    import math
+    import re
+    from collections import Counter
+
+    from fide_crawler_ray.pipelines.relational import (
+        BM25_QUERY_TERMS, q_bm25_retrieval)
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    tok = re.compile(r"[a-z0-9_]+")
+    toks = {r.doc_id: tok.findall(r.text.lower())
+            for r in docs.itertuples(index=False)}
+    n = len(docs)
+    t_tok = sum(len(v) for v in toks.values())
+    avgdl = t_tok / n
+    df = {t: sum(1 for v in toks.values() if t in v)
+          for t in BM25_QUERY_TERMS}
+    ref = {}
+    for d, v in toks.items():
+        c = Counter(v)
+        s = 0.0
+        for t in BM25_QUERY_TERMS:
+            f = c.get(t, 0)
+            if f:
+                idf = (n - df[t] + 0.5) / (df[t] + 0.5)
+                s += idf * f * 2.2 / (f + 1.2 * (0.25 + 0.75
+                                                 * len(v) / avgdl))
+        if s > 0:
+            ref[d] = s
+    top = sorted(ref, key=lambda d: (-ref[d], d))[:20]
+    got = q_bm25_retrieval(SF).to_pandas()
+    assert got["doc_id"].tolist() == top
+    for r in got.itertuples(index=False):
+        assert math.isclose(r.score_fp / 1e6, ref[r.doc_id],
+                            rel_tol=5e-3)
+        assert r.dl == len(toks[r.doc_id])
+
+
+def test_grouped_ols_matches_polyfit():
+    from fide_crawler_ray.pipelines.relational import (
+        OLS_DAY0, q_grouped_ols)
+
+    o = pd.read_parquet(f"{SF}/orders.parquet",
+                        columns=["o_orderpriority", "o_orderdate",
+                                 "o_totalprice"])
+    o["x"] = o["o_orderdate"].values.astype("datetime64[D]") \
+        .astype(np.int64) - OLS_DAY0
+    o["y"] = np.rint(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    got = q_grouped_ols(SF)
+    for r in got.itertuples(index=False):
+        g = o[o["o_orderpriority"] == r.o_orderpriority]
+        slope, intercept = np.polyfit(g["x"], g["y"], 1)
+        assert abs(r.slope_fp / 1e6 - slope) < 1e-3 + abs(slope) * 1e-6
+        assert abs(r.intercept_fp / 1e6 - intercept) \
+            < 1e-2 + abs(intercept) * 1e-6
+        assert r.n == len(g)
+
+
+def test_rrf_fusion_brute_force():
+    from fide_crawler_ray.pipelines.relational import q_rrf_fusion
+
+    o = pd.read_parquet(f"{SF}/orders.parquet",
+                        columns=["o_custkey", "o_totalprice"])
+    o["cents"] = np.rint(o["o_totalprice"].to_numpy() * 100) \
+        .astype(np.int64)
+    per = o.groupby("o_custkey").agg(
+        cents=("cents", "sum"), f=("cents", "size")).reset_index()
+    ra = per.sort_values(["cents", "o_custkey"],
+                         ascending=[False, True])
+    rank_a = dict(zip(ra["o_custkey"], np.arange(1, len(ra) + 1)))
+    rb = per.sort_values(["f", "o_custkey"], ascending=[False, True])
+    rank_b = dict(zip(rb["o_custkey"], np.arange(1, len(rb) + 1)))
+    score = {c: 10**9 // (60 + rank_a[c]) + 10**9 // (60 + rank_b[c])
+             for c in rank_a}
+    top = sorted(score, key=lambda c: (-score[c], c))[:20]
+    got = q_rrf_fusion(SF).to_pandas()
+    assert got["c_custkey"].tolist() == top
+    for r in got.itertuples(index=False):
+        assert r.rank_rev == rank_a[r.c_custkey]
+        assert r.rank_freq == rank_b[r.c_custkey]
+        assert r.rrf_fp == score[r.c_custkey]
+
+
+def test_priority_sample_brute_force():
+    import hashlib
+
+    from fide_crawler_ray.pipelines.relational import q_priority_sample
+
+    o = pd.read_parquet(f"{SF}/orders.parquet",
+                        columns=["o_orderkey", "o_totalprice"])
+    w = np.rint(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    hv = np.array([int(hashlib.md5(str(int(k)).encode())
+                       .hexdigest()[:15], 16)
+                   for k in o["o_orderkey"]], dtype=np.int64)
+    prio = hv // w
+    ref = pd.DataFrame({"o_orderkey": o["o_orderkey"], "w_cents": w,
+                        "prio": prio}) \
+        .sort_values(["prio", "o_orderkey"]).head(100) \
+        .reset_index(drop=True)
+    got = q_priority_sample(SF).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref)
+    # heavy rows should be overrepresented: mean weight of the sample
+    # exceeds the population mean (weight-proportional inclusion)
+    assert got["w_cents"].mean() > w.mean()
