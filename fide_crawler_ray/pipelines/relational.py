@@ -9791,7 +9791,7 @@ def queries() -> dict:
         "wl_refinement": q_wl_refinement,
         "bm25_retrieval": q_bm25_retrieval,
         "grouped_ols": q_grouped_ols,
-        "rrf_fusion": q_rrf_fusion,
+        "rrf_customer_fusion": q_rrf_customer_fusion,
         "priority_sample": q_priority_sample,
     }
 
@@ -19417,8 +19417,10 @@ BM25_QUERY_TERMS = ("merge", "stream", "window", "hash", "filter", "spark")
 
 def q_bm25_retrieval(sf_dir, k: int = 20):
     """Okapi BM25 top-k retrieval over the document corpus for a fixed
-    6-term query — the lexical-retrieval baseline every search / RAG /
-    training-data-curation stack starts from (k1 = 1.2, b = 0.75).
+    6-term query — the LOG-FREE integer-exact companion to q_bm25_topk
+    (which mirrors the standard ln-idf float expression op-for-op):
+    same k1 = 1.2 / b = 0.75 saturation, but every quantity here is an
+    integer, so the scores are reproducible on any libm.
     All arithmetic is exact integer: the tf-saturation term
     tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) is cleared of floats by
     multiplying through by 10·T (T = total corpus tokens, avgdl = T/N),
@@ -19636,7 +19638,7 @@ ORACLES["grouped_ols"] = """
 # ==================================================== RRF rank fusion
 
 
-def q_rrf_fusion(sf_dir, k: int = 20, rrf_k: int = 60):
+def q_rrf_customer_fusion(sf_dir, k: int = 20, rrf_k: int = 60):
     """Reciprocal-rank fusion of two full customer rankings — by total
     revenue and by order frequency — the standard score-free ensemble
     rule for merging heterogeneous retrieval/ranking lists
@@ -19715,7 +19717,7 @@ def q_rrf_fusion(sf_dir, k: int = 20, rrf_k: int = 60):
         .sort(["rrf_fp", "c_custkey"], descending=[True, False]).limit(k)
 
 
-ORACLES["rrf_fusion"] = """
+ORACLES["rrf_customer_fusion"] = """
     WITH per AS (
         SELECT o_custkey AS c,
                sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,

@@ -2920,8 +2920,8 @@ def test_grouped_ols_matches_polyfit():
         assert r.n == len(g)
 
 
-def test_rrf_fusion_brute_force():
-    from fide_crawler_ray.pipelines.relational import q_rrf_fusion
+def test_rrf_customer_fusion_brute_force():
+    from fide_crawler_ray.pipelines.relational import q_rrf_customer_fusion
 
     o = pd.read_parquet(f"{SF}/orders.parquet",
                         columns=["o_custkey", "o_totalprice"])
@@ -2937,7 +2937,7 @@ def test_rrf_fusion_brute_force():
     score = {c: 10**9 // (60 + rank_a[c]) + 10**9 // (60 + rank_b[c])
              for c in rank_a}
     top = sorted(score, key=lambda c: (-score[c], c))[:20]
-    got = q_rrf_fusion(SF).to_pandas()
+    got = q_rrf_customer_fusion(SF).to_pandas()
     assert got["c_custkey"].tolist() == top
     for r in got.itertuples(index=False):
         assert r.rank_rev == rank_a[r.c_custkey]
