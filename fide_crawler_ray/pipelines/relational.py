@@ -9793,6 +9793,7 @@ def queries() -> dict:
         "grouped_ols": q_grouped_ols,
         "rrf_customer_fusion": q_rrf_customer_fusion,
         "priority_sample": q_priority_sample,
+        "graph_random_walks": q_graph_random_walks,
     }
 
 
@@ -19784,4 +19785,162 @@ ORACLES["priority_sample"] = """
     SELECT o_orderkey, w_cents,
            CAST(hv // w_cents AS BIGINT) AS prio
     FROM h ORDER BY prio, o_orderkey LIMIT 100
+"""
+
+
+# ================================================ deterministic random walks
+
+
+RW_STEPS = 4       # walk length (pinned in the oracle's unrolled CTEs)
+RW_START_MOD = 7   # start set: active nodes ≡ 0 (mod 7)
+
+
+def q_graph_random_walks(sf_dir):
+    """Deterministic random-walk corpus over the derived order graph —
+    the node2vec/DeepWalk TRAINING-DATA generator (walks are the
+    sentences graph-embedding models train on), made bit-reproducible:
+    from every start node (degree ≥ 1, node ≡ 0 mod 7) take RW_STEPS
+    steps where the move out of v at step t of walk w is the
+    r = md5₆₀(w|t|v) mod deg(v) -th SMALLEST neighbor of v. md5 replay
+    makes the "randomness" a pure function both engines state verbatim
+    (the table_checksum substr(md5,1,15) convention), so the corpus —
+    not a statistic of it — is the oracle-checked output.
+
+    Scale plan: the adjacency list is built ONCE with global neighbor
+    ranks via a splitmix64(v)-partitioned vectorized lexsort kernel
+    (no per-node Python); each step is ONE hash join of the
+    walk-frontier against (v, rank) — walk-count-sized probe rows, L
+    joins total, mirroring pagerank's join-per-round plan. No driver
+    state; the md5s are computed on walk rows only (|starts| rows per
+    step, not edges)."""
+    from ..functions.sketches import _splitmix64
+
+    P = 32
+    cust = T(sf_dir, "customer", ["c_custkey"])
+    n = cust.count()
+    edges = _pagerank_edges(sf_dir, n)
+
+    def _sym(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        a = np.concatenate([s, d])
+        bb = np.concatenate([d, s])
+        keep = a != bb
+        return pa.table({"v": pa.array(a[keep], pa.int64()),
+                         "nbr": pa.array(bb[keep], pa.int64())})
+
+    und = fast_groupby_agg(
+        edges.map_batches(_sym, batch_format="pyarrow"),
+        ["v", "nbr"], {"__n": (None, "count")}).drop_columns(["__n"])
+
+    def _part(t: pa.Table) -> pa.Table:
+        v = t["v"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "v": t["v"], "nbr": t["nbr"],
+            "part": pa.array(
+                (_splitmix64(v) % np.uint64(P)).astype(np.int64)),
+        })
+
+    def _rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["v", "nbr"], kind="mergesort")
+        rn = g.groupby("v", sort=False).cumcount()
+        return pd.DataFrame({
+            "av": g["v"].to_numpy(np.int64),
+            "rn": rn.to_numpy(np.int64),
+            "nbr": g["nbr"].to_numpy(np.int64)})
+
+    adj = und.map_batches(_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(_rank, batch_format="pandas") \
+        .materialize()
+    deg = fast_groupby_agg(adj, ["av"], {"deg": (None, "count")}) \
+        .map_batches(lambda t: pa.table({"dv": t["av"], "deg": t["deg"]}),
+                     batch_format="pyarrow").materialize()
+
+    def _starts(t: pa.Table) -> pa.Table:
+        v = t["dv"].to_numpy(zero_copy_only=False)
+        keep = v % RW_START_MOD == 0
+        return pa.table({"walk_id": pa.array(v[keep], pa.int64()),
+                         "v": pa.array(v[keep], pa.int64())})
+
+    frontier = deg.map_batches(_starts, batch_format="pyarrow")
+    out = frontier.map_batches(
+        lambda t: pa.table({"walk_id": t["walk_id"],
+                            "step": pa.array([0] * len(t), pa.int64()),
+                            "node": t["v"]}), batch_format="pyarrow")
+
+    for t_step in range(1, RW_STEPS + 1):
+        cur = frontier.join(deg, "inner", num_partitions=8,
+                            on=("v",), right_on=("dv",))
+
+        def _pick(b: pa.Table, _t=t_step) -> pa.Table:
+            w = b["walk_id"].to_numpy(zero_copy_only=False)
+            v = b["v"].to_numpy(zero_copy_only=False)
+            dg = b["deg"].to_numpy(zero_copy_only=False)
+            r = np.fromiter(
+                (int(hashlib.md5(f"{int(wi)}|{_t}|{int(vi)}".encode())
+                     .hexdigest()[:15], 16) % int(di)
+                 for wi, vi, di in zip(w, v, dg)),
+                dtype=np.int64, count=len(w))
+            return pa.table({"walk_id": b["walk_id"], "jv": b["v"],
+                             "jr": pa.array(r)})
+
+        nxt = cur.map_batches(_pick, batch_format="pyarrow") \
+            .join(adj, "inner", num_partitions=8,
+                  on=("jv", "jr"), right_on=("av", "rn"))
+        frontier = nxt.map_batches(
+            lambda t: pa.table({"walk_id": t["walk_id"], "v": t["nbr"]}),
+            batch_format="pyarrow").materialize()
+        out = out.union(frontier.map_batches(
+            lambda t, _t=t_step: pa.table({
+                "walk_id": t["walk_id"],
+                "step": pa.array([_t] * len(t), pa.int64()),
+                "node": t["v"]}), batch_format="pyarrow"))
+    return out
+
+
+ORACLES["graph_random_walks"] = """
+    WITH nn AS (SELECT count(*) AS n FROM customer),
+    e AS (SELECT o_custkey AS s,
+                 o_orderkey % (SELECT n FROM nn) AS d
+          FROM orders),
+    und AS (SELECT DISTINCT v, nbr FROM (
+            SELECT s AS v, d AS nbr FROM e WHERE s <> d
+            UNION ALL
+            SELECT d AS v, s AS nbr FROM e WHERE s <> d)),
+    adj AS (SELECT v, nbr,
+                   row_number() OVER (PARTITION BY v ORDER BY nbr) - 1
+                       AS rn,
+                   count(*) OVER (PARTITION BY v) AS deg
+            FROM und),
+    dv AS (SELECT DISTINCT v, deg FROM adj),
+    w0 AS (SELECT v AS walk_id, v FROM dv WHERE v % 7 = 0),
+    w1 AS (SELECT w.walk_id, a.nbr AS v
+           FROM w0 w JOIN dv d ON d.v = w.v
+           JOIN adj a ON a.v = w.v AND a.rn =
+               CAST(concat('0x', substr(md5(
+                   CAST(w.walk_id AS VARCHAR) || '|1|' ||
+                   CAST(w.v AS VARCHAR)), 1, 15)) AS BIGINT) % d.deg),
+    w2 AS (SELECT w.walk_id, a.nbr AS v
+           FROM w1 w JOIN dv d ON d.v = w.v
+           JOIN adj a ON a.v = w.v AND a.rn =
+               CAST(concat('0x', substr(md5(
+                   CAST(w.walk_id AS VARCHAR) || '|2|' ||
+                   CAST(w.v AS VARCHAR)), 1, 15)) AS BIGINT) % d.deg),
+    w3 AS (SELECT w.walk_id, a.nbr AS v
+           FROM w2 w JOIN dv d ON d.v = w.v
+           JOIN adj a ON a.v = w.v AND a.rn =
+               CAST(concat('0x', substr(md5(
+                   CAST(w.walk_id AS VARCHAR) || '|3|' ||
+                   CAST(w.v AS VARCHAR)), 1, 15)) AS BIGINT) % d.deg),
+    w4 AS (SELECT w.walk_id, a.nbr AS v
+           FROM w3 w JOIN dv d ON d.v = w.v
+           JOIN adj a ON a.v = w.v AND a.rn =
+               CAST(concat('0x', substr(md5(
+                   CAST(w.walk_id AS VARCHAR) || '|4|' ||
+                   CAST(w.v AS VARCHAR)), 1, 15)) AS BIGINT) % d.deg)
+    SELECT walk_id, CAST(0 AS BIGINT) AS step, v AS node FROM w0
+    UNION ALL SELECT walk_id, CAST(1 AS BIGINT), v FROM w1
+    UNION ALL SELECT walk_id, CAST(2 AS BIGINT), v FROM w2
+    UNION ALL SELECT walk_id, CAST(3 AS BIGINT), v FROM w3
+    UNION ALL SELECT walk_id, CAST(4 AS BIGINT), v FROM w4
 """
