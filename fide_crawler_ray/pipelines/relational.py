@@ -9794,6 +9794,7 @@ def queries() -> dict:
         "rrf_customer_fusion": q_rrf_customer_fusion,
         "priority_sample": q_priority_sample,
         "graph_random_walks": q_graph_random_walks,
+        "betweenness_len2": q_betweenness_len2,
     }
 
 
@@ -19943,4 +19944,105 @@ ORACLES["graph_random_walks"] = """
     UNION ALL SELECT walk_id, CAST(2 AS BIGINT), v FROM w2
     UNION ALL SELECT walk_id, CAST(3 AS BIGINT), v FROM w3
     UNION ALL SELECT walk_id, CAST(4 AS BIGINT), v FROM w4
+"""
+
+
+# ==================================================== length-2 betweenness
+
+
+def q_betweenness_len2(sf_dir):
+    """Exact length-2 betweenness (bridging centrality) over the
+    derived order graph: for every NON-adjacent pair {s,t} with c ≥ 1
+    common neighbors, d(s,t) = 2 and every shortest path runs through
+    exactly one common neighbor, so each common neighbor v earns
+    σ_sv·σ_vt/σ_st = 1/c. This is the d≤2 slice of Brandes'
+    betweenness — the slice that is exactly SQL-expressible — and it
+    is computed in PURE integer arithmetic (credit = 10⁹ // c, floor
+    division mirrored verbatim in the oracle), so the comparison is
+    bitwise, not float-tolerant.
+
+    Scale plan: identical wedge topology to q_clustering_coefficient
+    (adjacency self-join keyed on the wedge CENTER — volume Σ deg²,
+    partitioned hash joins throughout); the pair table is
+    de-adjacencied with ONE anti-join against the distinct edge list,
+    then joined back to the wedge rows for per-center credit. No
+    driver state, no all-pairs: everything is wedge- or node-sized."""
+    n = T(sf_dir, "customer", ["c_custkey"]).count()
+    raw = _pagerank_edges(sf_dir, n)
+
+    def _norm(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({
+            "u": pa.array(np.minimum(s, d), pa.int64()),
+            "v": pa.array(np.maximum(s, d), pa.int64()),
+        })
+
+    edges = fast_groupby_agg(
+        raw.map_batches(_norm, batch_format="pyarrow"),
+        ["u", "v"], {"_n": (None, "count")},
+    ).map_batches(lambda b: b.select(["u", "v"]),
+                  batch_format="pyarrow").materialize()
+    adj = edges.map_batches(
+        lambda b: pa.table({
+            "c": pa.array(np.concatenate(
+                [b["u"].to_numpy(zero_copy_only=False),
+                 b["v"].to_numpy(zero_copy_only=False)]), pa.int64()),
+            "nb": pa.array(np.concatenate(
+                [b["v"].to_numpy(zero_copy_only=False),
+                 b["u"].to_numpy(zero_copy_only=False)]), pa.int64()),
+        }),
+        batch_format="pyarrow").materialize()
+    right = adj.map_batches(
+        lambda b: b.rename_columns(["c_r", "nb2"]),
+        batch_format="pyarrow")
+    wedges = adj.join(right, "inner", num_partitions=8,
+                      on=("c",), right_on=("c_r",)).map_batches(
+        lambda b: b.filter(pc.less(b["nb"], b["nb2"]))
+        .rename_columns(["ctr", "a", "b"]),
+        batch_format="pyarrow").materialize()
+    pairs = fast_groupby_agg(wedges, ["a", "b"], {"n_cn": (None, "count")})
+    nonadj = pairs.join(
+        edges.map_batches(lambda b: b.rename_columns(["a_r", "b_r"]),
+                          batch_format="pyarrow"),
+        "left_anti", num_partitions=8, on=("a", "b"),
+        right_on=("a_r", "b_r"))
+    credited = wedges.join(nonadj, "inner", num_partitions=8,
+                           on=("a", "b"))
+
+    def _credit(b: pa.Table) -> pa.Table:
+        c = b["n_cn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "node": b["ctr"],
+            "credit": pa.array(10**9 // c, pa.int64()),
+        })
+
+    scored = credited.map_batches(_credit, batch_format="pyarrow")
+    return fast_groupby_agg(
+        scored, ["node"],
+        {"n_pairs": (None, "count"), "bw2_fp": ("credit", "sum")})
+
+
+ORACLES["betweenness_len2"] = """
+    WITH nn AS (SELECT count(*) AS n FROM customer),
+    raw AS (SELECT o_custkey AS s,
+                   o_orderkey % (SELECT n FROM nn) AS d
+            FROM orders),
+    e AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+          FROM raw WHERE s <> d),
+    adj AS (SELECT u AS c, v AS nb FROM e
+            UNION ALL SELECT v AS c, u AS nb FROM e),
+    wedge AS (SELECT a1.c AS ctr, a1.nb AS a, a2.nb AS b
+              FROM adj a1 JOIN adj a2
+                ON a1.c = a2.c AND a1.nb < a2.nb),
+    pairs AS (SELECT a, b, count(*) AS n_cn FROM wedge GROUP BY a, b),
+    nonadj AS (SELECT p.a, p.b, p.n_cn FROM pairs p
+               ANTI JOIN e ON e.u = p.a AND e.v = p.b)
+    SELECT w.ctr AS node,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(1000000000 // na.n_cn) AS BIGINT) AS bw2_fp
+    FROM wedge w JOIN nonadj na ON na.a = w.a AND na.b = w.b
+    GROUP BY w.ctr
 """
