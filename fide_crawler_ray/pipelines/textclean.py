@@ -1022,6 +1022,7 @@ def queries() -> dict:
         "span_dedup": q_span_dedup,
         "chunk_documents": q_chunk_documents,
         "length_band_filter": q_length_band_filter,
+        "span_keep_first": q_span_keep_first,
     }
 
 
@@ -1253,3 +1254,130 @@ def q_tokenizer_fertility(sf_dir, n_merges: int = BPE_MERGES):
         "fertility_fp": fert.astype(np.int64),
         "chars_per_token_fp": cpt.astype(np.int64),
     })
+
+
+# =================================================== keep-first span dedup
+
+SPAN_KF_W = 10          # tumbling-span width in tokens
+SPAN_KF_ORD_BITS = 20   # ord must fit in 2^20 spans per doc
+
+
+def q_span_keep_first(sf_dir, w: int = SPAN_KF_W):
+    """C4-style KEEP-FIRST span dedup with corpus reassembly (Raffel et
+    al., "Exploring the Limits of Transfer Learning", §2.2: "we
+    discarded all but one of any three-sentence span occurring more
+    than once") at tumbling ``w``-token granularity: every duplicated
+    span survives only at its globally FIRST position (minimal
+    (doc_id, ord)), every other occurrence is cut, and each document is
+    re-joined from its surviving spans in order. Unlike q_span_dedup
+    (which COUNTS duplicated sliding windows and gates whole docs),
+    this emits the cleaned corpus itself — per doc the span counts
+    before/after and the md5 fingerprint of the cleaned text, so the
+    oracle checks the actual output bytes.
+
+    Scale plan (100 TB): span extraction is one map pass (pandas
+    explode + arange token ordinals + a C-grouped ' '.join — a doc's
+    spans never leave its batch); the winner table is ONE groupby over
+    spans keyed on the span text carrying only min(pos) — exchange rows
+    are span-count-sized, pre-deduped map-side by the partial-agg
+    combine; the keep decision is a hash join of spans against winners
+    (no broadcast of anything corpus-sized); reassembly is a per-doc
+    map_groups whose groups are document-sized. pos packs (doc_id,
+    ord) into one int64 so min() is a plain mergeable aggregate."""
+    docs = T(sf_dir, "documents", ["doc_id", "text"])
+
+    def _spans(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "ord": pd.Series([], dtype="int64"),
+                "span": pd.Series([], dtype="object"),
+                "pos": pd.Series([], dtype="int64")})
+        toks = df["text"].str.split(" ")
+        lens = toks.str.len().to_numpy(np.int64)
+        doc = np.repeat(df["doc_id"].to_numpy(np.int64), lens)
+        flat = toks.explode().to_numpy()
+        tord = np.arange(lens.sum(), dtype=np.int64) \
+            - np.repeat(np.cumsum(lens) - lens, lens)
+        ordv = tord // w
+        if len(ordv) and int(ordv.max()) >= (1 << SPAN_KF_ORD_BITS):
+            raise ValueError("doc exceeds 2^20 spans; widen pos packing")
+        g = pd.DataFrame({"doc_id": doc, "ord": ordv, "tok": flat}) \
+            .groupby(["doc_id", "ord"], sort=False)["tok"] \
+            .agg(" ".join).reset_index()
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64"),
+            "ord": g["ord"].astype("int64"),
+            "span": g["tok"],
+            "pos": (g["doc_id"].astype("int64")
+                    * (1 << SPAN_KF_ORD_BITS)
+                    + g["ord"].astype("int64")).astype("int64")})
+
+    spans = docs.map_batches(_spans, batch_format="pandas").materialize()
+    nspans = fast_groupby_agg(spans, ["doc_id"],
+                              {"n_spans": (None, "count")})
+    winners = fast_groupby_agg(spans, ["span"], {"mpos": ("pos", "min")})
+    kept = spans.join(winners, "inner", num_partitions=8, on=("span",)) \
+        .filter(expr="pos == mpos")
+
+    def _reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ord", kind="mergesort")
+        clean = " ".join(g["span"].tolist())
+        fp = int(hashlib.md5(clean.encode()).hexdigest()[:15], 16)
+        return pd.DataFrame({
+            "doc_id": [np.int64(g["doc_id"].iloc[0])],
+            "n_kept": [np.int64(len(g))],
+            "clean_fp": [np.int64(fp)]})
+
+    re = kept.groupby("doc_id").map_groups(_reassemble,
+                                           batch_format="pandas")
+    out = nspans.join(re.map_batches(
+        lambda b: b.rename_columns(["doc_id_r", "n_kept", "clean_fp"]),
+        batch_format="pyarrow"),
+        "left_outer", num_partitions=8,
+        on=("doc_id",), right_on=("doc_id_r",))
+    empty_fp = int(hashlib.md5(b"").hexdigest()[:15], 16)
+
+    def _fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_spans": b["n_spans"],
+            "n_kept": pc.cast(pc.fill_null(b["n_kept"], 0), pa.int64()),
+            "clean_fp": pc.cast(
+                pc.fill_null(b["clean_fp"], empty_fp), pa.int64())})
+
+    return out.map_batches(_fin, batch_format="pyarrow")
+
+
+ORACLES["span_keep_first"] = f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tk,
+               unnest(generate_series(
+                   1, len(string_split(text, ' ')))) AS tord
+        FROM documents),
+    sp AS (
+        SELECT doc_id, CAST((tord - 1) // {SPAN_KF_W} AS BIGINT) AS ord,
+               string_agg(tk, ' ' ORDER BY tord) AS span
+        FROM tok GROUP BY doc_id, ord),
+    win AS (
+        SELECT span,
+               min(doc_id * {1 << SPAN_KF_ORD_BITS} + ord) AS mpos
+        FROM sp GROUP BY span),
+    kept AS (
+        SELECT s.doc_id, s.ord, s.span
+        FROM sp s JOIN win w
+          ON w.span = s.span
+         AND s.doc_id * {1 << SPAN_KF_ORD_BITS} + s.ord = w.mpos),
+    re AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(span, ' ' ORDER BY ord) AS clean
+        FROM kept GROUP BY doc_id),
+    ns AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id)
+    SELECT ns.doc_id,
+           CAST(ns.n_spans AS BIGINT) AS n_spans,
+           CAST(coalesce(re.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(concat('0x', substr(md5(coalesce(re.clean, '')), 1, 15))
+                AS BIGINT) AS clean_fp
+    FROM ns LEFT JOIN re ON re.doc_id = ns.doc_id
+"""
