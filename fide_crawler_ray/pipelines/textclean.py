@@ -1023,6 +1023,7 @@ def queries() -> dict:
         "chunk_documents": q_chunk_documents,
         "length_band_filter": q_length_band_filter,
         "span_keep_first": q_span_keep_first,
+        "interleave_curriculum": q_interleave_curriculum,
     }
 
 
@@ -1380,4 +1381,89 @@ ORACLES["span_keep_first"] = f"""
            CAST(concat('0x', substr(md5(coalesce(re.clean, '')), 1, 15))
                 AS BIGINT) AS clean_fp
     FROM ns LEFT JOIN re ON re.doc_id = ns.doc_id
+"""
+
+
+# ================================================ curriculum interleaving
+
+
+def q_interleave_curriculum(sf_dir):
+    """Deterministic TRAINING-ORDER materialization: rank documents
+    within each source by quality (n_chars DESC, doc_id tie-break) and
+    round-robin-interleave the sources — position = (rank−1)·n_sources
+    + source_index — so every training-window prefix sees all sources
+    at their per-source quality frontier (the curriculum + source-
+    balancing order GPT-class data loaders consume). All-integer, so
+    the emitted order is bit-reproducible across cluster sizes.
+
+    Scale plan: ONE distributed sort by (source, quality↓, doc_id);
+    within-source global ranks are stitched from per-block per-source
+    counts (driver state O(blocks × sources) ints — sources are a
+    handful, blocks are thousands at 100 TB) exactly like
+    q_rrf_customer_fusion's block-offset row_number; position assembly
+    is a per-block map task. No group ever materializes on one
+    worker — the per-key map_groups trap for source-sized groups is
+    avoided."""
+    import ray.data as rd
+
+    docs = T(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    srt = docs.sort(["source", "n_chars", "doc_id"],
+                    descending=[False, True, False]).materialize()
+    refs = srt.to_arrow_refs()
+
+    @ray.remote
+    def _counts(t: pa.Table):
+        if t.num_rows == 0:
+            return []
+        s = pd.Series(t["source"].to_pylist())
+        vc = s.groupby(s, sort=True).size()
+        return list(zip(vc.index.tolist(), vc.to_numpy().tolist()))
+
+    per_block = ray.get([_counts.remote(r) for r in refs])
+    running: dict[str, int] = {}
+    offsets: list[dict[str, int]] = []
+    for blk in per_block:
+        offsets.append({src: running.get(src, 0) for src, _ in blk})
+        for src, c in blk:
+            running[src] = running.get(src, 0) + c
+    sources = sorted(running)
+    src_idx = {s: i for i, s in enumerate(sources)}
+    nsrc = len(sources)
+
+    @ray.remote
+    def _pos(t: pa.Table, off: dict, idx: dict, k: int):
+        if t.num_rows == 0:
+            return pa.table({"pos": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "source": pa.array([], pa.string()),
+                             "r": pa.array([], pa.int64())})
+        src = pd.Series(t["source"].to_pylist())
+        within = src.groupby(src, sort=False).cumcount().to_numpy(
+            np.int64)
+        base = src.map(off).to_numpy(np.int64)
+        si = src.map(idx).to_numpy(np.int64)
+        r = base + within + 1
+        return pa.table({
+            "pos": pa.array((r - 1) * k + si, pa.int64()),
+            "doc_id": t["doc_id"],
+            "source": t["source"],
+            "r": pa.array(r, pa.int64())})
+
+    ranked = rd.from_arrow_refs(
+        [_pos.remote(ref, offsets[i], src_idx, nsrc)
+         for i, ref in enumerate(refs)])
+    return ranked.sort("pos")
+
+
+ORACLES["interleave_curriculum"] = """
+    WITH s AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS r,
+               dense_rank() OVER (ORDER BY source) AS si
+        FROM documents),
+    k AS (SELECT count(DISTINCT source) AS n FROM documents)
+    SELECT CAST((s.r - 1) * k.n + s.si - 1 AS BIGINT) AS pos,
+           s.doc_id, s.source, CAST(s.r AS BIGINT) AS r
+    FROM s, k ORDER BY pos
 """
