@@ -9795,6 +9795,7 @@ def queries() -> dict:
         "priority_sample": q_priority_sample,
         "graph_random_walks": q_graph_random_walks,
         "betweenness_len2": q_betweenness_len2,
+        "growth_accounting": q_growth_accounting,
     }
 
 
@@ -20045,4 +20046,116 @@ ORACLES["betweenness_len2"] = """
            CAST(sum(1000000000 // na.n_cn) AS BIGINT) AS bw2_fp
     FROM wedge w JOIN nonadj na ON na.a = w.a AND na.b = w.b
     GROUP BY w.ctr
+"""
+
+
+# ===================================================== growth accounting
+
+
+def q_growth_accounting(sf_dir):
+    """Daily growth accounting over event activity — the standard
+    DAU decomposition (new / retained / resurrected, plus churned
+    attributed to the day AFTER last activity): for each user-day,
+    classify it against the user's previous active day, and count
+    churn events where the next active day is not adjacent. Extends
+    q_cohort_retention (fixed cohort × offset matrix) with the
+    flow-based view growth teams actually chart. Days are integer
+    epoch-day indexed so every comparison is int64 — no interval
+    arithmetic to disagree on. (Day granularity because the synthetic
+    event stream spans one month; the plan is period-agnostic.)
+
+    Scale plan: ONE distinct-pair groupby collapses events to
+    user-days (mergeable, exchange is active-pairs-sized); the
+    classification is a per-user map_groups whose groups are
+    months-per-user-sized (bounded by the calendar, not the data); the
+    final month × kind rollup is a tiny groupby. The only driver state
+    is the global max month (one int)."""
+    from ray.data.aggregate import Max
+
+    ev = T(sf_dir, "events", ["user_id", "ts"])
+
+    def _um(b: pa.Table) -> pa.Table:
+        d = pc.cast(pc.cast(b["ts"], pa.date32()), pa.int32()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b["user_id"],
+            "m": pa.array(d.astype(np.int64), pa.int64())})
+
+    pairs = fast_groupby_agg(
+        ev.map_batches(_um, batch_format="pyarrow"),
+        ["user_id", "m"], {"_n": (None, "count")}) \
+        .drop_columns(["_n"]).materialize()
+    mm = pairs.aggregate(Max("m"))["max(m)"]
+
+    def _classify(g: pd.DataFrame) -> pd.DataFrame:
+        ms = np.sort(g["m"].to_numpy(np.int64))
+        prev = np.empty_like(ms)
+        prev[0] = -1
+        prev[1:] = ms[:-1]
+        is_new = prev == -1
+        is_ret = prev == ms - 1
+        is_res = (~is_new) & (~is_ret)
+        nxt = np.empty_like(ms)
+        nxt[:-1] = ms[1:]
+        nxt[-1] = np.iinfo(np.int64).max
+        churn_at = ms[nxt > ms + 1] + 1
+        churn_at = churn_at[churn_at <= mm]
+        out_m = np.concatenate([ms, churn_at])
+        z = np.zeros(len(churn_at), dtype=np.int64)
+        return pd.DataFrame({
+            "m": out_m,
+            "n_new": np.concatenate([is_new.astype(np.int64), z]),
+            "n_retained": np.concatenate([is_ret.astype(np.int64), z]),
+            "n_resurrected": np.concatenate([is_res.astype(np.int64), z]),
+            "n_churned": np.concatenate([np.zeros(len(ms), np.int64),
+                                         z + 1])})
+
+    flows = pairs.groupby("user_id").map_groups(_classify,
+                                                batch_format="pandas")
+    out = fast_groupby_agg(flows, ["m"], {
+        "n_new": ("n_new", "sum"), "n_retained": ("n_retained", "sum"),
+        "n_resurrected": ("n_resurrected", "sum"),
+        "n_churned": ("n_churned", "sum")})
+    return out.map_batches(
+        lambda b: b.rename_columns(
+            ["day_idx", "n_new", "n_retained", "n_resurrected",
+             "n_churned"]), batch_format="pyarrow")
+
+
+ORACLES["growth_accounting"] = """
+    WITH um AS (
+        SELECT DISTINCT user_id,
+               CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(ts AS DATE)) AS BIGINT) AS m
+        FROM events),
+    mx AS (SELECT max(m) AS mm FROM um),
+    seq AS (
+        SELECT user_id, m,
+               lag(m) OVER (PARTITION BY user_id ORDER BY m) AS pm,
+               lead(m) OVER (PARTITION BY user_id ORDER BY m) AS nm
+        FROM um),
+    base AS (
+        SELECT m,
+               CASE WHEN pm IS NULL THEN 1 ELSE 0 END AS is_new,
+               CASE WHEN pm = m - 1 THEN 1 ELSE 0 END AS is_ret,
+               CASE WHEN pm IS NOT NULL AND pm < m - 1
+                    THEN 1 ELSE 0 END AS is_res
+        FROM seq),
+    ag AS (
+        SELECT m, CAST(sum(is_new) AS BIGINT) AS n_new,
+               CAST(sum(is_ret) AS BIGINT) AS n_retained,
+               CAST(sum(is_res) AS BIGINT) AS n_resurrected
+        FROM base GROUP BY m),
+    ch AS (
+        SELECT s.m + 1 AS m, CAST(count(*) AS BIGINT) AS n_ch
+        FROM seq s, mx
+        WHERE (s.nm IS NULL OR s.nm > s.m + 1) AND s.m + 1 <= mx.mm
+        GROUP BY s.m + 1)
+    SELECT coalesce(ag.m, ch.m) AS day_idx,
+           CAST(coalesce(ag.n_new, 0) AS BIGINT) AS n_new,
+           CAST(coalesce(ag.n_retained, 0) AS BIGINT) AS n_retained,
+           CAST(coalesce(ag.n_resurrected, 0) AS BIGINT)
+               AS n_resurrected,
+           CAST(coalesce(ch.n_ch, 0) AS BIGINT) AS n_churned
+    FROM ag FULL OUTER JOIN ch ON ch.m = ag.m
 """
