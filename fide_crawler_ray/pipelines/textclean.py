@@ -1024,6 +1024,7 @@ def queries() -> dict:
         "length_band_filter": q_length_band_filter,
         "span_keep_first": q_span_keep_first,
         "interleave_curriculum": q_interleave_curriculum,
+        "token_dropout_aug": q_token_dropout_aug,
     }
 
 
@@ -1466,4 +1467,83 @@ ORACLES["interleave_curriculum"] = """
     SELECT CAST((s.r - 1) * k.n + s.si - 1 AS BIGINT) AS pos,
            s.doc_id, s.source, CAST(s.r AS BIGINT) AS r
     FROM s, k ORDER BY pos
+"""
+
+
+# ==================================================== dropout augmentation
+
+
+def q_token_dropout_aug(sf_dir):
+    """Reproducible token-dropout augmentation: drop a token iff the
+    first hex digit of md5("{doc_id}|{position}") is '0' (p = 1/16) and
+    re-join the survivors in order — the data-augmentation pattern
+    (word dropout, Iyyer et al. 2015) made bit-deterministic so an
+    augmented 100-TB corpus can be regenerated, audited, or diffed
+    instead of stored. Output per doc: token counts before/after and
+    the md5 fingerprint of the augmented text, so the oracle checks the
+    emitted bytes, not a statistic.
+
+    Scale plan: ONE shuffle-free map_batches — a document never leaves
+    its batch (split, per-position md5 gate, C-grouped ' '.join). No
+    exchange at all; linear md5 work in corpus tokens, the same cost
+    class as exact-dedup hashing."""
+    docs = T(sf_dir, "documents", ["doc_id", "text"])
+
+    def _aug(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_tokens": pd.Series([], dtype="int64"),
+                "n_kept": pd.Series([], dtype="int64"),
+                "aug_fp": pd.Series([], dtype="int64")})
+        toks = df["text"].str.split(" ")
+        lens = toks.str.len().to_numpy(np.int64)
+        doc = np.repeat(df["doc_id"].to_numpy(np.int64), lens)
+        flat = toks.explode().to_numpy()
+        tord = np.arange(lens.sum(), dtype=np.int64) \
+            - np.repeat(np.cumsum(lens) - lens, lens)
+        keep = np.fromiter(
+            (hashlib.md5(f"{d}|{t}".encode()).hexdigest()[0] != "0"
+             for d, t in zip(doc, tord)),
+            dtype=bool, count=len(doc))
+        kept = pd.DataFrame({"doc_id": doc[keep], "tok": flat[keep]})
+        joined = kept.groupby("doc_id", sort=False)["tok"] \
+            .agg(" ".join)
+        nk = kept.groupby("doc_id", sort=False)["tok"].size()
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "n_tokens": lens})
+        out["n_kept"] = out["doc_id"].map(nk).fillna(0).astype(np.int64)
+        out["aug_fp"] = out["doc_id"].map(
+            joined.map(lambda s: np.int64(
+                int(hashlib.md5(s.encode()).hexdigest()[:15], 16)))
+        ).fillna(np.int64(
+            int(hashlib.md5(b"").hexdigest()[:15], 16))).astype(np.int64)
+        return out
+
+    return docs.map_batches(_aug, batch_format="pandas")
+
+
+ORACLES["token_dropout_aug"] = """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tk,
+               unnest(generate_series(
+                   1, len(string_split(text, ' ')))) AS tord
+        FROM documents),
+    kept AS (
+        SELECT doc_id, tk, tord FROM tok
+        WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|'
+                         || CAST(tord - 1 AS VARCHAR)), 1, 1) <> '0'),
+    re AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(tk, ' ' ORDER BY tord) AS aug
+        FROM kept GROUP BY doc_id),
+    ns AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id)
+    SELECT ns.doc_id,
+           CAST(ns.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(re.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(concat('0x', substr(md5(coalesce(re.aug, '')), 1, 15))
+                AS BIGINT) AS aug_fp
+    FROM ns LEFT JOIN re ON re.doc_id = ns.doc_id
 """
