@@ -9796,6 +9796,7 @@ def queries() -> dict:
         "graph_random_walks": q_graph_random_walks,
         "betweenness_len2": q_betweenness_len2,
         "growth_accounting": q_growth_accounting,
+        "graph_modularity": q_graph_modularity,
     }
 
 
@@ -20158,4 +20159,119 @@ ORACLES["growth_accounting"] = """
                AS n_resurrected,
            CAST(coalesce(ch.n_ch, 0) AS BIGINT) AS n_churned
     FROM ag FULL OUTER JOIN ch ON ch.m = ag.m
+"""
+
+
+# ====================================================== graph modularity
+
+
+def q_graph_modularity(sf_dir):
+    """Exact Newman–Girvan modularity of the nation partition over the
+    derived order graph — Q = Σ_c e_c/m − Σ_c (d_c/2m)², the quality
+    score community detectors optimize, here evaluated for the given
+    attribute communities (the endpoint customer's nation). Computed
+    over the COMMON fraction form Q = (4m·Σe_c − Σd_c²) / 4m², with
+    the numerator assembled in arbitrary-precision Python ints (at
+    100 TB Σd_c² overflows int64; the oracle's HUGEINT does the same
+    128-bit job) and ONE floored ×10⁹ division — bitwise, no floats.
+
+    Scale plan: edges label their endpoints via TWO hash joins against
+    the customer dimension (fact-scale — never broadcast, per the
+    region_revenue guard lesson); intra-edge and degree-mass rollups
+    are nation-keyed groupbys whose outputs are community-sized (25
+    rows), the only thing the driver ever sees."""
+    edges = _modularity_edges(sf_dir)
+    m = edges.count()
+    cust = T(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cu = cust.map_batches(
+        lambda b: pa.table({"k": b["c_custkey"], "nat": b["c_nationkey"]}),
+        batch_format="pyarrow").materialize()
+    lab = edges.join(cu, "inner", num_partitions=8,
+                     on=("u",), right_on=("k",)) \
+        .map_batches(lambda b: pa.table({
+            "v": b["v"], "nu": b["nat"]}), batch_format="pyarrow") \
+        .join(cu.map_batches(
+            lambda b: b.rename_columns(["k2", "nat2"]),
+            batch_format="pyarrow"),
+        "inner", num_partitions=8, on=("v",), right_on=("k2",))
+    intra = lab.map_batches(
+        lambda b: pa.table({
+            "nat": b["nu"],
+            "i": pc.cast(pc.equal(b["nu"], b["nat2"]), pa.int64())}),
+        batch_format="pyarrow")
+    ec = fast_groupby_agg(intra, ["nat"], {"e_c": ("i", "sum")}) \
+        .to_pandas()
+    adj = edges.map_batches(
+        lambda b: pa.table({"node": pa.array(np.concatenate(
+            [b["u"].to_numpy(zero_copy_only=False),
+             b["v"].to_numpy(zero_copy_only=False)]), pa.int64())}),
+        batch_format="pyarrow")
+    deg = fast_groupby_agg(adj, ["node"], {"d": (None, "count")})
+    dc = fast_groupby_agg(
+        deg.join(cu, "inner", num_partitions=8,
+                 on=("node",), right_on=("k",)),
+        ["nat"], {"d_c": ("d", "sum")}).to_pandas()
+    se = int(ec["e_c"].sum())
+    sd2 = sum(int(x) ** 2 for x in dc["d_c"])
+    q_fp = (4 * m * se - sd2) * 10**9 // (4 * m * m)
+    return pd.DataFrame({
+        "n_edges": [np.int64(m)],
+        "n_comms": [np.int64(len(dc))],
+        "sum_intra": [np.int64(se)],
+        "q_fp": [np.int64(q_fp)]})
+
+
+def _modularity_edges(sf_dir):
+    """Distinct undirected (u<v) edges of the derived order graph."""
+    n = T(sf_dir, "customer", ["c_custkey"]).count()
+    raw = _pagerank_edges(sf_dir, n)
+
+    def _norm(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({
+            "u": pa.array(np.minimum(s, d), pa.int64()),
+            "v": pa.array(np.maximum(s, d), pa.int64())})
+
+    return fast_groupby_agg(
+        raw.map_batches(_norm, batch_format="pyarrow"),
+        ["u", "v"], {"_n": (None, "count")},
+    ).map_batches(lambda b: b.select(["u", "v"]),
+                  batch_format="pyarrow").materialize()
+
+
+ORACLES["graph_modularity"] = """
+    WITH nn AS (SELECT count(*) AS n FROM customer),
+    raw AS (SELECT o_custkey AS s,
+                   o_orderkey % (SELECT n FROM nn) AS d
+            FROM orders),
+    e AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+          FROM raw WHERE s <> d),
+    m AS (SELECT count(*) AS c FROM e),
+    cu AS (SELECT c_custkey AS k, c_nationkey AS nat FROM customer),
+    lab AS (SELECT cu1.nat AS nu, cu2.nat AS nv
+            FROM e JOIN cu cu1 ON cu1.k = e.u
+                   JOIN cu cu2 ON cu2.k = e.v),
+    se AS (SELECT count(*) AS s FROM lab WHERE nu = nv),
+    deg AS (SELECT node, count(*) AS d FROM (
+                SELECT u AS node FROM e
+                UNION ALL SELECT v AS node FROM e)
+            GROUP BY node),
+    dc AS (SELECT cu.nat, sum(deg.d) AS d_c
+           FROM deg JOIN cu ON cu.k = deg.node GROUP BY cu.nat),
+    agg AS (SELECT (SELECT s FROM se) AS se,
+                   (SELECT sum(d_c * d_c) FROM dc) AS sd2,
+                   (SELECT c FROM m) AS mm,
+                   (SELECT count(*) FROM dc) AS nc)
+    SELECT CAST(mm AS BIGINT) AS n_edges,
+           CAST(nc AS BIGINT) AS n_comms,
+           CAST(se AS BIGINT) AS sum_intra,
+           CAST((4 * mm * se - sd2) * 1000000000 // (4 * mm * mm)
+                - CASE WHEN (4 * mm * se - sd2) * 1000000000
+                            % (4 * mm * mm) <> 0
+                            AND (4 * mm * se - sd2) < 0
+                       THEN 1 ELSE 0 END AS BIGINT) AS q_fp
+    FROM agg
 """
