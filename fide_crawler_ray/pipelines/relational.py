@@ -9797,6 +9797,7 @@ def queries() -> dict:
         "betweenness_len2": q_betweenness_len2,
         "growth_accounting": q_growth_accounting,
         "graph_modularity": q_graph_modularity,
+        "vocab_coverage": q_vocab_coverage,
     }
 
 
@@ -20274,4 +20275,70 @@ ORACLES["graph_modularity"] = """
                             AND (4 * mm * se - sd2) < 0
                        THEN 1 ELSE 0 END AS BIGINT) AS q_fp
     FROM agg
+"""
+
+
+# ====================================================== vocab coverage
+
+
+VOCAB_COVERAGE_KS = (10, 100, 1000)
+
+
+def q_vocab_coverage(sf_dir, ks: tuple = VOCAB_COVERAGE_KS):
+    """Vocabulary coverage curve: what fraction of the corpus's total
+    token mass the top-k most frequent terms cover, k ∈ {10, 100,
+    1000} — the Zipf-mass diagnostic that sizes tokenizer vocabularies
+    and stopword lists (complement of q_hapax_ratio's tail view).
+    Coverage is mass_k·10⁹ // total in arbitrary-precision Python ints
+    (total token mass at 100 TB overflows int64; the oracle's HUGEINT
+    window sum does the same job).
+
+    Scale plan: per-batch pandas value_counts folds tokens to (term,
+    count) partials map-side, ONE vocabulary-sized groupby sums them,
+    and a distributed sort+limit(max k) brings exactly 1000 rows to
+    the driver — bounded constant at any corpus size. Total mass rides
+    the same partials; nothing corpus-sized moves."""
+    docs = T(sf_dir, "documents", ["text"])
+
+    def _tc(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].str.split(" ").explode().value_counts()
+        return pd.DataFrame({"term": vc.index.astype(object),
+                             "c": vc.to_numpy(np.int64)})
+
+    counts = fast_groupby_agg(
+        docs.map_batches(_tc, batch_format="pandas"),
+        ["term"], {"c": ("c", "sum")}).materialize()
+    from ray.data.aggregate import Sum
+
+    total = int(counts.aggregate(Sum("c"))["sum(c)"])
+    top = counts.sort(["c", "term"], descending=[True, False]) \
+        .limit(max(ks)).to_pandas()
+    cum = top["c"].to_numpy(np.int64).cumsum()
+    rows = []
+    for k in ks:
+        mass = int(cum[min(k, len(cum)) - 1]) if len(cum) else 0
+        rows.append({"k": np.int64(k),
+                     "topk_mass": np.int64(mass),
+                     "total_mass": np.int64(total),
+                     "coverage_fp": np.int64(mass * 10**9 // total)})
+    return pd.DataFrame(rows)
+
+
+ORACLES["vocab_coverage"] = """
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+    tc AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    tot AS (SELECT sum(c) AS s FROM tc),
+    top AS (SELECT c, row_number() OVER (ORDER BY c DESC, t) AS r
+            FROM tc),
+    cum AS (SELECT r, sum(c) OVER (ORDER BY r) AS cm
+            FROM top WHERE r <= 1000),
+    ks AS (SELECT unnest([10, 100, 1000]) AS k)
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           CAST((SELECT max(cm) FROM cum WHERE r <= ks.k) AS BIGINT)
+               AS topk_mass,
+           CAST(tot.s AS BIGINT) AS total_mass,
+           CAST((SELECT max(cm) FROM cum WHERE r <= ks.k)
+                * 1000000000 // tot.s AS BIGINT) AS coverage_fp
+    FROM ks, tot
 """
