@@ -9798,6 +9798,7 @@ def queries() -> dict:
         "growth_accounting": q_growth_accounting,
         "graph_modularity": q_graph_modularity,
         "vocab_coverage": q_vocab_coverage,
+        "padding_efficiency": q_padding_efficiency,
     }
 
 
@@ -20341,4 +20342,109 @@ ORACLES["vocab_coverage"] = """
            CAST((SELECT max(cm) FROM cum WHERE r <= ks.k)
                 * 1000000000 // tot.s AS BIGINT) AS coverage_fp
     FROM ks, tot
+"""
+
+
+# ==================================================== padding efficiency
+
+
+PAD_BATCH = 32
+
+
+def q_padding_efficiency(sf_dir, b: int = PAD_BATCH):
+    """Padding-waste audit of fixed-size training batches: group docs
+    into batches of ``b`` under (1) arrival order (doc_id) and (2)
+    length-sorted order, pad every sequence in a batch to the batch
+    max, and report the padded-token share each policy wastes — the
+    measurement that justifies length-bucketed batching (and
+    complements q_pack_sequences' packing path). All integers: waste =
+    Σ_batch (rows·max_len − Σlen), share = waste·10⁹ // padded_total.
+
+    Scale plan: ONE map pass folds docs to (doc_id, len) rows; each
+    ordering is a distributed sort whose global row_numbers are
+    stitched from per-block counts (the q_rrf_customer_fusion
+    block-offset pattern — O(blocks) driver ints, no driver
+    materialization); batch stats are a batch-count-sized groupby and
+    the final two-row rollup is constant-sized."""
+    import ray.data as rd
+
+    docs = T(sf_dir, "documents", ["doc_id", "text"])
+
+    def _len(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "l": df["text"].str.split(" ").str.len()
+            .to_numpy(np.int64)})
+
+    lens = docs.map_batches(_len, batch_format="pandas").materialize()
+
+    def _policy(kind: str, keys: list, desc: list):
+        srt = lens.sort(keys, descending=desc)
+        refs = srt.to_arrow_refs()
+
+        @ray.remote
+        def _n(t: pa.Table) -> int:
+            return t.num_rows
+
+        ns = ray.get([_n.remote(r) for r in refs])
+        offs = np.concatenate([[0], np.cumsum(ns)[:-1]])
+
+        @ray.remote
+        def _bat(t: pa.Table, off: int) -> pa.Table:
+            rn = np.arange(off, off + t.num_rows, dtype=np.int64)
+            return pa.table({
+                "batch": pa.array(rn // b, pa.int64()),
+                "l": t["l"]})
+
+        bt = rd.from_arrow_refs(
+            [_bat.remote(r, int(offs[i])) for i, r in enumerate(refs)])
+        per = fast_groupby_agg(bt, ["batch"], {
+            "n": (None, "count"), "mx": ("l", "max"),
+            "s": ("l", "sum")}).to_pandas()
+        padded = int((per["n"].astype(object)
+                      * per["mx"].astype(object)).sum())
+        tokens = int(per["s"].sum())
+        waste = padded - tokens
+        return {"policy": kind,
+                "n_docs": np.int64(per["n"].sum()),
+                "n_batches": np.int64(len(per)),
+                "total_tokens": np.int64(tokens),
+                "total_padding": np.int64(waste),
+                "pad_share_fp": np.int64(waste * 10**9 // padded)}
+
+    rows = [_policy("arrival", ["doc_id"], [False]),
+            _policy("sorted", ["l", "doc_id"], [False, False])]
+    out = pd.DataFrame(rows)
+    assert int(out.loc[1, "total_padding"]) <= \
+        int(out.loc[0, "total_padding"]), out  # sorting never pads more
+    return out
+
+
+ORACLES["padding_efficiency"] = f"""
+    WITH L AS (SELECT doc_id, len(string_split(text, ' ')) AS l
+               FROM documents),
+    a AS (SELECT l, (row_number() OVER (ORDER BY doc_id) - 1)
+                    // {PAD_BATCH} AS b FROM L),
+    s AS (SELECT l, (row_number() OVER (ORDER BY l, doc_id) - 1)
+                    // {PAD_BATCH} AS b FROM L),
+    wa AS (SELECT count(*) AS n, max(l) AS m, sum(l) AS t
+           FROM a GROUP BY b),
+    ws AS (SELECT count(*) AS n, max(l) AS m, sum(l) AS t
+           FROM s GROUP BY b)
+    SELECT 'arrival' AS policy,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_batches,
+           CAST(sum(t) AS BIGINT) AS total_tokens,
+           CAST(sum(n * m) - sum(t) AS BIGINT) AS total_padding,
+           CAST((sum(n * m) - sum(t)) * 1000000000
+                // sum(n * m) AS BIGINT) AS pad_share_fp
+    FROM wa
+    UNION ALL
+    SELECT 'sorted',
+           CAST(sum(n) AS BIGINT), CAST(count(*) AS BIGINT),
+           CAST(sum(t) AS BIGINT),
+           CAST(sum(n * m) - sum(t) AS BIGINT),
+           CAST((sum(n * m) - sum(t)) * 1000000000
+                // sum(n * m) AS BIGINT)
+    FROM ws
 """
