@@ -9799,6 +9799,7 @@ def queries() -> dict:
         "graph_modularity": q_graph_modularity,
         "vocab_coverage": q_vocab_coverage,
         "padding_efficiency": q_padding_efficiency,
+        "pagerank_checkpointed": q_pagerank_checkpointed,
     }
 
 
@@ -20448,3 +20449,106 @@ ORACLES["padding_efficiency"] = f"""
                 // sum(n * m) AS BIGINT)
     FROM ws
 """
+
+
+# ================================================ checkpointed iteration
+
+
+PR_CKPT_EVERY = 3
+
+
+def run_pagerank_checkpointed(sf_dir, out_dir, iters: int = PAGERANK_ITERS,
+                              every: int = PR_CKPT_EVERY,
+                              stop_after_iter: int | None = None):
+    """q_pagerank's join-tier recurrence as a RESUMABLE iterative job:
+    every ``every`` iterations the (node, pr_fp) state is committed as
+    an atomic store epoch (tmp+rename — an epoch is fully visible or
+    absent) with the completed-iteration watermark in the manifest; on
+    start, the loop reads the newest checkpoint and continues from
+    there. Because the recurrence is all-integer, a killed-and-resumed
+    run is BIT-IDENTICAL to an uninterrupted one (pinned by test and by
+    this op's exact oracle — the same unrolled CTE as q_pagerank's).
+    This is the pattern that makes a week-long 100 TB iterative job
+    survivable: worst case loses ``every−1`` iterations, never the run.
+
+    ``stop_after_iter`` simulates the kill: return after finishing that
+    iteration WITHOUT checkpointing it (unless it lands on the cadence)."""
+    import ray.data as rd
+
+    from ..sources import store
+
+    cust = T(sf_dir, "customer", ["c_custkey"])
+    n = cust.count()
+    edges = _pagerank_edges(sf_dir, n).materialize()
+    tele = (15 * PAGERANK_SCALE // 100) // n
+    nodes = cust.map_batches(
+        lambda b: pa.table({"node": b["c_custkey"]}),
+        batch_format="pyarrow").materialize()
+    outd = fast_groupby_agg(edges, ["src"], {"od": (None, "count")})
+    edges_od = edges.join(outd, "inner", num_partitions=8,
+                          on=("src",)).materialize()
+
+    manifest = store.load_manifest(out_dir) or {}
+    done = int(manifest.get("done_iter", 0))
+    if done > 0:
+        # columns= drops the hive `epoch=` partition key the path encodes
+        pr = rd.read_parquet(
+            store.epoch_dir(out_dir, "pr", done),
+            columns=["node", "pr_fp"]).materialize()
+    else:
+        pr = nodes.map_batches(
+            lambda b: pa.table({
+                "node": b["node"],
+                "pr_fp": pa.array(
+                    np.full(b.num_rows, PAGERANK_SCALE // n), pa.int64()),
+            }), batch_format="pyarrow").materialize()
+
+    for t in range(done + 1, iters + 1):
+        j = edges_od.join(pr, "inner", num_partitions=8,
+                          on=("src",), right_on=("node",))
+        contrib = j.map_batches(
+            lambda b: pa.table({
+                "dst": b["dst"],
+                "c": pa.array(
+                    b["pr_fp"].to_numpy(zero_copy_only=False)
+                    // b["od"].to_numpy(zero_copy_only=False), pa.int64()),
+            }), batch_format="pyarrow")
+        s = fast_groupby_agg(contrib, ["dst"], {"s": ("c", "sum")})
+        joined = nodes.join(s, "left_outer", num_partitions=8,
+                            on=("node",), right_on=("dst",))
+        pr = joined.map_batches(
+            lambda b: pa.table({
+                "node": b["node"],
+                "pr_fp": pa.array(
+                    tele + (85 * pc.fill_null(b["s"], 0)
+                            .to_numpy(zero_copy_only=False)) // 100,
+                    pa.int64()),
+            }), batch_format="pyarrow").materialize()
+        if t % every == 0 or t == iters:
+            store.write_epoch(pr, out_dir, "pr", t)
+            store.save_manifest(out_dir, {"done_iter": t})
+        if stop_after_iter is not None and t >= stop_after_iter:
+            return None  # simulated mid-run kill
+    return pr
+
+
+def q_pagerank_checkpointed(sf_dir):
+    """Kill/resume drill for the checkpointed iterative runner, WITHIN
+    the driver-checked query: phase 1 runs the job and "dies" after
+    iteration 4 (past the iteration-3 checkpoint, before the next);
+    phase 2 resumes from the manifest watermark — replaying iteration
+    4 — and finishes. The exact oracle (q_pagerank's unrolled CTE)
+    certifies the resumed run equals an uninterrupted one bit for bit."""
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="fcray_prckpt_")
+    try:
+        run_pagerank_checkpointed(sf_dir, out, stop_after_iter=4)
+        pr = run_pagerank_checkpointed(sf_dir, out)
+        return pr.materialize()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+ORACLES["pagerank_checkpointed"] = _pagerank_oracle(PAGERANK_ITERS)

@@ -164,3 +164,42 @@ def test_token_dropout_replays_gate():
                  .hexdigest()[:15], 16)
         assert got.loc[row["doc_id"], "n_kept"] == len(kept)
         assert got.loc[row["doc_id"], "aug_fp"] == fp
+
+
+def test_pagerank_checkpoint_resume_is_bit_identical():
+    """A kill after iteration 4 (checkpoint at 3) + resume must equal
+    both the uninterrupted checkpointed run and q_pagerank itself."""
+    import shutil
+    import tempfile
+
+    expect = R.q_pagerank(SF).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+
+    out = tempfile.mkdtemp(prefix="fcray_prckpt_test_")
+    try:
+        assert R.run_pagerank_checkpointed(SF, out, stop_after_iter=4) \
+            is None
+        from fide_crawler_ray.sources import store
+        assert store.load_manifest(out)["done_iter"] == 3
+        got = R.run_pagerank_checkpointed(SF, out).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    pd.testing.assert_frame_equal(got, expect)
+
+
+def test_pagerank_checkpoint_noop_when_complete():
+    """Re-invoking a finished run resumes from the final checkpoint and
+    performs zero further iterations (manifest watermark respected)."""
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="fcray_prckpt_test2_")
+    try:
+        first = R.run_pagerank_checkpointed(SF, out).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        again = R.run_pagerank_checkpointed(SF, out).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    pd.testing.assert_frame_equal(again, first)
