@@ -130,6 +130,9 @@ def run_bench() -> dict:
         # of the suite: its 3M-wedge expansion runs 8-12 s on this
         # host and would swamp the total with host variance)
         "sliding_distinct_types",
+        # tenth-session machinery: corpus-keyed keep-first winner
+        # groupby + per-doc reassembly (C4 span dedup)
+        "span_keep_first",
     ]
     qs = Q.queries()
     for name in suite:
