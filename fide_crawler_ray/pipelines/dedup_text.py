@@ -67,7 +67,7 @@ from ..stages.fastagg import fast_groupby_agg
 # Default hash-join fan-out. On a real cluster this should scale with
 # node count; the joins here move only band rows / candidate pairs (the
 # sparse LSH tail), not the corpus.
-N_JOIN_PARTS = 8
+from ..stages.fastagg import JOIN_PARTS as N_JOIN_PARTS  # one knob for all joins
 
 # Cardinality guard (the fastagg pattern, applied to the dedup tail):
 # below these thresholds the small side broadcasts — as OBJECT REFS

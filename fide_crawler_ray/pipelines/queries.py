@@ -36,7 +36,7 @@ from .. import synth
 from ..functions import ann as ANN
 from ..functions import textstats as TS
 from ..stages import dedup as DD
-from ..stages.fastagg import fast_groupby_agg
+from ..stages.fastagg import JOIN_PARTS, fast_groupby_agg
 from . import analytics as AN
 from . import crawl as CR
 from . import dedup_text as DT
@@ -389,7 +389,7 @@ def q_j4_anti_join(sf_dir):
         {"__n": (None, "count")},
     ).drop_columns(["__n"])
     return T(sf_dir, "orders", ["o_orderkey"]).join(
-        keys, "left_anti", num_partitions=8,
+        keys, "left_anti", num_partitions=JOIN_PARTS,
         on=("o_orderkey",), right_on=("l_orderkey",),
     )
 
@@ -402,7 +402,7 @@ def q_semi_join(sf_dir):
         {"__n": (None, "count")},
     ).drop_columns(["__n"])
     return T(sf_dir, "part", ["p_partkey"]).join(
-        keys, "left_semi", num_partitions=8,
+        keys, "left_semi", num_partitions=JOIN_PARTS,
         on=("p_partkey",), right_on=("l_partkey",),
     )
 

@@ -30,7 +30,7 @@ import pyarrow.compute as pc
 import ray
 
 from ..stages.fastagg import fast_groupby_agg, live_arrow
-from .queries import T, _canon_stage, _queries_matrix
+from .queries import JOIN_PARTS, T, _canon_stage, _queries_matrix
 
 # ============================================================== joins
 
@@ -44,7 +44,7 @@ def q_j_inner_join(sf_dir):
                target_block_mb=32, min_blocks=8)
     cust = T(sf_dir, "customer", ["c_custkey", "c_nationkey"],
              target_block_mb=32, min_blocks=4)
-    j = orders.join(cust, "inner", num_partitions=8,
+    j = orders.join(cust, "inner", num_partitions=JOIN_PARTS,
                     on=("o_custkey",), right_on=("c_custkey",))
     out = fast_groupby_agg(j, ["c_nationkey"], {
         "revenue": ("o_totalprice", "sum"),
@@ -65,7 +65,7 @@ def q_j_left_outer(sf_dir):
     )
     j = T(sf_dir, "customer", ["c_custkey"],
           target_block_mb=32, min_blocks=4).join(
-        counts, "left_outer", num_partitions=8,
+        counts, "left_outer", num_partitions=JOIN_PARTS,
         on=("c_custkey",), right_on=("o_custkey",),
     )
     return j.map_batches(
@@ -822,7 +822,7 @@ def q_pagerank(sf_dir, iters: int = PAGERANK_ITERS,
         lambda b: pa.table({"node": b["c_custkey"]}),
         batch_format="pyarrow").materialize()
     outd = fast_groupby_agg(edges, ["src"], {"od": (None, "count")})
-    edges_od = edges.join(outd, "inner", num_partitions=8,
+    edges_od = edges.join(outd, "inner", num_partitions=JOIN_PARTS,
                           on=("src",)).materialize()
     pr = nodes.map_batches(
         lambda b: pa.table({
@@ -831,7 +831,7 @@ def q_pagerank(sf_dir, iters: int = PAGERANK_ITERS,
                               pa.int64()),
         }), batch_format="pyarrow").materialize()
     for _ in range(iters):
-        j = edges_od.join(pr, "inner", num_partitions=8,
+        j = edges_od.join(pr, "inner", num_partitions=JOIN_PARTS,
                           on=("src",), right_on=("node",))
         contrib = j.map_batches(
             lambda b: pa.table({
@@ -841,7 +841,7 @@ def q_pagerank(sf_dir, iters: int = PAGERANK_ITERS,
                     // b["od"].to_numpy(zero_copy_only=False), pa.int64()),
             }), batch_format="pyarrow")
         s = fast_groupby_agg(contrib, ["dst"], {"s": ("c", "sum")})
-        joined = nodes.join(s, "left_outer", num_partitions=8,
+        joined = nodes.join(s, "left_outer", num_partitions=JOIN_PARTS,
                             on=("node",), right_on=("dst",))
         pr = joined.map_batches(
             lambda b: pa.table({
@@ -988,7 +988,7 @@ def q_triangle_count(sf_dir,
 
     right = edges.map_batches(
         lambda b: b.rename_columns(["u_r", "b"]), batch_format="pyarrow")
-    wedges = edges.join(right, "inner", num_partitions=8,
+    wedges = edges.join(right, "inner", num_partitions=JOIN_PARTS,
                         on=("u",), right_on=("u_r",)).map_batches(
         lambda b: b.filter(pc.less(b["v"], b["b"]))
                    .select(["v", "b"]).rename_columns(["a", "b"]),
@@ -996,7 +996,7 @@ def q_triangle_count(sf_dir,
     tri = wedges.join(
         edges.map_batches(lambda b: b.rename_columns(["a_r", "b_r"]),
                           batch_format="pyarrow"),
-        "inner", num_partitions=8,
+        "inner", num_partitions=JOIN_PARTS,
         on=("a", "b"), right_on=("a_r", "b_r"))
     return rd.from_arrow(pa.table({
         "n_wedges": pa.array([wedges.count()], pa.int64()),
@@ -1060,7 +1060,7 @@ def q_cohort_retention(sf_dir, max_k: int = 13):
     first = fast_groupby_agg(du, ["user_id"], {"c": ("day", "min")}) \
         .map_batches(lambda b: b.rename_columns(["user_r", "c"]),
                      batch_format="pyarrow")
-    j = du.join(first, "inner", num_partitions=8,
+    j = du.join(first, "inner", num_partitions=JOIN_PARTS,
                 on=("user_id",), right_on=("user_r",))
 
     def _mat(b: pa.Table) -> pa.Table:
@@ -1739,7 +1739,7 @@ def q_tfidf_top_terms(sf_dir,
         from ..stages.fastagg import grouped_topk
 
         tf_rows = docs.map_batches(_tf_rows, batch_format="pyarrow")
-        joined = tf_rows.join(df_tbl, "inner", num_partitions=8,
+        joined = tf_rows.join(df_tbl, "inner", num_partitions=JOIN_PARTS,
                               on=("term",))
         scored = joined.map_batches(
             lambda b: pa.table({
@@ -2218,7 +2218,7 @@ def _sim_join_exchange(left, threshold: float):
         lambda b: b.rename_columns(["b", "sh_r", "sz_b"]),
         batch_format="pyarrow",
     )
-    j = left.join(right, "inner", num_partitions=8,
+    j = left.join(right, "inner", num_partitions=JOIN_PARTS,
                   on=("sh",), right_on=("sh_r",))
     pairs = j.map_batches(
         lambda b: b.filter(pc.less(b["a"], b["b"])).select(
@@ -2526,7 +2526,7 @@ def q_similarity_join(sf_dir, threshold: float = SIM_JOIN_THRESHOLD,
         pright = prefix.map_batches(
             lambda b: b.rename_columns(["b", "sh_r", "sz_b", "pos_b"]),
             batch_format="pyarrow")
-        cj = prefix.join(pright, "inner", num_partitions=8,
+        cj = prefix.join(pright, "inner", num_partitions=JOIN_PARTS,
                          on=("sh",), right_on=("sh_r",))
 
         def _pair_filter(b: pa.Table) -> pa.Table:
@@ -2982,7 +2982,7 @@ def q_bigram_stats(sf_dir, min_count: int = 5,
     j = bi.map_batches(
         lambda b: b.filter(pc.greater_equal(b["c"], min_count)),
         batch_format="pyarrow",
-    ).join(heads, "inner", num_partitions=8, on=("w1",))
+    ).join(heads, "inner", num_partitions=JOIN_PARTS, on=("w1",))
     return j.map_batches(
         lambda b: pa.table({
             "w1": b["w1"], "w2": b["w2"], "c": b["c"],
@@ -3956,12 +3956,12 @@ def q_graph_bfs(sf_dir, max_hops: int = BFS_MAX_HOPS,
             frontier.map_batches(
                 lambda b: pa.table({"src": b["node"]}),
                 batch_format="pyarrow"),
-            "inner", num_partitions=8, on=("src",),
+            "inner", num_partitions=JOIN_PARTS, on=("src",),
         ).map_batches(lambda b: pa.table({"node": b["dst"]}),
                       batch_format="pyarrow")
         cand = fast_groupby_agg(cand, ["node"], {"_n": (None, "count")})
         new = cand.join(visited.select_columns(["node"]), "left_anti",
-                        num_partitions=8, on=("node",))
+                        num_partitions=JOIN_PARTS, on=("node",))
         new = new.map_batches(
             lambda b, h=hop: pa.table({
                 "node": b["node"],
@@ -3976,7 +3976,7 @@ def q_graph_bfs(sf_dir, max_hops: int = BFS_MAX_HOPS,
 
     nodes = cust.map_batches(
         lambda b: pa.table({"node": b["c_custkey"]}), batch_format="pyarrow")
-    out = nodes.join(visited, "left_outer", num_partitions=8, on=("node",))
+    out = nodes.join(visited, "left_outer", num_partitions=JOIN_PARTS, on=("node",))
     return out.map_batches(
         lambda b: pa.table({
             "node": b["node"],
@@ -4035,7 +4035,7 @@ def q_j_full_outer(sf_dir):
             batch_format="pyarrow"),
         ["o_custkey"], {"n_big": (None, "count")},
     )
-    j = neg.join(big, "full_outer", num_partitions=8,
+    j = neg.join(big, "full_outer", num_partitions=JOIN_PARTS,
                  on=("c_custkey",), right_on=("o_custkey",))
     return j.map_batches(
         lambda b: pa.table({
@@ -4094,7 +4094,7 @@ def q_exists_subquery(sf_dir):
         ["l_orderkey"], {"__n": (None, "count")},
     ).drop_columns(["__n"])
     sj = T(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).join(
-        keys, "left_semi", num_partitions=8,
+        keys, "left_semi", num_partitions=JOIN_PARTS,
         on=("o_orderkey",), right_on=("l_orderkey",))
     return fast_groupby_agg(sj, ["o_orderpriority"],
                             {"n_orders": (None, "count")})
@@ -4111,7 +4111,7 @@ def q_order_count_distribution(sf_dir):
         {"n_orders": (None, "count")},
     )
     j = T(sf_dir, "customer", ["c_custkey"]).join(
-        counts, "left_outer", num_partitions=8,
+        counts, "left_outer", num_partitions=JOIN_PARTS,
         on=("c_custkey",), right_on=("o_custkey",),
     ).map_batches(
         lambda b: pa.table({"n_orders": pc.fill_null(b["n_orders"], 0)}),
@@ -4159,7 +4159,7 @@ def q_mom_growth(sf_dir):
     j = T(sf_dir, "orders",
           ["o_custkey", "o_orderdate", "o_totalprice"]).join(
         T(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
-        "inner", num_partitions=8,
+        "inner", num_partitions=JOIN_PARTS,
         on=("o_custkey",), right_on=("c_custkey",))
     m = j.map_batches(
         lambda b: pa.table({
@@ -4616,7 +4616,7 @@ def q_group_mean_impute(sf_dir):
             ).astype(np.int64), pa.int64()),
         }),
         batch_format="pyarrow")
-    j = fp.join(means, "left_outer", num_partitions=8,
+    j = fp.join(means, "left_outer", num_partitions=JOIN_PARTS,
                 on=("user_id",), right_on=("uid_r",))
 
     def _impute(b: pa.Table) -> pa.Table:
@@ -4692,7 +4692,7 @@ def q_ratio_to_report(sf_dir):
         _fp, batch_format="pyarrow",
     ).join(
         T(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
-        "inner", num_partitions=8,
+        "inner", num_partitions=JOIN_PARTS,
         on=("o_custkey",), right_on=("c_custkey",))
     nr = fast_groupby_agg(j, ["c_nationkey"], {"rev_fp": ("rev_c", "sum")}
                           ).to_pandas()
@@ -4984,8 +4984,8 @@ def q_pmi_bigrams(sf_dir, min_count: int = 5):
     j = bi.map_batches(
         lambda b: b.filter(pc.greater_equal(b["c"], min_count)),
         batch_format="pyarrow",
-    ).join(heads, "inner", num_partitions=8, on=("w1",)) \
-        .join(tails, "inner", num_partitions=8,
+    ).join(heads, "inner", num_partitions=JOIN_PARTS, on=("w1",)) \
+        .join(tails, "inner", num_partitions=JOIN_PARTS,
               on=("w2",), right_on=("w2_r",))
 
     def _pmi(b: pa.Table) -> pa.Table:
@@ -5093,7 +5093,7 @@ def q_ship_delay_distribution(sf_dir):
                 _ts_ns(b["o_orderdate"]) // 86_400_000_000_000, pa.int64()),
         }),
         batch_format="pyarrow")
-    j = li.join(orders, "inner", num_partitions=8,
+    j = li.join(orders, "inner", num_partitions=JOIN_PARTS,
                 on=("l_orderkey",), right_on=("o_orderkey",))
     d = j.map_batches(
         lambda b: pa.table({
@@ -5527,7 +5527,7 @@ def q_time_to_convert(sf_dir):
     ).map_batches(lambda b: b.rename_columns(["uid_r", "v_ms"]),
                   batch_format="pyarrow")
     j = ev.map_batches(_typed("purchase"), batch_format="pyarrow").join(
-        fv, "inner", num_partitions=8,
+        fv, "inner", num_partitions=JOIN_PARTS,
         on=("user_id",), right_on=("uid_r",))
     diffs = j.map_batches(
         lambda b: pa.table({
@@ -5567,7 +5567,7 @@ def q_first_touch_attribution(sf_dir):
             batch_format="pyarrow"),
         ["user_id"], {"n_purch": (None, "count")},
     )
-    j = purchases.join(first, "inner", num_partitions=8,
+    j = purchases.join(first, "inner", num_partitions=JOIN_PARTS,
                        on=("user_id",), right_on=("uid_r",))
     return fast_groupby_agg(j, ["channel"], {
         "n_purchases": ("n_purch", "sum"),
@@ -5685,13 +5685,13 @@ def q_returned_revenue_topk(sf_dir, k: int = 20):
     )
     j = li.join(
         T(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
-        "inner", num_partitions=8,
+        "inner", num_partitions=JOIN_PARTS,
         on=("l_orderkey",), right_on=("o_orderkey",))
     per_cust = fast_groupby_agg(j, ["o_custkey"],
                                 {"lost_fp": ("cents", "sum")})
     cust = per_cust.join(
         T(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
-        "inner", num_partitions=8,
+        "inner", num_partitions=JOIN_PARTS,
         on=("o_custkey",), right_on=("c_custkey",))
     names = dict(zip(
         *(T(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
@@ -5746,7 +5746,7 @@ def q_supplier_nation_profit(sf_dir,
                 ).astype(np.int64), pa.int64()),
             }),
             batch_format="pyarrow",
-        ).join(named, "inner", num_partitions=8,
+        ).join(named, "inner", num_partitions=JOIN_PARTS,
                on=("l_suppkey",), right_on=("sk_r",))
         years = T(sf_dir, "orders",
                   ["o_orderkey", "o_orderdate"]).map_batches(
@@ -5755,7 +5755,7 @@ def q_supplier_nation_profit(sf_dir,
                 "o_year": pc.cast(pc.year(b["o_orderdate"]), pa.int64()),
             }),
             batch_format="pyarrow")
-        j = li.join(years, "inner", num_partitions=8,
+        j = li.join(years, "inner", num_partitions=JOIN_PARTS,
                     on=("l_orderkey",), right_on=("o_orderkey",))
         return fast_groupby_agg(j, ["n_name", "o_year"], {
             "profit_fp": ("profit_fp", "sum"),
@@ -5793,7 +5793,7 @@ def q_supplier_nation_profit(sf_dir,
             "o_year": pc.cast(pc.year(b["o_orderdate"]), pa.int64()),
         }),
         batch_format="pyarrow")
-    j = li.join(years, "inner", num_partitions=8,
+    j = li.join(years, "inner", num_partitions=JOIN_PARTS,
                 on=("l_orderkey",), right_on=("o_orderkey",))
     return fast_groupby_agg(j, ["n_name", "o_year"], {
         "profit_fp": ("profit_fp", "sum"), "n_items": (None, "count"),
@@ -5939,9 +5939,9 @@ def q_q3_shipping_priority(sf_dir, k: int = 10):
         lambda b: b.filter(pc.equal(b["c_mktsegment"], "BUILDING"))
                    .select(["c_custkey"]),
         batch_format="pyarrow")
-    orders = orders.join(bld, "inner", num_partitions=8,
+    orders = orders.join(bld, "inner", num_partitions=JOIN_PARTS,
                          on=("o_custkey",), right_on=("c_custkey",))
-    j = li.join(orders, "inner", num_partitions=8,
+    j = li.join(orders, "inner", num_partitions=JOIN_PARTS,
                 on=("l_orderkey",), right_on=("o_orderkey",))
     top = j.sort(["revenue_fp", "l_orderkey"],
                  descending=[True, False]).limit(k).to_pandas()
@@ -5976,7 +5976,7 @@ def q_q7_nation_trade_volume(sf_dir):
                             "cust_nation": _name_col("c_nationkey", b)}),
         batch_format="pyarrow")
     oc = T(sf_dir, "orders", ["o_orderkey", "o_custkey"]).join(
-        cust, "inner", num_partitions=8,
+        cust, "inner", num_partitions=JOIN_PARTS,
         on=("o_custkey",), right_on=("c_custkey",))
 
     def _fold(b: pa.Table) -> pa.Table:
@@ -5994,9 +5994,9 @@ def q_q7_nation_trade_volume(sf_dir):
     li = T(sf_dir, "lineitem",
            ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
             "l_discount"]).map_batches(_fold, batch_format="pyarrow")
-    j = li.join(sup, "inner", num_partitions=8, on=("l_suppkey",),
+    j = li.join(sup, "inner", num_partitions=JOIN_PARTS, on=("l_suppkey",),
                 right_on=("s_suppkey",))
-    j = j.join(oc, "inner", num_partitions=8, on=("l_orderkey",),
+    j = j.join(oc, "inner", num_partitions=JOIN_PARTS, on=("l_orderkey",),
                right_on=("o_orderkey",))
     j = j.map_batches(
         lambda b: b.filter(pc.invert(pc.equal(b["supp_nation"],
@@ -6064,7 +6064,7 @@ def q_q17_small_qty_revenue(sf_dir):
     }).map_batches(
         lambda b: b.rename_columns(["pk_r", "sum_qty_fp", "n_li"]),
         batch_format="pyarrow")
-    j = proj.join(agg, "inner", num_partitions=8,
+    j = proj.join(agg, "inner", num_partitions=JOIN_PARTS,
                   on=("l_partkey",), right_on=("pk_r",))
 
     def _small(b: pa.Table) -> pa.Table:
@@ -6118,7 +6118,7 @@ def q_q18_large_orders(sf_dir, k: int = 20, min_qty_fp: int = 25_000):
             ).astype(np.int64), pa.int64()),
         }),
         batch_format="pyarrow")
-    j = qty.join(orders, "inner", num_partitions=8,
+    j = qty.join(orders, "inner", num_partitions=JOIN_PARTS,
                  on=("l_orderkey",), right_on=("o_orderkey",))
     top = j.sort(["total_cents", "l_orderkey"],
                  descending=[True, False]).limit(k).to_pandas()
@@ -6164,7 +6164,7 @@ def q_q8_market_share(sf_dir, region: str = "ASIA",
             "o_year": pc.cast(pc.year(b["o_orderdate"]), pa.int64()),
         }),
         batch_format="pyarrow").join(
-        cust, "inner", num_partitions=8,
+        cust, "inner", num_partitions=JOIN_PARTS,
         on=("o_custkey",), right_on=("c_custkey",))
 
     li = T(sf_dir, "lineitem",
@@ -6179,9 +6179,9 @@ def q_q8_market_share(sf_dir, region: str = "ASIA",
                 * 100.0).astype(np.int64), pa.int64()),
         }),
         batch_format="pyarrow")
-    j = li.join(sup, "inner", num_partitions=8,
+    j = li.join(sup, "inner", num_partitions=JOIN_PARTS,
                 on=("l_suppkey",), right_on=("s_suppkey",))
-    j = j.join(oc, "inner", num_partitions=8,
+    j = j.join(oc, "inner", num_partitions=JOIN_PARTS,
                on=("l_orderkey",), right_on=("o_orderkey",))
     j = j.map_batches(
         lambda b: b.append_column("target_rev", pc.multiply(
@@ -6217,7 +6217,7 @@ def q_q16_part_supplier_counts(sf_dir, excl_brand: str = "Brand#1"):
              ["p_partkey", "p_brand", "p_type", "p_size"]).map_batches(
         lambda b: b.filter(pc.invert(pc.equal(b["p_brand"], excl_brand))),
         batch_format="pyarrow")
-    j = pairs.join(part, "inner", num_partitions=8,
+    j = pairs.join(part, "inner", num_partitions=JOIN_PARTS,
                    on=("l_partkey",), right_on=("p_partkey",))
     quad = fast_groupby_agg(
         j, ["p_brand", "p_type", "p_size", "l_suppkey"],
@@ -6255,7 +6255,7 @@ def q_q21_late_sole_supplier(sf_dir, k: int = 20,
                 pa.int64()),
         }),
         batch_format="pyarrow")
-    j = li.join(orders, "inner", num_partitions=8,
+    j = li.join(orders, "inner", num_partitions=JOIN_PARTS,
                 on=("l_orderkey",), right_on=("o_orderkey",))
     j = j.map_batches(
         lambda b: pa.table({
@@ -6443,7 +6443,7 @@ def q_churned_customers(sf_dir):
     anti = probe.join(pairs.map_batches(
         lambda b: b.rename_columns(["ck_r", "m_r"]),
         batch_format="pyarrow"),
-        "left_anti", num_partitions=8,
+        "left_anti", num_partitions=JOIN_PARTS,
         on=("o_custkey", "next_m"), right_on=("ck_r", "m_r"))
     out = fast_groupby_agg(anti, ["mnum"], {"n_churned": (None, "count")})
     return out.map_batches(
@@ -6536,7 +6536,7 @@ def q_inverted_index(sf_dir, k_postings: int = 10):
     out = stats.join(postings.map_batches(
         lambda b: b.rename_columns(["t_r", "postings"]),
         batch_format="pyarrow"),
-        "inner", num_partitions=8, on=("term",), right_on=("t_r",))
+        "inner", num_partitions=JOIN_PARTS, on=("term",), right_on=("t_r",))
     return out.select_columns(["term", "df", "tf_total", "postings"])
 
 
@@ -6865,7 +6865,7 @@ def q_label_reachability(sf_dir, max_hops: int = LCR_MAX_HOPS,
                     pa.int64()),
             }),
             batch_format="pyarrow")
-        cand = edges.join(fr, "inner", num_partitions=8, on=("src",))
+        cand = edges.join(fr, "inner", num_partitions=JOIN_PARTS, on=("src",))
 
         def _step(b: pa.Table) -> pa.Table:
             q = b["q"].to_numpy(zero_copy_only=False)
@@ -6882,7 +6882,7 @@ def q_label_reachability(sf_dir, max_hops: int = LCR_MAX_HOPS,
             cand.map_batches(_step, batch_format="pyarrow"),
             ["pk"], {"_n": (None, "count")})
         new = cand.join(visited.select_columns(["pk"]), "left_anti",
-                        num_partitions=8, on=("pk",))
+                        num_partitions=JOIN_PARTS, on=("pk",))
         new = new.map_batches(
             lambda b, h=hop: pa.table({
                 "pk": b["pk"],
@@ -7132,7 +7132,7 @@ def q_frequent_itemsets(sf_dir, min_support: int = 10,
     else:
         pairs_src = fast_groupby_agg(
             li, ["l_orderkey", "l_partkey"], {"_n": (None, "count")})
-        typed = pairs_src.join(part, "inner", num_partitions=8,
+        typed = pairs_src.join(part, "inner", num_partitions=JOIN_PARTS,
                                on=("l_partkey",), right_on=("p_partkey",))
     ot = fast_groupby_agg(typed, ["l_orderkey", "p_type"],
                           {"_m": (None, "count")})
@@ -7282,7 +7282,7 @@ def q_graph_sssp(sf_dir, rounds: int = SSSP_ROUNDS,
             dist.map_batches(
                 lambda b: b.rename_columns(["src", "d0"]),
                 batch_format="pyarrow"),
-            "inner", num_partitions=8, on=("src",))
+            "inner", num_partitions=JOIN_PARTS, on=("src",))
         cand = cand.map_batches(
             lambda b: pa.table({
                 "node": b["dst"],
@@ -7379,7 +7379,7 @@ def q_q2_min_cost_supplier(sf_dir, region: str = "EUROPE"):
     pairs = fast_groupby_agg(
         T(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]),
         ["l_partkey", "l_suppkey"], {"_n": (None, "count")})
-    j = pairs.join(sup, "inner", num_partitions=8,
+    j = pairs.join(sup, "inner", num_partitions=JOIN_PARTS,
                    on=("l_suppkey",), right_on=("s_suppkey",))
 
     def _pack(b: pa.Table) -> pa.Table:
@@ -7511,7 +7511,7 @@ def q_q4_order_priority(sf_dir):
     orders = T(sf_dir, "orders",
                ["o_orderkey", "o_orderdate", "o_orderpriority"]).map_batches(
         _win, batch_format="pyarrow")
-    j = orders.join(last_ship, "inner", num_partitions=8,
+    j = orders.join(last_ship, "inner", num_partitions=JOIN_PARTS,
                     on=("o_orderkey",), right_on=("l_orderkey",))
     late = j.map_batches(
         lambda b: b.filter(
@@ -7586,7 +7586,7 @@ def q_q12_priority_by_returnflag(sf_dir):
                 value_set=pa.array(["1-URGENT", "2-HIGH"])), pa.int64()),
         }),
         batch_format="pyarrow")
-    j = li.join(orders, "inner", num_partitions=8,
+    j = li.join(orders, "inner", num_partitions=JOIN_PARTS,
                 on=("l_orderkey",), right_on=("o_orderkey",))
 
     def _fold(b: pa.Table) -> pa.Table:
@@ -7654,7 +7654,7 @@ def q_q20_excess_suppliers(sf_dir):
         return pd.DataFrame({"s_suppkey": pd.Series([], dtype="int64"),
                              "s_name": pd.Series([], dtype="object"),
                              "qty_fp": pd.Series([], dtype="int64")})
-    s = v.join(sup, "inner", num_partitions=8,
+    s = v.join(sup, "inner", num_partitions=JOIN_PARTS,
                on=("l_suppkey",), right_on=("s_suppkey",))
     tot = s.aggregate(Sum("qty_fp", alias_name="total"),
                       Count(alias_name="ns"))
@@ -8335,8 +8335,8 @@ def q_degree_assortativity(sf_dir):
         batch_format="pyarrow")
     od = fast_groupby_agg(edges, ["src"], {"x": (None, "count")})
     idg = fast_groupby_agg(edges, ["dst"], {"y": (None, "count")})
-    j = edges.join(od, "inner", num_partitions=8, on=("src",)) \
-             .join(idg, "inner", num_partitions=8, on=("dst",))
+    j = edges.join(od, "inner", num_partitions=JOIN_PARTS, on=("src",)) \
+             .join(idg, "inner", num_partitions=JOIN_PARTS, on=("dst",))
     mom = j.map_batches(
         lambda b: pa.table({
             "n": pa.array([b.num_rows], pa.int64()),
@@ -8481,7 +8481,7 @@ def q_clustering_coefficient(sf_dir):
     right = adj.map_batches(
         lambda b: b.rename_columns(["c_r", "nb2"]),
         batch_format="pyarrow")
-    wedges = adj.join(right, "inner", num_partitions=8,
+    wedges = adj.join(right, "inner", num_partitions=JOIN_PARTS,
                       on=("c",), right_on=("c_r",)).map_batches(
         lambda b: b.filter(pc.less(b["nb"], b["nb2"]))
         .rename_columns(["c", "a", "b"]),
@@ -8489,10 +8489,10 @@ def q_clustering_coefficient(sf_dir):
     closed = wedges.join(
         edges.map_batches(lambda b: b.rename_columns(["a_r", "b_r"]),
                           batch_format="pyarrow"),
-        "inner", num_partitions=8, on=("a", "b"),
+        "inner", num_partitions=JOIN_PARTS, on=("a", "b"),
         right_on=("a_r", "b_r"))
     tri = fast_groupby_agg(closed, ["c"], {"n_tri": (None, "count")})
-    out = deg.join(tri, "left_outer", num_partitions=8, on=("c",))
+    out = deg.join(tri, "left_outer", num_partitions=JOIN_PARTS, on=("c",))
 
     def _coef(b: pa.Table) -> pa.Table:
         d = b["deg"].to_numpy(zero_copy_only=False)
@@ -8593,7 +8593,7 @@ def q_containment_join(sf_dir, threshold: float = 0.8,
     index = rows.map_batches(
         lambda b: _shingle_rows_rename(b), batch_format="pyarrow")
     cand = fast_groupby_agg(
-        probe.join(index, "inner", num_partitions=8,
+        probe.join(index, "inner", num_partitions=JOIN_PARTS,
                    on=("sh",), right_on=("sh_r",)).map_batches(
             lambda b: pa.table({
                 "a": b["a"].filter(
@@ -8605,9 +8605,9 @@ def q_containment_join(sf_dir, threshold: float = 0.8,
         ["a", "b"], {"_n": (None, "count")}).map_batches(
         lambda b: b.select(["a", "b"]), batch_format="pyarrow")
     # exact verify: pair ⋈ a-shingles, then ⋈ b-shingles on (b, sh)
-    hop1 = cand.join(rows, "inner", num_partitions=8, on=("a",))
+    hop1 = cand.join(rows, "inner", num_partitions=JOIN_PARTS, on=("a",))
     inter = fast_groupby_agg(
-        hop1.join(index, "inner", num_partitions=8,
+        hop1.join(index, "inner", num_partitions=JOIN_PARTS,
                   on=("b", "sh"), right_on=("b_r", "sh_r")).map_batches(
             lambda b: b.select(["a", "b", "sz_a"]),
             batch_format="pyarrow"),
@@ -8659,12 +8659,12 @@ def q_cascade_delete(sf_dir):
         batch_format="pyarrow")
     surviving_orders = T(sf_dir, "orders",
                          ["o_orderkey", "o_custkey"]).join(
-        gone, "left_anti", num_partitions=8,
+        gone, "left_anti", num_partitions=JOIN_PARTS,
         on=("o_custkey",), right_on=("c_custkey",))
     okeys = surviving_orders.map_batches(
         lambda b: b.select(["o_orderkey"]), batch_format="pyarrow")
     surviving_li = T(sf_dir, "lineitem", ["l_orderkey"]).join(
-        okeys, "left_semi", num_partitions=8,
+        okeys, "left_semi", num_partitions=JOIN_PARTS,
         on=("l_orderkey",), right_on=("o_orderkey",))
     n_cust_gone = gone.count()
     n_orders = surviving_orders.count()
@@ -9172,7 +9172,7 @@ def q_incremental_dedup(sf_dir):
         docs.map_batches(_fp(False), batch_format="pyarrow"),
         ["h"], {"doc_id": ("doc_id", "min")}))
     return batch_min.join(
-        store_keys, "left_anti", num_partitions=8,
+        store_keys, "left_anti", num_partitions=JOIN_PARTS,
         on=("h",), right_on=("sh",),
     ).drop_columns(["h"])
 
@@ -12950,7 +12950,7 @@ def q_hhi_concentration(sf_dir):
         orders.map_batches(_fp, batch_format="pyarrow"),
         ["ck"], {"s": ("p", "sum")})
     cust = T(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    j = per_cust.join(cust, "inner", num_partitions=8,
+    j = per_cust.join(cust, "inner", num_partitions=JOIN_PARTS,
                       on=("ck",), right_on=("c_custkey",))
     nat = fast_groupby_agg(j, ["c_nationkey"], {"s": ("s", "sum")}).to_pandas()
     s = [int(v) for v in nat["s"]]
@@ -14638,7 +14638,7 @@ def q_salted_join(sf_dir, n_salts: int = 8):
     cust = T(sf_dir, "customer", ["c_custkey", "c_mktsegment"],
              target_block_mb=32, min_blocks=4).map_batches(
         _replicate_cust, batch_format="pyarrow")
-    j = orders.join(cust, "inner", num_partitions=8,
+    j = orders.join(cust, "inner", num_partitions=JOIN_PARTS,
                     on=("o_custkey", "salt"),
                     right_on=("c_custkey", "salt"))
     return fast_groupby_agg(j, ["c_mktsegment"], {
@@ -17378,7 +17378,7 @@ def q_q5_local_supplier_volume(sf_dir, region: str = "ASIA",
         .select_columns(["o_orderkey", "o_custkey"]) \
         .join(T(sf_dir, "customer", ["c_custkey", "c_nationkey"])
               .map_batches(_cust, batch_format="pyarrow"),
-              "inner", num_partitions=8,
+              "inner", num_partitions=JOIN_PARTS,
               on=("o_custkey",), right_on=("c_custkey",))
 
     def _sup(b: pa.Table) -> pa.Table:
@@ -17402,10 +17402,10 @@ def q_q5_local_supplier_volume(sf_dir, region: str = "ASIA",
         .map_batches(_fold, batch_format="pyarrow") \
         .join(T(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
               .map_batches(_sup, batch_format="pyarrow"),
-              "inner", num_partitions=8,
+              "inner", num_partitions=JOIN_PARTS,
               on=("l_suppkey",), right_on=("s_suppkey",))
 
-    j = li.join(oc, "inner", num_partitions=8,
+    j = li.join(oc, "inner", num_partitions=JOIN_PARTS,
                 on=("l_orderkey",), right_on=("o_orderkey",))
 
     def _same_nation(b: pa.Table) -> pa.Table:
@@ -17523,7 +17523,7 @@ def q_hits_scores(sf_dir, iters: int = HITS_ITERS,
     def _pull(vec, vec_col, join_on, group_by, out_col):
         """One propagation: edges ⋈ vec on ``join_on``, sum vec_col by
         ``group_by``, divide-first normalize, left-join onto nodes."""
-        j = edges.join(vec, "inner", num_partitions=8,
+        j = edges.join(vec, "inner", num_partitions=JOIN_PARTS,
                        on=(join_on,), right_on=("node",))
         raw = fast_groupby_agg(
             j.map_batches(
@@ -17531,7 +17531,7 @@ def q_hits_scores(sf_dir, iters: int = HITS_ITERS,
                 batch_format="pyarrow"),
             ["k"], {"s": ("v", "sum")}).materialize()
         den = max(1, int(raw.sum("s")) // HITS_SCALE)
-        out = nodes.join(raw, "left_outer", num_partitions=8,
+        out = nodes.join(raw, "left_outer", num_partitions=JOIN_PARTS,
                          on=("node",), right_on=("k",))
         return out.map_batches(
             lambda b: pa.table({
@@ -17546,7 +17546,7 @@ def q_hits_scores(sf_dir, iters: int = HITS_ITERS,
     for _ in range(iters):
         a = _pull(h, "h", "src", "dst", "a")
         h = _pull(a, "a", "dst", "src", "h")
-    out = h.join(a, "inner", num_partitions=8, on=("node",))
+    out = h.join(a, "inner", num_partitions=JOIN_PARTS, on=("node",))
     return out.map_batches(
         lambda b: pa.table({"node": b["node"],
                             "hub_fp": b["h"], "auth_fp": b["a"]}),
@@ -17969,7 +17969,7 @@ def q_spatial_grid_nn(sf_dir):
         _cust, batch_format="pyarrow")
     sup = T(sf_dir, "supplier", ["s_suppkey"]).map_batches(
         _sup9, batch_format="pyarrow")
-    j = cust.join(sup, "inner", num_partitions=8, on=("cell",))
+    j = cust.join(sup, "inner", num_partitions=JOIN_PARTS, on=("cell",))
 
     def _pack(b: pa.Table) -> pa.Table:
         dx = (b["cx"].to_numpy(zero_copy_only=False)
@@ -18205,7 +18205,7 @@ def q_two_hop_neighbors(sf_dir):
     rhs = und.map_batches(
         lambda b: pa.table({"m": b["a"], "w": b["b"]}),
         batch_format="pyarrow")
-    hop2 = und.join(rhs, "inner", num_partitions=8,
+    hop2 = und.join(rhs, "inner", num_partitions=JOIN_PARTS,
                     on=("b",), right_on=("m",))
 
     def _pairs(b: pa.Table) -> pa.Table:
@@ -18215,16 +18215,16 @@ def q_two_hop_neighbors(sf_dir):
     p2 = fast_groupby_agg(
         hop2.map_batches(_pairs, batch_format="pyarrow"),
         ["a", "w"], {"__n": (None, "count")}).drop_columns(["__n"])
-    strict = p2.join(und, "left_anti", num_partitions=8,
+    strict = p2.join(und, "left_anti", num_partitions=JOIN_PARTS,
                      on=("a", "w"), right_on=("a", "b"))
     n2 = fast_groupby_agg(strict, ["a"], {"n2": (None, "count")})
 
     nodes = cust.map_batches(
         lambda b: pa.table({"node": b["c_custkey"]}),
         batch_format="pyarrow")
-    out = nodes.join(n1, "left_outer", num_partitions=8,
+    out = nodes.join(n1, "left_outer", num_partitions=JOIN_PARTS,
                      on=("node",), right_on=("a",))
-    out = out.join(n2, "left_outer", num_partitions=8,
+    out = out.join(n2, "left_outer", num_partitions=JOIN_PARTS,
                    on=("node",), right_on=("a",))
     return out.map_batches(
         lambda b: pa.table({
@@ -18409,7 +18409,7 @@ def q_link_prediction(sf_dir, k: int = 100,
     share = und.join(
         deg.map_batches(lambda b: b.rename_columns(["m", "d"]),
                         batch_format="pyarrow"),
-        "inner", num_partitions=8, on=("a",), right_on=("m",)) \
+        "inner", num_partitions=JOIN_PARTS, on=("a",), right_on=("m",)) \
         .map_batches(
             lambda b: pa.table({
                 "m": b["a"], "u": b["b"],
@@ -18422,7 +18422,7 @@ def q_link_prediction(sf_dir, k: int = 100,
     rhs = share.map_batches(
         lambda b: pa.table({"m2": b["m"], "v": b["u"]}),
         batch_format="pyarrow")
-    wedge = share.join(rhs, "inner", num_partitions=8,
+    wedge = share.join(rhs, "inner", num_partitions=JOIN_PARTS,
                        on=("m",), right_on=("m2",))
 
     def _ordered(b: pa.Table) -> pa.Table:
@@ -18438,16 +18438,16 @@ def q_link_prediction(sf_dir, k: int = 100,
     cand = fast_groupby_agg(
         wedge.map_batches(_ordered, batch_format="pyarrow"),
         ["u", "v"], {"cn": (None, "count"), "ra_fp": ("ra", "sum")})
-    nonadj = cand.join(und, "left_anti", num_partitions=8,
+    nonadj = cand.join(und, "left_anti", num_partitions=JOIN_PARTS,
                        on=("u", "v"), right_on=("a", "b"))
 
     du = deg.map_batches(lambda b: b.rename_columns(["ku", "du"]),
                          batch_format="pyarrow")
     dv = deg.map_batches(lambda b: b.rename_columns(["kv", "dv"]),
                          batch_format="pyarrow")
-    scored = nonadj.join(du, "inner", num_partitions=8,
+    scored = nonadj.join(du, "inner", num_partitions=JOIN_PARTS,
                          on=("u",), right_on=("ku",)) \
-        .join(dv, "inner", num_partitions=8, on=("v",), right_on=("kv",))
+        .join(dv, "inner", num_partitions=JOIN_PARTS, on=("v",), right_on=("kv",))
 
     def _jac(b: pa.Table) -> pa.Table:
         cn = b["cn"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -19353,9 +19353,9 @@ def q_wl_refinement(sf_dir, rounds: int = 2):
         own = colors.map_batches(
             lambda t: pa.table({"anode": t["node"], "col": t["col"]}),
             batch_format="pyarrow")
-        nb = und.join(nbr, "inner", num_partitions=8,
+        nb = und.join(nbr, "inner", num_partitions=JOIN_PARTS,
                       on=("b",), right_on=("bnode",))
-        nb = nb.join(own, "inner", num_partitions=8,
+        nb = nb.join(own, "inner", num_partitions=JOIN_PARTS,
                      on=("a",), right_on=("anode",))
         colors = nb.map_batches(_part, batch_format="pyarrow") \
             .groupby("part").map_groups(_sig, batch_format="pandas") \
@@ -19709,7 +19709,7 @@ def q_rrf_customer_fusion(sf_dir, k: int = 20, rrf_k: int = 60):
 
     ra = _ranked("cents", "rank_rev")
     rb = _ranked("f", "rank_freq")
-    fused = ra.join(rb, "inner", num_partitions=8, on=("c_custkey",))
+    fused = ra.join(rb, "inner", num_partitions=JOIN_PARTS, on=("c_custkey",))
 
     def _score(b: pa.Table) -> pa.Table:
         x = b["rank_rev"].to_numpy(zero_copy_only=False)
@@ -19875,7 +19875,7 @@ def q_graph_random_walks(sf_dir):
                             "node": t["v"]}), batch_format="pyarrow")
 
     for t_step in range(1, RW_STEPS + 1):
-        cur = frontier.join(deg, "inner", num_partitions=8,
+        cur = frontier.join(deg, "inner", num_partitions=JOIN_PARTS,
                             on=("v",), right_on=("dv",))
 
         def _pick(b: pa.Table, _t=t_step) -> pa.Table:
@@ -19891,7 +19891,7 @@ def q_graph_random_walks(sf_dir):
                              "jr": pa.array(r)})
 
         nxt = cur.map_batches(_pick, batch_format="pyarrow") \
-            .join(adj, "inner", num_partitions=8,
+            .join(adj, "inner", num_partitions=JOIN_PARTS,
                   on=("jv", "jr"), right_on=("av", "rn"))
         frontier = nxt.map_batches(
             lambda t: pa.table({"walk_id": t["walk_id"], "v": t["nbr"]}),
@@ -20003,7 +20003,7 @@ def q_betweenness_len2(sf_dir):
     right = adj.map_batches(
         lambda b: b.rename_columns(["c_r", "nb2"]),
         batch_format="pyarrow")
-    wedges = adj.join(right, "inner", num_partitions=8,
+    wedges = adj.join(right, "inner", num_partitions=JOIN_PARTS,
                       on=("c",), right_on=("c_r",)).map_batches(
         lambda b: b.filter(pc.less(b["nb"], b["nb2"]))
         .rename_columns(["ctr", "a", "b"]),
@@ -20012,9 +20012,9 @@ def q_betweenness_len2(sf_dir):
     nonadj = pairs.join(
         edges.map_batches(lambda b: b.rename_columns(["a_r", "b_r"]),
                           batch_format="pyarrow"),
-        "left_anti", num_partitions=8, on=("a", "b"),
+        "left_anti", num_partitions=JOIN_PARTS, on=("a", "b"),
         right_on=("a_r", "b_r"))
-    credited = wedges.join(nonadj, "inner", num_partitions=8,
+    credited = wedges.join(nonadj, "inner", num_partitions=JOIN_PARTS,
                            on=("a", "b"))
 
     def _credit(b: pa.Table) -> pa.Table:
@@ -20189,14 +20189,14 @@ def q_graph_modularity(sf_dir):
     cu = cust.map_batches(
         lambda b: pa.table({"k": b["c_custkey"], "nat": b["c_nationkey"]}),
         batch_format="pyarrow").materialize()
-    lab = edges.join(cu, "inner", num_partitions=8,
+    lab = edges.join(cu, "inner", num_partitions=JOIN_PARTS,
                      on=("u",), right_on=("k",)) \
         .map_batches(lambda b: pa.table({
             "v": b["v"], "nu": b["nat"]}), batch_format="pyarrow") \
         .join(cu.map_batches(
             lambda b: b.rename_columns(["k2", "nat2"]),
             batch_format="pyarrow"),
-        "inner", num_partitions=8, on=("v",), right_on=("k2",))
+        "inner", num_partitions=JOIN_PARTS, on=("v",), right_on=("k2",))
     intra = lab.map_batches(
         lambda b: pa.table({
             "nat": b["nu"],
@@ -20211,7 +20211,7 @@ def q_graph_modularity(sf_dir):
         batch_format="pyarrow")
     deg = fast_groupby_agg(adj, ["node"], {"d": (None, "count")})
     dc = fast_groupby_agg(
-        deg.join(cu, "inner", num_partitions=8,
+        deg.join(cu, "inner", num_partitions=JOIN_PARTS,
                  on=("node",), right_on=("k",)),
         ["nat"], {"d_c": ("d", "sum")}).to_pandas()
     se = int(ec["e_c"].sum())
@@ -20485,7 +20485,7 @@ def run_pagerank_checkpointed(sf_dir, out_dir, iters: int = PAGERANK_ITERS,
         lambda b: pa.table({"node": b["c_custkey"]}),
         batch_format="pyarrow").materialize()
     outd = fast_groupby_agg(edges, ["src"], {"od": (None, "count")})
-    edges_od = edges.join(outd, "inner", num_partitions=8,
+    edges_od = edges.join(outd, "inner", num_partitions=JOIN_PARTS,
                           on=("src",)).materialize()
 
     manifest = store.load_manifest(out_dir) or {}
@@ -20504,7 +20504,7 @@ def run_pagerank_checkpointed(sf_dir, out_dir, iters: int = PAGERANK_ITERS,
             }), batch_format="pyarrow").materialize()
 
     for t in range(done + 1, iters + 1):
-        j = edges_od.join(pr, "inner", num_partitions=8,
+        j = edges_od.join(pr, "inner", num_partitions=JOIN_PARTS,
                           on=("src",), right_on=("node",))
         contrib = j.map_batches(
             lambda b: pa.table({
@@ -20514,7 +20514,7 @@ def run_pagerank_checkpointed(sf_dir, out_dir, iters: int = PAGERANK_ITERS,
                     // b["od"].to_numpy(zero_copy_only=False), pa.int64()),
             }), batch_format="pyarrow")
         s = fast_groupby_agg(contrib, ["dst"], {"s": ("c", "sum")})
-        joined = nodes.join(s, "left_outer", num_partitions=8,
+        joined = nodes.join(s, "left_outer", num_partitions=JOIN_PARTS,
                             on=("node",), right_on=("dst",))
         pr = joined.map_batches(
             lambda b: pa.table({

@@ -40,7 +40,7 @@ import pyarrow.compute as pc
 import ray
 
 from ..stages.fastagg import fast_groupby_agg
-from .queries import T, _canon_stage
+from .queries import JOIN_PARTS, T, _canon_stage
 
 # ============================================================ PII scrub
 
@@ -295,7 +295,7 @@ def _vocab_prune_join(docs, df, n_docs: int):
         })
 
     toks = docs.map_batches(_explode, batch_format="pyarrow")
-    kept = toks.join(keepw, "left_semi", num_partitions=8, on=("word",))
+    kept = toks.join(keepw, "left_semi", num_partitions=JOIN_PARTS, on=("word",))
 
     def _reassemble(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["doc_id", "pos"], kind="mergesort")
@@ -315,7 +315,7 @@ def _vocab_prune_join(docs, df, n_docs: int):
     # docs whose words were ALL pruned vanish from the join — re-emit
     # them with empty text via an anti-join on the surviving doc ids.
     kept_ids = out.select_columns(["doc_id"])
-    empty = docs.join(kept_ids, "left_anti", num_partitions=8,
+    empty = docs.join(kept_ids, "left_anti", num_partitions=JOIN_PARTS,
                       on=("doc_id",)).map_batches(
         lambda b: pa.table({
             "doc_id": b["doc_id"],
@@ -442,7 +442,7 @@ def q_span_dedup(sf_dir, w: int = SPAN_W,
         flagged = pairs.map_batches(_Flag, batch_format="pyarrow",
                                     concurrency=(1, 2))
     else:
-        j = pairs.join(dup, "left_outer", num_partitions=8, on=("h",))
+        j = pairs.join(dup, "left_outer", num_partitions=JOIN_PARTS, on=("h",))
 
         def _flag_join(b: pa.Table) -> pa.Table:
             m = b["m"].to_numpy(zero_copy_only=False)
@@ -1319,7 +1319,7 @@ def q_span_keep_first(sf_dir, w: int = SPAN_KF_W):
     nspans = fast_groupby_agg(spans, ["doc_id"],
                               {"n_spans": (None, "count")})
     winners = fast_groupby_agg(spans, ["span"], {"mpos": ("pos", "min")})
-    kept = spans.join(winners, "inner", num_partitions=8, on=("span",)) \
+    kept = spans.join(winners, "inner", num_partitions=JOIN_PARTS, on=("span",)) \
         .filter(expr="pos == mpos")
 
     def _reassemble(g: pd.DataFrame) -> pd.DataFrame:
@@ -1336,7 +1336,7 @@ def q_span_keep_first(sf_dir, w: int = SPAN_KF_W):
     out = nspans.join(re.map_batches(
         lambda b: b.rename_columns(["doc_id_r", "n_kept", "clean_fp"]),
         batch_format="pyarrow"),
-        "left_outer", num_partitions=8,
+        "left_outer", num_partitions=JOIN_PARTS,
         on=("doc_id",), right_on=("doc_id_r",))
     empty_fp = int(hashlib.md5(b"").hexdigest()[:15], 16)
 

@@ -30,6 +30,18 @@ free.
 
 from __future__ import annotations
 
+import os
+
+# Hash-shuffle partition count for Dataset.join / groupby exchanges.
+# Sized to the CLUSTER, not the core count: each partition costs one
+# aggregator actor plus one in-flight object per (block, partition), so
+# on this 32-CPU single node 32 partitions ran a small-SF join in 53 s
+# where 8 took ~2 s (BASELINE.md, r2). A real deployment sets
+# FCRAY_JOIN_PARTS to a small multiple of the node count; every join
+# call site in the engine routes through this one knob. Defined here
+# (the lowest shared module) so pipelines can import it without cycles.
+JOIN_PARTS = int(os.environ.get("FCRAY_JOIN_PARTS", "8"))
+
 import pandas as pd
 import pyarrow as pa
 
