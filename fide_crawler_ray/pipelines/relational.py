@@ -9800,6 +9800,7 @@ def queries() -> dict:
         "vocab_coverage": q_vocab_coverage,
         "padding_efficiency": q_padding_efficiency,
         "pagerank_checkpointed": q_pagerank_checkpointed,
+        "int8_quant_audit": q_int8_quant_audit,
     }
 
 
@@ -20552,3 +20553,94 @@ def q_pagerank_checkpointed(sf_dir):
 
 
 ORACLES["pagerank_checkpointed"] = _pagerank_oracle(PAGERANK_ITERS)
+
+
+# ==================================================== int8 quantization
+
+
+def q_int8_quant_audit(sf_dir):
+    """Symmetric per-dimension int8 scalar quantization of the
+    embedding table with EXACT error accounting — the storage-shrink
+    step (4 B → 1 B per value) every billion-vector ANN deployment
+    takes before IVF/PQ, audited: per vector, the L∞ and L1
+    reconstruction error in the common 127·10⁶ fixed-point domain
+    (err = |127·x_fp − q·m_dim|, all integer, so the oracle comparison
+    is bitwise). q = ⌊(254·x_fp + m)/(2·m)⌋ — rounding mirrored to
+    DuckDB's floor-corrected ``//`` — is clamped by construction to
+    [−127, 127] (asserted in-kernel).
+
+    Scale plan: pass 1 folds per-DIMENSION |x_fp| maxima map-side (d
+    rows per block, one d-sized groupby — d is the model dim, a
+    constant); the d scale ints broadcast by closure; pass 2 is one
+    shuffle-free zero-copy list kernel (values buffer → numpy, reduceat
+    per vector). Nothing vector-count-sized ever moves or lands on the
+    driver beyond the result itself."""
+    emb = T(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _flat(b: pa.Table):
+        col = b["embedding"]
+        la = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        flat = la.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        offs = la.offsets.to_numpy().astype(np.int64)
+        return flat, offs
+
+    def _dim_max(b: pa.Table) -> pa.Table:
+        flat, offs = _flat(b)
+        lens = np.diff(offs)
+        if len(lens) == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64())})
+        d = int(lens[0])
+        assert (lens == d).all(), "ragged embedding dims"
+        xfp = _round_half_away(flat * 1e6).astype(np.int64)
+        mx = np.abs(xfp).reshape(-1, d).max(axis=0)
+        return pa.table({"dim": pa.array(np.arange(d), pa.int64()),
+                         "mx": pa.array(mx, pa.int64())})
+
+    scales = fast_groupby_agg(
+        emb.map_batches(_dim_max, batch_format="pyarrow"),
+        ["dim"], {"mx": ("mx", "max")}).to_pandas().sort_values("dim")
+    m = scales["mx"].to_numpy(np.int64)  # d ints — broadcast by closure
+
+    def _audit(b: pa.Table) -> pa.Table:
+        flat, offs = _flat(b)
+        lens = np.diff(offs)
+        d = len(m)
+        xfp = _round_half_away(flat * 1e6).astype(np.int64).reshape(-1, d)
+        mm = np.broadcast_to(m, xfp.shape)
+        q = np.where(mm == 0, 0, (254 * xfp + mm) // (2 * np.maximum(mm, 1)))
+        assert (np.abs(q) <= 127).all(), "int8 clamp violated"
+        err = np.abs(127 * xfp - q * mm)
+        return pa.table({
+            "vec_id": b["vec_id"],
+            "n_dims": pa.array(lens, pa.int64()),
+            "max_err": pa.array(err.max(axis=1), pa.int64()),
+            "sum_err": pa.array(err.sum(axis=1), pa.int64())})
+
+    return emb.map_batches(_audit, batch_format="pyarrow")
+
+
+ORACLES["int8_quant_audit"] = """
+    WITH el AS (
+        SELECT vec_id, gs - 1 AS dim,
+               CAST(round(CAST(embedding[gs] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS xfp
+        FROM embeddings,
+             unnest(generate_series(1, len(embedding))) AS t(gs)),
+    m AS (SELECT dim, max(abs(xfp)) AS mx FROM el GROUP BY dim),
+    q AS (SELECT e.vec_id, e.xfp, m.mx,
+                 CASE WHEN m.mx = 0 THEN 0
+                      ELSE (254 * e.xfp + m.mx) // (2 * m.mx)
+                           - CASE WHEN (254 * e.xfp + m.mx)
+                                       % (2 * m.mx) <> 0
+                                       AND (254 * e.xfp + m.mx) < 0
+                                  THEN 1 ELSE 0 END
+                 END AS qv
+          FROM el e JOIN m ON m.dim = e.dim)
+    SELECT vec_id,
+           CAST(count(*) AS BIGINT) AS n_dims,
+           CAST(max(abs(127 * xfp - qv * mx)) AS BIGINT) AS max_err,
+           CAST(sum(abs(127 * xfp - qv * mx)) AS BIGINT) AS sum_err
+    FROM q GROUP BY vec_id
+"""
