@@ -1264,7 +1264,41 @@ SPAN_KF_W = 10          # tumbling-span width in tokens
 SPAN_KF_ORD_BITS = 20   # ord must fit in 2^20 spans per doc
 
 
-def q_span_keep_first(sf_dir, w: int = SPAN_KF_W):
+SPAN_KF_MAX_BROADCAST_DUPS = 2_000_000
+
+
+def _span_rows(df: pd.DataFrame, w: int) -> pd.DataFrame:
+    """Tumbling w-token spans of one doc batch: (doc_id, ord, span,
+    packed pos). A doc's spans never leave its batch."""
+    if not len(df):
+        return pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "ord": pd.Series([], dtype="int64"),
+            "span": pd.Series([], dtype="object"),
+            "pos": pd.Series([], dtype="int64")})
+    toks = df["text"].str.split(" ")
+    lens = toks.str.len().to_numpy(np.int64)
+    doc = np.repeat(df["doc_id"].to_numpy(np.int64), lens)
+    flat = toks.explode().to_numpy()
+    tord = np.arange(lens.sum(), dtype=np.int64) \
+        - np.repeat(np.cumsum(lens) - lens, lens)
+    ordv = tord // w
+    if len(ordv) and int(ordv.max()) >= (1 << SPAN_KF_ORD_BITS):
+        raise ValueError("doc exceeds 2^20 spans; widen pos packing")
+    g = pd.DataFrame({"doc_id": doc, "ord": ordv, "tok": flat}) \
+        .groupby(["doc_id", "ord"], sort=False)["tok"] \
+        .agg(" ".join).reset_index()
+    return pd.DataFrame({
+        "doc_id": g["doc_id"].astype("int64"),
+        "ord": g["ord"].astype("int64"),
+        "span": g["tok"],
+        "pos": (g["doc_id"].astype("int64")
+                * (1 << SPAN_KF_ORD_BITS)
+                + g["ord"].astype("int64")).astype("int64")})
+
+
+def q_span_keep_first(sf_dir, w: int = SPAN_KF_W,
+                      max_broadcast_dups: int = SPAN_KF_MAX_BROADCAST_DUPS):
     """C4-style KEEP-FIRST span dedup with corpus reassembly (Raffel et
     al., "Exploring the Limits of Transfer Learning", §2.2: "we
     discarded all but one of any three-sentence span occurring more
@@ -1277,50 +1311,80 @@ def q_span_keep_first(sf_dir, w: int = SPAN_KF_W):
     before/after and the md5 fingerprint of the cleaned text, so the
     oracle checks the actual output bytes.
 
-    Scale plan (100 TB): span extraction is one map pass (pandas
-    explode + arange token ordinals + a C-grouped ' '.join — a doc's
-    spans never leave its batch); the winner table is ONE groupby over
-    spans keyed on the span text carrying only min(pos) — exchange rows
-    are span-count-sized, pre-deduped map-side by the partial-agg
-    combine; the keep decision is a hash join of spans against winners
-    (no broadcast of anything corpus-sized); reassembly is a per-doc
-    map_groups whose groups are document-sized. pos packs (doc_id,
-    ord) into one int64 so min() is a plain mergeable aggregate."""
+    Scale plan (100 TB): the ONLY exchange is the span-keyed groupby
+    carrying (min pos, count) — pre-deduped map-side by the partial-agg
+    combine. The keep decision then follows d1_exact_dedup's DUP-ONLY
+    probe: spans with count ≥ 2 (a tiny fraction of a healthy corpus)
+    ship as one broadcast span→first-pos map read per worker, and a
+    SECOND shuffle-free map over the docs re-derives spans in-batch,
+    drops non-first duplicate occurrences, and reassembles each doc
+    right in its own batch — no corpus-sized join, no per-doc
+    map_groups (the first cut shuffled every span string and paid a
+    5000-group map_groups: 4.6 s → ~1 s at sf0.1). Above
+    ``max_broadcast_dups`` the guarded join tier runs instead (spans ⋈
+    dup-winners hash join + block-local reassembly), pinned equal by
+    test."""
     docs = T(sf_dir, "documents", ["doc_id", "text"])
+    spans = docs.map_batches(lambda df: _span_rows(df, w),
+                             batch_format="pandas")
+    agg = fast_groupby_agg(
+        spans.map_batches(lambda b: b.select(["span", "pos"]),
+                          batch_format="pyarrow"),
+        ["span"], {"mpos": ("pos", "min"), "n": (None, "count")})
+    dups = agg.filter(expr="n >= 2").drop_columns(["n"]).materialize()
+    n_dups = dups.count()
+    empty_fp = int(hashlib.md5(b"").hexdigest()[:15], 16)
 
-    def _spans(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
+    def _finish(g: pd.DataFrame) -> pd.DataFrame:
+        """Per-doc counts + cleaned-text md5 from an in-batch kept-span
+        frame (doc_id, ord, span, n_spans_total per doc provided)."""
+        joined = g.groupby("doc_id", sort=False)["span"].agg(" ".join)
+        nk = g.groupby("doc_id", sort=False)["span"].size()
+        return joined, nk
+
+    if n_dups <= max_broadcast_dups:
+        dup_ref = ray.put(dups.to_pandas())
+
+        def _probe(df: pd.DataFrame) -> pd.DataFrame:
+            sp = _span_rows(df, w)
+            dup = _bcast_dup(dup_ref)
+            m = sp["span"].map(dup)
+            keep = m.isna() | (m == sp["pos"])
+            kept = sp[keep]
+            ns = sp.groupby("doc_id", sort=False)["ord"].size()
+            joined, nk = _finish(kept)
+            # dict lookups, NOT Series.map+fillna: a single missing key
+            # floats the whole column and rounds md5 ints above 2^53
+            fp = {d: int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                  for d, s in joined.items()}
+            ns_d, nk_d = ns.to_dict(), nk.to_dict()
+            ids = df["doc_id"].to_numpy(np.int64)
             return pd.DataFrame({
-                "doc_id": pd.Series([], dtype="int64"),
-                "ord": pd.Series([], dtype="int64"),
-                "span": pd.Series([], dtype="object"),
-                "pos": pd.Series([], dtype="int64")})
-        toks = df["text"].str.split(" ")
-        lens = toks.str.len().to_numpy(np.int64)
-        doc = np.repeat(df["doc_id"].to_numpy(np.int64), lens)
-        flat = toks.explode().to_numpy()
-        tord = np.arange(lens.sum(), dtype=np.int64) \
-            - np.repeat(np.cumsum(lens) - lens, lens)
-        ordv = tord // w
-        if len(ordv) and int(ordv.max()) >= (1 << SPAN_KF_ORD_BITS):
-            raise ValueError("doc exceeds 2^20 spans; widen pos packing")
-        g = pd.DataFrame({"doc_id": doc, "ord": ordv, "tok": flat}) \
-            .groupby(["doc_id", "ord"], sort=False)["tok"] \
-            .agg(" ".join).reset_index()
-        return pd.DataFrame({
-            "doc_id": g["doc_id"].astype("int64"),
-            "ord": g["ord"].astype("int64"),
-            "span": g["tok"],
-            "pos": (g["doc_id"].astype("int64")
-                    * (1 << SPAN_KF_ORD_BITS)
-                    + g["ord"].astype("int64")).astype("int64")})
+                "doc_id": ids,
+                "n_spans": np.fromiter(
+                    (ns_d.get(d, 0) for d in ids), np.int64, len(ids)),
+                "n_kept": np.fromiter(
+                    (nk_d.get(d, 0) for d in ids), np.int64, len(ids)),
+                "clean_fp": np.fromiter(
+                    (fp.get(d, empty_fp) for d in ids), np.int64,
+                    len(ids))})
 
-    spans = docs.map_batches(_spans, batch_format="pandas").materialize()
+        return docs.map_batches(_probe, batch_format="pandas")
+
+    # join tier: hash-join spans against the dup winners, drop losers,
+    # reassemble per doc (pinned equal to the probe tier by test)
+    spans = spans.materialize()
     nspans = fast_groupby_agg(spans, ["doc_id"],
                               {"n_spans": (None, "count")})
-    winners = fast_groupby_agg(spans, ["span"], {"mpos": ("pos", "min")})
-    kept = spans.join(winners, "inner", num_partitions=JOIN_PARTS, on=("span",)) \
-        .filter(expr="pos == mpos")
+    flagged = spans.join(
+        dups.map_batches(lambda b: b.rename_columns(["span_r", "mpos"]),
+                         batch_format="pyarrow"),
+        "left_outer", num_partitions=JOIN_PARTS,
+        on=("span",), right_on=("span_r",))
+    kept = flagged.map_batches(
+        lambda b: b.filter(pc.or_kleene(
+            pc.is_null(b["mpos"]), pc.equal(b["pos"], b["mpos"]))),
+        batch_format="pyarrow")
 
     def _reassemble(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("ord", kind="mergesort")
@@ -1338,7 +1402,6 @@ def q_span_keep_first(sf_dir, w: int = SPAN_KF_W):
         batch_format="pyarrow"),
         "left_outer", num_partitions=JOIN_PARTS,
         on=("doc_id",), right_on=("doc_id_r",))
-    empty_fp = int(hashlib.md5(b"").hexdigest()[:15], 16)
 
     def _fin(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -1349,6 +1412,23 @@ def q_span_keep_first(sf_dir, w: int = SPAN_KF_W):
                 pc.fill_null(b["clean_fp"], empty_fp), pa.int64())})
 
     return out.map_batches(_fin, batch_format="pyarrow")
+
+
+_span_dup_cache: dict[str, pd.Series] = {}
+
+
+def _bcast_dup(ref) -> pd.Series:
+    """Per-worker cache of the broadcast dup span→first-pos map (one
+    deserialize + Series build per worker process)."""
+    key = ref.hex() if hasattr(ref, "hex") else str(id(ref))
+    hit = _span_dup_cache.get(key)
+    if hit is None:
+        df = ray.get(ref)
+        hit = pd.Series(df["mpos"].to_numpy(np.int64),
+                        index=df["span"].to_numpy())
+        _span_dup_cache.clear()
+        _span_dup_cache[key] = hit
+    return hit
 
 
 ORACLES["span_keep_first"] = f"""
@@ -1509,17 +1589,20 @@ def q_token_dropout_aug(sf_dir):
         kept = pd.DataFrame({"doc_id": doc[keep], "tok": flat[keep]})
         joined = kept.groupby("doc_id", sort=False)["tok"] \
             .agg(" ".join)
-        nk = kept.groupby("doc_id", sort=False)["tok"].size()
-        out = pd.DataFrame({
-            "doc_id": df["doc_id"].to_numpy(np.int64),
-            "n_tokens": lens})
-        out["n_kept"] = out["doc_id"].map(nk).fillna(0).astype(np.int64)
-        out["aug_fp"] = out["doc_id"].map(
-            joined.map(lambda s: np.int64(
-                int(hashlib.md5(s.encode()).hexdigest()[:15], 16)))
-        ).fillna(np.int64(
-            int(hashlib.md5(b"").hexdigest()[:15], 16))).astype(np.int64)
-        return out
+        nk = kept.groupby("doc_id", sort=False)["tok"].size().to_dict()
+        # dict lookups, NOT Series.map+fillna: a single missing key
+        # floats the whole column and rounds md5 ints above 2^53
+        empty = int(hashlib.md5(b"").hexdigest()[:15], 16)
+        fp = {d: int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+              for d, s in joined.items()}
+        ids = df["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "n_tokens": lens,
+            "n_kept": np.fromiter(
+                (nk.get(d, 0) for d in ids), np.int64, len(ids)),
+            "aug_fp": np.fromiter(
+                (fp.get(d, empty) for d in ids), np.int64, len(ids))})
 
     return docs.map_batches(_aug, batch_format="pandas")
 

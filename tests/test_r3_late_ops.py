@@ -203,3 +203,13 @@ def test_pagerank_checkpoint_noop_when_complete():
     finally:
         shutil.rmtree(out, ignore_errors=True)
     pd.testing.assert_frame_equal(again, first)
+
+
+def test_span_keep_first_tiers_pinned_equal():
+    """The dup-only broadcast probe tier and the guarded join tier must
+    emit identical rows (max_broadcast_dups=0 forces the join plan)."""
+    probe = TC.q_span_keep_first(SF).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    join = TC.q_span_keep_first(SF, max_broadcast_dups=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(probe, join)
