@@ -9801,6 +9801,7 @@ def queries() -> dict:
         "padding_efficiency": q_padding_efficiency,
         "pagerank_checkpointed": q_pagerank_checkpointed,
         "int8_quant_audit": q_int8_quant_audit,
+        "skipgram_pairs": q_skipgram_pairs,
     }
 
 
@@ -20644,3 +20645,64 @@ ORACLES["int8_quant_audit"] = """
            CAST(sum(abs(127 * xfp - qv * mx)) AS BIGINT) AS sum_err
     FROM q GROUP BY vec_id
 """
+
+
+# ====================================================== skip-gram pairs
+
+
+SKIPGRAM_WINDOW = 2
+
+
+def q_skipgram_pairs(sf_dir, window: int = SKIPGRAM_WINDOW):
+    """Skip-gram (center, context) pair counts over the deterministic
+    random-walk corpus — the word2vec/DeepWalk TRAINING-PAIR generator
+    (Perozzi et al., KDD'14 feed walks into skip-gram): for every walk,
+    every ordered pair of nodes at step distance 1..``window`` emits
+    one (center, context) example; the output is the aggregated pair
+    multiset the embedding trainer consumes. Composes
+    q_graph_random_walks (exact corpus) with one walk-keyed self-join —
+    and the oracle composes the SAME unrolled-CTE walk SQL, so the
+    pair table is bitwise-checked end to end.
+
+    Scale plan: walks are (starts × steps)-sized, the self-join is
+    hash-partitioned on walk_id with per-walk fan-out ≤ (L+1)·2w — a
+    constant — and the final count groupby is pair-vocabulary-sized."""
+    walks = q_graph_random_walks(sf_dir).materialize()
+    right = walks.map_batches(
+        lambda b: b.rename_columns(["wid_r", "step_r", "ctx"]),
+        batch_format="pyarrow")
+    j = walks.join(right, "inner", num_partitions=JOIN_PARTS,
+                   on=("walk_id",), right_on=("wid_r",))
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        s = b["step"].to_numpy(zero_copy_only=False)
+        t = b["step_r"].to_numpy(zero_copy_only=False)
+        d = np.abs(s - t)
+        keep = (d >= 1) & (d <= window)
+        return pa.table({
+            "center": pa.array(
+                b["node"].to_numpy(zero_copy_only=False)[keep],
+                pa.int64()),
+            "context": pa.array(
+                b["ctx"].to_numpy(zero_copy_only=False)[keep],
+                pa.int64())})
+
+    pairs = j.map_batches(_pairs, batch_format="pyarrow")
+    return fast_groupby_agg(pairs, ["center", "context"],
+                            {"n_pairs": (None, "count")})
+
+
+def _skipgram_oracle() -> str:
+    walks_sql = ORACLES["graph_random_walks"].strip()
+    return f"""
+    WITH walks AS ({walks_sql})
+    SELECT a.node AS center, b.node AS context,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM walks a JOIN walks b
+      ON a.walk_id = b.walk_id
+     AND abs(a.step - b.step) BETWEEN 1 AND {SKIPGRAM_WINDOW}
+    GROUP BY a.node, b.node
+"""
+
+
+ORACLES["skipgram_pairs"] = _skipgram_oracle()
