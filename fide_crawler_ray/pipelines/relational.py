@@ -9802,6 +9802,7 @@ def queries() -> dict:
         "pagerank_checkpointed": q_pagerank_checkpointed,
         "int8_quant_audit": q_int8_quant_audit,
         "skipgram_pairs": q_skipgram_pairs,
+        "permutation_test": q_permutation_test,
     }
 
 
@@ -20706,3 +20707,104 @@ def _skipgram_oracle() -> str:
 
 
 ORACLES["skipgram_pairs"] = _skipgram_oracle()
+
+
+# ==================================================== permutation test
+
+
+PERM_TEST_BITS = 60
+
+
+def q_permutation_test(sf_dir, n_perms: int = PERM_TEST_BITS):
+    """EXACT distributed permutation test for the click-vs-rest mean
+    difference of event value — the assumption-free significance test
+    (Fisher 1935) made shuffle-free and bit-deterministic: ONE
+    md5₆₀(event_id) per row supplies all ``n_perms`` random reassignments
+    at once (bit p of the hash = row's group under permutation p), so
+    the whole test is a constant-width map-side fold. Extremeness is
+    decided WITHOUT division: |mean diff| comparisons cross-multiply to
+    |D_p|·n_o·(n−n_o) ≥ |D_o|·n_p·(n−n_p) with D = S_g(n−n_g) −
+    (S−S_g)·n_g, evaluated in arbitrary-precision Python ints (the
+    oracle uses HUGEINT) — no float ever enters. Output: group sizes
+    and the p-value as an integer fraction p_num/p_den.
+
+    Scale plan: each batch folds to n_perms (S_p, n_p) partials plus
+    the observed totals — a ~120-int exchange per block regardless of
+    corpus size; the comparison runs once on the driver over those
+    ~120 ints. Degenerate permutations (empty side) are excluded from
+    p_den on both engines."""
+    ev = T(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def _fold(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy(zero_copy_only=False)
+        vf = _round_half_away(
+            b["value"].to_numpy(zero_copy_only=False) * 1e6
+        ).astype(np.int64)
+        g = pc.equal(b["event_type"], "click").to_numpy(
+            zero_copy_only=False)
+        h = np.fromiter(
+            (int(hashlib.md5(str(int(i)).encode()).hexdigest()[:15], 16)
+             for i in ids), dtype=np.int64, count=len(ids))
+        bits = (h[:, None] >> np.arange(n_perms)) & 1  # (rows, perms)
+        sp = (vf[:, None] * bits).sum(axis=0)
+        npv = bits.sum(axis=0)
+        p = np.arange(n_perms, dtype=np.int64)
+        return pa.table({
+            "p": pa.array(np.concatenate([p, [-1], [-2]]), pa.int64()),
+            "s": pa.array(np.concatenate(
+                [sp, [int(vf.sum())], [int(vf[g].sum())]]), pa.int64()),
+            "c": pa.array(np.concatenate(
+                [npv, [len(vf)], [int(g.sum())]]), pa.int64())})
+
+    agg = fast_groupby_agg(
+        ev.map_batches(_fold, batch_format="pyarrow"),
+        ["p"], {"s": ("s", "sum"), "c": ("c", "sum")}) \
+        .to_pandas().set_index("p")
+    s, n = int(agg.loc[-1, "s"]), int(agg.loc[-1, "c"])
+    s1, n1 = int(agg.loc[-2, "s"]), int(agg.loc[-2, "c"])
+    d_obs = abs(s1 * (n - n1) - (s - s1) * n1)
+    q_obs = n1 * (n - n1)
+    p_num = p_den = 0
+    for p in range(n_perms):
+        sp, npv = int(agg.loc[p, "s"]), int(agg.loc[p, "c"])
+        if npv == 0 or npv == n:
+            continue
+        p_den += 1
+        dp = abs(sp * (n - npv) - (s - sp) * npv)
+        if dp * q_obs >= d_obs * (npv * (n - npv)):
+            p_num += 1
+    return pd.DataFrame({
+        "n": [np.int64(n)], "n1_obs": [np.int64(n1)],
+        "p_num": [np.int64(p_num)], "p_den": [np.int64(p_den)]})
+
+
+ORACLES["permutation_test"] = f"""
+    WITH v AS (
+        SELECT CAST(round(value * 1000000) AS BIGINT) AS vf,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g,
+               CAST(concat('0x', substr(md5(
+                   CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM events),
+    tot AS (SELECT sum(vf) AS s, count(*) AS n,
+                   sum(vf * g) AS s1, sum(g) AS n1 FROM v),
+    perm AS (
+        SELECT p,
+               sum(CASE WHEN (h >> p) & 1 = 1 THEN vf ELSE 0 END) AS sp,
+               sum(CASE WHEN (h >> p) & 1 = 1 THEN 1 ELSE 0 END) AS np
+        FROM v, unnest(generate_series(0, {PERM_TEST_BITS - 1})) AS t(p)
+        GROUP BY p),
+    cmp AS (
+        SELECT count(*) AS den,
+               sum(CASE WHEN
+                   abs(CAST(sp AS HUGEINT) * (n - np)
+                       - (CAST(s AS HUGEINT) - sp) * np)
+                   * (CAST(n1 AS HUGEINT) * (n - n1))
+                   >= abs(CAST(s1 AS HUGEINT) * (n - n1)
+                          - (CAST(s AS HUGEINT) - s1) * n1)
+                      * (CAST(np AS HUGEINT) * (n - np))
+                   THEN 1 ELSE 0 END) AS num
+        FROM perm, tot WHERE np > 0 AND np < n)
+    SELECT CAST(n AS BIGINT) AS n, CAST(n1 AS BIGINT) AS n1_obs,
+           CAST(num AS BIGINT) AS p_num, CAST(den AS BIGINT) AS p_den
+    FROM tot, cmp
+"""
