@@ -9803,6 +9803,7 @@ def queries() -> dict:
         "int8_quant_audit": q_int8_quant_audit,
         "skipgram_pairs": q_skipgram_pairs,
         "permutation_test": q_permutation_test,
+        "kmv_distinct": q_kmv_distinct,
     }
 
 
@@ -20807,4 +20808,92 @@ ORACLES["permutation_test"] = f"""
     SELECT CAST(n AS BIGINT) AS n, CAST(n1 AS BIGINT) AS n1_obs,
            CAST(num AS BIGINT) AS p_num, CAST(den AS BIGINT) AS p_den
     FROM tot, cmp
+"""
+
+
+# ======================================================== KMV sketch
+
+
+KMV_K = 8
+
+
+def q_kmv_distinct(sf_dir, k: int = KMV_K):
+    """K-minimum-values distinct sketch per event_type (Bar-Yossef et
+    al. 2002): over md5₆₀ hashes of the member ids, keep the k smallest
+    DISTINCT hash values; estimate = (k−1)·2⁶⁰ // h_(k). Unlike the HLL
+    pair (rows-only, asserted error bands), KMV is a pure function of
+    the md5 convention both engines state verbatim — so this sketch has
+    an EXACT oracle: the driver gate certifies the estimator itself,
+    including its per-group error in integer permille. Groups with
+    fewer than k distinct members are excluded on both sides (the
+    sketch is undefined there).
+
+    Scale plan: per-batch partials keep each group's k smallest
+    distinct hashes (np.unique + partition — the union of per-batch
+    k-mins contains the global k-mins, the standard KMV merge); the
+    exchange is ≤ k rows per (block, group); the final per-group merge
+    touches ≤ k·blocks values. The exact side reuses the distinct-count
+    fold for the err column."""
+    ev = T(sf_dir, "events", ["event_type", "user_id"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        types, hvs = [], []
+        for et, g in df.groupby("event_type", sort=False):
+            u = np.unique(g["user_id"].to_numpy(np.int64))
+            h = np.fromiter(
+                (int(hashlib.md5(str(int(x)).encode()).hexdigest()[:15],
+                     16) for x in u), dtype=np.int64, count=len(u))
+            h = np.unique(h)
+            kk = h[:k] if len(h) <= k else np.partition(h, k - 1)[:k]
+            types.extend([et] * len(kk))
+            hvs.extend(kk.tolist())
+        return pa.table({"event_type": pa.array(types, pa.string()),
+                         "hv": pa.array(hvs, pa.int64())})
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        h = np.unique(g["hv"].to_numpy(np.int64))
+        if len(h) < k:
+            return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                                 "hk": pd.Series([], dtype="int64")})
+        hk = int(np.sort(h)[k - 1])
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "hk": [np.int64(hk)]})
+
+    sk = ev.map_batches(_partial, batch_format="pyarrow") \
+        .groupby("event_type").map_groups(_merge, batch_format="pandas") \
+        .to_pandas()
+    exact = q_grouped_distinct_count(sf_dir).to_pandas()
+    out = sk.merge(exact, on="event_type").sort_values("event_type")
+    est = [(k - 1) * (1 << 60) // int(h) for h in out["hk"]]
+    ex = out["n_users"].astype(int).tolist()
+    return pd.DataFrame({
+        "event_type": out["event_type"].to_numpy(),
+        "hk": out["hk"].astype(np.int64),
+        "est": np.array(est, dtype=np.int64),
+        "n_exact": np.array(ex, dtype=np.int64),
+        "err_pm": np.array([abs(e - x) * 1000 // x
+                            for e, x in zip(est, ex)], dtype=np.int64)})
+
+
+ORACLES["kmv_distinct"] = f"""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               CAST(concat('0x', substr(md5(
+                   CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        FROM events),
+    r AS (SELECT event_type, hv, row_number() OVER (
+              PARTITION BY event_type ORDER BY hv) AS rn FROM h),
+    kk AS (SELECT event_type, hv AS hk FROM r WHERE rn = {KMV_K}),
+    ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+           FROM events GROUP BY event_type),
+    est AS (SELECT k.event_type, k.hk,
+                   CAST({KMV_K - 1} AS HUGEINT)
+                   * 1152921504606846976 // k.hk AS e,
+                   ex.n_exact
+            FROM kk k JOIN ex ON ex.event_type = k.event_type)
+    SELECT event_type, hk, CAST(e AS BIGINT) AS est,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(abs(e - n_exact) * 1000 // n_exact AS BIGINT) AS err_pm
+    FROM est
 """
