@@ -9804,6 +9804,8 @@ def queries() -> dict:
         "skipgram_pairs": q_skipgram_pairs,
         "permutation_test": q_permutation_test,
         "kmv_distinct": q_kmv_distinct,
+        "oversample_balance": q_oversample_balance,
+        "kwic_snippets": q_kwic_snippets,
     }
 
 
@@ -20896,4 +20898,145 @@ ORACLES["kmv_distinct"] = f"""
            CAST(n_exact AS BIGINT) AS n_exact,
            CAST(abs(e - n_exact) * 1000 // n_exact AS BIGINT) AS err_pm
     FROM est
+"""
+
+
+# ================================================== oversample balancing
+
+
+def q_oversample_balance(sf_dir):
+    """Deterministic minority-class oversampling plan over the document
+    language labels: every class is replicated toward the majority
+    count — integer base multiplier m//n per row plus ONE md5-gated
+    extra copy for the fractional remainder (row gets the extra copy
+    iff h < ⌈rem·2⁶⁰/n⌉, the per-class threshold precomputed in
+    arbitrary-precision ints so the vectorized compare stays int64).
+    The emitted plan is the per-class before/after ledger — the exact
+    multiset a balanced training epoch would materialize, reproducible
+    at any cluster size because membership is a pure hash function.
+
+    Scale plan: class counts are one tiny groupby (driver-held —
+    classes are enum-sized); the multiplier pass is shuffle-free
+    map_batches with the per-class thresholds shipped by closure; the
+    final ledger is a class-sized groupby."""
+    docs = T(sf_dir, "documents", ["doc_id", "lang"])
+    counts = fast_groupby_agg(docs, ["lang"], {"n": (None, "count")}) \
+        .to_pandas()
+    cnt = dict(zip(counts["lang"], counts["n"].astype(int)))
+    m = max(cnt.values())
+    base = {la: m // n for la, n in cnt.items()}
+    thr = {la: ((m % n) * (1 << 60) + n - 1) // n for la, n in cnt.items()}
+
+    def _mult(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.fromiter(
+            (int(hashlib.md5(str(int(d)).encode()).hexdigest()[:15], 16)
+             for d in df["doc_id"]), dtype=np.int64, count=len(df))
+        b = df["lang"].map(base).to_numpy(np.int64)
+        t = df["lang"].map(thr).to_numpy(np.int64)
+        return pd.DataFrame({
+            "lang": df["lang"].to_numpy(),
+            "mult": b + (h < t).astype(np.int64)})
+
+    ledger = fast_groupby_agg(
+        docs.map_batches(_mult, batch_format="pandas"),
+        ["lang"], {"n_after": ("mult", "sum"),
+                   "n_before": (None, "count")})
+
+    def _fin(b: pa.Table) -> pa.Table:
+        lang = b["lang"].to_pylist()
+        return pa.table({
+            "lang": b["lang"],
+            "n_before": b["n_before"],
+            "base_mult": pa.array([base[la] for la in lang], pa.int64()),
+            "n_after": b["n_after"],
+            "target": pa.array([m] * len(lang), pa.int64())})
+
+    return ledger.map_batches(_fin, batch_format="pyarrow")
+
+
+ORACLES["oversample_balance"] = """
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    mx AS (SELECT max(n) AS m FROM c),
+    r AS (SELECT d.lang, c.n, mx.m,
+                 CAST(concat('0x', substr(md5(
+                     CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+          FROM documents d JOIN c USING (lang), mx),
+    q AS (SELECT lang, n, m,
+                 (m // n) + CASE WHEN h <
+                     (CAST(m % n AS HUGEINT) * 1152921504606846976
+                      + n - 1) // n
+                     THEN 1 ELSE 0 END AS mult
+          FROM r)
+    SELECT lang, CAST(min(n) AS BIGINT) AS n_before,
+           CAST(min(m) // min(n) AS BIGINT) AS base_mult,
+           CAST(sum(mult) AS BIGINT) AS n_after,
+           CAST(min(m) AS BIGINT) AS target
+    FROM q GROUP BY lang
+"""
+
+
+# ======================================================= KWIC snippets
+
+
+KWIC_TERM = "merge"
+KWIC_HALO = 3
+
+
+def q_kwic_snippets(sf_dir, term: str = KWIC_TERM, halo: int = KWIC_HALO):
+    """Keyword-in-context snippet extraction: for every document
+    containing ``term``, cut the ±``halo``-token window around its
+    FIRST occurrence — the retrieval-display / concordance primitive
+    (and the context-window miner for term-sense datasets). Output per
+    hit: the 1-based token index, the window size, and the md5
+    fingerprint of the snippet text, so the oracle checks the emitted
+    snippet bytes exactly.
+
+    Scale plan: one shuffle-free map pass — split, index(), slice,
+    join, hash, all within the document's own batch; the output is
+    hit-sized. At 100 TB this is the same cost class as any tokenize
+    pass; no exchange at all."""
+    docs = T(sf_dir, "documents", ["doc_id", "text"])
+
+    def _kwic(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"doc_id": [], "idx": [], "n_window": [], "snippet_fp": []}
+        for did, txt in zip(df["doc_id"].to_numpy(np.int64),
+                            df["text"]):
+            toks = txt.split(" ")
+            try:
+                i = toks.index(term)  # 0-based first occurrence
+            except ValueError:
+                continue
+            win = toks[max(0, i - halo): i + halo + 1]
+            snip = " ".join(win)
+            rows["doc_id"].append(did)
+            rows["idx"].append(i + 1)
+            rows["n_window"].append(len(win))
+            rows["snippet_fp"].append(
+                int(hashlib.md5(snip.encode()).hexdigest()[:15], 16))
+        return pd.DataFrame({
+            "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+            "idx": pd.Series(rows["idx"], dtype="int64"),
+            "n_window": pd.Series(rows["n_window"], dtype="int64"),
+            "snippet_fp": pd.Series(rows["snippet_fp"], dtype="int64")})
+
+    return docs.map_batches(_kwic, batch_format="pandas")
+
+
+ORACLES["kwic_snippets"] = f"""
+    WITH l AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    hit AS (SELECT doc_id, toks,
+                   list_position(toks, '{KWIC_TERM}') AS i,
+                   len(toks) AS n
+            FROM l WHERE list_position(toks, '{KWIC_TERM}') > 0),
+    win AS (SELECT doc_id, i,
+                   toks[greatest(1, i - {KWIC_HALO})
+                        : least(n, i + {KWIC_HALO})] AS w
+            FROM hit)
+    SELECT doc_id, CAST(i AS BIGINT) AS idx,
+           CAST(len(w) AS BIGINT) AS n_window,
+           CAST(concat('0x', substr(md5(
+               array_to_string(w, ' ')), 1, 15)) AS BIGINT)
+               AS snippet_fp
+    FROM win
 """
