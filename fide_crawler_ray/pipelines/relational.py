@@ -9806,6 +9806,7 @@ def queries() -> dict:
         "kmv_distinct": q_kmv_distinct,
         "oversample_balance": q_oversample_balance,
         "kwic_snippets": q_kwic_snippets,
+        "group_aware_split": q_group_aware_split,
     }
 
 
@@ -21039,4 +21040,83 @@ ORACLES["kwic_snippets"] = f"""
                array_to_string(w, ' ')), 1, 15)) AS BIGINT)
                AS snippet_fp
     FROM win
+"""
+
+
+# ==================================================== group-aware split
+
+
+def q_group_aware_split(sf_dir):
+    """Leakage-FREE train/val/test split: documents are assigned by the
+    md5 of their exact-duplicate CLUSTER (min doc_id sharing the text
+    hash), so identical texts can never straddle a split boundary — the
+    fix for precisely the defect q_holdout_leakage audits (and the
+    group-k-fold discipline sklearn's GroupKFold encodes). Split gate:
+    first hex digit of md5(cluster) — 0–b train, c–d val, e–f test
+    (12/2/2 of 16). Output: per split, document and cluster counts; the
+    in-query invariant asserts every cluster lands in exactly one
+    split.
+
+    Scale plan: the cluster table is dedup_exact_text's exchange (one
+    text-hash groupby carrying min doc_id); assignment is a hash join
+    of docs against their cluster plus a map — no broadcast of anything
+    corpus-sized; the ledger is a 3-row groupby."""
+    docs = T(sf_dir, "documents", ["doc_id", "text"])
+
+    def _hash(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "h": [hashlib.md5(t.encode()).hexdigest()
+                  for t in df["text"]]})
+
+    hashed = docs.map_batches(_hash, batch_format="pandas").materialize()
+    clusters = fast_groupby_agg(hashed, ["h"],
+                                {"cluster": ("doc_id", "min")})
+    j = hashed.join(clusters, "inner", num_partitions=JOIN_PARTS,
+                    on=("h",))
+
+    def _assign(df: pd.DataFrame) -> pd.DataFrame:
+        first = np.array([
+            int(hashlib.md5(str(int(c)).encode()).hexdigest()[0], 16)
+            for c in df["cluster"]])
+        split = np.where(first < 12, "train",
+                         np.where(first < 14, "val", "test"))
+        return pd.DataFrame({
+            "split": split, "cluster": df["cluster"].to_numpy(np.int64)})
+
+    assigned = j.map_batches(_assign, batch_format="pandas") \
+        .materialize()
+    ledger = fast_groupby_agg(assigned, ["split"],
+                              {"n_docs": (None, "count")}).to_pandas()
+    ncl = fast_groupby_agg(
+        fast_groupby_agg(assigned, ["split", "cluster"],
+                         {"_n": (None, "count")}),
+        ["split"], {"n_clusters": (None, "count")}).to_pandas()
+    # invariant: no cluster appears under two splits
+    total_cl = fast_groupby_agg(assigned, ["cluster"],
+                                {"_n": (None, "count")}).count()
+    assert int(ncl["n_clusters"].sum()) == total_cl, \
+        "a duplicate cluster straddles a split boundary"
+    out = ledger.merge(ncl, on="split").sort_values("split") \
+        .reset_index(drop=True)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["n_clusters"] = out["n_clusters"].astype(np.int64)
+    return out
+
+
+ORACLES["group_aware_split"] = """
+    WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents),
+    c AS (SELECT hh, min(doc_id) AS cluster FROM h GROUP BY hh),
+    a AS (SELECT h.doc_id, c.cluster,
+                 CASE WHEN CAST(concat('0x', substr(md5(
+                          CAST(c.cluster AS VARCHAR)), 1, 1))
+                          AS BIGINT) < 12 THEN 'train'
+                      WHEN CAST(concat('0x', substr(md5(
+                          CAST(c.cluster AS VARCHAR)), 1, 1))
+                          AS BIGINT) < 14 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM h JOIN c USING (hh))
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters
+    FROM a GROUP BY split ORDER BY split
 """
