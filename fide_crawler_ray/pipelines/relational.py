@@ -9807,6 +9807,7 @@ def queries() -> dict:
         "oversample_balance": q_oversample_balance,
         "kwic_snippets": q_kwic_snippets,
         "group_aware_split": q_group_aware_split,
+        "labeling_functions_audit": q_labeling_functions_audit,
     }
 
 
@@ -21119,4 +21120,137 @@ ORACLES["group_aware_split"] = """
     SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters
     FROM a GROUP BY split ORDER BY split
+"""
+
+
+# ============================================== labeling-function audit
+
+
+# (name, trigger substring-token, vote) — deterministic keyword LFs
+LF_RULES = (("lf_fast", "fast", 1),
+            ("lf_slow", "slow", 0),
+            ("lf_merge", "merge", 1))
+
+
+def q_labeling_functions_audit(sf_dir, rules: tuple = LF_RULES):
+    """Snorkel-style weak-supervision diagnostics (Ratner et al.,
+    VLDB'18): three deterministic keyword labeling functions vote
+    {0, 1, abstain} per document; per LF the audit reports coverage
+    (votes), overlap (votes on docs where ANOTHER LF also voted) and
+    conflict (votes on docs where another LF voted DIFFERENTLY) — the
+    exact matrix a label-model practitioner reads before training — and
+    the majority-vote label distribution (ties → abstain). All counts
+    are integers over token-membership predicates, so the oracle is
+    bitwise.
+
+    Scale plan: one shuffle-free map evaluates every LF per batch
+    (token-set membership on the split column); the per-LF ledger is a
+    constant-width fold (rows = 3 LFs + 3 vote classes), never
+    doc-sized."""
+    docs = T(sf_dir, "documents", ["doc_id", "text"])
+
+    def _votes(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ").map(set)
+        votes = np.full((len(df), len(rules)), -1, dtype=np.int64)
+        for j, (_, kw, lab) in enumerate(rules):
+            hit = np.fromiter((kw in s for s in toks), dtype=bool,
+                              count=len(df))
+            votes[hit, j] = lab
+        voted = votes >= 0
+        n_voted = voted.sum(axis=1)
+        n_pos = (votes == 1).sum(axis=1)
+        n_neg = (votes == 0).sum(axis=1)
+        maj = np.where(n_pos > n_neg, 1, np.where(n_neg > n_pos, 0, -1))
+        maj[n_voted == 0] = -1
+        rows = []
+        for j, (name, _, _) in enumerate(rules):
+            v = voted[:, j]
+            other = voted.copy()
+            other[:, j] = False
+            any_other = other.any(axis=1)
+            conf = np.zeros(len(df), dtype=bool)
+            for k in range(len(rules)):
+                if k == j:
+                    continue
+                conf |= (voted[:, k] & v
+                         & (votes[:, k] != votes[:, j]))
+            rows.append({"lf": name,
+                         "coverage": int(v.sum()),
+                         "overlap": int((v & any_other).sum()),
+                         "conflict": int(conf.sum())})
+        for lab, nm in ((1, "vote_1"), (0, "vote_0"), (-1, "abstain")):
+            rows.append({"lf": nm, "coverage": int((maj == lab).sum()),
+                         "overlap": 0, "conflict": 0})
+        out = pd.DataFrame(rows)
+        out["coverage"] = out["coverage"].astype(np.int64)
+        out["overlap"] = out["overlap"].astype(np.int64)
+        out["conflict"] = out["conflict"].astype(np.int64)
+        return out
+
+    return fast_groupby_agg(
+        docs.map_batches(_votes, batch_format="pandas"),
+        ["lf"], {"coverage": ("coverage", "sum"),
+                 "overlap": ("overlap", "sum"),
+                 "conflict": ("conflict", "sum")})
+
+
+ORACLES["labeling_functions_audit"] = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    v AS (SELECT doc_id,
+                 CASE WHEN list_position(toks, 'fast') > 0
+                      THEN 1 ELSE -1 END AS v1,
+                 CASE WHEN list_position(toks, 'slow') > 0
+                      THEN 0 ELSE -1 END AS v2,
+                 CASE WHEN list_position(toks, 'merge') > 0
+                      THEN 1 ELSE -1 END AS v3
+          FROM t),
+    m AS (SELECT doc_id, v1, v2, v3,
+                 (CASE WHEN v1 = 1 THEN 1 ELSE 0 END
+                  + CASE WHEN v2 = 1 THEN 1 ELSE 0 END
+                  + CASE WHEN v3 = 1 THEN 1 ELSE 0 END) AS npos,
+                 (CASE WHEN v1 = 0 THEN 1 ELSE 0 END
+                  + CASE WHEN v2 = 0 THEN 1 ELSE 0 END
+                  + CASE WHEN v3 = 0 THEN 1 ELSE 0 END) AS nneg
+          FROM v),
+    maj AS (SELECT CASE WHEN npos + nneg = 0 THEN -1
+                        WHEN npos > nneg THEN 1
+                        WHEN nneg > npos THEN 0
+                        ELSE -1 END AS lab FROM m)
+    SELECT 'lf_fast' AS lf,
+           CAST(sum(CASE WHEN v1 >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS coverage,
+           CAST(sum(CASE WHEN v1 >= 0 AND (v2 >= 0 OR v3 >= 0)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS overlap,
+           CAST(sum(CASE WHEN v1 >= 0 AND ((v2 >= 0 AND v2 <> v1)
+                         OR (v3 >= 0 AND v3 <> v1))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS conflict
+    FROM v
+    UNION ALL
+    SELECT 'lf_slow',
+           CAST(sum(CASE WHEN v2 >= 0 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN v2 >= 0 AND (v1 >= 0 OR v3 >= 0)
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN v2 >= 0 AND ((v1 >= 0 AND v1 <> v2)
+                         OR (v3 >= 0 AND v3 <> v2))
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM v
+    UNION ALL
+    SELECT 'lf_merge',
+           CAST(sum(CASE WHEN v3 >= 0 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN v3 >= 0 AND (v1 >= 0 OR v2 >= 0)
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN v3 >= 0 AND ((v1 >= 0 AND v1 <> v3)
+                         OR (v2 >= 0 AND v2 <> v3))
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM v
+    UNION ALL
+    SELECT 'vote_1', CAST(sum(CASE WHEN lab = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT), 0, 0 FROM maj
+    UNION ALL
+    SELECT 'vote_0', CAST(sum(CASE WHEN lab = 0 THEN 1 ELSE 0 END)
+                          AS BIGINT), 0, 0 FROM maj
+    UNION ALL
+    SELECT 'abstain', CAST(sum(CASE WHEN lab = -1 THEN 1 ELSE 0 END)
+                           AS BIGINT), 0, 0 FROM maj
 """
