@@ -9808,6 +9808,7 @@ def queries() -> dict:
         "kwic_snippets": q_kwic_snippets,
         "group_aware_split": q_group_aware_split,
         "labeling_functions_audit": q_labeling_functions_audit,
+        "paired_diversity": q_paired_diversity,
     }
 
 
@@ -21253,4 +21254,98 @@ ORACLES["labeling_functions_audit"] = """
     UNION ALL
     SELECT 'abstain', CAST(sum(CASE WHEN lab = -1 THEN 1 ELSE 0 END)
                            AS BIGINT), 0, 0 FROM maj
+"""
+
+
+# ====================================================== paired diversity
+
+
+def q_paired_diversity(sf_dir):
+    """Corpus diversity via HASH-PAIRED sampled pairwise Jaccard — the
+    tractable stand-in for self-BLEU / all-pairs overlap (quadratic and
+    impossible at 100 TB): documents are ordered by md5(doc_id) (a
+    reproducible random shuffle), consecutive docs form pairs, and each
+    pair's distinct-token Jaccard is emitted in ×10⁹ integer fixed
+    point. n/2 pairs ≡ a uniform random pairing, so the mean is an
+    unbiased diversity estimate at LINEAR cost, and the per-pair table
+    (not just the mean) is the oracle-checked output.
+
+    Scale plan: one distributed sort on the hash key; global
+    row_numbers stitched from per-block counts (block-offset pattern);
+    the partner join is ONE hash join on pair id; Jaccard is per-batch
+    numpy/set work on pair-local data. Driver state: O(blocks) ints."""
+    import ray.data as rd
+
+    docs = T(sf_dir, "documents", ["doc_id", "text"])
+
+    def _hk(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "hk": [hashlib.md5(str(int(d)).encode()).hexdigest()
+                   for d in df["doc_id"]],
+            "text": df["text"]})
+
+    srt = docs.map_batches(_hk, batch_format="pandas") \
+        .sort(["hk", "doc_id"]).materialize()
+    refs = srt.to_arrow_refs()
+
+    @ray.remote
+    def _n(t: pa.Table) -> int:
+        return t.num_rows
+
+    ns = ray.get([_n.remote(r) for r in refs])
+    offs = np.concatenate([[0], np.cumsum(ns)[:-1]])
+
+    @ray.remote
+    def _pairid(t: pa.Table, off: int) -> pa.Table:
+        rn = np.arange(off + 1, off + 1 + t.num_rows, dtype=np.int64)
+        return pa.table({
+            "pid": pa.array((rn - 1) // 2, pa.int64()),
+            "side": pa.array(rn % 2, pa.int64()),
+            "doc_id": t["doc_id"], "text": t["text"]})
+
+    sided = rd.from_arrow_refs(
+        [_pairid.remote(r, int(offs[i])) for i, r in enumerate(refs)])
+    a = sided.filter(expr="side == 1").drop_columns(["side"])
+    b = sided.filter(expr="side == 0").map_batches(
+        lambda t: pa.table({"pid_r": t["pid"], "doc_b": t["doc_id"],
+                            "text_b": t["text"]}),
+        batch_format="pyarrow")
+    pairs = a.join(b, "inner", num_partitions=JOIN_PARTS,
+                   on=("pid",), right_on=("pid_r",))
+
+    def _jac(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"pid": [], "doc_a": [], "doc_b": [], "jac_fp": []}
+        for pid, da, db, ta, tb in zip(
+                df["pid"], df["doc_id"], df["doc_b"],
+                df["text"], df["text_b"]):
+            sa, sb = set(ta.split(" ")), set(tb.split(" "))
+            inter = len(sa & sb)
+            uni = len(sa | sb)
+            out["pid"].append(int(pid))
+            out["doc_a"].append(int(da))
+            out["doc_b"].append(int(db))
+            out["jac_fp"].append(inter * 10**9 // uni)
+        return pd.DataFrame({k: pd.Series(v, dtype="int64")
+                             for k, v in out.items()})
+
+    return pairs.map_batches(_jac, batch_format="pandas")
+
+
+ORACLES["paired_diversity"] = """
+    WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hk,
+                      string_split(text, ' ') AS toks
+               FROM documents),
+    r AS (SELECT doc_id, toks,
+                 row_number() OVER (ORDER BY hk, doc_id) AS rn FROM h),
+    p AS (SELECT (rn - 1) // 2 AS pid, rn % 2 AS side, doc_id, toks
+          FROM r)
+    SELECT a.pid,
+           a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(list_distinct(a.toks),
+                                   list_distinct(b.toks)))
+                * 1000000000
+                // len(list_distinct(list_concat(a.toks, b.toks)))
+                AS BIGINT) AS jac_fp
+    FROM p a JOIN p b ON a.pid = b.pid AND a.side = 1 AND b.side = 0
 """
