@@ -9809,6 +9809,7 @@ def queries() -> dict:
         "group_aware_split": q_group_aware_split,
         "labeling_functions_audit": q_labeling_functions_audit,
         "paired_diversity": q_paired_diversity,
+        "kcenter_coreset": q_kcenter_coreset,
     }
 
 
@@ -21349,3 +21350,121 @@ ORACLES["paired_diversity"] = """
                 AS BIGINT) AS jac_fp
     FROM p a JOIN p b ON a.pid = b.pid AND a.side = 1 AND b.side = 0
 """
+
+
+# ====================================================== k-center coreset
+
+
+KCENTER_K = 8
+
+
+def q_kcenter_coreset(sf_dir, k: int = KCENTER_K):
+    """Greedy k-center CORESET selection over the embedding table
+    (Gonzalez 1985 farthest-point traversal — the 2-approximation
+    behind coreset/active-learning selection à la Sener & Savarese
+    2018): seed with the min vec_id, then repeatedly pick the point
+    farthest from the chosen set (ties → min id). Distances are exact
+    integer squared L2 in the ×10⁶ fixed-point domain, so the greedy
+    trajectory — each chosen center and its selection-time gain — is
+    bit-deterministic and oracle-checked step by step (one unrolled CTE
+    per round, pagerank-style).
+
+    Scale plan: the state is ONE dataset (vec_id, embedding, dmin);
+    each round is (a) a distributed top-1 (sort+limit — only one row
+    reaches the driver), (b) a 64-int center broadcast by closure, and
+    (c) a shuffle-free map lowering dmin. k rounds total, no joins, no
+    driver materialization of anything point-sized."""
+    from ray.data.aggregate import Min
+
+    emb = T(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _xfp(b: pa.Table) -> np.ndarray:
+        col = b["embedding"]
+        la = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        flat = la.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        d = len(flat) // b.num_rows if b.num_rows else 0
+        return _round_half_away(flat * 1e6).astype(np.int64) \
+            .reshape(-1, d) if b.num_rows else np.zeros((0, 0), np.int64)
+
+    c0 = int(emb.aggregate(Min("vec_id"))["min(vec_id)"])
+
+    def _center_vec(ds, cid: int) -> np.ndarray:
+        row = ds.filter(expr=f"vec_id == {cid}") \
+            .take(1)[0]["embedding"]
+        return _round_half_away(
+            np.asarray(row, dtype=np.float64) * 1e6).astype(np.int64)
+
+    cvec = _center_vec(emb, c0)
+
+    def _init(b: pa.Table, _c=cvec) -> pa.Table:
+        x = _xfp(b)
+        d2 = ((x - _c) ** 2).sum(axis=1) if len(x) else \
+            np.zeros(0, np.int64)
+        return pa.table({"vec_id": b["vec_id"],
+                         "embedding": b["embedding"],
+                         "dmin": pa.array(d2, pa.int64())})
+
+    state = emb.map_batches(_init, batch_format="pyarrow").materialize()
+    rows = [(1, c0, 0)]
+    for step in range(2, k + 1):
+        top = state.sort(["dmin", "vec_id"],
+                         descending=[True, False]).limit(1).take(1)[0]
+        cid, gain = int(top["vec_id"]), int(top["dmin"])
+        rows.append((step, cid, gain))
+        cv = _center_vec(state, cid)
+
+        def _lower(b: pa.Table, _c=cv) -> pa.Table:
+            x = _xfp(b)
+            d2 = ((x - _c) ** 2).sum(axis=1) if len(x) else \
+                np.zeros(0, np.int64)
+            return pa.table({
+                "vec_id": b["vec_id"], "embedding": b["embedding"],
+                "dmin": pa.array(np.minimum(
+                    b["dmin"].to_numpy(zero_copy_only=False), d2),
+                    pa.int64())})
+
+        state = state.map_batches(_lower,
+                                  batch_format="pyarrow").materialize()
+    return pd.DataFrame({
+        "step": pd.Series([r[0] for r in rows], dtype="int64"),
+        "center_id": pd.Series([r[1] for r in rows], dtype="int64"),
+        "gain_fp": pd.Series([r[2] for r in rows], dtype="int64")})
+
+
+def _kcenter_oracle(k: int = KCENTER_K) -> str:
+    head = """
+    WITH efp AS (
+        SELECT vec_id, gs AS j,
+               CAST(round(CAST(embedding[gs] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS xfp
+        FROM embeddings,
+             unnest(generate_series(1, len(embedding))) AS t(gs)),
+    c1 AS (SELECT min(vec_id) AS cid FROM embeddings),
+    d1 AS (SELECT a.vec_id, sum((a.xfp - b.xfp) * (a.xfp - b.xfp)) AS d
+           FROM efp a JOIN efp b
+             ON b.vec_id = (SELECT cid FROM c1) AND b.j = a.j
+           GROUP BY a.vec_id)"""
+    body = ""
+    for t in range(2, k + 1):
+        body += f""",
+    s{t} AS (SELECT vec_id AS cid, d AS gain FROM d{t - 1}
+             ORDER BY d DESC, vec_id LIMIT 1),
+    nd{t} AS (SELECT a.vec_id,
+                     sum((a.xfp - b.xfp) * (a.xfp - b.xfp)) AS d
+              FROM efp a JOIN efp b
+                ON b.vec_id = (SELECT cid FROM s{t}) AND b.j = a.j
+              GROUP BY a.vec_id),
+    d{t} AS (SELECT p.vec_id, least(p.d, n.d) AS d
+             FROM d{t - 1} p JOIN nd{t} n USING (vec_id))"""
+    tail = """
+    SELECT 1 AS step, (SELECT cid FROM c1) AS center_id,
+           CAST(0 AS BIGINT) AS gain_fp"""
+    for t in range(2, k + 1):
+        tail += f"""
+    UNION ALL SELECT {t}, (SELECT cid FROM s{t}),
+           CAST((SELECT gain FROM s{t}) AS BIGINT)"""
+    return head + body + tail
+
+
+ORACLES["kcenter_coreset"] = _kcenter_oracle()
