@@ -9810,6 +9810,7 @@ def queries() -> dict:
         "labeling_functions_audit": q_labeling_functions_audit,
         "paired_diversity": q_paired_diversity,
         "kcenter_coreset": q_kcenter_coreset,
+        "wasserstein_1d": q_wasserstein_1d,
     }
 
 
@@ -21468,3 +21469,80 @@ def _kcenter_oracle(k: int = KCENTER_K) -> str:
 
 
 ORACLES["kcenter_coreset"] = _kcenter_oracle()
+
+
+# ==================================================== 1-D Wasserstein
+
+
+W1_BUCKET = 10  # chars per histogram bucket
+
+
+def q_wasserstein_1d(sf_dir, bucket: int = W1_BUCKET):
+    """Exact 1-D Wasserstein-1 (earth mover's) distance between the
+    document-length distributions of the 'en' subcorpus and the rest —
+    the transport-cost drift metric that complements q_ks_drift (sup of
+    CDF gap) and q_psi_drift (binned likelihood): W₁ = Σ_buckets
+    |CDF_a − CDF_b| · width. Computed over the COMMON integer scale
+    n_a·n_b (|cum_a·n_b − cum_b·n_a| per bucket), so no probability is
+    ever a float; the final value is the integer numerator plus its
+    denominator — an exact rational.
+
+    Scale plan: one map folds docs to (group, bucket) count partials —
+    histogram-sized exchange; the CDF walk runs over the bucket-count-
+    sized table on the driver (bounded by the value domain, not the
+    corpus). At 100 TB this is the cheapest drift stat in the file."""
+    docs = T(sf_dir, "documents", ["lang", "n_chars"])
+
+    def _fold(b: pa.Table) -> pa.Table:
+        grp = pc.equal(b["lang"], "en").to_numpy(zero_copy_only=False)
+        bk = (b["n_chars"].to_numpy(zero_copy_only=False)
+              // bucket).astype(np.int64)
+        df = pd.DataFrame({"g": grp.astype(np.int64), "bk": bk})
+        vc = df.groupby(["g", "bk"], sort=False).size().reset_index()
+        return pa.table({"g": pa.array(vc["g"], pa.int64()),
+                         "bk": pa.array(vc["bk"], pa.int64()),
+                         "n": pa.array(vc[0], pa.int64())})
+
+    h = fast_groupby_agg(
+        docs.map_batches(_fold, batch_format="pyarrow"),
+        ["g", "bk"], {"n": ("n", "sum")}).to_pandas()
+    na = int(h.loc[h["g"] == 1, "n"].sum())
+    nb = int(h.loc[h["g"] == 0, "n"].sum())
+    bks = np.arange(int(h["bk"].max()) + 1)
+    ca = np.zeros(len(bks), dtype=object)
+    cb = np.zeros(len(bks), dtype=object)
+    for _, r in h.iterrows():
+        (ca if r["g"] == 1 else cb)[int(r["bk"])] += int(r["n"])
+    cum_a = np.cumsum(ca)
+    cum_b = np.cumsum(cb)
+    num = int(sum(abs(int(x) * nb - int(y) * na)
+                  for x, y in zip(cum_a, cum_b))) * bucket
+    return pd.DataFrame({
+        "n_en": [np.int64(na)], "n_rest": [np.int64(nb)],
+        "w1_num": [np.int64(num)],
+        "w1_den": [np.int64(na * nb)]})
+
+
+ORACLES["wasserstein_1d"] = f"""
+    WITH d AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g,
+                      n_chars // {W1_BUCKET} AS bk
+               FROM documents),
+    h AS (SELECT bk,
+                 sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS a,
+                 sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS b
+          FROM d GROUP BY bk),
+    spine AS (SELECT unnest(generate_series(
+                  0, (SELECT max(bk) FROM h))) AS bk),
+    f AS (SELECT s.bk, coalesce(h.a, 0) AS a, coalesce(h.b, 0) AS b
+          FROM spine s LEFT JOIN h ON h.bk = s.bk),
+    tot AS (SELECT sum(a) AS na, sum(b) AS nb FROM f),
+    c AS (SELECT bk, sum(a) OVER (ORDER BY bk) AS ca,
+                 sum(b) OVER (ORDER BY bk) AS cb FROM f)
+    SELECT CAST(tot.na AS BIGINT) AS n_en,
+           CAST(tot.nb AS BIGINT) AS n_rest,
+           CAST((SELECT sum(abs(CAST(ca AS HUGEINT) * tot.nb
+                                - CAST(cb AS HUGEINT) * tot.na))
+                 FROM c) * {W1_BUCKET} AS BIGINT) AS w1_num,
+           CAST(tot.na * tot.nb AS BIGINT) AS w1_den
+    FROM tot
+"""
