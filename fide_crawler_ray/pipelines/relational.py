@@ -9811,6 +9811,7 @@ def queries() -> dict:
         "paired_diversity": q_paired_diversity,
         "kcenter_coreset": q_kcenter_coreset,
         "wasserstein_1d": q_wasserstein_1d,
+        "max_drawdown": q_max_drawdown,
     }
 
 
@@ -21545,4 +21546,92 @@ ORACLES["wasserstein_1d"] = f"""
                  FROM c) * {W1_BUCKET} AS BIGINT) AS w1_num,
            CAST(tot.na * tot.nb AS BIGINT) AS w1_den
     FROM tot
+"""
+
+
+# ======================================================= max drawdown
+
+
+def q_max_drawdown(sf_dir):
+    """Per-event-type MAXIMUM DRAWDOWN of the cumulative daily value
+    series — the running peak-to-trough metric (finance risk, and the
+    regression-depth statistic for any KPI time series): dd = max over
+    days of (running-max of cumulative sum − cumulative sum), plus the
+    day it bottoms (first such day on ties). Everything runs in ×10⁶
+    integer cents of the value column, so peak/trough arithmetic is
+    exact.
+
+    Scale plan: one (type, day) fold collapses events to a
+    calendar-bounded table (types × days rows); the sequential
+    peak-tracking scan runs per type in a map_groups whose group size
+    is the CALENDAR, not the data. The same shape as q_daily_ewma /
+    q_holt_forecast."""
+    ev = T(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def _fold(b: pa.Table) -> pa.Table:
+        d = pc.cast(pc.cast(b["ts"], pa.date32()), pa.int32()) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        vf = _round_half_away(
+            b["value"].to_numpy(zero_copy_only=False) * 1e6
+        ).astype(np.int64)
+        df = pd.DataFrame({"event_type": b["event_type"].to_pylist(),
+                           "d": d, "v": vf})
+        g = df.groupby(["event_type", "d"], sort=False)["v"].sum() \
+            .reset_index()
+        return pa.table({
+            "event_type": pa.array(g["event_type"], pa.string()),
+            "d": pa.array(g["d"], pa.int64()),
+            "v": pa.array(g["v"], pa.int64())})
+
+    daily = fast_groupby_agg(
+        ev.map_batches(_fold, batch_format="pyarrow"),
+        ["event_type", "d"], {"v": ("v", "sum")})
+
+    def _scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("d", kind="mergesort")
+        cum = g["v"].to_numpy(np.int64).cumsum()
+        peak = np.maximum.accumulate(cum)
+        dd = peak - cum
+        i = int(np.argmax(dd))  # first max on ties
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "max_dd_fp": [np.int64(dd[i])],
+            "trough_day": [np.int64(g["d"].iloc[i])],
+            "final_cum_fp": [np.int64(cum[-1])]})
+
+    return daily.groupby("event_type").map_groups(
+        _scan, batch_format="pandas")
+
+
+ORACLES["max_drawdown"] = """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(ts AS DATE)) AS BIGINT) AS d,
+               CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM events GROUP BY event_type, d),
+    c AS (SELECT event_type, d,
+                 sum(v) OVER (PARTITION BY event_type ORDER BY d)
+                     AS cum
+          FROM daily),
+    p AS (SELECT event_type, d, cum,
+                 max(cum) OVER (PARTITION BY event_type ORDER BY d)
+                     AS peak
+          FROM c),
+    dd AS (SELECT event_type, d, CAST(peak - cum AS BIGINT) AS dd, cum,
+                  row_number() OVER (
+                      PARTITION BY event_type
+                      ORDER BY peak - cum DESC, d) AS rn
+           FROM p),
+    fin AS (SELECT event_type, CAST(max(cum) FILTER (
+                WHERE d = (SELECT max(d) FROM daily dd2
+                           WHERE dd2.event_type = p2.event_type))
+                AS BIGINT) AS final_cum
+            FROM p p2 GROUP BY event_type)
+    SELECT dd.event_type, CAST(dd.dd AS BIGINT) AS max_dd_fp,
+           CAST(dd.d AS BIGINT) AS trough_day,
+           CAST(fin.final_cum AS BIGINT) AS final_cum_fp
+    FROM dd JOIN fin ON fin.event_type = dd.event_type
+    WHERE dd.rn = 1
 """
