@@ -9812,6 +9812,11 @@ def queries() -> dict:
         "kcenter_coreset": q_kcenter_coreset,
         "wasserstein_1d": q_wasserstein_1d,
         "max_drawdown": q_max_drawdown,
+        "reciprocal_best_match": q_reciprocal_best_match,
+        "golden_record": q_golden_record,
+        "fellegi_sunter": q_fellegi_sunter,
+        "dbscan_core": q_dbscan_core,
+        "stable_matching": q_stable_matching,
     }
 
 
@@ -21635,3 +21640,446 @@ ORACLES["max_drawdown"] = """
     FROM dd JOIN fin ON fin.event_type = dd.event_type
     WHERE dd.rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Matching & linkage session: reciprocal best match, golden-record merge,
+# Fellegi–Sunter blocked linkage, DBSCAN density profile, stable matching
+# ---------------------------------------------------------------------------
+
+def q_reciprocal_best_match(sf_dir):
+    """Reciprocal best match — the mutual-argmin join used in record
+    linkage and bilingual-lexicon induction: a (part, supplier) edge
+    survives only if the supplier is that part's CHEAPEST source AND
+    the part is that supplier's cheapest line, ties broken by the
+    minimal counterpart key on both sides, over exact ×100 fixed-point
+    minimum prices (both argmins rank identical integers).
+
+    Plan: one partial-agg groupby collapses lineitem to its
+    (part, supplier) min-price edge list; two mergeable grouped top-1
+    passes (stages/fastagg.grouped_topk — per-block head, tree combine)
+    pick each side's best edge; a hash join on the composite key keeps
+    the mutual pairs. The exchange moves edge aggregates, never raw
+    lineitem rows. Reference parity: generalizes the reference's
+    best-candidate selection (fide_crawler.py search-result ranking)
+    to a two-sided mutual criterion."""
+    from ..stages.fastagg import grouped_topk
+
+    def _fp(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": b["l_partkey"],
+            "l_suppkey": b["l_suppkey"],
+            "price_fp": pa.array(_round_half_away(
+                b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64), pa.int64()),
+        })
+
+    ps = fast_groupby_agg(
+        T(sf_dir, "lineitem",
+          ["l_partkey", "l_suppkey", "l_extendedprice"]).map_batches(
+            _fp, batch_format="pyarrow"),
+        ["l_partkey", "l_suppkey"], {"price_fp": ("price_fp", "min")})
+    bp = grouped_topk(ps, ["l_partkey"], ["price_fp", "l_suppkey"],
+                      [True, True], 1).drop_columns(["rank"])
+    bs = grouped_topk(ps, ["l_suppkey"], ["price_fp", "l_partkey"],
+                      [True, True], 1).drop_columns(["rank", "price_fp"])
+    return bp.join(bs, "inner", num_partitions=JOIN_PARTS,
+                   on=("l_partkey", "l_suppkey"))
+
+
+ORACLES["reciprocal_best_match"] = """
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_fp
+        FROM lineitem GROUP BY 1, 2),
+    bp AS (
+        SELECT l_partkey, l_suppkey, price_fp, row_number() OVER (
+               PARTITION BY l_partkey ORDER BY price_fp, l_suppkey) AS rn
+        FROM ps),
+    bs AS (
+        SELECT l_partkey, l_suppkey, row_number() OVER (
+               PARTITION BY l_suppkey ORDER BY price_fp, l_partkey) AS rn
+        FROM ps)
+    SELECT bp.l_partkey, bp.l_suppkey, CAST(bp.price_fp AS BIGINT) AS price_fp
+    FROM bp JOIN bs ON bp.l_partkey = bs.l_partkey
+                   AND bp.l_suppkey = bs.l_suppkey
+    WHERE bp.rn = 1 AND bs.rn = 1
+"""
+
+
+def q_golden_record(sf_dir):
+    """Golden-record survivorship merge (MDM consolidation): one row
+    per customer assembled from their order history under
+    last-non-null-wins rules — the consolidated clerk comes from the
+    newest FINALIZED order, the consolidated priority from the newest
+    OPEN order (recency = (o_orderdate, o_orderkey)), plus the source
+    count; customers whose history lacks a rule's evidence keep NULL
+    for that attribute.
+
+    Plan: each survivorship rule is a mergeable grouped top-1 over the
+    rule's evidence subset (vectorized filter → grouped_topk on the
+    int32-day + orderkey recency), left-outer-joined onto the
+    per-customer count aggregate — three skinny aggregates exchange,
+    the fact table never does."""
+    from ..stages.fastagg import grouped_topk
+
+    orders = T(sf_dir, "orders",
+               ["o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus",
+                "o_totalprice", "o_orderpriority"])
+
+    def _fp(t: pa.Table):
+        return pa.array(_round_half_away(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64), pa.int64())
+
+    base = fast_groupby_agg(
+        T(sf_dir, "orders", ["o_custkey"]), ["o_custkey"],
+        {"n_src": (None, "count")})
+
+    def _leg(status: str, out: str, value):
+        def _f(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b["o_orderstatus"], status))
+            return pa.table({
+                "custkey": t["o_custkey"],
+                out: value(t),
+                "d": t["o_orderdate"].cast(pa.int64()),  # µs since epoch
+                "k": t["o_orderkey"],
+            })
+
+        top = grouped_topk(orders.map_batches(_f, batch_format="pyarrow"),
+                           ["custkey"], ["d", "k"], [False, False], 1)
+        return top.drop_columns(["rank", "d", "k"])
+
+    j = base.join(
+        _leg("F", "prio_final", lambda t: t["o_orderpriority"]),
+        "left_outer", num_partitions=JOIN_PARTS, on=("o_custkey",),
+        right_on=("custkey",))
+    j = j.map_batches(
+        lambda b: pa.table({
+            "o_custkey": b["o_custkey"],
+            "n_src": b["n_src"],
+            "prio_final": b["prio_final"],
+        }), batch_format="pyarrow")
+    j = j.join(_leg("O", "open_price_fp", _fp), "left_outer",
+               num_partitions=JOIN_PARTS, on=("o_custkey",),
+               right_on=("custkey",))
+    return j.map_batches(
+        lambda b: pa.table({
+            "custkey": b["o_custkey"],
+            "n_src": b["n_src"],
+            "prio_final": b["prio_final"],
+            "open_price_fp": b["open_price_fp"],
+        }), batch_format="pyarrow")
+
+
+ORACLES["golden_record"] = """
+    WITH base AS (
+        SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_src
+        FROM orders GROUP BY 1),
+    f AS (
+        SELECT o_custkey AS custkey, o_orderpriority AS prio_final,
+               row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders WHERE o_orderstatus = 'F'),
+    o AS (
+        SELECT o_custkey AS custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS open_price_fp,
+               row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders WHERE o_orderstatus = 'O')
+    SELECT base.custkey, base.n_src, f.prio_final, o.open_price_fp
+    FROM base
+    LEFT JOIN f ON f.custkey = base.custkey AND f.rn = 1
+    LEFT JOIN o ON o.custkey = base.custkey AND o.rn = 1
+"""
+
+
+# Fellegi–Sunter integer log-odds weights: quantized ln(m/u) constants
+# (×1e6) for each agreement field, injected identically into the oracle.
+FS_W_SIGN_A, FS_W_SIGN_D = 120_000, -80_000
+FS_W_SUFFIX_A, FS_W_SUFFIX_D = 460_000, -5_000
+FS_W_LENBAND_A, FS_W_LENBAND_D = 230_000, -40_000
+FS_THRESHOLD = 500_000
+
+
+def q_fellegi_sunter(sf_dir):
+    """Fellegi–Sunter probabilistic record linkage over a blocked
+    candidate space: customer and supplier records are blocked on
+    nation (the classic blocking key); each candidate pair is scored
+    by an agreement vector — balance-sign agreement, id-suffix
+    agreement (the zero-padded name suffix, i.e. key mod 100), and
+    balance-band agreement (cents shifted non-negative so floor and
+    truncating division coincide across engines) — with fixed integer
+    log-odds weights, keeping pairs at or above the decision
+    threshold.
+
+    Plan: ONE hash join on the blocking key (candidate volume =
+    Σ_block |cust_b|·|supp_b| — the linkage-standard bound, never the
+    full cross product), then purely vectorized integer scoring and
+    filtering. At 100 TB the blocking key is the partitioner; a skewed
+    block behaves like any hot join key (salt if needed)."""
+
+    def _band(bal: np.ndarray) -> np.ndarray:
+        # cents + 1e6 ≥ 0 for TPC-H balances (≥ −999.99), so numpy's
+        # floor // equals DuckDB's truncating // — exact both sides
+        cents = _round_half_away(bal * 100.0).astype(np.int64)
+        return (cents + 1_000_000) // 100_000
+
+    def _c(b: pa.Table) -> pa.Table:
+        k = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bal = b["c_acctbal"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c_custkey": pa.array(k, pa.int64()),
+            "nk": b["c_nationkey"].cast(pa.int64()),
+            "c_sign": pa.array(bal >= 0.0),
+            "c_suf": pa.array(k % 100, pa.int64()),
+            "c_lb": pa.array(_band(bal), pa.int64()),
+        })
+
+    def _s(b: pa.Table) -> pa.Table:
+        k = b["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bal = b["s_acctbal"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "s_suppkey": pa.array(k, pa.int64()),
+            "nk": b["s_nationkey"].cast(pa.int64()),
+            "s_sign": pa.array(bal >= 0.0),
+            "s_suf": pa.array(k % 100, pa.int64()),
+            "s_lb": pa.array(_band(bal), pa.int64()),
+        })
+
+    j = T(sf_dir, "customer",
+          ["c_custkey", "c_nationkey", "c_acctbal"]
+          ).map_batches(_c, batch_format="pyarrow").join(
+        T(sf_dir, "supplier",
+          ["s_suppkey", "s_nationkey", "s_acctbal"]
+          ).map_batches(_s, batch_format="pyarrow"),
+        "inner", num_partitions=JOIN_PARTS, on=("nk",))
+
+    def _score(b: pa.Table) -> pa.Table:
+        def col(n):
+            return b[n].to_numpy(zero_copy_only=False)
+
+        sc = (np.where(col("c_sign") == col("s_sign"),
+                       FS_W_SIGN_A, FS_W_SIGN_D)
+              + np.where(col("c_suf") == col("s_suf"),
+                         FS_W_SUFFIX_A, FS_W_SUFFIX_D)
+              + np.where(col("c_lb") == col("s_lb"),
+                         FS_W_LENBAND_A, FS_W_LENBAND_D)).astype(np.int64)
+        m = sc >= FS_THRESHOLD
+        return pa.table({
+            "c_custkey": pa.array(col("c_custkey")[m], pa.int64()),
+            "s_suppkey": pa.array(col("s_suppkey")[m], pa.int64()),
+            "score": pa.array(sc[m], pa.int64()),
+        })
+
+    return j.map_batches(_score, batch_format="pyarrow")
+
+
+ORACLES["fellegi_sunter"] = f"""
+    SELECT c_custkey, s_suppkey, CAST(score AS BIGINT) AS score FROM (
+        SELECT c_custkey, s_suppkey,
+               CASE WHEN (c_acctbal >= 0) = (s_acctbal >= 0)
+                    THEN {FS_W_SIGN_A} ELSE {FS_W_SIGN_D} END
+             + CASE WHEN c_custkey % 100 = s_suppkey % 100
+                    THEN {FS_W_SUFFIX_A} ELSE {FS_W_SUFFIX_D} END
+             + CASE WHEN (CAST(round(c_acctbal * 100) AS BIGINT)
+                          + 1000000) // 100000
+                        = (CAST(round(s_acctbal * 100) AS BIGINT)
+                           + 1000000) // 100000
+                    THEN {FS_W_LENBAND_A} ELSE {FS_W_LENBAND_D} END AS score
+        FROM customer JOIN supplier ON c_nationkey = s_nationkey)
+    WHERE score >= {FS_THRESHOLD}
+"""
+
+
+DBSCAN_EPS = 2_000    # range radius on the GEO_DOMAIN² point grid
+DBSCAN_MINPTS = 3     # core point = ≥3 other points within eps
+
+
+def q_dbscan_core(sf_dir):
+    """DBSCAN density profile — the grid-bucketed range COUNT that
+    underlies density clustering (vs spatial_grid_nn's argmin): each
+    customer point (same deterministic multiplicative-hash coordinates
+    as spatial_grid_nn) counts the OTHER points within eps and flags
+    cores (≥ minpts). Cluster labels over core-core edges would reuse
+    the engine's connected-components; this query certifies the
+    density kernel exactly.
+
+    Plan: the self-join bucketizes on eps-sized grid cells — build
+    side keyed by its own cell, probe side flat-mapped into the 3×3
+    neighborhood, ONE hash join on cell id, exact integer distance
+    filter INCLUDING the self-pair (distance 0), then a
+    map-side-combined per-point count minus one. Counting the
+    self-pair guarantees every point (isolated ones too) survives to
+    the output without a join-back. Exchange is 10×|points| skinny
+    rows; no all-pairs anywhere."""
+    ncells = GEO_DOMAIN // DBSCAN_EPS
+    eps2 = DBSCAN_EPS * DBSCAN_EPS
+
+    def _build(b: pa.Table) -> pa.Table:
+        k = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x, y = _geo_xy(k, 0, 0)
+        return pa.table({
+            "bid": pa.array(k, pa.int64()),
+            "cell": pa.array(
+                (x // DBSCAN_EPS) * ncells + y // DBSCAN_EPS, pa.int64()),
+            "bx": pa.array(x, pa.int64()),
+            "by": pa.array(y, pa.int64()),
+        })
+
+    def _probe9(b: pa.Table) -> pa.Table:
+        k = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x, y = _geo_xy(k, 0, 0)
+        cx, cy = x // DBSCAN_EPS, y // DBSCAN_EPS
+        ks, xs, ys, cells = [], [], [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                gx, gy = cx + dx, cy + dy
+                ok = (gx >= 0) & (gx < ncells) & (gy >= 0) & (gy < ncells)
+                ks.append(k[ok]); xs.append(x[ok]); ys.append(y[ok])
+                cells.append(gx[ok] * ncells + gy[ok])
+        return pa.table({
+            "id": pa.array(np.concatenate(ks), pa.int64()),
+            "cell": pa.array(np.concatenate(cells), pa.int64()),
+            "px": pa.array(np.concatenate(xs), pa.int64()),
+            "py": pa.array(np.concatenate(ys), pa.int64()),
+        })
+
+    pts = T(sf_dir, "customer", ["c_custkey"])
+    j = pts.map_batches(_probe9, batch_format="pyarrow").join(
+        pts.map_batches(_build, batch_format="pyarrow"),
+        "inner", num_partitions=JOIN_PARTS, on=("cell",))
+
+    def _near(b: pa.Table) -> pa.Table:
+        dx = (b["px"].to_numpy(zero_copy_only=False)
+              - b["bx"].to_numpy(zero_copy_only=False))
+        dy = (b["py"].to_numpy(zero_copy_only=False)
+              - b["by"].to_numpy(zero_copy_only=False))
+        ids = b["id"].to_numpy(zero_copy_only=False)
+        m = dx * dx + dy * dy <= eps2   # self-pair (d2=0) stays in
+        return pa.table({"id": pa.array(ids[m], pa.int64())})
+
+    counts = fast_groupby_agg(
+        j.map_batches(_near, batch_format="pyarrow"),
+        ["id"], {"n_within": (None, "count")})
+
+    def _fin(b: pa.Table) -> pa.Table:
+        n = (b["n_within"].to_numpy(zero_copy_only=False)
+             .astype(np.int64) - 1)
+        return pa.table({
+            "custkey": b["id"],
+            "n_neighbors": pa.array(n, pa.int64()),
+            "is_core": pa.array(n >= DBSCAN_MINPTS),
+        })
+
+    return counts.map_batches(_fin, batch_format="pyarrow")
+
+
+ORACLES["dbscan_core"] = f"""
+    WITH pts AS (
+        SELECT c_custkey AS id,
+               (c_custkey * 2654435761) % {GEO_DOMAIN} AS x,
+               (c_custkey * 97003969) % {GEO_DOMAIN} AS y
+        FROM customer)
+    SELECT a.id AS custkey,
+           CAST(count(b.id) AS BIGINT) AS n_neighbors,
+           count(b.id) >= {DBSCAN_MINPTS} AS is_core
+    FROM pts a LEFT JOIN pts b
+      ON b.id <> a.id
+     AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+         <= {DBSCAN_EPS * DBSCAN_EPS}
+    GROUP BY a.id
+"""
+
+
+SM_CAP = 2   # each supplier holds up to SM_CAP customers (hospital–residents)
+
+
+def _sm_score(a: int, b: int, salt: str) -> int:
+    """Deterministic md5-derived preference score (higher = preferred);
+    the two sides use different salts so their lists are independent."""
+    return int.from_bytes(
+        hashlib.md5(f"{salt}:{a}:{b}".encode()).digest()[:8], "big")
+
+
+def _gale_shapley_market(cs: list[int], ss: list[int],
+                         cap: int) -> list[tuple[int, int, int]]:
+    """Deferred acceptance for one market: customers propose down their
+    preference lists, each supplier holds its best ≤ cap proposals
+    (evicting the worst when full). Proposer-optimal outcome is unique
+    and independent of proposal order. Returns (custkey, suppkey,
+    cust_rank 1-based)."""
+    prefs = {c: sorted(ss, key=lambda s: (-_sm_score(c, s, "c"), s))
+             for c in cs}
+    nxt = {c: 0 for c in cs}
+    held: dict[int, list] = {s: [] for s in ss}   # ascending (score, -c)
+    free = sorted(cs, reverse=True)
+    while free:
+        c = free.pop()
+        while nxt[c] < len(prefs[c]):
+            s = prefs[c][nxt[c]]
+            nxt[c] += 1
+            cand = (_sm_score(s, c, "s"), -c)
+            h = held[s]
+            if len(h) < cap:
+                h.append((cand, c))
+                h.sort()
+                break
+            if cand > h[0][0]:
+                evicted = h[0][1]
+                h[0] = (cand, c)
+                h.sort()
+                free.append(evicted)
+                break
+    out = []
+    for s, h in held.items():
+        for _, c in h:
+            out.append((c, s, prefs[c].index(s) + 1))
+    out.sort()
+    return out
+
+
+def q_stable_matching(sf_dir):
+    """Gale–Shapley stable matching (hospital–residents form): within
+    each nation — an independent market and the natural partitioner —
+    customers propose to that nation's suppliers in preference order
+    and each supplier holds its best ≤ cap proposals; preferences are
+    deterministic md5-derived scores so the proposer-optimal outcome
+    is reproducible. Output: (nation, custkey, suppkey, cust_rank).
+    Non-SQL-expressible (iterative deferred acceptance) → rows-only
+    driver check; pytest certifies the no-blocking-pair invariant and
+    replays an independent brute-force GS per market.
+
+    Plan: both sides ship as skinny role-tagged rows into ONE
+    groupby(nation).map_groups; each market solves in its own task
+    (markets are bounded — the deferred-acceptance loop is
+    O(|C|·|S| log) per market) and markets parallelize across the
+    cluster with no cross-market state."""
+    cust = T(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: pa.table({
+            "nation": b["c_nationkey"].cast(pa.int64()),
+            "key": b["c_custkey"].cast(pa.int64()),
+            "role": pa.array(np.zeros(b.num_rows, np.int8)),
+        }), batch_format="pyarrow")
+    supp = T(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda b: pa.table({
+            "nation": b["s_nationkey"].cast(pa.int64()),
+            "key": b["s_suppkey"].cast(pa.int64()),
+            "role": pa.array(np.ones(b.num_rows, np.int8)),
+        }), batch_format="pyarrow")
+
+    def _market(g: pd.DataFrame) -> pd.DataFrame:
+        cs = sorted(int(k) for k in g.loc[g["role"] == 0, "key"])
+        ss = sorted(int(k) for k in g.loc[g["role"] == 1, "key"])
+        rows = (_gale_shapley_market(cs, ss, SM_CAP)
+                if cs and ss else [])
+        nation = np.int64(g["nation"].iloc[0])
+        return pd.DataFrame({
+            "nation": np.full(len(rows), nation, np.int64),
+            "custkey": np.array([r[0] for r in rows], np.int64),
+            "suppkey": np.array([r[1] for r in rows], np.int64),
+            "cust_rank": np.array([r[2] for r in rows], np.int64),
+        })
+
+    return cust.union(supp).groupby("nation").map_groups(
+        _market, batch_format="pandas")
