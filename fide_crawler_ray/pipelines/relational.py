@@ -9817,6 +9817,10 @@ def queries() -> dict:
         "fellegi_sunter": q_fellegi_sunter,
         "dbscan_core": q_dbscan_core,
         "stable_matching": q_stable_matching,
+        "linkage_quality": q_linkage_quality,
+        "frequent_directions": q_frequent_directions,
+        "dag_critical_path": q_dag_critical_path,
+        "vacuum_store": q_vacuum_store,
     }
 
 
@@ -22083,3 +22087,366 @@ def q_stable_matching(sf_dir):
 
     return cust.union(supp).groupby("nation").map_groups(
         _market, batch_format="pandas")
+
+
+def q_linkage_quality(sf_dir):
+    """Blocking-quality audit for the Fellegi–Sunter linkage — the two
+    standard record-linkage metrics: reduction ratio (how much of the
+    cross product the nation blocking prunes) and pair completeness
+    (what share of ground-truth matches — id-suffix-equal pairs, the
+    linkage's strongest field — survive the blocking). Both emitted as
+    exact ×1e9 integer ratios.
+
+    Plan: everything is computed from per-nation / per-suffix /
+    per-(nation,suffix) COUNT aggregates — three tiny groupbys and
+    joins over count tables whose size is bounded by |nations|×100
+    regardless of data scale; the candidate space itself is never
+    enumerated."""
+    nc = fast_groupby_agg(
+        T(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+            lambda b: pa.table({
+                "nk": b["c_nationkey"].cast(pa.int64()),
+                "sfx": pa.array(
+                    b["c_custkey"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64) % 100, pa.int64()),
+            }), batch_format="pyarrow"),
+        ["nk", "sfx"], {"n": (None, "count")}).materialize()
+    ns = fast_groupby_agg(
+        T(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+            lambda b: pa.table({
+                "nk": b["s_nationkey"].cast(pa.int64()),
+                "sfx": pa.array(
+                    b["s_suppkey"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64) % 100, pa.int64()),
+            }), batch_format="pyarrow"),
+        ["nk", "sfx"], {"n": (None, "count")}).materialize()
+
+    def _sum_prod(left, right, keys):
+        la = fast_groupby_agg(left, keys, {"n": ("n", "sum")})
+        ra = fast_groupby_agg(right, keys, {"m": ("n", "sum")})
+        j = la.join(ra.map_batches(
+            lambda b: b.rename_columns([*keys, "m"]),
+            batch_format="pyarrow"),
+            "inner", num_partitions=JOIN_PARTS, on=tuple(keys))
+        prod = j.map_batches(
+            lambda b: pa.table({"p": pc.multiply(b["n"], b["m"])}),
+            batch_format="pyarrow")
+        s = prod.sum("p")
+        return int(s) if s is not None else 0
+
+    n_candidates = _sum_prod(nc, ns, ["nk"])
+    n_truth = _sum_prod(nc, ns, ["sfx"])
+    n_truth_blocked = _sum_prod(nc, ns, ["nk", "sfx"])
+    n_cust = int(nc.sum("n"))
+    n_supp = int(ns.sum("n"))
+    cross = n_cust * n_supp
+    return pd.DataFrame([{
+        "n_candidates": np.int64(n_candidates),
+        "n_truth": np.int64(n_truth),
+        "n_truth_blocked": np.int64(n_truth_blocked),
+        "reduction_ratio_fp": np.int64(
+            (cross - n_candidates) * 1_000_000_000 // max(cross, 1)),
+        "completeness_fp": np.int64(
+            n_truth_blocked * 1_000_000_000 // max(n_truth, 1)),
+    }])
+
+
+ORACLES["linkage_quality"] = """
+    WITH tcn AS (SELECT c_nationkey AS nk, c_custkey % 100 AS sfx,
+                        count(*) AS n FROM customer GROUP BY 1, 2),
+    tsn AS (SELECT s_nationkey AS nk, s_suppkey % 100 AS sfx,
+                   count(*) AS n FROM supplier GROUP BY 1, 2),
+    cand AS (SELECT coalesce(sum(a.n * b.n), 0) AS v
+             FROM (SELECT nk, sum(n) AS n FROM tcn GROUP BY nk) a
+             JOIN (SELECT nk, sum(n) AS n FROM tsn GROUP BY nk) b
+               USING (nk)),
+    tru AS (SELECT coalesce(sum(a.n * b.n), 0) AS v
+            FROM (SELECT sfx, sum(n) AS n FROM tcn GROUP BY sfx) a
+            JOIN (SELECT sfx, sum(n) AS n FROM tsn GROUP BY sfx) b
+              USING (sfx)),
+    tb AS (SELECT coalesce(sum(a.n * b.n), 0) AS v
+           FROM tcn a JOIN tsn b USING (nk, sfx)),
+    x AS (SELECT (SELECT count(*) FROM customer)
+                 * (SELECT count(*) FROM supplier) AS v)
+    SELECT CAST(cand.v AS BIGINT) AS n_candidates,
+           CAST(tru.v AS BIGINT) AS n_truth,
+           CAST(tb.v AS BIGINT) AS n_truth_blocked,
+           CAST((x.v - cand.v) * 1000000000
+                // (CASE WHEN x.v = 0 THEN 1 ELSE x.v END)
+                AS BIGINT) AS reduction_ratio_fp,
+           CAST(tb.v * 1000000000
+                // (CASE WHEN tru.v = 0 THEN 1 ELSE tru.v END)
+                AS BIGINT) AS completeness_fp
+    FROM cand, tru, tb, x
+"""
+
+
+FD_ELL = 16       # Frequent-Directions sketch rows
+FD_DIM = 64       # embedding dimensionality (schema contract)
+
+
+def _fd_shrink(mat: np.ndarray, ell: int) -> np.ndarray:
+    """One Frequent-Directions shrink (Liberty 2013): SVD, subtract the
+    ℓ-th squared singular value from all of them, keep the top ℓ
+    re-scaled right-singular rows. Inputs with ≤ ℓ rows pass through
+    zero-padded."""
+    if mat.shape[0] <= ell:
+        out = np.zeros((ell, mat.shape[1]))
+        out[:mat.shape[0]] = mat
+        return out
+    _, s, vt = np.linalg.svd(mat, full_matrices=False)
+    s2 = s * s
+    delta = s2[ell - 1] if s2.shape[0] >= ell else 0.0
+    s_new = np.sqrt(np.maximum(s2 - delta, 0.0))
+    k = min(ell, vt.shape[0])
+    out = np.zeros((ell, mat.shape[1]))
+    out[:k] = s_new[:k, None] * vt[:k]
+    return out
+
+
+def _lazy_fd_final_task():
+    @ray.remote
+    def _t(ell: int, d: int, *tables: pa.Table) -> pa.Table:
+        tabs = live_arrow(tables)
+        B = np.zeros((ell, d))
+        G = np.zeros((d, d))
+        n_rows = 0
+        for t in tabs:
+            kind = t["kind"].to_numpy(zero_copy_only=False)
+            vals = t["v"].combine_chunks() if isinstance(
+                t["v"], pa.ChunkedArray) else t["v"]
+            rows = [np.asarray(vals[i].as_py(), dtype=np.float64)
+                    for i in range(len(vals))]
+            bi = np.array([rows[i] for i in np.flatnonzero(kind == 0)])
+            gi = np.array([rows[i] for i in np.flatnonzero(kind == 1)])
+            for i in np.flatnonzero(kind == 2):
+                n_rows += int(rows[i][0])
+            if len(bi):
+                B = _fd_shrink(np.vstack([B, bi]), ell)
+            if len(gi):
+                G += gi
+        err = float(np.abs(np.linalg.eigvalsh(G - B.T @ B)).max())
+        bound = float(np.trace(G) / ell)
+        ok = err <= bound * (1.0 + 1e-9)
+        if not ok:
+            raise AssertionError(
+                f"FD guarantee violated: err {err} > bound {bound}")
+        return pa.table({
+            "n_rows": pa.array([n_rows], pa.int64()),
+            "d": pa.array([d], pa.int64()),
+            "ell": pa.array([ell], pa.int64()),
+            "spectral_err": pa.array([err], pa.float64()),
+            "bound": pa.array([bound], pa.float64()),
+            "ok": pa.array([ok]),
+        })
+
+    return _t
+
+
+_fd_final_task_ref = None
+
+
+def q_frequent_directions(sf_dir, ell: int = FD_ELL):
+    """Frequent-Directions matrix sketch (Liberty 2013; Ghashami et al.
+    2016 mergeability) over the n×64 embedding matrix: a deterministic
+    ℓ×d sketch B with the provable guarantee ‖AᵀA − BᵀB‖₂ ≤ ‖A‖_F²/ℓ.
+    The low-rank primitive behind streaming PCA/spectral pruning at
+    corpus scale.
+
+    Plan: each block emits its own shrink (ℓ×d) plus its exact Gram
+    partial (d×d) and row count — partials are constant-sized no matter
+    the corpus, merged associatively in ONE small final task (FD
+    sketches are fully mergeable). The query gates its own guarantee
+    IN-QUERY against the exact Gram (assert, not vibes) and emits the
+    audit row. Float SVD is not SQL-expressible → rows-only driver
+    check; pytest replays the guarantee and mergeability on raw
+    numpy."""
+    global _fd_final_task_ref
+    if _fd_final_task_ref is None:
+        _fd_final_task_ref = _lazy_fd_final_task()
+    import ray.data as rd
+
+    def _partial(b: pa.Table) -> pa.Table:
+        col = b["embedding"]
+        la = col.combine_chunks() if isinstance(
+            col, pa.ChunkedArray) else col
+        flat = la.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        a = flat.reshape(-1, FD_DIM)
+        bi = _fd_shrink(a, ell)
+        gi = a.T @ a
+        kinds = np.concatenate([
+            np.zeros(ell, np.int8), np.ones(FD_DIM, np.int8), [2]])
+        rows = ([bi[i] for i in range(ell)]
+                + [gi[i] for i in range(FD_DIM)]
+                + [np.array([float(a.shape[0])])])
+        return pa.table({
+            "kind": pa.array(kinds, pa.int8()),
+            "v": pa.array([r.tolist() for r in rows],
+                          pa.list_(pa.float64())),
+        })
+
+    part = T(sf_dir, "embeddings", ["embedding"]).map_batches(
+        _partial, batch_format="pyarrow").materialize()
+    ref = _fd_final_task_ref.remote(ell, FD_DIM, *part.to_arrow_refs())
+    return rd.from_arrow_refs([ref])
+
+
+CP_ROUNDS = 4    # ≤K-edge critical path (matches the unrolled oracle)
+
+
+def q_dag_critical_path(sf_dir, rounds: int = CP_ROUNDS):
+    """Longest (critical) path with predecessor tracking over the
+    order-derived DAG — the max-plus sibling of graph_sssp PLUS path
+    reconstruction, i.e. the scheduling kernel: edges keep only
+    src < dst (acyclic by construction), weights w = okey//n mod 9 + 1;
+    dist_K(v) = the longest ≤K-edge path ending at v and pred(v) its
+    argmax predecessor, both carried in ONE packed integer
+    dist·n + pred so the per-round reduce is a single mergeable max
+    (ties → larger pred, stated). Unreached nodes keep dist 0 and the
+    self-pred sentinel.
+
+    Plan per round: front ⋈ edges hash join on src → packed candidate →
+    map-side-combined max per dst → union-merge max with the previous
+    front. The exchange is one row per node per round; no adjacency
+    ever concentrates."""
+    cust = T(sf_dir, "customer", ["c_custkey"]).materialize()
+    n = int(cust.count())
+    orders = T(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def _e(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = k % n
+        m = c < dst                       # DAG by construction
+        return pa.table({
+            "src": pa.array(c[m], pa.int64()),
+            "dst": pa.array(dst[m], pa.int64()),
+            "w": pa.array(((k[m] // n) % 9 + 1), pa.int64()),
+        })
+
+    edges = orders.map_batches(_e, batch_format="pyarrow").materialize()
+    front = cust.map_batches(
+        lambda b: pa.table({
+            "node": b["c_custkey"].cast(pa.int64()),
+            "pack": b["c_custkey"].cast(pa.int64()),  # dist 0, pred=self
+        }), batch_format="pyarrow").materialize()
+    for _ in range(rounds):
+        cand = edges.join(
+            front.map_batches(
+                lambda b: b.rename_columns(["src", "p0"]),
+                batch_format="pyarrow"),
+            "inner", num_partitions=JOIN_PARTS, on=("src",))
+        cand = cand.map_batches(
+            lambda b: pa.table({
+                "node": b["dst"],
+                "pack": pa.array(
+                    (b["p0"].to_numpy(zero_copy_only=False) // n
+                     + b["w"].to_numpy(zero_copy_only=False)) * n
+                    + b["src"].to_numpy(zero_copy_only=False),
+                    pa.int64()),
+            }), batch_format="pyarrow")
+        front = fast_groupby_agg(front.union(cand), ["node"],
+                                 {"pack": ("pack", "max")}).materialize()
+    return front.map_batches(
+        lambda b: pa.table({
+            "node": b["node"],
+            "dist": pa.array(
+                b["pack"].to_numpy(zero_copy_only=False) // n, pa.int64()),
+            "pred": pa.array(
+                b["pack"].to_numpy(zero_copy_only=False) % n, pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def _cp_oracle(rounds: int = CP_ROUNDS) -> str:
+    base = """
+    WITH nn AS (SELECT count(*) AS n FROM customer),
+    e AS (
+        SELECT CAST(o_custkey AS BIGINT) AS src,
+               CAST(o_orderkey % (SELECT n FROM nn) AS BIGINT) AS dst,
+               CAST((o_orderkey // (SELECT n FROM nn)) % 9 + 1
+                    AS BIGINT) AS w
+        FROM orders
+        WHERE o_custkey < o_orderkey % (SELECT n FROM nn)
+    ),
+    d0 AS (SELECT CAST(c_custkey AS BIGINT) AS node,
+                  CAST(c_custkey AS BIGINT) AS pack FROM customer)"""
+    for i in range(1, rounds + 1):
+        base += f""",
+    c{i} AS (SELECT e.dst AS node,
+                    max((d.pack // (SELECT n FROM nn) + e.w)
+                        * (SELECT n FROM nn) + d.node) AS pack
+             FROM d{i - 1} d JOIN e ON e.src = d.node GROUP BY e.dst),
+    d{i} AS (SELECT node, CAST(max(pack) AS BIGINT) AS pack FROM
+             (SELECT * FROM d{i - 1} UNION ALL SELECT * FROM c{i})
+             GROUP BY node)"""
+    base += f"""
+    SELECT node,
+           CAST(pack // (SELECT n FROM nn) AS BIGINT) AS dist,
+           CAST(pack % (SELECT n FROM nn) AS BIGINT) AS pred
+    FROM d{rounds}
+"""
+    return base
+
+
+ORACLES["dag_critical_path"] = _cp_oracle()
+
+
+def q_vacuum_store(sf_dir):
+    """Epoch lifecycle: snapshot-expiry VACUUM on the partitioned
+    store. Documents land as four append epochs, epochs ≤ 2 are folded
+    into one compacted ``base=`` dir by sources/store.vacuum (the
+    crash-consistent base-epoch protocol: readers use only the max
+    base and skip epochs ≤ it, so every crash point is consistent and
+    re-running is idempotent), then the audit row proves rows and an
+    integer checksum survived and that expired epoch dirs are gone.
+    A vacuum that loses or duplicates rows fails the oracle."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..sources import store as S
+
+    out = tempfile.mkdtemp(prefix="fcray_vacuum_")
+    try:
+        docs = T(sf_dir, "documents", ["doc_id", "n_chars"])
+        for ep in range(4):
+            part = docs.map_batches(
+                lambda b, _ep=ep: b.filter(pc.equal(
+                    pc.bit_wise_and(b["doc_id"], 3),
+                    pa.scalar(_ep, b["doc_id"].type))),
+                batch_format="pyarrow")
+            S.write_epoch(part, out, "docs", ep)
+        S.vacuum(out, "docs", 2)
+        dirs = sorted(_os.listdir(_os.path.join(out, "docs")))
+        back = S.read_all(out, "docs")
+        agg = back.map_batches(
+            lambda b: pa.table({
+                "n_rows": pa.array([len(b)], pa.int64()),
+                "id_sum": pa.array(
+                    [int(b["doc_id"].to_numpy(
+                        zero_copy_only=False).sum())], pa.int64()),
+                "chars_sum": pa.array(
+                    [int(b["n_chars"].to_numpy(
+                        zero_copy_only=False).sum())], pa.int64()),
+            }), batch_format="pyarrow").to_pandas()
+        return pd.DataFrame([{
+            "n_rows": int(agg["n_rows"].sum()),
+            "id_sum": int(agg["id_sum"].sum()),
+            "chars_sum": int(agg["chars_sum"].sum()),
+            "vacuumed": bool(
+                "base=00002" in dirs
+                and not any(d.startswith("epoch=0000") and
+                            int(d.split("=", 1)[1]) <= 2 for d in dirs
+                            if not d.endswith(".tmp"))),
+        }])
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+ORACLES["vacuum_store"] = """
+    SELECT count(*) AS n_rows,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+           true AS vacuumed
+    FROM documents
+"""

@@ -79,15 +79,36 @@ def read_all(root: str, name: str, max_epoch: int | None = None, **kwargs):
     base = os.path.join(root, name)
     files = []
     if os.path.isdir(base):
-        for d in sorted(os.listdir(base)):
+        entries = sorted(os.listdir(base))
+        # vacuum bases: `base=<c>` holds the compacted fold of every
+        # epoch ≤ c (and any older base). Readers use only the MAX base
+        # and always skip epochs ≤ it and superseded bases — so the
+        # not-yet-deleted dirs of a crashed vacuum() delete phase are
+        # inert garbage, never a double count (crash consistency).
+        vac = max((int(d.split("=", 1)[1]) for d in entries
+                   if d.startswith("base=") and not d.endswith(".tmp")
+                   and os.path.isdir(os.path.join(base, d))),
+                  default=None)
+        if vac is not None and max_epoch is not None and max_epoch < vac:
+            raise ValueError(
+                f"epochs ≤ {vac} of '{name}' were vacuumed; time travel "
+                f"to {max_epoch} is gone (vacuum trades old snapshots "
+                f"for space)")
+        for d in entries:
             if d.endswith(".tmp"):
                 continue
-            if max_epoch is not None and d.startswith("epoch="):
+            if d.startswith("base=") and d != f"base={vac:05d}":
+                continue
+            if d.startswith("epoch="):
                 try:
-                    if int(d.split("=", 1)[1]) > max_epoch:
-                        continue
+                    ep = int(d.split("=", 1)[1])
                 except ValueError:
-                    pass
+                    ep = None
+                if ep is not None:
+                    if vac is not None and ep <= vac:
+                        continue
+                    if max_epoch is not None and ep > max_epoch:
+                        continue
             full = os.path.join(base, d)
             if os.path.isdir(full):
                 files.extend(
@@ -106,6 +127,52 @@ def read_all(root: str, name: str, max_epoch: int | None = None, **kwargs):
         # projection as a select (the optimizer pushes it into the scan)
         return rd.read_parquet(files, **kwargs).select_columns(cols)
     return rd.read_parquet(files, **kwargs)
+
+
+def vacuum(root: str, name: str, cutoff: int) -> dict:
+    """Expire old epochs (lakehouse VACUUM / snapshot expiry): fold all
+    epochs ≤ ``cutoff`` — plus any older base — into one compacted
+    ``base=<cutoff>`` dir, then delete the expired dirs. Readers see an
+    identical table throughout because read_all (a) ignores ``.tmp``
+    dirs, (b) reads only the MAX base and (c) skips epochs ≤ that base:
+    before the base rename they see the old view, after it the folded
+    view with any straggler dirs inert — so a crash at ANY step leaves
+    a consistent store and re-running vacuum() is idempotent. Time
+    travel below the base is traded away (read_all raises), exactly the
+    lakehouse VACUUM contract. Returns {"base": cutoff, "removed": n}."""
+    final = os.path.join(root, name, f"base={cutoff:05d}")
+    if not os.path.isdir(final):
+        sub = read_all(root, name, max_epoch=cutoff)
+        tmp = final + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        if sub is not None:
+            sub.write_parquet(tmp)
+        if os.path.isdir(tmp):
+            os.rename(tmp, final)
+        else:
+            os.makedirs(final, exist_ok=True)  # empty base marker
+    # delete phase: idempotent, stragglers already invisible to readers
+    base_dir = os.path.join(root, name)
+    removed = 0
+    for d in sorted(os.listdir(base_dir)):
+        full = os.path.join(base_dir, d)
+        if d == f"base={cutoff:05d}" or not os.path.isdir(full):
+            continue
+        drop = d.endswith(".tmp")
+        if d.startswith("epoch=") and not drop:
+            try:
+                drop = int(d.split("=", 1)[1]) <= cutoff
+            except ValueError:
+                pass
+        elif d.startswith("base=") and not drop:
+            try:
+                drop = int(d.split("=", 1)[1]) < cutoff
+            except ValueError:
+                pass
+        if drop:
+            shutil.rmtree(full)
+            removed += 1
+    return {"base": cutoff, "removed": removed}
 
 
 # ------------------------------------------------------------- manifest

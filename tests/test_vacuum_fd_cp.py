@@ -1,0 +1,173 @@
+"""Batch-2 session operators: store VACUUM (base-epoch protocol),
+Frequent-Directions sketch, DAG critical path, linkage-quality audit.
+Oracle parity is the driver gate's job; these tests pin the vacuum
+crash-consistency contract, the FD guarantee + mergeability on raw
+numpy, and brute-force replays at sf0.001."""
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from fide_crawler_ray.pipelines import relational as R
+from fide_crawler_ray.pipelines.queries import T
+from fide_crawler_ray.sources import store as S
+
+SF = "/root/testdata/sf0.001"
+
+
+def _mk_store(tmp_path, n_epochs=4):
+    root = str(tmp_path / "store")
+    for ep in range(n_epochs):
+        t = pa.table({
+            "k": pa.array(range(ep * 10, ep * 10 + 10), pa.int64()),
+            "ep": pa.array([ep] * 10, pa.int64()),
+        })
+        S.write_epoch(rd.from_arrow(t), root, "tbl", ep)
+    return root
+
+
+def _view(root, **kw):
+    ds = S.read_all(root, "tbl", **kw)
+    return (ds.to_pandas().sort_values("k").reset_index(drop=True)
+            if ds is not None else None)
+
+
+def test_vacuum_preserves_rows_and_removes_epochs(tmp_path):
+    root = _mk_store(tmp_path)
+    before = _view(root)
+    res = S.vacuum(root, "tbl", 2)
+    assert res["base"] == 2 and res["removed"] == 3
+    pd.testing.assert_frame_equal(_view(root), before)
+    dirs = sorted(os.listdir(os.path.join(root, "tbl")))
+    assert "base=00002" in dirs
+    assert not any(d.startswith("epoch=") and int(d.split("=")[1]) <= 2
+                   for d in dirs)
+    assert "epoch=00003" in dirs
+
+
+def test_vacuum_crash_window_never_double_counts(tmp_path):
+    root = _mk_store(tmp_path)
+    before = _view(root)
+    # simulate a crash AFTER the base rename, BEFORE any delete: build
+    # the base exactly as vacuum would, leave every old epoch in place
+    sub = S.read_all(root, "tbl", max_epoch=2)
+    tmp = os.path.join(root, "tbl", "base=00002.tmp")
+    sub.write_parquet(tmp)
+    os.rename(tmp, os.path.join(root, "tbl", "base=00002"))
+    # readers must see the SAME table (stragglers are inert)
+    pd.testing.assert_frame_equal(_view(root), before)
+    # re-running vacuum is idempotent and cleans the stragglers
+    res = S.vacuum(root, "tbl", 2)
+    assert res["removed"] == 3
+    pd.testing.assert_frame_equal(_view(root), before)
+
+
+def test_vacuum_time_travel_contract(tmp_path):
+    root = _mk_store(tmp_path)
+    S.vacuum(root, "tbl", 2)
+    with pytest.raises(ValueError, match="vacuumed"):
+        S.read_all(root, "tbl", max_epoch=1)
+    after = _view(root, max_epoch=3)
+    assert set(after["ep"]) == {0, 1, 2, 3}
+
+
+def test_vacuum_again_supersedes_old_base(tmp_path):
+    root = _mk_store(tmp_path)
+    before = _view(root)
+    S.vacuum(root, "tbl", 1)
+    S.vacuum(root, "tbl", 2)
+    pd.testing.assert_frame_equal(_view(root), before)
+    dirs = sorted(os.listdir(os.path.join(root, "tbl")))
+    assert "base=00002" in dirs and "base=00001" not in dirs
+
+
+def test_fd_shrink_guarantee_and_mergeability():
+    rng = np.random.RandomState(11)
+    ell, d = 8, 16
+    a1 = rng.randn(100, d)
+    a2 = rng.randn(137, d)
+    a = np.vstack([a1, a2])
+
+    def err(A, B):
+        return np.abs(np.linalg.eigvalsh(A.T @ A - B.T @ B)).max()
+
+    bound = (a * a).sum() / ell
+    # streaming guarantee on one shrink chain
+    b = R._fd_shrink(np.vstack([R._fd_shrink(a1, ell), a2]), ell)
+    assert err(a, b) <= bound * (1 + 1e-9)
+    # mergeability: shrink of stacked per-part sketches
+    bm = R._fd_shrink(np.vstack([R._fd_shrink(a1, ell),
+                                 R._fd_shrink(a2, ell)]), ell)
+    assert err(a, bm) <= bound * (1 + 1e-9)
+
+
+def test_frequent_directions_query_gates_itself():
+    got = R.q_frequent_directions(SF).to_pandas()
+    emb = T(SF, "embeddings", ["embedding"]).to_pandas()
+    assert got.shape[0] == 1
+    assert int(got["n_rows"].iloc[0]) == len(emb)
+    assert bool(got["ok"].iloc[0])
+    assert float(got["spectral_err"].iloc[0]) <= float(got["bound"].iloc[0])
+
+
+def test_dag_critical_path_brute_force():
+    got = (R.q_dag_critical_path(SF).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    n = len(T(SF, "customer", ["c_custkey"]).to_pandas())
+    o = T(SF, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
+    k = o["o_orderkey"].to_numpy().astype(np.int64)
+    src = o["o_custkey"].to_numpy().astype(np.int64)
+    dst = k % n
+    w = (k // n) % 9 + 1
+    m = src < dst
+    src, dst, w = src[m], dst[m], w[m]
+    pack = np.arange(n, dtype=np.int64)          # dist 0, pred = self
+    for _ in range(R.CP_ROUNDS):
+        new = pack.copy()
+        cand = (pack[src] // n + w) * n + src
+        np.maximum.at(new, dst, cand)
+        pack = new
+    exp = pd.DataFrame({"node": np.arange(n, dtype=np.int64),
+                        "dist": pack // n, "pred": pack % n})
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # path reconstruction is consistent: pred(v) != v implies the edge
+    # pred->v exists and v was actually reached (dist >= min weight 1).
+    # NOTE dist(v) >= dist(pred)+1 need NOT hold under a bounded round
+    # budget: pred's own K-round dist may exceed its value at the round
+    # v last improved.
+    has_edge = set(zip(src.tolist(), dst.tolist()))
+    for _, r in exp[exp["pred"] != exp["node"]].iterrows():
+        assert (int(r["pred"]), int(r["node"])) in has_edge
+        assert r["dist"] >= 1
+
+
+def test_linkage_quality_brute_force():
+    got = R.q_linkage_quality(SF)
+    c = T(SF, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    s = T(SF, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    x = c.merge(s, how="cross")
+    blocked = x["c_nationkey"] == x["s_nationkey"]
+    truth = x["c_custkey"] % 100 == x["s_suppkey"] % 100
+    cand, tru, tb = int(blocked.sum()), int(truth.sum()), \
+        int((blocked & truth).sum())
+    cross = len(c) * len(s)
+    assert int(got["n_candidates"].iloc[0]) == cand
+    assert int(got["n_truth"].iloc[0]) == tru
+    assert int(got["n_truth_blocked"].iloc[0]) == tb
+    assert int(got["reduction_ratio_fp"].iloc[0]) == \
+        (cross - cand) * 10**9 // max(cross, 1)
+    assert int(got["completeness_fp"].iloc[0]) == \
+        tb * 10**9 // max(tru, 1)
+
+
+def test_vacuum_store_query_audit():
+    got = R.q_vacuum_store(SF)
+    docs = T(SF, "documents", ["doc_id", "n_chars"]).to_pandas()
+    assert int(got["n_rows"].iloc[0]) == len(docs)
+    assert int(got["id_sum"].iloc[0]) == int(docs["doc_id"].sum())
+    assert bool(got["vacuumed"].iloc[0])
