@@ -9821,6 +9821,8 @@ def queries() -> dict:
         "frequent_directions": q_frequent_directions,
         "dag_critical_path": q_dag_critical_path,
         "vacuum_store": q_vacuum_store,
+        "dp_histogram": q_dp_histogram,
+        "merkle_partition_diff": q_merkle_partition_diff,
     }
 
 
@@ -22449,4 +22451,166 @@ ORACLES["vacuum_store"] = """
            CAST(sum(n_chars) AS BIGINT) AS chars_sum,
            true AS vacuumed
     FROM documents
+"""
+
+
+def q_dp_histogram(sf_dir):
+    """ε=1 differentially-private histogram release of the event-type
+    counts under the discrete-Laplace mechanism, with SEEDED noise so
+    the exact mechanism — not a stub — is oracle-certified end to end:
+    Z = G₁ − G₂ (difference of iid geometrics ≡ discrete Laplace),
+    Gᵢ = ⌊−ln(1−uᵢ)⌋ with ln α = −ε = −1, and uᵢ the md5-60-bit uniform
+    of the bucket key. Both sides evaluate the identical float64
+    expression through the same libm (math.log ≡ DuckDB ln on one
+    host — the grouped_entropy ulp policy). A production release would
+    use an unpredictable seed and omit n_true; this query certifies
+    the mechanism's plumbing and calibration.
+
+    Plan: one enum-sized count groupby, then a pure map adds the
+    per-bucket noise — nothing beyond |event types| rows ever moves."""
+    import math as _m
+
+    counts = fast_groupby_agg(
+        T(sf_dir, "events", ["event_type"]),
+        ["event_type"], {"n_true": (None, "count")})
+
+    def _noise(b: pa.Table) -> pa.Table:
+        def geo(tag: str, t: str) -> int:
+            u = int(hashlib.md5(f"{tag}:{t}".encode())
+                    .hexdigest()[:15], 16) / 2.0 ** 60
+            return int(_m.floor(-_m.log(1.0 - u)))
+
+        z = np.array([geo("dp1", t) - geo("dp2", t)
+                      for t in b["event_type"].to_pylist()], np.int64)
+        return pa.table({
+            "event_type": b["event_type"],
+            "n_true": b["n_true"],
+            "n_dp": pa.array(
+                b["n_true"].to_numpy(zero_copy_only=False) + z,
+                pa.int64()),
+        })
+
+    return counts.map_batches(_noise, batch_format="pyarrow")
+
+
+ORACLES["dp_histogram"] = """
+    WITH c AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
+        FROM events GROUP BY 1)
+    SELECT event_type, n_true,
+           CAST(n_true
+                + CAST(floor(-ln(1.0
+                    - CAST(CAST(('0x' || substr(md5('dp1:' || event_type),
+                                                1, 15)) AS BIGINT)
+                          AS DOUBLE) / 1152921504606846976.0))
+                      AS BIGINT)
+                - CAST(floor(-ln(1.0
+                    - CAST(CAST(('0x' || substr(md5('dp2:' || event_type),
+                                                1, 15)) AS BIGINT)
+                          AS DOUBLE) / 1152921504606846976.0))
+                      AS BIGINT)
+                AS BIGINT) AS n_dp
+    FROM c
+"""
+
+
+MERKLE_PARTS = 32   # hash partitions compared between replicas
+
+
+def q_merkle_partition_diff(sf_dir):
+    """Replica anti-entropy (Merkle-style partition digests): both
+    copies of a table fold each hash partition to ONE order-free
+    digest — the per-row md5-60 fingerprints XOR-folded, so the digest
+    is mergeable map-side and insensitive to row order/blocking — and
+    only digests are exchanged to find the partitions needing sync
+    (Dynamo/Cassandra repair at 32 digests per table, never row
+    shipping). Replica B is a deterministic mutation of A (every
+    doc_id ≡ 13 mod 97 dropped, every doc_id ≡ 7 mod 101 has n_chars
+    +1), so `differs` pins exactly the touched partitions.
+
+    Plan: one scan per replica → per-block per-partition XOR partials
+    (sort + reduceat, vectorized) → a partition-count-sized map_groups
+    XOR fold → join of the two digest tables. XOR never overflows and
+    needs no row bound, unlike a sum digest."""
+
+    def _parts(mutate: bool):
+        def _f(b: pa.Table) -> pa.Table:
+            did = b["doc_id"].to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            nch = b["n_chars"].to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            if mutate:
+                keep = did % 97 != 13
+                did, nch = did[keep], nch[keep]
+                nch = nch + (did % 101 == 7)
+            h = np.array([
+                int(hashlib.md5(f"{d}:{c}".encode()).hexdigest()[:15], 16)
+                for d, c in zip(did.tolist(), nch.tolist())], np.int64)
+            part = did % MERKLE_PARTS
+            o = np.argsort(part, kind="mergesort")
+            part, h = part[o], h[o]
+            starts = np.flatnonzero(
+                np.concatenate([[True], part[1:] != part[:-1]]))
+            digest = np.bitwise_xor.reduceat(h, starts) if len(h) else \
+                np.array([], np.int64)
+            return pa.table({
+                "part": pa.array(part[starts] if len(h) else part,
+                                 pa.int64()),
+                "x": pa.array(digest, pa.int64()),
+            })
+
+        def _fold(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "part": [np.int64(g["part"].iloc[0])],
+                "x": [np.int64(np.bitwise_xor.reduce(
+                    g["x"].to_numpy()))],
+            })
+
+        return (T(sf_dir, "documents", ["doc_id", "n_chars"])
+                .map_batches(_f, batch_format="pyarrow")
+                .groupby("part").map_groups(_fold, batch_format="pandas"))
+
+    a = _parts(False)
+    b = _parts(True).map_batches(
+        lambda t: t.rename_columns(["part", "xb"]),
+        batch_format="pyarrow")
+    j = a.join(b, "full_outer", num_partitions=JOIN_PARTS, on=("part",))
+
+    def _cmp(t: pa.Table) -> pa.Table:
+        xa = t["x"].to_numpy(zero_copy_only=False)
+        xb = t["xb"].to_numpy(zero_copy_only=False)
+        xa = np.where(pc.is_null(t["x"]).to_numpy(
+            zero_copy_only=False), -1, xa).astype(np.int64)
+        xb = np.where(pc.is_null(t["xb"]).to_numpy(
+            zero_copy_only=False), -1, xb).astype(np.int64)
+        return pa.table({
+            "part": t["part"],
+            "hash_a": pa.array(xa, pa.int64()),
+            "hash_b": pa.array(xb, pa.int64()),
+            "differs": pa.array(xa != xb),
+        })
+
+    return j.map_batches(_cmp, batch_format="pyarrow")
+
+
+ORACLES["merkle_partition_diff"] = f"""
+    WITH a AS (
+        SELECT doc_id % {MERKLE_PARTS} AS part,
+               bit_xor(CAST(('0x' || substr(
+                   md5(doc_id || ':' || n_chars), 1, 15)) AS BIGINT))
+                   AS x
+        FROM documents GROUP BY 1),
+    b AS (
+        SELECT doc_id % {MERKLE_PARTS} AS part,
+               bit_xor(CAST(('0x' || substr(
+                   md5(doc_id || ':' ||
+                       (n_chars + CASE WHEN doc_id % 101 = 7
+                                       THEN 1 ELSE 0 END)), 1, 15))
+                   AS BIGINT)) AS x
+        FROM documents WHERE doc_id % 97 <> 13 GROUP BY 1)
+    SELECT coalesce(a.part, b.part) AS part,
+           CAST(coalesce(a.x, -1) AS BIGINT) AS hash_a,
+           CAST(coalesce(b.x, -1) AS BIGINT) AS hash_b,
+           coalesce(a.x, -1) <> coalesce(b.x, -1) AS differs
+    FROM a FULL OUTER JOIN b ON a.part = b.part
 """

@@ -171,3 +171,46 @@ def test_vacuum_store_query_audit():
     assert int(got["n_rows"].iloc[0]) == len(docs)
     assert int(got["id_sum"].iloc[0]) == int(docs["doc_id"].sum())
     assert bool(got["vacuumed"].iloc[0])
+
+
+def test_dp_histogram_mechanism_replay():
+    import hashlib
+    import math
+
+    got = (R.q_dp_histogram(SF).to_pandas()
+           .sort_values("event_type").reset_index(drop=True))
+    ev = T(SF, "events", ["event_type"]).to_pandas()
+    cnt = ev.groupby("event_type").size()
+
+    def geo(tag, t):
+        u = int(hashlib.md5(f"{tag}:{t}".encode())
+                .hexdigest()[:15], 16) / 2.0 ** 60
+        return int(math.floor(-math.log(1.0 - u)))
+
+    for _, r in got.iterrows():
+        t = r["event_type"]
+        assert r["n_true"] == cnt[t]
+        assert r["n_dp"] == cnt[t] + geo("dp1", t) - geo("dp2", t)
+
+
+def test_merkle_partition_diff_pins_touched_partitions():
+    import hashlib
+
+    got = (R.q_merkle_partition_diff(SF).to_pandas()
+           .sort_values("part").reset_index(drop=True))
+    docs = T(SF, "documents", ["doc_id", "n_chars"]).to_pandas()
+    did = docs["doc_id"].to_numpy().astype(np.int64)
+    # ground truth: a partition differs iff it contains a dropped or a
+    # modified row
+    touched = set((did[(did % 97 == 13) | (did % 101 == 7)]
+                   % R.MERKLE_PARTS).tolist())
+    assert set(got.loc[got["differs"], "part"]) == touched
+    # digest replay for replica A
+    h = np.array([int(hashlib.md5(f"{d}:{c}".encode()).hexdigest()[:15],
+                      16) for d, c in zip(did, docs["n_chars"])], np.int64)
+    for p in range(R.MERKLE_PARTS):
+        m = did % R.MERKLE_PARTS == p
+        exp = (np.bitwise_xor.reduce(h[m]) if m.any() else -1)
+        row = got[got["part"] == p]
+        if len(row):
+            assert int(row["hash_a"].iloc[0]) == int(exp)
