@@ -9823,6 +9823,7 @@ def queries() -> dict:
         "vacuum_store": q_vacuum_store,
         "dp_histogram": q_dp_histogram,
         "merkle_partition_diff": q_merkle_partition_diff,
+        "feature_hashing": q_feature_hashing,
     }
 
 
@@ -22613,4 +22614,101 @@ ORACLES["merkle_partition_diff"] = f"""
            CAST(coalesce(b.x, -1) AS BIGINT) AS hash_b,
            coalesce(a.x, -1) <> coalesce(b.x, -1) AS differs
     FROM a FULL OUTER JOIN b ON a.part = b.part
+"""
+
+
+FH_BUCKETS = 1024   # hashing-trick feature space (2^10)
+
+
+def q_feature_hashing(sf_dir):
+    """Hashing-trick featurization audit — the collision accounting
+    every hashed-feature pipeline (Vowpal-Wabbit-style) needs before
+    committing to a bucket count: every corpus token hashes to
+    md5-60(token) mod 2^10 and the audit row reports distinct
+    vocabulary size, buckets used, the worst bucket's vocabulary load,
+    how many tokens share a bucket, and the share of token OCCURRENCES
+    landing in shared buckets (exact ×1e9 integer).
+
+    Plan: tokenize map → (token, n) vocabulary-sized count groupby →
+    pure map to (bucket, n) → bucket-sized stats groupby → constant
+    fold. Nothing larger than the vocabulary ever shuffles, and the
+    final exchange is ≤ 2^10 rows regardless of corpus size."""
+
+    def _tok(b: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for txt in b["text"].to_pylist():
+            toks.extend(_TOKEN.findall(txt.lower()))
+        return pa.table({"term": pa.array(toks, pa.string())})
+
+    vocab = fast_groupby_agg(
+        T(sf_dir, "documents", ["text"]).map_batches(
+            _tok, batch_format="pyarrow"),
+        ["term"], {"n": (None, "count")})
+
+    def _bucket(b: pa.Table) -> pa.Table:
+        h = np.array([
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            % FH_BUCKETS for t in b["term"].to_pylist()], np.int64)
+        return pa.table({
+            "bucket": pa.array(h, pa.int64()),
+            "n": b["n"],
+            "one": pa.array(np.ones(len(h), np.int64)),
+        })
+
+    per_bucket = fast_groupby_agg(
+        vocab.map_batches(_bucket, batch_format="pyarrow"),
+        ["bucket"], {"n_terms": ("one", "sum"), "mass": ("n", "sum")})
+
+    global _fh_audit_task
+    if _fh_audit_task is None:
+        _fh_audit_task = _lazy_fh_audit_task()
+    import ray.data as rd
+    refs = per_bucket.materialize().to_arrow_refs()
+    return rd.from_arrow_refs([_fh_audit_task.remote(*refs)])
+
+
+def _lazy_fh_audit_task():
+    @ray.remote
+    def _t(*tables: pa.Table) -> pa.Table:
+        live = live_arrow(tables)
+        b = pa.concat_tables(live)
+        nt = b["n_terms"].to_numpy(zero_copy_only=False)
+        mass = b["mass"].to_numpy(zero_copy_only=False)
+        shared = nt > 1
+        return pa.table({
+            "n_tokens": pa.array([int(nt.sum())], pa.int64()),
+            "n_buckets_used": pa.array([len(nt)], pa.int64()),
+            "max_bucket_load": pa.array([int(nt.max())], pa.int64()),
+            "n_collided_tokens": pa.array(
+                [int(nt[shared].sum())], pa.int64()),
+            "collision_mass_fp": pa.array(
+                [int(mass[shared].sum()) * 1_000_000_000
+                 // int(mass.sum())], pa.int64()),
+        })
+
+    return _t
+
+
+_fh_audit_task = None
+
+
+ORACLES["feature_hashing"] = f"""
+    WITH tok AS (
+        SELECT unnest(regexp_split_to_array(lower(text),
+                                            '[^a-z0-9_]+')) AS term
+        FROM documents),
+    v AS (SELECT term, count(*) AS n FROM tok WHERE term <> ''
+          GROUP BY term),
+    b AS (SELECT CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT)
+                 % {1024} AS bucket,
+                 count(*) AS n_terms, sum(n) AS mass
+          FROM v GROUP BY 1)
+    SELECT CAST(sum(n_terms) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_buckets_used,
+           CAST(max(n_terms) AS BIGINT) AS max_bucket_load,
+           CAST(coalesce(sum(n_terms) FILTER (WHERE n_terms > 1), 0)
+                AS BIGINT) AS n_collided_tokens,
+           CAST(coalesce(sum(mass) FILTER (WHERE n_terms > 1), 0)
+                * 1000000000 // sum(mass) AS BIGINT) AS collision_mass_fp
+    FROM b
 """

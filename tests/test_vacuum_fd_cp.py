@@ -214,3 +214,29 @@ def test_merkle_partition_diff_pins_touched_partitions():
         row = got[got["part"] == p]
         if len(row):
             assert int(row["hash_a"].iloc[0]) == int(exp)
+
+
+def test_feature_hashing_brute_force():
+    import hashlib
+    from collections import Counter
+
+    got = R.q_feature_hashing(SF).to_pandas()
+    docs = T(SF, "documents", ["text"]).to_pandas()
+    vocab = Counter()
+    for txt in docs["text"]:
+        vocab.update(R._TOKEN.findall(txt.lower()))
+    buckets = Counter()
+    mass = Counter()
+    for t, n in vocab.items():
+        bk = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % \
+            R.FH_BUCKETS
+        buckets[bk] += 1
+        mass[bk] += n
+    shared = {b for b, c in buckets.items() if c > 1}
+    assert int(got["n_tokens"].iloc[0]) == len(vocab)
+    assert int(got["n_buckets_used"].iloc[0]) == len(buckets)
+    assert int(got["max_bucket_load"].iloc[0]) == max(buckets.values())
+    assert int(got["n_collided_tokens"].iloc[0]) == \
+        sum(buckets[b] for b in shared)
+    assert int(got["collision_mass_fp"].iloc[0]) == \
+        sum(mass[b] for b in shared) * 10**9 // sum(mass.values())
