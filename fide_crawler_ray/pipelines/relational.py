@@ -9824,6 +9824,8 @@ def queries() -> dict:
         "dp_histogram": q_dp_histogram,
         "merkle_partition_diff": q_merkle_partition_diff,
         "feature_hashing": q_feature_hashing,
+        "fairness_audit": q_fairness_audit,
+        "qini_uplift": q_qini_uplift,
     }
 
 
@@ -22711,4 +22713,179 @@ ORACLES["feature_hashing"] = f"""
            CAST(coalesce(sum(mass) FILTER (WHERE n_terms > 1), 0)
                 * 1000000000 // sum(mass) AS BIGINT) AS collision_mass_fp
     FROM b
+"""
+
+
+FAIR_PRICE_THRESHOLD = 150_000.0   # "model" decision boundary (cents/100)
+
+
+def q_fairness_audit(sf_dir):
+    """Group-fairness audit — demographic parity and equalized odds,
+    the two gates a governed scoring pipeline reports before shipping a
+    model: per market segment (the protected group), the positive-
+    prediction rate (parity), and the TPR/FPR of the deterministic
+    "classifier" pred = (o_totalprice > threshold) against the label
+    y = (o_orderstatus = 'F'), all as exact ×1e9 integer ratios.
+
+    Plan: orders hash-join customer for the group, then ONE grouped
+    fold of four conditional counts (n, y, ŷ, y∧ŷ, ¬y∧ŷ) — enum-sized
+    exchange — and a pure ratio map. No floats: ratios are integer
+    ×1e9 floor divisions."""
+    j = T(sf_dir, "orders",
+          ["o_custkey", "o_totalprice", "o_orderstatus"]).join(
+        T(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+        "inner", num_partitions=JOIN_PARTS,
+        on=("o_custkey",), right_on=("c_custkey",))
+
+    def _flags(b: pa.Table) -> pa.Table:
+        y = (pc.equal(b["o_orderstatus"], "F")
+             .to_numpy(zero_copy_only=False)).astype(np.int64)
+        yh = (b["o_totalprice"].to_numpy(zero_copy_only=False)
+              > FAIR_PRICE_THRESHOLD).astype(np.int64)
+        return pa.table({
+            "grp": b["c_mktsegment"],
+            "one": pa.array(np.ones(len(y), np.int64)),
+            "y": pa.array(y, pa.int64()),
+            "yh": pa.array(yh, pa.int64()),
+            "tp": pa.array(y * yh, pa.int64()),
+            "fp": pa.array((1 - y) * yh, pa.int64()),
+        })
+
+    agg = fast_groupby_agg(
+        j.map_batches(_flags, batch_format="pyarrow"), ["grp"],
+        {"n": ("one", "sum"), "ny": ("y", "sum"), "nyh": ("yh", "sum"),
+         "ntp": ("tp", "sum"), "nfp": ("fp", "sum")})
+
+    def _rates(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        ny = b["ny"].to_numpy(zero_copy_only=False)
+        nyh = b["nyh"].to_numpy(zero_copy_only=False)
+        ntp = b["ntp"].to_numpy(zero_copy_only=False)
+        nfp = b["nfp"].to_numpy(zero_copy_only=False)
+        e9 = 1_000_000_000
+        return pa.table({
+            "grp": b["grp"],
+            "n": b["n"],
+            "pos_rate_fp": pa.array(nyh * e9 // n, pa.int64()),
+            "base_rate_fp": pa.array(ny * e9 // n, pa.int64()),
+            "tpr_fp": pa.array(ntp * e9 // np.maximum(ny, 1), pa.int64()),
+            "fpr_fp": pa.array(nfp * e9 // np.maximum(n - ny, 1),
+                               pa.int64()),
+        })
+
+    return agg.map_batches(_rates, batch_format="pyarrow")
+
+
+ORACLES["fairness_audit"] = f"""
+    WITH f AS (
+        SELECT c_mktsegment AS grp,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+               CASE WHEN o_totalprice > {FAIR_PRICE_THRESHOLD}
+                    THEN 1 ELSE 0 END AS yh
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+    a AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS ny,
+                 CAST(sum(yh) AS BIGINT) AS nyh,
+                 CAST(sum(y * yh) AS BIGINT) AS ntp,
+                 CAST(sum((1 - y) * yh) AS BIGINT) AS nfp
+          FROM f GROUP BY grp)
+    SELECT grp, n,
+           CAST(nyh * 1000000000 // n AS BIGINT) AS pos_rate_fp,
+           CAST(ny * 1000000000 // n AS BIGINT) AS base_rate_fp,
+           CAST(ntp * 1000000000
+                // (CASE WHEN ny = 0 THEN 1 ELSE ny END)
+                AS BIGINT) AS tpr_fp,
+           CAST(nfp * 1000000000
+                // (CASE WHEN n - ny = 0 THEN 1 ELSE n - ny END)
+                AS BIGINT) AS fpr_fp
+    FROM a
+"""
+
+
+def q_qini_uplift(sf_dir):
+    """Decile uplift curve (Qini-style causal model evaluation): events
+    are deterministically split into treatment (user_id even) and
+    control, "scored" into 10 md5 deciles, and for every cumulative
+    decile prefix (best-scored first) the treated and control response
+    rates (outcome = value > 0) and their ×1e9 integer uplift are
+    reported — the uplift-model acceptance artifact.
+
+    Plan: one pass folds (decile, arm) conditional counts — a ≤20-row
+    exchange — then the cumulative prefix and ratio arithmetic run on
+    that constant-sized table in a single final map."""
+
+    def _flags(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dec = np.array([
+            int(hashlib.md5(f"uplift:{u}".encode()).hexdigest()[:15], 16)
+            % 10 for u in uid.tolist()], np.int64)
+        t = (uid % 2 == 0).astype(np.int64)
+        y = (b["value"].to_numpy(zero_copy_only=False) > 0).astype(
+            np.int64)
+        return pa.table({
+            "decile": pa.array(dec, pa.int64()),
+            "one": pa.array(np.ones(len(uid), np.int64)),
+            "nt": pa.array(t, pa.int64()),
+            "yt": pa.array(t * y, pa.int64()),
+            "nc": pa.array(1 - t, pa.int64()),
+            "yc": pa.array((1 - t) * y, pa.int64()),
+        })
+
+    agg = fast_groupby_agg(
+        T(sf_dir, "events", ["user_id", "value"]).map_batches(
+            _flags, batch_format="pyarrow"),
+        ["decile"], {"nt": ("nt", "sum"), "yt": ("yt", "sum"),
+                     "nc": ("nc", "sum"), "yc": ("yc", "sum")})
+
+    def _curve(df: pd.DataFrame) -> pd.DataFrame:
+        # "best" deciles first: descending decile index = descending
+        # score by construction
+        df = df.sort_values("decile", ascending=False).reset_index(
+            drop=True)
+        e9 = 1_000_000_000
+        cnt, cyt = df["nt"].cumsum(), df["yt"].cumsum()
+        cnc, cyc = df["nc"].cumsum(), df["yc"].cumsum()
+        return pd.DataFrame({
+            "decile": df["decile"].astype(np.int64),
+            "cum_nt": cnt.astype(np.int64),
+            "cum_yt": cyt.astype(np.int64),
+            "cum_nc": cnc.astype(np.int64),
+            "cum_yc": cyc.astype(np.int64),
+            "uplift_fp": (cyt * e9 // cnt.clip(lower=1)
+                          - cyc * e9 // cnc.clip(lower=1)).astype(
+                              np.int64),
+        })
+
+    # the ≤10-row aggregate must be ONE block: the cumulative prefix is
+    # computed in a single map over it
+    return agg.repartition(1).map_batches(
+        _curve, batch_format="pandas", batch_size=None)
+
+
+ORACLES["qini_uplift"] = """
+    WITH f AS (
+        SELECT CAST(('0x' || substr(md5('uplift:' || user_id), 1, 15))
+                    AS BIGINT) % 10 AS decile,
+               CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+               CASE WHEN value > 0 THEN 1 ELSE 0 END AS y
+        FROM events),
+    a AS (SELECT decile,
+                 CAST(sum(t) AS BIGINT) AS nt,
+                 CAST(sum(t * y) AS BIGINT) AS yt,
+                 CAST(sum(1 - t) AS BIGINT) AS nc,
+                 CAST(sum((1 - t) * y) AS BIGINT) AS yc
+          FROM f GROUP BY decile),
+    c AS (SELECT decile,
+                 CAST(sum(nt) OVER w AS BIGINT) AS cum_nt,
+                 CAST(sum(yt) OVER w AS BIGINT) AS cum_yt,
+                 CAST(sum(nc) OVER w AS BIGINT) AS cum_nc,
+                 CAST(sum(yc) OVER w AS BIGINT) AS cum_yc
+          FROM a WINDOW w AS (ORDER BY decile DESC))
+    SELECT decile, cum_nt, cum_yt, cum_nc, cum_yc,
+           CAST(cum_yt * 1000000000
+                // (CASE WHEN cum_nt = 0 THEN 1 ELSE cum_nt END)
+                - cum_yc * 1000000000
+                // (CASE WHEN cum_nc = 0 THEN 1 ELSE cum_nc END)
+                AS BIGINT) AS uplift_fp
+    FROM c
 """

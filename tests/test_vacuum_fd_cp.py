@@ -240,3 +240,49 @@ def test_feature_hashing_brute_force():
         sum(buckets[b] for b in shared)
     assert int(got["collision_mass_fp"].iloc[0]) == \
         sum(mass[b] for b in shared) * 10**9 // sum(mass.values())
+
+
+def test_fairness_audit_brute_force():
+    got = (R.q_fairness_audit(SF).to_pandas()
+           .sort_values("grp").reset_index(drop=True))
+    o = T(SF, "orders",
+          ["o_custkey", "o_totalprice", "o_orderstatus"]).to_pandas()
+    c = T(SF, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    x = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    y = (x["o_orderstatus"] == "F").astype(int)
+    yh = (x["o_totalprice"] > R.FAIR_PRICE_THRESHOLD).astype(int)
+    e9 = 10**9
+    for _, r in got.iterrows():
+        m = x["c_mktsegment"] == r["grp"]
+        n, ny = int(m.sum()), int(y[m].sum())
+        assert r["n"] == n
+        assert r["pos_rate_fp"] == int(yh[m].sum()) * e9 // n
+        assert r["base_rate_fp"] == ny * e9 // n
+        assert r["tpr_fp"] == int((y[m] * yh[m]).sum()) * e9 // max(ny, 1)
+        assert r["fpr_fp"] == \
+            int(((1 - y[m]) * yh[m]).sum()) * e9 // max(n - ny, 1)
+
+
+def test_qini_uplift_brute_force():
+    import hashlib
+
+    got = (R.q_qini_uplift(SF).to_pandas()
+           .sort_values("decile", ascending=False).reset_index(drop=True))
+    ev = T(SF, "events", ["user_id", "value"]).to_pandas()
+    uid = ev["user_id"].to_numpy().astype(np.int64)
+    dec = np.array([int(hashlib.md5(f"uplift:{u}".encode())
+                        .hexdigest()[:15], 16) % 10 for u in uid])
+    t = (uid % 2 == 0).astype(int)
+    y = (ev["value"].to_numpy() > 0).astype(int)
+    e9 = 10**9
+    cnt = cyt = cnc = cyc = 0
+    for i, d in enumerate(sorted(set(dec.tolist()), reverse=True)):
+        m = dec == d
+        cnt += int(t[m].sum()); cyt += int((t * y)[m].sum())
+        cnc += int(((1 - t))[m].sum()); cyc += int(((1 - t) * y)[m].sum())
+        r = got.iloc[i]
+        assert r["decile"] == d and r["cum_nt"] == cnt
+        assert r["cum_yt"] == cyt and r["cum_nc"] == cnc
+        assert r["cum_yc"] == cyc
+        assert r["uplift_fp"] == \
+            cyt * e9 // max(cnt, 1) - cyc * e9 // max(cnc, 1)
