@@ -9826,6 +9826,7 @@ def queries() -> dict:
         "feature_hashing": q_feature_hashing,
         "fairness_audit": q_fairness_audit,
         "qini_uplift": q_qini_uplift,
+        "luby_mis": q_luby_mis,
     }
 
 
@@ -22889,3 +22890,212 @@ ORACLES["qini_uplift"] = """
                 AS BIGINT) AS uplift_fp
     FROM c
 """
+
+
+LUBY_ROUNDS = 3
+# packed unique priority q = (md5-39bit) · 2^24 + node: the node id
+# breaks 39-bit hash ties exactly, valid to 2^24 (16.7M) nodes — beyond
+# that widen to a two-column (p, node) compare on both sides.
+_LUBY_P_MOD = 549_755_813_888      # 2^39
+_LUBY_PACK = 16_777_216            # 2^24
+
+_compact_task = None
+
+
+def _compact_one_block(ds):
+    """Rebuild a small dataset as ONE typed arrow block via a worker
+    task. Needed when a hash-join OUTPUT is reused as a JOIN SIDE: its
+    empty partitions are zero-COLUMN blocks that Ray's map passes
+    through untouched, and a later join then fails with 'no match for
+    FieldRef' on the schema-less block. Cost: one task holding the
+    whole (small) dataset — callers must bound the input (here:
+    winner sets, ≤ |undecided| skinny rows)."""
+    global _compact_task
+    if _compact_task is None:
+        import ray as _ray
+
+        @_ray.remote
+        def _t(*tables: pa.Table) -> pa.Table:
+            live = live_arrow(tables)
+            return pa.concat_tables(live) if live else tables[0]
+
+        _compact_task = _t
+    import ray.data as rd
+
+    return rd.from_arrow_refs(
+        [_compact_task.remote(*ds.to_arrow_refs())])
+
+
+def _luby_q(nodes: np.ndarray, rnd: int) -> np.ndarray:
+    return np.array([
+        (int(hashlib.md5(f"mis:{rnd}:{v}".encode()).hexdigest()[:15], 16)
+         % _LUBY_P_MOD) * _LUBY_PACK + int(v)
+        for v in nodes.tolist()], np.int64)
+
+
+def q_luby_mis(sf_dir, rounds: int = LUBY_ROUNDS):
+    """Luby's maximal-independent-set — THE textbook O(log n)-round
+    parallel symmetry-breaking algorithm (Luby 1986), the primitive
+    under distributed coloring/matching/scheduling: each round every
+    undecided node draws a fresh md5 priority and joins the MIS iff it
+    beats every undecided neighbor; its neighbors drop out. After K
+    rounds each node reports status (1 = in MIS, 2 = removed,
+    0 = undecided — a FIXED round budget keeps the oracle expressible,
+    like pagerank/sssp) and the round that decided it.
+
+    Plan per round: fresh priorities are a pure map over the undecided
+    set; the winner test is ONE hash join of the symmetric edge list
+    against the undecided set + a map-side-combined grouped MAX + a
+    left-outer compare; removals are one more join. Everything moves
+    one row per (edge|node) per round — no adjacency concentrates
+    anywhere. Invariants (independence, maximality at decided nodes)
+    are pytest-pinned against a sequential replay."""
+    import ray.data as rd
+
+    n = T(sf_dir, "customer", ["c_custkey"]).count()
+    raw = _pagerank_edges(sf_dir, n)
+
+    def _norm(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({
+            "u": pa.array(np.minimum(s, d), pa.int64()),
+            "v": pa.array(np.maximum(s, d), pa.int64()),
+        })
+
+    ne = fast_groupby_agg(raw.map_batches(_norm, batch_format="pyarrow"),
+                          ["u", "v"], {"c": (None, "count")})
+    ed = ne.map_batches(
+        lambda b: pa.table({
+            "src": pa.concat_arrays([
+                b["u"].combine_chunks() if isinstance(b["u"], pa.ChunkedArray) else b["u"],
+                b["v"].combine_chunks() if isinstance(b["v"], pa.ChunkedArray) else b["v"]]),
+            "dst": pa.concat_arrays([
+                b["v"].combine_chunks() if isinstance(b["v"], pa.ChunkedArray) else b["v"],
+                b["u"].combine_chunks() if isinstance(b["u"], pa.ChunkedArray) else b["u"]]),
+        }), batch_format="pyarrow").materialize()
+
+    und = T(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda b: pa.table({"node": b["c_custkey"].cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+    decided = []
+    for r in range(1, rounds + 1):
+        if und.count() == 0:
+            # unique priorities ⇒ a non-empty undecided set always has
+            # a winner, so an exhausted set is the only early exit
+            break
+        uq = und.map_batches(
+            lambda b, _r=r: pa.table({
+                "node": b["node"],
+                "q": pa.array(_luby_q(
+                    b["node"].to_numpy(zero_copy_only=False), _r),
+                    pa.int64()),
+            }), batch_format="pyarrow").materialize()
+        nb = ed.join(
+            uq.map_batches(lambda b: b.rename_columns(["dst", "qd"]),
+                           batch_format="pyarrow"),
+            "inner", num_partitions=JOIN_PARTS, on=("dst",))
+        mx = fast_groupby_agg(
+            nb.map_batches(lambda b: pa.table(
+                {"node": b["src"], "qd": b["qd"]}),
+                batch_format="pyarrow"),
+            ["node"], {"mq": ("qd", "max")})
+        wj = uq.join(mx, "left_outer", num_partitions=JOIN_PARTS,
+                     on=("node",))
+        win = _compact_one_block(wj.map_batches(
+            lambda b: pa.table({"node": b["node"].filter(pc.greater(
+                b["q"], pc.fill_null(b["mq"], -1)))}),
+            batch_format="pyarrow")).materialize()
+        decided.append(win.map_batches(
+            lambda b, _r=r: pa.table({
+                "node": b["node"],
+                "status": pa.array(np.ones(b.num_rows, np.int64)),
+                "decided_round": pa.array(
+                    np.full(b.num_rows, _r, np.int64)),
+            }), batch_format="pyarrow"))
+        # removed = undecided neighbors of winners (dedup via groupby)
+        rem = fast_groupby_agg(
+            ed.join(win.map_batches(
+                lambda b: b.rename_columns(["src"]),
+                batch_format="pyarrow"),
+                "inner", num_partitions=JOIN_PARTS, on=("src",)
+            ).map_batches(lambda b: pa.table({"node": b["dst"]}),
+                          batch_format="pyarrow"),
+            ["node"], {"c": (None, "count")})
+        # compact: rem's groupby can be schema-less when no winner has
+        # an undecided neighbor (all-isolated round); win anchors the
+        # schema inside the compact task
+        gone = _compact_one_block(win.union(rem.map_batches(
+            lambda b: pa.table({"node": b["node"]})
+            if b.num_columns else b,
+            batch_format="pyarrow")))
+        still = und.join(gone, "left_anti", num_partitions=JOIN_PARTS,
+                         on=("node",)).materialize()
+        # removed ∩ undecided (rem can name already-decided nodes)
+        rem_u = und.join(
+            still.union(win), "left_anti",
+            num_partitions=JOIN_PARTS, on=("node",))
+        decided.append(rem_u.map_batches(
+            lambda b, _r=r: pa.table({
+                "node": b["node"],
+                "status": pa.array(np.full(b.num_rows, 2, np.int64)),
+                "decided_round": pa.array(
+                    np.full(b.num_rows, _r, np.int64)),
+            }), batch_format="pyarrow"))
+        und = still
+    out = und.map_batches(
+        lambda b: pa.table({
+            "node": b["node"],
+            "status": pa.array(np.zeros(b.num_rows, np.int64)),
+            "decided_round": pa.array(np.zeros(b.num_rows, np.int64)),
+        }), batch_format="pyarrow")
+    for d in decided:
+        out = out.union(d)
+    return out
+
+
+def _luby_oracle(rounds: int = LUBY_ROUNDS) -> str:
+    def qe(r: int) -> str:
+        return (f"(CAST(('0x' || substr(md5('mis:{r}:' || node), 1, 15)) "
+                f"AS BIGINT) % {_LUBY_P_MOD}) * {_LUBY_PACK} + node")
+
+    sql = """
+    WITH nn AS (SELECT count(*) AS n FROM customer),
+    raw AS (SELECT CAST(o_custkey AS BIGINT) AS s,
+                   CAST(o_orderkey % (SELECT n FROM nn) AS BIGINT) AS d
+            FROM orders),
+    ne AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+           FROM raw WHERE s <> d),
+    ed AS (SELECT u AS src, v AS dst FROM ne
+           UNION ALL SELECT v, u FROM ne),
+    u0 AS (SELECT CAST(c_custkey AS BIGINT) AS node FROM customer)"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+    q{r} AS (SELECT node, {qe(r)} AS q FROM u{r - 1}),
+    w{r} AS (SELECT a.node FROM q{r} a
+             LEFT JOIN ed e ON e.src = a.node
+             LEFT JOIN q{r} b ON b.node = e.dst
+             GROUP BY a.node, a.q
+             HAVING a.q > coalesce(max(b.q), -1)),
+    rm{r} AS (SELECT DISTINCT e.dst AS node
+              FROM w{r} w JOIN ed e ON e.src = w.node
+              WHERE e.dst IN (SELECT node FROM u{r - 1})
+                AND e.dst NOT IN (SELECT node FROM w{r})),
+    u{r} AS (SELECT node FROM u{r - 1}
+             WHERE node NOT IN (SELECT node FROM w{r})
+               AND node NOT IN (SELECT node FROM rm{r}))"""
+    parts = [
+        f"""SELECT node, CAST(1 AS BIGINT) AS status,
+               CAST({r} AS BIGINT) AS decided_round FROM w{r}
+        UNION ALL
+        SELECT node, CAST(2 AS BIGINT), CAST({r} AS BIGINT) FROM rm{r}"""
+        for r in range(1, rounds + 1)]
+    parts.append(f"SELECT node, CAST(0 AS BIGINT), CAST(0 AS BIGINT) "
+                 f"FROM u{rounds}")
+    sql += "\n    " + "\n    UNION ALL\n    ".join(parts)
+    return sql
+
+
+ORACLES["luby_mis"] = _luby_oracle()

@@ -286,3 +286,51 @@ def test_qini_uplift_brute_force():
         assert r["cum_yc"] == cyc
         assert r["uplift_fp"] == \
             cyt * e9 // max(cnt, 1) - cyc * e9 // max(cnc, 1)
+
+
+def _luby_graph():
+    n = len(T(SF, "customer", ["c_custkey"]).to_pandas())
+    o = T(SF, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
+    s = o["o_custkey"].to_numpy().astype(np.int64)
+    d = (o["o_orderkey"].to_numpy().astype(np.int64)) % n
+    m = s != d
+    edges = set(map(tuple, np.stack(
+        [np.minimum(s[m], d[m]), np.maximum(s[m], d[m])], 1).tolist()))
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    return n, adj
+
+
+def test_luby_mis_invariants_and_replay():
+    got = R.q_luby_mis(SF).to_pandas().set_index("node").sort_index()
+    n, adj = _luby_graph()
+    assert len(got) == n
+    mis = set(got.index[got["status"] == 1])
+    # independence: no two MIS nodes are adjacent
+    for u in mis:
+        assert not (adj.get(u, set()) & mis)
+    # every decided non-MIS node has an MIS neighbor (it was removed
+    # because a neighbor won)
+    for u in got.index[got["status"] == 2]:
+        assert adj.get(u, set()) & mis
+    # sequential replay of Luby rounds
+    und = set(range(n))
+    status = {v: (0, 0) for v in und}
+    for r in range(1, R.LUBY_ROUNDS + 1):
+        q = {v: R._luby_q(np.array([v]), r)[0] for v in und}
+        win = {v for v in und
+               if all(q[v] > q[u] for u in adj.get(v, set()) & und)}
+        rem = set()
+        for w in win:
+            rem |= adj.get(w, set()) & und
+        rem -= win
+        for v in win:
+            status[v] = (1, r)
+        for v in rem:
+            status[v] = (2, r)
+        und -= win | rem
+    for v, (st, rd) in status.items():
+        assert got.loc[v, "status"] == st
+        assert got.loc[v, "decided_round"] == rd
