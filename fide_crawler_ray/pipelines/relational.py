@@ -9827,6 +9827,8 @@ def queries() -> dict:
         "fairness_audit": q_fairness_audit,
         "qini_uplift": q_qini_uplift,
         "luby_mis": q_luby_mis,
+        "negative_sampling": q_negative_sampling,
+        "delta_join_view": q_delta_join_view,
     }
 
 
@@ -23099,3 +23101,186 @@ def _luby_oracle(rounds: int = LUBY_ROUNDS) -> str:
 
 
 ORACLES["luby_mis"] = _luby_oracle()
+
+
+NEG_SAMPLES_K = 2
+NEG_MAX_BROADCAST_VOCAB = 2_000_000   # same guard class as TFIDF's
+
+_neg_cum_task = None
+
+
+def q_negative_sampling(sf_dir, k: int = NEG_SAMPLES_K):
+    """Unigram negative sampling (the word2vec/contrastive-training
+    draw) — ALL-INTEGER inverse-CDF so the exact draws are
+    oracle-certified: per document, k negatives are drawn by mapping
+    the md5-60 uniform u to rank r = u·N ≫ 60 (exact in arbitrary-
+    precision ints / HUGEINT) and locating r in the term-ordered
+    cumulative unigram table. Plain unigram (not ^0.75) keeps both
+    sides in exact integers — the tempered variant would hinge on
+    pow() libm parity.
+
+    Plan: one vocabulary-sized count groupby; ONE worker task sorts it
+    and builds the (term, lo) cumulative table whose ObjectRef is read
+    per actor process (driver never assembles it; vocabulary guarded
+    at NEG_MAX_BROADCAST_VOCAB — beyond it, switch to the interval
+    hash-join plan); drawing is then a pure map with one vectorized
+    searchsorted per batch."""
+    global _neg_cum_task
+    if _neg_cum_task is None:
+        @ray.remote
+        def _cum(*tables: pa.Table) -> pa.Table:
+            t = pa.concat_tables(live_arrow(tables))
+            df = t.to_pandas().sort_values("term").reset_index(drop=True)
+            n = df["n"].to_numpy().astype(np.int64)
+            lo = np.concatenate([[0], np.cumsum(n)[:-1]])
+            return pa.table({
+                "term": pa.array(df["term"], pa.string()),
+                "lo": pa.array(lo, pa.int64()),
+            })
+
+        _neg_cum_task = _cum
+
+    def _tok(b: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for txt in b["text"].to_pylist():
+            toks.extend(_TOKEN.findall(txt.lower()))
+        return pa.table({"term": pa.array(toks, pa.string())})
+
+    vocab = fast_groupby_agg(
+        T(sf_dir, "documents", ["text"]).map_batches(
+            _tok, batch_format="pyarrow"),
+        ["term"], {"n": (None, "count")}).materialize()
+    if vocab.count() > NEG_MAX_BROADCAST_VOCAB:
+        raise NotImplementedError(
+            "vocabulary exceeds the broadcast guard; use the interval "
+            "hash-join plan (rank BETWEEN lo AND hi) at this scale")
+    total = int(vocab.sum("n"))
+    cum_ref = _neg_cum_task.remote(*vocab.to_arrow_refs())
+
+    def _draw(b: pa.Table) -> pa.Table:
+        cum = ray.get(cum_ref)
+        lo = cum["lo"].to_numpy(zero_copy_only=False)
+        terms = cum["term"].to_pylist()
+        dids, js, ranks = [], [], []
+        for d in b["doc_id"].to_pylist():
+            for j in range(k):
+                u = int(hashlib.md5(f"neg:{d}:{j}".encode())
+                        .hexdigest()[:15], 16)
+                dids.append(int(d))
+                js.append(j)
+                ranks.append((u * total) >> 60)   # exact: python ints
+        idx = np.searchsorted(lo, np.array(ranks, np.int64),
+                              side="right") - 1
+        return pa.table({
+            "doc_id": pa.array(dids, pa.int64()),
+            "j": pa.array(js, pa.int64()),
+            "neg_term": pa.array([terms[i] for i in idx], pa.string()),
+        })
+
+    return T(sf_dir, "documents", ["doc_id"]).map_batches(
+        _draw, batch_format="pyarrow")
+
+
+ORACLES["negative_sampling"] = f"""
+    WITH tok AS (
+        SELECT unnest(regexp_split_to_array(lower(text),
+                                            '[^a-z0-9_]+')) AS term
+        FROM documents),
+    v AS (SELECT term, count(*) AS n FROM tok WHERE term <> ''
+          GROUP BY term),
+    c AS (SELECT term, n,
+                 coalesce(sum(n) OVER (ORDER BY term
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS lo
+          FROM v),
+    d AS (SELECT doc_id, j FROM documents,
+          (VALUES (0), (1)) t(j)),
+    r AS (SELECT doc_id, CAST(j AS BIGINT) AS j,
+                 CAST(CAST(('0x' || substr(
+                     md5('neg:' || doc_id || ':' || j), 1, 15))
+                     AS BIGINT) AS HUGEINT)
+                 * (SELECT CAST(sum(n) AS HUGEINT) FROM v)
+                 // 1152921504606846976 AS rk
+          FROM d)
+    SELECT r.doc_id, r.j, c.term AS neg_term
+    FROM r JOIN c ON r.rk >= c.lo AND r.rk < c.lo + c.n
+"""
+
+
+def q_delta_join_view(sf_dir):
+    """Incremental view maintenance of an aggregate JOIN view (the
+    delta-join algebra streaming systems run): the materialized view
+    V = Γ_segment(count, Σcents)(orders ⋈ customer) is maintained from
+    snapshot V₀ (orders with okey ≡ 3 mod 23 absent) by joining ONLY
+    the delta — ΔV = Γ(ΔO ⋈ C), V₁ = V₀ ⊎ ΔV — and the query emits the
+    maintained V₁ with a per-group `consistent` flag against the full
+    recompute (both computed; a drifting maintenance fails the oracle,
+    which expects all-true).
+
+    Plan: the incremental exchange is |ΔO| join rows + two enum-sized
+    aggregates; the full recompute here exists only as the in-query
+    certifier. At scale the recompute is the (rare) backfill path and
+    the delta join is the steady state."""
+    cust = T(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def _agg(orders_ds):
+        j = orders_ds.join(cust, "inner", num_partitions=JOIN_PARTS,
+                           on=("o_custkey",), right_on=("c_custkey",))
+        return fast_groupby_agg(
+            j.map_batches(
+                lambda b: pa.table({
+                    "c_mktsegment": b["c_mktsegment"],
+                    "one": pa.array(np.ones(b.num_rows, np.int64)),
+                    "cents": pa.array(_round_half_away(
+                        b["o_totalprice"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64), pa.int64()),
+                }), batch_format="pyarrow"),
+            ["c_mktsegment"],
+            {"n_orders": ("one", "sum"), "rev_fp": ("cents", "sum")})
+
+    orders = T(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def _split(want_delta: bool):
+        def _f(b: pa.Table) -> pa.Table:
+            m = (b["o_orderkey"].to_numpy(zero_copy_only=False)
+                 % 23) == 3
+            return b.filter(pa.array(m if want_delta else ~m))
+
+        return orders.map_batches(_f, batch_format="pyarrow")
+
+    v0 = _agg(_split(False))
+    dv = _agg(_split(True))
+    v1 = fast_groupby_agg(
+        v0.union(dv), ["c_mktsegment"],
+        {"n_orders": ("n_orders", "sum"), "rev_fp": ("rev_fp", "sum")})
+    full = _agg(orders).map_batches(
+        lambda b: b.rename_columns(["c_mktsegment", "nf", "rf"]),
+        batch_format="pyarrow")
+    j = v1.join(full, "full_outer", num_partitions=JOIN_PARTS,
+                on=("c_mktsegment",))
+
+    def _chk(b: pa.Table) -> pa.Table:
+        n = b["n_orders"].to_numpy(zero_copy_only=False)
+        r = b["rev_fp"].to_numpy(zero_copy_only=False)
+        nf = b["nf"].to_numpy(zero_copy_only=False)
+        rf = b["rf"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c_mktsegment": b["c_mktsegment"],
+            "n_orders": b["n_orders"],
+            "rev_fp": b["rev_fp"],
+            "consistent": pa.array((n == nf) & (r == rf)),
+        })
+
+    return j.map_batches(_chk, batch_format="pyarrow")
+
+
+ORACLES["delta_join_view"] = """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS rev_fp,
+           true AS consistent
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+"""

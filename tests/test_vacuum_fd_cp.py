@@ -334,3 +334,50 @@ def test_luby_mis_invariants_and_replay():
     for v, (st, rd) in status.items():
         assert got.loc[v, "status"] == st
         assert got.loc[v, "decided_round"] == rd
+
+
+def test_negative_sampling_brute_force():
+    import hashlib
+    from collections import Counter
+
+    got = (R.q_negative_sampling(SF).to_pandas()
+           .sort_values(["doc_id", "j"]).reset_index(drop=True))
+    docs = T(SF, "documents", ["doc_id", "text"]).to_pandas()
+    vocab = Counter()
+    for txt in docs["text"]:
+        vocab.update(R._TOKEN.findall(txt.lower()))
+    terms = sorted(vocab)
+    n = np.array([vocab[t] for t in terms], np.int64)
+    lo = np.concatenate([[0], np.cumsum(n)[:-1]])
+    total = int(n.sum())
+    assert len(got) == len(docs) * R.NEG_SAMPLES_K
+    for _, r in got.head(100).iterrows():
+        u = int(hashlib.md5(
+            f"neg:{int(r['doc_id'])}:{int(r['j'])}".encode())
+            .hexdigest()[:15], 16)
+        rk = (u * total) >> 60
+        i = int(np.searchsorted(lo, rk, side="right")) - 1
+        assert r["neg_term"] == terms[i]
+    # draws follow the unigram distribution's support
+    assert set(got["neg_term"]) <= set(terms)
+
+
+def test_delta_join_view_consistent_and_exact():
+    got = (R.q_delta_join_view(SF).to_pandas()
+           .sort_values("c_mktsegment").reset_index(drop=True))
+    o = T(SF, "orders",
+          ["o_orderkey", "o_custkey", "o_totalprice"]).to_pandas()
+    c = T(SF, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    x = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    x["cents"] = R._round_half_away(
+        x["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+    exp = (x.groupby("c_mktsegment")
+            .agg(n_orders=("cents", "size"), rev_fp=("cents", "sum"))
+            .reset_index())
+    assert bool(got["consistent"].all())
+    pd.testing.assert_frame_equal(
+        got[["c_mktsegment", "n_orders", "rev_fp"]], exp,
+        check_dtype=False)
+    # the delta split is non-trivial (both sides populated)
+    assert (o["o_orderkey"] % 23 == 3).any()
+    assert (o["o_orderkey"] % 23 != 3).any()
