@@ -9829,6 +9829,7 @@ def queries() -> dict:
         "luby_mis": q_luby_mis,
         "negative_sampling": q_negative_sampling,
         "delta_join_view": q_delta_join_view,
+        "ddsketch_quantiles": q_ddsketch_quantiles,
     }
 
 
@@ -23284,3 +23285,95 @@ ORACLES["delta_join_view"] = """
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
 """
+
+
+_dd_locate_task = None
+DD_ALPHA = 0.01    # DDSketch relative-accuracy target
+DD_QS = (100, 500, 900, 990)   # probed quantiles, ‰
+
+
+def q_ddsketch_quantiles(sf_dir, alpha: float = DD_ALPHA):
+    """DDSketch (Masson et al., VLDB 2019) — the relative-error
+    quantile sketch whose buckets are mergeable integer counts, the
+    modern alternative to rank-error sketches for long-tailed metrics:
+    order totalprice cents land in log-γ buckets (γ=(1+α)/(1−α)), the
+    bucket histogram merges as a plain grouped SUM, and each probed
+    quantile's estimate 2γ^b/(γ+1) carries the PROVABLE guarantee
+    |est−x_q| ≤ α·x_q. The query computes the exact quantile values
+    beside the sketch (value-histogram sort + cumulative rank locate)
+    and asserts the guarantee IN-QUERY — float log buckets are not
+    SQL-reproducible, so this is a rows-only driver row with a hard
+    self-gate, the ann_ivf_recall pattern.
+
+    Plan: one pass → per-batch bucket partials (vectorized log) →
+    bucket-sized grouped sum; the exact side is a distinct-value
+    histogram (≤ |distinct cents| skinny rows), one sort, and a
+    cumulative locate on block-offset arithmetic."""
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    lg = math.log(gamma)
+
+    def _cents(b: pa.Table) -> pa.Table:
+        return pa.table({"cents": pa.array(_round_half_away(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64), pa.int64())})
+
+    cents = T(sf_dir, "orders", ["o_totalprice"]).map_batches(
+        _cents, batch_format="pyarrow")
+
+    def _bucket(b: pa.Table) -> pa.Table:
+        x = b["cents"].to_numpy(zero_copy_only=False).astype(np.float64)
+        bk = np.ceil(np.log(x) / lg).astype(np.int64)
+        return pa.table({"bucket": pa.array(bk, pa.int64()),
+                         "one": pa.array(np.ones(len(bk), np.int64))})
+
+    sketch = fast_groupby_agg(
+        cents.map_batches(_bucket, batch_format="pyarrow"),
+        ["bucket"], {"n": ("one", "sum")}).materialize()
+    hist = fast_groupby_agg(cents, ["cents"],
+                            {"n": (None, "count")}).materialize()
+    global _dd_locate_task
+    if _dd_locate_task is None:
+        @ray.remote
+        def _loc(gamma: float, alpha: float, qs, n_sk: int,
+                 *tables: pa.Table) -> pa.Table:
+            # first n_sk tables are sketch partials, rest histogram —
+            # the locate runs histogram-sized in THIS task, the driver
+            # only ever sees the 4 probe rows
+            sk = pa.concat_tables([t for t in tables[:n_sk]
+                                   if t.num_rows])
+            hx = pa.concat_tables([t for t in tables[n_sk:]
+                                   if t.num_rows])
+            skd = sk.to_pandas().sort_values("bucket")
+            hxd = hx.to_pandas().sort_values("cents")
+            n_total = int(hxd["n"].sum())
+            sk_cum = skd["n"].cumsum().to_numpy()
+            hx_cum = hxd["n"].cumsum().to_numpy()
+            rows = []
+            for qm in qs:
+                r = (n_total - 1) * qm // 1000 + 1   # 1-based rank
+                bi = int(np.searchsorted(sk_cum, r, side="left"))
+                est = (2.0 * gamma ** int(skd["bucket"].iloc[bi])
+                       / (gamma + 1.0))
+                xi = int(np.searchsorted(hx_cum, r, side="left"))
+                exact = float(hxd["cents"].iloc[xi])
+                if abs(est - exact) > alpha * exact * (1.0 + 1e-9):
+                    raise AssertionError(
+                        f"DDSketch guarantee violated at q={qm}: "
+                        f"est {est} exact {exact}")
+                rows.append((qm, est, int(exact)))
+            return pa.table({
+                "q_mille": pa.array([r[0] for r in rows], pa.int64()),
+                "est": pa.array([r[1] for r in rows], pa.float64()),
+                "exact_cents": pa.array([r[2] for r in rows],
+                                        pa.int64()),
+                "ok": pa.array([True] * len(rows)),
+            })
+
+        _dd_locate_task = _loc
+    import ray.data as rd
+
+    sk_refs = sketch.to_arrow_refs()
+    ref = _dd_locate_task.remote(gamma, alpha, list(DD_QS),
+                                 len(sk_refs), *sk_refs,
+                                 *hist.to_arrow_refs())
+    return rd.from_arrow_refs([ref])

@@ -381,3 +381,16 @@ def test_delta_join_view_consistent_and_exact():
     # the delta split is non-trivial (both sides populated)
     assert (o["o_orderkey"] % 23 == 3).any()
     assert (o["o_orderkey"] % 23 != 3).any()
+
+
+def test_ddsketch_guarantee_brute_force():
+    got = R.q_ddsketch_quantiles(SF).to_pandas()
+    o = T(SF, "orders", ["o_totalprice"]).to_pandas()
+    cents = np.sort(R._round_half_away(
+        o["o_totalprice"].to_numpy() * 100.0).astype(np.int64))
+    assert bool(got["ok"].all())
+    for _, r in got.iterrows():
+        rank = (len(cents) - 1) * int(r["q_mille"]) // 1000
+        exact = int(cents[rank])
+        assert int(r["exact_cents"]) == exact
+        assert abs(float(r["est"]) - exact) <= R.DD_ALPHA * exact * 1.001
