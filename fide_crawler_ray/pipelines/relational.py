@@ -9830,6 +9830,7 @@ def queries() -> dict:
         "negative_sampling": q_negative_sampling,
         "delta_join_view": q_delta_join_view,
         "ddsketch_quantiles": q_ddsketch_quantiles,
+        "ktruss": q_ktruss,
     }
 
 
@@ -23377,3 +23378,134 @@ def q_ddsketch_quantiles(sf_dir, alpha: float = DD_ALPHA):
                                  len(sk_refs), *sk_refs,
                                  *hist.to_arrow_refs())
     return rd.from_arrow_refs([ref])
+
+
+KTRUSS_K = 3        # keep edges in ≥1 triangle (support ≥ k−2)
+KTRUSS_ROUNDS = 3   # fixed peel rounds (matches the unrolled oracle)
+
+
+def q_ktruss(sf_dir, k: int = KTRUSS_K, rounds: int = KTRUSS_ROUNDS):
+    """k-truss decomposition (Cohen 2008) — the edge-cohesion sibling
+    of q_graph_kcore: iteratively peel every edge in fewer than k−2
+    triangles; what survives is the densest collaboration core. A
+    FIXED round budget keeps the oracle expressible (pagerank/sssp/
+    luby_mis policy); output is each surviving edge with its
+    recomputed final support.
+
+    Plan per round: triangle support per edge via the standard wedge
+    plan — symmetric adjacency self-joined on the center, ordered pair
+    filter, ONE composite-key hash join against the edge set, grouped
+    count — then an edge-set filter. Wedge volume is Σ deg(c)², the
+    same cost surface as q_triangle_count (its WEDGE_BUDGET note
+    applies); every exchange is edge- or wedge-shaped, never
+    node²-shaped. Edge sets between rounds are compacted
+    (_compact_one_block) because join outputs are reused as join
+    sides."""
+    n = T(sf_dir, "customer", ["c_custkey"]).count()
+    raw = _pagerank_edges(sf_dir, n)
+
+    def _norm(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({
+            "u": pa.array(np.minimum(s, d), pa.int64()),
+            "v": pa.array(np.maximum(s, d), pa.int64()),
+        })
+
+    e = fast_groupby_agg(
+        raw.map_batches(_norm, batch_format="pyarrow"),
+        ["u", "v"], {"c": (None, "count")}).map_batches(
+        lambda b: pa.table({"u": b["u"], "v": b["v"]}),
+        batch_format="pyarrow").materialize()
+
+    def _support(edges):
+        ed = edges.map_batches(
+            lambda b: pa.table({
+                "c": pa.concat_arrays([
+                    b["u"].combine_chunks() if isinstance(
+                        b["u"], pa.ChunkedArray) else b["u"],
+                    b["v"].combine_chunks() if isinstance(
+                        b["v"], pa.ChunkedArray) else b["v"]]),
+                "x": pa.concat_arrays([
+                    b["v"].combine_chunks() if isinstance(
+                        b["v"], pa.ChunkedArray) else b["v"],
+                    b["u"].combine_chunks() if isinstance(
+                        b["u"], pa.ChunkedArray) else b["u"]]),
+            }), batch_format="pyarrow")
+        pairs = ed.join(
+            ed.map_batches(lambda b: b.rename_columns(["c", "x2"]),
+                           batch_format="pyarrow"),
+            "inner", num_partitions=JOIN_PARTS, on=("c",))
+        wedges = pairs.map_batches(
+            lambda b: pa.table({
+                "u": b["x"].filter(pc.less(b["x"], b["x2"])),
+                "v": b["x2"].filter(pc.less(b["x"], b["x2"])),
+            }), batch_format="pyarrow")
+        tri = wedges.join(edges, "inner", num_partitions=JOIN_PARTS,
+                          on=("u", "v"))
+        return fast_groupby_agg(tri, ["u", "v"],
+                                {"support": (None, "count")})
+
+    for _ in range(rounds):
+        if e.count() == 0:
+            break
+        sup = _support(e)
+        e = _compact_one_block(
+            e.join(sup, "left_outer", num_partitions=JOIN_PARTS,
+                   on=("u", "v")).map_batches(
+                lambda b: pa.table({
+                    "u": b["u"].filter(pc.greater_equal(
+                        pc.fill_null(b["support"], 0), k - 2)),
+                    "v": b["v"].filter(pc.greater_equal(
+                        pc.fill_null(b["support"], 0), k - 2)),
+                }), batch_format="pyarrow")).materialize()
+    if e.count() == 0:
+        return pa.table({"u": pa.array([], pa.int64()),
+                         "v": pa.array([], pa.int64()),
+                         "support": pa.array([], pa.int64())})
+    fin = e.join(_support(e), "left_outer", num_partitions=JOIN_PARTS,
+                 on=("u", "v"))
+    return fin.map_batches(
+        lambda b: pa.table({
+            "u": b["u"], "v": b["v"],
+            "support": pc.cast(pc.fill_null(b["support"], 0),
+                               pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def _ktruss_oracle(k: int = KTRUSS_K, rounds: int = KTRUSS_ROUNDS) -> str:
+    sql = """
+    WITH nn AS (SELECT count(*) AS n FROM customer),
+    raw AS (SELECT CAST(o_custkey AS BIGINT) AS s,
+                   CAST(o_orderkey % (SELECT n FROM nn) AS BIGINT) AS d
+            FROM orders),
+    e0 AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+           FROM raw WHERE s <> d)"""
+    for i in range(1, rounds + 1):
+        sql += f""",
+    ed{i - 1} AS (SELECT u AS c, v AS x FROM e{i - 1}
+                  UNION ALL SELECT v, u FROM e{i - 1}),
+    w{i} AS (SELECT a.x AS u, b.x AS v, count(*) AS sup
+             FROM ed{i - 1} a JOIN ed{i - 1} b
+               ON a.c = b.c AND a.x < b.x
+             JOIN e{i - 1} e ON e.u = a.x AND e.v = b.x
+             GROUP BY a.x, b.x),
+    e{i} AS (SELECT e.u, e.v FROM e{i - 1} e
+             JOIN w{i} w ON w.u = e.u AND w.v = e.v
+             WHERE w.sup >= {k - 2})"""
+    sql += f""",
+    edF AS (SELECT u AS c, v AS x FROM e{rounds}
+            UNION ALL SELECT v, u FROM e{rounds}),
+    wF AS (SELECT a.x AS u, b.x AS v, count(*) AS sup
+           FROM edF a JOIN edF b ON a.c = b.c AND a.x < b.x
+           JOIN e{rounds} e ON e.u = a.x AND e.v = b.x
+           GROUP BY a.x, b.x)
+    SELECT e.u, e.v, CAST(coalesce(w.sup, 0) AS BIGINT) AS support
+    FROM e{rounds} e LEFT JOIN wF w ON w.u = e.u AND w.v = e.v
+"""
+    return sql
+
+
+ORACLES["ktruss"] = _ktruss_oracle()

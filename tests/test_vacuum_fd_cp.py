@@ -394,3 +394,31 @@ def test_ddsketch_guarantee_brute_force():
         exact = int(cents[rank])
         assert int(r["exact_cents"]) == exact
         assert abs(float(r["est"]) - exact) <= R.DD_ALPHA * exact * 1.001
+
+
+def test_ktruss_brute_force():
+    got = (R.q_ktruss(SF).to_pandas()
+           .sort_values(["u", "v"]).reset_index(drop=True))
+    n, adj = _luby_graph()
+    edges = {(u, v) for u in adj for v in adj[u] if u < v}
+
+    def supports(es):
+        nb = {}
+        for u, v in es:
+            nb.setdefault(u, set()).add(v)
+            nb.setdefault(v, set()).add(u)
+        return {(u, v): len(nb.get(u, set()) & nb.get(v, set()))
+                for u, v in es}
+
+    es = set(edges)
+    for _ in range(R.KTRUSS_ROUNDS):
+        sup = supports(es)
+        es = {e for e in es if sup[e] >= R.KTRUSS_K - 2}
+    sup = supports(es)
+    exp = pd.DataFrame(
+        sorted((u, v, sup[(u, v)]) for u, v in es),
+        columns=["u", "v", "support"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # cohesion invariant: every surviving edge had >= k-2 triangles at
+    # the moment of the last peel (subset of the (k-1)-core edge set)
+    assert (exp["support"] >= 0).all()
