@@ -9831,6 +9831,7 @@ def queries() -> dict:
         "delta_join_view": q_delta_join_view,
         "ddsketch_quantiles": q_ddsketch_quantiles,
         "ktruss": q_ktruss,
+        "coordinated_sample_join": q_coordinated_sample_join,
     }
 
 
@@ -23509,3 +23510,101 @@ def _ktruss_oracle(k: int = KTRUSS_K, rounds: int = KTRUSS_ROUNDS) -> str:
 
 
 ORACLES["ktruss"] = _ktruss_oracle()
+
+
+COORD_PCT = 10   # coordinated sample keeps keys with md5 % 100 < 10
+
+
+def q_coordinated_sample_join(sf_dir, pct: int = COORD_PCT):
+    """Coordinated (shared-seed) key sampling — the sampling-theory
+    primitive that makes SAMPLED JOINS meaningful: both orders and
+    lineitem keep a key iff md5(orderkey) mod 100 < pct, so the same
+    key survives on both sides and each key stratum is kept whole
+    (independent per-side sampling would quadratically under-sample
+    matches). The sampled join count scaled by 100/pct is the
+    Horvitz–Thompson estimate of the true join size; the query emits
+    both plus the exact ×1e9 sampling error, all in exact integers.
+
+    Plan: the sample predicates are pure maps; join sizes come from
+    per-key count aggregates joined on the key and a Σ o_cnt·l_cnt
+    fold — the join itself is never materialized, only key-count
+    tables exchange."""
+
+    def _keys(tbl: str, keycol: str):
+        def _f(b: pa.Table) -> pa.Table:
+            k = b[keycol].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"k": pa.array(k, pa.int64())})
+
+        return fast_groupby_agg(
+            T(sf_dir, tbl, [keycol]).map_batches(
+                _f, batch_format="pyarrow"),
+            ["k"], {"n": (None, "count")})
+
+    ok = _keys("orders", "o_orderkey")
+    lk = _keys("lineitem", "l_orderkey").map_batches(
+        lambda b: b.rename_columns(["k", "m"]), batch_format="pyarrow")
+    j = ok.join(lk, "inner", num_partitions=JOIN_PARTS, on=("k",))
+
+    def _fold(b: pa.Table) -> pa.Table:
+        k = b["k"].to_numpy(zero_copy_only=False)
+        prod = (b["n"].to_numpy(zero_copy_only=False)
+                * b["m"].to_numpy(zero_copy_only=False))
+        keep = np.array([
+            int(hashlib.md5(f"coord:{v}".encode()).hexdigest()[:15], 16)
+            % 100 < pct for v in k.tolist()])
+        return pa.table({
+            "exact": pa.array([int(prod.sum())], pa.int64()),
+            "sampled": pa.array([int(prod[keep].sum())], pa.int64()),
+            "keys_kept": pa.array([int(keep.sum())], pa.int64()),
+        })
+
+    agg = fast_groupby_agg(
+        j.map_batches(_fold, batch_format="pyarrow").map_batches(
+            lambda b: pa.table({
+                "g": pa.array(np.zeros(b.num_rows, np.int64)),
+                "exact": b["exact"], "sampled": b["sampled"],
+                "keys_kept": b["keys_kept"],
+            }), batch_format="pyarrow"),
+        ["g"], {"exact": ("exact", "sum"), "sampled": ("sampled", "sum"),
+                "keys_kept": ("keys_kept", "sum")})
+
+    def _est(b: pa.Table) -> pa.Table:
+        ex = int(b["exact"].to_numpy(zero_copy_only=False)[0])
+        sm = int(b["sampled"].to_numpy(zero_copy_only=False)[0])
+        est = sm * 100 // pct
+        return pa.table({
+            "n_join_exact": pa.array([ex], pa.int64()),
+            "n_join_sampled": pa.array([sm], pa.int64()),
+            "ht_estimate": pa.array([est], pa.int64()),
+            "keys_kept": b["keys_kept"],
+            "rel_err_fp": pa.array(
+                [abs(est - ex) * 1_000_000_000 // max(ex, 1)],
+                pa.int64()),
+        })
+
+    return agg.map_batches(_est, batch_format="pyarrow")
+
+
+ORACLES["coordinated_sample_join"] = f"""
+    WITH ok AS (SELECT o_orderkey AS k, count(*) AS n
+                FROM orders GROUP BY 1),
+    lk AS (SELECT l_orderkey AS k, count(*) AS m
+           FROM lineitem GROUP BY 1),
+    j AS (SELECT ok.k, ok.n * lk.m AS prod,
+                 CAST(('0x' || substr(md5('coord:' || ok.k), 1, 15))
+                      AS BIGINT) % 100 < {COORD_PCT} AS keep
+          FROM ok JOIN lk ON ok.k = lk.k),
+    a AS (SELECT CAST(sum(prod) AS BIGINT) AS exact,
+                 CAST(coalesce(sum(prod) FILTER (WHERE keep), 0)
+                      AS BIGINT) AS sampled,
+                 CAST(coalesce(sum(CASE WHEN keep THEN 1 ELSE 0 END), 0)
+                      AS BIGINT) AS keys_kept
+          FROM j)
+    SELECT exact AS n_join_exact, sampled AS n_join_sampled,
+           CAST(sampled * 100 // {COORD_PCT} AS BIGINT) AS ht_estimate,
+           keys_kept,
+           CAST(abs(sampled * 100 // {COORD_PCT} - exact) * 1000000000
+                // (CASE WHEN exact = 0 THEN 1 ELSE exact END)
+                AS BIGINT) AS rel_err_fp
+    FROM a
+"""

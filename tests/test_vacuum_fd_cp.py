@@ -422,3 +422,29 @@ def test_ktruss_brute_force():
     # cohesion invariant: every surviving edge had >= k-2 triangles at
     # the moment of the last peel (subset of the (k-1)-core edge set)
     assert (exp["support"] >= 0).all()
+
+
+def test_coordinated_sample_join_brute_force():
+    import hashlib
+
+    got = R.q_coordinated_sample_join(SF).to_pandas()
+    o = T(SF, "orders", ["o_orderkey"]).to_pandas()
+    li = T(SF, "lineitem", ["l_orderkey"]).to_pandas()
+    on = o.groupby("o_orderkey").size()
+    ln = li.groupby("l_orderkey").size()
+    common = on.index.intersection(ln.index)
+    prod = (on[common] * ln[common])
+    keep = np.array([
+        int(hashlib.md5(f"coord:{int(k)}".encode()).hexdigest()[:15], 16)
+        % 100 < R.COORD_PCT for k in common])
+    exact, sampled = int(prod.sum()), int(prod[keep].sum())
+    est = sampled * 100 // R.COORD_PCT
+    assert int(got["n_join_exact"].iloc[0]) == exact
+    assert int(got["n_join_sampled"].iloc[0]) == sampled
+    assert int(got["ht_estimate"].iloc[0]) == est
+    assert int(got["keys_kept"].iloc[0]) == int(keep.sum())
+    assert int(got["rel_err_fp"].iloc[0]) == \
+        abs(est - exact) * 10**9 // max(exact, 1)
+    # the HT estimate should be in the right ballpark (coordinated
+    # keeps whole key strata; 10% of ~1500 keys is a real sample)
+    assert est > 0
