@@ -1,0 +1,78 @@
+"""Round-3 extension operators (batch A): temporal reachability, Katz
+centrality, inclusion-dependency discovery. DuckDB parity is covered by
+the oracle gate (tools/check_oracles.py); these tests replay a
+brute-force reference over the sf0.001 derived graphs/columns and pin
+structural invariants the SQL comparison can't see."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from fide_crawler_ray.pipelines import relational as R
+from fide_crawler_ray.pipelines.queries import T
+
+SF = "/root/testdata/sf0.001"
+
+
+def _orders():
+    t = pq.read_table(f"{SF}/orders.parquet",
+                      columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    n = T(SF, "customer", ["c_custkey"]).count()
+    k = t["o_orderkey"].to_numpy()
+    c = t["o_custkey"].to_numpy()
+    ts = t["o_orderdate"].to_numpy().astype("datetime64[us]").view("int64")
+    return c.astype(np.int64), (k % n).astype(np.int64), ts, n
+
+
+def test_temporal_reachability_matches_brute_force():
+    src, dst, t, n = _orders()
+    INF = np.iinfo(np.int64).max
+    ea = np.full(n, INF, dtype=np.int64)
+    ea[0] = 0
+    for _ in range(R.TR_ROUNDS):
+        ok = (ea[src] != INF) & (t >= ea[src])
+        nxt = ea.copy()
+        np.minimum.at(nxt, dst[ok], t[ok])
+        ea = nxt
+    expect = np.where(ea == INF, -1, ea)
+    got = R.q_temporal_reachability(SF).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert (got["node"].to_numpy() == np.arange(n)).all()
+    assert (got["ea_us"].to_numpy() == expect).all()
+    # time-respecting: every reached node's arrival is a real edge time
+    reached = got[got["ea_us"] >= 0]
+    times = set(t.tolist()) | {0}
+    assert set(reached["ea_us"].tolist()) <= times
+
+
+def test_katz_matches_brute_force_and_dominates_scale():
+    src, dst, _, n = _orders()
+    x = np.full(n, R.KATZ_SCALE, dtype=np.int64)
+    for _ in range(R.KATZ_ROUNDS):
+        s = np.zeros(n, dtype=np.int64)
+        np.add.at(s, dst, x[src] // R.KATZ_ALPHA_DIV)
+        x = R.KATZ_SCALE + s
+    got = R.q_katz_centrality(SF).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert (got["node"].to_numpy() == np.arange(n)).all()
+    assert (got["katz_fp"].to_numpy() == x).all()
+    assert (got["katz_fp"] >= R.KATZ_SCALE).all()
+
+
+def test_ind_discovery_matches_set_arithmetic():
+    cols = {}
+    for tbl, col in R.IND_COLS:
+        t = pq.read_table(f"{SF}/{tbl}.parquet", columns=[col])
+        cols[col] = set(t[col].to_numpy().tolist())
+    got = R.q_ind_discovery(SF).to_pandas()
+    assert len(got) == len(R.IND_COLS) * (len(R.IND_COLS) - 1)
+    for row in got.itertuples():
+        a, b = cols[row.a_col], cols[row.b_col]
+        assert row.n_distinct_a == len(a)
+        assert row.n_violations == len(a - b)
+        assert row.holds == int(len(a - b) == 0)
+    # the three designed-in FKs must be discovered
+    fk = {(r.a_col, r.b_col): r.holds for r in got.itertuples()}
+    assert fk[("o_custkey", "c_custkey")] == 1
+    assert fk[("l_orderkey", "o_orderkey")] == 1
+    assert fk[("l_suppkey", "s_suppkey")] == 1
