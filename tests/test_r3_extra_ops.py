@@ -76,3 +76,63 @@ def test_ind_discovery_matches_set_arithmetic():
     assert fk[("o_custkey", "c_custkey")] == 1
     assert fk[("l_orderkey", "o_orderkey")] == 1
     assert fk[("l_suppkey", "s_suppkey")] == 1
+
+
+def test_chao1_matches_formula_replay():
+    import hashlib
+    t = pq.read_table(f"{SF}/orders.parquet",
+                      columns=["o_orderkey", "o_custkey"])
+    k = t["o_orderkey"].to_numpy()
+    c = t["o_custkey"].to_numpy()
+    keep = np.array([
+        int(hashlib.md5(f"chao:{x}".encode()).hexdigest()[:8], 16)
+        % 100 < R.CHAO_PCT for x in k], bool)
+    vals, cnt = np.unique(c[keep], return_counts=True)
+    d, f1, f2 = len(vals), int((cnt == 1).sum()), int((cnt == 2).sum())
+    chao = d + (f1 * (f1 - 1)) // (2 * (f2 + 1))
+    ex = len(np.unique(c))
+    got = R.q_chao1_distinct(SF).to_pandas().iloc[0]
+    assert (got["d_obs"], got["f1"], got["f2"]) == (d, f1, f2)
+    assert got["chao1"] == chao and got["n_exact"] == ex
+    assert got["rel_err_fp"] == abs(chao - ex) * 10**9 // ex
+    # Chao1 must beat the raw sample distinct as an estimate of ex
+    assert abs(chao - ex) <= abs(d - ex)
+
+
+def test_interval_overlap_pairs_matches_quadratic_replay():
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["event_id", "user_id", "ts"])
+    df = t.to_pandas()
+    df["t"] = df["ts"].astype("datetime64[us]").astype(np.int64)
+    expect = {}
+    for u, g in df.groupby("user_id"):
+        ts = g["t"].to_numpy()
+        ids = g["event_id"].to_numpy()
+        n = 0
+        for i in range(len(ts)):
+            dt = ts - ts[i]
+            n += int(((dt >= 0) & (dt < R.OVERLAP_W_US)
+                      & ((dt > 0) | (ids[i] < ids))).sum())
+        if n:
+            expect[u] = n
+    got = R.q_interval_overlap_pairs(SF).to_pandas()
+    assert dict(zip(got["user_id"], got["n_pairs"])) == expect
+
+
+def test_assoc_rules_consistent_with_frequent_itemsets():
+    fi = R.q_frequent_itemsets(SF, min_support=R.ASSOC_MIN_SUPPORT) \
+        .to_pandas()
+    ar = R.q_assoc_rules(SF).to_pandas()
+    # every frequent pair yields exactly two directed rules, same support
+    assert len(ar) == 2 * len(fi)
+    sup = {(r.item_a, r.item_b): r.support for r in fi.itertuples()}
+    for r in ar.itertuples():
+        key = tuple(sorted((r.antecedent, r.consequent)))
+        assert sup[key] == r.support
+        assert 0 < r.conf_fp <= 10**9
+        # conf * N // sup(consequent) identity
+    # lift symmetry within integer floor error: lift(a→b) ≈ lift(b→a)
+    m = ar.set_index(["antecedent", "consequent"])["lift_fp"]
+    for (a, b) in list(m.index):
+        assert abs(int(m[(a, b)]) - int(m[(b, a)])) * 50 <= \
+            max(int(m[(a, b)]), 1)
