@@ -136,3 +136,50 @@ def test_assoc_rules_consistent_with_frequent_itemsets():
     for (a, b) in list(m.index):
         assert abs(int(m[(a, b)]) - int(m[(b, a)])) * 50 <= \
             max(int(m[(a, b)]), 1)
+
+
+def test_encoding_audit_matches_sorted_replay():
+    t = pq.read_table(f"{SF}/lineitem.parquet",
+                      columns=["l_orderkey", "l_linenumber"] + R.ENC_COLS)
+    df = t.to_pandas().sort_values(["l_orderkey", "l_linenumber"]) \
+        .reset_index(drop=True)
+    got = R.q_encoding_audit(SF).to_pandas().set_index("col")
+    for c in R.ENC_COLS:
+        v = df[c].to_numpy()
+        runs = 1 + int((v[1:] != v[:-1]).sum())
+        assert got.loc[c, "n_rows"] == len(df)
+        assert got.loc[c, "n_runs"] == runs
+        assert got.loc[c, "n_distinct"] == len(np.unique(v))
+        assert got.loc[c, "runs_per_1k_fp"] == runs * 10**9 // len(df)
+
+
+def test_boolean_retrieval_matches_set_replay():
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text", "source"]).to_pandas()
+    expect = {}
+    for r in t.itertuples():
+        toks = set(R._TOKEN.findall(r.text.lower()))
+        if all(q in toks for q in R.BOOLQ_AND) and R.BOOLQ_NOT not in toks:
+            expect[r.source] = expect.get(r.source, 0) + 1
+    got = R.q_boolean_retrieval(SF).to_pandas()
+    assert dict(zip(got["source"], got["n_docs"])) == expect
+    assert sum(expect.values()) > 0  # the fixed query really selects
+
+
+def test_personalized_pagerank_matches_brute_force():
+    src, dst, _, n = _orders()
+    od = np.bincount(src, minlength=n).astype(np.int64)
+    x = np.zeros(n, dtype=np.int64)
+    x[R.PPR_SEED] = R.PPR_SCALE
+    for _ in range(R.PPR_ITERS):
+        c = np.where(od[src] > 0, x[src] // np.maximum(od[src], 1), 0)
+        s = np.zeros(n, dtype=np.int64)
+        np.add.at(s, dst, c)
+        x = ((100 - R.PPR_RESTART_PCT) * s) // 100
+        x[R.PPR_SEED] += R.PPR_RESTART_PCT * R.PPR_SCALE // 100
+    got = R.q_personalized_pagerank(SF).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert (got["node"].to_numpy() == np.arange(n)).all()
+    assert (got["ppr_fp"].to_numpy() == x).all()
+    # mass concentrates near the seed: seed must hold the max score
+    assert got["ppr_fp"].idxmax() == R.PPR_SEED
