@@ -1,0 +1,145 @@
+"""Fourth-session round-3 operators: encoding-artifact audit,
+label-propagation communities, NOT-IN/NOT-EXISTS null-semantics audit.
+DuckDB parity is covered by the oracle gate (tools/check_oracles.py);
+these tests replay a brute-force reference (pure python / numpy) and
+pin the structural invariants the SQL can't state directly (tier
+equality, 3VL zero-row law, synchronous-update semantics)."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from fide_crawler_ray.pipelines import relational as R
+from fide_crawler_ray.pipelines.queries import T
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------- mojibake audit
+
+
+def test_mojibake_audit_matches_python_replay():
+    docs = T(SF, "documents", ["doc_id", "text", "source"]).to_pandas()
+    rows = {}
+    for did, txt, src in zip(docs["doc_id"], docs["text"],
+                             docs["source"]):
+        h = hashlib.md5(str(did).encode()).hexdigest()
+        t = txt
+        if h[0] in "01":
+            t += R._MOJI_SEQ
+        if h[1] == "f":
+            t += R._MOJI_CTRL
+        if h[2] in "012":
+            t += R._MOJI_REPL
+        moji = "Ã" in t
+        repl = R._MOJI_REPL in t
+        ctrl = R._MOJI_CTRL in t
+        r = rows.setdefault(src, [0, 0, 0, 0, 0])
+        r[0] += 1
+        r[1] += moji
+        r[2] += repl
+        r[3] += ctrl
+        r[4] += moji or repl or ctrl
+    exp = pd.DataFrame(
+        [(s, *v, v[4] * R.MOJI_SCALE // v[0])
+         for s, v in sorted(rows.items())],
+        columns=["source", "n_docs", "n_mojibake", "n_replacement",
+                 "n_ctrl", "n_bad", "bad_rate_fp"])
+    got = (R.q_mojibake_audit(SF).to_pandas()
+           .sort_values("source").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[exp.columns].astype("int64", errors="ignore").reset_index(
+            drop=True),
+        exp.astype(got[exp.columns].dtypes.to_dict()))
+
+
+def test_mojibake_audit_nontrivial():
+    got = R.q_mojibake_audit(SF).to_pandas()
+    # the md5-keyed injection must actually fire — an all-zero audit
+    # would pass a buggy detector
+    assert got["n_mojibake"].sum() > 0
+    assert got["n_replacement"].sum() > 0
+    assert got["n_ctrl"].sum() > 0
+    assert (got["n_bad"] <= got["n_docs"]).all()
+
+
+# ------------------------------------------- label propagation (LPA)
+
+
+def _lpa_replay(iters: int) -> pd.DataFrame:
+    n = T(SF, "customer", ["c_custkey"]).count()
+    o = T(SF, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
+    s = o["o_custkey"].to_numpy(np.int64)
+    d = (o["o_orderkey"].to_numpy(np.int64) % n)
+    src = np.concatenate([s, d])
+    dst = np.concatenate([d, s])
+    lab = np.arange(n, dtype=np.int64)
+    for _ in range(iters):
+        votes: dict = {}
+        for u, v in zip(src, dst):
+            key = (int(v), int(lab[u]))
+            votes[key] = votes.get(key, 0) + 1
+        nxt = lab.copy()
+        best: dict = {}
+        for (v, lv), c in votes.items():
+            cur = best.get(v)
+            if cur is None or (c, -lv) > (cur[0], -cur[1]):
+                best[v] = (c, lv)
+        for v, (c, lv) in best.items():
+            nxt[v] = lv
+        lab = nxt
+    return pd.DataFrame({"node": np.arange(n, dtype=np.int64),
+                         "lab": lab})
+
+
+def test_label_propagation_matches_sequential_replay():
+    exp = _lpa_replay(R.LPA_ITERS)
+    got = (R.q_label_propagation(SF).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["node", "lab"]], exp)
+
+
+def test_label_propagation_tiers_identical():
+    # force the distributed join tier and pin it to the single-task one
+    single = (R.q_label_propagation(SF).to_pandas()
+              .sort_values("node").reset_index(drop=True))
+    dist = (R.q_label_propagation(SF, max_single_edges=0).to_pandas()
+            .sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        dist[["node", "lab"]].astype("int64"),
+        single[["node", "lab"]].astype("int64"))
+
+
+def test_label_propagation_coarsens():
+    # labels only merge (distinct count can't exceed the node count)
+    got = R.q_label_propagation(SF).to_pandas()
+    n = len(got)
+    assert got["lab"].nunique() <= n
+    # every surviving label is a real node id
+    assert got["lab"].isin(got["node"]).all()
+
+
+# ------------------------------------------- NOT IN null semantics
+
+
+def test_not_in_null_audit_matches_set_replay():
+    sup = T(SF, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    vals = set()
+    has_null = False
+    for sk, nk in zip(sup["s_suppkey"], sup["s_nationkey"]):
+        if int(sk) % R.NIN_NULL_MOD == 0:
+            has_null = True
+        else:
+            vals.add(int(nk))
+    cust = T(SF, "customer", ["c_nationkey"]).to_pandas()
+    keys = cust["c_nationkey"].astype("int64")
+    n_in = int(keys.isin(vals).sum())
+    n_miss = int((~keys.isin(vals)).sum())
+    got = R.q_not_in_null_audit(SF).to_pandas().iloc[0]
+    assert int(got["n_customers"]) == len(cust)
+    assert int(got["n_in"]) == n_in
+    assert int(got["n_not_exists"]) == n_miss
+    assert int(got["has_null"]) == int(has_null)
+    # the 3VL law itself: one NULL in the list kills every NOT IN row
+    assert int(got["n_not_in"]) == (0 if has_null else n_miss)
