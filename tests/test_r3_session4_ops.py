@@ -143,3 +143,91 @@ def test_not_in_null_audit_matches_set_replay():
     assert int(got["has_null"]) == int(has_null)
     # the 3VL law itself: one NULL in the list kills every NOT IN row
     assert int(got["n_not_in"]) == (0 if has_null else n_miss)
+
+
+# --------------------------------------- JL projection audit
+
+
+def test_jl_projection_matches_numpy_replay():
+    emb = T(SF, "embeddings", ["vec_id", "embedding"]).to_pandas()
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    q = np.copysign(np.floor(np.abs(X * 1e4) + 0.5), X * 1e4).astype(
+        np.int64)
+    S = np.empty((R.JL_IN_DIM, R.JL_OUT_DIM), np.int64)
+    for i in range(R.JL_IN_DIM):
+        for k in range(R.JL_OUT_DIM):
+            h = hashlib.md5(f"{i},{k}".encode()).hexdigest()
+            S[i, k] = 1 if h[0] <= "7" else -1
+    y = q @ S
+    n2o = (q * q).sum(axis=1)
+    n2p = (y * y).sum(axis=1)
+    den = R.JL_OUT_DIM * n2o
+    exp_ratio = np.where(
+        den > 0,
+        (n2p // np.maximum(den, 1)) * R.JL_RATIO_SCALE
+        + (n2p % np.maximum(den, 1)) * R.JL_RATIO_SCALE
+        // np.maximum(den, 1), 0)
+    got = (R.q_jl_projection_audit(SF).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    order = np.argsort(emb["vec_id"].to_numpy())
+    assert (got["n2_orig"].to_numpy() == n2o[order]).all()
+    assert (got["n2_proj"].to_numpy() == n2p[order]).all()
+    assert (got["ratio_fp"].to_numpy() == exp_ratio[order]).all()
+
+
+def test_jl_projection_concentrates():
+    got = R.q_jl_projection_audit(SF).to_pandas()
+    # E[ratio]=1 under JL; mean over the corpus must concentrate
+    mean = got["ratio_fp"].mean() / R.JL_RATIO_SCALE
+    assert 0.7 < mean < 1.3
+    # the ±1 matrix is balanced by construction
+    S = R._jl_signs()
+    assert abs(int(S.sum())) < R.JL_IN_DIM * R.JL_OUT_DIM // 4
+
+
+# --------------------------------- multi-source distance histogram
+
+
+def _bfs_dist(src, dst, n, s0, hops):
+    dist = {s0: 0}
+    frontier = {s0}
+    adj = {}
+    for u, v in zip(src, dst):
+        adj.setdefault(int(u), []).append(int(v))
+    for h in range(1, hops + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = h
+                    nxt.add(v)
+        frontier = nxt
+    return dist
+
+
+def test_distance_distribution_matches_python_bfs():
+    n = T(SF, "customer", ["c_custkey"]).count()
+    o = T(SF, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
+    src = o["o_custkey"].to_numpy(np.int64)
+    dst = o["o_orderkey"].to_numpy(np.int64) % n
+    got = (R.q_distance_distribution(SF).to_pandas()
+           .sort_values(["seed", "hop"]).reset_index(drop=True))
+    for si in range(R.DDIST_SEEDS):
+        s0 = (si * n) // R.DDIST_SEEDS
+        dist = _bfs_dist(src, dst, n, s0, R.DDIST_HOPS)
+        for h in range(R.DDIST_HOPS + 1):
+            exp = sum(1 for d in dist.values() if d == h)
+            row = got[(got["seed"] == si) & (got["hop"] == h)]
+            assert int(row["n_nodes"].iloc[0]) == exp
+        unr = got[(got["seed"] == si) & (got["hop"] == -1)]
+        assert int(unr["n_nodes"].iloc[0]) == n - len(dist)
+
+
+def test_distance_distribution_tiers_identical():
+    single = (R.q_distance_distribution(SF).to_pandas()
+              .sort_values(["seed", "hop"]).reset_index(drop=True))
+    dist = (R.q_distance_distribution(SF, max_single_edges=0)
+            .to_pandas().sort_values(["seed", "hop"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        dist.astype("int64"), single.astype("int64"))
