@@ -231,3 +231,83 @@ def test_distance_distribution_tiers_identical():
             .reset_index(drop=True))
     pd.testing.assert_frame_equal(
         dist.astype("int64"), single.astype("int64"))
+
+
+# --------------------------------------- soundex phonetic blocking
+
+
+def test_soundex_simplified_spec():
+    # classic examples under the simplified (h/w = vowel) variant
+    assert R._soundex_simplified("ROBERT") == "R163"
+    assert R._soundex_simplified("SMITH") == "S530"
+    assert R._soundex_simplified("SMYTH") == "S530"
+    assert R._soundex_simplified("A") == "A000"
+    assert R._soundex_simplified("AUBREY") == "A160"
+    # squeeze: double letters collapse
+    assert R._soundex_simplified("LLOYD") == "L300"
+    # vowel-initial: first consonant digit is kept
+    assert R._soundex_simplified("ELM") == "E450"
+
+
+def test_soundex_blocking_matches_python_replay():
+    parts = T(SF, "part", ["p_partkey", "p_name"]).to_pandas()
+    from collections import defaultdict
+    block = defaultdict(lambda: [0, set()])
+    for nm in parts["p_name"]:
+        w = nm.split(" ", 1)[0].upper()
+        c = R._soundex_simplified(w)
+        block[c][0] += 1
+        block[c][1].add(w)
+    got = (R.q_soundex_blocking(SF).to_pandas()
+           .sort_values("code").reset_index(drop=True))
+    assert len(got) == len(block)
+    for _, row in got.iterrows():
+        n, words = block[row["code"]]
+        assert int(row["n_parts"]) == n
+        assert int(row["n_words"]) == len(words)
+
+
+# --------------------------------------- randomized response (LDP)
+
+
+def test_randomized_response_matches_python_replay():
+    cust = T(SF, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    segs = sorted(cust["c_mktsegment"].unique().tolist())
+    k = len(segs)
+    idx = {s: i for i, s in enumerate(segs)}
+    hexpos = "0123456789abcdef"
+    obs = {s: 0 for s in segs}
+    true = {s: 0 for s in segs}
+    for ck, ts in zip(cust["c_custkey"], cust["c_mktsegment"]):
+        true[ts] += 1
+        h = hashlib.md5(f"rr,{ck}".encode()).hexdigest()
+        if hexpos.index(h[0]) < R.RR_KEEP_OF_16:
+            obs[ts] += 1
+        else:
+            j = hexpos.index(h[1]) % (k - 1)
+            obs[segs[j + (1 if j >= idx[ts] else 0)]] += 1
+    n = len(cust)
+
+    def tdiv(a, b):
+        return -((-a) // b) if a < 0 else a // b
+
+    got = (R.q_randomized_response(SF).to_pandas()
+           .sort_values("seg").reset_index(drop=True))
+    for _, row in got.iterrows():
+        s = row["seg"]
+        assert int(row["n_true"]) == true[s]
+        assert int(row["n_obs"]) == obs[s]
+        est = tdiv((16 * obs[s] - n) * R.RR_SCALE, 11)
+        assert int(row["est_fp"]) == est
+        assert int(row["err_fp"]) == est - true[s] * R.RR_SCALE
+
+
+def test_randomized_response_unbiased_in_aggregate():
+    got = R.q_randomized_response(SF).to_pandas()
+    n = int(got["n_true"].sum())
+    # estimates sum to ~n (exactly n up to k·trunc error)
+    assert abs(int(got["est_fp"].sum()) - n * R.RR_SCALE) \
+        <= len(got) * R.RR_SCALE
+    # the mechanism keeps ~3/4 of reports truthful: total |err| is
+    # bounded well away from the all-noise regime
+    assert (got["n_obs"].sum()) == n
