@@ -311,3 +311,69 @@ def test_randomized_response_unbiased_in_aggregate():
     # the mechanism keeps ~3/4 of reports truthful: total |err| is
     # bounded well away from the all-noise regime
     assert (got["n_obs"].sum()) == n
+
+
+# --------------------------------------- aggregate NULL semantics
+
+
+def test_agg_null_semantics_matches_pandas_replay():
+    o = T(SF, "orders",
+          ["o_orderkey", "o_orderstatus", "o_totalprice"]).to_pandas()
+    cents = np.copysign(
+        np.floor(np.abs(o["o_totalprice"].to_numpy() * 100.0) + 0.5),
+        o["o_totalprice"].to_numpy()).astype(np.int64)
+    isnull = (o["o_orderkey"].to_numpy(np.int64) % R.AGG_NULL_MOD) == 0
+    rows = []
+    for grp, st, nu, c in zip(o["o_orderstatus"], o["o_orderstatus"],
+                              isnull, cents):
+        rows.append((grp, None if nu else int(c)))
+        if nu:
+            rows.append(("∅", None))
+    df = pd.DataFrame(rows, columns=["grp", "cents"])
+    got = (R.q_agg_null_semantics(SF).to_pandas()
+           .sort_values("grp").reset_index(drop=True))
+    for _, row in got.iterrows():
+        sub = df[df["grp"] == row["grp"]]["cents"]
+        assert int(row["n_rows"]) == len(sub)
+        assert int(row["n_vals"]) == sub.notna().sum()
+        if sub.notna().sum() == 0:
+            assert pd.isna(row["sum_cents"])
+            assert pd.isna(row["min_cents"])
+            assert pd.isna(row["avg_fp"])
+        else:
+            assert int(row["sum_cents"]) == int(sub.dropna().sum())
+            assert int(row["min_cents"]) == int(sub.dropna().min())
+            assert int(row["avg_fp"]) == (
+                int(sub.dropna().sum()) * 1_000_000
+                // int(sub.notna().sum()))
+
+
+def test_agg_null_semantics_has_all_null_group():
+    got = R.q_agg_null_semantics(SF).to_pandas()
+    nul = got[got["grp"] == "∅"]
+    assert len(nul) == 1
+    # COUNT(*) > 0 while COUNT(col) = 0 and SUM is NULL — the law
+    assert int(nul["n_rows"].iloc[0]) > 0
+    assert int(nul["n_vals"].iloc[0]) == 0
+    assert pd.isna(nul["sum_cents"].iloc[0])
+
+
+# --------------------------------------- NULL-key join semantics
+
+
+def test_null_join_semantics_matches_replay():
+    o = T(SF, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
+    c = set(T(SF, "customer", ["c_custkey"]).to_pandas()["c_custkey"])
+    isnull = (o["o_orderkey"].to_numpy(np.int64)
+              % R.JOIN_NULL_MOD) == 0
+    keys = o["o_custkey"].to_numpy(np.int64)
+    n_nullkey = int(isnull.sum())
+    n_inner = int(sum(1 for nu, k in zip(isnull, keys)
+                      if not nu and int(k) in c))
+    got = R.q_null_join_semantics(SF).to_pandas().iloc[0]
+    assert int(got["n_orders"]) == len(o)
+    assert int(got["n_nullkey"]) == n_nullkey
+    assert int(got["n_inner"]) == n_inner
+    assert int(got["n_left_unmatched"]) == len(o) - n_inner
+    # NULL never equals NULL — even against a NULL-bearing build side
+    assert int(got["n_null_to_null"]) == 0
