@@ -377,3 +377,32 @@ def test_null_join_semantics_matches_replay():
     assert int(got["n_left_unmatched"]) == len(o) - n_inner
     # NULL never equals NULL — even against a NULL-bearing build side
     assert int(got["n_null_to_null"]) == 0
+
+
+# --------------------------------------- Unicode NFC audit
+
+
+def test_unicode_nfc_audit_matches_python_replay():
+    import unicodedata as ud
+    docs = T(SF, "documents", ["doc_id", "text", "source"]).to_pandas()
+    rows = {}
+    for did, txt, src in zip(docs["doc_id"], docs["text"],
+                             docs["source"]):
+        h = hashlib.md5(str(did).encode()).hexdigest()
+        t = txt + ("e" + R._NFC_COMBINING if h[3] in "0123" else "")
+        n = ud.normalize("NFC", t)
+        r = rows.setdefault(src, [0, 0, 0])
+        r[0] += 1
+        r[1] += int(n != t)
+        r[2] += len(t) - len(n)
+    got = (R.q_unicode_nfc_audit(SF).to_pandas()
+           .sort_values("source").reset_index(drop=True))
+    # injection must fire — all-NFC corpora would mask a broken check
+    assert got["n_nonnfc"].sum() > 0
+    for _, row in got.iterrows():
+        n_docs, n_nonnfc, delta = rows[row["source"]]
+        assert int(row["n_docs"]) == n_docs
+        assert int(row["n_nonnfc"]) == n_nonnfc
+        assert int(row["chars_recovered"]) == delta
+        assert int(row["nonnfc_rate_fp"]) == \
+            n_nonnfc * R.NFC_SCALE // n_docs
