@@ -406,3 +406,27 @@ def test_unicode_nfc_audit_matches_python_replay():
         assert int(row["chars_recovered"]) == delta
         assert int(row["nonnfc_rate_fp"]) == \
             n_nonnfc * R.NFC_SCALE // n_docs
+
+
+# --------------------------------------- lakehouse merge-on-read
+
+
+def test_merge_on_read_matches_pandas_replay():
+    o = (T(SF, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
+         .sort_values("o_orderkey").reset_index(drop=True))
+    pos = np.arange(len(o), dtype=np.int64)
+    pd_mask = (pos % R.MOR_POS_MOD) == 0
+    eq_mask = ((o["o_custkey"].to_numpy(np.int64) % R.MOR_EQ_MOD) == 0) \
+        & ~pd_mask
+    live = ~pd_mask & ~eq_mask
+    got = R.q_merge_on_read(SF).to_pandas().iloc[0]
+    assert int(got["n_base"]) == len(o)
+    assert int(got["n_pos_del"]) == int(pd_mask.sum())
+    assert int(got["n_eq_del"]) == int(eq_mask.sum())
+    assert int(got["n_live"]) == int(live.sum())
+    assert int(got["live_key_sum"]) == \
+        int(o["o_orderkey"].to_numpy(np.int64)[live].sum())
+    # the ledger balances
+    assert int(got["n_base"]) == (int(got["n_pos_del"])
+                                  + int(got["n_eq_del"])
+                                  + int(got["n_live"]))
