@@ -430,3 +430,45 @@ def test_merge_on_read_matches_pandas_replay():
     assert int(got["n_base"]) == (int(got["n_pos_del"])
                                   + int(got["n_eq_del"])
                                   + int(got["n_live"]))
+
+
+# --------------------------------------- calendar month-shift audit
+
+
+def test_add_months_audit_matches_python_calendar():
+    import calendar
+    o = T(SF, "orders", ["o_orderdate"]).to_pandas()
+    rows = {}
+    for d in o["o_orderdate"]:
+        for k in R.ADDM_SHIFTS:
+            y, m = d.year, d.month
+            m2 = m + k
+            y2, m2 = y + (m2 - 1) // 12, (m2 - 1) % 12 + 1
+            dim = calendar.monthrange(y2, m2)[1]
+            dom2 = min(d.day, dim)
+            key = (k, f"{y2:04d}-{m2:02d}")
+            r = rows.setdefault(key, [0, 0, 0])
+            r[0] += 1
+            r[1] += dom2
+            r[2] += int(dom2 < d.day)
+    got = (R.q_add_months_audit(SF).to_pandas()
+           .sort_values(["k", "month"]).reset_index(drop=True))
+    assert len(got) == len(rows)
+    for _, row in got.iterrows():
+        n, sd, nc = rows[(int(row["k"]), row["month"])]
+        assert int(row["n"]) == n
+        assert int(row["sum_dom"]) == sd
+        assert int(row["n_clamped"]) == nc
+
+
+def test_add_months_clamps_leap_february():
+    # direct spec check of the vectorized kernel via a crafted frame
+    d64 = np.array(["2024-01-31", "2023-01-31", "2024-02-29",
+                    "2023-12-31"], dtype="datetime64[D]")
+    m64 = d64.astype("datetime64[M]")
+    dom = (d64 - m64).astype(np.int64) + 1
+    m2 = m64 + np.timedelta64(1, "M")
+    dim = ((m2 + np.timedelta64(1, "M")).astype("datetime64[D]")
+           - m2.astype("datetime64[D]")).astype(np.int64)
+    dom2 = np.minimum(dom, dim)
+    assert dom2.tolist() == [29, 28, 29, 31]
