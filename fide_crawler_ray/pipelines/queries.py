@@ -21,6 +21,7 @@ implementation. Scaling to an integer first removes the ambiguity.
 from __future__ import annotations
 
 import functools
+import hashlib
 import os
 import tempfile
 
@@ -1253,6 +1254,49 @@ def q_video_frame_sample(sf_dir):
     )
 
 
+PNG_DIM = 8  # 8×8 RGB → 192 bytes = exactly 12 md5-digest cycles
+
+
+def q_png_pixel_stats(sf_dir):
+    """REAL image decode, oracle-certified end to end: per document a
+    genuine 8×8 RGB PNG is encoded (``png_encode_rgb8`` — stdlib zlib,
+    real IHDR/IDAT/IEND + CRCs) from md5(doc_id)-cycled pixel bytes,
+    then DECODED back with the pure-python ``png_decode`` (full
+    scanline unfiltering), and the per-channel pixel sums of the
+    DECODED array are emitted. The DuckDB oracle recomputes the same
+    sums from the md5 closed form (digest byte j lands on channel
+    (16r+j) mod 3 for cycle r) WITHOUT decoding — so any bug anywhere
+    in the encoder, the zlib framing, or the decoder breaks the hash
+    match. This closes the round-2 'pixel decode is stubbed' gap with
+    a no-image-library decode path (PIL still preferred when present
+    for formats beyond PNG).
+
+    Scale plan: actor-pool stage (house multimodal contract: small
+    MEDIA_BATCH_SIZE batches, binary columns); exchange is doc-shaped
+    stat rows, payloads never shuffle."""
+    from ..stages.media import MEDIA_BATCH_SIZE, PngPixelStatsStage
+
+    def _mk(b: pa.Table) -> pa.Table:
+        from ..stages.media import png_encode_rgb8
+
+        pays = [png_encode_rgb8(
+            PNG_DIM, PNG_DIM,
+            hashlib.md5(f"png,{did}".encode()).digest()
+            * (PNG_DIM * PNG_DIM * 3 // 16))
+            for did in b["doc_id"].to_pylist()]
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "media_payload": pa.array(pays, pa.binary()),
+        })
+
+    ds = T(sf_dir, "documents", ["doc_id"]).map_batches(
+        _mk, batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE)
+    return ds.map_batches(
+        PngPixelStatsStage, batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE, concurrency=2, num_cpus=0.5,
+    )
+
+
 def q_fuzzy_match(sf_dir):
     """J3: fuzzy external join (Levenshtein argmax enrich) over crawled
     tournament names vs deterministic candidate links (rows-only)."""
@@ -1404,6 +1448,7 @@ def queries() -> dict:
         "media_dedup": q_media_dedup,
         "audio_framing": q_audio_framing,
         "video_frame_sample": q_video_frame_sample,
+        "png_pixel_stats": q_png_pixel_stats,
         **_relational_queries(),
         **_textclean_queries(),
         **_quality_queries(),
@@ -1715,6 +1760,26 @@ ORACLES: dict[str, str] = {
                     ELSE 0 END AS n_frames,
                n_chars / 16000.0 AS duration_s
         FROM documents
+    """,
+    # Closed form for the REAL encode→decode round trip: pixel bytes are
+    # md5('png,'||doc_id) cycled 12×16=192 times over an 8×8 RGB image;
+    # digest byte j of cycle r sits at flat index 16r+j → channel
+    # (16r+j)%3 = (r+j)%3 (16 ≡ 1 mod 3). The engine side decodes the
+    # actual PNG bytes; any encoder/zlib/unfilter bug breaks the match.
+    "png_pixel_stats": """
+        WITH b AS (
+          SELECT d.doc_id, (r.r + j.j) % 3 AS chan,
+                 CAST(('0x' || substr(md5('png,' || CAST(d.doc_id AS VARCHAR)),
+                                      2 * j.j + 1, 2)) AS INT) AS v
+          FROM documents d,
+               (SELECT unnest(range(12)) AS r) r,
+               (SELECT unnest(range(16)) AS j) j
+        )
+        SELECT doc_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+               CAST(sum(CASE WHEN chan = 0 THEN v END) AS BIGINT) AS r_sum,
+               CAST(sum(CASE WHEN chan = 1 THEN v END) AS BIGINT) AS g_sum,
+               CAST(sum(CASE WHEN chan = 2 THEN v END) AS BIGINT) AS b_sum
+        FROM b GROUP BY doc_id
     """,
 }
 

@@ -24,6 +24,7 @@ import base64
 import binascii
 import hashlib
 
+import numpy as np
 import pyarrow as pa
 
 MEDIA_BATCH_SIZE = 64  # wide binary rows → small batches
@@ -99,9 +100,11 @@ class ImageDecodeStub:
     """Actor-pool decode stage. Decode priority per payload:
 
     1. PIL, when importable (absent in this environment);
-    2. pure-python header parse (``parse_image_dims``) — REAL dimensions
-       for PNG/JPEG/GIF payloads, no image library needed;
-    3. deterministic hash-derived stub dims (the synthetic site's photo
+    2. pure-python FULL pixel decode (``png_decode`` — stdlib zlib +
+       scanline unfiltering) for 8-bit non-interlaced PNGs;
+    3. pure-python header parse (``parse_image_dims``) — REAL dimensions
+       for other PNG/JPEG/GIF payloads, no image library needed;
+    4. deterministic hash-derived stub dims (the synthetic site's photo
        payloads are fake bytes, and the Ray-side plumbing — schema,
        batch size, actor lifecycle — must still be exercised end-to-end).
     """
@@ -125,6 +128,9 @@ class ImageDecodeStub:
                     return im.size
             except Exception:
                 return (None, None)
+        dec = png_decode(payload)  # REAL pixel decode, stdlib-only
+        if dec is not None:
+            return (dec[0], dec[1])
         dims = parse_image_dims(payload)
         if dims is not None:
             return dims
@@ -190,9 +196,11 @@ def resize_dims(w: int, h: int, max_dim: int) -> tuple[int, int]:
 
 class ImageResizeStub:
     """Actor-pool resize stage: real aspect-ratio math on the decoded
-    (width, height) columns; the pixel resample itself is PIL when
-    importable, else a deterministic stub payload (digest-derived bytes)
-    — same import-gating contract as ImageDecodeStub."""
+    (width, height) columns. Pixel resample priority per payload:
+    PIL when importable; else the pure-python ``png_decode`` + an
+    exact numpy area-average (integer box resample, re-encoded with
+    ``png_encode_rgb8`` — a REAL thumbnail, no image library); else a
+    deterministic stub payload (digest-derived bytes)."""
 
     def __init__(self, max_dim: int = 128):
         self.max_dim = max_dim
@@ -227,6 +235,27 @@ class ImageResizeStub:
                         continue
                 except Exception:
                     pass
+            dec = png_decode(p)
+            if dec is not None and dec[2] == 3 and nw <= dec[0] \
+                    and nh <= dec[1]:
+                # REAL resample: integer area average over an exact
+                # box partition (floor boundaries), re-encoded as PNG
+                _, _, _, arr = dec
+                xb = np.floor(np.arange(nw + 1) * dec[0] / nw) \
+                    .astype(np.int64)
+                yb = np.floor(np.arange(nh + 1) * dec[1] / nh) \
+                    .astype(np.int64)
+                out = np.zeros((nh, nw, 3), dtype=np.uint8)
+                a64 = arr.astype(np.int64)
+                for yy in range(nh):
+                    for xx in range(nw):
+                        box = a64[yb[yy]:yb[yy + 1], xb[xx]:xb[xx + 1]]
+                        out[yy, xx] = (
+                            box.reshape(-1, 3).sum(axis=0)
+                            // (box.shape[0] * box.shape[1])
+                        ).astype(np.uint8)
+                thumbs.append(png_encode_rgb8(nw, nh, out.tobytes()))
+                continue
             # STUB payload: deterministic digest bytes sized to the thumb
             thumbs.append(hashlib.sha256(p).digest()[: max(8, (nw * nh) % 64)])
         return (
@@ -319,3 +348,136 @@ class VideoFrameSampleStub:
             .append_column("frame_payloads",
                            pa.array(frames_col, pa.list_(pa.binary())))
         )
+
+
+# ============================= pure-python PNG codec (zlib is stdlib)
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib as _z
+
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def png_encode_rgb8(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal REAL PNG encoder (8-bit RGB, filter 0, one IDAT) — no
+    image library, just zlib + CRC32. Output opens in any PNG reader;
+    used to synthesize genuine image payloads for the decode path."""
+    import struct
+    import zlib as _z
+
+    assert len(rgb) == width * height * 3, "rgb byte count mismatch"
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    stride = width * 3
+    raw = b"".join(b"\x00" + rgb[y * stride:(y + 1) * stride]
+                   for y in range(height))
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", _z.compress(raw))
+            + _png_chunk(b"IEND", b""))
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
+
+
+def png_decode(payload: bytes):
+    """Pure-python PNG decoder — REAL pixel decode, no image library:
+    walks chunks, zlib-inflates the concatenated IDATs and unfilters
+    every scanline (all five filter types 0–4, including Paeth). Only
+    8-bit depth, non-interlaced, color types 0/2/4/6 — which covers
+    every PNG this engine synthesizes and the overwhelming share of
+    web images. Returns (width, height, channels, ndarray[h, w, c])
+    or None when the payload isn't such a PNG (caller falls back to
+    the header parse / stub tiers)."""
+    import struct
+    import zlib as _z
+
+    if len(payload) < 33 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos = 8
+    w = h = None
+    idat = []
+    bitdepth = color = interlace = None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, bitdepth, color, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if (w is None or not idat or bitdepth != 8 or interlace != 0
+            or color not in _PNG_CHANNELS):
+        return None
+    ch = _PNG_CHANNELS[color]
+    try:
+        raw = _z.decompress(b"".join(idat))
+    except Exception:
+        return None
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)],
+            dtype=np.uint8).astype(np.int64)
+        if ft == 0:
+            cur = line
+        elif ft == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth: left-dependent
+            cur = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa_ <= pb and pa_ <= pc_) else \
+                        (b if pb <= pc_ else c)
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            return None
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return (w, h, ch, out.reshape(h, w, ch))
+
+
+class PngPixelStatsStage:
+    """Actor-pool REAL-decode stage: pure-python ``png_decode`` per
+    payload, per-channel integer pixel sums out. Actor (not task) per
+    the multimodal house contract — decoders with model/codec state
+    init once here; this one is stateless but keeps the same shape."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w_out, h_out, rs, gs, bs = [], [], [], [], []
+        for p in batch["media_payload"].to_pylist():
+            dec = png_decode(p) if p is not None else None
+            if dec is None or dec[2] != 3:
+                w_out.append(None), h_out.append(None)
+                rs.append(None), gs.append(None), bs.append(None)
+                continue
+            w, h, _, arr = dec
+            s = arr.astype(np.int64).reshape(-1, 3).sum(axis=0)
+            w_out.append(w), h_out.append(h)
+            rs.append(int(s[0])), gs.append(int(s[1])), bs.append(int(s[2]))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "width": pa.array(w_out, pa.int64()),
+            "height": pa.array(h_out, pa.int64()),
+            "r_sum": pa.array(rs, pa.int64()),
+            "g_sum": pa.array(gs, pa.int64()),
+            "b_sum": pa.array(bs, pa.int64()),
+        })
