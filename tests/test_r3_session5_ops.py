@@ -1,0 +1,77 @@
+"""Fifth-session round-3 operators. DuckDB parity is covered by the
+oracle gate (tools/check_oracles.py); these tests replay brute-force
+references (pure python / numpy) and pin invariants the SQL can't
+state directly."""
+
+import hashlib
+
+import numpy as np
+
+from fide_crawler_ray.pipelines import relational as R
+from fide_crawler_ray.pipelines.queries import T
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------- KNN-Shapley
+
+
+def _knn_shapley_reference():
+    """The ORIGINAL Jia et al. recurrence (sequential, per test point),
+    in the same ×1e9 integer domain — validates the engine's telescoped
+    suffix-sum reformulation against the published form."""
+    emb = T(SF, "embeddings",
+            ["vec_id", "embedding", "label"]).to_pandas()
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    ids = emb["vec_id"].to_numpy(np.int64)
+    labs = emb["label"].to_numpy(np.int64)
+    x = np.stack([np.asarray(v, np.float64) for v in emb["embedding"]])
+    xfp = np.floor(np.abs(x * 1e6) + 0.5).astype(np.int64) * \
+        np.sign(x * 1e6).astype(np.int64)  # round half away from zero
+    hx = np.array([hashlib.md5(f"knnshap,{v}".encode()).hexdigest()
+                   for v in ids])
+    torder = np.lexsort((ids, hx))[:R.KNNSHAP_Q]
+    test_idx = set(torder.tolist())
+    train = np.array([i for i in range(len(ids)) if i not in test_idx])
+    total = {int(ids[i]): 0 for i in train}
+    for q in torder:
+        diff = xfp[train] - xfp[q]
+        dist = (diff * diff).sum(axis=1)
+        order = train[np.lexsort((ids[train], dist))]
+        n = len(order)
+        ind = (labs[order] == labs[q]).astype(np.int64)
+        s = np.zeros(n, np.int64)
+        s[n - 1] = ind[n - 1] * (1_000_000_000 // n)
+        for i in range(n - 2, -1, -1):  # published recurrence, verbatim
+            s[i] = s[i + 1] + (ind[i] - ind[i + 1]) * (
+                1_000_000_000 // max(i + 1, R.KNNSHAP_K))
+        for pos, tr in enumerate(order):
+            total[int(ids[tr])] += int(s[pos])
+    return total
+
+
+def test_knn_shapley_matches_sequential_recurrence(ray_session):
+    got = R.q_knn_shapley(SF).to_pandas().sort_values("vec_id") \
+        .reset_index(drop=True)
+    want = _knn_shapley_reference()
+    assert len(got) == len(want)
+    assert (got["n_tests"] == R.KNNSHAP_Q).all()
+    for _, row in got.iterrows():
+        assert int(row["shapley_fp"]) == want[int(row["vec_id"])], \
+            int(row["vec_id"])
+
+
+def test_knn_shapley_efficiency_axiom(ray_session):
+    """Shapley efficiency: per test point the values sum to the total
+    utility ind over the full train set divided by N... in the KNN
+    form, Σ_i s_i = Σ_i ind_i · w'_i telescopes to the K-NN utility;
+    we pin the weaker but exact law that the GRAND total equals the
+    sum the sequential reference produces (cross-check of the two
+    independent implementations is in the test above), and that any
+    train point identical in label to all test points has value ≥ any
+    point matching none (monotonicity in label agreement is not a
+    Shapley axiom in general, so assert only the global-sum law here).
+    """
+    got = R.q_knn_shapley(SF).to_pandas()
+    want = _knn_shapley_reference()
+    assert int(got["shapley_fp"].sum()) == sum(want.values())
