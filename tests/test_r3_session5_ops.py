@@ -75,3 +75,35 @@ def test_knn_shapley_efficiency_axiom(ray_session):
     got = R.q_knn_shapley(SF).to_pandas()
     want = _knn_shapley_reference()
     assert int(got["shapley_fp"].sum()) == sum(want.values())
+
+
+# ------------------------------------------------- SNM blocking
+
+
+def test_snm_blocking_matches_pandas_replay(ray_session):
+    got = R.q_snm_blocking(SF).to_pandas().iloc[0]
+    df = T(SF, "customer",
+           ["c_custkey", "c_nationkey", "c_acctbal"]).to_pandas()
+    bal = np.floor(np.abs(df["c_acctbal"].to_numpy() * 100) + 0.5) \
+        .astype(np.int64) * np.sign(df["c_acctbal"].to_numpy() * 100) \
+        .astype(np.int64)
+    nk = df["c_nationkey"].to_numpy(np.int64)
+    ck = df["c_custkey"].to_numpy(np.int64)
+    order = np.lexsort((ck, bal))
+    bal, nk = bal[order], nk[order]
+    n = len(bal)
+    np_, nm, gap = 0, 0, 0
+    w = R.SNM_WINDOW
+    for i in range(n):
+        for j in range(i + 1, min(i + w, n)):
+            np_ += 1
+            nm += int(nk[i] == nk[j])
+            gap += int(bal[j] - bal[i])
+    assert int(got["n_records"]) == n
+    assert int(got["n_pairs"]) == np_
+    assert int(got["n_match_pairs"]) == nm
+    assert int(got["pair_gap_sum"]) == gap
+    # closed form: with N ≥ w, the window yields (w−1)N − w(w−1)/2 pairs
+    assert np_ == (w - 1) * n - w * (w - 1) // 2
+    assert int(got["reduction_ratio_fp"]) == \
+        np_ * 1_000_000_000 // (n * (n - 1) // 2)
