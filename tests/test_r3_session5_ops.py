@@ -107,3 +107,35 @@ def test_snm_blocking_matches_pandas_replay(ray_session):
     assert np_ == (w - 1) * n - w * (w - 1) // 2
     assert int(got["reduction_ratio_fp"]) == \
         np_ * 1_000_000_000 // (n * (n - 1) // 2)
+
+
+# ------------------------------------------------- bandit offline eval
+
+
+def test_bandit_offline_eval_matches_python_replay(ray_session):
+    got = R.q_bandit_offline_eval(SF).to_pandas() \
+        .sort_values("arm").reset_index(drop=True)
+    ev = T(SF, "events", ["event_id", "user_id", "value"]).to_pandas()
+    rows = {a: [0, 0, 0] for a in range(R.BANDIT_ARMS)}
+    for e, u, v in zip(ev["event_id"], ev["user_id"], ev["value"]):
+        logged = int(hashlib.md5(f"log,{e}".encode())
+                     .hexdigest()[:2], 16) % R.BANDIT_ARMS
+        target = int(hashlib.md5(f"tgt,{u}".encode())
+                     .hexdigest()[:2], 16) % R.BANDIT_ARMS
+        r = int(np.floor(abs(v * 1e6) + 0.5) * np.sign(v))
+        rows[target][0] += 1
+        if logged == target:
+            rows[target][1] += 1
+            rows[target][2] += r
+    assert len(got) == R.BANDIT_ARMS
+    for _, row in got.iterrows():
+        nt, nm, mr = rows[int(row["arm"])]
+        assert int(row["n_target"]) == nt
+        assert int(row["n_matched"]) == nm
+        assert int(row["matched_reward_fp"]) == mr
+        assert int(row["replay_value_fp"]) == mr // max(nm, 1)
+        assert int(row["ips_value_fp"]) == \
+            mr * R.BANDIT_ARMS // max(nt, 1)
+    # uniform logging: match rate should be near 1/A on every arm
+    frac = got["n_matched"].sum() / got["n_target"].sum()
+    assert abs(frac - 1 / R.BANDIT_ARMS) < 0.08
