@@ -139,3 +139,45 @@ def test_bandit_offline_eval_matches_python_replay(ray_session):
     # uniform logging: match rate should be near 1/A on every arm
     frac = got["n_matched"].sum() / got["n_target"].sum()
     assert abs(frac - 1 / R.BANDIT_ARMS) < 0.08
+
+
+# ------------------------------------------------- Allen interval audit
+
+
+def test_allen_interval_audit_matches_quadratic_replay(ray_session):
+    got = R.q_allen_interval_audit(SF).to_pandas()
+    counts = dict(zip(got["relation"], got["n_pairs"].astype(int)))
+    ev = T(SF, "events", ["event_id", "user_id", "ts"]).to_pandas()
+    t = ev["ts"].to_numpy().astype("datetime64[us]").view("int64")
+    s = (t // (R.ALLEN_GRID_S * 1_000_000)) * R.ALLEN_GRID_S
+    i = ev["event_id"].to_numpy(np.int64)
+    e = s + (i % R.ALLEN_DUR_STEPS + 1) * 60
+    u = ev["user_id"].to_numpy(np.int64)
+    want: dict = {}
+    n = len(u)
+    for a in range(n):
+        for b in range(n):
+            if a == b or u[a] != u[b]:
+                continue
+            ka, kb = (s[a], e[a], i[a]), (s[b], e[b], i[b])
+            if not (ka < kb and s[b] - s[a] < R.ALLEN_W_S):
+                continue
+            if s[a] < s[b]:
+                if e[a] < s[b]:
+                    rel = "before"
+                elif e[a] == s[b]:
+                    rel = "meets"
+                elif e[a] < e[b]:
+                    rel = "overlaps"
+                elif e[a] == e[b]:
+                    rel = "finished_by"
+                else:
+                    rel = "contains"
+            else:
+                rel = "starts" if e[a] < e[b] else "equals"
+            want[rel] = want.get(rel, 0) + 1
+    assert counts == want
+    # boundary relations must actually occur on the lattice-built
+    # intervals (otherwise the audit degenerates to overlap counting)
+    assert sum(counts.get(r, 0) for r in
+               ("meets", "starts", "finished_by", "equals")) > 0
