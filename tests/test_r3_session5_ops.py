@@ -181,3 +181,38 @@ def test_allen_interval_audit_matches_quadratic_replay(ray_session):
     # intervals (otherwise the audit degenerates to overlap counting)
     assert sum(counts.get(r, 0) for r in
                ("meets", "starts", "finished_by", "equals")) > 0
+
+
+# ------------------------------------------------- Bloom FPR audit
+
+
+def test_bloom_fpr_audit_matches_python_replay(ray_session):
+    got = R.q_bloom_fpr_audit(SF).to_pandas().iloc[0]
+    m, k = R.BLOOM_AUDIT_M, R.BLOOM_AUDIT_K
+    sup = T(SF, "supplier", ["s_suppkey"]).to_pandas()
+    cust = T(SF, "customer", ["c_custkey"]).to_pandas()
+
+    def pos(key, j):
+        return int(hashlib.md5(f"bf{j},{key}".encode())
+                   .hexdigest()[:8], 16) % m
+
+    occ = {pos(int(x), j) for x in sup["s_suppkey"] for j in range(k)}
+    ins = set(int(x) for x in sup["s_suppkey"])
+    fl = pres = fp = 0
+    for key in cust["c_custkey"]:
+        key = int(key)
+        flagged = all(pos(key, j) in occ for j in range(k))
+        present = key in ins
+        fl += flagged
+        pres += present
+        fp += flagged and not present
+    assert int(got["n_inserted"]) == len(ins)
+    assert int(got["n_bits_set"]) == len(occ)
+    assert int(got["n_probes"]) == len(cust)
+    assert int(got["n_present"]) == pres
+    assert int(got["n_flagged"]) == fl
+    assert int(got["n_false_pos"]) == fp
+    # no false negatives, ever — the Bloom guarantee
+    assert fl >= pres
+    assert int(got["fpr_fp"]) == fp * 1_000_000_000 // max(
+        len(cust) - pres, 1)
