@@ -6,6 +6,7 @@ state directly."""
 import hashlib
 
 import numpy as np
+import pandas as pd
 
 from fide_crawler_ray.pipelines import relational as R
 from fide_crawler_ray.pipelines.queries import T
@@ -216,3 +217,44 @@ def test_bloom_fpr_audit_matches_python_replay(ray_session):
     assert fl >= pres
     assert int(got["fpr_fp"]) == fp * 1_000_000_000 // max(
         len(cust) - pres, 1)
+
+
+# ------------------------------------------------- Haar synopsis
+
+
+def test_haar_synopsis_matches_python_replay(ray_session):
+    got = R.q_haar_synopsis(SF).to_pandas().set_index("user_id")
+    ev = T(SF, "events", ["user_id", "ts"]).to_pandas()
+    day = ev["ts"].to_numpy().astype("datetime64[us]") \
+        .view("int64") // 86_400_000_000
+    ph = day % R.HAAR_BUCKETS
+    for uid, grp in pd.DataFrame(
+            {"u": ev["user_id"], "ph": ph}).groupby("u"):
+        x = np.bincount(grp["ph"].to_numpy(),
+                        minlength=R.HAAR_BUCKETS).astype(np.int64)
+        es = []
+        for _ in range(4):
+            a = (x[0::2] + x[1::2]) // 2
+            es.append(int(np.abs(x[0::2] - x[1::2]).sum()))
+            x = a
+        row = got.loc[int(uid)]
+        assert int(row["dc"]) == int(x[0])
+        assert [int(row[f"e{i}"]) for i in range(1, 5)] == es
+
+
+def test_haar_synopsis_invariants(ray_session):
+    """S-transform invariants: a constant 16-long series has zero
+    detail energy at EVERY level and dc == the constant; a single
+    impulse has energy at every scale."""
+    x = np.full(16, 7, np.int64)
+    for _ in range(4):
+        assert (np.abs(x[0::2] - x[1::2]) == 0).all()
+        x = (x[0::2] + x[1::2]) // 2
+    assert x[0] == 7
+    x = np.zeros(16, np.int64)
+    x[3] = 8
+    seen = []
+    for _ in range(4):
+        seen.append(int(np.abs(x[0::2] - x[1::2]).sum()))
+        x = (x[0::2] + x[1::2]) // 2
+    assert all(e > 0 for e in seen)
