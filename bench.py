@@ -133,6 +133,10 @@ def run_bench() -> dict:
         # tenth-session machinery: corpus-keyed keep-first winner
         # groupby + per-doc reassembly (C4 span dedup)
         "span_keep_first",
+        # fifth-session machinery: REAL PNG encode→decode round trip
+        # (pure-python codec, actor-pool stage) and the Q×N sorted
+        # suffix-scan valuation
+        "png_pixel_stats", "knn_shapley",
     ]
     qs = Q.queries()
     for name in suite:

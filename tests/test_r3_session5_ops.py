@@ -258,3 +258,27 @@ def test_haar_synopsis_invariants(ray_session):
         seen.append(int(np.abs(x[0::2] - x[1::2]).sum()))
         x = (x[0::2] + x[1::2]) // 2
     assert all(e > 0 for e in seen)
+
+
+# ------------------------------------------------- DGIM window count
+
+
+def test_dgim_window_count_guarantee_and_space(ray_session):
+    got = R.q_dgim_window_count(SF).to_pandas()
+    ev = T(SF, "events", ["user_id", "ts"]).to_pandas()
+    t_max = int(ev["ts"].to_numpy().astype("datetime64[us]")
+                .view("int64").max())
+    lo = t_max - R.DGIM_WINDOW_US
+    per_user = {}
+    for uid, grp in ev.groupby("user_id"):
+        t = grp["ts"].to_numpy().astype("datetime64[us]").view("int64")
+        per_user[int(uid)] = (int((t > lo).sum()), len(t))
+    assert len(got) == len(per_user)
+    for _, row in got.iterrows():
+        exact, n = per_user[int(row["user_id"])]
+        assert int(row["exact_in_window"]) == exact
+        # the DGIM 50 % guarantee at r = 2 buckets per size
+        assert int(row["abs_err"]) <= exact // 2 + 1
+        # O(log² W) space: ≤ r · (⌊log2 n⌋ + 1) buckets
+        assert int(row["n_buckets"]) <= R.DGIM_R * (
+            int(np.floor(np.log2(max(n, 1)))) + 1)
