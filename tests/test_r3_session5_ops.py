@@ -282,3 +282,48 @@ def test_dgim_window_count_guarantee_and_space(ray_session):
         # O(log² W) space: ≤ r · (⌊log2 n⌋ + 1) buckets
         assert int(row["n_buckets"]) <= R.DGIM_R * (
             int(np.floor(np.log2(max(n, 1)))) + 1)
+
+
+# ------------------------------------------------- B-cubed evaluation
+
+
+def test_b_cubed_eval_matches_per_item_replay(ray_session):
+    """Replays the DEFINITION (per-item |C∩G|/|C| averaged), not the
+    contingency-table identity the engine uses — validating the
+    Σ n_cg²/n_c reformulation."""
+    got = R.q_b_cubed_eval(SF).to_pandas().iloc[0]
+    docs = T(SF, "documents", ["doc_id", "n_chars", "source"]) \
+        .to_pandas()
+    pred = (docs["n_chars"] // R.B3_BAND).to_numpy()
+    gold = docs["source"].to_numpy()
+    n = len(docs)
+    # cell-order replay (the engine/oracle floor order): Σ n_cg²·S//n_c
+    cells: dict = {}
+    for pc_, g in zip(pred, gold):
+        cells[(int(pc_), g)] = cells.get((int(pc_), g), 0) + 1
+    n_c: dict = {}
+    n_g: dict = {}
+    for (c, g), v in cells.items():
+        n_c[c] = n_c.get(c, 0) + v
+        n_g[g] = n_g.get(g, 0) + v
+    tp = sum(v * v * 1_000_000_000 // n_c[c]
+             for (c, g), v in cells.items())
+    tr = sum(v * v * 1_000_000_000 // n_g[g]
+             for (c, g), v in cells.items())
+    # per-item DEFINITION replay: Σ_d |C∩G|·S // |C| — floors per item,
+    # so it may undershoot the cell-order sum by < 1 unit per item
+    tp_item = tr_item = 0
+    for i in range(n):
+        same_c = pred == pred[i]
+        same_g = gold == gold[i]
+        inter = int((same_c & same_g).sum())
+        tp_item += inter * 1_000_000_000 // int(same_c.sum())
+        tr_item += inter * 1_000_000_000 // int(same_g.sum())
+    assert 0 <= tp - tp_item < n and 0 <= tr - tr_item < n
+    assert int(got["n_docs"]) == n
+    assert int(got["b3_precision_fp"]) == tp // n
+    assert int(got["b3_recall_fp"]) == tr // n
+    p, r = tp // n, tr // n
+    assert int(got["b3_f1_fp"]) == 2 * p * r // max(p + r, 1)
+    # both metrics are proper fractions of 1e9
+    assert 0 < p <= 1_000_000_000 and 0 < r <= 1_000_000_000
