@@ -327,3 +327,23 @@ def test_b_cubed_eval_matches_per_item_replay(ray_session):
     assert int(got["b3_f1_fp"]) == 2 * p * r // max(p + r, 1)
     # both metrics are proper fractions of 1e9
     assert 0 < p <= 1_000_000_000 and 0 < r <= 1_000_000_000
+
+
+# ------------------------------------------------- join-order audit
+
+
+def test_join_order_audit_invariants(ray_session):
+    got = R.q_join_order_audit(SF).to_pandas() \
+        .set_index("join_order")
+    # symmetric orders must agree exactly (the estimate is commutative
+    # in the first pair) ...
+    assert got.loc["CO_L"].equals(got.loc["OC_L"])
+    assert got.loc["OL_C"].equals(got.loc["LO_C"])
+    # ... and the actual count is one number regardless of order
+    assert got["actual_final"].nunique() == 1
+    # q-error is max/min ≥ 1 by construction
+    assert (got["q_error_fp"] >= 1_000_000).all()
+    # FK-clean synthetic data: every lineitem joins through, so the
+    # true final count equals |lineitem|
+    n_l = T(SF, "lineitem", ["l_orderkey"]).count()
+    assert int(got["actual_final"].iloc[0]) == n_l
