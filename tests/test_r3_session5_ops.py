@@ -347,3 +347,31 @@ def test_join_order_audit_invariants(ray_session):
     # true final count equals |lineitem|
     n_l = T(SF, "lineitem", ["l_orderkey"]).count()
     assert int(got["actual_final"].iloc[0]) == n_l
+
+
+# ------------------------------------------------- assignment audit
+
+
+def test_assignment_audit_is_optimal_and_valid(ray_session):
+    import itertools
+
+    got = R.q_assignment_audit(SF).to_pandas()
+    # a valid assignment: 5 sources, 5 DISTINCT targets
+    assert len(got) == 5
+    assert got["target"].nunique() == 5
+    assert set(got["target"]) == set(R.ASSIGN_TARGETS)
+    assert got["total_cost"].nunique() == 1
+    assert int(got["cost_contrib"].sum()) == int(
+        got["total_cost"].iloc[0])
+    # optimality: no permutation beats the reported total
+    prof = T(SF, "documents", ["source", "n_chars"]).to_pandas() \
+        .groupby("source").agg(n=("n_chars", "size"),
+                               s=("n_chars", "sum")) \
+        .sort_index().head(5)
+    n = prof["n"].to_numpy(np.int64)
+    s = prof["s"].to_numpy(np.int64)
+    cost = np.abs(s[:, None] - np.asarray(
+        R.ASSIGN_TARGETS, np.int64)[None, :] * n[:, None])
+    best = min(int(sum(cost[i, p[i]] for i in range(5)))
+               for p in itertools.permutations(range(5)))
+    assert int(got["total_cost"].iloc[0]) == best
