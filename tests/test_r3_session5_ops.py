@@ -375,3 +375,38 @@ def test_assignment_audit_is_optimal_and_valid(ray_session):
     best = min(int(sum(cost[i, p[i]] for i in range(5)))
                for p in itertools.permutations(range(5)))
     assert int(got["total_cost"].iloc[0]) == best
+
+
+# ------------------------------------------------- business-day audit
+
+
+def test_business_day_audit_spec_and_replay(ray_session):
+    got = R.q_business_day_audit(SF).to_pandas().set_index("dow")
+    # 1970-01-01 anchor: day 0 must code to Thursday=4
+    assert (0 + 4) % 7 == 4
+    # Saturday (6) rolls +2 to Monday (1); Sunday (0) +1 to Monday
+    if 6 in got.index:
+        r = got.loc[6]
+        assert int(r["n_rolled"]) == int(r["n"])
+        assert int(r["sum_shift_days"]) == 2 * int(r["n"])
+        assert int(r["sum_landed_dow"]) == 1 * int(r["n"])
+    if 0 in got.index:
+        r = got.loc[0]
+        assert int(r["sum_shift_days"]) == int(r["n"])
+        assert int(r["sum_landed_dow"]) == 1 * int(r["n"])
+    # weekdays never roll and land on themselves
+    for dow in range(1, 6):
+        if dow in got.index:
+            r = got.loc[dow]
+            assert int(r["n_rolled"]) == 0
+            assert int(r["sum_landed_dow"]) == dow * int(r["n"])
+    # full replay
+    df = T(SF, "orders", ["o_orderdate"]).to_pandas()
+    d = df["o_orderdate"].to_numpy().astype("datetime64[D]") \
+        .view("int64")
+    dow = (d + 4) % 7
+    for k in range(7):
+        if int((dow == k).sum()) == 0:
+            assert k not in got.index
+        else:
+            assert int(got.loc[k]["n"]) == int((dow == k).sum())
