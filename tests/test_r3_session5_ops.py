@@ -410,3 +410,33 @@ def test_business_day_audit_spec_and_replay(ray_session):
             assert k not in got.index
         else:
             assert int(got.loc[k]["n"]) == int((dow == k).sum())
+
+
+# ------------------------------------------------- Huffman lengths
+
+
+def test_huffman_code_lengths_optimality_and_entropy(ray_session):
+    got = R.q_huffman_code_lengths(SF).to_pandas()
+    f = got["freq"].to_numpy(np.float64)
+    ll = got["code_len"].to_numpy(np.int64)
+    n = f.sum()
+    # Kraft equality (re-asserted outside the query)
+    assert abs(sum(2.0 ** -l for l in ll) - 1.0) < 1e-12
+    # Shannon sandwich: H ≤ mean code length < H + 1
+    p = f / n
+    H = float(-(p * np.log2(p)).sum())
+    mean_len = float((f * ll).sum() / n)
+    assert H - 1e-9 <= mean_len < H + 1
+    # independent construction (per-symbol depths via heapq twin)
+    import heapq
+    heap = [(int(fi), s, (s,)) for s, fi in
+            zip(got["source"], got["freq"])]
+    heapq.heapify(heap)
+    depth = {s: 0 for s in got["source"]}
+    while len(heap) > 1:
+        f1, s1, m1 = heapq.heappop(heap)
+        f2, s2, m2 = heapq.heappop(heap)
+        for s in m1 + m2:
+            depth[s] += 1
+        heapq.heappush(heap, (f1 + f2, min(s1, s2), m1 + m2))
+    assert dict(zip(got["source"], got["code_len"].astype(int))) == depth
