@@ -440,3 +440,32 @@ def test_huffman_code_lengths_optimality_and_entropy(ray_session):
             depth[s] += 1
         heapq.heappush(heap, (f1 + f2, min(s1, s2), m1 + m2))
     assert dict(zip(got["source"], got["code_len"].astype(int))) == depth
+
+
+# ------------------------------------------------- secretary stopping
+
+
+def test_secretary_stopping_matches_sequential_replay(ray_session):
+    got = R.q_secretary_stopping(SF).to_pandas().iloc[0]
+    df = T(SF, "customer", ["c_custkey", "c_acctbal"]).to_pandas()
+    q = (np.floor(np.abs(df["c_acctbal"].to_numpy() * 100) + 0.5)
+         * np.sign(df["c_acctbal"].to_numpy())).astype(np.int64)
+    h = np.array([hashlib.md5(f"sec,{k}".encode()).hexdigest()
+                  for k in df["c_custkey"]])
+    order = np.lexsort((df["c_custkey"].to_numpy(), h))
+    qs = q[order]
+    n = len(qs)
+    k = n * R.SECRETARY_THRESH_PPM // 1_000_000
+    bp = int(qs[:k].max()) if k > 0 else -1
+    chosen = n - 1
+    for i in range(k, n):
+        if int(qs[i]) > bp:
+            chosen = i
+            break
+    assert int(got["n"]) == n
+    assert int(got["k_threshold"]) == k
+    assert int(got["best_prefix_q"]) == bp
+    assert int(got["chosen_rank"]) == chosen + 1
+    assert int(got["chosen_q"]) == int(qs[chosen])
+    assert int(got["hired_overall_best"]) == int(
+        int(qs[chosen]) == int(qs.max()))
