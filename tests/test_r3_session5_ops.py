@@ -469,3 +469,42 @@ def test_secretary_stopping_matches_sequential_replay(ray_session):
     assert int(got["chosen_q"]) == int(qs[chosen])
     assert int(got["hired_overall_best"]) == int(
         int(qs[chosen]) == int(qs.max()))
+
+
+# ------------------------------------------------- ISO week audit
+
+
+def test_iso_week_thursday_rule_spec():
+    """Spec pins: the known tricky calendar dates."""
+    import datetime as dt
+
+    def iso(dstr):
+        d = (dt.date.fromisoformat(dstr) - dt.date(1970, 1, 1)).days
+        dow0 = (d + 3) % 7
+        thu = d - dow0 + 3
+        td = dt.date(1970, 1, 1) + dt.timedelta(days=int(thu))
+        jan1 = (dt.date(td.year, 1, 1) - dt.date(1970, 1, 1)).days
+        return td.year, (thu - jan1) // 7 + 1
+
+    assert iso("2021-01-01") == (2020, 53)
+    assert iso("2020-12-31") == (2020, 53)
+    assert iso("2016-01-03") == (2015, 53)
+    assert iso("2016-01-04") == (2016, 1)
+    assert iso("2014-12-29") == (2015, 1)
+    assert iso("1970-01-01") == (1970, 1)
+
+
+def test_iso_week_audit_matches_python_calendar(ray_session):
+    got = R.q_iso_week_audit(SF).to_pandas() \
+        .sort_values(["isoyear", "week"]).reset_index(drop=True)
+    df = T(SF, "orders", ["o_orderdate"]).to_pandas()
+    want: dict = {}
+    for ts in df["o_orderdate"]:
+        iy, iw, _ = pd.Timestamp(ts).isocalendar()
+        if iw == 1 or iw >= 52:
+            want[(int(iy), int(iw))] = want.get(
+                (int(iy), int(iw)), 0) + 1
+    assert len(got) == len(want)
+    for _, row in got.iterrows():
+        assert want[(int(row["isoyear"]), int(row["week"]))] == \
+            int(row["n"])
