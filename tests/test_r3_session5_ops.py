@@ -508,3 +508,53 @@ def test_iso_week_audit_matches_python_calendar(ray_session):
     for _, row in got.iterrows():
         assert want[(int(row["isoyear"]), int(row["week"]))] == \
             int(row["n"])
+
+
+# ------------------------------------------------- ski rental / LRU
+
+
+def test_ski_rental_guarantee_and_replay(ray_session):
+    got = R.q_ski_rental(SF).to_pandas()
+    ev = T(SF, "events", ["user_id", "ts"]).to_pandas()
+    day = ev["ts"].to_numpy().astype("datetime64[us]") \
+        .view("int64") // 86_400_000_000
+    nd = pd.DataFrame({"u": ev["user_id"], "d": day}) \
+        .groupby("u")["d"].nunique()
+    B = R.SKI_BUY_COST
+    for _, row in got.iterrows():
+        d = int(nd[int(row["user_id"])])
+        assert int(row["active_days"]) == d
+        pol = d if d < B else 2 * B - 1
+        assert int(row["policy_cost"]) == pol
+        assert int(row["opt_cost"]) == min(d, B)
+        # competitive guarantee, exact integer form
+        assert pol * B <= (2 * B - 1) * min(d, B)
+
+
+def test_lru_vs_belady_optimality(ray_session):
+    got = R.q_lru_vs_belady(SF).to_pandas()
+    assert (got["opt_hits"] >= got["lru_hits"]).all()
+    assert (got["opt_hits"] <= got["n_refs"]).all()
+    # independent OPT replay for one user
+    ev = T(SF, "events", ["user_id", "ts", "event_id", "event_type"]) \
+        .to_pandas()
+    uid = int(got["user_id"].iloc[0])
+    grp = ev[ev["user_id"] == uid].sort_values(["ts", "event_id"])
+    refs = grp["event_type"].tolist()
+    nxt: dict = {}
+    nxt_use = [0] * len(refs)
+    for i in range(len(refs) - 1, -1, -1):
+        nxt_use[i] = nxt.get(refs[i], len(refs))
+        nxt[refs[i]] = i
+    cset: dict = {}
+    opt = 0
+    for i, r in enumerate(refs):
+        if r in cset:
+            opt += 1
+        elif len(cset) >= R.CACHE_SIZE:
+            victim = max(cset, key=lambda k: (cset[k], k))
+            del cset[victim]
+        cset[r] = nxt_use[i]
+    row = got[got["user_id"] == uid].iloc[0]
+    assert int(row["opt_hits"]) == opt
+    assert int(row["n_refs"]) == len(refs)
