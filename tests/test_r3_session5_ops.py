@@ -558,3 +558,52 @@ def test_lru_vs_belady_optimality(ray_session):
     row = got[got["user_id"] == uid].iloc[0]
     assert int(row["opt_hits"]) == opt
     assert int(row["n_refs"]) == len(refs)
+
+
+# ------------------------------------------------- LIS / token bucket
+
+
+def test_lis_per_user_matches_dp_replay(ray_session):
+    got = R.q_lis_per_user(SF).to_pandas().set_index("user_id")
+    ev = T(SF, "events",
+           ["user_id", "ts", "event_id", "value"]).to_pandas()
+    for uid, grp in ev.groupby("user_id"):
+        grp = grp.sort_values(["ts", "event_id"])
+        v = (np.floor(np.abs(grp["value"].to_numpy() * 100) + 0.5)
+             * np.sign(grp["value"].to_numpy())).astype(np.int64)
+        # O(n²) DP reference (independent of patience sorting)
+        n = len(v)
+        dp = np.ones(n, np.int64)
+        for i in range(n):
+            for j in range(i):
+                if v[j] < v[i]:
+                    dp[i] = max(dp[i], dp[j] + 1)
+        row = got.loc[int(uid)]
+        assert int(row["lis_len"]) == int(dp.max())
+        assert int(row["n_events"]) == n
+
+
+def test_token_bucket_replay_guarantee_and_contention(ray_session):
+    got = R.q_token_bucket_replay(SF).to_pandas()
+    assert (got["n_accepted"] + got["n_throttled"]
+            == got["n_refs" if "n_refs" in got else "n_events"]).all()
+    assert (got["n_accepted"] <= got["accept_bound"]).all()
+    # the compressed replay clock must produce real contention —
+    # a limiter that never throttles is not being exercised
+    assert int(got["n_throttled"].sum()) > 0
+    # independent replay for one user
+    ev = T(SF, "events", ["user_id", "ts", "event_id"]).to_pandas()
+    uid = int(got["user_id"].iloc[0])
+    grp = ev[ev["user_id"] == uid].sort_values(["ts", "event_id"])
+    t = grp["ts"].to_numpy().astype("datetime64[us]").view("int64")
+    cap = R.TB_BURST * 1_000_000
+    tok, prev, acc = cap, int(t[0]), 0
+    for ti in t:
+        tok = min(cap, tok + (int(ti) - prev)
+                  * R.TB_RATE_PER_S * 1_000_000 // R.TB_CLOCK_DIV)
+        prev = int(ti)
+        if tok >= 1_000_000:
+            tok -= 1_000_000
+            acc += 1
+    row = got[got["user_id"] == uid].iloc[0]
+    assert int(row["n_accepted"]) == acc
