@@ -607,3 +607,30 @@ def test_token_bucket_replay_guarantee_and_contention(ray_session):
             acc += 1
     row = got[got["user_id"] == uid].iloc[0]
     assert int(row["n_accepted"]) == acc
+
+
+# ------------------------------------------------- vocab growth
+
+
+def test_vocab_growth_monotone_and_replay(ray_session):
+    got = R.q_vocab_growth(SF).to_pandas() \
+        .sort_values("checkpoint").reset_index(drop=True)
+    assert len(got) == 4
+    # growth curves are monotone; vocab is concave-ish (Heaps): the
+    # per-quarter vocab increment must not grow
+    assert got["n_docs"].is_monotonic_increasing
+    assert got["n_tokens"].is_monotonic_increasing
+    assert got["vocab_size"].is_monotonic_increasing
+    inc = np.diff(np.concatenate([[0], got["vocab_size"].to_numpy()]))
+    assert inc[0] == inc.max()  # the first quarter mints the most
+    # replay the final checkpoint (= whole corpus)
+    docs = T(SF, "documents", ["doc_id", "text"]).to_pandas()
+    vocab = set()
+    ntok = 0
+    for txt in docs["text"]:
+        toks = R._TOKEN.findall(txt.lower())
+        ntok += len(toks)
+        vocab.update(toks)
+    assert int(got["n_tokens"].iloc[-1]) == ntok
+    assert int(got["vocab_size"].iloc[-1]) == len(vocab)
+    assert int(got["n_docs"].iloc[-1]) == len(docs)
