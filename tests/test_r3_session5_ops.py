@@ -634,3 +634,26 @@ def test_vocab_growth_monotone_and_replay(ray_session):
     assert int(got["n_tokens"].iloc[-1]) == ntok
     assert int(got["vocab_size"].iloc[-1]) == len(vocab)
     assert int(got["n_docs"].iloc[-1]) == len(docs)
+
+
+# ------------------------------------------------- Markov accuracy
+
+
+def test_markov_next_accuracy_properties(ray_session):
+    got = R.q_markov_next_accuracy(SF).to_pandas()
+    trans = R.q_event_transitions(SF).to_pandas()
+    # the argmax predictor can never score below the per-prev majority
+    # share — and exactly equals it by construction
+    for _, row in got.iterrows():
+        grp = trans[trans["prev_event"] == row["prev_event"]]
+        best = int(grp["n"].max())
+        total = int(grp["n"].sum())
+        assert int(row["n_hits"]) == best or (
+            # tie on max count: predictor picks lexicographically
+            # smallest, hits still equal the max count
+            int(row["n_hits"]) == best)
+        assert int(row["n_transitions"]) == total
+        assert int(row["accuracy_fp"]) == best * 1_000_000 // total
+        # predicted event achieves the max count
+        assert int(grp.loc[grp["next_event"] == row["predicted_next"],
+                           "n"].sum()) == best
