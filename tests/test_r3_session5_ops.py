@@ -657,3 +657,29 @@ def test_markov_next_accuracy_properties(ray_session):
         # predicted event achieves the max count
         assert int(grp.loc[grp["next_event"] == row["predicted_next"],
                            "n"].sum()) == best
+
+
+# ------------------------------------------------- weighted Jaccard
+
+
+def test_weighted_jaccard_sources_matches_counter_replay(ray_session):
+    from collections import Counter
+
+    got = R.q_weighted_jaccard_sources(SF).to_pandas()
+    docs = T(SF, "documents", ["text", "source"]).to_pandas()
+    srcs = sorted(docs["source"].unique())[:R.WJ_SOURCES]
+    freqs = {s: Counter() for s in srcs}
+    for txt, src in zip(docs["text"], docs["source"]):
+        if src in freqs:
+            freqs[src].update(R._TOKEN.findall(txt.lower()))
+    assert len(got) == R.WJ_SOURCES * (R.WJ_SOURCES - 1) // 2
+    for _, row in got.iterrows():
+        a, b = freqs[row["src_a"]], freqs[row["src_b"]]
+        vocab = set(a) | set(b)
+        mn = sum(min(a[t], b[t]) for t in vocab)
+        mx = sum(max(a[t], b[t]) for t in vocab)
+        assert int(row["inter_w"]) == mn
+        assert int(row["union_w"]) == mx
+        assert int(row["wjaccard_fp"]) == mn * 10**9 // max(mx, 1)
+        # weighted Jaccard is a proper [0, 1] similarity
+        assert 0 <= int(row["wjaccard_fp"]) <= 10**9
