@@ -683,3 +683,34 @@ def test_weighted_jaccard_sources_matches_counter_replay(ray_session):
         assert int(row["wjaccard_fp"]) == mn * 10**9 // max(mx, 1)
         # weighted Jaccard is a proper [0, 1] similarity
         assert 0 <= int(row["wjaccard_fp"]) <= 10**9
+
+
+# ------------------------------------------------- odds-ratio keywords
+
+
+def test_odds_ratio_keywords_matches_counter_replay(ray_session):
+    from collections import Counter
+
+    got = R.q_odds_ratio_keywords(SF).to_pandas()
+    docs = T(SF, "documents", ["text", "source"]).to_pandas()
+    sa, sb = sorted(docs["source"].unique())[:2]
+    fa, fb = Counter(), Counter()
+    for txt, src in zip(docs["text"], docs["source"]):
+        if src == sa:
+            fa.update(R._TOKEN.findall(txt.lower()))
+        elif src == sb:
+            fb.update(R._TOKEN.findall(txt.lower()))
+    ta, tb = sum(fa.values()), sum(fb.values())
+    rows = []
+    for t in set(fa) | set(fb):
+        a, b = fa[t], fb[t]
+        if a + b < R.OR_MIN_COUNT:
+            continue
+        rows.append((-((a + 1) * (tb - b + 1) * 10**6
+                       // ((b + 1) * (ta - a + 1))), t, a, b))
+    rows.sort()
+    want = rows[:R.OR_TOP_K]
+    assert len(got) == len(want)
+    for row, (nor, t, a, b) in zip(got.itertuples(), want):
+        assert (row.term, int(row.a), int(row.b),
+                int(row.or_fp)) == (t, a, b, -nor)
