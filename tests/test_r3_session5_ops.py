@@ -714,3 +714,66 @@ def test_odds_ratio_keywords_matches_counter_replay(ray_session):
     for row, (nor, t, a, b) in zip(got.itertuples(), want):
         assert (row.term, int(row.a), int(row.b),
                 int(row.or_fp)) == (t, a, b, -nor)
+
+
+# ------------------------------------------------- CDC chunking
+
+
+def _cdc_chunks_ref(data: bytes):
+    """Independent per-byte rolling-hash chunker (no vectorized
+    shortcuts) — the reference the map kernel must match."""
+    W, MASK, B = R.CDC_WINDOW, R.CDC_MASK, 257
+    n = len(data)
+    cuts = []
+    if n >= W:
+        MOD = 2 ** 64
+        h = 0
+        for k in range(W):
+            h = (h * B + data[k]) % MOD
+        top = pow(B, W - 1, MOD)
+        for i in range(n - W + 1):
+            if i > 0:
+                h = ((h - data[i - 1] * top) * B + data[i + W - 1]) \
+                    % MOD
+            if (h & MASK) == 0 and i + W < n:
+                cuts.append(i + W)
+    bounds = [0] + cuts + [n]
+    return [data[a:b] for a, b in zip(bounds[:-1], bounds[1:])]
+
+
+def test_cdc_chunk_dedup_matches_reference_chunker(ray_session):
+    from collections import Counter
+
+    got = R.q_cdc_chunk_dedup(SF).to_pandas().iloc[0]
+    docs = T(SF, "documents", ["text"]).to_pandas()
+    counts = Counter()
+    lens = {}
+    for txt in docs["text"]:
+        data = txt.encode("utf-8", "surrogatepass")
+        for ch in _cdc_chunks_ref(data):
+            h = hashlib.md5(ch).hexdigest()
+            counts[h] += 1
+            lens[h] = len(ch)
+    assert int(got["n_chunks"]) == sum(counts.values())
+    assert int(got["n_distinct_chunks"]) == len(counts)
+    assert int(got["bytes_total"]) == sum(
+        counts[h] * lens[h] for h in counts)
+    assert int(got["bytes_distinct"]) == sum(lens.values())
+
+
+def test_cdc_shift_invariance_property():
+    """The CDC point: inserting one byte near the front realigns only
+    the chunks up to the next cut — most chunk hashes survive, unlike
+    fixed-size chunking where everything after the edit shifts."""
+    rng = np.random.default_rng(3)
+    data = bytes(rng.integers(0, 256, 4096, dtype=np.uint8).tolist())
+    edited = data[:10] + b"X" + data[10:]
+    a = {bytes(c) for c in _cdc_chunks_ref(data)}
+    b = {bytes(c) for c in _cdc_chunks_ref(edited)}
+    shared = len(a & b)
+    assert shared >= len(a) * 3 // 4  # ≥75 % of chunks survive
+
+    # fixed-size chunking comparison: almost nothing survives
+    fixed_a = {data[i:i + 64] for i in range(0, len(data), 64)}
+    fixed_b = {edited[i:i + 64] for i in range(0, len(edited), 64)}
+    assert len(fixed_a & fixed_b) <= 2
