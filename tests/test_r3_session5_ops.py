@@ -777,3 +777,45 @@ def test_cdc_shift_invariance_property():
     fixed_a = {data[i:i + 64] for i in range(0, len(data), 64)}
     fixed_b = {edited[i:i + 64] for i in range(0, len(edited), 64)}
     assert len(fixed_a & fixed_b) <= 2
+
+
+# ------------------------------------------------- convex hull
+
+
+def test_convex_hull_matches_jarvis_march(ray_session):
+    got = R.q_convex_hull(SF).to_pandas().sort_values("pos")
+    hull = list(zip(got["x"].astype(int), got["y"].astype(int)))
+    # rebuild the point cloud
+    orders = T(SF, "orders", ["o_custkey", "o_totalprice"]).to_pandas()
+    g = orders.groupby("o_custkey").agg(
+        spend=("o_totalprice", "sum"), n=("o_totalprice", "size"))
+    x = (np.floor(np.abs(g["spend"].to_numpy() * 100) + 0.5)
+         ).astype(np.int64)
+    pts = sorted(set(zip(x.tolist(), g["n"].astype(int).tolist())))
+    # Jarvis march (gift wrapping) — an INDEPENDENT hull algorithm
+    start = min(pts)
+    cur, jarvis = start, []
+    while True:
+        jarvis.append(cur)
+        cand = pts[0] if pts[0] != cur else pts[-1]
+        for p in pts:
+            if p == cur:
+                continue
+            cross = ((cand[0] - cur[0]) * (p[1] - cur[1])
+                     - (cand[1] - cur[1]) * (p[0] - cur[0]))
+            far = (abs(p[0] - cur[0]) + abs(p[1] - cur[1])
+                   > abs(cand[0] - cur[0]) + abs(cand[1] - cur[1]))
+            if cross < 0 or (cross == 0 and far):
+                cand = p
+        cur = cand
+        if cur == start:
+            break
+    assert set(hull) == set(jarvis)
+    assert len(hull) == len(jarvis)
+    # every point inside-or-on each CCW edge
+    arr = np.asarray(pts, np.int64)
+    for i in range(len(hull)):
+        ax, ay = hull[i]
+        bx, by = hull[(i + 1) % len(hull)]
+        cr = (bx - ax) * (arr[:, 1] - ay) - (by - ay) * (arr[:, 0] - ax)
+        assert (cr >= 0).all()
