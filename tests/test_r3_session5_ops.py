@@ -819,3 +819,31 @@ def test_convex_hull_matches_jarvis_march(ray_session):
         bx, by = hull[(i + 1) % len(hull)]
         cr = (bx - ax) * (arr[:, 1] - ay) - (by - ay) * (arr[:, 0] - ax)
         assert (cr >= 0).all()
+
+
+# ------------------------------------------------- gamma index audit
+
+
+def test_gamma_index_audit_matches_posting_replay(ray_session):
+    got = R.q_gamma_index_audit(SF).to_pandas().iloc[0]
+    docs = T(SF, "documents", ["doc_id", "text"]).to_pandas()
+    post: dict = {}
+    for did, txt in zip(docs["doc_id"], docs["text"]):
+        for t in set(R._TOKEN.findall(txt.lower())):
+            post.setdefault(t, set()).add(int(did))
+
+    def gb(x):
+        return 2 * (int(x).bit_length() - 1) + 1
+
+    bits = n_post = 0
+    for t, ids in post.items():
+        ids = sorted(ids)
+        n_post += len(ids)
+        bits += gb(ids[0] + 1)
+        bits += sum(gb(b - a) for a, b in zip(ids[:-1], ids[1:]))
+    assert int(got["n_terms"]) == len(post)
+    assert int(got["n_postings"]) == n_post
+    assert int(got["gamma_bits"]) == bits
+    assert int(got["fixed32_bits"]) == 32 * n_post
+    # gamma gap coding must actually compress vs fixed 32-bit
+    assert int(got["gamma_bits"]) < int(got["fixed32_bits"])
