@@ -847,3 +847,27 @@ def test_gamma_index_audit_matches_posting_replay(ray_session):
     assert int(got["fixed32_bits"]) == 32 * n_post
     # gamma gap coding must actually compress vs fixed 32-bit
     assert int(got["gamma_bits"]) < int(got["fixed32_bits"])
+
+
+# ------------------------------------------------- Simpson audit
+
+
+def test_simpsons_paradox_audit_directions(ray_session):
+    got = R.q_simpsons_paradox_audit(SF).to_pandas().iloc[0]
+    # conservation: agree + oppose + tie = nations compared
+    assert (int(got["n_agree"]) + int(got["n_oppose"])
+            + int(got["n_tie"])) == int(got["n_nations"]) or \
+        int(got["global_dir"]) == 0
+    assert int(got["global_dir"]) in (-1, 0, 1)
+    # full reversal only when every nation opposes a nonzero global
+    if int(got["full_reversal"]):
+        assert int(got["n_oppose"]) == int(got["n_nations"])
+        assert int(got["global_dir"]) != 0
+    # cross-multiplied construction of Simpson's classic: pooled
+    # direction CAN differ from unanimous group direction
+    # (2/8 vs 3/5 pooled with 1/5 vs 2/2 and 1/3 vs 1/3 groups)
+    f1, n1, f2, n2 = 2, 8, 3, 5
+    assert np.sign(f1 * n2 - f2 * n1) == -1
+    ga = np.sign(1 * 2 - 2 * 5)
+    gb = np.sign(1 * 3 - 1 * 3)
+    assert (ga, gb) != (-1, -1)  # groups don't unanimously agree
