@@ -871,3 +871,31 @@ def test_simpsons_paradox_audit_directions(ray_session):
     ga = np.sign(1 * 2 - 2 * 5)
     gb = np.sign(1 * 3 - 1 * 3)
     assert (ga, gb) != (-1, -1)  # groups don't unanimously agree
+
+
+# ------------------------------------------------- max coverage
+
+
+def test_max_coverage_greedy_certificate_and_bruteforce(ray_session):
+    import itertools
+
+    got = R.q_max_coverage_greedy(SF).to_pandas().iloc[0]
+    greedy, opt = int(got["greedy_coverage"]), int(got["opt_coverage"])
+    assert greedy <= opt
+    assert 27 * greedy >= 19 * opt  # NWF'78 bound, rational form
+    # independent brute force over the shingle→source sets
+    docs = T(SF, "documents", ["text", "source"]).to_pandas()
+    srcs = sorted(docs["source"].unique())
+    cover = {s: set() for s in srcs}
+    for txt, src in zip(docs["text"], docs["source"]):
+        toks = R._TOKEN.findall(txt.lower())
+        cover[src].update(" ".join(toks[i:i + 3])
+                          for i in range(len(toks) - 2))
+    best = max(len(cover[a] | cover[b] | cover[c])
+               for a, b, c in itertools.combinations(srcs, 3))
+    assert opt == best
+    total = len(set().union(*cover.values()))
+    assert int(got["total_vocab"]) == total
+    picks = got["picks"].split(",")
+    assert len(set(picks)) == R.MAXCOV_K
+    assert greedy == len(set().union(*(cover[p] for p in picks)))
