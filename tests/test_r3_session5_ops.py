@@ -899,3 +899,32 @@ def test_max_coverage_greedy_certificate_and_bruteforce(ray_session):
     picks = got["picks"].split(",")
     assert len(set(picks)) == R.MAXCOV_K
     assert greedy == len(set().union(*(cover[p] for p in picks)))
+
+
+# ------------------------------------------------- Little's law
+
+
+def test_littles_law_audit_identity_and_peak(ray_session):
+    got = R.q_littles_law_audit(SF).to_pandas().iloc[0]
+    assert int(got["littles_law_holds"]) == 1
+    assert int(got["duration_sum_s"]) == int(got["sweep_integral_s"])
+    # independent sweep replay
+    ev = T(SF, "events", ["event_id", "ts"]).to_pandas()
+    t = ev["ts"].to_numpy().astype("datetime64[us]").view("int64")
+    s = (t // (R.ALLEN_GRID_S * 1_000_000)) * R.ALLEN_GRID_S
+    e = s + (ev["event_id"].to_numpy(np.int64)
+             % R.ALLEN_DUR_STEPS + 1) * 60
+    deltas: dict = {}
+    for a, b in zip(s, e):
+        deltas[int(a)] = deltas.get(int(a), 0) + 1
+        deltas[int(b)] = deltas.get(int(b), 0) - 1
+    ts = sorted(deltas)
+    conc, peak, area = 0, 0, 0
+    for i, tt in enumerate(ts):
+        conc += deltas[tt]
+        peak = max(peak, conc)
+        if i + 1 < len(ts):
+            area += conc * (ts[i + 1] - tt)
+    assert int(got["peak_concurrency"]) == peak
+    assert int(got["sweep_integral_s"]) == area
+    assert area == int((e - s).sum())
