@@ -928,3 +928,29 @@ def test_littles_law_audit_identity_and_peak(ray_session):
     assert int(got["peak_concurrency"]) == peak
     assert int(got["sweep_integral_s"]) == area
     assert area == int((e - s).sum())
+
+
+# ------------------------------------------------- cuckoo self-audit
+
+
+def test_cuckoo_fpr_audit_and_saturation(ray_session):
+    got = R.q_cuckoo_fpr_audit(SF).to_pandas().iloc[0]
+    assert int(got["n_flagged"]) >= int(got["n_present"])
+    assert int(got["n_false_pos"]) == \
+        int(got["n_flagged"]) - int(got["n_present"])
+    # saturation drive: fill a tiny filter past kick chains and
+    # verify the no-false-negative guarantee holds throughout
+    from fide_crawler_ray.state.cuckoo import (CuckooFilter,
+                                               sha1_bytes_to_array)
+    cf = CuckooFilter(capacity=1 << 8)
+    keys = [hashlib.sha1(f"sat,{i}".encode()).digest()
+            for i in range(300)]
+    arr = sha1_bytes_to_array(keys)
+    cf.insert_batch(arr)
+    assert bool(cf.contains_batch(arr).all())
+    # and an FPR measurably > 0 under load on fresh probes
+    fresh = sha1_bytes_to_array(
+        [hashlib.sha1(f"fresh,{i}".encode()).digest()
+         for i in range(5000)])
+    fpr = float(cf.contains_batch(fresh).mean())
+    assert 0 <= fpr < 0.2
