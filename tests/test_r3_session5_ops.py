@@ -954,3 +954,39 @@ def test_cuckoo_fpr_audit_and_saturation(ray_session):
          for i in range(5000)])
     fpr = float(cf.contains_batch(fresh).mean())
     assert 0 <= fpr < 0.2
+
+
+# ------------------------------------------------- BWT audit
+
+
+def test_bwt_roundtrip_and_known_vector():
+    # classic vector: 'banana' rotations sort → BWT 'nnbaaa', idx 3
+    last, idx = R._bwt(b"banana")
+    assert last == b"nnbaaa"
+    assert R._ibwt(last, idx) == b"banana"
+    # roundtrip on arbitrary bytes incl. repeats and unicode
+    for s in (b"abracadabra", "héllo wörld déjà".encode(),
+              b"aaaaabbbbb", b"x"):
+        l2, i2 = R._bwt(s)
+        assert R._ibwt(l2, i2) == s
+
+
+def test_bwt_audit_concentrates_runs(ray_session):
+    got = R.q_bwt_audit(SF).to_pandas()
+    # the transform must concentrate context: fewer runs after BWT
+    assert (got["runs_bwt"] < got["runs_raw"]).all()
+    assert (got["run_ratio_fp"] < 1_000_000).all()
+    # replay one source's totals
+    docs = T(SF, "documents", ["text", "source"]).to_pandas()
+    src = got["source"].iloc[0]
+    sub = docs[docs["source"] == src]
+    r0 = r1 = nb = 0
+    for txt in sub["text"]:
+        data = txt.encode("utf-8", "surrogatepass")
+        last, idx = R._bwt(data)
+        r0 += R._rle_runs(data)
+        r1 += R._rle_runs(last)
+        nb += len(data)
+    row = got[got["source"] == src].iloc[0]
+    assert (int(row["runs_raw"]), int(row["runs_bwt"]),
+            int(row["n_bytes"])) == (r0, r1, nb)
