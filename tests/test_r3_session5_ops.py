@@ -990,3 +990,50 @@ def test_bwt_audit_concentrates_runs(ray_session):
     row = got[got["source"] == src].iloc[0]
     assert (int(row["runs_raw"]), int(row["runs_bwt"]),
             int(row["n_bytes"])) == (r0, r1, nb)
+
+
+# ------------------------------------------------- Naive Bayes
+
+
+def test_naive_bayes_eval_matches_bigint_replay(ray_session):
+    from collections import Counter
+
+    got = R.q_naive_bayes_eval(SF).to_pandas() \
+        .set_index("true_class")
+    docs = T(SF, "documents", ["doc_id", "text", "source"]).to_pandas()
+    s1, s2 = sorted(docs["source"].unique())[:2]
+    m1, m2 = Counter(), Counter()
+    p1 = p2 = 0
+    test_rows = []
+    for did, txt, src in zip(docs["doc_id"], docs["text"],
+                             docs["source"]):
+        if src not in (s1, s2):
+            continue
+        ts = R._TOKEN.findall(txt.lower())
+        if int(hashlib.md5(f"nb,{did}".encode())
+               .hexdigest()[:2], 16) % 2 == 0:
+            if src == s1:
+                p1 += 1
+                m1.update(ts)
+            else:
+                p2 += 1
+                m2.update(ts)
+        else:
+            test_rows.append((ts, src))
+    vocab = set(m1) | set(m2)
+    t1, t2, v = sum(m1.values()), sum(m2.values()), len(vocab)
+    want = {s1: [0, 0], s2: [0, 0]}
+    for ts, src in test_rows:
+        prod1, prod2 = p1, p2
+        for t in ts:
+            prod1 *= m1.get(t, 0) + 1
+            prod2 *= m2.get(t, 0) + 1
+        pred = s1 if prod1 * (t2 + v) ** len(ts) \
+            >= prod2 * (t1 + v) ** len(ts) else s2
+        want[src][0] += 1
+        want[src][1] += pred == src
+    for cls in (s1, s2):
+        row = got.loc[cls]
+        assert int(row["n_test"]) == want[cls][0]
+        assert int(row["n_correct"]) == want[cls][1]
+        assert 0 <= int(row["accuracy_fp"]) <= 1_000_000
