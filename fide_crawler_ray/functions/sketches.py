@@ -53,6 +53,18 @@ def _hash64(strings: list[str]) -> np.ndarray:
     return pd.util.hash_array(arr, hash_key="fcray-shingles16").astype(np.uint64)
 
 
+def md5_hash64(strings) -> np.ndarray:
+    """Deterministic md5-derived 64-bit hashes (first 16 hex chars of
+    md5). Slower than the siphash path but exactly replayable in a
+    DuckDB oracle as ``('0x'||substr(md5(s),1,16))::UBIGINT`` — used
+    where the downstream result must be SQL-verifiable end to end
+    (simhash token hashes, rolling fingerprints)."""
+    return np.array(
+        [int(hashlib.md5(s.encode()).hexdigest()[:16], 16) for s in strings],
+        dtype=np.uint64,
+    )
+
+
 class MinHasher:
     """n_perm universal-hash permutations h_i(x) = (a_i·x + b_i) mod p."""
 
@@ -139,12 +151,17 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 5) -> float:
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word tokens weighted by term frequency."""
+    """64-bit SimHash over word tokens weighted by term frequency.
+
+    Token hashes are md5-derived (``md5_hash64``) so the whole simhash —
+    and therefore the hamming-graph survivor set of ``simhash_dedup`` —
+    is exactly replayable in the DuckDB oracle (queries.py
+    ``dedup_simhash``)."""
     toks = tokenize(text)
     if not toks:
         return 0
     uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
-    hs = _hash64(list(uniq))
+    hs = md5_hash64(list(uniq))
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
     acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
     out = np.uint64(0)

@@ -141,8 +141,12 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
 
     - ``md5_fp``: md5 of the whitespace-collapsed lowercase text — the
       canonical exact-dup fingerprint (DuckDB-oracle-able via md5()).
-    - ``roll_fp``: 64-bit polynomial rolling hash over word tokens
-      (Rabin-Karp style), order-sensitive — no SQL equivalent.
+    - ``roll_fp``: 61-bit polynomial rolling hash over word tokens
+      (Rabin-Karp style), order-sensitive. Word hashes are md5-derived
+      so the fold is exactly replayable in DuckDB via
+      ``list_reduce((h,x) -> (h*B+x) % p)`` over
+      ``('0x'||substr(md5(w),1,16))::UBIGINT`` — see the
+      ``text_rolling_fp`` oracle in queries.py.
     """
     text = batch["text"].to_pandas().fillna("")
     norm = text.str.lower().str.replace(_WS, " ", regex=True).str.strip()
@@ -153,7 +157,7 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     for t in norm:
         h = 0
         for w in t.split(" "):
-            wh = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+            wh = int(hashlib.md5(w.encode()).hexdigest()[:16], 16)
             h = (h * B + wh) % MOD
         rolls.append(h)
     return pa.table(

