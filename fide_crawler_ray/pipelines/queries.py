@@ -1268,6 +1268,8 @@ def q_video_frame_sample(sf_dir):
 
 
 PNG_DIM = 8  # 8×8 RGB → 192 bytes = exactly 12 md5-digest cycles
+JPEG_DIM_W, JPEG_DIM_H = 24, 20  # height not a block multiple → the
+# encode pad / decode crop path is exercised on every document
 
 
 def q_png_pixel_stats(sf_dir):
@@ -1306,6 +1308,46 @@ def q_png_pixel_stats(sf_dir):
         _mk, batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE)
     return ds.map_batches(
         PngPixelStatsStage, batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE, concurrency=2, num_cpus=0.5,
+    )
+
+
+def q_jpeg_pixel_stats(sf_dir):
+    """REAL baseline-JPEG decode, oracle-certified end to end (r4 —
+    closes M16): per document a genuine JFIF JPEG (stages/jpeg.py
+    encoder: DCT + quality-95 quantization + Annex K Huffman + byte
+    stuffing) of a solid md5(doc_id)-derived color is encoded, then
+    DECODED back with the pure-python ``jpeg_decode`` (marker walk,
+    Huffman, dequantize, IDCT, YCbCr→RGB), and the per-channel pixel
+    sums of the DECODED array are emitted. Solid colors round-trip the
+    codec bit-exactly at this quantization (error bound 2.772·q/16 <
+    0.5; sampled exhaustively in tests), so the DuckDB oracle
+    recomputes the sums from the md5 closed form WITHOUT decoding —
+    any bug in either codec half breaks the hash match.
+
+    Scale plan: actor-pool stage (house multimodal contract: small
+    MEDIA_BATCH_SIZE batches, binary columns); exchange is doc-shaped
+    stat rows, payloads never shuffle."""
+    from ..stages.media import MEDIA_BATCH_SIZE, JpegPixelStatsStage
+
+    def _mk(b: pa.Table) -> pa.Table:
+        from ..stages.jpeg import jpeg_encode_baseline
+
+        pays = []
+        for did in b["doc_id"].to_pylist():
+            d = hashlib.md5(f"jpg,{did}".encode()).digest()
+            arr = np.full((JPEG_DIM_H, JPEG_DIM_W, 3), list(d[:3]),
+                          dtype=np.uint8)
+            pays.append(jpeg_encode_baseline(arr, quality=95))
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "media_payload": pa.array(pays, pa.binary()),
+        })
+
+    ds = T(sf_dir, "documents", ["doc_id"]).map_batches(
+        _mk, batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE)
+    return ds.map_batches(
+        JpegPixelStatsStage, batch_format="pyarrow",
         batch_size=MEDIA_BATCH_SIZE, concurrency=2, num_cpus=0.5,
     )
 
@@ -1475,6 +1517,7 @@ def queries() -> dict:
         "audio_framing": q_audio_framing,
         "video_frame_sample": q_video_frame_sample,
         "png_pixel_stats": q_png_pixel_stats,
+        "jpeg_pixel_stats": q_jpeg_pixel_stats,
         **_relational_queries(),
         **_textclean_queries(),
         **_quality_queries(),
@@ -1934,6 +1977,23 @@ ORACLES: dict[str, str] = {
     # digest byte j of cycle r sits at flat index 16r+j → channel
     # (16r+j)%3 = (r+j)%3 (16 ≡ 1 mod 3). The engine side decodes the
     # actual PNG bytes; any encoder/zlib/unfilter bug breaks the match.
+    # Closed form for the REAL JPEG encode→decode round trip: each doc's
+    # image is a solid color (r,g,b) = first 3 md5('jpg,'||doc_id) bytes
+    # over 24×20 pixels; solid colors round-trip the baseline codec
+    # exactly at quality 95, so channel sums are value·480. The engine
+    # side decodes the actual JPEG bytes — any Huffman/IDCT/color bug
+    # breaks the match.
+    "jpeg_pixel_stats": """
+        SELECT doc_id, CAST(24 AS BIGINT) AS width,
+               CAST(20 AS BIGINT) AS height,
+               CAST(('0x' || substr(md5('jpg,' || CAST(doc_id AS VARCHAR)),
+                                    1, 2)) AS BIGINT) * 480 AS r_sum,
+               CAST(('0x' || substr(md5('jpg,' || CAST(doc_id AS VARCHAR)),
+                                    3, 2)) AS BIGINT) * 480 AS g_sum,
+               CAST(('0x' || substr(md5('jpg,' || CAST(doc_id AS VARCHAR)),
+                                    5, 2)) AS BIGINT) * 480 AS b_sum
+        FROM documents
+    """,
     "png_pixel_stats": """
         WITH b AS (
           SELECT d.doc_id, (r.r + j.j) % 3 AS chan,

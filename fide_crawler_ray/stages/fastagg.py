@@ -93,11 +93,95 @@ def _dummy_row(schema: pa.Schema) -> pa.Table:
     return pa.table(cols)
 
 
+def _arrow_groupby_ok(b: pa.Table, keys, specs) -> bool:
+    """True when ``pa.Table.group_by`` reproduces the pandas partial
+    EXACTLY for this batch — same values AND same output dtypes:
+
+    - keys: int/uint/bool/string, no nulls (null keys round-trip through
+      pandas as float64/NaN and take the restore path; timestamps change
+      unit under to_pandas);
+    - sum/mean inputs: int64/uint64 only, no nulls (pandas promotes
+      int-with-null to float64, sums all-null groups to 0.0 where arrow
+      yields null, and float sums differ in association order — the
+      1-ULP class r1 taught us to respect);
+    - min/max inputs: any int/float/string, no nulls (exact, order-free).
+
+    The check is metadata-only (``null_count``), so it costs nothing per
+    batch; ineligible batches fall back to the original pandas path,
+    whose output dtypes these rules are designed to match."""
+    for k in keys:
+        if k not in b.schema.names:
+            return False
+        t = b.schema.field(k).type
+        if not (pa.types.is_integer(t) or pa.types.is_boolean(t)
+                or pa.types.is_string(t) or pa.types.is_large_string(t)):
+            return False
+        if b[k].null_count:
+            return False
+    for col, op in specs:
+        if op == "count":
+            continue
+        if col not in b.schema.names or b[col].null_count:
+            return False
+        t = b.schema.field(col).type
+        if op in ("sum", "mean", "mean_count"):
+            if not (pa.types.is_int64(t) or pa.types.is_uint64(t)):
+                return False
+        elif op in ("min", "max"):
+            if not (pa.types.is_integer(t) or pa.types.is_floating(t)
+                    or pa.types.is_string(t) or pa.types.is_large_string(t)):
+                return False
+        else:
+            return False
+    return True
+
+
+def _arrow_groupby(b: pa.Table, keys, out_specs) -> pa.Table:
+    """``out_specs``: [(out_name, in_col_or_None, arrow_fn)] with
+    arrow_fn ∈ {count_all, count, sum, min, max}. Returns keys-first
+    columns in out_specs order (matching the pandas paths). Output
+    columns are selected by POSITION (group_by emits keys then
+    aggregates in request order), so pathological column names cannot
+    alias."""
+    want: dict[tuple, int] = {}
+    agg_list = []
+    for _, col, fn in out_specs:
+        spec = (col, fn)
+        if spec not in want:
+            want[spec] = len(agg_list)
+            agg_list.append((col if col is not None else [], fn))
+    r = b.group_by(list(keys), use_threads=False).aggregate(agg_list)
+    assert r.column_names[: len(keys)] == list(keys)
+    cols = {k: r.column(i) for i, k in enumerate(keys)}
+    for out, col, fn in out_specs:
+        cols[out] = r.column(len(keys) + want[(col, fn)])
+    return pa.table(cols)
+
+
 def fast_groupby_agg(ds, keys: list[str], aggs: dict[str, tuple[str | None, str]],
                      max_combine_rows: int = DEFAULT_MAX_COMBINE_ROWS):
     """aggs: {out_col: (in_col_or_None, 'count'|'sum'|'min'|'max'|'mean')}."""
 
     def _partial(b: pa.Table) -> pa.Table:
+        # Arrow-native fast path (r4): zero-copy group_by, no
+        # pandas conversion/allocation churn per batch. Guarded by
+        # _arrow_groupby_ok so values and dtypes are identical to the
+        # pandas fallback below (pinned by tests/test_fastagg_fallback).
+        if _arrow_groupby_ok(b, keys, list(aggs.values())):
+            specs = []
+            for name, (col, op) in aggs.items():
+                if op == "count":
+                    specs.append((f"__{name}_c", None, "count_all"))
+                elif op == "sum":
+                    specs.append((f"__{name}_s", col, "sum"))
+                elif op == "min":
+                    specs.append((f"__{name}_n", col, "min"))
+                elif op == "max":
+                    specs.append((f"__{name}_x", col, "max"))
+                elif op == "mean":
+                    specs.append((f"__{name}_s", col, "sum"))
+                    specs.append((f"__{name}_c", col, "count"))
+            return _arrow_groupby(b, keys, specs)
         empty = b.num_rows == 0
         if empty:  # typed dummy row keeps the partial schema stable
             b = _dummy_row(b.schema)
@@ -148,6 +232,44 @@ def fast_groupby_agg(ds, keys: list[str], aggs: dict[str, tuple[str | None, str]
 
 
 def _final_combine(b: pa.Table, keys, aggs) -> pa.Table:
+    # Arrow-native fast path mirroring _partial's (r4): merge partial
+    # columns with group_by; 'mean' divides its two int64 partials in
+    # float64 (same IEEE division the pandas path performs).
+    specs = []
+    for name, (col, op) in aggs.items():
+        if op == "count":
+            specs.append((f"__{name}_c", "sum"))
+        elif op == "sum":
+            specs.append((f"__{name}_s", "sum"))
+        elif op == "min":
+            specs.append((f"__{name}_n", "min"))
+        elif op == "max":
+            specs.append((f"__{name}_x", "max"))
+        elif op == "mean":
+            specs.append((f"__{name}_s", "sum"))
+            specs.append((f"__{name}_c", "sum"))
+    if _arrow_groupby_ok(b, keys, [(c, "min" if fn == "min" else
+                                    "max" if fn == "max" else "sum")
+                                   for c, fn in specs]):
+        import pyarrow.compute as _pc
+
+        r = _arrow_groupby(
+            b, keys, [(c, c, fn) for c, fn in specs])
+        cols = {k: r[k] for k in keys}
+        for name, (col, op) in aggs.items():
+            if op == "count":
+                cols[name] = r[f"__{name}_c"]
+            elif op == "sum":
+                cols[name] = r[f"__{name}_s"]
+            elif op == "min":
+                cols[name] = r[f"__{name}_n"]
+            elif op == "max":
+                cols[name] = r[f"__{name}_x"]
+            elif op == "mean":
+                cols[name] = _pc.divide(
+                    r[f"__{name}_s"].cast(pa.float64()),
+                    r[f"__{name}_c"].cast(pa.float64()))
+        return pa.table(cols)
     df = b.to_pandas()
     g = df.groupby(list(keys), sort=False, dropna=False)
     cols = {}

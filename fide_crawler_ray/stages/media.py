@@ -4,13 +4,15 @@ metadata, processed by actor-pool ``map_batches`` stages.
 The reference's media surface is the base64 data-URI profile photo
 (multi-MB in its live DB) decoded for display
 (reference: ui/streamlit_ui.py:14-25 splits the data-URI, b64-decodes,
-PIL-opens). Here the engine-side plumbing is real — data-URI parsing,
-binary columns, small batch sizes for wide rows, actor-pool signatures —
-while the pixel decode itself is STUBBED: the image libraries (PIL etc.)
-are not available in this environment, so ``ImageDecodeStub`` derives
-deterministic fake (width, height, n_pixels) from the payload bytes. If
-PIL is importable the real decode path is used instead (import-gated in
-``__init__``, once per actor).
+PIL-opens). The engine-side plumbing is real — data-URI parsing, binary
+columns, small batch sizes for wide rows, actor-pool signatures — and so
+is the pixel decode for the two formats that matter (r4, closing M16):
+pure-python PNG (``png_decode`` — stdlib zlib + scanline unfiltering)
+and pure-python baseline JPEG (``stages/jpeg.py`` — Huffman + IDCT +
+4:2:0/4:2:2/4:4:4 + restart markers). PIL is still preferred when
+importable (import-gated in ``__init__``, once per actor) for formats
+beyond those (GIF pixels, progressive JPEG); only payloads NO tier can
+decode fall to the deterministic hash-derived stub dims.
 
 Scale notes (SURVEY.md §7 hard part (e)): media payloads stay in a
 separate binary column; batches are kept small (``MEDIA_BATCH_SIZE``) so
@@ -100,13 +102,14 @@ class ImageDecodeStub:
     """Actor-pool decode stage. Decode priority per payload:
 
     1. PIL, when importable (absent in this environment);
-    2. pure-python FULL pixel decode (``png_decode`` — stdlib zlib +
-       scanline unfiltering) for 8-bit non-interlaced PNGs;
+    2. pure-python FULL pixel decode — ``png_decode`` (stdlib zlib +
+       scanline unfiltering) for 8-bit non-interlaced PNGs, then
+       ``jpeg_decode`` (stages/jpeg.py) for baseline JPEGs;
     3. pure-python header parse (``parse_image_dims``) — REAL dimensions
-       for other PNG/JPEG/GIF payloads, no image library needed;
-    4. deterministic hash-derived stub dims (the synthetic site's photo
-       payloads are fake bytes, and the Ray-side plumbing — schema,
-       batch size, actor lifecycle — must still be exercised end-to-end).
+       for the remainder (GIF, progressive JPEG), no image library;
+    4. deterministic hash-derived stub dims (undecodable payloads only;
+       the Ray-side plumbing — schema, batch size, actor lifecycle —
+       is still exercised end-to-end).
     """
 
     def __init__(self):
@@ -129,6 +132,10 @@ class ImageDecodeStub:
             except Exception:
                 return (None, None)
         dec = png_decode(payload)  # REAL pixel decode, stdlib-only
+        if dec is None:
+            from .jpeg import jpeg_decode
+
+            dec = jpeg_decode(payload)  # REAL baseline-JPEG decode
         if dec is not None:
             return (dec[0], dec[1])
         dims = parse_image_dims(payload)
@@ -197,10 +204,11 @@ def resize_dims(w: int, h: int, max_dim: int) -> tuple[int, int]:
 class ImageResizeStub:
     """Actor-pool resize stage: real aspect-ratio math on the decoded
     (width, height) columns. Pixel resample priority per payload:
-    PIL when importable; else the pure-python ``png_decode`` + an
-    exact numpy area-average (integer box resample, re-encoded with
-    ``png_encode_rgb8`` — a REAL thumbnail, no image library); else a
-    deterministic stub payload (digest-derived bytes)."""
+    PIL when importable; else the pure-python decoders (``png_decode``,
+    then baseline ``jpeg_decode``) + an exact numpy area-average
+    (integer box resample, re-encoded with ``png_encode_rgb8`` — a REAL
+    thumbnail, no image library); else a deterministic stub payload
+    (digest-derived bytes)."""
 
     def __init__(self, max_dim: int = 128):
         self.max_dim = max_dim
@@ -236,6 +244,10 @@ class ImageResizeStub:
                 except Exception:
                     pass
             dec = png_decode(p)
+            if dec is None:
+                from .jpeg import jpeg_decode
+
+                dec = jpeg_decode(p)
             if dec is not None and dec[2] == 3 and nw <= dec[0] \
                     and nh <= dec[1]:
                 # REAL resample: integer area average over an exact
@@ -453,6 +465,37 @@ def png_decode(payload: bytes):
         out[y] = cur.astype(np.uint8)
         prev = cur
     return (w, h, ch, out.reshape(h, w, ch))
+
+
+class JpegPixelStatsStage:
+    """Actor-pool REAL-decode stage for baseline JPEG: pure-python
+    ``jpeg_decode`` (stages/jpeg.py — Huffman + IDCT + color convert)
+    per payload, per-channel integer pixel sums out. Same contract as
+    PngPixelStatsStage; together they close M16's pixel-decode gap
+    without any image library."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .jpeg import jpeg_decode
+
+        w_out, h_out, rs, gs, bs = [], [], [], [], []
+        for p in batch["media_payload"].to_pylist():
+            dec = jpeg_decode(p) if p is not None else None
+            if dec is None or dec[2] != 3:
+                w_out.append(None), h_out.append(None)
+                rs.append(None), gs.append(None), bs.append(None)
+                continue
+            w, h, _, arr = dec
+            s = arr.astype(np.int64).reshape(-1, 3).sum(axis=0)
+            w_out.append(w), h_out.append(h)
+            rs.append(int(s[0])), gs.append(int(s[1])), bs.append(int(s[2]))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "width": pa.array(w_out, pa.int64()),
+            "height": pa.array(h_out, pa.int64()),
+            "r_sum": pa.array(rs, pa.int64()),
+            "g_sum": pa.array(gs, pa.int64()),
+            "b_sum": pa.array(bs, pa.int64()),
+        })
 
 
 class PngPixelStatsStage:

@@ -94,6 +94,23 @@ def robots_url(host: str) -> str:
     return f"https://{host}/robots.txt"
 
 
+@__import__("functools").lru_cache(maxsize=512)
+def _solid_jpeg_b64(w: int, h: int, rgb: tuple[int, int, int]) -> str:
+    """Base64 of a real solid-color baseline JPEG (quality 95 — solid
+    colors round-trip the stages/jpeg.py codec bit-exactly at that
+    quantization; pinned by tests). Cached: the palette is 4·3 dims ×
+    27 colors, so page generation pays the encoder at most 324 times
+    per process regardless of crawl size."""
+    import base64 as _b64
+
+    import numpy as np
+
+    from .stages.jpeg import jpeg_encode_baseline
+
+    arr = np.full((h, w, 3), rgb, dtype=np.uint8)
+    return _b64.b64encode(jpeg_encode_baseline(arr, quality=95)).decode()
+
+
 # ------------------------------------------------------------ determinism
 
 def _rng_int(*parts) -> int:
@@ -216,9 +233,16 @@ def render_profile(cfg: SiteConfig, fide_id: str) -> dict:
         _span("field", f"sex|{r.choice(['Male', 'Female'])}"),
         _span("field", f"fide_title|{player_title(cfg, fide_id)}"),
     ]
-    # photo: deterministic fake base64 payload (multi-MB in the live DB;
-    # tiny here but same data-URI shape)
-    b64 = hashlib.sha1(f"{cfg.seed}|photo|{fide_id}".encode()).hexdigest()
+    # photo: REAL baseline JPEG (r4 — was a fake byte payload): a solid-
+    # color image whose dims/color derive deterministically from the
+    # digest, drawn from a small palette so the encoder runs once per
+    # (dims, color) via _solid_jpeg's cache. The decode stages downstream
+    # therefore exercise the real pure-python JPEG path end to end.
+    d = hashlib.sha1(f"{cfg.seed}|photo|{fide_id}".encode()).digest()
+    w = 64 + 32 * (d[0] % 4)
+    h = 64 + 32 * (d[1] % 3)
+    rgb = (32 + 96 * (d[2] % 3), 32 + 96 * (d[3] % 3), 32 + 96 * (d[4] % 3))
+    b64 = _solid_jpeg_b64(w, h, rgb)
     spans.append(_span("media", "", f"data:image/jpeg;base64,{b64}"))
     spans.append(_span("field", f"std|{base}"))
     spans.append(_span("field", f"rapid|{base - r.randint(0, 80)}"))

@@ -350,3 +350,148 @@ def test_png_pixel_stats_stage_sums():
     assert out["g_sum"].to_pylist() == [int(s[1]), None]
     assert out["b_sum"].to_pylist() == [int(s[2]), None]
     assert out["width"].to_pylist() == [8, None]
+
+
+# ------------------------------------------- baseline JPEG codec (r4, M16)
+
+
+def test_jpeg_codec_round_trip_solid_exact():
+    """Solid colors must round-trip the baseline codec bit-exactly at
+    quality 95 (the bound the jpeg_pixel_stats oracle relies on) —
+    across 4:4:4, 4:2:0, restart intervals, grayscale and odd dims."""
+    import numpy as np
+
+    from fide_crawler_ray.stages.jpeg import (jpeg_decode,
+                                              jpeg_encode_baseline)
+
+    rng = np.random.default_rng(11)
+    for _ in range(25):
+        rgb = rng.integers(0, 256, 3).tolist()
+        arr = np.full((20, 24, 3), rgb, dtype=np.uint8)
+        for ss in (False, True):
+            for ri in (0, 2):
+                dec = jpeg_decode(jpeg_encode_baseline(
+                    arr, quality=95, subsample=ss, restart_interval=ri))
+                assert dec is not None
+                w, h, ch, out = dec
+                assert (w, h, ch) == (24, 20, 3)
+                assert np.array_equal(out, arr), (rgb, ss, ri)
+    # grayscale + odd (non-multiple-of-8) dims
+    g = np.full((13, 21), 77, dtype=np.uint8)
+    dec = jpeg_decode(jpeg_encode_baseline(g, quality=95))
+    assert dec[:3] == (21, 13, 1)
+    assert np.array_equal(dec[3][:, :, 0], g)
+
+
+def test_jpeg_codec_gradient_tolerance():
+    """Non-trivial content (every AC path, long Huffman codes) decodes
+    within a small mean error at high quality."""
+    import numpy as np
+
+    from fide_crawler_ray.stages.jpeg import (jpeg_decode,
+                                              jpeg_encode_baseline)
+
+    yy, xx = np.mgrid[0:50, 0:70]
+    grad = np.stack([(xx * 3) % 256, (yy * 5) % 256,
+                     ((xx + yy) * 2) % 256], axis=2).astype(np.uint8)
+    for ss in (False, True):
+        dec = jpeg_decode(jpeg_encode_baseline(
+            grad, quality=95, subsample=ss, restart_interval=3))
+        assert (dec[0], dec[1]) == (70, 50)
+        err = np.abs(dec[3].astype(int) - grad.astype(int)).mean()
+        assert err < (0.6 if not ss else 2.0), (ss, err)
+
+
+def test_jpeg_decode_rejects_what_it_cannot_decode():
+    """Progressive SOF2, truncated payloads and junk → None (callers
+    fall back to the header-parse tier), never an exception."""
+    import numpy as np
+
+    from fide_crawler_ray.stages.jpeg import (jpeg_decode,
+                                              jpeg_encode_baseline)
+
+    good = jpeg_encode_baseline(
+        np.full((16, 16, 3), 99, dtype=np.uint8))
+    assert jpeg_decode(good) is not None
+    assert jpeg_decode(good[:40]) is None             # truncated
+    assert jpeg_decode(b"junkjunk") is None
+    prog = bytearray(good)
+    i = prog.find(b"\xff\xc0")
+    prog[i + 1] = 0xC2                                # fake progressive
+    assert jpeg_decode(bytes(prog)) is None
+
+
+def test_decode_and_resize_real_jpeg_without_pil():
+    """M16 closed for JPEG: the decode stage reads REAL dims from the
+    entropy-decoded pixels (no PIL in this env), and the resize stage
+    area-averages the REAL pixel array into a PNG thumbnail that decodes
+    back to the same solid color."""
+    import numpy as np
+
+    from fide_crawler_ray.stages.jpeg import jpeg_encode_baseline
+    from fide_crawler_ray.stages.media import (ImageDecodeStub,
+                                               ImageResizeStub, png_decode)
+
+    src = jpeg_encode_baseline(
+        np.full((32, 64, 3), [200, 40, 90], dtype=np.uint8), quality=95)
+    batch = pa.table({"media_payload": pa.array([src], pa.binary())})
+    dec = ImageDecodeStub()
+    assert dec._pil is None  # this env: the pure-python tier must carry
+    out = dec(batch)
+    assert (out["width"][0].as_py(), out["height"][0].as_py()) == (64, 32)
+
+    thumb = ImageResizeStub(max_dim=16)(out)
+    assert (thumb["thumb_width"][0].as_py(),
+            thumb["thumb_height"][0].as_py()) == (16, 8)
+    w, h, ch, arr = png_decode(thumb["thumb_payload"][0].as_py())
+    assert (w, h, ch) == (16, 8, 3)
+    assert set(map(tuple, arr.reshape(-1, 3).tolist())) == {(200, 40, 90)}
+
+
+def test_jpeg_pixel_stats_stage_sums():
+    """JpegPixelStatsStage emits exact per-channel sums of the DECODED
+    pixels for solid sources; undecodable payloads yield null rows."""
+    import numpy as np
+
+    from fide_crawler_ray.stages.jpeg import jpeg_encode_baseline
+    from fide_crawler_ray.stages.media import JpegPixelStatsStage
+
+    arr = np.full((20, 24, 3), [17, 130, 251], dtype=np.uint8)
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "media_payload": pa.array(
+            [jpeg_encode_baseline(arr, quality=95), b"junk"], pa.binary()),
+    })
+    out = JpegPixelStatsStage()(t)
+    n = 24 * 20
+    assert out["r_sum"].to_pylist() == [17 * n, None]
+    assert out["g_sum"].to_pylist() == [130 * n, None]
+    assert out["b_sum"].to_pylist() == [251 * n, None]
+    assert out["width"].to_pylist() == [24, None]
+
+
+def test_synth_photo_is_real_jpeg():
+    """The synthetic site's profile photos are REAL baseline JPEGs whose
+    decoded pixels are the palette color the digest selected — so every
+    crawl exercises the real decode path end to end."""
+    import base64
+
+    from fide_crawler_ray import synth
+    from fide_crawler_ray.stages.jpeg import jpeg_decode
+    from fide_crawler_ray.stages.media import parse_data_uri
+
+    cfg = synth.SiteConfig(seed=7, n_players=3, n_queries=1, n_months=2)
+    fid = synth.player_ids(cfg)[0]
+    doc = synth.render_url(cfg, synth.profile_url(fid))
+    ref = next(s["media_ref"] for s in doc["spans"] if s["kind"] == "media")
+    mime, payload = parse_data_uri(ref)
+    assert mime == "image/jpeg"
+    dec = jpeg_decode(payload)
+    assert dec is not None
+    w, h, ch, arr = dec
+    assert 64 <= w <= 160 and 64 <= h <= 128 and ch == 3
+    colors = set(map(tuple, arr.reshape(-1, 3).tolist()))
+    assert len(colors) == 1
+    assert colors.pop() in {
+        (r, g, b) for r in (32, 128, 224) for g in (32, 128, 224)
+        for b in (32, 128, 224)}
