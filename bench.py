@@ -45,13 +45,20 @@ def run_scaling_workload() -> dict:
         seed=42, n_players=4800, n_queries=160, n_months=24,
         games_lo=50, games_hi=90, max_tournaments_per_month=5,
     )
-    out_dir = f"/tmp/fcray_scale_{num_cpus}"
+    # FCRAY_SCALE_PERSIST=1 turns parquet game stores ON (the 100-TB
+    # contract includes writes); pair it with a tmpfs FCRAY_SCALE_OUT
+    # (e.g. /dev/shm) so the single shared disk doesn't masquerade as
+    # an engine bottleneck — on the real N vs 4N clusters, disks scale
+    # with node count.
+    persist = os.environ.get("FCRAY_SCALE_PERSIST", "0") == "1"
+    out_base = os.environ.get("FCRAY_SCALE_OUT", "/tmp")
+    out_dir = f"{out_base}/fcray_scale_{num_cpus}"
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
     res = CR.run_crawl(
         cfg, out_dir, n_shards=8, batch_size=256,
         fetch_concurrency=max(2, num_cpus), pop_budget=60_000,
-        persist_docs=False, persist_games=False, checkpoint_every=0,
+        persist_docs=False, persist_games=persist, checkpoint_every=0,
         finalize=False,
     )
     sec = time.perf_counter() - t0
@@ -167,6 +174,36 @@ def run_bench() -> dict:
     return result
 
 
+def _burn(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
+def host_scaling_control(lo: int, hi: int, per: int = 12_000_000) -> dict:
+    """Zero-Ray, zero-engine control: N multiprocessing workers burning
+    pure-Python CPU. On a dedicated box this reads ~1.0 efficiency from
+    lo→hi workers; on THIS sandbox it reads ~0.7 at 8→32 (the nominal
+    32 cores are oversubscribed vCPUs), which bounds what ANY engine can
+    measure at that pair. The crawl's raw 8v32 number is therefore
+    reported alongside this control and as a normalized ratio
+    (raw / control) — the engine's own contribution to the scaling
+    loss."""
+    import multiprocessing as mp
+    import time as _t
+
+    def run(workers: int) -> float:
+        t0 = _t.perf_counter()
+        with mp.Pool(workers) as p:
+            p.map(_burn, [per] * workers)
+        return workers * per / (_t.perf_counter() - t0)
+
+    r_lo, r_hi = run(lo), run(hi)
+    return {"ops_lo": round(r_lo / 1e6, 1), "ops_hi": round(r_hi / 1e6, 1),
+            "control_efficiency": round(r_hi / r_lo / (hi / lo), 3)}
+
+
 def run_scaling() -> None:
     """Same job, same input, fresh processes at num_cpus=8 and 32 (the
     sandbox stand-in for N vs 4N node clusters).
@@ -202,6 +239,7 @@ def run_scaling() -> None:
     r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
+    control = host_scaling_control(lo, hi)
     print(json.dumps({
         f"sec_{lo}": t_lo, f"sec_{hi}": t_hi,
         f"sec_{lo}_runs": [r["value"] for r in runs_lo],
@@ -213,6 +251,9 @@ def run_scaling() -> None:
         "levels": [lo, hi],
         "repeats": repeats,
         "scaling_efficiency": round(eff, 3),
+        "host_control": control,
+        "normalized_efficiency": round(
+            eff / control["control_efficiency"], 3),
         "pages": r_hi["crawl"]["pages"],
     }))
 
