@@ -144,6 +144,9 @@ def run_bench() -> dict:
         # (pure-python codec, actor-pool stage) and the Q×N sorted
         # suffix-scan valuation
         "png_pixel_stats", "knn_shapley",
+        # r4 machinery: REAL baseline-JPEG encode→decode round trip
+        # (pure-python codec, actor pool) and the M17 dp-table rollup
+        "jpeg_pixel_stats", "perf_rating_dp",
     ]
     qs = Q.queries()
     for name in suite:

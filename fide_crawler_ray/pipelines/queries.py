@@ -1121,6 +1121,54 @@ def q_tournament_rollup(sf_dir):
     return df
 
 
+def q_perf_rating_dp(sf_dir):
+    """M17 with a hard oracle (r4): the FIDE dp performance-rating table
+    applied through the SAME vectorized ``rating_performance`` used by
+    tournament_rollup, but over a deterministic sf-table-derived game
+    set so DuckDB can replay it (tournament_rollup itself consumes the
+    crawled store, which the driver's oracle cannot see). Per supplier,
+    the first 8+(suppkey mod 4) lineitems by (orderkey, linenumber) are
+    its games — n is always in 8..11, so every output goes through the
+    dp-table path (both halves via antisymmetry) with integer-exact
+    arithmetic end to end. result=((okey+lineno) mod 3)/2, opponent
+    rating 1500+(partkey mod 800), avg = round-half-up(rating_sum/n).
+
+    Scale plan: one groupby(map_groups) with an in-group sort+head —
+    group sizes are per-key order counts; the dp lookup is a 4×23
+    constant."""
+    from ..functions.perf_rating import rating_performance
+
+    li = T(sf_dir, "lineitem",
+           ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"])
+
+    def _per_supplier(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["l_orderkey", "l_linenumber"],
+                          kind="mergesort")
+        k = 8 + int(g["l_suppkey"].iloc[0]) % 4
+        g = g.head(k)
+        res = ((g["l_orderkey"] + g["l_linenumber"]) % 3) / 2.0
+        opp = 1500 + (g["l_partkey"] % 800)
+        n = len(g)
+        rs = int(opp.sum())
+        avg = (2 * rs + n) // (2 * n)  # round-half-up, exact ints
+        perf = rating_performance(
+            np.array([n]), np.array([res.sum()]),
+            np.array([avg], dtype=np.float64), np.array([rs]),
+            np.array([(res == 1.0).sum()]),
+            np.array([(res == 0.0).sum()]))
+        return pd.DataFrame({
+            "suppkey": [int(g["l_suppkey"].iloc[0])],
+            "n_games": [n],
+            "points_x2": [int(round(res.sum() * 2))],
+            "rating_sum": [rs],
+            "avg_opp": [avg],
+            "perf": [int(perf[0])],
+        })
+
+    return li.groupby("l_suppkey").map_groups(
+        _per_supplier, batch_format="pandas")
+
+
 def q_media_features(sf_dir):
     """M16 multimodal pipeline over the crawled players store: data-URI
     parse → binary payload column → actor-pool decode (PIL → pure-python
@@ -1518,6 +1566,7 @@ def queries() -> dict:
         "video_frame_sample": q_video_frame_sample,
         "png_pixel_stats": q_png_pixel_stats,
         "jpeg_pixel_stats": q_jpeg_pixel_stats,
+        "perf_rating_dp": q_perf_rating_dp,
         **_relational_queries(),
         **_textclean_queries(),
         **_quality_queries(),
@@ -2010,6 +2059,49 @@ ORACLES: dict[str, str] = {
         FROM b GROUP BY doc_id
     """,
 }
+
+
+def _perf_dp_values() -> str:
+    """The M17 FIDE dp table as SQL VALUES rows (n, points*2, delta) —
+    generated from the same ``perf_rating._TABLE`` the engine uses (the
+    table itself is pinned against a reference transliteration in
+    tests/test_functions.py; the oracle certifies the PIPELINE around
+    it: grouping, first-k selection, exact integer aggregation,
+    round-half-up average, antisymmetric mirror)."""
+    from ..functions.perf_rating import _TABLE
+
+    rows = []
+    for n in range(8, 12):
+        for p2 in range(0, 2 * n + 1):
+            rows.append(f"({n},{p2},{int(_TABLE[n - 8, p2])})")
+    return ", ".join(rows)
+
+
+ORACLES["perf_rating_dp"] = f"""
+    WITH g AS (
+        SELECT l_suppkey AS suppkey, l_orderkey, l_linenumber,
+               1500 + (l_partkey % 800) AS opp,
+               (l_orderkey + l_linenumber) % 3 AS res2,
+               ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                  ORDER BY l_orderkey, l_linenumber) AS rn
+        FROM lineitem
+    ),
+    sel AS (SELECT * FROM g WHERE rn <= 8 + suppkey % 4),
+    agg AS (
+        SELECT suppkey, count(*) AS n_games,
+               CAST(sum(res2) AS BIGINT) AS points_x2,
+               CAST(sum(opp) AS BIGINT) AS rating_sum
+        FROM sel GROUP BY suppkey
+    ),
+    dp(n, p2, delta) AS (VALUES {_perf_dp_values()}),
+    fin AS (
+        SELECT suppkey, n_games, points_x2, rating_sum,
+               (2 * rating_sum + n_games) // (2 * n_games) AS avg_opp
+        FROM agg)
+    SELECT f.suppkey, f.n_games, f.points_x2, f.rating_sum, f.avg_opp,
+           CAST(f.avg_opp + d.delta AS BIGINT) AS perf
+    FROM fin f JOIN dp d ON d.n = f.n_games AND d.p2 = f.points_x2
+"""
 
 
 def oracle_sql() -> dict:
