@@ -151,14 +151,17 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     text = batch["text"].to_pandas().fillna("")
     norm = text.str.lower().str.replace(_WS, " ", regex=True).str.strip()
     md5s = [hashlib.md5(t.encode()).hexdigest() for t in norm]
+    from .sketches import md5_hash64
+
     rolls = []
     MOD = (1 << 61) - 1
     B = 1000003
     for t in norm:
         h = 0
-        for w in t.split(" "):
-            wh = int(hashlib.md5(w.encode()).hexdigest()[:16], 16)
-            h = (h * B + wh) % MOD
+        # md5_hash64 is THE single definition of the SQL-replayable
+        # word-hash formula (('0x'||substr(md5(w),1,16))::UBIGINT)
+        for wh in md5_hash64(t.split(" ")):
+            h = (h * B + int(wh)) % MOD
         rolls.append(h)
     return pa.table(
         {

@@ -1146,6 +1146,14 @@ def q_perf_rating_dp(sf_dir):
                           kind="mergesort")
         k = 8 + int(g["l_suppkey"].iloc[0]) % 4
         g = g.head(k)
+        if len(g) < 8:
+            # suppliers with fewer than 8 lineitems would take the
+            # closed-form branch the oracle's dp INNER JOIN cannot see;
+            # exclude them EXPLICITLY on both sides (the oracle's
+            # n_games >= 8 filter) instead of relying on corpus shape
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in (
+                "suppkey", "n_games", "points_x2", "rating_sum",
+                "avg_opp", "perf")})
         res = ((g["l_orderkey"] + g["l_linenumber"]) % 3) / 2.0
         opp = 1500 + (g["l_partkey"] % 800)
         n = len(g)
@@ -1724,6 +1732,11 @@ ORACLES: dict[str, str] = {
     # scale — the engine's round(j, 6) >= t can only diverge within
     # 5e-7 of the threshold, and shingle-set sizes cap at ~2.5k so the
     # nearest non-equal rational is ≥ 4e-4 away).
+    # PRECONDITION (shared by all the near-dup oracles + text_langid):
+    # the corpus is ASCII — DuckDB's RE2 '\w' is ASCII-only while the
+    # engine's Python '\w' is Unicode, so 'würld' tokenizes differently
+    # on the two sides. tests/test_r4_ops.py pins brute-force==LSH on
+    # the actual gate corpus, which also guards this.
     "dedup_minhash": """
         WITH RECURSIVE toks AS (
           SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t
@@ -1800,12 +1813,21 @@ ORACLES: dict[str, str] = {
         th AS (SELECT doc_id, cnt,
                       CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h
                FROM tc),
-        bits AS (
+        acc AS (
           SELECT doc_id, jj.j AS j,
-                 CASE WHEN sum(cnt * (2 * CAST((h >> jj.j) & 1 AS BIGINT) - 1)) > 0
-                      THEN 1 ELSE 0 END AS b
+                 sum(cnt * (2 * CAST((h >> jj.j) & 1 AS BIGINT) - 1)) AS a
           FROM th CROSS JOIN (SELECT unnest(range(64)) AS j) jj
           GROUP BY doc_id, jj.j
+        ),
+        -- every doc gets 64 bit rows; token-less docs (no tc rows)
+        -- coalesce to the all-zero simhash, matching the engine's
+        -- simhash64('') == 0 (two such docs are hamming-0 duplicates)
+        bits AS (
+          SELECT d.doc_id, jj.j AS j,
+                 CASE WHEN coalesce(a.a, 0) > 0 THEN 1 ELSE 0 END AS b
+          FROM documents d
+          CROSS JOIN (SELECT unnest(range(64)) AS j) jj
+          LEFT JOIN acc a ON a.doc_id = d.doc_id AND a.j = jj.j
         ),
         ham AS (
           SELECT ba.doc_id AS x, bb.doc_id AS y,
@@ -2092,6 +2114,7 @@ ORACLES["perf_rating_dp"] = f"""
                CAST(sum(res2) AS BIGINT) AS points_x2,
                CAST(sum(opp) AS BIGINT) AS rating_sum
         FROM sel GROUP BY suppkey
+        HAVING count(*) >= 8  -- mirror of the engine's explicit n>=8 gate
     ),
     dp(n, p2, delta) AS (VALUES {_perf_dp_values()}),
     fin AS (

@@ -467,35 +467,43 @@ def png_decode(payload: bytes):
     return (w, h, ch, out.reshape(h, w, ch))
 
 
+def _pixel_stats_batch(batch: pa.Table, decoder) -> pa.Table:
+    """Shared body of the pixel-stats stages: decode every payload with
+    ``decoder`` (→ (w, h, channels, ndarray) or None), emit per-channel
+    integer pixel sums; undecodable / non-RGB payloads yield null rows
+    (error → null, never drop)."""
+    w_out, h_out, rs, gs, bs = [], [], [], [], []
+    for p in batch["media_payload"].to_pylist():
+        dec = decoder(p) if p is not None else None
+        if dec is None or dec[2] != 3:
+            w_out.append(None), h_out.append(None)
+            rs.append(None), gs.append(None), bs.append(None)
+            continue
+        w, h, _, arr = dec
+        s = arr.astype(np.int64).reshape(-1, 3).sum(axis=0)
+        w_out.append(w), h_out.append(h)
+        rs.append(int(s[0])), gs.append(int(s[1])), bs.append(int(s[2]))
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "width": pa.array(w_out, pa.int64()),
+        "height": pa.array(h_out, pa.int64()),
+        "r_sum": pa.array(rs, pa.int64()),
+        "g_sum": pa.array(gs, pa.int64()),
+        "b_sum": pa.array(bs, pa.int64()),
+    })
+
+
 class JpegPixelStatsStage:
     """Actor-pool REAL-decode stage for baseline JPEG: pure-python
     ``jpeg_decode`` (stages/jpeg.py — Huffman + IDCT + color convert)
     per payload, per-channel integer pixel sums out. Same contract as
-    PngPixelStatsStage; together they close M16's pixel-decode gap
-    without any image library."""
+    PngPixelStatsStage (shared ``_pixel_stats_batch`` body); together
+    they close M16's pixel-decode gap without any image library."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .jpeg import jpeg_decode
 
-        w_out, h_out, rs, gs, bs = [], [], [], [], []
-        for p in batch["media_payload"].to_pylist():
-            dec = jpeg_decode(p) if p is not None else None
-            if dec is None or dec[2] != 3:
-                w_out.append(None), h_out.append(None)
-                rs.append(None), gs.append(None), bs.append(None)
-                continue
-            w, h, _, arr = dec
-            s = arr.astype(np.int64).reshape(-1, 3).sum(axis=0)
-            w_out.append(w), h_out.append(h)
-            rs.append(int(s[0])), gs.append(int(s[1])), bs.append(int(s[2]))
-        return pa.table({
-            "doc_id": batch["doc_id"],
-            "width": pa.array(w_out, pa.int64()),
-            "height": pa.array(h_out, pa.int64()),
-            "r_sum": pa.array(rs, pa.int64()),
-            "g_sum": pa.array(gs, pa.int64()),
-            "b_sum": pa.array(bs, pa.int64()),
-        })
+        return _pixel_stats_batch(batch, jpeg_decode)
 
 
 class PngPixelStatsStage:
@@ -505,22 +513,4 @@ class PngPixelStatsStage:
     init once here; this one is stateless but keeps the same shape."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        w_out, h_out, rs, gs, bs = [], [], [], [], []
-        for p in batch["media_payload"].to_pylist():
-            dec = png_decode(p) if p is not None else None
-            if dec is None or dec[2] != 3:
-                w_out.append(None), h_out.append(None)
-                rs.append(None), gs.append(None), bs.append(None)
-                continue
-            w, h, _, arr = dec
-            s = arr.astype(np.int64).reshape(-1, 3).sum(axis=0)
-            w_out.append(w), h_out.append(h)
-            rs.append(int(s[0])), gs.append(int(s[1])), bs.append(int(s[2]))
-        return pa.table({
-            "doc_id": batch["doc_id"],
-            "width": pa.array(w_out, pa.int64()),
-            "height": pa.array(h_out, pa.int64()),
-            "r_sum": pa.array(rs, pa.int64()),
-            "g_sum": pa.array(gs, pa.int64()),
-            "b_sum": pa.array(bs, pa.int64()),
-        })
+        return _pixel_stats_batch(batch, png_decode)

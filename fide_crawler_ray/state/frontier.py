@@ -147,6 +147,25 @@ class SeenFilterShard:
         self.counters["admitted"] += admitted.num_rows
         return admitted
 
+    def seen_stats(self) -> dict:
+        """Memory accounting of this shard's seen tier — used by
+        tools/bench_frontier.py for the 10^10-URL extrapolation
+        (measured bytes per URL, not an analytic estimate)."""
+        s = self.seen
+        seg_rows = int(sum(len(seg) for seg in s.segments))
+        return {
+            "n_seen": int(s.n),
+            "exact_inmem_rows": len(s.exact),
+            "exact_inmem_bytes": len(s.exact) * 20,
+            "segments": len(s.segments),
+            "segment_rows": seg_rows,
+            "segment_bytes": int(sum(seg.nbytes for seg in s.segments)),
+            "bloom_bytes": int(sum(b.bits.nbytes
+                                   for b in s.seg_blooms)),
+            "cuckoo_bytes": int(s.cuckoo.table.nbytes)
+            if hasattr(s.cuckoo, "table") else 0,
+        }
+
     def mark_seen(self, rows: pa.Table) -> int:
         """Insert URL hashes WITHOUT admission — the store-cache pre-seed
         path (ST2): URLs whose content the store already holds are never

@@ -82,9 +82,12 @@ def main(n_urls: int, n_cpus: int) -> None:
 
     spill_dir = "/tmp/fcray_frontier_bench_spill"
     shutil.rmtree(spill_dir, ignore_errors=True)
+    # seen_max_inmem is deliberately small so the sorted-segment spill
+    # tier (the 10^10 path: 16 B/URL numpy pairs + per-segment blooms)
+    # is what gets measured, not the in-memory python-set tier
     filters = [SeenFilterShard.remote(i, N_FILTERS,
                                       seen_capacity=1 << 20,
-                                      seen_max_inmem=1 << 18)
+                                      seen_max_inmem=1 << 15)
                for i in range(N_FILTERS)]
     shards = [FrontierShard.remote(i, N_SHARDS, politeness_gap_us=1_000,
                                    max_pending_inmem=200_000,
@@ -145,22 +148,28 @@ def main(n_urls: int, n_cpus: int) -> None:
         popped += got
     t_pop = time.perf_counter() - t0
 
-    # memory accounting in the seen tier
-    stats = None
+    # memory accounting in the seen tier — MEASURED from the shards
+    stats = ray.get([f.seen_stats.remote() for f in filters])
+    seen_n = sum(st["n_seen"] for st in stats)
+    seen_bytes = sum(st["exact_inmem_bytes"] + st["segment_bytes"]
+                     + st["bloom_bytes"] + st["cuckoo_bytes"]
+                     for st in stats)
     spill_bytes = sum(
         os.path.getsize(os.path.join(spill_dir, f))
         for f in os.listdir(spill_dir)) if os.path.isdir(spill_dir) else 0
 
-    total_seen = int(n_urls * 1.5)
     print(json.dumps({
         "n_cpus": n_cpus, "n_urls": n_urls,
         "fresh_offers_per_sec": round(offered / t_fresh, 1),
         "mixed_offers_per_sec": round(re_offered / t_mixed, 1),
         "pops_per_sec": round(popped / t_pop, 1),
         "popped": popped,
-        "unique_seen": total_seen,
+        "seen_n": seen_n,
+        "seen_bytes": seen_bytes,
+        "seen_bytes_per_url": round(seen_bytes / max(1, seen_n), 1),
+        "seen_segments": sum(st["segments"] for st in stats),
         "pending_spill_bytes": spill_bytes,
-        "seen_stats": stats,
+        "pending_spill_bytes_per_url": round(spill_bytes / max(1, popped), 1),
     }))
     shutil.rmtree(spill_dir, ignore_errors=True)
     ray.shutdown()

@@ -5,10 +5,14 @@ evidence that the heavy operators grow ~linearly past it (cardinality
 guards actually flipping to their distributed tiers, no driver-memory
 spikes). This tool replicates /root/testdata/sf0.1 K× with shifted keys
 (foreign-key relationships preserved: replica r offsets every key space
-by r·|keyspace|), writing to a scratch dir. Texts get a per-replica
-suffix so near-dup survivor sets keep the same per-replica structure
-without collapsing across replicas; embeddings get a tiny deterministic
-per-replica rotation for the same reason.
+by r·|keyspace|), writing to a scratch dir. Texts get per-replica vocabulary renaming so
+near-dup survivor sets keep the same per-replica structure without
+collapsing across replicas; embeddings get small deterministic additive
+Gaussian perturbation for the same reason. NOTE: the perturbation moves
+pairwise cosines, so the dedup_embedding ORACLE's exactness margin
+(no pair within 1e-4 of the 0.98 threshold) is only verified on the
+driver corpora — sf_big outputs are for throughput/memory stress, not
+oracle comparison.
 
 Usage: python tools/make_sf_big.py [K] [out_dir]
 Defaults: K=10 (→ "sf1"), out_dir=/tmp/testdata_sf1.
