@@ -6,13 +6,15 @@ The reference's media surface is the base64 data-URI profile photo
 (reference: ui/streamlit_ui.py:14-25 splits the data-URI, b64-decodes,
 PIL-opens). The engine-side plumbing is real — data-URI parsing, binary
 columns, small batch sizes for wide rows, actor-pool signatures — and so
-is the pixel decode for the two formats that matter (r4, closing M16):
-pure-python PNG (``png_decode`` — stdlib zlib + scanline unfiltering)
-and pure-python baseline JPEG (``stages/jpeg.py`` — Huffman + IDCT +
-4:2:0/4:2:2/4:4:4 + restart markers). PIL is still preferred when
-importable (import-gated in ``__init__``, once per actor) for formats
-beyond those (GIF pixels, progressive JPEG); only payloads NO tier can
-decode fall to the deterministic hash-derived stub dims.
+is the pixel decode for the three formats that matter (r4, closing
+M16): pure-python PNG (``png_decode`` — stdlib zlib + scanline
+unfiltering), pure-python baseline JPEG (``stages/jpeg.py`` — Huffman +
+IDCT + 4:2:0/4:2:2/4:4:4 + restart markers), and pure-python GIF
+(``stages/gif.py`` — LZW + interlace + local/global color tables). PIL
+is still preferred when importable (import-gated in ``__init__``, once
+per actor) for formats beyond those (progressive JPEG, animated-GIF
+later frames); only payloads NO tier can decode fall to the
+deterministic hash-derived stub dims.
 
 Scale notes (SURVEY.md §7 hard part (e)): media payloads stay in a
 separate binary column; batches are kept small (``MEDIA_BATCH_SIZE``) so
@@ -98,15 +100,33 @@ def parse_image_dims(payload: bytes) -> tuple[int, int] | None:
     return None
 
 
+def _pure_python_decode(payload: bytes):
+    """Shared no-image-library pixel-decode chain: PNG (``png_decode``)
+    → baseline JPEG (stages/jpeg.py) → GIF (stages/gif.py, LZW).
+    Returns (w, h, channels, ndarray) or None."""
+    dec = png_decode(payload)
+    if dec is None:
+        from .jpeg import jpeg_decode
+
+        dec = jpeg_decode(payload)
+    if dec is None:
+        from .gif import gif_decode
+
+        dec = gif_decode(payload)
+    return dec
+
+
 class ImageDecodeStub:
     """Actor-pool decode stage. Decode priority per payload:
 
     1. PIL, when importable (absent in this environment);
-    2. pure-python FULL pixel decode — ``png_decode`` (stdlib zlib +
-       scanline unfiltering) for 8-bit non-interlaced PNGs, then
-       ``jpeg_decode`` (stages/jpeg.py) for baseline JPEGs;
+    2. pure-python FULL pixel decode (``_pure_python_decode``) —
+       ``png_decode`` (stdlib zlib + scanline unfiltering) for 8-bit
+       non-interlaced PNGs, ``jpeg_decode`` (stages/jpeg.py) for
+       baseline JPEGs, ``gif_decode`` (stages/gif.py LZW) for GIFs;
     3. pure-python header parse (``parse_image_dims``) — REAL dimensions
-       for the remainder (GIF, progressive JPEG), no image library;
+       for the remainder (progressive JPEG, 16-bit PNG), no image
+       library;
     4. deterministic hash-derived stub dims (undecodable payloads only;
        the Ray-side plumbing — schema, batch size, actor lifecycle —
        is still exercised end-to-end).
@@ -131,11 +151,7 @@ class ImageDecodeStub:
                     return im.size
             except Exception:
                 return (None, None)
-        dec = png_decode(payload)  # REAL pixel decode, stdlib-only
-        if dec is None:
-            from .jpeg import jpeg_decode
-
-            dec = jpeg_decode(payload)  # REAL baseline-JPEG decode
+        dec = _pure_python_decode(payload)  # REAL pixel decode, no libs
         if dec is not None:
             return (dec[0], dec[1])
         dims = parse_image_dims(payload)
@@ -243,11 +259,7 @@ class ImageResizeStub:
                         continue
                 except Exception:
                     pass
-            dec = png_decode(p)
-            if dec is None:
-                from .jpeg import jpeg_decode
-
-                dec = jpeg_decode(p)
+            dec = _pure_python_decode(p)
             if dec is not None and dec[2] == 3 and nw <= dec[0] \
                     and nh <= dec[1]:
                 # REAL resample: integer area average over an exact
