@@ -262,7 +262,15 @@ def run_scaling() -> None:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--frontier" in sys.argv:
+        # frontier-tier stress (offers/pops through the real actor
+        # banks + measured per-URL memory) — see tools/bench_frontier.py
+        from tools.bench_frontier import main as _frontier_main
+
+        _frontier_main(int(os.environ.get("FCRAY_FRONTIER_URLS",
+                                          "1000000")),
+                       int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    elif "--scaling" in sys.argv:
         run_scaling()
     elif os.environ.get("FCRAY_BENCH_MODE") == "scaling-workload":
         print(json.dumps(run_scaling_workload()))
