@@ -84,11 +84,20 @@ def _lzw_decode(min_code: int, data: bytes, max_pixels: int) -> list[int]:
     return out
 
 
+# decode work/memory cap: a crafted header can declare 65535×65535 and
+# self-referential LZW codes expand quadratically, so bound BOTH the
+# declared pixel count and the LZW output before allocating anything.
+# 64 Mpx ≈ 192 MB RGB — far above any profile photo, far below OOM.
+MAX_PIXELS = 1 << 26
+
+
 def _gif_decode_inner(payload: bytes):
     n = len(payload)
     if n < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
         return None
     sw, sh = struct.unpack("<HH", payload[6:10])
+    if sw * sh > MAX_PIXELS:
+        return None
     flags, bg_idx, _aspect = payload[10], payload[11], payload[12]
     pos = 13
     gct = None
@@ -109,6 +118,8 @@ def _gif_decode_inner(payload: bytes):
         if b != 0x2C:
             return None
         left, top, iw, ih = struct.unpack("<HHHH", payload[pos + 1:pos + 9])
+        if iw * ih > MAX_PIXELS:
+            return None
         iflags = payload[pos + 9]
         pos += 10
         table = gct
@@ -139,17 +150,18 @@ def _gif_decode_inner(payload: bytes):
             frame = de
         if (frame >= len(table)).any():
             return None
-        # compose onto the logical screen (bg fill for partial frames)
-        bg = bg_idx if gct is not None and bg_idx < len(gct) else 0
-        screen = np.full((sh, sw), bg, dtype=np.int64)
+        # colorize the FRAME through its own (local-or-global) table,
+        # the background through the GLOBAL table, then compose in RGB
+        # space — index spaces of the two tables must never mix
+        frame_rgb = table[frame]
+        bg_rgb = (gct[bg_idx] if gct is not None and bg_idx < len(gct)
+                  else np.zeros(3, dtype=np.uint8))
+        screen = np.empty((sh, sw, 3), dtype=np.uint8)
+        screen[:] = bg_rgb
         y1, x1 = min(sh, top + ih), min(sw, left + iw)
         if top < sh and left < sw:
-            screen[top:y1, left:x1] = frame[: y1 - top, : x1 - left]
-        screen_tbl = gct if gct is not None else table
-        if (screen >= len(screen_tbl)).any():
-            return None
-        rgb = screen_tbl[screen]
-        return (sw, sh, 3, rgb.astype(np.uint8))
+            screen[top:y1, left:x1] = frame_rgb[: y1 - top, : x1 - left]
+        return (sw, sh, 3, screen)
     return None
 
 

@@ -115,6 +115,12 @@ def _dct2(block: np.ndarray) -> np.ndarray:
     return _C @ block @ _C.T
 
 
+# decode work/memory cap (shared policy with stages/gif.py): SOF0 can
+# declare 65535×65535 (~13 GB of float planes) — reject before any
+# allocation. 64 Mpx covers any real photo.
+MAX_PIXELS = 1 << 26
+
+
 # -------------------------------------------------------------- huffman
 
 def _build_decode_table(bits, huffval):
@@ -277,6 +283,8 @@ def _jpeg_decode_inner(payload: bytes):
                 return None
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
+            if w * h > MAX_PIXELS:
+                return None
             nc = body[5]
             comps = []
             for c in range(nc):

@@ -437,9 +437,19 @@ def png_decode(payload: bytes):
     if (w is None or not idat or bitdepth != 8 or interlace != 0
             or color not in _PNG_CHANNELS):
         return None
+    # decode work/memory cap (shared policy with stages/jpeg.py and
+    # stages/gif.py): a crafted IHDR + zlib bomb can expand a small
+    # payload to multi-GB — bound the declared pixel count AND pass
+    # an explicit max length to decompress before any allocation
+    if w * h > (1 << 26):
+        return None
     ch = _PNG_CHANNELS[color]
     try:
-        raw = _z.decompress(b"".join(idat))
+        # decompressobj + max_length HARD-caps the inflated size (plain
+        # decompress's bufsize is only a hint); one surplus byte makes
+        # the exact-length check below fail → None, never an OOM
+        raw = _z.decompressobj().decompress(
+            b"".join(idat), h * (w * ch + 1) + 1)
     except Exception:
         return None
     stride = w * ch

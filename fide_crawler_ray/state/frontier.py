@@ -150,20 +150,29 @@ class SeenFilterShard:
     def seen_stats(self) -> dict:
         """Memory accounting of this shard's seen tier — used by
         tools/bench_frontier.py for the 10^10-URL extrapolation
-        (measured bytes per URL, not an analytic estimate)."""
+        (measured bytes per URL, not an analytic estimate: the exact
+        in-memory tier is costed at its REAL Python footprint —
+        getsizeof(set) + getsizeof per bytes element — which is ~4×
+        the 20 payload bytes; the spilled segments are the tier that
+        dominates at scale and they are flat numpy)."""
+        import sys as _sys
+
         s = self.seen
         seg_rows = int(sum(len(seg) for seg in s.segments))
+        exact_bytes = _sys.getsizeof(s.exact) + sum(
+            _sys.getsizeof(h) for h in s.exact)
+        ovf = getattr(s.cuckoo, "overflow", None) or set()
         return {
             "n_seen": int(s.n),
             "exact_inmem_rows": len(s.exact),
-            "exact_inmem_bytes": len(s.exact) * 20,
+            "exact_inmem_bytes": int(exact_bytes),
             "segments": len(s.segments),
             "segment_rows": seg_rows,
             "segment_bytes": int(sum(seg.nbytes for seg in s.segments)),
             "bloom_bytes": int(sum(b.bits.nbytes
                                    for b in s.seg_blooms)),
             "cuckoo_bytes": int(s.cuckoo.table.nbytes)
-            if hasattr(s.cuckoo, "table") else 0,
+            + int(_sys.getsizeof(ovf)) + 28 * len(ovf),
         }
 
     def mark_seen(self, rows: pa.Table) -> int:

@@ -561,3 +561,87 @@ def test_decode_stage_reads_real_gif_pixels():
     w, h, ch, arr = png_decode(thumb["thumb_payload"][0].as_py())
     assert (w, h, ch) == (16, 8, 3)
     assert set(map(tuple, arr.reshape(-1, 3).tolist())) == {(200, 40, 90)}
+
+
+def test_gif_local_color_table_and_bg_composition():
+    """Frame indices resolve through the frame's OWN (local) color
+    table; the background fills through the GLOBAL table — the two
+    index spaces never mix (regression: a local-table frame used to
+    colorize through the GCT)."""
+    import struct
+
+    import numpy as np
+
+    from fide_crawler_ray.stages.gif import gif_decode
+
+    # GCT = [white, white]; 2x2 frame at (1,1) with LCT [black, red],
+    # all pixels index 1 → red frame on white background
+    def chunks(bits):
+        out = bytearray()
+        for i in range(0, len(bits), 255):
+            c = bits[i:i + 255]
+            out += bytes([len(c)]) + bytes(c)
+        return out + b"\x00"
+
+    # min_code=7 keeps the dictionary far from a width bump for this
+    # 4-pixel stream: CLEAR=128, idx 1 ×4, EOI=129, all 8-bit codes
+    codes = [(128, 8), (1, 8), (1, 8), (1, 8), (1, 8), (129, 8)]
+    acc = nb = 0
+    bits = bytearray()
+    for code, w in codes:
+        acc |= code << nb
+        nb += w
+        while nb >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nb -= 8
+    if nb:
+        bits.append(acc & 0xFF)
+    gif = bytearray(b"GIF89a")
+    gif += struct.pack("<HH", 4, 4) + bytes([0x80, 0, 0])  # GCT 2 entries
+    gif += bytes([255, 255, 255, 255, 255, 255])           # white, white
+    gif += b"\x2c" + struct.pack("<HHHH", 1, 1, 2, 2)
+    gif += bytes([0x80])                                   # LCT 2 entries
+    gif += bytes([0, 0, 0, 255, 0, 0])                     # black, red
+    gif += bytes([7]) + chunks(bits)
+    gif += b"\x3b"
+    dec = gif_decode(bytes(gif))
+    assert dec is not None and dec[:3] == (4, 4, 3)
+    arr = dec[3]
+    assert tuple(arr[0, 0]) == (255, 255, 255)  # bg via GCT
+    assert tuple(arr[1, 1]) == (255, 0, 0)      # frame via LCT
+    assert tuple(arr[2, 2]) == (255, 0, 0)
+    assert tuple(arr[3, 3]) == (255, 255, 255)
+
+
+def test_decoders_reject_dimension_bombs():
+    """Crafted headers declaring huge dimensions must be rejected
+    BEFORE allocation (the never-crash contract covers adversarial
+    payloads, not just malformed ones)."""
+    import struct
+    import zlib
+
+    from fide_crawler_ray.stages.gif import gif_decode
+    from fide_crawler_ray.stages.jpeg import jpeg_decode
+    from fide_crawler_ray.stages.media import png_decode
+
+    # GIF logical screen 65535x65535
+    g = (b"GIF89a" + struct.pack("<HH", 65535, 65535)
+         + bytes([0x80, 0, 0]) + bytes(6) + b"\x3b")
+    assert gif_decode(g) is None
+    # JPEG SOF0 65535x65535
+    j = (b"\xff\xd8\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+         + struct.pack(">HH", 65535, 65535) + b"\x01\x01\x11\x00"
+         + b"\xff\xd9")
+    assert jpeg_decode(j) is None
+    # PNG zlib bomb: IHDR 20000x20000 RGB + tiny compressed IDAT
+    ihdr = struct.pack(">IIBBBBB", 20000, 20000, 8, 2, 0, 0, 0)
+
+    def chunk(typ, data):
+        c = struct.pack(">I", len(data)) + typ + data
+        return c + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+    p = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+         + chunk(b"IDAT", zlib.compress(b"\x00" * 100000))
+         + chunk(b"IEND", b""))
+    assert png_decode(p) is None

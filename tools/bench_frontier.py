@@ -137,6 +137,15 @@ def main(n_urls: int, n_cpus: int) -> None:
                              for a, b in zip(dup, new)])
     t_mixed = time.perf_counter() - t0
 
+    # spill-tier accounting at PEAK PENDING (before the drain): chunk
+    # files are append-only for resume-safety, so measuring after the
+    # pops would report cumulative-ever-spilled as if it were pending
+    shard_stats = ray.get([s.stats.remote() for s in shards])
+    spilled_urls = sum(st.get("spilled", 0) for st in shard_stats)
+    peak_spill_bytes = sum(
+        os.path.getsize(os.path.join(spill_dir, f))
+        for f in os.listdir(spill_dir)) if os.path.isdir(spill_dir) else 0
+
     # phase 3: pop everything in politeness order
     t0 = time.perf_counter()
     popped = 0
@@ -154,9 +163,6 @@ def main(n_urls: int, n_cpus: int) -> None:
     seen_bytes = sum(st["exact_inmem_bytes"] + st["segment_bytes"]
                      + st["bloom_bytes"] + st["cuckoo_bytes"]
                      for st in stats)
-    spill_bytes = sum(
-        os.path.getsize(os.path.join(spill_dir, f))
-        for f in os.listdir(spill_dir)) if os.path.isdir(spill_dir) else 0
 
     print(json.dumps({
         "n_cpus": n_cpus, "n_urls": n_urls,
@@ -168,8 +174,10 @@ def main(n_urls: int, n_cpus: int) -> None:
         "seen_bytes": seen_bytes,
         "seen_bytes_per_url": round(seen_bytes / max(1, seen_n), 1),
         "seen_segments": sum(st["segments"] for st in stats),
-        "pending_spill_bytes": spill_bytes,
-        "pending_spill_bytes_per_url": round(spill_bytes / max(1, popped), 1),
+        "peak_spill_bytes": peak_spill_bytes,
+        "spilled_urls": spilled_urls,
+        "spill_bytes_per_spilled_url": round(
+            peak_spill_bytes / max(1, spilled_urls), 1),
     }))
     shutil.rmtree(spill_dir, ignore_errors=True)
     ray.shutdown()
