@@ -181,7 +181,11 @@ def fast_groupby_agg(ds, keys: list[str], aggs: dict[str, tuple[str | None, str]
                 elif op == "mean":
                     specs.append((f"__{name}_s", col, "sum"))
                     specs.append((f"__{name}_c", col, "count"))
-            return _arrow_groupby(b, keys, specs)
+            try:
+                return _arrow_groupby(b, keys, specs)
+            except AssertionError:
+                pass  # group_by column order changed (pyarrow upgrade):
+                # fall through to the pandas path, same output
         empty = b.num_rows == 0
         if empty:  # typed dummy row keeps the partial schema stable
             b = _dummy_row(b.schema)
@@ -253,8 +257,14 @@ def _final_combine(b: pa.Table, keys, aggs) -> pa.Table:
                                    for c, fn in specs]):
         import pyarrow.compute as _pc
 
-        r = _arrow_groupby(
-            b, keys, [(c, c, fn) for c, fn in specs])
+        try:
+            r = _arrow_groupby(
+                b, keys, [(c, c, fn) for c, fn in specs])
+        except AssertionError:
+            r = None  # pyarrow column-order change: pandas fallback
+    else:
+        r = None
+    if r is not None:
         cols = {k: r[k] for k in keys}
         for name, (col, op) in aggs.items():
             if op == "count":
