@@ -36,18 +36,38 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
-class BruteForceTopK:
-    """map_batches stage: per-batch local top-k cosine scores per query."""
+def _normalize64(m: np.ndarray) -> np.ndarray:
+    """float64 unit rows — the precision the tight driver oracles need
+    (DuckDB DOUBLE[] cosine agrees with this to ~1e-15; the float32
+    path agrees only to ~1e-7, fine for round-4 scores but not for
+    1e-6 fixed-point quantization)."""
+    m = np.asarray(m, dtype=np.float64)
+    return m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
 
-    def __init__(self, queries_ref, k: int):
+
+class BruteForceTopK:
+    """map_batches stage: per-batch local top-k cosine scores per query.
+
+    ``precise=True`` normalizes batch vectors and queries in float64
+    (instead of float32-normalize-then-cast) so scores match a DuckDB
+    DOUBLE replay to ~1e-15 — required by the deterministic IVF driver
+    oracle where candidate sets depend on exact rank boundaries."""
+
+    def __init__(self, queries_ref, k: int, precise: bool = False):
         q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
-        self.q = _normalize(np.asarray(q, dtype=np.float32))  # (nq, d)
+        self.precise = precise
+        if precise:
+            self.q = _normalize64(q)  # (nq, d) float64
+        else:
+            self.q = _normalize(np.asarray(q, dtype=np.float32))  # (nq, d)
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # score in float64 so ranking ties out identically with the
         # double-precision oracle; rounding happens only at final output
-        vecs = _normalize(_to_matrix(batch["embedding"])).astype(np.float64)
+        m = _to_matrix(batch["embedding"])
+        vecs = (_normalize64(m) if self.precise
+                else _normalize(m).astype(np.float64))
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
         sims = vecs @ self.q.T.astype(np.float64)  # (n, nq)
         n, nq = sims.shape
@@ -139,12 +159,15 @@ def topk_reduce(k: int):
     return _f
 
 
-def brute_force_topk(embeddings_ds, queries: np.ndarray, k: int = 10):
+def brute_force_topk(embeddings_ds, queries: np.ndarray, k: int = 10,
+                     precise: bool = False):
     """Exact cosine top-k: Dataset of (vec_id, embedding) → Dataset of
-    (query_id, vec_id, score, rank)."""
-    qref = ray.put(np.asarray(queries, dtype=np.float32))
+    (query_id, vec_id, score, rank). ``precise`` → float64 scoring
+    (see BruteForceTopK)."""
+    qref = ray.put(np.asarray(queries,
+                              dtype=np.float64 if precise else np.float32))
     partials = embeddings_ds.map_batches(
-        BruteForceTopK, fn_constructor_args=(qref, k),
+        BruteForceTopK, fn_constructor_args=(qref, k, precise),
         batch_format="pyarrow", batch_size=4096, concurrency=4, num_cpus=0.5,
     )
     return partials.groupby("query_id").map_groups(topk_reduce(k), batch_format="pandas")
@@ -167,6 +190,33 @@ def sample_centroids(embeddings_ds, n_centroids: int, seed: int = 42) -> np.ndar
         batch_format="pyarrow",
     ).sort("h").limit(n_centroids).take_all()
     return _normalize(np.stack([np.asarray(r["embedding"], dtype=np.float32) for r in rows]))
+
+
+def md5_sample_centroids(embeddings_ds, n_centroids: int,
+                         tag: str = "ivf:42") -> np.ndarray:
+    """Deterministic AND SQL-replayable centroid sample: the
+    ``n_centroids`` corpus vectors with the lexicographically smallest
+    ``md5(f"{tag}:{vec_id}")`` hex digest (vec_id tie-break) — DuckDB
+    replays the selection as ``ROW_NUMBER() OVER (ORDER BY
+    md5(tag || ':' || vec_id), vec_id)``, which crc32 (the
+    ``sample_centroids`` key) cannot. Distributed the same way: the key
+    is added per batch, one sort + limit moves only n_centroids rows.
+    Returns float64 unit rows in digest order (the bucket index both
+    engines agree on)."""
+    import hashlib
+
+    rows = embeddings_ds.map_batches(
+        lambda b: pa.table({
+            "vec_id": b["vec_id"],
+            "h": pa.array(
+                [hashlib.md5(f"{tag}:{v}".encode()).hexdigest()
+                 for v in b["vec_id"].to_pylist()], pa.string()),
+            "embedding": b["embedding"],
+        }),
+        batch_format="pyarrow",
+    ).sort(["h", "vec_id"]).limit(n_centroids).take_all()
+    return _normalize64(np.stack([
+        np.asarray(r["embedding"], dtype=np.float32) for r in rows]))
 
 
 def kmeans_centroids(embeddings_ds, n_centroids: int, iters: int = 5,
@@ -232,31 +282,93 @@ def kmeans_centroids(embeddings_ds, n_centroids: int, iters: int = 5,
     return cents
 
 
-class IvfAssign:
-    """Adds an ivf_bucket column: argmax cosine against the centroids."""
+class ScopedTopK(BruteForceTopK):
+    """Per-query bucket scoping applied to the score matrix BEFORE the
+    local top-k (the BruteForceTopKExclude masking pattern): a vector
+    outside a query's probed buckets must not occupy one of that
+    query's k local slots. (r5 fix — the r4 version filtered AFTER the
+    batch-global top-k, silently returning <k results per query; the
+    deterministic ann_ivf oracle caught it.) Shared by the in-memory
+    and persisted IVF search paths."""
 
-    def __init__(self, centroids_ref):
-        c = ray.get(centroids_ref) if not isinstance(centroids_ref, np.ndarray) else centroids_ref
-        self.c = _normalize(np.asarray(c, dtype=np.float32))
+    def __init__(self, queries_ref, probe_ref, k: int,
+                 bucket_col: str = "ivf_bucket", precise: bool = False):
+        super().__init__(queries_ref, k, precise=precise)
+        self.probe = ray.get(probe_ref)
+        self.bucket_col = bucket_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = _normalize(_to_matrix(batch["embedding"]))
+        m = _to_matrix(batch["embedding"])
+        vecs = (_normalize64(m) if self.precise
+                else _normalize(m).astype(np.float64))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        buckets = np.asarray(
+            batch[self.bucket_col].to_numpy(zero_copy_only=False),
+            dtype=np.int64)
+        sims = vecs @ self.q.T.astype(np.float64)  # (n, nq)
+        for j in range(sims.shape[1]):
+            sims[~np.isin(buckets, np.asarray(self.probe[j],
+                                              dtype=np.int64)), j] = -np.inf
+        n, nq = sims.shape
+        kk = min(self.k, n)
+        out_q, out_id, out_s = [], [], []
+        for j in range(nq):
+            col = sims[:, j]
+            idx = (np.argpartition(-col, kk - 1)[:kk]
+                   if kk < n else np.arange(n))
+            for i in idx:
+                if col[i] == -np.inf:
+                    continue
+                out_q.append(j)
+                out_id.append(int(ids[i]))
+                out_s.append(float(col[i]))
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int32()),
+            "vec_id": pa.array(out_id, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        })
+
+
+class IvfAssign:
+    """Adds an ivf_bucket column: argmax cosine against the centroids.
+    Ties break to the lowest centroid index (np.argmax first-max), which
+    the SQL replay mirrors with ``ORDER BY cos DESC, cidx``. ``precise``
+    runs the float64 path (see BruteForceTopK)."""
+
+    def __init__(self, centroids_ref, precise: bool = False):
+        c = ray.get(centroids_ref) if not isinstance(centroids_ref, np.ndarray) else centroids_ref
+        self.precise = precise
+        self.c = (_normalize64(c) if precise
+                  else _normalize(np.asarray(c, dtype=np.float32)))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch["embedding"])
+        vecs = _normalize64(m) if self.precise else _normalize(m)
         bucket = (vecs @ self.c.T).argmax(axis=1).astype(np.int32)
         return batch.append_column("ivf_bucket", pa.array(bucket, pa.int32()))
 
 
 def ivf_search(embeddings_ds, centroids: np.ndarray, queries: np.ndarray,
-               k: int = 10, nprobe: int = 4):
+               k: int = 10, nprobe: int = 4, precise: bool = False):
     """IVF top-k: probe the nprobe nearest buckets per query, then exact
-    cosine within the probed subset."""
-    cref = ray.put(np.asarray(centroids, dtype=np.float32))
+    cosine within the probed subset. ``precise=True`` computes every
+    cosine (assignment, probe ranking, scoring) in float64 with stable
+    index tie-breaks so the whole result is exactly replayable in
+    DuckDB DOUBLE arithmetic (the deterministic driver-oracle path)."""
+    cref = ray.put(np.asarray(centroids,
+                              dtype=np.float64 if precise else np.float32))
     assigned = embeddings_ds.map_batches(
-        IvfAssign, fn_constructor_args=(cref,),
+        IvfAssign, fn_constructor_args=(cref, precise),
         batch_format="pyarrow", batch_size=4096, concurrency=4, num_cpus=0.5,
     )
-    qn = _normalize(np.asarray(queries, dtype=np.float32))
-    cn = _normalize(np.asarray(centroids, dtype=np.float32))
-    probe = np.argsort(-(qn @ cn.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    if precise:
+        qn = _normalize64(queries)
+        cn = _normalize64(centroids)
+    else:
+        qn = _normalize(np.asarray(queries, dtype=np.float32))
+        cn = _normalize(np.asarray(centroids, dtype=np.float32))
+    probe = np.argsort(-(qn @ cn.T), axis=1,
+                       kind="stable")[:, :nprobe]  # (nq, nprobe)
     wanted = set(int(b) for b in probe.reshape(-1))
     filtered = assigned.map_batches(
         lambda b: b.filter(
@@ -269,24 +381,9 @@ def ivf_search(embeddings_ds, centroids: np.ndarray, queries: np.ndarray,
     qref = ray.put(qn)
     pref = ray.put(probe)
 
-    class _ScopedTopK(BruteForceTopK):
-        def __init__(self):
-            super().__init__(qref, k)
-            self.probe = ray.get(pref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            out = super().__call__(batch.drop_columns(["ivf_bucket"]))
-            # keep (query, vec) pairs where vec's bucket ∈ query's probes
-            buckets = dict(zip(batch["vec_id"].to_pylist(),
-                               batch["ivf_bucket"].to_pylist()))
-            keep = [
-                buckets[v] in set(int(x) for x in self.probe[q])
-                for q, v in zip(out["query_id"].to_pylist(), out["vec_id"].to_pylist())
-            ]
-            return out.filter(pa.array(keep))
-
     partials = filtered.map_batches(
-        _ScopedTopK, batch_format="pyarrow", batch_size=4096, concurrency=4, num_cpus=0.5,
+        ScopedTopK, fn_constructor_args=(qref, pref, k, "ivf_bucket", precise),
+        batch_format="pyarrow", batch_size=4096, concurrency=4, num_cpus=0.5,
     )
     return partials.groupby("query_id").map_groups(topk_reduce(k), batch_format="pandas")
 
@@ -347,25 +444,9 @@ def ivf_search_persisted(index_dir: str, centroids: np.ndarray,
     n_read = ds.count()
     qref = ray.put(qn)
     pref = ray.put(probe)
-
-    class _ScopedTopKStore(BruteForceTopK):
-        def __init__(self):
-            super().__init__(qref, k)
-            self.probe = ray.get(pref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            out = super().__call__(batch.drop_columns(["bucket"]))
-            buckets = dict(zip(batch["vec_id"].to_pylist(),
-                               batch["bucket"].to_pylist()))
-            keep = [
-                int(buckets[v]) in set(int(x) for x in self.probe[q])
-                for q, v in zip(out["query_id"].to_pylist(),
-                                out["vec_id"].to_pylist())
-            ]
-            return out.filter(pa.array(keep))
-
     partials = ds.map_batches(
-        _ScopedTopKStore, batch_format="pyarrow", batch_size=4096,
+        ScopedTopK, fn_constructor_args=(qref, pref, k, "bucket"),
+        batch_format="pyarrow", batch_size=4096,
         concurrency=2, num_cpus=0.5,
     )
     res = partials.groupby("query_id").map_groups(

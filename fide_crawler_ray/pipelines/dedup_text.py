@@ -737,7 +737,8 @@ def _cosine_pairs_group(threshold: float, cap: int):
 
 
 def semdedup(embeddings_ds, n_clusters: int = 8, iters: int = 3,
-             threshold: float = 0.98, cluster_cap: int = 8192):
+             threshold: float = 0.98, cluster_cap: int = 8192,
+             centroids=None):
     """SemDeDup (Abbas et al., arXiv:2303.09540 shape): spherical
     k-means clusters are the candidate groups — semantic near-dups land
     in the same cluster by construction — then exact pairwise cosine
@@ -748,16 +749,21 @@ def semdedup(embeddings_ds, n_clusters: int = 8, iters: int = 3,
     same shared code. At 100 TB, n_clusters scales ~√N so |cluster|
     stays bounded; the centroid fit itself is the distributed Lloyd of
     functions/ann.kmeans_centroids (k×d partials only, corpus never
-    moves). Returns (survivors_ds, pairs_ds)."""
+    moves) — or pass ``centroids`` (k×d) to skip the fit, e.g. the
+    SQL-replayable md5 sample the driver oracle uses. Assignment runs
+    in float64 so it matches a DuckDB DOUBLE replay exactly.
+    Returns (survivors_ds, pairs_ds)."""
     import ray
 
     from ..functions.ann import kmeans_centroids
 
     embeddings_ds = embeddings_ds.materialize()
-    cents = kmeans_centroids(embeddings_ds, n_clusters, iters)
+    cents = (np.asarray(centroids) if centroids is not None
+             else kmeans_centroids(embeddings_ds, n_clusters, iters))
+    cents = cents.astype(np.float64)
     n = np.linalg.norm(cents, axis=1, keepdims=True)
     n[n == 0] = 1.0
-    cref = ray.put((cents / n).astype(np.float32).T)
+    cref = ray.put((cents / n).T)
 
     class _Assign:
         def __init__(self):
@@ -768,9 +774,9 @@ def semdedup(embeddings_ds, n_clusters: int = 8, iters: int = 3,
             la = (col.combine_chunks()
                   if isinstance(col, pa.ChunkedArray) else col)
             m = la.values.to_numpy(zero_copy_only=False).astype(
-                np.float32).reshape(b.num_rows, -1)
+                np.float64).reshape(b.num_rows, -1)
             nm = m / np.clip(
-                np.linalg.norm(m, axis=1, keepdims=True), 1e-9, None)
+                np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
             cl = (nm @ self.ct).argmax(axis=1).astype(np.int64)
             return pa.table({"vec_id": b["vec_id"], "embedding": la,
                              "cluster": pa.array(cl, pa.int64())})

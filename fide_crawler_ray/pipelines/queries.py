@@ -517,11 +517,29 @@ def q_dedup_embedding(sf_dir):
     return survivors.select_columns(["vec_id"])
 
 
-def q_semdedup(sf_dir):
-    """SemDeDup survivors over the embedding corpus (k-means clusters →
-    within-cluster exact cosine; see dedup_text.semdedup). Rows-only:
-    iterative Lloyd upstream, not SQL-expressible — the recall gate is
-    quality.q_semdedup_recall on planted near-dups."""
+def q_semdedup(sf_dir, threshold: float = 0.5):
+    """SemDeDup survivors (clusters → within-cluster exact cosine →
+    drop everything reachable to a smaller id; dedup_text.semdedup).
+    Hard oracle since r5: the 8 cluster centroids are the deterministic
+    md5('km:42:'||vec_id) sample (zero Lloyd rounds), so the whole
+    cluster → edge → connected-component chain replays in SQL. The
+    driver threshold is 0.5 so the component machinery is actually
+    exercised on the natural corpus (6 edges at sf0.1); margin
+    |cos−0.5| ≥ 1.6e-3 at every SF vs ≤2.4e-7 cross-engine cosine
+    error, so no edge can flip. The iterative-Lloyd production path
+    (threshold 0.98) stays as ``semdedup_lloyd`` with the planted-dup
+    recall gate (quality.q_semdedup_recall)."""
+    emb = T(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = ANN.md5_sample_centroids(emb, 8, tag="km:42")
+    survivors, _ = DT.semdedup(emb, threshold=threshold, centroids=cents)
+    return survivors.select_columns(["vec_id"])
+
+
+def q_semdedup_lloyd(sf_dir):
+    """SemDeDup with learned (iterative Lloyd) clusters at the
+    production threshold 0.98 — rows-only (Lloyd isn't
+    SQL-expressible); quality.q_semdedup_recall gates it on planted
+    near-dups."""
     survivors, _ = DT.semdedup(
         T(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.98)
     return survivors.select_columns(["vec_id"])
@@ -542,18 +560,31 @@ def q_ann_bruteforce(sf_dir):
     return ANN.brute_force_topk(emb, _queries_matrix(sf_dir), k=10)
 
 
-def q_mmr_rerank(sf_dir, k: int = 10, pool: int = 50, lam: float = 0.7):
+def q_mmr_rerank(sf_dir, k: int = 10, pool: int = 50):
     """MMR (maximal-marginal-relevance) diversified re-ranking of the
     exact ANN results: the distributed part is the brute-force top-pool
     retrieval (per-batch matmul partials, its own green oracle); the
     re-rank then runs on the OUTPUT-sized candidate set — pool
     embeddings fetched by a broadcast id filter, a pool² similarity
     matrix, and the greedy λ·rel − (1−λ)·max-sim-to-chosen selection
-    with vec_id tie-break. Rows-only (greedy-iterative); the scalar
-    re-implementation in the test is the executable spec."""
+    (λ=0.7) with vec_id tie-break.
+
+    Hard oracle since r5 — the greedy runs in INTEGER fixed point so
+    every selection step is exactly replayable in SQL (10 unrolled
+    argmax CTEs, see ``_mmr_sql``): relevance is the pool score (its
+    4-dp rounding is already oracle-pinned) as rel12 = round(s·1e4)·1e8;
+    pairwise similarity is the exact int64 dot of the 1e-6-quantized
+    unit vectors (ufp = round_half_away(v̂·1e6), so sim_int ≈ cos·1e12
+    and Σ|ufp_a·ufp_b| ≤ d·1e12 ≪ 2^53 — exact in DuckDB doubles too);
+    the objective is obj = 7·rel12 − 3·sim_int in 1e-13 units. The only
+    cross-engine float ops left are the 1e-6 component quantization
+    (error ~1e-15 vs a 5e-7 boundary) and the pool's round-4 scores
+    (margin ≥ 7.8e-4 at every SF)."""
+    from .rel_joins import _round_half_away
+
     emb = T(sf_dir, "embeddings", ["vec_id", "embedding"])
     cands = ANN.brute_force_topk(
-        emb, _queries_matrix(sf_dir), k=pool).to_pandas()
+        emb, _queries_matrix(sf_dir), k=pool, precise=True).to_pandas()
     need = pa.array(sorted(set(cands["vec_id"].tolist())), pa.int64())
     vec_df = emb.map_batches(
         lambda b: b.filter(pc.is_in(b["vec_id"], value_set=need)),
@@ -561,31 +592,31 @@ def q_mmr_rerank(sf_dir, k: int = 10, pool: int = 50, lam: float = 0.7):
     m = np.stack([np.asarray(v, dtype=np.float32)
                   for v in vec_df["embedding"]]).astype(np.float64)
     m /= np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
+    ufp = _round_half_away(m * 1e6).astype(np.int64)
     row_of = {int(v): i for i, v in enumerate(vec_df["vec_id"])}
-    sims = m @ m.T
+    sims_int = ufp @ ufp.T  # exact int64, ≈ cosine·1e12
     out = []
     for qid, g in cands.groupby("query_id"):
-        g = g.sort_values(["score", "vec_id"],
-                          ascending=[False, True])
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True])
         ids = g["vec_id"].to_numpy()
-        rel = g["score"].to_numpy().astype(np.float64)
+        rel12 = (_round_half_away(g["score"].to_numpy() * 1e4)
+                 .astype(np.int64) * 10**8)
         rows = np.array([row_of[int(v)] for v in ids])
         chosen: list[int] = []
         avail = np.ones(len(ids), bool)
         for rank in range(1, min(k, len(ids)) + 1):
             if chosen:
-                div = sims[np.ix_(rows, rows[chosen])].max(axis=1)
+                div = sims_int[np.ix_(rows, rows[chosen])].max(axis=1)
             else:
-                div = np.zeros(len(ids))
-            obj = lam * rel - (1.0 - lam) * div
-            obj[~avail] = -np.inf
-            # argmax with vec_id tie-break (ids ascend within g order)
-            best = int(np.lexsort((ids, -obj))[0])
+                div = np.zeros(len(ids), dtype=np.int64)
+            obj = 7 * rel12 - 3 * div  # 1e-13 units, exact int64
+            best = min((i for i in range(len(ids)) if avail[i]),
+                       key=lambda i: (-int(obj[i]), int(ids[i])))
             chosen.append(best)
             avail[best] = False
             out.append({"query_id": int(qid), "rank": rank,
                         "vec_id": int(ids[best]),
-                        "mmr_fp": int(round(float(obj[best]) * 1e6))})
+                        "mmr_fp": int(obj[best])})
     return pd.DataFrame(out)
 
 
@@ -652,22 +683,39 @@ def q_hard_negatives(sf_dir, k: int = 10):
 
 
 def q_ann_ivf(sf_dir):
-    """IVF-bucketed ANN with k-means centroids (rows-only; recall vs
-    brute force is asserted by ann_ivf_recall)."""
+    """IVF-bucketed ANN. Hard oracle since r5: the 16 centroids are the
+    deterministic md5('ivf:42:'||vec_id) sample (zero Lloyd rounds) and
+    every cosine — bucket assignment, probe ranking, candidate scoring —
+    runs in float64 with index tie-breaks, so the full probe→top-k chain
+    replays exactly in DuckDB (min assignment margin 5.8e-6 and probe
+    margin ≥2.3e-3 at every SF vs ~1e-15 double-path error). nprobe=8/16
+    keeps recall@10 ≥ 0.8 on the near-uniform synthetic embeddings
+    (gate: ann_ivf_recall); the learned-centroid production path stays
+    as ``ann_ivf_lloyd``."""
+    emb = T(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = ANN.md5_sample_centroids(emb, 16, tag="ivf:42")
+    return ANN.ivf_search(emb, cents, _queries_matrix(sf_dir), k=10,
+                          nprobe=8, precise=True)
+
+
+def q_ann_ivf_lloyd(sf_dir):
+    """IVF with 5-round Lloyd k-means centroids — the production path
+    (rows-only: iterative fit). nprobe=8/16: the synthetic embeddings
+    are near-uniform (no cluster structure), so cosine neighbors
+    scatter across buckets — half the buckets probed buys recall ~0.8
+    at 2x pruning; real clustered corpora probe far fewer."""
     emb = T(sf_dir, "embeddings", ["vec_id", "embedding"])
     cents = ANN.kmeans_centroids(emb, n_centroids=16, iters=5)
-    # nprobe=8/16: the synthetic embeddings are near-uniform (no cluster
-    # structure), so cosine neighbors scatter across buckets — half the
-    # buckets probed buys recall 0.8 at 2x pruning; real clustered
-    # corpora probe far fewer.
     return ANN.ivf_search(emb, cents, _queries_matrix(sf_dir), k=10, nprobe=8)
 
 
 def q_ann_ivf_recall(sf_dir):
-    """Recall@10 of IVF (nprobe=8 of 16 buckets) against the exact
-    brute-force top-k — the numeric quality gate for the approximate
-    path. Asserts the threshold so a recall regression fails the run,
-    not just drifts."""
+    """Recall@10 of the deterministic IVF (nprobe=8 of 16 md5-sample
+    buckets) against the exact brute-force top-k — the numeric quality
+    gate for the approximate path, itself a hard oracle since r5 (both
+    sides replay in SQL and the recall division is exact-int / 50).
+    Asserts the threshold so a recall regression fails the run, not
+    just drifts."""
     brute = to_df_any(q_ann_bruteforce(sf_dir))
     ivf = to_df_any(q_ann_ivf(sf_dir))
     hits = total = 0
@@ -682,66 +730,93 @@ def q_ann_ivf_recall(sf_dir):
                           "n_queries": int(brute["query_id"].nunique())}])
 
 
-def q_embedding_kmeans(sf_dir, k: int = 8, iters: int = 5):
-    """Corpus clustering: distributed spherical k-means over the
-    embeddings table (the SemDeDup / cluster-balanced-sampling
-    primitive), returning one row per cluster with its size and the
-    integer fixed-point mean cosine similarity of members to their
-    centroid. Rows-only (iterative algorithm, not SQL-expressible);
-    the Lloyd objective's monotonicity is asserted by a test.
+def _kmeans_stats(emb, cents) -> "rd.Dataset":
+    """Shared assignment-stats pass for the k-means queries: one
+    map_batches emitting per-batch per-cluster partials, folded by a
+    k-row groupby. Each member's best cosine is quantized to int64
+    micro-units (round_half_away(s·1e6)) BEFORE summing, so the
+    per-cluster sum is an exact, summation-order-free integer — the r4
+    float-sum + truncate design flipped the last digit between engines
+    whenever distributed partial order moved the sum across a trunc
+    boundary (observed at sf0.01, cluster 0). mean_sim_fp is the exact
+    integer floor-division sum_sim_fp // n."""
+    from .rel_joins import _round_half_away
 
-    Scale plan: centroids are k×d floats broadcast per round
-    (``ray.put``); each round's exchange is per-batch k-row partials,
-    corpus-size-independent (see ANN.kmeans_centroids); the final
-    assignment pass is one map_batches emitting per-batch per-cluster
-    partial (n, Σsim) rows folded by a k-row groupby."""
-    # materialize ONCE here: kmeans_centroids' internal materialize only
-    # rebinds its local parameter, so the final stats pass would
-    # otherwise re-read the parquet
-    emb = T(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
-    cents = ANN.kmeans_centroids(emb, n_centroids=k, iters=iters)
-    cref = ray.put(cents)
+    kk = cents.shape[0]
+    cref = ray.put(np.asarray(cents, dtype=np.float64))
 
     class _Stats:
         def __init__(self):
             self.c = ray.get(cref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            vecs = ANN._normalize(ANN._to_matrix(b["embedding"]))
-            sims = vecs @ self.c.T
+            m = ANN._to_matrix(b["embedding"]).astype(np.float64)
+            m /= np.clip(np.linalg.norm(m, axis=1, keepdims=True),
+                         1e-12, None)
+            sims = m @ self.c.T
             assign = sims.argmax(axis=1)
-            best = sims[np.arange(len(assign)), assign].astype(np.float64)
-            kk = self.c.shape[0]
+            best = sims[np.arange(len(assign)), assign]
+            sfp = _round_half_away(best * 1e6).astype(np.int64)
             n = np.bincount(assign, minlength=kk).astype(np.int64)
-            s = np.zeros(kk, dtype=np.float64)
-            np.add.at(s, assign, best)
+            s = np.zeros(kk, dtype=np.int64)
+            np.add.at(s, assign, sfp)
             return pa.table({
                 "cluster": pa.array(np.arange(kk, dtype=np.int64)),
                 "n": pa.array(n),
-                "sum_sim": pa.array(s),
+                "sum_sim_fp": pa.array(s),
             })
 
     parts = emb.map_batches(_Stats, batch_format="pyarrow",
                             batch_size=4096, concurrency=2)
     agg = fast_groupby_agg(parts, ["cluster"], {
-        "n": ("n", "sum"), "sum_sim": ("sum_sim", "sum"),
+        "n": ("n", "sum"), "sum_sim_fp": ("sum_sim_fp", "sum"),
     })
-    return agg.map_batches(
-        lambda b: pa.table({
+
+    def _final(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        s = b["sum_sim_fp"].to_numpy(zero_copy_only=False)
+        return pa.table({
             "cluster": b["cluster"],
             "n": b["n"],
+            "sum_sim_fp": b["sum_sim_fp"],
             "mean_sim_fp": pa.array(
-                np.where(
-                    b["n"].to_numpy(zero_copy_only=False) > 0,
-                    (b["sum_sim"].to_numpy(zero_copy_only=False)
-                     * 1_000_000
-                     / np.maximum(b["n"].to_numpy(zero_copy_only=False), 1)
-                     ).astype(np.int64),
-                    0),
-                pa.int64()),
-        }),
-        batch_format="pyarrow",
-    )
+                np.where(n > 0, np.floor_divide(s, np.maximum(n, 1)), 0)
+                .astype(np.int64), pa.int64()),
+        })
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def q_embedding_kmeans(sf_dir, k: int = 8):
+    """Corpus clustering stats (the SemDeDup / cluster-balanced-sampling
+    primitive): one row per cluster with its size and the fixed-point
+    sum/mean member→centroid cosine. Hard oracle since r5: centroids
+    are the deterministic md5('km:42:'||vec_id) sample (zero Lloyd
+    rounds → the assignment argmax and the exact-integer micro-unit
+    sums replay in DuckDB DOUBLE arithmetic; min assignment margin
+    1.04e-5 across SFs vs ~1e-15 error). The iterative Lloyd fit stays
+    as ``embedding_kmeans_lloyd`` with its monotonicity gate.
+
+    Scale plan: centroids are k×d floats broadcast once (``ray.put``);
+    the assignment pass is one map_batches emitting per-batch
+    per-cluster partials (k rows each, corpus-size-independent) folded
+    by a k-row groupby."""
+    emb = T(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = ANN.md5_sample_centroids(emb, k, tag="km:42")
+    return _kmeans_stats(emb, cents)
+
+
+def q_embedding_kmeans_lloyd(sf_dir, k: int = 8, iters: int = 5):
+    """Distributed spherical k-means (iterative Lloyd) cluster stats —
+    rows-only; the Lloyd objective's monotonicity is asserted by a
+    test. Per-round exchange is k×d partials only (see
+    ANN.kmeans_centroids)."""
+    # materialize ONCE here: kmeans_centroids' internal materialize only
+    # rebinds its local parameter, so the final stats pass would
+    # otherwise re-read the parquet
+    emb = T(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    cents = ANN.kmeans_centroids(emb, n_centroids=k, iters=iters)
+    return _kmeans_stats(emb, cents)
 
 
 def to_df_any(result):
@@ -1575,6 +1650,12 @@ def queries() -> dict:
         "png_pixel_stats": q_png_pixel_stats,
         "jpeg_pixel_stats": q_jpeg_pixel_stats,
         "perf_rating_dp": q_perf_rating_dp,
+        # iterative (Lloyd-seeded) production variants of the r5
+        # deterministic driver queries — rows-only by nature, gated by
+        # recall/monotonicity tests
+        "ann_ivf_lloyd": q_ann_ivf_lloyd,
+        "embedding_kmeans_lloyd": q_embedding_kmeans_lloyd,
+        "semdedup_lloyd": q_semdedup_lloyd,
         **_relational_queries(),
         **_textclean_queries(),
         **_quality_queries(),
@@ -2033,6 +2114,155 @@ ORACLES: dict[str, str] = {
                round(raw, 4) AS score, CAST(rank AS INT) AS rank
         FROM r WHERE rank <= 10
     """,
+    # Deterministic-IVF replay (r5): centroids = md5-sample, zero Lloyd
+    # rounds; the engine computes every cosine in float64 (precise=True)
+    # so assignment / probe / top-k agree with this DOUBLE replay to
+    # ~1e-15 against ≥5.8e-6 decision margins (measured at all SFs).
+    "ann_ivf": """
+        WITH c AS (SELECT vec_id AS cvid, embedding AS ce,
+                 ROW_NUMBER() OVER (ORDER BY
+                     md5('ivf:42:' || CAST(vec_id AS VARCHAR)), vec_id)
+                 - 1 AS cidx
+               FROM embeddings QUALIFY cidx < 16),
+        a AS (SELECT e.vec_id, e.embedding, c.cidx,
+                ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_cosine_similarity(e.embedding, c.ce)
+                             DESC, c.cidx) AS rn
+              FROM embeddings e, c),
+        asg AS (SELECT vec_id, embedding, cidx AS bucket FROM a WHERE rn = 1),
+        q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+              WHERE vec_id < 5),
+        qp AS (SELECT q.qid, c.cidx,
+                 ROW_NUMBER() OVER (PARTITION BY q.qid
+                     ORDER BY list_cosine_similarity(q.qe, c.ce)
+                              DESC, c.cidx) AS prn
+               FROM q, c),
+        probe AS (SELECT qid, cidx FROM qp WHERE prn <= 8),
+        s AS (SELECT q.qid AS query_id, g.vec_id,
+                CAST(list_cosine_similarity(q.qe, g.embedding) AS DOUBLE)
+                    AS raw
+              FROM q JOIN probe p ON p.qid = q.qid
+              JOIN asg g ON g.bucket = p.cidx),
+        r AS (SELECT query_id, vec_id, raw, ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY raw DESC, vec_id) AS rank
+              FROM s)
+        SELECT CAST(query_id AS INT) AS query_id, vec_id,
+               round(raw, 4) AS score, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 10
+    """,
+    # Same probe chain as ann_ivf, intersected with the brute-force
+    # top-10; recall = hits / 50 is exact-integer arithmetic.
+    "ann_ivf_recall": """
+        WITH c AS (SELECT vec_id AS cvid, embedding AS ce,
+                 ROW_NUMBER() OVER (ORDER BY
+                     md5('ivf:42:' || CAST(vec_id AS VARCHAR)), vec_id)
+                 - 1 AS cidx
+               FROM embeddings QUALIFY cidx < 16),
+        a AS (SELECT e.vec_id, e.embedding, c.cidx,
+                ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_cosine_similarity(e.embedding, c.ce)
+                             DESC, c.cidx) AS rn
+              FROM embeddings e, c),
+        asg AS (SELECT vec_id, embedding, cidx AS bucket FROM a WHERE rn = 1),
+        q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+              WHERE vec_id < 5),
+        qp AS (SELECT q.qid, c.cidx,
+                 ROW_NUMBER() OVER (PARTITION BY q.qid
+                     ORDER BY list_cosine_similarity(q.qe, c.ce)
+                              DESC, c.cidx) AS prn
+               FROM q, c),
+        probe AS (SELECT qid, cidx FROM qp WHERE prn <= 8),
+        s AS (SELECT q.qid AS query_id, g.vec_id,
+                CAST(list_cosine_similarity(q.qe, g.embedding) AS DOUBLE)
+                    AS raw
+              FROM q JOIN probe p ON p.qid = q.qid
+              JOIN asg g ON g.bucket = p.cidx),
+        ivf AS (SELECT query_id, vec_id FROM (
+                  SELECT query_id, vec_id, ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY raw DESC, vec_id) AS rank
+                  FROM s) WHERE rank <= 10),
+        bs AS (SELECT q.qid AS query_id, e.vec_id,
+                 CAST(list_cosine_similarity(q.qe, e.embedding) AS DOUBLE)
+                     AS raw
+               FROM q, embeddings e),
+        brute AS (SELECT query_id, vec_id FROM (
+                    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+                      PARTITION BY query_id ORDER BY raw DESC, vec_id)
+                        AS rnk
+                    FROM bs) WHERE rnk <= 10),
+        h AS (SELECT count(*) AS hits FROM brute b
+              SEMI JOIN ivf i ON i.query_id = b.query_id
+                             AND i.vec_id = b.vec_id),
+        t AS (SELECT count(*) AS total,
+                     count(DISTINCT query_id) AS nq FROM brute)
+        SELECT round(h.hits * 1000000.0 / t.total) / 1000000.0
+                   AS recall_at_10,
+               CAST(t.nq AS BIGINT) AS n_queries
+        FROM h, t
+    """,
+    # Deterministic k-means stats replay (r5): md5-sample centroids,
+    # DOUBLE[] cosine (~1e-15 agreement with the engine's float64 path),
+    # per-member micro-unit quantization BEFORE the sum so the cluster
+    # aggregate is an exact, order-free integer on both sides.
+    "embedding_kmeans": """
+        WITH c AS (SELECT embedding AS ce,
+                 ROW_NUMBER() OVER (ORDER BY
+                     md5('km:42:' || CAST(vec_id AS VARCHAR)), vec_id)
+                 - 1 AS cidx
+               FROM embeddings QUALIFY cidx < 8),
+        a AS (SELECT e.vec_id,
+                list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(c.ce AS DOUBLE[])) AS s,
+                c.cidx,
+                ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_cosine_similarity(
+                                 CAST(e.embedding AS DOUBLE[]),
+                                 CAST(c.ce AS DOUBLE[])) DESC, c.cidx)
+                    AS rn
+              FROM embeddings e, c),
+        asg AS (SELECT vec_id, cidx AS cluster,
+                  CAST(round(s * 1000000) AS BIGINT) AS sfp
+                FROM a WHERE rn = 1),
+        g AS (SELECT cluster, count(*) AS n, sum(sfp) AS s
+              FROM asg GROUP BY cluster),
+        allc AS (SELECT unnest(range(8)) AS cluster)
+        SELECT CAST(allc.cluster AS BIGINT) AS cluster,
+               COALESCE(g.n, 0) AS n,
+               CAST(COALESCE(g.s, 0) AS BIGINT) AS sum_sim_fp,
+               CAST(COALESCE(floor(g.s / g.n), 0) AS BIGINT) AS mean_sim_fp
+        FROM allc LEFT JOIN g USING (cluster)
+    """,
+    # SemDeDup replay (r5): md5-sample clusters, within-cluster edges at
+    # threshold 0.5 (margin |cos-0.5| ≥ 1.6e-3 at every SF), then the
+    # same reachable-to-smaller-id component drop as dedup_embedding.
+    "semdedup": """
+        WITH RECURSIVE c AS (SELECT embedding AS ce,
+                 ROW_NUMBER() OVER (ORDER BY
+                     md5('km:42:' || CAST(vec_id AS VARCHAR)), vec_id)
+                 - 1 AS cidx
+               FROM embeddings QUALIFY cidx < 8),
+        a AS (SELECT e.vec_id, e.embedding, c.cidx,
+                ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_cosine_similarity(e.embedding, c.ce)
+                             DESC, c.cidx) AS rn
+              FROM embeddings e, c),
+        asg AS (SELECT vec_id, embedding, cidx AS cluster
+                FROM a WHERE rn = 1),
+        edges AS (SELECT x.vec_id AS x, y.vec_id AS y
+                  FROM asg x JOIN asg y ON x.cluster = y.cluster
+                                       AND x.vec_id < y.vec_id
+                  WHERE list_cosine_similarity(x.embedding, y.embedding)
+                        >= 0.5),
+        sym AS (SELECT x, y FROM edges
+                UNION ALL SELECT y AS x, x AS y FROM edges),
+        reach(x, y) AS (SELECT x, y FROM sym
+                        UNION SELECT r.x, s.y FROM reach r
+                              JOIN sym s ON s.x = r.y),
+        dropped AS (SELECT x AS node FROM reach GROUP BY x
+                    HAVING min(y) < x)
+        SELECT vec_id FROM embeddings
+        WHERE vec_id NOT IN (SELECT node FROM dropped)
+    """,
     # framing closed-form: engine computes from ACTUAL payload length,
     # oracle from n_chars (payload is n_chars bytes by construction)
     "audio_framing": """
@@ -2125,6 +2355,92 @@ ORACLES["perf_rating_dp"] = f"""
            CAST(f.avg_opp + d.delta AS BIGINT) AS perf
     FROM fin f JOIN dp d ON d.n = f.n_games AND d.p2 = f.points_x2
 """
+
+
+def _mmr_sql(k: int = 10, pool: int = 50) -> str:
+    """Unrolled-greedy SQL replay of q_mmr_rerank (r5): the k selection
+    steps become k chained argmax CTEs (ROW_NUMBER per query, obj DESC /
+    vec_id tie-break), over the same integer fixed-point arithmetic the
+    engine uses — rel12 from the oracle-pinned 4-dp pool scores, sim_int
+    as the exact int64 dot of 1e-6-quantized unit vectors (products sum
+    ≤ d·1e12 ≪ 2^53, so DuckDB's double list_inner_product is exact).
+    CTEs are MATERIALIZED: DuckDB inlines plain CTEs per reference,
+    which goes exponential over k chained steps."""
+    steps = []
+    for step in range(1, k + 1):
+        if step == 1:
+            steps.append("""s1 AS MATERIALIZED (
+              SELECT query_id, vec_id, 1 AS rank, 7 * rel12 AS mmr_fp FROM (
+                SELECT query_id, vec_id, rel12, ROW_NUMBER() OVER (
+                  PARTITION BY query_id ORDER BY rel12 DESC, vec_id) AS rn
+                FROM cand)
+              WHERE rn = 1)""")
+            steps.append("ch1 AS MATERIALIZED ("
+                         "SELECT query_id, vec_id FROM s1)")
+        else:
+            p = step - 1
+            steps.append(f"""d{step} AS MATERIALIZED (
+              SELECT p.query_id, p.vec_id, max(p.sim_int) AS m
+              FROM psim p JOIN ch{p} c ON c.query_id = p.query_id
+                                      AND c.vec_id = p.other_id
+              GROUP BY 1, 2)""")
+            steps.append(f"""s{step} AS MATERIALIZED (
+              SELECT query_id, vec_id, {step} AS rank, obj AS mmr_fp FROM (
+                SELECT c.query_id, c.vec_id,
+                  7 * c.rel12 - 3 * COALESCE(d.m, 0) AS obj,
+                  ROW_NUMBER() OVER (PARTITION BY c.query_id
+                     ORDER BY 7 * c.rel12 - 3 * COALESCE(d.m, 0) DESC,
+                              c.vec_id) AS rn
+                FROM cand c
+                LEFT JOIN d{step} d ON d.query_id = c.query_id
+                                   AND d.vec_id = c.vec_id
+                ANTI JOIN ch{p} x ON x.query_id = c.query_id
+                                 AND x.vec_id = c.vec_id)
+              WHERE rn = 1)""")
+            steps.append(
+                f"ch{step} AS MATERIALIZED (SELECT query_id, vec_id "
+                f"FROM ch{p} UNION ALL SELECT query_id, vec_id FROM s{step})")
+    union = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, k + 1))
+    return f"""
+    WITH q AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qe
+                            FROM embeddings WHERE vec_id < 5),
+    s0 AS (SELECT q.qid AS query_id, e.vec_id,
+             CAST(list_cosine_similarity(q.qe, e.embedding) AS DOUBLE)
+                 AS raw
+           FROM q, embeddings e),
+    pool AS MATERIALIZED (SELECT query_id, vec_id, round(raw, 4) AS score
+             FROM (SELECT query_id, vec_id, raw, ROW_NUMBER() OVER (
+                     PARTITION BY query_id ORDER BY raw DESC, vec_id) AS rnk
+                   FROM s0)
+             WHERE rnk <= {pool}),
+    ufp AS MATERIALIZED (SELECT e.vec_id,
+             list_transform(CAST(e.embedding AS DOUBLE[]),
+               x -> CAST(round(x / sqrt(list_inner_product(
+                        CAST(e.embedding AS DOUBLE[]),
+                        CAST(e.embedding AS DOUBLE[]))) * 1000000)
+                    AS BIGINT)) AS u
+           FROM embeddings e SEMI JOIN pool p ON p.vec_id = e.vec_id),
+    cand AS MATERIALIZED (SELECT p.query_id, p.vec_id,
+             CAST(round(p.score * 10000) AS BIGINT) * 100000000 AS rel12
+           FROM pool p),
+    psim AS MATERIALIZED (SELECT a.query_id, a.vec_id,
+             b.vec_id AS other_id,
+             CAST(list_inner_product(CAST(ua.u AS DOUBLE[]),
+                                     CAST(ub.u AS DOUBLE[])) AS BIGINT)
+                 AS sim_int
+           FROM pool a JOIN pool b ON a.query_id = b.query_id
+                                  AND a.vec_id <> b.vec_id
+           JOIN ufp ua ON ua.vec_id = a.vec_id
+           JOIN ufp ub ON ub.vec_id = b.vec_id),
+    {','.join(steps)}
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(rank AS BIGINT) AS rank, vec_id,
+           CAST(mmr_fp AS BIGINT) AS mmr_fp
+    FROM ({union})
+    """
+
+
+ORACLES["mmr_rerank"] = _mmr_sql()
 
 
 def oracle_sql() -> dict:

@@ -124,13 +124,13 @@ def test_embedding_kmeans_objective_improves():
     """Lloyd iterations can only raise the spherical k-means objective
     (total member→centroid cosine); cluster sizes must sum to the
     corpus and every cluster mean must be a valid cosine."""
-    from fide_crawler_ray.pipelines.queries import q_embedding_kmeans
+    from fide_crawler_ray.pipelines.queries import q_embedding_kmeans_lloyd
 
     import pyarrow.parquet as pq
 
     n_vecs = pq.read_metadata(f"{SF}/embeddings.parquet").num_rows
-    base = q_embedding_kmeans(SF, iters=0).to_pandas()
-    out = q_embedding_kmeans(SF, iters=5).to_pandas()
+    base = q_embedding_kmeans_lloyd(SF, iters=0).to_pandas()
+    out = q_embedding_kmeans_lloyd(SF, iters=5).to_pandas()
     assert int(out["n"].sum()) == n_vecs
     assert int(base["n"].sum()) == n_vecs
     obj0 = (base["n"] * base["mean_sim_fp"]).sum()
@@ -165,9 +165,11 @@ def test_hard_negatives_exclude_label_and_match_bruteforce():
 
 
 def test_mmr_rerank_matches_scalar_spec():
-    """The MMR selection equals a pure-python greedy re-implementation,
-    the first pick per query is the relevance argmax, and no vec is
-    picked twice."""
+    """The MMR selection equals a pure-python greedy re-implementation
+    of the integer fixed-point spec (rel12 = round(score·1e4)·1e8,
+    sim_int = dot of round_half_away(v̂·1e6), obj = 7·rel12 − 3·max
+    sim-to-chosen, vec_id tie-break), the first pick per query is the
+    relevance argmax, and no vec is picked twice."""
     import numpy as np
     import pandas as pd
 
@@ -181,31 +183,37 @@ def test_mmr_rerank_matches_scalar_spec():
 
     emb = T(SF, "embeddings", ["vec_id", "embedding"])
     cands = ANN.brute_force_topk(
-        emb, _queries_matrix(SF), k=50).to_pandas()
-    vecs = {int(r["vec_id"]): np.asarray(r["embedding"], np.float64)
-            for _, r in emb.to_pandas().iterrows()}
-    lam = 0.7
+        emb, _queries_matrix(SF), k=50, precise=True).to_pandas()
+
+    def _rha(x):
+        return int(np.sign(x) * np.floor(np.abs(x) + 0.5))
+
+    ufp = {}
+    for _, r in emb.to_pandas().iterrows():
+        v = np.asarray(r["embedding"], np.float64)
+        v = v / max(np.linalg.norm(v), 1e-12)
+        ufp[int(r["vec_id"])] = np.array([_rha(x * 1e6) for x in v],
+                                         dtype=np.int64)
     for qid, g in cands.groupby("query_id"):
         g = g.sort_values(["score", "vec_id"], ascending=[False, True])
         ids = g["vec_id"].tolist()
-        rel = dict(zip(g["vec_id"], g["score"]))
-        nv = {i: vecs[i] / max(np.linalg.norm(vecs[i]), 1e-12)
-              for i in ids}
+        rel12 = {int(i): _rha(s * 1e4) * 10**8
+                 for i, s in zip(g["vec_id"], g["score"])}
         chosen = []
         for rank in range(1, 11):
-            best, best_obj = None, -np.inf
+            best, best_obj = None, None
             for i in ids:
                 if i in chosen:
                     continue
-                div = max((float(nv[i] @ nv[j]) for j in chosen),
-                          default=0.0)
-                obj = lam * float(rel[i]) - (1 - lam) * div
-                if obj > best_obj + 1e-12 or (
-                        abs(obj - best_obj) <= 1e-12
-                        and (best is None or i < best)):
+                div = max((int(ufp[i] @ ufp[j]) for j in chosen),
+                          default=0)
+                obj = 7 * rel12[i] - 3 * div  # exact ints
+                if best is None or obj > best_obj or (
+                        obj == best_obj and i < best):
                     best, best_obj = i, obj
             chosen.append(best)
             row = got[(got["query_id"] == qid) & (got["rank"] == rank)]
             assert int(row["vec_id"].iloc[0]) == best, (qid, rank)
+            assert int(row["mmr_fp"].iloc[0]) == best_obj, (qid, rank)
         # first pick is the top-relevance vec
         assert chosen[0] == ids[0]
