@@ -157,6 +157,18 @@ def run_bench() -> dict:
             r.count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # ---- frontier-tier stress (north metric): offers/pops through the
+    # REAL actor banks with the seen-spill tier ON. Sized to ~5 s so the
+    # per-round driver artifact carries the ops/s + bytes/URL numbers
+    # (the full 1.5M-URL run stays available via `bench.py --frontier`).
+    # Deliberately NOT part of `value`: the suite total stays comparable
+    # across rounds.
+    from tools.bench_frontier import run as _frontier_run
+
+    frontier = _frontier_run(
+        int(os.environ.get("FCRAY_FRONTIER_SUITE_URLS", "300000")),
+        num_cpus)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "crawl+operator suite wall time",
@@ -171,6 +183,7 @@ def run_bench() -> dict:
             "frontier_ops": fops,
             "frontier_ops_per_sec": round(fops / crawl_sec, 1),
         },
+        "frontier": frontier,
     }
     shutil.rmtree(out_dir, ignore_errors=True)
     ray.shutdown()

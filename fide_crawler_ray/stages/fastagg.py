@@ -128,8 +128,13 @@ def _arrow_groupby_ok(b: pa.Table, keys, specs) -> bool:
             if not (pa.types.is_int64(t) or pa.types.is_uint64(t)):
                 return False
         elif op in ("min", "max"):
+            # large_string is deliberately NOT eligible here: the pandas
+            # fallback re-emits min/max VALUE columns via from_pandas as
+            # plain string (keys are restored to the input type below,
+            # values are not), so a mixed arrow/pandas block pair would
+            # concat with mismatched schemas (r5 advice fix)
             if not (pa.types.is_integer(t) or pa.types.is_floating(t)
-                    or pa.types.is_string(t) or pa.types.is_large_string(t)):
+                    or pa.types.is_string(t)):
                 return False
         else:
             return False

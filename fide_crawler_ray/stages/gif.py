@@ -39,14 +39,17 @@ def _read_color_table(payload: bytes, pos: int, n: int):
     return tbl.reshape(n, 3), pos + 3 * n
 
 
-def _lzw_decode(min_code: int, data: bytes, max_pixels: int) -> list[int]:
+def _lzw_decode(min_code: int, data: bytes, max_pixels: int) -> bytearray:
+    """Emits color indices into a bytearray (1 B/pixel — the r4 version
+    built a Python list of ints, ~28 B/pixel of transient heap at the
+    cap; table entries are bytes objects so growth is cheap concat)."""
     clear = 1 << min_code
     eoi = clear + 1
     width = min_code + 1
-    dict_init = [(i,) for i in range(clear)] + [None, None]
+    dict_init = [bytes((i,)) for i in range(clear)] + [None, None]
     table = list(dict_init)
-    out: list[int] = []
-    prev: tuple | None = None
+    out = bytearray()
+    prev: bytes | None = None
     acc = 0
     nbits = 0
     for byte in data:
@@ -69,13 +72,13 @@ def _lzw_decode(min_code: int, data: bytes, max_pixels: int) -> list[int]:
                     raise ValueError("bad first code")
             elif code < len(table) and table[code] is not None:
                 entry = table[code]
-                table.append(prev + (entry[0],))
+                table.append(prev + entry[:1])
             elif code == len(table):
-                entry = prev + (prev[0],)
+                entry = prev + prev[:1]
                 table.append(entry)
             else:
                 raise ValueError("bad LZW code")
-            out.extend(entry)
+            out += entry
             if len(out) > max_pixels:
                 raise ValueError("LZW output overrun")
             prev = entry
@@ -87,8 +90,12 @@ def _lzw_decode(min_code: int, data: bytes, max_pixels: int) -> list[int]:
 # decode work/memory cap: a crafted header can declare 65535×65535 and
 # self-referential LZW codes expand quadratically, so bound BOTH the
 # declared pixel count and the LZW output before allocating anything.
-# 64 Mpx ≈ 192 MB RGB — far above any profile photo, far below OOM.
-MAX_PIXELS = 1 << 26
+# 16 Mpx (≈ 4096×4096 — far above any profile photo) bounds the real
+# transient footprint at ~16 MB LZW bytearray + 16 MB uint8 frame +
+# 48 MB RGB screen ≈ 80 MB per decode (r5: cap sized from the actual
+# allocations; the r4 cap of 2^26 with a list-of-int LZW buffer allowed
+# ~1 GB transients per actor on crafted payloads).
+MAX_PIXELS = 1 << 24
 
 
 def _gif_decode_inner(payload: bytes):
@@ -140,7 +147,8 @@ def _gif_decode_inner(payload: bytes):
         idx = _lzw_decode(min_code, b"".join(chunks), iw * ih)
         if len(idx) < iw * ih:
             return None
-        frame = np.array(idx[: iw * ih], dtype=np.int64).reshape(ih, iw)
+        frame = np.frombuffer(bytes(idx[: iw * ih]),
+                              np.uint8).reshape(ih, iw)
         if iflags & 0x40:  # interlaced: de-weave pass rows
             order = np.concatenate([
                 np.arange(0, ih, 8), np.arange(4, ih, 8),

@@ -117,8 +117,11 @@ def _dct2(block: np.ndarray) -> np.ndarray:
 
 # decode work/memory cap (shared policy with stages/gif.py): SOF0 can
 # declare 65535×65535 (~13 GB of float planes) — reject before any
-# allocation. 64 Mpx covers any real photo.
-MAX_PIXELS = 1 << 26
+# allocation. 16 Mpx (≈ 4096×4096, far above any profile photo) bounds
+# the float64 plane transients at ~150 MB per decode instead of the
+# ~1.6 GB the r4 cap of 2^26 permitted (cap sized from the actual
+# allocation, per the r4 advice).
+MAX_PIXELS = 1 << 24
 
 
 # -------------------------------------------------------------- huffman

@@ -59,6 +59,55 @@ def test_fastagg_native_fallback_identical():
     )
 
 
+def test_fastagg_arrow_and_pandas_partials_identical(monkeypatch):
+    """The r4 Arrow-native partial path and the pandas fallback emit
+    IDENTICAL values, dtypes, and Arrow schemas on the same eligible
+    input (mixed int/uint/bool/string keys; int sum/mean; int, float
+    and string min/max) — pinned by running fast_groupby_agg once with
+    the arrow path live and once with _arrow_groupby_ok monkeypatched
+    to False, as the r4 advice asked. Also pins the eligibility rule
+    itself: the batch IS arrow-eligible, and a large_string min/max
+    input is NOT (its pandas fallback would re-emit plain string)."""
+    import fide_crawler_ray.stages.fastagg as FA
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    df = pd.DataFrame({
+        "ki": rng.integers(0, 10, n).astype("int32"),
+        "ku": rng.integers(0, 5, n).astype("uint16"),
+        "kb": rng.integers(0, 2, n).astype(bool),
+        "ks": rng.choice(["x", "y", "z"], n),
+        "v": rng.integers(0, 1000, n),           # int64 sum/mean
+        "f": rng.normal(size=n),                 # float min/max
+        "s": rng.choice(["p", "q", "r"], n),     # string min/max
+    })
+    keys = ["ki", "ku", "kb", "ks"]
+    aggs = {
+        "cnt": (None, "count"), "total": ("v", "sum"),
+        "avg": ("v", "mean"), "fmin": ("f", "min"), "fmax": ("f", "max"),
+        "smin": ("s", "min"), "smax": ("s", "max"),
+    }
+    b = pa.Table.from_pandas(df, preserve_index=False)
+    assert FA._arrow_groupby_ok(b, keys, list(aggs.values()))
+    big = b.set_column(
+        b.schema.get_field_index("s"), "s", b["s"].cast(pa.large_string()))
+    assert not FA._arrow_groupby_ok(big, keys, list(aggs.values()))
+
+    def run():
+        out = FA.fast_groupby_agg(rd.from_pandas(df), keys, aggs)
+        schema = out.schema().base_schema
+        return schema, out.to_pandas().sort_values(keys) \
+                          .reset_index(drop=True)
+
+    arrow_schema, arrow_df = run()
+    monkeypatch.setattr(FA, "_arrow_groupby_ok", lambda *a, **k: False)
+    pandas_schema, pandas_df = run()
+    assert arrow_schema == pandas_schema
+    assert [str(d) for d in arrow_df.dtypes] \
+        == [str(d) for d in pandas_df.dtypes]
+    pd.testing.assert_frame_equal(arrow_df, pandas_df)
+
+
 def test_grouped_first_last_matches_pandas_and_tree_path():
     from fide_crawler_ray.stages.fastagg import grouped_first_last
 

@@ -187,35 +187,48 @@ def _real_png(w, h, rgb):
             + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
 
 
-def test_decode_real_pixels_when_decoder_available():
-    """M16 pixel decode: with a real decoder importable the stages must
-    use it — decoded dims come from the pixels and the resized thumbnail
-    is a real PNG whose pixel mean matches the solid source color.
-    Skipped (not silently stubbed) when the env lacks PIL, so gaining
-    the library later turns this test ON."""
-    import pytest
-
-    pytest.importorskip("PIL")
-    import io
-
-    from PIL import Image
-
-    from fide_crawler_ray.stages.media import ImageDecodeStub, ImageResizeStub
+def test_decode_real_pixels_any_decoder():
+    """M16 pixel decode: decoded dims come from the pixels and the
+    resized thumbnail is a real PNG whose pixel mean matches the solid
+    source color. With PIL importable the stages must prefer it and the
+    thumbnail is cross-checked with PIL; without PIL (this container)
+    the pure-python tier must produce the same result and the thumbnail
+    is cross-checked with the in-repo ``png_decode`` — the codec itself
+    is oracle-certified by its own round-trip suites, so this runs (not
+    skips) in a PIL-less env."""
+    from fide_crawler_ray.stages.media import (
+        ImageDecodeStub, ImageResizeStub, png_decode)
 
     payload = _real_png(256, 64, (200, 40, 90))
     batch = pa.table({"media_payload": pa.array([payload], pa.binary())})
     dec = ImageDecodeStub()
-    assert dec._pil is not None  # the probe must prefer the real decoder
+    try:
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    # the probe must prefer the real decoder exactly when available
+    assert (dec._pil is not None) == has_pil
     out = dec(batch)
     assert (out["width"][0].as_py(), out["height"][0].as_py()) == (256, 64)
 
     thumb = ImageResizeStub(max_dim=128)(out)
     assert (thumb["thumb_width"][0].as_py(),
             thumb["thumb_height"][0].as_py()) == (128, 32)
-    with Image.open(io.BytesIO(thumb["thumb_payload"][0].as_py())) as im:
-        assert im.size == (128, 32)
-        px = list(im.convert("RGB").getdata())
-        means = [sum(c[i] for c in px) / len(px) for i in range(3)]
+    tp = thumb["thumb_payload"][0].as_py()
+    if has_pil:
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(tp)) as im:
+            assert im.size == (128, 32)
+            px = list(im.convert("RGB").getdata())
+            means = [sum(c[i] for c in px) / len(px) for i in range(3)]
+    else:
+        w, h, chans, arr = png_decode(tp)
+        assert (w, h, chans) == (128, 32, 3)
+        means = arr.reshape(-1, 3).mean(axis=0).tolist()
     for got, want in zip(means, (200, 40, 90)):
         assert abs(got - want) < 2.0  # resample of a solid color
 

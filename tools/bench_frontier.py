@@ -70,11 +70,13 @@ def _url_batch(start: int, n: int) -> pa.Table:
     })
 
 
-def main(n_urls: int, n_cpus: int) -> None:
+def run(n_urls: int, n_cpus: int) -> dict:
+    """Run the stress phases inside the CALLER's Ray session and return
+    the metrics dict (``main`` owns init/print for standalone use; the
+    default ``bench.py`` run embeds this as its ``frontier`` block so
+    every round's driver artifact carries the north-metric numbers)."""
     import ray
 
-    ray.init(address="local", num_cpus=n_cpus, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
     from fide_crawler_ray.state.frontier import (FrontierShard,
                                                  SeenFilterShard,
                                                  salt_of_hashes, shard_of)
@@ -170,7 +172,7 @@ def main(n_urls: int, n_cpus: int) -> None:
                      + st["bloom_bytes"] + st["cuckoo_bytes"]
                      for st in stats)
 
-    print(json.dumps({
+    out = {
         "n_cpus": n_cpus, "n_urls": n_urls,
         "fresh_offers_per_sec": round(offered / t_fresh, 1),
         "mixed_offers_per_sec": round(re_offered / t_mixed, 1),
@@ -184,8 +186,19 @@ def main(n_urls: int, n_cpus: int) -> None:
         "spilled_urls": spilled_urls,
         "spill_bytes_per_spilled_url": round(
             peak_spill_bytes / max(1, spilled_urls), 1),
-    }))
+    }
     shutil.rmtree(spill_dir, ignore_errors=True)
+    for a in filters + shards:
+        ray.kill(a)
+    return out
+
+
+def main(n_urls: int, n_cpus: int) -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=n_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    print(json.dumps(run(n_urls, n_cpus)))
     ray.shutdown()
 
 
