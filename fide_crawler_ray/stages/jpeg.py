@@ -30,6 +30,7 @@ in ``ImageDecodeStub.__init__`` without touching pipeline code.
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -43,6 +44,7 @@ ZIGZAG = np.array([
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
 ], dtype=np.int64)
 UNZIGZAG = np.argsort(ZIGZAG)
+_ZZ_LIST = ZIGZAG.tolist()  # python-int index list for the decode loop
 
 # Annex K.1 luminance / chrominance quantization tables (natural order)
 _QT_LUMA = np.array([
@@ -117,11 +119,12 @@ def _dct2(block: np.ndarray) -> np.ndarray:
 
 # decode work/memory cap (shared policy with stages/gif.py): SOF0 can
 # declare 65535×65535 (~13 GB of float planes) — reject before any
-# allocation. 16 Mpx (≈ 4096×4096, far above any profile photo) bounds
-# the float64 plane transients at ~150 MB per decode instead of the
-# ~1.6 GB the r4 cap of 2^26 permitted (cap sized from the actual
-# allocation, per the r4 advice).
-MAX_PIXELS = 1 << 24
+# allocation. 8 Mpx (≈ 3300×2500, far above any profile photo) bounds
+# the transients (int64 coef store + float64 IDCT output + plane, per
+# component sequentially) at ~200 MB per decode instead of the ~1.6 GB
+# the r4 cap of 2^26 permitted (cap sized from the actual allocations,
+# per the r4 advice).
+MAX_PIXELS = 1 << 23
 
 
 # -------------------------------------------------------------- huffman
@@ -145,70 +148,97 @@ def _build_encode_table(bits, huffval):
     return {sym: (ln, code) for (ln, code), sym in dec.items()}
 
 
-class _BitReader:
-    """MSB-first bit reader over entropy-coded bytes with 0xFF00
-    unstuffing; stops (raises) at any other marker."""
+@functools.lru_cache(maxsize=32)
+def _peek_lut_cached(key) -> list[int]:
+    """16-bit lookahead Huffman LUT (r5 hot-loop fix): next-16-bits →
+    ``(symbol << 8) | code_length`` (0 = invalid prefix), as a python
+    list so one peek + one list index decodes a whole symbol — the r4
+    path walked the (length, code) dict one ``read_bit`` at a time.
+    Cached by table content: the Annex K tables repeat across every
+    image a batch decodes, so the 64 K-slot build is paid once per
+    distinct table per process."""
+    bits, huffval = key
+    dec = _build_decode_table(list(bits), list(huffval))
+    lut = np.zeros(1 << 16, dtype=np.int32)
+    for (length, code), sym in dec.items():
+        lo = code << (16 - length)
+        lut[lo:lo + (1 << (16 - length))] = (sym << 8) | length
+    return lut.tolist()
 
-    def __init__(self, data: bytes, pos: int):
+
+@functools.lru_cache(maxsize=32)
+def _encode_table_cached(key):
+    bits, huffval = key
+    return _build_encode_table(list(bits), list(huffval))
+
+
+def _split_entropy_segments(payload: bytes, pos: int) -> list[bytes]:
+    """Entropy-coded bytes from ``pos`` to the next real marker, split
+    at RSTn boundaries and 0xFF00-unstuffed per segment with
+    ``bytes.replace`` (C speed — the r4 reader unstuffed one python
+    byte at a time inside the bit loop)."""
+    d = payload
+    n = len(d)
+    segs = []
+    start = i = pos
+    while True:
+        j = d.find(b"\xff", i)
+        if j < 0 or j + 1 >= n:
+            segs.append(d[start:n])
+            break
+        nxt = d[j + 1]
+        if nxt == 0x00:
+            i = j + 2
+        elif 0xD0 <= nxt <= 0xD7:  # restart marker: segment boundary
+            segs.append(d[start:j])
+            start = i = j + 2
+        else:  # EOI or another marker: scan over
+            segs.append(d[start:j])
+            break
+    return [s.replace(b"\xff\x00", b"\xff") for s in segs]
+
+
+class _SegBits:
+    """MSB-first bit reader over ONE unstuffed entropy segment with a
+    16-bit peek for table-driven Huffman lookahead. Peeks past the end
+    zero-pad; CONSUMING past the end raises (truncated stream → decode
+    fails → header-parse tier, same contract as the r4 per-byte
+    reader)."""
+
+    __slots__ = ("data", "n", "pos", "acc", "bits", "used", "total")
+
+    def __init__(self, data: bytes):
         self.data = data
-        self.pos = pos
-        self.bit = 0
-        self.cur = 0
-        self.nbits = 0
+        self.n = len(data)
+        self.pos = 0
+        self.acc = 0
+        self.bits = 0
+        self.total = 8 * self.n
+        self.used = 0
 
-    def _fill(self):
-        d = self.data
-        if self.pos >= len(d):
+    def peek16(self) -> int:
+        acc, bits, pos = self.acc, self.bits, self.pos
+        if bits < 16:
+            d, n = self.data, self.n
+            while bits < 16:
+                acc = (acc << 8) | (d[pos] if pos < n else 0)
+                pos += 1
+                bits += 8
+            self.acc, self.bits, self.pos = acc, bits, pos
+        return (acc >> (bits - 16)) & 0xFFFF
+
+    def consume(self, k: int):
+        self.used += k
+        if self.used > self.total:
             raise EOFError
-        b = d[self.pos]
-        if b == 0xFF:
-            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
-            if nxt == 0x00:
-                self.pos += 2
-            elif nxt is not None and 0xD0 <= nxt <= 0xD7:
-                raise _RestartMarker(nxt)
-            else:
-                raise EOFError  # EOI or another marker: scan over
-        else:
-            self.pos += 1
-        self.cur = (self.cur << 8) | b
-        self.nbits += 8
+        self.bits -= k
+        self.acc &= (1 << self.bits) - 1
 
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.cur >> self.nbits) & 1
-
-    def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+    def receive(self, t: int) -> int:
+        """Read a t-bit magnitude (t ≤ 16)."""
+        v = self.peek16() >> (16 - t)
+        self.consume(t)
         return v
-
-    def align_restart(self, marker: int):
-        """Consume the RSTn marker after an _RestartMarker was raised
-        mid-fill; byte position sits ON the 0xFF."""
-        assert self.data[self.pos] == 0xFF and \
-            self.data[self.pos + 1] == marker
-        self.pos += 2
-        self.cur = 0
-        self.nbits = 0
-
-
-class _RestartMarker(Exception):
-    def __init__(self, marker):
-        self.marker = marker
-
-
-def _huff_decode(br: _BitReader, table) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("bad huffman code")
 
 
 def _extend(v: int, t: int) -> int:
@@ -272,11 +302,11 @@ def _jpeg_decode_inner(payload: bytes):
             p = 0
             while p < len(body):
                 tc, th = body[p] >> 4, body[p] & 0xF
-                bits = list(body[p + 1:p + 17])
+                bits = tuple(body[p + 1:p + 17])
                 cnt = sum(bits)
-                huffval = list(body[p + 17:p + 17 + cnt])
+                huffval = tuple(body[p + 17:p + 17 + cnt])
                 (huff_dc if tc == 0 else huff_ac)[th] = \
-                    _build_decode_table(bits, huffval)
+                    _peek_lut_cached((bits, huffval))
                 p += 17 + cnt
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[:2], "big")
@@ -328,41 +358,54 @@ def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac,
     mcus_y = (h + mcu_h - 1) // mcu_h
 
     scan_by_cid = {s[0]: s for s in scan}
-    planes = []
+    # per-component coefficient store (natural order): the entropy loop
+    # only scatters ints here; dequant + IDCT run BATCHED per component
+    # afterwards (r5 — one broadcasted matmul chain instead of a
+    # np.zeros + 8×8 IDCT + slice-assign per block)
+    coefs = []
     for cid, hs, vs, tq in comps:
-        planes.append(np.zeros((mcus_y * vs * 8, mcus_x * hs * 8),
-                               dtype=np.float64))
+        coefs.append(np.zeros((mcus_y * vs, mcus_x * hs, 64),
+                              dtype=np.int64))
 
-    br = _BitReader(payload, pos)
+    segs = _split_entropy_segments(payload, pos)
+    br = _SegBits(segs[0])
+    seg_i = 0
+    zz = _ZZ_LIST
     pred = [0] * len(comps)
     mcu_index = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and mcu_index and \
                     mcu_index % restart_interval == 0:
-                # byte-align: skip to the RSTn marker and consume it
-                br.nbits = 0
-                d = br.data
-                while br.pos + 1 < len(d) and not (
-                        d[br.pos] == 0xFF and 0xD0 <= d[br.pos + 1] <= 0xD7):
-                    br.pos += 1
-                br.align_restart(d[br.pos + 1])
+                # restart: next pre-split segment, byte-aligned by
+                # construction; DC predictors reset
+                seg_i += 1
+                if seg_i >= len(segs):
+                    raise EOFError
+                br = _SegBits(segs[seg_i])
                 pred = [0] * len(comps)
             for ci, (cid, hs, vs, tq) in enumerate(comps):
                 _, td, ta = scan_by_cid[cid]
-                dct = huff_dc[td]
-                act = huff_ac[ta]
-                q = qt[tq]
+                dlut = huff_dc[td]
+                alut = huff_ac[ta]
+                cstore = coefs[ci]
                 for by in range(vs):
                     for bx in range(hs):
-                        coeffs = np.zeros(64, dtype=np.int64)
-                        t = _huff_decode(br, dct)
-                        diff = _extend(br.receive(t), t)
-                        pred[ci] += diff
-                        coeffs[0] = pred[ci]
+                        row = cstore[my * vs + by, mx * hs + bx]
+                        e = dlut[br.peek16()]
+                        if e == 0:
+                            raise ValueError("bad huffman code")
+                        br.consume(e & 0xFF)
+                        t = e >> 8
+                        pred[ci] += _extend(br.receive(t), t)
+                        row[0] = pred[ci]  # ZIGZAG[0] == 0
                         k = 1
                         while k < 64:
-                            rs = _huff_decode(br, act)
+                            e = alut[br.peek16()]
+                            if e == 0:
+                                raise ValueError("bad huffman code")
+                            br.consume(e & 0xFF)
+                            rs = e >> 8
                             r, s = rs >> 4, rs & 0xF
                             if s == 0:
                                 if r == 15:
@@ -372,15 +415,16 @@ def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac,
                             k += r
                             if k > 63:
                                 raise ValueError("AC overflow")
-                            coeffs[k] = _extend(br.receive(s), s)
+                            row[zz[k]] = _extend(br.receive(s), s)
                             k += 1
-                        block = np.zeros(64, dtype=np.int64)
-                        block[ZIGZAG] = coeffs
-                        px = _idct2(block.reshape(8, 8) * q) + 128.0
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = px
             mcu_index += 1
+
+    # batched dequant + IDCT + de-block per component
+    planes = []
+    for (cid, hs, vs, tq), cstore in zip(comps, coefs):
+        nby, nbx = cstore.shape[0], cstore.shape[1]
+        px = _idct2(cstore.reshape(nby, nbx, 8, 8) * qt[tq]) + 128.0
+        planes.append(px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8))
 
     # upsample to full resolution (replication), crop, color-convert
     full = []
@@ -434,24 +478,32 @@ class _BitWriter:
 
 def _encode_block(bw: _BitWriter, block: np.ndarray, q: np.ndarray,
                   pred: int, dc_tbl, ac_tbl) -> int:
-    coeffs = np.rint(_dct2(block.astype(np.float64) - 128.0) / q) \
-        .astype(np.int64)
-    zz = coeffs.reshape(-1)[ZIGZAG]
-    dc = int(zz[0])
+    zz = np.rint(_dct2(block.astype(np.float64) - 128.0) / q) \
+        .astype(np.int64).reshape(-1)[ZIGZAG].tolist()
+    return _encode_block_bits(bw, zz, pred, dc_tbl, ac_tbl)
+
+
+def _encode_block_bits(bw: _BitWriter, zz: list, pred: int,
+                       dc_tbl, ac_tbl) -> int:
+    """Entropy-code one already-DCT'd/quantized/zigzagged block (a
+    python int list — the encoder batches the numpy chain per
+    component, r5). The AC loop's gap arithmetic replaces the r4
+    63-step run counter; pure-list reads replace numpy scalar
+    iteration (the old encode hot spot)."""
+    dc = zz[0]
     diff = dc - pred
-    mag = abs(diff)
-    t = mag.bit_length()
+    t = abs(diff).bit_length()
     ln, code = dc_tbl[t]
     bw.write(code, ln)
     if t:
         bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
-    run = 0
-    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    last_nz = 0
+    prev_k = 0
     for k in range(1, 64):
-        v = int(zz[k])
+        v = zz[k]
         if v == 0:
-            run += 1
             continue
+        run = k - prev_k - 1
         while run > 15:
             ln, code = ac_tbl[0xF0]
             bw.write(code, ln)
@@ -460,9 +512,7 @@ def _encode_block(bw: _BitWriter, block: np.ndarray, q: np.ndarray,
         ln, code = ac_tbl[(run << 4) | s]
         bw.write(code, ln)
         bw.write(v if v > 0 else v + (1 << s) - 1, s)
-        run = 0
-        if k == last_nz:
-            break
+        prev_k = last_nz = k
     if last_nz < 63:
         ln, code = ac_tbl[0x00]  # EOB
         bw.write(code, ln)
@@ -569,10 +619,24 @@ def jpeg_encode_baseline(arr: np.ndarray, quality: int = 90,
         mcus_y = padded[0].shape[0] // 8
         blocks_of = [[(0, 0)]] * nc
         base = [8] * nc
-    dc_tbls = [_build_encode_table(*_DC_LUMA)] + \
-        ([] if gray else [_build_encode_table(*_DC_CHROMA)] * 2)
-    ac_tbls = [_build_encode_table(*_AC_LUMA)] + \
-        ([] if gray else [_build_encode_table(*_AC_CHROMA)] * 2)
+    def _etbl(spec):  # cached: tables are per-process, not per-image
+        return _encode_table_cached((tuple(spec[0]), tuple(spec[1])))
+
+    dc_tbls = [_etbl(_DC_LUMA)] + \
+        ([] if gray else [_etbl(_DC_CHROMA)] * 2)
+    ac_tbls = [_etbl(_AC_LUMA)] + \
+        ([] if gray else [_etbl(_AC_CHROMA)] * 2)
+    # batched DCT → quantize → zigzag per component (r5): one
+    # broadcasted matmul chain + one tolist() replaces six numpy ops
+    # per block; the MCU loop below only does bit output
+    zz_of = []
+    for ci in range(nc):
+        p = padded[ci]
+        nby, nbx = p.shape[0] // 8, p.shape[1] // 8
+        blocks = p.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+        d = _dct2(blocks - 128.0)
+        zz_of.append(np.rint(d / qts[ci]).astype(np.int64)
+                     .reshape(nby, nbx, 64)[:, :, ZIGZAG].tolist())
     bw = _BitWriter()
     pred = [0] * nc
     mcu_index = 0
@@ -586,12 +650,11 @@ def jpeg_encode_baseline(arr: np.ndarray, quality: int = 90,
                 rst = (rst + 1) % 8
                 pred = [0] * nc
             for ci in range(nc):
+                bb = base[ci] // 8
                 for by, bx in blocks_of[ci]:
-                    y0 = my * base[ci] + by * 8
-                    x0 = mx * base[ci] + bx * 8
-                    blk = padded[ci][y0:y0 + 8, x0:x0 + 8]
-                    pred[ci] = _encode_block(bw, blk, qts[ci], pred[ci],
-                                             dc_tbls[ci], ac_tbls[ci])
+                    zz = zz_of[ci][my * bb + by][mx * bb + bx]
+                    pred[ci] = _encode_block_bits(
+                        bw, zz, pred[ci], dc_tbls[ci], ac_tbls[ci])
             mcu_index += 1
     bw.flush()
     out += bw.out
