@@ -1169,10 +1169,68 @@ def q_crawl_metrics(sf_dir):
     return df
 
 
+_CALC_SPANS_SIDECAR = "/tmp/fcray_q_calc_spans.parquet"
+
+
+@functools.lru_cache(maxsize=1)
+def _calc_spans_sidecar() -> str:
+    """Write the synthetic site's rendered calc-span documents as a
+    parquet side-table (r5 — turns the flagship crawl into a HARD
+    oracle): one row per REACHABLE calc doc (every player matches some
+    seed query by construction) with its ground-truth spans straight
+    from the synth renderer — independent input, NOT engine output.
+    The ``crawl_game_history`` oracle SQL then replays the whole
+    parse → normalize → keep-first-dedup → dropna chain over it in
+    DuckDB, so any render/crawl/parse/normalize/dedup bug breaks the
+    match.
+
+    Priority note: the exported priority uses a constant
+    (seed_rank=0, result_idx=1) prefix. That is sufficient for the
+    min-lineage dedup replay because DEDUP_KEY contains player_name
+    (unique per player), so lineage comparisons never cross players —
+    and within one player the (seed_rank, result_idx) prefix is the
+    same for every doc (all calc URLs expand from the player's single
+    deduped profile fetch), leaving (month_idx, span offset) as the
+    only deciding fields, which the sidecar preserves exactly.
+    Written atomically (tmp + rename); called from BOTH the query and
+    ``oracle_sql()`` so the file exists regardless of driver order."""
+    import pyarrow.parquet as pq
+
+    from ..stages import urls as U
+
+    cfg = synth.SiteConfig(seed=42, n_players=6, n_queries=2, n_months=12)
+    reach = set()
+    for q in synth.seed_queries(cfg):
+        reach.update(synth.players_for_query(cfg, q))
+    rows = []
+    for pid in sorted(reach):
+        name = synth.player_name(cfg, pid)
+        for m in synth.months_of(cfg):
+            prio = U.pack_priority(0, 1, U.KIND_CALC, U.month_index(m))
+            doc = synth.render_calc(cfg, pid, m)
+            rows.append((pid, name, prio, doc["spans"]))
+    span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                       ("media_ref", pa.string()), ("offset", pa.int64())])
+    tbl = pa.table({
+        "fide_id": pa.array([r[0] for r in rows], pa.string()),
+        "player_name": pa.array([r[1] for r in rows], pa.string()),
+        "priority": pa.array([r[2] for r in rows], pa.int64()),
+        "spans": pa.array([r[3] for r in rows], pa.list_(span_t)),
+    })
+    tmp = _CALC_SPANS_SIDECAR + f".tmp{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, _CALC_SPANS_SIDECAR)
+    return _CALC_SPANS_SIDECAR
+
+
 def q_crawl_game_history(sf_dir):
-    """Flagship crawl: synthetic site → frontier crawl → parsed, normalized,
-    deduped game_history (rows-only: the site is not a SQL view)."""
+    """Flagship crawl: synthetic site → frontier crawl → parsed,
+    normalized, deduped game_history. Hard oracle since r5: the
+    ``crawl_game_history`` SQL replays parse → normalize → dedup →
+    dropna over the ground-truth span sidecar (see
+    ``_calc_spans_sidecar``)."""
     out = _crawl_store("fixed")
+    _calc_spans_sidecar()
     from ..sources import store
 
     return store.read_all(out, "game_history").drop_columns(["lineage"])
@@ -2442,8 +2500,131 @@ def _mmr_sql(k: int = 10, pool: int = 50) -> str:
 
 ORACLES["mmr_rerank"] = _mmr_sql()
 
+# Flagship crawl replay (r5): the full parse (stages/parse.py:212
+# semantics — header/rating forward-fill, i-th-media color join,
+# malformed-doc drops, 7-field row gate) → normalize (M10/M11 casts) →
+# min-lineage keep-first dedup → dropna chain, in SQL, over the
+# ground-truth span sidecar written by _calc_spans_sidecar(). lineage =
+# priority·2^16 + span offset, exactly the engine's packing.
+ORACLES["crawl_game_history"] = f"""
+    WITH docs AS (SELECT fide_id, player_name, priority, spans
+                  FROM read_parquet('{_CALC_SPANS_SIDECAR}')),
+    sp AS (SELECT fide_id, player_name, priority,
+                  unnest(spans) AS s,
+                  unnest(range(len(spans))) AS pos
+           FROM docs),
+    f AS (SELECT fide_id, player_name, priority, pos,
+                 s.kind AS kind, s.text AS text, s.media_ref AS mref
+          FROM sp),
+    st AS (SELECT *,
+             max(CASE WHEN kind = 'header' THEN pos END) OVER w AS hpos,
+             max(CASE WHEN kind = 'rating' THEN pos END) OVER w AS rpos
+           FROM f
+           WINDOW w AS (PARTITION BY priority, fide_id ORDER BY pos)),
+    games AS (SELECT *, row_number() OVER (PARTITION BY priority, fide_id
+                                           ORDER BY pos) AS grank
+              FROM st WHERE kind = 'game'),
+    media AS (SELECT fide_id, priority,
+                     row_number() OVER (PARTITION BY priority, fide_id
+                                        ORDER BY pos) AS mrank,
+                     (mref LIKE '%clr_wh%') AS is_white
+              FROM f WHERE kind = 'media'),
+    hdr AS (SELECT fide_id, priority, pos,
+                   split_part(text, '|', 1) AS tname,
+                   CASE WHEN strpos(text, '|') > 0
+                        THEN split_part(text, '|', 2) END AS tdate,
+                   (strpos(text, '|') = 0) AS hbad
+            FROM f WHERE kind = 'header'),
+    rat AS (SELECT fide_id, priority, pos, text AS prating
+            FROM f WHERE kind = 'rating'),
+    gm AS (SELECT fide_id, priority, count(*) AS ng FROM games GROUP BY 1, 2),
+    mm AS (SELECT fide_id, priority, count(*) AS nm FROM media GROUP BY 1, 2),
+    bad AS (
+      SELECT fide_id, priority FROM hdr WHERE hbad
+      UNION
+      SELECT fide_id, priority FROM games
+      WHERE len(string_split(text, '|')) < 7
+      UNION
+      SELECT g.fide_id, g.priority FROM gm g
+      LEFT JOIN mm USING (fide_id, priority)
+      WHERE g.ng > COALESCE(mm.nm, 0)),
+    parsed AS (
+      SELECT g.fide_id,
+             h.tdate AS date,
+             h.tname AS tournament_name,
+             split_part(g.text, '|', 3) AS country,
+             g.player_name,
+             r.prating AS player_rating,
+             CASE WHEN m.is_white THEN 'white' ELSE 'black' END
+                 AS player_color,
+             split_part(g.text, '|', 1) AS opponent_name,
+             split_part(g.text, '|', 2) AS opponent_rating,
+             split_part(g.text, '|', 4) AS result,
+             split_part(g.text, '|', 5) AS chg,
+             split_part(g.text, '|', 6) AS k,
+             split_part(g.text, '|', 7) AS k_chg,
+             g.priority * 65536 + g.pos AS lineage
+      FROM games g
+      ANTI JOIN bad b ON b.fide_id = g.fide_id AND b.priority = g.priority
+      JOIN media m ON m.fide_id = g.fide_id AND m.priority = g.priority
+                 AND m.mrank = g.grank
+      LEFT JOIN hdr h ON h.fide_id = g.fide_id AND h.priority = g.priority
+                     AND h.pos = g.hpos
+      LEFT JOIN rat r ON r.fide_id = g.fide_id AND r.priority = g.priority
+                     AND r.pos = g.rpos
+      WHERE split_part(g.text, '|', 1) <> ''
+        AND split_part(g.text, '|', 2) <> ''
+        AND split_part(g.text, '|', 3) <> ''
+        AND split_part(g.text, '|', 4) <> ''
+        AND split_part(g.text, '|', 5) <> ''
+        AND split_part(g.text, '|', 6) <> ''
+        AND split_part(g.text, '|', 7) <> ''),
+    norm AS (
+      SELECT fide_id, date, tournament_name, country, player_name,
+             CAST(CAST(NULLIF(trim(player_rating), '') AS DOUBLE) AS INT)
+                 AS player_rating,
+             player_color, opponent_name,
+             CAST(CAST(NULLIF(regexp_replace(opponent_rating, '[^0-9]',
+                                             '', 'g'), '') AS DOUBLE)
+                  AS INT) AS opponent_rating,
+             CAST(NULLIF(trim(result), '') AS REAL) AS result,
+             CAST(NULLIF(trim(chg), '') AS REAL) AS chg,
+             CAST(CAST(NULLIF(trim(k), '') AS DOUBLE) AS INT) AS k,
+             CAST(NULLIF(trim(k_chg), '') AS REAL) AS k_chg,
+             lineage
+      FROM parsed),
+    dedup AS (SELECT *, row_number() OVER (
+                PARTITION BY date, tournament_name, player_name,
+                             opponent_name, result
+                ORDER BY lineage) AS rn
+              FROM norm)
+    SELECT fide_id, date, tournament_name, country, player_name,
+           player_rating, player_color, opponent_name, opponent_rating,
+           result, chg, k, k_chg
+    FROM dedup
+    WHERE rn = 1
+      AND fide_id IS NOT NULL AND fide_id <> ''
+      AND date IS NOT NULL AND date <> ''
+      AND tournament_name IS NOT NULL AND tournament_name <> ''
+      AND country IS NOT NULL AND country <> ''
+      AND player_name IS NOT NULL AND player_name <> ''
+      AND player_rating IS NOT NULL
+      AND player_color IS NOT NULL AND player_color <> ''
+      AND opponent_name IS NOT NULL AND opponent_name <> ''
+      AND opponent_rating IS NOT NULL
+      AND result IS NOT NULL AND chg IS NOT NULL
+      AND k IS NOT NULL AND k_chg IS NOT NULL
+"""
+
 
 def oracle_sql() -> dict:
     from . import relational, textclean  # deferred: both import T from here
 
+    # the crawl replay oracle reads the ground-truth span sidecar; write
+    # it here too (cheap, idempotent, pure python — no Ray) so the file
+    # exists no matter whether the driver runs queries or SQL first
+    try:
+        _calc_spans_sidecar()
+    except Exception:
+        pass  # the query path writes it as well; never break oracle_sql
     return {**ORACLES, **relational.ORACLES, **textclean.ORACLES}
