@@ -147,6 +147,11 @@ def run_bench() -> dict:
         # r4 machinery: REAL baseline-JPEG encode→decode round trip
         # (pure-python codec, actor pool) and the M17 dp-table rollup
         "jpeg_pixel_stats", "perf_rating_dp",
+        # r5: "embedding_kmeans" became the deterministic zero-Lloyd
+        # driver query; the 5-round distributed Lloyd workload it used
+        # to time (actor/task spin per round) stays measured here under
+        # its new name so the signal survives across rounds
+        "embedding_kmeans_lloyd",
     ]
     qs = Q.queries()
     for name in suite:

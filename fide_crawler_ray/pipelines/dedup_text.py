@@ -799,13 +799,14 @@ def semdedup(embeddings_ds, n_clusters: int = 8, iters: int = 3,
             self.ct = ray.get(cref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
+            from ..functions.ann import _normalize64
+
             col = b["embedding"]
             la = (col.combine_chunks()
                   if isinstance(col, pa.ChunkedArray) else col)
-            m = la.values.to_numpy(zero_copy_only=False).astype(
-                np.float64).reshape(b.num_rows, -1)
-            nm = m / np.clip(
-                np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
+            nm = _normalize64(
+                la.values.to_numpy(zero_copy_only=False)
+                .reshape(b.num_rows, -1))
             cl = (nm @ self.ct).argmax(axis=1).astype(np.int64)
             return pa.table({"vec_id": b["vec_id"], "embedding": la,
                              "cluster": pa.array(cl, pa.int64())})

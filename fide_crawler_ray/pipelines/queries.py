@@ -529,7 +529,10 @@ def q_semdedup(sf_dir, threshold: float = 0.5):
     error, so no edge can flip. The iterative-Lloyd production path
     (threshold 0.98) stays as ``semdedup_lloyd`` with the planted-dup
     recall gate (quality.q_semdedup_recall)."""
-    emb = T(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # materialize ONCE: the sample, assignment, and survivor anti-join
+    # all re-consume the table (semdedup materializes internally too,
+    # but only after the centroid pass; r5 review fix)
+    emb = T(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
     cents = ANN.md5_sample_centroids(emb, 8, tag="km:42")
     survivors, _ = DT.semdedup(emb, threshold=threshold, centroids=cents)
     return survivors.select_columns(["vec_id"])
@@ -589,9 +592,8 @@ def q_mmr_rerank(sf_dir, k: int = 10, pool: int = 50):
     vec_df = emb.map_batches(
         lambda b: b.filter(pc.is_in(b["vec_id"], value_set=need)),
         batch_format="pyarrow").to_pandas()  # pool-set-sized
-    m = np.stack([np.asarray(v, dtype=np.float32)
-                  for v in vec_df["embedding"]]).astype(np.float64)
-    m /= np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
+    m = ANN._normalize64(np.stack([np.asarray(v, dtype=np.float32)
+                                   for v in vec_df["embedding"]]))
     ufp = _round_half_away(m * 1e6).astype(np.int64)
     row_of = {int(v): i for i, v in enumerate(vec_df["vec_id"])}
     sims_int = ufp @ ufp.T  # exact int64, ≈ cosine·1e12
@@ -692,7 +694,9 @@ def q_ann_ivf(sf_dir):
     keeps recall@10 ≥ 0.8 on the near-uniform synthetic embeddings
     (gate: ann_ivf_recall); the learned-centroid production path stays
     as ``ann_ivf_lloyd``."""
-    emb = T(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # materialize ONCE: centroid sample + assignment/scoring each
+    # consume a full pass (r5 review fix)
+    emb = T(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
     cents = ANN.md5_sample_centroids(emb, 16, tag="ivf:42")
     return ANN.ivf_search(emb, cents, _queries_matrix(sf_dir), k=10,
                           nprobe=8, precise=True)
@@ -750,9 +754,7 @@ def _kmeans_stats(emb, cents) -> "rd.Dataset":
             self.c = ray.get(cref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            m = ANN._to_matrix(b["embedding"]).astype(np.float64)
-            m /= np.clip(np.linalg.norm(m, axis=1, keepdims=True),
-                         1e-12, None)
+            m = ANN._normalize64(ANN._to_matrix(b["embedding"]))
             sims = m @ self.c.T
             assign = sims.argmax(axis=1)
             best = sims[np.arange(len(assign)), assign]
@@ -801,7 +803,9 @@ def q_embedding_kmeans(sf_dir, k: int = 8):
     the assignment pass is one map_batches emitting per-batch
     per-cluster partials (k rows each, corpus-size-independent) folded
     by a k-row groupby."""
-    emb = T(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # materialize ONCE: the centroid sample and the stats pass would
+    # otherwise each re-read the parquet (r5 review fix)
+    emb = T(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
     cents = ANN.md5_sample_centroids(emb, k, tag="km:42")
     return _kmeans_stats(emb, cents)
 
@@ -1169,7 +1173,14 @@ def q_crawl_metrics(sf_dir):
     return df
 
 
-_CALC_SPANS_SIDECAR = "/tmp/fcray_q_calc_spans.parquet"
+# content-versioned name: the hash covers the generating config and a
+# format version, so a stale sidecar from an older repo state (or an
+# unrelated file squatting the name) can never be read as ground truth
+_CALC_SPANS_SIDECAR = ("/tmp/fcray_q_calc_spans_"
+                       + hashlib.md5(
+                           b"v1|seed=42,n_players=6,n_queries=2,"
+                           b"n_months=12").hexdigest()[:10]
+                       + ".parquet")
 
 
 @functools.lru_cache(maxsize=1)
@@ -2172,92 +2183,9 @@ ORACLES: dict[str, str] = {
                round(raw, 4) AS score, CAST(rank AS INT) AS rank
         FROM r WHERE rank <= 10
     """,
-    # Deterministic-IVF replay (r5): centroids = md5-sample, zero Lloyd
-    # rounds; the engine computes every cosine in float64 (precise=True)
-    # so assignment / probe / top-k agree with this DOUBLE replay to
-    # ~1e-15 against ≥5.8e-6 decision margins (measured at all SFs).
-    "ann_ivf": """
-        WITH c AS (SELECT vec_id AS cvid, embedding AS ce,
-                 ROW_NUMBER() OVER (ORDER BY
-                     md5('ivf:42:' || CAST(vec_id AS VARCHAR)), vec_id)
-                 - 1 AS cidx
-               FROM embeddings QUALIFY cidx < 16),
-        a AS (SELECT e.vec_id, e.embedding, c.cidx,
-                ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                    ORDER BY list_cosine_similarity(e.embedding, c.ce)
-                             DESC, c.cidx) AS rn
-              FROM embeddings e, c),
-        asg AS (SELECT vec_id, embedding, cidx AS bucket FROM a WHERE rn = 1),
-        q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
-              WHERE vec_id < 5),
-        qp AS (SELECT q.qid, c.cidx,
-                 ROW_NUMBER() OVER (PARTITION BY q.qid
-                     ORDER BY list_cosine_similarity(q.qe, c.ce)
-                              DESC, c.cidx) AS prn
-               FROM q, c),
-        probe AS (SELECT qid, cidx FROM qp WHERE prn <= 8),
-        s AS (SELECT q.qid AS query_id, g.vec_id,
-                CAST(list_cosine_similarity(q.qe, g.embedding) AS DOUBLE)
-                    AS raw
-              FROM q JOIN probe p ON p.qid = q.qid
-              JOIN asg g ON g.bucket = p.cidx),
-        r AS (SELECT query_id, vec_id, raw, ROW_NUMBER() OVER (
-                 PARTITION BY query_id ORDER BY raw DESC, vec_id) AS rank
-              FROM s)
-        SELECT CAST(query_id AS INT) AS query_id, vec_id,
-               round(raw, 4) AS score, CAST(rank AS INT) AS rank
-        FROM r WHERE rank <= 10
-    """,
-    # Same probe chain as ann_ivf, intersected with the brute-force
-    # top-10; recall = hits / 50 is exact-integer arithmetic.
-    "ann_ivf_recall": """
-        WITH c AS (SELECT vec_id AS cvid, embedding AS ce,
-                 ROW_NUMBER() OVER (ORDER BY
-                     md5('ivf:42:' || CAST(vec_id AS VARCHAR)), vec_id)
-                 - 1 AS cidx
-               FROM embeddings QUALIFY cidx < 16),
-        a AS (SELECT e.vec_id, e.embedding, c.cidx,
-                ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                    ORDER BY list_cosine_similarity(e.embedding, c.ce)
-                             DESC, c.cidx) AS rn
-              FROM embeddings e, c),
-        asg AS (SELECT vec_id, embedding, cidx AS bucket FROM a WHERE rn = 1),
-        q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
-              WHERE vec_id < 5),
-        qp AS (SELECT q.qid, c.cidx,
-                 ROW_NUMBER() OVER (PARTITION BY q.qid
-                     ORDER BY list_cosine_similarity(q.qe, c.ce)
-                              DESC, c.cidx) AS prn
-               FROM q, c),
-        probe AS (SELECT qid, cidx FROM qp WHERE prn <= 8),
-        s AS (SELECT q.qid AS query_id, g.vec_id,
-                CAST(list_cosine_similarity(q.qe, g.embedding) AS DOUBLE)
-                    AS raw
-              FROM q JOIN probe p ON p.qid = q.qid
-              JOIN asg g ON g.bucket = p.cidx),
-        ivf AS (SELECT query_id, vec_id FROM (
-                  SELECT query_id, vec_id, ROW_NUMBER() OVER (
-                    PARTITION BY query_id ORDER BY raw DESC, vec_id) AS rank
-                  FROM s) WHERE rank <= 10),
-        bs AS (SELECT q.qid AS query_id, e.vec_id,
-                 CAST(list_cosine_similarity(q.qe, e.embedding) AS DOUBLE)
-                     AS raw
-               FROM q, embeddings e),
-        brute AS (SELECT query_id, vec_id FROM (
-                    SELECT query_id, vec_id, ROW_NUMBER() OVER (
-                      PARTITION BY query_id ORDER BY raw DESC, vec_id)
-                        AS rnk
-                    FROM bs) WHERE rnk <= 10),
-        h AS (SELECT count(*) AS hits FROM brute b
-              SEMI JOIN ivf i ON i.query_id = b.query_id
-                             AND i.vec_id = b.vec_id),
-        t AS (SELECT count(*) AS total,
-                     count(DISTINCT query_id) AS nq FROM brute)
-        SELECT round(h.hits * 1000000.0 / t.total) / 1000000.0
-                   AS recall_at_10,
-               CAST(t.nq AS BIGINT) AS n_queries
-        FROM h, t
-    """,
+    # (ann_ivf / ann_ivf_recall are appended below ORACLES from the
+    # shared _IVF_CHAIN_SQL fragment — r5 review: the two copies of the
+    # centroid/assign/probe/score chain had already started to drift)
     # Deterministic k-means stats replay (r5): md5-sample centroids,
     # DOUBLE[] cosine (~1e-15 agreement with the engine's float64 path),
     # per-member micro-unit quantization BEFORE the sum so the cluster
@@ -2293,6 +2221,8 @@ ORACLES: dict[str, str] = {
     # SemDeDup replay (r5): md5-sample clusters, within-cluster edges at
     # threshold 0.5 (margin |cos-0.5| ≥ 1.6e-3 at every SF), then the
     # same reachable-to-smaller-id component drop as dedup_embedding.
+    # DOUBLE[] casts match the engine's float64 assignment path to
+    # ~1e-15 (r5 review fix — uncast FLOAT[] is ~1.4e-7 off).
     "semdedup": """
         WITH RECURSIVE c AS (SELECT embedding AS ce,
                  ROW_NUMBER() OVER (ORDER BY
@@ -2301,16 +2231,19 @@ ORACLES: dict[str, str] = {
                FROM embeddings QUALIFY cidx < 8),
         a AS (SELECT e.vec_id, e.embedding, c.cidx,
                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                    ORDER BY list_cosine_similarity(e.embedding, c.ce)
-                             DESC, c.cidx) AS rn
+                    ORDER BY list_cosine_similarity(
+                                 CAST(e.embedding AS DOUBLE[]),
+                                 CAST(c.ce AS DOUBLE[])) DESC, c.cidx)
+                    AS rn
               FROM embeddings e, c),
         asg AS (SELECT vec_id, embedding, cidx AS cluster
                 FROM a WHERE rn = 1),
         edges AS (SELECT x.vec_id AS x, y.vec_id AS y
                   FROM asg x JOIN asg y ON x.cluster = y.cluster
                                        AND x.vec_id < y.vec_id
-                  WHERE list_cosine_similarity(x.embedding, y.embedding)
-                        >= 0.5),
+                  WHERE list_cosine_similarity(
+                            CAST(x.embedding AS DOUBLE[]),
+                            CAST(y.embedding AS DOUBLE[])) >= 0.5),
         sym AS (SELECT x, y FROM edges
                 UNION ALL SELECT y AS x, x AS y FROM edges),
         reach(x, y) AS (SELECT x, y FROM sym
@@ -2500,6 +2433,81 @@ def _mmr_sql(k: int = 10, pool: int = 50) -> str:
 
 ORACLES["mmr_rerank"] = _mmr_sql()
 
+# Deterministic-IVF replay chain (r5), shared by ann_ivf and
+# ann_ivf_recall so the two oracles cannot drift: centroids =
+# md5-sample, zero Lloyd rounds; every cosine runs on DOUBLE[] casts so
+# the SQL agrees with the engine's float64 precise=True path to ~1e-15
+# (the uncast FLOAT[] path differs by up to ~1.4e-7 — measured — which
+# is still inside the ≥5.8e-6 decision margins but erodes the headroom
+# the design assumes; r5 review fix).
+_IVF_CHAIN_SQL = """
+    c AS (SELECT vec_id AS cvid, embedding AS ce,
+             ROW_NUMBER() OVER (ORDER BY
+                 md5('ivf:42:' || CAST(vec_id AS VARCHAR)), vec_id)
+             - 1 AS cidx
+           FROM embeddings QUALIFY cidx < 16),
+    a AS (SELECT e.vec_id, e.embedding, c.cidx,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                ORDER BY list_cosine_similarity(
+                             CAST(e.embedding AS DOUBLE[]),
+                             CAST(c.ce AS DOUBLE[])) DESC, c.cidx) AS rn
+          FROM embeddings e, c),
+    asg AS (SELECT vec_id, embedding, cidx AS bucket FROM a WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+          WHERE vec_id < 5),
+    qp AS (SELECT q.qid, c.cidx,
+             ROW_NUMBER() OVER (PARTITION BY q.qid
+                 ORDER BY list_cosine_similarity(
+                              CAST(q.qe AS DOUBLE[]),
+                              CAST(c.ce AS DOUBLE[])) DESC, c.cidx)
+                 AS prn
+           FROM q, c),
+    probe AS (SELECT qid, cidx FROM qp WHERE prn <= 8),
+    s AS (SELECT q.qid AS query_id, g.vec_id,
+            list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                   CAST(g.embedding AS DOUBLE[])) AS raw
+          FROM q JOIN probe p ON p.qid = q.qid
+          JOIN asg g ON g.bucket = p.cidx)
+"""
+
+ORACLES["ann_ivf"] = f"""
+    WITH {_IVF_CHAIN_SQL},
+    r AS (SELECT query_id, vec_id, raw, ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY raw DESC, vec_id) AS rank
+          FROM s)
+    SELECT CAST(query_id AS INT) AS query_id, vec_id,
+           round(raw, 4) AS score, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 10
+"""
+
+# Same probe chain, intersected with the brute-force top-10;
+# recall = hits / 50 is exact-integer arithmetic.
+ORACLES["ann_ivf_recall"] = f"""
+    WITH {_IVF_CHAIN_SQL},
+    ivf AS (SELECT query_id, vec_id FROM (
+              SELECT query_id, vec_id, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY raw DESC, vec_id) AS rank
+              FROM s) WHERE rank <= 10),
+    bs AS (SELECT q.qid AS query_id, e.vec_id,
+             list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])) AS raw
+           FROM q, embeddings e),
+    brute AS (SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id, ROW_NUMBER() OVER (
+                  PARTITION BY query_id ORDER BY raw DESC, vec_id)
+                    AS rnk
+                FROM bs) WHERE rnk <= 10),
+    h AS (SELECT count(*) AS hits FROM brute b
+          SEMI JOIN ivf i ON i.query_id = b.query_id
+                         AND i.vec_id = b.vec_id),
+    t AS (SELECT count(*) AS total,
+                 count(DISTINCT query_id) AS nq FROM brute)
+    SELECT round(h.hits * 1000000.0 / t.total) / 1000000.0
+               AS recall_at_10,
+           CAST(t.nq AS BIGINT) AS n_queries
+    FROM h, t
+"""
+
 # Flagship crawl replay (r5): the full parse (stages/parse.py:212
 # semantics — header/rating forward-fill, i-th-media color join,
 # malformed-doc drops, 7-field row gate) → normalize (M10/M11 casts) →
@@ -2622,9 +2630,13 @@ def oracle_sql() -> dict:
 
     # the crawl replay oracle reads the ground-truth span sidecar; write
     # it here too (cheap, idempotent, pure python — no Ray) so the file
-    # exists no matter whether the driver runs queries or SQL first
+    # exists no matter whether the driver runs queries or SQL first. A
+    # write failure is only tolerable when a (content-versioned, so
+    # guaranteed-current) sidecar already exists — otherwise surface it
+    # rather than letting DuckDB fail on a missing file later.
     try:
         _calc_spans_sidecar()
     except Exception:
-        pass  # the query path writes it as well; never break oracle_sql
+        if not os.path.exists(_CALC_SPANS_SIDECAR):
+            raise
     return {**ORACLES, **relational.ORACLES, **textclean.ORACLES}

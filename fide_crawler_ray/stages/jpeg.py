@@ -119,12 +119,14 @@ def _dct2(block: np.ndarray) -> np.ndarray:
 
 # decode work/memory cap (shared policy with stages/gif.py): SOF0 can
 # declare 65535×65535 (~13 GB of float planes) — reject before any
-# allocation. 8 Mpx (≈ 3300×2500, far above any profile photo) bounds
-# the transients (int64 coef store + float64 IDCT output + plane, per
-# component sequentially) at ~200 MB per decode instead of the ~1.6 GB
+# allocation. 16 Mpx (≈ 4900×3400 — covers modern camera photos, which
+# r4 decoded and r5 must keep decoding) bounds the transients at
+# ~260 MB per decode: int32 coef store (baseline dequant coefficients
+# are ≤ 255·11-bit magnitudes, well inside int32) 64 MB + float64 IDCT
+# output 128 MB + plane, per component sequentially — vs the ~1.6 GB
 # the r4 cap of 2^26 permitted (cap sized from the actual allocations,
 # per the r4 advice).
-MAX_PIXELS = 1 << 23
+MAX_PIXELS = 1 << 24
 
 
 # -------------------------------------------------------------- huffman
@@ -149,21 +151,27 @@ def _build_encode_table(bits, huffval):
 
 
 @functools.lru_cache(maxsize=32)
-def _peek_lut_cached(key) -> list[int]:
+def _peek_lut_cached(key):
     """16-bit lookahead Huffman LUT (r5 hot-loop fix): next-16-bits →
-    ``(symbol << 8) | code_length`` (0 = invalid prefix), as a python
-    list so one peek + one list index decodes a whole symbol — the r4
-    path walked the (length, code) dict one ``read_bit`` at a time.
-    Cached by table content: the Annex K tables repeat across every
-    image a batch decodes, so the 64 K-slot build is paid once per
-    distinct table per process."""
+    ``(symbol << 8) | code_length`` (0 = invalid prefix), as a stdlib
+    ``array('i')`` — C-backed indexing returns python ints at list
+    speed but costs 256 KB per table instead of the ~2.5 MB a
+    list-of-PyLongs would pin per cache slot (the cache is keyed by
+    table CONTENT, so crafted payloads with distinct DHTs bound at
+    32 × 256 KB = 8 MB per process, not ~80 MB; r5 review fix). One
+    peek + one index decodes a whole symbol — the r4 path walked the
+    (length, code) dict one ``read_bit`` at a time. The Annex K tables
+    repeat across every image a batch decodes, so the 64 K-slot build
+    is paid once per distinct table per process."""
+    from array import array
+
     bits, huffval = key
     dec = _build_decode_table(list(bits), list(huffval))
     lut = np.zeros(1 << 16, dtype=np.int32)
     for (length, code), sym in dec.items():
         lo = code << (16 - length)
         lut[lo:lo + (1 << (16 - length))] = (sym << 8) | length
-    return lut.tolist()
+    return array("i", lut.tolist())
 
 
 @functools.lru_cache(maxsize=32)
@@ -362,10 +370,14 @@ def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac,
     # only scatters ints here; dequant + IDCT run BATCHED per component
     # afterwards (r5 — one broadcasted matmul chain instead of a
     # np.zeros + 8×8 IDCT + slice-assign per block)
+    # int32: baseline entropy-decoded coefficients are ≤ 11-bit
+    # magnitudes (dequantization multiplies AFTER, in the int64
+    # broadcast below), and halving the store is what lets MAX_PIXELS
+    # sit at 2^24 within the same transient budget
     coefs = []
     for cid, hs, vs, tq in comps:
         coefs.append(np.zeros((mcus_y * vs, mcus_x * hs, 64),
-                              dtype=np.int64))
+                              dtype=np.int32))
 
     segs = _split_entropy_segments(payload, pos)
     br = _SegBits(segs[0])

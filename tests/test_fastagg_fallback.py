@@ -108,6 +108,28 @@ def test_fastagg_arrow_and_pandas_partials_identical(monkeypatch):
     pd.testing.assert_frame_equal(arrow_df, pandas_df)
 
 
+def test_multi_partition_joins_match_single_partition(monkeypatch):
+    """conftest pins FCRAY_JOIN_PARTS=1 for suite speed, so this test
+    restores multi-partition hash-join coverage explicitly: the
+    pagerank JOIN tier (2 inner + 1 left-outer hash join per iteration,
+    fastagg map-side combines in between) must be bit-identical at join
+    width 8 and at the suite's width 1. q_pagerank is all-integer, so
+    equality is exact."""
+    import fide_crawler_ray.pipelines.rel_joins as RJ
+
+    SF = "/root/testdata/sf0.001"
+
+    def run():
+        # max_single_edges=0 forces the distributed join tier
+        return RJ.q_pagerank(SF, iters=2, max_single_edges=0) \
+            .to_pandas().sort_values("node").reset_index(drop=True)
+
+    base = run()  # width 1 (suite default via conftest env)
+    monkeypatch.setattr(RJ, "JOIN_PARTS", 8)
+    wide = run()
+    pd.testing.assert_frame_equal(wide, base)
+
+
 def test_grouped_first_last_matches_pandas_and_tree_path():
     from fide_crawler_ray.stages.fastagg import grouped_first_last
 

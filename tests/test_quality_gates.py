@@ -92,12 +92,56 @@ def test_semdedup_recall_gate_planted():
 
 
 def test_semdedup_without_near_dups_keeps_everything():
-    """On the natural corpus (no near-dups) SemDeDup is the identity."""
-    from fide_crawler_ray.pipelines.queries import T, q_semdedup
+    """At the production threshold (0.98, Lloyd path) the natural
+    corpus has no near-dups, so SemDeDup is the identity. The
+    deterministic driver variant (threshold 0.5) is NOT identity by
+    design — its survivors are checked against a driver-side
+    brute-force replay of cluster→edges→components instead (it also
+    has a full DuckDB oracle)."""
+    import numpy as np
 
-    out = q_semdedup(SF).to_pandas()
+    from fide_crawler_ray.functions import ann as ANN
+    from fide_crawler_ray.pipelines.queries import (
+        T, q_semdedup, q_semdedup_lloyd)
+
     n = T(SF, "embeddings", ["vec_id"]).count()
+    out = q_semdedup_lloyd(SF).to_pandas()
     assert len(out) == n
+
+    # brute-force replay for the 0.5-threshold driver variant
+    emb = T(SF, "embeddings", ["vec_id", "embedding"]).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    ids = emb["vec_id"].to_numpy()
+    m = ANN._normalize64(np.stack(
+        [np.asarray(v, np.float32) for v in emb["embedding"]]))
+    ds = T(SF, "embeddings", ["vec_id", "embedding"])
+    cents = ANN.md5_sample_centroids(ds, 8, tag="km:42")
+    assign = (m @ cents.T).argmax(axis=1)
+    import collections
+    adj = collections.defaultdict(set)
+    for cl in range(8):
+        mem = np.where(assign == cl)[0]
+        if len(mem) < 2:
+            continue
+        sub = m[mem] @ m[mem].T
+        iu = np.triu_indices(len(mem), 1)
+        for h in np.where(sub[iu] >= 0.5)[0]:
+            a, b = int(ids[mem[iu[0][h]]]), int(ids[mem[iu[1][h]]])
+            adj[a].add(b)
+            adj[b].add(a)
+    dropped = set()
+    for node in adj:
+        seen, st = {node}, [node]
+        while st:
+            u = st.pop()
+            for w in adj[u]:
+                if w not in seen:
+                    seen.add(w)
+                    st.append(w)
+        if min(seen) < node:
+            dropped.add(node)
+    got = set(q_semdedup(SF).to_pandas()["vec_id"])
+    assert got == set(int(i) for i in ids) - dropped
 
 
 def test_quantized_ann_recall_gate():
