@@ -3,7 +3,11 @@
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
-   "crawl": {"pages": P, "pages_per_sec": ..., "frontier_ops_per_sec": ...}}
+   "crawl": {"pages": P, "pages_per_sec": ..., "frontier_ops_per_sec": ...},
+   "frontier": {offers/pops per sec + seen/spill bytes from a 300k-URL
+                stress through the real actor banks — the north-metric
+                numbers, in every round's driver artifact; excluded
+                from "value" so suite totals stay comparable}}
 
 `python bench.py --scaling` runs the same bench in two fresh processes at
 num_cpus=8 and num_cpus=32 (the sandbox stand-in for N vs 4N node
