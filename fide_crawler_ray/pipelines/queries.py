@@ -1546,9 +1546,12 @@ def q_jpeg_pixel_stats(sf_dir):
 
     ds = T(sf_dir, "documents", ["doc_id"]).map_batches(
         _mk, batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE)
+    # decode is the CPU-bound half (pure-python Huffman+IDCT even after
+    # the r5 table-driven rewrite): give the actor pool room to scale to
+    # the encode stage's output rate instead of pinning it at 2×0.5 CPU
     return ds.map_batches(
         JpegPixelStatsStage, batch_format="pyarrow",
-        batch_size=MEDIA_BATCH_SIZE, concurrency=2, num_cpus=0.5,
+        batch_size=MEDIA_BATCH_SIZE, concurrency=(2, 8), num_cpus=0.5,
     )
 
 
