@@ -408,3 +408,32 @@ def test_span_stats_order_invariant_and_volume():
     calc = out[out["doc_kind"] == "calc"]
     if len(calc):  # calc pages interleave media color markers with text
         assert int(calc["n_media"].iloc[0]) > 0
+
+
+def test_flagship_crawl_oracle_replay_matches_engine():
+    """The crawl_game_history DuckDB oracle (r5: full parse → normalize
+    → min-lineage dedup → dropna replay over the ground-truth span
+    sidecar) must match the engine's crawled store byte-for-byte — the
+    in-suite version of the driver's hard gate, so a synth/parse/
+    normalize drift that would break the flagship oracle fails HERE
+    first."""
+    import duckdb
+    import pandas as pd
+
+    from fide_crawler_ray.pipelines import queries as Q
+
+    got = Q.q_crawl_game_history("/root/testdata/sf0.001").to_pandas()
+    sql = Q.oracle_sql()["crawl_game_history"]
+    exp = duckdb.connect().execute(sql).fetchdf()
+
+    def canon(df):
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            if pd.api.types.is_float_dtype(df[c]):
+                df[c] = df[c].astype("float64")
+            elif pd.api.types.is_integer_dtype(df[c]):
+                df[c] = df[c].astype("int64")
+        return df.sort_values(list(df.columns), kind="mergesort") \
+                 .reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(got), canon(exp))
