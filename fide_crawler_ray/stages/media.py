@@ -413,6 +413,16 @@ def png_decode(payload: bytes):
     web images. Returns (width, height, channels, ndarray[h, w, c])
     or None when the payload isn't such a PNG (caller falls back to
     the header parse / stub tiers)."""
+    try:
+        return _png_decode_inner(payload)
+    except Exception:
+        # same never-crash contract as jpeg_decode/gif_decode: a
+        # truncated IHDR raised struct.error straight through the
+        # decode tier before r5 (found by the codec fuzz test)
+        return None
+
+
+def _png_decode_inner(payload: bytes):
     import struct
     import zlib as _z
 

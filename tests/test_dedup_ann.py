@@ -217,3 +217,64 @@ def test_mmr_rerank_matches_scalar_spec():
             assert int(row["mmr_fp"].iloc[0]) == best_obj, (qid, rank)
         # first pick is the top-relevance vec
         assert chosen[0] == ids[0]
+
+
+def test_deterministic_oracle_decision_margins():
+    """The r5 hard oracles (ann_ivf / embedding_kmeans / semdedup / mmr)
+    rely on decision margins dwarfing the ≤2.4e-7 cross-engine cosine
+    error (DOUBLE[] casts bring it to ~1e-15, but the bound must hold
+    even on the FLOAT path). The margins were measured once when the
+    oracles were designed — this test makes them EXECUTABLE so a driver
+    testdata regeneration (new seeds → new geometry) that parks a
+    vector near a decision boundary fails loudly here instead of
+    surfacing as an inexplicable oracle mismatch."""
+    import numpy as np
+
+    from fide_crawler_ray.functions import ann as ANN
+    from fide_crawler_ray.pipelines.queries import T
+
+    FLOOR = 1e-4  # > 400x the float-path cross-engine error
+
+    emb = T(SF, "embeddings", ["vec_id", "embedding"]).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    ids = emb["vec_id"].to_numpy()
+    m = ANN._normalize64(np.stack(
+        [np.asarray(v, np.float32) for v in emb["embedding"]]))
+    ds = T(SF, "embeddings", ["vec_id", "embedding"])
+
+    # IVF (16 md5 centroids): assignment + probe-set boundaries
+    c16 = ANN.md5_sample_centroids(ds, 16, tag="ivf:42")
+    sims = m @ c16.T
+    top2 = np.sort(sims, axis=1)[:, -2:]
+    assert (top2[:, 1] - top2[:, 0]).min() > FLOOR, "ivf assignment"
+    qsim = m[:5] @ c16.T
+    srt = np.sort(qsim, axis=1)[:, ::-1]
+    assert (srt[:, 7] - srt[:, 8]).min() > FLOOR, "ivf probe nprobe=8"
+
+    # k-means / semdedup (8 md5 centroids): assignment + 0.5 threshold
+    c8 = ANN.md5_sample_centroids(ds, 8, tag="km:42")
+    sims8 = m @ c8.T
+    top2 = np.sort(sims8, axis=1)[:, -2:]
+    assert (top2[:, 1] - top2[:, 0]).min() > FLOOR, "kmeans assignment"
+    assign = sims8.argmax(axis=1)
+    worst = 1.0
+    for cl in range(8):
+        mem = np.where(assign == cl)[0]
+        if len(mem) < 2:
+            continue
+        sub = m[mem] @ m[mem].T
+        iu = np.triu_indices(len(mem), 1)
+        if len(iu[0]):
+            worst = min(worst, np.abs(sub[iu] - 0.5).min())
+    assert worst > FLOOR, "semdedup 0.5-threshold margin"
+
+    # brute-force pool (mmr/ivf scoring): rank-50 boundary + distance
+    # of every pool score to its round-4 boundary
+    allsim = m[:5] @ m.T
+    for qi in range(5):
+        o = sorted(range(len(ids)), key=lambda i: (-allsim[qi][i], ids[i]))
+        assert allsim[qi][o[49]] - allsim[qi][o[50]] > FLOOR, "rank50"
+        pool = allsim[qi][o[:50]]
+        frac = np.abs(pool * 1e4 - np.floor(pool * 1e4) - 0.5)
+        # measured min 7.85e-4 at sf0.001; errors are <=2.4e-7
+        assert frac.min() > 1e-4, "round-4 boundary"

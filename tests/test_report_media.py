@@ -658,3 +658,44 @@ def test_decoders_reject_dimension_bombs():
          + chunk(b"IDAT", zlib.compress(b"\x00" * 100000))
          + chunk(b"IEND", b""))
     assert png_decode(p) is None
+
+
+def test_codec_fuzz_never_crashes_or_hangs():
+    """Deterministic corruption fuzz over all three pure-python decoders
+    (the r5 JPEG bit-reader/LUT rewrite and GIF bytearray-LZW rewrite
+    must keep the never-crash contract): truncations and byte flips of
+    valid payloads either decode or return None — no exception escapes,
+    no pathological run time."""
+    import time
+
+    import numpy as np
+
+    from fide_crawler_ray.stages.gif import gif_decode, gif_encode_rgb8
+    from fide_crawler_ray.stages.jpeg import (jpeg_decode,
+                                              jpeg_encode_baseline)
+    from fide_crawler_ray.stages.media import png_decode
+
+    rng = np.random.default_rng(99)
+    arr = (rng.integers(0, 256, (24, 32, 3))).astype(np.uint8)
+    solid = np.full((16, 16, 3), (9, 200, 77), dtype=np.uint8)
+    payloads = [
+        ("jpeg", jpeg_encode_baseline(arr, quality=90)),
+        ("jpeg420", jpeg_encode_baseline(arr, quality=95, subsample=True,
+                                         restart_interval=2)),
+        ("png", _real_png(24, 16, (1, 2, 3))),
+        ("gif", gif_encode_rgb8(solid)),
+    ]
+    decoders = {"jpeg": jpeg_decode, "jpeg420": jpeg_decode,
+                "png": png_decode, "gif": gif_decode}
+    t0 = time.perf_counter()
+    for name, p in payloads:
+        dec = decoders[name]
+        assert dec(p) is not None  # the uncorrupted payload decodes
+        for cut in (1, 7, len(p) // 3, len(p) - 2):
+            dec(p[:cut])  # truncation: None or decode, never raise
+        for _ in range(60):
+            b = bytearray(p)
+            for _ in range(rng.integers(1, 4)):
+                b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+            dec(bytes(b))
+    assert time.perf_counter() - t0 < 30.0  # no pathological blowup
